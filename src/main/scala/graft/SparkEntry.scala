@@ -1,13 +1,354 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.compile.SpecCompiler
+import graft.spec.StreamSpec
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry demonstrates one operator family from SURVEY.md §2 running as
+  * a Spark-native pipeline over the shared test tables; `oracleSql` holds the
+  * DuckDB-equivalent SQL for the hash-match correctness gate.
+  *
+  * The geist-parity queries construct a JSON event stream from the `events`
+  * table (to_json over native columns) and push it through the *compiled
+  * StreamSpec pipeline* (graft.compile.SpecCompiler) — i.e. they exercise
+  * the real operator implementations, not ad-hoc SQL.
+  */
 object SparkEntry {
+
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // The events table stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    // reader rejects by default; read it as long nanos and truncate to the
+    // engine's microsecond timestamps (DuckDB's CAST(ts AS TIMESTAMP) does
+    // the same truncation on the oracle side).
+    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Exception => }
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(_.name == "ts") match {
+      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integral div: no double rounding
+      case _ => df
+    }
+  }
+
+  /** The events table as a raw JSON event stream, as a geist source would
+    * deliver it: one JSON document per event, "value" column.
+    * Shape: {"eid":N,"foo":{"evtType":s,"custId":N,"amount":f},"props":{"k":N},
+    *         "textPayload":"evt|uid|k","ut":millis,"iso":"..."}
+    */
+  private def eventJson(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.select(
+      to_json(
+        struct(
+          col("event_id").as("eid"),
+          struct(
+            col("event_type").as("evtType"),
+            col("user_id").as("custId"),
+            col("value").as("amount")
+          ).as("foo"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).as("props"),
+          concat_ws("|", col("event_type"), col("user_id"),
+            get_json_object(col("props"), "$.k")).as("textPayload"),
+          unix_millis(col("ts")).as("ut"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("iso")
+        )
+      ).as("value")
+    )
+  }
+
+  private def pipelineOf(specJson: String) =
+    SpecCompiler.compile(StreamSpec.parseUnsafe(specJson))
+
+  private def specTemplate(transformBody: String): String =
+    s"""{
+       |  "namespace": "graft", "streamIdSuffix": "q", "version": 1,
+       |  "description": "driver-contract query",
+       |  "source": {"type": "geistapi"},
+       |  "transform": $transformBody,
+       |  "sink": {"type": "void"}
+       |}""".stripMargin
+
+  // ------------------------------------------------------------ specs
+
+  private val routingSpec = specTemplate(
+    """{
+      |  "extractFields": [
+      |    {
+      |      "forEventsWith": [{"key": "foo.evtType", "value": "purchase"}],
+      |      "fields": [
+      |        {"id": "eid", "jsonPath": "eid", "type": "integer"},
+      |        {"id": "name", "jsonPath": "foo.evtType"},
+      |        {"id": "custId", "jsonPath": "foo.custId", "type": "integer"},
+      |        {"id": "amount", "jsonPath": "foo.amount", "type": "float"},
+      |        {"id": "k", "jsonPath": "props.k", "type": "integer"}
+      |      ]
+      |    },
+      |    {
+      |      "forEventsWith": [{"key": "foo.evtType", "value": "signup"}],
+      |      "fields": [
+      |        {"id": "eid", "jsonPath": "eid", "type": "integer"},
+      |        {"id": "name", "jsonPath": "foo.evtType"},
+      |        {"id": "custId", "jsonPath": "foo.custId", "type": "integer"},
+      |        {"id": "k", "jsonPath": "props.k", "type": "integer"}
+      |      ]
+      |    }
+      |  ]
+      |}""".stripMargin)
+
+  private val blacklistSpec = specTemplate(
+    """{
+      |  "excludeEventsWith": [
+      |    {"key": "foo.evtType", "values": ["error", "view"]}
+      |  ],
+      |  "extractFields": [{"fields": [
+      |    {"id": "eid", "jsonPath": "eid", "type": "integer"},
+      |    {"id": "name", "jsonPath": "foo.evtType"}
+      |  ]}]
+      |}""".stripMargin)
+
+  private val whitelistSpec = specTemplate(
+    """{
+      |  "excludeEventsWith": [
+      |    {"key": "foo.evtType", "valuesNotIn": ["purchase", "signup"]}
+      |  ],
+      |  "extractFields": [{"fields": [
+      |    {"id": "eid", "jsonPath": "eid", "type": "integer"},
+      |    {"id": "name", "jsonPath": "foo.evtType"}
+      |  ]}]
+      |}""".stripMargin)
+
+  private val dnfSpec = specTemplate(
+    """{
+      |  "excludeEventsWithMultipleConditions": [
+      |    {"filters": [
+      |      {"key": "foo.evtType", "values": ["click"]},
+      |      {"key": "props.k", "values": ["42"]}
+      |    ]},
+      |    {"filters": [
+      |      {"key": "foo.evtType", "values": ["view"]},
+      |      {"key": "foo.custId", "values": ["0"]}
+      |    ]}
+      |  ],
+      |  "extractFields": [{"fields": [
+      |    {"id": "eid", "jsonPath": "eid", "type": "integer"},
+      |    {"id": "name", "jsonPath": "foo.evtType"},
+      |    {"id": "k", "jsonPath": "props.k", "type": "integer"}
+      |  ]}]
+      |}""".stripMargin)
+
+  private val itemsSpec = specTemplate(
+    """{
+      |  "extractItemsFromArray": [
+      |    {
+      |      "id": "m",
+      |      "items": {
+      |        "jsonPathToArray": "xs",
+      |        "idFromItemFields": {"delimiter": "#", "fields": ["t", "u"]}
+      |      }
+      |    }
+      |  ]
+      |}""".stripMargin)
+
+  private val regexpSpec = specTemplate(
+    """{
+      |  "extractFields": [{"fields": [
+      |    {"id": "eid", "jsonPath": "eid", "type": "integer"},
+      |    {"id": "line", "jsonPath": "textPayload", "type": "string"}
+      |  ]}],
+      |  "regexp": {
+      |    "field": "line",
+      |    "expression": "^(?P<evt>[a-z]+)\\|(?P<uid>\\d+)\\|(?P<k>\\d+)$"
+      |  }
+      |}""".stripMargin)
+
+  private val castsSpec = specTemplate(
+    """{
+      |  "extractFields": [{"fields": [
+      |    {"id": "eid", "jsonPath": "eid", "type": "integer"},
+      |    {"id": "unix_ts", "jsonPath": "ut", "type": "unixTimestamp"},
+      |    {"id": "iso_ts", "jsonPath": "iso", "type": "isoTimestamp"},
+      |    {"id": "amount", "jsonPath": "foo.amount", "type": "float"},
+      |    {"id": "flag", "jsonPath": "missing.field"}
+      |  ]}]
+      |}""".stripMargin)
+
+  // ----------------------------------------------------------- queries
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("session_routing")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- geist parity: spec-compiled pipelines over the event stream ----
+    "session_routing" -> ((s, dir) => {
+      pipelineOf(routingSpec)(eventJson(s, dir)).head._2
+    }),
+    "event_split" -> ((s, dir) => {
+      // C2: one event → N branch outputs with different schemas,
+      // union-by-name with null fill for the single-sink shape.
+      val branches = pipelineOf(routingSpec)(eventJson(s, dir)).map(_._2)
+      branches.reduce(_.unionByName(_, allowMissingColumns = true))
+    }),
+    "b1_blacklist" -> ((s, dir) => pipelineOf(blacklistSpec)(eventJson(s, dir)).head._2),
+    "b2_whitelist" -> ((s, dir) => pipelineOf(whitelistSpec)(eventJson(s, dir)).head._2),
+    "b4_dnf_exclusion" -> ((s, dir) => pipelineOf(dnfSpec)(eventJson(s, dir)).head._2),
+    "d1_items_from_array" -> ((s, dir) => {
+      // Array source: two items per event, built from native columns.
+      val e = t(s, dir, "events")
+      val arrayJson = e.select(
+        col("event_id").as("eid"),
+        to_json(struct(array(
+          struct(col("event_type").as("t"), concat(lit("u"), col("user_id")).as("u")),
+          struct(col("event_type").as("t"), concat(lit("k"), get_json_object(col("props"), "$.k")).as("u"))
+        ).as("xs"))).as("value"))
+      // Keyed-map output (D1) exploded to rows for the sink/oracle shape.
+      val p = pipelineOf(itemsSpec)
+      p.applyWith(arrayJson, p.branches.head, "value", Seq("eid"))
+        .select(col("eid"), explode(col("m")).as(Seq("item_key", "item_json")))
+    }),
+    "e1_regexp" -> ((s, dir) => pipelineOf(regexpSpec)(eventJson(s, dir)).head._2),
+    "e3_casts" -> ((s, dir) => pipelineOf(castsSpec)(eventJson(s, dir)).head._2),
+    "g1_rowkey" -> ((s, dir) => {
+      // Sink row-key synthesis (G1): concat_ws over extracted fields.
+      val out = pipelineOf(routingSpec)(eventJson(s, dir)).head._2
+      out.select(concat_ws("#", col("name"), col("custId"), col("eid")).as("row_key"),
+        col("amount"))
+    }),
+    "g5_insertid_dedup" -> ((s, dir) => {
+      // Insert-id best-effort dedup (G5): first event per (user, type).
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"), col("event_type")).orderBy(col("event_id"))
+      e.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    }),
+
+    // ---- classic analytics over the TPC-H-ish tables (scale workhorses) ----
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("count_order"),
+          avg(col("l_quantity")).as("avg_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q3_top_orders" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_custkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"), count(lit(1)).as("n_lines"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+    "q5_nation_rollup" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+    "w1_topn_per_user" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      e.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"), col("rn"))
+    })
+  )
+
+  /** DuckDB-equivalent SQL per query (same tables, same column names). */
+  def oracleSql: Map[String, String] = Map(
+    "session_routing" ->
+      """SELECT event_id AS eid, event_type AS name, user_id AS custId,
+        |       value AS amount, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "event_split" ->
+      """SELECT event_id AS eid, event_type AS name, user_id AS custId,
+        |       value AS amount, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE event_type = 'purchase'
+        |UNION ALL BY NAME
+        |SELECT event_id AS eid, event_type AS name, user_id AS custId,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE event_type = 'signup'""".stripMargin,
+    "b1_blacklist" ->
+      """SELECT event_id AS eid, event_type AS name FROM events
+        |WHERE event_type NOT IN ('error', 'view')""".stripMargin,
+    "b2_whitelist" ->
+      """SELECT event_id AS eid, event_type AS name FROM events
+        |WHERE event_type IN ('purchase', 'signup')""".stripMargin,
+    "b4_dnf_exclusion" ->
+      """SELECT event_id AS eid, event_type AS name,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE NOT ((event_type = 'click' AND json_extract_string(props, '$.k') = '42')
+        |        OR (event_type = 'view' AND CAST(user_id AS VARCHAR) = '0'))""".stripMargin,
+    "d1_items_from_array" ->
+      """WITH src AS (
+        |  SELECT event_id AS eid, event_type AS t,
+        |         'u' || CAST(user_id AS VARCHAR) AS u1,
+        |         'k' || json_extract_string(props, '$.k') AS u2
+        |  FROM events
+        |)
+        |SELECT eid, t || '#' || u1 AS item_key,
+        |       to_json(struct_pack(t := t, u := u1)) AS item_json FROM src
+        |UNION ALL
+        |SELECT eid, t || '#' || u2 AS item_key,
+        |       to_json(struct_pack(t := t, u := u2)) AS item_json FROM src""".stripMargin,
+    "e1_regexp" ->
+      """SELECT event_id AS eid,
+        |       to_json(struct_pack(
+        |         evt := event_type,
+        |         k := json_extract_string(props, '$.k'),
+        |         uid := CAST(user_id AS VARCHAR))) AS regexppayload
+        |FROM events""".stripMargin,
+    "e3_casts" ->
+      """SELECT event_id AS eid,
+        |       date_trunc('milliseconds', CAST(ts AS TIMESTAMP)) AS unix_ts,
+        |       date_trunc('milliseconds', CAST(ts AS TIMESTAMP)) AS iso_ts,
+        |       value AS amount,
+        |       '' AS flag
+        |FROM events""".stripMargin,
+    "g1_rowkey" ->
+      """SELECT event_type || '#' || CAST(user_id AS VARCHAR) || '#' || CAST(event_id AS VARCHAR) AS row_key,
+        |       value AS amount
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "g5_insertid_dedup" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) = 1""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |       count(*) AS count_order, avg(l_quantity) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT o_orderkey, o_custkey, sum(l_quantity) AS total_qty, count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_nation_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "w1_topn_per_user" ->
+      """SELECT user_id, event_id,
+        |       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |FROM events
+        |QUALIFY rn <= 3""".stripMargin
+  )
 }

@@ -1,0 +1,191 @@
+package graft.compile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.gjson
+import graft.functions.gjson.{CompiledField, GType}
+import graft.path.GJsonPath
+import graft.spec._
+
+/** Compiles a StreamSpec's transform into a reusable DataFrame pipeline.
+  *
+  * The compiled form is mode-agnostic: the same `DataFrame => DataFrame`
+  * stages run in batch (driver correctness harness over parquet) and in
+  * Structured Streaming (runtime). The transform's fixed execution order
+  * (/root/reference/entity/transform/transformer.go:43-84) becomes:
+  *
+  *   keep-filter (excludeEventsWith ∪ multi-conditions, B1-B4)
+  *     → per-branch router predicate (forEventsWith + branch excludes, B5-B6)
+  *     → per-branch projection with spec-typed casts (C1-C4)
+  *     → extractItemsFromArray branches (D1)
+  *     → regexp payload stage (E1-E2)
+  *
+  * Event-split (C2) falls out naturally: each matching branch contributes
+  * its own DataFrame; one input row can appear in several branches, each
+  * with a different schema — exactly the reference's []*Transformed.
+  *
+  * Scale notes: every stage is a narrow transformation (filter/project) —
+  * no shuffle is introduced anywhere in a compiled pipeline, so throughput
+  * scales linearly with partitions and the whole pipeline pipelines inside
+  * one Spark stage. Predicates and projections each parse the event JSON
+  * once per row (see graft.functions.gjson).
+  */
+object SpecCompiler {
+
+  /** One output branch of a compiled transform. */
+  sealed trait Branch {
+    def id: String
+    /** Router predicate (on top of the spec-level keep filter). */
+    def pred: EventPred
+    /** Projection of the event column into this branch's schema. */
+    def project(event: Column): Column
+    def outputColumns: Seq[String]
+  }
+
+  final case class FieldsBranch(
+      id: String,
+      pred: EventPred,
+      fields: Seq[CompiledField],
+      regexp: Option[CompiledRegexp]
+  ) extends Branch {
+    def project(event: Column): Column = gjson.extractFields(event, fields)
+    def outputColumns: Seq[String] = fields.map(_.id)
+  }
+
+  final case class ItemsBranch(
+      id: String,
+      pred: EventPred,
+      spec: ExtractItemsFromArray
+  ) extends Branch {
+    def project(event: Column): Column =
+      struct(gjson.itemsFromArray(event, spec.items.jsonPathToArray,
+        spec.items.idFromItemFields.delimiter, spec.items.idFromItemFields.fields).as(spec.id))
+    def outputColumns: Seq[String] = Seq(spec.id)
+  }
+
+  /** Regexp applied to the whole raw event (no extractFields present). */
+  final case class RegexpBranch(id: String, pred: EventPred, regexp: CompiledRegexp) extends Branch {
+    def project(event: Column): Column = struct(regexp.payload(event).as("regexppayload"))
+    def outputColumns: Seq[String] = Seq("regexppayload")
+  }
+
+  final case class CompiledRegexp(spec: RegexpSpec, groups: Seq[String]) {
+    def payload(src: Column): Column =
+      gjson.regexpPayload(src, spec.expression, groups, spec.timeConversion)
+  }
+
+  final case class CompiledPipeline(spec: StreamSpec, keep: EventPred, branches: Seq[Branch]) {
+
+    def keepCol(event: Column): Column = gjson.eventPred(event, keep)
+    def branchCol(b: Branch, event: Column): Column = gjson.eventPred(event, b.pred)
+
+    /** All surviving rows for one branch, projected to the branch schema.
+      * Input frame must expose the raw JSON event as `eventCol` (string).
+      * Extra columns (key, ts, …) are dropped; use `applyWith` to retain.
+      */
+    def branchFrame(df: DataFrame, b: Branch, eventCol: String = "value"): DataFrame =
+      applyWith(df, b, eventCol, keepColumns = Nil)
+
+    /** Like branchFrame but keeps selected passthrough columns (e.g. Kafka
+      * key/timestamp) alongside the projected fields.
+      */
+    def applyWith(df: DataFrame, b: Branch, eventCol: String, keepColumns: Seq[String]): DataFrame = {
+      val ev = col(eventCol)
+      val routed = df.filter(keepCol(ev) && branchCol(b, ev))
+      b match {
+        case fb: FieldsBranch =>
+          val projected = routed
+            .select(keepColumns.map(col) :+ fb.project(ev).as("__t"): _*)
+            .select(keepColumns.map(col) ++ fb.outputColumns.map(c => col(s"__t.`$c`").as(c)): _*)
+          fb.regexp match {
+            case Some(re) if fb.outputColumns.contains(re.spec.field) =>
+              val withPayload = projected.withColumn("regexppayload", re.payload(col(re.spec.field)))
+              val dropped = if (re.spec.keepField) withPayload else withPayload.drop(re.spec.field)
+              // Non-matching rows are the reference's error path; they are
+              // split off here (see errorFrame) rather than silently kept.
+              dropped.filter(col("regexppayload").isNotNull)
+            case _ => projected
+          }
+        case _ =>
+          routed
+            .select(keepColumns.map(col) :+ b.project(ev).as("__t"): _*)
+            .select(keepColumns.map(col) ++ b.outputColumns.map(c => col(s"__t.`$c`").as(c)): _*)
+      }
+    }
+
+    /** Rows that matched a regexp-bearing branch but failed the regexp (or
+      * its time conversion) — the unretryable-error side-output feeding the
+      * houe policy (discard/DLQ/fail, entity/spec.go:20-26).
+      */
+    def errorFrame(df: DataFrame, eventCol: String = "value"): DataFrame = {
+      val ev = col(eventCol)
+      val errorBranches = branches.collect {
+        case fb: FieldsBranch if fb.regexp.exists(re => fb.outputColumns.contains(re.spec.field)) =>
+          val re = fb.regexp.get
+          val fieldVal = gjson.extractFields(ev, fb.fields.filter(_.id == re.spec.field))
+          keepCol(ev) && branchCol(fb, ev) && re.payload(col(s"__t.`${re.spec.field}`")).isNull
+        case rb: RegexpBranch =>
+          keepCol(ev) && branchCol(rb, ev) && rb.regexp.payload(ev).isNull
+      }
+      if (errorBranches.isEmpty) df.limit(0)
+      else {
+        // Recompute per-branch matched-but-failed rows against raw events.
+        val preds = branches.collect {
+          case fb: FieldsBranch if fb.regexp.exists(re => fb.outputColumns.contains(re.spec.field)) =>
+            val re = fb.regexp.get
+            val extracted = gjson.extractFields(ev, fb.fields.filter(_.id == re.spec.field))
+              .getField(re.spec.field)
+            keepCol(ev) && branchCol(fb, ev) && re.payload(extracted).isNull
+          case rb: RegexpBranch =>
+            keepCol(ev) && branchCol(rb, ev) && rb.regexp.payload(ev).isNull
+        }
+        df.filter(preds.reduce(_ || _))
+      }
+    }
+
+    /** Apply the whole transform: one (branchId, DataFrame) per branch. */
+    def apply(df: DataFrame, eventCol: String = "value"): Seq[(String, DataFrame)] =
+      branches.map(b => b.id -> branchFrame(df, b, eventCol))
+  }
+
+  def compile(spec: StreamSpec): CompiledPipeline = {
+    val t = spec.transform
+    val keep = EventPred.keepPred(t.excludeEventsWith, t.excludeEventsWithMultipleConditions)
+    val compiledRegexp = t.regexp.map(r => CompiledRegexp(r, r.groups))
+
+    val fieldBranches = t.extractFields.zipWithIndex.map { case (ef, i) =>
+      FieldsBranch(
+        id = if (t.extractFields.size == 1) "fields" else s"fields_$i",
+        pred = EventPred.branchPred(ef.forEventsWith, ef.excludeEventsWith),
+        fields = ef.fields.map(compileField),
+        regexp = compiledRegexp.filter(re =>
+          re.spec.field.nonEmpty && ef.fields.exists(_.id == re.spec.field))
+      )
+    }
+
+    val itemBranches = t.extractItemsFromArray.map { ia =>
+      ItemsBranch(id = ia.id, pred = EventPred.branchPred(ia.forEventsWith, Nil), spec = ia)
+    }
+
+    // Regexp with no extracted source field applies to the raw event
+    // (transformer.go:196-215: only appended when nothing else produced
+    // output — i.e. when there are no extractFields branches).
+    val regexpBranch = compiledRegexp match {
+      case Some(re) if re.spec.field.isEmpty && fieldBranches.isEmpty =>
+        Seq(RegexpBranch("regexp", EventPred.True0(), re))
+      case _ => Nil
+    }
+
+    CompiledPipeline(spec, keep, fieldBranches ++ itemBranches ++ regexpBranch)
+  }
+
+  private def compileField(f: Field): CompiledField = {
+    val raw = f.jsonPath.isEmpty
+    CompiledField(
+      id = f.id,
+      path = if (raw) None else Some(GJsonPath.parse(f.jsonPath)),
+      gtype = GType.of(f.fieldType, raw)
+    )
+  }
+}

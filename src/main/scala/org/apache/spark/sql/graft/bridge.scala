@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to `private[sql]` Column↔Expression conversions (Spark 4.x moved
+  * `Column` onto ColumnNode; classic-mode expression wrapping lives in
+  * org.apache.spark.sql.classic.ExpressionUtils). Standard extension-library
+  * pattern: a tiny shim inside the org.apache.spark.sql package tree.
+  */
+object bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
