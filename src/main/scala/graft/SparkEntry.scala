@@ -265,6 +265,60 @@ object SparkEntry {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       e.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
         .select(col("user_id"), col("event_id"), col("rn"))
+    }),
+
+    // ---- training-data pipeline operators (north star) ----
+    "ns_dedup_exact" -> ((s, dir) =>
+      graft.ops.Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
+    "ns_dedup_minhash" -> ((s, dir) =>
+      graft.ops.Dedup.minhashCandidates(t(s, dir, "documents"), "text", "doc_id")
+        .filter(col("est_jaccard") >= 0.5)),
+    "ns_dedup_simhash" -> ((s, dir) =>
+      graft.ops.Dedup.simhashCandidates(t(s, dir, "documents"), "text", "doc_id", maxDist = 10)),
+    "ns_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 100)
+      val ids = d.select(col("doc_id"))
+      val pairs = ids.select(col("doc_id").as("idA"))
+        .join(ids.select(col("doc_id").as("idB")), col("idA") < col("idB"))
+      graft.ops.Dedup.ngramJaccard(pairs, t(s, dir, "documents"), "text", "doc_id")
+    }),
+    "ns_embed_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      graft.ops.Similarity.bruteForceTopK(e.filter(col("id") < 50), e, k = 5)
+    }),
+    "ns_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      graft.ops.Similarity.lshTopK(e.filter(col("id") < 50), e, k = 5, planes = 4, tables = 8)
+    }),
+    "ns_text_profile" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      import graft.ops.TextAnalysis._
+      d.select(
+        col("doc_id"),
+        wsTokenCount(col("text")).as("n_tokens_ws"),
+        approxBpeTokenCount(col("text")).as("n_tokens_bpe"),
+        qualityMetrics(col("text"), DefaultStopwords).as("q"),
+        langScores(col("text")).getField("en").as("en_score"),
+        langId(col("text")).as("lang_pred"))
+        .select(col("doc_id"), col("n_tokens_ws"), col("n_tokens_bpe"),
+          col("q.n_chars").as("n_chars"), col("q.n_words").as("n_words"),
+          col("q.mean_word_len").as("mean_word_len"),
+          col("q.stopword_ratio").as("stopword_ratio"),
+          col("q.punct_ratio").as("punct_ratio"),
+          col("en_score"), col("lang_pred"))
+    }),
+    "ns_fingerprint" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        graft.ops.TextAnalysis.fingerprint(col("text")).as("fps"))
+        .select(col("doc_id"), size(col("fps")).as("n_fp"), array_min(col("fps")).as("fp_min"))
+    }),
+    "ns_multimodal" -> ((s, dir) => {
+      val media = graft.ops.Multimodal.fromDocuments(t(s, dir, "documents"), "doc_id", "text", "text/plain")
+      graft.ops.Multimodal.extractFeatures(media, dim = 16).toDF()
+        .select(col("media_id"), col("n_frames"), size(col("feature")).as("feat_dim"))
     })
   )
 
@@ -349,6 +403,62 @@ object SparkEntry {
       """SELECT user_id, event_id,
         |       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |FROM events
-        |QUALIFY rn <= 3""".stripMargin
+        |QUALIFY rn <= 3""".stripMargin,
+    "ns_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "ns_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS grams
+        |  FROM documents WHERE doc_id < 100
+        |)
+        |SELECT a.doc_id AS idA, b.doc_id AS idB,
+        |       len(list_intersect(a.grams, b.grams)) AS n_common,
+        |       len(list_distinct(list_concat(a.grams, b.grams))) AS n_union
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id""".stripMargin,
+    "ns_embed_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 50),
+        |     c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT q.qid AS query_id, c.nid AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.qid
+        |           ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.nid) AS rank
+        |  FROM q JOIN c ON q.qid != c.nid)
+        |WHERE rank <= 5""".stripMargin,
+    "ns_text_profile" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens_ws,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}'))
+        |    + len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_tokens_bpe,
+        |  length(text) AS n_chars,
+        |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_words,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |    / len(string_split_regex(lower(trim(text)), '\s+')) AS mean_word_len,
+        |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) AS DOUBLE)
+        |    / len(string_split_regex(lower(trim(text)), '\s+')) AS stopword_ratio,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) AS punct_ratio,
+        |  s_en AS en_score,
+        |  CASE WHEN s_de = best AND best > 0 THEN 'de'
+        |       WHEN s_en = best AND best > 0 THEN 'en'
+        |       WHEN s_es = best AND best > 0 THEN 'es'
+        |       WHEN s_fr = best AND best > 0 THEN 'fr'
+        |       WHEN s_zh = best AND best > 0 THEN 'zh'
+        |       ELSE 'und' END AS lang_pred
+        |FROM (
+        |  SELECT *,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','to','is','that','with'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('el','la','los','las','que','es','con'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','est','que','avec','pour'))) AS s_fr,
+        |    len(list_filter(toks, x -> x IN ('的','是','了','在','我','不'))) AS s_zh,
+        |    greatest(
+        |      len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit'))),
+        |      len(list_filter(toks, x -> x IN ('the','and','of','to','is','that','with'))),
+        |      len(list_filter(toks, x -> x IN ('el','la','los','las','que','es','con'))),
+        |      len(list_filter(toks, x -> x IN ('le','la','les','est','que','avec','pour'))),
+        |      len(list_filter(toks, x -> x IN ('的','是','了','在','我','不')))) AS best
+        |  FROM (SELECT *, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents))""".stripMargin
   )
 }

