@@ -315,6 +315,32 @@ object SparkEntry {
         graft.ops.TextAnalysis.fingerprint(col("text")).as("fps"))
         .select(col("doc_id"), size(col("fps")).as("n_fp"), array_min(col("fps")).as("fp_min"))
     }),
+    "a2_eventsim" -> ((s, dir) => {
+      // Deterministic synthetic source (A2/A3): seeded generators, weighted
+      // categorical, sinusoid rate — end-to-end through the spec pipeline.
+      val sim = graft.sources.EventSim.parseSpec(
+        """{"simResolutionMilliseconds": 1000,
+          |  "eventGeneration": {"type": "sinusoid", "minCount": 0, "maxCount": 20,
+          |                      "periodSeconds": 120, "peakTime": "2024-06-01T00:00:00Z"},
+          |  "eventSpec": {"fields": [
+          |    {"field": "name", "predefinedValues": [
+          |      {"value": "CONN_OPENED", "frequencyFactor": 6},
+          |      {"value": "CONN_CLOSED", "frequencyFactor": 4}]},
+          |    {"field": "cust", "setOfStrings": {"amount": 50, "prefix": "c"}},
+          |    {"field": "amount", "randomizedValue": {"type": "float", "min": 0, "max": 100, "maxFractionDigits": 2}}
+          |  ]}}""".stripMargin)
+      val events = graft.sources.EventSim.batch(s, sim, triggers = 120,
+        java.time.Instant.parse("2024-06-01T00:00:00Z"), seed = 42L)
+      val p = pipelineOf(specTemplate(
+        """{"extractFields": [{
+          |  "forEventsWith": [{"key": "name", "value": "CONN_OPENED"}],
+          |  "fields": [
+          |    {"id": "name", "jsonPath": "name"},
+          |    {"id": "cust", "jsonPath": "cust"},
+          |    {"id": "amount", "jsonPath": "amount", "type": "float"}
+          |  ]}]}""".stripMargin))
+      p(events).head._2
+    }),
     "ns_multimodal" -> ((s, dir) => {
       val media = graft.ops.Multimodal.fromDocuments(t(s, dir, "documents"), "doc_id", "text", "text/plain")
       graft.ops.Multimodal.extractFeatures(media, dim = 16).toDF()
