@@ -1,0 +1,340 @@
+package graft.runtime
+
+import java.util.concurrent.atomic.AtomicLong
+import java.util.concurrent.{ArrayBlockingQueue, ConcurrentHashMap}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.compile.SpecCompiler
+import graft.compile.SpecCompiler.CompiledPipeline
+import graft.sinks.{KeyedTableSink, SinkCompiler, VoidSink}
+import graft.spec.{Houe, SpecValidationException, StreamSpec}
+
+import scala.jdk.CollectionConverters._
+
+/** Per-stream running metrics (reference entity/common.go:36-73; counters
+  * aggregated across executors — here across batches/publishes).
+  */
+final class Metrics {
+  val eventsProcessed = new AtomicLong(0)
+  val eventProcessingTimeMicros = new AtomicLong(0)
+  val microbatches = new AtomicLong(0)
+  val bytesProcessed = new AtomicLong(0)
+  val eventsStoredInSink = new AtomicLong(0)
+  val sinkProcessingTimeMicros = new AtomicLong(0)
+  val sinkOperations = new AtomicLong(0)
+  val bytesIngested = new AtomicLong(0)
+  def snapshot: Map[String, Long] = Map(
+    "EventsProcessed" -> eventsProcessed.get,
+    "EventProcessingTimeMicros" -> eventProcessingTimeMicros.get,
+    "Microbatches" -> microbatches.get,
+    "BytesProcessed" -> bytesProcessed.get,
+    "EventsStoredInSink" -> eventsStoredInSink.get,
+    "SinkProcessingTimeMicros" -> sinkProcessingTimeMicros.get,
+    "SinkOperations" -> sinkOperations.get,
+    "BytesIngested" -> bytesIngested.get)
+}
+
+/** Leveled operational notification (entity/notify.go:5-42). */
+final case class NotificationEvent(level: String, streamId: String, message: String,
+    timestamp: java.time.Instant = java.time.Instant.now())
+
+/** Bounded non-blocking notification bus: full buffer drops events
+  * (pkg/notify/notify.go:155-158, default size 64).
+  */
+final class Notifier(bufferSize: Int = 64) {
+  val queue = new ArrayBlockingQueue[NotificationEvent](bufferSize)
+  def notify(level: String, streamId: String, msg: String): Unit = {
+    queue.offer(NotificationEvent(level, streamId, msg)) // drop on full
+  }
+  def drain(): Seq[NotificationEvent] = {
+    val out = new java.util.ArrayList[NotificationEvent]()
+    queue.drainTo(out)
+    out.asScala.toSeq
+  }
+}
+
+/** Spec registry (J1/J3): version-gated registration, per-env ops
+  * resolution, disable handling, protected ids, optional parquet-backed
+  * spec table for bootstrap (registry-as-a-table; the reference's
+  * registry-as-a-stream collapses to this in a Spark runtime).
+  */
+final class Registry(spark: SparkSession, specTablePath: Option[String], env: String) {
+  private val specs = new ConcurrentHashMap[String, StreamSpec]()
+  private val protectedIds = Set("geist-specs", "geist-adminevents")
+
+  /** Bootstrap from the persisted spec table (registry.go:110-145 Fetch). */
+  def fetch(): Unit = specTablePath.foreach { path =>
+    if (new java.io.File(path).exists()) {
+      spark.read.parquet(path)
+        .groupBy("id").agg(max_by(col("specJson"), col("version")).as("specJson"))
+        .collect()
+        .foreach { r =>
+          StreamSpec.parse(r.getAs[String]("specJson")).foreach(s => specs.put(s.id, s))
+        }
+    }
+  }
+
+  /** Validate + version-gate + persist + cache
+    * (registry.go:167-182 ExistsWithSameOrHigherVersion).
+    */
+  def register(specJson: String): Either[SpecValidationException, StreamSpec] = {
+    StreamSpec.parse(specJson).flatMap { spec =>
+      if (protectedIds.contains(spec.id))
+        Left(SpecValidationException(s"stream id ${spec.id} is protected"))
+      else Option(specs.get(spec.id)) match {
+        case Some(existing) if existing.version >= spec.version =>
+          Left(SpecValidationException(
+            s"spec ${spec.id} with version ${spec.version} already exists with same or higher version"))
+        case _ =>
+          specTablePath.foreach { path =>
+            import spark.implicits._
+            Seq((spec.id, spec.version, specJson)).toDF("id", "version", "specJson")
+              .write.mode("append").parquet(path)
+          }
+          specs.put(spec.id, spec)
+          Right(spec)
+      }
+    }
+  }
+
+  def get(id: String): Option[StreamSpec] = Option(specs.get(id))
+  def all: Seq[StreamSpec] = specs.values.asScala.toSeq
+  def isDisabled(spec: StreamSpec): Boolean = spec.isDisabledIn(env)
+}
+
+/** One deployed stream: compiled pipeline + sink + metrics. */
+final class Stream(
+    val spec: StreamSpec,
+    val pipeline: CompiledPipeline,
+    val metrics: Metrics,
+    supervisor: Supervisor) {
+
+  @volatile var query: Option[StreamingQuery] = None
+  private[runtime] val voidSink = new VoidSink(spec.sink.config.properties)
+  private[runtime] val keyedSink: Option[KeyedTableSink] =
+    supervisor.config.sinkRoot.map(root => new KeyedTableSink(s"$root/${spec.id}"))
+  private[runtime] val tables = spec.sink.config.customConfig
+    .map(SinkCompiler.parseTables).getOrElse(Nil)
+
+  /** Process one micro-batch of raw events (the executor's ProcessEvent —
+    * engine/executor.go:175-251): pipeline → per-table sink stages → load
+    * with retry/backoff (executor.go:282-329) → houe policy on the
+    * unretryable side-output. Returns the resource id of the last write.
+    */
+  def processBatch(events: DataFrame): String = {
+    val t0 = System.nanoTime()
+    var resourceId = "<noResourceId>"
+    val branches = pipeline(events)
+    var stored = 0L
+
+    branches.foreach { case (_, branchDf) =>
+      val routed: Seq[(String, DataFrame)] =
+        if (tables.nonEmpty) tables.map(tb => tb.name -> SinkCompiler.tableStage(tb)(branchDf))
+        else Seq("default" -> branchDf)
+      routed.foreach { case (tableName, out) =>
+        val sunk = loadWithRetry(out)
+        stored += sunk._1
+        if (sunk._2.nonEmpty) resourceId = sunk._2
+      }
+    }
+
+    // unretryable error path (regexp non-match): houe policy (I4)
+    val errors = pipeline.errorFrame(events)
+    spec.ops.handlingOfUnretryableEvents match {
+      case Houe.Fail =>
+        if (!errors.isEmpty)
+          throw new RuntimeException(s"unretryable events in stream ${spec.id} with houe=fail")
+      case Houe.Dlq =>
+        supervisor.config.sinkRoot.foreach { root =>
+          val dlq = errors
+          if (!dlq.isEmpty) dlq.write.mode("append").parquet(s"$root/${spec.id}__dlq")
+        }
+      case _ => // default/discard: drop, count via notifier
+        ()
+    }
+
+    val n = events.count()
+    metrics.eventsProcessed.addAndGet(n)
+    metrics.microbatches.incrementAndGet()
+    metrics.eventsStoredInSink.addAndGet(stored)
+    metrics.eventProcessingTimeMicros.addAndGet((System.nanoTime() - t0) / 1000)
+    resourceId
+  }
+
+  /** Sink load with event-level retry + exponential backoff
+    * (executor.go:282-329; defaults entity/spec.go:11-18). Unretryable
+    * errors propagate immediately; retryable retry up to
+    * maxEventProcessingRetries.
+    */
+  private def loadWithRetry(out: DataFrame): (Long, String) = {
+    val maxRetries = spec.ops.maxEventProcessingRetries
+    var attempt = 0
+    var backoffMs = supervisor.config.retryBackoffBaseMs
+    while (true) {
+      try {
+        val t0 = System.nanoTime()
+        val (n, rid) = keyedSink match {
+          case Some(ks) if out.columns.contains("key") =>
+            ks.write(out)
+            val first = out.select("key").limit(1).collect()
+            (out.count(), first.headOption.map(_.getString(0)).getOrElse(""))
+          case _ =>
+            (voidSink.load(out), "<noResourceId>")
+        }
+        metrics.sinkOperations.incrementAndGet()
+        metrics.sinkProcessingTimeMicros.addAndGet((System.nanoTime() - t0) / 1000)
+        return (n, rid)
+      } catch {
+        case e: VoidSink#SimulatedError if e.retryable && attempt < maxRetries =>
+          attempt += 1
+          supervisor.notifier.notify("WARN", spec.id, s"retryable sink error, attempt $attempt: ${e.getMessage}")
+          Thread.sleep(backoffMs)
+          backoffMs *= 2
+        case e: VoidSink#SimulatedError if e.retryable =>
+          throw new RuntimeException(s"retries exhausted after $attempt attempts", e)
+      }
+    }
+    (0L, "")
+  }
+}
+
+final case class RuntimeConfig(
+    env: String = "dev",
+    specTablePath: Option[String] = None,
+    sinkRoot: Option[String] = None,
+    retryBackoffBaseMs: Long = 2000,
+    notifyBufferSize: Int = 64)
+
+/** Stream supervisor (I2-I7, supervisor.go): deploys registered streams,
+  * hot-swaps executors on spec upgrade, shuts down disabled streams,
+  * restarts failed streaming queries with exponential backoff.
+  */
+final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
+  val notifier = new Notifier(config.notifyBufferSize)
+  val registry = new Registry(spark, config.specTablePath, config.env)
+  private val streams = new ConcurrentHashMap[String, Stream]()
+  private val metricsMap = new ConcurrentHashMap[String, Metrics]()
+
+  def metrics(streamId: String): Metrics =
+    metricsMap.computeIfAbsent(streamId, _ => new Metrics)
+
+  def stream(id: String): Option[Stream] = Option(streams.get(id))
+  def deployedIds: Set[String] = streams.keySet().asScala.toSet
+
+  /** Register (or upgrade) a stream spec and (re)deploy it — the
+    * RegisterStream + handleStreamRegistryModified flow
+    * (geist.go:83-108, supervisor.go:220-250).
+    */
+  def registerStream(specJson: String): Either[SpecValidationException, String] = {
+    registry.register(specJson).map { spec =>
+      // hot-swap: stop any existing deployment of this id (I7)
+      Option(streams.get(spec.id)).foreach(shutdownStream)
+      if (!registry.isDisabled(spec)) deploy(spec)
+      else notifier.notify("INFO", spec.id, "stream registered disabled; not deployed")
+      spec.id
+    }
+  }
+
+  private def deploy(spec: StreamSpec): Unit = {
+    val pipeline = SpecCompiler.compile(spec)
+    val st = new Stream(spec, pipeline, metrics(spec.id), this)
+    streams.put(spec.id, st)
+    spec.source.sourceType match {
+      case "eventsim" =>
+        val sim = spec.source.config.customConfig
+          .map(graft.sources.EventSim.fromNode).getOrElse(graft.sources.EventSim.SimSpec())
+        val src = graft.sources.EventSim.stream(spark, sim, seed = 42L)
+        val q = src.select(col("value")).writeStream
+          .outputMode("append")
+          .queryName(spec.id)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            try { st.processBatch(batch); () }
+            catch {
+              case e: Exception =>
+                notifier.notify("ERROR", spec.id, s"batch failed: ${e.getMessage}")
+                if (spec.ops.handlingOfUnretryableEvents == Houe.Fail) throw e
+            }
+          }
+          .start()
+        st.query = Some(q)
+        notifier.notify("INFO", spec.id, "eventsim stream started")
+      case "geistapi" =>
+        // interactive push source: events arrive via publish()
+        notifier.notify("INFO", spec.id, "geistapi stream ready for publish")
+      case other =>
+        // kafka/pubsub etc. need external infrastructure; registered but
+        // not auto-started in this environment.
+        notifier.notify("INFO", spec.id, s"source type '$other' registered; start requires external source")
+    }
+  }
+
+  /** Interactive publish (A1, geist.go:123-145): synchronous — returns the
+    * sink resource id once the event is fully processed and loaded.
+    */
+  def publish(streamId: String, eventJson: String): String = {
+    val st = Option(streams.get(streamId))
+      .getOrElse(throw new IllegalArgumentException(s"stream not found: $streamId"))
+    require(st.spec.source.sourceType == "geistapi",
+      s"publish only supported for geistapi sources (stream $streamId is ${st.spec.source.sourceType})")
+    import spark.implicits._
+    val df = Seq(eventJson).toDF("value")
+    st.metrics.bytesIngested.addAndGet(eventJson.length)
+    st.processBatch(df)
+  }
+
+  private def shutdownStream(st: Stream): Unit = {
+    st.query.foreach { q => try q.stop() catch { case _: Exception => } }
+    streams.remove(st.spec.id)
+  }
+
+  def shutdownAll(): Unit = streams.values.asScala.toSeq.foreach(shutdownStream)
+}
+
+/** Public facade with the reference's API surface (geist.go). */
+final class Geist(spark: SparkSession, config: RuntimeConfig = RuntimeConfig()) {
+  private val supervisor = new Supervisor(spark, config)
+
+  def registerStream(specJson: String): Either[SpecValidationException, String] =
+    supervisor.registerStream(specJson)
+  def publish(streamId: String, eventJson: String): String =
+    supervisor.publish(streamId, eventJson)
+  def getStreamSpec(id: String): Option[StreamSpec] = supervisor.registry.get(id)
+  def getStreamSpecs: Seq[StreamSpec] = supervisor.registry.all
+  def validateStreamSpec(json: String): Either[SpecValidationException, StreamSpec] =
+    StreamSpec.parse(json)
+  def metrics(streamId: String): Map[String, Long] = supervisor.metrics(streamId).snapshot
+  def notifications(): Seq[NotificationEvent] = supervisor.notifier.drain()
+  def deployedIds: Set[String] = supervisor.deployedIds
+  def readback(streamId: String): Option[KeyedTableSink] =
+    supervisor.stream(streamId).flatMap(_.keyedSink)
+  /** EnrichEvent helper (F11, geist.go:209-214): set a field in raw JSON. */
+  def enrichEvent(eventJson: String, path: String, value: String): String =
+    Geist.setJsonField(eventJson, path, value)
+  def shutdown(): Unit = supervisor.shutdownAll()
+}
+
+object Geist {
+  /** sjson-SetBytes-style field injection on a JSON document (F11). */
+  def setJsonField(json: String, path: String, value: String): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = try mapper.readTree(json) catch { case _: Exception => mapper.createObjectNode() }
+    val obj = root match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+      case _ => mapper.createObjectNode()
+    }
+    val segs = path.split("\\.")
+    var cur = obj
+    segs.init.foreach { s =>
+      cur = Option(cur.get(s)) match {
+        case Some(o: com.fasterxml.jackson.databind.node.ObjectNode) => o
+        case _ =>
+          val n = mapper.createObjectNode(); cur.set(s, n); n
+      }
+    }
+    cur.put(segs.last, value)
+    mapper.writeValueAsString(obj)
+  }
+}

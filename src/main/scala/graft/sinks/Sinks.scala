@@ -1,0 +1,198 @@
+package graft.sinks
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** Sink-side operator semantics (SURVEY.md §2 G1-G9): row-key synthesis,
+  * multi-table routing with whitelists, column mapping/renaming, dynamic
+  * column names, ingestion-time pseudo-column, insert-id dedup, and the
+  * keyed read-back API.
+  *
+  * The compiler turns a sink spec's customConfig into per-table
+  * `DataFrame => DataFrame` stages, shared by batch verification and
+  * streaming foreachBatch writers. All stages are narrow projections /
+  * filters except insert-id dedup (a per-batch aggregation on the insert
+  * key — uniform, bounded by batch size).
+  */
+object SinkCompiler {
+
+  /** "@GeistIngestionTime" pseudo-field (entity/spec.go:28-29). */
+  val GeistIngestionTime = "@GeistIngestionTime"
+
+  final case class RowKey(keys: Seq[String] = Nil, delimiter: String = "", predefined: String = "")
+  final case class Whitelist(id: String, wtype: String, values: Seq[String])
+  /** BigQuery-style column (name or nameFromId) — kafkasrc-bigquerysink-fooevents.json. */
+  final case class ColumnSpec(
+      name: String,
+      valueFromId: String,
+      nameFromIdPrefix: String = "",
+      nameFromIdSuffix: String = "",
+      nameFromIdPreset: Seq[String] = Nil)
+  /** BigTable-style qualifier {id → name} within a column family. */
+  final case class Qualifier(id: String, name: String)
+
+  final case class TableSpec(
+      name: String,
+      rowKey: RowKey = RowKey(),
+      whitelist: Option[Whitelist] = None,
+      qualifiers: Seq[Qualifier] = Nil,
+      columns: Seq[ColumnSpec] = Nil,
+      insertIdFromId: String = "",
+      partitionField: String = "",
+      clustering: Seq[String] = Nil)
+
+  /** Parse the `tables` array of a sink customConfig (bigtable/bigquery
+    * shapes; unknown fields ignored like the reference's plugins do).
+    */
+  def parseTables(customConfig: JsonNode): Seq[TableSpec] = {
+    val tables = Option(customConfig).flatMap(c => Option(c.get("tables"))).toSeq
+      .flatMap(_.elements().asScala)
+    tables.map { t =>
+      def s(n: JsonNode, f: String): String =
+        Option(n.get(f)).filterNot(_.isNull).map(_.asText("")).getOrElse("")
+      val rowKey = Option(t.get("rowKey")).map { rk =>
+        RowKey(
+          keys = Option(rk.get("keys")).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil),
+          delimiter = s(rk, "delimiter"),
+          predefined = s(rk, "predefined"))
+      }.getOrElse(RowKey())
+      val whitelist = Option(t.get("whitelist")).map { w =>
+        Whitelist(s(w, "id"), if (s(w, "type").isEmpty) "or" else s(w, "type"),
+          Option(w.get("values")).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil))
+      }
+      val qualifiers = Option(t.get("columnFamilies")).toSeq
+        .flatMap(_.elements().asScala)
+        .flatMap(cf => Option(cf.get("columnQualifiers")).toSeq.flatMap(_.elements().asScala))
+        .map(q => Qualifier(s(q, "id"), s(q, "name")))
+      val columns = Option(t.get("columns")).toSeq.flatMap(_.elements().asScala).map { c =>
+        val nfi = Option(c.get("nameFromId"))
+        ColumnSpec(
+          name = s(c, "name"),
+          valueFromId = s(c, "valueFromId"),
+          nameFromIdPrefix = nfi.map(n => s(n, "prefix")).getOrElse(""),
+          nameFromIdSuffix = nfi.map(n => s(n, "suffixFromId")).getOrElse(""),
+          nameFromIdPreset = nfi.flatMap(n => Option(n.get("preset")))
+            .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil))
+      }
+      val partitionField = Option(t.get("tableCreation"))
+        .flatMap(tc => Option(tc.get("timePartitioning"))).map(tp => s(tp, "field")).getOrElse("")
+      val clustering = Option(t.get("tableCreation"))
+        .flatMap(tc => Option(tc.get("clustering")))
+        .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+      TableSpec(s(t, "name"), rowKey, whitelist, qualifiers, columns,
+        insertIdFromId = s(t, "insertIdFromId"), partitionField = partitionField,
+        clustering = clustering)
+    }
+  }
+
+  /** Whitelist routing (G2): `or` = any value matches; `and` = all match. */
+  def whitelistPred(w: Whitelist): Column = w.wtype match {
+    case "and" => w.values.map(v => col(w.id) === lit(v)).reduceOption(_ && _).getOrElse(lit(true))
+    case _ => col(w.id).isin(w.values.map(_.asInstanceOf[Any]): _*)
+  }
+
+  /** Row-key synthesis (G1): concat of field values with delimiter;
+    * `predefined: timestampIso` keys on ingestion time; `keysInMap` is
+    * handled by exploding the map column (D2 — see keysInMapFrame).
+    */
+  def rowKeyCol(rk: RowKey): Column = rk.predefined match {
+    case "timestampIso" => date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    case _ => concat_ws(rk.delimiter, rk.keys.map(col): _*)
+  }
+
+  /** D2/G1 `keysInMap`: one sink row per map entry, key = map key. */
+  def keysInMapFrame(df: DataFrame, mapCol: String): DataFrame =
+    df.select(explode(col(mapCol)).as(Seq("key", "value")))
+
+  /** Full per-table stage: whitelist filter → insert-id dedup → row key +
+    * column mapping (bigtable qualifiers or bigquery columns incl.
+    * ingestion time and preset dynamic names).
+    */
+  def tableStage(table: TableSpec)(df: DataFrame): DataFrame = {
+    var out = df
+    table.whitelist.foreach(w => out = out.filter(whitelistPred(w)))
+    if (table.insertIdFromId.nonEmpty)
+      out = out.dropDuplicates(table.insertIdFromId)
+
+    if (table.columns.nonEmpty) {
+      // BigQuery-style projection
+      val cols: Seq[Column] = table.columns.flatMap { c =>
+        val value: Column =
+          if (c.valueFromId == GeistIngestionTime) current_timestamp()
+          else col(c.valueFromId)
+        if (c.name.nonEmpty) Seq(value.as(c.name))
+        else if (c.nameFromIdPreset.nonEmpty)
+          // dynamic column per preset value (G4): populated when the
+          // suffix field holds that value, else null
+          c.nameFromIdPreset.map(p =>
+            when(col(c.nameFromIdSuffix) === lit(p), value).as(s"${c.nameFromIdPrefix}$p"))
+        else Seq(value.as(s"${c.nameFromIdPrefix}dynamic"))
+      }
+      out.select(cols: _*)
+    } else if (table.qualifiers.nonEmpty) {
+      // BigTable-style: row key + renamed qualifiers
+      val key = rowKeyCol(table.rowKey).as("key")
+      out.select(key +: table.qualifiers.map(q => col(q.id).as(q.name)): _*)
+    } else if (table.rowKey.keys.nonEmpty || table.rowKey.predefined.nonEmpty) {
+      out.withColumn("key", rowKeyCol(table.rowKey))
+    } else out
+  }
+}
+
+/** Keyed parquet-backed sink with the read-back API (G9):
+  * QueryTypeKeyValue / CompositeKeyValue / All
+  * (/root/reference/entity/extractor.go:104-132). The batch analog of the
+  * reference's BigTable sink-extractor; at scale the table would be
+  * partitioned by the time-partitioning field and compacted — lookups are
+  * parquet predicate-pushdown scans on the key column.
+  */
+final class KeyedTableSink(val path: String) {
+
+  def write(df: DataFrame, partitionField: String = ""): Unit = {
+    val w = df.write.mode("append")
+    (if (partitionField.nonEmpty) w.partitionBy(partitionField) else w).parquet(path)
+  }
+
+  private def table(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.read.parquet(path)
+
+  def keyValue(spark: org.apache.spark.sql.SparkSession, key: String): DataFrame =
+    table(spark).filter(col("key") === key)
+
+  def compositeKeyValue(spark: org.apache.spark.sql.SparkSession, parts: Seq[String], delimiter: String): DataFrame =
+    keyValue(spark, parts.mkString(delimiter))
+
+  def all(spark: org.apache.spark.sql.SparkSession): DataFrame = table(spark)
+}
+
+/** Void/noop sink (G8): counts loads, optional error simulation via sink
+  * properties (simulateError: alwaysRetryable | alwaysUnretryable,
+  * maxErrors) — /root/reference/internal/pkg/entity/void/loader.go:40-156.
+  */
+final class VoidSink(props: Map[String, String]) {
+  import java.util.concurrent.atomic.{AtomicLong, AtomicInteger}
+  val eventsLoaded = new AtomicLong(0)
+  val batches = new AtomicLong(0)
+  private val errorsSimulated = new AtomicInteger(0)
+  private val maxErrors = props.get("maxErrors").flatMap(_.toIntOption).getOrElse(Int.MaxValue)
+
+  final case class SimulatedError(retryable: Boolean)
+    extends RuntimeException(s"simulated ${if (retryable) "retryable" else "unretryable"} error")
+
+  /** Returns the batch row count; throws per the simulateError contract. */
+  def load(df: DataFrame): Long = {
+    props.get("simulateError") match {
+      case Some(mode @ ("alwaysRetryable" | "alwaysUnretryable")) if errorsSimulated.get() < maxErrors =>
+        errorsSimulated.incrementAndGet()
+        throw SimulatedError(retryable = mode == "alwaysRetryable")
+      case _ =>
+    }
+    val n = df.count()
+    eventsLoaded.addAndGet(n)
+    batches.incrementAndGet()
+    n
+  }
+}

@@ -1,0 +1,188 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.runtime.{Geist, RuntimeConfig}
+
+/** Lifecycle / runtime conformance mirroring the reference's engine tests
+  * (geist_test.go, internal/pkg/engine/executor_test.go, supervisor_test.go).
+  */
+class RuntimeSpec extends AnyFunSuite {
+  import SparkTestBase.spark
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-rt").toString
+
+  private def apiSpec(ns: String, suffix: String, version: Int = 1,
+      sink: String = """{"type": "void"}""", extra: String = "") =
+    s"""{
+       |  "namespace": "$ns", "streamIdSuffix": "$suffix", "version": $version,
+       |  "description": "...", $extra
+       |  "source": {"type": "geistapi"},
+       |  "transform": {
+       |    "extractFields": [{"fields": [
+       |      {"id": "name", "jsonPath": "name"},
+       |      {"id": "custId", "jsonPath": "cust.id"}
+       |    ]}]
+       |  },
+       |  "sink": $sink
+       |}""".stripMargin
+
+  test("register + publish + keyed sink readback round trip (A1/G1/G9)") {
+    val g = new Geist(spark, RuntimeConfig(sinkRoot = Some(tmpDir()), retryBackoffBaseMs = 1))
+    val sink =
+      """{"type": "bigtable", "config": {"customConfig": {"tables": [
+        |  {"name": "t", "rowKey": {"keys": ["name", "custId"], "delimiter": "#"},
+        |   "columnFamilies": [{"name": "d", "columnQualifiers": [
+        |     {"id": "custId", "name": "cid"}]}]}
+        |]}}}""".stripMargin
+    val id = g.registerStream(apiSpec("rt", "roundtrip", sink = sink))
+      .fold(e => fail(e.msg), identity)
+    assert(id == "rt-roundtrip")
+
+    val rid = g.publish(id, """{"name": "EVENT_A", "cust": {"id": "c42"}}""")
+    assert(rid == "EVENT_A#c42", "resource id = synthesized row key (geist.go:117-123)")
+
+    val rb = g.readback(id).get
+    val row = rb.keyValue(spark, "EVENT_A#c42").collect()
+    assert(row.length == 1 && row(0).getAs[String]("cid") == "c42")
+    assert(rb.compositeKeyValue(spark, Seq("EVENT_A", "c42"), "#").count() == 1)
+    assert(rb.all(spark).count() == 1)
+    g.shutdown()
+  }
+
+  test("version gating: same-or-lower version rejected, higher hot-swaps (J1/I7)") {
+    val g = new Geist(spark, RuntimeConfig(retryBackoffBaseMs = 1))
+    assert(g.registerStream(apiSpec("rt", "vgate", 2)).isRight)
+    assert(g.registerStream(apiSpec("rt", "vgate", 2)).isLeft, "same version rejected")
+    assert(g.registerStream(apiSpec("rt", "vgate", 1)).isLeft, "lower version rejected")
+    assert(g.registerStream(apiSpec("rt", "vgate", 3)).isRight, "upgrade accepted")
+    assert(g.getStreamSpec("rt-vgate").get.version == 3)
+    g.shutdown()
+  }
+
+  test("disabled spec registers but does not deploy; per-env ops override (I7)") {
+    val g = new Geist(spark, RuntimeConfig(env = "prod", retryBackoffBaseMs = 1))
+    assert(g.registerStream(apiSpec("rt", "disabled", extra = """"disabled": true,""")).isRight)
+    assert(!g.deployedIds.contains("rt-disabled"))
+    // opsPerEnv disables only in prod (registry.go:88-106 semantics)
+    val perEnv = apiSpec("rt", "envdis",
+      extra = """"opsPerEnv": {"prod": {"disabled": true}},""")
+    assert(g.registerStream(perEnv).isRight)
+    assert(!g.deployedIds.contains("rt-envdis"))
+    g.shutdown()
+  }
+
+  test("retryable sink errors retry with backoff then succeed (I2, executor_test.go:555-573)") {
+    val g = new Geist(spark, RuntimeConfig(retryBackoffBaseMs = 1))
+    val sink =
+      """{"type": "void", "config": {"properties": [
+        |  {"key": "simulateError", "value": "alwaysRetryable"},
+        |  {"key": "maxErrors", "value": "3"}]}}""".stripMargin
+    val id = g.registerStream(apiSpec("rt", "retry", sink = sink)).fold(e => fail(e.msg), identity)
+    val rid = g.publish(id, """{"name": "X", "cust": {"id": "1"}}""")
+    assert(rid == "<noResourceId>")
+    val m = g.metrics(id)
+    assert(m("EventsProcessed") == 1)
+    assert(m("SinkOperations") == 1, "eventually succeeded after simulated retryable errors")
+    val notes = g.notifications()
+    assert(notes.count(_.level == "WARN") == 3, "three retry warnings")
+    g.shutdown()
+  }
+
+  test("unretryable simulated errors propagate (executor_test.go hook matrix)") {
+    val g = new Geist(spark, RuntimeConfig(retryBackoffBaseMs = 1))
+    val sink =
+      """{"type": "void", "config": {"properties": [
+        |  {"key": "simulateError", "value": "alwaysUnretryable"}]}}""".stripMargin
+    val id = g.registerStream(apiSpec("rt", "unretry", sink = sink)).fold(e => fail(e.msg), identity)
+    intercept[Exception] { g.publish(id, """{"name": "X"}""") }
+    g.shutdown()
+  }
+
+  test("houe=fail fails the batch on regexp non-match; default discards (I4)") {
+    def spec(houe: String, suffix: String) =
+      s"""{
+         |  "namespace": "rt", "streamIdSuffix": "$suffix", "version": 1,
+         |  "description": "...",
+         |  "ops": {"handlingOfUnretryableEvents": "$houe"},
+         |  "source": {"type": "geistapi"},
+         |  "transform": {
+         |    "extractFields": [{"fields": [{"id": "line", "jsonPath": "payload", "type": "string"}]}],
+         |    "regexp": {"expression": "^(?P<n>\\\\d+)$$", "field": "line"}
+         |  },
+         |  "sink": {"type": "void"}
+         |}""".stripMargin
+    val g = new Geist(spark, RuntimeConfig(retryBackoffBaseMs = 1))
+    val failId = g.registerStream(spec("fail", "houefail")).fold(e => fail(e.msg), identity)
+    intercept[Exception] { g.publish(failId, """{"payload": "not-a-number"}""") }
+    val discId = g.registerStream(spec("discard", "houedisc")).fold(e => fail(e.msg), identity)
+    g.publish(discId, """{"payload": "also-not"}""") // silently discarded
+    assert(g.metrics(discId)("EventsProcessed") == 1)
+    g.shutdown()
+  }
+
+  test("metrics accounting across publishes (H1, geist_test.go golden counters)") {
+    val g = new Geist(spark, RuntimeConfig(retryBackoffBaseMs = 1))
+    val id = g.registerStream(apiSpec("rt", "metrics")).fold(e => fail(e.msg), identity)
+    (1 to 5).foreach(i => g.publish(id, s"""{"name": "E$i", "cust": {"id": "c$i"}}"""))
+    val m = g.metrics(id)
+    assert(m("EventsProcessed") == 5)
+    assert(m("Microbatches") == 5)
+    assert(m("EventsStoredInSink") == 5)
+    assert(m("SinkOperations") == 5)
+    assert(m("BytesIngested") > 0)
+    g.shutdown()
+  }
+
+  test("protected registry ids rejected; spec table bootstrap (J1)") {
+    val specTable = tmpDir() + "/specs"
+    val g = new Geist(spark, RuntimeConfig(specTablePath = Some(specTable), retryBackoffBaseMs = 1))
+    assert(g.registerStream(apiSpec("geist", "specs")).isLeft, "registry stream id is protected")
+    assert(g.registerStream(apiSpec("rt", "boot", 4)).isRight)
+    g.shutdown()
+    // a fresh instance bootstraps the persisted spec
+    val g2 = new Geist(spark, RuntimeConfig(specTablePath = Some(specTable), retryBackoffBaseMs = 1))
+    // fetch is internal to registry; emulate cross-pod sync (J2) via re-fetch
+    val sup = classOf[Geist].getDeclaredField("supervisor")
+    sup.setAccessible(true)
+    sup.get(g2).asInstanceOf[graft.runtime.Supervisor].registry.fetch()
+    assert(g2.getStreamSpec("rt-boot").exists(_.version == 4))
+    g2.shutdown()
+  }
+
+  test("enrichEvent injects fields by path (F11, geist_test.go:386-398)") {
+    val out = Geist.setJsonField("""{"a": 1}""", "meta.source", "hook")
+    assert(out == """{"a":1,"meta":{"source":"hook"}}""")
+  }
+
+  test("eventsim stream deploys, processes batches, and hot-swaps (A2/I7)") {
+    val g = new Geist(spark, RuntimeConfig(retryBackoffBaseMs = 1))
+    val spec =
+      """{
+        |  "namespace": "rt", "streamIdSuffix": "sim", "version": 1,
+        |  "description": "...",
+        |  "source": {"type": "eventsim", "config": {"customConfig": {
+        |    "simResolutionMilliseconds": 500,
+        |    "eventGeneration": {"type": "random", "minCount": 1, "maxCount": 3},
+        |    "eventSpec": {"fields": [
+        |      {"field": "name", "predefinedValues": [{"value": "PING"}]},
+        |      {"field": "n", "randomizedValue": {"type": "int", "min": 1, "max": 5}}]}
+        |  }}},
+        |  "transform": {"extractFields": [{"fields": [
+        |    {"id": "name", "jsonPath": "name"},
+        |    {"id": "n", "jsonPath": "n", "type": "integer"}]}]},
+        |  "sink": {"type": "void"}
+        |}""".stripMargin
+    val id = g.registerStream(spec).fold(e => fail(e.msg), identity)
+    val deadline = System.currentTimeMillis() + 20000
+    while (g.metrics(id)("Microbatches") < 2 && System.currentTimeMillis() < deadline)
+      Thread.sleep(250)
+    assert(g.metrics(id)("Microbatches") >= 2, "streaming query must process micro-batches")
+    assert(g.metrics(id)("EventsProcessed") > 0)
+    // hot-swap with v2 stops the old query and redeploys
+    assert(g.registerStream(spec.replace("\"version\": 1", "\"version\": 2")).isRight)
+    assert(g.getStreamSpec(id).get.version == 2)
+    g.shutdown()
+  }
+}
