@@ -124,13 +124,54 @@ final class Stream(
     * with retry/backoff (executor.go:282-329) → houe policy on the
     * unretryable side-output. Returns the resource id of the last write.
     */
-  def processBatch(events: DataFrame): String = {
+  @volatile private[runtime] var shutdownRequested = false
+
+  def processBatch(rawEvents: DataFrame): String = {
     val t0 = System.nanoTime()
     var resourceId = "<noResourceId>"
+
+    // F9 pre-transform hook: distributed per-event action evaluation.
+    val events = supervisor.config.preTransformHook match {
+      case None => rawEvents
+      case Some(h) =>
+        val sparkS = supervisor.spark
+        import sparkS.implicits._
+        val sid = spec.id
+        val maxRetries = spec.ops.maxEventProcessingRetries
+        val acted = rawEvents.select("value").as[String].map { e =>
+          var action = h(sid, e)
+          var attempts = 0
+          while (action == Hooks.RetryableError && attempts < maxRetries) {
+            attempts += 1; action = h(sid, e)
+          }
+          action match {
+            case Hooks.Proceed(e2) => ("p", e2)
+            case Hooks.Skip => ("s", e)
+            case Hooks.RetryableError | Hooks.UnretryableError => ("u", e)
+            case Hooks.Shutdown => ("x", e)
+          }
+        }.toDF("__act", "value").cache()
+        val unretryable = acted.filter(org.apache.spark.sql.functions.col("__act") === "u")
+        if (!unretryable.isEmpty) {
+          spec.ops.handlingOfUnretryableEvents match {
+            case Houe.Fail => throw new RuntimeException(s"hook flagged unretryable events in ${spec.id} (houe=fail)")
+            case Houe.Dlq => supervisor.config.sinkRoot.foreach(root =>
+              unretryable.select("value").write.mode("append").parquet(s"$root/${spec.id}__dlq"))
+            case _ => supervisor.notifier.notify("WARN", spec.id, "hook: unretryable events discarded")
+          }
+        }
+        if (!acted.filter(org.apache.spark.sql.functions.col("__act") === "x").isEmpty)
+          shutdownRequested = true
+        acted.filter(org.apache.spark.sql.functions.col("__act") === "p").select("value")
+    }
+
     val branches = pipeline(events)
     var stored = 0L
 
-    branches.foreach { case (_, branchDf) =>
+    branches.foreach { case (_, branchDf0) =>
+      // F10 post-transform hook stage on the branch output.
+      val branchDf = supervisor.config.postTransformStage
+        .map(stage => stage(spec, branchDf0)).getOrElse(branchDf0)
       val routed: Seq[(String, DataFrame)] =
         if (tables.nonEmpty) tables.map(tb => tb.name -> SinkCompiler.tableStage(tb)(branchDf))
         else Seq("default" -> branchDf)
@@ -156,11 +197,12 @@ final class Stream(
         ()
     }
 
-    val n = events.count()
+    val n = rawEvents.count()
     metrics.eventsProcessed.addAndGet(n)
     metrics.microbatches.incrementAndGet()
     metrics.eventsStoredInSink.addAndGet(stored)
     metrics.eventProcessingTimeMicros.addAndGet((System.nanoTime() - t0) / 1000)
+    if (shutdownRequested) supervisor.requestShutdown(spec.id)
     resourceId
   }
 
@@ -176,13 +218,17 @@ final class Stream(
     while (true) {
       try {
         val t0 = System.nanoTime()
-        val (n, rid) = keyedSink match {
-          case Some(ks) if out.columns.contains("key") =>
-            ks.write(out)
-            val first = out.select("key").limit(1).collect()
-            (out.count(), first.headOption.map(_.getString(0)).getOrElse(""))
-          case _ =>
-            (voidSink.load(out), "<noResourceId>")
+        val (n, rid) = supervisor.config.customLoaders.get(spec.sink.sinkType) match {
+          case Some(loader) => // A5: pluggable loader returns the resource id
+            (out.count(), loader(spec, out))
+          case None => keyedSink match {
+            case Some(ks) if out.columns.contains("key") =>
+              ks.write(out)
+              val first = out.select("key").limit(1).collect()
+              (out.count(), first.headOption.map(_.getString(0)).getOrElse(""))
+            case _ =>
+              (voidSink.load(out), "<noResourceId>")
+          }
         }
         metrics.sinkOperations.incrementAndGet()
         metrics.sinkProcessingTimeMicros.addAndGet((System.nanoTime() - t0) / 1000)
@@ -206,7 +252,17 @@ final case class RuntimeConfig(
     specTablePath: Option[String] = None,
     sinkRoot: Option[String] = None,
     retryBackoffBaseMs: Long = 2000,
-    notifyBufferSize: Int = 64)
+    notifyBufferSize: Int = 64,
+    /** F9: per-event pre-transform hook (enrich/skip/error/shutdown). */
+    preTransformHook: Option[Hooks.PreTransformHook] = None,
+    /** F10: per-branch post-transform stage. */
+    postTransformStage: Option[Hooks.PostTransformStage] = None,
+    /** A5: custom pluggable source builders by source type id; must return
+      * a (streaming or batch) frame with a string `value` column.
+      */
+    customSources: Map[String, (SparkSession, StreamSpec) => DataFrame] = Map.empty,
+    /** A5: custom pluggable loaders by sink type id; return the resource id. */
+    customLoaders: Map[String, (StreamSpec, DataFrame) => String] = Map.empty)
 
 /** Stream supervisor (I2-I7, supervisor.go): deploys registered streams,
   * hot-swaps executors on spec upgrade, shuts down disabled streams,
@@ -242,6 +298,22 @@ final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
     val pipeline = SpecCompiler.compile(spec)
     val st = new Stream(spec, pipeline, metrics(spec.id), this)
     streams.put(spec.id, st)
+    config.customSources.get(spec.source.sourceType) match {
+      case Some(builder) => // A5: pluggable source
+        val src = builder(spark, spec)
+        if (src.isStreaming) {
+          val q = src.select(col("value")).writeStream
+            .outputMode("append").queryName(spec.id)
+            .foreachBatch { (batch: DataFrame, _: Long) => st.processBatch(batch); () }
+            .start()
+          st.query = Some(q)
+        } else {
+          st.processBatch(src.select(col("value")))
+        }
+        notifier.notify("INFO", spec.id, s"custom source '${spec.source.sourceType}' started")
+        return
+      case None =>
+    }
     spec.source.sourceType match {
       case "eventsim" =>
         val sim = spec.source.config.customConfig
@@ -288,6 +360,14 @@ final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
   private def shutdownStream(st: Stream): Unit = {
     st.query.foreach { q => try q.stop() catch { case _: Exception => } }
     streams.remove(st.spec.id)
+  }
+
+  /** Hook-initiated shutdown (executor.go:253-280 HookActionShutdown). */
+  private[runtime] def requestShutdown(streamId: String): Unit = {
+    Option(streams.get(streamId)).foreach { st =>
+      notifier.notify("INFO", streamId, "shutdown requested by hook")
+      shutdownStream(st)
+    }
   }
 
   def shutdownAll(): Unit = streams.values.asScala.toSeq.foreach(shutdownStream)

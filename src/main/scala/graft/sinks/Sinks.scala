@@ -142,6 +142,21 @@ object SinkCompiler {
   }
 }
 
+/** Kafka sink message mapping (G7, pubsubsrc-kafkasink-foologs.json):
+  * `message.payloadFromId` selects which transformed field becomes the
+  * outgoing record value; the frame is ready for
+  * `.writeStream.format("kafka").option("topic", ...)`.
+  */
+object KafkaSinkStage {
+  def apply(payloadFromId: String, keyFromId: Option[String] = None)(df: DataFrame): DataFrame = {
+    val value = col(payloadFromId).cast("binary").as("value")
+    keyFromId match {
+      case Some(k) => df.select(col(k).cast("binary").as("key"), value)
+      case None => df.select(value)
+    }
+  }
+}
+
 /** Keyed parquet-backed sink with the read-back API (G9):
   * QueryTypeKeyValue / CompositeKeyValue / All
   * (/root/reference/entity/extractor.go:104-132). The batch analog of the
