@@ -77,8 +77,15 @@ object SpecCompiler {
 
   final case class CompiledPipeline(spec: StreamSpec, keep: EventPred, branches: Seq[Branch]) {
 
-    def keepCol(event: Column): Column = gjson.eventPred(event, keep)
-    def branchCol(b: Branch, event: Column): Column = gjson.eventPred(event, b.pred)
+    /** Trivially-true predicates compile to lit(true) — avoids a needless
+      * per-row JSON parse (EventPredExpr parses once per evaluation).
+      */
+    private def predCol(p: EventPred, event: Column): Column = p match {
+      case EventPred.True0() => lit(true)
+      case _ => gjson.eventPred(event, p)
+    }
+    def keepCol(event: Column): Column = predCol(keep, event)
+    def branchCol(b: Branch, event: Column): Column = predCol(b.pred, event)
 
     /** All surviving rows for one branch, projected to the branch schema.
       * Input frame must expose the raw JSON event as `eventCol` (string).

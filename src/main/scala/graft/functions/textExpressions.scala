@@ -100,8 +100,77 @@ object text {
     override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   }
 
+  /** One-pass MinHash: word shingles → numHashes signature minima → banded
+    * bucket hashes, all in a single eval. Replaces a nested-HOF formulation
+    * that was O(bands × hashes × shingles) re-evaluated per projection
+    * (Spark HOFs are interpreted, and projection collapse re-inlines them);
+    * this expression is O(shingles × hashes) once per row.
+    *
+    * Output: struct(sig: array<long>, buckets: array<long>) where
+    * buckets(b) identifies the LSH bucket of band b.
+    */
+  case class MinHashExpr(child: Expression, shingleLen: Int, numHashes: Int, bands: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    private val rows = numHashes / bands
+    override def dataType: DataType = StructType(Seq(
+      StructField("sig", ArrayType(LongType, containsNull = false), nullable = false),
+      StructField("buckets", ArrayType(LongType, containsNull = false), nullable = false)))
+    override def nullable: Boolean = false
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val raw = child.eval(input)
+      val sig = new Array[Long](numHashes)
+      java.util.Arrays.fill(sig, Long.MaxValue)
+      if (raw != null) {
+        val arr = raw.asInstanceOf[ArrayData]
+        val n = arr.numElements()
+        val nShingles = math.max(1, n - shingleLen + 1)
+        var i = 0
+        while (i < nShingles) {
+          // shingle base hash: chain-hash the token window (no string build)
+          var base = 0x9747b28cL
+          var t = i
+          val end = math.min(i + shingleLen, n)
+          while (t < end) {
+            val tok = if (arr.isNullAt(t)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(t)
+            base = hashUtf8(tok, base)
+            t += 1
+          }
+          // numHashes derived hashes from the base via long-mixing
+          var j = 0
+          while (j < numHashes) {
+            val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(base, j.toLong)
+            if (h < sig(j)) sig(j) = h
+            j += 1
+          }
+          i += 1
+        }
+      }
+      val buckets = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var h = b.toLong
+        var r = 0
+        while (r < rows) {
+          h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(sig(b * rows + r), h)
+          r += 1
+        }
+        buckets(b) = h
+        b += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(
+        new GenericArrayData(sig.map(x => x: Any)),
+        new GenericArrayData(buckets.map(x => x: Any)))
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  }
+
   def simhash64(tokens: Column): Column =
     ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(tokens)))
+
+  def minhash(tokens: Column, shingleLen: Int, numHashes: Int, bands: Int): Column =
+    ExpressionUtils.column(MinHashExpr(ExpressionUtils.expression(tokens), shingleLen, numHashes, bands))
 
   def winnowFingerprint(text: Column, k: Int = 8, w: Int = 4): Column =
     ExpressionUtils.column(WinnowFingerprintExpr(ExpressionUtils.expression(text), k, w))

@@ -43,13 +43,12 @@ object Dedup {
           i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
   }
 
-  /** MinHash signature: for seed j, min over shingles of xxhash64(shingle, j).
-    * One narrow pass; numHashes × |shingles| 64-bit hashes, all codegen'd.
+  /** MinHash signature + band buckets in one single-pass expression
+    * (graft.functions.text.MinHashExpr): O(shingles × hashes) per row,
+    * computed exactly once regardless of how many band columns reference it.
     */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(shinglesCol, x => xxhash64(x, s))))
+  def minhashSigAndBuckets(textCol: Column, shingleLen: Int, numHashes: Int, bands: Int): Column =
+    graft.functions.text.minhash(split(lower(trim(textCol)), "\\s+"), shingleLen, numHashes, bands)
 
   /** Candidate near-duplicate pairs via banded LSH.
     *
@@ -71,20 +70,14 @@ object Dedup {
       maxBucket: Int = 64
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rows = numHashes / bands
 
     val sigs = df.select(
       col(idCol).as("id"),
-      minhashSignature(shingles(col(textCol), shingleLen), numHashes).as("sig"))
+      minhashSigAndBuckets(col(textCol), shingleLen, numHashes, bands).as("mh"))
 
-    // band hash = hash of the band's signature slice
     val banded = sigs.select(
-      col("id"), col("sig"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b)))
-        .as(Seq("band", "bucket")))
+      col("id"), col("mh.sig").as("sig"),
+      posexplode(col("mh.buckets")).as(Seq("band", "bucket")))
 
     val bucketed = banded
       .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
