@@ -219,6 +219,69 @@ object SparkEntry {
       out.select(concat_ws("#", col("name"), col("custId"), col("eid")).as("row_key"),
         col("amount"))
     }),
+    "g2_multitable_routing" -> ((s, dir) => {
+      // Multi-table sink routing (G2/G3): whitelist per table + qualifier
+      // renames, compiled by the sink compiler from a bigtable-shaped spec.
+      val out = pipelineOf(routingSpec)(eventJson(s, dir)).head._2
+      val tablesJson =
+        """{"tables": [
+          |  {"name": "p_master", "rowKey": {"keys": ["name", "custId"], "delimiter": "#"},
+          |   "whitelist": {"id": "name", "type": "or", "values": ["purchase"]},
+          |   "columnFamilies": [{"name": "d", "columnQualifiers": [
+          |     {"id": "k", "name": "kq"}, {"id": "amount", "name": "amt"}]}]}
+          |]}""".stripMargin
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val tables = graft.sinks.SinkCompiler.parseTables(mapper.readTree(tablesJson))
+      graft.sinks.SinkCompiler.tableStage(tables.head)(out)
+    }),
+    "g4_dynamic_columns" -> ((s, dir) => {
+      // Dynamic column names from field values (G4): preset event-name
+      // columns, one populated per row.
+      val out = pipelineOf(routingSpec)(eventJson(s, dir)).head._2
+        .unionByName(pipelineOf(routingSpec)(eventJson(s, dir))(1)._2, allowMissingColumns = true)
+      val tablesJson =
+        """{"tables": [
+          |  {"name": "bq", "columns": [
+          |    {"name": "custId", "valueFromId": "custId"},
+          |    {"nameFromId": {"prefix": "evt-", "suffixFromId": "name",
+          |     "preset": ["purchase", "signup"]}, "valueFromId": "k"}
+          |  ]}
+          |]}""".stripMargin
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val tables = graft.sinks.SinkCompiler.parseTables(mapper.readTree(tablesJson))
+      graft.sinks.SinkCompiler.tableStage(tables.head)(out)
+    }),
+    "d2_keys_in_map" -> ((s, dir) => {
+      // D2: map keys become sink row keys (rowKey.predefined: keysInMap).
+      val e = t(s, dir, "events")
+      val arrayJson = e.select(
+        to_json(struct(array(
+          struct(col("event_type").as("t"), concat(lit("u"), col("user_id")).as("u"))
+        ).as("xs"))).as("value"))
+      val p = pipelineOf(itemsSpec)
+      val mapFrame = p(arrayJson).head._2
+      graft.sinks.SinkCompiler.keysInMapFrame(mapFrame, "m")
+    }),
+    "f8_useragent" -> ((s, dir) => {
+      // UA parse (F8): classify a UA string chosen per row (rows-only check;
+      // exact-golden covered by ScalaTest).
+      val uas = array(
+        lit("Mozilla%2F5.0%20(iPhone%3B%20CPU%20iPhone%20OS%2014_6%20like%20Mac%20OS%20X)%20AppleWebKit%2F605.1.15%20(KHTML%2C%20like%20Gecko)%20Version%2F14.1.1%20Mobile%2F15E148%20Safari%2F604.1"),
+        lit("Mozilla%2F5.0%20(Windows%20NT%2010.0%3B%20Win64%3B%20x64)%20AppleWebKit%2F537.36%20(KHTML%2C%20like%20Gecko)%20Chrome%2F93.0.4577.82%20Safari%2F537.36"),
+        lit("Mozilla%2F5.0%20(Linux%3B%20Android%2010%3B%20SNE-LX3)%20AppleWebKit%2F537.36%20(KHTML%2C%20like%20Gecko)%20Chrome%2F92.0.4515.115%20Mobile%20Safari%2F537.36"))
+      val e = t(s, dir, "events")
+      e.select(col("event_id").as("eid"),
+        graft.functions.gjson.parseUserAgent(
+          element_at(uas, (pmod(col("event_id"), lit(3)) + 1).cast("int"))).as("ua_json"))
+    }),
+    "e4_ingestion_time" -> ((s, dir) => {
+      // @GeistIngestionTime (E4): sink-side ingestion timestamp column
+      // (non-deterministic → rows-only check; assert shape via flag).
+      val out = pipelineOf(routingSpec)(eventJson(s, dir)).head._2
+      out.select(col("eid"),
+        current_timestamp().as("dateIngested"),
+        (current_timestamp() >= lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))).as("ingested_after_build"))
+    }),
     "g5_insertid_dedup" -> ((s, dir) => {
       // Insert-id best-effort dedup (G5): first event per (user, type).
       val e = t(s, dir, "events")
@@ -259,6 +322,12 @@ object SparkEntry {
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("r_name"), col("n_name"))
+    }),
+    "w2_windowed_agg" -> ((s, dir) => {
+      // Event-time windowed aggregation (streaming-parity operator run in
+      // batch: same code path powers the watermarked streaming form).
+      val e = t(s, dir, "events")
+      graft.streaming.Windows.windowedAgg(e, "ts", "event_type", "user_id", "1 hour")
     }),
     "w1_topn_per_user" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -407,6 +476,22 @@ object SparkEntry {
     "g5_insertid_dedup" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) = 1""".stripMargin,
+    "g2_multitable_routing" ->
+      """SELECT event_type || '#' || CAST(user_id AS VARCHAR) AS key,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS kq,
+        |       value AS amt
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "g4_dynamic_columns" ->
+      """SELECT user_id AS custId,
+        |       CASE WHEN event_type = 'purchase'
+        |            THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS "evt-purchase",
+        |       CASE WHEN event_type = 'signup'
+        |            THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS "evt-signup"
+        |FROM events WHERE event_type IN ('purchase', 'signup')""".stripMargin,
+    "d2_keys_in_map" ->
+      """SELECT event_type || '#u' || CAST(user_id AS VARCHAR) AS key,
+        |       to_json(struct_pack(t := event_type, u := 'u' || CAST(user_id AS VARCHAR))) AS value
+        |FROM events""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |       count(*) AS count_order, avg(l_quantity) AS avg_qty
@@ -430,6 +515,11 @@ object SparkEntry {
         |       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |FROM events
         |QUALIFY rn <= 3""".stripMargin,
+    "w2_windowed_agg" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+        |       time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
+        |       event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS total
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "ns_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text)""".stripMargin,

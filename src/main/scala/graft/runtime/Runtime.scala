@@ -253,6 +253,8 @@ final case class RuntimeConfig(
     sinkRoot: Option[String] = None,
     retryBackoffBaseMs: Long = 2000,
     notifyBufferSize: Int = 64,
+    /** A4: when set, kafka-source specs start as streaming queries. */
+    kafkaBootstrapServers: Option[String] = None,
     /** F9: per-event pre-transform hook (enrich/skip/error/shutdown). */
     preTransformHook: Option[Hooks.PreTransformHook] = None,
     /** F10: per-branch post-transform stage. */
@@ -336,9 +338,28 @@ final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
       case "geistapi" =>
         // interactive push source: events arrive via publish()
         notifier.notify("INFO", spec.id, "geistapi stream ready for publish")
+      case "kafka" if config.kafkaBootstrapServers.nonEmpty =>
+        val src = graft.sources.KafkaSource.stream(spark, spec, config.env,
+          config.kafkaBootstrapServers.get)
+        var writer = src.select(col("value")).writeStream
+          .outputMode("append").queryName(spec.id)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            try { st.processBatch(batch); () }
+            catch {
+              case e: Exception =>
+                notifier.notify("ERROR", spec.id, s"batch failed: ${e.getMessage}")
+                if (spec.ops.handlingOfUnretryableEvents == Houe.Fail) throw e
+            }
+          }
+        // I5 micro-batch shaping: timeout threshold → trigger interval
+        if (spec.ops.microBatch)
+          writer = writer.trigger(org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime(spec.ops.microBatchTimeoutMs))
+        st.query = Some(writer.start())
+        notifier.notify("INFO", spec.id, "kafka stream started")
       case other =>
-        // kafka/pubsub etc. need external infrastructure; registered but
-        // not auto-started in this environment.
+        // kafka-without-brokers/pubsub etc. need external infrastructure;
+        // registered but not auto-started in this environment.
         notifier.notify("INFO", spec.id, s"source type '$other' registered; start requires external source")
     }
   }

