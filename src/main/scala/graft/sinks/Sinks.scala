@@ -129,7 +129,12 @@ object SinkCompiler {
           // suffix field holds that value, else null
           c.nameFromIdPreset.map(p =>
             when(col(c.nameFromIdSuffix) === lit(p), value).as(s"${c.nameFromIdPrefix}$p"))
-        else Seq(value.as(s"${c.nameFromIdPrefix}dynamic"))
+        else
+          // open-ended dynamic name (G4, apisrc-bigtablesink-fooround.json
+          // "frt-<fooTrackingId>"): unknown column domain → a map column,
+          // the columnar-native shape for value-derived names
+          Seq(map(concat(lit(c.nameFromIdPrefix), col(c.nameFromIdSuffix).cast("string")), value)
+            .as(s"${c.nameFromIdPrefix}cols"))
       }
       out.select(cols: _*)
     } else if (table.qualifiers.nonEmpty) {

@@ -1,0 +1,155 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+import graft.json.Js
+import graft.path.GJsonPath
+import graft.compile.EventPred
+import graft.spec.{ExcludeEventsWith, MultiCondExclude}
+
+/** Property-based checks — an upgrade the reference's test suite lacks
+  * (SURVEY §5): parser round-trips, gjson cast laws, and DNF filter
+  * equivalence over randomized events.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** Minimal forAll over ScalaCheck Gens (the scalatest-scalacheck bridge
+    * is not on the offline classpath).
+    */
+  private def forAll[A](g: Gen[A], n: Int = 200)(body: A => Unit): Unit = {
+    val seed0 = org.scalacheck.rng.Seed(42L)
+    var seed = seed0
+    var produced = 0
+    var attempts = 0
+    while (produced < n && attempts < n * 20) {
+      g.apply(Gen.Parameters.default, seed).foreach { a => body(a); produced += 1 }
+      seed = seed.next
+      attempts += 1
+    }
+    assert(produced > n / 2, s"generator too restrictive: $produced/$n")
+  }
+
+  private def forAll[A, B, C](ga: Gen[A], gb: Gen[B], gc: Gen[C])(body: (A, B, C) => Unit): Unit =
+    forAll(for { a <- ga; b <- gb; c <- gc } yield (a, b, c), 200) { t => body(t._1, t._2, t._3) }
+
+  private val scalarGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(s => "\"" + s + "\""),
+    Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2).map(_.toString),
+    Gen.chooseNum(-1e6, 1e6).map(d => f"$d%.4f"),
+    Gen.oneOf("true", "false", "null"))
+
+  private val docGen: Gen[String] = for {
+    n <- Gen.chooseNum(0, 6)
+    keys <- Gen.listOfN(n, Gen.identifier.suchThat(_.nonEmpty))
+    vals <- Gen.listOfN(n, scalarGen)
+  } yield keys.distinct.zip(vals).map { case (k, v) => s""""$k": $v""" }
+    .mkString("{", ", ", "}")
+
+  test("property: parser raw-substring fidelity — every parsed scalar's raw text round-trips") {
+    forAll(docGen) { doc =>
+      Js.parse(doc).foreach {
+        case o: graft.json.JsObj =>
+          o.fields.foreach { case (_, v) =>
+            // the raw view must be the exact source slice
+            assert(doc.contains(v.raw))
+          }
+        case _ =>
+      }
+    }
+  }
+
+  test("property: gjson Int()/Float() agree with Scala parsing for numeric strings") {
+    forAll(Gen.chooseNum(Long.MinValue / 4, Long.MaxValue / 4)) { n =>
+      val doc = s"""{"v": $n, "s": "$n"}"""
+      assert(GJsonPath.get(doc, "v").map(GJsonPath.longOf).contains(n))
+      assert(GJsonPath.get(doc, "s").map(GJsonPath.longOf).contains(n))
+      assert(GJsonPath.get(doc, "v").map(GJsonPath.stringOf).contains(n.toString))
+    }
+    forAll(Gen.chooseNum(-1e9, 1e9)) { d =>
+      val lit = f"$d%.6f"
+      val doc = s"""{"v": $lit}"""
+      assert(GJsonPath.get(doc, "v").map(GJsonPath.doubleOf).contains(lit.toDouble))
+      // number literals stringify verbatim
+      assert(GJsonPath.get(doc, "v").map(GJsonPath.stringOf).contains(lit))
+    }
+  }
+
+  test("property: DNF exclusion semantics match a direct boolean model") {
+    val fieldNames = Seq("a", "b", "c")
+    val valueGen = Gen.oneOf("x", "y", "z", "")
+    val eventGen: Gen[Map[String, String]] =
+      Gen.sequence[Seq[(String, String)], (String, String)](
+        fieldNames.map(f => valueGen.map(f -> _))).map(_.toMap)
+    val filterGen: Gen[ExcludeEventsWith] = for {
+      key <- Gen.oneOf(fieldNames :+ "missing")
+      mode <- Gen.chooseNum(0, 2)
+      vals <- Gen.listOfN(2, Gen.oneOf("x", "y", "z"))
+    } yield mode match {
+      case 0 => ExcludeEventsWith(key, values = vals)
+      case 1 => ExcludeEventsWith(key, valuesNotIn = vals)
+      case _ => ExcludeEventsWith(key, valueIsEmpty = Some(true))
+    }
+    val groupsGen = Gen.listOfN(2, Gen.listOfN(2, filterGen).map(MultiCondExclude(_)))
+
+    forAll(eventGen, Gen.listOfN(2, filterGen), groupsGen) { (event, singles, groups) =>
+      val json = event.map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+      val root = Js.parse(json)
+
+      // direct model of transformer.go:86-149
+      def fieldVal(k: String) = event.getOrElse(k, "")
+      def fires(f: ExcludeEventsWith): Boolean = {
+        val v = fieldVal(f.key)
+        if (f.valueIsEmpty.contains(true) && v.isEmpty) true
+        else if (f.values.nonEmpty) f.values.contains(v)
+        else if (f.valuesNotIn.nonEmpty) !f.valuesNotIn.contains(v)
+        else false
+      }
+      val expectedExcluded =
+        singles.exists(fires) || groups.exists(g => g.filters.forall(fires))
+
+      val keep = EventPred.keepPred(singles, groups)
+      assert(keep.eval(root) == !expectedExcluded,
+        s"event=$json singles=$singles groups=$groups")
+    }
+  }
+
+  test("property: Go time layout round trip at seconds precision") {
+    import graft.functions.GoTimeLayout
+    val fmtIn = GoTimeLayout.toFormatter("02/Jan/2006:15:04:05 -0700")
+    forAll(Gen.chooseNum(0L, 4102444800L)) { epochSec =>
+      val odt = java.time.OffsetDateTime.ofInstant(
+        java.time.Instant.ofEpochSecond(epochSec), java.time.ZoneOffset.ofHours(2))
+      val formatted = odt.format(fmtIn)
+      val parsed = GoTimeLayout.parseToOffsetDateTime(fmtIn, formatted)
+      assert(parsed.toInstant == odt.toInstant, s"$formatted")
+    }
+  }
+
+  test("the 15-UA corpus parses without error (ua_test.go:8-24 contract)") {
+    val uas = Seq(
+      "Mozilla%2F5.0%20(Macintosh%3B%20Intel%20Mac%20OS%20X%2010_15_7)%20AppleWebKit%2F537.36%20(KHTML%2C%20like%20Gecko)%20Chrome%2F93.0.4577.63%20Safari%2F537.36",
+      "Mozilla%2F5.0%20(Windows%20NT%2010.0%3B%20Win64%3B%20x64)%20AppleWebKit%2F537.36%20(KHTML%2C%20like%20Gecko)%20Chrome%2F93.0.4577.82%20Safari%2F537.36",
+      "Mozilla%2F5.0%20(Linux%3B%20Android%208.0.0%3B%20SM-G930F)%20AppleWebKit%2F537.36%20(KHTML%2C%20like%20Gecko)%20Chrome%2F94.0.4606.50%20Mobile%20Safari%2F537.36",
+      "Mozilla%2F5.0%20(iPhone%3B%20CPU%20iPhone%20OS%2014_8%20like%20Mac%20OS%20X)%20AppleWebKit%2F605.1.15%20(KHTML%2C%20like%20Gecko)%20Mobile%2F15E148",
+      "Mozilla%2F5.0%20(iPhone%3B%20CPU%20iPhone%20OS%2014_7_1%20like%20Mac%20OS%20X)%20AppleWebKit%2F605.1.15%20(KHTML%2C%20like%20Gecko)%20Mobile%2F15E148",
+      "Mozilla%2F5.0%20(Windows%20NT%2010.0)%20AppleWebKit%2F537.36%20(KHTML%2C%20like%20Gecko)%20Chrome%2F88.0.4324.150%20Safari%2F537.36%20Edg%2F88.0.705.68",
+      "Mozilla%2F5.0%20(Windows%20NT%2010.0%3B%20Win64%3B%20x64)%20AppleWebKit%2F537.36%20(KHTML%2C%20like%20Gecko)%20Chrome%2F93.0.4577.82%20Safari%2F537.36%20Edg%2F93.0.961.52",
+      "Mozilla%2F5.0%20(Linux%3B%20Android%2010%3B%20LM-K200%20Build%2FQKQ1.200311.002%3B%20wv)%20AppleWebKit%2F537.36%20(KHTML%2C%20like%20Gecko)%20Version%2F4.0%20Chrome%2F93.0.4577.82%20Mobile%20Safari%2F537.36",
+      "Mozilla%2F5.0%20(Linux%3B%20Android%2010%3B%20SNE-LX3)%20AppleWebKit%2F537.36%20(KHTML%2C%20like%20Gecko)%20Chrome%2F92.0.4515.115%20Mobile%20Safari%2F537.36",
+      "Mozilla%2F5.0%20(Linux%3B%20Android%2011%3B%20SM-A715F)%20AppleWebKit%2F537.36%20(KHTML%2C%20like%20Gecko)%20Chrome%2F93.0.4577.82%20Mobile%20Safari%2F537.36",
+      "Mozilla%2F5.0%20(Windows%20NT%206.1%3B%20Win64%3B%20x64)%20AppleWebKit%2F537.36%20(KHTML%2C%20like%20Gecko)%20Chrome%2F94.0.4606.61%20Safari%2F537.36",
+      "Mozilla%2F5.0%20(Linux%3B%20Android%2010%3B%20HRY-LX1%20Build%2FHONORHRY-L21%3B%20wv)%20AppleWebKit%2F537.36%20(KHTML%2C%20like%20Gecko)%20Version%2F4.0%20Chrome%2F93.0.4577.82%20Mobile%20Safari%2F537.36",
+      "Mozilla%2F5.0%20(Macintosh%3B%20Intel%20Mac%20OS%20X%2010_15_6)%20AppleWebKit%2F605.1.15%20(KHTML%2C%20like%20Gecko)%20Version%2F14.1.2%20Safari%2F605.1.15",
+      "Mozilla%2F5.0%20(iPhone%3B%20CPU%20iPhone%20OS%2014_6%20like%20Mac%20OS%20X)%20AppleWebKit%2F605.1.15%20(KHTML%2C%20like%20Gecko)%20Version%2F14.1.1%20Mobile%2F15E148%20Safari%2F604.1",
+      "Mozilla%2F5.0%20(Windows%20NT%206.2%3B%20WOW64)%20AppleWebKit%2F537.36%20(KHTML%2C%20like%20Gecko)%20Chrome%2F88.0.4324.182c%20(PSFooBrowserEmbedded)%20Safari%2F537.36")
+    uas.foreach { ua =>
+      val parsed = graft.functions.UserAgentParser.parse(ua)
+      assert(parsed.isDefined, ua)
+      val p = parsed.get
+      assert(p.engine == "AppleWebKit")
+      assert(p.browserName.nonEmpty)
+      assert(p.toJson.startsWith("{\"platform\":"))
+    }
+  }
+}
