@@ -361,6 +361,17 @@ object SparkEntry {
         .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
       graft.ops.Similarity.lshTopK(e.filter(col("id") < 50), e, k = 5, planes = 4, tables = 8)
     }),
+    "ns_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      graft.ops.Similarity.ivfTopK(e.filter(col("id") < 50), e, k = 5, nCentroids = 16, nprobe = 4)
+    }),
+    "ns_dedup_embed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      graft.ops.Dedup.embeddingCandidates(e, "vec", "id", threshold = 0.5)
+        .select(col("idA"), col("idB")) // int-only output for determinism
+    }),
     "ns_text_profile" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       import graft.ops.TextAnalysis._

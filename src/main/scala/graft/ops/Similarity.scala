@@ -25,13 +25,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns (codegen'd HOFs). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (acc, v) => acc + v))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two double-array columns (single-pass
+    * expression — see graft.functions.text.CosineSimExpr; the HOF
+    * formulation is interpreted per element and ~10× slower).
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.text.cosineSim(a, b)
 
   /** Exact top-k neighbors for each query vector.
     * Output: (query_id, neighbor_id, rank) — ranks are deterministic
@@ -106,14 +104,62 @@ object Similarity {
       excludeSelf: Boolean = true
   ): DataFrame = {
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
-      explode(lshKeys(col("vec"), planes, tables)).as("key"))
+      explode(graft.functions.text.hyperplaneKeys(col("vec"), planes, tables)).as("key"))
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
-      explode(lshKeys(col("vec"), planes, tables)).as("key"))
+      explode(graft.functions.text.hyperplaneKeys(col("vec"), planes, tables)).as("key"))
     val joined = c.join(q, Seq("key"))
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
       .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** IVF (inverted-file) ANN: corpus vectors partition into Voronoi cells
+    * of `nCentroids` centroids (deterministically sampled from the corpus,
+    * refined with one Lloyd iteration); queries probe their `nprobe`
+    * nearest cells. The centroid set is tiny metadata (nCentroids × dim
+    * doubles) broadcast inside an expression; the corpus shuffles once by
+    * cell id — the classic IVF trade: recall vs cells probed.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nprobe: Int = 4,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    import graft.functions.text
+    // deterministic centroid seed: hash-sampled corpus vectors
+    val seedRows = corpus
+      .withColumn("__h", xxhash64(col("id")))
+      .orderBy("__h").limit(nCentroids)
+      .select("vec").collect()
+    val seeds = seedRows.map(_.getSeq[Double](0).toArray)
+    // one Lloyd refinement: mean of assigned vectors per cell
+    val assigned0 = corpus.select(col("id"), col("vec"),
+      text.nearestCentroids(col("vec"), seeds, 1)(0).as("cell"))
+    val refined = assigned0.groupBy("cell")
+      .agg(collect_list(col("vec")).as("vs"))
+      .select(col("cell"),
+        expr("transform(sequence(0, size(vs[0]) - 1), i -> aggregate(vs, 0D, (acc, v) -> acc + v[i]) / size(vs))").as("centroid"))
+      .orderBy("cell").collect()
+    val centroids: Array[Array[Double]] = {
+      val m = refined.map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toMap
+      (0 until nCentroids).map(i => m.getOrElse(i, seeds(math.min(i, seeds.length - 1)))).toArray
+    }
+
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+      text.nearestCentroids(col("vec"), centroids, 1)(0).as("cell"))
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      explode(text.nearestCentroids(col("vec"), centroids, nprobe)).as("cell"))
+    val joined = c.join(q, Seq("cell"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("sim"))
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))

@@ -76,6 +76,36 @@ class OpsSpec extends AnyFunSuite {
     assert(approx.keys.forall(_ < 30))
   }
 
+  test("IVF ANN: reasonable top-1 recall, probing more cells increases recall") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val q = e.filter(col("id") < 30)
+    val exact = Similarity.bruteForceTopK(q, e, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recall(nprobe: Int): Int = {
+      val approx = Similarity.ivfTopK(q, e, k = 1, nCentroids = 8, nprobe = nprobe)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      exact.count { case (qid, nid) => approx.get(qid).contains(nid) }
+    }
+    val r2 = recall(2)
+    val r8 = recall(8) // all cells probed = exhaustive = perfect recall
+    assert(r8 == exact.size, s"nprobe=all must equal brute force, got $r8/${exact.size}")
+    assert(r2 >= exact.size / 3, s"nprobe=2 recall too low: $r2/${exact.size}")
+  }
+
+  test("embedding-cosine near-dup: finds injected duplicate vectors, skips dissimilar") {
+    val rng = new scala.util.Random(7)
+    val base = Array.fill(32)(rng.nextGaussian())
+    val nearDup = base.map(_ * 1.001 + 0.001)
+    val other = Array.fill(32)(rng.nextGaussian())
+    val docs = Seq((1L, base.toSeq), (2L, nearDup.toSeq), (3L, other.toSeq))
+      .toDF("id", "vec")
+    val pairs = Dedup.embeddingCandidates(docs, "vec", "id", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "near-identical vectors must pair")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
   test("winnowing fingerprint: stable under identity, mostly stable under small edit") {
     val text = ("the quick brown fox jumps over the lazy dog " * 10).trim
     val docs = Seq((1L, text), (2L, text), (3L, text.replace("lazy", "hazy")))
