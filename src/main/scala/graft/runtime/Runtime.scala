@@ -255,6 +255,10 @@ final case class RuntimeConfig(
     notifyBufferSize: Int = 64,
     /** A4: when set, kafka-source specs start as streaming queries. */
     kafkaBootstrapServers: Option[String] = None,
+    /** I1: checkpoint root for streaming queries — offsets + state survive
+      * restarts, giving exactly-once into idempotent/keyed sinks.
+      */
+    checkpointRoot: Option[String] = None,
     /** F9: per-event pre-transform hook (enrich/skip/error/shutdown). */
     preTransformHook: Option[Hooks.PreTransformHook] = None,
     /** F10: per-branch post-transform stage. */
@@ -321,9 +325,11 @@ final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
         val sim = spec.source.config.customConfig
           .map(graft.sources.EventSim.fromNode).getOrElse(graft.sources.EventSim.SimSpec())
         val src = graft.sources.EventSim.stream(spark, sim, seed = 42L)
-        val q = src.select(col("value")).writeStream
+        var w0 = src.select(col("value")).writeStream
           .outputMode("append")
           .queryName(spec.id)
+        config.checkpointRoot.foreach(r => w0 = w0.option("checkpointLocation", s"$r/${spec.id}"))
+        val q = w0
           .foreachBatch { (batch: DataFrame, _: Long) =>
             try { st.processBatch(batch); () }
             catch {
@@ -351,6 +357,7 @@ final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
                 if (spec.ops.handlingOfUnretryableEvents == Houe.Fail) throw e
             }
           }
+        config.checkpointRoot.foreach(r => writer = writer.option("checkpointLocation", s"$r/${spec.id}"))
         // I5 micro-batch shaping: timeout threshold → trigger interval
         if (spec.ops.microBatch)
           writer = writer.trigger(org.apache.spark.sql.streaming.Trigger
