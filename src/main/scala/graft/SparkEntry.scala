@@ -389,6 +389,12 @@ object SparkEntry {
           col("q.punct_ratio").as("punct_ratio"),
           col("en_score"), col("lang_pred"))
     }),
+    "ns_sentiment" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), graft.ops.TextAnalysis.sentiment(col("text")).as("snt"))
+        .select(col("doc_id"), col("snt.pos_hits").as("pos_hits"),
+          col("snt.neg_hits").as("neg_hits"), col("snt.score").as("score"))
+    }),
     "ns_fingerprint" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.select(col("doc_id"),
@@ -499,6 +505,14 @@ object SparkEntry {
         |       CASE WHEN event_type = 'signup'
         |            THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS "evt-signup"
         |FROM events WHERE event_type IN ('purchase', 'signup')""".stripMargin,
+    "f8_useragent" ->
+      """SELECT event_id AS eid,
+        |  CASE event_id % 3
+        |    WHEN 0 THEN '{"platform":"iPhone","operatingSystem":{"name":"iPhone OS","fullName":"CPU iPhone OS 14_6 like Mac OS X","version":"14.6"},"localization":"","browser":{"name":"Safari","version":"14.1.1","engine":"AppleWebKit","engineVersion":"605.1.15"},"bot":false,"mobile":true}'
+        |    WHEN 1 THEN '{"platform":"Windows NT 10.0","operatingSystem":{"name":"Windows","fullName":"Windows 10","version":"10"},"localization":"","browser":{"name":"Chrome","version":"93.0.4577.82","engine":"AppleWebKit","engineVersion":"537.36"},"bot":false,"mobile":false}'
+        |    ELSE '{"platform":"Linux","operatingSystem":{"name":"Android","fullName":"Android 10","version":"10"},"localization":"","browser":{"name":"Chrome","version":"92.0.4515.115","engine":"AppleWebKit","engineVersion":"537.36"},"bot":false,"mobile":true}'
+        |  END AS ua_json
+        |FROM events""".stripMargin,
     "d2_keys_in_map" ->
       """SELECT event_type || '#u' || CAST(user_id AS VARCHAR) AS key,
         |       to_json(struct_pack(t := event_type, u := 'u' || CAST(user_id AS VARCHAR))) AS value
@@ -552,6 +566,14 @@ object SparkEntry {
         |           ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.nid) AS rank
         |  FROM q JOIN c ON q.qid != c.nid)
         |WHERE rank <= 5""".stripMargin,
+    "ns_sentiment" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> x IN ('good','great','excellent','fast','love','best','happy','win','nice','cool'))) AS BIGINT) AS pos_hits,
+        |  CAST(len(list_filter(toks, x -> x IN ('bad','terrible','slow','hate','worst','sad','fail','poor','wrong','broken'))) AS BIGINT) AS neg_hits,
+        |  CAST(len(list_filter(toks, x -> x IN ('good','great','excellent','fast','love','best','happy','win','nice','cool')))
+        |     - len(list_filter(toks, x -> x IN ('bad','terrible','slow','hate','worst','sad','fail','poor','wrong','broken'))) AS DOUBLE)
+        |    / greatest(len(toks), 1) AS score
+        |FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)""".stripMargin,
     "ns_text_profile" ->
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0

@@ -76,6 +76,25 @@ object TextAnalysis {
     pick
   }
 
+  /** Lexicon-based sentiment: (positive hits − negative hits) and their
+    * normalized score over the token count. Deterministic, codegen'd,
+    * replicable in SQL — the cheap corpus-curation signal (SURVEY §7.2).
+    */
+  val PositiveLexicon: Seq[String] =
+    Seq("good", "great", "excellent", "fast", "love", "best", "happy", "win", "nice", "cool")
+  val NegativeLexicon: Seq[String] =
+    Seq("bad", "terrible", "slow", "hate", "worst", "sad", "fail", "poor", "wrong", "broken")
+
+  def sentiment(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val pos = size(filter(toks, t => t.isin(PositiveLexicon.map(lit): _*)))
+    val neg = size(filter(toks, t => t.isin(NegativeLexicon.map(lit): _*)))
+    struct(
+      pos.cast("long").as("pos_hits"),
+      neg.cast("long").as("neg_hits"),
+      ((pos - neg).cast("double") / greatest(size(toks), lit(1))).as("score"))
+  }
+
   /** Winnowing fingerprints (see graft.functions.text): distinct rolling-
     * hash minima, the standard near-dup/plagiarism document signature.
     */

@@ -199,6 +199,10 @@ final class Stream(
 
     val n = rawEvents.count()
     metrics.eventsProcessed.addAndGet(n)
+    metrics.bytesProcessed.addAndGet(
+      rawEvents.select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(col("value"))).cast("long"))
+        .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L))
     metrics.microbatches.incrementAndGet()
     metrics.eventsStoredInSink.addAndGet(stored)
     metrics.eventProcessingTimeMicros.addAndGet((System.nanoTime() - t0) / 1000)
@@ -276,6 +280,7 @@ final case class RuntimeConfig(
   */
 final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
   val notifier = new Notifier(config.notifyBufferSize)
+
   val registry = new Registry(spark, config.specTablePath, config.env)
   private val streams = new ConcurrentHashMap[String, Stream]()
   private val metricsMap = new ConcurrentHashMap[String, Metrics]()
