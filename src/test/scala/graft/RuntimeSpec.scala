@@ -156,6 +156,45 @@ class RuntimeSpec extends AnyFunSuite {
     assert(out == """{"a":1,"meta":{"source":"hook"}}""")
   }
 
+  test("checkpointed stream resumes offsets after restart (I1)") {
+    val ckpt = tmpDir()
+    def freshGeist() = new Geist(spark, RuntimeConfig(retryBackoffBaseMs = 1,
+      checkpointRoot = Some(ckpt)))
+    val spec =
+      """{
+        |  "namespace": "rt", "streamIdSuffix": "ckpt", "version": 1,
+        |  "description": "...",
+        |  "source": {"type": "eventsim", "config": {"customConfig": {
+        |    "simResolutionMilliseconds": 200,
+        |    "eventSpec": {"fields": [{"field": "n", "randomizedValue": {"type": "int", "min": 1, "max": 9}}]}
+        |  }}},
+        |  "transform": {"extractFields": [{"fields": [{"id": "n", "jsonPath": "n", "type": "integer"}]}]},
+        |  "sink": {"type": "void"}
+        |}""".stripMargin
+    val g1 = freshGeist()
+    val id = g1.registerStream(spec).fold(e => fail(e.msg), identity)
+    val deadline = System.currentTimeMillis() + 20000
+    while (g1.metrics(id)("Microbatches") < 2 && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    assert(g1.metrics(id)("Microbatches") >= 2)
+    g1.shutdown()
+    // offsets were checkpointed: the rate source persists its last value
+    val offsetsDir = new java.io.File(s"$ckpt/$id/offsets")
+    assert(offsetsDir.exists && offsetsDir.listFiles().nonEmpty,
+      "checkpoint offsets must be written")
+    def batchIds() = offsetsDir.listFiles().map(_.getName).filter(_.forall(_.isDigit)).map(_.toInt)
+    val lastBatch = batchIds().max
+    // a fresh engine instance resumes from the checkpoint, not batch 0
+    val g2 = freshGeist()
+    g2.registerStream(spec).fold(e => fail(e.msg), identity)
+    val deadline2 = System.currentTimeMillis() + 20000
+    while (batchIds().max <= lastBatch &&
+      System.currentTimeMillis() < deadline2) Thread.sleep(200)
+    assert(batchIds().max > lastBatch,
+      "restarted query must continue the checkpointed batch sequence")
+    g2.shutdown()
+  }
+
   test("eventsim stream deploys, processes batches, and hot-swaps (A2/I7)") {
     val g = new Geist(spark, RuntimeConfig(retryBackoffBaseMs = 1))
     val spec =
