@@ -127,18 +127,7 @@ object SpecCompiler {
       */
     def errorFrame(df: DataFrame, eventCol: String = "value"): DataFrame = {
       val ev = col(eventCol)
-      val errorBranches = branches.collect {
-        case fb: FieldsBranch if fb.regexp.exists(re => fb.outputColumns.contains(re.spec.field)) =>
-          val re = fb.regexp.get
-          val fieldVal = gjson.extractFields(ev, fb.fields.filter(_.id == re.spec.field))
-          keepCol(ev) && branchCol(fb, ev) && re.payload(col(s"__t.`${re.spec.field}`")).isNull
-        case rb: RegexpBranch =>
-          keepCol(ev) && branchCol(rb, ev) && rb.regexp.payload(ev).isNull
-      }
-      if (errorBranches.isEmpty) df.limit(0)
-      else {
-        // Recompute per-branch matched-but-failed rows against raw events.
-        val preds = branches.collect {
+      val preds = branches.collect {
           case fb: FieldsBranch if fb.regexp.exists(re => fb.outputColumns.contains(re.spec.field)) =>
             val re = fb.regexp.get
             val extracted = gjson.extractFields(ev, fb.fields.filter(_.id == re.spec.field))
@@ -147,8 +136,8 @@ object SpecCompiler {
           case rb: RegexpBranch =>
             keepCol(ev) && branchCol(rb, ev) && rb.regexp.payload(ev).isNull
         }
-        df.filter(preds.reduce(_ || _))
-      }
+      if (preds.isEmpty) df.limit(0)
+      else df.filter(preds.reduce(_ || _))
     }
 
     /** Apply the whole transform: one (branchId, DataFrame) per branch. */

@@ -34,7 +34,7 @@ object GoTimeLayout {
       .toFormatter(Locale.ENGLISH)
 
   def toFormatter(layout: String): DateTimeFormatter = {
-    val b = new DateTimeFormatterBuilder()
+    val b = new DateTimeFormatterBuilder().parseCaseInsensitive()
     var i = 0
     val n = layout.length
 

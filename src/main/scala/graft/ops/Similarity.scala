@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   *     is the difference between an impossible cross join and a bounded
   *     bucket join; recall is tunable via planes/probes.
   *
-  * The dot product is a codegen'd `aggregate(zip_with(...))` — no UDF.
-  * Hyperplanes are derived deterministically from xxhash64(dim, plane), so
-  * the operator needs no side data and both sides bucket identically.
+  * Vector math runs in single-pass expressions (CosineSimExpr,
+  * HyperplaneKeysExpr); hyperplanes derive deterministically from
+  * XXH64(dim, plane), so the operator needs no side data and both sides
+  * bucket identically.
   */
 object Similarity {
 
@@ -50,45 +51,6 @@ object Similarity {
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
-
-  /** Deterministic pseudo-random hyperplane component for (dim i, plane p):
-    * xxhash64 → uniform in [-1, 1).
-    */
-  private def planeComponent(i: Column, p: Int): Column =
-    (xxhash64(i, lit(p)).cast("double") / lit(Long.MaxValue.toDouble))
-
-  /** p-bit random-hyperplane bucket id of a vector column for one hash
-    * table (tables use disjoint plane seeds).
-    */
-  def lshBucket(vec: Column, planes: Int, table: Int): Column = {
-    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
-      val seed = p + lit(table * planes)
-      val dot = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x * (xxhash64(i, seed).cast("double") / lit(Long.MaxValue.toDouble))),
-        lit(0.0d), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L)).otherwise(lit(0L))
-    })
-    aggregate(zip_with(bits, sequence(lit(0), lit(planes - 1)),
-      (b, i) => call_function("shiftleft", b, i.cast("int"))), lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
-
-  /** All (table, bucket) assignments of a vector: OR-amplification — a
-    * candidate needs to collide in ANY table. Recall for similarity s is
-    * 1-(1-(1-θ(s)/π)^planes)^tables: planes tunes selectivity, tables
-    * tunes recall; corpus cost is `tables` bucket entries per vector.
-    */
-  private def lshKeys(vec: Column, planes: Int, tables: Int): Column =
-    transform(sequence(lit(0), lit(tables - 1)), tbl =>
-      struct(tbl.as("tbl"), aggregate(
-        transform(sequence(lit(0), lit(planes - 1)), p => {
-          val seed = p + tbl * planes
-          val dot = aggregate(
-            zip_with(vec, sequence(lit(0), size(vec) - 1),
-              (x, i) => x * (xxhash64(i, seed).cast("double") / lit(Long.MaxValue.toDouble))),
-            lit(0.0d), (acc, v) => acc + v)
-          when(dot >= 0, call_function("shiftleft", lit(1L), p.cast("int"))).otherwise(lit(0L))
-        }), lit(0L), (acc, v) => acc.bitwiseOR(v)).as("bucket")))
 
   /** Multi-table LSH ANN top-k: candidates collide in at least one of
     * `tables` hyperplane hash tables; exact cosine ranks the candidates.

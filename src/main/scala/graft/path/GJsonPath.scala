@@ -72,10 +72,17 @@ object GJsonPath {
     }
     flush()
 
-    ParsedPath(segs.result().map {
+    val resolved = segs.result().map {
       case Key("#") => Count
       case s => s
-    })
+    }
+    // `#` mid-path is gjson's per-element projection ("friends.#.first"),
+    // which we don't implement — reject at spec-compile time rather than
+    // silently returning the array length and dropping the suffix.
+    if (resolved.dropRight(1).contains(Count))
+      throw new IllegalArgumentException(
+        s"unsupported gjson per-element projection ('#' before end of path): $path")
+    ParsedPath(resolved)
   }
 
   private def findClosingParen(s: String, open: Int): Int = {

@@ -131,6 +131,7 @@ final class Stream(
     var resourceId = "<noResourceId>"
 
     // F9 pre-transform hook: distributed per-event action evaluation.
+    var hookFrame: Option[DataFrame] = None
     val events = supervisor.config.preTransformHook match {
       case None => rawEvents
       case Some(h) =>
@@ -151,6 +152,7 @@ final class Stream(
             case Hooks.Shutdown => ("x", e)
           }
         }.toDF("__act", "value").cache()
+        hookFrame = Some(acted)
         val unretryable = acted.filter(org.apache.spark.sql.functions.col("__act") === "u")
         if (!unretryable.isEmpty) {
           spec.ops.handlingOfUnretryableEvents match {
@@ -197,13 +199,16 @@ final class Stream(
         ()
     }
 
-    val n = rawEvents.count()
-    metrics.eventsProcessed.addAndGet(n)
-    metrics.bytesProcessed.addAndGet(
-      rawEvents.select(org.apache.spark.sql.functions.sum(
-        org.apache.spark.sql.functions.length(col("value"))).cast("long"))
-        .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L))
+    // one action for both counters (count + byte volume)
+    val stats = rawEvents.select(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.length(col("value"))).cast("long"),
+        org.apache.spark.sql.functions.lit(0L))).collect()(0)
+    metrics.eventsProcessed.addAndGet(stats.getLong(0))
+    metrics.bytesProcessed.addAndGet(stats.getLong(1))
     metrics.microbatches.incrementAndGet()
+    hookFrame.foreach(_.unpersist())
     metrics.eventsStoredInSink.addAndGet(stored)
     metrics.eventProcessingTimeMicros.addAndGet((System.nanoTime() - t0) / 1000)
     if (shutdownRequested) supervisor.requestShutdown(spec.id)
@@ -228,8 +233,11 @@ final class Stream(
           case None => keyedSink match {
             case Some(ks) if out.columns.contains("key") =>
               ks.write(out)
-              val first = out.select("key").limit(1).collect()
-              (out.count(), first.headOption.map(_.getString(0)).getOrElse(""))
+              // one action: batch size + a deterministic resource key
+              val r = out.select(
+                org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+                org.apache.spark.sql.functions.min(col("key"))).collect()(0)
+              (r.getLong(0), Option(r.getString(1)).getOrElse(""))
             case _ =>
               (voidSink.load(out), "<noResourceId>")
           }
@@ -296,12 +304,43 @@ final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
     * (geist.go:83-108, supervisor.go:220-250).
     */
   def registerStream(specJson: String): Either[SpecValidationException, String] = {
-    registry.register(specJson).map { spec =>
-      // hot-swap: stop any existing deployment of this id (I7)
-      Option(streams.get(spec.id)).foreach(shutdownStream)
-      if (!registry.isDisabled(spec)) deploy(spec)
-      else notifier.notify("INFO", spec.id, "stream registered disabled; not deployed")
-      spec.id
+    // Validate AND compile before touching the registry or the running
+    // stream: a spec that parses but cannot compile (e.g. unsupported
+    // gjson path syntax) must be rejected without persisting it or
+    // killing the healthy deployment.
+    StreamSpec.parse(specJson).flatMap { parsed =>
+      val resolved = resolveOps(parsed)
+      try SpecCompiler.compile(resolved)
+      catch {
+        case e: Exception =>
+          return Left(SpecValidationException(s"spec ${parsed.id} failed to compile: ${e.getMessage}"))
+      }
+      registry.register(specJson).map { _ =>
+        // hot-swap: stop any existing deployment of this id (I7)
+        Option(streams.get(resolved.id)).foreach(shutdownStream)
+        if (!registry.isDisabled(parsed)) deploy(resolved)
+        else notifier.notify("INFO", resolved.id, "stream registered disabled; not deployed")
+        resolved.id
+      }
+    }
+  }
+
+  /** Effective ops for this environment (registry.go:88-106
+    * adjustOpsConfig): opsPerEnv overrides replace the base ops wholesale.
+    */
+  private def resolveOps(spec: StreamSpec): StreamSpec =
+    spec.copy(ops = spec.opsFor(config.env))
+
+  /** Bootstrap persisted specs and deploy the enabled ones — the restart /
+    * cross-pod sync entry point (registry.go Fetch + deployAllStreams).
+    */
+  def bootstrap(): Unit = {
+    registry.fetch()
+    registry.all.foreach { spec =>
+      if (!registry.isDisabled(spec) && !streams.containsKey(spec.id))
+        try deploy(resolveOps(spec))
+        catch { case e: Exception =>
+          notifier.notify("ERROR", spec.id, s"bootstrap deploy failed: ${e.getMessage}") }
     }
   }
 
@@ -412,6 +451,8 @@ final class Geist(spark: SparkSession, config: RuntimeConfig = RuntimeConfig()) 
 
   def registerStream(specJson: String): Either[SpecValidationException, String] =
     supervisor.registerStream(specJson)
+  /** Restart entry point: load persisted specs and deploy enabled streams. */
+  def bootstrap(): Unit = supervisor.bootstrap()
   def publish(streamId: String, eventJson: String): String =
     supervisor.publish(streamId, eventJson)
   def getStreamSpec(id: String): Option[StreamSpec] = supervisor.registry.get(id)

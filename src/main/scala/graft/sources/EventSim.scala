@@ -137,6 +137,18 @@ object EventSim {
 
   private val DefaultCharset = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
 
+  /** Scala mirror of the Column-side u01: identical hash chain
+    * (org.apache.spark.sql.catalyst.expressions.XXH64 with default seed 42)
+    * so driver-side trigger counts equal executor-side expressions.
+    */
+  private[sources] def u01Scala(x: Long, seed: Long, salt: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    var h = XXH64.hashLong(x, 42L)
+    h = XXH64.hashLong(seed, h)
+    h = XXH64.hashLong(salt.toLong, h)
+    java.lang.Math.floorMod(h, 1000000007L).toDouble / 1000000007.0
+  }
+
   /** Uniform double in [0,1) derived from (rowId, seed, salt) — the
     * deterministic replacement for rand.Float64().
     */
@@ -256,11 +268,13 @@ object EventSim {
     val g = spec.eventGeneration
     g.genType match {
       case "random" =>
-        val u = math.floorMod(scala.util.hashing.MurmurHash3.productHash((triggerIdx, seed)), 1000000007) / 1000000007.0
+        // same hash chain as the Column-side u01 (xxhash64 with default
+        // seed 42, then seed, then salt 31) so batch and streaming agree
+        val u = u01Scala(triggerIdx, seed, 31)
         g.minCount + (u * (g.maxCount + 1 - g.minCount)).toInt
       case "sinusoid" =>
         val peakMs =
-          if (g.peakTime.isEmpty) baseTimeMs
+          if (g.peakTime.isEmpty) 0L // matches the streaming default (epoch)
           else java.time.Instant.parse(g.peakTime).toEpochMilli
         val tMs = baseTimeMs + triggerIdx * spec.simResolutionMilliseconds
         val angle = ((tMs - peakMs) / 1000.0) / g.periodSeconds * 2 * math.Pi

@@ -141,14 +141,53 @@ class RuntimeSpec extends AnyFunSuite {
     assert(g.registerStream(apiSpec("geist", "specs")).isLeft, "registry stream id is protected")
     assert(g.registerStream(apiSpec("rt", "boot", 4)).isRight)
     g.shutdown()
-    // a fresh instance bootstraps the persisted spec
+    // a fresh instance bootstraps the persisted spec via the public API
     val g2 = new Geist(spark, RuntimeConfig(specTablePath = Some(specTable), retryBackoffBaseMs = 1))
-    // fetch is internal to registry; emulate cross-pod sync (J2) via re-fetch
-    val sup = classOf[Geist].getDeclaredField("supervisor")
-    sup.setAccessible(true)
-    sup.get(g2).asInstanceOf[graft.runtime.Supervisor].registry.fetch()
+    g2.bootstrap()
     assert(g2.getStreamSpec("rt-boot").exists(_.version == 4))
+    assert(g2.deployedIds.contains("rt-boot"), "bootstrap deploys enabled streams")
     g2.shutdown()
+  }
+
+  test("a spec that parses but cannot compile is rejected without killing the running stream") {
+    val g = new Geist(spark, RuntimeConfig(retryBackoffBaseMs = 1))
+    assert(g.registerStream(apiSpec("rt", "guard", 1)).isRight)
+    assert(g.deployedIds.contains("rt-guard"))
+    // '#' mid-path is unsupported gjson syntax → compile-time rejection
+    val poisoned = apiSpec("rt", "guard", 2)
+      .replace("\"jsonPath\": \"cust.id\"", "\"jsonPath\": \"cust.#.id\"")
+    val res = g.registerStream(poisoned)
+    assert(res.isLeft, "uncompilable spec must be rejected as a validation error")
+    assert(res.left.exists(_.msg.contains("failed to compile")))
+    assert(g.deployedIds.contains("rt-guard"), "running v1 stream must survive")
+    assert(g.getStreamSpec("rt-guard").get.version == 1, "poisoned spec must not be persisted")
+    g.shutdown()
+  }
+
+  test("opsPerEnv overrides resolve at deployment (houe per env)") {
+    // houe=fail only in prod: a regexp non-match must throw in prod but
+    // discard in dev.
+    def spec(ns: String) =
+      s"""{
+         |  "namespace": "$ns", "streamIdSuffix": "envops", "version": 1,
+         |  "description": "...",
+         |  "ops": {"handlingOfUnretryableEvents": "discard"},
+         |  "opsPerEnv": {"prod": {"handlingOfUnretryableEvents": "fail"}},
+         |  "source": {"type": "geistapi"},
+         |  "transform": {
+         |    "extractFields": [{"fields": [{"id": "line", "jsonPath": "p", "type": "string"}]}],
+         |    "regexp": {"expression": "^(?P<n>\\\\d+)$$", "field": "line"}
+         |  },
+         |  "sink": {"type": "void"}
+         |}""".stripMargin
+    val prod = new Geist(spark, RuntimeConfig(env = "prod", retryBackoffBaseMs = 1))
+    val idP = prod.registerStream(spec("rtp")).fold(e => fail(e.msg), identity)
+    intercept[Exception] { prod.publish(idP, """{"p": "oops"}""") }
+    prod.shutdown()
+    val dev = new Geist(spark, RuntimeConfig(env = "dev", retryBackoffBaseMs = 1))
+    val idD = dev.registerStream(spec("rtd")).fold(e => fail(e.msg), identity)
+    dev.publish(idD, """{"p": "oops"}""") // discarded, no throw
+    dev.shutdown()
   }
 
   test("enrichEvent injects fields by path (F11, geist_test.go:386-398)") {
