@@ -86,6 +86,11 @@ object SpecCompiler {
     }
     def keepCol(event: Column): Column = predCol(keep, event)
     def branchCol(b: Branch, event: Column): Column = predCol(b.pred, event)
+    /** keep ∧ branch fused into ONE predicate expression = one JSON parse
+      * per row instead of two.
+      */
+    def routedCol(b: Branch, event: Column): Column =
+      predCol(EventPred.and(keep, b.pred), event)
 
     /** All surviving rows for one branch, projected to the branch schema.
       * Input frame must expose the raw JSON event as `eventCol` (string).
@@ -99,12 +104,18 @@ object SpecCompiler {
       */
     def applyWith(df: DataFrame, b: Branch, eventCol: String, keepColumns: Seq[String]): DataFrame = {
       val ev = col(eventCol)
-      val routed = df.filter(keepCol(ev) && branchCol(b, ev))
+      val routed = df.filter(routedCol(b, ev))
       b match {
         case fb: FieldsBranch =>
-          val projected = routed
+          var projected = routed
             .select(keepColumns.map(col) :+ fb.project(ev).as("__t"): _*)
             .select(keepColumns.map(col) ++ fb.outputColumns.map(c => col(s"__t.`$c`").as(c)): _*)
+          // userAgent unescape failure fails the whole event into the error
+          // path (reference: extractFields returns err → Transform errors);
+          // those rows are excluded here and surfaced via errorFrame.
+          fb.fields.filter(_.gtype == gjson.GUserAgent).foreach { f =>
+            projected = projected.filter(col(f.id).isNotNull)
+          }
           fb.regexp match {
             case Some(re) if fb.outputColumns.contains(re.spec.field) =>
               val withPayload = projected.withColumn("regexppayload", re.payload(col(re.spec.field)))
@@ -127,15 +138,24 @@ object SpecCompiler {
       */
     def errorFrame(df: DataFrame, eventCol: String = "value"): DataFrame = {
       val ev = col(eventCol)
-      val preds = branches.collect {
-          case fb: FieldsBranch if fb.regexp.exists(re => fb.outputColumns.contains(re.spec.field)) =>
-            val re = fb.regexp.get
-            val extracted = gjson.extractFields(ev, fb.fields.filter(_.id == re.spec.field))
-              .getField(re.spec.field)
-            keepCol(ev) && branchCol(fb, ev) && re.payload(extracted).isNull
-          case rb: RegexpBranch =>
-            keepCol(ev) && branchCol(rb, ev) && rb.regexp.payload(ev).isNull
-        }
+      val preds = branches.flatMap {
+        case fb: FieldsBranch =>
+          val regexpErr = fb.regexp
+            .filter(re => fb.outputColumns.contains(re.spec.field))
+            .map { re =>
+              val extracted = gjson.extractFields(ev, fb.fields.filter(_.id == re.spec.field))
+                .getField(re.spec.field)
+              routedCol(fb, ev) && re.payload(extracted).isNull
+            }
+          val uaErr = fb.fields.filter(_.gtype == gjson.GUserAgent).map { f =>
+            routedCol(fb, ev) &&
+              gjson.extractFields(ev, Seq(f)).getField(f.id).isNull
+          }
+          regexpErr.toSeq ++ uaErr
+        case rb: RegexpBranch =>
+          Seq(routedCol(rb, ev) && rb.regexp.payload(ev).isNull)
+        case _ => Nil
+      }
       if (preds.isEmpty) df.limit(0)
       else df.filter(preds.reduce(_ || _))
     }
@@ -164,12 +184,22 @@ object SpecCompiler {
       ItemsBranch(id = ia.id, pred = EventPred.branchPred(ia.forEventsWith, Nil), spec = ia)
     }
 
-    // Regexp with no extracted source field applies to the raw event
-    // (transformer.go:196-215: only appended when nothing else produced
-    // output — i.e. when there are no extractFields branches).
+    // Regexp with no extracted source field applies to the raw event, but
+    // only for events where no other branch produced output (the reference
+    // appends it when len(transformed) < 1, transformer.go:196-215) — a
+    // per-event condition, compiled as NOT(any branch predicate).
     val regexpBranch = compiledRegexp match {
-      case Some(re) if re.spec.field.isEmpty && fieldBranches.isEmpty =>
-        Seq(RegexpBranch("regexp", EventPred.True0(), re))
+      case Some(re) if re.spec.field.isEmpty =>
+        val others = (fieldBranches ++ itemBranches).map(_.pred)
+        val pred: EventPred =
+          if (others.isEmpty) EventPred.True0()
+          else EventPred.Not(EventPred.AnyOf(others))
+        Seq(RegexpBranch("regexp", pred, re))
+      case Some(re) if !fieldBranches.exists(_.fields.exists(_.id == re.spec.field)) =>
+        // reference errors every event with "wanted field ... was not
+        // extracted" — surface the misconfiguration at compile time instead
+        throw new IllegalArgumentException(
+          s"regexp.field '${re.spec.field}' is not extracted by any branch")
       case _ => Nil
     }
 

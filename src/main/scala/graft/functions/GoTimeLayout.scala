@@ -47,11 +47,13 @@ object GoTimeLayout {
       else if (at("Monday")) { b.appendText(ChronoField.DAY_OF_WEEK, TextStyle.FULL); i += 6 }
       else if (at("Mon")) { b.appendText(ChronoField.DAY_OF_WEEK, TextStyle.SHORT); i += 3 }
       else if (at("15")) { b.appendValue(ChronoField.HOUR_OF_DAY, 2); i += 2 }
-      // Go's 12-hour tokens keep the parsed value verbatim when no AM/PM
-      // marker is present (see reference test transformer_test.go:114-121
-      // where layout "03" parses "12" → hour 12). HOUR_OF_DAY reproduces
-      // that; a following PM/pm token re-interprets it below.
-      else if (at("03")) { b.appendValue(ChronoField.HOUR_OF_DAY, 2); i += 2 }
+      // Go's 12-hour tokens: the raw value is kept verbatim when no AM/PM
+      // marker is present (reference test transformer_test.go:114-121:
+      // layout "03" parses "12" → hour 12); with a marker, AM/PM applies.
+      // Parsed via CLOCK_HOUR_OF_AMPM and resolved manually below —
+      // mapping to HOUR_OF_DAY would make java.time's resolver reject
+      // every PM time as a field conflict.
+      else if (at("03")) { b.appendValue(ChronoField.CLOCK_HOUR_OF_AMPM, 2); i += 2 }
       else if (at("06")) { b.appendValueReduced(ChronoField.YEAR, 2, 2, 1969); i += 2 }
       else if (at("01")) { b.appendValue(ChronoField.MONTH_OF_YEAR, 2); i += 2 }
       else if (at("02")) { b.appendValue(ChronoField.DAY_OF_MONTH, 2); i += 2 }
@@ -77,7 +79,7 @@ object GoTimeLayout {
       }
       else if (at("1")) { b.appendValue(ChronoField.MONTH_OF_YEAR); i += 1 }
       else if (at("2")) { b.appendValue(ChronoField.DAY_OF_MONTH); i += 1 }
-      else if (at("3")) { b.appendValue(ChronoField.HOUR_OF_DAY); i += 1 }
+      else if (at("3")) { b.appendValue(ChronoField.CLOCK_HOUR_OF_AMPM); i += 1 }
       else if (at("4")) { b.appendValue(ChronoField.MINUTE_OF_HOUR); i += 1 }
       else if (at("5")) { b.appendValue(ChronoField.SECOND_OF_MINUTE); i += 1 }
       else { b.appendLiteral(layout.charAt(i)); i += 1 }
@@ -89,23 +91,30 @@ object GoTimeLayout {
     * (Go: year 0, Jan 1), missing offset means UTC.
     */
   def parseToOffsetDateTime(formatter: DateTimeFormatter, s: String): OffsetDateTime = {
-    val parsed = formatter.parse(s)
+    // parseUnresolved: we resolve fields ourselves (Go keeps a 12-hour
+    // value verbatim when no AM/PM marker exists — java.time's resolver
+    // cannot express that and rejects PM times as conflicts).
+    val pos = new java.text.ParsePosition(0)
+    val parsed = formatter.parseUnresolved(s, pos)
+    if (parsed == null || pos.getErrorIndex >= 0 || pos.getIndex < s.length)
+      throw new java.time.DateTimeException(s"cannot parse '$s'")
     def getOr(f: ChronoField, d: Int): Int =
-      if (parsed.isSupported(f)) parsed.get(f) else d
+      if (parsed.isSupported(f)) Math.toIntExact(parsed.getLong(f)) else d
     val date = LocalDate.of(getOr(ChronoField.YEAR, 0), getOr(ChronoField.MONTH_OF_YEAR, 1),
       getOr(ChronoField.DAY_OF_MONTH, 1))
-    var hour = getOr(ChronoField.HOUR_OF_DAY, 0)
+    var hour = getOr(ChronoField.HOUR_OF_DAY, -1)
+    if (hour < 0) hour = getOr(ChronoField.CLOCK_HOUR_OF_AMPM, 0) // Go: literal value when no marker
     if (parsed.isSupported(ChronoField.AMPM_OF_DAY)) {
-      val pm = parsed.get(ChronoField.AMPM_OF_DAY) == 1
+      val pm = parsed.getLong(ChronoField.AMPM_OF_DAY) == 1L
       if (pm && hour < 12) hour += 12
       else if (!pm && hour == 12) hour = 0
     }
-    val nano = if (parsed.isSupported(ChronoField.NANO_OF_SECOND)) parsed.get(ChronoField.NANO_OF_SECOND) else 0
+    val nano = if (parsed.isSupported(ChronoField.NANO_OF_SECOND)) Math.toIntExact(parsed.getLong(ChronoField.NANO_OF_SECOND)) else 0
     val time = LocalTime.of(hour, getOr(ChronoField.MINUTE_OF_HOUR, 0),
       getOr(ChronoField.SECOND_OF_MINUTE, 0), nano)
     val offset =
       if (parsed.isSupported(ChronoField.OFFSET_SECONDS))
-        ZoneOffset.ofTotalSeconds(parsed.get(ChronoField.OFFSET_SECONDS))
+        ZoneOffset.ofTotalSeconds(Math.toIntExact(parsed.getLong(ChronoField.OFFSET_SECONDS)))
       else ZoneOffset.UTC
     OffsetDateTime.of(LocalDateTime.of(date, time), offset)
   }

@@ -31,6 +31,9 @@ object UserAgentParser {
       def q(s: String) = "\"" + s.flatMap {
         case '"' => "\\\""
         case '\\' => "\\\\"
+        case '<' => "\\u003c" // Go json.Marshal HTML-escapes these by default
+        case '>' => "\\u003e"
+        case '&' => "\\u0026"
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
@@ -109,7 +112,10 @@ object UserAgentParser {
     }
 
     // --- localization: a comment token like "en-US" / "sv-se" ---
-    val localization = comment.find(_.matches("[a-z]{2}(-[a-zA-Z]{2})?")).getOrElse("")
+    // "wv" is Android WebView's flag token, not a locale
+    val localization = comment
+      .find(t => t.matches("[a-z]{2}(-[a-zA-Z]{2})?") && t != "wv")
+      .getOrElse("")
 
     // --- engine ---
     val (engine, engineVersion) = product(ua, "AppleWebKit")

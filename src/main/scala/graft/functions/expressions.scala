@@ -45,7 +45,10 @@ object gjson {
       if (raw) { if (specType == "string") GRawString else GRawBytes }
       else specType match {
         case "int" | "integer" => GInt
-        case "number" | "float" => GFloat
+        // NB: the reference's cast switch (transformer.go:315-330) has no
+        // "number" case despite the spec doc listing it — "number" falls
+        // through to the string default, and we mirror the implementation.
+        case "float" => GFloat
         case "bool" | "boolean" => GBool
         case "isoTimestamp" => GIsoTimestamp
         case "unixTimestamp" => GUnixTimestamp
@@ -148,8 +151,10 @@ object gjson {
     override def eval(input: InternalRow): Any = {
       val raw = child.eval(input)
       val root = if (raw == null) None else Js.parse(raw.asInstanceOf[UTF8String].toString)
-      val keys = Vector.newBuilder[UTF8String]
-      val vals = Vector.newBuilder[UTF8String]
+      // LinkedHashMap: duplicate item ids overwrite (the reference stores
+      // into a Go map — last item wins) while Spark's MapData gets unique
+      // keys in first-seen order.
+      val entries = scala.collection.mutable.LinkedHashMap.empty[String, String]
       root.flatMap(GJsonPath.eval(_, arrayPath)).foreach {
         case arr: JsArr =>
           arr.items.foreach { item =>
@@ -159,14 +164,13 @@ object gjson {
                 case _ => "" // non-string values contribute "" (gjson .Str)
               }
             }.mkString(delimiter)
-            if (id.nonEmpty) {
-              keys += UTF8String.fromString(id)
-              vals += UTF8String.fromString(item.raw)
-            }
+            if (id.nonEmpty) entries(id) = item.raw
           }
         case _ =>
       }
-      new ArrayBasedMapData(new GenericArrayData(keys.result()), new GenericArrayData(vals.result()))
+      new ArrayBasedMapData(
+        new GenericArrayData(entries.keys.toArray.map(UTF8String.fromString(_): Any)),
+        new GenericArrayData(entries.values.toArray.map(UTF8String.fromString(_): Any)))
     }
     override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   }
@@ -230,6 +234,10 @@ object gjson {
       case '\n' => sb.append("\\n")
       case '\r' => sb.append("\\r")
       case '\t' => sb.append("\\t")
+      // Go json.Marshal HTML-escapes these by default — payload parity
+      case '<' => sb.append("\\u003c")
+      case '>' => sb.append("\\u003e")
+      case '&' => sb.append("\\u0026")
       case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
       case c => sb.append(c)
     }

@@ -200,25 +200,44 @@ object text {
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = false
+    // hyperplane components are deterministic constants — cache them per
+    // observed dimension instead of re-hashing tables×planes×dim per row
+    @transient private var cachedDim: Int = -1
+    @transient private var cachedPlanes: Array[Array[Double]] = _
+    private def componentsFor(dim: Int): Array[Array[Double]] = {
+      if (cachedDim != dim) {
+        val cs = Array.ofDim[Double](tables * planes, dim)
+        var tp = 0
+        while (tp < tables * planes) {
+          var i = 0
+          while (i < dim) {
+            val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(i.toLong, tp.toLong)
+            cs(tp)(i) = h.toDouble / Long.MaxValue.toDouble
+            i += 1
+          }
+          tp += 1
+        }
+        cachedPlanes = cs
+        cachedDim = dim
+      }
+      cachedPlanes
+    }
     override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
       val raw = child.eval(input)
       val out = new Array[Long](tables)
       if (raw != null) {
         val v = raw.asInstanceOf[ArrayData]
         val dim = v.numElements()
+        val cs = componentsFor(dim)
         var t = 0
         while (t < tables) {
           var bucket = 0L
           var p = 0
           while (p < planes) {
-            val seed = (t * planes + p).toLong
+            val plane = cs(t * planes + p)
             var dot = 0.0
             var i = 0
-            while (i < dim) {
-              val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(i.toLong, seed)
-              dot += v.getDouble(i) * (h.toDouble / Long.MaxValue.toDouble)
-              i += 1
-            }
+            while (i < dim) { dot += v.getDouble(i) * plane(i); i += 1 }
             if (dot >= 0) bucket |= (1L << p)
             p += 1
           }

@@ -164,8 +164,10 @@ object GJsonPath {
           node match {
             case o: JsObj => o.get(k).flatMap(evalSegs(_, rest))
             case a: JsArr if k.nonEmpty && k.forall(_.isDigit) =>
-              val idx = k.toInt
-              if (idx < a.items.length) evalSegs(a.items(idx), rest) else None
+              // overflow-safe: an absurdly long digit run is simply not an
+              // index that exists (gjson behavior), never a crash
+              if (k.length <= 9 && k.toInt < a.items.length) evalSegs(a.items(k.toInt), rest)
+              else None
             case _ => None
           }
         case Count =>

@@ -377,6 +377,79 @@ class TransformConformanceSpec extends AnyFunSuite {
     assert(r.getAs[java.sql.Timestamp]("unixStr").toInstant.toEpochMilli == 1571831226959L)
   }
 
+  // ------------------------------------------------ review-found semantics
+
+  test("Go 12-hour layouts: PM times parse, bare 12-hour value kept verbatim") {
+    import graft.functions.GoTimeLayout
+    val f = GoTimeLayout.toFormatter("03:04 PM")
+    assert(GoTimeLayout.timeConv(f, GoTimeLayout.Rfc3339, "07:30 PM")
+      .contains("0000-01-01T19:30:00Z"))
+    assert(GoTimeLayout.timeConv(f, GoTimeLayout.Rfc3339, "12:30 AM")
+      .contains("0000-01-01T00:30:00Z"))
+    assert(GoTimeLayout.timeConv(f, GoTimeLayout.Rfc3339, "07:30 pm")
+      .contains("0000-01-01T19:30:00Z"), "lowercase marker accepted (Go behavior)")
+    val bare = GoTimeLayout.toFormatter("03:04")
+    assert(GoTimeLayout.timeConv(bare, GoTimeLayout.Rfc3339, "12:23")
+      .contains("0000-01-01T12:23:00Z"), "no marker → literal hour (transformer_test.go:114-121)")
+  }
+
+  test("duplicate array-item ids: last item wins (Go map semantics)") {
+    val spec = exclusionSpec(
+      """{"extractItemsFromArray": [{"id": "m", "items": {
+        |  "jsonPathToArray": "xs",
+        |  "idFromItemFields": {"delimiter": "-", "fields": ["k"]}}}]}""".stripMargin)
+    val ev = """{"xs": [{"k": "a", "v": 1}, {"k": "a", "v": 2}]}"""
+    val m = compiled(spec)(eventsDf(ev)).toMap.apply("m").collect()(0).getMap[String, String](0)
+    assert(m.size == 1)
+    assert(m("a") == """{"k": "a", "v": 2}""", "last duplicate wins")
+  }
+
+  test("raw-event regexp fires only when no other branch matched (transformer.go:196-215)") {
+    val spec = exclusionSpec(
+      """{
+        |  "extractFields": [{
+        |    "forEventsWith": [{"key": "type", "value": "structured"}],
+        |    "fields": [{"id": "name", "jsonPath": "name"}]
+        |  }],
+        |  "regexp": {"expression": "(?P<word>[a-z]+)"}
+        |}""".stripMargin)
+    val structured = """{"type": "structured", "name": "hello"}"""
+    val unstructured = """{"type": "other", "name": "world"}"""
+    val out = compiled(spec)(eventsDf(structured, unstructured)).toMap
+    assert(out("fields").count() == 1, "matched branch consumes its event")
+    val regexpRows = out("regexp").as[String].collect()
+    assert(regexpRows.length == 1, "regexp fires only for the unmatched event")
+  }
+
+  test("spec type 'number' passes through as string (reference switch has no case)") {
+    val spec = exclusionSpec(
+      """{"extractFields": [{"fields": [{"id": "v", "jsonPath": "v", "type": "number"}]}]}""")
+    val rows = compiled(spec)(eventsDf("""{"v": 1.50}""", """{"x": 1}""")).toMap
+      .apply("fields").as[String].collect().sorted
+    assert(rows.toSeq == Seq("", "1.50"), "literal text kept; missing → empty string")
+  }
+
+  test("regexp.field naming an unextracted field is a compile-time error") {
+    val spec = exclusionSpec(
+      """{
+        |  "extractFields": [{"fields": [{"id": "a", "jsonPath": "a"}]}],
+        |  "regexp": {"expression": "(?P<g>x)", "field": "nonexistent"}
+        |}""".stripMargin)
+    intercept[IllegalArgumentException] { compiled(spec) }
+  }
+
+  test("invalid userAgent escaping fails the event into the error frame") {
+    val spec = exclusionSpec(
+      """{"extractFields": [{"fields": [
+        |  {"id": "ua", "jsonPath": "ua", "type": "userAgent"}]}]}""".stripMargin)
+    val bad = """{"ua": "%ZZ broken"}"""
+    val good = """{"ua": "Mozilla%2F5.0"}"""
+    val p = compiled(spec)
+    val df = eventsDf(bad, good)
+    assert(p(df).toMap.apply("fields").count() == 1, "bad-escape event produces no row")
+    assert(p.errorFrame(df).as[String].collect().toSeq == Seq(bad))
+  }
+
   implicit private class ToMapOps(pairs: Seq[(String, DataFrame)]) {
     def toMap: Map[String, DataFrame] = pairs.groupBy(_._1).map { case (k, v) => k -> v.head._2 }
   }
