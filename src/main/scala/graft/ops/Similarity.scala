@@ -100,9 +100,17 @@ object Similarity {
       .withColumn("__h", xxhash64(col("id")))
       .orderBy("__h").limit(nCentroids)
       .select("vec").collect()
+    require(seedRows.nonEmpty, "ivfTopK requires a non-empty corpus")
     val seeds = seedRows.map(_.getSeq[Double](0).toArray)
-    // one Lloyd refinement: mean of assigned vectors per cell
-    val assigned0 = corpus.select(col("id"), col("vec"),
+    // one Lloyd refinement over a BOUNDED deterministic sample: the mean
+    // only needs representative vectors, and an unbounded collect_list
+    // would buffer the whole corpus into nCentroids aggregation rows.
+    val maxRefineVectors = 50000
+    val sample = corpus
+      .withColumn("__h", xxhash64(col("id"), lit(7)))
+      .orderBy("__h").limit(maxRefineVectors)
+      .select(col("id"), col("vec"))
+    val assigned0 = sample.select(col("id"), col("vec"),
       text.nearestCentroids(col("vec"), seeds, 1)(0).as("cell"))
     val refined = assigned0.groupBy("cell")
       .agg(collect_list(col("vec")).as("vs"))

@@ -28,15 +28,18 @@ object TextAnalysis {
     */
   def qualityMetrics(text: Column, stopwords: Seq[String]): Column = {
     val toks = split(lower(trim(text)), "\\s+")
-    val nTok = size(toks)
+    // guarded count: "" splits to [""] — empty text has zero words
+    val nTok = when(length(trim(text)) === 0, lit(0)).otherwise(size(toks))
+    val safeTok = greatest(nTok, lit(1)) // division guard
     val stopHits = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
     struct(
       length(text).cast("long").as("n_chars"),
       nTok.cast("long").as("n_words"),
-      (length(translate(text, " ", "")).cast("double") / nTok).as("mean_word_len"),
-      (stopHits.cast("double") / nTok).as("stopword_ratio"),
-      (regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") / length(text)).as("punct_ratio"),
-      (regexp_count(text, lit("[A-Z]")).cast("double") / length(text)).as("upper_ratio")
+      // strip ALL whitespace (tabs/newlines too), matching the tokenizer
+      (length(regexp_replace(text, "\\s", "")).cast("double") / safeTok).as("mean_word_len"),
+      (stopHits.cast("double") / safeTok).as("stopword_ratio"),
+      (regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") / greatest(length(text), lit(1))).as("punct_ratio"),
+      (regexp_count(text, lit("[A-Z]")).cast("double") / greatest(length(text), lit(1))).as("upper_ratio")
     )
   }
 

@@ -67,14 +67,16 @@ final class Registry(spark: SparkSession, specTablePath: Option[String], env: St
 
   /** Bootstrap from the persisted spec table (registry.go:110-145 Fetch). */
   def fetch(): Unit = specTablePath.foreach { path =>
-    if (new java.io.File(path).exists()) {
+    // no java.io.File gate: the spec table may live on any Hadoop FS
+    // (s3a/hdfs) — a missing/empty path is simply "nothing registered yet"
+    try {
       spark.read.parquet(path)
         .groupBy("id").agg(max_by(col("specJson"), col("version")).as("specJson"))
         .collect()
         .foreach { r =>
           StreamSpec.parse(r.getAs[String]("specJson")).foreach(s => specs.put(s.id, s))
         }
-    }
+    } catch { case _: org.apache.spark.sql.AnalysisException => }
   }
 
   /** Validate + version-gate + persist + cache
@@ -114,10 +116,20 @@ final class Stream(
 
   @volatile var query: Option[StreamingQuery] = None
   private[runtime] val voidSink = new VoidSink(spec.sink.config.properties)
-  private[runtime] val keyedSink: Option[KeyedTableSink] =
-    supervisor.config.sinkRoot.map(root => new KeyedTableSink(s"$root/${spec.id}"))
   private[runtime] val tables = spec.sink.config.customConfig
     .map(SinkCompiler.parseTables).getOrElse(Nil)
+  // one keyed table per sink table: mixed-schema tables must not share a
+  // parquet directory (multi-table specs write differently-shaped rows)
+  private[runtime] val keyedSinks: Map[String, KeyedTableSink] =
+    supervisor.config.sinkRoot.map { root =>
+      if (tables.size > 1)
+        tables.map(t => t.name -> new KeyedTableSink(s"$root/${spec.id}/${t.name}")).toMap
+      else Map("default" -> new KeyedTableSink(s"$root/${spec.id}"))
+    }.getOrElse(Map.empty)
+  private[runtime] def keyedSink: Option[KeyedTableSink] =
+    keyedSinks.values.headOption
+  private[runtime] def keyedSinkFor(table: String): Option[KeyedTableSink] =
+    keyedSinks.get(table).orElse(keyedSinks.get("default"))
 
   /** Process one micro-batch of raw events (the executor's ProcessEvent —
     * engine/executor.go:175-251): pipeline → per-table sink stages → load
@@ -167,7 +179,10 @@ final class Stream(
         acted.filter(org.apache.spark.sql.functions.col("__act") === "p").select("value")
     }
 
-    val branches = pipeline(events)
+    // cache: the event frame feeds every branch, the error frame, and the
+    // stats action — without it each is a full recomputation of the batch
+    val cachedEvents = events.cache()
+    val branches = pipeline(cachedEvents)
     var stored = 0L
 
     branches.foreach { case (_, branchDf0) =>
@@ -178,14 +193,14 @@ final class Stream(
         if (tables.nonEmpty) tables.map(tb => tb.name -> SinkCompiler.tableStage(tb)(branchDf))
         else Seq("default" -> branchDf)
       routed.foreach { case (tableName, out) =>
-        val sunk = loadWithRetry(out)
+        val sunk = loadWithRetry(out, tableName)
         stored += sunk._1
         if (sunk._2.nonEmpty) resourceId = sunk._2
       }
     }
 
     // unretryable error path (regexp non-match): houe policy (I4)
-    val errors = pipeline.errorFrame(events)
+    val errors = pipeline.errorFrame(cachedEvents)
     spec.ops.handlingOfUnretryableEvents match {
       case Houe.Fail =>
         if (!errors.isEmpty)
@@ -209,6 +224,7 @@ final class Stream(
     metrics.bytesProcessed.addAndGet(stats.getLong(1))
     metrics.microbatches.incrementAndGet()
     hookFrame.foreach(_.unpersist())
+    cachedEvents.unpersist()
     metrics.eventsStoredInSink.addAndGet(stored)
     metrics.eventProcessingTimeMicros.addAndGet((System.nanoTime() - t0) / 1000)
     if (shutdownRequested) supervisor.requestShutdown(spec.id)
@@ -220,17 +236,21 @@ final class Stream(
     * errors propagate immediately; retryable retry up to
     * maxEventProcessingRetries.
     */
-  private def loadWithRetry(out: DataFrame): (Long, String) = {
+  private def loadWithRetry(out0: DataFrame, tableName: String): (Long, String) = {
     val maxRetries = spec.ops.maxEventProcessingRetries
     var attempt = 0
     var backoffMs = supervisor.config.retryBackoffBaseMs
+    // cache: write + stats must observe the SAME rows (current_timestamp
+    // row keys would otherwise differ between the write and the stats scan)
+    val out = out0.cache()
+    try {
     while (true) {
       try {
         val t0 = System.nanoTime()
         val (n, rid) = supervisor.config.customLoaders.get(spec.sink.sinkType) match {
           case Some(loader) => // A5: pluggable loader returns the resource id
             (out.count(), loader(spec, out))
-          case None => keyedSink match {
+          case None => keyedSinkFor(tableName) match {
             case Some(ks) if out.columns.contains("key") =>
               ks.write(out)
               // one action: batch size + a deterministic resource key
@@ -256,6 +276,7 @@ final class Stream(
       }
     }
     (0L, "")
+    } finally out.unpersist()
   }
 }
 
@@ -315,14 +336,47 @@ final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
         case e: Exception =>
           return Left(SpecValidationException(s"spec ${parsed.id} failed to compile: ${e.getMessage}"))
       }
-      registry.register(specJson).map { _ =>
+      // source-config dry validation: catches bad eventsim/kafka config
+      // before the registry persists anything or the old stream stops
+      try validateSource(resolved)
+      catch {
+        case e: Exception =>
+          return Left(SpecValidationException(s"spec ${parsed.id} source config invalid: ${e.getMessage}"))
+      }
+      registry.register(specJson).flatMap { _ =>
         // hot-swap: stop any existing deployment of this id (I7)
         Option(streams.get(resolved.id)).foreach(shutdownStream)
-        if (!registry.isDisabled(parsed)) deploy(resolved)
-        else notifier.notify("INFO", resolved.id, "stream registered disabled; not deployed")
-        resolved.id
+        if (!registry.isDisabled(parsed)) {
+          try { deploy(resolved); Right(resolved.id) }
+          catch {
+            case e: Exception =>
+              // environmental deploy failure: surface via the contract (the
+              // spec is persisted; bootstrap/retry can redeploy once fixed)
+              notifier.notify("ERROR", resolved.id, s"deploy failed: ${e.getMessage}")
+              streams.remove(resolved.id)
+              Left(SpecValidationException(s"spec ${resolved.id} failed to deploy: ${e.getMessage}"))
+          }
+        } else {
+          notifier.notify("INFO", resolved.id, "stream registered disabled; not deployed")
+          Right(resolved.id)
+        }
       }
     }
+  }
+
+  /** Dry-run the source configuration (no query started, nothing stopped). */
+  private def validateSource(spec: StreamSpec): Unit = spec.source.sourceType match {
+    case "eventsim" =>
+      val sim = spec.source.config.customConfig
+        .map(graft.sources.EventSim.fromNode).getOrElse(graft.sources.EventSim.SimSpec())
+      if (sim.eventGeneration.genType == "sinusoid") {
+        require(sim.eventGeneration.periodSeconds > 0, "sinusoid requires positive periodSeconds")
+        if (sim.eventGeneration.peakTime.nonEmpty)
+          java.time.Instant.parse(sim.eventGeneration.peakTime) // throws on bad format
+      }
+    case "kafka" =>
+      graft.sources.KafkaSource.parseConfig(spec, config.env)
+    case _ =>
   }
 
   /** Effective ops for this environment (registry.go:88-106
@@ -348,18 +402,28 @@ final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
     val pipeline = SpecCompiler.compile(spec)
     val st = new Stream(spec, pipeline, metrics(spec.id), this)
     streams.put(spec.id, st)
+    // shared streaming start: houe-aware error guard + checkpointing for
+    // every source kind
+    def startQuery(src: DataFrame, trigger: Option[org.apache.spark.sql.streaming.Trigger]): Unit = {
+      var writer = src.select(col("value")).writeStream
+        .outputMode("append").queryName(spec.id)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          try { st.processBatch(batch); () }
+          catch {
+            case e: Exception =>
+              notifier.notify("ERROR", spec.id, s"batch failed: ${e.getMessage}")
+              if (spec.ops.handlingOfUnretryableEvents == Houe.Fail) throw e
+          }
+        }
+      config.checkpointRoot.foreach(r => writer = writer.option("checkpointLocation", s"$r/${spec.id}"))
+      trigger.foreach(t => writer = writer.trigger(t))
+      st.query = Some(writer.start())
+    }
     config.customSources.get(spec.source.sourceType) match {
       case Some(builder) => // A5: pluggable source
         val src = builder(spark, spec)
-        if (src.isStreaming) {
-          val q = src.select(col("value")).writeStream
-            .outputMode("append").queryName(spec.id)
-            .foreachBatch { (batch: DataFrame, _: Long) => st.processBatch(batch); () }
-            .start()
-          st.query = Some(q)
-        } else {
-          st.processBatch(src.select(col("value")))
-        }
+        if (src.isStreaming) startQuery(src, None)
+        else st.processBatch(src.select(col("value")))
         notifier.notify("INFO", spec.id, s"custom source '${spec.source.sourceType}' started")
         return
       case None =>
@@ -369,21 +433,9 @@ final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
         val sim = spec.source.config.customConfig
           .map(graft.sources.EventSim.fromNode).getOrElse(graft.sources.EventSim.SimSpec())
         val src = graft.sources.EventSim.stream(spark, sim, seed = 42L)
-        var w0 = src.select(col("value")).writeStream
-          .outputMode("append")
-          .queryName(spec.id)
-        config.checkpointRoot.foreach(r => w0 = w0.option("checkpointLocation", s"$r/${spec.id}"))
-        val q = w0
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            try { st.processBatch(batch); () }
-            catch {
-              case e: Exception =>
-                notifier.notify("ERROR", spec.id, s"batch failed: ${e.getMessage}")
-                if (spec.ops.handlingOfUnretryableEvents == Houe.Fail) throw e
-            }
-          }
-          .start()
-        st.query = Some(q)
+        // the sim resolution IS the trigger cadence (eventsim.go StreamExtract loop)
+        startQuery(src, Some(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime(sim.simResolutionMilliseconds)))
         notifier.notify("INFO", spec.id, "eventsim stream started")
       case "geistapi" =>
         // interactive push source: events arrive via publish()
@@ -391,22 +443,11 @@ final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
       case "kafka" if config.kafkaBootstrapServers.nonEmpty =>
         val src = graft.sources.KafkaSource.stream(spark, spec, config.env,
           config.kafkaBootstrapServers.get)
-        var writer = src.select(col("value")).writeStream
-          .outputMode("append").queryName(spec.id)
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            try { st.processBatch(batch); () }
-            catch {
-              case e: Exception =>
-                notifier.notify("ERROR", spec.id, s"batch failed: ${e.getMessage}")
-                if (spec.ops.handlingOfUnretryableEvents == Houe.Fail) throw e
-            }
-          }
-        config.checkpointRoot.foreach(r => writer = writer.option("checkpointLocation", s"$r/${spec.id}"))
         // I5 micro-batch shaping: timeout threshold → trigger interval
-        if (spec.ops.microBatch)
-          writer = writer.trigger(org.apache.spark.sql.streaming.Trigger
-            .ProcessingTime(spec.ops.microBatchTimeoutMs))
-        st.query = Some(writer.start())
+        val trigger = if (spec.ops.microBatch)
+          Some(org.apache.spark.sql.streaming.Trigger.ProcessingTime(spec.ops.microBatchTimeoutMs))
+        else None
+        startQuery(src, trigger)
         notifier.notify("INFO", spec.id, "kafka stream started")
       case other =>
         // kafka-without-brokers/pubsub etc. need external infrastructure;
@@ -434,11 +475,19 @@ final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
     streams.remove(st.spec.id)
   }
 
-  /** Hook-initiated shutdown (executor.go:253-280 HookActionShutdown). */
+  /** Hook-initiated shutdown (executor.go:253-280 HookActionShutdown).
+    * For streaming queries the request arrives on the query's own
+    * foreachBatch thread — StreamingQuery.stop() joins that thread, so a
+    * synchronous stop would self-deadlock; stop from a separate thread.
+    */
   private[runtime] def requestShutdown(streamId: String): Unit = {
     Option(streams.get(streamId)).foreach { st =>
       notifier.notify("INFO", streamId, "shutdown requested by hook")
-      shutdownStream(st)
+      if (st.query.isDefined) {
+        val t = new Thread(() => shutdownStream(st), s"graft-shutdown-$streamId")
+        t.setDaemon(true)
+        t.start()
+      } else shutdownStream(st)
     }
   }
 
@@ -477,7 +526,9 @@ object Geist {
     val root = try mapper.readTree(json) catch { case _: Exception => mapper.createObjectNode() }
     val obj = root match {
       case o: com.fasterxml.jackson.databind.node.ObjectNode => o
-      case _ => mapper.createObjectNode()
+      // non-object roots (arrays, scalars) cannot take a field: pass the
+      // event through unchanged rather than silently replacing it
+      case _ => return json
     }
     val segs = path.split("\\.")
     var cur = obj

@@ -313,6 +313,9 @@ object EventSim {
     val maxPerTrigger = math.max(1, math.max(spec.eventGeneration.maxCount, 1))
     val src = spark.readStream.format("rate-micro-batch")
       .option("rowsPerBatch", maxPerTrigger)
+      // source time advances by one sim resolution per micro-batch, so the
+      // sinusoid phase matches the batch generator's trigger clock
+      .option("advanceMillisPerBatch", spec.simResolutionMilliseconds)
       .load() // value: LONG, timestamp: TIMESTAMP
     val rows = src
       .withColumn("trigger", expr(s"value div $maxPerTrigger"))
