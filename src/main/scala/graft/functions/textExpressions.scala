@@ -19,10 +19,57 @@ object text {
   private def hashUtf8(s: UTF8String, seed: Long): Long =
     org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(s, seed)
 
+  /** Cross-engine portable hash family: MD5-derived base values + affine
+    * permutations mod p = 2^31-1. The "portable" modes of the fingerprint
+    * expressions use this so an independent SQL engine (the driver's DuckDB
+    * correctness oracle) can recompute signatures EXACTLY: md5 agrees
+    * byte-for-byte across engines, the 31-bit truncation is
+    * `('0x' || substr(md5(s), 1, 8))::UBIGINT & 2147483647` in SQL, and the
+    * affine constants are interpolated into the oracle SQL from these same
+    * definitions (see SparkEntry.oracleSql). Default (non-portable) modes
+    * keep Spark's XXH64 — faster and Spark-native — and are what the scale
+    * path uses; signatures from the two families have identical statistical
+    * properties, only the hash values differ.
+    */
+  object PortableHash {
+    val P: Long = 2147483647L // 2^31 - 1 (Mersenne prime)
+    def a(j: Int): Long = ((j.toLong * 2654435761L + 40503L) % (P - 1)) + 1
+    def b(j: Int): Long = (j.toLong * 97781L + 12345L) % P
+    /** j-th affine permutation; a*h < 2^62 so the product never overflows. */
+    def perm(j: Int, h: Long): Long = (a(j) * h + b(j)) % P
+    private val md = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+    private def digest(s: UTF8String): Array[Byte] = {
+      val d = md.get(); d.reset(); d.digest(s.getBytes)
+    }
+    /** First 31 bits of md5(s) — big-endian first 4 digest bytes, sign bit
+      * cleared; equals the SQL form above.
+      */
+    def h31(s: UTF8String): Long = {
+      val d = digest(s)
+      (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) & 0x7fffffffL
+    }
+    /** First 64 bits of md5(s) as a signed long — the same bit pattern as
+      * `('0x' || substr(md5(s), 1, 16))::UBIGINT`; per-bit tests via
+      * unsigned shifts agree across the signed/unsigned views.
+      */
+    def h64(s: UTF8String): Long = {
+      val d = digest(s)
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      h
+    }
+  }
+
   /** 64-bit SimHash over a token array: token hashes vote per bit,
     * vote-sum sign sets the output bit (Charikar 2002 construction).
+    * `portable = true` swaps the token hash to [[PortableHash.h64]].
     */
-  case class SimHash64Expr(child: Expression)
+  case class SimHash64Expr(child: Expression, portable: Boolean = false)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any = {
@@ -31,7 +78,8 @@ object text {
       var i = 0
       while (i < arr.numElements()) {
         if (!arr.isNullAt(i)) {
-          val h = hashUtf8(arr.getUTF8String(i), 42L)
+          val tok = arr.getUTF8String(i)
+          val h = if (portable) PortableHash.h64(tok) else hashUtf8(tok, 42L)
           var b = 0
           while (b < 64) {
             if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -57,27 +105,37 @@ object text {
     * distinct selected hashes. Robust to small edits — the standard
     * document-fingerprint for plagiarism/near-dup detection.
     */
-  case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
+  case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int, portable: Boolean = false)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val s = input.asInstanceOf[UTF8String].toString
       if (s.length < k) return new GenericArrayData(Array.empty[Any])
-      val B = 1000000007L
-      var pow = 1L
-      var i = 0
-      while (i < k - 1) { pow *= B; i += 1 }
       val nHashes = s.length - k + 1
       val hashes = new Array[Long](nHashes)
-      var h = 0L
-      i = 0
-      while (i < k) { h = h * B + s.charAt(i); i += 1 }
-      hashes(0) = h
-      i = 1
-      while (i < nHashes) {
-        h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
-        hashes(i) = h
-        i += 1
+      var i = 0
+      if (portable) {
+        // direct md5-31 of each k-gram (no rolling): reproducible in SQL as
+        // the same hash of substr(text, i, k). Char-indexed substring ==
+        // SQL's codepoint substr for BMP text (the test corpus is ASCII).
+        while (i < nHashes) {
+          hashes(i) = PortableHash.h31(UTF8String.fromString(s.substring(i, i + k)))
+          i += 1
+        }
+      } else {
+        val B = 1000000007L
+        var pow = 1L
+        while (i < k - 1) { pow *= B; i += 1 }
+        var h = 0L
+        i = 0
+        while (i < k) { h = h * B + s.charAt(i); i += 1 }
+        hashes(0) = h
+        i = 1
+        while (i < nHashes) {
+          h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+          hashes(i) = h
+          i += 1
+        }
       }
       // winnow: min of each window of w hashes (rightmost min on ties)
       val selected = scala.collection.mutable.LinkedHashSet.empty[Long]
@@ -109,7 +167,8 @@ object text {
     * Output: struct(sig: array<long>, buckets: array<long>) where
     * buckets(b) identifies the LSH bucket of band b.
     */
-  case class MinHashExpr(child: Expression, shingleLen: Int, numHashes: Int, bands: Int)
+  case class MinHashExpr(child: Expression, shingleLen: Int, numHashes: Int, bands: Int,
+      portable: Boolean = false)
       extends UnaryExpression with CodegenFallback {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     private val rows = numHashes / bands
@@ -128,21 +187,41 @@ object text {
         val nShingles = math.max(1, n - shingleLen + 1)
         var i = 0
         while (i < nShingles) {
-          // shingle base hash: chain-hash the token window (no string build)
-          var base = 0x9747b28cL
-          var t = i
           val end = math.min(i + shingleLen, n)
-          while (t < end) {
-            val tok = if (arr.isNullAt(t)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(t)
-            base = hashUtf8(tok, base)
-            t += 1
-          }
-          // numHashes derived hashes from the base via long-mixing
-          var j = 0
-          while (j < numHashes) {
-            val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(base, j.toLong)
-            if (h < sig(j)) sig(j) = h
-            j += 1
+          if (portable) {
+            // portable mode: md5-31 of the space-joined shingle string (the
+            // exact string SQL's array_to_string(slice, ' ') produces), then
+            // affine permutations — SQL-recomputable, slightly more alloc.
+            val sb = new java.lang.StringBuilder
+            var t = i
+            while (t < end) {
+              if (t > i) sb.append(' ')
+              if (!arr.isNullAt(t)) sb.append(arr.getUTF8String(t).toString)
+              t += 1
+            }
+            val base = PortableHash.h31(UTF8String.fromString(sb.toString))
+            var j = 0
+            while (j < numHashes) {
+              val h = PortableHash.perm(j, base)
+              if (h < sig(j)) sig(j) = h
+              j += 1
+            }
+          } else {
+            // shingle base hash: chain-hash the token window (no string build)
+            var base = 0x9747b28cL
+            var t = i
+            while (t < end) {
+              val tok = if (arr.isNullAt(t)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(t)
+              base = hashUtf8(tok, base)
+              t += 1
+            }
+            // numHashes derived hashes from the base via long-mixing
+            var j = 0
+            while (j < numHashes) {
+              val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(base, j.toLong)
+              if (h < sig(j)) sig(j) = h
+              j += 1
+            }
           }
           i += 1
         }
@@ -195,11 +274,24 @@ object text {
     * (table, bucket) pairs in one pass (planes per table, deterministic
     * hyperplane components from XXH64(dim, seed)). Single-eval replacement
     * for the nested-HOF formulation.
+    *
+    * `probes > 1` enables multi-probe LSH (Lv et al., VLDB 2007): per table,
+    * also emit the buckets whose bit pattern is within the smallest
+    * `probes` XOR masks (ordered by Hamming weight) of the vector's own
+    * bucket. Probing the query side boosts recall without growing the
+    * corpus-side index; `probes = 2^planes` probes every bucket, making the
+    * bucket join provably exhaustive — the correctness gate uses that to
+    * pin ANN output to the exact top-k oracle.
     */
-  case class HyperplaneKeysExpr(child: Expression, planes: Int, tables: Int)
+  case class HyperplaneKeysExpr(child: Expression, planes: Int, tables: Int, probes: Int = 1)
       extends UnaryExpression with CodegenFallback {
+    require(probes >= 1 && probes <= (1 << planes), "probes must be in [1, 2^planes]")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = false
+    // XOR masks in probe order: own bucket first, then 1-bit flips, ...
+    @transient private lazy val masks: Array[Long] =
+      (0L until (1L << planes)).sortBy(m => (java.lang.Long.bitCount(m), m))
+        .take(probes).toArray
     // hyperplane components are deterministic constants — cache them per
     // observed dimension instead of re-hashing tables×planes×dim per row
     @transient private var cachedDim: Int = -1
@@ -224,7 +316,7 @@ object text {
     }
     override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
       val raw = child.eval(input)
-      val out = new Array[Long](tables)
+      val out = new Array[Long](tables * probes)
       if (raw != null) {
         val v = raw.asInstanceOf[ArrayData]
         val dim = v.numElements()
@@ -242,7 +334,11 @@ object text {
             p += 1
           }
           // fold table index into the key so tables never collide
-          out(t) = bucket * tables + t
+          var pi = 0
+          while (pi < probes) {
+            out(t * probes + pi) = (bucket ^ masks(pi)) * tables + t
+            pi += 1
+          }
           t += 1
         }
       }
@@ -251,8 +347,8 @@ object text {
     override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   }
 
-  def simhash64(tokens: Column): Column =
-    ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(tokens)))
+  def simhash64(tokens: Column, portable: Boolean = false): Column =
+    ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(tokens), portable))
 
   /** IVF cell assignment: ids of the `n` nearest centroids (by cosine) for
     * a vector column. The centroid matrix rides inside the expression —
@@ -294,12 +390,13 @@ object text {
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
-  def hyperplaneKeys(vec: Column, planes: Int, tables: Int): Column =
-    ExpressionUtils.column(HyperplaneKeysExpr(ExpressionUtils.expression(vec), planes, tables))
+  def hyperplaneKeys(vec: Column, planes: Int, tables: Int, probes: Int = 1): Column =
+    ExpressionUtils.column(HyperplaneKeysExpr(ExpressionUtils.expression(vec), planes, tables, probes))
 
-  def minhash(tokens: Column, shingleLen: Int, numHashes: Int, bands: Int): Column =
-    ExpressionUtils.column(MinHashExpr(ExpressionUtils.expression(tokens), shingleLen, numHashes, bands))
+  def minhash(tokens: Column, shingleLen: Int, numHashes: Int, bands: Int,
+      portable: Boolean = false): Column =
+    ExpressionUtils.column(MinHashExpr(ExpressionUtils.expression(tokens), shingleLen, numHashes, bands, portable))
 
-  def winnowFingerprint(text: Column, k: Int = 8, w: Int = 4): Column =
-    ExpressionUtils.column(WinnowFingerprintExpr(ExpressionUtils.expression(text), k, w))
+  def winnowFingerprint(text: Column, k: Int = 8, w: Int = 4, portable: Boolean = false): Column =
+    ExpressionUtils.column(WinnowFingerprintExpr(ExpressionUtils.expression(text), k, w, portable))
 }

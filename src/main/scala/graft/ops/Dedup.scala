@@ -47,18 +47,38 @@ object Dedup {
     * (graft.functions.text.MinHashExpr): O(shingles × hashes) per row,
     * computed exactly once regardless of how many band columns reference it.
     */
-  def minhashSigAndBuckets(textCol: Column, shingleLen: Int, numHashes: Int, bands: Int): Column =
-    graft.functions.text.minhash(split(lower(trim(textCol)), "\\s+"), shingleLen, numHashes, bands)
+  def minhashSigAndBuckets(textCol: Column, shingleLen: Int, numHashes: Int, bands: Int,
+      portable: Boolean = false): Column =
+    graft.functions.text.minhash(split(lower(trim(textCol)), "\\s+"), shingleLen, numHashes, bands, portable)
+
+  /** Skew guard shared by the banded-LSH candidate generators: keep only
+    * (band, bucket) groups of size ≤ maxBucket (a bucket of size m yields
+    * m² pairs; at corpus scale one degenerate bucket — empty docs, boiler-
+    * plate — would otherwise dominate the stage). Dropped-bucket members
+    * still pair through their other bands. Implemented as groupBy-count +
+    * same-key inner join rather than a window count: no per-bucket sort,
+    * and the count side is tiny (one row per bucket) so AQE can broadcast.
+    */
+  private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val sizes = banded.groupBy(keys.map(col): _*).count()
+      .filter(col("count") <= maxBucket).drop("count")
+    banded.join(sizes, keys)
+  }
 
   /** Candidate near-duplicate pairs via banded LSH.
     *
     * @param bands      number of LSH bands; rows = numHashes / bands.
     * @param maxBucket  skew guard: buckets larger than this are dropped
-    *                   (a bucket of size m yields m² pairs; at corpus scale
-    *                   a single degenerate shingle set would otherwise
-    *                   dominate the stage). Dropped-bucket members still
-    *                   pair through their other bands.
-    * Output: (idA, idB, est_jaccard) with idA < idB, distinct.
+    *                   (see [[capBuckets]]).
+    * @param portable   use the SQL-recomputable md5 hash family (the
+    *                   correctness oracle recomputes the signatures in
+    *                   DuckDB); default XXH64 for the scale path.
+    * Output: (idA, idB, est_jaccard) with idA < idB, distinct. Candidates
+    * are pairs whose signatures agree on a FULL band (the bucket join is a
+    * pre-filter on the band hash; the slice-equality filter removes the
+    * residual 64-bit hash-collision false positives so the semantics are
+    * exactly "∃ band with identical signature rows" — which is what the
+    * DuckDB oracle mirrors).
     */
   def minhashCandidates(
       df: DataFrame,
@@ -67,26 +87,28 @@ object Dedup {
       shingleLen: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      maxBucket: Int = 64
+      maxBucket: Int = 64,
+      portable: Boolean = false
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
 
     val sigs = df.select(
       col(idCol).as("id"),
-      minhashSigAndBuckets(col(textCol), shingleLen, numHashes, bands).as("mh"))
+      minhashSigAndBuckets(col(textCol), shingleLen, numHashes, bands, portable).as("mh"))
 
     val banded = sigs.select(
       col("id"), col("mh.sig").as("sig"),
       posexplode(col("mh.buckets")).as(Seq("band", "bucket")))
 
-    val bucketed = banded
-      .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("bucket_size") <= maxBucket)
+    val bucketed = capBuckets(banded, Seq("band", "bucket"), maxBucket)
 
     val a = bucketed.select(col("band"), col("bucket"), col("id").as("idA"), col("sig").as("sigA"))
     val b = bucketed.select(col("band"), col("bucket"), col("id").as("idB"), col("sig").as("sigB"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("idA") < col("idB"))
+      .filter(slice(col("sigA"), col("band") * rows + 1, lit(rows)) ===
+        slice(col("sigB"), col("band") * rows + 1, lit(rows)))
       .select(col("idA"), col("idB"),
         (size(filter(zip_with(col("sigA"), col("sigB"), (x, y) => (x === y).cast("int")),
           v => v === 1)) / lit(numHashes.toDouble)).as("est_jaccard"))
@@ -122,9 +144,9 @@ object Dedup {
     * with small Hamming distance, found by banding the fingerprint into
     * 16-bit chunks (any equal chunk → candidate).
     */
-  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+  def simhash(df: DataFrame, textCol: String, idCol: String, portable: Boolean = false): DataFrame =
     df.select(col(idCol).as("id"),
-      graft.functions.text.simhash64(split(lower(trim(col(textCol))), "\\s+")).as("simhash"))
+      graft.functions.text.simhash64(split(lower(trim(col(textCol))), "\\s+"), portable).as("simhash"))
 
   /** Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket join
     * (any of `tables` tables) followed by exact cosine ≥ threshold —
@@ -137,12 +159,20 @@ object Dedup {
       idCol: String,
       threshold: Double = 0.95,
       planes: Int = 6,
-      tables: Int = 6
+      tables: Int = 6,
+      probes: Int = 1
   ): DataFrame = {
     import graft.functions.text
     val keyed = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       explode(text.hyperplaneKeys(col(vecCol), planes, tables)).as("key"))
-    val a = keyed.select(col("key"), col("id").as("idA"), col("vec").as("vecA"))
+    // multi-probe on one side only (probing both sides would double-count
+    // the flip distance); probes = 2^planes makes the join exhaustive,
+    // which the correctness gate uses on a bounded corpus.
+    val probed =
+      if (probes == 1) keyed
+      else df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        explode(text.hyperplaneKeys(col(vecCol), planes, tables, probes)).as("key"))
+    val a = probed.select(col("key"), col("id").as("idA"), col("vec").as("vecA"))
     val b = keyed.select(col("key"), col("id").as("idB"), col("vec").as("vecB"))
     a.join(b, Seq("key"))
       .filter(col("idA") < col("idB"))
@@ -151,12 +181,19 @@ object Dedup {
       .filter(col("cos_sim") >= threshold)
   }
 
-  /** Candidate pairs with Hamming distance ≤ maxDist via 16-bit banding. */
-  def simhashCandidates(df: DataFrame, textCol: String, idCol: String, maxDist: Int = 3): DataFrame = {
-    val fp = simhash(df, textCol, idCol)
-    val banded = fp.select(col("id"), col("simhash"),
+  /** Candidate pairs with Hamming distance ≤ maxDist via 16-bit banding
+    * (any equal 16-bit chunk → candidate; by pigeonhole every pair with
+    * hamming ≤ 3 is guaranteed found, larger distances probabilistically).
+    * Same `maxBucket` skew guard as minhash: a degenerate chunk (empty docs
+    * all fingerprint 0) would otherwise make one bucket quadratic.
+    */
+  def simhashCandidates(df: DataFrame, textCol: String, idCol: String, maxDist: Int = 3,
+      maxBucket: Int = 64, portable: Boolean = false): DataFrame = {
+    val fp = simhash(df, textCol, idCol, portable)
+    val banded0 = fp.select(col("id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("simhash"), (lit(16) * b).cast("int")).bitwiseAND(lit(0xffffL)))).as(Seq("band", "chunk")))
+    val banded = capBuckets(banded0, Seq("band", "chunk"), maxBucket)
     val a = banded.select(col("band"), col("chunk"), col("id").as("idA"), col("simhash").as("fpA"))
     val b = banded.select(col("band"), col("chunk"), col("id").as("idB"), col("simhash").as("fpB"))
     a.join(b, Seq("band", "chunk"))

@@ -56,6 +56,19 @@ object Similarity {
     * `tables` hyperplane hash tables; exact cosine ranks the candidates.
     * Shuffle cost: corpus × tables bucket entries (ids + vectors), never a
     * cross join.
+    *
+    * `probes > 1` = multi-probe LSH on the query side (buckets within the
+    * smallest XOR masks of the query's own bucket, Hamming-weight order):
+    * recall grows without growing the corpus index. `probes = 2^planes`
+    * probes every bucket — provably exhaustive, so the output equals exact
+    * brute-force top-k; the correctness gate runs in that mode against the
+    * DuckDB exact-cosine oracle while ScalaTest gates recall of the
+    * approximate settings.
+    *
+    * The (query, neighbor) dedup of multi-table collisions runs AFTER the
+    * cosine projection, so the dedup exchange carries (ids, sim) only —
+    * never the embedding arrays (at 100 TB the vectors would dominate the
+    * shuffle payload).
     */
   def lshTopK(
       queries: DataFrame, // (id, vec)
@@ -63,17 +76,17 @@ object Similarity {
       k: Int,
       planes: Int = 4,
       tables: Int = 8,
+      probes: Int = 1,
       excludeSelf: Boolean = true
   ): DataFrame = {
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
       explode(graft.functions.text.hyperplaneKeys(col("vec"), planes, tables)).as("key"))
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
-      explode(graft.functions.text.hyperplaneKeys(col("vec"), planes, tables)).as("key"))
+      explode(graft.functions.text.hyperplaneKeys(col("vec"), planes, tables, probes)).as("key"))
     val joined = c.join(q, Seq("key"))
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
-      .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("sim"))
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
@@ -86,30 +99,39 @@ object Similarity {
     * doubles) broadcast inside an expression; the corpus shuffles once by
     * cell id — the classic IVF trade: recall vs cells probed.
     */
-  def ivfTopK(
-      queries: DataFrame,
-      corpus: DataFrame,
-      k: Int,
+  /** Train (and return) IVF centroids: deterministic seeds + one Lloyd
+    * refinement over a bounded distributed sample. The result is tiny
+    * reusable metadata (nCentroids × dim doubles) — train once, pass to
+    * repeated [[ivfTopK]] calls so the corpus isn't rescanned per query
+    * batch. Sampling is per-row hash thresholding (no global sort → no
+    * single-partition limit funnel); correctness never depends on WHICH
+    * rows are sampled — any centroid set yields exact per-cell results,
+    * the sample only tunes recall.
+    */
+  def trainCentroids(
+      corpus: DataFrame, // (id, vec)
       nCentroids: Int = 16,
-      nprobe: Int = 4,
-      excludeSelf: Boolean = true
-  ): DataFrame = {
+      maxRefineVectors: Int = 50000,
+      seed: Long = 7L
+  ): Array[Array[Double]] = {
     import graft.functions.text
-    // deterministic centroid seed: hash-sampled corpus vectors
+    // seed vectors: hash-ordered top-nCentroids — a small limit, so Spark
+    // plans TakeOrderedAndProject (per-partition top-k + driver merge)
     val seedRows = corpus
       .withColumn("__h", xxhash64(col("id")))
       .orderBy("__h").limit(nCentroids)
       .select("vec").collect()
-    require(seedRows.nonEmpty, "ivfTopK requires a non-empty corpus")
+    require(seedRows.nonEmpty, "trainCentroids requires a non-empty corpus")
     val seeds = seedRows.map(_.getSeq[Double](0).toArray)
-    // one Lloyd refinement over a BOUNDED deterministic sample: the mean
-    // only needs representative vectors, and an unbounded collect_list
-    // would buffer the whole corpus into nCentroids aggregation rows.
-    val maxRefineVectors = 50000
-    val sample = corpus
-      .withColumn("__h", xxhash64(col("id"), lit(7)))
-      .orderBy("__h").limit(maxRefineVectors)
-      .select(col("id"), col("vec"))
+    val n = corpus.count()
+    val sample =
+      if (n <= maxRefineVectors) corpus.select(col("id"), col("vec"))
+      else {
+        val keepPerMillion = math.max(1L,
+          (maxRefineVectors.toDouble / n * 1000000).toLong)
+        corpus.select(col("id"), col("vec"))
+          .where(pmod(xxhash64(col("id"), lit(seed)), lit(1000000L)) < lit(keepPerMillion))
+      }
     val assigned0 = sample.select(col("id"), col("vec"),
       text.nearestCentroids(col("vec"), seeds, 1)(0).as("cell"))
     val refined = assigned0.groupBy("cell")
@@ -117,15 +139,26 @@ object Similarity {
       .select(col("cell"),
         expr("transform(sequence(0, size(vs[0]) - 1), i -> aggregate(vs, 0D, (acc, v) -> acc + v[i]) / size(vs))").as("centroid"))
       .orderBy("cell").collect()
-    val centroids: Array[Array[Double]] = {
-      val m = refined.map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toMap
-      (0 until nCentroids).map(i => m.getOrElse(i, seeds(math.min(i, seeds.length - 1)))).toArray
-    }
+    val m = refined.map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toMap
+    (0 until nCentroids).map(i => m.getOrElse(i, seeds(math.min(i, seeds.length - 1)))).toArray
+  }
+
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nprobe: Int = 4,
+      excludeSelf: Boolean = true,
+      centroids: Option[Array[Array[Double]]] = None
+  ): DataFrame = {
+    import graft.functions.text
+    val cents = centroids.getOrElse(trainCentroids(corpus, nCentroids))
 
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
-      text.nearestCentroids(col("vec"), centroids, 1)(0).as("cell"))
+      text.nearestCentroids(col("vec"), cents, 1)(0).as("cell"))
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
-      explode(text.nearestCentroids(col("vec"), centroids, nprobe)).as("cell"))
+      explode(text.nearestCentroids(col("vec"), cents, nprobe)).as("cell"))
     val joined = c.join(q, Seq("cell"))
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("sim"))
