@@ -339,11 +339,17 @@ object SparkEntry {
     // ---- training-data pipeline operators (north star) ----
     "ns_dedup_exact" -> ((s, dir) =>
       graft.ops.Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
+    // portable (md5) hash family: the DuckDB oracle recomputes the full
+    // 64-hash signature per document and mirrors the banding semantics
+    // (∃ band with identical signature rows), so the candidate set is
+    // hash-verified end-to-end, not just row-counted.
     "ns_dedup_minhash" -> ((s, dir) =>
-      graft.ops.Dedup.minhashCandidates(t(s, dir, "documents"), "text", "doc_id")
+      graft.ops.Dedup.minhashCandidates(t(s, dir, "documents"), "text", "doc_id",
+        portable = true)
         .filter(col("est_jaccard") >= 0.5)),
     "ns_dedup_simhash" -> ((s, dir) =>
-      graft.ops.Dedup.simhashCandidates(t(s, dir, "documents"), "text", "doc_id", maxDist = 10)),
+      graft.ops.Dedup.simhashCandidates(t(s, dir, "documents"), "text", "doc_id",
+        maxDist = 10, portable = true)),
     "ns_ngram_jaccard" -> ((s, dir) => {
       val d = t(s, dir, "documents").filter(col("doc_id") < 100)
       val ids = d.select(col("doc_id"))
@@ -356,20 +362,29 @@ object SparkEntry {
         .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
       graft.ops.Similarity.bruteForceTopK(e.filter(col("id") < 50), e, k = 5)
     }),
+    // ANN correctness gates run in provably-exhaustive mode (probe every
+    // bucket / every IVF cell): the output must then EQUAL exact top-k, so
+    // the DuckDB exact-cosine oracle pins the whole pipeline — bucketing,
+    // probing, candidate dedup, ranking. Approximate-setting recall (the
+    // scale path: probes ≪ 2^planes, nprobe ≪ nCentroids) is gated by
+    // ScalaTest recall tests in OpsSpec.
     "ns_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
-      graft.ops.Similarity.lshTopK(e.filter(col("id") < 50), e, k = 5, planes = 4, tables = 8)
+      graft.ops.Similarity.lshTopK(e.filter(col("id") < 50), e, k = 5,
+        planes = 4, tables = 2, probes = 16)
     }),
     "ns_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
-      graft.ops.Similarity.ivfTopK(e.filter(col("id") < 50), e, k = 5, nCentroids = 16, nprobe = 4)
+      graft.ops.Similarity.ivfTopK(e.filter(col("id") < 50), e, k = 5,
+        nCentroids = 16, nprobe = 16)
     }),
     "ns_dedup_embed" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
-      graft.ops.Dedup.embeddingCandidates(e, "vec", "id", threshold = 0.5)
+      graft.ops.Dedup.embeddingCandidates(e, "vec", "id", threshold = 0.48,
+        planes = 4, tables = 2, probes = 16)
         .select(col("idA"), col("idB")) // int-only output for determinism
     }),
     "ns_text_profile" -> ((s, dir) => {
@@ -396,10 +411,18 @@ object SparkEntry {
           col("snt.neg_hits").as("neg_hits"), col("snt.score").as("score"))
     }),
     "ns_fingerprint" -> ((s, dir) => {
+      // portable winnowing: the oracle recomputes every k-gram hash and the
+      // window minima in SQL; the output aggregates the fingerprint set so
+      // values (not just counts) are hash-compared.
       val d = t(s, dir, "documents")
       d.select(col("doc_id"),
-        graft.ops.TextAnalysis.fingerprint(col("text")).as("fps"))
-        .select(col("doc_id"), size(col("fps")).as("n_fp"), array_min(col("fps")).as("fp_min"))
+        graft.functions.text.winnowFingerprint(col("text"), k = 8, w = 4, portable = true).as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          array_min(col("fps")).as("fp_min"),
+          array_max(col("fps")).as("fp_max"),
+          when(size(col("fps")) === 0, lit(null).cast("long"))
+            .otherwise(aggregate(col("fps"), lit(0L), (acc, x) => acc + x)).as("fp_sum"))
     }),
     "a2_eventsim" -> ((s, dir) => {
       // Deterministic synthetic source (A2/A3): seeded generators, weighted
@@ -425,14 +448,53 @@ object SparkEntry {
           |    {"id": "cust", "jsonPath": "cust"},
           |    {"id": "amount", "jsonPath": "amount", "type": "float"}
           |  ]}]}""".stripMargin))
+      // Fixed-seed golden aggregate: the generator is deterministic
+      // (seed 42, pinned epoch), so per-customer counts and cent-exact
+      // amount sums are pinned against a VALUES-literal oracle — gating
+      // cross-round/cross-JVM determinism of the whole generator stack
+      // (weighted CDF, setOfStrings, sinusoid rate) plus the spec pipeline.
       p(events).head._2
+        .groupBy(col("cust"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("amount") * 100).cast("long")).as("amount_cents"))
     }),
     "ns_multimodal" -> ((s, dir) => {
       val media = graft.ops.Multimodal.fromDocuments(t(s, dir, "documents"), "doc_id", "text", "text/plain")
+      // md5-derived metadata (see Multimodal.fromDocuments) lets the oracle
+      // recompute n_frames; n_nonzero gates the decode-stub feature output
+      // (every ASCII payload byte votes >0 into its dim — so exactly
+      // min(n_bytes, dim) feature dims are positive).
       graft.ops.Multimodal.extractFeatures(media, dim = 16).toDF()
-        .select(col("media_id"), col("n_frames"), size(col("feature")).as("feat_dim"))
+        .select(col("media_id"), col("n_frames"), size(col("feature")).as("feat_dim"),
+          size(filter(col("feature"), x => x > 0)).as("n_nonzero"))
     })
   )
+
+  /** The 64 portable-minhash signature components as DuckDB expressions —
+    * generated from the SAME affine constants the Spark-side
+    * MinHashExpr(portable = true) uses (graft.functions.text.PortableHash),
+    * so the oracle recomputes signatures value-for-value.
+    */
+  private def minhashSigSql: String = {
+    import graft.functions.text.PortableHash
+    (0 until 64).map(j =>
+      s"list_min(list_transform(hs, h -> (${PortableHash.a(j)} * h + ${PortableHash.b(j)}) % ${PortableHash.P}))")
+      .mkString("[", ",\n          ", "]")
+  }
+
+  /** Exact cosine top-k oracle — shared by ns_embed_topk and by the ANN
+    * queries (which run in provably-exhaustive probe mode, so their output
+    * must equal exact top-k: brute force, LSH, and IVF are mutually gated).
+    */
+  private val exactTopKSql =
+    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 50),
+      |     c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings)
+      |SELECT query_id, neighbor_id, rank FROM (
+      |  SELECT q.qid AS query_id, c.nid AS neighbor_id,
+      |         row_number() OVER (PARTITION BY q.qid
+      |           ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.nid) AS rank
+      |  FROM q JOIN c ON q.qid != c.nid)
+      |WHERE rank <= 5""".stripMargin
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */
   def oracleSql: Map[String, String] = Map(
@@ -557,15 +619,93 @@ object SparkEntry {
         |       len(list_intersect(a.grams, b.grams)) AS n_common,
         |       len(list_distinct(list_concat(a.grams, b.grams))) AS n_union
         |FROM g a JOIN g b ON a.doc_id < b.doc_id""".stripMargin,
-    "ns_embed_topk" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 50),
-        |     c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings)
-        |SELECT query_id, neighbor_id, rank FROM (
-        |  SELECT q.qid AS query_id, c.nid AS neighbor_id,
-        |         row_number() OVER (PARTITION BY q.qid
-        |           ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.nid) AS rank
-        |  FROM q JOIN c ON q.qid != c.nid)
-        |WHERE rank <= 5""".stripMargin,
+    "ns_embed_topk" -> exactTopKSql,
+    "ns_ann_lsh" -> exactTopKSql,
+    "ns_ann_ivf" -> exactTopKSql,
+    "ns_dedup_embed" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+        |SELECT a.vec_id AS idA, b.vec_id AS idB
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.48""".stripMargin,
+    "ns_dedup_minhash" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+         |), gr AS (
+         |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END AS grams
+         |  FROM tk
+         |), hh AS (
+         |  SELECT doc_id, list_transform(grams, g -> ('0x' || substr(md5(g), 1, 8))::UBIGINT & 2147483647) AS hs FROM gr
+         |), sg AS (
+         |  SELECT doc_id, $minhashSigSql AS sig FROM hh
+         |)
+         |SELECT a.doc_id AS idA, b.doc_id AS idB,
+         |       len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) / 64.0 AS est_jaccard
+         |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+         |WHERE len(list_filter(range(0, 16), bb ->
+         |        len(list_filter(range(1, 5), r -> a.sig[bb*4 + r] = b.sig[bb*4 + r])) = 4)) > 0
+         |  AND len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) / 64.0 >= 0.5""".stripMargin,
+    "ns_dedup_simhash" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |hh AS (SELECT doc_id, list_transform(toks, t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT) AS hs FROM tk),
+        |bt AS (
+        |  SELECT doc_id, list_transform(range(0, 64), i ->
+        |    list_sum(list_transform(hs, h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0) AS bits
+        |  FROM hh
+        |)
+        |SELECT a.doc_id AS idA, b.doc_id AS idB,
+        |       CAST(len(list_filter(range(1, 65), i -> a.bits[i] != b.bits[i])) AS INT) AS hamming
+        |FROM bt a JOIN bt b ON a.doc_id < b.doc_id
+        |WHERE len(list_filter(range(1, 65), i -> a.bits[i] != b.bits[i])) <= 10
+        |  AND len(list_filter(range(0, 4), c ->
+        |        len(list_filter(range(1, 17), r -> a.bits[c*16 + r] != b.bits[c*16 + r])) = 0)) > 0""".stripMargin,
+    "ns_fingerprint" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) < 8 THEN []
+        |         ELSE list_transform(range(1, length(text) - 6), i ->
+        |           ('0x' || substr(md5(substr(text, i, 8)), 1, 8))::UBIGINT & 2147483647) END AS hs
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, CASE WHEN len(hs) = 0 THEN []
+        |    WHEN len(hs) <= 4 THEN [list_min(hs)]
+        |    ELSE list_distinct(list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3]))) END AS fps
+        |  FROM h
+        |)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, CAST(list_min(fps) AS BIGINT) AS fp_min,
+        |       CAST(list_max(fps) AS BIGINT) AS fp_max, CAST(list_sum(fps) AS BIGINT) AS fp_sum
+        |FROM f""".stripMargin,
+    // Fixed-seed golden (seed 42, epoch 2024-06-01T00:00:00Z, 120 triggers):
+    // per-customer event counts + cent-exact amount sums of the CONN_OPENED
+    // branch. Pins cross-engine/cross-round determinism of the eventsim
+    // generator stack; regenerate via the a2_eventsim query if the
+    // generator's seeded sequence is ever intentionally changed.
+    "a2_eventsim" ->
+      """SELECT cust, CAST(n AS BIGINT) AS n, CAST(amount_cents AS BIGINT) AS amount_cents
+        |FROM (VALUES
+        |  ('c1', 10, 57434), ('c10', 20, 89413), ('c11', 16, 80303),
+        |  ('c12', 17, 102831), ('c13', 19, 78364), ('c14', 12, 71082),
+        |  ('c15', 17, 84582), ('c16', 17, 67101), ('c17', 11, 58964),
+        |  ('c18', 17, 87353), ('c19', 18, 84250), ('c2', 19, 125027),
+        |  ('c20', 13, 69171), ('c21', 12, 45739), ('c22', 15, 57078),
+        |  ('c23', 18, 86210), ('c24', 18, 86519), ('c25', 14, 76136),
+        |  ('c26', 13, 47069), ('c27', 14, 78690), ('c28', 19, 102782),
+        |  ('c29', 13, 51147), ('c3', 8, 43700), ('c30', 17, 77432),
+        |  ('c31', 22, 143880), ('c32', 11, 56733), ('c33', 16, 82897),
+        |  ('c34', 18, 98239), ('c35', 14, 53873), ('c36', 10, 51653),
+        |  ('c37', 13, 68532), ('c38', 13, 66831), ('c39', 9, 37155),
+        |  ('c4', 21, 119121), ('c40', 19, 116033), ('c41', 13, 63967),
+        |  ('c42', 14, 67359), ('c43', 15, 90393), ('c44', 7, 36040),
+        |  ('c45', 6, 18129), ('c46', 7, 43086), ('c47', 17, 71929),
+        |  ('c48', 11, 58995), ('c49', 11, 42602), ('c5', 12, 67022),
+        |  ('c50', 21, 108768), ('c6', 14, 48909), ('c7', 19, 94501),
+        |  ('c8', 12, 56431), ('c9', 12, 57536)
+        |) AS t(cust, n, amount_cents)""".stripMargin,
+    "ns_multimodal" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(greatest(1, ((('0x'||substr(md5(text||'d'),1,8))::UBIGINT & 2147483647) % 600000) // 40000) AS INT) AS n_frames,
+        |  16 AS feat_dim, CAST(least(length(text), 16) AS INT) AS n_nonzero
+        |FROM documents""".stripMargin,
     "ns_sentiment" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(toks, x -> x IN ('good','great','excellent','fast','love','best','happy','win','nice','cool'))) AS BIGINT) AS pos_hits,

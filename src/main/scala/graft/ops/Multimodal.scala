@@ -37,16 +37,23 @@ object Multimodal {
   /** Build a media table from any (id, payload-string) source — used by the
     * driver-contract query to exercise the plumbing against the shared
     * `documents` table (text bytes stand in for media bytes).
+    *
+    * Synthetic metadata derives from md5 (not xxhash64) so the DuckDB
+    * correctness oracle can recompute it: first 31 bits of the digest,
+    * `('0x' || substr(md5(x), 1, 8))::UBIGINT & 2147483647` in SQL.
     */
+  private def h31(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long").bitwiseAND(lit(0x7fffffffL))
+
   def fromDocuments(docs: DataFrame, idCol: String, payloadCol: String, mime: String): DataFrame =
     docs.select(
       col(idCol).cast("long").as("media_id"),
       col(payloadCol).cast("binary").as("content"),
       struct(
         lit(mime).as("mime"),
-        (pmod(xxhash64(col(payloadCol)), lit(1920)) + 1).cast("int").as("width"),
-        (pmod(xxhash64(col(payloadCol), lit(1)), lit(1080)) + 1).cast("int").as("height"),
-        pmod(xxhash64(col(payloadCol), lit(2)), lit(600000)).as("duration_ms"),
+        (pmod(h31(col(payloadCol)), lit(1920)) + 1).cast("int").as("width"),
+        (pmod(h31(concat(col(payloadCol), lit("h"))), lit(1080)) + 1).cast("int").as("height"),
+        pmod(h31(concat(col(payloadCol), lit("d"))), lit(600000)).as("duration_ms"),
         length(col(payloadCol)).cast("long").as("n_bytes")
       ).as("meta"))
 

@@ -123,15 +123,7 @@ object Similarity {
       .select("vec").collect()
     require(seedRows.nonEmpty, "trainCentroids requires a non-empty corpus")
     val seeds = seedRows.map(_.getSeq[Double](0).toArray)
-    val n = corpus.count()
-    val sample =
-      if (n <= maxRefineVectors) corpus.select(col("id"), col("vec"))
-      else {
-        val keepPerMillion = math.max(1L,
-          (maxRefineVectors.toDouble / n * 1000000).toLong)
-        corpus.select(col("id"), col("vec"))
-          .where(pmod(xxhash64(col("id"), lit(seed)), lit(1000000L)) < lit(keepPerMillion))
-      }
+    val sample = refinementSample(corpus, maxRefineVectors, seed)
     val assigned0 = sample.select(col("id"), col("vec"),
       text.nearestCentroids(col("vec"), seeds, 1)(0).as("cell"))
     val refined = assigned0.groupBy("cell")
@@ -141,6 +133,21 @@ object Similarity {
       .orderBy("cell").collect()
     val m = refined.map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toMap
     (0 until nCentroids).map(i => m.getOrElse(i, seeds(math.min(i, seeds.length - 1)))).toArray
+  }
+
+  /** Bounded distributed sample for the Lloyd refinement: per-row hash
+    * thresholding (a narrow filter — no global sort, no single-partition
+    * limit funnel). Cap is in expectation, which is all the mean needs.
+    */
+  private[graft] def refinementSample(corpus: DataFrame, maxRefineVectors: Int, seed: Long): DataFrame = {
+    val n = corpus.count()
+    if (n <= maxRefineVectors) corpus.select(col("id"), col("vec"))
+    else {
+      val keepPerMillion = math.max(1L,
+        (maxRefineVectors.toDouble / n * 1000000).toLong)
+      corpus.select(col("id"), col("vec"))
+        .where(pmod(xxhash64(col("id"), lit(seed)), lit(1000000L)) < lit(keepPerMillion))
+    }
   }
 
   def ivfTopK(

@@ -129,6 +129,98 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "und"))
   }
 
+  test("portable hash family matches the SQL definition (md5 goldens)") {
+    import graft.functions.text.PortableHash
+    import org.apache.spark.unsafe.types.UTF8String
+    // goldens computed independently: ('0x'||substr(md5(s),1,8))::UBIGINT
+    // & 2147483647 and the first-16-hex signed-64 view
+    assert(PortableHash.h31(UTF8String.fromString("hello")) == 1564557354L)
+    assert(PortableHash.h64(UTF8String.fromString("hello")) == 6719722671305337462L)
+    assert(PortableHash.h31(UTF8String.fromString("")) == 1411222745L)
+    assert(PortableHash.h64(UTF8String.fromString("")) == -3162216497309240828L)
+    // affine perms stay in [0, P)
+    (0 until 64).foreach { j =>
+      val v = PortableHash.perm(j, 2147483646L)
+      assert(v >= 0 && v < PortableHash.P)
+    }
+  }
+
+  test("portable minhash/simhash modes keep the candidate semantics of the default family") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base.replace("tok30", "tokX")),
+      (3L, (1 to 60).map(i => s"zzz$i").mkString(" "))).toDF("doc_id", "text")
+    val mh = Dedup.minhashCandidates(docs, "text", "doc_id", portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.contains((1L, 2L)) && !mh.contains((1L, 3L)))
+    val sh = Dedup.simhashCandidates(docs, "text", "doc_id", maxDist = 10, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh.contains((1L, 2L)))
+    // identical docs fingerprint identically in both families
+    val both = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val fpP = Dedup.simhash(both, "text", "doc_id", portable = true)
+      .collect().map(_.getLong(1)).distinct
+    assert(fpP.length == 1)
+  }
+
+  test("multi-probe LSH: probes=2^planes is exhaustive (equals brute force); recall monotone") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val q = e.filter(col("id") < 20)
+    val exact = Similarity.bruteForceTopK(q, e, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exhaustive = Similarity.lshTopK(q, e, k = 3, planes = 4, tables = 2, probes = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(exhaustive == exact, "probing every bucket must reproduce exact top-k")
+    def recall(probes: Int): Int = {
+      val approx = Similarity.lshTopK(q, e, k = 3, planes = 4, tables = 2, probes = probes)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.count { case (qid, nid, _) => approx.contains((qid, nid)) }
+    }
+    assert(recall(8) >= recall(1), "probing more buckets must not lose candidates")
+  }
+
+  test("exhaustive-probe embeddingCandidates finds exactly the threshold pair set") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      .filter(col("id") < 100)
+    val got = Dedup.embeddingCandidates(e, "vec", "id", threshold = 0.4,
+      planes = 4, tables = 2, probes = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: explicit cross join + exact cosine
+    val a = e.select(col("id").as("idA"), col("vec").as("va"))
+    val b = e.select(col("id").as("idB"), col("vec").as("vb"))
+    val want = a.join(b, col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("simhash skew guard bounds degenerate buckets (1000 identical docs)") {
+    val docs = (1 to 1000).map(i => (i.toLong, "same same same")).toDF("doc_id", "text")
+    // all docs share every band chunk; maxBucket drops those buckets instead
+    // of exploding into ~500k pairs
+    val n = Dedup.simhashCandidates(docs, "text", "doc_id", maxDist = 10, maxBucket = 64).count()
+    assert(n == 0, s"oversized buckets must be dropped, got $n pairs")
+    // with a guard above the corpus size the pairs come back
+    val m = Dedup.simhashCandidates(
+      docs.limit(30), "text", "doc_id", maxDist = 10, maxBucket = 1000).count()
+    assert(m == 30L * 29 / 2)
+  }
+
+  test("trainCentroids returns reusable metadata; ivfTopK(precomputed) matches default") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val q = e.filter(col("id") < 10)
+    val cents = Similarity.trainCentroids(e, nCentroids = 8)
+    assert(cents.length == 8 && cents.forall(_.nonEmpty))
+    val viaPre = Similarity.ivfTopK(q, e, k = 3, nCentroids = 8, nprobe = 8,
+      centroids = Some(cents)).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaDefault = Similarity.ivfTopK(q, e, k = 3, nCentroids = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaPre == viaDefault)
+  }
+
   test("multimodal: stub decode is deterministic, batch plumbing preserves ids") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
     val media = Multimodal.fromDocuments(docs, "doc_id", "text", "text/plain")

@@ -54,6 +54,27 @@ class PlanSpec extends AnyFunSuite {
       s"MinHashExpr expected in plan:\n${plan.take(2000)}")
   }
 
+  test("lshTopK dedup exchange carries ids+sim only, never the embedding arrays") {
+    val e = SparkEntry.t(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val plan = planOf(graft.ops.Similarity.lshTopK(e.filter(col("id") < 10), e, k = 3))
+    // the (query_id, neighbor_id) dedup plans as an aggregate whose only
+    // buffered value is the scalar sim — vectors must not ride the exchange
+    assert(plan.contains("Exchange hashpartitioning(query_id"), s"dedup exchange expected:\n${plan.take(2000)}")
+    assert(plan.contains("first(sim"), s"sim must be computed before the dedup:\n${plan.take(2000)}")
+    assert(!plan.contains("first(qv") && !plan.contains("first(cv"),
+      s"embedding arrays must not enter the dedup exchange:\n${plan.take(3000)}")
+  }
+
+  test("IVF refinement sample is a narrow filter (no single-partition GlobalLimit funnel)") {
+    val e = SparkEntry.t(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val plan = planOf(graft.ops.Similarity.refinementSample(e, maxRefineVectors = 10, seed = 7))
+    assert(!plan.contains("GlobalLimit") && !plan.contains("Sort "),
+      s"sampling must be per-row hash thresholding:\n$plan")
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+
   test("exact dedup groups on the digest, not the document bytes") {
     val docs = SparkEntry.t(spark, sf, "documents")
     val plan = planOf(graft.ops.Dedup.exact(docs, "text", "doc_id"))
