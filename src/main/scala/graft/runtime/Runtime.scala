@@ -37,9 +37,24 @@ final class Metrics {
     "BytesIngested" -> bytesIngested.get)
 }
 
-/** Leveled operational notification (entity/notify.go:5-42). */
+/** Marker for stream-level failures the supervisor should self-heal from
+  * (event-processing retries exhausted on a retryable error): the reference
+  * restarts the stream with exponential backoff in that case
+  * (entity/spec.go MaxEventProcessingRetries doc, engine/executor.go Run
+  * loop), while unretryable houe=fail terminations stay down for manual
+  * restart.
+  */
+final class RetryableStreamException(msg: String, cause: Throwable)
+  extends RuntimeException(msg, cause)
+
+/** Leveled operational notification (entity/notify.go:5-42): carries the
+  * emitting code origin (class.method:line — the reference's func/file/line
+  * from runtime.Caller) and, for ERROR level, a bounded stack excerpt
+  * (pkg/notify/notify.go:20-159).
+  */
 final case class NotificationEvent(level: String, streamId: String, message: String,
-    timestamp: java.time.Instant = java.time.Instant.now())
+    timestamp: java.time.Instant = java.time.Instant.now(),
+    origin: String = "", stack: Seq[String] = Nil)
 
 /** Bounded non-blocking notification bus: full buffer drops events
   * (pkg/notify/notify.go:155-158, default size 64).
@@ -47,7 +62,22 @@ final case class NotificationEvent(level: String, streamId: String, message: Str
 final class Notifier(bufferSize: Int = 64) {
   val queue = new ArrayBlockingQueue[NotificationEvent](bufferSize)
   def notify(level: String, streamId: String, msg: String): Unit = {
-    queue.offer(NotificationEvent(level, streamId, msg)) // drop on full
+    val frames = Thread.currentThread().getStackTrace
+    val callerIdx = frames.indexWhere(f =>
+      !f.getClassName.startsWith("java.lang.Thread") &&
+        !f.getClassName.contains("Notifier"))
+    val origin =
+      if (callerIdx < 0) ""
+      else {
+        val f = frames(callerIdx)
+        s"${f.getClassName}.${f.getMethodName}:${f.getLineNumber}"
+      }
+    val stack =
+      if (level == "ERROR" && callerIdx >= 0)
+        frames.slice(callerIdx, callerIdx + 8).map(_.toString).toSeq
+      else Nil
+    queue.offer(NotificationEvent(level, streamId, msg,
+      java.time.Instant.now(), origin, stack)) // drop on full
   }
   def drain(): Seq[NotificationEvent] = {
     val out = new java.util.ArrayList[NotificationEvent]()
@@ -138,6 +168,21 @@ final class Stream(
     */
   @volatile private[runtime] var shutdownRequested = false
 
+  // I3 self-heal bookkeeping (engine/executor.go:136-153): whether the last
+  // query termination is retryable, and the per-stream restart backoff that
+  // doubles up to ops.maxStreamRetryBackoffIntervalSec. State lives on the
+  // Stream (like the reference's per-executor backoffDuration) so hot-swap
+  // resets it but query restarts don't.
+  @volatile private[runtime] var lastFailureRetryable = false
+  @volatile private[runtime] var restartCount = 0
+  private[runtime] var backoffMs = -1L
+  private[runtime] def nextBackoffMs(baseMs: Long): Long = synchronized {
+    val cap = spec.ops.maxStreamRetryBackoffIntervalSec * 1000L
+    backoffMs = if (backoffMs <= 0) math.min(baseMs, cap) else math.min(backoffMs * 2, cap)
+    restartCount += 1
+    backoffMs
+  }
+
   def processBatch(rawEvents: DataFrame): String = {
     val t0 = System.nanoTime()
     var resourceId = "<noResourceId>"
@@ -165,16 +210,21 @@ final class Stream(
           }
         }.toDF("__act", "value").cache()
         hookFrame = Some(acted)
-        val unretryable = acted.filter(org.apache.spark.sql.functions.col("__act") === "u")
-        if (!unretryable.isEmpty) {
+        // one aggregation covers every hook-action decision (previously two
+        // isEmpty probes = two extra job submissions per micro-batch); the
+        // DLQ write stays lazy — only submitted when flagged rows exist
+        val actCounts = acted.groupBy(org.apache.spark.sql.functions.col("__act")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (actCounts.getOrElse("u", 0L) > 0) {
           spec.ops.handlingOfUnretryableEvents match {
             case Houe.Fail => throw new RuntimeException(s"hook flagged unretryable events in ${spec.id} (houe=fail)")
             case Houe.Dlq => supervisor.config.sinkRoot.foreach(root =>
-              unretryable.select("value").write.mode("append").parquet(s"$root/${spec.id}__dlq"))
+              acted.filter(org.apache.spark.sql.functions.col("__act") === "u")
+                .select("value").write.mode("append").parquet(s"$root/${spec.id}__dlq"))
             case _ => supervisor.notifier.notify("WARN", spec.id, "hook: unretryable events discarded")
           }
         }
-        if (!acted.filter(org.apache.spark.sql.functions.col("__act") === "x").isEmpty)
+        if (actCounts.getOrElse("x", 0L) > 0)
           shutdownRequested = true
         acted.filter(org.apache.spark.sql.functions.col("__act") === "p").select("value")
     }
@@ -272,7 +322,7 @@ final class Stream(
           Thread.sleep(backoffMs)
           backoffMs *= 2
         case e: VoidSink#SimulatedError if e.retryable =>
-          throw new RuntimeException(s"retries exhausted after $attempt attempts", e)
+          throw new RetryableStreamException(s"retries exhausted after $attempt attempts", e)
       }
     }
     (0L, "")
@@ -285,6 +335,11 @@ final case class RuntimeConfig(
     specTablePath: Option[String] = None,
     sinkRoot: Option[String] = None,
     retryBackoffBaseMs: Long = 2000,
+    /** I3: initial stream-restart backoff (reference
+      * defaultInitialStreamExtractRetryBackoffDuration = 4 s); doubles per
+      * restart, capped at ops.maxStreamRetryBackoffIntervalSec.
+      */
+    streamRetryBackoffBaseMs: Long = 4000,
     notifyBufferSize: Int = 64,
     /** A4: when set, kafka-source specs start as streaming queries. */
     kafkaBootstrapServers: Option[String] = None,
@@ -313,6 +368,53 @@ final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
   val registry = new Registry(spark, config.specTablePath, config.env)
   private val streams = new ConcurrentHashMap[String, Stream]()
   private val metricsMap = new ConcurrentHashMap[String, Metrics]()
+
+  // I3 self-heal: map each running query to its stream so the terminate
+  // listener can tell our queries (and their streams) from anything else
+  // on the shared SparkSession.
+  private val trackedRuns = new ConcurrentHashMap[java.util.UUID, String]()
+  private val restartScheduler =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-stream-restart"); t.setDaemon(true); t
+    })
+  private val healListener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(event: QueryProgressEvent): Unit = ()
+    override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
+      val sid = trackedRuns.remove(event.runId)
+      if (sid != null && event.exception.isDefined) {
+        Option(streams.get(sid)).foreach { st =>
+          if (st.lastFailureRetryable) {
+            val delay = st.nextBackoffMs(config.streamRetryBackoffBaseMs)
+            notifier.notify("WARN", sid,
+              s"stream restart (#${st.restartCount}) in ${delay} ms")
+            restartScheduler.schedule(new Runnable {
+              override def run(): Unit =
+                try restartQuery(sid, st)
+                catch { case e: Exception =>
+                  notifier.notify("ERROR", sid, s"stream restart failed: ${e.getMessage}") }
+            }, delay, java.util.concurrent.TimeUnit.MILLISECONDS)
+          } else
+            notifier.notify("ERROR", sid,
+              "stream terminated with unretryable error; manual restart required")
+        }
+      }
+    }
+  }
+  spark.streams.addListener(healListener)
+
+  /** I3: restart the failed query on the SAME Stream (pipeline, sinks and
+    * their counters survive — the reference's StreamExtract restart loop
+    * keeps the executor/loader instances too); skip if the stream was
+    * hot-swapped or shut down while the backoff timer ran.
+    */
+  private def restartQuery(sid: String, st: Stream): Unit = {
+    if (streams.get(sid) eq st) {
+      st.lastFailureRetryable = false
+      startStreamingQuery(st)
+    }
+  }
 
   def metrics(streamId: String): Metrics =
     metricsMap.computeIfAbsent(streamId, _ => new Metrics)
@@ -402,6 +504,16 @@ final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
     val pipeline = SpecCompiler.compile(spec)
     val st = new Stream(spec, pipeline, metrics(spec.id), this)
     streams.put(spec.id, st)
+    startStreamingQuery(st)
+  }
+
+  /** Start (or I3-restart) the stream's query. Separate from [[deploy]] so
+    * a self-heal restart reuses the SAME Stream — compiled pipeline, sink
+    * instances and their error counters survive, matching the reference's
+    * StreamExtract restart loop which keeps the executor and loader.
+    */
+  private def startStreamingQuery(st: Stream): Unit = {
+    val spec = st.spec
     // shared streaming start: houe-aware error guard + checkpointing for
     // every source kind
     def startQuery(src: DataFrame, trigger: Option[org.apache.spark.sql.streaming.Trigger]): Unit = {
@@ -410,14 +522,25 @@ final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
         .foreachBatch { (batch: DataFrame, _: Long) =>
           try { st.processBatch(batch); () }
           catch {
+            case e: RetryableStreamException =>
+              // event-level retries exhausted: fail the query so the
+              // supervisor's listener restarts it with backoff (I3)
+              st.lastFailureRetryable = true
+              notifier.notify("ERROR", spec.id, s"batch failed (retryable): ${e.getMessage}")
+              throw e
             case e: Exception =>
               notifier.notify("ERROR", spec.id, s"batch failed: ${e.getMessage}")
-              if (spec.ops.handlingOfUnretryableEvents == Houe.Fail) throw e
+              if (spec.ops.handlingOfUnretryableEvents == Houe.Fail) {
+                st.lastFailureRetryable = false // stays down; manual restart
+                throw e
+              }
           }
         }
       config.checkpointRoot.foreach(r => writer = writer.option("checkpointLocation", s"$r/${spec.id}"))
       trigger.foreach(t => writer = writer.trigger(t))
-      st.query = Some(writer.start())
+      val q = writer.start()
+      st.query = Some(q)
+      trackedRuns.put(q.runId, spec.id)
     }
     config.customSources.get(spec.source.sourceType) match {
       case Some(builder) => // A5: pluggable source
@@ -471,7 +594,10 @@ final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
   }
 
   private def shutdownStream(st: Stream): Unit = {
-    st.query.foreach { q => try q.stop() catch { case _: Exception => } }
+    st.query.foreach { q =>
+      trackedRuns.remove(q.runId)
+      try q.stop() catch { case _: Exception => }
+    }
     streams.remove(st.spec.id)
   }
 
@@ -491,7 +617,11 @@ final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
     }
   }
 
-  def shutdownAll(): Unit = streams.values.asScala.toSeq.foreach(shutdownStream)
+  def shutdownAll(): Unit = {
+    restartScheduler.shutdownNow()
+    streams.values.asScala.toSeq.foreach(shutdownStream)
+    spark.streams.removeListener(healListener)
+  }
 }
 
 /** Public facade with the reference's API surface (geist.go). */

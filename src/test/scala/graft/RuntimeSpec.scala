@@ -87,6 +87,11 @@ class RuntimeSpec extends AnyFunSuite {
     assert(m("SinkOperations") == 1, "eventually succeeded after simulated retryable errors")
     val notes = g.notifications()
     assert(notes.count(_.level == "WARN") == 3, "three retry warnings")
+    // notification enrichment (pkg/notify/notify.go:20-159): each event
+    // carries its emitting code origin as class.method:line
+    assert(notes.filter(_.level == "WARN").forall(n =>
+      n.origin.contains("Stream") && n.origin.contains(":")),
+      s"retry warnings must carry origin, got: ${notes.map(_.origin)}")
     g.shutdown()
   }
 
@@ -232,6 +237,73 @@ class RuntimeSpec extends AnyFunSuite {
     assert(batchIds().max > lastBatch,
       "restarted query must continue the checkpointed batch sequence")
     g2.shutdown()
+  }
+
+  test("I3 self-heal: failed stream restarts with backoff and recovers (executor.go:119-158)") {
+    val g = new Geist(spark, RuntimeConfig(retryBackoffBaseMs = 1, streamRetryBackoffBaseMs = 100))
+    val spec =
+      """{
+        |  "namespace": "rt", "streamIdSuffix": "heal", "version": 1,
+        |  "description": "...",
+        |  "ops": {"maxEventProcessingRetries": 1},
+        |  "source": {"type": "eventsim", "config": {"customConfig": {
+        |    "simResolutionMilliseconds": 300,
+        |    "eventGeneration": {"type": "random", "minCount": 1, "maxCount": 2},
+        |    "eventSpec": {"fields": [{"field": "name", "predefinedValues": [{"value": "PING"}]}]}
+        |  }}},
+        |  "transform": {"extractFields": [{"fields": [{"id": "name", "jsonPath": "name"}]}]},
+        |  "sink": {"type": "void", "config": {"properties": [
+        |    {"key": "simulateError", "value": "alwaysRetryable"},
+        |    {"key": "maxErrors", "value": "3"}]}}
+        |}""".stripMargin
+    val id = g.registerStream(spec).fold(e => fail(e.msg), identity)
+    // batch 1 exhausts event-level retries (2 of the 3 simulated errors) →
+    // the query dies retryably → the supervisor restarts it after backoff →
+    // the restarted batch consumes the last error on the SAME sink instance
+    // (state survives restart, like the reference's loader) and then loads.
+    val deadline = System.currentTimeMillis() + 30000
+    val notes = scala.collection.mutable.ArrayBuffer.empty[graft.runtime.NotificationEvent]
+    while (g.metrics(id)("SinkOperations") < 1 && System.currentTimeMillis() < deadline) {
+      notes ++= g.notifications(); Thread.sleep(250)
+    }
+    notes ++= g.notifications()
+    assert(g.metrics(id)("SinkOperations") >= 1,
+      s"stream must recover and load after self-heal restart; notes=${notes.map(_.message)}")
+    assert(notes.exists(n => n.level == "WARN" && n.message.startsWith("stream restart (#1) in")),
+      s"restart notification expected, got: ${notes.map(_.message)}")
+    assert(notes.filter(_.level == "ERROR").forall(_.stack.nonEmpty),
+      "ERROR notifications must carry a stack excerpt")
+    assert(g.deployedIds.contains(id))
+    g.shutdown()
+  }
+
+  test("I3: unretryable failure with houe=fail stays down — no self-heal (executor.go Run loop)") {
+    val g = new Geist(spark, RuntimeConfig(retryBackoffBaseMs = 1, streamRetryBackoffBaseMs = 50))
+    val spec =
+      """{
+        |  "namespace": "rt", "streamIdSuffix": "staydown", "version": 1,
+        |  "description": "...",
+        |  "ops": {"handlingOfUnretryableEvents": "fail"},
+        |  "source": {"type": "eventsim", "config": {"customConfig": {
+        |    "simResolutionMilliseconds": 300,
+        |    "eventSpec": {"fields": [{"field": "name", "predefinedValues": [{"value": "PING"}]}]}
+        |  }}},
+        |  "transform": {"extractFields": [{"fields": [{"id": "name", "jsonPath": "name"}]}]},
+        |  "sink": {"type": "void", "config": {"properties": [
+        |    {"key": "simulateError", "value": "alwaysUnretryable"}]}}
+        |}""".stripMargin
+    val id = g.registerStream(spec).fold(e => fail(e.msg), identity)
+    val deadline = System.currentTimeMillis() + 30000
+    val notes = scala.collection.mutable.ArrayBuffer.empty[graft.runtime.NotificationEvent]
+    while (!notes.exists(_.message.contains("manual restart required")) &&
+      System.currentTimeMillis() < deadline) {
+      notes ++= g.notifications(); Thread.sleep(250)
+    }
+    assert(notes.exists(n => n.level == "ERROR" && n.message.contains("manual restart required")),
+      s"unretryable termination note expected, got: ${notes.map(_.message)}")
+    assert(!notes.exists(_.message.startsWith("stream restart")), "must not self-heal on houe=fail")
+    assert(g.metrics(id)("SinkOperations") == 0)
+    g.shutdown()
   }
 
   test("eventsim stream deploys, processes batches, and hot-swaps (A2/I7)") {
