@@ -212,6 +212,36 @@ object SparkEntry {
         .select(col("eid"), explode(col("m")).as(Seq("item_key", "item_json")))
     }),
     "e1_regexp" -> ((s, dir) => pipelineOf(regexpSpec)(eventJson(s, dir)).head._2),
+    "e2_timeconv" -> ((s, dir) => {
+      // E2: Go-layout time conversion inside the regexp transform, over the
+      // three layout families the reference exercises
+      // (transformer_test.go:66-133): an access-log layout, the
+      // comma-fraction quirk ("15:04:05.999" parsing "16:06:57,695"), and a
+      // 12-hour AM/PM layout. Each event's ts is formatted into a log line,
+      // pushed through the compiled pipeline, and converted back to
+      // RFC3339 — DuckDB reproduces the conversion with strftime.
+      val e = t(s, dir, "events")
+      def stage(tag: String, sparkFmt: String, goLayout: String): DataFrame = {
+        val json = e.select(to_json(struct(col("event_id").as("eid"),
+          date_format(col("ts"), sparkFmt).as("line"))).as("value"))
+        val spec = specTemplate(
+          s"""{
+             |  "extractFields": [{"fields": [
+             |    {"id": "eid", "jsonPath": "eid", "type": "integer"},
+             |    {"id": "line", "jsonPath": "line", "type": "string"}]}],
+             |  "regexp": {
+             |    "field": "line",
+             |    "expression": "^(?P<ts>.+)$$",
+             |    "timeConversion": {"field": "ts", "inputFormat": "$goLayout"}
+             |  }
+             |}""".stripMargin)
+        pipelineOf(spec)(json).head._2
+          .select(col("eid"), lit(tag).as("layout"), col("regexppayload"))
+      }
+      stage("accesslog", "dd/MMM/yyyy:HH:mm:ss Z", "02/Jan/2006:15:04:05 -0700")
+        .unionByName(stage("commafrac", "yyyy-MM-dd HH:mm:ss,SSS Z", "2006-01-02 15:04:05.999 -0700"))
+        .unionByName(stage("ampm", "yyyy-MM-dd hh:mm:ss a Z", "2006-01-02 03:04:05 PM -0700"))
+    }),
     "e3_casts" -> ((s, dir) => pipelineOf(castsSpec)(eventJson(s, dir)).head._2),
     "g1_rowkey" -> ((s, dir) => {
       // Sink row-key synthesis (G1): concat_ws over extracted fields.
@@ -541,6 +571,18 @@ object SparkEntry {
         |         k := json_extract_string(props, '$.k'),
         |         uid := CAST(user_id AS VARCHAR))) AS regexppayload
         |FROM events""".stripMargin,
+    "e2_timeconv" ->
+      """WITH s AS (SELECT event_id AS eid,
+        |                 date_trunc('second', CAST(ts AS TIMESTAMP)) AS tsec
+        |          FROM events)
+        |SELECT eid, 'accesslog' AS layout,
+        |       '{"ts":"' || strftime(tsec, '%Y-%m-%dT%H:%M:%S') || 'Z"}' AS regexppayload FROM s
+        |UNION ALL
+        |SELECT eid, 'commafrac' AS layout,
+        |       '{"ts":"' || strftime(tsec, '%Y-%m-%dT%H:%M:%S') || 'Z"}' AS regexppayload FROM s
+        |UNION ALL
+        |SELECT eid, 'ampm' AS layout,
+        |       '{"ts":"' || strftime(tsec, '%Y-%m-%dT%H:%M:%S') || 'Z"}' AS regexppayload FROM s""".stripMargin,
     "e3_casts" ->
       """SELECT event_id AS eid,
         |       date_trunc('milliseconds', CAST(ts AS TIMESTAMP)) AS unix_ts,
