@@ -13,6 +13,8 @@ import graft.json._
   *   - numeric segments as array indices (`arr.0`) — on objects they fall
   *     back to a key lookup, mirroring gjson's dynamic behavior
   *   - `#` as final segment → array length
+  *   - `#` mid-path → per-element projection (`friends.#.first` ⇒ array of
+  *     each element's `first`; elements missing the sub-path are skipped)
   *   - first-match array queries: `data.#(base=="EUR").rates` with operators
   *     `==`, `!=`, `<`, `<=`, `>`, `>=` and string/number/bool literals
   *
@@ -76,12 +78,6 @@ object GJsonPath {
       case Key("#") => Count
       case s => s
     }
-    // `#` mid-path is gjson's per-element projection ("friends.#.first"),
-    // which we don't implement — reject at spec-compile time rather than
-    // silently returning the array length and dropping the suffix.
-    if (resolved.dropRight(1).contains(Count))
-      throw new IllegalArgumentException(
-        s"unsupported gjson per-element projection ('#' before end of path): $path")
     ParsedPath(resolved)
   }
 
@@ -172,10 +168,21 @@ object GJsonPath {
           }
         case Count =>
           node match {
-            // Synthetic number node (no source substring to point at).
-            case a: JsArr =>
+            // Final `#` → array length (synthetic number node — no source
+            // substring to point at).
+            case a: JsArr if rest.isEmpty =>
               val lit = a.items.length.toString
               Some(JsNum(lit, 0, lit.length))
+            // Mid-path `#` → gjson's per-element projection
+            // ("friends.#.first" ⇒ ["Dale","Roger"]): apply the remaining
+            // path to every element, skip elements where it doesn't exist,
+            // and rebuild a JSON array from the surviving raw slices —
+            // exactly how gjson assembles multi-results. The rebuilt text
+            // becomes the result's source, so downstream casts/raw
+            // extraction see a normal array node.
+            case a: JsArr =>
+              val parts = a.items.flatMap(item => evalSegs(item, rest)).map(_.raw)
+              Js.parse(parts.mkString("[", ",", "]"))
             case _ => None
           }
         case Query(lhs, op, rhs, rhsQuoted) =>

@@ -110,6 +110,29 @@ class GJsonPathSpec extends AnyFunSuite {
     assert(str("""{"a": null}""", "a") == "")
   }
 
+  test("mid-path # projects per element (gjson friends.#.first)") {
+    val doc =
+      """{"friends": [
+        |  {"first": "Dale", "last": "Murphy", "age": 44},
+        |  {"first": "Roger", "last": "Craig", "age": 68},
+        |  {"first": "Jane", "last": "Murphy", "age": 47}
+        |]}""".stripMargin
+    assert(str(doc, "friends.#.first") == """["Dale","Roger","Jane"]""")
+    assert(str(doc, "friends.#.age") == "[44,68,47]")
+    // elements missing the sub-path are skipped, not nulled
+    val sparse = """{"a": [{"b": 1}, {"c": 2}, {"b": 3}]}"""
+    assert(str(sparse, "a.#.b") == "[1,3]")
+    // the remaining path applies per element: a trailing # counts each
+    // element's own sub-array
+    val nested = """{"a": [{"b": [1, 2]}, {"b": [3]}, {"c": 0}]}"""
+    assert(str(nested, "a.#.b.#") == "[2,1]")
+    // raw slices survive verbatim (object elements keep source text)
+    val objs = """{"a": [{"o": {"x":  1.50}}, {"o": {"y":2}}]}"""
+    assert(str(objs, "a.#.o") == """[{"x":  1.50},{"y":2}]""")
+    // non-array → not exists
+    assert(GJsonPath.get("""{"a": 5}""", "a.#.b").isEmpty)
+  }
+
   test("malformed JSON behaves as not-exists") {
     assert(GJsonPath.get("""{"a": """, "a").isEmpty)
     assert(GJsonPath.get("not json", "a").isEmpty)

@@ -158,9 +158,10 @@ class RuntimeSpec extends AnyFunSuite {
     val g = new Geist(spark, RuntimeConfig(retryBackoffBaseMs = 1))
     assert(g.registerStream(apiSpec("rt", "guard", 1)).isRight)
     assert(g.deployedIds.contains("rt-guard"))
-    // '#' mid-path is unsupported gjson syntax → compile-time rejection
+    // an operator-less array query is unsupported gjson syntax →
+    // compile-time rejection
     val poisoned = apiSpec("rt", "guard", 2)
-      .replace("\"jsonPath\": \"cust.id\"", "\"jsonPath\": \"cust.#.id\"")
+      .replace("\"jsonPath\": \"cust.id\"", "\"jsonPath\": \"cust.#(id).x\"")
     val res = g.registerStream(poisoned)
     assert(res.isLeft, "uncompilable spec must be rejected as a validation error")
     assert(res.left.exists(_.msg.contains("failed to compile")))
