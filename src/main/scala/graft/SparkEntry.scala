@@ -413,8 +413,11 @@ object SparkEntry {
     "ns_dedup_embed" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      // exhaustive probing makes every pair collide already in table 0, so
+      // one table is enough for the correctness gate (more tables only add
+      // recall in approximate mode)
       graft.ops.Dedup.embeddingCandidates(e, "vec", "id", threshold = 0.48,
-        planes = 4, tables = 2, probes = 16)
+        planes = 4, tables = 1, probes = 16)
         .select(col("idA"), col("idB")) // int-only output for determinism
     }),
     "ns_text_profile" -> ((s, dir) => {
