@@ -372,14 +372,17 @@ object SparkEntry {
     // portable (md5) hash family: the DuckDB oracle recomputes the full
     // 64-hash signature per document and mirrors the banding semantics
     // (∃ band with identical signature rows), so the candidate set is
-    // hash-verified end-to-end, not just row-counted.
+    // hash-verified end-to-end, not just row-counted. The maxBucket skew
+    // guard is disabled here so the query's semantics are EXACTLY the
+    // oracle's at any corpus composition (the guard's pair-bounding is
+    // covered by its own OpsSpec test).
     "ns_dedup_minhash" -> ((s, dir) =>
       graft.ops.Dedup.minhashCandidates(t(s, dir, "documents"), "text", "doc_id",
-        portable = true)
+        maxBucket = Int.MaxValue, portable = true)
         .filter(col("est_jaccard") >= 0.5)),
     "ns_dedup_simhash" -> ((s, dir) =>
       graft.ops.Dedup.simhashCandidates(t(s, dir, "documents"), "text", "doc_id",
-        maxDist = 10, portable = true)),
+        maxDist = 10, maxBucket = Int.MaxValue, portable = true)),
     "ns_ngram_jaccard" -> ((s, dir) => {
       val d = t(s, dir, "documents").filter(col("doc_id") < 100)
       val ids = d.select(col("doc_id"))

@@ -59,11 +59,13 @@ object Dedup {
     * same-key inner join rather than a window count: no per-bucket sort,
     * and the count side is tiny (one row per bucket) so AQE can broadcast.
     */
-  private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
-    val sizes = banded.groupBy(keys.map(col): _*).count()
-      .filter(col("count") <= maxBucket).drop("count")
-    banded.join(sizes, keys)
-  }
+  private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) banded // guard disabled: skip the count stage
+    else {
+      val sizes = banded.groupBy(keys.map(col): _*).count()
+        .filter(col("count") <= maxBucket).drop("count")
+      banded.join(sizes, keys)
+    }
 
   /** Candidate near-duplicate pairs via banded LSH.
     *
@@ -76,9 +78,11 @@ object Dedup {
     * Output: (idA, idB, est_jaccard) with idA < idB, distinct. Candidates
     * are pairs whose signatures agree on a FULL band (the bucket join is a
     * pre-filter on the band hash; the slice-equality filter removes the
-    * residual 64-bit hash-collision false positives so the semantics are
-    * exactly "∃ band with identical signature rows" — which is what the
-    * DuckDB oracle mirrors).
+    * residual 64-bit hash-collision false positives). With the skew guard
+    * disabled (maxBucket = Int.MaxValue) the semantics are exactly
+    * "∃ band with identical signature rows" — the form the DuckDB oracle
+    * mirrors; with a finite maxBucket, pairs meeting only in oversized
+    * buckets are traded away for the bounded worst case.
     */
   def minhashCandidates(
       df: DataFrame,

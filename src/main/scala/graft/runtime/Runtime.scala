@@ -62,20 +62,33 @@ final case class NotificationEvent(level: String, streamId: String, message: Str
 final class Notifier(bufferSize: Int = 64) {
   val queue = new ArrayBlockingQueue[NotificationEvent](bufferSize)
   def notify(level: String, streamId: String, msg: String): Unit = {
-    val frames = Thread.currentThread().getStackTrace
-    val callerIdx = frames.indexWhere(f =>
-      !f.getClassName.startsWith("java.lang.Thread") &&
-        !f.getClassName.contains("Notifier"))
-    val origin =
-      if (callerIdx < 0) ""
-      else {
-        val f = frames(callerIdx)
-        s"${f.getClassName}.${f.getMethodName}:${f.getLineNumber}"
+    // ERROR pays for a stack excerpt; other levels only walk the few
+    // frames needed to name the caller (notifications fire per batch/retry,
+    // so a full getStackTrace on every INFO/WARN would be wasted work)
+    val (origin, stack) =
+      if (level == "ERROR") {
+        val frames = Thread.currentThread().getStackTrace
+        val callerIdx = frames.indexWhere(f =>
+          !f.getClassName.startsWith("java.lang.Thread") &&
+            !f.getClassName.contains("Notifier"))
+        if (callerIdx < 0) ("", Nil)
+        else {
+          val f = frames(callerIdx)
+          (s"${f.getClassName}.${f.getMethodName}:${f.getLineNumber}",
+            frames.slice(callerIdx, callerIdx + 8).map(_.toString).toSeq)
+        }
+      } else {
+        val caller = java.lang.StackWalker.getInstance().walk { s =>
+          s.limit(8).filter(f => !f.getClassName.contains("Notifier"))
+            .findFirst()
+        }
+        val origin =
+          if (caller.isPresent) {
+            val f = caller.get
+            s"${f.getClassName}.${f.getMethodName}:${f.getLineNumber}"
+          } else ""
+        (origin, Nil)
       }
-    val stack =
-      if (level == "ERROR" && callerIdx >= 0)
-        frames.slice(callerIdx, callerIdx + 8).map(_.toString).toSeq
-      else Nil
     queue.offer(NotificationEvent(level, streamId, msg,
       java.time.Instant.now(), origin, stack)) // drop on full
   }
@@ -172,7 +185,9 @@ final class Stream(
   // query termination is retryable, and the per-stream restart backoff that
   // doubles up to ops.maxStreamRetryBackoffIntervalSec. State lives on the
   // Stream (like the reference's per-executor backoffDuration) so hot-swap
-  // resets it but query restarts don't.
+  // resets it but query restarts don't. Like the reference, backoff is
+  // NOT reset after a successful recovery — it grows (capped) for the
+  // deployment's lifetime; only a re-register/hot-swap starts fresh.
   @volatile private[runtime] var lastFailureRetryable = false
   @volatile private[runtime] var restartCount = 0
   private[runtime] var backoffMs = -1L
@@ -184,11 +199,26 @@ final class Stream(
   }
 
   def processBatch(rawEvents: DataFrame): String = {
+    // caches must unpersist even when the batch throws — under I3 the
+    // self-heal loop re-runs a failing batch indefinitely, so a leak here
+    // would accumulate one orphaned cached frame per restart cycle
+    var hookFrame: Option[DataFrame] = None
+    var cachedEvents: Option[DataFrame] = None
+    try processBatchInner(rawEvents,
+      f => { hookFrame = Some(f); f }, f => { cachedEvents = Some(f); f })
+    finally {
+      hookFrame.foreach(_.unpersist())
+      cachedEvents.foreach(_.unpersist())
+    }
+  }
+
+  private def processBatchInner(rawEvents: DataFrame,
+      trackHook: DataFrame => DataFrame,
+      trackEvents: DataFrame => DataFrame): String = {
     val t0 = System.nanoTime()
     var resourceId = "<noResourceId>"
 
     // F9 pre-transform hook: distributed per-event action evaluation.
-    var hookFrame: Option[DataFrame] = None
     val events = supervisor.config.preTransformHook match {
       case None => rawEvents
       case Some(h) =>
@@ -209,7 +239,7 @@ final class Stream(
             case Hooks.Shutdown => ("x", e)
           }
         }.toDF("__act", "value").cache()
-        hookFrame = Some(acted)
+        trackHook(acted)
         // one aggregation covers every hook-action decision (previously two
         // isEmpty probes = two extra job submissions per micro-batch); the
         // DLQ write stays lazy — only submitted when flagged rows exist
@@ -231,7 +261,7 @@ final class Stream(
 
     // cache: the event frame feeds every branch, the error frame, and the
     // stats action — without it each is a full recomputation of the batch
-    val cachedEvents = events.cache()
+    val cachedEvents = trackEvents(events.cache())
     val branches = pipeline(cachedEvents)
     var stored = 0L
 
@@ -273,8 +303,6 @@ final class Stream(
     metrics.eventsProcessed.addAndGet(stats.getLong(0))
     metrics.bytesProcessed.addAndGet(stats.getLong(1))
     metrics.microbatches.incrementAndGet()
-    hookFrame.foreach(_.unpersist())
-    cachedEvents.unpersist()
     metrics.eventsStoredInSink.addAndGet(stored)
     metrics.eventProcessingTimeMicros.addAndGet((System.nanoTime() - t0) / 1000)
     if (shutdownRequested) supervisor.requestShutdown(spec.id)
@@ -383,33 +411,42 @@ final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
     override def onQueryProgress(event: QueryProgressEvent): Unit = ()
     override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
       val sid = trackedRuns.remove(event.runId)
-      if (sid != null && event.exception.isDefined) {
-        Option(streams.get(sid)).foreach { st =>
-          if (st.lastFailureRetryable) {
-            val delay = st.nextBackoffMs(config.streamRetryBackoffBaseMs)
-            notifier.notify("WARN", sid,
-              s"stream restart (#${st.restartCount}) in ${delay} ms")
-            restartScheduler.schedule(new Runnable {
-              override def run(): Unit =
-                try restartQuery(sid, st)
-                catch { case e: Exception =>
-                  notifier.notify("ERROR", sid, s"stream restart failed: ${e.getMessage}") }
-            }, delay, java.util.concurrent.TimeUnit.MILLISECONDS)
-          } else
-            notifier.notify("ERROR", sid,
-              "stream terminated with unretryable error; manual restart required")
-        }
-      }
+      if (sid != null && event.exception.isDefined) handleQueryFailure(sid)
     }
   }
   spark.streams.addListener(healListener)
+
+  /** Serializes deploy / hot-swap / shutdown / self-heal-restart against
+    * each other: without it a restart timer firing during a hot-swap could
+    * start a zombie query on the orphaned old Stream, sharing the new
+    * query's checkpoint dir and sink paths.
+    */
+  private val deployLock = new Object
+
+  private def handleQueryFailure(sid: String): Unit = {
+    Option(streams.get(sid)).foreach { st =>
+      if (st.lastFailureRetryable) {
+        val delay = st.nextBackoffMs(config.streamRetryBackoffBaseMs)
+        notifier.notify("WARN", sid,
+          s"stream restart (#${st.restartCount}) in ${delay} ms")
+        restartScheduler.schedule(new Runnable {
+          override def run(): Unit =
+            try restartQuery(sid, st)
+            catch { case e: Exception =>
+              notifier.notify("ERROR", sid, s"stream restart failed: ${e.getMessage}") }
+        }, delay, java.util.concurrent.TimeUnit.MILLISECONDS)
+      } else
+        notifier.notify("ERROR", sid,
+          "stream terminated with unretryable error; manual restart required")
+    }
+  }
 
   /** I3: restart the failed query on the SAME Stream (pipeline, sinks and
     * their counters survive — the reference's StreamExtract restart loop
     * keeps the executor/loader instances too); skip if the stream was
     * hot-swapped or shut down while the backoff timer ran.
     */
-  private def restartQuery(sid: String, st: Stream): Unit = {
+  private def restartQuery(sid: String, st: Stream): Unit = deployLock.synchronized {
     if (streams.get(sid) eq st) {
       st.lastFailureRetryable = false
       startStreamingQuery(st)
@@ -446,21 +483,23 @@ final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
           return Left(SpecValidationException(s"spec ${parsed.id} source config invalid: ${e.getMessage}"))
       }
       registry.register(specJson).flatMap { _ =>
-        // hot-swap: stop any existing deployment of this id (I7)
-        Option(streams.get(resolved.id)).foreach(shutdownStream)
-        if (!registry.isDisabled(parsed)) {
-          try { deploy(resolved); Right(resolved.id) }
-          catch {
-            case e: Exception =>
-              // environmental deploy failure: surface via the contract (the
-              // spec is persisted; bootstrap/retry can redeploy once fixed)
-              notifier.notify("ERROR", resolved.id, s"deploy failed: ${e.getMessage}")
-              streams.remove(resolved.id)
-              Left(SpecValidationException(s"spec ${resolved.id} failed to deploy: ${e.getMessage}"))
+        deployLock.synchronized {
+          // hot-swap: stop any existing deployment of this id (I7)
+          Option(streams.get(resolved.id)).foreach(shutdownStream)
+          if (!registry.isDisabled(parsed)) {
+            try { deploy(resolved); Right(resolved.id) }
+            catch {
+              case e: Exception =>
+                // environmental deploy failure: surface via the contract (the
+                // spec is persisted; bootstrap/retry can redeploy once fixed)
+                notifier.notify("ERROR", resolved.id, s"deploy failed: ${e.getMessage}")
+                streams.remove(resolved.id)
+                Left(SpecValidationException(s"spec ${resolved.id} failed to deploy: ${e.getMessage}"))
+            }
+          } else {
+            notifier.notify("INFO", resolved.id, "stream registered disabled; not deployed")
+            Right(resolved.id)
           }
-        } else {
-          notifier.notify("INFO", resolved.id, "stream registered disabled; not deployed")
-          Right(resolved.id)
         }
       }
     }
@@ -494,7 +533,7 @@ final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
     registry.fetch()
     registry.all.foreach { spec =>
       if (!registry.isDisabled(spec) && !streams.containsKey(spec.id))
-        try deploy(resolveOps(spec))
+        try deployLock.synchronized { deploy(resolveOps(spec)) }
         catch { case e: Exception =>
           notifier.notify("ERROR", spec.id, s"bootstrap deploy failed: ${e.getMessage}") }
     }
@@ -541,6 +580,14 @@ final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
       val q = writer.start()
       st.query = Some(q)
       trackedRuns.put(q.runId, spec.id)
+      // a query can fail during initialization and terminate BEFORE the
+      // runId registration above — the listener then found no mapping.
+      // Settle such races here; remove-then-handle keeps the two paths
+      // idempotent (whichever runs second sees no mapping and no-ops).
+      if (!q.isActive) {
+        val sid = trackedRuns.remove(q.runId)
+        if (sid != null && q.exception.isDefined) handleQueryFailure(sid)
+      }
     }
     config.customSources.get(spec.source.sourceType) match {
       case Some(builder) => // A5: pluggable source
@@ -610,16 +657,19 @@ final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
     Option(streams.get(streamId)).foreach { st =>
       notifier.notify("INFO", streamId, "shutdown requested by hook")
       if (st.query.isDefined) {
-        val t = new Thread(() => shutdownStream(st), s"graft-shutdown-$streamId")
+        val t = new Thread(() => deployLock.synchronized { shutdownStream(st) },
+          s"graft-shutdown-$streamId")
         t.setDaemon(true)
         t.start()
-      } else shutdownStream(st)
+      } else deployLock.synchronized { shutdownStream(st) }
     }
   }
 
   def shutdownAll(): Unit = {
     restartScheduler.shutdownNow()
-    streams.values.asScala.toSeq.foreach(shutdownStream)
+    deployLock.synchronized {
+      streams.values.asScala.toSeq.foreach(shutdownStream)
+    }
     spark.streams.removeListener(healListener)
   }
 }
