@@ -162,12 +162,20 @@ final class Stream(
   private[runtime] val tables = spec.sink.config.customConfig
     .map(SinkCompiler.parseTables).getOrElse(Nil)
   // one keyed table per sink table: mixed-schema tables must not share a
-  // parquet directory (multi-table specs write differently-shaped rows)
+  // parquet directory (multi-table specs write differently-shaped rows);
+  // each sink carries its table's G6 creation config (partitioning,
+  // clustering, partition-filter requirement)
+  private def sinkOf(path: String, t: Option[SinkCompiler.TableSpec]): KeyedTableSink =
+    t match {
+      case Some(ts) => new KeyedTableSink(path, ts.partitionField, ts.partitionType,
+        ts.clustering, ts.requirePartitionFilter)
+      case None => new KeyedTableSink(path)
+    }
   private[runtime] val keyedSinks: Map[String, KeyedTableSink] =
     supervisor.config.sinkRoot.map { root =>
       if (tables.size > 1)
-        tables.map(t => t.name -> new KeyedTableSink(s"$root/${spec.id}/${t.name}")).toMap
-      else Map("default" -> new KeyedTableSink(s"$root/${spec.id}"))
+        tables.map(t => t.name -> sinkOf(s"$root/${spec.id}/${t.name}", Some(t))).toMap
+      else Map("default" -> sinkOf(s"$root/${spec.id}", tables.headOption))
     }.getOrElse(Map.empty)
   private[runtime] def keyedSink: Option[KeyedTableSink] =
     keyedSinks.values.headOption

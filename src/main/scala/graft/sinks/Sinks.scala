@@ -42,7 +42,9 @@ object SinkCompiler {
       columns: Seq[ColumnSpec] = Nil,
       insertIdFromId: String = "",
       partitionField: String = "",
-      clustering: Seq[String] = Nil)
+      partitionType: String = "DAY",
+      clustering: Seq[String] = Nil,
+      requirePartitionFilter: Boolean = false)
 
   /** Parse the `tables` array of a sink customConfig (bigtable/bigquery
     * shapes; unknown fields ignored like the reference's plugins do).
@@ -77,14 +79,20 @@ object SinkCompiler {
           nameFromIdPreset = nfi.flatMap(n => Option(n.get("preset")))
             .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil))
       }
-      val partitionField = Option(t.get("tableCreation"))
-        .flatMap(tc => Option(tc.get("timePartitioning"))).map(tp => s(tp, "field")).getOrElse("")
-      val clustering = Option(t.get("tableCreation"))
+      val tableCreation = Option(t.get("tableCreation"))
+      val timePartitioning = tableCreation.flatMap(tc => Option(tc.get("timePartitioning")))
+      val partitionField = timePartitioning.map(tp => s(tp, "field")).getOrElse("")
+      val partitionType = timePartitioning.map(tp => s(tp, "type"))
+        .filter(_.nonEmpty).getOrElse("DAY")
+      val clustering = tableCreation
         .flatMap(tc => Option(tc.get("clustering")))
         .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+      val requirePartitionFilter = tableCreation
+        .flatMap(tc => Option(tc.get("requirePartitionFilter"))).exists(_.asBoolean(false))
       TableSpec(s(t, "name"), rowKey, whitelist, qualifiers, columns,
         insertIdFromId = s(t, "insertIdFromId"), partitionField = partitionField,
-        clustering = clustering)
+        partitionType = partitionType, clustering = clustering,
+        requirePartitionFilter = requirePartitionFilter)
     }
   }
 
@@ -165,15 +173,48 @@ object KafkaSinkStage {
 /** Keyed parquet-backed sink with the read-back API (G9):
   * QueryTypeKeyValue / CompositeKeyValue / All
   * (/root/reference/entity/extractor.go:104-132). The batch analog of the
-  * reference's BigTable sink-extractor; at scale the table would be
-  * partitioned by the time-partitioning field and compacted — lookups are
-  * parquet predicate-pushdown scans on the key column.
+  * reference's BigTable sink-extractor; lookups are parquet
+  * predicate-pushdown scans on the key column.
+  *
+  * G6 table-creation semantics map to their Spark-columnar analogs
+  * (kafkasrc-bigquerysink-fooevents.json "tableCreation"):
+  *   - timePartitioning {type, field} → a derived `__pdate` directory
+  *     partition (date_trunc of the field): partition pruning on read is
+  *     the columnar form of BQ's time partitions
+  *   - clustering [cols] → sortWithinPartitions before write: row-group
+  *     locality gives parquet min/max pruning on the clustered columns,
+  *     exactly what BQ clustering buys
+  *   - requirePartitionFilter → full-table read-back refuses to scan
+  *     without a partition predicate (use [[timeRange]]); key lookups stay
+  *     allowed (they are the BigTable row-key path, not a BQ table scan)
+  * TTL/expiration stays a deployment-side concern (partition directories
+  * make `drop partitions older than N` a metadata operation) — SURVEY §2
+  * G6 note.
   */
-final class KeyedTableSink(val path: String) {
+final class KeyedTableSink(
+    val path: String,
+    val partitionField: String = "",
+    val partitionType: String = "DAY",
+    val clustering: Seq[String] = Nil,
+    val requirePartitionFilter: Boolean = false) {
 
-  def write(df: DataFrame, partitionField: String = ""): Unit = {
-    val w = df.write.mode("append")
-    (if (partitionField.nonEmpty) w.partitionBy(partitionField) else w).parquet(path)
+  private def truncUnit: String = partitionType.toUpperCase match {
+    case "HOUR" => "hour"
+    case "MONTH" => "month"
+    case "YEAR" => "year"
+    case _ => "day"
+  }
+
+  def write(df: DataFrame): Unit = {
+    val hasPartition = partitionField.nonEmpty && df.columns.contains(partitionField)
+    var out = df
+    if (hasPartition)
+      out = out.withColumn("__pdate", date_trunc(truncUnit, col(partitionField)))
+    val clusterCols = clustering.filter(out.columns.contains)
+    if (clusterCols.nonEmpty)
+      out = out.sortWithinPartitions(clusterCols.map(col): _*)
+    val w = out.write.mode("append")
+    (if (hasPartition) w.partitionBy("__pdate") else w).parquet(path)
   }
 
   private def table(spark: org.apache.spark.sql.SparkSession): DataFrame =
@@ -185,7 +226,18 @@ final class KeyedTableSink(val path: String) {
   def compositeKeyValue(spark: org.apache.spark.sql.SparkSession, parts: Seq[String], delimiter: String): DataFrame =
     keyValue(spark, parts.mkString(delimiter))
 
-  def all(spark: org.apache.spark.sql.SparkSession): DataFrame = table(spark)
+  def all(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    require(!requirePartitionFilter,
+      s"table at $path requires a partition filter (requirePartitionFilter): use timeRange")
+    table(spark)
+  }
+
+  /** Partition-pruned scan over [from, to) of the time-partitioning field. */
+  def timeRange(spark: org.apache.spark.sql.SparkSession,
+      from: java.sql.Timestamp, to: java.sql.Timestamp): DataFrame = {
+    require(partitionField.nonEmpty, s"table at $path has no time partitioning")
+    table(spark).filter(col("__pdate") >= lit(from) && col("__pdate") < lit(to))
+  }
 }
 
 /** Void/noop sink (G8): counts loads, optional error simulation via sink
