@@ -383,6 +383,18 @@ object SparkEntry {
     "ns_dedup_simhash" -> ((s, dir) =>
       graft.ops.Dedup.simhashCandidates(t(s, dir, "documents"), "text", "doc_id",
         maxDist = 10, maxBucket = Int.MaxValue, portable = true)),
+    "ns_dedup_cluster" -> ((s, dir) => {
+      // End-to-end near-dup dedup: minhash candidates → connected
+      // components → one cluster id (min reachable doc) per document.
+      // The oracle recomputes the same pair graph (portable signatures)
+      // and resolves components with a recursive transitive closure.
+      val docs = t(s, dir, "documents")
+      val pairs = graft.ops.Dedup.minhashCandidates(docs, "text", "doc_id",
+        maxBucket = Int.MaxValue, portable = true)
+        .filter(col("est_jaccard") >= 0.5).select("idA", "idB")
+      graft.ops.Dedup.clusterAssignments(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }),
     "ns_ngram_jaccard" -> ((s, dir) => {
       val d = t(s, dir, "documents").filter(col("doc_id") < 100)
       val ids = d.select(col("doc_id"))
@@ -693,6 +705,34 @@ object SparkEntry {
          |WHERE len(list_filter(range(0, 16), bb ->
          |        len(list_filter(range(1, 5), r -> a.sig[bb*4 + r] = b.sig[bb*4 + r])) = 4)) > 0
          |  AND len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) / 64.0 >= 0.5""".stripMargin,
+    "ns_dedup_cluster" ->
+      s"""WITH RECURSIVE tk AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+         |), gr AS (
+         |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END AS grams
+         |  FROM tk
+         |), hh AS (
+         |  SELECT doc_id, list_transform(grams, g -> ('0x' || substr(md5(g), 1, 8))::UBIGINT & 2147483647) AS hs FROM gr
+         |), sg AS (
+         |  SELECT doc_id, $minhashSigSql AS sig FROM hh
+         |), prs AS (
+         |  SELECT a.doc_id AS idA, b.doc_id AS idB
+         |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+         |  WHERE len(list_filter(range(0, 16), bb ->
+         |          len(list_filter(range(1, 5), r -> a.sig[bb*4 + r] = b.sig[bb*4 + r])) = 4)) > 0
+         |    AND len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) / 64.0 >= 0.5
+         |), und AS (
+         |  SELECT idA AS a, idB AS b FROM prs UNION ALL SELECT idB, idA FROM prs
+         |), reach AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+         |)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(least(d.doc_id, m.minb), d.doc_id) AS BIGINT) AS cluster_id
+         |FROM documents d
+         |LEFT JOIN (SELECT a, min(b) AS minb FROM reach GROUP BY a) m ON d.doc_id = m.a""".stripMargin,
     "ns_dedup_simhash" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
         |hh AS (SELECT doc_id, list_transform(toks, t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT) AS hs FROM tk),

@@ -185,6 +185,63 @@ object Dedup {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Connected components over an undirected pair frame (idA, idB) —
+    * the clustering step that turns verified near-dup pairs into dedup
+    * groups. Iterative min-label propagation: each round, every node takes
+    * the minimum component label among itself and its neighbors; converges
+    * in O(cluster diameter) rounds (near-dup clusters are shallow — two
+    * docs are linked through at most a few intermediates), each round one
+    * shuffle keyed by node id. Convergence is detected by the monotone
+    * label sum (one scalar action per round, no row-level diff join). For
+    * graphs with deep chains swap in the big-star/small-star variant
+    * (Kiveris et al., "Connected Components in MapReduce"); the API is the
+    * same.
+    *
+    * Output: (id, component) for every id appearing in `pairs`, where
+    * component = the minimum id reachable.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("idA").as("a"), col("idB").as("b"))
+      .union(pairs.select(col("idB").as("a"), col("idA").as("b")))
+      .cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id")).cache()
+    def labelSum(df: DataFrame): Long = {
+      val v = df.agg(sum(col("component"))).collect()(0)
+      if (v.isNullAt(0)) 0L else v.getLong(0) // null = empty graph
+    }
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = prevSum == 0L
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.select(col("id").as("b"), col("component")), "b")
+        .select(col("a").as("id"), col("component"))
+      val next = labels.union(viaNeighbors)
+        .groupBy("id").agg(min(col("component")).as("component"))
+        .cache()
+      val nextSum = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** End-to-end near-dup dedup: keep one representative (minimum id) per
+    * connected component of the verified candidate-pair graph. Docs in no
+    * pair keep themselves. Output: (id, cluster_id) for every doc.
+    */
+  def clusterAssignments(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    docs.select(col(idCol).as("id"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("cluster_id"))
+  }
+
   /** Candidate pairs with Hamming distance ≤ maxDist via 16-bit banding
     * (any equal 16-bit chunk → candidate; by pigeonhole every pair with
     * hamming ≤ 3 is guaranteed found, larger distances probabilistically).

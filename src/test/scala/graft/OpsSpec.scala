@@ -129,6 +129,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "und"))
   }
 
+  test("connected components: transitive chains collapse, isolated docs self-label") {
+    // chain 1-2-3-4 (diameter 3) + pair 10-11 + isolated 99
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("idA", "idB")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
+    val assigned = Dedup.clusterAssignments(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned(99L) == 99L && assigned(4L) == 1L && assigned(11L) == 10L)
+    // empty pair graph: everyone keeps themselves
+    val none = Dedup.clusterAssignments(docs, "doc_id",
+      Seq.empty[(Long, Long)].toDF("idA", "idB"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(none.forall { case (id, c) => id == c })
+  }
+
   test("portable hash family matches the SQL definition (md5 goldens)") {
     import graft.functions.text.PortableHash
     import org.apache.spark.unsafe.types.UTF8String
