@@ -547,6 +547,37 @@ final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
     }
   }
 
+  /** J2 cross-pod registry sync (supervisor.go:281-317
+    * handleStreamRegistryModified): another driver persisted spec changes;
+    * re-fetch the shared registry table and reconcile the local
+    * deployment — hot-swap streams whose persisted version is newer, shut
+    * down streams now disabled for this env, deploy newly-registered ones.
+    * The reference fans the trigger out via an admin event stream; with
+    * the registry as a shared table, any control signal (timer, admin
+    * topic, HTTP) simply invokes sync().
+    */
+  def sync(): Unit = {
+    registry.fetch()
+    registry.all.foreach { spec =>
+      try deployLock.synchronized {
+        (Option(streams.get(spec.id)), registry.isDisabled(spec)) match {
+          case (Some(st), true) =>
+            notifier.notify("INFO", spec.id, "sync: disabled in registry; shutting down")
+            shutdownStream(st)
+          case (Some(st), false) if spec.version > st.spec.version =>
+            notifier.notify("INFO", spec.id, s"sync: hot-swapping to version ${spec.version}")
+            shutdownStream(st)
+            deploy(resolveOps(spec))
+          case (None, false) =>
+            deploy(resolveOps(spec))
+          case _ => () // already current, or disabled and not deployed
+        }
+      }
+      catch { case e: Exception =>
+        notifier.notify("ERROR", spec.id, s"sync deploy failed: ${e.getMessage}") }
+    }
+  }
+
   private def deploy(spec: StreamSpec): Unit = {
     val pipeline = SpecCompiler.compile(spec)
     val st = new Stream(spec, pipeline, metrics(spec.id), this)
@@ -690,6 +721,10 @@ final class Geist(spark: SparkSession, config: RuntimeConfig = RuntimeConfig()) 
     supervisor.registerStream(specJson)
   /** Restart entry point: load persisted specs and deploy enabled streams. */
   def bootstrap(): Unit = supervisor.bootstrap()
+  /** J2: reconcile this driver against registry changes persisted by
+    * another driver (hot-swap upgrades, shut down disabled, deploy new).
+    */
+  def sync(): Unit = supervisor.sync()
   def publish(streamId: String, eventJson: String): String =
     supervisor.publish(streamId, eventJson)
   def getStreamSpec(id: String): Option[StreamSpec] = supervisor.registry.get(id)

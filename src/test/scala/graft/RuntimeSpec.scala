@@ -240,6 +240,28 @@ class RuntimeSpec extends AnyFunSuite {
     g2.shutdown()
   }
 
+  test("J2 cross-driver sync: upgrades hot-swap, disables undeploy (supervisor.go:281-317)") {
+    val specTable = tmpDir() + "/specs"
+    def driver() = new Geist(spark, RuntimeConfig(specTablePath = Some(specTable), retryBackoffBaseMs = 1))
+    val g1 = driver()
+    assert(g1.registerStream(apiSpec("rt", "sync", 1)).isRight)
+    // a second driver picks the spec up from the shared registry table
+    val g2 = driver()
+    g2.bootstrap()
+    assert(g2.deployedIds.contains("rt-sync"))
+    assert(g2.getStreamSpec("rt-sync").get.version == 1)
+    // driver 1 upgrades; driver 2 reconciles to the new version
+    assert(g1.registerStream(apiSpec("rt", "sync", 2)).isRight)
+    g2.sync()
+    assert(g2.getStreamSpec("rt-sync").get.version == 2)
+    assert(g2.deployedIds.contains("rt-sync"))
+    // driver 1 disables; driver 2 undeploys on sync
+    assert(g1.registerStream(apiSpec("rt", "sync", 3, extra = """"disabled": true,""")).isRight)
+    g2.sync()
+    assert(!g2.deployedIds.contains("rt-sync"), "disabled spec must undeploy on sync")
+    g1.shutdown(); g2.shutdown()
+  }
+
   test("I3 self-heal: failed stream restarts with backoff and recovers (executor.go:119-158)") {
     val g = new Geist(spark, RuntimeConfig(retryBackoffBaseMs = 1, streamRetryBackoffBaseMs = 100))
     val spec =
