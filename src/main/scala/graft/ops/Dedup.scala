@@ -198,7 +198,10 @@ object Dedup {
     * same.
     *
     * Output: (id, component) for every id appearing in `pairs`, where
-    * component = the minimum id reachable.
+    * component = the minimum id reachable. The returned frame is cached
+    * (its lineage spans every iteration — recomputing it would replay the
+    * whole loop): `.unpersist()` it once consumed, or let the context
+    * cleaner collect it.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("idA").as("a"), col("idB").as("b"))
