@@ -17,6 +17,8 @@ import graft.json._
   *     each element's `first`; elements missing the sub-path are skipped)
   *   - first-match array queries: `data.#(base=="EUR").rates` with operators
   *     `==`, `!=`, `<`, `<=`, `>`, `>=` and string/number/bool literals
+  *   - query-all form `#(pred)#` → every matching element (array), with the
+  *     remaining path applied per match
   *
   * Result-conversion semantics mirror gjson's `Result` methods exactly
   * (missing → ""/0/0.0/false; numbers keep their literal text; objects and
@@ -28,8 +30,12 @@ object GJsonPath {
   final case class Key(name: String) extends Seg
   /** `#` — array length when final segment. */
   case object Count extends Seg
-  /** `#(lhsPath op rhs)` — first array element matching the predicate. */
-  final case class Query(lhs: List[Seg], op: String, rhs: String, rhsQuoted: Boolean) extends Seg
+  /** `#(lhsPath op rhs)` — first array element matching the predicate;
+    * with the `#(...)#` suffix (`all = true`), ALL matching elements as an
+    * array (gjson query-all form, e.g. `friends.#(last=="Murphy")#.first`).
+    */
+  final case class Query(lhs: List[Seg], op: String, rhs: String, rhsQuoted: Boolean,
+      all: Boolean = false) extends Seg
 
   final case class ParsedPath(segs: List[Seg]) {
     override def toString: String = segs.mkString(".")
@@ -64,8 +70,11 @@ object GJsonPath {
           flush(); i += 1
         case '#' if cur.length == 0 && i + 1 < n && path.charAt(i + 1) == '(' =>
           val close = findClosingParen(path, i + 1)
-          curHasQuery = parseQuery(path.substring(i + 2, close))
-          i = close + 1
+          val q = parseQuery(path.substring(i + 2, close))
+          // `#(...)#` = query-all: every matching element, not the first
+          val isAll = close + 1 < n && path.charAt(close + 1) == '#'
+          curHasQuery = if (isAll) q.copy(all = true) else q
+          i = close + (if (isAll) 2 else 1)
         case '#' if cur.length == 0 && (i + 1 == n || path.charAt(i + 1) == '.') =>
           cur.append('#'); i += 1
         case c =>
@@ -185,11 +194,21 @@ object GJsonPath {
               Js.parse(parts.mkString("[", ",", "]"))
             case _ => None
           }
-        case Query(lhs, op, rhs, rhsQuoted) =>
+        case Query(lhs, op, rhs, rhsQuoted, all) =>
           node match {
-            case a: JsArr =>
+            case a: JsArr if !all =>
               a.items.find(item => evalSegs(item, lhs).exists(queryMatches(_, op, rhs, rhsQuoted)))
                 .flatMap(evalSegs(_, rest))
+            case a: JsArr =>
+              // query-all: filter, then apply the remaining path per match
+              // (skip-on-missing) and rebuild an array from raw slices —
+              // the same multi-result assembly as the `#` projection
+              val matches = a.items.filter(item =>
+                evalSegs(item, lhs).exists(queryMatches(_, op, rhs, rhsQuoted)))
+              val parts =
+                if (rest.isEmpty) matches.map(_.raw)
+                else matches.flatMap(evalSegs(_, rest)).map(_.raw)
+              Js.parse(parts.mkString("[", ",", "]"))
             case _ => None
           }
       }

@@ -110,6 +110,23 @@ class GJsonPathSpec extends AnyFunSuite {
     assert(str("""{"a": null}""", "a") == "")
   }
 
+  test("query-all #(pred)# returns every match (gjson README examples)") {
+    val doc =
+      """{"friends": [
+        |  {"first": "Dale", "last": "Murphy", "age": 44},
+        |  {"first": "Roger", "last": "Craig", "age": 68},
+        |  {"first": "Jane", "last": "Murphy", "age": 47}
+        |]}""".stripMargin
+    assert(str(doc, """friends.#(last=="Murphy")#.first""") == """["Dale","Jane"]""")
+    assert(str(doc, """friends.#(age>45)#.last""") == """["Craig","Murphy"]""")
+    // terminal query-all: the matching elements themselves
+    assert(str(doc, """friends.#(age>60)#""") ==
+      """[{"first": "Roger", "last": "Craig", "age": 68}]""")
+    // no matches → empty array (exists), vs first-match → not exists
+    assert(str(doc, """friends.#(age>99)#""") == "[]")
+    assert(GJsonPath.get(doc, """friends.#(age>99).first""").isEmpty)
+  }
+
   test("mid-path # projects per element (gjson friends.#.first)") {
     val doc =
       """{"friends": [

@@ -127,6 +127,29 @@ class RuntimeSpec extends AnyFunSuite {
     g.shutdown()
   }
 
+  test("houe=dlq writes unretryable events to the dead-letter table (I4)") {
+    val root = tmpDir()
+    val spec =
+      """{
+        |  "namespace": "rt", "streamIdSuffix": "dlq", "version": 1,
+        |  "description": "...",
+        |  "ops": {"handlingOfUnretryableEvents": "dlq"},
+        |  "source": {"type": "geistapi"},
+        |  "transform": {
+        |    "extractFields": [{"fields": [{"id": "line", "jsonPath": "payload", "type": "string"}]}],
+        |    "regexp": {"expression": "^(?P<n>\\d+)$", "field": "line"}
+        |  },
+        |  "sink": {"type": "void"}
+        |}""".stripMargin
+    val g = new Geist(spark, RuntimeConfig(retryBackoffBaseMs = 1, sinkRoot = Some(root)))
+    val id = g.registerStream(spec).fold(e => fail(e.msg), identity)
+    g.publish(id, """{"payload": "123"}""") // matches → no DLQ entry
+    g.publish(id, """{"payload": "not-a-number"}""") // → DLQ
+    val dlq = spark.read.parquet(s"$root/${id}__dlq")
+    assert(dlq.count() == 1, "exactly the non-matching event must reach the DLQ")
+    g.shutdown()
+  }
+
   test("metrics accounting across publishes (H1, geist_test.go golden counters)") {
     val g = new Geist(spark, RuntimeConfig(retryBackoffBaseMs = 1))
     val id = g.registerStream(apiSpec("rt", "metrics")).fold(e => fail(e.msg), identity)
