@@ -15,6 +15,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Windows {
 
+  /** Streaming exact dedup: drop rows whose key columns were already seen
+    * within the watermark horizon — the streaming form of insert-id dedup
+    * (G5) and digest-exact dedup. dropDuplicatesWithinWatermark evicts
+    * per-key state once the watermark passes, so state is bounded by the
+    * dedup horizon × key arrival rate, never by stream length (plain
+    * dropDuplicates on a stream grows state forever). For content dedup
+    * pass a digest column (md5(text)) as the key, keeping state entries
+    * at ~16 bytes instead of document size.
+    */
+  def streamingDedup(df: DataFrame, tsCol: String, keyCols: Seq[String],
+      watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Tumbling/sliding windowed counts + sums per key with a watermark:
     * the standard event-time aggregation. Late rows beyond the watermark
     * are dropped by the engine — at scale the watermark bounds state size.

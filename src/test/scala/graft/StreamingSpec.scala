@@ -40,6 +40,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(spec.ops.microBatch && spec.ops.microBatchSize == 250)
   }
 
+  test("streaming dedup drops within-watermark duplicates, state evicts past it") {
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark, 1)
+    val df = input.toDF().toDF("ts", "k")
+    val deduped = Windows.streamingDedup(df, "ts", Seq("k"), "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      input.addData((ts(10, 0), "a"), (ts(10, 1), "a"), (ts(10, 2), "b"))
+      q.processAllAvailable()
+      // duplicate "a" within the horizon dropped
+      assert(spark.table("sdedup").select("k").as[String].collect().sorted.toSeq == Seq("a", "b"))
+      // advance event time far past the watermark: state for "a" evicted,
+      // so a late re-occurrence is a NEW row (dedup horizon, not forever)
+      input.addData((ts(12, 0), "c"))
+      q.processAllAvailable()
+      input.addData((ts(12, 1), "a"))
+      q.processAllAvailable()
+      assert(spark.table("sdedup").select("k").as[String].collect().sorted.toSeq ==
+        Seq("a", "a", "b", "c"))
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over a memory stream") {
     val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark, 1)
     val df = input.toDF().toDF("ts", "key", "v")
