@@ -530,6 +530,33 @@ object SparkEntry {
       .mkString("[", ",\n          ", "]")
   }
 
+  /** Shared CTE stanza computing per-document portable-minhash signatures —
+    * one definition feeds every minhash-derived oracle (candidates +
+    * clustering) so the hash family can never silently diverge between
+    * them.
+    */
+  private def minhashSigCtes: String =
+    s"""tk AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+       |), gr AS (
+       |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |    ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END AS grams
+       |  FROM tk
+       |), hh AS (
+       |  SELECT doc_id, list_transform(grams, g -> ('0x' || substr(md5(g), 1, 8))::UBIGINT & 2147483647) AS hs FROM gr
+       |), sg AS (
+       |  SELECT doc_id, $minhashSigSql AS sig FROM hh
+       |)""".stripMargin
+
+  /** est_jaccard + "some full band equal" over sg-aliased a/b — the pair
+    * predicate both minhash oracles share.
+    */
+  private val minhashEstSql = "len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) / 64.0"
+  private val minhashPairPredSql =
+    s"""len(list_filter(range(0, 16), bb ->
+       |        len(list_filter(range(1, 5), r -> a.sig[bb*4 + r] = b.sig[bb*4 + r])) = 4)) > 0
+       |  AND $minhashEstSql >= 0.5""".stripMargin
+
   /** Exact cosine top-k oracle — shared by ns_embed_topk and by the ANN
     * queries (which run in provably-exhaustive probe mode, so their output
     * must equal exact top-k: brute force, LSH, and IVF are mutually gated).
@@ -688,40 +715,16 @@ object SparkEntry {
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.48""".stripMargin,
     "ns_dedup_minhash" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
-         |), gr AS (
-         |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-         |    ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END AS grams
-         |  FROM tk
-         |), hh AS (
-         |  SELECT doc_id, list_transform(grams, g -> ('0x' || substr(md5(g), 1, 8))::UBIGINT & 2147483647) AS hs FROM gr
-         |), sg AS (
-         |  SELECT doc_id, $minhashSigSql AS sig FROM hh
-         |)
+      s"""WITH $minhashSigCtes
          |SELECT a.doc_id AS idA, b.doc_id AS idB,
-         |       len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) / 64.0 AS est_jaccard
+         |       $minhashEstSql AS est_jaccard
          |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
-         |WHERE len(list_filter(range(0, 16), bb ->
-         |        len(list_filter(range(1, 5), r -> a.sig[bb*4 + r] = b.sig[bb*4 + r])) = 4)) > 0
-         |  AND len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) / 64.0 >= 0.5""".stripMargin,
+         |WHERE $minhashPairPredSql""".stripMargin,
     "ns_dedup_cluster" ->
-      s"""WITH RECURSIVE tk AS (
-         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
-         |), gr AS (
-         |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-         |    ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END AS grams
-         |  FROM tk
-         |), hh AS (
-         |  SELECT doc_id, list_transform(grams, g -> ('0x' || substr(md5(g), 1, 8))::UBIGINT & 2147483647) AS hs FROM gr
-         |), sg AS (
-         |  SELECT doc_id, $minhashSigSql AS sig FROM hh
-         |), prs AS (
+      s"""WITH RECURSIVE $minhashSigCtes, prs AS (
          |  SELECT a.doc_id AS idA, b.doc_id AS idB
          |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
-         |  WHERE len(list_filter(range(0, 16), bb ->
-         |          len(list_filter(range(1, 5), r -> a.sig[bb*4 + r] = b.sig[bb*4 + r])) = 4)) > 0
-         |    AND len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) / 64.0 >= 0.5
+         |  WHERE $minhashPairPredSql
          |), und AS (
          |  SELECT idA AS a, idB AS b FROM prs UNION ALL SELECT idB, idA FROM prs
          |), reach AS (

@@ -209,13 +209,18 @@ object Dedup {
       .cache()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("component", col("id")).cache()
-    def labelSum(df: DataFrame): Long = {
-      val v = df.agg(sum(col("component"))).collect()(0)
-      if (v.isNullAt(0)) 0L else v.getLong(0) // null = empty graph
+    // type-agnostic convergence fingerprint: labels only ever decrease, so
+    // the (id, component) set changes iff any label changed — xor-folded
+    // row hashes detect that for string/negative/any-typed ids (a plain
+    // sum(component) would break on non-numeric ids; summing hashes
+    // overflows under ANSI; xor is order-independent and overflow-free)
+    def labelFingerprint(df: DataFrame): Long = {
+      val v = df.agg(bit_xor(xxhash64(col("id"), col("component")))).collect()(0)
+      if (v.isNullAt(0)) 0L else v.getLong(0)
     }
-    var prevSum = labelSum(labels)
     var iter = 0
-    var converged = prevSum == 0L
+    var converged = labels.isEmpty // empty pair graph: nothing to propagate
+    var prevFp = if (converged) 0L else labelFingerprint(labels)
     while (!converged && iter < maxIter) {
       val viaNeighbors = edges
         .join(labels.select(col("id").as("b"), col("component")), "b")
@@ -223,20 +228,33 @@ object Dedup {
       val next = labels.union(viaNeighbors)
         .groupBy("id").agg(min(col("component")).as("component"))
         .cache()
-      val nextSum = labelSum(next)
+      val nextFp = labelFingerprint(next)
       labels.unpersist()
       labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
+      converged = nextFp == prevFp
+      prevFp = nextFp
       iter += 1
     }
     edges.unpersist()
+    // an unconverged exit would silently split clusters (far ends of a
+    // deep chain keep non-minimal labels) — refuse instead
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          "(cluster diameter exceeds maxIter): raise maxIter or use a " +
+          "star-contraction variant for deep-chain graphs")
     labels
   }
 
   /** End-to-end near-dup dedup: keep one representative (minimum id) per
     * connected component of the verified candidate-pair graph. Docs in no
     * pair keep themselves. Output: (id, cluster_id) for every doc.
+    *
+    * The result's lineage holds the cached component labels from
+    * [[connectedComponents]] (small: one row per id in `pairs`); the
+    * context cleaner reclaims the cache when the frames are released —
+    * call connectedComponents directly if you need explicit unpersist
+    * control.
     */
   def clusterAssignments(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val cc = connectedComponents(pairs)

@@ -565,18 +565,33 @@ final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
             notifier.notify("INFO", spec.id, "sync: disabled in registry; shutting down")
             shutdownStream(st)
           case (Some(st), false) if spec.version > st.spec.version =>
+            // same safety ordering as registerStream: prove the new spec
+            // compiles and its source config is sane BEFORE stopping the
+            // healthy running version — a spec that deploys on the driver
+            // that persisted it can still fail environmentally here
+            val resolved = resolveOps(spec)
+            SpecCompiler.compile(resolved)
+            validateSource(resolved)
             notifier.notify("INFO", spec.id, s"sync: hot-swapping to version ${spec.version}")
             shutdownStream(st)
-            deploy(resolveOps(spec))
+            deployOrRemove(resolved)
           case (None, false) =>
-            deploy(resolveOps(spec))
+            deployOrRemove(resolveOps(spec))
           case _ => () // already current, or disabled and not deployed
         }
       }
       catch { case e: Exception =>
-        notifier.notify("ERROR", spec.id, s"sync deploy failed: ${e.getMessage}") }
+        notifier.notify("ERROR", spec.id, s"sync failed for ${spec.id}: ${e.getMessage}") }
     }
   }
+
+  /** Deploy, and on failure remove the half-registered Stream so a later
+    * sync/register can retry (a zombie entry would otherwise report as
+    * deployed forever while no query runs).
+    */
+  private def deployOrRemove(spec: StreamSpec): Unit =
+    try deploy(spec)
+    catch { case e: Exception => streams.remove(spec.id); throw e }
 
   private def deploy(spec: StreamSpec): Unit = {
     val pipeline = SpecCompiler.compile(spec)

@@ -206,7 +206,13 @@ final class KeyedTableSink(
   }
 
   def write(df: DataFrame): Unit = {
-    val hasPartition = partitionField.nonEmpty && df.columns.contains(partitionField)
+    val hasPartition = partitionField.nonEmpty
+    // fail fast rather than silently degrade: a batch missing the
+    // configured partition column would write an unpartitioned layout into
+    // a partitioned directory tree, breaking partition discovery for every
+    // subsequent read of the table
+    require(!hasPartition || df.columns.contains(partitionField),
+      s"table at $path is time-partitioned on '$partitionField' but the batch has columns ${df.columns.mkString(",")}")
     var out = df
     if (hasPartition)
       out = out.withColumn("__pdate", date_trunc(truncUnit, col(partitionField)))
@@ -232,11 +238,17 @@ final class KeyedTableSink(
     table(spark)
   }
 
-  /** Partition-pruned scan over [from, to) of the time-partitioning field. */
+  /** Scan over [from, to) of the time-partitioning field: partitions prune
+    * on the TRUNCATED bounds (a row at 18:00 lives in the 00:00 day
+    * partition, so pruning must include the partition containing `from`),
+    * then the exact field predicate trims the boundary partitions.
+    */
   def timeRange(spark: org.apache.spark.sql.SparkSession,
       from: java.sql.Timestamp, to: java.sql.Timestamp): DataFrame = {
     require(partitionField.nonEmpty, s"table at $path has no time partitioning")
-    table(spark).filter(col("__pdate") >= lit(from) && col("__pdate") < lit(to))
+    table(spark)
+      .filter(col("__pdate") >= date_trunc(truncUnit, lit(from)) && col("__pdate") < lit(to))
+      .filter(col(partitionField) >= lit(from) && col(partitionField) < lit(to))
   }
 }
 
