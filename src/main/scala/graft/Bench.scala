@@ -16,17 +16,20 @@ object Bench {
     // plan cost, not JIT/codegen/scheduler first-touch (which lands unevenly
     // on whichever queries a cold JVM runs first and produced 19× artifacts
     // between near-identical plans in round 1).
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // deterministic name order: per-query attribution is comparable
+    // across rounds regardless of Map iteration order
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

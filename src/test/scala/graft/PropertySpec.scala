@@ -114,6 +114,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: portable hash family laws (range, determinism, distinctness)") {
+    import graft.functions.text.PortableHash
+    import org.apache.spark.unsafe.types.UTF8String
+    val strGen = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    forAll(strGen) { s =>
+      val u = UTF8String.fromString(s)
+      val h = PortableHash.h31(u)
+      assert(h >= 0 && h < PortableHash.P, s"h31 out of range for '$s'")
+      assert(h == PortableHash.h31(UTF8String.fromString(s)), "h31 must be deterministic")
+      (0 until 64).foreach { j =>
+        val p = PortableHash.perm(j, h)
+        assert(p >= 0 && p < PortableHash.P, s"perm $j out of range")
+      }
+    }
+    // the 64 affine permutations are pairwise distinct maps (distinct a or b)
+    val ab = (0 until 64).map(j => (PortableHash.a(j), PortableHash.b(j)))
+    assert(ab.distinct.size == 64, "affine constants must be pairwise distinct")
+    assert(ab.forall { case (a, b) => a >= 1 && a < PortableHash.P && b >= 0 && b < PortableHash.P })
+  }
+
   test("property: Go time layout round trip at seconds precision") {
     import graft.functions.GoTimeLayout
     val fmtIn = GoTimeLayout.toFormatter("02/Jan/2006:15:04:05 -0700")

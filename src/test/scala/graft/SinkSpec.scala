@@ -62,6 +62,55 @@ class SinkSpec extends AnyFunSuite {
     assert(inFile == inFile.sorted, s"file content must be clustered: $inFile")
   }
 
+  test("G6 timeRange boundaries: from-partition included then field-trimmed, to-side exact") {
+    val sink = new KeyedTableSink(tmp(), partitionField = "dateIngested", partitionType = "DAY")
+    sink.write(rows) // k1@06-01 10:00, k2@06-01 23:00, k3@06-03 05:00
+    // range starts mid-partition: the 06-01 partition must still be
+    // scanned, but only rows past 12:00 qualify
+    def range(f: String, t: String) = sink.timeRange(spark,
+      java.sql.Timestamp.valueOf(f), java.sql.Timestamp.valueOf(t))
+      .select("key").as[String].collect().sorted.toSeq
+    assert(range("2024-06-01 12:00:00", "2024-06-04 00:00:00") == Seq("k2", "k3"))
+    // to is exclusive at field precision, not partition precision
+    assert(range("2024-06-01 00:00:00", "2024-06-01 23:00:00") == Seq("k1"))
+    assert(range("2024-06-01 00:00:00", "2024-06-01 23:00:01") == Seq("k1", "k2"))
+  }
+
+  test("G6 write refuses a batch missing the configured partition column") {
+    val sink = new KeyedTableSink(tmp(), partitionField = "dateIngested")
+    intercept[IllegalArgumentException] { sink.write(rows.drop("dateIngested")) }
+  }
+
+  test("G6 end-to-end: a registered stream writes partitioned by its ingestion-time column") {
+    val root = tmp()
+    val spec =
+      """{
+        |  "namespace": "rt", "streamIdSuffix": "g6e2e", "version": 1,
+        |  "description": "...",
+        |  "source": {"type": "geistapi"},
+        |  "transform": {"extractFields": [{"fields": [
+        |    {"id": "name", "jsonPath": "name"}]}]},
+        |  "sink": {"type": "bigquery", "config": {"customConfig": {"tables": [
+        |    {"name": "t",
+        |     "rowKey": {"keys": ["name"], "delimiter": "#"},
+        |     "columns": [
+        |       {"name": "key", "valueFromId": "name"},
+        |       {"name": "dateIngested", "valueFromId": "@GeistIngestionTime"}],
+        |     "tableCreation": {
+        |       "clustering": ["key"],
+        |       "timePartitioning": {"type": "DAY", "field": "dateIngested"}}}
+        |  ]}}}
+        |}""".stripMargin
+    val g = new graft.runtime.Geist(spark,
+      graft.runtime.RuntimeConfig(retryBackoffBaseMs = 1, sinkRoot = Some(root)))
+    val id = g.registerStream(spec).fold(e => fail(e.msg), identity)
+    g.publish(id, """{"name": "EV_A"}""")
+    val dirs = new java.io.File(s"$root/$id").listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("__pdate=")),
+      s"sink table must be partition-laid-out, got ${dirs.toSeq}")
+    g.shutdown()
+  }
+
   test("G6 requirePartitionFilter: full scans refused, ranged + keyed reads allowed") {
     val sink = new KeyedTableSink(tmp(), partitionField = "dateIngested",
       requirePartitionFilter = true)
