@@ -104,11 +104,21 @@ object SpecCompiler {
       */
     def applyWith(df: DataFrame, b: Branch, eventCol: String, keepColumns: Seq[String]): DataFrame = {
       val ev = col(eventCol)
-      val routed = df.filter(routedCol(b, ev))
+      lazy val routed = df.filter(routedCol(b, ev))
       b match {
         case fb: FieldsBranch =>
-          var projected = routed
-            .select(keepColumns.map(col) :+ fb.project(ev).as("__t"): _*)
+          // filter and projection fuse into ONE expression (null = row
+          // rejected), halving the per-row JSON parses vs a separate
+          // filter stage; a trivially-true predicate skips the guard
+          val guarded = EventPred.and(keep, fb.pred) match {
+            case EventPred.True0() =>
+              df.select(keepColumns.map(col) :+ fb.project(ev).as("__t"): _*)
+            case p =>
+              df.select(keepColumns.map(col) :+
+                gjson.extractFieldsGuarded(ev, fb.fields, p).as("__t"): _*)
+                .filter(col("__t").isNotNull)
+          }
+          var projected = guarded
             .select(keepColumns.map(col) ++ fb.outputColumns.map(c => col(s"__t.`$c`").as(c)): _*)
           // userAgent unescape failure fails the whole event into the error
           // path (reference: extractFields returns err → Transform errors);

@@ -93,17 +93,27 @@ object gjson {
   /** Project a JSON event column into a struct of spec-typed fields —
     * the extractFields workhorse (C1). One JSON parse per row for all
     * fields of a branch.
+    *
+    * With `pred` set, the row's keep∧branch predicate evaluates on the
+    * SAME parse and a failing row yields null instead of a struct: the
+    * pipeline fuses filter+projection into one parse per row (previously
+    * the filter stage parsed every row and the projection parsed every
+    * surviving row again).
     */
-  case class ExtractFieldsExpr(child: Expression, fields: Seq[CompiledField])
+  case class ExtractFieldsExpr(child: Expression, fields: Seq[CompiledField],
+      pred: Option[EventPred] = None)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType =
       StructType(fields.map(f => StructField(f.id, f.gtype.dataType, nullable = f.gtype == GUserAgent)))
-    override def nullable: Boolean = false
+    override def nullable: Boolean = pred.isDefined
     override def eval(input: InternalRow): Any = {
       val raw = child.eval(input)
       val rawStr = if (raw == null) UTF8String.EMPTY_UTF8 else raw.asInstanceOf[UTF8String]
       val root = Js.parse(rawStr.toString)
-      InternalRow.fromSeq(fields.map(fieldValue(_, root, rawStr)))
+      pred match {
+        case Some(p) if !p.eval(root) => null
+        case _ => InternalRow.fromSeq(fields.map(fieldValue(_, root, rawStr)))
+      }
     }
     override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   }
@@ -261,6 +271,12 @@ object gjson {
 
   def extractFields(col: Column, fields: Seq[CompiledField]): Column =
     ExpressionUtils.column(ExtractFieldsExpr(ExpressionUtils.expression(col), fields))
+
+  /** Fused filter+projection: null when `pred` rejects the row, the field
+    * struct otherwise — one JSON parse per row for both.
+    */
+  def extractFieldsGuarded(col: Column, fields: Seq[CompiledField], pred: EventPred): Column =
+    ExpressionUtils.column(ExtractFieldsExpr(ExpressionUtils.expression(col), fields, Some(pred)))
 
   def eventPred(col: Column, pred: EventPred): Column =
     ExpressionUtils.column(EventPredExpr(ExpressionUtils.expression(col), pred))

@@ -33,6 +33,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"spec pipeline must not shuffle:\n$plan")
   }
 
+  test("spec pipelines fuse filter+extraction into ONE JSON parse per row") {
+    // the keep/branch predicate evaluates inside ExtractFieldsExpr (null =
+    // rejected row); a separate EventPredExpr filter stage would parse
+    // every event a second time
+    val plan = planOf(SparkEntry.queries("b1_blacklist")(spark, sf)).toLowerCase
+    assert(plan.contains("extractfieldsexpr"), s"fused extraction expected:\n${plan.take(2000)}")
+    assert(!plan.contains("eventpredexpr"),
+      s"separate predicate parse must not appear:\n${plan.take(2000)}")
+  }
+
   test("small dimension joins broadcast (q5)") {
     val plan = planOf(SparkEntry.queries("q5_nation_rollup")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"nation/region must broadcast:\n$plan")
