@@ -107,19 +107,19 @@ object SpecCompiler {
       lazy val routed = df.filter(routedCol(b, ev))
       b match {
         case fb: FieldsBranch =>
-          // filter and projection fuse into ONE expression (null = row
-          // rejected), halving the per-row JSON parses vs a separate
-          // filter stage; a trivially-true predicate skips the guard
-          val guarded = EventPred.and(keep, fb.pred) match {
+          // filter and projection fuse into ONE generator (flatMap: the
+          // row's fields when the keep∧branch predicate passes, nothing
+          // otherwise) — one JSON parse per row instead of a predicate
+          // parse plus an extraction parse; a trivially-true predicate
+          // keeps the plain projection
+          var projected = EventPred.and(keep, fb.pred) match {
             case EventPred.True0() =>
               df.select(keepColumns.map(col) :+ fb.project(ev).as("__t"): _*)
+                .select(keepColumns.map(col) ++ fb.outputColumns.map(c => col(s"__t.`$c`").as(c)): _*)
             case p =>
               df.select(keepColumns.map(col) :+
-                gjson.extractFieldsGuarded(ev, fb.fields, p).as("__t"): _*)
-                .filter(col("__t").isNotNull)
+                gjson.extractFieldsRows(ev, fb.fields, p).as(fb.outputColumns): _*)
           }
-          var projected = guarded
-            .select(keepColumns.map(col) ++ fb.outputColumns.map(c => col(s"__t.`$c`").as(c)): _*)
           // userAgent unescape failure fails the whole event into the error
           // path (reference: extractFields returns err → Transform errors);
           // those rows are excluded here and surfaced via errorFrame.

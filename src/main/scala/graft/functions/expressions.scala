@@ -93,27 +93,41 @@ object gjson {
   /** Project a JSON event column into a struct of spec-typed fields —
     * the extractFields workhorse (C1). One JSON parse per row for all
     * fields of a branch.
-    *
-    * With `pred` set, the row's keep∧branch predicate evaluates on the
-    * SAME parse and a failing row yields null instead of a struct: the
-    * pipeline fuses filter+projection into one parse per row (previously
-    * the filter stage parsed every row and the projection parsed every
-    * surviving row again).
     */
-  case class ExtractFieldsExpr(child: Expression, fields: Seq[CompiledField],
-      pred: Option[EventPred] = None)
+  case class ExtractFieldsExpr(child: Expression, fields: Seq[CompiledField])
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType =
       StructType(fields.map(f => StructField(f.id, f.gtype.dataType, nullable = f.gtype == GUserAgent)))
-    override def nullable: Boolean = pred.isDefined
+    override def nullable: Boolean = false
     override def eval(input: InternalRow): Any = {
       val raw = child.eval(input)
       val rawStr = if (raw == null) UTF8String.EMPTY_UTF8 else raw.asInstanceOf[UTF8String]
       val root = Js.parse(rawStr.toString)
-      pred match {
-        case Some(p) if !p.eval(root) => null
-        case _ => InternalRow.fromSeq(fields.map(fieldValue(_, root, rawStr)))
-      }
+      InternalRow.fromSeq(fields.map(fieldValue(_, root, rawStr)))
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  /** Fused filter+projection as a GENERATOR (flatMap): emits the field row
+    * when the keep∧branch predicate passes, nothing otherwise — predicate
+    * and extraction share ONE JSON parse per row. A generator (rather than
+    * a nullable projection + isNotNull filter) is load-bearing here:
+    * Catalyst pushes filters through projections by re-inlining the
+    * projected expression, which would evaluate the parse twice; filters
+    * cannot push through Generate on generated attributes, so single
+    * evaluation is structural (PlanSpec asserts it).
+    */
+  case class ExtractFieldsGen(child: Expression, fields: Seq[CompiledField], pred: EventPred)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.Generator with CodegenFallback {
+    override def elementSchema: StructType =
+      StructType(fields.map(f => StructField(f.id, f.gtype.dataType, nullable = f.gtype == GUserAgent)))
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val raw = child.eval(input)
+      val rawStr = if (raw == null) UTF8String.EMPTY_UTF8 else raw.asInstanceOf[UTF8String]
+      val root = Js.parse(rawStr.toString)
+      if (!pred.eval(root)) Nil
+      else InternalRow.fromSeq(fields.map(fieldValue(_, root, rawStr))) :: Nil
     }
     override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   }
@@ -272,11 +286,11 @@ object gjson {
   def extractFields(col: Column, fields: Seq[CompiledField]): Column =
     ExpressionUtils.column(ExtractFieldsExpr(ExpressionUtils.expression(col), fields))
 
-  /** Fused filter+projection: null when `pred` rejects the row, the field
-    * struct otherwise — one JSON parse per row for both.
+  /** Fused filter+projection rows (see [[ExtractFieldsGen]]): alias with
+    * `.as(fieldIds)` like any multi-column generator.
     */
-  def extractFieldsGuarded(col: Column, fields: Seq[CompiledField], pred: EventPred): Column =
-    ExpressionUtils.column(ExtractFieldsExpr(ExpressionUtils.expression(col), fields, Some(pred)))
+  def extractFieldsRows(col: Column, fields: Seq[CompiledField], pred: EventPred): Column =
+    ExpressionUtils.column(ExtractFieldsGen(ExpressionUtils.expression(col), fields, pred))
 
   def eventPred(col: Column, pred: EventPred): Column =
     ExpressionUtils.column(EventPredExpr(ExpressionUtils.expression(col), pred))

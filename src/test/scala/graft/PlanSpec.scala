@@ -34,13 +34,15 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("spec pipelines fuse filter+extraction into ONE JSON parse per row") {
-    // the keep/branch predicate evaluates inside ExtractFieldsExpr (null =
-    // rejected row); a separate EventPredExpr filter stage would parse
-    // every event a second time
+    // predicate + extraction run inside a single Generate node (flatMap);
+    // a separate EventPredExpr filter stage — or Catalyst re-inlining a
+    // nullable projection into a pushed-down filter — would parse every
+    // event twice
     val plan = planOf(SparkEntry.queries("b1_blacklist")(spark, sf)).toLowerCase
-    assert(plan.contains("extractfieldsexpr"), s"fused extraction expected:\n${plan.take(2000)}")
-    assert(!plan.contains("eventpredexpr"),
-      s"separate predicate parse must not appear:\n${plan.take(2000)}")
+    assert("extractfieldsgen".r.findAllIn(plan).size == 1,
+      s"exactly one fused generator expected:\n${plan.take(2000)}")
+    assert(!plan.contains("eventpredexpr") && !plan.contains("extractfieldsexpr"),
+      s"no second parse stage may appear:\n${plan.take(2000)}")
   }
 
   test("small dimension joins broadcast (q5)") {
