@@ -94,16 +94,25 @@ object gjson {
     * the extractFields workhorse (C1). One JSON parse per row for all
     * fields of a branch.
     */
+  /** Shared parse + row-build for the two extraction expressions — keeps
+    * the plain and fused paths in lockstep.
+    */
+  private def parseEvent(raw: Any): (Option[Js], UTF8String) = {
+    val rawStr = if (raw == null) UTF8String.EMPTY_UTF8 else raw.asInstanceOf[UTF8String]
+    (Js.parse(rawStr.toString), rawStr)
+  }
+  private def fieldsRow(fields: Seq[CompiledField], root: Option[Js], rawStr: UTF8String): InternalRow =
+    InternalRow.fromSeq(fields.map(fieldValue(_, root, rawStr)))
+  private def fieldsSchema(fields: Seq[CompiledField]): StructType =
+    StructType(fields.map(f => StructField(f.id, f.gtype.dataType, nullable = f.gtype == GUserAgent)))
+
   case class ExtractFieldsExpr(child: Expression, fields: Seq[CompiledField])
       extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType =
-      StructType(fields.map(f => StructField(f.id, f.gtype.dataType, nullable = f.gtype == GUserAgent)))
+    override def dataType: DataType = fieldsSchema(fields)
     override def nullable: Boolean = false
     override def eval(input: InternalRow): Any = {
-      val raw = child.eval(input)
-      val rawStr = if (raw == null) UTF8String.EMPTY_UTF8 else raw.asInstanceOf[UTF8String]
-      val root = Js.parse(rawStr.toString)
-      InternalRow.fromSeq(fields.map(fieldValue(_, root, rawStr)))
+      val (root, rawStr) = parseEvent(child.eval(input))
+      fieldsRow(fields, root, rawStr)
     }
     override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   }
@@ -120,14 +129,11 @@ object gjson {
   case class ExtractFieldsGen(child: Expression, fields: Seq[CompiledField], pred: EventPred)
       extends UnaryExpression
       with org.apache.spark.sql.catalyst.expressions.Generator with CodegenFallback {
-    override def elementSchema: StructType =
-      StructType(fields.map(f => StructField(f.id, f.gtype.dataType, nullable = f.gtype == GUserAgent)))
+    override def elementSchema: StructType = fieldsSchema(fields)
     override def eval(input: InternalRow): IterableOnce[InternalRow] = {
-      val raw = child.eval(input)
-      val rawStr = if (raw == null) UTF8String.EMPTY_UTF8 else raw.asInstanceOf[UTF8String]
-      val root = Js.parse(rawStr.toString)
+      val (root, rawStr) = parseEvent(child.eval(input))
       if (!pred.eval(root)) Nil
-      else InternalRow.fromSeq(fields.map(fieldValue(_, root, rawStr))) :: Nil
+      else fieldsRow(fields, root, rawStr) :: Nil
     }
     override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   }

@@ -121,7 +121,10 @@ class PropertySpec extends AnyFunSuite {
     forAll(strGen) { s =>
       val u = UTF8String.fromString(s)
       val h = PortableHash.h31(u)
-      assert(h >= 0 && h < PortableHash.P, s"h31 out of range for '$s'")
+      // 31-bit mask: range is [0, P] INCLUSIVE (P = 2^31-1 is reachable
+      // for digests with the low 31 bits set); both engines share the
+      // identical `& 2147483647` definition so parity holds either way
+      assert(h >= 0 && h <= PortableHash.P, s"h31 out of range for '$s'")
       assert(h == PortableHash.h31(UTF8String.fromString(s)), "h31 must be deterministic")
       (0 until 64).foreach { j =>
         val p = PortableHash.perm(j, h)
