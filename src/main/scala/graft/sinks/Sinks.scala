@@ -238,6 +238,32 @@ final class KeyedTableSink(
     table(spark)
   }
 
+  /** G6 retention (BigTable garbageCollectionPolicy maxAge analog): drop
+    * whole partition directories strictly older than `olderThan` — age-based
+    * TTL is a directory delete, never a data rewrite. Returns the number of
+    * partitions dropped. Partition dir names carry Spark's escaped partition
+    * value (`__pdate=2024-06-01 00%3A00%3A00`); values are unescaped before
+    * comparison.
+    */
+  def gcMaxAge(olderThan: java.sql.Timestamp): Int = {
+    require(partitionField.nonEmpty, s"table at $path has no time partitioning")
+    val root = new java.io.File(path)
+    val dirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("__pdate="))
+    def delete(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(delete)
+      f.delete()
+    }
+    val dropped = dirs.filter { d =>
+      val escaped = d.getName.stripPrefix("__pdate=")
+      val value = java.net.URLDecoder.decode(escaped.replace("+", "%2B"), "UTF-8")
+      try java.sql.Timestamp.valueOf(value).before(olderThan)
+      catch { case _: IllegalArgumentException => false } // unknown dir: keep
+    }
+    dropped.foreach(delete)
+    dropped.length
+  }
+
   /** Scan over [from, to) of the time-partitioning field: partitions prune
     * on the TRUNCATED bounds (a row at 18:00 lives in the 00:00 day
     * partition, so pruning must include the partition containing `from`),

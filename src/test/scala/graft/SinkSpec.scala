@@ -111,6 +111,15 @@ class SinkSpec extends AnyFunSuite {
     g.shutdown()
   }
 
+  test("G6 gcMaxAge drops old partitions as a directory operation") {
+    val sink = new KeyedTableSink(tmp(), partitionField = "dateIngested", partitionType = "DAY")
+    sink.write(rows) // days: 06-01 (k1,k2), 06-03 (k3)
+    val dropped = sink.gcMaxAge(java.sql.Timestamp.valueOf("2024-06-02 00:00:00"))
+    assert(dropped == 1, "exactly the 06-01 partition must drop")
+    assert(sink.all(spark).select("key").as[String].collect().toSeq == Seq("k3"))
+    assert(sink.gcMaxAge(java.sql.Timestamp.valueOf("2024-06-02 00:00:00")) == 0, "idempotent")
+  }
+
   test("G6 requirePartitionFilter: full scans refused, ranged + keyed reads allowed") {
     val sink = new KeyedTableSink(tmp(), partitionField = "dateIngested",
       requirePartitionFilter = true)
