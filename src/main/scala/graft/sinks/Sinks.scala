@@ -187,9 +187,8 @@ object KafkaSinkStage {
   *   - requirePartitionFilter → full-table read-back refuses to scan
   *     without a partition predicate (use [[timeRange]]); key lookups stay
   *     allowed (they are the BigTable row-key path, not a BQ table scan)
-  * TTL/expiration stays a deployment-side concern (partition directories
-  * make `drop partitions older than N` a metadata operation) — SURVEY §2
-  * G6 note.
+  *   - garbageCollectionPolicy maxAge → [[gcMaxAge]] drops aged partition
+  *     directories (a metadata operation, no data rewrite)
   */
 final class KeyedTableSink(
     val path: String,
