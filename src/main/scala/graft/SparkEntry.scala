@@ -506,6 +506,71 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(round(col("amount") * 100).cast("long")).as("amount_cents"))
     }),
+    // ---- corpus curation (training-mix construction) ----
+    "ns_pii_redact" -> ((s, dir) => {
+      // PII is injected deterministically from doc_id (the corpus itself is
+      // PII-free word soup), so detection counts vary 0/1 per category and
+      // the redaction output is fully oracle-checkable.
+      val d = t(s, dir, "documents")
+      val injected = d.select(col("doc_id"), concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit(" contact u"), col("doc_id").cast("string"), lit("@ex.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" call +1-555-123-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" card 4111"), lpad(col("doc_id").cast("string"), 12, "0"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" ip 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".0."), pmod(col("doc_id"), lit(100)).cast("string"))).otherwise(lit(""))
+      ).as("text"))
+      injected.select(col("doc_id"),
+        graft.ops.Curation.piiStats(col("text")).as("p"),
+        graft.ops.Curation.redactPii(col("text")).as("redacted"))
+        .select(col("doc_id"), col("p.n_emails").as("n_emails"), col("p.n_phones").as("n_phones"),
+          col("p.n_ccs").as("n_ccs"), col("p.n_ips").as("n_ips"), col("redacted"))
+    }),
+    "ns_decontaminate" -> ((s, dir) => {
+      // benchmark = every 17th doc (an "eval set"); corpus = the rest.
+      // 4-word grams give a non-trivial contamination rate on this corpus.
+      val d = t(s, dir, "documents")
+      graft.ops.Curation.decontaminate(
+        d.filter(pmod(col("doc_id"), lit(17)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(17)) === 0),
+        "text", "doc_id", n = 4)
+    }),
+    "ns_quality_filter" -> ((s, dir) =>
+      // thresholds chosen so each rule actually splits this corpus
+      // (106 short docs, 6 low-MWL, 112 low-stopword, 181 with dup 2-token
+      // lines at sf0.01); lineLen=2 exercises the duplicate-line rules.
+      graft.ops.Curation.qualityFilter(t(s, dir, "documents"), "text", "doc_id",
+        minWords = 30, maxWords = 10000, minMeanWordLen = 4.0, maxMeanWordLen = 10.0,
+        minStopwordHits = 2, minAlphaWordFrac = 0.9,
+        maxDupLineFrac = 0.05, maxDupLineCharFrac = 0.05, lineLen = 2)),
+    "ns_line_dedup" -> ((s, dir) => {
+      // restructure the word soup into 5-word lines (the corpus has no
+      // newlines), then C4-style global line dedup: only the first global
+      // occurrence of each line survives; docs reassemble in order.
+      val d = t(s, dir, "documents")
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val structured = d.select(col("doc_id"),
+        concat_ws("\n",
+          transform(sequence(lit(1), ((size(toks) + lit(4)) / lit(5)).cast("int")),
+            i => concat_ws(" ", slice(toks, (i - lit(1)) * lit(5) + lit(1), lit(5))))).as("text"))
+      graft.ops.Curation.lineDedup(structured, "text", "doc_id", "\n")
+    }),
+    "ns_sample_stratified" -> ((s, dir) => {
+      // deterministic training-mix sampling: per-language per-mille rates
+      // (mode=rate) and an exact per-language quota (mode=quota), both
+      // driven by the portable md5 hash so DuckDB reproduces membership.
+      val d = t(s, dir, "documents")
+      val rates = Map("en" -> 250, "de" -> 900, "es" -> 500, "fr" -> 750, "zh" -> 100)
+      graft.ops.Curation.stratifiedSample(d, "doc_id", "lang", rates, defaultPermille = 0)
+        .select(lit("rate").as("mode"), col("doc_id"), col("lang"))
+        .unionByName(
+          graft.ops.Curation.stratifiedQuota(d, "doc_id", "lang", quota = 20)
+            .select(lit("quota").as("mode"), col("doc_id"), col("lang")))
+    }),
     "ns_multimodal" -> ((s, dir) => {
       val media = graft.ops.Multimodal.fromDocuments(t(s, dir, "documents"), "doc_id", "text", "text/plain")
       // md5-derived metadata (see Multimodal.fromDocuments) lets the oracle
@@ -792,6 +857,91 @@ object SparkEntry {
         |  ('c50', 21, 108768), ('c6', 14, 48909), ('c7', 19, 94501),
         |  ('c8', 12, 56431), ('c9', 12, 57536)
         |) AS t(cust, n, amount_cents)""".stripMargin,
+    "ns_pii_redact" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' card 4111' || lpad(CAST(doc_id AS VARCHAR), 12, '0') ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+        |    AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\+\d{1,2}-\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text, '\b\d{13,16}\b')) AS BIGINT) AS n_ccs,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+\d{1,2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |    '\b\d{13,16}\b', '<CC>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM inj""".stripMargin,
+    "ns_decontaminate" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(toks) - 2), i -> array_to_string(toks[i:i+3], ' '))) END AS grams
+        |      FROM tk),
+        |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 17 = 0),
+        |hits AS (SELECT doc_id, count(*) AS n_hits
+        |         FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 17 != 0) cg
+        |         JOIN bg USING (gram) GROUP BY doc_id)
+        |SELECT g.doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_contaminated_grams,
+        |  coalesce(n_hits, 0) >= 1 AS contaminated
+        |FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
+        |WHERE g.doc_id % 17 != 0""".stripMargin,
+    "ns_quality_filter" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |st AS (
+        |  SELECT doc_id, len(toks) AS n_words,
+        |    list_sum(list_transform(toks, t -> length(t))) AS sum_chars,
+        |    len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) AS stop_hits,
+        |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+        |    list_transform(range(1, (len(toks) + 1) // 2 + 1),
+        |      i -> array_to_string(toks[(i-1)*2+1 : (i-1)*2+2], ' ')) AS lines
+        |  FROM tk),
+        |st2 AS (
+        |  SELECT *, len(lines) AS n_lines, len(list_distinct(lines)) AS n_dist,
+        |    list_sum(list_transform(lines, l -> length(l))) AS chars_total,
+        |    list_sum(list_transform(list_distinct(lines), l -> length(l))) AS chars_dist
+        |  FROM st)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(sum_chars AS DOUBLE) / n_words AS mean_word_len,
+        |  CAST(stop_hits AS BIGINT) AS stop_hits,
+        |  CAST(alpha_words AS DOUBLE) / n_words AS frac_alpha,
+        |  CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(n_lines - n_dist AS DOUBLE) / n_lines AS dup_line_frac,
+        |  CAST(chars_total - chars_dist AS DOUBLE) / chars_total AS dup_char_frac,
+        |  (n_words >= 30 AND n_words <= 10000
+        |   AND CAST(sum_chars AS DOUBLE) / n_words >= 4.0
+        |   AND CAST(sum_chars AS DOUBLE) / n_words <= 10.0
+        |   AND stop_hits >= 2
+        |   AND CAST(alpha_words AS DOUBLE) / n_words >= 0.9
+        |   AND CAST(n_lines - n_dist AS DOUBLE) / n_lines <= 0.05
+        |   AND CAST(chars_total - chars_dist AS DOUBLE) / chars_total <= 0.05) AS keep
+        |FROM st2""".stripMargin,
+    "ns_line_dedup" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |t2 AS (SELECT doc_id, list_transform(range(1, (len(toks) + 4) // 5 + 1),
+        |        i -> array_to_string(toks[(i-1)*5+1 : (i-1)*5+5], ' ')) AS lines FROM tk),
+        |l AS (SELECT doc_id, unnest(range(1, len(lines) + 1)) AS pos, unnest(lines) AS line,
+        |             len(lines) AS n_lines FROM t2),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM l)
+        |SELECT doc_id, CAST(any_value(n_lines) AS BIGINT) AS n_lines, count(*) AS n_kept,
+        |       string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+        |FROM k WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+    "ns_sample_stratified" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |  (('0x' || substr(md5('graft|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT & 2147483647) AS hv
+        |  FROM documents)
+        |SELECT 'rate' AS mode, doc_id, lang FROM h
+        |WHERE hv % 1000 < CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 900 WHEN 'es' THEN 500
+        |                            WHEN 'fr' THEN 750 WHEN 'zh' THEN 100 ELSE 0 END
+        |UNION ALL
+        |SELECT 'quota' AS mode, doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk FROM h)
+        |WHERE rk <= 20""".stripMargin,
     "ns_multimodal" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  CAST(greatest(1, ((('0x'||substr(md5(text||'d'),1,8))::UBIGINT & 2147483647) % 600000) // 40000) AS INT) AS n_frames,

@@ -245,6 +245,94 @@ object text {
     override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   }
 
+  /** One-pass corpus-curation statistics (Gopher-style quality signals,
+    * Rae et al. 2021 §A1.1): word count, mean word length, stopword hits,
+    * alphabetic-word fraction, plus duplicate-line ratios over fixed-width
+    * token lines. A single evaluation tokenizes once and computes every
+    * signal — the HOF formulation would re-tokenize per referencing column
+    * (projection collapse re-inlines interpreted HOFs; see MinHashExpr).
+    *
+    * Tokenization matches the SQL-oracle form exactly:
+    * `string_split_regex(lower(trim(text)), '\s+')` — trim strips ' ' only
+    * (Spark/DuckDB trim semantics, NOT java.lang.String#trim), lines are
+    * groups of `lineLen` consecutive tokens joined by ' '.
+    */
+  case class CurationStatsExpr(child: Expression, lineLen: Int, stopwords: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    require(lineLen >= 1, "lineLen must be >= 1")
+    @transient private lazy val stopSet: Set[String] = stopwords.toSet
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_words", LongType, nullable = false),
+      StructField("mean_word_len", DoubleType, nullable = false),
+      StructField("stop_hits", LongType, nullable = false),
+      StructField("frac_alpha", DoubleType, nullable = false),
+      StructField("n_lines", LongType, nullable = false),
+      StructField("dup_line_frac", DoubleType, nullable = false),
+      StructField("dup_char_frac", DoubleType, nullable = false)))
+    override def nullSafeEval(input: Any): Any = {
+      val raw = input.asInstanceOf[UTF8String].toString
+      // trim ' ' only + Unicode lowercase, mirroring SQL lower(trim(text))
+      var st = 0
+      var en = raw.length
+      while (st < en && raw.charAt(st) == ' ') st += 1
+      while (en > st && raw.charAt(en - 1) == ' ') en -= 1
+      val s = raw.substring(st, en).toLowerCase(java.util.Locale.ROOT)
+      val toks: Array[String] = if (s.isEmpty) Array.empty else s.split("\\s+")
+      val nWords = toks.length
+      var sumChars = 0L
+      var stopHits = 0L
+      var alphaWords = 0L
+      var i = 0
+      while (i < nWords) {
+        val t = toks(i)
+        sumChars += t.length
+        if (stopSet.contains(t)) stopHits += 1
+        var j = 0
+        var hasAlpha = false
+        while (j < t.length && !hasAlpha) {
+          val c = t.charAt(j)
+          if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) hasAlpha = true
+          j += 1
+        }
+        if (hasAlpha) alphaWords += 1
+        i += 1
+      }
+      val nLines = if (nWords == 0) 0 else (nWords + lineLen - 1) / lineLen
+      val seen = new java.util.HashSet[String](nLines * 2)
+      var dupLines = 0L
+      var charsTotal = 0L
+      var charsDup = 0L
+      var li = 0
+      while (li < nLines) {
+        val from = li * lineLen
+        val until = math.min(from + lineLen, nWords)
+        val sb = new java.lang.StringBuilder
+        var t = from
+        while (t < until) {
+          if (t > from) sb.append(' ')
+          sb.append(toks(t))
+          t += 1
+        }
+        val line = sb.toString
+        charsTotal += line.length
+        if (!seen.add(line)) { dupLines += 1; charsDup += line.length }
+        li += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(
+        nWords.toLong,
+        if (nWords == 0) 0.0 else sumChars.toDouble / nWords,
+        stopHits,
+        if (nWords == 0) 0.0 else alphaWords.toDouble / nWords,
+        nLines.toLong,
+        if (nLines == 0) 0.0 else dupLines.toDouble / nLines,
+        if (charsTotal == 0L) 0.0 else charsDup.toDouble / charsTotal)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  def curationStats(text: Column, lineLen: Int, stopwords: Seq[String]): Column =
+    ExpressionUtils.column(CurationStatsExpr(ExpressionUtils.expression(text), lineLen, stopwords))
+
   /** Cosine similarity over two double arrays in one tight loop. The
     * HOF formulation (aggregate ∘ zip_with) is interpreted per element
     * with lambda-variable boxing; this evaluates ~10× faster on 64-dim

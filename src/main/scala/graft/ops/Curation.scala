@@ -1,0 +1,233 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for LLM training-data pipelines: PII
+  * detection/redaction, benchmark decontamination, Gopher-style quality
+  * filtering, corpus-wide line-level dedup, and deterministic (hash-based)
+  * stratified sampling.
+  *
+  * Scale design (100 TB / 1000 executors):
+  *   - PII + quality are pure per-row projections: scan speed, zero shuffle.
+  *   - Decontamination broadcasts the benchmark n-gram set (eval benchmarks
+  *     are tiny next to a training corpus), so the corpus side never
+  *     shuffles its grams — the only exchange is the per-doc hit count,
+  *     keyed by doc id.
+  *   - Line dedup's first-occurrence resolution is a partial-aggregated
+  *     groupBy on a uniform 64-bit line hash (map-side combine absorbs
+  *     boilerplate lines that repeat millions of times); a window over the
+  *     line key would funnel each hot line into one sorted partition.
+  *   - Sampling decisions are pure hash predicates — no shuffle, no RNG
+  *     state, reproducible across engines/retries (the same md5-affine
+  *     portable family the dedup oracles use).
+  */
+object Curation {
+
+  // ------------------------------------------------------------------ PII
+
+  /** RE2-compatible patterns (no lookaround, no backreferences) so the very
+    * same regexes run under java.util.regex (Spark codegen) and RE2-based
+    * engines (the DuckDB correctness oracle, Go's regexp).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}"
+  val CcRe = "\\b\\d{13,16}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Per-document PII counts over the raw text — codegen'd regexp_count
+    * projections, zero shuffle.
+    */
+  def piiStats(text: Column): Column = struct(
+    regexp_count(text, lit(EmailRe)).cast("long").as("n_emails"),
+    regexp_count(text, lit(PhoneRe)).cast("long").as("n_phones"),
+    regexp_count(text, lit(CcRe)).cast("long").as("n_ccs"),
+    regexp_count(text, lit(Ipv4Re)).cast("long").as("n_ips"))
+
+  /** Redact PII in place. Order matters: emails first (their local part may
+    * contain digits/dots), then phones (dashed digit groups), then card
+    * numbers (long digit runs), then IPs (dotted short runs) — every later
+    * pattern can no longer match inside an earlier redaction token.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        CcRe, "<CC>"),
+      Ipv4Re, "<IP>")
+
+  // --------------------------------------------------- decontamination
+
+  /** Distinct word n-grams (lowercased, whitespace-tokenized, sliding);
+    * docs shorter than `n` tokens contribute their whole token string as a
+    * single gram — the same convention as [[Dedup.shingles]].
+    */
+  def wordNgrams(text: Column, n: Int): Column = array_distinct(Dedup.shingles(text, n))
+
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minOverlap` distinct word n-grams with the benchmark/eval set — the
+    * standard train/test-leak guard applied before training (n-gram overlap
+    * against held-out benchmarks).
+    *
+    * The benchmark gram set is broadcast (default): corpus grams are
+    * checked map-side and only per-doc hit counts shuffle (keyed by doc
+    * id). Set `broadcastBenchmark = false` if the benchmark outgrows the
+    * broadcast threshold — the join then shuffles on the gram string.
+    *
+    * Output: one row per corpus doc — (idCol, n_grams, n_contaminated_grams,
+    * contaminated).
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8,
+      minOverlap: Int = 1,
+      broadcastBenchmark: Boolean = true
+  ): DataFrame = {
+    val grams = wordNgrams(col(textCol), n)
+    val bench0 = benchmark.select(explode(grams).as("gram")).distinct()
+    val bench = if (broadcastBenchmark) broadcast(bench0) else bench0
+    // per-doc grams are distinct and the bench side is distinct, so the
+    // post-join count(*) is exactly the distinct-overlap cardinality
+    val hits = corpus.select(col(idCol), explode(grams).as("gram"))
+      .join(bench, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+    corpus.select(col(idCol), size(grams).cast("long").as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_contaminated_grams"), lit(0L)).as("n_contaminated_grams"),
+        (coalesce(col("n_contaminated_grams"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
+  // --------------------------------------------------- line-level dedup
+
+  /** Corpus-wide line-level deduplication (the C4 recipe, Raffel et al.
+    * 2020 §2.2): every line keeps only its globally-first occurrence —
+    * "first" = minimum (doc, position) — and documents are reassembled from
+    * their surviving lines in original order. Documents whose every line is
+    * seen earlier elsewhere are dropped entirely.
+    *
+    * Plan shape: explode to (doc, pos, line) → resolve first occurrence per
+    * 64-bit line hash with a partial-aggregated min (map-side combine keeps
+    * mega-duplicated boilerplate lines from hot-spotting one reducer, which
+    * a window over the line would do) → same-key join filters survivors →
+    * per-doc reassembly groupBy. Shuffle payload: the line hash + (id, pos)
+    * on the aggregate side; line text moves only with its own row.
+    *
+    * Output: (idCol, n_lines, n_kept, text_dedup), one row per surviving
+    * document.
+    */
+  def lineDedup(docs: DataFrame, textCol: String, idCol: String, sep: String = "\n"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val lines = docs.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), sepRe)).as(Seq("__pos", "__line")))
+      .withColumn("__lh", xxhash64(col("__line")))
+    val first = lines.groupBy(col("__lh"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
+    val kept = lines.join(first, Seq("__lh"))
+      .where(col("__id") === col("__first.__id") && col("__pos") === col("__first.__pos"))
+    kept.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(sep,
+          transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            s => s.getField("__line"))).as("text_dedup"))
+      .join(docs.select(col(idCol).as("__id"),
+        size(split(col(textCol), sepRe)).cast("long").as("n_lines")), Seq("__id"))
+      .select(col("__id").as(idCol), col("n_lines"), col("n_kept"), col("text_dedup"))
+  }
+
+  // --------------------------------------------------- quality filtering
+
+  /** One-pass curation statistics (see CurationStatsExpr): word count, mean
+    * word length, stopword hits, alphabetic-word fraction, and duplicate-
+    * line ratios over `lineLen`-token lines.
+    */
+  def curationStats(text: Column, lineLen: Int = 20,
+      stopwords: Seq[String] = TextAnalysis.DefaultStopwords): Column =
+    graft.functions.text.curationStats(text, lineLen, stopwords)
+
+  /** Gopher-style document quality filter (Rae et al. 2021 §A1.1): emit
+    * every signal plus the conjunction `keep`. Thresholds are parameters —
+    * corpus curation is threshold tuning, so the signals stay in the output
+    * for re-filtering without recompute.
+    */
+  def qualityFilter(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      minStopwordHits: Int = 2,
+      minAlphaWordFrac: Double = 0.8,
+      maxDupLineFrac: Double = 0.3,
+      maxDupLineCharFrac: Double = 0.3,
+      lineLen: Int = 20
+  ): DataFrame =
+    docs.select(col(idCol), curationStats(col(textCol), lineLen).as("q"))
+      .select(col(idCol),
+        col("q.n_words").as("n_words"),
+        col("q.mean_word_len").as("mean_word_len"),
+        col("q.stop_hits").as("stop_hits"),
+        col("q.frac_alpha").as("frac_alpha"),
+        col("q.n_lines").as("n_lines"),
+        col("q.dup_line_frac").as("dup_line_frac"),
+        col("q.dup_char_frac").as("dup_char_frac"),
+        (col("q.n_words") >= minWords && col("q.n_words") <= maxWords &&
+          col("q.mean_word_len") >= minMeanWordLen &&
+          col("q.mean_word_len") <= maxMeanWordLen &&
+          col("q.stop_hits") >= minStopwordHits &&
+          col("q.frac_alpha") >= minAlphaWordFrac &&
+          col("q.dup_line_frac") <= maxDupLineFrac &&
+          col("q.dup_char_frac") <= maxDupLineCharFrac).as("keep"))
+
+  // --------------------------------------------------- sampling / mixing
+
+  /** Portable 31-bit hash of (seed|value) — identical to the SQL form
+    * `('0x' || substr(md5(seed || '|' || CAST(v AS VARCHAR)), 1, 8))::UBIGINT
+    * & 2147483647`, so sampling decisions are reproducible by any engine.
+    */
+  def portableHash31(v: Column, seed: String): Column =
+    conv(substring(md5(concat(lit(seed + "|"), v.cast("string"))), 1, 8), 16, 10)
+      .cast("long").bitwiseAND(lit(2147483647L))
+
+  /** Deterministic per-stratum rate sampling for training-mix construction:
+    * keep a row iff hash(id) mod 1000 < the stratum's per-mille rate.
+    * Pure predicate — no shuffle, no RNG state, stable under retries and
+    * recomputation (Spark `sample()` is neither portable nor per-stratum).
+    * Rates are integer per-mille to keep the threshold compare exact across
+    * engines (no float rounding at the boundary).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      permille: Map[String, Int], defaultPermille: Int = 1000,
+      seed: String = "graft"): DataFrame = {
+    require((permille.values ++ Seq(defaultPermille)).forall(r => r >= 0 && r <= 1000),
+      "per-mille rates must be in [0, 1000]")
+    val rate = permille.foldLeft(lit(defaultPermille)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.where(pmod(portableHash31(col(idCol), seed), lit(1000L)) < rate)
+  }
+
+  /** Deterministic per-stratum quota: the `quota` rows with the smallest
+    * portable hash per stratum (id tie-break) — an exact, reproducible
+    * "take N per domain" for training-mix recipes. Exact top-N-per-group
+    * sorts each stratum; at corpus scale pre-thin with [[stratifiedSample]]
+    * at ~2× the expected rate first, then apply the quota to the survivors.
+    */
+  def stratifiedQuota(df: DataFrame, idCol: String, stratumCol: String, quota: Int,
+      seed: String = "graft"): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(portableHash31(col(idCol), seed), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= quota)
+      .drop("__rk")
+  }
+}

@@ -1,0 +1,185 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.Curation
+
+/** Semantics tests for the corpus-curation operators (PII, decontamination,
+  * quality filtering, line dedup, stratified sampling). The contract
+  * queries gate these against DuckDB; the tests here pin the behavioral
+  * corners the oracle data doesn't reach.
+  */
+class CurationSpec extends AnyFunSuite {
+  import SparkTestBase.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------------ PII
+
+  test("pii redaction replaces every category and leaves clean text alone") {
+    val df = Seq(
+      (1L, "reach me at jo.smith+x@corp.example.org or +1-555-867-5309 thanks"),
+      (2L, "server 192.168.0.17 charged card 4111111111111111 twice"),
+      (3L, "no pii here just words")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), Curation.redactPii(col("text")).as("r"))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(out(0) == "reach me at <EMAIL> or <PHONE> thanks")
+    assert(out(1) == "server <IP> charged card <CC> twice")
+    assert(out(2) == "no pii here just words")
+  }
+
+  test("pii stats count each category independently") {
+    val df = Seq((1L, "a@b.co and c@d.org ip 10.0.0.1 card 12345678901234")).toDF("id", "text")
+    val r = df.select(Curation.piiStats(col("text")).as("p")).select("p.*").collect()(0)
+    assert(r.getLong(0) == 2, "emails")
+    assert(r.getLong(1) == 0, "phones")
+    assert(r.getLong(2) == 1, "ccs")
+    assert(r.getLong(3) == 1, "ips")
+  }
+
+  test("pii redaction order prevents partial matches inside earlier redactions") {
+    // the phone's digit groups must not be re-matched as an IP or CC
+    val df = Seq((1L, "call +1-555-123-4567 now")).toDF("id", "text")
+    val r = df.select(Curation.redactPii(col("text"))).collect()(0).getString(0)
+    assert(r == "call <PHONE> now")
+  }
+
+  // --------------------------------------------------- decontamination
+
+  test("decontaminate flags docs sharing n-grams with the benchmark only") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words then the quick brown fox appears here"), // shares 4-grams
+      (2L, "completely different content with no overlap at all"),
+      (3L, "quick brown fox jumps somewhere")                     // shares 4-grams
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminate(corpus, bench, "text", "doc_id", n = 4)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getBoolean(3)).toSeq == Seq(true, false, true))
+    // doc 1 shares exactly "the quick brown fox" (1 gram of 4 tokens)
+    assert(out(0).getLong(2) == 1)
+    assert(out(1).getLong(2) == 0)
+  }
+
+  test("decontaminate short docs fall back to whole-text grams") {
+    val bench = Seq((100L, "tiny doc")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "tiny doc"), (2L, "other short")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(corpus, bench, "text", "doc_id", n = 8)
+      .orderBy("doc_id").collect()
+    assert(out(0).getBoolean(3) && !out(1).getBoolean(3))
+  }
+
+  // --------------------------------------------------- line dedup
+
+  test("line dedup keeps only the globally first occurrence of each line") {
+    val docs = Seq(
+      (1L, "shared line\nunique to one"),
+      (2L, "shared line\nunique to two"),
+      (3L, "shared line") // every line seen earlier -> doc dropped
+    ).toDF("doc_id", "text")
+    val out = Curation.lineDedup(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.length == 2, "doc 3 loses all lines and is dropped")
+    assert(out(0).getLong(0) == 1L && out(0).getString(3) == "shared line\nunique to one")
+    assert(out(1).getLong(0) == 2L && out(1).getString(3) == "unique to two")
+    assert(out(0).getLong(1) == 2 && out(0).getLong(2) == 2) // n_lines, n_kept
+    assert(out(1).getLong(1) == 2 && out(1).getLong(2) == 1)
+  }
+
+  test("line dedup preserves within-doc order of surviving lines") {
+    val docs = Seq(
+      (1L, "dup"),
+      (2L, "alpha\ndup\nbeta\ngamma")
+    ).toDF("doc_id", "text")
+    val out = Curation.lineDedup(docs, "text", "doc_id")
+      .filter(col("doc_id") === 2).collect()(0)
+    assert(out.getString(3) == "alpha\nbeta\ngamma")
+  }
+
+  test("line dedup keeps the first occurrence within a single doc too") {
+    val docs = Seq((1L, "same\nsame\nsame")).toDF("doc_id", "text")
+    val out = Curation.lineDedup(docs, "text", "doc_id").collect()(0)
+    assert(out.getLong(2) == 1 && out.getString(3) == "same")
+  }
+
+  // --------------------------------------------------- quality filter
+
+  test("curation stats compute word/line signals in one pass") {
+    val df = Seq((1L, "aa bb aa bb cc")).toDF("id", "text")
+    val r = df.select(Curation.curationStats(col("text"), lineLen = 2).as("q"))
+      .select("q.*").collect()(0)
+    assert(r.getLong(0) == 5, "n_words")
+    assert(r.getDouble(1) == 2.0, "mean_word_len")
+    assert(r.getDouble(3) == 1.0, "frac_alpha")
+    // lines: ["aa bb", "aa bb", "cc"] -> 1 dup of 3
+    assert(r.getLong(4) == 3, "n_lines")
+    assert(math.abs(r.getDouble(5) - 1.0 / 3) < 1e-15, "dup_line_frac")
+    assert(math.abs(r.getDouble(6) - 5.0 / 12) < 1e-15, "dup_char_frac")
+  }
+
+  test("curation stats empty/degenerate text") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "x")).toDF("id", "text")
+    val rs = df.select(col("id"), Curation.curationStats(col("text"), lineLen = 2).as("q"))
+      .orderBy("id").select("q.*").collect()
+    assert(rs(0).getLong(0) == 0 && rs(0).getDouble(1) == 0.0 && rs(0).getLong(4) == 0)
+    assert(rs(1).getLong(0) == 0, "whitespace-only text has no words")
+    assert(rs(2).getLong(0) == 1 && rs(2).getDouble(1) == 1.0)
+  }
+
+  test("quality filter keep flag is the conjunction of the rule bounds") {
+    val good = ("the and of to in " * 10).trim            // 50 stopwords... fails MWL
+    val longWords = (1 to 50).map(i => s"abcde$i").mkString(" ") + " the and"
+    val short = "too short the and"
+    val df = Seq((1L, longWords), (2L, short), (3L, good)).toDF("doc_id", "text")
+    val out = Curation.qualityFilter(df, "text", "doc_id",
+      minWords = 10, maxWords = 1000, minMeanWordLen = 3.0, maxMeanWordLen = 10.0,
+      minStopwordHits = 2, minAlphaWordFrac = 0.5,
+      maxDupLineFrac = 1.0, maxDupLineCharFrac = 1.0, lineLen = 5)
+      .orderBy("doc_id").collect()
+    assert(out(0).getBoolean(8), "long-word doc passes")
+    assert(!out(1).getBoolean(8), "short doc fails minWords")
+    assert(!out(2).getBoolean(8), "stopword soup fails mean word length")
+  }
+
+  // --------------------------------------------------- sampling
+
+  test("stratified sample is deterministic and respects per-stratum rates") {
+    val df = (0 until 2000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "s")
+    val out = Curation.stratifiedSample(df, "id", "s", Map("a" -> 250, "b" -> 750))
+    val n = out.groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1000 rows per stratum; hash-uniform => counts near 250/750
+    assert(math.abs(n("a") - 250) < 60, s"a: ${n("a")}")
+    assert(math.abs(n("b") - 750) < 60, s"b: ${n("b")}")
+    // deterministic: same membership on re-run
+    val ids1 = out.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Curation.stratifiedSample(df, "id", "s", Map("a" -> 250, "b" -> 750))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // rate=0 and rate=1000 are exact
+    assert(Curation.stratifiedSample(df, "id", "s", Map("a" -> 0, "b" -> 1000)).count() == 1000)
+  }
+
+  test("stratified sample membership is monotone in the rate") {
+    val df = (0 until 500).map(i => (i.toLong, "x")).toDF("id", "s")
+    val lo = Curation.stratifiedSample(df, "id", "s", Map("x" -> 200))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val hi = Curation.stratifiedSample(df, "id", "s", Map("x" -> 600))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi), "raising the rate only adds rows")
+  }
+
+  test("stratified quota takes exactly quota rows per stratum, deterministically") {
+    val df = (0 until 300).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "s")
+    val out = Curation.stratifiedQuota(df, "id", "s", quota = 10)
+    val n = out.groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n == Map("a" -> 10L, "b" -> 10L))
+    val again = Curation.stratifiedQuota(df, "id", "s", quota = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("id").collect().map(_.getLong(0)).toSet)
+    // quota larger than the stratum returns the whole stratum
+    assert(Curation.stratifiedQuota(df, "id", "s", quota = 1000).count() == 300)
+  }
+}

@@ -94,4 +94,46 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("md5"), plan.take(1500))
     assert(plan.contains("Exchange hashpartitioning(__digest"), s"shuffle on digest expected:\n${plan.take(2000)}")
   }
+
+  test("decontamination broadcasts the benchmark gram set (corpus side never shuffles grams)") {
+    val docs = SparkEntry.t(spark, sf, "documents")
+    val q = graft.ops.Curation.decontaminate(
+      docs.filter(col("doc_id") % 17 =!= 0), docs.filter(col("doc_id") % 17 === 0),
+      "text", "doc_id", n = 4)
+    val plan = planOf(q)
+    // the corpus-side gram lookup must be a broadcast join (the benchmark
+    // side may shuffle internally for its own distinct — it is tiny); a
+    // SortMergeJoin here would shuffle every corpus gram
+    assert(plan.contains("BroadcastHashJoin [gram"),
+      s"benchmark grams must broadcast into the corpus-side join:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin [gram"),
+      s"corpus grams must not shuffle-join:\n${plan.take(3000)}")
+  }
+
+  test("line dedup resolves first-occurrence via partial agg on the line hash (no window sort)") {
+    val docs = SparkEntry.t(spark, sf, "documents")
+    val structured = docs.select(col("doc_id"),
+      regexp_replace(col("text"), " ", "\n").as("text"))
+    val plan = planOf(graft.ops.Curation.lineDedup(structured, "text", "doc_id"))
+    // a Window over the line key would hot-spot mega-duplicated lines into
+    // one sorted partition; the min(struct) aggregate combines map-side
+    assert(!plan.contains("Window"), s"no window over line key:\n${plan.take(2000)}")
+    assert(plan.contains("Exchange hashpartitioning(__lh"),
+      s"first-occurrence agg shuffles on the uniform line hash:\n${plan.take(2000)}")
+  }
+
+  test("quality filter is a narrow projection (one pass, zero shuffle)") {
+    val docs = SparkEntry.t(spark, sf, "documents")
+    val plan = planOf(graft.ops.Curation.qualityFilter(docs, "text", "doc_id"))
+    assert(!plan.contains("Exchange"), s"quality filter must not shuffle:\n${plan.take(2000)}")
+    assert("curationstatsexpr".r.findAllIn(plan.toLowerCase).size == 1,
+      s"stats expression must evaluate exactly once:\n${plan.take(2000)}")
+  }
+
+  test("stratified rate sampling is a pushable narrow predicate (zero shuffle)") {
+    val docs = SparkEntry.t(spark, sf, "documents")
+    val plan = planOf(graft.ops.Curation.stratifiedSample(
+      docs, "doc_id", "lang", Map("en" -> 250), defaultPermille = 500))
+    assert(!plan.contains("Exchange"), s"rate sampling must not shuffle:\n${plan.take(2000)}")
+  }
 }
