@@ -125,7 +125,11 @@ object Curation {
     */
   def lineDedup(docs: DataFrame, textCol: String, idCol: String, sep: String = "\n"): DataFrame = {
     val sepRe = java.util.regex.Pattern.quote(sep)
+    // the per-doc line count rides along each exploded row (one long) so no
+    // third corpus scan — and no re-evaluation of whatever expression built
+    // textCol — is needed to report n_lines at the end
     val lines = docs.select(col(idCol).as("__id"),
+        size(split(col(textCol), sepRe)).cast("long").as("__n"),
         posexplode(split(col(textCol), sepRe)).as(Seq("__pos", "__line")))
       .withColumn("__lh", xxhash64(col("__line")))
     val first = lines.groupBy(col("__lh"))
@@ -133,12 +137,11 @@ object Curation {
     val kept = lines.join(first, Seq("__lh"))
       .where(col("__id") === col("__first.__id") && col("__pos") === col("__first.__pos"))
     kept.groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_kept"),
+      .agg(first_value(col("__n")).as("n_lines"),
+        count(lit(1)).as("n_kept"),
         concat_ws(sep,
           transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
             s => s.getField("__line"))).as("text_dedup"))
-      .join(docs.select(col(idCol).as("__id"),
-        size(split(col(textCol), sepRe)).cast("long").as("n_lines")), Seq("__id"))
       .select(col("__id").as(idCol), col("n_lines"), col("n_kept"), col("text_dedup"))
   }
 
