@@ -170,6 +170,81 @@ class CurationSpec extends AnyFunSuite {
     assert(lo.subsetOf(hi), "raising the rate only adds rows")
   }
 
+  // --------------------------------------------------- property laws
+
+  test("property: line dedup conserves the distinct-line set exactly") {
+    // over random corpora drawn from a small line pool (forcing collisions):
+    // the concatenation of all output docs contains every distinct input
+    // line exactly once, and each output doc's lines are an ordered
+    // subsequence of its input lines
+    val rnd = new scala.util.Random(7L)
+    val pool = (1 to 12).map(i => s"line number $i with words")
+    (1 to 5).foreach { trial =>
+      val docs = (1 to 20).map { id =>
+        val n = 1 + rnd.nextInt(6)
+        (id.toLong, (1 to n).map(_ => pool(rnd.nextInt(pool.length))).mkString("\n"))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val out = Curation.lineDedup(df, "text", "doc_id").collect()
+        .map(r => r.getLong(0) -> r.getString(3)).toMap
+      val inputDistinct = docs.flatMap(_._2.split("\n")).distinct.sorted
+      val outputAll = out.values.flatMap(_.split("\n")).toSeq.sorted
+      assert(outputAll == inputDistinct, s"trial $trial: conservation violated")
+      out.foreach { case (id, text) =>
+        val inLines = docs.find(_._1 == id).get._2.split("\n").toSeq
+        val outLines = text.split("\n").toSeq
+        // ordered subsequence check
+        var i = 0
+        outLines.foreach { l =>
+          val j = inLines.indexOf(l, i)
+          assert(j >= 0, s"trial $trial doc $id: '$l' out of order")
+          i = j + 1
+        }
+      }
+    }
+  }
+
+  test("property: pii redaction is idempotent") {
+    val rnd = new scala.util.Random(11L)
+    val frags = Seq("plain words", "a@b.io", "+1-555-000-1234", "10.1.2.3",
+      "4111222233334444", "x@y.org more", "99.200.1.250", "text")
+    val texts = (1 to 200).map { i =>
+      (i.toLong, (1 to (1 + rnd.nextInt(5))).map(_ => frags(rnd.nextInt(frags.length))).mkString(" "))
+    }
+    val df = texts.toDF("id", "text")
+    val once = df.select(col("id"), Curation.redactPii(col("text")).as("r"))
+    val twice = once.select(col("id"), Curation.redactPii(col("r")).as("r2"), col("r"))
+    assert(twice.filter(col("r") =!= col("r2")).count() == 0)
+    // and nothing redacted survives detection
+    val resid = once.select(Curation.piiStats(col("r")).as("p")).select("p.*")
+      .filter(col("n_emails") + col("n_phones") + col("n_ccs") + col("n_ips") > 0)
+    assert(resid.count() == 0, "redacted text must contain no detectable PII")
+  }
+
+  test("property: rate sample and its complement partition the input") {
+    val df = (0 until 1000).map(i => (i.toLong, "s")).toDF("id", "s")
+    val in = Curation.stratifiedSample(df, "id", "s", Map("s" -> 300))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val h = Curation.portableHash31(col("id"), "graft")
+    val out = df.where(pmod(h, lit(1000L)) >= 300)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(in.intersect(out).isEmpty && (in ++ out).size == 1000)
+  }
+
+  test("property: a doc that IS a benchmark doc is always contaminated") {
+    val rnd = new scala.util.Random(3L)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docs = (1 to 30).map { id =>
+      (id.toLong, (1 to (2 + rnd.nextInt(12))).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val bench = docs.filter(_._1 % 5 == 0).toDF("doc_id", "text")
+    val corpus = docs.toDF("doc_id", "text")
+    val out = Curation.decontaminate(corpus, bench, "text", "doc_id", n = 4)
+      .filter(col("doc_id") % 5 === 0)
+    assert(out.filter(!col("contaminated")).count() == 0,
+      "every benchmark member must flag as contaminated regardless of length")
+  }
+
   test("stratified quota takes exactly quota rows per stratum, deterministically") {
     val df = (0 until 300).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
       .toDF("id", "s")
