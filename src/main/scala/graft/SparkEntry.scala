@@ -912,7 +912,8 @@ object SparkEntry {
         |  CAST(alpha_words AS DOUBLE) / n_words AS frac_alpha,
         |  CAST(n_lines AS BIGINT) AS n_lines,
         |  CAST(n_lines - n_dist AS DOUBLE) / n_lines AS dup_line_frac,
-        |  CAST(chars_total - chars_dist AS DOUBLE) / chars_total AS dup_char_frac,
+        |  CASE WHEN chars_total = 0 THEN 0.0
+        |       ELSE CAST(chars_total - chars_dist AS DOUBLE) / chars_total END AS dup_char_frac,
         |  (n_words >= 30 AND n_words <= 10000
         |   AND CAST(sum_chars AS DOUBLE) / n_words >= 4.0
         |   AND CAST(sum_chars AS DOUBLE) / n_words <= 10.0
@@ -930,7 +931,7 @@ object SparkEntry {
         |k AS (SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM l)
         |SELECT doc_id, CAST(any_value(n_lines) AS BIGINT) AS n_lines, count(*) AS n_kept,
         |       string_agg(line, chr(10) ORDER BY pos) AS text_dedup
-        |FROM k WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+        |FROM k WHERE rn = 1 OR line = '' GROUP BY doc_id""".stripMargin,
     "ns_sample_stratified" ->
       """WITH h AS (SELECT doc_id, lang,
         |  (('0x' || substr(md5('graft|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT & 2147483647) AS hv

@@ -271,13 +271,19 @@ object text {
       StructField("dup_char_frac", DoubleType, nullable = false)))
     override def nullSafeEval(input: Any): Any = {
       val raw = input.asInstanceOf[UTF8String].toString
-      // trim ' ' only + Unicode lowercase, mirroring SQL lower(trim(text))
+      // trim ' ' only, then Spark's own lowercase (UTF8String.toLowerCase):
+      // byte-for-byte the value lower(trim(text)) produces in the sibling
+      // operators, including its non-ASCII path
       var st = 0
       var en = raw.length
       while (st < en && raw.charAt(st) == ' ') st += 1
       while (en > st && raw.charAt(en - 1) == ' ') en -= 1
-      val s = raw.substring(st, en).toLowerCase(java.util.Locale.ROOT)
-      val toks: Array[String] = if (s.isEmpty) Array.empty else s.split("\\s+")
+      val s = UTF8String.fromString(raw.substring(st, en)).toLowerCase.toString
+      // limit -1 keeps trailing empty tokens — split(col, "\\s+") and
+      // DuckDB's string_split_regex both do; Java's default limit 0 would
+      // silently drop them and diverge from every sibling tokenization
+      // (note: split of "" is [""], so n_words >= 1 always — same as SQL)
+      val toks: Array[String] = s.split("\\s+", -1)
       val nWords = toks.length
       var sumChars = 0L
       var stopHits = 0L

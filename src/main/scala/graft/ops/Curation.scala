@@ -91,18 +91,21 @@ object Curation {
   ): DataFrame = {
     val grams = wordNgrams(col(textCol), n)
     val bench0 = benchmark.select(explode(grams).as("gram")).distinct()
+      .withColumn("__bench", lit(1))
     val bench = if (broadcastBenchmark) broadcast(bench0) else bench0
+    // ONE corpus scan: n_grams rides each exploded row (a long), the bench
+    // probe is a map-side broadcast left join, and the per-doc roll-up is a
+    // partial-aggregated groupBy — re-deriving n_grams from a second scan
+    // would re-tokenize and re-shingle the whole corpus.
     // per-doc grams are distinct and the bench side is distinct, so the
-    // post-join count(*) is exactly the distinct-overlap cardinality
-    val hits = corpus.select(col(idCol), explode(grams).as("gram"))
-      .join(bench, "gram")
+    // hit sum is exactly the distinct-overlap cardinality
+    corpus.select(col(idCol), size(grams).cast("long").as("__n_grams"),
+        explode(grams).as("gram"))
+      .join(bench, Seq("gram"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_contaminated_grams"))
-    corpus.select(col(idCol), size(grams).cast("long").as("n_grams"))
-      .join(hits, Seq(idCol), "left")
-      .select(col(idCol), col("n_grams"),
-        coalesce(col("n_contaminated_grams"), lit(0L)).as("n_contaminated_grams"),
-        (coalesce(col("n_contaminated_grams"), lit(0L)) >= minOverlap).as("contaminated"))
+      .agg(first_value(col("__n_grams")).as("n_grams"),
+        sum(when(col("__bench").isNotNull, 1L).otherwise(0L)).as("n_contaminated_grams"))
+      .withColumn("contaminated", col("n_contaminated_grams") >= minOverlap)
   }
 
   // --------------------------------------------------- line-level dedup
@@ -132,10 +135,24 @@ object Curation {
         size(split(col(textCol), sepRe)).cast("long").as("__n"),
         posexplode(split(col(textCol), sepRe)).as(Seq("__pos", "__line")))
       .withColumn("__lh", xxhash64(col("__line")))
-    val first = lines.groupBy(col("__lh"))
-      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
-    val kept = lines.join(first, Seq("__lh"))
-      .where(col("__id") === col("__first.__id") && col("__pos") === col("__first.__pos"))
+    // empty lines are structure (paragraph breaks), not dedupable content —
+    // deduping them would delete every blank line in the corpus but one and
+    // run unrelated paragraphs together; they also skip the aggregate, so
+    // the most frequent "line" in real corpora never forms a bucket at all
+    val content = lines.where(col("__line") =!= "")
+    // the winner struct carries the line text so a 64-bit hash collision
+    // degrades to keeping both colliding lines (the losing line fails the
+    // text-equality check and survives everywhere) instead of silently
+    // deleting one of them corpus-wide; the shuffle payload is one
+    // candidate (id, pos, line) per distinct hash per map partition
+    val first = content.groupBy(col("__lh"))
+      .agg(min(struct(col("__id"), col("__pos"), col("__line"))).as("__first"))
+    val kept = content.join(first, Seq("__lh"))
+      .where((col("__id") === col("__first.__id") && col("__pos") === col("__first.__pos")) ||
+        col("__line") =!= col("__first.__line"))
+      .select(col("__id"), col("__n"), col("__pos"), col("__line"))
+      .unionByName(lines.where(col("__line") === "")
+        .select(col("__id"), col("__n"), col("__pos"), col("__line")))
     kept.groupBy(col("__id"))
       .agg(first_value(col("__n")).as("n_lines"),
         count(lit(1)).as("n_kept"),
@@ -229,8 +246,11 @@ object Curation {
       seed: String = "graft"): DataFrame = {
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(portableHash31(col(idCol), seed), col(idCol))
-    df.withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= quota)
-      .drop("__rk")
+    // rank under a collision-proof temp name so a caller's own column
+    // can't be silently overwritten and dropped
+    val rk = s"__graft_quota_rk_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.withColumn(rk, row_number().over(w))
+      .where(col(rk) <= quota)
+      .drop(rk)
   }
 }

@@ -118,13 +118,29 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(6) - 5.0 / 12) < 1e-15, "dup_char_frac")
   }
 
-  test("curation stats empty/degenerate text") {
-    val df = Seq((1L, ""), (2L, "   "), (3L, "x")).toDF("id", "text")
+  test("curation stats degenerate text follows the SQL split convention") {
+    // split('') = [''] in Spark/DuckDB — one empty token, zero chars; the
+    // expression mirrors that exactly so the oracle never diverges
+    val df = Seq((1L, ""), (2L, "   "), (3L, "x"), (4L, "a b\t")).toDF("id", "text")
     val rs = df.select(col("id"), Curation.curationStats(col("text"), lineLen = 2).as("q"))
       .orderBy("id").select("q.*").collect()
-    assert(rs(0).getLong(0) == 0 && rs(0).getDouble(1) == 0.0 && rs(0).getLong(4) == 0)
-    assert(rs(1).getLong(0) == 0, "whitespace-only text has no words")
+    assert(rs(0).getLong(0) == 1 && rs(0).getDouble(1) == 0.0 && rs(0).getLong(4) == 1)
+    assert(rs(1).getLong(0) == 1, "whitespace-only trims to the same single empty token")
     assert(rs(2).getLong(0) == 1 && rs(2).getDouble(1) == 1.0)
+    // trailing tab is NOT trimmed (trim strips ' ' only) and keeps its
+    // trailing empty token, exactly like split(col, "\\s+") would
+    assert(rs(3).getLong(0) == 3 && rs(3).getDouble(3) == 2.0 / 3, "a b\\t -> [a, b, '']")
+  }
+
+  test("line dedup exempts empty lines (paragraph structure survives)") {
+    val docs = Seq(
+      (1L, "para one\n\npara two"),
+      (2L, "para one\n\nother text")
+    ).toDF("doc_id", "text")
+    val out = Curation.lineDedup(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(3) == "para one\n\npara two")
+    assert(out(1).getString(3) == "\nother text", "dup content line dropped, blank kept")
   }
 
   test("quality filter keep flag is the conjunction of the rule bounds") {
