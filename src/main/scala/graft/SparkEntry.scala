@@ -546,7 +546,8 @@ object SparkEntry {
       graft.ops.Curation.qualityFilter(t(s, dir, "documents"), "text", "doc_id",
         minWords = 30, maxWords = 10000, minMeanWordLen = 4.0, maxMeanWordLen = 10.0,
         minStopwordHits = 2, minAlphaWordFrac = 0.9,
-        maxDupLineFrac = 0.05, maxDupLineCharFrac = 0.05, lineLen = 2)),
+        maxDupLineFrac = 0.05, maxDupLineCharFrac = 0.05,
+        maxDup2gramFrac = 0.08, maxDup3gramFrac = 0.04, lineLen = 2)),
     "ns_line_dedup" -> ((s, dir) => {
       // restructure the word soup into 5-word lines (the corpus has no
       // newlines), then C4-style global line dedup: only the first global
@@ -899,12 +900,22 @@ object SparkEntry {
         |    len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) AS stop_hits,
         |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
         |    list_transform(range(1, (len(toks) + 1) // 2 + 1),
-        |      i -> array_to_string(toks[(i-1)*2+1 : (i-1)*2+2], ' ')) AS lines
+        |      i -> array_to_string(toks[(i-1)*2+1 : (i-1)*2+2], ' ')) AS lines,
+        |    CASE WHEN len(toks) < 2 THEN [] ELSE list_transform(range(1, len(toks)),
+        |      i -> array_to_string(toks[i:i+1], ' ')) END AS g2,
+        |    CASE WHEN len(toks) < 3 THEN [] ELSE list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+2], ' ')) END AS g3
         |  FROM tk),
         |st2 AS (
         |  SELECT *, len(lines) AS n_lines, len(list_distinct(lines)) AS n_dist,
         |    list_sum(list_transform(lines, l -> length(l))) AS chars_total,
-        |    list_sum(list_transform(list_distinct(lines), l -> length(l))) AS chars_dist
+        |    list_sum(list_transform(list_distinct(lines), l -> length(l))) AS chars_dist,
+        |    CASE WHEN len(g2) = 0 THEN 0.0
+        |      ELSE CAST(list_sum(list_transform(g2, x -> length(x))) - list_sum(list_transform(list_distinct(g2), x -> length(x))) AS DOUBLE)
+        |           / list_sum(list_transform(g2, x -> length(x))) END AS d2,
+        |    CASE WHEN len(g3) = 0 THEN 0.0
+        |      ELSE CAST(list_sum(list_transform(g3, x -> length(x))) - list_sum(list_transform(list_distinct(g3), x -> length(x))) AS DOUBLE)
+        |           / list_sum(list_transform(g3, x -> length(x))) END AS d3
         |  FROM st)
         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
         |  CAST(sum_chars AS DOUBLE) / n_words AS mean_word_len,
@@ -914,13 +925,16 @@ object SparkEntry {
         |  CAST(n_lines - n_dist AS DOUBLE) / n_lines AS dup_line_frac,
         |  CASE WHEN chars_total = 0 THEN 0.0
         |       ELSE CAST(chars_total - chars_dist AS DOUBLE) / chars_total END AS dup_char_frac,
+        |  d2 AS dup_2gram_frac,
+        |  d3 AS dup_3gram_frac,
         |  (n_words >= 30 AND n_words <= 10000
         |   AND CAST(sum_chars AS DOUBLE) / n_words >= 4.0
         |   AND CAST(sum_chars AS DOUBLE) / n_words <= 10.0
         |   AND stop_hits >= 2
         |   AND CAST(alpha_words AS DOUBLE) / n_words >= 0.9
         |   AND CAST(n_lines - n_dist AS DOUBLE) / n_lines <= 0.05
-        |   AND CAST(chars_total - chars_dist AS DOUBLE) / chars_total <= 0.05) AS keep
+        |   AND CAST(chars_total - chars_dist AS DOUBLE) / chars_total <= 0.05
+        |   AND d2 <= 0.08 AND d3 <= 0.04) AS keep
         |FROM st2""".stripMargin,
     "ns_line_dedup" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),

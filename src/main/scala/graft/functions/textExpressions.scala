@@ -268,7 +268,9 @@ object text {
       StructField("frac_alpha", DoubleType, nullable = false),
       StructField("n_lines", LongType, nullable = false),
       StructField("dup_line_frac", DoubleType, nullable = false),
-      StructField("dup_char_frac", DoubleType, nullable = false)))
+      StructField("dup_char_frac", DoubleType, nullable = false),
+      StructField("dup_2gram_frac", DoubleType, nullable = false),
+      StructField("dup_3gram_frac", DoubleType, nullable = false)))
     override def nullSafeEval(input: Any): Any = {
       val raw = input.asInstanceOf[UTF8String].toString
       // trim ' ' only, then Spark's own lowercase (UTF8String.toLowerCase):
@@ -324,6 +326,31 @@ object text {
         if (!seen.add(line)) { dupLines += 1; charsDup += line.length }
         li += 1
       }
+      // Gopher repetition signals: fraction of sliding word-n-gram
+      // characters belonging to occurrences beyond the first (no short-doc
+      // whole-text fallback here — repetition of nothing is 0, unlike the
+      // shingle fallback used by the dedup/decontamination gram builders)
+      def dupNgramCharFrac(n: Int): Double = {
+        if (nWords < n) return 0.0
+        val seenG = new java.util.HashSet[String]
+        var total = 0L
+        var dup = 0L
+        var i = 0
+        while (i + n <= nWords) {
+          val sb = new java.lang.StringBuilder
+          var t = i
+          while (t < i + n) {
+            if (t > i) sb.append(' ')
+            sb.append(toks(t))
+            t += 1
+          }
+          val gm = sb.toString
+          total += gm.length
+          if (!seenG.add(gm)) dup += gm.length
+          i += 1
+        }
+        if (total == 0L) 0.0 else dup.toDouble / total
+      }
       org.apache.spark.sql.catalyst.InternalRow(
         nWords.toLong,
         if (nWords == 0) 0.0 else sumChars.toDouble / nWords,
@@ -331,7 +358,9 @@ object text {
         if (nWords == 0) 0.0 else alphaWords.toDouble / nWords,
         nLines.toLong,
         if (nLines == 0) 0.0 else dupLines.toDouble / nLines,
-        if (charsTotal == 0L) 0.0 else charsDup.toDouble / charsTotal)
+        if (charsTotal == 0L) 0.0 else charsDup.toDouble / charsTotal,
+        dupNgramCharFrac(2),
+        dupNgramCharFrac(3))
     }
     override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   }

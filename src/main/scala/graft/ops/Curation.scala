@@ -189,6 +189,8 @@ object Curation {
       minAlphaWordFrac: Double = 0.8,
       maxDupLineFrac: Double = 0.3,
       maxDupLineCharFrac: Double = 0.3,
+      maxDup2gramFrac: Double = 1.0,
+      maxDup3gramFrac: Double = 1.0,
       lineLen: Int = 20
   ): DataFrame =
     docs.select(col(idCol), curationStats(col(textCol), lineLen).as("q"))
@@ -200,13 +202,17 @@ object Curation {
         col("q.n_lines").as("n_lines"),
         col("q.dup_line_frac").as("dup_line_frac"),
         col("q.dup_char_frac").as("dup_char_frac"),
+        col("q.dup_2gram_frac").as("dup_2gram_frac"),
+        col("q.dup_3gram_frac").as("dup_3gram_frac"),
         (col("q.n_words") >= minWords && col("q.n_words") <= maxWords &&
           col("q.mean_word_len") >= minMeanWordLen &&
           col("q.mean_word_len") <= maxMeanWordLen &&
           col("q.stop_hits") >= minStopwordHits &&
           col("q.frac_alpha") >= minAlphaWordFrac &&
           col("q.dup_line_frac") <= maxDupLineFrac &&
-          col("q.dup_char_frac") <= maxDupLineCharFrac).as("keep"))
+          col("q.dup_char_frac") <= maxDupLineCharFrac &&
+          col("q.dup_2gram_frac") <= maxDup2gramFrac &&
+          col("q.dup_3gram_frac") <= maxDup3gramFrac).as("keep"))
 
   // --------------------------------------------------- sampling / mixing
 
@@ -234,6 +240,38 @@ object Curation {
       when(col(stratumCol) === k, lit(v)).otherwise(acc)
     }
     df.where(pmod(portableHash31(col(idCol), seed), lit(1000L)) < rate)
+  }
+
+  /** Solve the per-stratum sampling rates that realize a target training
+    * mix: given desired output fractions per stratum (by `weightCol`, e.g.
+    * a token count) and optionally a total output budget, return the
+    * per-mille rates to feed [[stratifiedSample]].
+    *
+    * With no budget the mix is scaled to the largest feasible size — the
+    * stratum that binds first (availableWeight / targetFraction smallest)
+    * samples at 1000‰ and everything else downsamples proportionally.
+    * The per-stratum availability aggregate collects one row per stratum
+    * (driver metadata, like IVF centroids), never row data.
+    */
+  def mixRates(df: DataFrame, stratumCol: String, weightCol: String,
+      targetFractions: Map[String, Double],
+      totalBudget: Option[Double] = None): Map[String, Int] = {
+    require(targetFractions.nonEmpty && targetFractions.values.forall(_ >= 0) &&
+      math.abs(targetFractions.values.sum - 1.0) < 1e-9,
+      "target fractions must be non-negative and sum to 1")
+    val avail: Map[String, Double] = df.groupBy(col(stratumCol))
+      .agg(sum(col(weightCol)).as("w")).collect()
+      .map(r => r.getString(0) -> r.getAs[Number]("w").doubleValue()).toMap
+    val feasible = targetFractions.collect {
+      case (s, f) if f > 0 => avail.getOrElse(s, 0.0) / f
+    }
+    val budgetMax = if (feasible.isEmpty) 0.0 else feasible.min
+    val budget = totalBudget.fold(budgetMax)(math.min(_, budgetMax))
+    targetFractions.map { case (s, f) =>
+      val w = avail.getOrElse(s, 0.0)
+      s -> (if (w <= 0 || f <= 0) 0
+            else math.round(math.min(1.0, f * budget / w) * 1000).toInt)
+    }
   }
 
   /** Deterministic per-stratum quota: the `quota` rows with the smallest

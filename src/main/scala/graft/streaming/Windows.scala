@@ -29,6 +29,25 @@ object Windows {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming NEAR-duplicate dedup: drop events whose 64-bit SimHash
+    * fingerprint was already seen within the watermark horizon. SimHash
+    * equality is the tightest near-dup gate (hamming distance 0 — reworded
+    * boilerplate, shuffled token order, minor edits collapse to the same
+    * fingerprint with high probability), and keying state by the 8-byte
+    * fingerprint instead of the text keeps each state entry constant-size.
+    * Banded Hamming-neighborhood matching (the batch simhashCandidates
+    * semantics) needs multi-key state the engine doesn't expose; for
+    * streams, fingerprint equality is the standard first tier, with batch
+    * reconciliation sweeping the hamming<=k tail.
+    */
+  def streamingNearDedup(df: DataFrame, tsCol: String, textCol: String,
+      watermark: String, portable: Boolean = false): DataFrame =
+    df.withColumn("__simhash",
+        graft.functions.text.simhash64(split(lower(trim(col(textCol))), "\\s+"), portable))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__simhash")
+      .drop("__simhash")
+
   /** Tumbling/sliding windowed counts + sums per key with a watermark:
     * the standard event-time aggregation. Late rows beyond the watermark
     * are dropped by the engine — at scale the watermark bounds state size.

@@ -118,6 +118,39 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(6) - 5.0 / 12) < 1e-15, "dup_char_frac")
   }
 
+  test("curation stats repetition signals: duplicate n-gram char fractions") {
+    val df = Seq((1L, "aa bb aa bb cc"), (2L, "xx yy zz"), (3L, "w")).toDF("id", "text")
+    val rs = df.select(col("id"), Curation.curationStats(col("text"), lineLen = 2).as("q"))
+      .orderBy("id").select("q.dup_2gram_frac", "q.dup_3gram_frac").collect()
+    // 2-grams of doc 1: [aa bb, bb aa, aa bb, bb cc] -> one dup of 4, all len 5
+    assert(math.abs(rs(0).getDouble(0) - 5.0 / 20) < 1e-15)
+    // 3-grams: [aa bb aa, bb aa bb, aa bb cc] -> all distinct
+    assert(rs(0).getDouble(1) == 0.0)
+    assert(rs(1).getDouble(0) == 0.0 && rs(1).getDouble(1) == 0.0)
+    assert(rs(2).getDouble(0) == 0.0, "single-token doc has no 2-grams")
+  }
+
+  test("mixRates solves per-stratum rates that realize the target mix") {
+    val df = Seq(
+      ("web", 8000L), ("web", 2000L),   // 10000 tokens available
+      ("code", 2000L), ("code", 500L),  // 2500
+      ("books", 500L)                   // 500
+    ).toDF("src", "n_tok")
+    // target 50/30/20: books binds (500/0.2 = 2500 budget) ->
+    // web: 0.5*2500/10000 = 12.5% ; code: 0.3*2500/2500 = 30% ; books: 100%
+    val rates = Curation.mixRates(df, "src", "n_tok",
+      Map("web" -> 0.5, "code" -> 0.3, "books" -> 0.2))
+    assert(rates == Map("web" -> 125, "code" -> 300, "books" -> 1000))
+    // explicit budget below feasibility scales down proportionally
+    val capped = Curation.mixRates(df, "src", "n_tok",
+      Map("web" -> 0.5, "code" -> 0.3, "books" -> 0.2), totalBudget = Some(1000.0))
+    assert(capped == Map("web" -> 50, "code" -> 120, "books" -> 400))
+    // a stratum with no supply gets rate 0, others rescale to ITS feasibility (0)
+    val missing = Curation.mixRates(df, "src", "n_tok",
+      Map("web" -> 0.5, "video" -> 0.5))
+    assert(missing("video") == 0 && missing("web") == 0)
+  }
+
   test("curation stats degenerate text follows the SQL split convention") {
     // split('') = [''] in Spark/DuckDB — one empty token, zero chars; the
     // expression mirrors that exactly so the oracle never diverges
@@ -153,9 +186,9 @@ class CurationSpec extends AnyFunSuite {
       minStopwordHits = 2, minAlphaWordFrac = 0.5,
       maxDupLineFrac = 1.0, maxDupLineCharFrac = 1.0, lineLen = 5)
       .orderBy("doc_id").collect()
-    assert(out(0).getBoolean(8), "long-word doc passes")
-    assert(!out(1).getBoolean(8), "short doc fails minWords")
-    assert(!out(2).getBoolean(8), "stopword soup fails mean word length")
+    assert(out(0).getBoolean(10), "long-word doc passes")
+    assert(!out(1).getBoolean(10), "short doc fails minWords")
+    assert(!out(2).getBoolean(10), "stopword soup fails mean word length")
   }
 
   // --------------------------------------------------- sampling

@@ -62,6 +62,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dedup collapses simhash-identical documents within the watermark") {
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark, 1)
+    val df = input.toDF().toDF("ts", "text")
+    val deduped = Windows.streamingNearDedup(df, "ts", "text", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("sneardedup").outputMode("append").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      val doc = (1 to 40).map(i => s"tok$i").mkString(" ")
+      val shuffled = (1 to 40).map(i => s"tok$i").reverse.mkString(" ") // same token bag
+      val different = (1 to 40).map(i => s"zzz$i").mkString(" ")
+      input.addData((ts(0), doc), (ts(1), shuffled), (ts(2), different))
+      q.processAllAvailable()
+      // simhash ignores token order: the shuffled doc is a near-dup and drops
+      val got = spark.table("sneardedup").select("text").as[String].collect().toSet
+      assert(got == Set(doc, different))
+      // the fingerprint helper column must not leak into the output schema
+      assert(spark.table("sneardedup").columns.toSeq == Seq("ts", "text"))
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over a memory stream") {
     val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark, 1)
     val df = input.toDF().toDF("ts", "key", "v")
