@@ -552,12 +552,12 @@ object SparkEntry {
       // restructure the word soup into 5-word lines (the corpus has no
       // newlines), then C4-style global line dedup: only the first global
       // occurrence of each line survives; docs reassemble in order.
+      // Chunking via one codegen'd regexp_replace (every 5th token
+      // separator becomes \n) — the transform∘slice HOF formulation is
+      // interpreted and re-evaluates per consumer of the frame.
       val d = t(s, dir, "documents")
-      val toks = split(lower(trim(col("text"))), "\\s+")
       val structured = d.select(col("doc_id"),
-        concat_ws("\n",
-          transform(sequence(lit(1), ((size(toks) + lit(4)) / lit(5)).cast("int")),
-            i => concat_ws(" ", slice(toks, (i - lit(1)) * lit(5) + lit(1), lit(5))))).as("text"))
+        regexp_replace(lower(trim(col("text"))), "((?:\\S+ ){4}\\S+) ", "$1\n").as("text"))
       graft.ops.Curation.lineDedup(structured, "text", "doc_id", "\n")
     }),
     "ns_sample_stratified" -> ((s, dir) => {
@@ -937,9 +937,9 @@ object SparkEntry {
         |   AND d2 <= 0.08 AND d3 <= 0.04) AS keep
         |FROM st2""".stripMargin,
     "ns_line_dedup" ->
-      """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
-        |t2 AS (SELECT doc_id, list_transform(range(1, (len(toks) + 4) // 5 + 1),
-        |        i -> array_to_string(toks[(i-1)*5+1 : (i-1)*5+5], ' ')) AS lines FROM tk),
+      """WITH t2 AS (SELECT doc_id,
+        |        string_split(regexp_replace(lower(trim(text)), '((?:\S+ ){4}\S+) ', '\1' || chr(10), 'g'), chr(10)) AS lines
+        |      FROM documents),
         |l AS (SELECT doc_id, unnest(range(1, len(lines) + 1)) AS pos, unnest(lines) AS line,
         |             len(lines) AS n_lines FROM t2),
         |k AS (SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM l)

@@ -368,6 +368,66 @@ object text {
   def curationStats(text: Column, lineLen: Int, stopwords: Seq[String]): Column =
     ExpressionUtils.column(CurationStatsExpr(ExpressionUtils.expression(text), lineLen, stopwords))
 
+  /** Sliding word n-grams in one pass: tokenize once
+    * (lower(trim ' ')/split \s+ — the SQL-oracle convention shared with
+    * CurationStatsExpr), then build each gram with a single StringBuilder;
+    * docs shorter than `n` tokens yield their whole token string as one
+    * gram (the Dedup.shingles convention). `distinct` dedups preserving
+    * first-occurrence order, like array_distinct.
+    *
+    * Replaces the declarative transform∘sequence∘slice∘concat_ws
+    * formulation: Spark HOFs are interpreted, re-tokenize per nested
+    * reference (4× split inside one CASE, no common-subexpression
+    * elimination), and cost ~1.3 ms per 50-token doc — this expression is
+    * ~2 orders cheaper and immune to the extract-generator /
+    * infer-filters-from-generate re-inlining that multiplies HOF evals.
+    */
+  case class WordNgramsExpr(child: Expression, n: Int, distinct: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1, "n must be >= 1")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val raw = input.asInstanceOf[UTF8String].toString
+      var st = 0
+      var en = raw.length
+      while (st < en && raw.charAt(st) == ' ') st += 1
+      while (en > st && raw.charAt(en - 1) == ' ') en -= 1
+      val s = UTF8String.fromString(raw.substring(st, en)).toLowerCase.toString
+      val toks = s.split("\\s+", -1)
+      val grams: Seq[String] =
+        if (toks.length < n) Seq(toks.mkString(" "))
+        else {
+          val m = toks.length - n + 1
+          val res = new Array[String](m)
+          var i = 0
+          while (i < m) {
+            val sb = new java.lang.StringBuilder
+            var t = i
+            while (t < i + n) {
+              if (t > i) sb.append(' ')
+              sb.append(toks(t))
+              t += 1
+            }
+            res(i) = sb.toString
+            i += 1
+          }
+          res.toSeq
+        }
+      val out =
+        if (!distinct) grams
+        else {
+          val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+          grams.foreach(seen += _)
+          seen.toSeq
+        }
+      new GenericArrayData(out.map(g => UTF8String.fromString(g): Any).toArray)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  def wordNgrams(text: Column, n: Int, distinct: Boolean): Column =
+    ExpressionUtils.column(WordNgramsExpr(ExpressionUtils.expression(text), n, distinct))
+
   /** Cosine similarity over two double arrays in one tight loop. The
     * HOF formulation (aggregate ∘ zip_with) is interpreted per element
     * with lambda-variable boxing; this evaluates ~10× faster on 64-dim

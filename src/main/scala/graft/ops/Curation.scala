@@ -63,9 +63,13 @@ object Curation {
 
   /** Distinct word n-grams (lowercased, whitespace-tokenized, sliding);
     * docs shorter than `n` tokens contribute their whole token string as a
-    * single gram — the same convention as [[Dedup.shingles]].
+    * single gram — the same convention as [[Dedup.shingles]], computed by
+    * the one-pass WordNgramsExpr (the declarative HOF form costs ~100× per
+    * row interpreted and gets re-inlined by extract-generator /
+    * infer-filters rewrites).
     */
-  def wordNgrams(text: Column, n: Int): Column = array_distinct(Dedup.shingles(text, n))
+  def wordNgrams(text: Column, n: Int): Column =
+    graft.functions.text.wordNgrams(text, n, distinct = true)
 
   /** Benchmark decontamination: flag corpus documents sharing at least
     * `minOverlap` distinct word n-grams with the benchmark/eval set — the
@@ -93,17 +97,20 @@ object Curation {
     val bench0 = benchmark.select(explode(grams).as("gram")).distinct()
       .withColumn("__bench", lit(1))
     val bench = if (broadcastBenchmark) broadcast(bench0) else bench0
-    // ONE corpus scan: n_grams rides each exploded row (a long), the bench
-    // probe is a map-side broadcast left join, and the per-doc roll-up is a
-    // partial-aggregated groupBy — re-deriving n_grams from a second scan
-    // would re-tokenize and re-shingle the whole corpus.
-    // per-doc grams are distinct and the bench side is distinct, so the
-    // hit sum is exactly the distinct-overlap cardinality
-    corpus.select(col(idCol), size(grams).cast("long").as("__n_grams"),
-        explode(grams).as("gram"))
+    // ONE corpus scan, ONE gram evaluation per doc: the grams array
+    // materializes as an attribute BELOW the Generate (putting any sibling
+    // expression in the same select as explode() would land it in the
+    // Project Catalyst extracts ABOVE the Generate, re-running the
+    // tokenize+shingle work once per exploded gram). n_grams is then just
+    // the row count per doc: per-doc grams are distinct and the bench side
+    // is distinct, so count(*) is the gram count and the hit sum is exactly
+    // the distinct-overlap cardinality. The bench probe is a map-side
+    // broadcast left join; the per-doc roll-up partial-aggregates.
+    corpus.select(col(idCol), grams.as("__grams"))
+      .select(col(idCol), explode(col("__grams")).as("gram"))
       .join(bench, Seq("gram"), "left")
       .groupBy(col(idCol))
-      .agg(first_value(col("__n_grams")).as("n_grams"),
+      .agg(count(lit(1)).as("n_grams"),
         sum(when(col("__bench").isNotNull, 1L).otherwise(0L)).as("n_contaminated_grams"))
       .withColumn("contaminated", col("n_contaminated_grams") >= minOverlap)
   }
@@ -130,10 +137,15 @@ object Curation {
     val sepRe = java.util.regex.Pattern.quote(sep)
     // the per-doc line count rides along each exploded row (one long) so no
     // third corpus scan — and no re-evaluation of whatever expression built
-    // textCol — is needed to report n_lines at the end
-    val lines = docs.select(col(idCol).as("__id"),
-        size(split(col(textCol), sepRe)).cast("long").as("__n"),
-        posexplode(split(col(textCol), sepRe)).as(Seq("__pos", "__line")))
+    // textCol — is needed to report n_lines at the end. The count is
+    // computed in its own projection BELOW the posexplode: as a sibling of
+    // the generator it would land in the Project Catalyst extracts ABOVE
+    // the Generate and re-split the document once per line (O(doc²))
+    val lines = docs
+      .select(col(idCol).as("__id"), split(col(textCol), sepRe).as("__ls"))
+      .select(col("__id"), size(col("__ls")).cast("long").as("__n"), col("__ls"))
+      .select(col("__id"), col("__n"),
+        posexplode(col("__ls")).as(Seq("__pos", "__line")))
       .withColumn("__lh", xxhash64(col("__line")))
     // empty lines are structure (paragraph breaks), not dedupable content —
     // deduping them would delete every blank line in the corpus but one and

@@ -132,8 +132,10 @@ object Dedup {
   ): DataFrame = {
     val grams = docs.select(
       col(idCol).as("__id"),
-      array_distinct(if (n == 1) split(lower(trim(col(textCol))), "\\s+")
-      else shingles(col(textCol), n)).as("__grams"))
+      // one-pass expression; semantics identical to
+      // array_distinct(split/shingles) but ~100× cheaper than the
+      // interpreted HOF chain (see WordNgramsExpr)
+      graft.functions.text.wordNgrams(col(textCol), n, distinct = true).as("__grams"))
     pairs
       .join(grams.withColumnRenamed("__id", "idA").withColumnRenamed("__grams", "gramsA"), "idA")
       .join(grams.withColumnRenamed("__id", "idB").withColumnRenamed("__grams", "gramsB"), "idB")

@@ -108,6 +108,17 @@ class PlanSpec extends AnyFunSuite {
       s"benchmark grams must broadcast into the corpus-side join:\n${plan.take(3000)}")
     assert(!plan.contains("SortMergeJoin [gram"),
       s"corpus grams must not shuffle-join:\n${plan.take(3000)}")
+    // the corpus-side Generate must explode a MATERIALIZED attribute: if a
+    // sibling expression lands in the Project Catalyst extracts above the
+    // Generate, the whole tokenize+shingle pass re-runs once per exploded
+    // gram — O(grams × doc), the regression this pins. (The inferred
+    // isnotnull/size>0 guards below the Project re-eval the expression a
+    // bounded 2 extra times per doc; that's a constant, not O(grams).)
+    assert(plan.contains("Generate explode(__grams"),
+      s"corpus grams must materialize below the Generate:\n${plan.take(3000)}")
+    val aboveGenerate = plan.split("\\n").takeWhile(!_.contains("Generate explode")).mkString("\n")
+    assert(!aboveGenerate.toLowerCase.contains("wordngramsexpr"),
+      s"no gram re-evaluation above the Generate:\n${plan.take(3000)}")
   }
 
   test("line dedup resolves first-occurrence via partial agg on the line hash (no window sort)") {
