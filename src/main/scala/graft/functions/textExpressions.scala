@@ -428,6 +428,81 @@ object text {
   def wordNgrams(text: Column, n: Int, distinct: Boolean): Column =
     ExpressionUtils.column(WordNgramsExpr(ExpressionUtils.expression(text), n, distinct))
 
+  /** Marker-token counts for a family of word sets in ONE tokenization
+    * pass, plus the argmax label (alphabetical tie-break, `elseLabel` when
+    * every count is zero). Backs langScores/langId/sentiment: the
+    * declarative form — one filter∘isin HOF per set, and an argmax built
+    * from repeated copies of those trees — is interpreted and re-tokenizes
+    * per copy (langId expanded to ~15 tokenizations per row).
+    *
+    * Tokenization is the shared SQL-oracle convention (lower/trim-space/
+    * split \s+ keep-empties), so counting semantics are byte-identical to
+    * `list_filter(toks, x -> x IN (...))`.
+    *
+    * Output: struct(counts: array<long> — one per set, in input order;
+    * pick: string — argmax over `labels` or `elseLabel` on all-zero).
+    */
+  case class TokenSetCountsExpr(child: Expression, sets: Seq[Seq[String]],
+      labels: Seq[String], elseLabel: String)
+      extends UnaryExpression with CodegenFallback {
+    require(sets.nonEmpty && sets.length == labels.length, "one label per set")
+    @transient private lazy val lookup: java.util.HashMap[String, Array[Int]] = {
+      // token -> indices of the sets containing it (a token may appear in
+      // several sets; each gets its count)
+      val m = new java.util.HashMap[String, Array[Int]]()
+      sets.zipWithIndex.foreach { case (ws, i) =>
+        ws.foreach { w =>
+          val prev = m.get(w)
+          m.put(w, if (prev == null) Array(i) else prev :+ i)
+        }
+      }
+      m
+    }
+    override def dataType: DataType = StructType(Seq(
+      StructField("counts", ArrayType(LongType, containsNull = false), nullable = false),
+      StructField("pick", StringType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false)))
+    override def nullSafeEval(input: Any): Any = {
+      val raw = input.asInstanceOf[UTF8String].toString
+      var st = 0
+      var en = raw.length
+      while (st < en && raw.charAt(st) == ' ') st += 1
+      while (en > st && raw.charAt(en - 1) == ' ') en -= 1
+      val s = UTF8String.fromString(raw.substring(st, en)).toLowerCase.toString
+      val toks = s.split("\\s+", -1)
+      val counts = new Array[Long](sets.length)
+      var i = 0
+      while (i < toks.length) {
+        val hit = lookup.get(toks(i))
+        if (hit != null) {
+          var j = 0
+          while (j < hit.length) { counts(hit(j)) += 1; j += 1 }
+        }
+        i += 1
+      }
+      // argmax with alphabetical (input-order-independent) tie-break:
+      // labels sorted ascending, first label attaining the max wins
+      var best = 0L
+      i = 0
+      while (i < counts.length) { if (counts(i) > best) best = counts(i); i += 1 }
+      val pick =
+        if (best == 0L) elseLabel
+        else labels.zipWithIndex.sortBy(_._1).collectFirst {
+          case (l, j) if counts(j) == best => l
+        }.getOrElse(elseLabel)
+      org.apache.spark.sql.catalyst.InternalRow(
+        new GenericArrayData(counts.map(x => x: Any)),
+        UTF8String.fromString(pick),
+        toks.length.toLong)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  def tokenSetCounts(text: Column, sets: Seq[Seq[String]], labels: Seq[String],
+      elseLabel: String): Column =
+    ExpressionUtils.column(TokenSetCountsExpr(ExpressionUtils.expression(text),
+      sets, labels, elseLabel))
+
   /** Cosine similarity over two double arrays in one tight loop. The
     * HOF formulation (aggregate ∘ zip_with) is interpreted per element
     * with lambda-variable boxing; this evaluates ~10× faster on 64-dim

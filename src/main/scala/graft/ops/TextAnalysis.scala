@@ -31,7 +31,11 @@ object TextAnalysis {
     // guarded count: "" splits to [""] — empty text has zero words
     val nTok = when(length(trim(text)) === 0, lit(0)).otherwise(size(toks))
     val safeTok = greatest(nTok, lit(1)) // division guard
-    val stopHits = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+    // one-pass marker count (the filter∘isin HOF is interpreted; see
+    // TokenSetCountsExpr) — counting semantics identical
+    val stopHits = graft.functions.text
+      .tokenSetCounts(text, Seq(stopwords), Seq("s"), "")
+      .getField("counts").getItem(0)
     struct(
       length(text).cast("long").as("n_chars"),
       nTok.cast("long").as("n_words"),
@@ -59,25 +63,24 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "在", "我", "不")
   )
 
+  private def langCounts(text: Column): Column = {
+    val langs = LangMarkers.toSeq.sortBy(_._1)
+    graft.functions.text.tokenSetCounts(text, langs.map(_._2), langs.map(_._1), "und")
+  }
+
   def langScores(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    struct(LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      size(filter(toks, t => t.isin(markers.map(lit): _*))).cast("long").as(lang)
+    val langs = LangMarkers.keys.toSeq.sorted
+    struct(langs.zipWithIndex.map { case (lang, i) =>
+      langCounts(text).getField("counts").getItem(i).as(lang)
     }: _*)
   }
 
-  /** Predicted language: argmax of langScores, alphabetical tie-break,
-    * "und" if all zero.
+  /** Predicted language: argmax of marker counts, alphabetical tie-break,
+    * "und" if all zero — computed inside the single-pass expression (the
+    * previous when-chain formulation expanded to ~15 copies of the
+    * interpreted filter tree, each re-tokenizing the document).
     */
-  def langId(text: Column): Column = {
-    val scores = langScores(text)
-    val langs = LangMarkers.keys.toSeq.sorted
-    val best = langs.map(l => scores.getField(l)).reduce((a, b) => greatest(a, b))
-    val pick = langs.reverse.foldLeft(lit("und")) { (acc, l) =>
-      when(scores.getField(l) === best && best > 0, lit(l)).otherwise(acc)
-    }
-    pick
-  }
+  def langId(text: Column): Column = langCounts(text).getField("pick")
 
   /** Lexicon-based sentiment: (positive hits − negative hits) and their
     * normalized score over the token count. Deterministic, codegen'd,
@@ -89,13 +92,15 @@ object TextAnalysis {
     Seq("bad", "terrible", "slow", "hate", "worst", "sad", "fail", "poor", "wrong", "broken")
 
   def sentiment(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    val pos = size(filter(toks, t => t.isin(PositiveLexicon.map(lit): _*)))
-    val neg = size(filter(toks, t => t.isin(NegativeLexicon.map(lit): _*)))
+    def tc = graft.functions.text.tokenSetCounts(
+      text, Seq(PositiveLexicon, NegativeLexicon), Seq("pos", "neg"), "")
+    val pos = tc.getField("counts").getItem(0)
+    val neg = tc.getField("counts").getItem(1)
     struct(
-      pos.cast("long").as("pos_hits"),
-      neg.cast("long").as("neg_hits"),
-      ((pos - neg).cast("double") / greatest(size(toks), lit(1))).as("score"))
+      pos.as("pos_hits"),
+      neg.as("neg_hits"),
+      ((pos - neg).cast("double") /
+        greatest(tc.getField("n_tokens"), lit(1L))).as("score"))
   }
 
   /** Winnowing fingerprints (see graft.functions.text): distinct rolling-
