@@ -305,16 +305,27 @@ object SparkEntry {
           element_at(uas, (pmod(col("event_id"), lit(3)) + 1).cast("int"))).as("ua_json"))
     }),
     "e4_ingestion_time" -> ((s, dir) => {
-      // @GeistIngestionTime (E4): sink-side ingestion timestamp column.
-      // The wall-clock value is nondeterministic, so the contract asserts
-      // its deterministic INVARIANTS (present, post-build-era, column
-      // attached per routed row) — which makes the query oracle-checkable;
-      // the actual timestamp semantics are covered by RuntimeSpec's sink
-      // round-trip.
+      // @GeistIngestionTime (E4): the SINK COMPILER attaches the ingestion
+      // timestamp (tableStage maps valueFromId "@GeistIngestionTime" to the
+      // wall clock, Sinks.scala). The value is nondeterministic, so the
+      // contract asserts its deterministic invariants on the REAL sink
+      // output — the column exists, is non-null, and post-dates the build
+      // era for every routed row. Deleting the attachment in the sink
+      // compiler nulls has_ingestion_ts and fails the hash gate.
       val out = pipelineOf(routingSpec)(eventJson(s, dir)).head._2
-      out.select(col("eid"),
-        current_timestamp().isNotNull.as("has_ingestion_ts"),
-        (current_timestamp() >= lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))).as("ingested_after_build"))
+      val tablesJson =
+        """{"tables": [
+          |  {"name": "bq", "columns": [
+          |    {"name": "eid", "valueFromId": "eid"},
+          |    {"name": "dateIngested", "valueFromId": "@GeistIngestionTime"}
+          |  ]}
+          |]}""".stripMargin
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val tables = graft.sinks.SinkCompiler.parseTables(mapper.readTree(tablesJson))
+      graft.sinks.SinkCompiler.tableStage(tables.head)(out)
+        .select(col("eid"),
+          col("dateIngested").isNotNull.as("has_ingestion_ts"),
+          (col("dateIngested") >= lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))).as("ingested_after_build"))
     }),
     "g5_insertid_dedup" -> ((s, dir) => {
       // Insert-id best-effort dedup (G5): first event per (user, type).

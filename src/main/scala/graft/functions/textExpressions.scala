@@ -448,16 +448,20 @@ object text {
     require(sets.nonEmpty && sets.length == labels.length, "one label per set")
     @transient private lazy val lookup: java.util.HashMap[String, Array[Int]] = {
       // token -> indices of the sets containing it (a token may appear in
-      // several sets; each gets its count)
+      // several sets; each gets its count). Words are deduped per set so a
+      // repeated literal can't double-count — IN-list semantics
       val m = new java.util.HashMap[String, Array[Int]]()
       sets.zipWithIndex.foreach { case (ws, i) =>
-        ws.foreach { w =>
+        ws.distinct.foreach { w =>
           val prev = m.get(w)
           m.put(w, if (prev == null) Array(i) else prev :+ i)
         }
       }
       m
     }
+    // constant of the expression: labels in tie-break (alphabetical) order
+    @transient private lazy val sortedLabelIdx: Array[(String, Int)] =
+      labels.zipWithIndex.sortBy(_._1).toArray
     override def dataType: DataType = StructType(Seq(
       StructField("counts", ArrayType(LongType, containsNull = false), nullable = false),
       StructField("pick", StringType, nullable = false),
@@ -481,15 +485,19 @@ object text {
         i += 1
       }
       // argmax with alphabetical (input-order-independent) tie-break:
-      // labels sorted ascending, first label attaining the max wins
+      // first label in sorted order attaining the max wins
       var best = 0L
       i = 0
       while (i < counts.length) { if (counts(i) > best) best = counts(i); i += 1 }
-      val pick =
-        if (best == 0L) elseLabel
-        else labels.zipWithIndex.sortBy(_._1).collectFirst {
-          case (l, j) if counts(j) == best => l
-        }.getOrElse(elseLabel)
+      var pick = elseLabel
+      if (best > 0L) {
+        var k = 0
+        var found = false
+        while (k < sortedLabelIdx.length && !found) {
+          if (counts(sortedLabelIdx(k)._2) == best) { pick = sortedLabelIdx(k)._1; found = true }
+          k += 1
+        }
+      }
       org.apache.spark.sql.catalyst.InternalRow(
         new GenericArrayData(counts.map(x => x: Any)),
         UTF8String.fromString(pick),

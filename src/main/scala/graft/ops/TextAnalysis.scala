@@ -70,17 +70,25 @@ object TextAnalysis {
 
   def langScores(text: Column): Column = {
     val langs = LangMarkers.keys.toSeq.sorted
+    // ONE expression tree shared by every field so whole-stage codegen's
+    // subexpression elimination evaluates it once per row (separate trees
+    // per field would defeat CSE); true single-eval regardless of codegen
+    // comes from materializing the struct in its own select, as profile()
+    // and the contract queries do
+    val counts = langCounts(text).getField("counts")
     struct(langs.zipWithIndex.map { case (lang, i) =>
-      langCounts(text).getField("counts").getItem(i).as(lang)
+      counts.getItem(i).as(lang)
     }: _*)
   }
 
   /** Predicted language: argmax of marker counts, alphabetical tie-break,
     * "und" if all zero — computed inside the single-pass expression (the
     * previous when-chain formulation expanded to ~15 copies of the
-    * interpreted filter tree, each re-tokenizing the document).
+    * interpreted filter tree, each re-tokenizing the document). NULL text
+    * predicts "und", matching the old fold's otherwise-branch.
     */
-  def langId(text: Column): Column = langCounts(text).getField("pick")
+  def langId(text: Column): Column =
+    coalesce(langCounts(text).getField("pick"), lit("und"))
 
   /** Lexicon-based sentiment: (positive hits − negative hits) and their
     * normalized score over the token count. Deterministic, codegen'd,
@@ -92,7 +100,8 @@ object TextAnalysis {
     Seq("bad", "terrible", "slow", "hate", "worst", "sad", "fail", "poor", "wrong", "broken")
 
   def sentiment(text: Column): Column = {
-    def tc = graft.functions.text.tokenSetCounts(
+    // single shared tree (see langScores on CSE)
+    val tc = graft.functions.text.tokenSetCounts(
       text, Seq(PositiveLexicon, NegativeLexicon), Seq("pos", "neg"), "")
     val pos = tc.getField("counts").getItem(0)
     val neg = tc.getField("counts").getItem(1)

@@ -219,6 +219,40 @@ class CurationSpec extends AnyFunSuite {
     assert(lo.subsetOf(hi), "raising the rate only adds rows")
   }
 
+  // ------------------------------------------ end-to-end (README pipeline)
+
+  test("the README curation pipeline composes end-to-end on the test corpus") {
+    import graft.ops.{Dedup, TextAnalysis}
+    val docs = SparkEntry.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val evalBench = docs.filter(col("doc_id") % 13 === 0).select("doc_id", "text")
+
+    val quality = Curation.qualityFilter(docs, "text", "doc_id", minWords = 5)
+    val kept = docs.join(quality.where(col("keep")), Seq("doc_id"), "left_semi")
+    val deduped = Curation.lineDedup(kept, "text", "doc_id")
+      .withColumnRenamed("text_dedup", "text")
+      .join(kept.select("doc_id", "lang"), Seq("doc_id"))
+    val pairs = Dedup.minhashCandidates(deduped, "text", "doc_id")
+      .filter(col("est_jaccard") >= 0.8).select("idA", "idB")
+    val clusters = Dedup.clusterAssignments(deduped, "doc_id", pairs)
+    val reps = deduped.join(clusters.where(col("id") === col("cluster_id"))
+      .select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val clean = Curation.decontaminate(reps, evalBench, "text", "doc_id")
+    val safe = reps.join(clean.where(!col("contaminated")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), Curation.redactPii(col("text")).as("text"))
+      .withColumn("n_tokens", TextAnalysis.wsTokenCount(col("text")))
+    val rates = Curation.mixRates(safe, "lang", "n_tokens",
+      Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.3))
+    val sample = Curation.stratifiedSample(safe, "doc_id", "lang", rates, defaultPermille = 0)
+
+    val n = sample.count()
+    assert(n > 0 && n < docs.count(), s"pipeline must select a strict subset ($n)")
+    assert(sample.columns.toSeq == Seq("doc_id", "lang", "text", "n_tokens"))
+    // only targeted strata survive the mix (es/zh got no rate)
+    val langs = sample.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de", "fr")))
+  }
+
   // --------------------------------------------------- property laws
 
   test("property: line dedup conserves the distinct-line set exactly") {
