@@ -511,6 +511,59 @@ object text {
     ExpressionUtils.column(TokenSetCountsExpr(ExpressionUtils.expression(text),
       sets, labels, elseLabel))
 
+  /** Bloom-filter membership probe riding inside the expression (the
+    * serialized filter ships with the task closure). Used as a map-side
+    * pre-filter: never false-negative, so filtering with it before an
+    * exact join preserves exact results while cutting the shuffle to the
+    * candidate survivors.
+    */
+  case class BloomMightContainExpr(child: Expression, filterBytes: Array[Byte])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    @transient private lazy val bf: org.apache.spark.util.sketch.BloomFilter =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(filterBytes))
+    override def nullSafeEval(input: Any): Any =
+      bf.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  def bloomMightContain(filter: org.apache.spark.util.sketch.BloomFilter, c: Column): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    filter.writeTo(bos)
+    ExpressionUtils.column(BloomMightContainExpr(ExpressionUtils.expression(c), bos.toByteArray))
+  }
+
+  /** Deflate compression ratio (compressed / raw bytes, level 6, raw
+    * stream): the standard cheap entropy proxy for corpus quality —
+    * boilerplate and repetition compress far below natural text, random
+    * noise compresses above it. One Deflater per thread, reset per row.
+    */
+  case class CompressionRatioExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    @transient private lazy val deflater = new ThreadLocal[java.util.zip.Deflater] {
+      override def initialValue(): java.util.zip.Deflater =
+        new java.util.zip.Deflater(6, true)
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      if (bytes.isEmpty) return 1.0
+      val d = deflater.get()
+      d.reset()
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / bytes.length
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  def compressionRatio(text: Column): Column =
+    ExpressionUtils.column(CompressionRatioExpr(ExpressionUtils.expression(text)))
+
   /** Cosine similarity over two double arrays in one tight loop. The
     * HOF formulation (aggregate ∘ zip_with) is interpreted per element
     * with lambda-variable boxing; this evaluates ~10× faster on 64-dim

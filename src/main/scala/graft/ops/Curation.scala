@@ -115,6 +115,47 @@ object Curation {
       .withColumn("contaminated", col("n_contaminated_grams") >= minOverlap)
   }
 
+  /** Decontamination for benchmark sets too large to broadcast as a hash
+    * relation: a Bloom filter over the benchmark grams (bits, not strings —
+    * ~10× smaller) pre-filters corpus grams MAP-SIDE, and only the
+    * surviving candidates enter the exact shuffle join that removes the
+    * filter's false positives. Results are therefore EXACT (Bloom filters
+    * have no false negatives); the shuffle shrinks from every corpus gram
+    * to the candidate survivors (expected: true hits + fpp × corpus grams).
+    *
+    * Output: (idCol, n_contaminated_grams, contaminated) — per-doc total
+    * gram counts are not carried through the pre-filter; use
+    * [[decontaminate]] when you need `n_grams`.
+    */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8,
+      minOverlap: Int = 1,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    import graft.functions.text
+    val grams = wordNgrams(col(textCol), n)
+    val benchGrams = benchmark.select(explode(grams).as("gram")).distinct().cache()
+    // the distinct-gram count sizes the filter; one bounded action over the
+    // (comparatively small) benchmark side, reusing its cached grams
+    val nBench = math.max(benchGrams.count(), 1L)
+    val bloom = benchGrams.stat.bloomFilter("gram", nBench, fpp)
+    val candidates = corpus
+      .select(col(idCol), grams.as("__grams"))
+      .select(col(idCol), explode(col("__grams")).as("gram"))
+      .where(text.bloomMightContain(bloom, col("gram")))
+    // benchGrams stays cached into the returned plan (it feeds both the
+    // filter build and the exact join); the context cleaner reclaims it
+    // when the frame is released — same contract as connectedComponents
+    candidates.join(benchGrams, Seq("gram")) // exact: kills Bloom FPs
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+      .withColumn("contaminated", col("n_contaminated_grams") >= minOverlap)
+  }
+
   // --------------------------------------------------- line-level dedup
 
   /** Corpus-wide line-level deduplication (the C4 recipe, Raffel et al.

@@ -112,6 +112,14 @@ object TextAnalysis {
         greatest(tc.getField("n_tokens"), lit(1L))).as("score"))
   }
 
+  /** Deflate compression ratio — the cheap entropy proxy for corpus
+    * quality (repetition/boilerplate compresses far below natural text,
+    * random noise above it). JVM-deterministic, but zlib output is not a
+    * cross-engine contract — gate with bounds, not exact values.
+    */
+  def compressionRatio(text: Column): Column =
+    graft.functions.text.compressionRatio(text)
+
   /** Winnowing fingerprints (see graft.functions.text): distinct rolling-
     * hash minima, the standard near-dup/plagiarism document signature.
     */

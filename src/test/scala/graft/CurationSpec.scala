@@ -219,6 +219,37 @@ class CurationSpec extends AnyFunSuite {
     assert(lo.subsetOf(hi), "raising the rate only adds rows")
   }
 
+  test("bloom decontamination produces exactly the broadcast-exact results") {
+    // Bloom pre-filter + exact join == exact decontaminate (no false
+    // negatives; the join removes false positives) — on the real corpus
+    val docs = SparkEntry.t(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(col("doc_id") % 17 =!= 0)
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val exact = Curation.decontaminate(corpus, bench, "text", "doc_id", n = 4)
+      .select("doc_id", "n_contaminated_grams", "contaminated")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val bloom = Curation.decontaminateBloom(corpus, bench, "text", "doc_id", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // decontaminate reports every corpus doc; bloom only docs with >=1 hit
+    assert(bloom == exact.filter(_._2 > 0), "hit sets and counts must agree exactly")
+  }
+
+  test("compression ratio separates repetitive from varied text and is deterministic") {
+    val df = Seq(
+      (1L, "spam " * 400),
+      (2L, (1 to 400).map(i => s"w${i * 7919 % 1000}x$i").mkString(" ")),
+      (3L, "")
+    ).toDF("id", "text")
+    val rs = df.select(col("id"), graft.ops.TextAnalysis.compressionRatio(col("text")).as("cr"))
+      .orderBy("id").collect().map(_.getDouble(1))
+    assert(rs(0) < 0.05, s"pure repetition compresses hard: ${rs(0)}")
+    assert(rs(1) > rs(0) * 5, s"varied text compresses less: ${rs(1)}")
+    assert(rs(2) == 1.0, "empty text defined as 1.0")
+    val again = df.select(graft.ops.TextAnalysis.compressionRatio(col("text")))
+      .collect().map(_.getDouble(0))
+    assert(again.sorted.toSeq == rs.sorted.toSeq, "deterministic across evaluations")
+  }
+
   // ------------------------------------------ end-to-end (README pipeline)
 
   test("the README curation pipeline composes end-to-end on the test corpus") {
