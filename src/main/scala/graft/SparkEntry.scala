@@ -487,6 +487,16 @@ object SparkEntry {
           when(size(col("fps")) === 0, lit(null).cast("long"))
             .otherwise(aggregate(col("fps"), lit(0L), (acc, x) => acc + x)).as("fp_sum"))
     }),
+    "ns_substring_candidates" -> ((s, dir) => {
+      // MOSS-style shared-substring candidates over winnowing fingerprints
+      // (guard disabled + portable hashes so n_shared is EXACTLY the
+      // fingerprint-set intersection the oracle recomputes; the skew
+      // guard's pair-bounding has its own OpsSpec test). Bounded to 200
+      // docs so the oracle's all-pairs intersect stays cheap at any SF.
+      val d = t(s, dir, "documents").filter(col("doc_id") < 200)
+      graft.ops.Dedup.fingerprintCandidates(d, "text", "doc_id",
+        k = 8, w = 4, minShared = 30, maxBucket = Int.MaxValue, portable = true)
+    }),
     "a2_eventsim" -> ((s, dir) => {
       // Deterministic synthetic source (A2/A3): seeded generators, weighted
       // categorical, sinusoid rate — end-to-end through the spec pipeline.
@@ -850,6 +860,24 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, CAST(list_min(fps) AS BIGINT) AS fp_min,
         |       CAST(list_max(fps) AS BIGINT) AS fp_max, CAST(list_sum(fps) AS BIGINT) AS fp_sum
         |FROM f""".stripMargin,
+    "ns_substring_candidates" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) < 8 THEN []
+        |         ELSE list_transform(range(1, length(text) - 6), i ->
+        |           ('0x' || substr(md5(substr(text, i, 8)), 1, 8))::UBIGINT & 2147483647) END AS hs
+        |  FROM documents WHERE doc_id < 200
+        |), f AS (
+        |  SELECT doc_id, CASE WHEN len(hs) = 0 THEN []
+        |    WHEN len(hs) <= 4 THEN [list_min(hs)]
+        |    ELSE list_distinct(list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3]))) END AS fps
+        |  FROM h
+        |)
+        |SELECT idA, idB, n_shared FROM (
+        |  SELECT a.doc_id AS idA, b.doc_id AS idB,
+        |         CAST(len(list_intersect(a.fps, b.fps)) AS BIGINT) AS n_shared
+        |  FROM f a JOIN f b ON a.doc_id < b.doc_id)
+        |WHERE n_shared >= 30""".stripMargin,
     // Fixed-seed golden (seed 42, epoch 2024-06-01T00:00:00Z, 120 triggers):
     // per-customer event counts + cent-exact amount sums of the CONN_OPENED
     // branch. Pins cross-engine/cross-round determinism of the eventsim

@@ -144,6 +144,45 @@ object Dedup {
         size(array_union(col("gramsA"), col("gramsB"))).as("n_union"))
   }
 
+  /** Shared-substring candidate pairs via winnowing fingerprints (the
+    * MOSS construction, Schleimer et al. 2003): docs sharing at least
+    * `minShared` selected k-gram hashes are candidates for containing
+    * common character substrings — the scalable approximation of exact
+    * substring dedup (Lee et al. 2022), since winnowing guarantees any
+    * shared run longer than k+w-1 chars selects at least one common
+    * fingerprint. Join key = fingerprint (uniform by construction);
+    * ubiquitous k-grams (boilerplate) form hot buckets, capped by the same
+    * `maxBucket` guard as the other banded generators.
+    *
+    * Output: (idA, idB, n_shared) with idA < idB; with the guard disabled
+    * n_shared = |fingerprint-set intersection| exactly (fingerprint sets
+    * are distinct per doc), which the DuckDB oracle recomputes.
+    */
+  def fingerprintCandidates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      minShared: Int = 3,
+      maxBucket: Int = 64,
+      portable: Boolean = false
+  ): DataFrame = {
+    // fps materializes below the explode (sibling-of-generator expressions
+    // re-evaluate per exploded row — see WordNgramsExpr notes)
+    val fps = df.select(col(idCol).as("id"),
+      graft.functions.text.winnowFingerprint(col(textCol), k, w, portable).as("fps"))
+    val exploded = fps.select(col("id"), explode(col("fps")).as("fp"))
+    val capped = capBuckets(exploded, Seq("fp"), maxBucket)
+    val a = capped.select(col("fp"), col("id").as("idA"))
+    val b = capped.select(col("fp"), col("id").as("idB"))
+    a.join(b, Seq("fp"))
+      .filter(col("idA") < col("idB"))
+      .groupBy(col("idA"), col("idB"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** SimHash near-dup fingerprint (64-bit): per-token 64-bit hashes vote on
     * each bit; the sign of the vote sum sets the bit. One narrow pass via
     * the SimHash64 expression (see graft.functions); near-dups are pairs

@@ -118,6 +118,37 @@ class OpsSpec extends AnyFunSuite {
     assert(fps(1L) != fps(3L))
   }
 
+  test("fingerprint candidates find shared-substring pairs, skip disjoint docs") {
+    val shared = "a long shared passage that repeats across documents verbatim"
+    val docs = Seq(
+      (1L, s"unique prefix one $shared unique suffix one"),
+      (2L, s"totally different opening $shared and a different close"),
+      (3L, "no overlap here at all with anything else whatsoever zz")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.fingerprintCandidates(docs, "text", "doc_id", minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 3),
+      s"docs sharing a ${shared.length}-char passage must pair: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L), "disjoint doc must not pair")
+    // winnowing guarantee: a shared run longer than k+w-1 selects >=1
+    // common fingerprint — n_shared grows with the shared-run length
+    val n12 = pairs.find(p => p._1 == 1L && p._2 == 2L).get._3
+    assert(n12 >= shared.length / 8 / 2, s"long shared run selects many fingerprints: $n12")
+  }
+
+  test("fingerprint candidates skew guard bounds pairs from ubiquitous k-grams") {
+    val boiler = "common boilerplate everywhere"
+    val docs = (1 to 200).map(i => (i.toLong, s"doc $i begins $boiler and ends $i"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.fingerprintCandidates(docs, "text", "doc_id",
+      minShared = 1, maxBucket = 20)
+    // every fingerprint of the boilerplate run appears in 200 docs — the
+    // guard drops those buckets, bounding the pair explosion
+    val n = capped.count()
+    val unguarded = 200L * 199 / 2
+    assert(n < unguarded / 10, s"guard must bound pair count, got $n of $unguarded")
+  }
+
   test("language id picks the marker-dominant language with deterministic tie-break") {
     val docs = Seq(
       (1L, "the cat and the dog is with that"),
