@@ -487,6 +487,10 @@ object SparkEntry {
           when(size(col("fps")) === 0, lit(null).cast("long"))
             .otherwise(aggregate(col("fps"), lit(0L), (acc, x) => acc + x)).as("fp_sum"))
     }),
+    "ns_chunk" -> ((s, dir) =>
+      // training-sequence chunking: 32-token windows, 8-token overlap
+      graft.ops.Curation.chunkByTokens(t(s, dir, "documents"), "text", "doc_id",
+        size = 32, overlap = 8)),
     "ns_substring_candidates" -> ((s, dir) => {
       // MOSS-style shared-substring candidates over winnowing fingerprints
       // (guard disabled + portable hashes so n_shared is EXACTLY the
@@ -860,6 +864,17 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, CAST(list_min(fps) AS BIGINT) AS fp_min,
         |       CAST(list_max(fps) AS BIGINT) AS fp_max, CAST(list_sum(fps) AS BIGINT) AS fp_sum
         |FROM f""".stripMargin,
+    "ns_chunk" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) <= 32 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(0, (len(toks) - 32 + 23) // 24 + 1),
+        |           i -> array_to_string(toks[i*24 + 1 : least(i*24 + 32, len(toks))], ' ')) END AS chunks
+        |  FROM tk)
+        |SELECT doc_id, CAST(pos AS INT) AS chunk_idx, chunk,
+        |       CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_chunk_tokens
+        |FROM (SELECT doc_id, unnest(range(0, len(chunks))) AS pos, unnest(chunks) AS chunk FROM c)""".stripMargin,
     "ns_substring_candidates" ->
       """WITH h AS (
         |  SELECT doc_id,

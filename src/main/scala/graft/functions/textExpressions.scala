@@ -511,6 +511,52 @@ object text {
     ExpressionUtils.column(TokenSetCountsExpr(ExpressionUtils.expression(text),
       sets, labels, elseLabel))
 
+  /** Fixed-size token chunks with overlap — training-sequence preparation
+    * (context-window packing input). Chunk i covers tokens
+    * [i·(size−overlap), i·(size−overlap)+size); the last chunk ends at the
+    * final token (it may overlap its predecessor by more than `overlap`).
+    * Tokenization is the shared SQL-oracle convention. One pass, one
+    * StringBuilder per chunk.
+    */
+  case class WordChunksExpr(child: Expression, size: Int, overlap: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(size >= 1 && overlap >= 0 && overlap < size,
+      "need size >= 1 and 0 <= overlap < size")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val raw = input.asInstanceOf[UTF8String].toString
+      var st = 0
+      var en = raw.length
+      while (st < en && raw.charAt(st) == ' ') st += 1
+      while (en > st && raw.charAt(en - 1) == ' ') en -= 1
+      val s = UTF8String.fromString(raw.substring(st, en)).toLowerCase.toString
+      val toks = s.split("\\s+", -1)
+      val stride = size - overlap
+      val chunks = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      var done = false
+      while (!done) {
+        val from = i * stride
+        val until = math.min(from + size, toks.length)
+        val sb = new java.lang.StringBuilder
+        var t = from
+        while (t < until) {
+          if (t > from) sb.append(' ')
+          sb.append(toks(t))
+          t += 1
+        }
+        chunks += sb.toString
+        if (until == toks.length) done = true
+        i += 1
+      }
+      new GenericArrayData(chunks.map(c => UTF8String.fromString(c): Any).toArray)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  def wordChunks(text: Column, size: Int, overlap: Int): Column =
+    ExpressionUtils.column(WordChunksExpr(ExpressionUtils.expression(text), size, overlap))
+
   /** Bloom-filter membership probe riding inside the expression (the
     * serialized filter ships with the task closure). Used as a map-side
     * pre-filter: never false-negative, so filtering with it before an

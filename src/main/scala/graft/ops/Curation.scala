@@ -215,6 +215,26 @@ object Curation {
       .select(col("__id").as(idCol), col("n_lines"), col("n_kept"), col("text_dedup"))
   }
 
+  // --------------------------------------------------- chunking
+
+  /** Split documents into fixed-size token chunks with overlap — the
+    * training-sequence preparation step (context-window sizing). Output:
+    * (idCol, chunk_idx, chunk, n_chunk_tokens), chunk_idx 0-based in
+    * document order. A narrow generator stage: the chunks array
+    * materializes below the posexplode (see the generator-trap notes) and
+    * nothing shuffles.
+    */
+  def chunkByTokens(docs: DataFrame, textCol: String, idCol: String,
+      size: Int, overlap: Int = 0): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.text.wordChunks(col(textCol), size, overlap).as("__chunks"))
+      .select(col(idCol), posexplode(col("__chunks")).as(Seq("chunk_idx", "chunk")))
+      // chunks are single-space joined by construction, so a plain split
+      // counts tokens exactly (codegen'd, no re-tokenization pass)
+      .select(col(idCol), col("chunk_idx"), col("chunk"),
+        org.apache.spark.sql.functions.size(split(col("chunk"), " ", -1))
+          .cast("long").as("n_chunk_tokens"))
+
   // --------------------------------------------------- quality filtering
 
   /** One-pass curation statistics (see CurationStatsExpr): word count, mean

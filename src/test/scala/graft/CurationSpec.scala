@@ -219,6 +219,25 @@ class CurationSpec extends AnyFunSuite {
     assert(lo.subsetOf(hi), "raising the rate only adds rows")
   }
 
+  test("chunkByTokens covers every token with the declared window and overlap") {
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "short doc only")).toDF("doc_id", "text")
+    val out = Curation.chunkByTokens(docs, "text", "doc_id", size = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val c1 = out.filter(_.getLong(0) == 1L)
+    // stride 24: chunks start at 0,24,48,72 — last ends exactly at token 100
+    assert(c1.length == 4)
+    assert(c1.map(_.getLong(3)).toSeq == Seq(32, 32, 32, 28))
+    assert(c1(0).getString(2).startsWith("t1 t2 ") && c1(0).getString(2).endsWith(" t32"))
+    assert(c1(1).getString(2).startsWith("t25 "), "overlap of 8 re-includes t25..t32")
+    assert(c1(3).getString(2).endsWith(" t100"), "tail chunk reaches the last token")
+    // every token appears in at least one chunk
+    val covered = c1.flatMap(_.getString(2).split(" ")).toSet
+    assert(covered == (1 to 100).map(i => s"t$i").toSet)
+    val c2 = out.filter(_.getLong(0) == 2L)
+    assert(c2.length == 1 && c2(0).getString(2) == "short doc only" && c2(0).getLong(3) == 3)
+  }
+
   test("bloom decontamination produces exactly the broadcast-exact results") {
     // Bloom pre-filter + exact join == exact decontaminate (no false
     // negatives; the join removes false positives) — on the real corpus
