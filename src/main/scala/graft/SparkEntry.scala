@@ -491,6 +491,16 @@ object SparkEntry {
       // training-sequence chunking: 32-token windows, 8-token overlap
       graft.ops.Curation.chunkByTokens(t(s, dir, "documents"), "text", "doc_id",
         size = 32, overlap = 8)),
+    "ns_pack" -> ((s, dir) => {
+      // chunk → pack pipeline: 32-token chunks greedily packed into
+      // 128-token context windows across 8 hash pack-groups. Every slot
+      // assignment (group, bin, offset) is deterministic, so the oracle
+      // replays the same next-fit recurrence in SQL.
+      val chunks = graft.ops.Curation.chunkByTokens(t(s, dir, "documents"),
+        "text", "doc_id", size = 32, overlap = 8)
+      graft.ops.Curation.packSequences(chunks, "n_chunk_tokens",
+        Seq("doc_id", "chunk_idx"), budget = 128, nGroups = 8)
+    }),
     "ns_substring_candidates" -> ((s, dir) => {
       // MOSS-style shared-substring candidates over winnowing fingerprints
       // (guard disabled + portable hashes so n_shared is EXACTLY the
@@ -875,6 +885,34 @@ object SparkEntry {
         |SELECT doc_id, CAST(pos AS INT) AS chunk_idx, chunk,
         |       CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_chunk_tokens
         |FROM (SELECT doc_id, unnest(range(0, len(chunks))) AS pos, unnest(chunks) AS chunk FROM c)""".stripMargin,
+    "ns_pack" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) <= 32 THEN [CAST(len(toks) AS BIGINT)]
+        |         ELSE list_transform(range(0, (len(toks) - 32 + 23) // 24 + 1),
+        |           i -> CAST(least(i*24 + 32, len(toks)) - i*24 AS BIGINT)) END AS lens
+        |  FROM tk),
+        |u AS (
+        |  SELECT doc_id, CAST(pos AS INT) AS chunk_idx, l AS n_tokens
+        |  FROM (SELECT doc_id, unnest(range(0, len(lens))) AS pos, unnest(lens) AS l FROM c)),
+        |g AS (
+        |  SELECT *, row_number() OVER (PARTITION BY pack_group ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM (SELECT doc_id, chunk_idx, n_tokens,
+        |          CAST(('0x' || substr(md5('graft|' || concat_ws('|', doc_id, chunk_idx)), 1, 8))::UBIGINT
+        |               & 2147483647 AS BIGINT) % 8 AS pack_group FROM u)),
+        |p AS (
+        |  SELECT pack_group, rn, doc_id, chunk_idx, n_tokens,
+        |         CAST(0 AS BIGINT) AS bin_idx, CAST(0 AS BIGINT) AS bin_off, n_tokens AS acc
+        |  FROM g WHERE rn = 1
+        |  UNION ALL
+        |  SELECT g.pack_group, g.rn, g.doc_id, g.chunk_idx, g.n_tokens,
+        |    CASE WHEN p.acc + g.n_tokens <= 128 THEN p.bin_idx ELSE p.bin_idx + 1 END,
+        |    CASE WHEN p.acc + g.n_tokens <= 128 THEN p.acc ELSE CAST(0 AS BIGINT) END,
+        |    CASE WHEN p.acc + g.n_tokens <= 128 THEN p.acc + g.n_tokens ELSE g.n_tokens END
+        |  FROM g JOIN p ON g.pack_group = p.pack_group AND g.rn = p.rn + 1)
+        |SELECT pack_group, doc_id, chunk_idx, n_tokens, bin_idx, bin_off FROM p""".stripMargin,
     "ns_substring_candidates" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -557,6 +557,44 @@ object text {
   def wordChunks(text: Column, size: Int, overlap: Int): Column =
     ExpressionUtils.column(WordChunksExpr(ExpressionUtils.expression(text), size, overlap))
 
+  /** Greedy next-fit bin packing over an ordered length array: item i goes
+    * into the current bin if it fits within `budget`, else opens the next
+    * bin. Returns one (bin, off) struct per item, where `off` is the item's
+    * token offset inside its bin. An item longer than `budget` gets a bin
+    * of its own (and overflows it) — the algorithm is total, callers gate
+    * oversized items upstream if they can't use them. One pass, O(1) state:
+    * this is the sequential core of context-window packing, run once per
+    * bounded pack-group (see Curation.packSequences for the distributed
+    * shape).
+    */
+  case class PackBinsExpr(child: Expression, budget: Long)
+      extends UnaryExpression with CodegenFallback {
+    require(budget >= 1, "budget must be >= 1")
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("bin", LongType, nullable = false),
+        StructField("off", LongType, nullable = false))), containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val lens = input.asInstanceOf[ArrayData]
+      val n = lens.numElements()
+      val out = new Array[Any](n)
+      var bin = 0L
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        val len = lens.getLong(i)
+        if (i > 0 && acc + len > budget) { bin += 1; acc = 0L }
+        out(i) = org.apache.spark.sql.catalyst.InternalRow(bin, acc)
+        acc += len
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  def packBins(lengths: Column, budget: Long): Column =
+    ExpressionUtils.column(PackBinsExpr(ExpressionUtils.expression(lengths), budget))
+
   /** Bloom-filter membership probe riding inside the expression (the
     * serialized filter ships with the task closure). Used as a map-side
     * pre-filter: never false-negative, so filtering with it before an

@@ -235,6 +235,55 @@ object Curation {
         org.apache.spark.sql.functions.size(split(col("chunk"), " ", -1))
           .cast("long").as("n_chunk_tokens"))
 
+  /** Pack variable-length training sequences into fixed token-budget
+    * context windows (greedy next-fit), distributed: rows are hashed into
+    * `nGroups` pack groups, each group is packed independently in one pass
+    * (PackBinsExpr), and the output assigns every input row a
+    * (pack_group, bin_idx, bin_off) slot. Bins never exceed `budget`
+    * unless a single sequence alone does (it then gets a bin of its own).
+    *
+    * Deliberately METADATA-ONLY: the collect/pack stage moves key columns
+    * and a length — never the sequence text. Join the assignment back to
+    * the payload on `keyCols` afterwards; that join is the caller's one
+    * text shuffle and co-partitions with any downstream by-bin grouping.
+    *
+    * Scale shape (100 TB): one shuffle keyed by pack_group. Each group
+    * packs sequentially (packing is inherently order-dependent), so
+    * `nGroups` is the parallelism AND the per-group memory bound — size it
+    * so corpusRows/nGroups stays in the low millions (a group holds ids +
+    * lengths only, ~few dozen bytes/row). Group assignment is the portable
+    * hash, so the layout is reproducible across engines and retries.
+    *
+    * Output: keyCols ++ (n_tokens, pack_group, bin_idx, bin_off), one row
+    * per input row; packing order within a group is lexicographic on
+    * keyCols, so the whole layout is deterministic.
+    */
+  def packSequences(df: DataFrame, lenCol: String, keyCols: Seq[String],
+      budget: Int, nGroups: Int, seed: String = "graft"): DataFrame = {
+    require(keyCols.nonEmpty && budget >= 1 && nGroups >= 1,
+      "need key columns, budget >= 1, nGroups >= 1")
+    val item = struct(keyCols.map(col) :+ col(lenCol).cast("long").as("__len"): _*)
+    val grouped = df
+      .select(pmod(portableHash31(concat_ws("|", keyCols.map(col): _*), seed),
+          lit(nGroups.toLong)).as("pack_group"),
+        item.as("__item"))
+      .groupBy(col("pack_group"))
+      .agg(array_sort(collect_list(col("__item"))).as("__items"))
+    // lengths + assignments materialize as attributes BELOW the explode
+    // (sibling-of-generator expressions are re-evaluated per output row)
+    grouped
+      .select(col("pack_group"), col("__items"),
+        graft.functions.text.packBins(
+          transform(col("__items"), x => x.getField("__len")), budget.toLong).as("__bins"))
+      .select(col("pack_group"),
+        explode(arrays_zip(col("__items"), col("__bins"))).as("__z"))
+      .select(Seq(col("pack_group")) ++
+        keyCols.map(k => col(s"__z.__items.$k").as(k)) ++ Seq(
+        col("__z.__items.__len").as("n_tokens"),
+        col("__z.__bins.bin").as("bin_idx"),
+        col("__z.__bins.off").as("bin_off")): _*)
+  }
+
   // --------------------------------------------------- quality filtering
 
   /** One-pass curation statistics (see CurationStatsExpr): word count, mean

@@ -238,6 +238,44 @@ class CurationSpec extends AnyFunSuite {
     assert(c2.length == 1 && c2(0).getString(2) == "short doc only" && c2(0).getLong(3) == 3)
   }
 
+  test("packSequences: next-fit layout, budget bound, conservation") {
+    // nGroups = 1 → one global group, packing order = (doc_id, chunk_idx)
+    val rows = Seq((1L, 0, 60L), (1L, 1, 60L), (1L, 2, 20L), (2L, 0, 100L),
+      (2L, 1, 200L), (3L, 0, 128L), (3L, 1, 1L))
+    val df = rows.toDF("doc_id", "chunk_idx", "n")
+    val out = Curation.packSequences(df, "n", Seq("doc_id", "chunk_idx"),
+      budget = 128, nGroups = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+    // next-fit over lens 60,60,20,100,200,128,1 with budget 128:
+    // bin0: 60@0, 60@60 (120); 20 fits → 20@120? no: 120+20>128 → bin1: 20@0,
+    // 100@20 (120); 200 overflows → bin2: 200@0 (oversized, own bin);
+    // 128 → bin3: 128@0 (exactly full); 1 → bin4: 1@0
+    val got = out.map(r => (r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, 0, 60L, 0L, 0L), (1L, 1, 60L, 0L, 60L), (1L, 2, 20L, 1L, 0L),
+      (2L, 0, 100L, 1L, 20L), (2L, 1, 200L, 2L, 0L),
+      (3L, 0, 128L, 3L, 0L), (3L, 1, 1L, 4L, 0L)))
+    // conservation + budget bound on a larger hashed-group layout
+    val big = (1 to 500).map(i => (i.toLong, i % 7, (i % 90 + 1).toLong))
+      .toDF("doc_id", "chunk_idx", "n")
+    val packed = Curation.packSequences(big, "n", Seq("doc_id", "chunk_idx"),
+      budget = 128, nGroups = 8).cache()
+    assert(packed.count() == 500)
+    assert(packed.select("doc_id", "chunk_idx").distinct().count() == 500)
+    val sums = packed.groupBy("pack_group", "bin_idx")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("s"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("c"))
+      .collect()
+    assert(sums.forall(r => r.getLong(2) <= 128 || r.getLong(3) == 1L),
+      "a bin exceeds the budget only when a single oversized sequence owns it")
+    // offsets tile each bin contiguously: max(off + n) == token sum per bin
+    val tiled = packed.groupBy("pack_group", "bin_idx")
+      .agg(org.apache.spark.sql.functions.max(col("bin_off") + col("n_tokens")).as("hi"),
+        org.apache.spark.sql.functions.sum("n_tokens").as("s")).collect()
+    assert(tiled.forall(r => r.getLong(2) == r.getLong(3)))
+    packed.unpersist()
+  }
+
   test("bloom decontamination produces exactly the broadcast-exact results") {
     // Bloom pre-filter + exact join == exact decontaminate (no false
     // negatives; the join removes false positives) — on the real corpus
