@@ -501,6 +501,17 @@ object SparkEntry {
       graft.ops.Curation.packSequences(chunks, "n_chunk_tokens",
         Seq("doc_id", "chunk_idx"), budget = 128, nGroups = 8)
     }),
+    "ns_dsir" -> ((s, dir) => {
+      // DSIR importance machinery, integer-exact subset: hashed 1..2-gram
+      // bucket counts (portable hashes) dotted with the global target
+      // (lang='de') and raw bucket totals. The ln-based score column is
+      // excluded here — libm differences across engines make it
+      // non-hash-comparable — and is property-gated in CurationSpec.
+      val d = t(s, dir, "documents")
+      graft.ops.Curation.dsirScores(d, d.filter(col("lang") === "de"),
+        "text", "doc_id", buckets = 1024, portable = true)
+        .select("doc_id", "n_feats", "t_hits", "r_hits")
+    }),
     "ns_substring_candidates" -> ((s, dir) => {
       // MOSS-style shared-substring candidates over winnowing fingerprints
       // (guard disabled + portable hashes so n_shared is EXACTLY the
@@ -913,6 +924,26 @@ object SparkEntry {
         |    CASE WHEN p.acc + g.n_tokens <= 128 THEN p.acc + g.n_tokens ELSE g.n_tokens END
         |  FROM g JOIN p ON g.pack_group = p.pack_group AND g.rn = p.rn + 1)
         |SELECT pack_group, doc_id, chunk_idx, n_tokens, bin_idx, bin_off FROM p""".stripMargin,
+    "ns_dsir" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |f AS (
+        |  SELECT doc_id, lang,
+        |    list_concat(toks, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS grams
+        |  FROM tk),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |    CAST((('0x' || substr(md5(g), 1, 8))::UBIGINT & 2147483647) % 1024 AS INT) AS bucket,
+        |    count(*) AS c
+        |  FROM (SELECT doc_id, lang, unnest(grams) AS g FROM f) GROUP BY 1, 2, 3),
+        |tt AS (SELECT bucket, sum(c) AS tb FROM b WHERE lang = 'de' GROUP BY 1),
+        |rr AS (SELECT bucket, sum(c) AS rb FROM b GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CAST(sum(b.c) AS BIGINT) AS n_feats,
+        |  CAST(sum(b.c * coalesce(tt.tb, 0)) AS BIGINT) AS t_hits,
+        |  CAST(sum(b.c * rr.rb) AS BIGINT) AS r_hits
+        |FROM b LEFT JOIN tt USING (bucket) JOIN rr USING (bucket)
+        |GROUP BY 1""".stripMargin,
     "ns_substring_candidates" ->
       """WITH h AS (
         |  SELECT doc_id,

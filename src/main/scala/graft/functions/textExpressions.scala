@@ -595,6 +595,121 @@ object text {
   def packBins(lengths: Column, budget: Long): Column =
     ExpressionUtils.column(PackBinsExpr(ExpressionUtils.expression(lengths), budget))
 
+  /** Hashed bag-of-n-grams feature counts (the DSIR feature map, Xie et al.
+    * 2023): word n-grams for n = 1..maxN, each hashed into one of `buckets`
+    * buckets, returned as a SPARSE (bucket, c) array sorted by bucket. One
+    * tokenization pass per row, zero shuffle. For each n, a document
+    * shorter than n tokens contributes no n-grams (so unigrams always
+    * exist, bigrams need >= 2 tokens — the convention an independent SQL
+    * engine reproduces with a plain sliding range).
+    * `portable = true` hashes with [[PortableHash.h31]] so the DuckDB
+    * oracle recomputes identical buckets; default is Spark's XXH64.
+    */
+  case class HashedNgramCountsExpr(child: Expression, buckets: Int, maxN: Int,
+      portable: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    require(buckets >= 1 && maxN >= 1, "need buckets >= 1 and maxN >= 1")
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("bucket", IntegerType, nullable = false),
+        StructField("c", LongType, nullable = false))), containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val raw = input.asInstanceOf[UTF8String].toString
+      var st = 0
+      var en = raw.length
+      while (st < en && raw.charAt(st) == ' ') st += 1
+      while (en > st && raw.charAt(en - 1) == ' ') en -= 1
+      val s = UTF8String.fromString(raw.substring(st, en)).toLowerCase.toString
+      val toks = s.split("\\s+", -1)
+      val counts = new java.util.TreeMap[Integer, Long]
+      def add(g: String): Unit = {
+        val u = UTF8String.fromString(g)
+        val h = if (portable) PortableHash.h31(u) else hashUtf8(u, 42L) & Long.MaxValue
+        val b = (h % buckets).toInt
+        val prev = counts.get(b)
+        counts.put(b, if (prev == null) 1L else prev + 1L)
+      }
+      var n = 1
+      while (n <= maxN) {
+        var i = 0
+        val m = toks.length - n + 1
+        while (i < m) {
+          if (n == 1) add(toks(i))
+          else {
+            val sb = new java.lang.StringBuilder
+            var t = i
+            while (t < i + n) {
+              if (t > i) sb.append(' ')
+              sb.append(toks(t))
+              t += 1
+            }
+            add(sb.toString)
+          }
+          i += 1
+        }
+        n += 1
+      }
+      val out = new Array[Any](counts.size())
+      val it = counts.entrySet().iterator()
+      var j = 0
+      while (it.hasNext) {
+        val e = it.next()
+        out(j) = org.apache.spark.sql.catalyst.InternalRow(e.getKey.intValue(), e.getValue)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  def hashedNgramCounts(text: Column, buckets: Int, maxN: Int, portable: Boolean): Column =
+    ExpressionUtils.column(HashedNgramCountsExpr(ExpressionUtils.expression(text),
+      buckets, maxN, portable))
+
+  /** Per-document inner products of a sparse hashed-feature vector with
+    * three global per-bucket arrays riding in the task closure: the target
+    * corpus counts, the raw corpus counts, and the DSIR log-ratio weights
+    * in integer micro-nats. All four outputs are exact integer arithmetic —
+    * deterministic across engines, partitions, and retries (a float dot
+    * product would be summation-order-dependent). Map-side only: scoring
+    * 100 TB of documents against a trained importance model is a pure scan.
+    */
+  case class DsirDotExpr(child: Expression, tCounts: Array[Long],
+      rCounts: Array[Long], lambdaMicro: Array[Long])
+      extends UnaryExpression with CodegenFallback {
+    require(tCounts.length == rCounts.length && rCounts.length == lambdaMicro.length,
+      "bucket arrays must agree in length")
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_feats", LongType, nullable = false),
+      StructField("t_hits", LongType, nullable = false),
+      StructField("r_hits", LongType, nullable = false),
+      StructField("score_micronats", LongType, nullable = false)))
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      var nf = 0L
+      var th = 0L
+      var rh = 0L
+      var sc = 0L
+      var i = 0
+      while (i < arr.numElements()) {
+        val row = arr.getStruct(i, 2)
+        val b = row.getInt(0)
+        val c = row.getLong(1)
+        nf += c
+        th += c * tCounts(b)
+        rh += c * rCounts(b)
+        sc += c * lambdaMicro(b)
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(nf, th, rh, sc)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  def dsirDot(features: Column, tCounts: Array[Long], rCounts: Array[Long],
+      lambdaMicro: Array[Long]): Column =
+    ExpressionUtils.column(DsirDotExpr(ExpressionUtils.expression(features),
+      tCounts, rCounts, lambdaMicro))
+
   /** Bloom-filter membership probe riding inside the expression (the
     * serialized filter ships with the task closure). Used as a map-side
     * pre-filter: never false-negative, so filtering with it before an

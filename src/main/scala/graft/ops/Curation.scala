@@ -336,6 +336,79 @@ object Curation {
           col("q.dup_2gram_frac") <= maxDup2gramFrac &&
           col("q.dup_3gram_frac") <= maxDup3gramFrac).as("keep"))
 
+  // ------------------------------------- importance resampling (DSIR)
+
+  /** Sparse hashed n-gram (n = 1..2) feature counts per document — the
+    * DSIR feature map (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling").
+    */
+  def dsirFeatures(text: Column, buckets: Int = 4096, portable: Boolean = false): Column =
+    graft.functions.text.hashedNgramCounts(text, buckets, maxN = 2, portable)
+
+  /** Global per-bucket gram totals for a corpus — the sufficient statistic
+    * of the DSIR bag-of-grams model. One aggregation; the result is
+    * `buckets` longs of driver metadata (like IVF centroids), reusable
+    * across scoring runs — train once on the (small) target set and a raw
+    * sample, then score any number of corpora without re-aggregating.
+    */
+  def dsirBucketTotals(df: DataFrame, textCol: String, buckets: Int = 4096,
+      portable: Boolean = false): Array[Long] = {
+    // features materialize as an attribute BELOW the explode: as the
+    // generator child the tokenize+hash pass would be re-inlined into the
+    // isnotnull/size guards InferFiltersFromGenerate adds (2 extra evals)
+    val rows = df.select(dsirFeatures(col(textCol), buckets, portable).as("__f"))
+      .select(explode(col("__f")).as("f"))
+      .groupBy(col("f.bucket").as("bucket"))
+      .agg(sum(col("f.c")).as("c"))
+      .collect()
+    val arr = new Array[Long](buckets)
+    rows.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  /** DSIR importance scores: log( p̂_target(doc) / p̂_raw(doc) ) under
+    * add-one-smoothed hashed bag-of-grams models, plus the exact integer
+    * evidence counts behind it. Output per raw document:
+    * (idCol, n_feats, t_hits, r_hits, score_micronats, logw) where
+    * t_hits/r_hits are the inner products of the doc's feature counts with
+    * the target/raw global bucket totals (exact integers — the
+    * cross-engine-verifiable core) and score_micronats is
+    * Σ_b c_b·round(1e6·(ln p_b − ln q_b)) — integer arithmetic over
+    * driver-computed λ, so the score is bit-stable across partitions,
+    * retries, and replays (a float dot would be summation-order-dependent).
+    * logw = score_micronats / 1e6.
+    *
+    * Scale shape: training is two bounded aggregations (target is small by
+    * definition; pass `rawTotals` from a sample or a previous run to avoid
+    * re-scanning the raw corpus — the standard DSIR setup fits q̂ on a
+    * fraction). Scoring is a pure map-side projection: zero shuffle at any
+    * corpus size. Resample downstream with [[stratifiedSample]]-style
+    * hash thresholds or top-k on logw.
+    */
+  def dsirScores(raw: DataFrame, target: DataFrame, textCol: String, idCol: String,
+      buckets: Int = 4096, portable: Boolean = false,
+      targetTotals: Option[Array[Long]] = None,
+      rawTotals: Option[Array[Long]] = None): DataFrame = {
+    val t = targetTotals.getOrElse(dsirBucketTotals(target, textCol, buckets, portable))
+    val r = rawTotals.getOrElse(dsirBucketTotals(raw, textCol, buckets, portable))
+    require(t.length == buckets && r.length == buckets,
+      "precomputed totals must have one entry per bucket")
+    val tTot = t.sum.toDouble + buckets
+    val rTot = r.sum.toDouble + buckets
+    val lambda = Array.tabulate(buckets) { b =>
+      math.round(1e6 * (math.log((t(b) + 1.0) / tTot) - math.log((r(b) + 1.0) / rTot)))
+    }
+    raw.select(col(idCol),
+        graft.functions.text.dsirDot(
+          dsirFeatures(col(textCol), buckets, portable), t, r, lambda).as("__d"))
+      .select(col(idCol),
+        col("__d.n_feats").as("n_feats"),
+        col("__d.t_hits").as("t_hits"),
+        col("__d.r_hits").as("r_hits"),
+        col("__d.score_micronats").as("score_micronats"),
+        (col("__d.score_micronats") / 1e6).as("logw"))
+  }
+
   // --------------------------------------------------- sampling / mixing
 
   /** Portable 31-bit hash of (seed|value) — identical to the SQL form

@@ -276,6 +276,45 @@ class CurationSpec extends AnyFunSuite {
     packed.unpersist()
   }
 
+  test("dsir: feature counts, score wiring, and target-affinity ordering") {
+    val target = Seq((100L, "spark shuffle partition executor spark shuffle"),
+      (101L, "spark executor partition broadcast")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "spark shuffle partition executor"), // target-like
+      (2L, "banana apple cherry mango"), // disjoint from target
+      (3L, "spark banana")).toDF("doc_id", "text")
+    val out = Curation.dsirScores(raw, target, "text", "doc_id", buckets = 64)
+      .orderBy("doc_id").collect()
+    // n_feats = unigrams + bigrams = 2*len - 1
+    assert(out.map(_.getLong(1)).toSeq == Seq(7L, 7L, 3L))
+    // the target-like doc outranks the mixed doc, which outranks the
+    // disjoint doc — the DSIR ordering the score exists to produce
+    val logw = out.map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(logw(1L) > logw(3L) && logw(3L) > logw(2L))
+    assert(out.forall(r => r.getDouble(5) == r.getLong(4) / 1e6),
+      "logw is exactly score_micronats/1e6")
+    // score is the exact integer dot with the driver-side model: recompute
+    // it from the same public totals the operator trains on
+    val t = Curation.dsirBucketTotals(target, "text", buckets = 64)
+    val r = Curation.dsirBucketTotals(raw, "text", buckets = 64)
+    val tTot = t.sum.toDouble + 64
+    val rTot = r.sum.toDouble + 64
+    val lambda = Array.tabulate(64)(b =>
+      math.round(1e6 * (math.log((t(b) + 1.0) / tTot) - math.log((r(b) + 1.0) / rTot))))
+    val feats = raw.select(col("doc_id"),
+        Curation.dsirFeatures(col("text"), buckets = 64).as("f"))
+      .collect().map(row => row.getLong(0) ->
+        row.getSeq[org.apache.spark.sql.Row](1).map(s => (s.getInt(0), s.getLong(1)))).toMap
+    out.foreach { row =>
+      val expected = feats(row.getLong(0)).map { case (b, c) => c * lambda(b) }.sum
+      assert(row.getLong(4) == expected, s"doc ${row.getLong(0)} score mismatch")
+    }
+    // reusable totals short-circuit retraining and give identical results
+    val again = Curation.dsirScores(raw, target, "text", "doc_id", buckets = 64,
+      targetTotals = Some(t), rawTotals = Some(r)).orderBy("doc_id").collect()
+    assert(again.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+  }
+
   test("bloom decontamination produces exactly the broadcast-exact results") {
     // Bloom pre-filter + exact join == exact decontaminate (no false
     // negatives; the join removes false positives) — on the real corpus
