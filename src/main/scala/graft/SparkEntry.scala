@@ -501,6 +501,15 @@ object SparkEntry {
       graft.ops.Curation.packSequences(chunks, "n_chunk_tokens",
         Seq("doc_id", "chunk_idx"), budget = 128, nGroups = 8)
     }),
+    "ns_boilerplate" -> ((s, dir) => {
+      // restructure into 5-word lines (same convention as ns_line_dedup),
+      // then drop boilerplate lines: < 3 words or stopword ratio < 10%
+      val d = t(s, dir, "documents")
+      val structured = d.select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "((?:\\S+ ){4}\\S+) ", "$1\n").as("text"))
+      graft.ops.Curation.removeBoilerplate(structured, "text", "doc_id", "\n",
+        minWords = 3, minStopPermille = 100)
+    }),
     "ns_dsir" -> ((s, dir) => {
       // DSIR importance machinery, integer-exact subset: hashed 1..2-gram
       // bucket counts (portable hashes) dotted with the global target
@@ -924,6 +933,23 @@ object SparkEntry {
         |    CASE WHEN p.acc + g.n_tokens <= 128 THEN p.acc + g.n_tokens ELSE g.n_tokens END
         |  FROM g JOIN p ON g.pack_group = p.pack_group AND g.rn = p.rn + 1)
         |SELECT pack_group, doc_id, chunk_idx, n_tokens, bin_idx, bin_off FROM p""".stripMargin,
+    "ns_boilerplate" ->
+      """WITH t2 AS (SELECT doc_id,
+        |        string_split(regexp_replace(lower(trim(text)), '((?:\S+ ){4}\S+) ', '\1' || chr(10), 'g'), chr(10)) AS lines
+        |      FROM documents),
+        |l AS (SELECT doc_id, unnest(range(1, len(lines) + 1)) AS pos, unnest(lines) AS line,
+        |             len(lines) AS n_lines FROM t2),
+        |s AS (SELECT *,
+        |        len(string_split_regex(lower(trim(line)), '\s+')) AS n_words,
+        |        len(list_filter(string_split_regex(lower(trim(line)), '\s+'),
+        |          t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], t))) AS stop_hits,
+        |        len(regexp_extract_all(line, '(?:^| )(?:https?://|www\.)')) AS n_links
+        |      FROM l)
+        |SELECT doc_id, CAST(any_value(n_lines) AS BIGINT) AS n_lines, count(*) AS n_kept,
+        |       string_agg(line, chr(10) ORDER BY pos) AS text_clean
+        |FROM s
+        |WHERE n_words >= 3 AND stop_hits * 1000 >= 100 * n_words AND n_links * 1000 <= 1000 * n_words
+        |GROUP BY doc_id""".stripMargin,
     "ns_dsir" ->
       """WITH tk AS (
         |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),

@@ -215,6 +215,67 @@ object Curation {
       .select(col("__id").as(idCol), col("n_lines"), col("n_kept"), col("text_dedup"))
   }
 
+  // --------------------------------------------------- boilerplate removal
+
+  /** Per-line quality signals for boilerplate detection (the jusText /
+    * trafilatura heuristic family, reduced to deterministic SQL-replicable
+    * rules): token count, stopword hits (one-pass TokenSetCountsExpr —
+    * the HOF filter∘isin form is interpreted and re-tokenizes per
+    * consumer), link-marker count, and terminal punctuation. `keep` uses
+    * integer per-mille thresholds so the decision is exact integer
+    * arithmetic — no float-boundary drift between engines.
+    *
+    * Output per line: (idCol, n_lines, pos, line, n_words, stop_hits,
+    * n_links, terminal_punct, keep). Pure narrow pipeline: split →
+    * explode → codegen'd projections, zero shuffle.
+    */
+  def lineSignals(docs: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n", minWords: Int = 3, minStopPermille: Int = 0,
+      maxLinkPermille: Int = 1000, requireTerminalPunct: Boolean = false,
+      stopwords: Seq[String] = TextAnalysis.DefaultStopwords): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val lines = docs
+      .select(col(idCol).as("__id"), split(col(textCol), sepRe).as("__ls"))
+      .select(col("__id"), size(col("__ls")).cast("long").as("n_lines"), col("__ls"))
+      .select(col("__id"), col("n_lines"),
+        posexplode(col("__ls")).as(Seq("pos", "line")))
+    val keepRule = col("n_words") >= minWords &&
+      col("stop_hits") * 1000L >= lit(minStopPermille.toLong) * col("n_words") &&
+      col("n_links") * 1000L <= lit(maxLinkPermille.toLong) * col("n_words") &&
+      (if (requireTerminalPunct) col("terminal_punct") else lit(true))
+    lines
+      .select(col("__id"), col("n_lines"), col("pos"), col("line"),
+        graft.functions.text.tokenSetCounts(col("line"), Seq(stopwords),
+          Seq("stop"), "none").as("__ts"),
+        regexp_count(col("line"), lit("(?:^| )(?:https?://|www\\.)"))
+          .cast("long").as("n_links"),
+        col("line").rlike("[.!?]$").as("terminal_punct"))
+      .select(col("__id").as(idCol), col("n_lines"), col("pos"), col("line"),
+        col("__ts.n_tokens").as("n_words"),
+        col("__ts.counts").getItem(0).as("stop_hits"),
+        col("n_links"), col("terminal_punct"))
+      .withColumn("keep", keepRule)
+  }
+
+  /** Remove boilerplate lines and reassemble documents: lines failing the
+    * [[lineSignals]] `keep` rule are dropped; survivors rejoin in original
+    * order. Documents with no content lines left disappear entirely.
+    * Output: (idCol, n_lines, n_kept, text_clean).
+    */
+  def removeBoilerplate(docs: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n", minWords: Int = 3, minStopPermille: Int = 0,
+      maxLinkPermille: Int = 1000, requireTerminalPunct: Boolean = false,
+      stopwords: Seq[String] = TextAnalysis.DefaultStopwords): DataFrame =
+    lineSignals(docs, textCol, idCol, sep, minWords, minStopPermille,
+      maxLinkPermille, requireTerminalPunct, stopwords)
+      .where(col("keep"))
+      .groupBy(col(idCol))
+      .agg(first_value(col("n_lines")).as("n_lines"),
+        count(lit(1)).as("n_kept"),
+        concat_ws(sep,
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line"))).as("text_clean"))
+
   // --------------------------------------------------- chunking
 
   /** Split documents into fixed-size token chunks with overlap — the

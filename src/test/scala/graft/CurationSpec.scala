@@ -276,6 +276,28 @@ class CurationSpec extends AnyFunSuite {
     packed.unpersist()
   }
 
+  test("boilerplate removal: keep rules, reassembly order, all-dropped docs vanish") {
+    val docs = Seq(
+      (1L, "the cat sat on a mat\nxx yy\nclick here now http://spam.example buy\nit is a fine day."),
+      (2L, "nav menu footer login"), // no stopwords → dropped, doc vanishes
+      (3L, "short ok\nthe end is near")).toDF("doc_id", "text")
+    val sig = Curation.lineSignals(docs, "text", "doc_id",
+      minWords = 3, minStopPermille = 100, maxLinkPermille = 300)
+      .orderBy("doc_id", "pos").collect()
+    val l1 = sig.filter(_.getLong(0) == 1L)
+    assert(l1.map(_.getBoolean(8)).toSeq == Seq(true, false, false, true),
+      "2-word line and link-heavy line are boilerplate")
+    assert(l1(2).getLong(6) == 1L, "http token counted as link")
+    assert(l1(3).getBoolean(7), "terminal punctuation detected")
+    val out = Curation.removeBoilerplate(docs, "text", "doc_id",
+      minWords = 3, minStopPermille = 100, maxLinkPermille = 300)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L), "doc 2 has no content lines")
+    assert(out(0).getLong(1) == 4L && out(0).getLong(2) == 2L)
+    assert(out(0).getString(3) == "the cat sat on a mat\nit is a fine day.")
+    assert(out(1).getString(3) == "the end is near")
+  }
+
   test("dsir: feature counts, score wiring, and target-affinity ordering") {
     val target = Seq((100L, "spark shuffle partition executor spark shuffle"),
       (101L, "spark executor partition broadcast")).toDF("doc_id", "text")
