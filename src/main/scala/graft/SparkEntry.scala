@@ -501,6 +501,25 @@ object SparkEntry {
       graft.ops.Curation.packSequences(chunks, "n_chunk_tokens",
         Seq("doc_id", "chunk_idx"), budget = 128, nGroups = 8)
     }),
+    "ns_domains" -> ((s, dir) => {
+      // web-curation URL machinery over a deterministic URL column built
+      // from real corpus columns (the corpus stores no URLs — same
+      // constant-input pattern as the f8 useragent gate): parse, PSL-lite
+      // registrable domain (example.<lang> declared public suffixes, www
+      // stripping), blocklist tagging.
+      val d = t(s, dir, "documents")
+      val urls = d.select(col("doc_id"),
+        concat(lit("https://"),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit("www.")).otherwise(lit("")),
+          col("source"), lit(".example."), col("lang"),
+          lit("/doc/"), col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("?ref="), col("lang"))).otherwise(lit(""))).as("url"))
+      graft.ops.Web.domainTag(urls, "url",
+        blocklist = Seq("src1.example.en", "src2.example.de", "src3.example.zh"),
+        multiLabelSuffixes = Seq("example.en", "example.de", "example.es",
+          "example.fr", "example.zh"))
+    }),
     "ns_boilerplate" -> ((s, dir) => {
       // restructure into 5-word lines (same convention as ns_line_dedup),
       // then drop boilerplate lines: < 3 words or stopword ratio < 10%
@@ -933,6 +952,33 @@ object SparkEntry {
         |    CASE WHEN p.acc + g.n_tokens <= 128 THEN p.acc + g.n_tokens ELSE g.n_tokens END
         |  FROM g JOIN p ON g.pack_group = p.pack_group AND g.rn = p.rn + 1)
         |SELECT pack_group, doc_id, chunk_idx, n_tokens, bin_idx, bin_off FROM p""".stripMargin,
+    "ns_domains" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END ||
+        |    source || '.example.' || lang || '/doc/' || doc_id ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '?ref=' || lang ELSE '' END AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1) AS scheme,
+        |    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS host,
+        |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  FROM u),
+        |r AS (
+        |  SELECT *,
+        |    CASE WHEN len(string_split(host, '.')) >= 3
+        |              AND array_to_string(string_split(host, '.')[-2:], '.')
+        |                  IN ('example.en', 'example.de', 'example.es', 'example.fr', 'example.zh')
+        |         THEN array_to_string(string_split(host, '.')[-3:], '.')
+        |         WHEN len(string_split(host, '.')) >= 2
+        |         THEN array_to_string(string_split(host, '.')[-2:], '.')
+        |         ELSE host END AS reg_domain
+        |  FROM p)
+        |SELECT doc_id, url, scheme, host, path, query, reg_domain,
+        |       reg_domain IN ('src1.example.en', 'src2.example.de', 'src3.example.zh') AS blocked
+        |FROM r""".stripMargin,
     "ns_boilerplate" ->
       """WITH t2 AS (SELECT doc_id,
         |        string_split(regexp_replace(lower(trim(text)), '((?:\S+ ){4}\S+) ', '\1' || chr(10), 'g'), chr(10)) AS lines

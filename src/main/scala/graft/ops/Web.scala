@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL / domain operators for web-corpus curation: URL decomposition,
+  * registrable-domain extraction, domain blocklist filtering, and
+  * per-domain corpus stats.
+  *
+  * Everything here is pure codegen'd string projections (regexp_extract /
+  * split / element lookups) — zero shuffle at any corpus size except the
+  * explicit per-domain aggregate, which shuffles one small row per doc
+  * keyed by a bounded-cardinality domain. Blocklists ride the task closure
+  * as literal IN-lists (broadcast semantics without a join); at
+  * million-entry blocklist scale switch to a broadcast anti-join on
+  * `reg_domain` — the column this module exists to produce.
+  */
+object Web {
+
+  /** Decompose a URL into struct(scheme, host, path, query). Absent parts
+    * are empty strings (both java.util.regex and RE2-family engines return
+    * '' for a non-matching extract, so the convention is cross-engine
+    * portable). Hosts are lowercased; ports are not split off.
+    */
+  def urlParts(url: Column): Column = struct(
+    regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1).as("scheme"),
+    lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)).as("host"),
+    regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)", 1).as("path"),
+    regexp_extract(url, "\\?([^#]*)", 1).as("query"))
+
+  /** PSL-lite registrable domain: every single-label suffix is public, and
+    * `multiLabelSuffixes` lists the two-label public suffixes that matter
+    * for the corpus (the full Public Suffix List is an input file at
+    * deploy time, not an algorithm change). host = a.b.c:
+    * last two labels in `multiLabelSuffixes` → last three labels;
+    * otherwise last two labels; single-label hosts pass through.
+    */
+  def registrableDomain(host: Column, multiLabelSuffixes: Seq[String] = Nil): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    // get() is 0-based and null-safe out of bounds (no ANSI throw on short
+    // hosts); each CASE branch only evaluates under its size guard
+    val last1 = get(labels, n - 1)
+    val last2 = concat_ws(".", get(labels, n - 2), last1)
+    val last3 = concat_ws(".", get(labels, n - 3), get(labels, n - 2), last1)
+    val multi = if (multiLabelSuffixes.isEmpty) lit(false)
+      else last2.isin(multiLabelSuffixes: _*)
+    when(n >= 3 && multi, last3).when(n >= 2, last2).otherwise(host)
+  }
+
+  /** Tag rows with (scheme, host, path, query, reg_domain, blocked):
+    * blocked = registrable domain ∈ blocklist, which covers every
+    * subdomain of a blocked domain by construction.
+    */
+  def domainTag(df: DataFrame, urlCol: String,
+      blocklist: Seq[String] = Nil,
+      multiLabelSuffixes: Seq[String] = Nil): DataFrame = {
+    val blocked: Column => Column =
+      reg => if (blocklist.isEmpty) lit(false) else reg.isin(blocklist: _*)
+    df.withColumn("__p", urlParts(col(urlCol)))
+      .withColumn("__reg", registrableDomain(col("__p.host"), multiLabelSuffixes))
+      .select(df.columns.map(col) ++ Seq(
+        col("__p.scheme").as("scheme"), col("__p.host").as("host"),
+        col("__p.path").as("path"), col("__p.query").as("query"),
+        col("__reg").as("reg_domain"),
+        blocked(col("__reg")).as("blocked")): _*)
+  }
+
+  /** Drop rows whose registrable domain is blocklisted; keeps the original
+    * columns (the tag columns are internal to the filter).
+    */
+  def domainFilter(df: DataFrame, urlCol: String, blocklist: Seq[String],
+      multiLabelSuffixes: Seq[String] = Nil): DataFrame =
+    df.where(!registrableDomain(
+      lower(regexp_extract(col(urlCol), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)),
+      multiLabelSuffixes).isin(blocklist: _*))
+
+  /** Per-registrable-domain corpus stats: document count and total
+    * weight (e.g. token or char count) — the standard input for domain
+    * mix analysis and [[Curation.mixRates]]. One partial-aggregated
+    * shuffle keyed by domain.
+    */
+  def domainStats(df: DataFrame, urlCol: String, weightCol: Option[String] = None,
+      multiLabelSuffixes: Seq[String] = Nil): DataFrame = {
+    val reg = registrableDomain(
+      lower(regexp_extract(col(urlCol), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)),
+      multiLabelSuffixes)
+    val w = weightCol.map(c => sum(col(c)).as("total_weight"))
+      .getOrElse(count(lit(1)).as("total_weight"))
+    df.groupBy(reg.as("reg_domain"))
+      .agg(count(lit(1)).as("n_docs"), w)
+  }
+}
