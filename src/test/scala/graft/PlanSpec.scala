@@ -147,4 +147,48 @@ class PlanSpec extends AnyFunSuite {
       docs, "doc_id", "lang", Map("en" -> 250), defaultPermille = 500))
     assert(!plan.contains("Exchange"), s"rate sampling must not shuffle:\n${plan.take(2000)}")
   }
+
+  test("sequence packing shuffles once, keyed by pack_group, metadata only") {
+    val plan = planOf(SparkEntry.queries("ns_pack")(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"exactly the pack-group exchange expected:\n${plan.take(3000)}")
+    assert(!plan.contains("Window"), s"no window sort in packing:\n${plan.take(3000)}")
+    // everything above the exchange works on ids+lengths; the chunk text
+    // column must be projected away before rows enter the shuffle
+    val above = plan.substring(0, plan.indexOf("Exchange"))
+    assert(!above.contains("chunk#"),
+      s"chunk text may not cross the pack exchange:\n${above.take(3000)}")
+  }
+
+  test("dsir scoring with precomputed totals is a pure scan (zero shuffle, one feature pass)") {
+    val docs = SparkEntry.t(spark, sf, "documents")
+    val totals = Array.fill(64)(1L)
+    val q = graft.ops.Curation.dsirScores(docs, docs, "text", "doc_id", buckets = 64,
+      targetTotals = Some(totals), rawTotals = Some(totals))
+    val plan = planOf(q)
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n${plan.take(2000)}")
+    assert("hashedngramcountsexpr".r.findAllIn(plan.toLowerCase).size == 1,
+      s"one tokenize+hash pass per row:\n${plan.take(2000)}")
+  }
+
+  test("boilerplate signals are narrow with one tokenization pass; reassembly shuffles once") {
+    val docs = SparkEntry.t(spark, sf, "documents")
+    val sig = planOf(graft.ops.Curation.lineSignals(docs, "text", "doc_id")).toLowerCase
+    assert(!sig.contains("exchange"), s"line signals must not shuffle:\n${sig.take(2000)}")
+    assert("tokensetcountsexpr".r.findAllIn(sig).size == 1,
+      s"stopword counting tokenizes each line exactly once:\n${sig.take(2000)}")
+    val full = planOf(SparkEntry.queries("ns_boilerplate")(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(full).size == 1,
+      s"only the per-doc reassembly may shuffle:\n${full.take(3000)}")
+  }
+
+  test("domain tagging is projection-only; domain stats partial-aggregate") {
+    val docs = SparkEntry.t(spark, sf, "documents")
+      .selectExpr("doc_id", "concat('https://', source, '.example.com/', doc_id) AS url")
+    val tag = planOf(graft.ops.Web.domainTag(docs, "url", blocklist = Seq("x.example.com")))
+    assert(!tag.contains("Exchange"), s"domain tagging must not shuffle:\n${tag.take(2000)}")
+    val stats = planOf(graft.ops.Web.domainStats(docs, "url"))
+    assert("HashAggregate".r.findAllIn(stats).size >= 2,
+      s"map-side partial aggregation expected:\n${stats.take(2000)}")
+  }
 }
