@@ -501,6 +501,15 @@ object SparkEntry {
       graft.ops.Curation.packSequences(chunks, "n_chunk_tokens",
         Seq("doc_id", "chunk_idx"), budget = 128, nGroups = 8)
     }),
+    "ns_vocab" -> ((s, dir) =>
+      // corpus frequency table: top-100 tokens seen >= 2 times, ranked
+      // (count desc, token asc) — deterministic incl. ties
+      graft.ops.TextAnalysis.vocabulary(t(s, dir, "documents"), "text",
+        minCount = 2L, topK = 100)),
+    "ns_split" -> ((s, dir) =>
+      // deterministic 80/10/10 split assignment by portable id hash
+      graft.ops.Curation.assignSplit(t(s, dir, "documents"), "doc_id")
+        .select("doc_id", "split")),
     "ns_domains" -> ((s, dir) => {
       // web-curation URL machinery over a deterministic URL column built
       // from real corpus columns (the corpus stores no URLs — same
@@ -952,6 +961,20 @@ object SparkEntry {
         |    CASE WHEN p.acc + g.n_tokens <= 128 THEN p.acc + g.n_tokens ELSE g.n_tokens END
         |  FROM g JOIN p ON g.pack_group = p.pack_group AND g.rn = p.rn + 1)
         |SELECT pack_group, doc_id, chunk_idx, n_tokens, bin_idx, bin_off FROM p""".stripMargin,
+    "ns_vocab" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1 HAVING count(*) >= 2),
+        |k AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 100)
+        |SELECT token, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
+        |FROM k""".stripMargin,
+    "ns_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN hv < 800 THEN 'train' WHEN hv < 900 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        (('0x' || substr(md5('graft-split|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |         & 2147483647) % 1000 AS hv
+        |      FROM documents)""".stripMargin,
     "ns_domains" ->
       """WITH u AS (
         |  SELECT doc_id,

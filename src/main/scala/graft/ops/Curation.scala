@@ -498,6 +498,27 @@ object Curation {
     df.where(pmod(portableHash31(col(idCol), seed), lit(1000L)) < rate)
   }
 
+  /** Deterministic train/validation/test split assignment: each row gets
+    * the label of the per-mille band its portable id-hash falls into
+    * (cumulative thresholds in `bands` order; bands must sum to ≤ 1000 and
+    * any remainder falls into the last band). Pure projection — zero
+    * shuffle, no RNG state, stable across engines/retries/backfills, and
+    * document-level (content dedup upstream keeps near-dups from
+    * straddling the train/test boundary).
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+      bands: Seq[(String, Int)] = Seq("train" -> 800, "val" -> 100, "test" -> 100),
+      seed: String = "graft-split"): DataFrame = {
+    require(bands.nonEmpty && bands.forall(_._2 >= 0) && bands.map(_._2).sum <= 1000,
+      "band per-milles must be non-negative and sum to <= 1000")
+    val hv = pmod(portableHash31(col(idCol), seed), lit(1000L))
+    val cum = bands.scanLeft(0)(_ + _._2).tail
+    val expr = bands.init.zip(cum.init).foldRight(lit(bands.last._1): Column) {
+      case (((label, _), hi), acc) => when(hv < hi, lit(label)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Solve the per-stratum sampling rates that realize a target training
     * mix: given desired output fractions per stratum (by `weightCol`, e.g.
     * a token count) and optionally a total output budget, return the

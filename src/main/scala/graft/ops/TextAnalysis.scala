@@ -126,6 +126,35 @@ object TextAnalysis {
   def fingerprint(text: Column, k: Int = 8, w: Int = 4): Column =
     graft.functions.text.winnowFingerprint(text, k, w)
 
+  /** Corpus vocabulary: token → count frequency table with a deterministic
+    * dense ranking (count desc, token asc), thresholded at `minCount` and
+    * truncated to the `topK` head. The canonical first step of tokenizer /
+    * vocab construction over a training corpus.
+    *
+    * Scale shape: explode → partial-aggregated groupBy(token) — map-side
+    * combine absorbs stopword-grade hot keys before the shuffle — then
+    * top-K via orderBy+limit, which Spark executes as TakeOrderedAndProject
+    * (per-partition heaps + driver merge of K rows, never a global sort).
+    * The rank window runs on the K surviving rows only. `topK` is the
+    * driver-memory bound; vocabularies are bounded by construction.
+    */
+  def vocabulary(docs: DataFrame, textCol: String, minCount: Long = 1L,
+      topK: Int = 100000): DataFrame = {
+    // tokens materialize as an attribute BELOW the explode (generator-child
+    // expressions get re-inlined into InferFiltersFromGenerate guards)
+    val counts = docs
+      .select(graft.functions.text.wordNgrams(col(textCol), 1, distinct = false).as("__t"))
+      .select(explode(col("__t")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(topK)
+    counts.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("token"))).cast("long"))
+  }
+
   /** Full document-profile projection over a corpus. */
   def profile(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(

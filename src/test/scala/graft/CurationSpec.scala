@@ -276,6 +276,40 @@ class CurationSpec extends AnyFunSuite {
     packed.unpersist()
   }
 
+  test("vocabulary: counts, deterministic tie-break rank, minCount and topK truncation") {
+    val docs = Seq((1L, "b a a c b a"), (2L, "a b z"), (3L, "q")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.vocabulary(docs, "text", minCount = 2L, topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // counts: a=4 b=3 c=1 z=1 q=1 → minCount 2 keeps a,b; ranks 1,2
+    assert(out.toSet == Set(("a", 4L, 1L), ("b", 3L, 2L)))
+    // tie-break: equal counts rank alphabetically
+    val tied = graft.ops.TextAnalysis.vocabulary(
+      Seq((1L, "x y x y")).toDF("doc_id", "text"), "text", minCount = 1L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(tied.toSet == Set(("x", 1L), ("y", 2L)))
+  }
+
+  test("assignSplit: total labeling, band boundaries, determinism, remainder band") {
+    val df = (0L until 2000L).toDF("doc_id")
+    val out = Curation.assignSplit(df, "doc_id").cache()
+    assert(out.count() == 2000)
+    val byLabel = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel("train") > byLabel("val") && byLabel("train") > byLabel("test"))
+    assert(byLabel.values.sum == 2000)
+    // approximate 80/10/10 over a uniform hash
+    assert(byLabel("train") > 1500 && byLabel("val") < 250 && byLabel("test") < 250)
+    // deterministic: same assignment on re-run, disjoint band membership
+    val again = Curation.assignSplit(df, "doc_id")
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+    out.unpersist()
+    // remainder falls into the LAST band when per-milles sum below 1000
+    val skew = Curation.assignSplit(df, "doc_id", bands = Seq("a" -> 1, "b" -> 1))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(skew("b") > skew.getOrElse("a", 0L), "unassigned range lands in the final band")
+  }
+
   test("boilerplate removal: keep rules, reassembly order, all-dropped docs vanish") {
     val docs = Seq(
       (1L, "the cat sat on a mat\nxx yy\nclick here now http://spam.example buy\nit is a fine day."),

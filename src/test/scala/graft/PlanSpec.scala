@@ -182,6 +182,17 @@ class PlanSpec extends AnyFunSuite {
       s"only the per-doc reassembly may shuffle:\n${full.take(3000)}")
   }
 
+  test("vocabulary: partial-aggregated count, heap-based top-K (no global sort); split is narrow") {
+    val docs = SparkEntry.t(spark, sf, "documents")
+    val plan = planOf(graft.ops.TextAnalysis.vocabulary(docs, "text", minCount = 2L, topK = 100))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"map-side combine must absorb hot tokens:\n${plan.take(2500)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K must be per-partition heaps + driver merge, not a global sort:\n${plan.take(2500)}")
+    val split = planOf(graft.ops.Curation.assignSplit(docs, "doc_id"))
+    assert(!split.contains("Exchange"), s"split assignment must not shuffle:\n${split.take(2000)}")
+  }
+
   test("domain tagging is projection-only; domain stats partial-aggregate") {
     val docs = SparkEntry.t(spark, sf, "documents")
       .selectExpr("doc_id", "concat('https://', source, '.example.com/', doc_id) AS url")
