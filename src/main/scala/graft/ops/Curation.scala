@@ -470,6 +470,38 @@ object Curation {
         (col("__d.score_micronats") / 1e6).as("logw"))
   }
 
+  /** DSIR selection step: Gumbel top-k sampling without replacement over
+    * the importance weights — sampling k documents with probability
+    * proportional to softmax(logw / temperature) is exactly taking the k
+    * largest logw/T + Gumbel(0,1) keys (Gumbel-max trick). The noise is
+    * derived from the portable id hash, so the selected set is a pure
+    * deterministic function of (corpus, seed): reproducible resamples,
+    * re-runnable on any engine that agrees on the hash (the ln calls keep
+    * the KEYS engine-local, which is why the oracle gates [[dsirScores]]'s
+    * integer layer instead — selection is property-gated in CurationSpec).
+    *
+    * temperature → 0 degenerates to deterministic top-k by logw;
+    * temperature = 1 is the paper's sampled variant. Scale: key synthesis
+    * is a zero-shuffle projection; top-k is TakeOrderedAndProject
+    * (per-partition heaps, no global sort), k bounded by driver memory —
+    * for billion-row selections, threshold on the key instead.
+    */
+  def dsirResample(scored: DataFrame, idCol: String, k: Int,
+      temperature: Double = 1.0, seed: String = "graft-dsir"): DataFrame = {
+    require(k >= 1 && temperature >= 0.0, "need k >= 1 and temperature >= 0")
+    // u in (0,1): (h+1)/(P+1) with h uniform on [0, P-1]; never 0 or 1, so
+    // both ln calls are finite
+    val u = (portableHash31(col(idCol), seed) + lit(1.0)) / lit(2147483648.0)
+    val gumbel = -log(-log(u))
+    val key =
+      if (temperature == 0.0) col("logw")
+      else col("logw") / lit(temperature) + gumbel
+    scored.withColumn("__key", key)
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .drop("__key")
+  }
+
   // --------------------------------------------------- sampling / mixing
 
   /** Portable 31-bit hash of (seed|value) — identical to the SQL form

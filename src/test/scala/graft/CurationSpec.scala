@@ -276,6 +276,38 @@ class CurationSpec extends AnyFunSuite {
     packed.unpersist()
   }
 
+  test("dsirResample: deterministic, temperature-0 = exact top-k, weights steer selection") {
+    val target = Seq((100L, "spark shuffle partition executor broadcast codegen")).toDF("doc_id", "text")
+    val raw = ((1L to 40L).map(i => (i, "banana apple cherry mango papaya lime")) ++
+      (41L to 50L).map(i => (i, "spark shuffle partition executor broadcast codegen")))
+      .toDF("doc_id", "text")
+    val scored = Curation.dsirScores(raw, target, "text", "doc_id", buckets = 256).cache()
+    // temperature 0: deterministic top-k by logw — all target-like docs first
+    val top = Curation.dsirResample(scored, "doc_id", k = 10, temperature = 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(top == (41L to 50L).toSet)
+    // sampled variant is deterministic given (corpus, seed) and shifts
+    // mass toward high-logw docs
+    val s1 = Curation.dsirResample(scored, "doc_id", k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Curation.dsirResample(scored, "doc_id", k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "same seed, same selection")
+    assert((s1 & (41L to 50L).toSet).size > 5,
+      "importance weights dominate a 4:1 adverse prior")
+    scored.unpersist()
+    // with equal weights selection is pure (seeded) noise: different seeds
+    // pick different subsets, same seed is stable
+    val flat = (1L to 50L).map(i => (i, "same text every time")).toDF("doc_id", "text")
+    val flatScored = Curation.dsirScores(flat, target, "text", "doc_id", buckets = 256).cache()
+    val f1 = Curation.dsirResample(flatScored, "doc_id", k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val f2 = Curation.dsirResample(flatScored, "doc_id", k = 10, seed = "other")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(f1 != f2, "different seed resamples differently under equal weights")
+    flatScored.unpersist()
+  }
+
   test("vocabulary: counts, deterministic tie-break rank, minCount and topK truncation") {
     val docs = Seq((1L, "b a a c b a"), (2L, "a b z"), (3L, "q")).toDF("doc_id", "text")
     val out = graft.ops.TextAnalysis.vocabulary(docs, "text", minCount = 2L, topK = 2)
