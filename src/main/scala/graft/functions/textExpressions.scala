@@ -710,6 +710,73 @@ object text {
     ExpressionUtils.column(DsirDotExpr(ExpressionUtils.expression(features),
       tCounts, rCounts, lambdaMicro))
 
+  /** Byte-pair-encoding tokenizer application: split text into words
+    * (shared tokenization convention), then repeatedly merge the
+    * lowest-rank adjacent symbol pair per word (standard BPE inference,
+    * Sennrich et al. 2016). Merge ranks ride the task closure; encoding is
+    * a zero-shuffle scan at any corpus size. Returns the flat subword
+    * array; wrap with size() for token counts.
+    */
+  case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression with CodegenFallback {
+    @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer]()
+      merges.zipWithIndex.foreach { case ((a, b), i) =>
+        // first occurrence wins, matching learn()'s emission order
+        if (!m.containsKey(a + " " + b)) m.put(a + " " + b, i)
+      }
+      m
+    }
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    private def encodeWord(w: String, out: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+      var syms = w.map(_.toString).toBuffer
+      var done = syms.length < 2
+      while (!done) {
+        var bestIdx = -1
+        var bestRank = Int.MaxValue
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = rank.get(syms(i) + " " + syms(i + 1))
+          if (r != null && r < bestRank) { bestRank = r; bestIdx = i }
+          i += 1
+        }
+        if (bestIdx < 0) done = true
+        else {
+          // merge every occurrence of the chosen pair left-to-right
+          val a = syms(bestIdx)
+          val b = syms(bestIdx + 1)
+          val next = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+              next += a + b; j += 2
+            } else { next += syms(j); j += 1 }
+          }
+          syms = next
+          done = syms.length < 2
+        }
+      }
+      out ++= syms
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val raw = input.asInstanceOf[UTF8String].toString
+      var st = 0
+      var en = raw.length
+      while (st < en && raw.charAt(st) == ' ') st += 1
+      while (en > st && raw.charAt(en - 1) == ' ') en -= 1
+      val s = UTF8String.fromString(raw.substring(st, en)).toLowerCase.toString
+      val toks = s.split("\\s+", -1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < toks.length) { encodeWord(toks(i), out); i += 1 }
+      new GenericArrayData(out.map(t => UTF8String.fromString(t): Any).toArray)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    ExpressionUtils.column(BpeEncodeExpr(ExpressionUtils.expression(text), merges))
+
   /** Bloom-filter membership probe riding inside the expression (the
     * serialized filter ships with the task closure). Used as a map-side
     * pre-filter: never false-negative, so filtering with it before an
