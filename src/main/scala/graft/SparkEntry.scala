@@ -73,6 +73,54 @@ object SparkEntry {
        |  "sink": {"type": "void"}
        |}""".stripMargin
 
+  /** Frozen BPE merge table: `Bpe.learnFromCorpus(sf0.001 documents, 64
+    * merges, vocabTopK 50000, minCount 1)`, inlined so the tokenizer is a
+    * fixed artifact (BpeSpec re-derives it from the corpus to pin
+    * provenance). Both the `ns_bpe` query and its oracle are generated
+    * from this one list, so Scala and SQL cannot drift.
+    */
+  private[graft] val FrozenBpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"), ("l", "u"),
+    ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"), ("a", "n"), ("c", "an"),
+    ("s", "can"), ("c", "o"), ("co", "lu"), ("colu", "m"), ("colum", "n"),
+    ("d", "ow"), ("in", "dow"), ("w", "indow"), ("d", "er"), ("or", "der"),
+    ("or", "t"), ("s", "ort"), ("par", "t"), ("u", "p"), ("a", "g"),
+    ("ag", "g"), ("a", "lu"), ("alu", "e"), ("v", "alue"), ("in", "e"),
+    ("l", "ine"), ("e", "y"), ("k", "ey"), ("j", "o"), ("jo", "in"),
+    ("g", "e"), ("mer", "ge"), ("er", "y"), ("g", "r"), ("gr", "o"),
+    ("gro", "up"), ("q", "u"), ("qu", "ery"), ("c", "t"), ("ct", "or"),
+    ("e", "ctor"), ("v", "ector"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("l", "ow"), ("s", "low"), ("a", "m"), ("e", "am"), ("r", "eam"),
+    ("st", "ream"), ("f", "i"), ("fi", "l"), ("fil", "t"), ("filt", "er"),
+    ("a", "st"), ("f", "ast"))
+
+  /** DuckDB replay of BPE encoding: each word becomes a symbol string
+    * (single-space pad, double-space between symbols — so a plain
+    * left-to-right replace() of ' A  B ' with ' AB ' merges pairwise
+    * occurrences exactly like the encoder's one-pass merge, including
+    * back-to-back runs), then the merges are applied in rank order.
+    * Sequential rank-order application equals the iterative lowest-rank
+    * algorithm because a learned merge's output symbol only ever appears
+    * in strictly-higher-rank pairs.
+    */
+  private def bpeOracleSql: String = {
+    val symStr = "' ' || array_to_string(list_transform(range(1, length(word)+1), " +
+      "i -> substr(word, i, 1)), '  ') || ' '"
+    val chain = FrozenBpeMerges.foldLeft(symStr) { case (acc, (a, b)) =>
+      s"replace($acc, ' $a  $b ', ' $a$b ')"
+    }
+    s"""WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |w AS (SELECT doc_id, unnest(range(1, len(toks)+1)) AS wpos, unnest(toks) AS word FROM tk),
+       |e AS (SELECT doc_id, wpos,
+       |        CASE WHEN word = '' THEN [] ELSE string_split(trim($chain), '  ') END AS subs
+       |      FROM w),
+       |x AS (SELECT doc_id, wpos, unnest(range(1, len(subs)+1)) AS spos, unnest(subs) AS tok FROM e)
+       |SELECT doc_id,
+       |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, spos) - 1 AS INT) AS pos,
+       |       tok AS token
+       |FROM x""".stripMargin
+  }
+
   // ------------------------------------------------------------ specs
 
   private val routingSpec = specTemplate(
@@ -558,6 +606,20 @@ object SparkEntry {
       val d = t(s, dir, "documents").filter(col("doc_id") < 200)
       graft.ops.Dedup.fingerprintCandidates(d, "text", "doc_id",
         k = 8, w = 4, minShared = 30, maxBucket = Int.MaxValue, portable = true)
+    }),
+    "ns_bpe" -> ((s, dir) => {
+      // frozen BPE tokenizer (trained once on the sf0.001 corpus via
+      // Bpe.learnFromCorpus, then applied everywhere — the standard
+      // train-small/apply-everywhere tokenizer lifecycle). Encoding ships
+      // the merge ranks in the task closure and runs as a zero-shuffle
+      // scan; the oracle replays the same merges in rank order as a
+      // DuckDB replace() chain, which is provably equivalent to the
+      // iterative lowest-rank encoder for learned merge tables (a merge
+      // can only create pairs of strictly higher rank).
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        posexplode(graft.ops.Bpe.encode(col("text"), FrozenBpeMerges))
+          .as(Seq("pos", "token")))
     }),
     "a2_eventsim" -> ((s, dir) => {
       // Deterministic synthetic source (A2/A3): seeded generators, weighted
@@ -1057,6 +1119,7 @@ object SparkEntry {
         |         CAST(len(list_intersect(a.fps, b.fps)) AS BIGINT) AS n_shared
         |  FROM f a JOIN f b ON a.doc_id < b.doc_id)
         |WHERE n_shared >= 30""".stripMargin,
+    "ns_bpe" -> bpeOracleSql,
     // Fixed-seed golden (seed 42, epoch 2024-06-01T00:00:00Z, 120 triggers):
     // per-customer event counts + cent-exact amount sums of the CONN_OPENED
     // branch. Pins cross-engine/cross-round determinism of the eventsim

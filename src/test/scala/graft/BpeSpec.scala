@@ -39,6 +39,23 @@ class BpeSpec extends AnyFunSuite {
     assert(out(1).getSeq[String](1) == Seq.empty && out(1).getLong(2) == 0L)
   }
 
+  test("frozen contract tokenizer is exactly the sf0.001 corpus learning result") {
+    // provenance gate for SparkEntry.FrozenBpeMerges: the inlined merge
+    // table IS learnFromCorpus on the full sf0.001 documents — if the
+    // learner (tokenization, tie-breaks, merge order) ever changes, this
+    // golden forces the frozen table and its oracle to be regenerated.
+    val docs = SparkTestBase.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val learned = Bpe.learnFromCorpus(docs, "text", numMerges = 64)
+    assert(learned == SparkEntry.FrozenBpeMerges)
+  }
+
+  test("ns_bpe contract query is a zero-shuffle scan (merge ranks ride the closure)") {
+    val plan = SparkEntry.queries("ns_bpe")(SparkTestBase.spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encoding must not shuffle:\n$plan")
+  }
+
   test("corpus-learned tokenizer: deterministic, token count bounded by words and chars") {
     val docs = SparkTestBase.spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet").limit(200).cache()
