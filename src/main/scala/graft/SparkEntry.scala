@@ -73,6 +73,12 @@ object SparkEntry {
        |  "sink": {"type": "void"}
        |}""".stripMargin
 
+  /** 13-token tail injected by `ns_substr_dedup` to create duplicated
+    * spans (leading space: it's appended to running text).
+    */
+  private[graft] val SubstrDedupTail =
+    " this work is licensed under a creative commons attribution license all rights reserved"
+
   /** Frozen BPE merge table: `Bpe.learnFromCorpus(sf0.001 documents, 64
     * merges, vocabTopK 50000, minCount 1)`, inlined so the tokenizer is a
     * fixed artifact (BpeSpec re-derives it from the corpus to pin
@@ -607,6 +613,22 @@ object SparkEntry {
       graft.ops.Dedup.fingerprintCandidates(d, "text", "doc_id",
         k = 8, w = 4, minShared = 30, maxBucket = Int.MaxValue, portable = true)
     }),
+    "ns_substr_dedup" -> ((s, dir) => {
+      // ExactSubstr span dedup over a deterministic duplicate injection
+      // (the raw corpus is random word soup with no repeated 8-grams, so
+      // a shared 13-token license tail is appended to every 3rd doc and
+      // appended twice to every 5th — cross-doc AND intra-doc repeats;
+      // same constant-injection pattern as ns_pii_redact). The oracle
+      // replays shingling, 120-bit keys, first-occurrence resolution,
+      // interval covers, and reassembly in SQL.
+      val d = t(s, dir, "documents")
+      val inj = d.select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(SubstrDedupTail)).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit(SubstrDedupTail + SubstrDedupTail))
+            .otherwise(lit(""))).as("text"))
+      graft.ops.Curation.exactSubstrDedup(inj, "text", "doc_id", minTokens = 8)
+    }),
     "ns_bpe" -> ((s, dir) => {
       // frozen BPE tokenizer (trained once on the sf0.001 corpus via
       // Bpe.learnFromCorpus, then applied everywhere — the standard
@@ -1120,6 +1142,28 @@ object SparkEntry {
         |  FROM f a JOIN f b ON a.doc_id < b.doc_id)
         |WHERE n_shared >= 30""".stripMargin,
     "ns_bpe" -> bpeOracleSql,
+    "ns_substr_dedup" ->
+      s"""WITH inj AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN '$SubstrDedupTail' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN '$SubstrDedupTail$SubstrDedupTail' ELSE '' END AS text
+         |  FROM documents),
+         |tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM inj),
+         |tok AS (SELECT doc_id, len(toks) AS n, unnest(range(0, len(toks))) AS tpos,
+         |               unnest(toks) AS tok FROM tk),
+         |sh AS (SELECT doc_id, unnest(range(0, len(toks) - 7)) AS pos,
+         |              unnest(list_transform(range(0, len(toks) - 7),
+         |                i -> substr(md5('graft-ss|' || array_to_string(toks[i+1:i+8], ' ')), 1, 30))) AS k
+         |       FROM tk WHERE len(toks) >= 8),
+         |f AS (SELECT k, count(*) AS c, min(doc_id * 1000000 + pos) AS w
+         |      FROM sh GROUP BY 1 HAVING count(*) >= 2),
+         |m AS (SELECT sh.doc_id, sh.pos FROM sh JOIN f USING (k)
+         |      WHERE sh.doc_id * 1000000 + sh.pos != f.w),
+         |cov AS (SELECT doc_id, unnest(range(pos, pos + 8)) AS tpos FROM m),
+         |kept AS (SELECT tok.* FROM tok ANTI JOIN cov USING (doc_id, tpos))
+         |SELECT doc_id, CAST(any_value(n) AS BIGINT) AS n_tokens, count(*) AS n_kept,
+         |       string_agg(tok, ' ' ORDER BY tpos) AS text_dedup
+         |FROM kept GROUP BY doc_id""".stripMargin,
     // Fixed-seed golden (seed 42, epoch 2024-06-01T00:00:00Z, 120 triggers):
     // per-customer event counts + cent-exact amount sums of the CONN_OPENED
     // branch. Pins cross-engine/cross-round determinism of the eventsim

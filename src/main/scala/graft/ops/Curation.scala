@@ -215,6 +215,85 @@ object Curation {
       .select(col("__id").as(idCol), col("n_lines"), col("n_kept"), col("text_dedup"))
   }
 
+  /** Exact duplicated-span removal (the ExactSubstr dedup of Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better"):
+    * any run of `minTokens` consecutive tokens that occurs more than once
+    * corpus-wide (across documents or repeated within one) is removed at
+    * every occurrence except the first (minimal (doc, position)). The
+    * reference construction is a single-node suffix array; the
+    * distributed equivalent is shingle-keyed: every `minTokens`-gram
+    * occurrence is keyed by a 120-bit content hash, duplicated grams are
+    * found by a partial-aggregated groupBy on that fixed-width key (the
+    * gram text itself never enters an exchange — a span of 50 tokens
+    * would otherwise amplify the corpus ~50x through the shuffle), and
+    * marked occurrences cover their token interval via an id+position
+    * explode feeding a left-anti join. All exchanges carry ids, ints, or
+    * the 30-byte key; document text crosses a shuffle exactly once, as
+    * single tokens in the final per-doc reassembly. An accidental
+    * collision needs two grams agreeing on 120 bits of md5; for
+    * adversarial corpora escalate to a verify-join on gram text.
+    *
+    * Overlapping duplicated spans union their covers, so maximal
+    * duplicated regions are removed as a whole. A document shorter than
+    * `minTokens` emits no shingles (it can only be a whole-doc duplicate
+    * — exact-dedup territory); a document whose every token is covered
+    * vanishes from the output, like removeBoilerplate's vanishing docs.
+    *
+    * Output per doc: (idCol, n_tokens, n_kept, text_dedup) over the
+    * shared normalization (trim → lower → whitespace split). `idCol`
+    * must be integral (doc ids here are longs): first-occurrence
+    * ordering packs (id, position) into one long to stay inside the
+    * codegen'd hash aggregate.
+    */
+  def exactSubstrDedup(docs: DataFrame, textCol: String, idCol: String,
+      minTokens: Int = 50): DataFrame = {
+    require(minTokens >= 2, "a duplicated span needs at least 2 tokens")
+    // token stream: n_tokens rides below the explode (lineDedup pattern —
+    // as a generator sibling it would re-tokenize once per output row)
+    val toks = docs
+      .select(col(idCol).as("__id"),
+        graft.functions.text.wordNgrams(col(textCol), 1, distinct = false).as("__ts"))
+      .select(col("__id"), size(col("__ts")).cast("long").as("__n"), col("__ts"))
+      .select(col("__id"), col("__n"), posexplode(col("__ts")).as(Seq("__tpos", "__tok")))
+    // shingle occurrences: WordNgramsExpr emits one gram per start
+    // position (and a single short gram below minTokens — the size guard
+    // drops those docs before the explode)
+    val sh = docs
+      .select(col(idCol).as("__id"), col(textCol).as("__t"),
+        graft.functions.text.wordNgrams(col(textCol), 1, distinct = false).as("__ts"))
+      .where(size(col("__ts")) >= minTokens)
+      .select(col("__id"),
+        posexplode(graft.functions.text.wordNgrams(col("__t"), minTokens, distinct = false))
+          .as(Seq("__pos", "__g")))
+      .select(col("__id"), col("__pos"),
+        substring(md5(concat(lit("graft-ss|"), col("__g"))), 1, 30).as("__k"))
+    // first-occurrence resolution packs (id, pos) into one long so the
+    // groupBy stays a codegen'd HashAggregate — min over a struct (or a
+    // padded string) demotes to SortAggregate, a per-partition sort on
+    // both sides of the exchange. Bounds: integral ids below ~9e12 and
+    // docs under 1e6 tokens, both far beyond any real corpus row.
+    def packedOrd(id: Column, pos: Column): Column =
+      id.cast("long") * lit(1000000L) + pos
+    val first = sh.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__c"), min(packedOrd(col("__id"), col("__pos"))).as("__w"))
+      .where(col("__c") >= 2)
+    val marked = sh.join(first, Seq("__k"))
+      .where(packedOrd(col("__id"), col("__pos")) =!= col("__w"))
+      .select(col("__id"), col("__pos"))
+    // cover the token interval [pos, pos+minTokens); duplicate covers are
+    // harmless under left_anti, so no distinct pass is needed
+    val covered = marked.select(col("__id"),
+      explode(sequence(col("__pos"), col("__pos") + lit(minTokens - 1))).as("__tpos"))
+    toks.join(covered, Seq("__id", "__tpos"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(first_value(col("__n")).as("n_tokens"),
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("__tpos"), col("__tok")))),
+            s => s.getField("__tok"))).as("text_dedup"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("n_kept"), col("text_dedup"))
+  }
+
   // --------------------------------------------------- boilerplate removal
 
   /** Per-line quality signals for boilerplate detection (the jusText /

@@ -543,6 +543,58 @@ class CurationSpec extends AnyFunSuite {
       "every benchmark member must flag as contaminated regardless of length")
   }
 
+  // ------------------------------------------- exact substring dedup
+
+  test("exact substring dedup removes every occurrence of a shared span except the first") {
+    // doc 1 and doc 3 share a 6-token license tail; with minTokens=4 the
+    // three 4-gram windows inside the tail mark doc 3's copy (doc 1 is
+    // the minimal (doc, pos) occurrence) and their covers union to the
+    // whole span
+    val tail = "all rights reserved by the author"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $tail"),
+      (2L, "epsilon zeta eta theta iota kappa"),
+      (3L, s"unique words here $tail")
+    ).toDF("doc_id", "text")
+    val out = Curation.exactSubstrDedup(docs, "text", "doc_id", minTokens = 4)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(3) == s"alpha beta gamma delta $tail", "first occurrence intact")
+    assert(out(1).getString(3) == "epsilon zeta eta theta iota kappa", "untouched doc intact")
+    assert(out(2).getString(3) == "unique words here", "duplicate span removed")
+    assert(out(2).getLong(1) == 9L && out(2).getLong(2) == 3L, "n_tokens / n_kept accounting")
+  }
+
+  test("exact substring dedup collapses intra-document repetition to the first occurrence") {
+    val docs = Seq((1L, "one two three four one two three four one two three four"))
+      .toDF("doc_id", "text")
+    val out = Curation.exactSubstrDedup(docs, "text", "doc_id", minTokens = 4)
+      .collect()(0)
+    assert(out.getString(3) == "one two three four")
+    assert(out.getLong(2) == 4L)
+  }
+
+  test("exact substring dedup leaves docs shorter than the span threshold alone") {
+    // both docs are the same 3-token text — below minTokens=4 they emit
+    // no shingles, so whole-doc duplication is (by design) not this
+    // operator's job
+    val docs = Seq((1L, "tiny dup doc"), (2L, "tiny dup doc")).toDF("doc_id", "text")
+    val out = Curation.exactSubstrDedup(docs, "text", "doc_id", minTokens = 4)
+    assert(out.count() == 2)
+    assert(out.filter(col("n_kept") =!= 3L).count() == 0)
+  }
+
+  test("exact substring dedup is conservative: nothing removed without a repeat") {
+    val docs = Seq(
+      (1L, "The Quick   Brown fox Jumps over the lazy dog today"),
+      (2L, "completely different words in this second document here now")
+    ).toDF("doc_id", "text")
+    val out = Curation.exactSubstrDedup(docs, "text", "doc_id", minTokens = 4)
+      .orderBy("doc_id").collect()
+    // normalization (trim → lower → \s+ split) is the only change
+    assert(out(0).getString(3) == "the quick brown fox jumps over the lazy dog today")
+    assert(out.forall(r => r.getLong(1) == r.getLong(2)))
+  }
+
   test("stratified quota takes exactly quota rows per stratum, deterministically") {
     val df = (0 until 300).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
       .toDF("id", "s")

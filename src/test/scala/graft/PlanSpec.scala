@@ -160,6 +160,23 @@ class PlanSpec extends AnyFunSuite {
       s"chunk text may not cross the pack exchange:\n${above.take(3000)}")
   }
 
+  test("exact substring dedup shuffles 120-bit keys, never gram text") {
+    val docs = SparkEntry.t(spark, sf, "documents")
+    val q = graft.ops.Curation.exactSubstrDedup(docs, "text", "doc_id", minTokens = 8)
+    val plan = planOf(q)
+    // duplicated-gram resolution groups on the fixed-width md5 key with a
+    // map-side partial aggregate; a 50-token gram riding that exchange
+    // would amplify the corpus ~50x through the shuffle
+    val aggLines = plan.linesIterator.filter(_.contains("HashAggregate(keys=[__k")).toSeq
+    assert(aggLines.nonEmpty, s"key-grouped aggregation expected:\n${plan.take(3000)}")
+    assert(aggLines.exists(_.contains("partial_")),
+      s"map-side combine expected on the key aggregation:\n${aggLines.mkString("\n")}")
+    assert(aggLines.forall(l => !l.contains("__g#")),
+      s"gram text must not ride the key aggregation:\n${aggLines.mkString("\n")}")
+    assert(plan.contains("LeftAnti"),
+      s"token filtering must be a distributed anti join:\n${plan.take(3000)}")
+  }
+
   test("dsir scoring with precomputed totals is a pure scan (zero shuffle, one feature pass)") {
     val docs = SparkEntry.t(spark, sf, "documents")
     val totals = Array.fill(64)(1L)
