@@ -504,6 +504,16 @@ object SparkEntry {
         planes = 4, tables = 1, probes = 16)
         .select(col("idA"), col("idB")) // int-only output for determinism
     }),
+    "ns_semdedup" -> ((s, dir) => {
+      // SemDeDup in gate mode: nCentroids = 1 makes the within-cell graph
+      // the exact pairwise graph, so the oracle pins clustering + cosine +
+      // component resolution end to end (cell-pruning recall is
+      // OpsSpec-gated). Threshold matches ns_dedup_embed's 0.48 — a
+      // boundary the two engines' float cosines are known to agree on.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      graft.ops.Dedup.semanticDedup(e, "vec", "id", threshold = 0.48, nCentroids = 1)
+    }),
     "ns_text_profile" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       import graft.ops.TextAnalysis._
@@ -954,6 +964,30 @@ object SparkEntry {
         |SELECT a.vec_id AS idA, b.vec_id AS idB
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.48""".stripMargin,
+    // SemDeDup gate mode (nCentroids = 1): the operator's within-cell graph
+    // is the exact pairwise ≥0.48 cosine graph, so the oracle recomputes
+    // that graph and resolves connected components with a recursive
+    // transitive closure (same construction as ns_dedup_cluster).
+    "ns_semdedup" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        |), prs AS (
+        |  SELECT a.vec_id AS idA, b.vec_id AS idB
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.vec, b.vec) >= 0.48
+        |), und AS (
+        |  SELECT idA AS a, idB AS b FROM prs UNION ALL SELECT idB, idA FROM prs
+        |), reach AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+        |)
+        |SELECT e.vec_id AS id,
+        |       CAST(coalesce(least(e.vec_id, m.minb), e.vec_id) AS BIGINT) AS cluster_id,
+        |       coalesce(least(e.vec_id, m.minb), e.vec_id) = e.vec_id AS keep
+        |FROM embeddings e
+        |LEFT JOIN (SELECT a, min(b) AS minb FROM reach GROUP BY a) m
+        |  ON e.vec_id = m.a""".stripMargin,
     "ns_dedup_minhash" ->
       s"""WITH $minhashSigCtes
          |SELECT a.doc_id AS idA, b.doc_id AS idB,

@@ -304,6 +304,51 @@ object Dedup {
       .select(col("id"), coalesce(col("component"), col("id")).as("cluster_id"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster embeddings into
+    * `nCentroids` k-means cells, compute exact pairwise cosine WITHIN each
+    * cell only, and keep one representative (minimum id) per connected
+    * component of the ≥-threshold graph. The cells bound the quadratic
+    * term: all-pairs over a 100 TB corpus is impossible, all-pairs within
+    * corpus/nCentroids-sized cells is the SemDeDup trade — cross-cell
+    * near-duplicates are the accepted recall loss (tune with nCentroids;
+    * `maxCell` additionally drops degenerate cells — e.g. a zero-vector
+    * pile-up — that would go quadratic, same guard as the banded
+    * generators).
+    *
+    * The pair join shuffles (cell, id, vec) once; similarity is projected
+    * and thresholded before any further exchange, so vectors never ride a
+    * dedup/aggregation shuffle. Centroids are reusable driver metadata
+    * ([[Similarity.trainCentroids]]).
+    *
+    * With nCentroids = 1 the cell graph IS the exact pairwise graph —
+    * the correctness gate runs in that mode (oracle: exact cosine +
+    * recursive transitive closure); cell-pruning recall is gated by
+    * ScalaTest partition-refinement tests.
+    *
+    * Output: (id, cluster_id, keep) for every input row.
+    */
+  def semanticDedup(corpus: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, nCentroids: Int = 1024,
+      maxCell: Int = Int.MaxValue,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val e = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cents = centroids.getOrElse(Similarity.trainCentroids(e, nCentroids))
+    val assigned = e.select(col("id"), col("vec"),
+      graft.functions.text.nearestCentroids(col("vec"), cents, 1)(0).as("cell"))
+    val capped = capBuckets(assigned, Seq("cell"), maxCell)
+    val a = capped.select(col("cell"), col("id").as("idA"), col("vec").as("va"))
+    val b = capped.select(col("cell"), col("id").as("idB"), col("vec").as("vb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        graft.functions.text.cosineSim(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select("idA", "idB")
+    clusterAssignments(e, "id", pairs)
+      .withColumn("keep", col("id") === col("cluster_id"))
+  }
+
   /** Candidate pairs with Hamming distance ≤ maxDist via 16-bit banding
     * (any equal 16-bit chunk → candidate; by pigeonhole every pair with
     * hamming ≤ 3 is guaranteed found, larger distances probabilistically).

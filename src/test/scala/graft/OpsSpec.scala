@@ -244,6 +244,36 @@ class OpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("semanticDedup: gate mode equals exact clustering; cells only refine") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      .filter(col("id") < 100)
+    // exact reference: all-pairs cosine ≥ t → connected components
+    val a = e.select(col("id").as("idA"), col("vec").as("va"))
+    val b = e.select(col("id").as("idB"), col("vec").as("vb"))
+    val exactPairs = a.join(b, col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= 0.4).select("idA", "idB")
+    val want = Dedup.clusterAssignments(e, "id", exactPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val gate = Dedup.semanticDedup(e, "vec", "id", threshold = 0.4, nCentroids = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(gate.map(x => x._1 -> x._2).toMap == want,
+      "nCentroids=1 must reproduce the exact pairwise clustering")
+    gate.foreach { case (id, cid, keep) => assert(keep == (id == cid)) }
+
+    // cell pruning can only DROP edges → pruned clusters refine exact ones:
+    // ids the pruned run puts together must be together in the exact run
+    val pruned = Dedup.semanticDedup(e, "vec", "id", threshold = 0.4, nCentroids = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    pruned.groupBy(_._2).values.foreach { grp =>
+      val exactClusters = grp.map(x => want(x._1)).toSet
+      assert(exactClusters.size == 1,
+        s"pruned cluster spans exact clusters: $grp")
+    }
+  }
+
   test("simhash skew guard bounds degenerate buckets (1000 identical docs)") {
     val docs = (1 to 1000).map(i => (i.toLong, "same same same")).toDF("doc_id", "text")
     // all docs share every band chunk; maxBucket drops those buckets instead
