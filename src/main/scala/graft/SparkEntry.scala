@@ -613,6 +613,19 @@ object SparkEntry {
         "text", "doc_id", buckets = 1024, portable = true)
         .select("doc_id", "n_feats", "t_hits", "r_hits")
     }),
+    "ns_lm_score" -> ((s, dir) => {
+      // CCNet-style LM quality scoring, integer-exact subset: a
+      // stupid-backoff bigram model trained on the even-id half of the
+      // corpus scores every document. The ln-based micronat/ppl columns
+      // are engine-local (libm differences are not hash-comparable) and
+      // are gated by LmSpec's driver-side replay; the oracle pins the
+      // exact join layer — token/OOV/bigram-hit counts and count sums.
+      val d = t(s, dir, "documents")
+      val model = graft.ops.Lm.train(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), "text")
+      graft.ops.Lm.score(d, "text", "doc_id", model)
+        .select("doc_id", "n_tokens", "n_oov", "n_hits", "sum_cb", "sum_cw")
+    }),
     "ns_substring_candidates" -> ((s, dir) => {
       // MOSS-style shared-substring candidates over winnowing fingerprints
       // (guard disabled + portable hashes so n_shared is EXACTLY the
@@ -1157,6 +1170,32 @@ object SparkEntry {
         |  CAST(sum(b.c * rr.rb) AS BIGINT) AS r_hits
         |FROM b LEFT JOIN tt USING (bucket) JOIN rr USING (bucket)
         |GROUP BY 1""".stripMargin,
+    "ns_lm_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |tr AS (SELECT toks FROM tk WHERE doc_id % 2 = 0),
+        |uni AS (SELECT t AS tok, count(*) AS c
+        |        FROM (SELECT unnest(toks) AS t FROM tr) GROUP BY 1),
+        |big AS (SELECT p, t, count(*) AS c FROM (
+        |          SELECT unnest(toks[1:len(toks)-1]) AS p,
+        |                 unnest(toks[2:len(toks)]) AS t
+        |          FROM tr WHERE len(toks) >= 2) GROUP BY 1, 2),
+        |pos AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i,
+        |               unnest(toks) AS tok, toks FROM tk),
+        |pt AS (SELECT doc_id, i, tok,
+        |              CASE WHEN i = 1 THEN NULL ELSE toks[i-1] END AS prev
+        |       FROM pos),
+        |j AS (SELECT pt.doc_id, pt.i, b.c AS cb, uw.c AS cw
+        |      FROM pt
+        |      LEFT JOIN big b ON pt.prev = b.p AND pt.tok = b.t
+        |      LEFT JOIN uni uw ON pt.tok = uw.tok)
+        |SELECT doc_id,
+        |  count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN cw IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(CASE WHEN i > 1 AND cb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  CAST(sum(CASE WHEN i > 1 THEN coalesce(cb, 0) ELSE 0 END) AS BIGINT) AS sum_cb,
+        |  CAST(sum(coalesce(cw, 0)) AS BIGINT) AS sum_cw
+        |FROM j GROUP BY 1""".stripMargin,
     "ns_substring_candidates" ->
       """WITH h AS (
         |  SELECT doc_id,
