@@ -464,6 +464,22 @@ object SparkEntry {
       graft.ops.Dedup.clusterAssignments(docs, "doc_id", pairs)
         .select(col("id").as("doc_id"), col("cluster_id"))
     }),
+    "ns_keep_best" -> ((s, dir) => {
+      // Quality-aware duplicate resolution over the minhash cluster graph:
+      // keep the longest member per cluster (integer score → exactly
+      // replayable; ties break by min id). The oracle replays clustering
+      // (recursive closure, as ns_dedup_cluster) + the argmax window.
+      val docs = t(s, dir, "documents")
+      val pairs = graft.ops.Dedup.minhashCandidates(docs, "text", "doc_id",
+        maxBucket = Int.MaxValue, portable = true)
+        .filter(col("est_jaccard") >= 0.5).select("idA", "idB")
+      val clustered = graft.ops.Dedup.clusterAssignments(docs, "doc_id", pairs)
+        .join(docs.select(col("doc_id").as("id"),
+          length(col("text")).cast("long").as("quality")), "id")
+      graft.ops.Dedup.keepBest(clustered, "id", "cluster_id", "quality")
+        .select(col("id").as("doc_id"), col("cluster_id"), col("quality"),
+          col("n_members"), col("keep"))
+    }),
     "ns_ngram_jaccard" -> ((s, dir) => {
       val d = t(s, dir, "documents").filter(col("doc_id") < 100)
       val ids = d.select(col("doc_id"))
@@ -513,6 +529,21 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
       graft.ops.Dedup.semanticDedup(e, "vec", "id", threshold = 0.48, nCentroids = 1)
+    }),
+    "ns_prototypes" -> ((s, dir) => {
+      // SSL-prototypes pruning in fixed-centroid gate mode: 4 one-hot
+      // centroids (dims 0/16/32/48) make cell assignment and the
+      // prototypicality ranking exactly replayable in SQL — trained-
+      // centroid mode is OpsSpec-gated. The float sim column is excluded
+      // per the determinism convention; the rank column pins it.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val cents = Array.tabulate(4)(j =>
+        Array.tabulate(64)(d => if (d == j * 16) 1.0 else 0.0))
+      graft.ops.Similarity.prototypicality(e, "vec", "id",
+          keepFrac = 0.7, centroids = Some(cents))
+        .select(col("id"), col("cell"), col("rank"), col("n_cell"), col("keep"))
     }),
     "ns_text_profile" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -625,6 +656,17 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(2)) === 0), "text")
       graft.ops.Lm.score(d, "text", "doc_id", model)
         .select("doc_id", "n_tokens", "n_oov", "n_hits", "sum_cb", "sum_cw")
+    }),
+    "ns_bm25" -> ((s, dir) => {
+      // BM25 keyword search, integer-exact layer: per-(doc, query-term)
+      // postings with tf and dl — the inverted-scoring input the ranking
+      // is a pure function of. The ln-based score/ordering is engine-local
+      // (libm) and gated by SearchSpec's exact driver-side replay.
+      val d = t(s, dir, "documents")
+      graft.ops.Search.termPostings(d, "text", "doc_id",
+          Seq("join", "filter", "spark"))
+        .select(col("id").as("doc_id"), col("term"), col("tf"),
+          col("dl").cast("long").as("dl"))
     }),
     "ns_substring_candidates" -> ((s, dir) => {
       // MOSS-style shared-substring candidates over winnowing fingerprints
@@ -1023,6 +1065,28 @@ object SparkEntry {
          |       CAST(coalesce(least(d.doc_id, m.minb), d.doc_id) AS BIGINT) AS cluster_id
          |FROM documents d
          |LEFT JOIN (SELECT a, min(b) AS minb FROM reach GROUP BY a) m ON d.doc_id = m.a""".stripMargin,
+    "ns_keep_best" ->
+      s"""WITH RECURSIVE $minhashSigCtes, prs AS (
+         |  SELECT a.doc_id AS idA, b.doc_id AS idB
+         |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+         |  WHERE $minhashPairPredSql
+         |), und AS (
+         |  SELECT idA AS a, idB AS b FROM prs UNION ALL SELECT idB, idA FROM prs
+         |), reach AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+         |), cl AS (
+         |  SELECT d.doc_id,
+         |         CAST(coalesce(least(d.doc_id, m.minb), d.doc_id) AS BIGINT) AS cluster_id,
+         |         CAST(length(d.text) AS BIGINT) AS quality
+         |  FROM documents d
+         |  LEFT JOIN (SELECT a, min(b) AS minb FROM reach GROUP BY a) m ON d.doc_id = m.a
+         |)
+         |SELECT doc_id, cluster_id, quality,
+         |       count(*) OVER (PARTITION BY cluster_id) AS n_members,
+         |       row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) = 1 AS keep
+         |FROM cl""".stripMargin,
     "ns_dedup_simhash" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
         |hh AS (SELECT doc_id, list_transform(toks, t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT) AS hs FROM tk),
@@ -1196,6 +1260,29 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN i > 1 THEN coalesce(cb, 0) ELSE 0 END) AS BIGINT) AS sum_cb,
         |  CAST(sum(coalesce(cw, 0)) AS BIGINT) AS sum_cw
         |FROM j GROUP BY 1""".stripMargin,
+    "ns_prototypes" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |c AS (SELECT * FROM (VALUES (0, 1), (1, 17), (2, 33), (3, 49)) AS t(cell, dim)),
+        |s AS (SELECT vec_id, cell,
+        |        vec[dim] / sqrt(list_sum(list_transform(vec, x -> x * x))) AS sim
+        |      FROM v CROSS JOIN c),
+        |a AS (SELECT vec_id, cell, sim,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        |      FROM s),
+        |r AS (SELECT vec_id AS id, cell, sim,
+        |        row_number() OVER (PARTITION BY cell ORDER BY sim DESC, vec_id) AS rank,
+        |        count(*) OVER (PARTITION BY cell) AS n_cell
+        |      FROM a WHERE rn = 1)
+        |SELECT id, CAST(cell AS BIGINT) AS cell, CAST(rank AS INT) AS rank,
+        |       n_cell, rank > floor(0.3 * n_cell) AS keep
+        |FROM r""".stripMargin,
+    "ns_bm25" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)
+        |SELECT doc_id, t AS term, count(*) AS tf, CAST(any_value(n) AS BIGINT) AS dl
+        |FROM (SELECT doc_id, len(toks) AS n, unnest(toks) AS t FROM tk)
+        |WHERE t IN ('join', 'filter', 'spark')
+        |GROUP BY 1, 2""".stripMargin,
     "ns_substring_candidates" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -304,6 +304,33 @@ object Dedup {
       .select(col("id"), coalesce(col("component"), col("id")).as("cluster_id"))
   }
 
+  /** Quality-aware duplicate resolution: given per-document cluster
+    * assignments (from [[clusterAssignments]] / [[semanticDedup]]) and a
+    * quality score, keep the BEST-scored member of each cluster (ties →
+    * minimum id) instead of an arbitrary one — the RefinedWeb/Dolma
+    * practice: when near-duplicates differ in boilerplate or truncation,
+    * the kept copy should be the cleanest.
+    *
+    * One window over the cluster key (single shuffle; in-cluster sort is
+    * bounded by cluster size — near-dup clusters are small by
+    * construction, and degenerate giants are already capped upstream by
+    * the candidate generators' maxBucket guards).
+    *
+    * Input must carry (idCol, clusterCol, scoreCol); output adds a `keep`
+    * flag and `n_members`, preserving one row per document.
+    */
+  def keepBest(clustered: DataFrame, idCol: String, clusterCol: String,
+      scoreCol: String): DataFrame = {
+    val byQuality = Window.partitionBy(col(clusterCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    clustered
+      .withColumn("__rk", row_number().over(byQuality))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col(clusterCol))))
+      .withColumn("keep", col("__rk") === 1)
+      .drop("__rk")
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): cluster embeddings into
     * `nCentroids` k-means cells, compute exact pairwise cosine WITHIN each

@@ -174,4 +174,50 @@ object Similarity {
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
+
+  /** SSL-prototypes data pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws: beating power law scaling via data pruning"): assign
+    * every embedding to its nearest k-means centroid, score how
+    * prototypical it is (cosine to the assigned centroid), and per cell
+    * keep the HARD `keepFrac` — the paper's result is that dropping the
+    * most prototypical (easiest) examples first beats random pruning when
+    * data is abundant.
+    *
+    * Scale shape: centroid assignment is a zero-shuffle projection
+    * (centroids ride the task closure); the per-cell centroid lookup is a
+    * broadcast join (nCentroids rows); ranking is one shuffle to cells +
+    * in-cell sort. Cells are the unit of parallelism — size nCentroids so
+    * cells fit an executor's sort budget (the paper uses ~100k cells at
+    * web scale). Ties (identical cosine) break by id, so output is
+    * deterministic.
+    *
+    * Output: (id, cell, proto_sim, rank, n_cell, keep) — rank 1 = most
+    * prototypical in its cell; keep = the hardest keepFrac.
+    */
+  def prototypicality(corpus: DataFrame, vecCol: String, idCol: String,
+      nCentroids: Int = 1024, keepFrac: Double = 0.7,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1, "keepFrac must be in (0, 1]")
+    import graft.functions.text
+    val e = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cents = centroids.getOrElse(trainCentroids(e, nCentroids))
+    val session = corpus.sparkSession
+    import session.implicits._
+    val centDf = broadcast(
+      cents.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+        .toDF("cell", "centroid"))
+    val assigned = e.select(col("id"), col("vec"),
+      text.nearestCentroids(col("vec"), cents, 1)(0).as("cell"))
+    val scored = assigned.join(centDf, "cell")
+      .select(col("cell"), col("id"),
+        text.cosineSim(col("vec"), col("centroid")).as("proto_sim"))
+    val byProto = Window.partitionBy("cell")
+      .orderBy(col("proto_sim").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(byProto))
+      .withColumn("n_cell", count(lit(1)).over(Window.partitionBy("cell")))
+      .withColumn("keep",
+        col("rank") > floor(lit(1.0 - keepFrac) * col("n_cell")))
+      .select("id", "cell", "proto_sim", "rank", "n_cell", "keep")
+  }
 }

@@ -274,6 +274,38 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("keepBest keeps the top-scored member per cluster, ties by min id") {
+    val clustered = Seq(
+      (1L, 1L, 10L), (2L, 1L, 30L), (3L, 1L, 30L), // cluster 1: 2 wins tie
+      (4L, 4L, 5L), // singleton keeps itself
+      (5L, 5L, 1L), (6L, 5L, 2L)).toDF("id", "cluster_id", "quality")
+    val out = Dedup.keepBest(clustered, "id", "cluster_id", "quality")
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(2L) == (3L, true) && out(3L) == (3L, false) && out(1L) == (3L, false))
+    assert(out(4L) == (1L, true))
+    assert(out(6L) == (2L, true) && out(5L) == (2L, false))
+  }
+
+  test("prototypicality: drops the easiest per cell, keeps the keepFrac") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val out = Similarity.prototypicality(e, "vec", "id",
+      nCentroids = 4, keepFrac = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getLong(4), r.getBoolean(5)))
+    assert(out.length == e.count())
+    // per cell: exactly floor(0.3·n) dropped, and every dropped row is at
+    // least as prototypical (≥ sim) as every kept row
+    out.groupBy(_._2).foreach { case (cell, rows) =>
+      val n = rows.head._5
+      assert(rows.length.toLong == n)
+      val (kept, dropped) = rows.partition(_._6)
+      assert(dropped.length == math.floor(0.3 * n).toLong, s"cell $cell")
+      if (kept.nonEmpty && dropped.nonEmpty)
+        assert(dropped.map(_._3).min >= kept.map(_._3).max - 1e-12, s"cell $cell")
+    }
+  }
+
   test("simhash skew guard bounds degenerate buckets (1000 identical docs)") {
     val docs = (1 to 1000).map(i => (i.toLong, "same same same")).toDF("doc_id", "text")
     // all docs share every band chunk; maxBucket drops those buckets instead
