@@ -968,9 +968,51 @@ object text {
     override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   }
 
+  /** Scalar top-1 centroid assignment. Semantically identical to
+    * `nearestCentroids(vec, cs, 1)(0)` but non-nullable END TO END: the
+    * GetArrayItem form is nullable, so when the cell is a join key
+    * Catalyst inserts an `isnotnull(nearestcentroidsexpr(...))` pre-join
+    * filter that re-evaluates the whole centroid scan a second time per
+    * row. A null/empty input vector assigns to cell 0 (same as the array
+    * form's all -2.0 tie-break).
+    */
+  case class NearestCentroidExpr(child: Expression, centroids: Seq[Seq[Double]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    @transient private lazy val cs: Array[Array[Double]] = centroids.map(_.toArray).toArray
+    @transient private lazy val cNorms: Array[Double] =
+      cs.map(c => math.sqrt(c.map(x => x * x).sum))
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val raw = child.eval(input)
+      if (raw == null) return 0L
+      val v = raw.asInstanceOf[ArrayData]
+      val dim = v.numElements()
+      var best = 0
+      var bestSim = Double.NegativeInfinity
+      var ci = 0
+      while (ci < cs.length) {
+        val c = cs(ci)
+        var dot = 0.0; var nv = 0.0
+        var i = 0
+        val d = math.min(dim, c.length)
+        while (i < d) { val x = v.getDouble(i); dot += x * c(i); nv += x * x; i += 1 }
+        val sim = if (nv == 0.0 || cNorms(ci) == 0.0) -2.0 else dot / (math.sqrt(nv) * cNorms(ci))
+        if (sim > bestSim) { bestSim = sim; best = ci }
+        ci += 1
+      }
+      best.toLong
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  }
+
   def nearestCentroids(vec: Column, centroids: Array[Array[Double]], n: Int): Column =
     ExpressionUtils.column(NearestCentroidsExpr(ExpressionUtils.expression(vec),
       centroids.map(_.toSeq).toSeq, n))
+
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    ExpressionUtils.column(NearestCentroidExpr(ExpressionUtils.expression(vec),
+      centroids.map(_.toSeq).toSeq))
 
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))

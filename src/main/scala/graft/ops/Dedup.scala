@@ -362,7 +362,7 @@ object Dedup {
     val e = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val cents = centroids.getOrElse(Similarity.trainCentroids(e, nCentroids))
     val assigned = e.select(col("id"), col("vec"),
-      graft.functions.text.nearestCentroids(col("vec"), cents, 1)(0).as("cell"))
+      graft.functions.text.nearestCentroid(col("vec"), cents).as("cell"))
     val capped = capBuckets(assigned, Seq("cell"), maxCell)
     val a = capped.select(col("cell"), col("id").as("idA"), col("vec").as("va"))
     val b = capped.select(col("cell"), col("id").as("idB"), col("vec").as("vb"))

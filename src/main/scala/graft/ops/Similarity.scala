@@ -125,7 +125,7 @@ object Similarity {
     val seeds = seedRows.map(_.getSeq[Double](0).toArray)
     val sample = refinementSample(corpus, maxRefineVectors, seed)
     val assigned0 = sample.select(col("id"), col("vec"),
-      text.nearestCentroids(col("vec"), seeds, 1)(0).as("cell"))
+      text.nearestCentroid(col("vec"), seeds).as("cell"))
     val refined = assigned0.groupBy("cell")
       .agg(collect_list(col("vec")).as("vs"))
       .select(col("cell"),
@@ -163,7 +163,7 @@ object Similarity {
     val cents = centroids.getOrElse(trainCentroids(corpus, nCentroids))
 
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
-      text.nearestCentroids(col("vec"), cents, 1)(0).as("cell"))
+      text.nearestCentroid(col("vec"), cents).as("cell"))
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
       explode(text.nearestCentroids(col("vec"), cents, nprobe)).as("cell"))
     val joined = c.join(q, Seq("cell"))
@@ -207,7 +207,7 @@ object Similarity {
       cents.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c) }
         .toDF("cell", "centroid"))
     val assigned = e.select(col("id"), col("vec"),
-      text.nearestCentroids(col("vec"), cents, 1)(0).as("cell"))
+      text.nearestCentroid(col("vec"), cents).as("cell"))
     val scored = assigned.join(centDf, "cell")
       .select(col("cell"), col("id"),
         text.cosineSim(col("vec"), col("centroid")).as("proto_sim"))

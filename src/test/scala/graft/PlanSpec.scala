@@ -210,6 +210,53 @@ class PlanSpec extends AnyFunSuite {
     assert(!split.contains("Exchange"), s"split assignment must not shuffle:\n${split.take(2000)}")
   }
 
+  test("centroid assignment evaluates the centroid scan ONCE per row (scalar non-null expr)") {
+    // the nullable array-index form (nearestCentroids(..,1)(0)) makes the
+    // cell a nullable join key, so Catalyst inserts an isnotnull(...)
+    // pre-join filter that re-runs the whole O(nCentroids·dim) scan a
+    // second time per row — at 100 TB that doubles the assignment stage
+    val e = SparkEntry.t(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val plan = planOf(graft.ops.Dedup.semanticDedup(e, "vec", "id",
+      threshold = 0.48, nCentroids = 2)).toLowerCase
+    assert(!plan.contains("isnotnull(nearestcentroid"),
+      s"no isnotnull re-evaluation of the centroid scan:\n${plan.take(1500)}")
+  }
+
+  test("lm scoring: token arrays never cross a shuffle; model joins + final agg are partial-aggregated") {
+    val docs = SparkEntry.t(spark, sf, "documents")
+    val model = graft.ops.Lm.train(docs.filter(col("doc_id") < 50), "text")
+    val plan = planOf(graft.ops.Lm.score(docs, "text", "doc_id", model))
+    // every Exchange keys on scalar token/id columns — the toks array is
+    // pruned before any join or aggregation exchange
+    "Exchange hashpartitioning\\(([a-z_]+)#".r.findAllMatchIn(plan).foreach { m =>
+      assert(Set("doc_id", "p", "tok", "t").contains(m.group(1)),
+        s"unexpected shuffle key ${m.group(1)}:\n${plan.take(3000)}")
+    }
+    assert("partial_count".r.findAllIn(plan).nonEmpty,
+      s"count tables and final agg must map-side combine:\n${plan.take(3000)}")
+  }
+
+  test("bm25: df table broadcasts; top-k is per-partition heaps, not a global sort") {
+    val docs = SparkEntry.t(spark, sf, "documents")
+    val plan = planOf(graft.ops.Search.bm25(docs, "text", "doc_id",
+      Seq("join", "filter"), k = 10))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject:\n${plan.take(2500)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"document frequencies must broadcast:\n${plan.take(2500)}")
+  }
+
+  test("prototypicality: centroid lookup broadcasts; one cell exchange serves both windows") {
+    val e = SparkEntry.t(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val plan = planOf(graft.ops.Similarity.prototypicality(e, "vec", "id", nCentroids = 2))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroid lookup must broadcast:\n${plan.take(2500)}")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"rank and n_cell windows must share one cell exchange:\n${plan.take(2500)}")
+  }
+
   test("domain tagging is projection-only; domain stats partial-aggregate") {
     val docs = SparkEntry.t(spark, sf, "documents")
       .selectExpr("doc_id", "concat('https://', source, '.example.com/', doc_id) AS url")
