@@ -817,6 +817,35 @@ object SparkEntry {
       graft.ops.Multimodal.extractFeatures(media, dim = 16).toDF()
         .select(col("media_id"), col("n_frames"), size(col("feature")).as("feat_dim"),
           size(filter(col("feature"), x => x > 0)).as("n_nonzero"))
+    }),
+    "ns_ann_pq" -> ((s, dir) => {
+      // Product-quantization ANN in lossless gate mode: ksub = 512 ≥ the
+      // sf0.01 corpus's distinct subvectors per subspace, so codebooks
+      // reconstruct every vector exactly, ADC scoring IS the exact cosine,
+      // and the output must EQUAL exact brute-force top-k (exactTopKSql
+      // oracle — mutually gated with LSH/IVF/brute force). Compression-mode
+      // recall (ksub ≪ corpus, the 100 TB memory-bound tier) is
+      // OpsSpec-gated.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      graft.ops.Similarity.pqTopK(e.filter(col("id") < 50), e, k = 5, m = 8, ksub = 512)
+    }),
+    "ns_media_phash" -> ((s, dir) => {
+      // 60-bit perceptual hash per media payload. Pure-integer threshold
+      // arithmetic (see MediaPHashExpr) and ASCII gate data (byte ==
+      // character) make the hash exactly replayable in the DuckDB oracle
+      // from per-position-class byte sums.
+      val media = graft.ops.Multimodal.fromDocuments(
+        t(s, dir, "documents"), "doc_id", "text", "text/plain")
+      graft.ops.Multimodal.pHash(media)
+    }),
+    "ns_media_neardup" -> ((s, dir) => {
+      // Banded-pHash near-dup pairs in gate mode (skew cap disabled so the
+      // SQL band self-join replays the pair set exactly; the capped scale
+      // path is OpsSpec-gated).
+      val media = graft.ops.Multimodal.fromDocuments(
+        t(s, dir, "documents"), "doc_id", "text", "text/plain")
+      graft.ops.Multimodal.phashCandidates(media, maxDist = 3, maxBucket = Int.MaxValue)
     })
   )
 
@@ -872,6 +901,29 @@ object SparkEntry {
       |           ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.nid) AS rank
       |  FROM q JOIN c ON q.qid != c.nid)
       |WHERE rank <= 5""".stripMargin
+
+  /** Integer-exact replay of MediaPHashExpr (60-bit perceptual hash) for
+    * the media gate queries: per-position-class byte sums → strict
+    * `60·acc > total` threshold bits. Gate data is ASCII, so
+    * `ascii(substr(text, i+1, 1))` equals the payload byte.
+    */
+  private val phashCteSql =
+    """WITH pos AS (
+      |  SELECT doc_id, CAST(i % 60 AS INT) AS d,
+      |         ascii(substr(text, CAST(i + 1 AS INT), 1))::BIGINT AS v
+      |  FROM (SELECT doc_id, text, unnest(range(length(text))) AS i FROM documents)
+      |), acc AS (
+      |  SELECT doc_id, d, sum(v)::BIGINT AS s FROM pos GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT doc_id, sum(s)::BIGINT AS t FROM acc GROUP BY 1
+      |), bits0 AS (
+      |  SELECT a.doc_id,
+      |         sum(CASE WHEN 60 * a.s > t.t THEN (1::BIGINT << a.d) ELSE 0 END)::BIGINT AS phash
+      |  FROM acc a JOIN tot t USING (doc_id) GROUP BY 1
+      |), bits AS (
+      |  SELECT d.doc_id, coalesce(b.phash, 0)::BIGINT AS phash
+      |  FROM documents d LEFT JOIN bits0 b USING (doc_id)
+      |)""".stripMargin
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */
   def oracleSql: Map[String, String] = Map(
@@ -1454,6 +1506,20 @@ object SparkEntry {
         |  CAST(greatest(1, ((('0x'||substr(md5(text||'d'),1,8))::UBIGINT & 2147483647) % 600000) // 40000) AS INT) AS n_frames,
         |  16 AS feat_dim, CAST(least(length(text), 16) AS INT) AS n_nonzero
         |FROM documents""".stripMargin,
+    "ns_ann_pq" -> exactTopKSql,
+    "ns_media_phash" ->
+      s"""$phashCteSql
+        |SELECT doc_id AS media_id, phash FROM bits""".stripMargin,
+    "ns_media_neardup" ->
+      s"""$phashCteSql,
+        |bands AS (
+        |  SELECT doc_id, phash, CAST(b AS INT) AS band,
+        |         (phash >> CAST(15 * b AS INT)) & 32767 AS chunk
+        |  FROM (SELECT doc_id, phash, unnest(range(4)) AS b FROM bits))
+        |SELECT DISTINCT a.doc_id AS idA, c.doc_id AS idB,
+        |       bit_count(xor(a.phash, c.phash))::INT AS hamming
+        |FROM bands a JOIN bands c USING (band, chunk)
+        |WHERE a.doc_id < c.doc_id AND bit_count(xor(a.phash, c.phash)) <= 3""".stripMargin,
     "ns_sentiment" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(toks, x -> x IN ('good','great','excellent','fast','love','best','happy','win','nice','cool'))) AS BIGINT) AS pos_hits,

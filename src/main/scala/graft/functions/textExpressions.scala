@@ -1026,4 +1026,179 @@ object text {
 
   def winnowFingerprint(text: Column, k: Int = 8, w: Int = 4, portable: Boolean = false): Column =
     ExpressionUtils.column(WinnowFingerprintExpr(ExpressionUtils.expression(text), k, w, portable))
+
+  /** Product-quantization encoder (Jégou et al. 2011): split the vector
+    * into `m` contiguous subvectors and emit, per subspace, the index of
+    * the nearest codebook centroid by L2 distance (strict-less argmin, so
+    * ties and padded duplicate centroids deterministically resolve to the
+    * lowest index). The codebooks ride in the task closure — tiny metadata
+    * (m × ksub × dsub doubles), never a join side. Output is `m` small
+    * ints: the 100 TB point of PQ is that everything downstream of the
+    * scan (shuffles, the ANN scoring join) carries these codes instead of
+    * the full embedding — 8 bytes a row instead of 512.
+    */
+  case class PqEncodeExpr(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    @transient private lazy val cbs: Array[Array[Array[Double]]] =
+      codebooks.map(_.map(_.toArray).toArray).toArray
+    override def nullSafeEval(raw: Any): Any = {
+      val v = raw.asInstanceOf[ArrayData]
+      val m = cbs.length
+      val out = new Array[Any](m)
+      var sub = 0
+      var off = 0
+      while (sub < m) {
+        val cb = cbs(sub)
+        val dsub = if (cb.isEmpty) 0 else cb(0).length
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var ci = 0
+        while (ci < cb.length) {
+          val c = cb(ci)
+          var d2 = 0.0
+          var i = 0
+          while (i < dsub) {
+            val diff = v.getDouble(off + i) - c(i)
+            d2 += diff * diff
+            i += 1
+          }
+          if (d2 < bestD) { bestD = d2; best = ci }
+          ci += 1
+        }
+        out(sub) = best
+        off += dsub
+        sub += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  /** Single-subspace PQ assignment for training rows already exploded to
+    * (subspace, subvector): argmin L2 against that subspace's codebook
+    * (strict-less, lowest index on ties — identical semantics to
+    * [[PqEncodeExpr]], which the encode path uses on whole vectors).
+    */
+  case class PqSubEncodeExpr(sub: Expression, sv: Expression, codebooks: Seq[Seq[Seq[Double]]])
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    override def left: Expression = sub
+    override def right: Expression = sv
+    override def dataType: DataType = IntegerType
+    @transient private lazy val cbs: Array[Array[Array[Double]]] =
+      codebooks.map(_.map(_.toArray).toArray).toArray
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val cb = cbs(a.asInstanceOf[Int])
+      val v = b.asInstanceOf[ArrayData]
+      val dsub = if (cb.isEmpty) 0 else cb(0).length
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var ci = 0
+      while (ci < cb.length) {
+        val c = cb(ci)
+        var d2 = 0.0
+        var i = 0
+        while (i < dsub) { val diff = v.getDouble(i) - c(i); d2 += diff * diff; i += 1 }
+        if (d2 < bestD) { bestD = d2; best = ci }
+        ci += 1
+      }
+      best
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(sub = l, sv = r)
+  }
+
+  /** Asymmetric-distance (ADC) cosine scoring for PQ codes. Per corpus row
+    * the work is `m` array lookups + adds (the per-query dot-product table
+    * `dotLut` is precomputed once per query: dotLut[sub*ksub + code] =
+    * dot(q_sub, centroid); it arrives via the broadcast query side and is
+    * projected away in the same stage — it never crosses a shuffle). The
+    * centroid squared norms (`normSq`, same flat layout) are shared across
+    * queries and ride the closure. sim = Σ dotLut / (|q| · √Σ normSq):
+    * with lossless codebooks this IS the exact cosine — the correctness
+    * gate runs in that mode.
+    */
+  case class PqAdcExpr(codes: Expression, dotLut: Expression, qNorm: Expression,
+      normSq: Seq[Double], ksub: Int)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with CodegenFallback {
+    override def first: Expression = codes
+    override def second: Expression = dotLut
+    override def third: Expression = qNorm
+    override def dataType: DataType = DoubleType
+    @transient private lazy val ns: Array[Double] = normSq.toArray
+    override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+      val cd = a.asInstanceOf[ArrayData]
+      val lut = b.asInstanceOf[ArrayData]
+      val qn = c.asInstanceOf[Double]
+      val m = cd.numElements()
+      var dot = 0.0
+      var rn2 = 0.0
+      var sub = 0
+      while (sub < m) {
+        val idx = sub * ksub + cd.getInt(sub)
+        dot += lut.getDouble(idx)
+        rn2 += ns(idx)
+        sub += 1
+      }
+      if (qn == 0.0 || rn2 == 0.0) 0.0 else dot / (qn * math.sqrt(rn2))
+    }
+    override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+      copy(codes = f, dotLut = s, qNorm = t)
+  }
+
+  /** 60-bit perceptual hash of a binary payload: integer byte accumulators
+    * per position class (i mod 60), bit d set iff class d's sum exceeds
+    * the mean (strict `60·acc > total` — pure integer compare, so an
+    * independent SQL engine replays it EXACTLY; 60 bits keeps every
+    * `1<<d` inside a positive signed 64-bit value on both engines). This
+    * is the grid-average→threshold shape of image pHash applied to the
+    * opaque media bytes; near-identical payloads differ in few bits, so
+    * banded Hamming joins find near-dups without a cross join. Null/empty
+    * payloads hash to 0.
+    */
+  case class MediaPHashExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val raw = child.eval(input)
+      if (raw == null) return 0L
+      val bytes = raw.asInstanceOf[Array[Byte]]
+      if (bytes.isEmpty) return 0L
+      val acc = new Array[Long](60)
+      var i = 0
+      while (i < bytes.length) {
+        acc(i % 60) += (bytes(i) & 0xff).toLong
+        i += 1
+      }
+      var total = 0L
+      var d = 0
+      while (d < 60) { total += acc(d); d += 1 }
+      var hash = 0L
+      d = 0
+      while (d < 60) {
+        if (60L * acc(d) > total) hash |= (1L << d)
+        d += 1
+      }
+      hash
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ExpressionUtils.column(PqEncodeExpr(ExpressionUtils.expression(vec),
+      codebooks.map(_.map(_.toSeq).toSeq).toSeq))
+
+  def pqSubEncode(sub: Column, sv: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ExpressionUtils.column(PqSubEncodeExpr(ExpressionUtils.expression(sub),
+      ExpressionUtils.expression(sv), codebooks.map(_.map(_.toSeq).toSeq).toSeq))
+
+  def pqAdc(codes: Column, dotLut: Column, qNorm: Column,
+      normSq: Array[Double], ksub: Int): Column =
+    ExpressionUtils.column(PqAdcExpr(ExpressionUtils.expression(codes),
+      ExpressionUtils.expression(dotLut), ExpressionUtils.expression(qNorm),
+      normSq.toSeq, ksub))
+
+  def mediaPHash(content: Column): Column =
+    ExpressionUtils.column(MediaPHashExpr(ExpressionUtils.expression(content)))
 }

@@ -59,7 +59,7 @@ object Dedup {
     * same-key inner join rather than a window count: no per-bucket sort,
     * and the count side is tiny (one row per bucket) so AQE can broadcast.
     */
-  private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+  private[ops] def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
     if (maxBucket == Int.MaxValue) banded // guard disabled: skip the count stage
     else {
       val sizes = banded.groupBy(keys.map(col): _*).count()

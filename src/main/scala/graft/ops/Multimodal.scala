@@ -107,4 +107,42 @@ object Multimodal {
       lit(w).as("width"), lit(h).as("height"),
       col("meta.duration_ms").as("duration_ms"),
       col("meta.n_bytes").as("n_bytes")))
+
+  /** 60-bit perceptual hash per media row (integer grid-average→threshold
+    * over the payload bytes — see MediaPHashExpr). A narrow zero-shuffle
+    * projection: the binary column is read once in the scan stage and
+    * reduced to one long. On real images this is where a DCT-pHash over
+    * decoded pixels would slot in; the banding/dedup machinery downstream
+    * is identical either way.
+    */
+  def pHash(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+      graft.functions.text.mediaPHash(col("content")).as("phash"))
+
+  /** Near-duplicate media pairs with Hamming distance ≤ maxDist via 15-bit
+    * banding of the 60-bit pHash (pigeonhole: every pair within distance 3
+    * shares at least one of the 4 bands; larger distances are found
+    * probabilistically). Only (id, phash, band, chunk) cross the band
+    * exchange — payload bytes never leave the scan stage. Same `maxBucket`
+    * skew guard as the text simhash/minhash paths: a degenerate chunk
+    * (empty payloads → hash 0) would otherwise make one bucket quadratic
+    * at corpus scale.
+    */
+  def phashCandidates(media: DataFrame, maxDist: Int = 3,
+      maxBucket: Int = 64): DataFrame = {
+    val fp = pHash(media)
+    val banded0 = fp.select(col("media_id"), col("phash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("phash"), (lit(15) * b).cast("int"))
+          .bitwiseAND(lit(0x7fffL)))).as(Seq("band", "chunk")))
+    val banded = Dedup.capBuckets(banded0, Seq("band", "chunk"), maxBucket)
+    val a = banded.select(col("band"), col("chunk"), col("media_id").as("idA"), col("phash").as("fpA"))
+    val b = banded.select(col("band"), col("chunk"), col("media_id").as("idB"), col("phash").as("fpB"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        bit_count(col("fpA").bitwiseXOR(col("fpB"))).as("hamming"))
+      .dropDuplicates("idA", "idB")
+      .filter(col("hamming") <= maxDist)
+  }
 }

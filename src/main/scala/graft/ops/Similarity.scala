@@ -175,6 +175,161 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Product-quantization model (Jégou, Douze, Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search"): per-subspace codebooks,
+    * `codebooks(sub)(code)` = centroid of length `dim / m`. Tiny reusable
+    * metadata (m × ksub × dsub doubles) — train once, encode and query
+    * forever without rescanning the corpus.
+    */
+  final case class PqModel(dim: Int, m: Int, codebooks: Array[Array[Array[Double]]]) {
+    def dsub: Int = dim / m
+    def ksub: Int = codebooks(0).length
+    /** Flat |centroid|² table, `sub * ksub + code` layout (ADC denominator). */
+    lazy val normSqFlat: Array[Double] = {
+      val out = new Array[Double](m * ksub)
+      var sub = 0
+      while (sub < m) {
+        var code = 0
+        while (code < ksub) {
+          out(sub * ksub + code) = codebooks(sub)(code).map(x => x * x).sum
+          code += 1
+        }
+        sub += 1
+      }
+      out
+    }
+    /** Per-query dot-product lookup table: lut[sub*ksub+code] = dot(q_sub, centroid). */
+    def dotLut(q: Array[Double]): Array[Double] = {
+      val out = new Array[Double](m * ksub)
+      var sub = 0
+      while (sub < m) {
+        val off = sub * dsub
+        var code = 0
+        while (code < ksub) {
+          val c = codebooks(sub)(code)
+          var dot = 0.0
+          var i = 0
+          while (i < dsub) { dot += q(off + i) * c(i); i += 1 }
+          out(sub * ksub + code) = dot
+          code += 1
+        }
+        sub += 1
+      }
+      out
+    }
+  }
+
+  /** Train PQ codebooks: one pass explodes a bounded distributed sample
+    * into (subspace, subvector) rows; seeds are the hash-ordered top-ksub
+    * DISTINCT subvectors per subspace, refined with one Lloyd iteration
+    * (L2 assignment via [[graft.functions.text.pqEncode]]-style argmin in
+    * a closure expression, means distributed per (sub, code) group). All
+    * driver materialization is bounded metadata: m × ksub centroids, never
+    * corpus rows. 4 bounded actions total, independent of corpus size.
+    *
+    * Losslessness property the correctness gate exploits: when a subspace
+    * has ≤ ksub distinct subvectors, every one becomes its own seed, each
+    * Lloyd group is a single distinct value, and reconstruction is EXACT —
+    * so ADC scoring equals exact cosine and PQ top-k equals brute-force
+    * top-k. If a subspace has fewer distinct subvectors than ksub the
+    * codebook pads with copies of the last seed (strict-less argmin means
+    * padded duplicates are never selected).
+    */
+  def trainPq(
+      corpus: DataFrame, // (id, vec)
+      m: Int = 8,
+      ksub: Int = 256,
+      maxSampleVectors: Int = 50000,
+      seed: Long = 7L
+  ): PqModel = {
+    import graft.functions.text
+    val dim = corpus.select(size(col("vec"))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val dsub = dim / m
+    val sample = refinementSample(corpus, maxSampleVectors, seed)
+    val subs = sample.select(posexplode(expr(
+      s"transform(sequence(0, ${m - 1}), s -> slice(vec, s * $dsub + 1, $dsub))"))
+      .as(Seq("sub", "sv")))
+    // seeds: deterministic hash order over DISTINCT subvectors (ties by the
+    // subvector itself — arrays are orderable — so the seed set and its
+    // code numbering are reproducible across runs and partitionings)
+    val w = Window.partitionBy(col("sub")).orderBy(col("__h"), col("sv"))
+    val seedRows = subs.distinct()
+      .withColumn("__h", xxhash64(col("sub"), col("sv")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= ksub)
+      .select("sub", "rn", "sv").collect()
+    val bySub = seedRows.groupBy(_.getInt(0))
+    val seeds: Array[Array[Array[Double]]] = Array.tabulate(m) { sub =>
+      val rows = bySub.getOrElse(sub, Array.empty)
+        .sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+      require(rows.nonEmpty, s"subspace $sub has no training subvectors")
+      if (rows.length >= ksub) rows.take(ksub)
+      else rows ++ Array.fill(ksub - rows.length)(rows.last) // pad: never selected (strict-less argmin)
+    }
+    // one Lloyd iteration: distributed L2 assignment (seeds ride the task
+    // closure) + per-(sub, code) means. Groups are bounded by the sample.
+    val means = subs
+      .select(col("sub"), text.pqSubEncode(col("sub"), col("sv"), seeds).as("code"), col("sv"))
+      .groupBy("sub", "code")
+      .agg(collect_list(col("sv")).as("vs"))
+      .select(col("sub"), col("code"), expr(
+        "transform(sequence(0, size(vs[0]) - 1), i -> aggregate(vs, 0D, (acc, v) -> acc + v[i]) / size(vs))")
+        .as("c"))
+      .collect()
+    val refined = seeds.map(_.clone())
+    means.foreach { r =>
+      refined(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    PqModel(dim, m, refined)
+  }
+
+  /** PQ ANN top-k via asymmetric distance (ADC). The corpus side encodes
+    * to `m` small ints in the scan stage and the embedding never leaves
+    * it; per-query dot-product tables broadcast with the (bounded, like
+    * [[bruteForceTopK]]) query side and are projected away before the
+    * ranking shuffle — the only data that crosses an exchange is
+    * (query_id, neighbor_id, sim). At 100 TB this is the memory-bound ANN
+    * tier: 8 code bytes per corpus vector instead of 512 embedding bytes,
+    * scored with m table lookups per (query, vector).
+    *
+    * Correctness gate: with a lossless model (ksub ≥ distinct subvectors,
+    * see [[trainPq]]) ADC equals exact cosine, so the output EQUALS exact
+    * brute-force top-k and the DuckDB exact-cosine oracle pins the whole
+    * pipeline — training, encoding, LUT scoring, ranking. Compression-mode
+    * recall (ksub ≪ corpus) is ScalaTest-gated.
+    */
+  def pqTopK(
+      queries: DataFrame, // (id, vec)
+      corpus: DataFrame, // (id, vec)
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 256,
+      excludeSelf: Boolean = true,
+      model: Option[PqModel] = None
+  ): DataFrame = {
+    import graft.functions.text
+    val pq = model.getOrElse(trainPq(corpus, m, ksub))
+    val session = corpus.sparkSession
+    import session.implicits._
+    // bounded |Q| (documented small-query-batch tier, like bruteForceTopK):
+    // LUTs are |Q| × m × ksub doubles of driver-built broadcast metadata
+    val qRows = queries.select(col("id"), col("vec")).collect()
+    val luts = qRows.map { r =>
+      val q = r.getSeq[Double](1).toArray
+      (r.getLong(0), pq.dotLut(q), math.sqrt(q.map(x => x * x).sum))
+    }.toSeq
+    val q = broadcast(luts.toDF("query_id", "dot_lut", "q_norm"))
+    val c = corpus.select(col("id").as("neighbor_id"),
+      text.pqEncode(col("vec"), pq.codebooks).as("codes"))
+    val joined = c.join(q,
+      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        text.pqAdc(col("codes"), col("dot_lut"), col("q_norm"), pq.normSqFlat, pq.ksub).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** SSL-prototypes data pruning (Sorscher et al. 2022, "Beyond neural
     * scaling laws: beating power law scaling via data pruning"): assign
     * every embedding to its nearest k-means centroid, score how

@@ -257,6 +257,39 @@ class PlanSpec extends AnyFunSuite {
       s"rank and n_cell windows must share one cell exchange:\n${plan.take(2500)}")
   }
 
+  test("PQ ANN: corpus encodes in the scan stage; only (ids, sim) reach the ranking exchange") {
+    val e = SparkEntry.t(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val model = graft.ops.Similarity.trainPq(e, m = 8, ksub = 16)
+    val plan = planOf(graft.ops.Similarity.pqTopK(
+      e.filter(col("id") < 10), e, k = 3, model = Some(model)))
+    assert(plan.contains("Exchange hashpartitioning(query_id"),
+      s"ranking exchange expected:\n${plan.take(2500)}")
+    // the projection feeding the exchange is exactly (query_id, neighbor_id,
+    // sim): neither the embedding, the codes, nor the per-query LUT arrays
+    // survive past the join stage
+    assert("Project \\[query_id#\\d+L?, neighbor_id#\\d+L?, pqadcexpr".r.findFirstIn(plan).nonEmpty,
+      s"pre-exchange projection must be ids+sim only:\n${plan.take(3000)}")
+    assert(plan.contains("row_number(), 3, Partial"),
+      s"map-side partial top-k (WindowGroupLimit) expected before the exchange:\n${plan.take(3000)}")
+    assert("pqencodeexpr".r.findAllIn(plan.toLowerCase).size == 1,
+      s"corpus must encode exactly once, in its scan stage:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"bounded query side must broadcast:\n${plan.take(2500)}")
+  }
+
+  test("pHash banding: media scan prunes to (id, payload); band join keys the exchange") {
+    val docs = SparkEntry.t(spark, sf, "documents")
+    val media = graft.ops.Multimodal.fromDocuments(docs, "doc_id", "text", "text/plain")
+    val plan = planOf(graft.ops.Multimodal.phashCandidates(media, maxDist = 3))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"media scan must prune to id+payload:\n${plan.take(2500)}")
+    assert(plan.contains("Exchange hashpartitioning(band"),
+      s"candidate join must key on (band, chunk):\n${plan.take(2500)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no all-pairs join:\n${plan.take(2500)}")
+  }
+
   test("domain tagging is projection-only; domain stats partial-aggregate") {
     val docs = SparkEntry.t(spark, sf, "documents")
       .selectExpr("doc_id", "concat('https://', source, '.example.com/', doc_id) AS url")
