@@ -846,6 +846,28 @@ object SparkEntry {
       val media = graft.ops.Multimodal.fromDocuments(
         t(s, dir, "documents"), "doc_id", "text", "text/plain")
       graft.ops.Multimodal.phashCandidates(media, maxDist = 3, maxBucket = Int.MaxValue)
+    }),
+    "ns_incremental_exact" -> ((s, dir) => {
+      // Continuous-ingestion exact dedup: docs < 250 stand in for the
+      // existing corpus (its index would be a persisted table), >= 250 for
+      // the new batch. The oracle replays digest building, the corpus
+      // anti-lookup, and within-batch first-occurrence.
+      val docs = t(s, dir, "documents")
+      val index = graft.ops.Dedup.exactIndex(
+        docs.filter(col("doc_id") < 250), "text", "doc_id")
+      graft.ops.Dedup.incrementalExact(
+        docs.filter(col("doc_id") >= 250), index, "text", "doc_id")
+    }),
+    "ns_incremental_neardup" -> ((s, dir) => {
+      // Near-dup candidates of the new batch against the prebuilt corpus
+      // minhash index — portable hash family + cap disabled so DuckDB
+      // replays signatures, band equality, and est_jaccard exactly.
+      val docs = t(s, dir, "documents")
+      val index = graft.ops.Dedup.minhashIndex(
+        docs.filter(col("doc_id") < 250), "text", "doc_id", portable = true)
+      graft.ops.Dedup.incrementalMinhashCandidates(
+        docs.filter(col("doc_id") >= 250), index, "text", "doc_id",
+        maxBucket = Int.MaxValue, portable = true)
     })
   )
 
@@ -883,9 +905,11 @@ object SparkEntry {
     * predicate both minhash oracles share.
     */
   private val minhashEstSql = "len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) / 64.0"
+  private val minhashBandEqSql =
+    """len(list_filter(range(0, 16), bb ->
+      |        len(list_filter(range(1, 5), r -> a.sig[bb*4 + r] = b.sig[bb*4 + r])) = 4)) > 0""".stripMargin
   private val minhashPairPredSql =
-    s"""len(list_filter(range(0, 16), bb ->
-       |        len(list_filter(range(1, 5), r -> a.sig[bb*4 + r] = b.sig[bb*4 + r])) = 4)) > 0
+    s"""$minhashBandEqSql
        |  AND $minhashEstSql >= 0.5""".stripMargin
 
   /** Exact cosine top-k oracle — shared by ns_embed_topk and by the ANN
@@ -1507,6 +1531,25 @@ object SparkEntry {
         |  16 AS feat_dim, CAST(least(length(text), 16) AS INT) AS n_nonzero
         |FROM documents""".stripMargin,
     "ns_ann_pq" -> exactTopKSql,
+    "ns_incremental_exact" ->
+      """WITH corpus AS (
+        |  SELECT md5(text) AS digest, min(doc_id) AS corpus_id
+        |  FROM documents WHERE doc_id < 250 GROUP BY 1
+        |), b AS (
+        |  SELECT doc_id AS id, md5(text) AS digest FROM documents WHERE doc_id >= 250
+        |), f AS (
+        |  SELECT digest, min(id) AS first_id FROM b GROUP BY 1
+        |)
+        |SELECT b.id, c.corpus_id AS dup_of_corpus,
+        |       b.id = f.first_id AS first_in_batch,
+        |       c.corpus_id IS NULL AND b.id = f.first_id AS keep
+        |FROM b JOIN f USING (digest) LEFT JOIN corpus c USING (digest)""".stripMargin,
+    "ns_incremental_neardup" ->
+      s"""WITH $minhashSigCtes
+         |SELECT b.doc_id AS batch_id, a.doc_id AS corpus_id,
+         |       $minhashEstSql AS est_jaccard
+         |FROM sg a JOIN sg b ON a.doc_id < 250 AND b.doc_id >= 250
+         |WHERE $minhashBandEqSql""".stripMargin,
     "ns_media_phash" ->
       s"""$phashCteSql
         |SELECT doc_id AS media_id, phash FROM bits""".stripMargin,

@@ -119,6 +119,82 @@ object Dedup {
       .dropDuplicates("idA", "idB")
   }
 
+  // ---- Incremental (delta-vs-corpus) dedup — continuous ingestion ----
+  //
+  // At 100 TB you never re-dedupe the whole corpus per ingest: build a
+  // persistable index once (digests for exact, banded signatures for
+  // near-dup), then each new batch joins ONLY the delta against it. Index
+  // size is independent of document bytes (~24 B/doc exact, ~0.5 KB/doc
+  // minhash), so it lives as a bucketed parquet table co-partitioned on
+  // the join key across ingests.
+
+  /** Persistable exact-dedup index: one row per distinct content digest
+    * with its canonical (min-id) representative.
+    */
+  def exactIndex(corpus: DataFrame, contentCol: String, idCol: String): DataFrame =
+    corpus.select(md5(col(contentCol)).as("digest"), col(idCol).as("corpus_id"))
+      .groupBy("digest").agg(min("corpus_id").as("corpus_id"))
+
+  /** Dedup a new batch against an existing [[exactIndex]] and within
+    * itself, in one pass. Output per batch row: `dup_of_corpus` (the
+    * corpus representative it duplicates, null if novel),
+    * `first_in_batch`, and the final `keep` decision (novel AND first).
+    *
+    * Scale shape: both joins key on the 16-byte digest (uniform — skew
+    * impossible); batch text dies at the scan. The index side arrives
+    * pre-aggregated, so AQE broadcasts it when small and shuffle-joins by
+    * digest when not; a bucketed index table makes the join co-located.
+    */
+  def incrementalExact(batch: DataFrame, index: DataFrame,
+      contentCol: String, idCol: String): DataFrame = {
+    val b = batch.select(col(idCol).as("id"), md5(col(contentCol)).as("digest"))
+    val firstIn = b.groupBy("digest").agg(min("id").as("first_id"))
+    b.join(firstIn, "digest")
+      .join(index, Seq("digest"), "left")
+      .select(col("id"), col("corpus_id").as("dup_of_corpus"),
+        (col("id") === col("first_id")).as("first_in_batch"),
+        (col("corpus_id").isNull && col("id") === col("first_id")).as("keep"))
+  }
+
+  /** Persistable minhash LSH index: banded bucket keys + signature per
+    * corpus doc — the near-dup analog of [[exactIndex]]. Output:
+    * (corpus_id, sig, band, bucket), bands rows per doc.
+    */
+  def minhashIndex(corpus: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      portable: Boolean = false): DataFrame =
+    corpus.select(col(idCol).as("corpus_id"),
+      minhashSigAndBuckets(col(textCol), shingleLen, numHashes, bands, portable).as("mh"))
+      .select(col("corpus_id"), col("mh.sig").as("sig"),
+        posexplode(col("mh.buckets")).as(Seq("band", "bucket")))
+
+  /** Near-duplicate candidates of a new batch against a prebuilt
+    * [[minhashIndex]] — same full-band-equality semantics as
+    * [[minhashCandidates]], but the join partner is the index, so cost
+    * scales with delta size × bucket hit rate, never with the corpus.
+    * Output: (batch_id, corpus_id, est_jaccard), distinct.
+    */
+  def incrementalMinhashCandidates(batch: DataFrame, index: DataFrame,
+      textCol: String, idCol: String,
+      shingleLen: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = 64, portable: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val b = batch.select(col(idCol).as("batch_id"),
+      minhashSigAndBuckets(col(textCol), shingleLen, numHashes, bands, portable).as("mh"))
+      .select(col("batch_id"), col("mh.sig").as("sigB"),
+        posexplode(col("mh.buckets")).as(Seq("band", "bucket")))
+    val idx = capBuckets(index, Seq("band", "bucket"), maxBucket)
+      .select(col("band"), col("bucket"), col("corpus_id"), col("sig").as("sigA"))
+    b.join(idx, Seq("band", "bucket"))
+      .filter(slice(col("sigA"), col("band") * rows + 1, lit(rows)) ===
+        slice(col("sigB"), col("band") * rows + 1, lit(rows)))
+      .select(col("batch_id"), col("corpus_id"),
+        (size(filter(zip_with(col("sigA"), col("sigB"), (x, y) => (x === y).cast("int")),
+          v => v === 1)) / lit(numHashes.toDouble)).as("est_jaccard"))
+      .dropDuplicates("batch_id", "corpus_id")
+  }
+
   /** Exact n-gram Jaccard for a pair frame (verification stage after LSH,
     * or bounded ad-hoc comparison). Returns integer |∩| and |∪| so results
     * are exactly comparable across engines.

@@ -400,6 +400,33 @@ class OpsSpec extends AnyFunSuite {
     assert(n == 0L, "capped degenerate buckets must not produce quadratic pairs")
   }
 
+  test("incremental exact dedup flags corpus dups, within-batch dups, and novel docs") {
+    val corpus = Seq((1L, "aaa"), (2L, "bbb")).toDF("doc_id", "text")
+    val batch = Seq((10L, "aaa"), (11L, "ccc"), (12L, "ccc"), (13L, "ddd"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.exactIndex(corpus, "text", "doc_id")
+    val out = Dedup.incrementalExact(batch, idx, "text", "doc_id").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(out(10L) == ((1L, true, false)), "corpus duplicate must not be kept")
+    assert(out(11L) == ((-1L, true, true)), "novel first occurrence must be kept")
+    assert(out(12L) == ((-1L, false, false)), "within-batch duplicate must not be kept")
+    assert(out(13L) == ((-1L, true, true)))
+  }
+
+  test("incremental minhash candidates equal the cross-pair subset of full dedup") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val idx = Dedup.minhashIndex(docs.filter(col("doc_id") < 250), "text", "doc_id")
+    val inc = Dedup.incrementalMinhashCandidates(
+      docs.filter(col("doc_id") >= 250), idx, "text", "doc_id", maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet // (corpus_id, batch_id)
+    val full = Dedup.minhashCandidates(docs, "text", "doc_id", maxBucket = Int.MaxValue)
+      .filter(col("idA") < 250 && col("idB") >= 250)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == full, s"delta-vs-index must equal the cross subset: ${inc.size} vs ${full.size}")
+    assert(full.nonEmpty, "test data must actually contain cross-split near-dups")
+  }
+
   test("multimodal: stub decode is deterministic, batch plumbing preserves ids") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
     val media = Multimodal.fromDocuments(docs, "doc_id", "text", "text/plain")

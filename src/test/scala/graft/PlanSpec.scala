@@ -290,6 +290,19 @@ class PlanSpec extends AnyFunSuite {
       s"no all-pairs join:\n${plan.take(2500)}")
   }
 
+  test("incremental exact dedup: every exchange keys on the digest; text dies at the scan") {
+    val docs = SparkEntry.t(spark, sf, "documents")
+    val idx = graft.ops.Dedup.exactIndex(docs.filter(col("doc_id") < 250), "text", "doc_id")
+    val plan = planOf(graft.ops.Dedup.incrementalExact(
+      docs.filter(col("doc_id") >= 250), idx, "text", "doc_id"))
+    "Exchange hashpartitioning\\(([a-zA-Z_]+)#".r.findAllMatchIn(plan).foreach { m =>
+      assert(m.group(1) == "digest",
+        s"only the 16-byte digest may key a shuffle, got ${m.group(1)}:\n${plan.take(3000)}")
+    }
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must prune to id+text:\n${plan.take(2000)}")
+  }
+
   test("domain tagging is projection-only; domain stats partial-aggregate") {
     val docs = SparkEntry.t(spark, sf, "documents")
       .selectExpr("doc_id", "concat('https://', source, '.example.com/', doc_id) AS url")
