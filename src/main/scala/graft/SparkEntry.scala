@@ -868,6 +868,22 @@ object SparkEntry {
       graft.ops.Dedup.incrementalMinhashCandidates(
         docs.filter(col("doc_id") >= 250), index, "text", "doc_id",
         maxBucket = Int.MaxValue, portable = true)
+    }),
+    "ns_hybrid" -> ((s, dir) => {
+      // Hybrid retrieval gate: RRF-fuse two rankings that are BOTH exactly
+      // replayable — the integer tf/coverage keyword tier and the
+      // exact-cosine vector tier — so the oracle pins the whole fusion
+      // (contribution integer division, accumulation, final ranking).
+      // hybridTopK's BM25+vector default follows the BM25 determinism
+      // convention (float ranking gated in SearchSpec).
+      val docs = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      val qv = e.filter(col("id") === 0).select("vec").head().getSeq[Double](0).toArray
+      val text = graft.ops.Search.tfTopK(docs, "text", "doc_id",
+        Seq("join", "filter", "data"), k = 100)
+      val vec = graft.ops.Search.vectorTopK(e, qv, k = 100)
+      graft.ops.Search.rrfFuse(Seq(text, vec), k = 50)
     })
   )
 
@@ -1550,6 +1566,36 @@ object SparkEntry {
          |       $minhashEstSql AS est_jaccard
          |FROM sg a JOIN sg b ON a.doc_id < 250 AND b.doc_id >= 250
          |WHERE $minhashBandEqSql""".stripMargin,
+    "ns_hybrid" ->
+      """WITH post AS (
+        |  SELECT id, count(*) AS n_terms, sum(tf) AS tf_total FROM (
+        |    SELECT doc_id AS id, term, count(*) AS tf FROM (
+        |      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |      FROM documents
+        |    ) WHERE term IN ('join', 'filter', 'data') GROUP BY 1, 2
+        |  ) GROUP BY 1
+        |), trank AS (
+        |  SELECT id, rank FROM (
+        |    SELECT id, row_number() OVER (ORDER BY n_terms DESC, tf_total DESC, id) AS rank
+        |    FROM post) WHERE rank <= 100
+        |), vrank AS (
+        |  SELECT id, rank FROM (
+        |    SELECT vec_id AS id, row_number() OVER (ORDER BY
+        |      list_cosine_similarity(embedding::DOUBLE[],
+        |        (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC,
+        |      vec_id) AS rank
+        |    FROM embeddings) WHERE rank <= 100
+        |), u AS (
+        |  SELECT id, 1000000000 // (60 + rank) AS c FROM trank
+        |  UNION ALL
+        |  SELECT id, 1000000000 // (60 + rank) AS c FROM vrank
+        |), f AS (
+        |  SELECT id, count(*) AS n_lists, sum(c)::BIGINT AS rrf_micro
+        |  FROM u GROUP BY 1 ORDER BY rrf_micro DESC, id LIMIT 50
+        |)
+        |SELECT id, n_lists, rrf_micro,
+        |       CAST(row_number() OVER (ORDER BY rrf_micro DESC, id) AS INT) AS rank
+        |FROM f""".stripMargin,
     "ns_media_phash" ->
       s"""$phashCteSql
         |SELECT doc_id AS media_id, phash FROM bits""".stripMargin,

@@ -73,4 +73,84 @@ object Search {
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
+
+  /** Integer-exact keyword ranking: documents ordered by (matched query
+    * terms desc, total tf desc, id). The coarse tier of the retrieval
+    * stack — every comparison is integer, so an independent engine
+    * replays the ranking bit-for-bit (the determinism convention the
+    * hybrid gate builds on; BM25 refines it with float idf weighting).
+    * Output: (id, rank), rank 1 = best, top-k only.
+    */
+  def tfTopK(corpus: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k: Int = 10): DataFrame = {
+    val scored = termPostings(corpus, textCol, idCol, terms)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("tf_total"))
+      .orderBy(col("n_terms").desc, col("tf_total").desc, col("id"))
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_terms").desc, col("tf_total").desc, col("id"))
+    // global window is fine here: it runs AFTER the TakeOrderedAndProject,
+    // over at most k rows
+    scored.withColumn("rank", row_number().over(w)).select("id", "rank")
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): fuse any
+    * number of (id, rank) lists with rrf = Σ 1/(kRrf + rank). Fusion is
+    * rank-only — scores of different scales never mix — and the
+    * contribution is computed as integer nano-units (1e9 div (kRrf+rank)),
+    * so the fused ordering is exactly reproducible on any engine.
+    *
+    * Scale shape: inputs are already top-k' lists (bounded); the union +
+    * groupBy shuffles ≤ Σ|lists| id+long rows; final top-k is
+    * TakeOrderedAndProject. Output: (id, n_lists, rrf_micro, rank).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 10, kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val contribs = rankings.map(_.select(col("id"),
+      expr(s"CAST(1000000000 AS BIGINT) div CAST($kRrf + rank AS BIGINT)").as("c")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_lists"), sum(col("c")).as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("id"))
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf_micro").desc, col("id"))
+    fused.withColumn("rank", row_number().over(w)) // ≤ k rows post-limit
+      .select("id", "n_lists", "rrf_micro", "rank")
+  }
+
+  /** Hybrid retrieval: BM25 keyword candidates fused with exact-cosine
+    * vector candidates by RRF — the standard RAG retrieval shape. The
+    * corpus text and embedding sides are scanned independently (each
+    * prunes to its own columns); only two bounded top-kCand lists meet in
+    * the fusion. Swap the vector side for [[Similarity.pqTopK]] /
+    * [[Similarity.lshTopK]] output when the corpus outgrows brute force.
+    */
+  def hybridTopK(corpus: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], embeddings: DataFrame, // (id, vec)
+      queryVec: Array[Double], k: Int = 10, kCand: Int = 100,
+      kRrf: Int = 60): DataFrame = {
+    val text = bm25(corpus, textCol, idCol, terms, kCand)
+      .select(col("id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("id"))).as("rank"))
+    val vec = vectorTopK(embeddings, queryVec, kCand)
+    rrfFuse(Seq(text, vec), k, kRrf)
+  }
+
+  /** Exact-cosine top-k of a corpus against one literal query vector.
+    * Output: (id, rank). The single-query tier (the ANN operators cover
+    * query batches); the scan streams once, top-k is per-partition heaps.
+    */
+  def vectorTopK(embeddings: DataFrame, queryVec: Array[Double], k: Int): DataFrame = {
+    val q = typedLit(queryVec.toSeq)
+    val scored = embeddings.select(col("id"),
+      graft.functions.text.cosineSim(col("vec"), q).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w)).select("id", "rank")
+  }
 }

@@ -80,4 +80,48 @@ class SearchSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getInt(1))).toSet
     assert(got == Set((1L, "a", 2L, 4), (1L, "b", 1L, 4), (2L, "b", 3L, 3)))
   }
+
+  test("tfTopK ranks by matched-term coverage, then total tf, then id") {
+    val docs = Seq(
+      (1L, "x y"),            // 2 terms, tf 2
+      (2L, "x x x"),          // 1 term, tf 3
+      (3L, "x y x"),          // 2 terms, tf 3 — best
+      (4L, "z z z")).toDF("doc_id", "text")
+    val got = Search.tfTopK(docs, "text", "doc_id", Seq("x", "y"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == Map(3L -> 1, 1L -> 2, 2L -> 3), s"got $got")
+  }
+
+  test("rrfFuse: single list preserves order; integer contributions fuse exactly") {
+    val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
+    val single = Search.rrfFuse(Seq(a), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toMap
+    assert(single == Map(10L -> 1, 11L -> 2, 12L -> 3))
+    val b = Seq((12L, 1), (10L, 2), (99L, 3)).toDF("id", "rank")
+    val fused = Search.rrfFuse(Seq(a, b), k = 4).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    // integer-exact contributions: 10 at ranks (1,2) → 1e9/61 + 1e9/62
+    // beats 12 at ranks (3,1) → 1e9/63 + 1e9/61
+    assert(fused(10L)._2 == 1000000000L / 61 + 1000000000L / 62)
+    assert(fused(12L)._2 == 1000000000L / 63 + 1000000000L / 61)
+    assert(fused(10L)._3 == 1 && fused(10L)._1 == 2)
+    assert(fused(12L)._3 == 2)
+    assert(fused(99L)._1 == 1, "single-list doc carries one contribution")
+  }
+
+  test("hybridTopK fuses bm25 and vector neighbors deterministically on real data") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val qv = e.filter(col("id") === 0).select("vec").head().getSeq[Double](0).toArray
+    val run1 = Search.hybridTopK(docs, "text", "doc_id", Seq("join", "filter"),
+      e, qv, k = 10, kCand = 50).collect().map(r => (r.getLong(0), r.getInt(3))).toSeq
+    val run2 = Search.hybridTopK(docs, "text", "doc_id", Seq("join", "filter"),
+      e, qv, k = 10, kCand = 50).collect().map(r => (r.getLong(0), r.getInt(3))).toSeq
+    assert(run1 == run2, "hybrid ranking must be deterministic")
+    assert(run1.size == 10 && run1.map(_._2).sorted == (1 to 10))
+    // vec 0 is its own nearest neighbor (rank 1 on the vector side) and
+    // must appear in the fused list
+    assert(run1.exists(_._1 == 0L), "the query's own vector must fuse into the top-k")
+  }
 }
