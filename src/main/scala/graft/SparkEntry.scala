@@ -884,7 +884,12 @@ object SparkEntry {
         Seq("join", "filter", "data"), k = 100)
       val vec = graft.ops.Search.vectorTopK(e, qv, k = 100)
       graft.ops.Search.rrfFuse(Seq(text, vec), k = 50)
-    })
+    }),
+    "ns_pipeline" -> ((s, dir) =>
+      // Composed curation pipeline (dedup → lang → quality → split): the
+      // oracle replays every stage AND the first-drop precedence, pinning
+      // that the operators compose without semantic drift.
+      graft.ops.Pipelines.disposition(t(s, dir, "documents"), "text", "doc_id"))
   )
 
   /** The 64 portable-minhash signature components as DuckDB expressions —
@@ -1596,6 +1601,56 @@ object SparkEntry {
         |SELECT id, n_lists, rrf_micro,
         |       CAST(row_number() OVER (ORDER BY rrf_micro DESC, id) AS INT) AS rank
         |FROM f""".stripMargin,
+    "ns_pipeline" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+        |), lang AS (
+        |  SELECT doc_id,
+        |    CASE WHEN s_de = best AND best > 0 THEN 'de'
+        |         WHEN s_en = best AND best > 0 THEN 'en'
+        |         WHEN s_es = best AND best > 0 THEN 'es'
+        |         WHEN s_fr = best AND best > 0 THEN 'fr'
+        |         WHEN s_zh = best AND best > 0 THEN 'zh'
+        |         ELSE 'und' END AS lang_pred
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit'))) AS s_de,
+        |      len(list_filter(toks, x -> x IN ('the','and','of','to','is','that','with'))) AS s_en,
+        |      len(list_filter(toks, x -> x IN ('el','la','los','las','que','es','con'))) AS s_es,
+        |      len(list_filter(toks, x -> x IN ('le','la','les','est','que','avec','pour'))) AS s_fr,
+        |      len(list_filter(toks, x -> x IN ('的','是','了','在','我','不'))) AS s_zh,
+        |      greatest(
+        |        len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit'))),
+        |        len(list_filter(toks, x -> x IN ('the','and','of','to','is','that','with'))),
+        |        len(list_filter(toks, x -> x IN ('el','la','los','las','que','es','con'))),
+        |        len(list_filter(toks, x -> x IN ('le','la','les','est','que','avec','pour'))),
+        |        len(list_filter(toks, x -> x IN ('的','是','了','在','我','不')))) AS best
+        |    FROM tk)
+        |), q AS (
+        |  SELECT doc_id,
+        |    (len(toks) >= 30
+        |     AND CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) >= 4.0
+        |     AND len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) >= 2) AS q_keep
+        |  FROM tk
+        |), rep AS (
+        |  SELECT md5(text) AS digest, min(doc_id) AS rep_id FROM documents GROUP BY 1
+        |), d0 AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id != r.rep_id THEN 'dedup'
+        |         WHEN l.lang_pred != 'en' THEN 'lang'
+        |         WHEN NOT q.q_keep THEN 'quality' END AS dropped_at
+        |  FROM documents d
+        |  JOIN rep r ON md5(d.text) = r.digest
+        |  JOIN lang l USING (doc_id) JOIN q USING (doc_id)
+        |)
+        |SELECT doc_id, dropped_at,
+        |  CASE WHEN dropped_at IS NULL THEN
+        |    CASE WHEN hv < 800 THEN 'train' WHEN hv < 900 THEN 'val' ELSE 'test' END
+        |  END AS split
+        |FROM (SELECT *,
+        |        (('0x' || substr(md5('graft-split|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |         & 2147483647) % 1000 AS hv
+        |      FROM d0)""".stripMargin,
     "ns_media_phash" ->
       s"""$phashCteSql
         |SELECT doc_id AS media_id, phash FROM bits""".stripMargin,

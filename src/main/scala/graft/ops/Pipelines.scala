@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Composed corpus-curation pipeline: the standard pretraining flow
+  * (exact dedup → language filter → quality filter → split assignment)
+  * chained from the individual operators into one per-document
+  * *disposition* table — the provenance artifact a data team audits and
+  * the contract that the operators compose without changing semantics.
+  *
+  * Stage order follows the usual web-corpus pipelines (C4 / Gopher /
+  * FineWeb lineage): dedup first so duplicated junk doesn't vote in
+  * later statistics, language before quality so thresholds can be
+  * per-language.
+  *
+  * Scale shape: digest, language id, and the quality conjunction are all
+  * computed in the same scan stage (narrow projections over one
+  * tokenization); the only data shuffles are the digest aggregation for
+  * first-occurrence resolution (uniform 16-byte key) and its join back —
+  * the same shape as [[Dedup.exactIndex]]. Split assignment is a pure
+  * projection. One corpus pass + one digest exchange, regardless of how
+  * many stages the pipeline grows.
+  */
+object Pipelines {
+
+  /** Per-document disposition: `dropped_at` names the FIRST stage that
+    * rejected the document (`'dedup' | 'lang' | 'quality'`, null =
+    * survivor); survivors carry their deterministic train/val/test
+    * `split`, dropped documents a null split.
+    */
+  def disposition(docs: DataFrame, textCol: String, idCol: String,
+      keepLang: String = "en",
+      minWords: Int = 30, minMeanWordLen: Double = 4.0,
+      minStopwordHits: Int = 2,
+      splitBands: Seq[(String, Int)] = Seq("train" -> 800, "val" -> 100, "test" -> 100),
+      splitSeed: String = "graft-split"): DataFrame = {
+    // quality stage: the Gopher filter with only the word-count /
+    // mean-word-length / stopword rules armed (the permissive bounds make
+    // the remaining conjuncts vacuously true — signals still computed once)
+    val q = Curation.qualityFilter(docs, textCol, idCol,
+      minWords = minWords, maxWords = Int.MaxValue,
+      minMeanWordLen = minMeanWordLen, maxMeanWordLen = Double.MaxValue,
+      minStopwordHits = minStopwordHits, minAlphaWordFrac = 0.0,
+      maxDupLineFrac = 1.0, maxDupLineCharFrac = 1.0)
+      .select(col(idCol), col("keep").as("q_keep"))
+    val rep = Dedup.exactIndex(docs, textCol, idCol) // (digest, corpus_id = min id)
+    val base = docs.select(col(idCol), md5(col(textCol)).as("digest"),
+      TextAnalysis.langId(col(textCol)).as("lang_pred"))
+    val disp = base.join(rep, "digest").join(q, idCol)
+      .select(col(idCol),
+        when(col(idCol) =!= col("corpus_id"), "dedup")
+          .when(col("lang_pred") =!= keepLang, "lang")
+          .when(!col("q_keep"), "quality")
+          .as("dropped_at"))
+    Curation.assignSplit(disp, idCol, splitBands, splitSeed)
+      .withColumn("split", when(col("dropped_at").isNull, col("split")))
+      .select(col(idCol), col("dropped_at"), col("split"))
+  }
+}

@@ -427,6 +427,48 @@ class OpsSpec extends AnyFunSuite {
     assert(full.nonEmpty, "test data must actually contain cross-split near-dups")
   }
 
+  test("pipeline disposition: first-drop precedence and per-stage flags on toy docs") {
+    import graft.ops.Pipelines
+    val good = "the and of that with " + ("wonderful " * 30).trim
+    val short = "the and clearly insufficient"
+    val docs = Seq(
+      (1L, good),                                     // survivor
+      (5L, good),                                     // dup of 1 → 'dedup'
+      (2L, ("der die das und ist nicht mit " * 10).trim), // 'lang'
+      (3L, short),                                    // 'quality' (en, too short)
+      (9L, short)                                     // dup of 3 → 'dedup' (precedence)
+    ).toDF("doc_id", "text")
+    val out = Pipelines.disposition(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) "ok" else r.getString(1)),
+        if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(out(1L)._1 == "ok" && Set("train", "val", "test").contains(out(1L)._2))
+    assert(out(5L) == (("dedup", null)))
+    assert(out(2L) == (("lang", null)))
+    assert(out(3L) == (("quality", null)))
+    assert(out(9L) == (("dedup", null)), "dedup must take precedence over quality")
+  }
+
+  test("pipeline disposition survivors equal the composition of the individual operators") {
+    import graft.ops.{Curation, Pipelines}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val disp = Pipelines.disposition(docs, "text", "doc_id")
+    val survivors = disp.filter(col("dropped_at").isNull)
+      .select("doc_id").as[Long].collect().toSet
+    val firstOcc = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val en = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .filter(col("l") === "en").select("doc_id").as[Long].collect().toSet
+    val quality = Curation.qualityFilter(docs, "text", "doc_id",
+      minWords = 30, maxWords = Int.MaxValue, minMeanWordLen = 4.0,
+      maxMeanWordLen = Double.MaxValue, minStopwordHits = 2, minAlphaWordFrac = 0.0,
+      maxDupLineFrac = 1.0, maxDupLineCharFrac = 1.0)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(survivors == (firstOcc & en & quality),
+      s"pipeline must equal the operator chain: ${survivors.size} vs ${(firstOcc & en & quality).size}")
+    assert(survivors.nonEmpty && survivors.size < docs.count(),
+      "every stage must actually fire on the test corpus")
+  }
+
   test("multimodal: stub decode is deterministic, batch plumbing preserves ids") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
     val media = Multimodal.fromDocuments(docs, "doc_id", "text", "text/plain")
