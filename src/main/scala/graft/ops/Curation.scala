@@ -466,15 +466,29 @@ object Curation {
         col("q.dup_char_frac").as("dup_char_frac"),
         col("q.dup_2gram_frac").as("dup_2gram_frac"),
         col("q.dup_3gram_frac").as("dup_3gram_frac"),
-        (col("q.n_words") >= minWords && col("q.n_words") <= maxWords &&
-          col("q.mean_word_len") >= minMeanWordLen &&
-          col("q.mean_word_len") <= maxMeanWordLen &&
-          col("q.stop_hits") >= minStopwordHits &&
-          col("q.frac_alpha") >= minAlphaWordFrac &&
-          col("q.dup_line_frac") <= maxDupLineFrac &&
-          col("q.dup_char_frac") <= maxDupLineCharFrac &&
-          col("q.dup_2gram_frac") <= maxDup2gramFrac &&
-          col("q.dup_3gram_frac") <= maxDup3gramFrac).as("keep"))
+        qualityKeep(col("q"), minWords, maxWords, minMeanWordLen, maxMeanWordLen,
+          minStopwordHits, minAlphaWordFrac, maxDupLineFrac, maxDupLineCharFrac,
+          maxDup2gramFrac, maxDup3gramFrac).as("keep"))
+
+  /** The quality-filter conjunction over a [[curationStats]] struct —
+    * shared by [[qualityFilter]] and the composed pipeline so thresholds
+    * have a single definition.
+    */
+  private[ops] def qualityKeep(q: Column,
+      minWords: Int, maxWords: Int,
+      minMeanWordLen: Double, maxMeanWordLen: Double,
+      minStopwordHits: Int, minAlphaWordFrac: Double,
+      maxDupLineFrac: Double, maxDupLineCharFrac: Double,
+      maxDup2gramFrac: Double, maxDup3gramFrac: Double): Column =
+    q.getField("n_words") >= minWords && q.getField("n_words") <= maxWords &&
+      q.getField("mean_word_len") >= minMeanWordLen &&
+      q.getField("mean_word_len") <= maxMeanWordLen &&
+      q.getField("stop_hits") >= minStopwordHits &&
+      q.getField("frac_alpha") >= minAlphaWordFrac &&
+      q.getField("dup_line_frac") <= maxDupLineFrac &&
+      q.getField("dup_char_frac") <= maxDupLineCharFrac &&
+      q.getField("dup_2gram_frac") <= maxDup2gramFrac &&
+      q.getField("dup_3gram_frac") <= maxDup3gramFrac
 
   // ------------------------------------- importance resampling (DSIR)
 

@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Composed corpus-curation pipeline: the standard pretraining flow
   * (exact dedup → language filter → quality filter → split assignment)
-  * chained from the individual operators into one per-document
-  * *disposition* table — the provenance artifact a data team audits and
-  * the contract that the operators compose without changing semantics.
+  * fused into one per-document *disposition* table — the provenance
+  * artifact a data team audits. Stages share the individual operators'
+  * signal expressions, and OpsSpec pins the composition law: pipeline
+  * survivors equal the intersection of the standalone operators.
   *
   * Stage order follows the usual web-corpus pipelines (C4 / Gopher /
   * FineWeb lineage): dedup first so duplicated junk doesn't vote in
@@ -35,19 +36,25 @@ object Pipelines {
       minStopwordHits: Int = 2,
       splitBands: Seq[(String, Int)] = Seq("train" -> 800, "val" -> 100, "test" -> 100),
       splitSeed: String = "graft-split"): DataFrame = {
-    // quality stage: the Gopher filter with only the word-count /
-    // mean-word-length / stopword rules armed (the permissive bounds make
-    // the remaining conjuncts vacuously true — signals still computed once)
-    val q = Curation.qualityFilter(docs, textCol, idCol,
-      minWords = minWords, maxWords = Int.MaxValue,
-      minMeanWordLen = minMeanWordLen, maxMeanWordLen = Double.MaxValue,
-      minStopwordHits = minStopwordHits, minAlphaWordFrac = 0.0,
-      maxDupLineFrac = 1.0, maxDupLineCharFrac = 1.0)
-      .select(col(idCol), col("keep").as("q_keep"))
-    val rep = Dedup.exactIndex(docs, textCol, idCol) // (digest, corpus_id = min id)
+    // ONE corpus scan computes every per-doc signal — digest, language
+    // id, and the quality conjunction (Gopher filter with only the
+    // word-count / mean-word-length / stopword rules armed; the
+    // permissive bounds make the remaining conjuncts vacuously true).
+    // First-occurrence resolution is a min-over-digest window on that
+    // same frame: one exchange keyed by the uniform 16-byte digest, no
+    // second read of the text column (a groupBy+join would re-scan the
+    // corpus to rebuild digests). Digest groups are dup clusters — small
+    // by construction, and the window buffer spills if a pathological
+    // mass-duplicate appears. Adding a pipeline stage adds a projection
+    // here, not a pass over the corpus.
     val base = docs.select(col(idCol), md5(col(textCol)).as("digest"),
-      TextAnalysis.langId(col(textCol)).as("lang_pred"))
-    val disp = base.join(rep, "digest").join(q, idCol)
+      TextAnalysis.langId(col(textCol)).as("lang_pred"),
+      Curation.qualityKeep(Curation.curationStats(col(textCol)),
+        minWords, Int.MaxValue, minMeanWordLen, Double.MaxValue,
+        minStopwordHits, 0.0, 1.0, 1.0, 1.0, 1.0).as("q_keep"))
+    val disp = base
+      .withColumn("corpus_id", min(col(idCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("digest")))
       .select(col(idCol),
         when(col(idCol) =!= col("corpus_id"), "dedup")
           .when(col("lang_pred") =!= keepLang, "lang")

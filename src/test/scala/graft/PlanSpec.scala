@@ -303,6 +303,17 @@ class PlanSpec extends AnyFunSuite {
       s"scan must prune to id+text:\n${plan.take(2000)}")
   }
 
+  test("pipeline disposition: ONE corpus scan, one digest-keyed exchange") {
+    val docs = SparkEntry.t(spark, sf, "documents")
+    val plan = planOf(graft.ops.Pipelines.disposition(docs, "text", "doc_id"))
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"all stages must fuse into one corpus pass:\n${plan.take(2500)}")
+    "Exchange hashpartitioning\\(([a-zA-Z_]+)#".r.findAllMatchIn(plan).foreach { m =>
+      assert(m.group(1) == "digest",
+        s"only the digest may key a shuffle, got ${m.group(1)}:\n${plan.take(2500)}")
+    }
+  }
+
   test("domain tagging is projection-only; domain stats partial-aggregate") {
     val docs = SparkEntry.t(spark, sf, "documents")
       .selectExpr("doc_id", "concat('https://', source, '.example.com/', doc_id) AS url")
