@@ -48,6 +48,27 @@ object Windows {
       .dropDuplicatesWithinWatermark("__simhash")
       .drop("__simhash")
 
+  /** Streaming incremental dedup against a STATIC corpus index — the
+    * stream-static join tier and the continuous-ingestion form of
+    * [[graft.ops.Dedup.incrementalExact]]: each micro-batch left-anti
+    * joins its content digests against a persisted
+    * [[graft.ops.Dedup.exactIndex]] frame (only corpus-novel rows
+    * survive), then within-stream duplicates collapse via watermarked
+    * digest state. The static side re-plans per micro-batch, so swapping
+    * the index table (e.g. after a nightly compaction folds the day's
+    * accepted digests in) is picked up on the next batch without
+    * restarting the query. State entries are ~16-byte digests bounded by
+    * the watermark horizon; the join side is the digest-only index, never
+    * corpus text.
+    */
+  def streamingIncrementalDedup(stream: DataFrame, index: DataFrame,
+      tsCol: String, textCol: String, watermark: String): DataFrame =
+    stream.withColumn("__digest", md5(col(textCol)))
+      .join(index.select(col("digest").as("__digest")), Seq("__digest"), "left_anti")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
+
   /** Tumbling/sliding windowed counts + sums per key with a watermark:
     * the standard event-time aggregation. Late rows beyond the watermark
     * are dropped by the engine — at scale the watermark bounds state size.

@@ -82,6 +82,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: corpus dups anti-join out, stream dups collapse, novel pass") {
+    val corpus = Seq((1L, "known document one"), (2L, "known document two"))
+      .toDF("doc_id", "text")
+    val index = graft.ops.Dedup.exactIndex(corpus, "text", "doc_id")
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark, 1)
+    val df = input.toDF().toDF("ts", "text")
+    val deduped = Windows.streamingIncrementalDedup(df, index, "ts", "text", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("sincdedup").outputMode("append").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData(
+        (ts(0), "known document one"), // dup of the static corpus → dropped
+        (ts(1), "fresh document"),     // novel → kept
+        (ts(2), "fresh document"),     // within-stream dup → dropped
+        (ts(3), "another fresh one"))  // novel → kept
+      q.processAllAvailable()
+      val got = spark.table("sincdedup").select("text").as[String].collect().sorted.toSeq
+      assert(got == Seq("another fresh one", "fresh document"))
+      assert(spark.table("sincdedup").columns.toSeq == Seq("ts", "text"),
+        "digest helper column must not leak")
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over a memory stream") {
     val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark, 1)
     val df = input.toDF().toDF("ts", "key", "v")
