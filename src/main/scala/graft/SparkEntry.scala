@@ -821,7 +821,10 @@ object SparkEntry {
     "ns_ann_pq" -> ((s, dir) => {
       // Product-quantization ANN in lossless gate mode: ksub = 512 ≥ the
       // sf0.01 corpus's distinct subvectors per subspace, so codebooks
-      // reconstruct every vector exactly, ADC scoring IS the exact cosine,
+      // reconstruct every vector exactly, ADC scoring IS the exact cosine
+      // (per-subspace partial sums differ from the sequential cosine only
+      // in final ulps — the gate corpus's neighbor margins are many orders
+      // larger, the same FP-margin assumption the LSH/IVF gates make),
       // and the output must EQUAL exact brute-force top-k (exactTopKSql
       // oracle — mutually gated with LSH/IVF/brute force). Compression-mode
       // recall (ksub ≪ corpus, the 100 TB memory-bound tier) is
@@ -867,7 +870,7 @@ object SparkEntry {
         docs.filter(col("doc_id") < 250), "text", "doc_id", portable = true)
       graft.ops.Dedup.incrementalMinhashCandidates(
         docs.filter(col("doc_id") >= 250), index, "text", "doc_id",
-        maxBucket = Int.MaxValue, portable = true)
+        maxBucket = Int.MaxValue)
     }),
     "ns_hybrid" -> ((s, dir) => {
       // Hybrid retrieval gate: RRF-fuse two rankings that are BOTH exactly
@@ -1633,14 +1636,16 @@ object SparkEntry {
         |     AND len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) >= 2) AS q_keep
         |  FROM tk
         |), rep AS (
-        |  SELECT md5(text) AS digest, min(doc_id) AS rep_id FROM documents GROUP BY 1
+        |  SELECT coalesce(md5(text), '∅' || CAST(doc_id AS VARCHAR)) AS digest,
+        |         min(doc_id) AS rep_id
+        |  FROM documents GROUP BY 1
         |), d0 AS (
         |  SELECT d.doc_id,
         |    CASE WHEN d.doc_id != r.rep_id THEN 'dedup'
         |         WHEN l.lang_pred != 'en' THEN 'lang'
         |         WHEN NOT q.q_keep THEN 'quality' END AS dropped_at
         |  FROM documents d
-        |  JOIN rep r ON md5(d.text) = r.digest
+        |  JOIN rep r ON coalesce(md5(d.text), '∅' || CAST(d.doc_id AS VARCHAR)) = r.digest
         |  JOIN lang l USING (doc_id) JOIN q USING (doc_id)
         |)
         |SELECT doc_id, dropped_at,

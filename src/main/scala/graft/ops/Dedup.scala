@@ -111,13 +111,23 @@ object Dedup {
     val b = bucketed.select(col("band"), col("bucket"), col("id").as("idB"), col("sig").as("sigB"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("idA") < col("idB"))
-      .filter(slice(col("sigA"), col("band") * rows + 1, lit(rows)) ===
-        slice(col("sigB"), col("band") * rows + 1, lit(rows)))
+      .filter(fullBandEq(col("sigA"), col("sigB"), col("band"), rows))
       .select(col("idA"), col("idB"),
-        (size(filter(zip_with(col("sigA"), col("sigB"), (x, y) => (x === y).cast("int")),
-          v => v === 1)) / lit(numHashes.toDouble)).as("est_jaccard"))
+        estJaccard(col("sigA"), col("sigB"), numHashes).as("est_jaccard"))
       .dropDuplicates("idA", "idB")
   }
+
+  /** Full-band signature equality (the residual-collision check behind the
+    * bucket-hash pre-filter) — shared by the full and incremental paths so
+    * the tested equivalence law can't drift.
+    */
+  private def fullBandEq(sigA: Column, sigB: Column, band: Column, rows: Int): Column =
+    slice(sigA, band * rows + 1, lit(rows)) === slice(sigB, band * rows + 1, lit(rows))
+
+  /** Estimated Jaccard = fraction of agreeing signature components. */
+  private def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => (x === y).cast("int")),
+      v => v === 1)) / lit(numHashes.toDouble)
 
   // ---- Incremental (delta-vs-corpus) dedup — continuous ingestion ----
   //
@@ -156,42 +166,54 @@ object Dedup {
         (col("corpus_id").isNull && col("id") === col("first_id")).as("keep"))
   }
 
-  /** Persistable minhash LSH index: banded bucket keys + signature per
-    * corpus doc — the near-dup analog of [[exactIndex]]. Output:
-    * (corpus_id, sig, band, bucket), bands rows per doc.
+  /** Persistable minhash LSH index: the banded-bucket entries frame plus
+    * the hash-family parameters that produced it. Carrying the parameters
+    * WITH the entries makes a family mismatch (e.g. index built portable,
+    * delta hashed with XXH64 — buckets silently never collide)
+    * unrepresentable: the incremental path reads them from here. Persist
+    * `entries` as a bucketed table; reconstruct the wrapper with the same
+    * parameters on load.
+    */
+  final case class MinhashIndex(entries: DataFrame, shingleLen: Int,
+      numHashes: Int, bands: Int, portable: Boolean)
+
+  /** Build a [[MinhashIndex]] over the corpus — the near-dup analog of
+    * [[exactIndex]]. Entries: (corpus_id, sig, band, bucket), bands rows
+    * per doc.
     */
   def minhashIndex(corpus: DataFrame, textCol: String, idCol: String,
       shingleLen: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      portable: Boolean = false): DataFrame =
-    corpus.select(col(idCol).as("corpus_id"),
+      portable: Boolean = false): MinhashIndex = {
+    val entries = corpus.select(col(idCol).as("corpus_id"),
       minhashSigAndBuckets(col(textCol), shingleLen, numHashes, bands, portable).as("mh"))
       .select(col("corpus_id"), col("mh.sig").as("sig"),
         posexplode(col("mh.buckets")).as(Seq("band", "bucket")))
+    MinhashIndex(entries, shingleLen, numHashes, bands, portable)
+  }
 
   /** Near-duplicate candidates of a new batch against a prebuilt
-    * [[minhashIndex]] — same full-band-equality semantics as
-    * [[minhashCandidates]], but the join partner is the index, so cost
-    * scales with delta size × bucket hit rate, never with the corpus.
+    * [[MinhashIndex]] — same full-band-equality semantics as
+    * [[minhashCandidates]] (shared [[fullBandEq]]/[[estJaccard]]
+    * expressions; the batch side hashes with the index's own parameters),
+    * but the join partner is the index, so cost scales with delta size ×
+    * bucket hit rate, never with the corpus.
     * Output: (batch_id, corpus_id, est_jaccard), distinct.
     */
-  def incrementalMinhashCandidates(batch: DataFrame, index: DataFrame,
-      textCol: String, idCol: String,
-      shingleLen: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      maxBucket: Int = 64, portable: Boolean = false): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rows = numHashes / bands
+  def incrementalMinhashCandidates(batch: DataFrame, index: MinhashIndex,
+      textCol: String, idCol: String, maxBucket: Int = 64): DataFrame = {
+    require(index.numHashes % index.bands == 0, "numHashes must be divisible by bands")
+    val rows = index.numHashes / index.bands
     val b = batch.select(col(idCol).as("batch_id"),
-      minhashSigAndBuckets(col(textCol), shingleLen, numHashes, bands, portable).as("mh"))
+      minhashSigAndBuckets(col(textCol), index.shingleLen, index.numHashes,
+        index.bands, index.portable).as("mh"))
       .select(col("batch_id"), col("mh.sig").as("sigB"),
         posexplode(col("mh.buckets")).as(Seq("band", "bucket")))
-    val idx = capBuckets(index, Seq("band", "bucket"), maxBucket)
+    val idx = capBuckets(index.entries, Seq("band", "bucket"), maxBucket)
       .select(col("band"), col("bucket"), col("corpus_id"), col("sig").as("sigA"))
     b.join(idx, Seq("band", "bucket"))
-      .filter(slice(col("sigA"), col("band") * rows + 1, lit(rows)) ===
-        slice(col("sigB"), col("band") * rows + 1, lit(rows)))
+      .filter(fullBandEq(col("sigA"), col("sigB"), col("band"), rows))
       .select(col("batch_id"), col("corpus_id"),
-        (size(filter(zip_with(col("sigA"), col("sigB"), (x, y) => (x === y).cast("int")),
-          v => v === 1)) / lit(numHashes.toDouble)).as("est_jaccard"))
+        estJaccard(col("sigA"), col("sigB"), index.numHashes).as("est_jaccard"))
       .dropDuplicates("batch_id", "corpus_id")
   }
 

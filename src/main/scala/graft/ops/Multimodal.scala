@@ -142,7 +142,10 @@ object Multimodal {
       .filter(col("idA") < col("idB"))
       .select(col("idA"), col("idB"),
         bit_count(col("fpA").bitwiseXOR(col("fpB"))).as("hamming"))
-      .dropDuplicates("idA", "idB")
+      // hamming is a pure function of the pair: filtering BEFORE the
+      // dedup exchange discards band-collision false positives in the
+      // join stage instead of shuffling them
       .filter(col("hamming") <= maxDist)
+      .dropDuplicates("idA", "idB")
   }
 }

@@ -47,7 +47,11 @@ object Pipelines {
     // by construction, and the window buffer spills if a pathological
     // mass-duplicate appears. Adding a pipeline stage adds a projection
     // here, not a pass over the corpus.
-    val base = docs.select(col(idCol), md5(col(textCol)).as("digest"),
+    // NULL text digests to a per-doc sentinel so null-text rows form
+    // singleton groups (they are not duplicates of each other) and fall
+    // through to the language stage as 'und'
+    val base = docs.select(col(idCol),
+      coalesce(md5(col(textCol)), concat(lit("∅"), col(idCol).cast("string"))).as("digest"),
       TextAnalysis.langId(col(textCol)).as("lang_pred"),
       Curation.qualityKeep(Curation.curationStats(col(textCol)),
         minWords, Int.MaxValue, minMeanWordLen, Double.MaxValue,

@@ -86,13 +86,19 @@ object Search {
     val scored = termPostings(corpus, textCol, idCol, terms)
       .groupBy("id")
       .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("tf_total"))
-      .orderBy(col("n_terms").desc, col("tf_total").desc, col("id"))
-      .limit(k)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n_terms").desc, col("tf_total").desc, col("id"))
-    // global window is fine here: it runs AFTER the TakeOrderedAndProject,
-    // over at most k rows
-    scored.withColumn("rank", row_number().over(w)).select("id", "rank")
+    topKRanked(scored, Seq(col("n_terms").desc, col("tf_total").desc, col("id")), k)
+      .select("id", "rank")
+  }
+
+  /** orderBy+limit (plans as TakeOrderedAndProject: per-partition heaps +
+    * a k-row driver merge, never a global sort) followed by a rank column
+    * from the same ordering. The GLOBAL row_number window is safe only
+    * because it runs after the limit, over ≤ k rows — this helper is the
+    * single home of that invariant for every ranked-list builder here.
+    */
+  private def topKRanked(df: DataFrame, order: Seq[Column], k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+    df.orderBy(order: _*).limit(k).withColumn("rank", row_number().over(w))
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): fuse any
@@ -112,11 +118,7 @@ object Search {
     val fused = contribs.reduce(_ unionByName _)
       .groupBy("id")
       .agg(count(lit(1)).as("n_lists"), sum(col("c")).as("rrf_micro"))
-      .orderBy(col("rrf_micro").desc, col("id"))
-      .limit(k)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("rrf_micro").desc, col("id"))
-    fused.withColumn("rank", row_number().over(w)) // ≤ k rows post-limit
+    topKRanked(fused, Seq(col("rrf_micro").desc, col("id")), k)
       .select("id", "n_lists", "rrf_micro", "rank")
   }
 
@@ -131,10 +133,8 @@ object Search {
       terms: Seq[String], embeddings: DataFrame, // (id, vec)
       queryVec: Array[Double], k: Int = 10, kCand: Int = 100,
       kRrf: Int = 60): DataFrame = {
-    val text = bm25(corpus, textCol, idCol, terms, kCand)
-      .select(col("id"),
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("score").desc, col("id"))).as("rank"))
+    val text = topKRanked(bm25(corpus, textCol, idCol, terms, kCand),
+      Seq(col("score").desc, col("id")), kCand).select("id", "rank")
     val vec = vectorTopK(embeddings, queryVec, kCand)
     rrfFuse(Seq(text, vec), k, kRrf)
   }
@@ -147,10 +147,6 @@ object Search {
     val q = typedLit(queryVec.toSeq)
     val scored = embeddings.select(col("id"),
       graft.functions.text.cosineSim(col("vec"), q).as("sim"))
-      .orderBy(col("sim").desc, col("id"))
-      .limit(k)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("sim").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w)).select("id", "rank")
+    topKRanked(scored, Seq(col("sim").desc, col("id")), k).select("id", "rank")
   }
 }

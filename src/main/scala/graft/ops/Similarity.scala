@@ -268,10 +268,14 @@ object Similarity {
     }
     // one Lloyd iteration: distributed L2 assignment (seeds ride the task
     // closure) + per-(sub, code) means. Groups are bounded by the sample.
+    // collect_list order is partition-dependent and the double fold is
+    // order-sensitive in final ulps — array_sort pins a canonical
+    // summation order so trained centroids are bit-identical across
+    // partitionings/cluster sizes.
     val means = subs
       .select(col("sub"), text.pqSubEncode(col("sub"), col("sv"), seeds).as("code"), col("sv"))
       .groupBy("sub", "code")
-      .agg(collect_list(col("sv")).as("vs"))
+      .agg(array_sort(collect_list(col("sv"))).as("vs"))
       .select(col("sub"), col("code"), expr(
         "transform(sequence(0, size(vs[0]) - 1), i -> aggregate(vs, 0D, (acc, v) -> acc + v[i]) / size(vs))")
         .as("c"))

@@ -417,6 +417,7 @@ class OpsSpec extends AnyFunSuite {
   test("incremental minhash candidates equal the cross-pair subset of full dedup") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val idx = Dedup.minhashIndex(docs.filter(col("doc_id") < 250), "text", "doc_id")
+    assert(!idx.portable && idx.numHashes == 64, "index carries its hash-family parameters")
     val inc = Dedup.incrementalMinhashCandidates(
       docs.filter(col("doc_id") >= 250), idx, "text", "doc_id", maxBucket = Int.MaxValue)
       .collect().map(r => (r.getLong(1), r.getLong(0))).toSet // (corpus_id, batch_id)
