@@ -314,6 +314,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed index tables join with NO exchange on either side") {
+    import org.apache.spark.sql.functions.md5
+    val docs = SparkEntry.t(spark, sf, "documents")
+    val idx = graft.ops.Dedup.exactIndex(docs, "text", "doc_id")
+    val batch = docs.select(col("doc_id"), md5(col("text")).as("digest"))
+    graft.ops.Tables.writeBucketed(idx, "t_exact_idx", "digest", 4)
+    graft.ops.Tables.writeBucketed(batch, "t_batch", "digest", 4)
+    // broadcast would win at toy scale and hide the bucketed shape — the
+    // 100 TB case this gates is two index-sized sides where broadcast is
+    // impossible and the bucketed zip is the only shuffle-free plan
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = graft.ops.Tables.readBucketed(spark, "t_batch")
+        .join(graft.ops.Tables.readBucketed(spark, "t_exact_idx"), "digest")
+      assert(j.count() > 0)
+      val plan = planOf(j)
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n${plan.take(2500)}")
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must be exchange-free:\n${plan.take(2500)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS t_exact_idx")
+      spark.sql("DROP TABLE IF EXISTS t_batch")
+    }
+  }
+
   test("domain tagging is projection-only; domain stats partial-aggregate") {
     val docs = SparkEntry.t(spark, sf, "documents")
       .selectExpr("doc_id", "concat('https://', source, '.example.com/', doc_id) AS url")
