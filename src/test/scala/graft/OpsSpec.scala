@@ -470,6 +470,25 @@ class OpsSpec extends AnyFunSuite {
       "every stage must actually fire on the test corpus")
   }
 
+  test("salted join equals the plain join on skewed data and spreads the hot key") {
+    import graft.ops.Skew
+    // one hot key (900 rows) + a long tail
+    val skewed = ((1 to 900).map(i => (i.toLong, "hot")) ++
+      (901 to 1000).map(i => (i.toLong, s"k${i % 17}"))).toDF("row_id", "k")
+    val build = (Seq("hot") ++ (0 until 17).map(i => s"k$i")).zipWithIndex
+      .map { case (k, v) => (k, v.toLong) }.toDF("k", "v")
+    val plain = skewed.join(build, "k")
+      .select("row_id", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = Skew.saltedJoin(skewed, build, "k", col("row_id"), saltFactor = 8)
+      .select("row_id", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == plain, "salted join must be semantically identical")
+    // the salt actually spreads the hot key across distinct salt values
+    val spread = skewed.filter(col("k") === "hot")
+      .select(pmod(xxhash64(col("row_id")), lit(8L)).as("s"))
+      .distinct().count()
+    assert(spread == 8, s"hot key must spread over all salts, got $spread")
+  }
+
   test("multimodal: stub decode is deterministic, batch plumbing preserves ids") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
     val media = Multimodal.fromDocuments(docs, "doc_id", "text", "text/plain")
