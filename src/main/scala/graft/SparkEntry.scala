@@ -892,7 +892,12 @@ object SparkEntry {
       // Composed curation pipeline (dedup → lang → quality → split): the
       // oracle replays every stage AND the first-drop precedence, pinning
       // that the operators compose without semantic drift.
-      graft.ops.Pipelines.disposition(t(s, dir, "documents"), "text", "doc_id"))
+      graft.ops.Pipelines.disposition(t(s, dir, "documents"), "text", "doc_id")),
+    "ns_ngram_vocab" -> ((s, dir) =>
+      // collocation table: the n>1 face of the vocabulary machinery
+      // (same heap-top-K plan, bigram grams)
+      graft.ops.TextAnalysis.vocabulary(t(s, dir, "documents"), "text",
+        minCount = 2, topK = 100, n = 2))
   )
 
   /** The 64 portable-minhash signature components as DuckDB expressions —
@@ -1270,6 +1275,17 @@ object SparkEntry {
         |        (('0x' || substr(md5('graft-split|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
         |         & 2147483647) % 1000 AS hv
         |      FROM documents)""".stripMargin,
+    "ns_ngram_vocab" ->
+      """WITH tk AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |g AS (
+        |  SELECT unnest(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')) END) AS token
+        |  FROM tk),
+        |c AS (SELECT token, count(*) AS cnt FROM g GROUP BY 1 HAVING count(*) >= 2),
+        |k AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 100)
+        |SELECT token, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
+        |FROM k""".stripMargin,
     "ns_domains" ->
       """WITH u AS (
         |  SELECT doc_id,

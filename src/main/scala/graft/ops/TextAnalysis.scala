@@ -139,11 +139,14 @@ object TextAnalysis {
     * driver-memory bound; vocabularies are bounded by construction.
     */
   def vocabulary(docs: DataFrame, textCol: String, minCount: Long = 1L,
-      topK: Int = 100000): DataFrame = {
+      topK: Int = 100000, n: Int = 1): DataFrame = {
+    // n = 1: token vocabulary; n > 1: collocation / phrase table over
+    // overlapping word n-grams (same shorter-than-n convention as
+    // Dedup.shingles: a short doc contributes its whole text as one gram).
     // tokens materialize as an attribute BELOW the explode (generator-child
     // expressions get re-inlined into InferFiltersFromGenerate guards)
     val counts = docs
-      .select(graft.functions.text.wordNgrams(col(textCol), 1, distinct = false).as("__t"))
+      .select(graft.functions.text.wordNgrams(col(textCol), n, distinct = false).as("__t"))
       .select(explode(col("__t")).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))

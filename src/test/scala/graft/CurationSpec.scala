@@ -319,6 +319,12 @@ class CurationSpec extends AnyFunSuite {
       Seq((1L, "x y x y")).toDF("doc_id", "text"), "text", minCount = 1L, topK = 10)
       .collect().map(r => (r.getString(0), r.getLong(2)))
     assert(tied.toSet == Set(("x", 1L), ("y", 2L)))
+    // n = 2: overlapping bigram collocations; short docs fall back to one gram
+    val grams = graft.ops.TextAnalysis.vocabulary(
+      Seq((1L, "a b a b"), (2L, "q")).toDF("doc_id", "text"), "text",
+      minCount = 1L, topK = 10, n = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(grams == Map("a b" -> 2L, "b a" -> 1L, "q" -> 1L))
   }
 
   test("assignSplit: total labeling, band boundaries, determinism, remainder band") {
