@@ -893,6 +893,10 @@ object SparkEntry {
       // oracle replays every stage AND the first-drop precedence, pinning
       // that the operators compose without semantic drift.
       graft.ops.Pipelines.disposition(t(s, dir, "documents"), "text", "doc_id")),
+    "ns_pipeline_funnel" -> ((s, dir) =>
+      // the audit rollup of the disposition table (stage × split counts)
+      graft.ops.Pipelines.funnel(
+        graft.ops.Pipelines.disposition(t(s, dir, "documents"), "text", "doc_id"))),
     "ns_ngram_vocab" -> ((s, dir) =>
       // collocation table: the n>1 face of the vocabulary machinery
       // (same heap-top-K plan, bigram grams)
@@ -979,7 +983,19 @@ object SparkEntry {
       |)""".stripMargin
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    // the funnel oracle is the disposition oracle wrapped in the audit
+    // rollup — derived, so the two can never drift apart
+    base + ("ns_pipeline_funnel" ->
+      s"""WITH disp AS (
+         |${base("ns_pipeline")}
+         |)
+         |SELECT coalesce(dropped_at, 'kept') AS stage, split, count(*)::BIGINT AS n
+         |FROM disp GROUP BY 1, 2""".stripMargin)
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "session_routing" ->
       """SELECT event_id AS eid, event_type AS name, user_id AS custId,
         |       value AS amount, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

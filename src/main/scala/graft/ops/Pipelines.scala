@@ -68,4 +68,15 @@ object Pipelines {
       .withColumn("split", when(col("dropped_at").isNull, col("split")))
       .select(col(idCol), col("dropped_at"), col("split"))
   }
+
+  /** Stage funnel over a [[disposition]] frame: document counts per
+    * (stage, split) — the audit summary a curation run is reviewed by
+    * ("how much did each stage drop; how did survivors split"). A tiny
+    * partial-aggregated rollup of the disposition table, so it composes
+    * with a persisted disposition without recomputing the pipeline.
+    */
+  def funnel(disposition: DataFrame): DataFrame =
+    disposition
+      .groupBy(coalesce(col("dropped_at"), lit("kept")).as("stage"), col("split"))
+      .agg(count(lit(1)).as("n"))
 }
