@@ -897,6 +897,26 @@ object SparkEntry {
       // the audit rollup of the disposition table (stage × split counts)
       graft.ops.Pipelines.funnel(
         graft.ops.Pipelines.disposition(t(s, dir, "documents"), "text", "doc_id"))),
+    "ns_media_frames" -> ((s, dir) => {
+      // fixed-stride frame fingerprints (31-bit md5-derived — the oracle
+      // recomputes every window hash)
+      val media = graft.ops.Multimodal.fromDocuments(
+        t(s, dir, "documents"), "doc_id", "text", "text/plain")
+      graft.ops.Multimodal.frameFingerprints(media, n = 8, w = 16, stride = 64)
+    }),
+    "ns_media_frame_neardup" -> ((s, dir) => {
+      // frame-overlap near-dup gate: corpus ∪ tail-trimmed copies
+      // (media_id + 100000) — fixed-stride anchoring makes each trimmed
+      // copy collide with its original on every frame the trim didn't
+      // touch, so the pair set is rich and exactly replayable
+      val docs = t(s, dir, "documents")
+      val trimmed = docs.select((col("doc_id") + 100000).as("doc_id"),
+        expr("substr(text, 1, greatest(length(text) - 5, 0))").as("text"))
+      val media = graft.ops.Multimodal.fromDocuments(
+        docs.select("doc_id", "text").unionByName(trimmed), "doc_id", "text", "text/plain")
+      graft.ops.Multimodal.frameNearDupCandidates(media, n = 8, w = 16,
+        stride = 64, minShared = 4, maxBucket = Int.MaxValue)
+    }),
     "ns_ngram_vocab" -> ((s, dir) =>
       // collocation table: the n>1 face of the vocabulary machinery
       // (same heap-top-K plan, bigram grams)
@@ -1291,6 +1311,27 @@ object SparkEntry {
         |        (('0x' || substr(md5('graft-split|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
         |         & 2147483647) % 1000 AS hv
         |      FROM documents)""".stripMargin,
+    "ns_media_frames" ->
+      """SELECT doc_id AS media_id, CAST(f AS INT) AS frame,
+        |  CAST(('0x' || substr(md5(substr(text, CAST(f * 64 + 1 AS INT), 16)), 1, 8))::UBIGINT
+        |       & 2147483647 AS BIGINT) AS fp
+        |FROM (SELECT doc_id, text, unnest(range(8)) AS f FROM documents)
+        |WHERE f * 64 + 16 <= length(text)""".stripMargin,
+    "ns_media_frame_neardup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, substr(text, 1, greatest(length(text) - 5, 0)) FROM documents
+        |), fr AS (
+        |  SELECT media_id, f AS frame,
+        |    ('0x' || substr(md5(substr(text, CAST(f * 64 + 1 AS INT), 16)), 1, 8))::UBIGINT
+        |      & 2147483647 AS fp
+        |  FROM (SELECT media_id, text, unnest(range(8)) AS f FROM m)
+        |  WHERE f * 64 + 16 <= length(text)
+        |)
+        |SELECT a.media_id AS idA, b.media_id AS idB, count(*)::BIGINT AS n_shared
+        |FROM fr a JOIN fr b ON a.frame = b.frame AND a.fp = b.fp AND a.media_id < b.media_id
+        |GROUP BY 1, 2 HAVING count(*) >= 4""".stripMargin,
     "ns_ngram_vocab" ->
       """WITH tk AS (
         |  SELECT string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),

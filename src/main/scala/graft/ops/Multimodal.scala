@@ -119,6 +119,52 @@ object Multimodal {
     media.select(col("media_id"),
       graft.functions.text.mediaPHash(col("content")).as("phash"))
 
+  /** Per-frame content fingerprints: up to `n` windows of `w` bytes at
+    * FIXED STRIDE offsets (offset_i = i · stride, emitted only while the
+    * window fits), each reduced to a 31-bit md5-derived fingerprint the
+    * correctness oracle can recompute. Fixed anchoring is what makes this
+    * a NEAR-dup signal: a trimmed/extended tail changes only the frames
+    * it covers, the leading frames still collide (proportional sampling
+    * would shift every offset on any length change). This is the
+    * frame-sampling tier of video dedup: whole-payload pHash catches
+    * byte-level near-dups, frame fingerprints catch shared-content pairs
+    * whose containers differ. On real video the windows become decoded
+    * key-frames at fixed timestamps and the fingerprint a pHash of each —
+    * identical plumbing. Output: (media_id, frame, fp), ≤ n rows per
+    * media.
+    */
+  def frameFingerprints(media: DataFrame, n: Int = 8, w: Int = 16,
+      stride: Int = 64): DataFrame = {
+    require(n >= 1 && w >= 1 && stride >= 1, "need n, w, stride >= 1")
+    val payload = col("content").cast("string")
+    media.select(col("media_id"), payload.as("__p"),
+        explode(sequence(lit(0), lit(n - 1))).as("frame"))
+      .filter(col("frame") * stride + w <= length(col("__p")))
+      .select(col("media_id"), col("frame"),
+        h31(col("__p").substr(col("frame") * stride + 1, lit(w))).as("fp"))
+  }
+
+  /** Media pairs sharing ≥ `minShared` of their `n` frame fingerprints —
+    * the set-overlap candidate join over [[frameFingerprints]]. Pairs
+    * meet per (frame, fp) key (positional agreement: same content at the
+    * same relative position), so the join is banded — never all-pairs —
+    * and the shuffle carries (id, frame, fp) rows only. `maxBucket` caps
+    * degenerate fingerprint buckets (constant/empty payloads), same as
+    * every banded generator here.
+    */
+  def frameNearDupCandidates(media: DataFrame, n: Int = 8, w: Int = 16,
+      stride: Int = 64, minShared: Int = 4, maxBucket: Int = 64): DataFrame = {
+    val fps = frameFingerprints(media, n, w, stride)
+    val bucketed = Dedup.capBuckets(fps, Seq("frame", "fp"), maxBucket)
+    val a = bucketed.select(col("frame"), col("fp"), col("media_id").as("idA"))
+    val b = bucketed.select(col("frame"), col("fp"), col("media_id").as("idB"))
+    a.join(b, Seq("frame", "fp"))
+      .filter(col("idA") < col("idB"))
+      .groupBy("idA", "idB")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Near-duplicate media pairs with Hamming distance ≤ maxDist via 15-bit
     * banding of the 60-bit pHash (pigeonhole: every pair within distance 3
     * shares at least one of the 4 bands; larger distances are found

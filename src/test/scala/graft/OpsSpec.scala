@@ -393,6 +393,24 @@ class OpsSpec extends AnyFunSuite {
     assert(!cands.exists(c => c._2 == 5L && c._1 == 4L), "complementary hashes must not pair")
   }
 
+  test("frame fingerprints: tail edits keep leading frames, unrelated media never pair") {
+    val base = (1 to 40).map(i => f"seg$i%03d").mkString("|") // 280 bytes, varied
+    val docs = Seq(
+      (1L, base),
+      (2L, base.dropRight(20) + "XXREPLACEDTAILXX"), // same leading content
+      (3L, (1 to 40).map(i => f"zzz$i%03d").mkString("|"))).toDF("doc_id", "text")
+    val media = Multimodal.fromDocuments(docs, "doc_id", "text", "text/plain")
+    val fps = Multimodal.frameFingerprints(media, n = 8, w = 16, stride = 32)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(fps((1L, 0)) == fps((2L, 0)), "leading frame must survive a tail edit")
+    val pairs = Multimodal.frameNearDupCandidates(media, n = 8, w = 16,
+      stride = 32, minShared = 4, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 4),
+      s"tail-edited copy must share >= 4 leading frames: $pairs")
+    assert(!pairs.exists(p => p._2 == 3L), "unrelated media must not pair")
+  }
+
   test("pHash skew guard bounds degenerate buckets (identical payloads)") {
     val docs = (1L to 500L).map(i => (i, "same payload body " * 10)).toDF("doc_id", "text")
     val media = Multimodal.fromDocuments(docs, "doc_id", "text", "text/plain")
