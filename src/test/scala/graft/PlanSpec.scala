@@ -341,6 +341,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("frame near-dup: banded (frame, fp) join, partial-aggregated overlap counts") {
+    val docs = SparkEntry.t(spark, sf, "documents")
+    val media = graft.ops.Multimodal.fromDocuments(docs, "doc_id", "text", "text/plain")
+    val plan = planOf(graft.ops.Multimodal.frameNearDupCandidates(media))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate join must be banded, never all-pairs:\n${plan.take(2500)}")
+    assert("partial_count".r.findAllIn(plan).nonEmpty,
+      s"overlap counts must map-side combine:\n${plan.take(2500)}")
+  }
+
+  test("rrf fusion: top-k plans as TakeOrderedAndProject, contributions partial-aggregate") {
+    import org.apache.spark.sql.functions.lit
+    val docs = SparkEntry.t(spark, sf, "documents")
+    val text = graft.ops.Search.tfTopK(docs, "text", "doc_id", Seq("join", "filter"), k = 50)
+    val ids = docs.select(col("doc_id").as("id"),
+      (col("doc_id") % 50 + lit(1)).cast("int").as("rank"))
+    val plan = planOf(graft.ops.Search.rrfFuse(Seq(text, ids), k = 10))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"fusion top-k must be per-partition heaps:\n${plan.take(2500)}")
+    assert("partial_count".r.findAllIn(plan).nonEmpty || plan.contains("partial_sum"),
+      s"contribution sums must map-side combine:\n${plan.take(2500)}")
+  }
+
   test("domain tagging is projection-only; domain stats partial-aggregate") {
     val docs = SparkEntry.t(spark, sf, "documents")
       .selectExpr("doc_id", "concat('https://', source, '.example.com/', doc_id) AS url")
