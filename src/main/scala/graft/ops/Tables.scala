@@ -36,4 +36,23 @@ object Tables {
     */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Write a frame as `nShards` size-balanced, internally-ordered parquet
+    * files — the output-shaping step of a training-data run (downstream
+    * loaders want even shards: one straggler file serializes the last
+    * wave of every consumer). `repartitionByRange` SAMPLES the key
+    * distribution to place boundaries, so shards stay balanced under
+    * skewed keys where hash-modulo sharding would not;
+    * `sortWithinPartitions` makes each shard internally ordered by the
+    * key (resumable, mergeable reads). Pick a high-cardinality key (doc
+    * id, pack id) — range sharding a low-cardinality key degenerates to
+    * however many distinct values exist.
+    */
+  def writeSharded(df: DataFrame, path: String, keyCol: String, nShards: Int,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(nShards > 0, "nShards must be positive")
+    df.repartitionByRange(nShards, org.apache.spark.sql.functions.col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode(mode).parquet(path)
+  }
 }

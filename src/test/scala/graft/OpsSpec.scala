@@ -507,6 +507,26 @@ class OpsSpec extends AnyFunSuite {
     assert(spread == 8, s"hot key must spread over all salts, got $spread")
   }
 
+  test("sharded output: balanced range shards, lossless round-trip, internal order") {
+    import graft.ops.Tables
+    val df = spark.range(0, 10000).toDF("doc_id")
+      .withColumn("payload", concat(lit("d"), col("doc_id")))
+    val out = "/tmp/graft-test-shards"
+    Tables.writeSharded(df, out, "doc_id", nShards = 8)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-")).map(_.getPath).sorted
+    assert(files.length == 8, s"expected 8 shards, got ${files.length}")
+    val sizes = files.map(f => spark.read.parquet(f).count())
+    assert(sizes.max < sizes.min * 2, s"range shards must balance: ${sizes.toSeq}")
+    val back = spark.read.parquet(out)
+    assert(back.count() == 10000 &&
+      back.agg(sum(col("doc_id"))).head().getLong(0) == 10000L * 9999 / 2,
+      "round-trip must be lossless")
+    // each shard is internally ordered by the key
+    val firstShard = spark.read.parquet(files.head).select("doc_id").as[Long].collect()
+    assert(firstShard.sorted.toSeq == firstShard.toSeq, "shards must be internally ordered")
+  }
+
   test("multimodal: stub decode is deterministic, batch plumbing preserves ids") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
     val media = Multimodal.fromDocuments(docs, "doc_id", "text", "text/plain")
