@@ -897,6 +897,13 @@ object SparkEntry {
       // the audit rollup of the disposition table (stage × split counts)
       graft.ops.Pipelines.funnel(
         graft.ops.Pipelines.disposition(t(s, dir, "documents"), "text", "doc_id"))),
+    "ns_embed_int8" -> ((s, dir) => {
+      // int8 scalar quantization: the rounding chain is deterministic
+      // IEEE double ops in fixed order, so codes replay bit-for-bit
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      graft.ops.Similarity.quantizeInt8(e)
+    }),
     "ns_media_frames" -> ((s, dir) => {
       // fixed-stride frame fingerprints (31-bit md5-derived — the oracle
       // recomputes every window hash)
@@ -1311,6 +1318,15 @@ object SparkEntry {
         |        (('0x' || substr(md5('graft-split|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
         |         & 2147483647) % 1000 AS hv
         |      FROM documents)""".stripMargin,
+    "ns_embed_int8" ->
+      """SELECT vec_id AS id,
+        |  list_transform(embedding::DOUBLE[], x -> CASE WHEN vmax = vmin THEN 0
+        |    ELSE CAST(least(greatest(round((x - vmin) * 255.0 / (vmax - vmin)), 0), 255) AS INT) END) AS codes,
+        |  vmin, vmax
+        |FROM (SELECT vec_id, embedding,
+        |        list_min(embedding::DOUBLE[]) AS vmin,
+        |        list_max(embedding::DOUBLE[]) AS vmax
+        |      FROM embeddings)""".stripMargin,
     "ns_media_frames" ->
       """SELECT doc_id AS media_id, CAST(f AS INT) AS frame,
         |  CAST(('0x' || substr(md5(substr(text, CAST(f * 64 + 1 AS INT), 16)), 1, 8))::UBIGINT

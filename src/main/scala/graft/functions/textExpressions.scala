@@ -1185,6 +1185,47 @@ object text {
     override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   }
 
+  /** Scalar int8 quantization of a double vector against a [vmin, vmax]
+    * range: code_i = round((x_i − vmin) · 255 / (vmax − vmin)), clamped
+    * to [0, 255]; a constant vector (zero span) codes to 0. Every step
+    * is a deterministic IEEE double op in fixed order, so an independent
+    * engine replays the codes bit-for-bit — the correctness gate relies
+    * on that. Single pass, no boxing (the HOF transform formulation is
+    * interpreted per element).
+    */
+  case class ScaleToInt8Expr(vec: Expression, vmin: Expression, vmax: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with CodegenFallback {
+    override def first: Expression = vec
+    override def second: Expression = vmin
+    override def third: Expression = vmax
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val lo = b.asInstanceOf[Double]
+      val hi = c.asInstanceOf[Double]
+      val n = v.numElements()
+      val out = new Array[Any](n)
+      val span = hi - lo
+      var i = 0
+      while (i < n) {
+        val code = if (span == 0.0) 0L
+        else {
+          val c0 = math.round((v.getDouble(i) - lo) * 255.0 / span)
+          if (c0 < 0L) 0L else if (c0 > 255L) 255L else c0
+        }
+        out(i) = code.toInt
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+      copy(vec = f, vmin = s, vmax = t)
+  }
+
+  def scaleToInt8(vec: Column, vmin: Column, vmax: Column): Column =
+    ExpressionUtils.column(ScaleToInt8Expr(ExpressionUtils.expression(vec),
+      ExpressionUtils.expression(vmin), ExpressionUtils.expression(vmax)))
+
   def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     ExpressionUtils.column(PqEncodeExpr(ExpressionUtils.expression(vec),
       codebooks.map(_.map(_.toSeq).toSeq).toSeq))

@@ -334,6 +334,34 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Scalar int8 quantization of an embedding corpus: per-vector
+    * [min, max] range + 8-bit codes — the middle tier of the ANN memory
+    * ladder (raw doubles 8 B/dim, int8 1 B/dim, PQ m bytes/vector).
+    * Unlike PQ it needs NO training and reconstruction error is bounded
+    * per element by span/510, so it is the default at-rest format for an
+    * embedding corpus; [[dequantizeInt8]] restores approximate vectors
+    * for any downstream operator. A zero-shuffle projection either way.
+    * Output: (id, codes, vmin, vmax).
+    */
+  def quantizeInt8(corpus: DataFrame): DataFrame = {
+    import graft.functions.text
+    corpus
+      .select(col("id"), col("vec"),
+        array_min(col("vec")).as("vmin"), array_max(col("vec")).as("vmax"))
+      .select(col("id"),
+        text.scaleToInt8(col("vec"), col("vmin"), col("vmax")).as("codes"),
+        col("vmin"), col("vmax"))
+  }
+
+  /** Inverse of [[quantizeInt8]] (midpoint reconstruction): vec_i ≈
+    * vmin + code_i · (vmax − vmin) / 255. Output: (id, vec).
+    */
+  def dequantizeInt8(quantized: DataFrame): DataFrame =
+    quantized.select(col("id"),
+      transform(col("codes"),
+        c => col("vmin") + c.cast("double") * (col("vmax") - col("vmin")) / 255.0)
+        .as("vec"))
+
   /** SSL-prototypes data pruning (Sorscher et al. 2022, "Beyond neural
     * scaling laws: beating power law scaling via data pruning"): assign
     * every embedding to its nearest k-means centroid, score how

@@ -507,6 +507,30 @@ class OpsSpec extends AnyFunSuite {
     assert(spread == 8, s"hot key must spread over all salts, got $spread")
   }
 
+  test("int8 quantization: bounded reconstruction error, high top-k recall, zero-span safe") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val q = Similarity.quantizeInt8(e)
+    val err = Similarity.dequantizeInt8(q).withColumnRenamed("vec", "dq")
+      .join(e, "id")
+      .select(expr("aggregate(zip_with(vec, dq, (a, b) -> abs(a - b)), 0D, (m, x) -> greatest(m, x))").as("e"),
+        (col("dq")(0) * 0 + expr("array_max(vec) - array_min(vec)")).as("span"))
+      .select(max(col("e") / col("span"))).head().getDouble(0)
+    assert(err <= 1.0 / 510 + 1e-12, s"per-element error must be <= span/510, got $err of span")
+    // recall: exact top-5 vs top-5 over dequantized vectors
+    val qs = e.filter(col("id") < 20)
+    val bf = Similarity.bruteForceTopK(qs, e, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dq = Similarity.dequantizeInt8(q)
+    val bq = Similarity.bruteForceTopK(qs.join(dq, "id").select(col("id"), dq("vec")), dq, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & bq).size.toDouble / bf.size
+    assert(recall >= 0.8, s"int8 recall@5 too low: $recall")
+    val flat = Seq((1L, Seq(2.5, 2.5, 2.5))).toDF("id", "vec")
+    val fq = Similarity.quantizeInt8(flat).select("codes").head().getSeq[Int](0)
+    assert(fq == Seq(0, 0, 0), "zero-span vectors must code to 0")
+  }
+
   test("sharded output: balanced range shards, lossless round-trip, internal order") {
     import graft.ops.Tables
     val df = spark.range(0, 10000).toDF("doc_id")
