@@ -28,6 +28,8 @@ object Skew {
   def saltedJoin(skewed: DataFrame, build: DataFrame, key: String,
       rowKey: Column, saltFactor: Int): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
+    require(!skewed.columns.contains("__salt") && !build.columns.contains("__salt"),
+      "inputs must not already carry a __salt column (it would be clobbered)")
     val s = skewed.withColumn("__salt",
       pmod(xxhash64(rowKey), lit(saltFactor.toLong)).cast("int"))
     val b = build.withColumn("__salt",

@@ -514,7 +514,7 @@ class OpsSpec extends AnyFunSuite {
     val err = Similarity.dequantizeInt8(q).withColumnRenamed("vec", "dq")
       .join(e, "id")
       .select(expr("aggregate(zip_with(vec, dq, (a, b) -> abs(a - b)), 0D, (m, x) -> greatest(m, x))").as("e"),
-        (col("dq")(0) * 0 + expr("array_max(vec) - array_min(vec)")).as("span"))
+        expr("array_max(vec) - array_min(vec)").as("span"))
       .select(max(col("e") / col("span"))).head().getDouble(0)
     assert(err <= 1.0 / 510 + 1e-12, s"per-element error must be <= span/510, got $err of span")
     // recall: exact top-5 vs top-5 over dequantized vectors
