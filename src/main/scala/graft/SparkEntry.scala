@@ -601,6 +601,14 @@ object SparkEntry {
       // (count desc, token asc) — deterministic incl. ties
       graft.ops.TextAnalysis.vocabulary(t(s, dir, "documents"), "text",
         minCount = 2L, topK = 100)),
+    "ns_profile_grouped" -> ((s, dir) =>
+      // exact per-language corpus profile (docs, tokens, vocab breadth,
+      // nearest-rank length quantiles) — the oracle twin of the
+      // sketch-tier groupProfileSketch (gated in ProfileSpec/PlanSpec)
+      graft.ops.Profile.groupProfile(t(s, dir, "documents"), "text", "lang")),
+    "ns_heavy_hitters" -> ((s, dir) =>
+      // top-5 tokens per language, deterministic ties (count desc, token asc)
+      graft.ops.Profile.heavyHitters(t(s, dir, "documents"), "text", "lang", 5)),
     "ns_split" -> ((s, dir) =>
       // deterministic 80/10/10 split assignment by portable id hash
       graft.ops.Curation.assignSplit(t(s, dir, "documents"), "doc_id")
@@ -1304,6 +1312,33 @@ object SparkEntry {
         |    CASE WHEN p.acc + g.n_tokens <= 128 THEN p.acc + g.n_tokens ELSE g.n_tokens END
         |  FROM g JOIN p ON g.pack_group = p.pack_group AND g.rn = p.rn + 1)
         |SELECT pack_group, doc_id, chunk_idx, n_tokens, bin_idx, bin_off FROM p""".stripMargin,
+    "ns_profile_grouped" ->
+      """WITH d AS (
+        |  SELECT lang, CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(n) AS BIGINT) AS total_tokens FROM d GROUP BY 1),
+        |r AS (SELECT lang, n, row_number() OVER (PARTITION BY lang ORDER BY n) AS rn,
+        |             count(*) OVER (PARTITION BY lang) AS cnt FROM d),
+        |q AS (SELECT lang,
+        |        max(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT) THEN n END) AS p50_tokens,
+        |        max(CASE WHEN rn = CAST(ceil(0.9 * cnt) AS BIGINT) THEN n END) AS p90_tokens
+        |      FROM r GROUP BY 1),
+        |tk AS (SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |       FROM documents),
+        |dt AS (SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS distinct_tokens
+        |       FROM tk GROUP BY 1)
+        |SELECT b.lang, n_docs, total_tokens, distinct_tokens, p50_tokens, p90_tokens
+        |FROM b JOIN dt USING (lang) JOIN q USING (lang)""".stripMargin,
+    "ns_heavy_hitters" ->
+      """WITH tk AS (
+        |  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1, 2),
+        |rk AS (SELECT lang, tok, cnt,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS BIGINT) AS rank
+        |       FROM c)
+        |SELECT lang, tok, cnt, rank FROM rk WHERE rank <= 5""".stripMargin,
     "ns_vocab" ->
       """WITH toks AS (
         |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents),

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus profiling: the per-group statistics a curation run consults before
+  * choosing thresholds (how many docs / tokens per language, vocabulary
+  * breadth, document-length quantiles, dominant tokens).
+  *
+  * Two tiers, same numbers:
+  *   - [[groupProfile]] — EXACT. Distinct-token counts shuffle the exploded
+  *     token stream and quantiles rank every document, so this is the
+  *     oracle tier (`ns_profile`): every value is reproducible in plain SQL.
+  *   - [[groupProfileSketch]] — one-pass mergeable sketches: HyperLogLog++
+  *     (`approx_count_distinct`) for vocabulary breadth and a GK sketch
+  *     (`percentile_approx`) for length quantiles. Both aggregate partially
+  *     map-side, so the exchange carries one sketch row per (partition,
+  *     group) — a few KB per group — never tokens. At 100 TB this is the
+  *     only affordable tier: the exact tier's token shuffle is
+  *     O(corpus tokens) while the sketch tier's is O(groups × partitions).
+  *     ProfileSpec pins the sketch within rsd-scale error of the exact tier;
+  *     PlanSpec asserts the partial-aggregate shape.
+  *
+  * Quantile convention: nearest-rank (value at row `ceil(p · n)`, 1-indexed,
+  * ascending) — an explicit formula both engines replay bit-for-bit, rather
+  * than engine-specific interpolation semantics.
+  *
+  * No counterpart in the reference engine; north-star operator.
+  */
+object Profile {
+
+  private def toks(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Exact per-group corpus profile: document count, total/distinct token
+    * counts and nearest-rank token-count quantiles. One row per group:
+    * `(groupCol, n_docs, total_tokens, distinct_tokens, p<q>_tokens...)`.
+    *
+    * Shuffle shape: tokens exchange once keyed by (group, token) with a
+    * map-side partial distinct, the ranking exchange carries one long per
+    * document. Use [[groupProfileSketch]] when the token stream itself is
+    * the bottleneck.
+    */
+  def groupProfile(docs: DataFrame, textCol: String, groupCol: String,
+      quantiles: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(p => p > 0 && p <= 1),
+      "quantiles must be in (0, 1]")
+    val perDoc = docs.select(col(groupCol).as("__g"), toks(col(textCol)).as("__t"))
+      .select(col("__g"), col("__t"), size(col("__t")).cast("long").as("__n"))
+
+    val base = perDoc.groupBy("__g").agg(
+      count(lit(1)).as("n_docs"),
+      sum("__n").as("total_tokens"))
+
+    val distinctToks = perDoc
+      .select(col("__g"), explode(col("__t")).as("__tok"))
+      .groupBy("__g").agg(countDistinct("__tok").as("distinct_tokens"))
+
+    // Nearest-rank quantiles: rank docs per group by token count; the
+    // p-quantile is the count at rank ceil(p·n). Ties share the value, so
+    // row_number's order among equal counts cannot change the result.
+    val ranked = perDoc.select(col("__g"), col("__n"))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("__g").orderBy("__n")).cast("long"))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("__g")))
+    val qAggs = quantiles.map { p =>
+      max(when(col("__rn") === ceil(lit(p) * col("__cnt")), col("__n")))
+        .as(s"p${(p * 100).round}_tokens")
+    }
+    val qdf = ranked.groupBy("__g").agg(qAggs.head, qAggs.tail: _*)
+
+    base.join(distinctToks, "__g").join(qdf, "__g")
+      .withColumnRenamed("__g", groupCol)
+  }
+
+  /** Sketch-tier profile: identical shape to [[groupProfile]] but
+    * vocabulary breadth via HyperLogLog++ (relative sd `rsd`) and quantiles
+    * via `percentile_approx` (GK, `accuracy` controls error). Every
+    * aggregate is mergeable, so the plan is scan → partial agg →
+    * one #groups-row exchange → final agg: no token ever shuffles.
+    */
+  def groupProfileSketch(docs: DataFrame, textCol: String, groupCol: String,
+      quantiles: Seq[Double] = Seq(0.5, 0.9), rsd: Double = 0.05,
+      accuracy: Int = 10000): DataFrame = {
+    val perDoc = docs.select(col(groupCol).as("__g"), toks(col(textCol)).as("__t"))
+      .select(col("__g"), col("__t"), size(col("__t")).cast("long").as("__n"))
+
+    val distinctSketch = perDoc
+      .select(col("__g"), explode(col("__t")).as("__tok"))
+      .groupBy("__g")
+      .agg(approx_count_distinct(col("__tok"), rsd).as("distinct_tokens"))
+
+    val qAggs = quantiles.map { p =>
+      percentile_approx(col("__n"), lit(p), lit(accuracy))
+        .as(s"p${(p * 100).round}_tokens")
+    }
+    val stats = perDoc.groupBy("__g").agg(
+      count(lit(1)).as("n_docs"),
+      sum("__n").as("total_tokens") +: qAggs: _*)
+
+    stats.join(distinctSketch, "__g").withColumnRenamed("__g", groupCol)
+      .select(groupCol, ("n_docs" +: "total_tokens" +: "distinct_tokens" +:
+        quantiles.map(p => s"p${(p * 100).round}_tokens")): _*)
+  }
+
+  /** Exact per-group heavy hitters: top-`k` tokens by frequency,
+    * deterministic ties (count desc, token asc). One row per kept token:
+    * `(groupCol, tok, cnt, rank)`.
+    *
+    * Scale shape: the token explode partially aggregates map-side, so the
+    * exchange carries (group, token, partial count) — bounded by vocabulary
+    * size per partition, not corpus tokens; the rank window then sorts the
+    * per-group VOCABULARY (not documents), which is the small side.
+    */
+  def heavyHitters(docs: DataFrame, textCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val counts = docs
+      .select(col(groupCol).as("__g"), explode(toks(col(textCol))).as("tok"))
+      .groupBy("__g", "tok").agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy("__g").orderBy(col("cnt").desc, col("tok"))).cast("long"))
+      .where(col("rank") <= k)
+      .withColumnRenamed("__g", groupCol)
+  }
+}

@@ -373,4 +373,26 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(stats).size >= 2,
       s"map-side partial aggregation expected:\n${stats.take(2000)}")
   }
+
+  test("sketch-tier profile: tokens never shuffle — HLL/GK sketches partial-aggregate map-side") {
+    val docs = SparkEntry.t(spark, sf, "documents")
+    val plan = planOf(graft.ops.Profile.groupProfileSketch(docs, "text", "lang"))
+    // the distinct-token branch must partially aggregate the HLL sketch
+    // BEFORE its exchange: the shuffle then carries one sketch row per
+    // (partition, group) instead of the corpus token stream
+    assert(plan.contains("partial_approx_count_distinct"),
+      s"map-side HLL partial expected:\n${plan.take(3000)}")
+    // the quantile branch likewise merges GK sketches, not raw lengths
+    assert(plan.contains("partial_percentile_approx"),
+      s"map-side GK partial expected:\n${plan.take(3000)}")
+    // no rank window: sketches replace the exact tier's per-group sort
+    assert(!plan.contains("Window"), s"sketch tier must not rank documents:\n${plan.take(3000)}")
+  }
+
+  test("heavy hitters: vocabulary-sized exchange (partial counts), never raw tokens") {
+    val docs = SparkEntry.t(spark, sf, "documents")
+    val plan = planOf(graft.ops.Profile.heavyHitters(docs, "text", "lang", 5))
+    assert("partial_count".r.findAllIn(plan).nonEmpty,
+      s"token counts must map-side combine before the exchange:\n${plan.take(3000)}")
+  }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Profile
+
+class ProfileSpec extends AnyFunSuite {
+  import SparkTestBase.spark
+  import spark.implicits._
+
+  // Two groups with hand-checkable stats:
+  //   g1: token counts 1,2,3,4  (p50 = rank ceil(0.5*4)=2 -> 2; p90 = rank 4 -> 4)
+  //   g2: token counts 2,5      (p50 = rank 1 -> 2; p90 = rank 2 -> 5)
+  private def corpus = Seq(
+    (1L, "g1", "a"),
+    (2L, "g1", "b b"),
+    (3L, "g1", "a b c"),
+    (4L, "g1", "c c d d"),
+    (5L, "g2", "x y"),
+    (6L, "g2", "x x y z w")
+  ).toDF("id", "grp", "text")
+
+  test("groupProfile: exact counts, vocab breadth, nearest-rank quantiles") {
+    val out = Profile.groupProfile(corpus, "text", "grp")
+      .orderBy("grp").collect()
+    assert(out.length == 2)
+    // g1: 4 docs, 1+2+3+4=10 tokens, distinct {a,b,c,d}=4
+    assert(out(0).toSeq == Seq("g1", 4L, 10L, 4L, 2L, 4L))
+    // g2: 2 docs, 2+5=7 tokens, distinct {x,y,z,w}=4
+    assert(out(1).toSeq == Seq("g2", 2L, 7L, 4L, 2L, 5L))
+  }
+
+  test("groupProfile: custom quantile list names and values") {
+    val out = Profile.groupProfile(corpus, "text", "grp", quantiles = Seq(0.25, 1.0))
+      .where($"grp" === "g1").collect().head
+    // rank ceil(0.25*4)=1 -> 1; rank ceil(1.0*4)=4 -> 4
+    assert(out.getAs[Long]("p25_tokens") == 1L)
+    assert(out.getAs[Long]("p100_tokens") == 4L)
+  }
+
+  test("groupProfileSketch matches exact tier on small data and stays close at size") {
+    val exact = Profile.groupProfile(corpus, "text", "grp")
+      .orderBy("grp").collect()
+    val sketch = Profile.groupProfileSketch(corpus, "text", "grp")
+      .orderBy("grp").collect()
+    // same schema order
+    assert(sketch.head.schema.fieldNames.toSeq ==
+      Seq("grp", "n_docs", "total_tokens", "distinct_tokens", "p50_tokens", "p90_tokens"))
+    exact.zip(sketch).foreach { case (e, sk) =>
+      assert(e.getString(0) == sk.getString(0))
+      assert(e.getLong(1) == sk.getLong(1)) // n_docs exact in both
+      assert(e.getLong(2) == sk.getLong(2)) // total_tokens exact in both
+      val ed = e.getLong(3).toDouble
+      val sd = sk.getLong(3).toDouble
+      assert(math.abs(sd - ed) / ed <= 0.2, s"distinct ${sd} vs ${ed}")
+      // GK quantiles on tiny data return an actual element near the rank
+      assert(sk.getLong(4) >= 1L && sk.getLong(4) <= 5L)
+      assert(sk.getLong(5) >= 2L && sk.getLong(5) <= 5L)
+    }
+    // a larger synthetic corpus: 2000 docs, ~500 distinct tokens
+    val big = spark.range(2000).select(
+      col("id"),
+      lit("g").as("grp"),
+      concat_ws(" ",
+        concat(lit("t"), pmod(col("id"), lit(500))),
+        concat(lit("t"), pmod(col("id") * 7 + 3, lit(500))),
+        concat(lit("t"), pmod(col("id") * 13 + 1, lit(500)))).as("text"))
+    val eBig = Profile.groupProfile(big, "text", "grp").collect().head
+    val sBig = Profile.groupProfileSketch(big, "text", "grp").collect().head
+    val rel = math.abs(sBig.getLong(3).toDouble - eBig.getLong(3)) / eBig.getLong(3)
+    assert(rel <= 0.1, s"HLL rel err $rel")
+    assert(sBig.getLong(4) == eBig.getLong(4)) // all docs same length: quantile exact
+  }
+
+  test("heavyHitters: top-k per group with deterministic ties") {
+    val out = Profile.heavyHitters(corpus, "text", "grp", 2)
+      .orderBy("grp", "rank").collect()
+    // g1 counts: a=2 b=3 c=3 d=2 -> top2 = b(3), c(3) (count desc, token asc)
+    assert(out(0).toSeq == Seq("g1", "b", 3L, 1L))
+    assert(out(1).toSeq == Seq("g1", "c", 3L, 2L))
+    // g2 counts: x=3 y=2 z=1 w=1 -> top2 = x(3), y(2)
+    assert(out(2).toSeq == Seq("g2", "x", 3L, 1L))
+    assert(out(3).toSeq == Seq("g2", "y", 2L, 2L))
+  }
+}
