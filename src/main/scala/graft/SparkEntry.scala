@@ -609,6 +609,36 @@ object SparkEntry {
     "ns_heavy_hitters" -> ((s, dir) =>
       // top-5 tokens per language, deterministic ties (count desc, token asc)
       graft.ops.Profile.heavyHitters(t(s, dir, "documents"), "text", "lang", 5)),
+    "ns_asof_join" -> ((s, dir) => {
+      // each click attaches the user's latest at-or-before purchase —
+      // DuckDB's native ASOF JOIN is the oracle; the Spark plan is the
+      // union + one-exchange running-last formulation (no join node).
+      // Right side deduped to unique (user, time) so the winner is
+      // engine-independent.
+      val e = t(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"), col("event_type"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("click_id"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts_us").agg(min("event_id").as("purchase_id"))
+      graft.ops.Temporal.asofJoin(clicks, purchases, Seq("user_id"), "ts_us",
+        joinType = "inner")
+    }),
+    "ns_range_join" -> ((s, dir) => {
+      // attribution: clicks within one hour at-or-after a purchase by the
+      // same user — point-in-interval via bucketized equi-join (15-min
+      // cells), residual-filtered; oracle is the plain BETWEEN theta join.
+      val e = t(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"), col("event_type"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("click_id"))
+      val windows = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("w_start"),
+          (col("ts_us") + lit(3600000000L)).as("w_end"),
+          col("event_id").as("purchase_id"))
+      graft.ops.Temporal.rangeJoin(clicks, "ts_us", windows, "w_start", "w_end",
+        keyCols = Seq("user_id"), bucketWidth = 900000000L)
+    }),
     "ns_split" -> ((s, dir) =>
       // deterministic 80/10/10 split assignment by portable id hash
       graft.ops.Curation.assignSplit(t(s, dir, "documents"), "doc_id")
@@ -1330,6 +1360,25 @@ object SparkEntry {
         |       FROM tk GROUP BY 1)
         |SELECT b.lang, n_docs, total_tokens, distinct_tokens, p50_tokens, p90_tokens
         |FROM b JOIN dt USING (lang) JOIN q USING (lang)""".stripMargin,
+    "ns_asof_join" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |                  event_id, event_type FROM events),
+        |c AS (SELECT user_id, ts_us, event_id AS click_id FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts_us, min(event_id) AS purchase_id
+        |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.user_id, c.ts_us, c.click_id,
+        |       p.ts_us AS r_ts_us, p.purchase_id AS r_purchase_id
+        |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us""".stripMargin,
+    "ns_range_join" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |                  event_id, event_type FROM events),
+        |c AS (SELECT user_id, ts_us, event_id AS click_id FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts_us AS w_start, ts_us + 3600000000 AS w_end,
+        |             event_id AS purchase_id FROM e WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.ts_us, c.click_id, w_start AS i_w_start,
+        |       w_end AS i_w_end, purchase_id AS i_purchase_id
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |             AND c.ts_us BETWEEN w_start AND w_end""".stripMargin,
     "ns_heavy_hitters" ->
       """WITH tk AS (
         |  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok

@@ -395,4 +395,24 @@ class PlanSpec extends AnyFunSuite {
     assert("partial_count".r.findAllIn(plan).nonEmpty,
       s"token counts must map-side combine before the exchange:\n${plan.take(3000)}")
   }
+
+  test("as-of join plans as union + ONE key exchange — no join node at all") {
+    val e = SparkEntry.t(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"))
+    val l = e.filter(col("event_id") % 2 === 0)
+    val r = e.filter(col("event_id") % 2 === 1)
+    val plan = planOf(graft.ops.Temporal.asofJoin(l, r, Seq("user_id"), "t"))
+    assert(!plan.contains("Join"),
+      s"as-of must not build a join (union+window formulation):\n${plan.take(3000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"exactly one key exchange expected:\n${plan.take(3000)}")
+  }
+
+  test("range join plans as a hash-joinable equi-join on buckets, not a nested loop") {
+    val plan = planOf(SparkEntry.queries("ns_range_join")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"bucketized range join must not nested-loop:\n${plan.take(3000)}")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"equi-join on (keys, bucket) expected:\n${plan.take(3000)}")
+  }
 }

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Temporal
+
+class TemporalSpec extends AnyFunSuite {
+  import SparkTestBase.spark
+  import spark.implicits._
+
+  // left: (key, t, lv)   right: (key, t, rv)
+  private def left = Seq(
+    ("a", 10L, "l1"), ("a", 20L, "l2"), ("a", 30L, "l3"),
+    ("b", 15L, "l4"),
+    ("c", 5L, "l5") // key with no right rows at all
+  ).toDF("k", "t", "lv")
+
+  private def right = Seq(
+    ("a", 10L, "r1"), ("a", 25L, "r2"),
+    ("b", 40L, "r3")
+  ).toDF("k", "t", "rv")
+
+  test("backward as-of: latest right at-or-before each left row, inclusive bound") {
+    val out = Temporal.asofJoin(left, right, Seq("k"), "t")
+      .orderBy("k", "t").collect()
+    // a@10 matches r1@10 (inclusive); a@20 -> r1@10; a@30 -> r2@25
+    assert(out(0).toSeq == Seq("a", 10L, "l1", 10L, "r1"))
+    assert(out(1).toSeq == Seq("a", 20L, "l2", 10L, "r1"))
+    assert(out(2).toSeq == Seq("a", 30L, "l3", 25L, "r2"))
+    // b@15 has no right <= 15 -> nulls (left join)
+    assert(out(3).toSeq == Seq("b", 15L, "l4", null, null))
+    // c has no right rows -> nulls
+    assert(out(4).toSeq == Seq("c", 5L, "l5", null, null))
+  }
+
+  test("forward as-of: earliest right at-or-after, inclusive; inner drops unmatched") {
+    val out = Temporal.asofJoin(left, right, Seq("k"), "t",
+      direction = "forward", joinType = "inner")
+      .orderBy("k", "t").collect()
+    // a@10 -> r1@10 (inclusive); a@20 -> r2@25; a@30 -> none (dropped)
+    // b@15 -> r3@40; c -> none
+    assert(out.map(_.toSeq).toSeq == Seq(
+      Seq("a", 10L, "l1", 10L, "r1"),
+      Seq("a", 20L, "l2", 25L, "r2"),
+      Seq("b", 15L, "l4", 40L, "r3")))
+  }
+
+  test("tolerance bounds the match distance; left join nulls out-of-tolerance") {
+    val out = Temporal.asofJoin(left, right, Seq("k"), "t", tolerance = Some(5L))
+      .orderBy("k", "t").collect()
+    // a@10 -> r1@10 (d=0 ok); a@20 -> r1@10 (d=10 > 5 -> null); a@30 -> r2@25 (d=5 ok)
+    assert(out(0).toSeq == Seq("a", 10L, "l1", 10L, "r1"))
+    assert(out(1).toSeq == Seq("a", 20L, "l2", null, null))
+    assert(out(2).toSeq == Seq("a", 30L, "l3", 25L, "r2"))
+  }
+
+  test("right rows tied on (key, time) resolve to a deterministic winner") {
+    val dupRight = Seq(("a", 10L, "rB"), ("a", 10L, "rA")).toDF("k", "t", "rv")
+    val l = Seq(("a", 20L, "l1")).toDF("k", "t", "lv")
+    val runs = (1 to 3).map { _ =>
+      Temporal.asofJoin(l, dupRight, Seq("k"), "t").collect().head.toSeq
+    }
+    assert(runs.distinct.size == 1)
+    // backward uses last() over struct-ordered ties -> max payload struct = rB
+    assert(runs.head == Seq("a", 20L, "l1", 10L, "rB"))
+  }
+
+  test("as-of matches a brute-force window argmax on real event data") {
+    val e = SparkEntry.t(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"))
+    val l = e.filter(col("event_id") % 3 === 0).withColumnRenamed("event_id", "lid")
+    val r = e.filter(col("event_id") % 3 === 1).withColumnRenamed("event_id", "rid")
+      // unique (key, time): keep min rid to make brute force well-defined
+      .groupBy("user_id", "t").agg(min("rid").as("rid"))
+    val fast = Temporal.asofJoin(l, r, Seq("user_id"), "t", joinType = "inner")
+      .select("user_id", "t", "lid", "r_t", "r_rid")
+    val brute = l.as("l").join(r.as("r"),
+        col("l.user_id") === col("r.user_id") && col("r.t") <= col("l.t"))
+      .groupBy(col("l.user_id").as("user_id"), col("l.t").as("t"), col("lid"))
+      .agg(max(struct(col("r.t"), col("rid"))).as("m"))
+      .select(col("user_id"), col("t"), col("lid"),
+        col("m.t").as("r_t"), col("m.rid").as("r_rid"))
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
+    assert(fast.count() > 0)
+  }
+
+  test("range join: closed bounds, key equality, equals the naive theta join") {
+    val pts = Seq(("a", 5L, 100L), ("a", 10L, 101L), ("a", 25L, 102L), ("b", 5L, 103L))
+      .toDF("k", "v", "pid")
+    val ivs = Seq(("a", 0L, 10L, 1L), ("a", 8L, 9L, 2L), ("a", 20L, 30L, 3L),
+        ("b", 6L, 7L, 4L), ("a", 50L, 40L, 5L) /* inverted: dropped */)
+      .toDF("k", "s", "e", "iid")
+    val out = Temporal.rangeJoin(pts, "v", ivs, "s", "e",
+        keyCols = Seq("k"), bucketWidth = 4L)
+      .select("k", "v", "pid", "i_s", "i_e", "i_iid")
+    val naive = pts.join(ivs, Seq("k"))
+      .where(col("v") >= col("s") && col("v") <= col("e"))
+      .select(col("k"), col("v"), col("pid"),
+        col("s").as("i_s"), col("e").as("i_e"), col("iid").as("i_iid"))
+    assert(out.exceptAll(naive).isEmpty && naive.exceptAll(out).isEmpty)
+    // sanity on the closed bounds: v=5 in [0,10]; v=10 in [0,10]; v=25 in [20,30]
+    assert(out.count() == 3)
+  }
+
+  test("range join bucket width does not change results") {
+    val pts = spark.range(200).select((col("id") * 7 % 97).as("v"), col("id").as("pid"))
+    val ivs = spark.range(40).select((col("id") * 5).as("s"),
+      (col("id") * 5 + col("id") % 11).as("e"), col("id").as("iid"))
+    val r1 = Temporal.rangeJoin(pts, "v", ivs, "s", "e", bucketWidth = 1L)
+    val r64 = Temporal.rangeJoin(pts, "v", ivs, "s", "e", bucketWidth = 64L)
+    assert(r1.exceptAll(r64).isEmpty && r64.exceptAll(r1).isEmpty)
+    assert(r1.count() > 0)
+  }
+}
