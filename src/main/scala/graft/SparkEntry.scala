@@ -609,6 +609,20 @@ object SparkEntry {
     "ns_heavy_hitters" -> ((s, dir) =>
       // top-5 tokens per language, deterministic ties (count desc, token asc)
       graft.ops.Profile.heavyHitters(t(s, dir, "documents"), "text", "lang", 5)),
+    "ns_pagerank" -> ((s, dir) => {
+      // link-graph authority over the customer<->supplier bipartite graph
+      // (distinct trading pairs, both directions): 3 integer-exact
+      // fixed-point rounds in micro-units — the oracle unrolls the same
+      // arithmetic in SQL, so every rank matches bit-for-bit.
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("cn"),
+          concat(lit("s"), col("l_suppkey")).as("sn")).distinct()
+      val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
+        .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+      graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3)
+    }),
     "ns_asof_join" -> ((s, dir) => {
       // each click attaches the user's latest at-or-before purchase —
       // DuckDB's native ASOF JOIN is the oracle; the Spark plan is the
@@ -1360,6 +1374,29 @@ object SparkEntry {
         |       FROM tk GROUP BY 1)
         |SELECT b.lang, n_docs, total_tokens, distinct_tokens, p50_tokens, p90_tokens
         |FROM b JOIN dt USING (lang) JOIN q USING (lang)""".stripMargin,
+    "ns_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS cn,
+        |                  's' || CAST(l_suppkey AS VARCHAR) AS sn
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT cn AS src, sn AS dst FROM pairs
+        |      UNION ALL SELECT sn, cn FROM pairs),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM n),
+        |c1 AS (SELECT e.dst AS node, sum(r.pr // d.outdeg) AS s
+        |       FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r1 AS (SELECT n.node, CAST(150000 + (17 * coalesce(c1.s, 0)) // 20 AS BIGINT) AS pr
+        |       FROM n LEFT JOIN c1 ON n.node = c1.node),
+        |c2 AS (SELECT e.dst AS node, sum(r.pr // d.outdeg) AS s
+        |       FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r2 AS (SELECT n.node, CAST(150000 + (17 * coalesce(c2.s, 0)) // 20 AS BIGINT) AS pr
+        |       FROM n LEFT JOIN c2 ON n.node = c2.node),
+        |c3 AS (SELECT e.dst AS node, sum(r.pr // d.outdeg) AS s
+        |       FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r3 AS (SELECT n.node, CAST(150000 + (17 * coalesce(c3.s, 0)) // 20 AS BIGINT) AS pr
+        |       FROM n LEFT JOIN c3 ON n.node = c3.node)
+        |SELECT node, pr FROM r3""".stripMargin,
     "ns_asof_join" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
         |                  event_id, event_type FROM events),

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph signals for web-scale curation: PageRank is the standard
+  * domain/page authority input to crawl-corpus quality filtering (rank the
+  * link graph, keep documents from reputable hosts), alongside the lexical
+  * signals in [[Curation]] and [[Web]].
+  *
+  * Arithmetic convention (same as RRF's nano-units and the LM's micronats):
+  * ranks live in integer MICRO-units (1.0 == 1,000,000) and every step is
+  * integer multiply / integer divide — contributions `rank div outdeg`,
+  * damping `(17 * sum) div 20` (0.85 exactly). Long sums are
+  * order-independent, so the whole fixed-point iteration replays
+  * bit-for-bit in any engine (the `ns_pagerank` oracle unrolls it in SQL).
+  * The rounding the integer divisions introduce is well under the
+  * micro-unit resolution anyone thresholds at.
+  *
+  * Scale shape:
+  *   - edges are enriched with out-degree ONCE before the loop; each
+  *     iteration is then one join (ranks ⋈ edges on src — both sides
+  *     hash-partition on the same key, so consecutive iterations reuse the
+  *     partitioning) plus one partial-aggregated sum keyed by dst.
+  *   - per-iteration state is one (node, rank) row per node — never
+  *     edge-sized; ranks persist each round and the previous round
+  *     unpersists, so lineage stays one iteration deep (no exponential
+  *     plan growth over `iters`).
+  *   - dangling nodes (no out-edges) leak their damped mass — the classic
+  *     "leaky" simplification; the leak is deterministic so cross-engine
+  *     equality still holds. Use the redistribute variant only if absolute
+  *     probability mass matters, not ranking order.
+  *
+  * No counterpart in the reference engine; north-star operator.
+  */
+object Graph {
+
+  /** Integer-exact PageRank over `edges` (one row per directed edge).
+    * Returns (node, pr) in micro-units for every node appearing as a src
+    * or dst. Parallel edges count as parallel (pre-`distinct` them if not
+    * wanted). `iters` fixed-point rounds, damping 0.85, start mass 1.0.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // enrich once: the loop never re-joins the degree table
+    val eo = e.join(outDeg, "src").persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+
+    var ranks = nodes.withColumn("pr", lit(1000000L))
+    var prev: DataFrame = null
+    for (_ <- 1 to iters) {
+      val contribs = eo.join(ranks, eo("src") === ranks("node"))
+        .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      val next = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(17 * coalesce(s, CAST(0 AS BIGINT))) div 20"))
+            .as("pr"))
+        .persist()
+      next.count() // materialize before dropping the previous round
+      if (prev != null) prev.unpersist()
+      prev = ranks
+      ranks = next
+    }
+    ranks
+  }
+
+  /** Per-node degree profile: (node, out_deg, in_deg), zero-filled for
+    * nodes that only appear on one side. Two partial-aggregated counts and
+    * an outer join of node-sized frames.
+    */
+  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val outD = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
+    val inD = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_deg"))
+    outD.join(inD, Seq("node"), "full")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Graph
+
+class GraphSpec extends AnyFunSuite {
+  import SparkTestBase.spark
+  import spark.implicits._
+
+  // a -> b, b -> a, a -> c : outdeg a=2, b=1; c dangling
+  private def tri = Seq(("a", "b"), ("b", "a"), ("a", "c")).toDF("src", "dst")
+
+  test("pageRank: hand-computed integer fixed point (micro-units)") {
+    // iter1: contrib a->b 500000, a->c 500000, b->a 1000000
+    //   a = 150000 + 17*1000000/20 = 1000000; b = c = 150000 + 425000 = 575000
+    // iter2: b's pr 575000 -> a gets 575000; a still sends 500000 each
+    //   a = 150000 + (17*575000) div 20 = 638750; b = c = 575000
+    val r1 = Graph.pageRank(tri, "src", "dst", iters = 1)
+      .orderBy("node").collect().map(_.toSeq)
+    assert(r1.toSeq == Seq(Seq("a", 1000000L), Seq("b", 575000L), Seq("c", 575000L)))
+    val r2 = Graph.pageRank(tri, "src", "dst", iters = 2)
+      .orderBy("node").collect().map(_.toSeq)
+    assert(r2.toSeq == Seq(Seq("a", 638750L), Seq("b", 575000L), Seq("c", 575000L)))
+  }
+
+  test("pageRank: iters=0 is the uniform start mass; runs are deterministic") {
+    val r0 = Graph.pageRank(tri, "src", "dst", iters = 0).collect()
+    assert(r0.forall(_.getLong(1) == 1000000L) && r0.length == 3)
+    val a = Graph.pageRank(tri, "src", "dst", iters = 3).orderBy("node").collect().toSeq
+    val b = Graph.pageRank(tri, "src", "dst", iters = 3).orderBy("node").collect().toSeq
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+  }
+
+  test("pageRank: a hub with many in-links outranks its spokes") {
+    val spokes = (1 to 10).map(i => (s"n$i", "hub")) ++ (1 to 10).map(i => ("hub", s"n$i"))
+    val edges = spokes.toDF("src", "dst")
+    val pr = Graph.pageRank(edges, "src", "dst", iters = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert((1 to 10).forall(i => pr("hub") > pr(s"n$i")),
+      s"hub must outrank spokes: $pr")
+  }
+
+  test("degrees: zero-filled in/out profile") {
+    val d = Graph.degrees(tri, "src", "dst").orderBy("node").collect().map(_.toSeq)
+    assert(d.toSeq == Seq(
+      Seq("a", 2L, 1L), // out a->b, a->c; in b->a
+      Seq("b", 1L, 1L),
+      Seq("c", 0L, 1L)))
+  }
+}
