@@ -638,6 +638,35 @@ object SparkEntry {
       graft.ops.Temporal.asofJoin(clicks, purchases, Seq("user_id"), "ts_us",
         joinType = "inner")
     }),
+    "ns_retention" -> ((s, dir) => {
+      // daily cohort retention over the event stream: cohort = first-seen
+      // day, cells = distinct users active N days later. Window-min first
+      // activity (no self-join); oracle replays with a min-join.
+      val e = t(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      graft.ops.Temporal.cohortRetention(e, "user_id", "ts_us",
+        period = 86400000000L)
+    }),
+    "ns_funnel" -> ((s, dir) => {
+      // signup -> click -> purchase progression per user, strictly ordered,
+      // greedy-earliest (optimal); one exchange, chained sort-free windows.
+      // Oracle unrolls the conditional mins as one CTE per step.
+      val e = t(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      graft.ops.Temporal.funnel(e, Seq("user_id"), "ts_us", Seq(
+        col("event_type") === "signup",
+        col("event_type") === "click",
+        col("event_type") === "purchase"))
+    }),
+    "ns_sessionize" -> ((s, dir) => {
+      // per-event session labels: 1h-gap sessions per user — the batch
+      // twin of the streaming session_window (equivalence law in
+      // TemporalSpec); oracle replays the boundary-sum window in SQL.
+      val e = t(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      graft.ops.Temporal.sessionize(e, Seq("user_id"), "ts_us",
+        gap = 3600000000L)
+    }),
     "ns_range_join" -> ((s, dir) => {
       // attribution: clicks within one hour at-or-after a purchase by the
       // same user — point-in-interval via bucketized equi-join (15-min
@@ -1406,6 +1435,47 @@ object SparkEntry {
         |SELECT c.user_id, c.ts_us, c.click_id,
         |       p.ts_us AS r_ts_us, p.purchase_id AS r_purchase_id
         |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us""".stripMargin,
+    "ns_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |           FROM events),
+        |f AS (SELECT user_id, min(ts_us) AS ft FROM e GROUP BY 1)
+        |SELECT CAST(ft // 86400000000 AS BIGINT) AS cohort,
+        |       CAST((ts_us - ft) // 86400000000 AS BIGINT) AS period_idx,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    "ns_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |                  event_type FROM events),
+        |s1 AS (SELECT user_id,
+        |         min(CASE WHEN event_type = 'signup' THEN ts_us END) AS t1
+        |       FROM e GROUP BY 1),
+        |s2 AS (SELECT e.user_id,
+        |         min(CASE WHEN event_type = 'click' AND t1 IS NOT NULL
+        |                       AND ts_us > t1 THEN ts_us END) AS t2
+        |       FROM e JOIN s1 USING (user_id) GROUP BY 1),
+        |s3 AS (SELECT e.user_id,
+        |         min(CASE WHEN event_type = 'purchase' AND t2 IS NOT NULL
+        |                       AND ts_us > t2 THEN ts_us END) AS t3
+        |       FROM e JOIN s2 USING (user_id) GROUP BY 1)
+        |SELECT s1.user_id, t1, t2, t3,
+        |       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |                 WHEN t2 IS NOT NULL THEN 2
+        |                 WHEN t1 IS NOT NULL THEN 1
+        |                 ELSE 0 END AS BIGINT) AS depth
+        |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""".stripMargin,
+    "ns_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |                  event_id FROM events),
+        |b AS (SELECT user_id, ts_us, event_id,
+        |        CASE WHEN lag(ts_us) OVER w IS NULL
+        |                  OR ts_us - lag(ts_us) OVER w > 3600000000
+        |             THEN 1 ELSE 0 END AS nb
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us))
+        |SELECT user_id, ts_us, event_id,
+        |       CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |FROM b""".stripMargin,
     "ns_range_join" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
         |                  event_id, event_type FROM events),

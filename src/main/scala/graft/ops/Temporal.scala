@@ -116,6 +116,109 @@ object Temporal {
     filtered.select(col("__lpay.*") +: rOut: _*)
   }
 
+  /** Gap-based sessionization: label every event with its session ordinal
+    * per key (1-based `session_seq`): a new session starts when the gap to
+    * the previous event of the same key exceeds `gap` time units. The
+    * batch twin of Structured Streaming's `session_window` (same gap
+    * semantics over closed history; the streaming side lives in
+    * `streaming/Windows.sessionAgg`), but per-EVENT — the label a feature
+    * join needs, not just per-session aggregates.
+    *
+    * Deterministic under time ties: the boundary predicate depends only on
+    * the time DELTA (equal times never split), so every ordering of tied
+    * rows yields the same labels. One key exchange + one ordered pass —
+    * the same cost envelope as [[asofJoin]].
+    */
+  def sessionize(events: DataFrame, keyCols: Seq[String], timeCol: String,
+      gap: Long, seqCol: String = "session_seq"): DataFrame = {
+    require(gap >= 0, "gap must be >= 0")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(timeCol))
+    val newSession = when(
+      lag(col(timeCol), 1).over(w).isNull ||
+        col(timeCol) - lag(col(timeCol), 1).over(w) > gap, 1L).otherwise(0L)
+    events.withColumn(seqCol,
+      sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-session aggregates over [[sessionize]] labels: (keys, session_seq,
+    * session_start, session_end, n_events). Partial-aggregated on top of
+    * the already-partitioned labeled stream.
+    */
+  def sessionStats(events: DataFrame, keyCols: Seq[String], timeCol: String,
+      gap: Long): DataFrame = {
+    sessionize(events, keyCols, timeCol, gap)
+      .groupBy((keyCols :+ "session_seq").map(col): _*)
+      .agg(min(col(timeCol)).as("session_start"),
+        max(col(timeCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Funnel analysis: per key, the earliest strictly-ordered completion of
+    * `steps` (step i+1 must happen strictly after the chosen step i — the
+    * greedy earliest choice is optimal: taking the earliest valid t_i can
+    * only widen what later steps may match). One output row per key:
+    * `(keys..., t1..tn nullable, depth)` where `t_i` is the chosen time of
+    * step i and `depth` counts completed steps.
+    *
+    * Plan shape: ONE key exchange; each step is a conditional-min Window
+    * over the whole partition (no orderBy → no sort), chained on the
+    * previous step's time; a final partial-aggregated collapse emits one
+    * row per key. N steps = N window ops over the same exchange, not N
+    * scans or joins.
+    */
+  def funnel(events: DataFrame, keyCols: Seq[String], timeCol: String,
+      steps: Seq[Column]): DataFrame = {
+    require(steps.nonEmpty, "need at least one step predicate")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    var df = events
+    var prevT: Option[String] = None
+    steps.zipWithIndex.foreach { case (pred, i) =>
+      val name = s"t${i + 1}"
+      val gated = prevT match {
+        case None => pred
+        case Some(p) => pred && col(p).isNotNull && col(timeCol) > col(p)
+      }
+      df = df.withColumn(name, min(when(gated, col(timeCol))).over(w))
+      prevT = Some(name)
+    }
+    val tCols = steps.indices.map(i => s"t${i + 1}")
+    val collapsed = df.groupBy(keyCols.map(col): _*)
+      .agg(max(col(tCols.head)).as(tCols.head),
+        tCols.tail.map(c => max(col(c)).as(c)): _*)
+    // chaining makes step times monotone-null (t_i null => t_{i+1} null),
+    // so the deepest non-null step is the funnel depth
+    val depth = coalesce(
+      (tCols.zipWithIndex.reverse.map { case (c, i) =>
+        when(col(c).isNotNull, lit((i + 1).toLong))
+      } :+ lit(0L)): _*)
+    collapsed.withColumn("depth", depth)
+  }
+
+  /** Cohort retention matrix: assign every actor to the absolute period of
+    * its first activity (`cohort = floor(first_time / period)`), then count
+    * distinct actors active in each (cohort, periods-since-first) cell.
+    * Output: `(cohort, period_idx, n_active)`.
+    *
+    * Plan shape: first-activity via a sort-free window min on the actor
+    * key (one exchange), period arithmetic as a projection, then ONE
+    * partial-aggregated distinct on (cohort, period_idx, actor) — never a
+    * self-join of the event table against first-activity rows.
+    * `timeCol` must be numeric (e.g. epoch micros) and non-negative.
+    */
+  def cohortRetention(events: DataFrame, actorCol: String, timeCol: String,
+      period: Long): DataFrame = {
+    require(period > 0, "period must be positive")
+    val w = Window.partitionBy(actorCol)
+    events
+      .withColumn("__ft", min(col(timeCol)).over(w))
+      .select(
+        floorDiv(col("__ft"), period).as("cohort"),
+        floorDiv(col(timeCol) - col("__ft"), period).as("period_idx"),
+        col(actorCol).as("__actor"))
+      .groupBy("cohort", "period_idx")
+      .agg(countDistinct("__actor").as("n_active"))
+  }
+
   /** Point-in-interval range join: points row matches interval row when
     * keys are equal and `startCol <= pointCol <= endCol` (closed bounds).
     * Interval columns come back prefixed with `prefix`. Intervals with

@@ -408,6 +408,18 @@ class PlanSpec extends AnyFunSuite {
       s"exactly one key exchange expected:\n${plan.take(3000)}")
   }
 
+  test("funnel: N steps ride ONE key exchange (chained sort-free windows, no joins)") {
+    val e = SparkEntry.t(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_type"))
+    val plan = planOf(graft.ops.Temporal.funnel(e, Seq("user_id"), "t", Seq(
+      col("event_type") === "signup",
+      col("event_type") === "click",
+      col("event_type") === "purchase")))
+    assert(!plan.contains("Join"), s"funnel must not join:\n${plan.take(3000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"one key exchange for all steps expected:\n${plan.take(3000)}")
+  }
+
   test("range join plans as a hash-joinable equi-join on buckets, not a nested loop") {
     val plan = planOf(SparkEntry.queries("ns_range_join")(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),

@@ -103,6 +103,81 @@ class TemporalSpec extends AnyFunSuite {
     assert(out.count() == 3)
   }
 
+  test("sessionize: gap splits, ties never split, 1-based per-key ordinals") {
+    val e = Seq(
+      ("u1", 0L), ("u1", 10L), ("u1", 11L), ("u1", 11L), ("u1", 50L),
+      ("u2", 5L)
+    ).toDF("k", "t")
+    val out = Temporal.sessionize(e, Seq("k"), "t", gap = 20L)
+      .orderBy("k", "t").collect().map(_.toSeq)
+    assert(out.toSeq == Seq(
+      Seq("u1", 0L, 1L), Seq("u1", 10L, 1L), Seq("u1", 11L, 1L),
+      Seq("u1", 11L, 1L), Seq("u1", 50L, 2L), // 50-11=39 > 20 -> new session
+      Seq("u2", 5L, 1L)))
+  }
+
+  test("sessionStats aggregates the labeled stream; counts match streaming session_window semantics") {
+    val e = SparkEntry.t(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"))
+    val gapUs = 3600L * 1000000L
+    val stats = Temporal.sessionStats(e, Seq("user_id"), "t", gapUs)
+    // invariants: sessions tile the per-user history — n_events sums to
+    // rowcount; every session spans <= its event gaps (start<=end); and the
+    // batch session count equals the built-in session_window's count
+    assert(stats.agg(sum("n_events")).collect()(0).getLong(0) == e.count())
+    assert(stats.where(col("session_start") > col("session_end")).isEmpty)
+    val builtin = e
+      .withColumn("ts", timestamp_micros(col("t")))
+      .groupBy(session_window(col("ts"), "1 hour"), col("user_id")).count()
+    assert(stats.count() == builtin.count(),
+      "batch sessionize must agree with streaming session_window gap semantics")
+  }
+
+  test("funnel: strictly-ordered greedy progression, per-key depth") {
+    val e = Seq(
+      // u1 completes A@1 -> B@5 -> C@9
+      ("u1", 1L, "A"), ("u1", 5L, "B"), ("u1", 9L, "C"),
+      // u2: B before A -> only A counts (depth 1); C without B doesn't fire
+      ("u2", 3L, "B"), ("u2", 4L, "A"), ("u2", 2L, "C"),
+      // u3: A then B at the SAME time -> strict order rejects B (depth 1)
+      ("u3", 7L, "A"), ("u3", 7L, "B"),
+      // u4: no step events at all
+      ("u4", 1L, "X")
+    ).toDF("k", "t", "typ")
+    val out = Temporal.funnel(e, Seq("k"), "t", Seq(
+      col("typ") === "A", col("typ") === "B", col("typ") === "C"))
+      .orderBy("k").collect().map(_.toSeq)
+    assert(out.toSeq == Seq(
+      Seq("u1", 1L, 5L, 9L, 3L),
+      Seq("u2", 4L, null, null, 1L),
+      Seq("u3", 7L, null, null, 1L),
+      Seq("u4", null, null, null, 0L)))
+  }
+
+  test("funnel: greedy earliest step choice is optimal (A@1 enables B@2 that A@3 would miss)") {
+    val e = Seq(("u", 1L, "A"), ("u", 3L, "A"), ("u", 2L, "B")).toDF("k", "t", "typ")
+    val out = Temporal.funnel(e, Seq("k"), "t",
+      Seq(col("typ") === "A", col("typ") === "B")).collect().head
+    assert(out.toSeq == Seq("u", 1L, 2L, 2L))
+  }
+
+  test("cohort retention: hand-checked matrix; cell(0) counts every cohort member") {
+    // period 10: u1 first at 5 (cohort 0), active at +0 and +11 (idx 1);
+    // u2 first at 12 (cohort 1), period 0 twice (distinct-counted once)
+    // and (45-12)=33 -> idx 3; u3 cohort 0, only period 0
+    val e = Seq(
+      ("u1", 5L), ("u1", 16L), ("u2", 12L), ("u2", 13L), ("u2", 45L),
+      ("u3", 7L)
+    ).toDF("u", "t")
+    val out = Temporal.cohortRetention(e, "u", "t", period = 10L)
+      .orderBy("cohort", "period_idx").collect().map(_.toSeq)
+    assert(out.toSeq == Seq(
+      Seq(0L, 0L, 2L), // u1, u3
+      Seq(0L, 1L, 1L), // u1@16: (16-5)=11 div 10 = 1
+      Seq(1L, 0L, 1L),
+      Seq(1L, 3L, 1L)))
+  }
+
   test("range join bucket width does not change results") {
     val pts = spark.range(200).select((col("id") * 7 % 97).as("v"), col("id").as("pid"))
     val ivs = spark.range(40).select((col("id") * 5).as("s"),
