@@ -66,6 +66,12 @@ object Graph {
       prev = ranks
       ranks = next
     }
+    // the result is already materialized (each round counts after persist),
+    // so release every helper cache — eo is edge-sized and would otherwise
+    // occupy storage memory for the life of the session
+    eo.unpersist()
+    nodes.unpersist()
+    if (prev != null) prev.unpersist()
     ranks
   }
 

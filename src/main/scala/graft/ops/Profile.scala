@@ -32,6 +32,18 @@ object Profile {
 
   private def toks(text: Column): Column = split(lower(trim(text)), "\\s+")
 
+  /** Shared by both tiers so exact and sketch fail identically on bad
+    * input: quantiles in (0, 1] and no two rounding to the same column name.
+    */
+  private def quantileNames(quantiles: Seq[Double]): Seq[String] = {
+    require(quantiles.nonEmpty && quantiles.forall(p => p > 0 && p <= 1),
+      "quantiles must be in (0, 1]")
+    val names = quantiles.map(p => s"p${(p * 100).round}_tokens")
+    require(names.distinct.size == names.size,
+      s"quantile column names collide: $names — space the quantiles at least 0.01 apart")
+    names
+  }
+
   /** Exact per-group corpus profile: document count, total/distinct token
     * counts and nearest-rank token-count quantiles. One row per group:
     * `(groupCol, n_docs, total_tokens, distinct_tokens, p<q>_tokens...)`.
@@ -43,8 +55,7 @@ object Profile {
     */
   def groupProfile(docs: DataFrame, textCol: String, groupCol: String,
       quantiles: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
-    require(quantiles.nonEmpty && quantiles.forall(p => p > 0 && p <= 1),
-      "quantiles must be in (0, 1]")
+    val qNames = quantileNames(quantiles)
     val perDoc = docs.select(col(groupCol).as("__g"), toks(col(textCol)).as("__t"))
       .select(col("__g"), col("__t"), size(col("__t")).cast("long").as("__n"))
 
@@ -63,9 +74,8 @@ object Profile {
       .withColumn("__rn",
         row_number().over(Window.partitionBy("__g").orderBy("__n")).cast("long"))
       .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("__g")))
-    val qAggs = quantiles.map { p =>
-      max(when(col("__rn") === ceil(lit(p) * col("__cnt")), col("__n")))
-        .as(s"p${(p * 100).round}_tokens")
+    val qAggs = quantiles.zip(qNames).map { case (p, name) =>
+      max(when(col("__rn") === ceil(lit(p) * col("__cnt")), col("__n"))).as(name)
     }
     val qdf = ranked.groupBy("__g").agg(qAggs.head, qAggs.tail: _*)
 
@@ -82,6 +92,7 @@ object Profile {
   def groupProfileSketch(docs: DataFrame, textCol: String, groupCol: String,
       quantiles: Seq[Double] = Seq(0.5, 0.9), rsd: Double = 0.05,
       accuracy: Int = 10000): DataFrame = {
+    val qNames = quantileNames(quantiles)
     val perDoc = docs.select(col(groupCol).as("__g"), toks(col(textCol)).as("__t"))
       .select(col("__g"), col("__t"), size(col("__t")).cast("long").as("__n"))
 
@@ -90,17 +101,16 @@ object Profile {
       .groupBy("__g")
       .agg(approx_count_distinct(col("__tok"), rsd).as("distinct_tokens"))
 
-    val qAggs = quantiles.map { p =>
-      percentile_approx(col("__n"), lit(p), lit(accuracy))
-        .as(s"p${(p * 100).round}_tokens")
+    val qAggs = quantiles.zip(qNames).map { case (p, name) =>
+      percentile_approx(col("__n"), lit(p), lit(accuracy)).as(name)
     }
     val stats = perDoc.groupBy("__g").agg(
       count(lit(1)).as("n_docs"),
       sum("__n").as("total_tokens") +: qAggs: _*)
 
     stats.join(distinctSketch, "__g").withColumnRenamed("__g", groupCol)
-      .select(groupCol, ("n_docs" +: "total_tokens" +: "distinct_tokens" +:
-        quantiles.map(p => s"p${(p * 100).round}_tokens")): _*)
+      .select(groupCol,
+        ("n_docs" +: "total_tokens" +: "distinct_tokens" +: qNames): _*)
   }
 
   /** Exact per-group heavy hitters: top-`k` tokens by frequency,

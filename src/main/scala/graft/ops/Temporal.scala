@@ -37,10 +37,12 @@ import org.apache.spark.sql.functions._
 object Temporal {
 
   /** Floor division that stays on integers (exact for any long), positive or
-    * negative domain: (x - pmod(x, w)) is exactly divisible by w.
+    * negative domain: (x - pmod(x, w)) is exactly divisible by w, and the
+    * `div` operator is integral — no double rounding anywhere (a `/` here
+    * would be IEEE division and silently wrong beyond 2^53).
     */
   private def floorDiv(x: Column, w: Long): Column =
-    ((x - pmod(x, lit(w))) / lit(w)).cast("long")
+    call_function("div", x - pmod(x, lit(w)), lit(w))
 
   /** As-of join. For every left row, attach the right row with the same
     * `keyCols` whose `timeCol` is the latest <= left time (`backward`) or
@@ -172,8 +174,10 @@ object Temporal {
     val w = Window.partitionBy(keyCols.map(col): _*)
     var df = events
     var prevT: Option[String] = None
+    // internal __-prefixed names: a user column named t1 must not be
+    // clobbered while later step predicates still evaluate against it
     steps.zipWithIndex.foreach { case (pred, i) =>
-      val name = s"t${i + 1}"
+      val name = s"__t${i + 1}"
       val gated = prevT match {
         case None => pred
         case Some(p) => pred && col(p).isNotNull && col(timeCol) > col(p)
@@ -183,8 +187,8 @@ object Temporal {
     }
     val tCols = steps.indices.map(i => s"t${i + 1}")
     val collapsed = df.groupBy(keyCols.map(col): _*)
-      .agg(max(col(tCols.head)).as(tCols.head),
-        tCols.tail.map(c => max(col(c)).as(c)): _*)
+      .agg(max(col("__" + tCols.head)).as(tCols.head),
+        tCols.tail.map(c => max(col("__" + c)).as(c)): _*)
     // chaining makes step times monotone-null (t_i null => t_{i+1} null),
     // so the deepest non-null step is the funnel depth
     val depth = coalesce(
@@ -203,13 +207,16 @@ object Temporal {
     * key (one exchange), period arithmetic as a projection, then ONE
     * partial-aggregated distinct on (cohort, period_idx, actor) — never a
     * self-join of the event table against first-activity rows.
-    * `timeCol` must be numeric (e.g. epoch micros) and non-negative.
+    * `timeCol` must be numeric (e.g. epoch micros). Null actors are
+    * dropped (the SQL first-activity join would drop them too — keeping
+    * the window and join formulations interchangeable).
     */
   def cohortRetention(events: DataFrame, actorCol: String, timeCol: String,
       period: Long): DataFrame = {
     require(period > 0, "period must be positive")
     val w = Window.partitionBy(actorCol)
     events
+      .where(col(actorCol).isNotNull)
       .withColumn("__ft", min(col(timeCol)).over(w))
       .select(
         floorDiv(col("__ft"), period).as("cohort"),
@@ -225,11 +232,14 @@ object Temporal {
     * start > end are dropped. One output row per matching pair.
     *
     * `bucketWidth` is the cell size of the equi-join key: pick it near the
-    * typical interval length so each interval replicates into O(1) cells.
+    * typical interval length so each interval replicates into O(1) cells —
+    * it is deliberately NOT defaulted, because a width far below the
+    * interval span sequence-explodes each interval into span/width rows
+    * (a 1-hour interval in epoch micros at width 1 is 3.6e9 cells).
     */
   def rangeJoin(points: DataFrame, pointCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
-      keyCols: Seq[String] = Nil, bucketWidth: Long = 1L,
+      keyCols: Seq[String] = Nil, bucketWidth: Long,
       prefix: String = "i_"): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val p2 = points.withColumn("__b", floorDiv(col(pointCol), bucketWidth))

@@ -73,6 +73,22 @@ class ProfileSpec extends AnyFunSuite {
     assert(sBig.getLong(4) == eBig.getLong(4)) // all docs same length: quantile exact
   }
 
+  test("both tiers reject bad quantiles identically (range and name collisions)") {
+    intercept[IllegalArgumentException] {
+      Profile.groupProfile(corpus, "text", "grp", quantiles = Seq(1.5))
+    }
+    intercept[IllegalArgumentException] {
+      Profile.groupProfileSketch(corpus, "text", "grp", quantiles = Seq.empty)
+    }
+    // 0.995 and 1.0 both round to p100_tokens
+    intercept[IllegalArgumentException] {
+      Profile.groupProfile(corpus, "text", "grp", quantiles = Seq(0.995, 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Profile.groupProfileSketch(corpus, "text", "grp", quantiles = Seq(0.995, 1.0))
+    }
+  }
+
   test("heavyHitters: top-k per group with deterministic ties") {
     val out = Profile.heavyHitters(corpus, "text", "grp", 2)
       .orderBy("grp", "rank").collect()

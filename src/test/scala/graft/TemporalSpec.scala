@@ -178,6 +178,18 @@ class TemporalSpec extends AnyFunSuite {
       Seq(1L, 3L, 1L)))
   }
 
+  test("bucket/cohort arithmetic is integral beyond 2^53 (no double rounding)") {
+    // values where IEEE double division visibly diverges from integer div
+    val ts = Seq((1L << 60) + 1L, (1L << 60) + 7L, (1L << 62) - 3L, 9007199254740993L)
+    val big = ts.toDF("t").withColumn("u", lit("x"))
+    val got = Temporal.cohortRetention(big, "u", "t", period = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ft = ts.min
+    val exp = ts.map(t => (Math.floorDiv(ft, 7L), Math.floorDiv(t - ft, 7L)))
+      .groupBy(identity).map { case (cell, xs) => (cell._1, cell._2, 1L) }.toSet
+    assert(got == exp, s"got $got exp $exp")
+  }
+
   test("range join bucket width does not change results") {
     val pts = spark.range(200).select((col("id") * 7 % 97).as("v"), col("id").as("pid"))
     val ivs = spark.range(40).select((col("id") * 5).as("s"),
