@@ -638,6 +638,17 @@ object SparkEntry {
       graft.ops.Temporal.asofJoin(clicks, purchases, Seq("user_id"), "ts_us",
         joinType = "inner")
     }),
+    "ns_zorder" -> ((s, dir) => {
+      // multi-dimensional layout key: 8-bit Morton interleave of
+      // (l_partkey, l_suppkey) — the ordering column behind z-ordered
+      // writes (compose with Tables.writeSharded); pure bit arithmetic,
+      // replayed term-for-term by the oracle.
+      val li = t(s, dir, "lineitem")
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        graft.ops.Tables.zOrderValue(
+          Seq(pmod(col("l_partkey"), lit(256)), pmod(col("l_suppkey"), lit(256))),
+          bits = 8).as("zval"))
+    }),
     "ns_retention" -> ((s, dir) => {
       // daily cohort retention over the event stream: cohort = first-seen
       // day, cells = distinct users active N days later. Window-min first
@@ -1435,6 +1446,17 @@ object SparkEntry {
         |SELECT c.user_id, c.ts_us, c.click_id,
         |       p.ts_us AS r_ts_us, p.purchase_id AS r_purchase_id
         |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us""".stripMargin,
+    "ns_zorder" -> {
+      val terms = (0 until 8).map(i =>
+        s"(((pk >> $i) & 1) << ${2 * i}) + (((sk >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT l_orderkey, l_linenumber,
+         |             CAST(l_partkey % 256 AS BIGINT) AS pk,
+         |             CAST(l_suppkey % 256 AS BIGINT) AS sk
+         |           FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS zval
+         |FROM b""".stripMargin
+    },
     "ns_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
         |           FROM events),

@@ -55,4 +55,33 @@ object Tables {
       .sortWithinPartitions(keyCol)
       .write.mode(mode).parquet(path)
   }
+
+  /** Z-order (Morton) interleave of `cols`, each clamped to its low `bits`
+    * bits: bit i of column j lands at output bit `i * nCols + j`, so rows
+    * close in EVERY dimension get close z-values. Sorting/range-sharding
+    * by this value co-locates multi-column neighborhoods in the same
+    * parquet files, which turns per-file column min/max into an effective
+    * multi-dimensional prune — the layout step behind "OPTIMIZE ZORDER
+    * BY" in lakehouse engines, here as a plain deterministic column any
+    * writer can order by (compose with [[writeSharded]]).
+    *
+    * Inputs must be non-negative integers already scaled to fit `bits`
+    * (rank or min-max normalize first — resolution beyond `bits` bits is
+    * ignored by design). `bits * nCols` must fit a long (<= 63). Pure
+    * bit arithmetic: engine-portable, exactly replayable in SQL.
+    */
+  def zOrderValue(cols: Seq[org.apache.spark.sql.Column], bits: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    require(cols.nonEmpty, "need at least one column")
+    require(bits > 0 && bits * cols.size <= 63,
+      s"bits*nCols must be in [1, 63], got ${bits * cols.size}")
+    val n = cols.size
+    val parts = for {
+      (c, j) <- cols.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)),
+      i * n + j)
+    parts.reduce(_ + _)
+  }
 }

@@ -563,4 +563,25 @@ class OpsSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(media, 4).collect()
     assert(frames.forall(_.getSeq[Long](1).size == 4))
   }
+
+  test("zOrderValue: Morton interleave goldens, monotone locality, bit-budget guard") {
+    import graft.ops.Tables
+    import spark.implicits._
+    // classic golden: z(x=5, y=3) with 3 bits = 0b011011 = 27
+    // (x bits at even positions, y bits at odd)
+    val df = Seq((5L, 3L), (0L, 0L), (7L, 7L), (4L, 2L)).toDF("x", "y")
+    val got = df.select(Tables.zOrderValue(Seq(col("x"), col("y")), bits = 3).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(27L, 0L, 63L, 24L))
+    // locality: within an aligned 2^k x 2^k tile, z-values are contiguous —
+    // the property that makes per-file min/max prune both dimensions
+    val tile = for { x <- 4 to 7; y <- 4 to 7 } yield (x.toLong, y.toLong)
+    val zs = tile.toDF("x", "y")
+      .select(Tables.zOrderValue(Seq(col("x"), col("y")), bits = 3).as("z"))
+      .collect().map(_.getLong(0)).sorted
+    assert(zs.head == 48L && zs.last == 63L && zs.distinct.length == 16)
+    intercept[IllegalArgumentException] {
+      Tables.zOrderValue(Seq(col("x"), col("y")), bits = 32) // 64 > 63
+    }
+  }
 }
