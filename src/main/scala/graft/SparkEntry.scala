@@ -669,6 +669,34 @@ object SparkEntry {
         col("event_type") === "click",
         col("event_type") === "purchase"))
     }),
+    "ns_rolling" -> ((s, dir) => {
+      // trailing 1h spend per user at every event — RANGE-frame rolling
+      // sum/count over integer cents (FP-chain: value*100 then round is a
+      // fixed-order double op both engines replay identically; the SUM is
+      // over longs, so accumulation order cannot matter).
+      val e = t(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      graft.ops.Temporal.rolling(e, Seq("user_id"), "ts_us",
+        window = 3600000000L, valueCol = "cents")
+    }),
+    "ns_interval_join" -> ((s, dir) => {
+      // overlapping exposure windows: 1h purchase windows x 30min click
+      // windows per user — grid-cell interval join, each pair emitted from
+      // exactly one cell; oracle is the plain overlap theta join.
+      val e = t(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"), col("event_type"))
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("ps"),
+          (col("ts_us") + lit(3600000000L)).as("pe"),
+          col("event_id").as("purchase_id"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("cs"),
+          (col("ts_us") + lit(1800000000L)).as("ce"),
+          col("event_id").as("click_id"))
+      graft.ops.Temporal.intervalJoin(p, "ps", "pe", c, "cs", "ce",
+        keyCols = Seq("user_id"), bucketWidth = 900000000L)
+    }),
     "ns_sessionize" -> ((s, dir) => {
       // per-event session labels: 1h-gap sessions per user — the batch
       // twin of the streaming session_window (equivalence law in
@@ -1486,6 +1514,25 @@ object SparkEntry {
         |                 WHEN t1 IS NOT NULL THEN 1
         |                 ELSE 0 END AS BIGINT) AS depth
         |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""".stripMargin,
+    "ns_rolling" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |                  event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events)
+        |SELECT user_id, ts_us, event_id, cents,
+        |       CAST(sum(cents) OVER w AS BIGINT) AS cents_wsum,
+        |       CAST(count(*) OVER w AS BIGINT) AS w_n
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "ns_interval_join" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |                  event_id, event_type FROM events),
+        |p AS (SELECT user_id, ts_us AS ps, ts_us + 3600000000 AS pe,
+        |             event_id AS purchase_id FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts_us AS cs, ts_us + 1800000000 AS ce,
+        |             event_id AS click_id FROM e WHERE event_type = 'click')
+        |SELECT p.user_id, ps, pe, purchase_id,
+        |       cs AS r_cs, ce AS r_ce, click_id AS r_click_id
+        |FROM p JOIN c ON p.user_id = c.user_id AND ps <= ce AND cs <= pe""".stripMargin,
     "ns_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
         |                  event_id FROM events),

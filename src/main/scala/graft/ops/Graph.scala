@@ -43,7 +43,11 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // persist the raw edge frame first: out-degree, enrichment, and the
+    // node set all derive from it — without this the caller's edge
+    // construction (often a join + distinct) re-executes once per derived
+    // frame
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // enrich once: the loop never re-joins the degree table
     val eo = e.join(outDeg, "src").persist()
@@ -69,6 +73,7 @@ object Graph {
     // the result is already materialized (each round counts after persist),
     // so release every helper cache — eo is edge-sized and would otherwise
     // occupy storage memory for the life of the session
+    e.unpersist()
     eo.unpersist()
     nodes.unpersist()
     if (prev != null) prev.unpersist()

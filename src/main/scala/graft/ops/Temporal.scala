@@ -254,4 +254,59 @@ object Temporal {
       .where(col(pointCol).between(col(prefix + startCol), col(prefix + endCol)))
       .drop("__b")
   }
+
+  /** Trailing rolling-window aggregates: for every event, the sum and
+    * count of `valueCol` over the same key's events in
+    * `[time - window, time]` (RANGE frame — rows with equal time are
+    * peers and always share one frame, so ties can't skew either value).
+    * Appends `<valueCol>_wsum` and `w_n`. One key exchange + one ordered
+    * pass, like the other per-key operators here.
+    *
+    * `valueCol` should be integral (sum longs, not IEEE doubles — scale
+    * currency to cents first) so the accumulation order inside the frame
+    * cannot change the result across engines.
+    */
+  def rolling(events: DataFrame, keyCols: Seq[String], timeCol: String,
+      window: Long, valueCol: String): DataFrame = {
+    require(window >= 0, "window must be >= 0")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(timeCol))
+      .rangeBetween(-window, 0)
+    events
+      .withColumn(s"${valueCol}_wsum", sum(col(valueCol)).over(w))
+      .withColumn("w_n", count(lit(1)).over(w))
+  }
+
+  /** Interval-overlap join: left [s,e] × right [s,e] pairs that overlap
+    * (closed bounds: `ls <= re && rs <= le`), keys equal. Right columns
+    * come back prefixed. Both sides bucketize like [[rangeJoin]]; each
+    * overlapping pair is emitted from exactly ONE cell — the one holding
+    * `greatest(ls, rs)` (the overlap start) — so no distinct/dedup
+    * exchange is needed afterward, the classic grid-join attribution
+    * trick. Inverted intervals are dropped on both sides.
+    */
+  def intervalJoin(left: DataFrame, leftStart: String, leftEnd: String,
+      right: DataFrame, rightStart: String, rightEnd: String,
+      keyCols: Seq[String] = Nil, bucketWidth: Long,
+      prefix: String = "r_"): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val l2 = left
+      .where(col(leftStart) <= col(leftEnd))
+      .withColumn("__b", explode(sequence(
+        floorDiv(col(leftStart), bucketWidth),
+        floorDiv(col(leftEnd), bucketWidth))))
+    val rPayload = right.columns.filterNot(keyCols.contains).toSeq
+    val r2 = right
+      .where(col(rightStart) <= col(rightEnd))
+      .select(keyCols.map(col) ++ rPayload.map(c => col(c).as(prefix + c)): _*)
+      .withColumn("__b", explode(sequence(
+        floorDiv(col(prefix + rightStart), bucketWidth),
+        floorDiv(col(prefix + rightEnd), bucketWidth))))
+    l2.join(r2, keyCols :+ "__b")
+      .where(col(leftStart) <= col(prefix + rightEnd) &&
+        col(prefix + rightStart) <= col(leftEnd) &&
+        // attribute the pair to the single cell containing overlap start
+        col("__b") === floorDiv(greatest(col(leftStart), col(prefix + rightStart)),
+          bucketWidth))
+      .drop("__b")
+  }
 }

@@ -190,6 +190,50 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == exp, s"got $got exp $exp")
   }
 
+  test("rolling: trailing RANGE window sums and counts; equal times are peers") {
+    val e = Seq(
+      ("u", 0L, 1L), ("u", 5L, 2L), ("u", 5L, 4L), ("u", 20L, 8L),
+      ("v", 5L, 16L)
+    ).toDF("k", "t", "v")
+    val out = Temporal.rolling(e, Seq("k"), "t", window = 10L, valueCol = "v")
+      .orderBy("k", "t", "v").collect().map(_.toSeq)
+    assert(out.toSeq == Seq(
+      Seq("u", 0L, 1L, 1L, 1L),            // [.,-10..0] -> just itself
+      Seq("u", 5L, 2L, 7L, 3L),            // peers at t=5 share the frame
+      Seq("u", 5L, 4L, 7L, 3L),
+      Seq("u", 20L, 8L, 8L, 1L),           // 20-10=10 > 5 -> alone
+      Seq("v", 5L, 16L, 16L, 1L)))
+  }
+
+  test("interval join: overlap semantics equal the naive theta join; one row per pair") {
+    val l = Seq(("a", 0L, 10L, 1L), ("a", 20L, 30L, 2L), ("b", 5L, 6L, 3L),
+      ("a", 50L, 40L, 4L) /* inverted: dropped */).toDF("k", "ls", "le", "lid")
+    val r = Seq(("a", 8L, 25L, 10L), ("a", 30L, 31L, 11L), ("b", 7L, 9L, 12L))
+      .toDF("k", "rs", "re", "rid")
+    val out = Temporal.intervalJoin(l, "ls", "le", r, "rs", "re",
+      keyCols = Seq("k"), bucketWidth = 4L)
+      .select("k", "lid", "r_rid")
+    val naive = l.join(r, Seq("k"))
+      .where(col("ls") <= col("re") && col("rs") <= col("le") && col("ls") <= col("le"))
+      .select(col("k"), col("lid"), col("rid").as("r_rid"))
+    assert(out.exceptAll(naive).isEmpty && naive.exceptAll(out).isEmpty)
+    // [0,10]x[8,25] overlap; [20,30]x[8,25] overlap; [20,30]x[30,31] touch
+    // at 30 (closed bounds); b: [5,6]x[7,9] no overlap
+    assert(out.count() == 3)
+  }
+
+  test("interval join emits each overlapping pair exactly once regardless of width") {
+    val l = spark.range(50).select(col("id").as("lid"),
+      (col("id") * 3).as("ls"), (col("id") * 3 + 17).as("le"))
+    val r = spark.range(40).select(col("id").as("rid"),
+      (col("id") * 5).as("rs"), (col("id") * 5 + 9).as("re"))
+    val w2 = Temporal.intervalJoin(l, "ls", "le", r, "rs", "re", bucketWidth = 2L)
+    val w64 = Temporal.intervalJoin(l, "ls", "le", r, "rs", "re", bucketWidth = 64L)
+    assert(w2.count() == w64.count() && w2.count() > 50)
+    assert(w2.groupBy("lid", "r_rid").count().where(col("count") > 1).isEmpty,
+      "pairs must be emitted from exactly one cell")
+  }
+
   test("range join bucket width does not change results") {
     val pts = spark.range(200).select((col("id") * 7 % 97).as("v"), col("id").as("pid"))
     val ivs = spark.range(40).select((col("id") * 5).as("s"),
