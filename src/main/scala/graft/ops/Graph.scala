@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   *     hash-partition on the same key, so consecutive iterations reuse the
   *     partitioning) plus one partial-aggregated sum keyed by dst.
   *   - per-iteration state is one (node, rank) row per node — never
-  *     edge-sized; ranks persist each round and the previous round
-  *     unpersists, so lineage stays one iteration deep (no exponential
-  *     plan growth over `iters`).
+  *     edge-sized; ranks checkpoint (persist + materialize, dropping the
+  *     previous checkpoint) every `persistEvery` rounds and at the end,
+  *     so lineage stays bounded while paying one materialization job per
+  *     `persistEvery` rounds instead of per round.
   *   - dangling nodes (no out-edges) leak their damped mass — the classic
   *     "leaky" simplification; the leak is deterministic so cross-engine
   *     equality still holds. Use the redistribute variant only if absolute
@@ -41,8 +42,9 @@ object Graph {
     * wanted). `iters` fixed-point rounds, damping 0.85, start mass 1.0.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3, persistEvery: Int = 4): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
+    require(persistEvery > 0, "persistEvery must be positive")
     // persist the raw edge frame first: out-degree, enrichment, and the
     // node set all derive from it — without this the caller's edge
     // construction (often a join + distinct) re-executes once per derived
@@ -56,27 +58,32 @@ object Graph {
 
     var ranks = nodes.withColumn("pr", lit(1000000L))
     var prev: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = eo.join(ranks, eo("src") === ranks("node"))
         .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
         .groupBy("node").agg(sum("c").as("s"))
-      val next = nodes.join(contribs, Seq("node"), "left")
+      var next = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) + expr("(17 * coalesce(s, CAST(0 AS BIGINT))) div 20"))
             .as("pr"))
-        .persist()
-      next.count() // materialize before dropping the previous round
-      if (prev != null) prev.unpersist()
-      prev = ranks
+      // materialize every persistEvery rounds (and at the end): each
+      // materialization is a full job, so cutting them 4x cuts fixed cost
+      // 4x while lineage depth stays bounded at persistEvery rounds
+      if (i % persistEvery == 0 || i == iters) {
+        next = next.persist()
+        next.count() // materialize before dropping the previous checkpoint
+        if (prev != null) prev.unpersist()
+        prev = next
+      }
       ranks = next
     }
     // the result is already materialized (each round counts after persist),
     // so release every helper cache — eo is edge-sized and would otherwise
-    // occupy storage memory for the life of the session
+    // occupy storage memory for the life of the session. The final ranks
+    // frame (== prev) stays cached: it is the returned result.
     e.unpersist()
     eo.unpersist()
     nodes.unpersist()
-    if (prev != null) prev.unpersist()
     ranks
   }
 
