@@ -77,10 +77,11 @@ object Graph {
       }
       ranks = next
     }
-    // the result is already materialized (each round counts after persist),
-    // so release every helper cache — eo is edge-sized and would otherwise
-    // occupy storage memory for the life of the session. The final ranks
-    // frame (== prev) stays cached: it is the returned result.
+    // for iters >= 1 the final round always checkpoints (i == iters arm),
+    // so the result is materialized and the helper caches can drop; for
+    // iters == 0 the returned start frame recomputes through the caller's
+    // edge construction on use — trivially cheap, it is a constant column
+    // over the node set. eo is edge-sized and must not outlive the call.
     e.unpersist()
     eo.unpersist()
     nodes.unpersist()

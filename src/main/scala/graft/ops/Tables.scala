@@ -74,8 +74,9 @@ object Tables {
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
     require(cols.nonEmpty, "need at least one column")
-    require(bits > 0 && bits * cols.size <= 63,
-      s"bits*nCols must be in [1, 63], got ${bits * cols.size}")
+    // overflow-free form of bits * cols.size <= 63
+    require(bits > 0 && bits <= 63 / cols.size,
+      s"bits*nCols must be in [1, 63], got bits=$bits nCols=${cols.size}")
     val n = cols.size
     val parts = for {
       (c, j) <- cols.zipWithIndex

@@ -44,6 +44,24 @@ object Temporal {
   private def floorDiv(x: Column, w: Long): Column =
     call_function("div", x - pmod(x, lit(w)), lit(w))
 
+  /** Shared interval-side bucketization for [[rangeJoin]]/[[intervalJoin]]:
+    * drop inverted intervals, prefix non-key columns (prefix "" keeps the
+    * originals), replicate each row into every `bucketWidth` cell the
+    * interval covers as `__b`. The input must not already carry a `__b`
+    * column.
+    */
+  private def bucketizeIntervals(df: DataFrame, startCol: String,
+      endCol: String, keyCols: Seq[String], prefix: String,
+      bucketWidth: Long): DataFrame = {
+    require(!df.columns.contains("__b"), "input must not carry a __b column")
+    val payload = df.columns.filterNot(keyCols.contains).toSeq
+    df.where(col(startCol) <= col(endCol))
+      .select(keyCols.map(col) ++ payload.map(c => col(c).as(prefix + c)): _*)
+      .withColumn("__b", explode(sequence(
+        floorDiv(col(prefix + startCol), bucketWidth),
+        floorDiv(col(prefix + endCol), bucketWidth))))
+  }
+
   /** As-of join. For every left row, attach the right row with the same
     * `keyCols` whose `timeCol` is the latest <= left time (`backward`) or
     * the earliest >= left time (`forward`), optionally only when within
@@ -243,13 +261,8 @@ object Temporal {
       prefix: String = "i_"): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val p2 = points.withColumn("__b", floorDiv(col(pointCol), bucketWidth))
-    val iPayload = intervals.columns.filterNot(keyCols.contains).toSeq
-    val i2 = intervals
-      .where(col(startCol) <= col(endCol))
-      .select(keyCols.map(col) ++ iPayload.map(c => col(c).as(prefix + c)): _*)
-      .withColumn("__b", explode(sequence(
-        floorDiv(col(prefix + startCol), bucketWidth),
-        floorDiv(col(prefix + endCol), bucketWidth))))
+    val i2 = bucketizeIntervals(intervals, startCol, endCol, keyCols,
+      prefix, bucketWidth)
     p2.join(i2, keyCols :+ "__b")
       .where(col(pointCol).between(col(prefix + startCol), col(prefix + endCol)))
       .drop("__b")
@@ -267,13 +280,19 @@ object Temporal {
     * cannot change the result across engines.
     */
   def rolling(events: DataFrame, keyCols: Seq[String], timeCol: String,
-      window: Long, valueCol: String): DataFrame = {
+      window: Long, valueCol: String, sumCol: String = null,
+      cntCol: String = "w_n"): DataFrame = {
     require(window >= 0, "window must be >= 0")
+    val sumName = Option(sumCol).getOrElse(s"${valueCol}_wsum")
+    Seq(sumName, cntCol).foreach { c =>
+      require(!events.columns.contains(c),
+        s"output column $c already exists — pass sumCol/cntCol to rename")
+    }
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(timeCol))
       .rangeBetween(-window, 0)
     events
-      .withColumn(s"${valueCol}_wsum", sum(col(valueCol)).over(w))
-      .withColumn("w_n", count(lit(1)).over(w))
+      .withColumn(sumName, sum(col(valueCol)).over(w))
+      .withColumn(cntCol, count(lit(1)).over(w))
   }
 
   /** Interval-overlap join: left [s,e] × right [s,e] pairs that overlap
@@ -289,18 +308,10 @@ object Temporal {
       keyCols: Seq[String] = Nil, bucketWidth: Long,
       prefix: String = "r_"): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val l2 = left
-      .where(col(leftStart) <= col(leftEnd))
-      .withColumn("__b", explode(sequence(
-        floorDiv(col(leftStart), bucketWidth),
-        floorDiv(col(leftEnd), bucketWidth))))
-    val rPayload = right.columns.filterNot(keyCols.contains).toSeq
-    val r2 = right
-      .where(col(rightStart) <= col(rightEnd))
-      .select(keyCols.map(col) ++ rPayload.map(c => col(c).as(prefix + c)): _*)
-      .withColumn("__b", explode(sequence(
-        floorDiv(col(prefix + rightStart), bucketWidth),
-        floorDiv(col(prefix + rightEnd), bucketWidth))))
+    val l2 = bucketizeIntervals(left, leftStart, leftEnd, keyCols,
+      prefix = "", bucketWidth)
+    val r2 = bucketizeIntervals(right, rightStart, rightEnd, keyCols,
+      prefix, bucketWidth)
     l2.join(r2, keyCols :+ "__b")
       .where(col(leftStart) <= col(prefix + rightEnd) &&
         col(prefix + rightStart) <= col(leftEnd) &&
