@@ -1,6 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  private def jnum(v: Double): String = f"$v%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,7 +15,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up pass: run every query once UNTIMED so the timed pass measures
+    // Warm-up pass: run every query once UNTIMED so the timed passes measure
     // plan cost, not JIT/codegen/scheduler first-touch (which lands unevenly
     // on whichever queries a cold JVM runs first and produced 19× artifacts
     // between near-identical plans in round 1).
@@ -22,15 +25,34 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
     }
-    val results = ordered.map { case (name, fn) =>
+    // min-of-2 timed passes: a transient host-contention spike (round 3's
+    // driver recorded 22 s for a query that re-measures at 1.1 s) can only
+    // distort a query if it hits the SAME query in BOTH passes.
+    def timedPass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val p1 = timedPass().toMap
+    val p2 = timedPass().toMap
+    val results = ordered.map { case (name, _) => name -> math.min(p1(name), p2(name)) }
+    val total = results.map(_._2).sum
+    val sfName = sfDir.split('/').last
+    // The driver may capture only a bounded head or tail of stdout (round 3
+    // kept a ~1.9 KB tail and lost the line head). Emit a SHORT totals line
+    // with the slowest queries both FIRST and LAST so either capture window
+    // retains one complete parseable JSON line; the full per-query line sits
+    // between them.
+    val slowest = results.sortBy(-_._2).take(8)
+    val compact = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${
+      slowest.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
+    },"sf":"$sfName","n_queries":${results.size}}"""
+    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${
+      results.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
+    },"sf":"$sfName"}"""
+    println(compact)
+    println(full)
+    println(compact)
     spark.stop()
   }
 }

@@ -335,6 +335,55 @@ object SparkEntry {
       val tables = graft.sinks.SinkCompiler.parseTables(mapper.readTree(tablesJson))
       graft.sinks.SinkCompiler.tableStage(tables.head)(out)
     }),
+    "g4_open_dynamic" -> ((s, dir) => {
+      // Open-ended dynamic qualifier names (G4, the
+      // apisrc-bigtablesink-fooround.json "frt-<fooTrackingId>" shape):
+      // unknown name domain → map column, exploded here to (col_name, v)
+      // rows so the gate hashes scalars.
+      val out = pipelineOf(routingSpec)(eventJson(s, dir)).head._2
+      val tablesJson =
+        """{"tables": [
+          |  {"name": "bt", "rowKey": {"keys": ["eid"]},
+          |   "columnFamilies": [{"name": "d", "columnQualifiers": [
+          |     {"id": "amount", "name": "amt"},
+          |     {"id": "k", "nameFromId": {"prefix": "evt-", "suffixFromId": "custId"}}]}]}
+          |]}""".stripMargin
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val tables = graft.sinks.SinkCompiler.parseTables(mapper.readTree(tablesJson))
+      graft.sinks.SinkCompiler.tableStage(tables.head)(out)
+        .select(col("key"), col("amt"),
+          explode(col("`evt-cols`")).as(Seq("col_name", "v")))
+    }),
+    "c4_array_query" -> ((s, dir) => {
+      // gjson array-query projection (C4, the xch-eur shape): rates arrays
+      // are synthesized from native columns, then `data.#(base=="EUR")`
+      // routes (branch predicate) and projects (field paths) through the
+      // compiled pipeline; rows without an EUR entry drop.
+      val e = t(s, dir, "events")
+      val json = e.select(to_json(struct(
+        lit("XCH_RATES_UPDATED").as("name"),
+        col("event_id").as("eid"),
+        array(
+          struct(lit("CHF").as("base"),
+            struct((col("value") * 2).as("SEK"), (col("user_id") + 7).as("NOK")).as("rates")),
+          struct(
+            when(col("event_type") === "purchase", lit("EUR")).otherwise(lit("GBP")).as("base"),
+            struct(col("value").as("SEK"), col("user_id").as("NOK")).as("rates"))
+        ).as("data"))).as("value"))
+      val spec = specTemplate(
+        """{
+          |  "extractFields": [{
+          |    "forEventsWith": [
+          |      {"key": "name", "value": "XCH_RATES_UPDATED"},
+          |      {"key": "data.#(base==\"EUR\").base", "value": "EUR"}],
+          |    "fields": [
+          |      {"id": "eid", "jsonPath": "eid", "type": "integer"},
+          |      {"id": "sek", "jsonPath": "data.#(base==\"EUR\").rates.SEK", "type": "float"},
+          |      {"id": "nok", "jsonPath": "data.#(base==\"EUR\").rates.NOK", "type": "integer"}]
+          |  }]
+          |}""".stripMargin)
+      pipelineOf(spec)(json).head._2
+    }),
     "d2_keys_in_map" -> ((s, dir) => {
       // D2: map keys become sink row keys (rowKey.predefined: keysInMap).
       val e = t(s, dir, "events")
@@ -622,6 +671,20 @@ object SparkEntry {
       val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
         .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst")))
       graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3)
+    }),
+    "ns_pagerank_dangling" -> ((s, dir) => {
+      // dangling-mass redistribution gate: customer -> supplier edges only,
+      // so every supplier is dangling; each round spreads
+      // floor(sum(dangling pr) / N) to every node before damping. The
+      // oracle unrolls the same integer arithmetic with a per-round scalar
+      // subquery for the dangling sum.
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+      graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3,
+        redistributeDangling = true)
     }),
     "ns_asof_join" -> ((s, dir) => {
       // each click attaches the user's latest at-or-before purchase —
@@ -1019,10 +1082,14 @@ object SparkEntry {
         graft.ops.Pipelines.disposition(t(s, dir, "documents"), "text", "doc_id"))),
     "ns_embed_int8" -> ((s, dir) => {
       // int8 scalar quantization: the rounding chain is deterministic
-      // IEEE double ops in fixed order, so codes replay bit-for-bit
+      // IEEE double ops in fixed order, so codes replay bit-for-bit.
+      // posexplode scalarizes the codes array — the check harness sorts
+      // rows with pandas, which cannot order array cells.
       val e = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
       graft.ops.Similarity.quantizeInt8(e)
+        .select(col("id"), col("vmin"), col("vmax"),
+          posexplode(col("codes")).as(Seq("pos", "code")))
     }),
     "ns_media_frames" -> ((s, dir) => {
       // fixed-stride frame fingerprints (31-bit md5-derived — the oracle
@@ -1224,6 +1291,15 @@ object SparkEntry {
         |       CASE WHEN event_type = 'signup'
         |            THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS "evt-signup"
         |FROM events WHERE event_type IN ('purchase', 'signup')""".stripMargin,
+    "g4_open_dynamic" ->
+      """SELECT CAST(event_id AS VARCHAR) AS key,
+        |       value AS amt,
+        |       'evt-' || CAST(user_id AS VARCHAR) AS col_name,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "c4_array_query" ->
+      """SELECT event_id AS eid, value AS sek, user_id AS nok
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
     "e4_ingestion_time" ->
       """SELECT event_id AS eid, true AS has_ingestion_ts, true AS ingested_after_build
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
@@ -1465,6 +1541,35 @@ object SparkEntry {
         |r3 AS (SELECT n.node, CAST(150000 + (17 * coalesce(c3.s, 0)) // 20 AS BIGINT) AS pr
         |       FROM n LEFT JOIN c3 ON n.node = c3.node)
         |SELECT node, pr FROM r3""".stripMargin,
+    "ns_pagerank_dangling" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM n),
+        |dang AS (SELECT node FROM n WHERE node NOT IN (SELECT src FROM deg)),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM n),
+        |s1 AS (SELECT CAST(coalesce(sum(r.pr), 0) AS BIGINT) // (SELECT c FROM nn) AS sh
+        |       FROM r0 r JOIN dang USING (node)),
+        |c1 AS (SELECT e.dst AS node, sum(r.pr // d.outdeg) AS s
+        |       FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r1 AS (SELECT n.node, CAST(150000 + (17 * (coalesce(c1.s, 0) + (SELECT sh FROM s1))) // 20 AS BIGINT) AS pr
+        |       FROM n LEFT JOIN c1 ON n.node = c1.node),
+        |s2 AS (SELECT CAST(coalesce(sum(r.pr), 0) AS BIGINT) // (SELECT c FROM nn) AS sh
+        |       FROM r1 r JOIN dang USING (node)),
+        |c2 AS (SELECT e.dst AS node, sum(r.pr // d.outdeg) AS s
+        |       FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r2 AS (SELECT n.node, CAST(150000 + (17 * (coalesce(c2.s, 0) + (SELECT sh FROM s2))) // 20 AS BIGINT) AS pr
+        |       FROM n LEFT JOIN c2 ON n.node = c2.node),
+        |s3 AS (SELECT CAST(coalesce(sum(r.pr), 0) AS BIGINT) // (SELECT c FROM nn) AS sh
+        |       FROM r2 r JOIN dang USING (node)),
+        |c3 AS (SELECT e.dst AS node, sum(r.pr // d.outdeg) AS s
+        |       FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r3 AS (SELECT n.node, CAST(150000 + (17 * (coalesce(c3.s, 0) + (SELECT sh FROM s3))) // 20 AS BIGINT) AS pr
+        |       FROM n LEFT JOIN c3 ON n.node = c3.node)
+        |SELECT node, pr FROM r3""".stripMargin,
     "ns_asof_join" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
         |                  event_id, event_type FROM events),
@@ -1579,13 +1684,13 @@ object SparkEntry {
         |         & 2147483647) % 1000 AS hv
         |      FROM documents)""".stripMargin,
     "ns_embed_int8" ->
-      """SELECT vec_id AS id,
-        |  list_transform(embedding::DOUBLE[], x -> CASE WHEN vmax = vmin THEN 0
-        |    ELSE CAST(least(greatest(round((x - vmin) * 255.0 / (vmax - vmin)), 0), 255) AS INT) END) AS codes,
-        |  vmin, vmax
-        |FROM (SELECT vec_id, embedding,
+      """SELECT id, vmin, vmax, CAST(i AS INT) AS pos,
+        |  CASE WHEN vmax = vmin THEN 0
+        |    ELSE CAST(least(greatest(round((vec[CAST(i + 1 AS INT)] - vmin) * 255.0 / (vmax - vmin)), 0), 255) AS INT) END AS code
+        |FROM (SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
         |        list_min(embedding::DOUBLE[]) AS vmin,
-        |        list_max(embedding::DOUBLE[]) AS vmax
+        |        list_max(embedding::DOUBLE[]) AS vmax,
+        |        unnest(range(len(embedding))) AS i
         |      FROM embeddings)""".stripMargin,
     "ns_media_frames" ->
       """SELECT doc_id AS media_id, CAST(f AS INT) AS frame,

@@ -10,6 +10,37 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Text-fingerprinting expressions used by the dedup / document-analysis
   * operators. Single-pass per row, no shuffle, constant memory.
+  *
+  * Table of contents — expression → consuming operator → gate. Every
+  * expression exists to keep a hot path single-pass (interpreted HOF
+  * chains re-evaluate their inputs; these parse/hash once per row);
+  * PlanSpec's single-eval and shuffle-shape asserts plus the named
+  * CORRECTNESS queries hold them to that.
+  *
+  * | Expression            | Operator (graft.ops)               | Gate |
+  * |-----------------------|------------------------------------|------|
+  * | SimHash64Expr         | Dedup.simhashCandidates            | ns_dedup_simhash |
+  * | WinnowFingerprintExpr | Dedup.substringCandidates          | ns_substring_candidates |
+  * | MinHashExpr           | Dedup.minhashCandidates (+incr.)   | ns_dedup_minhash, ns_incremental_neardup |
+  * | CurationStatsExpr     | Curation.qualityFilter, TextAnalysis.profile | ns_quality_filter, ns_text_profile |
+  * | WordNgramsExpr        | Dedup.jaccardVerify, TextAnalysis.vocabulary | ns_dedup_minhash, ns_ngram_vocab |
+  * | TokenSetCountsExpr    | TextAnalysis.langId/sentiment      | ns_text_profile, ns_sentiment |
+  * | WordChunksExpr        | Curation.chunk                     | ns_chunk |
+  * | PackBinsExpr          | Curation.pack                      | ns_pack |
+  * | HashedNgramCountsExpr | Lm.score, Curation.dsir            | ns_lm_score, ns_dsir |
+  * | DsirDotExpr           | Curation.dsir                      | ns_dsir |
+  * | BpeEncodeExpr         | Bpe.encode                         | ns_bpe |
+  * | BloomMightContainExpr | Curation.decontaminate             | ns_decontaminate |
+  * | CompressionRatioExpr  | TextAnalysis quality metrics       | ProfileSpec |
+  * | CosineSimExpr         | Similarity.bruteForceTopK (+verify layers) | ns_embed_topk |
+  * | HyperplaneKeysExpr    | Similarity.lshTopK, Dedup.embeddingCandidates | ns_ann_lsh, ns_dedup_embed |
+  * | NearestCentroidsExpr  | Similarity.ivfTopK (multi-probe)   | ns_ann_ivf |
+  * | NearestCentroidExpr   | Dedup.semanticDedup, Similarity.prototypes | ns_semdedup, ns_prototypes |
+  * | PqEncodeExpr          | Similarity.trainPq/pqTopK          | ns_ann_pq |
+  * | PqSubEncodeExpr       | Similarity PQ encode (subspace)    | ns_ann_pq |
+  * | PqAdcExpr             | Similarity PQ ADC scoring          | ns_ann_pq |
+  * | MediaPHashExpr        | Multimodal.pHash + media near-dup  | ns_media_phash |
+  * | ScaleToInt8Expr       | Similarity.quantizeInt8            | ns_embed_int8 |
   */
 object text {
 

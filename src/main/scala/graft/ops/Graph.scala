@@ -40,9 +40,23 @@ object Graph {
     * Returns (node, pr) in micro-units for every node appearing as a src
     * or dst. Parallel edges count as parallel (pre-`distinct` them if not
     * wanted). `iters` fixed-point rounds, damping 0.85, start mass 1.0.
+    *
+    * `redistributeDangling = true` closes the dangling-mass leak: each
+    * round the summed rank of no-out-edge nodes is spread uniformly
+    * (integer `div` — the sub-micro-unit remainder, < one micro-unit per
+    * node, still leaks deterministically). Costs one scalar aggregate job
+    * per round, so rounds can no longer batch under `persistEvery`; leave
+    * it off when only ranking order matters.
+    *
+    * The returned frame is PERSISTED (it is the loop's final checkpoint —
+    * unpersisting it here would force a full recompute on first use). The
+    * caller owns `result.unpersist()` once consumed; repeated calls that
+    * never unpersist accumulate node-sized cache entries until LRU
+    * eviction.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3, persistEvery: Int = 4): DataFrame = {
+      iters: Int = 3, persistEvery: Int = 4,
+      redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(persistEvery > 0, "persistEvery must be positive")
     // persist the raw edge frame first: out-degree, enrichment, and the
@@ -56,15 +70,27 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
 
+    // dangling = nodes with no out-edges; node count only needed for the
+    // redistribution quotient (both driver-side scalars, O(1))
+    lazy val danglingNodes = nodes.join(outDeg.select(col("src").as("node")),
+      Seq("node"), "left_anti").persist()
+    lazy val nNodes: Long = nodes.count()
+
     var ranks = nodes.withColumn("pr", lit(1000000L))
     var prev: DataFrame = null
     for (i <- 1 to iters) {
       val contribs = eo.join(ranks, eo("src") === ranks("node"))
         .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
         .groupBy("node").agg(sum("c").as("s"))
+      // per-node share of this round's dangling mass (0 when the leak is
+      // accepted): floor(sum(dangling pr) / N), integer-exact
+      val share: Long =
+        if (!redistributeDangling) 0L
+        else ranks.join(danglingNodes, "node")
+          .agg(coalesce(sum("pr"), lit(0L))).first().getLong(0) / nNodes
       var next = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (lit(150000L) + expr("(17 * coalesce(s, CAST(0 AS BIGINT))) div 20"))
+          (lit(150000L) + expr(s"(17 * (coalesce(s, CAST(0 AS BIGINT)) + ${share}L)) div 20"))
             .as("pr"))
       // materialize every persistEvery rounds (and at the end): each
       // materialization is a full job, so cutting them 4x cuts fixed cost
@@ -85,6 +111,7 @@ object Graph {
     e.unpersist()
     eo.unpersist()
     nodes.unpersist()
+    if (redistributeDangling) danglingNodes.unpersist()
     ranks
   }
 

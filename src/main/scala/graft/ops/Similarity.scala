@@ -234,6 +234,13 @@ object Similarity {
     * top-k. If a subspace has fewer distinct subvectors than ksub the
     * codebook pads with copies of the last seed (strict-less argmin means
     * padded duplicates are never selected).
+    *
+    * PRECONDITION for the lossless gate mode: training sees the whole
+    * corpus, i.e. corpus rows &lt;= maxSampleVectors. Beyond that the
+    * training sample cannot cover every distinct subvector, so "ksub ≥
+    * distinct subvectors ⇒ exact reconstruction" no longer holds — raise
+    * maxSampleVectors (or pre-sample yourself) when exactness is intended
+    * at larger corpus sizes; production ANN use is approximate anyway.
     */
   def trainPq(
       corpus: DataFrame, // (id, vec)

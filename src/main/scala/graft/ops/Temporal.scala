@@ -100,11 +100,18 @@ object Temporal {
         col(timeCol).as("__t"), lit(sideLeft).as("__side"),
         struct(leftCols.map(col): _*).as("__lpay"),
         lit(null).cast(rpayType).as("__rpay")): _*)
-    val r2 = right.select(
-      keyCols.map(col) ++ Seq(
-        col(timeCol).as("__t"), lit(sideRight).as("__side"),
-        lit(null).cast(lpayType).as("__lpay"),
-        struct(rPayload.map(col): _*).as("__rpay")): _*)
+    // Null keys never match under equi-join/ASOF semantics. The union+window
+    // formulation would otherwise co-partition null-key rows and match them;
+    // dropping right-side null keys restores join behavior (null-key left
+    // rows then sit in a right-free partition: null match → kept with nulls
+    // under "left", dropped under "inner" — exactly the join formulation).
+    val r2 = right
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keyCols.map(col) ++ Seq(
+          col(timeCol).as("__t"), lit(sideRight).as("__side"),
+          lit(null).cast(lpayType).as("__lpay"),
+          struct(rPayload.map(col): _*).as("__rpay")): _*)
 
     // one exchange; __rpay as the final sort column makes equal-(time, side)
     // right rows resolve to a deterministic winner (max/min payload struct)
@@ -308,6 +315,14 @@ object Temporal {
       keyCols: Seq[String] = Nil, bucketWidth: Long,
       prefix: String = "r_"): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // left columns stay unprefixed: a left column already spelled like a
+    // prefixed right name (e.g. left "r_rs" vs right "rs") would silently
+    // produce ambiguous output names — reject up front like the __b and
+    // rolling-output guards
+    val collisions = left.columns.filterNot(keyCols.contains).toSet
+      .intersect(right.columns.filterNot(keyCols.contains).map(prefix + _).toSet)
+    require(collisions.isEmpty,
+      s"left columns collide with prefixed right names: ${collisions.mkString(", ")} — pass a different prefix")
     val l2 = bucketizeIntervals(left, leftStart, leftEnd, keyCols,
       prefix = "", bucketWidth)
     val r2 = bucketizeIntervals(right, rightStart, rightEnd, keyCols,

@@ -31,8 +31,13 @@ object SinkCompiler {
       nameFromIdPrefix: String = "",
       nameFromIdSuffix: String = "",
       nameFromIdPreset: Seq[String] = Nil)
-  /** BigTable-style qualifier {id → name} within a column family. */
-  final case class Qualifier(id: String, name: String)
+  /** BigTable-style qualifier within a column family: fixed `name`, or a
+    * dynamic `nameFromId` (prefix + suffix field — G4, e.g.
+    * apisrc-bigtablesink-fooround.json "frt-&lt;fooTrackingId&gt;").
+    */
+  final case class Qualifier(id: String, name: String,
+      nameFromIdPrefix: String = "", nameFromIdSuffix: String = "",
+      nameFromIdPreset: Seq[String] = Nil)
 
   final case class TableSpec(
       name: String,
@@ -68,7 +73,14 @@ object SinkCompiler {
       val qualifiers = Option(t.get("columnFamilies")).toSeq
         .flatMap(_.elements().asScala)
         .flatMap(cf => Option(cf.get("columnQualifiers")).toSeq.flatMap(_.elements().asScala))
-        .map(q => Qualifier(s(q, "id"), s(q, "name")))
+        .map { q =>
+          val nfi = Option(q.get("nameFromId"))
+          Qualifier(s(q, "id"), s(q, "name"),
+            nameFromIdPrefix = nfi.map(n => s(n, "prefix")).getOrElse(""),
+            nameFromIdSuffix = nfi.map(n => s(n, "suffixFromId")).getOrElse(""),
+            nameFromIdPreset = nfi.flatMap(n => Option(n.get("preset")))
+              .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil))
+        }
       val columns = Option(t.get("columns")).toSeq.flatMap(_.elements().asScala).map { c =>
         val nfi = Option(c.get("nameFromId"))
         ColumnSpec(
@@ -140,15 +152,32 @@ object SinkCompiler {
         else
           // open-ended dynamic name (G4, apisrc-bigtablesink-fooround.json
           // "frt-<fooTrackingId>"): unknown column domain → a map column,
-          // the columnar-native shape for value-derived names
-          Seq(map(concat(lit(c.nameFromIdPrefix), col(c.nameFromIdSuffix).cast("string")), value)
+          // the columnar-native shape for value-derived names. Rows from
+          // other branches carry a null suffix — no dynamic column (null
+          // map), never a null map key.
+          Seq(when(col(c.nameFromIdSuffix).isNotNull,
+            map(concat(lit(c.nameFromIdPrefix), col(c.nameFromIdSuffix).cast("string")), value))
             .as(s"${c.nameFromIdPrefix}cols"))
       }
       out.select(cols: _*)
     } else if (table.qualifiers.nonEmpty) {
-      // BigTable-style: row key + renamed qualifiers
+      // BigTable-style: row key + renamed qualifiers. Dynamic nameFromId
+      // qualifiers mirror the columns path: preset → one column per preset
+      // value; open-ended → a map column (value-derived names have no
+      // static column domain).
       val key = rowKeyCol(table.rowKey).as("key")
-      out.select(key +: table.qualifiers.map(q => col(q.id).as(q.name)): _*)
+      val qcols: Seq[Column] = table.qualifiers.flatMap { q =>
+        if (q.name.nonEmpty) Seq(col(q.id).as(q.name))
+        else if (q.nameFromIdPreset.nonEmpty)
+          q.nameFromIdPreset.map(p =>
+            when(col(q.nameFromIdSuffix) === lit(p), col(q.id)).as(s"${q.nameFromIdPrefix}$p"))
+        else if (q.nameFromIdSuffix.nonEmpty)
+          Seq(when(col(q.nameFromIdSuffix).isNotNull,
+            map(concat(lit(q.nameFromIdPrefix), col(q.nameFromIdSuffix).cast("string")), col(q.id)))
+            .as(s"${q.nameFromIdPrefix}cols"))
+        else Seq(col(q.id).as(q.id))
+      }
+      out.select(key +: qcols: _*)
     } else if (table.rowKey.keys.nonEmpty || table.rowKey.predefined.nonEmpty) {
       out.withColumn("key", rowKeyCol(table.rowKey))
     } else out

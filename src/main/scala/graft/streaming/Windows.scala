@@ -110,6 +110,97 @@ object Windows {
         col(keyCol), col("n"))
   }
 
+  final case class RollEvent(key: String, ts: java.sql.Timestamp, value: Long)
+  final case class RollBuf(entries: List[(Long, Long)])
+  final case class RollOutput(key: String, ts: java.sql.Timestamp, value: Long,
+      wsum: Long, w_n: Long)
+
+  /** Streaming twin of [[graft.ops.Temporal.rolling]]: per event, the
+    * trailing sum/count over the key's events in `[ts - windowMs, ts]`.
+    * Keyed state holds only the (ts, value) pairs still inside the horizon
+    * — entries older than `watermark − window` are pruned every batch, so
+    * state is bounded by window span × per-key arrival rate, never stream
+    * length.
+    *
+    * Semantics vs batch on closed history: identical for in-order input
+    * (the equivalence law StreamingSpec asserts), including ties — rows
+    * sharing a timestamp are processed as one group so each sees the full
+    * peer set, matching the batch RANGE frame. Cross-batch LATE events
+    * (within watermark) still emit their own correct trailing value but do
+    * not retract rows already emitted — the standard append-mode contract;
+    * use the batch operator for final-state backfills.
+    */
+  def streamingRolling(events: Dataset[RollEvent], windowMs: Long,
+      watermark: String = "10 minutes"): Dataset[RollOutput] = {
+    implicit val stateEnc = Encoders.product[RollBuf]
+    implicit val outEnc = Encoders.product[RollOutput]
+    implicit val keyEnc = Encoders.STRING
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    val timeout = if (events.isStreaming) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    src.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(
+        (key: String, rows: Iterator[RollEvent], state: GroupState[RollBuf]) => {
+          var buf = state.getOption.map(_.entries).getOrElse(Nil)
+          val out = List.newBuilder[RollOutput]
+          // ts-grouped ascending: equal-time rows are peers (RANGE-frame
+          // tie semantics) — every member of a tie group sees the whole
+          // group in its trailing sum
+          rows.toSeq.groupBy(_.ts.getTime).toSeq.sortBy(_._1).foreach {
+            case (t, group) =>
+              buf = group.map(e => (t, e.value)).toList ::: buf
+              val inWin = buf.filter { case (et, _) => et >= t - windowMs && et <= t }
+              val s = inWin.map(_._2).sum
+              val n = inWin.size.toLong
+              group.foreach(e => out += RollOutput(key, e.ts, e.value, s, n))
+          }
+          // prune entries no future event (ts ≥ watermark) can reach
+          // (batch mode / no watermark → 0 → nothing prunes, keep all)
+          val wm = try state.getCurrentWatermarkMs() catch { case _: Throwable => 0L }
+          val horizon = wm - windowMs
+          buf = buf.filter(_._1 >= horizon)
+          state.update(RollBuf(buf))
+          out.result().iterator
+        })
+  }
+
+  /** Streaming twin of [[graft.ops.Temporal.intervalJoin]]: stream-stream
+    * join of overlapping closed intervals (`ls <= re && rs <= le`, equal
+    * keys) between two watermarked streams of TimestampType intervals.
+    *
+    * Structured Streaming requires the join condition to bound both
+    * event-time columns, so `maxLength` (an upper bound on EITHER side's
+    * interval length, e.g. "30 minutes") turns the overlap predicate into
+    * the engine-bindable range `rs ∈ [ls − maxLength, ls + maxLength]`;
+    * the exact overlap test runs as a residual filter. Intervals longer
+    * than `maxLength` cannot be matched completely and are DROPPED on both
+    * sides (explicit contract — widen maxLength to cover the tail; state
+    * grows linearly with it). Right columns come back `prefix`ed, same
+    * output shape as the batch operator.
+    */
+  def streamingIntervalJoin(left: DataFrame, leftStart: String, leftEnd: String,
+      right: DataFrame, rightStart: String, rightEnd: String,
+      keyCols: Seq[String], maxLength: String,
+      watermark: String = "10 minutes", prefix: String = "r_"): DataFrame = {
+    val iv = expr(s"INTERVAL $maxLength")
+    val l = left
+      .where(col(leftEnd) <= col(leftStart) + iv)
+      .withWatermark(leftStart, watermark)
+    val r = right
+      .where(col(rightEnd) <= col(rightStart) + iv)
+      .select(right.columns.map(c => col(c).as(prefix + c)).toSeq: _*)
+      .withWatermark(prefix + rightStart, watermark)
+    val keys = keyCols.map(k => l(k) === r(prefix + k))
+    val range = Seq(
+      col(prefix + rightStart) >= col(leftStart) - iv,
+      col(prefix + rightStart) <= col(leftStart) + iv)
+    val overlap = Seq(
+      col(leftStart) <= col(prefix + rightEnd),
+      col(prefix + rightStart) <= col(leftEnd))
+    l.join(r, (keys ++ range ++ overlap).reduce(_ && _))
+      .drop(keyCols.map(prefix + _): _*)
+  }
+
   final case class KeyedEvent(key: String, ts: java.sql.Timestamp, value: Double)
   final case class RunningState(n: Long, total: Double)
   final case class RunningOutput(key: String, n: Long, total: Double)

@@ -42,6 +42,29 @@ class GraphSpec extends AnyFunSuite {
       s"hub must outrank spokes: $pr")
   }
 
+  test("pageRank redistributeDangling: hand-computed rounds + mass retention") {
+    // c is dangling, N = 3, share_i = floor(sum(pr of dangling)/3)
+    // iter1: D = 1000000, share = 333333
+    //   a = 150000 + 17*(1000000+333333) div 20 = 150000 + 1133333 = 1283333
+    //   b = c = 150000 + 17*(500000+333333) div 20 = 150000 + 708333 = 858333
+    val r1 = Graph.pageRank(tri, "src", "dst", iters = 1, redistributeDangling = true)
+      .orderBy("node").collect().map(_.toSeq)
+    assert(r1.toSeq == Seq(Seq("a", 1283333L), Seq("b", 858333L), Seq("c", 858333L)))
+    // iter2: D = 858333, share = 286111
+    //   a <- b: 858333; b,c <- a: 1283333 div 2 = 641666
+    //   a = 150000 + 17*(858333+286111) div 20 = 1122777
+    //   b = c = 150000 + 17*(641666+286111) div 20 = 938610
+    val r2 = Graph.pageRank(tri, "src", "dst", iters = 2, redistributeDangling = true)
+      .orderBy("node").collect().map(_.toSeq)
+    assert(r2.toSeq == Seq(Seq("a", 1122777L), Seq("b", 938610L), Seq("c", 938610L)))
+    // redistribution retains (nearly all of) the dangling mass the leaky
+    // variant loses: totals vs the 3,000,000 starting mass
+    val leaky = Graph.pageRank(tri, "src", "dst", iters = 2)
+      .agg(sum("pr")).first().getLong(0)
+    val kept = r2.map(_(1).asInstanceOf[Long]).sum
+    assert(kept > leaky && kept <= 3000000L)
+  }
+
   test("degrees: zero-filled in/out profile") {
     val d = Graph.degrees(tri, "src", "dst").orderBy("node").collect().map(_.toSeq)
     assert(d.toSeq == Seq(

@@ -177,6 +177,33 @@ class OpsSpec extends AnyFunSuite {
     assert(none.forall { case (id, c) => id == c })
   }
 
+  test("star contraction equals label propagation on random-ish graphs") {
+    // mixed topology: chain, star, triangle-with-tail, pair, shuffled ids
+    val pairs = Seq((7L, 3L), (3L, 9L), (9L, 12L), (12L, 1L), // chain w/ min inside
+      (20L, 21L), (20L, 22L), (20L, 23L), // star
+      (30L, 31L), (31L, 32L), (32L, 30L), (32L, 33L), // triangle + tail
+      (40L, 41L), (50L, 50L) // pair + self-loop
+    ).toDF("idA", "idB")
+    val star = Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val label = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == label)
+    assert(star(7L) == 1L && star(23L) == 20L && star(33L) == 30L && star(50L) == 50L)
+  }
+
+  test("star contraction converges in ~log n rounds on a deep chain") {
+    // a 256-node chain has diameter 255: label propagation would need ~255
+    // rounds, star contraction must land in O(log n) ≈ 8-ish (each round
+    // at least halves every node's hop distance to the component minimum)
+    val chain = (0L until 255L).map(i => (i, i + 1)).toDF("idA", "idB")
+    val (labels, rounds) = Dedup.connectedComponentsStarWithRounds(chain, maxIter = 30)
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size == 256 && m.values.forall(_ == 0L))
+    assert(rounds <= 12, s"expected ~log n rounds on a 256-chain, got $rounds")
+    labels.unpersist()
+  }
+
   test("portable hash family matches the SQL definition (md5 goldens)") {
     import graft.functions.text.PortableHash
     import org.apache.spark.unsafe.types.UTF8String

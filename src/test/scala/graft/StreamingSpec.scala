@@ -136,6 +136,94 @@ class StreamingSpec extends AnyFunSuite {
     assert(u1 == Seq(1L, 2L))
   }
 
+  test("streaming rolling: trailing sums across micro-batches, ties are peers") {
+    val input = MemoryStream[Windows.RollEvent](spark, 3)
+    val out = Windows.streamingRolling(input.toDS(), windowMs = 10 * 60 * 1000,
+      watermark = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("sroll").outputMode("append").start()
+    try {
+      def ev(k: String, m: Int, v: Long) =
+        Windows.RollEvent(k, java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00"), v)
+      input.addData(ev("a", 0, 1), ev("a", 5, 2), ev("a", 5, 4)) // tie at 10:05
+      q.processAllAvailable()
+      input.addData(ev("a", 12, 8), ev("b", 12, 100)) // crosses batches; 10:00 ages out
+      q.processAllAvailable()
+      val got = spark.table("sroll").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(got == Set(
+        ("a", "2024-01-01 10:00:00.0", 1L, 1L),
+        // both tie rows see the full peer set {1, 2, 4} (RANGE-frame law)
+        ("a", "2024-01-01 10:05:00.0", 7L, 3L),
+        // at 10:12 the 10:00 row is outside [10:02, 10:12]; state carried
+        // the 10:05 pair across the batch boundary
+        ("a", "2024-01-01 10:12:00.0", 14L, 3L),
+        ("b", "2024-01-01 10:12:00.0", 100L, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming rolling equals the batch operator on closed in-order history") {
+    val events = Seq(
+      ("a", 0, 1L), ("a", 5, 2L), ("a", 5, 4L), ("a", 12, 8L), ("a", 40, 16L),
+      ("b", 3, 32L), ("b", 7, 64L))
+      .map { case (k, m, v) =>
+        Windows.RollEvent(k, java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00"), v) }
+    val stream = Windows.streamingRolling(events.toDS(), windowMs = 10 * 60 * 1000)
+      .collect().map(r => (r.key, r.ts.getTime, r.value, r.wsum, r.w_n)).toSet
+    val batchIn = events.toDF().select(col("key"),
+      col("ts").cast("long").*(1000).as("t_ms"), col("value"))
+    val batch = graft.ops.Temporal.rolling(batchIn, Seq("key"), "t_ms",
+      window = 10 * 60 * 1000, valueCol = "value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(stream == batch)
+  }
+
+  test("streaming interval join: overlapping intervals pair across two streams") {
+    val lIn = MemoryStream[(java.sql.Timestamp, java.sql.Timestamp, String, String)](spark, 4)
+    val rIn = MemoryStream[(java.sql.Timestamp, java.sql.Timestamp, String, String)](spark, 5)
+    val l = lIn.toDF().toDF("ls", "le", "k", "lid")
+    val r = rIn.toDF().toDF("rs", "re", "k", "rid")
+    val joined = Windows.streamingIntervalJoin(l, "ls", "le", r, "rs", "re",
+      keyCols = Seq("k"), maxLength = "30 minutes", watermark = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("sivj").outputMode("append").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      // L1 [00,10] overlaps R1 [05,15]; L2 [20,25] overlaps nothing;
+      // R2 [26,40] overlaps L3 [39,45]; key mismatch never pairs
+      lIn.addData((ts(0), ts(10), "k1", "L1"), (ts(20), ts(25), "k1", "L2"),
+        (ts(39), ts(45), "k1", "L3"), (ts(0), ts(59), "k2", "L4"))
+      rIn.addData((ts(5), ts(15), "k1", "R1"), (ts(26), ts(40), "k1", "R2"),
+        (ts(5), ts(6), "kX", "R3"))
+      q.processAllAvailable()
+      val got = spark.table("sivj")
+        .select("lid", "r_rid").collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == Set(("L1", "R1"), ("L3", "R2")))
+      // L4's 59-minute interval exceeds maxLength and is dropped (documented
+      // contract), so kX/k2 rows never appear
+    } finally q.stop()
+  }
+
+  test("streaming interval join equals the batch operator on closed history") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val l = Seq((ts(0), ts(10), "k1", "L1"), (ts(20), ts(25), "k1", "L2"),
+      (ts(39), ts(45), "k1", "L3"), (ts(8), ts(9), "k2", "L4"))
+      .toDF("ls", "le", "k", "lid")
+    val r = Seq((ts(5), ts(15), "k1", "R1"), (ts(26), ts(40), "k1", "R2"),
+      (ts(7), ts(12), "k2", "R3")).toDF("rs", "re", "k", "rid")
+    val stream = Windows.streamingIntervalJoin(l, "ls", "le", r, "rs", "re",
+      Seq("k"), maxLength = "30 minutes")
+      .select("lid", "r_rid").collect().map(x => (x.getString(0), x.getString(1))).toSet
+    val lMs = l.select(col("k"), col("lid"),
+      col("ls").cast("long").*(1000).as("ls"), col("le").cast("long").*(1000).as("le"))
+    val rMs = r.select(col("k"), col("rid"),
+      col("rs").cast("long").*(1000).as("rs"), col("re").cast("long").*(1000).as("re"))
+    val batch = graft.ops.Temporal.intervalJoin(lMs, "ls", "le", rMs, "rs", "re",
+      keyCols = Seq("k"), bucketWidth = 5 * 60 * 1000)
+      .select("lid", "r_rid").collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(stream == batch)
+  }
+
   test("flatMapGroupsWithState keyed running totals across batches") {
     val input = MemoryStream[Windows.KeyedEvent](spark, 2)
     val out = Windows.runningTotals(input.toDS())
