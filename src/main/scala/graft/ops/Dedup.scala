@@ -498,9 +498,15 @@ object Dedup {
     * control.
     */
   def clusterAssignments(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    // star contraction: exact same labels, O(log n) rounds on any topology
-    // (label propagation would stall on deep chains at scale)
-    val cc = connectedComponentsStar(pairs)
+    // hybrid: near-dup pair graphs are almost always shallow, where label
+    // propagation's single cheap shuffle per round wins; if the diameter
+    // exceeds the round cap (deep chains — rare but fatal at scale for
+    // pure propagation), fall back to star contraction, whose O(log n)
+    // rounds are topology-independent. Both produce identical labels
+    // (OpsSpec equality law), so the switch is invisible to callers.
+    val cc =
+      try connectedComponents(pairs, maxIter = 8)
+      catch { case _: IllegalStateException => connectedComponentsStar(pairs) }
     docs.select(col(idCol).as("id"))
       .join(cc, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("cluster_id"))

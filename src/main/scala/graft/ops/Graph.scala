@@ -44,9 +44,10 @@ object Graph {
     * `redistributeDangling = true` closes the dangling-mass leak: each
     * round the summed rank of no-out-edge nodes is spread uniformly
     * (integer `div` — the sub-micro-unit remainder, < one micro-unit per
-    * node, still leaks deterministically). Costs one scalar aggregate job
-    * per round, so rounds can no longer batch under `persistEvery`; leave
-    * it off when only ranking order matters.
+    * node, still leaks deterministically). The share rides along as a
+    * broadcast one-row aggregate, so the loop stays action-free and
+    * `persistEvery` batching is preserved; cost is one extra edge-free
+    * aggregation per round. Leave it off when only ranking order matters.
     *
     * The returned frame is PERSISTED (it is the loop's final checkpoint —
     * unpersisting it here would force a full recompute on first use). The
@@ -82,19 +83,31 @@ object Graph {
       val contribs = eo.join(ranks, eo("src") === ranks("node"))
         .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
         .groupBy("node").agg(sum("c").as("s"))
-      // per-node share of this round's dangling mass (0 when the leak is
-      // accepted): floor(sum(dangling pr) / N), integer-exact
-      val share: Long =
-        if (!redistributeDangling) 0L
-        else ranks.join(danglingNodes, "node")
-          .agg(coalesce(sum("pr"), lit(0L))).first().getLong(0) / nNodes
-      var next = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(150000L) + expr(s"(17 * (coalesce(s, CAST(0 AS BIGINT)) + ${share}L)) div 20"))
-            .as("pr"))
+      // per-node share of this round's dangling mass: floor(sum / N),
+      // integer-exact, carried as a broadcast 1-row frame so the loop
+      // stays action-free (a driver-side collect here would force one
+      // extra job per round and break persistEvery batching)
+      var next =
+        if (!redistributeDangling)
+          nodes.join(contribs, Seq("node"), "left")
+            .select(col("node"),
+              (lit(150000L) + expr("(17 * coalesce(s, CAST(0 AS BIGINT))) div 20"))
+                .as("pr"))
+        else {
+          val shareDf = ranks.join(danglingNodes, "node")
+            .agg(expr(s"coalesce(sum(pr), CAST(0 AS BIGINT)) div ${nNodes}L").as("__share"))
+          nodes.join(contribs, Seq("node"), "left")
+            .crossJoin(broadcast(shareDf))
+            .select(col("node"),
+              (lit(150000L) + expr("(17 * (coalesce(s, CAST(0 AS BIGINT)) + __share)) div 20"))
+                .as("pr"))
+        }
       // materialize every persistEvery rounds (and at the end): each
       // materialization is a full job, so cutting them 4x cuts fixed cost
       // 4x while lineage depth stays bounded at persistEvery rounds
+      // (redistribution references `ranks` twice per round — contribs and
+      // the dangling sum — so lineage fan-out is 2^persistEvery between
+      // checkpoints: bounded and cheap for the default 4)
       if (i % persistEvery == 0 || i == iters) {
         next = next.persist()
         next.count() // materialize before dropping the previous checkpoint

@@ -227,6 +227,24 @@ class FixtureConformanceSpec extends AnyFunSuite {
     assert(staged.getAs[String]("rates") == """{"HRK":0.14726,"CHF":1}""")
   }
 
+  test("regexp validation messages match the reference verbatim (entity/spec_test.go:79-93)") {
+    val raw = read(specDir + "pubsubsrc-regexp-reqs-voidsink.json")
+    def withExpr(e: String): String =
+      raw.replaceFirst("\"expression\":\\s*\"[^\"]*(?:\\\\.[^\"]*)*\"",
+        java.util.regex.Matcher.quoteReplacement("\"expression\": \"" + e + "\""))
+    // groupless expressions fail with the reference's exact message
+    Seq("this should error,,,", "^.*").foreach { e =>
+      val err = intercept[graft.spec.SpecValidationException] {
+        StreamSpec.parseUnsafe(withExpr(e))
+      }
+      assert(err.getMessage ==
+        s"no groupings where found in regular expression $e")
+    }
+    // a named group restores validity
+    val ok = StreamSpec.parseUnsafe(withExpr("^(?P<testGroup>)"))
+    assert(ok.transform.regexp.get.groups == Seq("testGroup"))
+  }
+
   // ------------------------------------------------ pubsubsrc-regexp-reqs-voidsink
 
   test("regexp reqs fixture: exact regexppayload from the spec file " +

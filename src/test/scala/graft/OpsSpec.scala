@@ -204,6 +204,17 @@ class OpsSpec extends AnyFunSuite {
     labels.unpersist()
   }
 
+  test("clusterAssignments falls back to star contraction on deep chains") {
+    // diameter 63 exceeds the label-propagation round cap (8); the hybrid
+    // must silently switch to star contraction and still label everything
+    // with the chain minimum
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("idA", "idB")
+    val docs = (0L to 63L).toDF("doc_id")
+    val assigned = Dedup.clusterAssignments(docs, "doc_id", chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned.size == 64 && assigned.values.forall(_ == 0L))
+  }
+
   test("portable hash family matches the SQL definition (md5 goldens)") {
     import graft.functions.text.PortableHash
     import org.apache.spark.unsafe.types.UTF8String

@@ -33,6 +33,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"spec pipeline must not shuffle:\n$plan")
   }
 
+  test("gjson array-query pipeline (c4) is a shuffle-free narrow plan") {
+    // routing + #(pred) projection compile to filter + project like every
+    // other spec pipeline — the array query must not change the plan class
+    val plan = planOf(SparkEntry.queries("c4_array_query")(spark, sf))
+    assert(!plan.contains("Exchange"), s"array-query pipeline must not shuffle:\n$plan")
+  }
+
+  test("open-ended dynamic sink columns (g4) stay narrow: map build + explode, no shuffle") {
+    val plan = planOf(SparkEntry.queries("g4_open_dynamic")(spark, sf))
+    assert(!plan.contains("Exchange"), s"dynamic-column sink stage must not shuffle:\n$plan")
+    assert(plan.contains("Generate explode"), s"map explode expected:\n${plan.take(2000)}")
+  }
+
   test("spec pipelines fuse filter+extraction into ONE JSON parse per row") {
     // predicate + extraction run inside a single Generate node (flatMap);
     // a separate EventPredExpr filter stage — or Catalyst re-inlining a
