@@ -437,6 +437,88 @@ object SparkEntry {
       e.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     }),
+    "b6_branch_exclusion" -> ((s, dir) => {
+      // Branch-scoped excludeEventsWith (B6): the exclusion lives INSIDE the
+      // extractFields branch (reference: transformer.go applies each
+      // branch's own blacklist after its forEventsWith router), so it only
+      // filters this branch's rows — a second branch would be untouched.
+      val spec = specTemplate(
+        """{
+          |  "extractFields": [{
+          |    "forEventsWith": [{"key": "foo.evtType", "value": "purchase"}],
+          |    "excludeEventsWith": [
+          |      {"key": "props.k", "values": ["42", "7"]},
+          |      {"key": "foo.custId", "values": ["13"]}
+          |    ],
+          |    "fields": [
+          |      {"id": "eid", "jsonPath": "eid", "type": "integer"},
+          |      {"id": "name", "jsonPath": "foo.evtType"},
+          |      {"id": "custId", "jsonPath": "foo.custId", "type": "integer"},
+          |      {"id": "k", "jsonPath": "props.k", "type": "integer"}]
+          |  }]
+          |}""".stripMargin)
+      pipelineOf(spec)(eventJson(s, dir)).head._2
+    }),
+    "c3_raw_json" -> ((s, dir) => {
+      // Nested-object raw-JSON extraction (C3): an untyped field whose path
+      // lands on an OBJECT returns the verbatim source substring (gjson
+      // Result.Raw — graft.json.Js preserves offsets precisely for this).
+      // The event JSON is built by Spark's to_json, so the expected verbatim
+      // text is its compact serialization, reconstructible by concat in the
+      // oracle. Longs and strings only: float formatting is not portable.
+      val e = t(s, dir, "events")
+      val json = e.select(to_json(struct(
+        col("event_id").as("eid"),
+        struct(col("event_type").as("evtType"), col("user_id").as("custId")).as("obj")
+      )).as("value"))
+      val spec = specTemplate(
+        """{
+          |  "extractFields": [{"fields": [
+          |    {"id": "eid", "jsonPath": "eid", "type": "integer"},
+          |    {"id": "objRaw", "jsonPath": "obj"}]}]
+          |}""".stripMargin)
+      pipelineOf(spec)(json).head._2
+    }),
+    "g6_partitioning" -> ((s, dir) => {
+      // Table-creation semantics (G6): DAY time partitioning (derived
+      // __pdate directory column), clustering sort, requirePartitionFilter
+      // honored via the timeRange read-back. The query writes the events
+      // table through the REAL sink and reads a 10-day range back — output
+      // rows prove partition assignment (__pdate) and range trimming; the
+      // oracle replays both with date_trunc.
+      val out = java.nio.file.Files.createTempDirectory("graft_g6_").toFile
+        .getAbsolutePath + "/tbl"
+      val sink = new graft.sinks.KeyedTableSink(out, partitionField = "ts",
+        partitionType = "DAY", clustering = Seq("user_id"),
+        requirePartitionFilter = true)
+      sink.write(t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts")))
+      sink.timeRange(s,
+          java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+        .select(col("event_id"), col("user_id"), col("__pdate"))
+    }),
+    "g7_kafka_mapping" -> ((s, dir) => {
+      // Kafka sink message mapping (G7, pubsubsrc-kafkasink-foologs.json):
+      // message.payloadFromId picks the outgoing value, keyFromId the key;
+      // the stage emits binary key/value ready for the kafka writer. Cast
+      // back to string here so the gate hashes scalars (the cast is
+      // lossless: both fields are UTF-8 text).
+      val spec = specTemplate(
+        """{
+          |  "extractFields": [{"fields": [
+          |    {"id": "key_field", "jsonPath": "foo.evtType"},
+          |    {"id": "line", "jsonPath": "textPayload", "type": "string"}]}],
+          |  "regexp": {
+          |    "field": "line",
+          |    "expression": "^(?P<evt>[a-z]+)\\|(?P<uid>\\d+)\\|(?P<k>\\d+)$"
+          |  }
+          |}""".stripMargin)
+      val out = pipelineOf(spec)(eventJson(s, dir)).head._2
+      graft.sinks.KafkaSinkStage("regexppayload", keyFromId = Some("key_field"))(out)
+        .select(col("key").cast("string").as("msg_key"),
+          col("value").cast("string").as("msg_value"))
+    }),
 
     // ---- classic analytics over the TPC-H-ish tables (scale workhorses) ----
     "q1_agg" -> ((s, dir) => {
@@ -487,6 +569,21 @@ object SparkEntry {
     // ---- training-data pipeline operators (north star) ----
     "ns_dedup_exact" -> ((s, dir) =>
       graft.ops.Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
+    "ns_salted_join" -> ((s, dir) => {
+      // Salted skew join (Skew.saltedJoin): event_type is a 5-value key —
+      // the degenerate-skew regime AQE splits can't fix (every split of a
+      // hot partition re-lands the same build rows). The law "salted ==
+      // plain equi-join" is the oracle: DuckDB runs the plain join, the
+      // query runs the salt-and-replicate plan (saltFactor 8, row spread
+      // keyed on event_id).
+      val e = t(s, dir, "events")
+      val skewed = e.select(col("event_type").as("etype"),
+        col("event_id"), col("user_id"))
+      val build = e.groupBy(col("event_type").as("etype"))
+        .agg(countDistinct(col("user_id")).as("etype_users"))
+      graft.ops.Skew.saltedJoin(skewed, build, "etype",
+        rowKey = col("event_id"), saltFactor = 8)
+    }),
     // portable (md5) hash family: the DuckDB oracle recomputes the full
     // 64-hash signature per document and mirrors the banding semantics
     // (∃ band with identical signature rows), so the candidate set is
@@ -1303,6 +1400,36 @@ object SparkEntry {
     "e4_ingestion_time" ->
       """SELECT event_id AS eid, true AS has_ingestion_ts, true AS ingested_after_build
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "b6_branch_exclusion" ->
+      """SELECT event_id AS eid, event_type AS name, user_id AS custId,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |  AND NOT (json_extract_string(props, '$.k') IN ('42', '7')
+        |        OR CAST(user_id AS VARCHAR) = '13')""".stripMargin,
+    "c3_raw_json" ->
+      """SELECT event_id AS eid,
+        |       '{"evtType":"' || event_type || '","custId":' ||
+        |         CAST(user_id AS VARCHAR) || '}' AS objRaw
+        |FROM events""".stripMargin,
+    "g6_partitioning" ->
+      """SELECT event_id, user_id,
+        |       date_trunc('day', CAST(ts AS TIMESTAMP)) AS __pdate
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+    "g7_kafka_mapping" ->
+      """SELECT event_type AS msg_key,
+        |       to_json(struct_pack(
+        |         evt := event_type,
+        |         k := json_extract_string(props, '$.k'),
+        |         uid := CAST(user_id AS VARCHAR))) AS msg_value
+        |FROM events""".stripMargin,
+    "ns_salted_join" ->
+      """SELECT e.event_type AS etype, e.event_id, e.user_id, b.etype_users
+        |FROM events e
+        |JOIN (SELECT event_type, count(DISTINCT user_id) AS etype_users
+        |      FROM events GROUP BY 1) b ON e.event_type = b.event_type""".stripMargin,
     "f8_useragent" ->
       """SELECT event_id AS eid,
         |  CASE event_id % 3
