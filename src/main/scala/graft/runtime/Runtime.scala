@@ -585,6 +585,53 @@ final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
     }
   }
 
+  /** J2 push channel — the reference's cross-pod admin event stream
+    * (internal/pkg/admin/adminspec.go:19-63 "geist-adminevents",
+    * supervisor.go:281-317 handleStreamRegistryModified) re-expressed
+    * Spark-first: every registry change IS an append to the shared spec
+    * table, so the admin event stream is a Structured Streaming file
+    * source over that table — each spec file another driver persists
+    * arrives as a micro-batch here and triggers [[sync]]. No extra
+    * broker: the registry's own storage is the control topic, and any
+    * shared filesystem (HDFS/S3A) delivers it to every driver.
+    *
+    * Loopback appends from THIS driver also fire; sync() is idempotent
+    * (version-gated per spec), so a self-triggered pass is a no-op.
+    * The returned query is owned by the supervisor — shutdownAll stops
+    * it; stop it directly to fall back to poll-mode sync().
+    */
+  @volatile private var adminWatch: Option[StreamingQuery] = None
+  def watchRegistry(triggerMs: Long = 2000): StreamingQuery = deployLock.synchronized {
+    adminWatch.filter(_.isActive).getOrElse {
+      val path = config.specTablePath.getOrElse(
+        throw new IllegalStateException("watchRegistry requires specTablePath"))
+      // the table may not exist before the first register; the file source
+      // requires the directory, so create it through the Hadoop FS API
+      // (works on any scheme, not just local disk)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) fs.mkdirs(p)
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "id STRING, version INT, specJson STRING"))
+        .parquet(path)
+      var writer = src.writeStream
+        .outputMode("append").queryName("geist-adminevents")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // the batch content is only a wake-up signal: sync() re-reads the
+          // authoritative registry state (max version per id), so ordering
+          // or batching of the change files cannot produce a stale deploy
+          if (!batch.isEmpty) sync()
+        }
+      config.checkpointRoot.foreach(r =>
+        writer = writer.option("checkpointLocation", s"$r/geist-adminevents"))
+      val q = writer.start()
+      adminWatch = Some(q)
+      q
+    }
+  }
+
   /** Deploy, and on failure remove the half-registered Stream so a later
     * sync/register can retry (a zombie entry would otherwise report as
     * deployed forever while no query runs).
@@ -721,6 +768,8 @@ final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
 
   def shutdownAll(): Unit = {
     restartScheduler.shutdownNow()
+    adminWatch.foreach(q => try q.stop() catch { case _: Exception => })
+    adminWatch = None
     deployLock.synchronized {
       streams.values.asScala.toSeq.foreach(shutdownStream)
     }
@@ -740,6 +789,11 @@ final class Geist(spark: SparkSession, config: RuntimeConfig = RuntimeConfig()) 
     * another driver (hot-swap upgrades, shut down disabled, deploy new).
     */
   def sync(): Unit = supervisor.sync()
+  /** J2 push mode: subscribe to the shared registry as a stream — registry
+    * appends from any driver trigger sync() here without polling.
+    */
+  def watchRegistry(triggerMs: Long = 2000): StreamingQuery =
+    supervisor.watchRegistry(triggerMs)
   def publish(streamId: String, eventJson: String): String =
     supervisor.publish(streamId, eventJson)
   def getStreamSpec(id: String): Option[StreamSpec] = supervisor.registry.get(id)

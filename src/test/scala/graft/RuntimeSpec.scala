@@ -285,6 +285,33 @@ class RuntimeSpec extends AnyFunSuite {
     g1.shutdown(); g2.shutdown()
   }
 
+  test("J2 push channel: registry appends from another driver trigger sync without polling " +
+      "(adminspec.go:19-63 geist-adminevents)") {
+    val specTable = tmpDir() + "/specs"
+    def driver() = new Geist(spark, RuntimeConfig(specTablePath = Some(specTable), retryBackoffBaseMs = 1))
+    val g1 = driver()
+    val g2 = driver()
+    val watch = g2.watchRegistry(triggerMs = 100)
+    def await(cond: => Boolean, what: String): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(cond, s"push-mode sync never observed: $what")
+    }
+    // driver 1 registers; driver 2's admin stream deploys it, no sync() call
+    assert(g1.registerStream(apiSpec("rt", "push", 1)).isRight)
+    await(g2.deployedIds.contains("rt-push"), "initial deploy")
+    // upgrade propagates as a hot-swap
+    assert(g1.registerStream(apiSpec("rt", "push", 2)).isRight)
+    await(g2.getStreamSpec("rt-push").exists(_.version == 2), "hot-swap to v2")
+    assert(g2.deployedIds.contains("rt-push"))
+    // disable propagates as an undeploy
+    assert(g1.registerStream(apiSpec("rt", "push", 3, extra = """"disabled": true,""")).isRight)
+    await(!g2.deployedIds.contains("rt-push"), "undeploy of disabled spec")
+    assert(watch.isActive, "admin watch must survive the reconciliations it triggers")
+    g1.shutdown(); g2.shutdown()
+    assert(!watch.isActive, "shutdown must stop the admin watch query")
+  }
+
   test("I3 self-heal: failed stream restarts with backoff and recovers (executor.go:119-158)") {
     val g = new Geist(spark, RuntimeConfig(retryBackoffBaseMs = 1, streamRetryBackoffBaseMs = 100))
     val spec =
