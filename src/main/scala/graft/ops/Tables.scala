@@ -56,6 +56,75 @@ object Tables {
       .write.mode(mode).parquet(path)
   }
 
+  /** Result of [[compactDir]]: per-leaf-directory before/after file counts. */
+  final case class CompactionStats(
+      leavesCompacted: Int, filesBefore: Int, filesAfter: Int)
+
+  /** Small-file compaction for a parquet directory tree — the maintenance
+    * half of every long-running ingest: streaming micro-batches and
+    * per-delta incremental dedup appends each write a few small files, and
+    * after a month a 100 TB table is a million 10 MB files whose open/footer
+    * overhead dominates scan time and whose count breaks FS listings.
+    *
+    * Walks the tree to its LEAF directories (so Hive-style partition
+    * layouts — `__pdate=.../file.parquet` — compact partition-by-partition
+    * and the partition columns, which live in directory names rather than
+    * file contents, are untouched), and rewrites only leaves that need it:
+    * at least `minFiles` files AND average file size under half
+    * `targetBytes`. Everything else is left alone, so repeated runs are
+    * cheap and idempotent — the second invocation finds nothing to do.
+    * Each rewritten leaf gets `ceil(totalBytes / targetBytes)` output
+    * files via `coalesce` (no shuffle: compaction moves bytes, it must not
+    * redistribute them).
+    *
+    * The swap is write-to-sibling-then-rename through the Hadoop FS API.
+    * On HDFS/local-FS renames are atomic per file; on object stores they
+    * are copies — run compaction in a maintenance window there, or use a
+    * transactional table format when concurrent readers must never see a
+    * partial swap (this operator is the plain-parquet analog of those
+    * engines' OPTIMIZE/rewrite step).
+    */
+  def compactDir(spark: SparkSession, dir: String, targetBytes: Long,
+      minFiles: Int = 2): CompactionStats = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    require(minFiles >= 2, "minFiles must be >= 2 (compacting one file is a no-op)")
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return CompactionStats(0, 0, 0)
+
+    def leaves(p: Path): Seq[Path] = {
+      val entries = fs.listStatus(p).toSeq
+      val subdirs = entries.filter(_.isDirectory).map(_.getPath)
+        .filterNot(_.getName.startsWith("_")) // _SUCCESS-style metadata dirs
+      if (subdirs.isEmpty) Seq(p) else subdirs.flatMap(leaves)
+    }
+
+    var (nLeaves, before, after) = (0, 0, 0)
+    leaves(root).foreach { leaf =>
+      val files = fs.listStatus(leaf).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      val total = files.map(_.getLen).sum
+      if (files.size >= minFiles && total / files.size < targetBytes / 2) {
+        val nOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+        val tmp = new Path(leaf.getParent, s".${leaf.getName}__compact_tmp")
+        fs.delete(tmp, true)
+        spark.read.parquet(leaf.toString).coalesce(nOut)
+          .write.parquet(tmp.toString)
+        // swap: drop the originals, move the compacted files in, drop tmp
+        files.foreach(st => fs.delete(st.getPath, false))
+        fs.listStatus(tmp).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .foreach(st => fs.rename(st.getPath, new Path(leaf, st.getPath.getName)))
+        fs.delete(tmp, true)
+        val now = fs.listStatus(leaf)
+          .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        nLeaves += 1; before += files.size; after += now
+      }
+    }
+    CompactionStats(nLeaves, before, after)
+  }
+
   /** Z-order (Morton) interleave of `cols`, each clamped to its low `bits`
     * bits: bit i of column j lands at output bit `i * nCols + j`, so rows
     * close in EVERY dimension get close z-values. Sorting/range-sharding

@@ -589,6 +589,32 @@ class OpsSpec extends AnyFunSuite {
     assert(firstShard.sorted.toSeq == firstShard.toSeq, "shards must be internally ordered")
   }
 
+  test("compactDir: merges small files per partition leaf, lossless, idempotent") {
+    import graft.ops.Tables
+    val out = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/tbl"
+    // two partition leaves, each deliberately fragmented into ~20 tiny files
+    spark.range(0, 4000).toDF("id")
+      .withColumn("p", (col("id") % 2).cast("int"))
+      .withColumn("payload", concat(lit("d"), col("id")))
+      .repartition(20)
+      .write.partitionBy("p").parquet(out)
+    def leafFiles(p: Int) = new java.io.File(s"$out/p=$p").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(leafFiles(0) >= 10, "fixture must start fragmented")
+    val stats = Tables.compactDir(spark, out, targetBytes = 512L * 1024 * 1024)
+    assert(stats.leavesCompacted == 2 && stats.filesAfter == 2,
+      s"each leaf should compact to one target-size file: $stats")
+    assert(leafFiles(0) == 1 && leafFiles(1) == 1)
+    // lossless: same rows, partition column still derived from dir names
+    val back = spark.read.parquet(out)
+    assert(back.count() == 4000 &&
+      back.agg(sum(col("id"))).head().getLong(0) == 4000L * 3999 / 2)
+    assert(back.filter(col("p") === 1).count() == 2000)
+    // second run finds nothing below the avg-size threshold to rewrite
+    val again = Tables.compactDir(spark, out, targetBytes = 512L * 1024 * 1024)
+    assert(again == Tables.CompactionStats(0, 0, 0), s"must be idempotent: $again")
+  }
+
   test("multimodal: stub decode is deterministic, batch plumbing preserves ids") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
     val media = Multimodal.fromDocuments(docs, "doc_id", "text", "text/plain")
