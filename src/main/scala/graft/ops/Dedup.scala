@@ -59,7 +59,7 @@ object Dedup {
     * same-key inner join rather than a window count: no per-bucket sort,
     * and the count side is tiny (one row per bucket) so AQE can broadcast.
     */
-  private[ops] def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+  private[graft] def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
     if (maxBucket == Int.MaxValue) banded // guard disabled: skip the count stage
     else {
       val sizes = banded.groupBy(keys.map(col): _*).count()
@@ -121,7 +121,7 @@ object Dedup {
     * bucket-hash pre-filter) — shared by the full and incremental paths so
     * the tested equivalence law can't drift.
     */
-  private def fullBandEq(sigA: Column, sigB: Column, band: Column, rows: Int): Column =
+  private[graft] def fullBandEq(sigA: Column, sigB: Column, band: Column, rows: Int): Column =
     slice(sigA, band * rows + 1, lit(rows)) === slice(sigB, band * rows + 1, lit(rows))
 
   /** Estimated Jaccard = fraction of agreeing signature components. */

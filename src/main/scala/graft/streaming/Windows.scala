@@ -69,6 +69,52 @@ object Windows {
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
 
+  /** Streaming NEAR-dup dedup against a persisted corpus
+    * [[graft.ops.Dedup.MinhashIndex]] — the LSH-recall upgrade of
+    * [[streamingIncrementalDedup]]: an incoming document is dropped when
+    * ANY of its LSH bands matches an index entry with full band-signature
+    * equality (exactly [[graft.ops.Dedup.incrementalMinhashCandidates]]'s
+    * candidate semantics, shared expressions), or when an
+    * identical-signature document already passed within the watermark
+    * horizon (the within-stream tier — banded within-stream matching
+    * would need multi-key state the engine doesn't expose; the batch
+    * generators sweep that tail).
+    *
+    * Plan shape: one band = one stream-static LEFT ANTI equi-join on the
+    * band's bucket (residual full-band filter on top), so the chain is
+    * `bands` hash joins against static index slices — no state beyond the
+    * final watermark-bounded signature dedup, and cost scales with stream
+    * rate × bucket hit rate, never corpus size. The per-band `maxBucket`
+    * cap is the same skew guard as everywhere banding exists.
+    */
+  def streamingIncrementalNearDedup(stream: DataFrame,
+      index: graft.ops.Dedup.MinhashIndex, tsCol: String, textCol: String,
+      watermark: String, maxBucket: Int = 64): DataFrame = {
+    require(index.numHashes % index.bands == 0, "numHashes must be divisible by bands")
+    val rows = index.numHashes / index.bands
+    val withSig = stream
+      .withColumn("__mh", graft.ops.Dedup.minhashSigAndBuckets(col(textCol),
+        index.shingleLen, index.numHashes, index.bands, index.portable))
+      .withColumn("__sig", col("__mh.sig"))
+      .withColumn("__bks", col("__mh.buckets"))
+      .drop("__mh")
+    val idx = graft.ops.Dedup.capBuckets(index.entries, Seq("band", "bucket"), maxBucket)
+    var cur = withSig
+    for (b <- 0 until index.bands) {
+      val ib = idx.filter(col("band") === b)
+        .select(col("bucket").as(s"__bkt$b"), col("sig").as(s"__sigA$b"))
+      cur = cur.join(ib,
+        element_at(col("__bks"), b + 1) === col(s"__bkt$b") &&
+          graft.ops.Dedup.fullBandEq(col(s"__sigA$b"), col("__sig"), lit(b), rows),
+        "left_anti")
+    }
+    cur
+      .withColumn("__sigkey", xxhash64(col("__sig")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__sigkey")
+      .drop("__sig", "__bks", "__sigkey")
+  }
+
   /** Tumbling/sliding windowed counts + sums per key with a watermark:
     * the standard event-time aggregation. Late rows beyond the watermark
     * are dropped by the engine — at scale the watermark bounds state size.
@@ -199,6 +245,85 @@ object Windows {
       col(prefix + rightStart) <= col(leftEnd))
     l.join(r, (keys ++ range ++ overlap).reduce(_ && _))
       .drop(keyCols.map(prefix + _): _*)
+  }
+
+  final case class AsofLeft(key: String, ts: java.sql.Timestamp, value: Long)
+  final case class AsofRight(key: String, ts: java.sql.Timestamp, rvalue: Long)
+  // NOT private: Spark's generated encoder projections access the class
+  // from outside this object, so a private case class fails janino
+  // compilation at runtime ("Private member cannot be accessed")
+  final case class AsofEnv(key: String, ts: java.sql.Timestamp,
+      side: Int, value: Long)
+  final case class AsofState(rights: List[(Long, Long)],
+      lefts: List[(Long, Long)])
+  final case class AsofOut(key: String, ts: java.sql.Timestamp, value: Long,
+      r_ts: Option[java.sql.Timestamp], r_value: Option[Long])
+
+  /** Streaming twin of [[graft.ops.Temporal.asofJoin]] (backward
+    * direction): for every left event, the latest right event with the
+    * same key at or before it, optionally within `toleranceMs`.
+    *
+    * Correctness under out-of-order arrival is watermark-gated: a left
+    * event is emitted only once the watermark passes its timestamp, when
+    * no earlier-or-equal right event can still arrive — so emission lags
+    * by the watermark delay, the standard append-mode contract.
+    * An EventTimeTimeout on the earliest pending left wakes the key when
+    * the watermark advances even if no further events arrive for it.
+    *
+    * State per key is bounded: pending lefts ≤ watermark-delay ×
+    * arrival rate, and of the rights at or before the watermark only the
+    * LATEST is retained — it dominates every older right for any future
+    * left (later and closer), with or without tolerance. Ties (equal
+    * right timestamps) resolve to the max payload, matching the batch
+    * operator's deterministic max-struct tie-break. Lefts arriving later
+    * than the watermark emit immediately with the best still-buffered
+    * match (no retraction) — use the batch operator for final backfills.
+    */
+  def streamingAsof(left: Dataset[AsofLeft], right: Dataset[AsofRight],
+      toleranceMs: Option[Long] = None,
+      watermark: String = "10 minutes"): Dataset[AsofOut] = {
+    implicit val envEnc = Encoders.product[AsofEnv]
+    implicit val stateEnc = Encoders.product[AsofState]
+    implicit val outEnc = Encoders.product[AsofOut]
+    implicit val keyEnc = Encoders.STRING
+    val streaming = left.isStreaming || right.isStreaming
+    val env = left.map(e => AsofEnv(e.key, e.ts, 1, e.value))
+      .unionByName(right.map(e => AsofEnv(e.key, e.ts, 0, e.rvalue)))
+    val src = if (streaming) env.withWatermark("ts", watermark) else env
+    val timeout = if (streaming) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    src.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(
+        (key: String, rows: Iterator[AsofEnv], state: GroupState[AsofState]) => {
+          var st = state.getOption.getOrElse(AsofState(Nil, Nil))
+          rows.foreach { e =>
+            val t = e.ts.getTime
+            if (e.side == 0) st = st.copy(rights = (t, e.value) :: st.rights)
+            else st = st.copy(lefts = (t, e.value) :: st.lefts)
+          }
+          val wm = try state.getCurrentWatermarkMs() catch { case _: Throwable => 0L }
+          // batch mode has no watermark: the history is closed, finalize all
+          val cut = if (streaming) wm else Long.MaxValue
+          val (ready, pending) = st.lefts.partition(_._1 <= cut)
+          val out = ready.sortBy(l => (l._1, l._2)).map { case (lt, lv) =>
+            val cand = st.rights.filter { case (rt, _) =>
+              rt <= lt && toleranceMs.forall(tol => lt - rt <= tol) }
+            val m = if (cand.isEmpty) None else Some(cand.max) // (rt, value) max = latest, max-payload tie-break
+            AsofOut(key, new java.sql.Timestamp(lt), lv,
+              m.map(r => new java.sql.Timestamp(r._1)), m.map(_._2))
+          }
+          // among rights at or before the watermark only the latest can
+          // ever match a future (post-watermark) left — drop the rest
+          val (rNew, rOld) = st.rights.partition(_._1 > wm)
+          val keep = rNew ::: (if (rOld.isEmpty) Nil else List(rOld.max))
+          state.update(AsofState(keep, pending))
+          if (streaming && pending.nonEmpty) {
+            // wake this key when the watermark reaches the earliest pending
+            // left (timeout timestamps must sit strictly past the watermark)
+            state.setTimeoutTimestamp(math.max(pending.map(_._1).min, wm + 1))
+          }
+          out.iterator
+        })
   }
 
   final case class KeyedEvent(key: String, ts: java.sql.Timestamp, value: Double)

@@ -105,6 +105,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental NEAR-dedup: banded LSH match against the corpus index drops dups") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different corpus text about distributed query engines and shuffles"))
+      .toDF("doc_id", "text")
+    val index = graft.ops.Dedup.minhashIndex(corpus, "text", "doc_id")
+    val streamed = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank today", // exact corpus dup
+      "the quick brown fox jumps over the lazy dog near the river bank now",   // near-dup (one word)
+      "an entirely novel document with no relation to anything in the corpus", // novel
+      "an entirely novel document with no relation to anything in the corpus", // in-stream dup
+      "second novel text mentioning embeddings and tokenizers only")           // novel
+    // expected: dropped iff the batch incremental candidate generator finds
+    // a corpus match (the shared-semantics law), or an identical signature
+    // appeared earlier in the stream
+    val batchDf = streamed.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("sid", "text")
+    val matched = graft.ops.Dedup.incrementalMinhashCandidates(batchDf, index, "text", "sid")
+      .select("batch_id").as[Long].collect().toSet
+    val expected = streamed.zipWithIndex.collect {
+      case (t, i) if !matched.contains(i.toLong) && streamed.indexOf(t) == i => t
+    }.sorted.toSeq
+    assert(expected.nonEmpty && expected.size < streamed.size,
+      s"fixture must exercise both keep and drop: $expected")
+
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark, 8)
+    val df = input.toDF().toDF("ts", "text")
+    val deduped = Windows.streamingIncrementalNearDedup(df, index, "ts", "text", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("snear").outputMode("append").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData(streamed.zipWithIndex.map { case (t, i) => (ts(i), t) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("snear").select("text").as[String].collect().sorted.toSeq
+      assert(got == expected)
+      assert(spark.table("snear").columns.toSeq == Seq("ts", "text"),
+        "signature helper columns must not leak")
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over a memory stream") {
     val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark, 1)
     val df = input.toDF().toDF("ts", "key", "v")
@@ -202,6 +241,60 @@ class StreamingSpec extends AnyFunSuite {
       // L4's 59-minute interval exceeds maxLength and is dropped (documented
       // contract), so kX/k2 rows never appear
     } finally q.stop()
+  }
+
+  test("streaming as-of join: watermark-gated emission, latest right <= left wins") {
+    val lIn = MemoryStream[Windows.AsofLeft](spark, 6)
+    val rIn = MemoryStream[Windows.AsofRight](spark, 7)
+    val out = Windows.streamingAsof(lIn.toDS(), rIn.toDS(),
+      toleranceMs = None, watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("sasof").outputMode("append").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      // batch 1: rights at 10:00(v=1),10:08(v=2); lefts at 10:05, 10:08
+      rIn.addData(Windows.AsofRight("a", ts(0), 1), Windows.AsofRight("a", ts(8), 2))
+      lIn.addData(Windows.AsofLeft("a", ts(5), 50), Windows.AsofLeft("a", ts(8), 51))
+      q.processAllAvailable()
+      // nothing final yet (watermark still behind the lefts); push the
+      // watermark past them with a later right event
+      rIn.addData(Windows.AsofRight("a", ts(30), 3))
+      q.processAllAvailable()
+      // the finalizing emission rides the post-watermark-advance batch
+      // (event-time timeout); poll rather than assume batch scheduling
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("sasof").count() < 2 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(100)
+      }
+      val got = spark.table("sasof").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2),
+          Option(r.getTimestamp(3)).map(_.toString), Option(r.get(4)).map(_.asInstanceOf[Long])))
+        .toSet
+      assert(got == Set(
+        ("a", "2024-01-01 10:05:00.0", 50L, Some("2024-01-01 10:00:00.0"), Some(1L)),
+        // same-timestamp right (10:08) matches backward as-of, like the batch op
+        ("a", "2024-01-01 10:08:00.0", 51L, Some("2024-01-01 10:08:00.0"), Some(2L))))
+    } finally q.stop()
+  }
+
+  test("streaming as-of equals the batch asofJoin on closed history (incl. tolerance)") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val lefts = Seq(("a", 5, 50L), ("a", 8, 51L), ("a", 20, 52L), ("b", 3, 53L), ("c", 1, 54L))
+      .map { case (k, m, v) => Windows.AsofLeft(k, ts(m), v) }
+    val rights = Seq(("a", 0, 1L), ("a", 8, 2L), ("a", 8, 7L), ("a", 19, 4L), ("b", 9, 5L))
+      .map { case (k, m, v) => Windows.AsofRight(k, ts(m), v) }
+    for (tol <- Seq(None, Some(4L * 60 * 1000))) {
+      val stream = Windows.streamingAsof(lefts.toDS(), rights.toDS(), toleranceMs = tol)
+        .collect().map(o => (o.key, o.ts.getTime, o.value,
+          o.r_ts.map(_.getTime), o.r_value)).toSet
+      val batchL = lefts.toDF().select(col("key"), col("ts").cast("long").*(1000).as("t"), col("value"))
+      val batchR = rights.toDF().select(col("key"), col("ts").cast("long").*(1000).as("t"), col("rvalue"))
+      val batch = graft.ops.Temporal.asofJoin(batchL, batchR, Seq("key"), "t",
+        direction = "backward", joinType = "left", tolerance = tol)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).toSet
+      assert(stream == batch, s"tolerance=$tol")
+    }
   }
 
   test("streaming interval join equals the batch operator on closed history") {
