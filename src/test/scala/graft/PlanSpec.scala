@@ -46,6 +46,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Generate explode"), s"map explode expected:\n${plan.take(2000)}")
   }
 
+  test("branch-scoped exclusion (b6) and raw-object extraction (c3) stay shuffle-free") {
+    // branch excludes fold into the router predicate and raw extraction is
+    // a projection — neither may change the narrow filter+project plan class
+    Seq("b6_branch_exclusion", "c3_raw_json").foreach { q =>
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("Exchange"), s"$q must not shuffle:\n$plan")
+    }
+  }
+
+  test("kafka sink mapping (g7) is a narrow projection over the transform output") {
+    val plan = planOf(SparkEntry.queries("g7_kafka_mapping")(spark, sf))
+    assert(!plan.contains("Exchange"), s"kafka sink stage must not shuffle:\n$plan")
+  }
+
   test("spec pipelines fuse filter+extraction into ONE JSON parse per row") {
     // predicate + extraction run inside a single Generate node (flatMap);
     // a separate EventPredExpr filter stage — or Catalyst re-inlining a
