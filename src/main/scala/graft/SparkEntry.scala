@@ -100,6 +100,49 @@ object SparkEntry {
     ("st", "ream"), ("f", "i"), ("fi", "l"), ("fil", "t"), ("filt", "er"),
     ("a", "st"), ("f", "ast"))
 
+  /** Frozen quality-classifier gate model:
+    * `Classifier.train(sf0.001 documents, label = stopword-fraction >=
+    * 6.4%, buckets 64, maxN 1, iters 50, portable)` — inlined so the
+    * scorer gates against a fixed artifact (ClassifierSpec re-derives it
+    * from the corpus to pin provenance, the FrozenBpeMerges pattern).
+    * Both the `ns_quality_classifier` query and its oracle are generated
+    * from this one array, so Scala and SQL cannot drift.
+    */
+  private[graft] val FrozenQualityWeightsMicro: Array[Long] = Array(
+    -88816L, -2577154L, 0L, 0L, 0L, -3545677L, 0L, 0L, 0L, 0L, -4002629L,
+    0L, -1662112L, -721798L, -774144L, 0L, 0L, 0L, 0L, 856751L, 0L, 0L,
+    -261801L, 1547663L, 0L, -3789078L, 0L, -544088L, 0L, 0L, -1343157L,
+    -218544L, -3488741L, 0L, 0L, 0L, -808700L, 0L, 0L, -994438L, 0L,
+    35630L, 0L, 0L, 0L, 9768990L, 0L, 0L, -564139L, -1798726L, 0L, 0L,
+    0L, 0L, 0L, -55507L, -809214L, 17656653L, -1289915L, 0L, 0L,
+    -696238L, 0L, 0L)
+  private[graft] val FrozenQualityBiasMicro: Long = -170240L
+
+  /** DuckDB replay of the frozen classifier's scoring: recompute portable
+    * hashed unigram buckets, join the inlined weight table, integer dot +
+    * integer margin sign — value-for-value the scorer's arithmetic.
+    */
+  private def qualityOracleSql: String = {
+    val values = FrozenQualityWeightsMicro.zipWithIndex
+      .map { case (w, b) => s"($b, ${w})" }.mkString(", ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |b AS (
+       |  SELECT doc_id,
+       |    CAST((('0x' || substr(md5(g), 1, 8))::UBIGINT & 2147483647) % 64 AS INT) AS bucket,
+       |    count(*) AS c
+       |  FROM (SELECT doc_id, unnest(toks) AS g FROM tk) GROUP BY 1, 2),
+       |w(bucket, wm) AS (VALUES $values),
+       |s AS (
+       |  SELECT b.doc_id,
+       |    CAST(sum(b.c) AS BIGINT) AS n_feats,
+       |    CAST(sum(b.c * w.wm) AS BIGINT) AS dot_micro
+       |  FROM b JOIN w USING (bucket) GROUP BY 1)
+       |SELECT doc_id, n_feats, dot_micro,
+       |       dot_micro + (${FrozenQualityBiasMicro}) * n_feats > 0 AS predicted
+       |FROM s""".stripMargin
+  }
+
   /** DuckDB replay of BPE encoding: each word becomes a symbol string
     * (single-space pad, double-space between symbols — so a plain
     * left-to-right replace() of ' A  B ' with ' AB ' merges pairwise
@@ -569,6 +612,19 @@ object SparkEntry {
     // ---- training-data pipeline operators (north star) ----
     "ns_dedup_exact" -> ((s, dir) =>
       graft.ops.Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
+    "ns_quality_classifier" -> ((s, dir) => {
+      // Model-based quality filtering (fastText/logreg analog): score every
+      // document with the FROZEN trained linear model — integer dot over
+      // portable hashed unigram features + integer margin sign, so the
+      // decision itself replays in DuckDB. Training provenance is pinned
+      // by ClassifierSpec (re-derives the frozen weights from sf0.001).
+      val model = graft.ops.Classifier.QualityModel(
+        FrozenQualityWeightsMicro, FrozenQualityBiasMicro,
+        buckets = 64, maxN = 1, portable = true)
+      graft.ops.Classifier.score(t(s, dir, "documents"), model, "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_feats"), col("dot_micro"),
+          col("predicted"))
+    }),
     "ns_salted_join" -> ((s, dir) => {
       // Salted skew join (Skew.saltedJoin): event_type is a 5-value key —
       // the degenerate-skew regime AQE splits can't fix (every split of a
@@ -1425,6 +1481,7 @@ object SparkEntry {
         |         k := json_extract_string(props, '$.k'),
         |         uid := CAST(user_id AS VARCHAR))) AS msg_value
         |FROM events""".stripMargin,
+    "ns_quality_classifier" -> qualityOracleSql,
     "ns_salted_join" ->
       """SELECT e.event_type AS etype, e.event_id, e.user_id, b.etype_users
         |FROM events e

@@ -27,8 +27,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * | TokenSetCountsExpr    | TextAnalysis.langId/sentiment      | ns_text_profile, ns_sentiment |
   * | WordChunksExpr        | Curation.chunk                     | ns_chunk |
   * | PackBinsExpr          | Curation.pack                      | ns_pack |
-  * | HashedNgramCountsExpr | Lm.score, Curation.dsir            | ns_lm_score, ns_dsir |
-  * | DsirDotExpr           | Curation.dsir                      | ns_dsir |
+  * | HashedNgramCountsExpr | Lm.score, Curation.dsir, Classifier | ns_lm_score, ns_dsir, ns_quality_classifier |
+  * | DsirDotExpr           | Curation.dsir, Classifier.score    | ns_dsir, ns_quality_classifier |
   * | BpeEncodeExpr         | Bpe.encode                         | ns_bpe |
   * | BloomMightContainExpr | Curation.decontaminate             | ns_decontaminate |
   * | CompressionRatioExpr  | TextAnalysis quality metrics       | ProfileSpec |
