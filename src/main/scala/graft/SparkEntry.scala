@@ -143,6 +143,69 @@ object SparkEntry {
        |FROM s""".stripMargin
   }
 
+  /** Frozen PCA gate basis: `Embeddings.trainPca(sf0.001 embeddings,
+    * dim 64, k 4)` — inlined so projection gates against a fixed artifact
+    * (EmbeddingsSpec re-derives it to pin provenance); the query and its
+    * oracle are both generated from this one array.
+    */
+  private[graft] val FrozenPcaComponentsMicro: Array[Array[Long]] = Array(
+    Array(
+      -148827L, -58049L, 43575L, -173283L, 8858L, 235811L, 169725L, 158988L,
+      64539L, -236562L, 225757L, 47036L, 62054L, 114844L, 221932L, 66995L,
+      -104744L, 16620L, -115888L, 124432L, -49509L, 41750L, -189276L, -39085L,
+      92673L, -215611L, 45146L, 235886L, 58647L, 35038L, 13611L, -10174L,
+      -37786L, 105016L, -294644L, 18753L, -86303L, -506L, 23427L, 28956L,
+      84420L, 63847L, 113910L, 75813L, -80885L, -221800L, -73610L, 302326L,
+      87312L, -136750L, 135253L, 71733L, -61038L, 21305L, -24158L, -125776L,
+      -50156L, 103313L, -61741L, 14281L, 29864L, 3813L, -248260L, -90804L),
+    Array(
+      -102894L, 95621L, 262900L, -101434L, 99004L, -224674L, -90603L, -57528L,
+      -216372L, -58801L, 64241L, 66691L, 67549L, -6207L, -102223L, 41199L,
+      142718L, -25986L, 179735L, -227338L, 290204L, 77507L, -207200L, 260448L,
+      -79141L, 8760L, -6198L, -13172L, 81459L, 92662L, 82985L, 41386L,
+      160377L, 137816L, 8604L, -233877L, -27140L, 103004L, 27483L, -30349L,
+      117315L, -262573L, 75843L, 35223L, 73179L, -147197L, -140622L, 29036L,
+      161959L, 54223L, 57642L, 93611L, -24913L, 33224L, 161598L, -85149L,
+      115977L, 49241L, -65286L, -92397L, -27410L, 128169L, -77786L, 197423L),
+    Array(
+      180579L, -54678L, -112846L, 268148L, 67548L, 75063L, -6652L, 419742L,
+      -26285L, -141982L, -25518L, 117621L, 38795L, -107820L, -76471L, -26251L,
+      186602L, -112783L, -80115L, 48295L, -162173L, 41611L, -60167L, 89935L,
+      27434L, 19031L, 40943L, 191325L, 193690L, -132490L, 28523L, 43073L,
+      78502L, -134029L, -139923L, 6925L, 102897L, 192250L, 28245L, 85875L,
+      -61587L, -33974L, -25198L, -57621L, 117843L, 125083L, -25340L, 196159L,
+      -190977L, 51810L, 6278L, -8242L, -16421L, 119924L, 161272L, 107854L,
+      158604L, -148865L, -42718L, -204530L, 32672L, 168317L, 97082L, 216310L),
+    Array(
+      -57162L, -72557L, 98266L, 69507L, -52799L, 145177L, -86678L, -28523L,
+      89408L, 204884L, -13755L, 94574L, -107820L, 28154L, -24808L, -87082L,
+      -53739L, 197309L, -7771L, -27634L, -32936L, -210912L, 54024L, 223283L,
+      -230054L, 56121L, 78637L, 174980L, -31649L, 13995L, 96179L, 213127L,
+      29444L, 82851L, -90083L, 62918L, -213609L, -142438L, 255354L, -107677L,
+      -111401L, 185144L, 4024L, -120655L, -71985L, 578L, 96436L, -61089L,
+      -54916L, 30729L, 114267L, 299051L, -284023L, -14906L, 243434L, 57382L,
+      -14686L, 129445L, -127933L, -11140L, 111850L, -88269L, 113630L, 129496L))
+
+  /** DuckDB replay of the frozen-basis projection: micro-quantize each
+    * component (shared round convention), join the inlined (k, i, w)
+    * weight table, exact integer dot per (vector, component).
+    */
+  private def pcaOracleSql: String = {
+    val values = (for {
+      (row, k) <- FrozenPcaComponentsMicro.zipWithIndex
+      (w, i) <- row.zipWithIndex
+    } yield s"($k, ${i + 1}, ${w})").mkString(", ")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS qe
+       |  FROM embeddings WHERE len(embedding) = 64),
+       |e AS (SELECT vec_id, unnest(range(1, 65)) AS i, unnest(qe) AS x FROM q),
+       |p(k, i, w) AS (VALUES $values)
+       |SELECT e.vec_id, CAST(p.k AS INT) AS comp_idx,
+       |       CAST(sum(e.x * p.w) AS BIGINT) AS proj
+       |FROM e JOIN p USING (i) GROUP BY 1, 2""".stripMargin
+  }
+
   /** DuckDB replay of BPE encoding: each word becomes a symbol string
     * (single-space pad, double-space between symbols — so a plain
     * left-to-right replace() of ' A  B ' with ' AB ' merges pairwise
@@ -612,6 +675,18 @@ object SparkEntry {
     // ---- training-data pipeline operators (north star) ----
     "ns_dedup_exact" -> ((s, dir) =>
       graft.ops.Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
+    "ns_embed_pca" -> ((s, dir) => {
+      // PCA projection with the FROZEN basis: exact integer dots of
+      // micro-quantized embeddings against micro-quantized components —
+      // the decision-grade preprocessing step before the ANN tiers.
+      // posexplode scalarizes for the hash gate (pandas cannot sort
+      // array cells).
+      val model = graft.ops.Embeddings.PcaModel(
+        FrozenPcaComponentsMicro, dim = 64, quantScale = 1000000L)
+      graft.ops.Embeddings.project(t(s, dir, "embeddings"), "vec_id", "embedding", model)
+        .select(col("id").as("vec_id"),
+          posexplode(col("proj")).as(Seq("comp_idx", "proj")))
+    }),
     "ns_quality_classifier" -> ((s, dir) => {
       // Model-based quality filtering (fastText/logreg analog): score every
       // document with the FROZEN trained linear model — integer dot over
@@ -1481,6 +1556,7 @@ object SparkEntry {
         |         k := json_extract_string(props, '$.k'),
         |         uid := CAST(user_id AS VARCHAR))) AS msg_value
         |FROM events""".stripMargin,
+    "ns_embed_pca" -> pcaOracleSql,
     "ns_quality_classifier" -> qualityOracleSql,
     "ns_salted_join" ->
       """SELECT e.event_type AS etype, e.event_id, e.user_id, b.etype_users

@@ -41,6 +41,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * | PqAdcExpr             | Similarity PQ ADC scoring          | ns_ann_pq |
   * | MediaPHashExpr        | Multimodal.pHash + media near-dup  | ns_media_phash |
   * | ScaleToInt8Expr       | Similarity.quantizeInt8            | ns_embed_int8 |
+  * | ProjectVecExpr        | Embeddings.project (PCA apply)     | ns_embed_pca |
   */
 object text {
 
@@ -885,6 +886,52 @@ object text {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
+
+  /** Quantize-and-project: micro-quantize a double-array vector
+    * (`round(x·quantScale)` per component, the int8/pca shared
+    * convention) and dot it with `k` frozen integer component rows in one
+    * pass — the apply side of [[graft.ops.Embeddings]] PCA. All-integer
+    * outputs (exact, engine-replayable); the component matrix rides the
+    * task closure like every other trained model here. Null for vectors
+    * whose length differs from the model dimension (scale-friendly: one
+    * malformed row must not kill a 100 TB scan).
+    */
+  case class ProjectVecExpr(child: Expression, componentsMicro: Array[Array[Long]],
+      quantScale: Long)
+      extends UnaryExpression with CodegenFallback {
+    require(componentsMicro.nonEmpty && quantScale >= 1, "need components and a positive scale")
+    private val dim = componentsMicro(0).length
+    require(componentsMicro.forall(_.length == dim), "ragged component matrix")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val x = input.asInstanceOf[ArrayData]
+      if (x.numElements() != dim) return null
+      val q = new Array[Long](dim)
+      var i = 0
+      while (i < dim) {
+        q(i) = java.math.BigDecimal.valueOf(x.getDouble(i) * quantScale)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        i += 1
+      }
+      val out = new Array[Long](componentsMicro.length)
+      var k = 0
+      while (k < componentsMicro.length) {
+        val comp = componentsMicro(k)
+        var s = 0L
+        var j = 0
+        while (j < dim) { s += q(j) * comp(j); j += 1 }
+        out(k) = s
+        k += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  def projectVec(vec: Column, componentsMicro: Array[Array[Long]], quantScale: Long): Column =
+    ExpressionUtils.column(ProjectVecExpr(ExpressionUtils.expression(vec),
+      componentsMicro, quantScale))
 
   /** Random-hyperplane LSH keys for a double-array vector: `tables`
     * (table, bucket) pairs in one pass (planes per table, deterministic

@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding preprocessing: exact distributed second moments → driver-side
+  * PCA, and the projection/whitening apply path the ANN family consumes
+  * (dimension reduction before [[Similarity]]'s LSH/IVF/PQ tiers — the
+  * OPQ-style preprocessing step of vector-search pipelines).
+  *
+  * Train-small/apply-everywhere, with the repo's determinism discipline:
+  *
+  *   - MOMENTS are exact integers: each component micro-quantizes
+  *     (`round(x·quantScale)`, the shared int8/pca convention) and the
+  *     d + d² sums accumulate as longs through a partial-aggregated
+  *     explode — the exchange carries at most d² rows PER PARTITION
+  *     regardless of corpus size, and long sums commute, so the Gram
+  *     matrix is bit-for-bit identical under any partitioning. A float
+  *     accumulation would train a slightly different model per shuffle
+  *     order.
+  *   - EIGENSOLVE runs on the driver over the d×d covariance (cyclic
+  *     Jacobi sweeps, fixed rotation order, deterministic sign
+  *     convention) — O(d³) on O(d²) state, the bounded-model tier like
+  *     [[Bpe]]'s merge table and [[Classifier]]'s weights.
+  *   - PROJECTION is a zero-shuffle scan (ProjectVecExpr): quantized
+  *     integer dots against the micro-quantized component rows, so the
+  *     projected values — not an approximation of them — replay in the
+  *     DuckDB oracle (`ns_embed_pca`).
+  *
+  * Overflow budget: |x·quantScale| ≤ S ⇒ each product ≤ S², summed over N
+  * rows ⇒ needs N·S² < 2⁶³. Unit-norm embeddings at the default
+  * quantScale 10⁶ keep S ≈ 10⁶, good to N ≈ 10⁶ training rows — PCA
+  * trains on a sample anyway (pass a sampled frame; [[Similarity]]'s
+  * refinementSample is the standard source). Larger samples: lower
+  * quantScale.
+  */
+object Embeddings {
+
+  /** A trained PCA basis: k × dim component rows in micro-units (each row
+    * is a unit eigenvector scaled by 10⁶), with the quantization scale the
+    * projection applies to inputs. Carried together so apply can never
+    * mix scales — same rationale as [[Dedup.MinhashIndex]].
+    */
+  final case class PcaModel(componentsMicro: Array[Array[Long]], dim: Int,
+      quantScale: Long) {
+    require(componentsMicro.nonEmpty && componentsMicro.forall(_.length == dim),
+      "component rows must all have the model dimension")
+    def k: Int = componentsMicro.length
+  }
+
+  private def quantized(vecCol: String, quantScale: Long): Column =
+    transform(col(vecCol).cast("array<double>"),
+      x => round(x * quantScale).cast("long"))
+
+  /** Exact integer moment sums: (n, sum_i, sum_ij) with
+    * `sum_ij(i·d + j) = Σ q_i·q_j`. One explode + one partial-aggregated
+    * groupBy each; exchanges bounded by d (resp. d²) rows per partition.
+    */
+  private[ops] def momentSums(vecs: DataFrame, vecCol: String, dim: Int,
+      quantScale: Long): (Long, Array[Long], Array[Long]) = {
+    val q = vecs.select(quantized(vecCol, quantScale).as("q"))
+      .filter(size(col("q")) === dim)
+    val n = q.count()
+    require(n > 0, s"no vectors of dimension $dim to train on")
+    val s1 = new Array[Long](dim)
+    q.select(posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy("i").agg(sum("x").as("s")).collect()
+      .foreach(r => s1(r.getInt(0)) = r.getLong(1))
+    val s2 = new Array[Long](dim * dim)
+    q.select(posexplode(expr("flatten(transform(q, x -> transform(q, y -> x * y)))"))
+        .as(Seq("p", "v")))
+      .groupBy("p").agg(sum("v").as("s")).collect()
+      .foreach(r => s2(r.getInt(0)) = r.getLong(1))
+    (n, s1, s2)
+  }
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix: returns
+    * (eigenvalues, eigenvectors as rows), unordered. Fixed sweep order and
+    * a fixed convergence threshold — deterministic for identical input.
+    */
+  private[ops] def jacobiEigen(a: Array[Array[Double]], maxSweeps: Int = 64)
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a.length
+    val m = a.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < maxSweeps && off > 1e-14) {
+      off = 0.0
+      for (p <- 0 until d; qq <- (p + 1) until d) {
+        off += m(p)(qq) * m(p)(qq)
+        if (math.abs(m(p)(qq)) > 1e-18) {
+          val theta = (m(qq)(qq) - m(p)(p)) / (2.0 * m(p)(qq))
+          // theta == 0 (equal diagonal pair) still needs the 45° rotation:
+          // signum(0) = 0 would silently skip it and stall convergence
+          val t = if (theta == 0.0) 1.0
+            else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (i <- 0 until d) {
+            val mip = m(i)(p); val miq = m(i)(qq)
+            m(i)(p) = c * mip - s * miq
+            m(i)(qq) = s * mip + c * miq
+          }
+          for (i <- 0 until d) {
+            val mpi = m(p)(i); val mqi = m(qq)(i)
+            m(p)(i) = c * mpi - s * mqi
+            m(qq)(i) = s * mpi + c * mqi
+          }
+          for (i <- 0 until d) {
+            val vip = v(i)(p); val viq = v(i)(qq)
+            v(i)(p) = c * vip - s * viq
+            v(i)(qq) = s * vip + c * viq
+          }
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => m(i)(i)),
+      Array.tabulate(d)(j => Array.tabulate(d)(i => v(i)(j))))
+  }
+
+  /** Train a k-component PCA basis on `vecs` (pass a SAMPLE for large
+    * corpora — see the overflow budget above). Components are unit
+    * eigenvectors of the covariance of the micro-quantized vectors,
+    * ordered by descending eigenvalue (ties by first-seen order), each
+    * sign-normalized so its largest-magnitude entry is positive, then
+    * micro-quantized.
+    */
+  def trainPca(vecs: DataFrame, vecCol: String, dim: Int, k: Int,
+      quantScale: Long = 1000000L): PcaModel = {
+    require(k >= 1 && k <= dim, s"k must be in [1, $dim]")
+    val (n, s1, s2) = momentSums(vecs, vecCol, dim, quantScale)
+    val nd = n.toDouble
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      (s2(i * dim + j) / nd - (s1(i) / nd) * (s1(j) / nd)) / (quantScale.toDouble * quantScale)
+    }
+    val (evals, evecs) = jacobiEigen(cov)
+    val top = evals.zipWithIndex.sortBy { case (ev, i) => (-ev, i) }.take(k)
+    val comps = top.map { case (_, i) =>
+      val vec = evecs(i)
+      val maxAbs = vec.indices.maxBy(j => (math.abs(vec(j)), -j))
+      val sign = if (vec(maxAbs) < 0) -1.0 else 1.0
+      vec.map(x => math.round(x * sign * 1000000.0))
+    }
+    PcaModel(comps, dim, quantScale)
+  }
+
+  /** Project vectors onto the basis: `(id, proj)` where
+    * `proj(k) = Σ_i round(x_i·quantScale) · comp_k(i)` — exact integers,
+    * zero shuffle, model in the task closure. Null-length mismatches drop.
+    */
+  def project(vecs: DataFrame, idCol: String, vecCol: String,
+      model: PcaModel): DataFrame =
+    vecs.select(col(idCol).as("id"),
+        graft.functions.text.projectVec(col(vecCol).cast("array<double>"),
+          model.componentsMicro, model.quantScale).as("proj"))
+      .filter(col("proj").isNotNull)
+
+  /** L2-normalize a vector column (double array out; a utility projection
+    * for cosine pipelines, not an oracle-gated path).
+    */
+  def l2Normalize(vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    when(norm > 0, transform(v, x => x / norm)).otherwise(v)
+  }
+}

@@ -84,6 +84,25 @@ class ClassifierSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
   }
 
+  test("scoring works unchanged on a stream (pure projection, no state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = separableCorpus(40)
+    val m = Classifier.train(corpus, "text", "label", "doc_id", buckets = 128, iters = 5)
+    val expected = Classifier.score(corpus, m, "text", "doc_id")
+      .select("id", "predicted").as[(Long, Boolean)].collect().toSet
+    val input = MemoryStream[(Long, String)](spark, 4)
+    val scored = Classifier.score(input.toDF().toDF("doc_id", "text"), m, "text", "doc_id")
+    val q = scored.writeStream.format("memory").queryName("clsstream")
+      .outputMode("append").start()
+    try {
+      input.addData(corpus.select("doc_id", "text").as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("clsstream").select("id", "predicted")
+        .as[(Long, Boolean)].collect().toSet
+      assert(got == expected, "stream scoring must equal batch scoring")
+    } finally q.stop()
+  }
+
   test("guards: oversized labeled set and empty corpus are rejected") {
     val corpus = separableCorpus(20)
     intercept[IllegalArgumentException] {

@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.Embeddings
+
+class EmbeddingsSpec extends AnyFunSuite {
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // points spread along a known axis + small deterministic off-axis noise
+  private def axisCorpus(n: Int, dim: Int, axis: Array[Double]) = {
+    val nrm = math.sqrt(axis.map(x => x * x).sum)
+    val u = axis.map(_ / nrm)
+    (0 until n).map { i =>
+      val t = (i % 21 - 10) / 10.0 // spread in [-1, 1]
+      val noise = 0.01 * ((i * 31 % 17) - 8) / 8.0
+      val v = Array.tabulate(dim)(j => t * u(j) + (if (j == (i % dim)) noise else 0.0))
+      (i.toLong, v)
+    }.toDF("vec_id", "vec")
+  }
+
+  test("trainPca recovers a planted principal axis; components are orthonormal") {
+    val dim = 8
+    val axis = Array(3.0, 1.0, -2.0, 0.5, 0.0, -1.0, 2.0, 0.25)
+    val m = Embeddings.trainPca(axisCorpus(400, dim, axis), "vec", dim, k = 3)
+    val c0 = m.componentsMicro(0).map(_ / 1e6)
+    val u = { val n = math.sqrt(axis.map(x => x * x).sum); axis.map(_ / n) }
+    val cos = math.abs(c0.zip(u).map { case (a, b) => a * b }.sum)
+    assert(cos > 0.999, s"first component must align with the planted axis, cos=$cos")
+    for (a <- 0 until 3; b <- 0 until 3) {
+      val dot = m.componentsMicro(a).zip(m.componentsMicro(b))
+        .map { case (x, y) => x / 1e6 * (y / 1e6) }.sum
+      if (a == b) assert(math.abs(dot - 1.0) < 1e-3, s"component $a must be unit norm, got $dot")
+      else assert(math.abs(dot) < 1e-3, s"components $a,$b must be orthogonal, got $dot")
+    }
+  }
+
+  test("moment sums and the trained model are identical under repartitioning") {
+    val corpus = axisCorpus(200, 6, Array(1.0, 2.0, 3.0, -1.0, 0.5, 0.0))
+    val m1 = Embeddings.trainPca(corpus.repartition(7), "vec", 6, 2)
+    val m2 = Embeddings.trainPca(corpus.repartition(2), "vec", 6, 2)
+    assert(m1.componentsMicro.map(_.toSeq).toSeq == m2.componentsMicro.map(_.toSeq).toSeq,
+      "integer moment accumulation must make training partition-invariant")
+  }
+
+  test("project equals a driver-side exact integer replay; length mismatches drop") {
+    val corpus = axisCorpus(50, 6, Array(1.0, 2.0, 3.0, -1.0, 0.5, 0.0))
+    val m = Embeddings.trainPca(corpus, "vec", 6, 2)
+    val got = Embeddings.project(corpus, "vec_id", "vec", m)
+      .select(col("id"), col("proj")).as[(Long, Seq[Long])].collect().toMap
+    val rows = corpus.as[(Long, Seq[Double])].collect()
+    rows.foreach { case (id, v) =>
+      val q = v.map(x => java.math.BigDecimal.valueOf(x * m.quantScale)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+      val expect = m.componentsMicro.map(c => c.zip(q).map { case (w, x) => w * x }.sum).toSeq
+      assert(got(id) == expect, s"projection mismatch for $id")
+    }
+    val ragged = Seq((99L, Array(1.0, 2.0))).toDF("vec_id", "vec")
+    assert(Embeddings.project(ragged, "vec_id", "vec", m).count() == 0,
+      "wrong-dimension vectors must drop, not fail the scan")
+  }
+
+  test("projection onto a full basis preserves exact quantized distances (rotation law)") {
+    // with k = dim the projection is an orthogonal change of basis: squared
+    // distances in projected space equal squared distances of the
+    // quantized inputs up to the micro scaling (checked loosely — the
+    // components themselves are micro-quantized)
+    val dim = 5
+    val corpus = axisCorpus(40, dim, Array(1.0, -2.0, 0.5, 3.0, 1.5))
+    val m = Embeddings.trainPca(corpus, "vec", dim, dim)
+    val proj = Embeddings.project(corpus, "vec_id", "vec", m)
+      .select(col("id"), col("proj")).as[(Long, Seq[Long])].collect().toMap
+    val raw = corpus.as[(Long, Seq[Double])].collect().toMap
+    val ids = raw.keys.toSeq.sorted.take(10)
+    for (a <- ids; b <- ids if a < b) {
+      val d2raw = raw(a).zip(raw(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+      val d2proj = proj(a).zip(proj(b))
+        .map { case (x, y) => val d = (x - y) / 1e12; d * d }.sum
+      assert(math.abs(d2raw - d2proj) < 1e-4 * math.max(1.0, d2raw),
+        s"distance must be preserved under the full-basis rotation: $d2raw vs $d2proj")
+    }
+  }
+
+  test("frozen gate model provenance: re-training on sf0.001 embeddings reproduces the inlined basis") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = Embeddings.trainPca(e, "embedding", dim = 64, k = 4)
+    assert(m.componentsMicro.map(_.toSeq).toSeq ==
+      SparkEntry.FrozenPcaComponentsMicro.map(_.toSeq).toSeq,
+      "frozen PCA basis drifted — re-derive the inlined array and its oracle")
+  }
+
+  test("PCA-then-ANN composition: top-1 neighbors survive a full-basis rotation") {
+    // the intended pipeline: project (here onto the full basis — a pure
+    // rotation, so cosine structure is preserved exactly up to
+    // quantization) and run the ANN tier on the projected vectors
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val m = Embeddings.trainPca(e, "vec", dim = 64, k = 64)
+    val projected = Embeddings.project(e, "id", "vec", m)
+      .select(col("id"), expr("transform(proj, x -> CAST(x AS DOUBLE))").as("vec"))
+    val exact = graft.ops.Similarity.bruteForceTopK(e, e, k = 1)
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect().toMap
+    val rotated = graft.ops.Similarity.bruteForceTopK(projected, projected, k = 1)
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect().toMap
+    val agree = exact.count { case (q, n) => rotated.get(q).contains(n) }
+    assert(agree >= 95, s"rotation must preserve nearly all top-1 neighbors, got $agree/100")
+  }
+
+  test("projection scan is shuffle-free (components ride the closure)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = graft.ops.Embeddings.PcaModel(SparkEntry.FrozenPcaComponentsMicro, 64, 1000000L)
+    val plan = Embeddings.project(e, "vec_id", "embedding", m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+  }
+}
