@@ -675,6 +675,26 @@ object SparkEntry {
     // ---- training-data pipeline operators (north star) ----
     "ns_dedup_exact" -> ((s, dir) =>
       graft.ops.Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
+    "ns_url_canonical" -> ((s, dir) => {
+      // URL canonicalization (web-corpus dedup key): four crawl-variant
+      // shapes synthesized per doc — scheme/host case, www, default vs
+      // explicit ports, empty paths, tracking params, fragments — pushed
+      // through Web.canonicalUrl; the oracle replays every normalization
+      // step with the same regex/string ops.
+      val d = t(s, dir, "documents")
+      val variant = pmod(col("doc_id"), lit(4))
+      val url = concat(
+        when(variant === 0, lit("HTTP://WWW.")).otherwise(lit("https://")),
+        col("source"), lit(".example.com"),
+        when(variant === 0, lit(":80")).when(variant === 1, lit(":443"))
+          .when(variant === 2, lit(":8080")).otherwise(lit("")),
+        when(variant === 3, lit(""))
+          .otherwise(concat(lit("/docs/"), col("doc_id"))),
+        lit("?utm_source=track&z="), col("lang"), lit("&a=1"),
+        when(variant === 1, lit("&fbclid=f")).otherwise(lit("")),
+        lit("#frag"))
+      d.select(col("doc_id"), graft.ops.Web.canonicalUrl(url).as("canon"))
+    }),
     "ns_embed_pca" -> ((s, dir) => {
       // PCA projection with the FROZEN basis: exact integer dots of
       // micro-quantized embeddings against micro-quantized components —
@@ -1556,6 +1576,39 @@ object SparkEntry {
         |         k := json_extract_string(props, '$.k'),
         |         uid := CAST(user_id AS VARCHAR))) AS msg_value
         |FROM events""".stripMargin,
+    "ns_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'HTTP://WWW.' ELSE 'https://' END ||
+        |    source || '.example.com' ||
+        |    CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 3 THEN '' ELSE '/docs/' || CAST(doc_id AS VARCHAR) END ||
+        |    '?utm_source=track&z=' || lang || '&a=1' ||
+        |    CASE WHEN doc_id % 4 = 1 THEN '&fbclid=f' ELSE '' END || '#frag' AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(nf, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS host0,
+        |    regexp_extract(nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path0,
+        |    regexp_extract(nf, '\?([^#]*)', 1) AS q
+        |  FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u)),
+        |n AS (
+        |  SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(h1, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(h1, ':443$', '')
+        |         ELSE h1 END AS host,
+        |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+        |    array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |      pp -> pp <> '' AND NOT (
+        |        list_contains(['gclid','fbclid','igshid','mc_cid','mc_eid','ref','ref_src','spm','yclid','msclkid'],
+        |                      string_split(pp, '=')[1])
+        |        OR starts_with(string_split(pp, '=')[1], 'utm_')))), '&') AS q2
+        |  FROM (SELECT doc_id, scheme, regexp_replace(host0, '^www\.', '') AS h1, path0, q FROM p))
+        |SELECT doc_id,
+        |       scheme || '://' || host || path ||
+        |       CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canon
+        |FROM n""".stripMargin,
     "ns_embed_pca" -> pcaOracleSql,
     "ns_quality_classifier" -> qualityOracleSql,
     "ns_salted_join" ->

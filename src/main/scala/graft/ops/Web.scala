@@ -75,6 +75,57 @@ object Web {
       lower(regexp_extract(col(urlCol), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)),
       multiLabelSuffixes).isin(blocklist: _*))
 
+  /** Tracking parameters stripped by [[canonicalUrl]] by default — the
+    * common cross-site analytics/click identifiers; `utm_*` is handled as
+    * a prefix family.
+    */
+  val DefaultTrackingParams: Seq[String] = Seq(
+    "gclid", "fbclid", "igshid", "mc_cid", "mc_eid", "ref", "ref_src",
+    "spm", "yclid", "msclkid")
+
+  /** Canonical URL form — the key for URL-level dedup of a web corpus
+    * (the same page crawled as `HTTP://WWW.Site.com:80/a?utm_source=x&b=1`
+    * and `http://site.com/a?b=1` must collapse). Steps, every one a
+    * cross-engine-portable string operation (the `ns_url_canonical`
+    * oracle replays them in DuckDB):
+    *
+    *   1. drop the fragment (`#...` — client-side only)
+    *   2. lowercase scheme and host
+    *   3. strip a leading `www.` (flag)
+    *   4. strip the scheme's default port (`:80` http, `:443` https)
+    *   5. empty path → `/`
+    *   6. drop tracking query params (exact names + `utm_`-style
+    *      prefixes), SORT the survivors (param order is not semantic),
+    *      and drop the `?` when none survive
+    *
+    * Pure projection: zero shuffle at any corpus size; URL-level dedup is
+    * then `Dedup.exact(df, canonicalized, id)` on the result.
+    */
+  def canonicalUrl(url: Column, stripWww: Boolean = true,
+      dropParams: Seq[String] = DefaultTrackingParams,
+      dropParamPrefixes: Seq[String] = Seq("utm_")): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val host0 = lower(regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    val host1 = if (stripWww) regexp_replace(host0, "^www\\.", "") else host0
+    val host = when(scheme === "http", regexp_replace(host1, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host1, ":443$", ""))
+      .otherwise(host1)
+    val path0 = regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val rawQ = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val keep: Column => Column = p => {
+      val name = get(split(p, "="), lit(0))
+      val droppedName = (if (dropParams.isEmpty) lit(false) else name.isin(dropParams: _*)) ||
+        dropParamPrefixes.map(pre => name.startsWith(pre))
+          .foldLeft(lit(false))(_ || _)
+      p =!= "" && !droppedName
+    }
+    val query = array_join(array_sort(filter(split(rawQ, "&"), keep)), "&")
+    concat(scheme, lit("://"), host, path,
+      when(query === "", lit("")).otherwise(concat(lit("?"), query)))
+  }
+
   /** Per-registrable-domain corpus stats: document count and total
     * weight (e.g. token or char count) — the standard input for domain
     * mix analysis and [[Curation.mixRates]]. One partial-aggregated

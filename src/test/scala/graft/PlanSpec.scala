@@ -60,6 +60,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"kafka sink stage must not shuffle:\n$plan")
   }
 
+  test("model-apply scans (classifier, pca, url-canonical) are shuffle-free projections") {
+    // trained artifacts ride the task closure; applying them must never
+    // introduce an exchange — the train-small/apply-everywhere contract
+    Seq("ns_quality_classifier", "ns_embed_pca", "ns_url_canonical").foreach { q =>
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("Exchange"), s"$q must not shuffle:\n$plan")
+    }
+  }
+
   test("spec pipelines fuse filter+extraction into ONE JSON parse per row") {
     // predicate + extraction run inside a single Generate node (flatMap);
     // a separate EventPredExpr filter stage — or Catalyst re-inlining a

@@ -70,4 +70,37 @@ class WebSpec extends AnyFunSuite {
     assert(out.map(_.toSeq).toSeq == Seq(
       Seq("x.com", 2L, 30L), Seq("y.org", 1L, 5L)))
   }
+  test("canonicalUrl: case, www, default port, fragment, tracking params, param order") {
+    val cases = Seq(
+      // same page, three crawl variants -> one canonical form
+      ("HTTP://WWW.Site.com:80/a?utm_source=x&b=1", "http://site.com/a?b=1"),
+      ("http://site.com/a?b=1#section-2", "http://site.com/a?b=1"),
+      ("http://site.com:8080/a?b=1", "http://site.com:8080/a?b=1"), // non-default port kept
+      ("HTTPS://shop.example.ORG:443/", "https://shop.example.org/"),
+      ("https://example.org", "https://example.org/"), // empty path -> /
+      ("https://example.org/p?z=1&a=2&utm_campaign=c&gclid=g&m=3",
+        "https://example.org/p?a=2&m=3&z=1"), // survivors sorted
+      ("https://example.org/p?utm_x=1&fbclid=f", "https://example.org/p"), // all dropped -> no ?
+      ("https://www.example.org/p?ref=rss", "https://example.org/p"))
+    val got = cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }
+      .toDF("id", "url")
+      .select(col("id"), Web.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((u, want), i) =>
+      assert(got(i.toLong) == want, s"canonical($u)")
+    }
+  }
+
+  test("canonicalUrl collapses crawl variants for exact URL dedup") {
+    val docs = Seq(
+      (1L, "HTTP://WWW.Site.com:80/a?utm_source=x&b=1"),
+      (2L, "http://site.com/a?b=1#frag"),
+      (3L, "http://site.com/a?b=2")).toDF("doc_id", "url")
+      .withColumn("canon", Web.canonicalUrl(col("url")))
+    // rows 1 and 2 share a canonical form; 3 differs → two dedup groups,
+    // the shared group keeping the min doc_id with dup_count 2
+    val groups = graft.ops.Dedup.exact(docs, "canon", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(1L -> 2L, 3L -> 1L))
+  }
 }
