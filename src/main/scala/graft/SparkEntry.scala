@@ -186,24 +186,41 @@ object SparkEntry {
       -54916L, 30729L, 114267L, 299051L, -284023L, -14906L, 243434L, 57382L,
       -14686L, 129445L, -127933L, -11140L, 111850L, -88269L, 113630L, 129496L))
 
+  /** Frozen corpus mean (micro-units) for the centered projection —
+    * derived with the basis; EmbeddingsSpec pins its provenance.
+    */
+  private[graft] val FrozenPcaMeanMicro: Array[Long] = Array(
+    -2928L, -1427L, 1498L, 8534L, -1857L, -2655L, 97L, -9131L,
+    -11225L, -4404L, 7712L, -9148L, -202L, 4818L, 4733L, -2985L,
+    618L, -1411L, -1994L, -5096L, -6201L, -1744L, 3859L, -11007L,
+    -2966L, -3075L, -714L, -2857L, -5044L, -3281L, -10473L, 309L,
+    2068L, 4834L, -2873L, 4292L, 967L, -398L, -9004L, 9728L,
+    -3610L, -8340L, 3472L, 2822L, -6098L, -11641L, 478L, -2170L,
+    2422L, 1335L, -490L, -1996L, 3327L, 7020L, 9967L, 37L,
+    3835L, 2453L, -6527L, 2123L, -3090L, 1494L, -4200L, 1213L)
+
   /** DuckDB replay of the frozen-basis projection: micro-quantize each
-    * component (shared round convention), join the inlined (k, i, w)
-    * weight table, exact integer dot per (vector, component).
+    * component (shared round convention), subtract the inlined mean, join
+    * the inlined (k, i, w) weight table, exact integer dot per
+    * (vector, component).
     */
   private def pcaOracleSql: String = {
     val values = (for {
       (row, k) <- FrozenPcaComponentsMicro.zipWithIndex
       (w, i) <- row.zipWithIndex
     } yield s"($k, ${i + 1}, ${w})").mkString(", ")
+    val means = FrozenPcaMeanMicro.zipWithIndex
+      .map { case (mu, i) => s"(${i + 1}, ${mu})" }.mkString(", ")
     s"""WITH q AS (
        |  SELECT vec_id,
        |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS qe
        |  FROM embeddings WHERE len(embedding) = 64),
        |e AS (SELECT vec_id, unnest(range(1, 65)) AS i, unnest(qe) AS x FROM q),
-       |p(k, i, w) AS (VALUES $values)
+       |p(k, i, w) AS (VALUES $values),
+       |m(i, mu) AS (VALUES $means)
        |SELECT e.vec_id, CAST(p.k AS INT) AS comp_idx,
-       |       CAST(sum(e.x * p.w) AS BIGINT) AS proj
-       |FROM e JOIN p USING (i) GROUP BY 1, 2""".stripMargin
+       |       CAST(sum((e.x - m.mu) * p.w) AS BIGINT) AS proj
+       |FROM e JOIN p USING (i) JOIN m USING (i) GROUP BY 1, 2""".stripMargin
   }
 
   /** DuckDB replay of BPE encoding: each word becomes a symbol string
@@ -702,7 +719,8 @@ object SparkEntry {
       // posexplode scalarizes for the hash gate (pandas cannot sort
       // array cells).
       val model = graft.ops.Embeddings.PcaModel(
-        FrozenPcaComponentsMicro, dim = 64, quantScale = 1000000L)
+        FrozenPcaComponentsMicro, FrozenPcaMeanMicro,
+        dim = 64, quantScale = 1000000L)
       graft.ops.Embeddings.project(t(s, dir, "embeddings"), "vec_id", "embedding", model)
         .select(col("id").as("vec_id"),
           posexplode(col("proj")).as(Seq("comp_idx", "proj")))

@@ -897,11 +897,12 @@ object text {
     * malformed row must not kill a 100 TB scan).
     */
   case class ProjectVecExpr(child: Expression, componentsMicro: Array[Array[Long]],
-      quantScale: Long)
+      meanMicro: Array[Long], quantScale: Long)
       extends UnaryExpression with CodegenFallback {
     require(componentsMicro.nonEmpty && quantScale >= 1, "need components and a positive scale")
     private val dim = componentsMicro(0).length
     require(componentsMicro.forall(_.length == dim), "ragged component matrix")
+    require(meanMicro.length == dim, "mean must have the model dimension")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any = {
@@ -911,7 +912,7 @@ object text {
       var i = 0
       while (i < dim) {
         q(i) = java.math.BigDecimal.valueOf(x.getDouble(i) * quantScale)
-          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue() - meanMicro(i)
         i += 1
       }
       val out = new Array[Long](componentsMicro.length)
@@ -929,9 +930,10 @@ object text {
     override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   }
 
-  def projectVec(vec: Column, componentsMicro: Array[Array[Long]], quantScale: Long): Column =
+  def projectVec(vec: Column, componentsMicro: Array[Array[Long]],
+      meanMicro: Array[Long], quantScale: Long): Column =
     ExpressionUtils.column(ProjectVecExpr(ExpressionUtils.expression(vec),
-      componentsMicro, quantScale))
+      componentsMicro, meanMicro, quantScale))
 
   /** Random-hyperplane LSH keys for a double-array vector: `tables`
     * (table, bucket) pairs in one pass (planes per table, deterministic

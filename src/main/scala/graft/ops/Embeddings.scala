@@ -41,10 +41,11 @@ object Embeddings {
     * projection applies to inputs. Carried together so apply can never
     * mix scales — same rationale as [[Dedup.MinhashIndex]].
     */
-  final case class PcaModel(componentsMicro: Array[Array[Long]], dim: Int,
-      quantScale: Long) {
+  final case class PcaModel(componentsMicro: Array[Array[Long]],
+      meanMicro: Array[Long], dim: Int, quantScale: Long) {
     require(componentsMicro.nonEmpty && componentsMicro.forall(_.length == dim),
       "component rows must all have the model dimension")
+    require(meanMicro.length == dim, "mean must have the model dimension")
     def k: Int = componentsMicro.length
   }
 
@@ -125,10 +126,13 @@ object Embeddings {
     * eigenvectors of the covariance of the micro-quantized vectors,
     * ordered by descending eigenvalue (ties by first-seen order), each
     * sign-normalized so its largest-magnitude entry is positive, then
-    * micro-quantized.
+    * micro-quantized. `center = true` (the standard PCA transform) stores
+    * the quantized corpus mean, which projection subtracts before the
+    * dot; pass `center = false` when a pure rotation is wanted (e.g. to
+    * preserve raw cosine geometry for a downstream ANN tier).
     */
   def trainPca(vecs: DataFrame, vecCol: String, dim: Int, k: Int,
-      quantScale: Long = 1000000L): PcaModel = {
+      quantScale: Long = 1000000L, center: Boolean = true): PcaModel = {
     require(k >= 1 && k <= dim, s"k must be in [1, $dim]")
     val (n, s1, s2) = momentSums(vecs, vecCol, dim, quantScale)
     val nd = n.toDouble
@@ -143,18 +147,22 @@ object Embeddings {
       val sign = if (vec(maxAbs) < 0) -1.0 else 1.0
       vec.map(x => math.round(x * sign * 1000000.0))
     }
-    PcaModel(comps, dim, quantScale)
+    val mean =
+      if (center) s1.map(s => math.round(s.toDouble / nd))
+      else new Array[Long](dim)
+    PcaModel(comps, mean, dim, quantScale)
   }
 
   /** Project vectors onto the basis: `(id, proj)` where
-    * `proj(k) = Σ_i round(x_i·quantScale) · comp_k(i)` — exact integers,
-    * zero shuffle, model in the task closure. Null-length mismatches drop.
+    * `proj(k) = Σ_i (round(x_i·quantScale) − μ_i) · comp_k(i)` — exact
+    * integers, zero shuffle, model in the task closure. Null-length
+    * mismatches drop.
     */
   def project(vecs: DataFrame, idCol: String, vecCol: String,
       model: PcaModel): DataFrame =
     vecs.select(col(idCol).as("id"),
         graft.functions.text.projectVec(col(vecCol).cast("array<double>"),
-          model.componentsMicro, model.quantScale).as("proj"))
+          model.componentsMicro, model.meanMicro, model.quantScale).as("proj"))
       .filter(col("proj").isNotNull)
 
   /** L2-normalize a vector column (double array out; a utility projection

@@ -52,8 +52,9 @@ class EmbeddingsSpec extends AnyFunSuite {
       .select(col("id"), col("proj")).as[(Long, Seq[Long])].collect().toMap
     val rows = corpus.as[(Long, Seq[Double])].collect()
     rows.foreach { case (id, v) =>
-      val q = v.map(x => java.math.BigDecimal.valueOf(x * m.quantScale)
-        .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+      val q = v.zipWithIndex.map { case (x, i) =>
+        java.math.BigDecimal.valueOf(x * m.quantScale)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue() - m.meanMicro(i) }
       val expect = m.componentsMicro.map(c => c.zip(q).map { case (w, x) => w * x }.sum).toSeq
       assert(got(id) == expect, s"projection mismatch for $id")
     }
@@ -89,6 +90,22 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(m.componentsMicro.map(_.toSeq).toSeq ==
       SparkEntry.FrozenPcaComponentsMicro.map(_.toSeq).toSeq,
       "frozen PCA basis drifted — re-derive the inlined array and its oracle")
+    assert(m.meanMicro.toSeq == SparkEntry.FrozenPcaMeanMicro.toSeq,
+      "frozen PCA mean drifted — re-derive the inlined array and its oracle")
+  }
+
+  test("centered projection of the corpus sums to (near) zero per component") {
+    // Σ_docs proj_k = Σ_docs Σ_i (q_i − μ_i)·w_ki; μ is the rounded mean,
+    // so the residual is bounded by n·(rounding error)·‖w‖₁
+    val corpus = axisCorpus(100, 6, Array(1.0, 2.0, 3.0, -1.0, 0.5, 0.0))
+    val m = Embeddings.trainPca(corpus, "vec", 6, 3)
+    val sums = Embeddings.project(corpus, "vec_id", "vec", m)
+      .select(explode(expr("transform(proj, (x, i) -> struct(i AS i, x AS x))")).as("e"))
+      .groupBy("e.i").agg(sum("e.x").as("s")).collect()
+      .map(r => r.getLong(1))
+    // bound: 100 docs × 0.5 rounding × ‖w‖₁ ≤ 100 × 0.5 × 6×1e6
+    sums.foreach(s => assert(math.abs(s) <= 100L * 3000000L,
+      s"centered projections must sum to ~0, got ${sums.toSeq}"))
   }
 
   test("PCA-then-ANN composition: top-1 neighbors survive a full-basis rotation") {
@@ -97,7 +114,9 @@ class EmbeddingsSpec extends AnyFunSuite {
     // quantization) and run the ANN tier on the projected vectors
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
       .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
-    val m = Embeddings.trainPca(e, "vec", dim = 64, k = 64)
+    // center = false: a pure rotation preserves raw cosine geometry, which
+    // is what the downstream cosine-ANN comparison needs
+    val m = Embeddings.trainPca(e, "vec", dim = 64, k = 64, center = false)
     val projected = Embeddings.project(e, "id", "vec", m)
       .select(col("id"), expr("transform(proj, x -> CAST(x AS DOUBLE))").as("vec"))
     val exact = graft.ops.Similarity.bruteForceTopK(e, e, k = 1)
@@ -108,9 +127,19 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(agree >= 95, s"rotation must preserve nearly all top-1 neighbors, got $agree/100")
   }
 
+  test("l2Normalize: unit norms, zero vectors pass through") {
+    val df = Seq((1L, Array(3.0, 4.0)), (2L, Array(0.0, 0.0)))
+      .toDF("id", "vec")
+      .select(col("id"), Embeddings.l2Normalize(col("vec")).as("n"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(df(1L) == Seq(0.6, 0.8))
+    assert(df(2L) == Seq(0.0, 0.0), "zero vector must not divide by zero")
+  }
+
   test("projection scan is shuffle-free (components ride the closure)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val m = graft.ops.Embeddings.PcaModel(SparkEntry.FrozenPcaComponentsMicro, 64, 1000000L)
+    val m = graft.ops.Embeddings.PcaModel(SparkEntry.FrozenPcaComponentsMicro,
+      SparkEntry.FrozenPcaMeanMicro, 64, 1000000L)
     val plan = Embeddings.project(e, "vec_id", "embedding", m)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
