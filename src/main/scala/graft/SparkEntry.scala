@@ -123,13 +123,14 @@ object SparkEntry {
     * integer margin sign — value-for-value the scorer's arithmetic.
     */
   private def qualityOracleSql: String = {
-    val values = FrozenQualityWeightsMicro.zipWithIndex
+    val nBuckets = FrozenQualityWeightsMicro.length // literals derive from the
+    val values = FrozenQualityWeightsMicro.zipWithIndex // frozen array: no drift
       .map { case (w, b) => s"($b, ${w})" }.mkString(", ")
     s"""WITH tk AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
        |b AS (
        |  SELECT doc_id,
-       |    CAST((('0x' || substr(md5(g), 1, 8))::UBIGINT & 2147483647) % 64 AS INT) AS bucket,
+       |    CAST((('0x' || substr(md5(g), 1, 8))::UBIGINT & 2147483647) % $nBuckets AS INT) AS bucket,
        |    count(*) AS c
        |  FROM (SELECT doc_id, unnest(toks) AS g FROM tk) GROUP BY 1, 2),
        |w(bucket, wm) AS (VALUES $values),
@@ -211,11 +212,12 @@ object SparkEntry {
     } yield s"($k, ${i + 1}, ${w})").mkString(", ")
     val means = FrozenPcaMeanMicro.zipWithIndex
       .map { case (mu, i) => s"(${i + 1}, ${mu})" }.mkString(", ")
+    val dim = FrozenPcaMeanMicro.length // literals derive from the frozen arrays
     s"""WITH q AS (
        |  SELECT vec_id,
        |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS qe
-       |  FROM embeddings WHERE len(embedding) = 64),
-       |e AS (SELECT vec_id, unnest(range(1, 65)) AS i, unnest(qe) AS x FROM q),
+       |  FROM embeddings WHERE len(embedding) = $dim),
+       |e AS (SELECT vec_id, unnest(range(1, ${dim + 1})) AS i, unnest(qe) AS x FROM q),
        |p(k, i, w) AS (VALUES $values),
        |m(i, mu) AS (VALUES $means)
        |SELECT e.vec_id, CAST(p.k AS INT) AS comp_idx,

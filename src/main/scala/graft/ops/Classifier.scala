@@ -80,6 +80,11 @@ object Classifier {
       idCol: String, buckets: Int = 1 << 16, maxN: Int = 1, iters: Int = 10,
       maxTrainDocs: Int = 200000, portable: Boolean = false): QualityModel = {
     require(buckets >= 1 && maxN >= 1 && iters >= 1, "bad hyperparameters")
+    // size guard BEFORE collecting features: the bound exists to protect
+    // the driver, so it must run distributed (limit+count is one cheap
+    // early-out job), not after a potentially huge collect
+    require(labeled.limit(maxTrainDocs + 1).count() <= maxTrainDocs,
+      s"labeled set exceeds maxTrainDocs=$maxTrainDocs — sample it first")
     val rows = labeled.select(
       col(idCol).cast("long").as("__id"),
       col(labelCol).cast("long").as("__y"),
@@ -88,8 +93,6 @@ object Classifier {
       .filter(col("__nf") > 0)
       .collect()
     require(rows.nonEmpty, "no trainable documents (all empty?)")
-    require(rows.length <= maxTrainDocs,
-      s"labeled set has ${rows.length} docs > maxTrainDocs=$maxTrainDocs — sample it first")
     val data = rows.map { r =>
       val f = r.getSeq[org.apache.spark.sql.Row](2)
         .map(x => (x.getInt(0), x.getLong(1))).toArray

@@ -59,20 +59,26 @@ object Embeddings {
     */
   private[ops] def momentSums(vecs: DataFrame, vecCol: String, dim: Int,
       quantScale: Long): (Long, Array[Long], Array[Long]) = {
+    // three actions consume the quantized projection (count, first and
+    // second moments) — persist it so the upstream scan + quantization
+    // run once, not three times
     val q = vecs.select(quantized(vecCol, quantScale).as("q"))
       .filter(size(col("q")) === dim)
-    val n = q.count()
-    require(n > 0, s"no vectors of dimension $dim to train on")
-    val s1 = new Array[Long](dim)
-    q.select(posexplode(col("q")).as(Seq("i", "x")))
-      .groupBy("i").agg(sum("x").as("s")).collect()
-      .foreach(r => s1(r.getInt(0)) = r.getLong(1))
-    val s2 = new Array[Long](dim * dim)
-    q.select(posexplode(expr("flatten(transform(q, x -> transform(q, y -> x * y)))"))
-        .as(Seq("p", "v")))
-      .groupBy("p").agg(sum("v").as("s")).collect()
-      .foreach(r => s2(r.getInt(0)) = r.getLong(1))
-    (n, s1, s2)
+      .persist()
+    try {
+      val n = q.count()
+      require(n > 0, s"no vectors of dimension $dim to train on")
+      val s1 = new Array[Long](dim)
+      q.select(posexplode(col("q")).as(Seq("i", "x")))
+        .groupBy("i").agg(sum("x").as("s")).collect()
+        .foreach(r => s1(r.getInt(0)) = r.getLong(1))
+      val s2 = new Array[Long](dim * dim)
+      q.select(posexplode(expr("flatten(transform(q, x -> transform(q, y -> x * y)))"))
+          .as(Seq("p", "v")))
+        .groupBy("p").agg(sum("v").as("s")).collect()
+        .foreach(r => s2(r.getInt(0)) = r.getLong(1))
+      (n, s1, s2)
+    } finally q.unpersist()
   }
 
   /** Cyclic Jacobi eigensolver for a symmetric matrix: returns

@@ -77,12 +77,17 @@ object Tables {
     * files via `coalesce` (no shuffle: compaction moves bytes, it must not
     * redistribute them).
     *
-    * The swap is write-to-sibling-then-rename through the Hadoop FS API.
-    * On HDFS/local-FS renames are atomic per file; on object stores they
-    * are copies — run compaction in a maintenance window there, or use a
-    * transactional table format when concurrent readers must never see a
-    * partial swap (this operator is the plain-parquet analog of those
-    * engines' OPTIMIZE/rewrite step).
+    * The swap is a DIRECTORY rename pair through the Hadoop FS API —
+    * `leaf → .leaf__compact_old`, `.leaf__compact_tmp → leaf`, drop old —
+    * so no window loses or duplicates rows: a crash leaves either the
+    * originals in place (tmp incomplete — safe to delete), the leaf
+    * briefly absent with all data in the `__compact_old` dir (recovered
+    * by renaming it back on the next run), or the swap complete with a
+    * stale old dir (dropped on the next run). On HDFS/local-FS directory
+    * renames are atomic; on object stores they are copies — run in a
+    * maintenance window there, or use a transactional table format when
+    * concurrent readers must never observe the swap (this operator is
+    * the plain-parquet analog of those engines' OPTIMIZE/rewrite step).
     */
   def compactDir(spark: SparkSession, dir: String, targetBytes: Long,
       minFiles: Int = 2): CompactionStats = {
@@ -95,9 +100,33 @@ object Tables {
 
     def leaves(p: Path): Seq[Path] = {
       val entries = fs.listStatus(p).toSeq
+      // "_" = metadata (_SUCCESS dirs); "." = this operator's own
+      // tmp/old swap dirs — never data leaves
       val subdirs = entries.filter(_.isDirectory).map(_.getPath)
-        .filterNot(_.getName.startsWith("_")) // _SUCCESS-style metadata dirs
+        .filterNot(d => d.getName.startsWith("_") || d.getName.startsWith("."))
       if (subdirs.isEmpty) Seq(p) else subdirs.flatMap(leaves)
+    }
+
+    def tmpOf(leaf: Path) = new Path(leaf.getParent, s".${leaf.getName}__compact_tmp")
+    def oldOf(leaf: Path) = new Path(leaf.getParent, s".${leaf.getName}__compact_old")
+
+    // crash recovery BEFORE planning: a dangling __compact_old means a
+    // previous run died mid-swap — if the leaf is gone, the old dir IS the
+    // data (rename it back); if the leaf exists, the swap completed and
+    // the old copy is stale. A dangling tmp is always incomplete: the
+    // originals were never touched before the swap, so drop it. Old dirs
+    // can sit at any partition depth, so the scan is recursive.
+    def swapLeftovers(p: Path): Seq[Path] = {
+      val dirs = fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+      dirs.filter(_.getName.endsWith("__compact_old")) ++
+        dirs.filterNot(_.getName.startsWith(".")).flatMap(swapLeftovers)
+    }
+    swapLeftovers(root).foreach { old =>
+      val leaf = new Path(old.getParent,
+        old.getName.stripPrefix(".").stripSuffix("__compact_old"))
+      if (!fs.exists(leaf)) require(fs.rename(old, leaf),
+        s"crash recovery failed: cannot restore $old to $leaf")
+      else fs.delete(old, true)
     }
 
     var (nLeaves, before, after) = (0, 0, 0)
@@ -107,16 +136,13 @@ object Tables {
       val total = files.map(_.getLen).sum
       if (files.size >= minFiles && total / files.size < targetBytes / 2) {
         val nOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
-        val tmp = new Path(leaf.getParent, s".${leaf.getName}__compact_tmp")
-        fs.delete(tmp, true)
+        val (tmp, old) = (tmpOf(leaf), oldOf(leaf))
+        fs.delete(tmp, true) // stale tmp = incomplete previous write
         spark.read.parquet(leaf.toString).coalesce(nOut)
           .write.parquet(tmp.toString)
-        // swap: drop the originals, move the compacted files in, drop tmp
-        files.foreach(st => fs.delete(st.getPath, false))
-        fs.listStatus(tmp).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .foreach(st => fs.rename(st.getPath, new Path(leaf, st.getPath.getName)))
-        fs.delete(tmp, true)
+        require(fs.rename(leaf, old), s"compaction swap failed renaming $leaf aside")
+        require(fs.rename(tmp, leaf), s"compaction swap failed installing $tmp")
+        fs.delete(old, true)
         val now = fs.listStatus(leaf)
           .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         nLeaves += 1; before += files.size; after += now

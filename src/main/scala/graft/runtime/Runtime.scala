@@ -420,6 +420,24 @@ final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
     override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
       val sid = trackedRuns.remove(event.runId)
       if (sid != null && event.exception.isDefined) handleQueryFailure(sid)
+      // the control channel gets the same self-heal as the streams it
+      // upgrades: a transient FS error must not silently end push-mode
+      // sync while the operator believes it is active
+      if (event.exception.isDefined) adminWatch.foreach { q =>
+        if (q.runId == event.runId) {
+          adminWatch = None
+          val trig = adminWatchTriggerMs
+          notifier.notify("WARN", "geist-adminevents",
+            s"admin watch failed (${event.exception.get.take(120)}); restarting in ${config.streamRetryBackoffBaseMs} ms")
+          restartScheduler.schedule(new Runnable {
+            override def run(): Unit =
+              try { watchRegistry(trig); () }
+              catch { case e: Exception =>
+                notifier.notify("ERROR", "geist-adminevents",
+                  s"admin watch restart failed: ${e.getMessage}") }
+          }, config.streamRetryBackoffBaseMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+        }
+      }
     }
   }
   spark.streams.addListener(healListener)
@@ -598,10 +616,14 @@ final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
     * Loopback appends from THIS driver also fire; sync() is idempotent
     * (version-gated per spec), so a self-triggered pass is a no-op.
     * The returned query is owned by the supervisor — shutdownAll stops
-    * it; stop it directly to fall back to poll-mode sync().
+    * it; stop it directly to fall back to poll-mode sync(). A failed
+    * watch self-heals with the same backoff as the streams it upgrades
+    * (the terminate listener restarts it; a clean stop does not).
     */
   @volatile private var adminWatch: Option[StreamingQuery] = None
+  @volatile private var adminWatchTriggerMs: Long = 2000
   def watchRegistry(triggerMs: Long = 2000): StreamingQuery = deployLock.synchronized {
+    adminWatchTriggerMs = triggerMs
     adminWatch.filter(_.isActive).getOrElse {
       val path = config.specTablePath.getOrElse(
         throw new IllegalStateException("watchRegistry requires specTablePath"))

@@ -282,6 +282,14 @@ object Windows {
   def streamingAsof(left: Dataset[AsofLeft], right: Dataset[AsofRight],
       toleranceMs: Option[Long] = None,
       watermark: String = "10 minutes"): Dataset[AsofOut] = {
+    // the union formulation requires both sides in the same mode (Spark
+    // forbids streaming∪batch). For a streaming left against a STATIC
+    // reference, snapshot-join the static side (stream-static join on
+    // key + latest-<=-t aggregation has no engine shape) or use the
+    // batch asofJoin per micro-batch in foreachBatch.
+    require(left.isStreaming == right.isStreaming,
+      "streamingAsof needs both sides streaming or both batch; for stream-vs-static, " +
+        "apply Temporal.asofJoin inside foreachBatch")
     implicit val envEnc = Encoders.product[AsofEnv]
     implicit val stateEnc = Encoders.product[AsofState]
     implicit val outEnc = Encoders.product[AsofOut]

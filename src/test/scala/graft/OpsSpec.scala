@@ -615,6 +615,26 @@ class OpsSpec extends AnyFunSuite {
     assert(again == Tables.CompactionStats(0, 0, 0), s"must be idempotent: $again")
   }
 
+  test("compactDir crash recovery: an orphaned __compact_old leaf is restored, stale dirs cleaned") {
+    import graft.ops.Tables
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-crash").toString + "/tbl"
+    spark.range(0, 1000).toDF("id").withColumn("p", (col("id") % 2).cast("int"))
+      .repartition(8).write.partitionBy("p").parquet(out)
+    // simulate a crash between the two swap renames: leaf p=0 moved aside,
+    // replacement never installed
+    val p0 = new java.io.File(s"$out/p=0")
+    val old = new java.io.File(s"$out/.p=0__compact_old")
+    assert(p0.renameTo(old), "fixture: move leaf aside")
+    // and a stale incomplete tmp next to p=1
+    new java.io.File(s"$out/.p=1__compact_tmp").mkdirs()
+    Tables.compactDir(spark, out, targetBytes = 512L * 1024 * 1024)
+    assert(p0.exists && !old.exists, "orphaned old dir must be restored as the leaf")
+    val back = spark.read.parquet(out)
+    assert(back.count() == 1000 &&
+      back.agg(sum(col("id"))).head().getLong(0) == 1000L * 999 / 2,
+      "recovery must lose no rows")
+  }
+
   test("multimodal: stub decode is deterministic, batch plumbing preserves ids") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
     val media = Multimodal.fromDocuments(docs, "doc_id", "text", "text/plain")
