@@ -676,6 +676,29 @@ object Curation {
     }
   }
 
+  /** Temperature-smoothed target fractions (the multilingual-sampling
+    * convention, e.g. multilingual BERT / XLM-R: p_s ∝ w_s^alpha): derive
+    * the `targetFractions` input of [[mixRates]] from the corpus's own
+    * per-stratum weights instead of hand-writing them. `alpha = 1`
+    * reproduces the natural distribution, `alpha = 0` is uniform, and the
+    * usual 0.2–0.7 range up-samples tail strata without letting the head
+    * dominate. Driver-side arithmetic over one aggregation row per
+    * stratum; compose as
+    * `mixRates(df, s, w, temperatureFractions(df, s, w, alpha))`.
+    */
+  def temperatureFractions(df: DataFrame, stratumCol: String, weightCol: String,
+      alpha: Double): Map[String, Double] = {
+    require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
+    val w = df.groupBy(col(stratumCol)).agg(sum(col(weightCol)).as("w")).collect()
+      .map(r => r.getString(0) -> r.getAs[Number]("w").doubleValue())
+      .filter(_._2 > 0)
+    require(w.nonEmpty, "no strata with positive weight")
+    val powed = w.map { case (s, v) => s -> math.pow(v, alpha) }
+    val z = powed.map(_._2).sum
+    // deterministic: fix the iteration order before the normalizing sums
+    powed.sortBy(_._1).map { case (s, v) => s -> v / z }.toMap
+  }
+
   /** Deterministic per-stratum quota: the `quota` rows with the smallest
     * portable hash per stratum (id tie-break) — an exact, reproducible
     * "take N per domain" for training-mix recipes. Exact top-N-per-group

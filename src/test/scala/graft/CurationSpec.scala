@@ -151,6 +151,28 @@ class CurationSpec extends AnyFunSuite {
     assert(missing("video") == 0 && missing("web") == 0)
   }
 
+  test("temperatureFractions: alpha=1 natural, alpha=0 uniform, tails up-sample in between") {
+    val df = Seq(
+      ("web", 8000L), ("web", 2000L), // 10000
+      ("code", 2000L), ("code", 500L), // 2500
+      ("books", 500L)) // 500
+      .toDF("src", "n_tok")
+    val natural = Curation.temperatureFractions(df, "src", "n_tok", alpha = 1.0)
+    assert(math.abs(natural("web") - 10000.0 / 13000) < 1e-12)
+    assert(math.abs(natural("books") - 500.0 / 13000) < 1e-12)
+    val uniform = Curation.temperatureFractions(df, "src", "n_tok", alpha = 0.0)
+    assert(uniform.values.forall(v => math.abs(v - 1.0 / 3) < 1e-12))
+    val smoothed = Curation.temperatureFractions(df, "src", "n_tok", alpha = 0.5)
+    assert(smoothed("books") > natural("books") && smoothed("books") < uniform("books"),
+      "tail stratum must sit between natural and uniform")
+    assert(smoothed("web") < natural("web") && smoothed("web") > uniform("web"),
+      "head stratum must shrink toward uniform")
+    // composes directly with mixRates (fractions are a valid target)
+    val rates = Curation.mixRates(df, "src", "n_tok", smoothed)
+    assert(rates.values.forall(r => r >= 0 && r <= 1000) && rates.values.max == 1000,
+      "the binding stratum must be fully consumed")
+  }
+
   test("curation stats degenerate text follows the SQL split convention") {
     // split('') = [''] in Spark/DuckDB — one empty token, zero chars; the
     // expression mirrors that exactly so the oracle never diverges
