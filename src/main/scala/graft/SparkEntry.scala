@@ -1323,6 +1323,17 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 250), index, "text", "doc_id",
         maxBucket = Int.MaxValue)
     }),
+    "ns_incremental_simhash" -> ((s, dir) => {
+      // SimHash analog of ns_incremental_neardup: batch vs prebuilt
+      // simhash index, portable hashes + cap disabled so DuckDB replays
+      // fingerprints, chunk banding, and hamming exactly.
+      val docs = t(s, dir, "documents")
+      val index = graft.ops.Dedup.simhashIndex(
+        docs.filter(col("doc_id") < 250), "text", "doc_id", portable = true)
+      graft.ops.Dedup.incrementalSimhashCandidates(
+        docs.filter(col("doc_id") >= 250), index, "text", "doc_id",
+        maxDist = 10, maxBucket = Int.MaxValue)
+    }),
     "ns_hybrid" -> ((s, dir) => {
       // Hybrid retrieval gate: RRF-fuse two rankings that are BOTH exactly
       // replayable — the integer tf/coverage keyword tier and the
@@ -1775,6 +1786,20 @@ object SparkEntry {
         |SELECT a.doc_id AS idA, b.doc_id AS idB,
         |       CAST(len(list_filter(range(1, 65), i -> a.bits[i] != b.bits[i])) AS INT) AS hamming
         |FROM bt a JOIN bt b ON a.doc_id < b.doc_id
+        |WHERE len(list_filter(range(1, 65), i -> a.bits[i] != b.bits[i])) <= 10
+        |  AND len(list_filter(range(0, 4), c ->
+        |        len(list_filter(range(1, 17), r -> a.bits[c*16 + r] != b.bits[c*16 + r])) = 0)) > 0""".stripMargin,
+    "ns_incremental_simhash" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |hh AS (SELECT doc_id, list_transform(toks, t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT) AS hs FROM tk),
+        |bt AS (
+        |  SELECT doc_id, list_transform(range(0, 64), i ->
+        |    list_sum(list_transform(hs, h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0) AS bits
+        |  FROM hh
+        |)
+        |SELECT b.doc_id AS batch_id, a.doc_id AS corpus_id,
+        |       CAST(len(list_filter(range(1, 65), i -> a.bits[i] != b.bits[i])) AS INT) AS hamming
+        |FROM bt a JOIN bt b ON a.doc_id < 250 AND b.doc_id >= 250
         |WHERE len(list_filter(range(1, 65), i -> a.bits[i] != b.bits[i])) <= 10
         |  AND len(list_filter(range(0, 4), c ->
         |        len(list_filter(range(1, 17), r -> a.bits[c*16 + r] != b.bits[c*16 + r])) = 0)) > 0""".stripMargin,

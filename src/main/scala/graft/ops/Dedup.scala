@@ -217,6 +217,51 @@ object Dedup {
       .dropDuplicates("batch_id", "corpus_id")
   }
 
+  /** Persistable SimHash index — the SimHash analog of [[MinhashIndex]],
+    * completing the incremental family (exact + minhash + simhash). One
+    * 8-byte fingerprint + 4 banded 16-bit chunk keys per document;
+    * parameters (the hash family) ride with the entries so a delta can
+    * never hash with a mismatched family.
+    */
+  final case class SimhashIndex(entries: DataFrame, portable: Boolean)
+
+  /** Build a [[SimhashIndex]] over the corpus: entries
+    * `(corpus_id, simhash, band, chunk)`, 4 rows per doc. Persist
+    * `entries` bucketed on (band, chunk) for co-located delta joins.
+    */
+  private def simhashBandCols(fp: Column): Column =
+    transform(sequence(lit(0), lit(3)),
+      b => call_function("shiftright", fp, (lit(16) * b).cast("int")).bitwiseAND(lit(0xffffL)))
+
+  def simhashIndex(corpus: DataFrame, textCol: String, idCol: String,
+      portable: Boolean = false): SimhashIndex = {
+    val entries = simhash(corpus, textCol, idCol, portable)
+      .select(col("id").as("corpus_id"), col("simhash"),
+        posexplode(simhashBandCols(col("simhash"))).as(Seq("band", "chunk")))
+    SimhashIndex(entries, portable)
+  }
+
+  /** Near-dup candidates of a new batch against a prebuilt
+    * [[SimhashIndex]] — same chunk-equality banding and Hamming filter as
+    * [[simhashCandidates]] (shared band expression), but the join partner
+    * is the index, so cost scales with delta size × bucket hit rate,
+    * never corpus size. Output: (batch_id, corpus_id, hamming), distinct.
+    */
+  def incrementalSimhashCandidates(batch: DataFrame, index: SimhashIndex,
+      textCol: String, idCol: String, maxDist: Int = 3,
+      maxBucket: Int = 64): DataFrame = {
+    val b = simhash(batch, textCol, idCol, index.portable)
+      .select(col("id").as("batch_id"), col("simhash").as("fpB"),
+        posexplode(simhashBandCols(col("simhash"))).as(Seq("band", "chunk")))
+    val idx = capBuckets(index.entries, Seq("band", "chunk"), maxBucket)
+      .select(col("band"), col("chunk"), col("corpus_id"), col("simhash").as("fpA"))
+    b.join(idx, Seq("band", "chunk"))
+      .select(col("batch_id"), col("corpus_id"),
+        bit_count(col("fpB").bitwiseXOR(col("fpA"))).as("hamming"))
+      .dropDuplicates("batch_id", "corpus_id")
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** Exact n-gram Jaccard for a pair frame (verification stage after LSH,
     * or bounded ad-hoc comparison). Returns integer |∩| and |∪| so results
     * are exactly comparable across engines.
@@ -594,8 +639,7 @@ object Dedup {
       maxBucket: Int = 64, portable: Boolean = false): DataFrame = {
     val fp = simhash(df, textCol, idCol, portable)
     val banded0 = fp.select(col("id"), col("simhash"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("simhash"), (lit(16) * b).cast("int")).bitwiseAND(lit(0xffffL)))).as(Seq("band", "chunk")))
+      posexplode(simhashBandCols(col("simhash"))).as(Seq("band", "chunk")))
     val banded = capBuckets(banded0, Seq("band", "chunk"), maxBucket)
     val a = banded.select(col("band"), col("chunk"), col("id").as("idA"), col("simhash").as("fpA"))
     val b = banded.select(col("band"), col("chunk"), col("id").as("idB"), col("simhash").as("fpB"))

@@ -589,6 +589,28 @@ class OpsSpec extends AnyFunSuite {
     assert(firstShard.sorted.toSeq == firstShard.toSeq, "shards must be internally ordered")
   }
 
+  test("incremental simhash candidates equal the full generator's cross pairs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val idx = Dedup.simhashIndex(corpus, "text", "doc_id", portable = true)
+    val inc = Dedup.incrementalSimhashCandidates(batch, idx, "text", "doc_id",
+        maxDist = 10, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // the full generator over corpus ∪ batch, restricted to cross pairs and
+    // reoriented (batch, corpus), must agree exactly — shared band exprs
+    val full = Dedup.simhashCandidates(docs, "text", "doc_id",
+        maxDist = 10, maxBucket = Int.MaxValue, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .flatMap { case (a, b, h) =>
+        if (a % 2 == 0 && b % 2 == 1) Some((b, a, h))
+        else if (a % 2 == 1 && b % 2 == 0) Some((a, b, h))
+        else None
+      }.toSet
+    assert(inc.nonEmpty && inc == full,
+      s"incremental must match the full generator: ${inc.size} vs ${full.size}")
+  }
+
   test("compactDir: merges small files per partition leaf, lossless, idempotent") {
     import graft.ops.Tables
     val out = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/tbl"
