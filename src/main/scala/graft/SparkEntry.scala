@@ -1334,6 +1334,26 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 250), index, "text", "doc_id",
         maxDist = 10, maxBucket = Int.MaxValue)
     }),
+    "ns_corpus_overlap" -> ((s, dir) => {
+      // Dataset-overlap audit: corpus-level MinHash signatures of two
+      // document snapshots (portable hash family), joined per hash
+      // component. The oracle recomputes every per-doc signature, takes
+      // the same element-wise minima per corpus, and replays the match
+      // flags — pinning signature, merge, and compare end to end.
+      val docs = t(s, dir, "documents")
+      graft.ops.Dedup.corpusOverlap(
+        graft.ops.Dedup.corpusSignature(
+          docs.filter(col("doc_id") < 250), "text", portable = true),
+        graft.ops.Dedup.corpusSignature(
+          docs.filter(col("doc_id") >= 250), "text", portable = true))
+    }),
+    "ns_top_fraction" -> ((s, dir) => {
+      // Per-language top-300‰ quality keep (exact tier, n_chars as the
+      // integer score): pure integer rank predicate, so DuckDB replays
+      // the kept set row-for-row including the doc_id tie-break.
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      graft.ops.Curation.keepTopFraction(docs, "n_chars", Seq("lang"), 300, "doc_id")
+    }),
     "ns_hybrid" -> ((s, dir) => {
       // Hybrid retrieval gate: RRF-fuse two rankings that are BOTH exactly
       // replayable — the integer tf/coverage keyword tier and the
@@ -1803,6 +1823,25 @@ object SparkEntry {
         |WHERE len(list_filter(range(1, 65), i -> a.bits[i] != b.bits[i])) <= 10
         |  AND len(list_filter(range(0, 4), c ->
         |        len(list_filter(range(1, 17), r -> a.bits[c*16 + r] != b.bits[c*16 + r])) = 0)) > 0""".stripMargin,
+    "ns_corpus_overlap" ->
+      s"""WITH $minhashSigCtes, ex AS (
+         |  SELECT doc_id, CAST(t.i AS INT) AS hash_idx, sig[t.i + 1] AS v
+         |  FROM sg CROSS JOIN range(0, 64) AS t(i)
+         |), ma AS (
+         |  SELECT hash_idx, CAST(min(v) AS BIGINT) AS min_a FROM ex WHERE doc_id < 250 GROUP BY 1
+         |), mb AS (
+         |  SELECT hash_idx, CAST(min(v) AS BIGINT) AS min_b FROM ex WHERE doc_id >= 250 GROUP BY 1
+         |)
+         |SELECT ma.hash_idx, ma.min_a, mb.min_b,
+         |       CAST(CASE WHEN ma.min_a = mb.min_b THEN 1 ELSE 0 END AS INT) AS is_match
+         |FROM ma JOIN mb USING (hash_idx)""".stripMargin,
+    "ns_top_fraction" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |WHERE rk * 1000 <= n * 300""".stripMargin,
     "ns_fingerprint" ->
       """WITH h AS (
         |  SELECT doc_id,

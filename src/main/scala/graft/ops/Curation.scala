@@ -716,4 +716,56 @@ object Curation {
       .where(col(rk) <= quota)
       .drop(rk)
   }
+
+  /** Per-group top-fraction keep, exact tier: retain the best
+    * `keepPermille`‰ of each group by `scoreCol` (descending, `idCol`
+    * tie-break) — the CCNet/quality-threshold shape "keep the top X% per
+    * language", but per-group and deterministic. A row survives iff
+    * `rank * 1000 <= group_size * keepPermille` (pure integer predicate:
+    * floor semantics, exactly replayable by any engine; groups smaller
+    * than 1000/keepPermille keep nothing). One exchange: the rank and the
+    * group count share the same hash partitioning. At corpus scale prefer
+    * [[keepTopFractionApprox]], which never sorts the corpus.
+    */
+  def keepTopFraction(df: DataFrame, scoreCol: String, groupCols: Seq[String],
+      keepPermille: Int, idCol: String): DataFrame = {
+    require(keepPermille >= 0 && keepPermille <= 1000,
+      "keepPermille must be in [0, 1000]")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val part = groupCols.map(col)
+    val ranked = Window.partitionBy(part: _*)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val whole = Window.partitionBy(part: _*)
+    val rk = s"__graft_topfrac_rk_${java.util.UUID.randomUUID().toString.take(8)}"
+    val n = s"__graft_topfrac_n_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.withColumn(rk, row_number().over(ranked))
+      .withColumn(n, count(lit(1)).over(whole))
+      .where(col(rk) * 1000 <= col(n) * keepPermille)
+      .drop(rk, n)
+  }
+
+  /** Per-group top-fraction keep, sketch tier: per-group score threshold
+    * from a mergeable approx-percentile sketch (partial-agg, one tiny row
+    * per group), broadcast back, rows kept by a scan-stage
+    * `score >= threshold` compare. No window, no corpus sort — the 100 TB
+    * path. Boundary rows within the sketch's rank error of the true
+    * threshold may differ from [[keepTopFraction]] (and score ties all
+    * pass, where the exact tier cuts by id); the containment law relating
+    * the tiers at ±`accuracy` rank error is test-gated.
+    */
+  def keepTopFractionApprox(df: DataFrame, scoreCol: String,
+      groupCols: Seq[String], keepPermille: Int,
+      accuracy: Int = 10000): DataFrame = {
+    require(keepPermille >= 0 && keepPermille <= 1000,
+      "keepPermille must be in [0, 1000]")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    if (keepPermille == 0) return df.where(lit(false))
+    val thrName = s"__graft_topfrac_thr_${java.util.UUID.randomUUID().toString.take(8)}"
+    val thresholds = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile_approx(col(scoreCol), lit(1.0 - keepPermille / 1000.0),
+        lit(accuracy)).as(thrName))
+    df.join(broadcast(thresholds), groupCols)
+      .where(col(scoreCol) >= col(thrName))
+      .select(df.columns.map(col): _*) // the join key-first reorder is an artifact
+  }
 }

@@ -262,6 +262,46 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Corpus-level MinHash signature: the element-wise minimum of every
+    * document's signature, i.e. the MinHash signature of the UNION of all
+    * documents' shingle sets (min over a union = min of per-set minima).
+    * One narrow scan + a 64-row partial aggregation — the whole corpus
+    * reduces to `numHashes` longs, so two 100 TB snapshots can be compared
+    * without ever joining them. Signatures are mergeable: the signature of
+    * `A ∪ B` is the element-wise min of the signatures of `A` and `B`
+    * (law-tested), so per-partition/per-day signatures can be kept and
+    * folded. Output: (hash_idx: 0..numHashes-1, minv).
+    */
+  def corpusSignature(df: DataFrame, textCol: String, shingleLen: Int = 3,
+      numHashes: Int = 64, portable: Boolean = false): DataFrame =
+    df.select(minhashSigAndBuckets(col(textCol), shingleLen, numHashes,
+        bands = 1, portable).getField("sig").as("sig"))
+      .select(posexplode(col("sig")).as(Seq("hash_idx", "minv")))
+      .groupBy("hash_idx").agg(min("minv").as("minv"))
+
+  /** Estimated Jaccard overlap between two corpora from their
+    * [[corpusSignature]]s: the fraction of agreeing components estimates
+    * J(A, B) with standard error ~ 1/sqrt(numHashes). Join cardinality is
+    * numHashes rows — a constant — so this composes with signatures
+    * persisted per snapshot. Output: one row per hash component
+    * (hash_idx, min_a, min_b, is_match); aggregate with
+    * [[corpusOverlapEstimate]] for the scalar estimate.
+    */
+  def corpusOverlap(sigA: DataFrame, sigB: DataFrame): DataFrame =
+    sigA.select(col("hash_idx"), col("minv").as("min_a"))
+      .join(sigB.select(col("hash_idx"), col("minv").as("min_b")), Seq("hash_idx"))
+      .select(col("hash_idx"), col("min_a"), col("min_b"),
+        when(col("min_a") === col("min_b"), 1).otherwise(0).as("is_match"))
+
+  /** Scalar overlap estimate from [[corpusOverlap]] rows — integer
+    * per-mille so the value is engine-portable. */
+  def corpusOverlapEstimate(overlap: DataFrame): DataFrame =
+    overlap.agg(
+      count(lit(1)).as("num_hashes"),
+      sum(col("is_match")).as("matches"),
+      call_function("div", lit(1000L) * sum(col("is_match")), count(lit(1)))
+        .as("est_jaccard_permille"))
+
   /** Exact n-gram Jaccard for a pair frame (verification stage after LSH,
     * or bounded ad-hoc comparison). Returns integer |∩| and |∪| so results
     * are exactly comparable across engines.

@@ -611,6 +611,76 @@ class OpsSpec extends AnyFunSuite {
       s"incremental must match the full generator: ${inc.size} vs ${full.size}")
   }
 
+  test("corpus signature is mergeable and overlap estimates corpus jaccard") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(300)
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    // mergeability law: sig(A ∪ B) = elementwise min of sig(A), sig(B)
+    val sigU = Dedup.corpusSignature(docs, "text", portable = true)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sigA = Dedup.corpusSignature(a, "text", portable = true)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sigB = Dedup.corpusSignature(b, "text", portable = true)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sigU.keySet == (0 until 64).toSet)
+    assert(sigU == sigU.keySet.map(i => i -> math.min(sigA(i), sigB(i))).toMap,
+      "union signature must be the elementwise min of the part signatures")
+    // estimate tracks the exact corpus-level shingle jaccard
+    def gramSet(d: org.apache.spark.sql.DataFrame) =
+      d.select(explode(Dedup.shingles(col("text"), 3)).as("g"))
+        .distinct().collect().map(_.getString(0)).toSet
+    val (ga, gb) = (gramSet(a), gramSet(b))
+    val exact = ga.intersect(gb).size.toDouble / ga.union(gb).size
+    val est = Dedup.corpusOverlapEstimate(
+        Dedup.corpusOverlap(
+          Dedup.corpusSignature(a, "text", portable = true),
+          Dedup.corpusSignature(b, "text", portable = true)))
+      .collect().head
+    assert(est.getLong(0) == 64L)
+    val estJ = est.getLong(2) / 1000.0
+    assert(math.abs(estJ - exact) <= 0.2,
+      s"minhash estimate $estJ must track exact corpus jaccard $exact (64 hashes)")
+  }
+
+  test("keepTopFraction: exact per-group floor semantics, deterministic ties") {
+    import graft.ops.Curation
+    val df = Seq(
+      // group g1: 10 rows, scores 1..10 → keep 200‰ = top 2 (10, 9)
+      (1L to 10L).map(i => (i, "g1", i * 10L)),
+      // group g2: 4 rows → floor(4*200/1000) = 0 kept
+      (11L to 14L).map(i => (i, "g2", 100L)),
+      // group g3: 5 rows all tied → keep floor(5*200/1000)=1, lowest id wins
+      (21L to 25L).map(i => (i, "g3", 7L))
+    ).flatten.toDF("id", "grp", "score")
+    val kept = Curation.keepTopFraction(df, "score", Seq("grp"), 200, "id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept == Set((10L, "g1"), (9L, "g1"), (21L, "g3")))
+    // keepPermille = 1000 keeps everything
+    assert(Curation.keepTopFraction(df, "score", Seq("grp"), 1000, "id").count() == 19)
+  }
+
+  test("keepTopFractionApprox: no window, contains the exact tier's rows") {
+    import graft.ops.Curation
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val exact = Curation.keepTopFraction(docs, "n_chars", Seq("lang"), 300, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val approx = Curation.keepTopFractionApprox(docs, "n_chars", Seq("lang"), 300,
+      accuracy = 100000)
+    val approxIds = approx.collect().map(_.getLong(0)).toSet
+    // high-accuracy sketch: every exactly-kept row clears the threshold;
+    // only boundary/tie rows may be added
+    assert(exact.subsetOf(approxIds),
+      s"approx tier must contain the exact tier (missing ${exact.diff(approxIds).take(5)})")
+    val nGroups = docs.select("lang").distinct().count()
+    assert(approxIds.size <= exact.size + 2 * nGroups,
+      "approx tier may only add boundary rows per group")
+    // the 100 TB property: no WindowExec, broadcast threshold join
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "sketch tier must not sort the corpus")
+    assert(plan.contains("BroadcastHashJoin"), "threshold join must broadcast")
+  }
+
   test("compactDir: merges small files per partition leaf, lossless, idempotent") {
     import graft.ops.Tables
     val out = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/tbl"
