@@ -1334,6 +1334,19 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 250), index, "text", "doc_id",
         maxDist = 10, maxBucket = Int.MaxValue)
     }),
+    "ns_snapshot_diff" -> ((s, dir) => {
+      // Dataset-versioning audit: two snapshots derived deterministically
+      // from the documents table (old = id < 400; new = id >= 100 with
+      // every 7th doc's text revised), diffed by md5 digest. The oracle
+      // replays the digests and the full-outer classification.
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("doc_id") < 400).select(col("doc_id"), col("text"))
+      val nw = docs.filter(col("doc_id") >= 100).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      graft.ops.Tables.snapshotDiff(old, nw, "doc_id", "text",
+        includeUnchanged = true)
+    }),
     "ns_corpus_overlap" -> ((s, dir) => {
       // Dataset-overlap audit: corpus-level MinHash signatures of two
       // document snapshots (portable hash family), joined per hash
@@ -1823,6 +1836,20 @@ object SparkEntry {
         |WHERE len(list_filter(range(1, 65), i -> a.bits[i] != b.bits[i])) <= 10
         |  AND len(list_filter(range(0, 4), c ->
         |        len(list_filter(range(1, 17), r -> a.bits[c*16 + r] != b.bits[c*16 + r])) = 0)) > 0""".stripMargin,
+    "ns_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, md5(text) AS old_digest FROM documents WHERE doc_id < 400
+        |), nw AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN md5(text || ' v2') ELSE md5(text) END AS new_digest
+        |  FROM documents WHERE doc_id >= 100
+        |)
+        |SELECT coalesce(old.doc_id, nw.doc_id) AS doc_id,
+        |       CASE WHEN old_digest IS NULL THEN 'added'
+        |            WHEN new_digest IS NULL THEN 'removed'
+        |            WHEN old_digest = new_digest THEN 'unchanged'
+        |            ELSE 'changed' END AS status,
+        |       old_digest, new_digest
+        |FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id""".stripMargin,
     "ns_corpus_overlap" ->
       s"""WITH $minhashSigCtes, ex AS (
          |  SELECT doc_id, CAST(t.i AS INT) AS hash_idx, sig[t.i + 1] AS v

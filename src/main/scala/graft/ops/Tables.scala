@@ -151,6 +151,31 @@ object Tables {
     CompactionStats(nLeaves, before, after)
   }
 
+  /** Snapshot diff for dataset versioning: classify every id across two
+    * corpus versions as added / removed / changed / unchanged by content
+    * digest. Digests are projected BEFORE the join, so the exchange
+    * carries (id, 32-byte digest) — never document text — and the join
+    * key is the id, so two snapshots persisted with [[writeBucketed]] on
+    * the id diff with zero exchanges. `unchanged` rows (the overwhelming
+    * majority between adjacent 100 TB snapshots) are dropped unless
+    * `includeUnchanged` — the output is the delta, sized like the change
+    * set. md5 keeps the digest engine-portable (exactly replayable in
+    * SQL).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      contentCol: String, includeUnchanged: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = oldDf.select(col(idCol), md5(col(contentCol)).as("old_digest"))
+    val n = newDf.select(col(idCol), md5(col(contentCol)).as("new_digest"))
+    val status = when(col("old_digest").isNull, "added")
+      .when(col("new_digest").isNull, "removed")
+      .when(col("old_digest") === col("new_digest"), "unchanged")
+      .otherwise("changed")
+    val out = o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol), status.as("status"), col("old_digest"), col("new_digest"))
+    if (includeUnchanged) out else out.filter(col("status") =!= "unchanged")
+  }
+
   /** Z-order (Morton) interleave of `cols`, each clamped to its low `bits`
     * bits: bit i of column j lands at output bit `i * nCols + j`, so rows
     * close in EVERY dimension get close z-values. Sorting/range-sharding

@@ -681,6 +681,22 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "threshold join must broadcast")
   }
 
+  test("snapshotDiff classifies added/removed/changed and drops unchanged by default") {
+    import graft.ops.Tables
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "content")
+    val nw = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "content")
+    val delta = Tables.snapshotDiff(old, nw, "id", "content")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(delta == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    val full = Tables.snapshotDiff(old, nw, "id", "content", includeUnchanged = true)
+    assert(full.count() == 4)
+    assert(full.filter(col("status") === "unchanged").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    // digests ride the output so downstream audits need no re-read
+    val changed = full.filter(col("status") === "changed").collect().head
+    assert(changed.getString(2) != changed.getString(3))
+  }
+
   test("compactDir: merges small files per partition leaf, lossless, idempotent") {
     import graft.ops.Tables
     val out = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/tbl"

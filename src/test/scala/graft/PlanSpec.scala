@@ -456,6 +456,38 @@ class PlanSpec extends AnyFunSuite {
       s"one key exchange for all steps expected:\n${plan.take(3000)}")
   }
 
+  test("snapshotDiff exchanges carry (id, digest) only — document text never shuffles") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // force the at-scale SMJ shape (toy-scale sides would broadcast:
+    // BNLJ supports full outer)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = SparkEntry.t(spark, sf, "documents")
+      val diff = graft.ops.Tables.snapshotDiff(
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 100),
+        "doc_id", "text")
+      // AQE wraps the plan in a leaf AdaptiveSparkPlanExec — unwrap to see
+      // the join (at sf0.001 the one-file scan is a single partition, so
+      // no exchange materializes; the load-bearing property is that the
+      // join INPUTS are already (id, digest)-slim, which also bounds
+      // whatever exchange EnsureRequirements inserts at real scale)
+      val root = diff.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      val joinInputs = root.collect {
+        case j: SortMergeJoinExec => j.children.map(_.output.map(_.name))
+      }.flatten
+      assert(joinInputs.nonEmpty,
+        s"full-outer digest SMJ expected:\n${root.toString.take(2500)}")
+      assert(joinInputs.flatten.forall(n => n == "doc_id" || n.endsWith("_digest")),
+        s"only (id, digest) may enter the join (and thus any exchange), got $joinInputs")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("range join plans as a hash-joinable equi-join on buckets, not a nested loop") {
     val plan = planOf(SparkEntry.queries("ns_range_join")(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
