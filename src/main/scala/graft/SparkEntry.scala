@@ -1334,6 +1334,22 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 250), index, "text", "doc_id",
         maxDist = 10, maxBucket = Int.MaxValue)
     }),
+    "ns_dataset_card" -> ((s, dir) => {
+      // One-call per-language dataset card (exact tier): profile counts +
+      // exact dup rate + Gopher-quality keep rate (same thresholds as the
+      // ns_quality_filter gate — the oracle reuses that SQL verbatim via
+      // qualityFilterSql, so the two gates cannot drift).
+      val docs = t(s, dir, "documents")
+      val keep = graft.ops.Curation.qualityFilter(docs, "text", "doc_id",
+        minWords = 30, maxWords = 10000, minMeanWordLen = 4.0, maxMeanWordLen = 10.0,
+        minStopwordHits = 2, minAlphaWordFrac = 0.9,
+        maxDupLineFrac = 0.05, maxDupLineCharFrac = 0.05,
+        maxDup2gramFrac = 0.08, maxDup3gramFrac = 0.04, lineLen = 2)
+        .select(col("doc_id"), col("keep"))
+      graft.ops.Profile.datasetCard(
+        docs.select("doc_id", "lang", "text").join(keep, "doc_id"),
+        "text", "lang", keepCol = Some("keep"))
+    }),
     "ns_snapshot_diff" -> ((s, dir) => {
       // Dataset-versioning audit: two snapshots derived deterministically
       // from the documents table (old = id < 400; new = id >= 100 with
@@ -1447,6 +1463,56 @@ object SparkEntry {
     * clustering) so the hash family can never silently diverge between
     * them.
     */
+  /** Full Gopher-quality replay (per-doc signals + keep decision) with the
+    * ns_quality_filter gate thresholds — shared verbatim by
+    * ns_quality_filter and the per-language keep-rate leg of
+    * ns_dataset_card, so the two oracles can never drift.
+    */
+  private val qualityFilterSql: String =
+    """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+      |st AS (
+      |  SELECT doc_id, len(toks) AS n_words,
+      |    list_sum(list_transform(toks, t -> length(t))) AS sum_chars,
+      |    len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) AS stop_hits,
+      |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+      |    list_transform(range(1, (len(toks) + 1) // 2 + 1),
+      |      i -> array_to_string(toks[(i-1)*2+1 : (i-1)*2+2], ' ')) AS lines,
+      |    CASE WHEN len(toks) < 2 THEN [] ELSE list_transform(range(1, len(toks)),
+      |      i -> array_to_string(toks[i:i+1], ' ')) END AS g2,
+      |    CASE WHEN len(toks) < 3 THEN [] ELSE list_transform(range(1, len(toks) - 1),
+      |      i -> array_to_string(toks[i:i+2], ' ')) END AS g3
+      |  FROM tk),
+      |st2 AS (
+      |  SELECT *, len(lines) AS n_lines, len(list_distinct(lines)) AS n_dist,
+      |    list_sum(list_transform(lines, l -> length(l))) AS chars_total,
+      |    list_sum(list_transform(list_distinct(lines), l -> length(l))) AS chars_dist,
+      |    CASE WHEN len(g2) = 0 THEN 0.0
+      |      ELSE CAST(list_sum(list_transform(g2, x -> length(x))) - list_sum(list_transform(list_distinct(g2), x -> length(x))) AS DOUBLE)
+      |           / list_sum(list_transform(g2, x -> length(x))) END AS d2,
+      |    CASE WHEN len(g3) = 0 THEN 0.0
+      |      ELSE CAST(list_sum(list_transform(g3, x -> length(x))) - list_sum(list_transform(list_distinct(g3), x -> length(x))) AS DOUBLE)
+      |           / list_sum(list_transform(g3, x -> length(x))) END AS d3
+      |  FROM st)
+      |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |  CAST(sum_chars AS DOUBLE) / n_words AS mean_word_len,
+      |  CAST(stop_hits AS BIGINT) AS stop_hits,
+      |  CAST(alpha_words AS DOUBLE) / n_words AS frac_alpha,
+      |  CAST(n_lines AS BIGINT) AS n_lines,
+      |  CAST(n_lines - n_dist AS DOUBLE) / n_lines AS dup_line_frac,
+      |  CASE WHEN chars_total = 0 THEN 0.0
+      |       ELSE CAST(chars_total - chars_dist AS DOUBLE) / chars_total END AS dup_char_frac,
+      |  d2 AS dup_2gram_frac,
+      |  d3 AS dup_3gram_frac,
+      |  (n_words >= 30 AND n_words <= 10000
+      |   AND CAST(sum_chars AS DOUBLE) / n_words >= 4.0
+      |   AND CAST(sum_chars AS DOUBLE) / n_words <= 10.0
+      |   AND stop_hits >= 2
+      |   AND CAST(alpha_words AS DOUBLE) / n_words >= 0.9
+      |   AND CAST(n_lines - n_dist AS DOUBLE) / n_lines <= 0.05
+      |   AND CAST(chars_total - chars_dist AS DOUBLE) / chars_total <= 0.05
+      |   AND d2 <= 0.08 AND d3 <= 0.04) AS keep
+      |FROM st2""".stripMargin
+
   private def minhashSigCtes: String =
     s"""tk AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
@@ -1836,6 +1902,34 @@ object SparkEntry {
         |WHERE len(list_filter(range(1, 65), i -> a.bits[i] != b.bits[i])) <= 10
         |  AND len(list_filter(range(0, 4), c ->
         |        len(list_filter(range(1, 17), r -> a.bits[c*16 + r] != b.bits[c*16 + r])) = 0)) > 0""".stripMargin,
+    "ns_dataset_card" ->
+      s"""WITH qf AS ($qualityFilterSql),
+         |d AS (
+         |  SELECT doc_id, lang, text,
+         |         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n
+         |  FROM documents),
+         |b AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(n) AS BIGINT) AS total_tokens,
+         |             CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |             CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_docs
+         |      FROM d GROUP BY 1),
+         |r AS (SELECT lang, n, row_number() OVER (PARTITION BY lang ORDER BY n) AS rn,
+         |             count(*) OVER (PARTITION BY lang) AS cnt FROM d),
+         |q AS (SELECT lang,
+         |        max(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT) THEN n END) AS p50_tokens,
+         |        max(CASE WHEN rn = CAST(ceil(0.9 * cnt) AS BIGINT) THEN n END) AS p90_tokens
+         |      FROM r GROUP BY 1),
+         |tk AS (SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |       FROM documents),
+         |dt AS (SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS distinct_tokens
+         |       FROM tk GROUP BY 1),
+         |kp AS (SELECT d.lang, CAST(sum(CASE WHEN qf.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |       FROM d JOIN qf USING (doc_id) GROUP BY 1)
+         |SELECT b.lang, n_docs, total_tokens, distinct_tokens, p50_tokens, p90_tokens,
+         |       n_chars, n_distinct_docs,
+         |       CAST((1000 * (n_docs - n_distinct_docs)) // n_docs AS BIGINT) AS dup_permille,
+         |       n_kept, CAST((1000 * n_kept) // n_docs AS BIGINT) AS keep_permille
+         |FROM b JOIN dt USING (lang) JOIN q USING (lang) JOIN kp USING (lang)""".stripMargin,
     "ns_snapshot_diff" ->
       """WITH old AS (
         |  SELECT doc_id, md5(text) AS old_digest FROM documents WHERE doc_id < 400
@@ -2362,50 +2456,7 @@ object SparkEntry {
         |  coalesce(n_hits, 0) >= 1 AS contaminated
         |FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
         |WHERE g.doc_id % 17 != 0""".stripMargin,
-    "ns_quality_filter" ->
-      """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
-        |st AS (
-        |  SELECT doc_id, len(toks) AS n_words,
-        |    list_sum(list_transform(toks, t -> length(t))) AS sum_chars,
-        |    len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) AS stop_hits,
-        |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
-        |    list_transform(range(1, (len(toks) + 1) // 2 + 1),
-        |      i -> array_to_string(toks[(i-1)*2+1 : (i-1)*2+2], ' ')) AS lines,
-        |    CASE WHEN len(toks) < 2 THEN [] ELSE list_transform(range(1, len(toks)),
-        |      i -> array_to_string(toks[i:i+1], ' ')) END AS g2,
-        |    CASE WHEN len(toks) < 3 THEN [] ELSE list_transform(range(1, len(toks) - 1),
-        |      i -> array_to_string(toks[i:i+2], ' ')) END AS g3
-        |  FROM tk),
-        |st2 AS (
-        |  SELECT *, len(lines) AS n_lines, len(list_distinct(lines)) AS n_dist,
-        |    list_sum(list_transform(lines, l -> length(l))) AS chars_total,
-        |    list_sum(list_transform(list_distinct(lines), l -> length(l))) AS chars_dist,
-        |    CASE WHEN len(g2) = 0 THEN 0.0
-        |      ELSE CAST(list_sum(list_transform(g2, x -> length(x))) - list_sum(list_transform(list_distinct(g2), x -> length(x))) AS DOUBLE)
-        |           / list_sum(list_transform(g2, x -> length(x))) END AS d2,
-        |    CASE WHEN len(g3) = 0 THEN 0.0
-        |      ELSE CAST(list_sum(list_transform(g3, x -> length(x))) - list_sum(list_transform(list_distinct(g3), x -> length(x))) AS DOUBLE)
-        |           / list_sum(list_transform(g3, x -> length(x))) END AS d3
-        |  FROM st)
-        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-        |  CAST(sum_chars AS DOUBLE) / n_words AS mean_word_len,
-        |  CAST(stop_hits AS BIGINT) AS stop_hits,
-        |  CAST(alpha_words AS DOUBLE) / n_words AS frac_alpha,
-        |  CAST(n_lines AS BIGINT) AS n_lines,
-        |  CAST(n_lines - n_dist AS DOUBLE) / n_lines AS dup_line_frac,
-        |  CASE WHEN chars_total = 0 THEN 0.0
-        |       ELSE CAST(chars_total - chars_dist AS DOUBLE) / chars_total END AS dup_char_frac,
-        |  d2 AS dup_2gram_frac,
-        |  d3 AS dup_3gram_frac,
-        |  (n_words >= 30 AND n_words <= 10000
-        |   AND CAST(sum_chars AS DOUBLE) / n_words >= 4.0
-        |   AND CAST(sum_chars AS DOUBLE) / n_words <= 10.0
-        |   AND stop_hits >= 2
-        |   AND CAST(alpha_words AS DOUBLE) / n_words >= 0.9
-        |   AND CAST(n_lines - n_dist AS DOUBLE) / n_lines <= 0.05
-        |   AND CAST(chars_total - chars_dist AS DOUBLE) / chars_total <= 0.05
-        |   AND d2 <= 0.08 AND d3 <= 0.04) AS keep
-        |FROM st2""".stripMargin,
+    "ns_quality_filter" -> qualityFilterSql,
     "ns_line_dedup" ->
       """WITH t2 AS (SELECT doc_id,
         |        string_split(regexp_replace(lower(trim(text)), '((?:\S+ ){4}\S+) ', '\1' || chr(10), 'g'), chr(10)) AS lines

@@ -113,6 +113,48 @@ object Profile {
         ("n_docs" +: "total_tokens" +: "distinct_tokens" +: qNames): _*)
   }
 
+  /** One-call dataset card: the per-group summary a dataset release ships
+    * with — document/token/char counts, vocabulary breadth, length
+    * quantiles, the EXACT duplicate rate (distinct content digests), and,
+    * when the caller provides a boolean `keepCol` (e.g. from
+    * `Curation.qualityFilter`), the quality keep rate. Pure composition of
+    * the profile tiers plus one digest aggregation, one row per group; all
+    * rates are integer per-mille so the card replays bit-for-bit across
+    * engines.
+    *
+    * `exact = true` is the audit/oracle tier (distinct tokens + digests
+    * shuffle); `exact = false` swaps both distinct counts to mergeable
+    * HLL++ sketches and the quantiles to GK — the 100 TB tier, where the
+    * exchange carries one sketch row per (partition, group).
+    */
+  def datasetCard(docs: DataFrame, textCol: String, groupCol: String,
+      keepCol: Option[String] = None, quantiles: Seq[Double] = Seq(0.5, 0.9),
+      exact: Boolean = true, rsd: Double = 0.05): DataFrame = {
+    val prof =
+      if (exact) groupProfile(docs, textCol, groupCol, quantiles)
+      else groupProfileSketch(docs, textCol, groupCol, quantiles, rsd)
+    val dig = md5(col(textCol))
+    val distinctDocs: Column =
+      if (exact) countDistinct(dig) else approx_count_distinct(dig, rsd)
+    val keepAgg: Column = keepCol
+      .map(k => sum(when(col(k), 1L).otherwise(0L)))
+      .getOrElse(lit(null).cast("long"))
+    val extra = docs.groupBy(col(groupCol).as("__g")).agg(
+        count(lit(1)).as("__nd"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        distinctDocs.as("n_distinct_docs"),
+        keepAgg.as("n_kept"))
+      .select(col("__g"), col("n_chars"), col("n_distinct_docs"),
+        call_function("div",
+          lit(1000L) * (col("__nd") - col("n_distinct_docs")), col("__nd"))
+          .as("dup_permille"),
+        col("n_kept"),
+        keepCol.map(_ =>
+            call_function("div", lit(1000L) * col("n_kept"), col("__nd")))
+          .getOrElse(lit(null).cast("long")).as("keep_permille"))
+    prof.join(extra.withColumnRenamed("__g", groupCol), Seq(groupCol))
+  }
+
   /** Exact per-group heavy hitters: top-`k` tokens by frequency,
     * deterministic ties (count desc, token asc). One row per kept token:
     * `(groupCol, tok, cnt, rank)`.

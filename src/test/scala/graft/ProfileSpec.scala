@@ -89,6 +89,36 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("datasetCard: profile + exact dup rate + keep rate in one table") {
+    // g1 has one exact duplicate pair (docs 1 and 7 share text "a")
+    val withDup = corpus.union(Seq((7L, "g1", "a")).toDF("id", "grp", "text"))
+      .withColumn("keep", col("id") % 2 === 0)
+    val card = Profile.datasetCard(withDup, "text", "grp", keepCol = Some("keep"))
+      .orderBy("grp").collect()
+    assert(card.length == 2)
+    val g1 = card(0)
+    // (grp, n_docs, total_tokens, distinct_tokens, p50, p90,
+    //  n_chars, n_distinct_docs, dup_permille, n_kept, keep_permille)
+    assert(g1.getString(0) == "g1")
+    assert(g1.getLong(1) == 5L, "n_docs")
+    assert(g1.getLong(7) == 4L, "n_distinct_docs: dup text collapses")
+    assert(g1.getLong(8) == 200L, "dup_permille = 1000*(5-4)/5")
+    assert(g1.getLong(9) == 2L, "n_kept: ids 2 and 4")
+    assert(g1.getLong(10) == 400L, "keep_permille = 1000*2/5")
+    val g2 = card(1)
+    assert(g2.getLong(8) == 0L && g2.getLong(9) == 1L)
+    // without keepCol the keep columns are null, everything else identical
+    val noKeep = Profile.datasetCard(withDup, "text", "grp")
+      .orderBy("grp").collect()
+    assert(noKeep(0).isNullAt(9) && noKeep(0).isNullAt(10))
+    assert(noKeep(0).getLong(8) == 200L)
+    // sketch tier: same shape, counts within HLL error on tiny data
+    val sk = Profile.datasetCard(withDup, "text", "grp", keepCol = Some("keep"),
+        exact = false).orderBy("grp").collect()
+    assert(sk(0).getLong(1) == 5L && sk(0).getLong(9) == 2L)
+    assert(math.abs(sk(0).getLong(7) - 4L) <= 1, "HLL distinct docs close on tiny data")
+  }
+
   test("heavyHitters: top-k per group with deterministic ties") {
     val out = Profile.heavyHitters(corpus, "text", "grp", 2)
       .orderBy("grp", "rank").collect()
