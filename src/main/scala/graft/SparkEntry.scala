@@ -1334,6 +1334,18 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 250), index, "text", "doc_id",
         maxDist = 10, maxBucket = Int.MaxValue)
     }),
+    "ns_decontaminate_neardup" -> ((s, dir) => {
+      // Near-dup decontamination: docs < 250 play the benchmark, the rest
+      // the corpus; portable hashes + exhaustive buckets so the oracle
+      // replays the banded candidate generation and the Jaccard threshold
+      // exactly (same shared fragments as the other minhash gates).
+      val docs = t(s, dir, "documents")
+      graft.ops.Curation.decontaminateNearDup(
+        docs.filter(col("doc_id") >= 250).select("doc_id", "text"),
+        docs.filter(col("doc_id") < 250),
+        "text", "doc_id", minJaccard = 0.5, portable = true)
+        .select(col("doc_id"), col("contaminated"))
+    }),
     "ns_dataset_card" -> ((s, dir) => {
       // One-call per-language dataset card (exact tier): profile counts +
       // exact dup rate + Gopher-quality keep rate (same thresholds as the
@@ -1902,6 +1914,15 @@ object SparkEntry {
         |WHERE len(list_filter(range(1, 65), i -> a.bits[i] != b.bits[i])) <= 10
         |  AND len(list_filter(range(0, 4), c ->
         |        len(list_filter(range(1, 17), r -> a.bits[c*16 + r] != b.bits[c*16 + r])) = 0)) > 0""".stripMargin,
+    "ns_decontaminate_neardup" ->
+      s"""WITH $minhashSigCtes, hits AS (
+         |  SELECT DISTINCT b.doc_id AS did
+         |  FROM sg a JOIN sg b ON a.doc_id < 250 AND b.doc_id >= 250
+         |  WHERE $minhashPairPredSql
+         |)
+         |SELECT d.doc_id, (h.did IS NOT NULL) AS contaminated
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.did
+         |WHERE d.doc_id >= 250""".stripMargin,
     "ns_dataset_card" ->
       s"""WITH qf AS ($qualityFilterSql),
          |d AS (

@@ -115,6 +115,32 @@ object Curation {
       .withColumn("contaminated", col("n_contaminated_grams") >= minOverlap)
   }
 
+  /** Near-duplicate decontamination: flag corpus documents that are
+    * MinHash near-dups of any benchmark document (est Jaccard ≥
+    * `minJaccard`), catching paraphrased / lightly-edited benchmark leaks
+    * that exact n-gram overlap ([[decontaminate]]) misses. Pure
+    * composition of the incremental-dedup machinery: the benchmark
+    * becomes a [[graft.ops.Dedup.MinhashIndex]] (persist it once per
+    * benchmark release and reuse across corpus versions), the corpus
+    * plays the delta side, so cost is corpus-scan × bucket hit rate and
+    * the shuffle carries signatures, never text. Output: input columns +
+    * `contaminated`.
+    */
+  def decontaminateNearDup(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, minJaccard: Double = 0.8,
+      shingleLen: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = Int.MaxValue, portable: Boolean = false): DataFrame = {
+    val idx = graft.ops.Dedup.minhashIndex(benchmark, textCol, idCol,
+      shingleLen, numHashes, bands, portable)
+    val hits = graft.ops.Dedup
+      .incrementalMinhashCandidates(corpus, idx, textCol, idCol, maxBucket)
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("batch_id").as("__contaminated_id")).distinct()
+    corpus.join(hits, corpus(idCol) === col("__contaminated_id"), "left")
+      .withColumn("contaminated", col("__contaminated_id").isNotNull)
+      .drop("__contaminated_id")
+  }
+
   /** Decontamination for benchmark sets too large to broadcast as a hash
     * relation: a Bloom filter over the benchmark grams (bits, not strings —
     * ~10× smaller) pre-filters corpus grams MAP-SIDE, and only the

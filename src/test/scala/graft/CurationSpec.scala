@@ -62,6 +62,23 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1).getLong(2) == 0)
   }
 
+  test("decontaminateNearDup flags paraphrased benchmark leaks exact overlap misses") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val bench = Seq((100L, base)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, base),                          // verbatim leak
+      (2L, base.replace("tok30", "tokX")), // near-dup leak (one token edited)
+      (3L, (1 to 60).map(i => s"zzz$i").mkString(" ")) // unrelated
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminateNearDup(corpus, bench, "text", "doc_id",
+        minJaccard = 0.5)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getBoolean(2))).toSeq ==
+      Seq((1L, true), (2L, true), (3L, false)))
+    // input columns survive untouched ahead of the flag
+    assert(out.head.getString(1) == base)
+  }
+
   test("decontaminate short docs fall back to whole-text grams") {
     val bench = Seq((100L, "tiny doc")).toDF("doc_id", "text")
     val corpus = Seq((1L, "tiny doc"), (2L, "other short")).toDF("doc_id", "text")
