@@ -764,7 +764,9 @@ object Curation {
     val whole = Window.partitionBy(part: _*)
     val rk = s"__graft_topfrac_rk_${java.util.UUID.randomUUID().toString.take(8)}"
     val n = s"__graft_topfrac_n_${java.util.UUID.randomUUID().toString.take(8)}"
-    df.withColumn(rk, row_number().over(ranked))
+    // row_number is int — the rank*1000 product must widen to long or it
+    // overflows on groups past ~2.1M rows
+    df.withColumn(rk, row_number().over(ranked).cast("long"))
       .withColumn(n, count(lit(1)).over(whole))
       .where(col(rk) * 1000 <= col(n) * keepPermille)
       .drop(rk, n)
@@ -777,7 +779,10 @@ object Curation {
     * path. Boundary rows within the sketch's rank error of the true
     * threshold may differ from [[keepTopFraction]] (and score ties all
     * pass, where the exact tier cuts by id); the containment law relating
-    * the tiers at ±`accuracy` rank error is test-gated.
+    * the tiers at ±`accuracy` rank error is test-gated. Rows with a NULL
+    * group column are dropped here (equi-join semantics) where the exact
+    * tier treats NULL as its own group — normalize nulls upstream if that
+    * distinction matters.
     */
   def keepTopFractionApprox(df: DataFrame, scoreCol: String,
       groupCols: Seq[String], keepPermille: Int,

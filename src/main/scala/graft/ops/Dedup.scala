@@ -225,14 +225,17 @@ object Dedup {
     */
   final case class SimhashIndex(entries: DataFrame, portable: Boolean)
 
-  /** Build a [[SimhashIndex]] over the corpus: entries
-    * `(corpus_id, simhash, band, chunk)`, 4 rows per doc. Persist
-    * `entries` bucketed on (band, chunk) for co-located delta joins.
+  /** The 4 16-bit band chunks of a 64-bit simhash — shared by the full
+    * generator and the incremental index so their banding can never drift.
     */
   private def simhashBandCols(fp: Column): Column =
     transform(sequence(lit(0), lit(3)),
       b => call_function("shiftright", fp, (lit(16) * b).cast("int")).bitwiseAND(lit(0xffffL)))
 
+  /** Build a [[SimhashIndex]] over the corpus: entries
+    * `(corpus_id, simhash, band, chunk)`, 4 rows per doc. Persist
+    * `entries` bucketed on (band, chunk) for co-located delta joins.
+    */
   def simhashIndex(corpus: DataFrame, textCol: String, idCol: String,
       portable: Boolean = false): SimhashIndex = {
     val entries = simhash(corpus, textCol, idCol, portable)

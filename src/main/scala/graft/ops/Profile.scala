@@ -125,7 +125,9 @@ object Profile {
     * `exact = true` is the audit/oracle tier (distinct tokens + digests
     * shuffle); `exact = false` swaps both distinct counts to mergeable
     * HLL++ sketches and the quantiles to GK — the 100 TB tier, where the
-    * exchange carries one sketch row per (partition, group).
+    * exchange carries one sketch row per (partition, group). Rows with a
+    * NULL group column drop out of the card (the profile legs join on the
+    * group key) — normalize nulls upstream if they must be reported.
     */
   def datasetCard(docs: DataFrame, textCol: String, groupCol: String,
       keepCol: Option[String] = None, quantiles: Seq[Double] = Seq(0.5, 0.9),

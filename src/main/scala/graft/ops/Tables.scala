@@ -160,7 +160,9 @@ object Tables {
     * majority between adjacent 100 TB snapshots) are dropped unless
     * `includeUnchanged` — the output is the delta, sized like the change
     * set. md5 keeps the digest engine-portable (exactly replayable in
-    * SQL).
+    * SQL). Precondition: `idCol` is unique within each snapshot (the
+    * usual dedup'd-table invariant) — duplicate ids would fan out through
+    * the join.
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       contentCol: String, includeUnchanged: Boolean = false): DataFrame = {
