@@ -1334,6 +1334,22 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 250), index, "text", "doc_id",
         maxDist = 10, maxBucket = Int.MaxValue)
     }),
+    "ns_normalize" -> ((s, dir) => {
+      // Canonical text normalization gate: both engines build the SAME
+      // messy variant of every document (tabs, NBSP, a control char,
+      // a unicode line separator, double spaces, mixed case appended)
+      // and must normalize it to the identical canonical string.
+      val docs = t(s, dir, "documents")
+      // literals, not chr(): Spark's chr wraps at 256 (chr(8232) = "("),
+      // DuckDB's chr is by codepoint — the SQL side uses chr(codepoint)
+      val messy = concat(
+        lit("\t"), col("text"), lit("  "),
+        lit("\u00a0"), lit("MiXeD  CASE"),
+        lit("\u0007"), lit("\u2028"),
+        lit(" tail "))
+      docs.select(col("doc_id"),
+        graft.ops.TextAnalysis.normalizeText(messy).as("norm"))
+    }),
     "ns_decontaminate_neardup" -> ((s, dir) => {
       // Near-dup decontamination: docs < 250 play the benchmark, the rest
       // the corpus; portable hashes + exhaustive buckets so the oracle
@@ -1914,6 +1930,13 @@ object SparkEntry {
         |WHERE len(list_filter(range(1, 65), i -> a.bits[i] != b.bits[i])) <= 10
         |  AND len(list_filter(range(0, 4), c ->
         |        len(list_filter(range(1, 17), r -> a.bits[c*16 + r] != b.bits[c*16 + r])) = 0)) > 0""".stripMargin,
+    "ns_normalize" ->
+      """SELECT doc_id, lower(trim(regexp_replace(regexp_replace(regexp_replace(
+        |  chr(9) || text || '  ' || chr(160) || 'MiXeD  CASE' || chr(7) || chr(8232) || ' tail ',
+        |  '[\x{0000}-\x{0008}\x{000E}-\x{001F}\x{007F}]', ' ', 'g'),
+        |  '[\t\n\x{000B}\f\r\x{0085}\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]', ' ', 'g'),
+        |  ' {2,}', ' ', 'g'))) AS norm
+        |FROM documents""".stripMargin,
     "ns_decontaminate_neardup" ->
       s"""WITH $minhashSigCtes, hits AS (
          |  SELECT DISTINCT b.doc_id AS did

@@ -26,6 +26,23 @@ object TextAnalysis {
   /** Quality metrics struct: char length, word count, mean word length,
     * stopword ratio, punctuation ratio, uppercase ratio.
     */
+  /** Canonical text normalization — the pre-key every dedup/fingerprint
+    * stage should share so that cosmetic variants (tabs vs spaces, NBSP,
+    * zero-width/unicode spaces, control chars, case) collapse to one
+    * digest. Control chars and the Unicode space family become ASCII
+    * space, runs collapse, ends trim, and (by default) case folds. Pure
+    * codegen'd regexp chain — no UDF — and engine-portable: the DuckDB
+    * oracle replays it with RE2 classes. Idempotent (law-tested).
+    */
+  def normalizeText(text: Column, lowercase: Boolean = true): Column = {
+    val ctrl = "[\\x00-\\x08\\x0E-\\x1F\\x7F]"
+    val uniWs = "[\\t\\n\\x0B\\f\\r\\u0085\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]"
+    val cleaned = trim(regexp_replace(
+      regexp_replace(regexp_replace(text, ctrl, " "), uniWs, " "),
+      " {2,}", " "))
+    if (lowercase) lower(cleaned) else cleaned
+  }
+
   def qualityMetrics(text: Column, stopwords: Seq[String]): Column = {
     val toks = split(lower(trim(text)), "\\s+")
     // guarded count: "" splits to [""] — empty text has zero words

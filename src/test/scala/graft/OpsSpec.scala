@@ -659,6 +659,18 @@ class OpsSpec extends AnyFunSuite {
     assert(Curation.keepTopFraction(df, "score", Seq("grp"), 1000, "id").count() == 19)
   }
 
+  test("keepTopFraction survives groups past the int rank*1000 overflow line") {
+    import graft.ops.Curation
+    // 2.2M rows in ONE group: ranks beyond 2_147_483 would flip the
+    // predicate sign if rank*1000 were computed in int
+    val big = spark.range(2200000L).toDF("id")
+      .withColumn("grp", lit("g")).withColumn("score", lit(1L))
+    val kept = Curation.keepTopFraction(big, "score", Seq("grp"), 1, "id")
+    assert(kept.count() == 2200L, "floor(2.2M * 1/1000) rows kept")
+    assert(kept.agg(max("id")).collect().head.getLong(0) == 2199L,
+      "all-tied scores cut by ascending id")
+  }
+
   test("keepTopFractionApprox: no window, contains the exact tier's rows") {
     import graft.ops.Curation
     val docs = spark.read.parquet(s"$sf/documents.parquet")
@@ -679,6 +691,28 @@ class OpsSpec extends AnyFunSuite {
     val plan = approx.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "sketch tier must not sort the corpus")
     assert(plan.contains("BroadcastHashJoin"), "threshold join must broadcast")
+  }
+
+  test("normalizeText collapses cosmetic variants to one canonical form, idempotently") {
+    val rows = Seq(
+      "\tHello World   TaiL   x",
+      "hello world tail x",
+      "HELLO　　WORLD\r\nTAIL /x".replace("/", " ")
+    ).toDF("t")
+    val out = rows.select(TextAnalysis.normalizeText(col("t")).as("n")).collect().map(_.getString(0))
+    assert(out(0) == "hello world tail x")
+    assert(out(1) == "hello world tail x")
+    assert(out(2) == "hello world tail x")
+    // idempotence: a second pass is the identity
+    val twice = rows.select(
+      TextAnalysis.normalizeText(TextAnalysis.normalizeText(col("t"))).as("a"),
+      TextAnalysis.normalizeText(col("t")).as("b"))
+      .collect()
+    assert(twice.forall(r => r.getString(0) == r.getString(1)))
+    // lowercase=false keeps case, still canonical whitespace
+    val kept = rows.select(TextAnalysis.normalizeText(col("t"), lowercase = false))
+      .collect().head.getString(0)
+    assert(kept == "Hello World TaiL x")
   }
 
   test("snapshotDiff classifies added/removed/changed and drops unchanged by default") {
