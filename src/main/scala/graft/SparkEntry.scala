@@ -1334,6 +1334,19 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 250), index, "text", "doc_id",
         maxDist = 10, maxBucket = Int.MaxValue)
     }),
+    "ns_embed_profile" -> ((s, dir) => {
+      // Embedding QA: per-dim exact integer micro-moments + collapsed
+      // flag over the embeddings table. Every value is a long sum/min/max
+      // of quantized ints, so DuckDB replays the profile bit-for-bit.
+      graft.ops.Embeddings.embeddingProfile(t(s, dir, "embeddings"),
+        "embedding", dim = 64)
+    }),
+    "ns_embed_norms" -> ((s, dir) => {
+      // One-row corpus norm profile (squared micro-norm extremes, zero
+      // vectors, truncated integer mean).
+      graft.ops.Embeddings.normProfile(t(s, dir, "embeddings"),
+        "embedding", dim = 64)
+    }),
     "ns_normalize" -> ((s, dir) => {
       // Canonical text normalization gate: both engines build the SAME
       // messy variant of every document (tabs, NBSP, a control char,
@@ -1930,6 +1943,31 @@ object SparkEntry {
         |WHERE len(list_filter(range(1, 65), i -> a.bits[i] != b.bits[i])) <= 10
         |  AND len(list_filter(range(0, 4), c ->
         |        len(list_filter(range(1, 17), r -> a.bits[c*16 + r] != b.bits[c*16 + r])) = 0)) > 0""".stripMargin,
+    "ns_embed_profile" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS qe
+        |  FROM embeddings WHERE len(embedding) = 64),
+        |e AS (SELECT unnest(range(1, 65)) AS i, unnest(qe) AS x FROM q)
+        |SELECT CAST(i - 1 AS INT) AS dim_idx,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(x) AS BIGINT) AS sum_micro,
+        |       CAST(CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS mean_micro,
+        |       CAST(sum(x * x) AS BIGINT) AS sum_sq_micro2,
+        |       CAST(min(x) AS BIGINT) AS min_micro,
+        |       CAST(max(x) AS BIGINT) AS max_micro,
+        |       (min(x) = max(x)) AS collapsed
+        |FROM e GROUP BY 1""".stripMargin,
+    "ns_embed_norms" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS qe
+        |  FROM embeddings WHERE len(embedding) = 64),
+        |n2 AS (SELECT CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS norm2 FROM q)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |       CAST(min(norm2) AS BIGINT) AS min_norm2,
+        |       CAST(max(norm2) AS BIGINT) AS max_norm2,
+        |       CAST(CAST(sum(norm2) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS mean_norm2
+        |FROM n2""".stripMargin,
     "ns_normalize" ->
       """SELECT doc_id, lower(trim(regexp_replace(regexp_replace(regexp_replace(
         |  chr(9) || text || '  ' || chr(160) || 'MiXeD  CASE' || chr(7) || chr(8232) || ' tail ',

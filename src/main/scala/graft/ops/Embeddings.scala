@@ -174,6 +174,49 @@ object Embeddings {
   /** L2-normalize a vector column (double array out; a utility projection
     * for cosine pipelines, not an oracle-gated path).
     */
+  /** Per-dimension embedding QA profile — the pre-flight check before any
+    * ANN/PCA/quantization tier: per dim, exact integer micro-unit moments
+    * (count, sum, sum of squares), range, truncated-integer mean, and a
+    * `collapsed` flag (min == max — a dead dimension, the classic symptom
+    * of a degenerate encoder or a zero-padded export). One explode + one
+    * partial-aggregated groupBy: the exchange is bounded by `dim` rows
+    * per partition regardless of corpus size, and long sums commute, so
+    * the profile is bit-for-bit identical under any partitioning (same
+    * overflow budget as [[trainPca]]: N·quantScale² < 2⁶³).
+    */
+  def embeddingProfile(vecs: DataFrame, vecCol: String, dim: Int,
+      quantScale: Long = 1000000L): DataFrame =
+    vecs.select(quantized(vecCol, quantScale).as("q"))
+      .filter(size(col("q")) === dim)
+      .select(posexplode(col("q")).as(Seq("dim_idx", "x")))
+      .groupBy("dim_idx")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sum_micro"),
+        sum(col("x") * col("x")).as("sum_sq_micro2"),
+        min("x").as("min_micro"),
+        max("x").as("max_micro"))
+      .select(col("dim_idx"), col("n"), col("sum_micro"),
+        call_function("div", col("sum_micro"), col("n")).as("mean_micro"),
+        col("sum_sq_micro2"), col("min_micro"), col("max_micro"),
+        (col("min_micro") === col("max_micro")).as("collapsed"))
+
+  /** One-row corpus norm profile: count, zero-vector count (the poison
+    * rows cosine tiers divide by), and exact integer min/max/mean of the
+    * squared micro-unit norm. Zero shuffle until the final single-row
+    * aggregate; the per-row norm is one `aggregate` fold over the
+    * quantized array.
+    */
+  def normProfile(vecs: DataFrame, vecCol: String, dim: Int,
+      quantScale: Long = 1000000L): DataFrame =
+    vecs.select(quantized(vecCol, quantScale).as("q"))
+      .filter(size(col("q")) === dim)
+      .select(aggregate(col("q"), lit(0L), (acc, x) => acc + x * x).as("norm2"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("norm2") === 0, 1L).otherwise(0L)).as("n_zero"),
+        min("norm2").as("min_norm2"),
+        max("norm2").as("max_norm2"),
+        call_function("div", sum(col("norm2")), count(lit(1))).as("mean_norm2"))
+
   def l2Normalize(vec: Column): Column = {
     val v = vec.cast("array<double>")
     val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))

@@ -127,6 +127,46 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(agree >= 95, s"rotation must preserve nearly all top-1 neighbors, got $agree/100")
   }
 
+  test("embeddingProfile: exact per-dim moments, collapsed-dim flag, partition-invariant") {
+    import org.apache.spark.sql.functions._
+    // dim 0 varies, dim 1 is constant (collapsed), dim 2 is always zero
+    val vecs = Seq(
+      (1L, Array(0.5, 0.25, 0.0)),
+      (2L, Array(-0.5, 0.25, 0.0)),
+      (3L, Array(1.0, 0.25, 0.0)),
+      (4L, Array(0.5, 0.25))            // wrong dim: dropped
+    ).toDF("vec_id", "vec")
+    val prof = graft.ops.Embeddings.embeddingProfile(vecs, "vec", dim = 3)
+      .orderBy("dim_idx").collect()
+    assert(prof.length == 3)
+    val d0 = prof(0)
+    // (dim_idx, n, sum_micro, mean_micro, sum_sq_micro2, min, max, collapsed)
+    assert(d0.getLong(1) == 3L && d0.getLong(2) == 1000000L)
+    assert(d0.getLong(3) == 333333L, "truncated integer mean")
+    assert(d0.getLong(4) == 1500000000000L, "0.25+0.25+1.0 in micro^2")
+    assert(!d0.getBoolean(7))
+    assert(prof(1).getBoolean(7), "constant dim must flag collapsed")
+    assert(prof(2).getBoolean(7) && prof(2).getLong(2) == 0L)
+    // partition invariance: long sums commute
+    val re = graft.ops.Embeddings.embeddingProfile(vecs.repartition(7), "vec", dim = 3)
+      .orderBy("dim_idx").collect()
+    assert(re.map(_.toSeq).toSeq == prof.map(_.toSeq).toSeq)
+  }
+
+  test("normProfile: zero-vector count and exact norm2 extremes") {
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)),
+      (2L, Array(0.0, 0.0)),
+      (3L, Array(0.0, 2.0))
+    ).toDF("vec_id", "vec")
+    val r = graft.ops.Embeddings.normProfile(vecs, "vec", dim = 2).collect().head
+    // (n, n_zero, min_norm2, max_norm2, mean_norm2)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L)
+    assert(r.getLong(2) == 0L)
+    assert(r.getLong(3) == 4000000000000L, "2.0 -> (2e6)^2")
+    assert(r.getLong(4) == (1000000000000L + 4000000000000L) / 3)
+  }
+
   test("l2Normalize: unit norms, zero vectors pass through") {
     val df = Seq((1L, Array(3.0, 4.0)), (2L, Array(0.0, 0.0)))
       .toDF("id", "vec")
