@@ -488,6 +488,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus signature reduces map-side: partial aggregate, 64-row exchange") {
+    val docs = SparkEntry.t(spark, sf, "documents")
+    val plan = planOf(graft.ops.Dedup.corpusSignature(docs, "text", portable = true))
+    // two HashAggregate nodes around the hash_idx exchange = the corpus
+    // reduces to numHashes rows per partition BEFORE shuffling
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"partial min-aggregate expected:\n${plan.take(2500)}")
+    assert(plan.contains("Exchange hashpartitioning(hash_idx"),
+      s"only the 64-row hash_idx exchange expected:\n${plan.take(2500)}")
+  }
+
+  test("embedding profile partial-aggregates: exchange bounded by dim rows per partition") {
+    val e = SparkEntry.t(spark, sf, "embeddings")
+    val plan = planOf(graft.ops.Embeddings.embeddingProfile(e, "embedding", dim = 64))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"partial moment-aggregate expected:\n${plan.take(2500)}")
+    assert(plan.contains("Exchange hashpartitioning(dim_idx"),
+      s"dim_idx exchange expected:\n${plan.take(2500)}")
+  }
+
   test("range join plans as a hash-joinable equi-join on buckets, not a nested loop") {
     val plan = planOf(SparkEntry.queries("ns_range_join")(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
