@@ -1334,6 +1334,25 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 250), index, "text", "doc_id",
         maxDist = 10, maxBucket = Int.MaxValue)
     }),
+    "ns_ranking_eval" -> ((s, dir) => {
+      // Retrieval-eval harness gate: grade exact cosine top-5 against the
+      // label ground truth (same-label vectors are the relevant set).
+      // Both rankings and metrics are integer-exact, so DuckDB replays
+      // recall@5 and MRR bit-for-bit on top of the shared exact-top-k
+      // oracle.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"), col("label"))
+      val predicted = graft.ops.Similarity.bruteForceTopK(
+        e.select("id", "vec").filter(col("id") < 50), e.select("id", "vec"), k = 5)
+        .withColumnRenamed("neighbor_id", "doc_id")
+      val truth = e.select(col("id").as("query_id"), col("label"))
+        .filter(col("query_id") < 50)
+        .join(e.select(col("id").as("doc_id"), col("label")), "label")
+        .filter(col("query_id") =!= col("doc_id"))
+        .select("query_id", "doc_id")
+      graft.ops.Search.rankingMetrics(predicted, truth, k = 5)
+    }),
     "ns_embed_profile" -> ((s, dir) => {
       // Embedding QA: per-dim exact integer micro-moments + collapsed
       // flag over the embeddings table. Every value is a long sum/min/max
@@ -1943,6 +1962,21 @@ object SparkEntry {
         |WHERE len(list_filter(range(1, 65), i -> a.bits[i] != b.bits[i])) <= 10
         |  AND len(list_filter(range(0, 4), c ->
         |        len(list_filter(range(1, 17), r -> a.bits[c*16 + r] != b.bits[c*16 + r])) = 0)) > 0""".stripMargin,
+    "ns_ranking_eval" ->
+      s"""WITH pred AS ($exactTopKSql),
+         |t AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id
+         |      FROM embeddings a JOIN embeddings b
+         |        ON a.label = b.label AND a.vec_id != b.vec_id
+         |      WHERE a.vec_id < 50),
+         |j AS (SELECT t.query_id, t.doc_id, p.rank
+         |      FROM t LEFT JOIN pred p
+         |        ON t.query_id = p.query_id AND t.doc_id = p.neighbor_id)
+         |SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant,
+         |       CAST(sum(CASE WHEN rank <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_k,
+         |       CAST((1000 * sum(CASE WHEN rank <= 5 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS recall_at_k_permille,
+         |       min(rank) AS first_hit_rank,
+         |       CAST(coalesce(1000000 // min(rank), 0) AS BIGINT) AS rr_micro
+         |FROM j GROUP BY 1""".stripMargin,
     "ns_embed_profile" ->
       """WITH q AS (
         |  SELECT list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS qe

@@ -124,4 +124,35 @@ class SearchSpec extends AnyFunSuite {
     // must appear in the fused list
     assert(run1.exists(_._1 == 0L), "the query's own vector must fuse into the top-k")
   }
+
+  test("rankingMetrics: recall@k, first-hit rank and MRR on hand-checked rankings") {
+    // q1: 2 relevant, one at rank 1 and one at rank 7 (outside k=5)
+    // q2: 1 relevant, found at rank 3
+    // q3: 1 relevant, never retrieved
+    // q4: relevant but appears only in truth with no predicted rows at all
+    val predicted = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 7),
+      (2L, 20L, 1), (2L, 21L, 3),
+      (3L, 30L, 1)
+    ).toDF("query_id", "doc_id", "rank")
+    val truth = Seq(
+      (1L, 10L), (1L, 12L),
+      (2L, 21L),
+      (3L, 99L),
+      (4L, 40L)
+    ).toDF("query_id", "doc_id")
+    val m = Search.rankingMetrics(predicted, truth, k = 5)
+      .orderBy("query_id").collect()
+    // (query_id, n_relevant, hits_at_k, recall_at_k_permille, first_hit_rank, rr_micro)
+    assert(m(0).toSeq == Seq(1L, 2L, 1L, 500L, 1, 1000000L))
+    assert(m(1).toSeq == Seq(2L, 1L, 1L, 1000L, 3, 333333L))
+    assert(m(2).getLong(1) == 1L && m(2).getLong(2) == 0L &&
+      m(2).getLong(3) == 0L && m(2).isNullAt(4) && m(2).getLong(5) == 0L)
+    assert(m(3).getLong(2) == 0L && m(3).getLong(5) == 0L,
+      "query absent from predictions scores zero, not error")
+    // duplicate truth rows must not double-count
+    val dup = Search.rankingMetrics(predicted,
+      truth.union(truth), k = 5).orderBy("query_id").collect()
+    assert(dup(0).getLong(1) == 2L)
+  }
 }
