@@ -228,7 +228,7 @@ object Dedup {
   /** The 4 16-bit band chunks of a 64-bit simhash — shared by the full
     * generator and the incremental index so their banding can never drift.
     */
-  private def simhashBandCols(fp: Column): Column =
+  private[graft] def simhashBandCols(fp: Column): Column =
     transform(sequence(lit(0), lit(3)),
       b => call_function("shiftright", fp, (lit(16) * b).cast("int")).bitwiseAND(lit(0xffffL)))
 

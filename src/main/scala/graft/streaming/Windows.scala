@@ -115,6 +115,38 @@ object Windows {
       .drop("__sig", "__bks", "__sigkey")
   }
 
+  /** SimHash twin of [[streamingIncrementalNearDedup]]: drop stream docs
+    * within Hamming distance `maxDist` of any corpus doc in a persisted
+    * [[graft.ops.Dedup.SimhashIndex]] — one stream-static LEFT ANTI join
+    * per band (chunk equi-key pre-filter + Hamming residual, the same
+    * shared band expression as the batch generator, so stream and batch
+    * cannot drift), then a watermark-bounded identical-fingerprint dedup
+    * within the stream. Per-event cost is 4 × bucket hit rate regardless
+    * of corpus size; the only keyed state is the final fingerprint dedup.
+    */
+  def streamingIncrementalNearDedupSimhash(stream: DataFrame,
+      index: graft.ops.Dedup.SimhashIndex, tsCol: String, textCol: String,
+      watermark: String, maxDist: Int = 3, maxBucket: Int = 64): DataFrame = {
+    val withFp = stream.withColumn("__fp",
+        graft.functions.text.simhash64(
+          split(lower(trim(col(textCol))), "\\s+"), index.portable))
+      .withColumn("__chunks", graft.ops.Dedup.simhashBandCols(col("__fp")))
+    val idx = graft.ops.Dedup.capBuckets(index.entries, Seq("band", "chunk"), maxBucket)
+    var cur = withFp
+    for (b <- 0 until 4) {
+      val ib = idx.filter(col("band") === b)
+        .select(col("chunk").as(s"__ck$b"), col("simhash").as(s"__fpA$b"))
+      cur = cur.join(ib,
+        element_at(col("__chunks"), b + 1) === col(s"__ck$b") &&
+          bit_count(col("__fp").bitwiseXOR(col(s"__fpA$b"))) <= maxDist,
+        "left_anti")
+    }
+    cur
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp", "__chunks")
+  }
+
   /** Tumbling/sliding windowed counts + sums per key with a watermark:
     * the standard event-time aggregation. Late rows beyond the watermark
     * are dropped by the engine — at scale the watermark bounds state size.

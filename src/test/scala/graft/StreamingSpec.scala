@@ -144,6 +144,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental simhash near-dedup: hamming match against the index drops dups") {
+    val corpus = Seq(
+      (1L, (1 to 40).map(i => s"tok$i").mkString(" ")),
+      (2L, "completely different corpus text about distributed query engines and shuffles"))
+      .toDF("doc_id", "text")
+    val index = graft.ops.Dedup.simhashIndex(corpus, "text", "doc_id")
+    val streamed = Seq(
+      (1 to 40).map(i => s"tok$i").mkString(" "),                 // exact corpus dup
+      ((1 to 39).map(i => s"tok$i") :+ "tokX").mkString(" "),     // near-dup of corpus doc 1
+      (1 to 40).map(i => s"zzz$i").mkString(" "),                 // novel
+      (1 to 40).map(i => s"zzz$i").mkString(" "),                 // in-stream identical dup
+      "second novel text mentioning embeddings and tokenizers only")
+    // shared-semantics law: dropped iff the batch incremental generator
+    // finds a corpus match at the same maxDist, or an identical
+    // fingerprint appeared earlier in the stream
+    val batchDf = streamed.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("sid", "text")
+    val matched = graft.ops.Dedup.incrementalSimhashCandidates(
+        batchDf, index, "text", "sid", maxDist = 10, maxBucket = Int.MaxValue)
+      .select("batch_id").as[Long].collect().toSet
+    val expected = streamed.zipWithIndex.collect {
+      case (t, i) if !matched.contains(i.toLong) && streamed.indexOf(t) == i => t
+    }.sorted.toSeq
+    assert(expected.nonEmpty && expected.size < streamed.size,
+      s"fixture must exercise both keep and drop: $expected")
+
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark, 18)
+    val df = input.toDF().toDF("ts", "text")
+    val deduped = Windows.streamingIncrementalNearDedupSimhash(
+      df, index, "ts", "text", "10 minutes", maxDist = 10, maxBucket = Int.MaxValue)
+    val q = deduped.writeStream.format("memory").queryName("ssimdedup").outputMode("append").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData(streamed.zipWithIndex.map { case (t, i) => (ts(i), t) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("ssimdedup").select("text").as[String].collect().sorted.toSeq
+      assert(got == expected)
+      assert(spark.table("ssimdedup").columns.toSeq == Seq("ts", "text"),
+        "fingerprint helper columns must not leak")
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over a memory stream") {
     val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark, 1)
     val df = input.toDF().toDF("ts", "key", "v")
