@@ -1334,6 +1334,19 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 250), index, "text", "doc_id",
         maxDist = 10, maxBucket = Int.MaxValue)
     }),
+    "ns_audit_candidates" -> ((s, dir) => {
+      // Self-audit gate: hash-sample half the minhash candidates and
+      // verify them with exact unigram Jaccard at a 500permille bar. Every
+      // stage — banded candidates, portable-hash sampling, integer
+      // cross-multiply verdicts, the per-mille precision — replays in
+      // DuckDB via the shared fragments.
+      val docs = t(s, dir, "documents")
+      val pairs = graft.ops.Dedup.minhashCandidates(docs, "text", "doc_id",
+        maxBucket = Int.MaxValue, portable = true)
+        .filter(col("est_jaccard") >= 0.5).select("idA", "idB")
+      graft.ops.Dedup.auditCandidates(pairs, docs, "text", "doc_id",
+        minJaccardPermille = 500, samplePermille = 500)
+    }),
     "ns_ranking_eval" -> ((s, dir) => {
       // Retrieval-eval harness gate: grade exact cosine top-5 against the
       // label ground truth (same-label vectors are the relevant set).
@@ -1962,6 +1975,26 @@ object SparkEntry {
         |WHERE len(list_filter(range(1, 65), i -> a.bits[i] != b.bits[i])) <= 10
         |  AND len(list_filter(range(0, 4), c ->
         |        len(list_filter(range(1, 17), r -> a.bits[c*16 + r] != b.bits[c*16 + r])) = 0)) > 0""".stripMargin,
+    "ns_audit_candidates" ->
+      s"""WITH $minhashSigCtes, prs AS (
+         |  SELECT a.doc_id AS idA, b.doc_id AS idB
+         |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+         |  WHERE $minhashPairPredSql
+         |), smp AS (
+         |  SELECT idA, idB FROM prs
+         |  WHERE (('0x' || substr(md5('graft-audit|' || idA || '|' || idB), 1, 8))::UBIGINT & 2147483647) % 1000 < 500
+         |), g AS (
+         |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS grams
+         |  FROM documents
+         |), v AS (
+         |  SELECT len(list_intersect(a.grams, b.grams)) AS n_common,
+         |         len(list_distinct(list_concat(a.grams, b.grams))) AS n_union
+         |  FROM smp s JOIN g a ON s.idA = a.doc_id JOIN g b ON s.idB = b.doc_id
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+         |       CAST(sum(CASE WHEN 1000 * n_common >= 500 * n_union THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         |       CAST((1000 * sum(CASE WHEN 1000 * n_common >= 500 * n_union THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS precision_permille
+         |FROM v""".stripMargin,
     "ns_ranking_eval" ->
       s"""WITH pred AS ($exactTopKSql),
          |t AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id

@@ -265,6 +265,36 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Deterministic precision audit of a candidate-pair generator: sample
+    * `samplePermille`‰ of the pairs by a portable hash of (idA, idB) —
+    * reproducible across engines/reruns, unlike `sample()` — verify each
+    * sampled pair with exact n-gram Jaccard, and report one row:
+    * `(n_sampled, n_true, precision_permille)`, where true means
+    * `1000·|∩| ≥ minJaccardPermille·|∪|` (integer cross-multiply — no
+    * float at the decision boundary). This is how LSH settings (bands,
+    * maxBucket, threshold) get validated on the real corpus without
+    * verifying every candidate: cost is samplePermille × candidate count,
+    * and only the sampled pairs' texts are ever joined.
+    */
+  def auditCandidates(pairs: DataFrame, docs: DataFrame, textCol: String,
+      idCol: String, minJaccardPermille: Int, samplePermille: Int = 100,
+      n: Int = 1, seed: String = "graft-audit"): DataFrame = {
+    require(samplePermille > 0 && samplePermille <= 1000,
+      "samplePermille must be in (0, 1000]")
+    require(minJaccardPermille >= 0 && minJaccardPermille <= 1000,
+      "minJaccardPermille must be in [0, 1000]")
+    val sampled = pairs.where(
+      pmod(Curation.portableHash31(
+        concat_ws("|", col("idA"), col("idB")), seed), lit(1000L)) < samplePermille)
+    ngramJaccard(sampled, docs, textCol, idCol, n)
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(when(lit(1000L) * col("n_common") >= lit(minJaccardPermille.toLong) * col("n_union"), 1L)
+          .otherwise(0L)).as("n_true"))
+      .select(col("n_sampled"), col("n_true"),
+        call_function("div", lit(1000L) * col("n_true"), col("n_sampled"))
+          .as("precision_permille"))
+  }
+
   /** Corpus-level MinHash signature: the element-wise minimum of every
     * document's signature, i.e. the MinHash signature of the UNION of all
     * documents' shingle sets (min over a union = min of per-set minima).

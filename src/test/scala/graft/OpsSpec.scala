@@ -693,6 +693,28 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "threshold join must broadcast")
   }
 
+  test("auditCandidates: exact precision on full sample, deterministic sub-sample") {
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("w25", "wX")),                    // true near-dup of 1
+      (3L, (1 to 50).map(i => s"q$i").mkString(" ")),     // unrelated
+      (4L, base + " extra trailing words here")           // true-ish superset
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("idA", "idB")
+    // full sample: precision is exactly 2/3 at a 50% unigram-jaccard bar
+    val full = Dedup.auditCandidates(pairs, docs, "text", "doc_id",
+      minJaccardPermille = 500, samplePermille = 1000).collect().head
+    assert(full.toSeq == Seq(3L, 2L, 666L))
+    // sub-sample: deterministic (identical across runs) and a subset
+    val s1 = Dedup.auditCandidates(pairs, docs, "text", "doc_id",
+      minJaccardPermille = 500, samplePermille = 500).collect().head
+    val s2 = Dedup.auditCandidates(pairs, docs, "text", "doc_id",
+      minJaccardPermille = 500, samplePermille = 500).collect().head
+    assert(s1.toSeq == s2.toSeq, "hash sampling must be reproducible")
+    assert(s1.getLong(0) <= 3L)
+  }
+
   test("normalizeText collapses cosmetic variants to one canonical form, idempotently") {
     val rows = Seq(
       "\tHello World   TaiL   x",
