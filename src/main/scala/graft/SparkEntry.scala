@@ -1334,6 +1334,11 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 250), index, "text", "doc_id",
         maxDist = 10, maxBucket = Int.MaxValue)
     }),
+    "ns_length_histogram" -> ((s, dir) => {
+      // Integer log2-bucket length histogram per language — bucket is a
+      // binary-digit count, so boundaries replay with no FP log.
+      graft.ops.Profile.lengthHistogram(t(s, dir, "documents"), "text", "lang")
+    }),
     "ns_audit_candidates" -> ((s, dir) => {
       // Self-audit gate: hash-sample half the minhash candidates and
       // verify them with exact unigram Jaccard at a 500permille bar. Every
@@ -1975,6 +1980,16 @@ object SparkEntry {
         |WHERE len(list_filter(range(1, 65), i -> a.bits[i] != b.bits[i])) <= 10
         |  AND len(list_filter(range(0, 4), c ->
         |        len(list_filter(range(1, 17), r -> a.bits[c*16 + r] != b.bits[c*16 + r])) = 0)) > 0""".stripMargin,
+    "ns_length_histogram" ->
+      """WITH d AS (
+        |  SELECT lang, CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT lang, CAST(length(bin(n)) - 1 AS INT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n) AS BIGINT) AS total_tokens,
+        |       CAST(min(n) AS BIGINT) AS min_tokens,
+        |       CAST(max(n) AS BIGINT) AS max_tokens
+        |FROM d GROUP BY 1, 2""".stripMargin,
     "ns_audit_candidates" ->
       s"""WITH $minhashSigCtes, prs AS (
          |  SELECT a.doc_id AS idA, b.doc_id AS idB

@@ -157,6 +157,24 @@ object Profile {
     prof.join(extra.withColumnRenamed("__g", groupCol), Seq(groupCol))
   }
 
+  /** Per-group token-length histogram on power-of-two buckets
+    * (`bucket = floor(log2(n_tokens))`, computed as binary-digit count —
+    * pure integer, no FP log at bucket boundaries, engine-portable).
+    * One row per (group, bucket): doc count, token total, exact
+    * min/max. The input to context-window/packing decisions ("how much
+    * of lang X is shorter than 2^k tokens?") and length-curriculum
+    * schedules; scan → partial agg → a (groups × ~20)-row exchange.
+    */
+  def lengthHistogram(docs: DataFrame, textCol: String, groupCol: String): DataFrame =
+    docs.select(col(groupCol),
+        size(toks(col(textCol))).cast("long").as("__n"))
+      .withColumn("bucket", (length(bin(col("__n"))) - 1).cast("int"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__n").as("total_tokens"),
+        min("__n").as("min_tokens"),
+        max("__n").as("max_tokens"))
+
   /** Exact per-group heavy hitters: top-`k` tokens by frequency,
     * deterministic ties (count desc, token asc). One row per kept token:
     * `(groupCol, tok, cnt, rank)`.

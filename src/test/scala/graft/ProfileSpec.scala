@@ -119,6 +119,25 @@ class ProfileSpec extends AnyFunSuite {
     assert(math.abs(sk(0).getLong(7) - 4L) <= 1, "HLL distinct docs close on tiny data")
   }
 
+  test("lengthHistogram: integer log2 buckets, exact counts and extremes") {
+    // token counts: g1 -> 1,2,3,4 (buckets 0,1,1,2); g2 -> 2,5 (buckets 1,2)
+    val h = Profile.lengthHistogram(corpus, "text", "grp")
+      .orderBy("grp", "bucket").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(h.toSeq == Seq(
+      ("g1", 0, 1L, 1L, 1L, 1L),
+      ("g1", 1, 2L, 5L, 2L, 3L),
+      ("g1", 2, 1L, 4L, 4L, 4L),
+      ("g2", 1, 1L, 2L, 2L, 2L),
+      ("g2", 2, 1L, 5L, 5L, 5L)))
+    // power-of-two boundary is integer-exact: 8 tokens -> bucket 3, 7 -> 2
+    val edge = Seq((1L, "e", (1 to 8).map(_ => "t").mkString(" ")),
+      (2L, "e", (1 to 7).map(_ => "t").mkString(" "))).toDF("id", "grp", "text")
+    val eb = Profile.lengthHistogram(edge, "text", "grp")
+      .orderBy("bucket").collect().map(_.getInt(1)).toSeq
+    assert(eb == Seq(2, 3))
+  }
+
   test("heavyHitters: top-k per group with deterministic ties") {
     val out = Profile.heavyHitters(corpus, "text", "grp", 2)
       .orderBy("grp", "rank").collect()
