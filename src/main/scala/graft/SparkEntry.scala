@@ -1235,6 +1235,34 @@ object SparkEntry {
         minStopwordHits = 2, minAlphaWordFrac = 0.9,
         maxDupLineFrac = 0.05, maxDupLineCharFrac = 0.05,
         maxDup2gramFrac = 0.08, maxDup3gramFrac = 0.04, lineLen = 2)),
+    "ns_repetition" -> ((s, dir) =>
+      // Gopher repetition signals (top-2/3/4-gram + dup-5..10-gram char
+      // fractions). Top thresholds tightened from Gopher's table-A1 values
+      // so keep actually splits this corpus (352/500 at sf0.01); dup
+      // thresholds stay Gopher's (this corpus has no 5-gram repeats, the
+      // fractions themselves are still hashed).
+      graft.ops.Curation.repetitionFilter(t(s, dir, "documents"), "text", "doc_id",
+        maxTopFracs = Seq(0.05, 0.04, 0.04))),
+    "ns_fuzzy_join" -> ((s, dir) => {
+      // PassJoin edit-distance self-join on customer names (ed <= 2 =
+      // names differing in <= 2 digit edits). Blocking is provably
+      // complete, so the output EQUALS the oracle's brute-force join.
+      // The id cap keeps the gate (and its quadratic oracle) SF-invariant.
+      val c = t(s, dir, "customer").filter(col("c_custkey") <= 1000)
+      graft.ops.Fuzzy.editDistanceSelfJoin(c, "c_name", "c_custkey", maxDist = 2)
+    }),
+    "ns_percentile_rank" -> ((s, dir) =>
+      // cross-domain score calibration: per-language integer per-mille
+      // percentile of a length score — rank*1000 div (n-1), ties by id
+      graft.ops.Curation.percentileRank(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("score")),
+        "score", "doc_id", Seq("lang"))),
+    "ns_distinctive_terms" -> ((s, dir) =>
+      // integer contrastive tf-idf (tf * 1e6 div df) — the FP-log-free
+      // ranking replays exactly in DuckDB
+      graft.ops.Profile.distinctiveTerms(t(s, dir, "documents"), "text",
+        "lang", "doc_id", k = 10)),
     "ns_line_dedup" -> ((s, dir) => {
       // restructure the word soup into 5-word lines (the corpus has no
       // newlines), then C4-style global line dedup: only the first global
@@ -1590,6 +1618,48 @@ object SparkEntry {
       |   AND CAST(chars_total - chars_dist AS DOUBLE) / chars_total <= 0.05
       |   AND d2 <= 0.08 AND d3 <= 0.04) AS keep
       |FROM st2""".stripMargin
+
+  /** Gopher repetition-signal replay for ns_repetition — CTEs generated per
+    * n from the same (n, threshold) tables the Spark query uses, so the
+    * two sides can't drift. Top-gram ties replay via ORDER BY cnt DESC,
+    * gram (binary collation = the expression's UTF-8-byte tie rule).
+    */
+  private def repetitionSql: String = {
+    val topThresholds = Seq(2 -> 0.05, 3 -> 0.04, 4 -> 0.04)
+    val dupThresholds = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+    def gramsOf(n: Int) =
+      s"CASE WHEN len(toks) < $n THEN [] ELSE list_transform(range(1, len(toks) - $n + 2), i -> array_to_string(toks[i:i+${n - 1}], ' ')) END"
+    val tops = topThresholds.map { case (n, _) =>
+      s"""g$n AS (SELECT doc_id, ${gramsOf(n)} AS gs FROM tk),
+         |c$n AS (SELECT doc_id, g AS gram, count(*) AS cnt
+         |        FROM (SELECT doc_id, unnest(gs) AS g FROM g$n) GROUP BY 1, 2),
+         |w$n AS (SELECT doc_id, gram, cnt,
+         |          row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn,
+         |          sum(cnt * length(gram)) OVER (PARTITION BY doc_id) AS total FROM c$n),
+         |t$n AS (SELECT doc_id, gram AS top_gram,
+         |          CAST(cnt * length(gram) AS DOUBLE) / total AS top_frac FROM w$n WHERE rn = 1)""".stripMargin
+    }
+    val dups = dupThresholds.map { case (n, _) =>
+      s"""d$n AS (
+         |  SELECT doc_id, CASE WHEN len(gs) = 0 THEN 0.0
+         |    ELSE CAST(list_sum(list_transform(gs, x -> length(x))) - list_sum(list_transform(list_distinct(gs), x -> length(x))) AS DOUBLE)
+         |         / list_sum(list_transform(gs, x -> length(x))) END AS dup_frac
+         |  FROM (SELECT doc_id, ${gramsOf(n)} AS gs FROM tk))""".stripMargin
+    }
+    val keep = (topThresholds.map { case (n, t) => s"COALESCE(t$n.top_frac, 0.0) <= $t" } ++
+      dupThresholds.map { case (n, t) => s"d$n.dup_frac <= $t" }).mkString(" AND ")
+    s"""WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |${(tops ++ dups).mkString(",\n")}
+       |SELECT tk.doc_id,
+       |  ${topThresholds.map { case (n, _) =>
+            s"COALESCE(t$n.top_gram, '') AS top_${n}gram, COALESCE(t$n.top_frac, 0.0) AS top_${n}gram_frac" }
+            .mkString(",\n  ")},
+       |  ${dupThresholds.map { case (n, _) => s"d$n.dup_frac AS dup_${n}gram_frac" }.mkString(",\n  ")},
+       |  ($keep) AS keep
+       |FROM tk
+       |${topThresholds.map { case (n, _) => s"LEFT JOIN t$n USING (doc_id)" }.mkString(" ")}
+       |${dupThresholds.map { case (n, _) => s"JOIN d$n USING (doc_id)" }.mkString(" ")}""".stripMargin
+  }
 
   private def minhashSigCtes: String =
     s"""tk AS (
@@ -2621,6 +2691,28 @@ object SparkEntry {
         |FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
         |WHERE g.doc_id % 17 != 0""".stripMargin,
     "ns_quality_filter" -> qualityFilterSql,
+    "ns_repetition" -> repetitionSql,
+    "ns_fuzzy_join" ->
+      """WITH n AS (SELECT c_custkey AS id, c_name AS s FROM customer WHERE c_custkey <= 1000)
+        |SELECT a.id AS idA, b.id AS idB, CAST(levenshtein(a.s, b.s) AS INT) AS dist
+        |FROM n a JOIN n b ON a.id < b.id
+        |WHERE levenshtein(a.s, b.s) <= 2""".stripMargin,
+    "ns_percentile_rank" ->
+      """WITH s AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS score FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rk,
+        |        count(*) OVER (PARTITION BY lang) AS n FROM s)
+        |SELECT doc_id, lang, score,
+        |  CAST(((rk - 1) * 1000) // greatest(n - 1, 1) AS INT) AS permille FROM r""".stripMargin,
+    "ns_distinctive_terms" ->
+      """WITH tk AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |occ AS (SELECT lang, unnest(toks) AS tok FROM tk),
+        |tf AS (SELECT lang, tok, count(*) AS tf FROM occ GROUP BY 1, 2),
+        |dfq AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, unnest(list_distinct(toks)) AS tok FROM tk) GROUP BY 1),
+        |sc AS (SELECT lang, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |         (tf * 1000000) // df AS score FROM tf JOIN dfq USING (tok)),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, tok) AS rank FROM sc)
+        |SELECT lang, tok, tf, df, CAST(score AS BIGINT) AS score, CAST(rank AS INT) AS rank
+        |FROM rk WHERE rank <= 10""".stripMargin,
     "ns_line_dedup" ->
       """WITH t2 AS (SELECT doc_id,
         |        string_split(regexp_replace(lower(trim(text)), '((?:\S+ ){4}\S+) ', '\1' || chr(10), 'g'), chr(10)) AS lines

@@ -40,6 +40,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * | PqSubEncodeExpr       | Similarity PQ encode (subspace)    | ns_ann_pq |
   * | PqAdcExpr             | Similarity PQ ADC scoring          | ns_ann_pq |
   * | MediaPHashExpr        | Multimodal.pHash + media near-dup  | ns_media_phash |
+  * | RepetitionStatsExpr   | Curation.repetitionStats/Filter    | ns_repetition |
   * | ScaleToInt8Expr       | Similarity.quantizeInt8            | ns_embed_int8 |
   * | ProjectVecExpr        | Embeddings.project (PCA apply)     | ns_embed_pca |
   */
@@ -1322,4 +1323,194 @@ object text {
 
   def mediaPHash(content: Column): Column =
     ExpressionUtils.column(MediaPHashExpr(ExpressionUtils.expression(content)))
+
+  /** The Gopher repetition-signal family (Rae et al. 2021 §A1.1) that
+    * CurationStatsExpr does not already carry: per-document top-n-gram
+    * character fractions (n = 2..4, all occurrences of the single most
+    * frequent word n-gram) and duplicate-n-gram character fractions
+    * (n = 5..10, occurrences beyond the first). One tokenization pass,
+    * nine count maps, no shuffle — a scan-speed projection.
+    *
+    * Conventions shared with the sibling signals so the families compose:
+    * tokens are `lower(trim(text))` split on `\s+` (limit -1, same as
+    * CurationStatsExpr and every gram builder); gram text is the
+    * single-space join; every fraction's denominator is the total n-gram
+    * characters for that n (Gopher normalizes by document characters —
+    * monotonically related; this keeps the whole family on one
+    * denominator convention). Fractions are one IEEE double division, so
+    * the DuckDB oracle replays them bit-for-bit. Top-gram ties break to
+    * the UTF-8-byte-order-smallest gram — `ORDER BY cnt DESC, gram`
+    * replays the winner exactly.
+    */
+  case class RepetitionStatsExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(
+      (2 to 4).flatMap(n => Seq(
+        StructField(s"top_${n}gram", StringType, nullable = false),
+        StructField(s"top_${n}gram_frac", DoubleType, nullable = false))) ++
+      (5 to 10).map(n => StructField(s"dup_${n}gram_frac", DoubleType, nullable = false)))
+    override def nullSafeEval(input: Any): Any = {
+      val raw = input.asInstanceOf[UTF8String].toString
+      var st = 0
+      var en = raw.length
+      while (st < en && raw.charAt(st) == ' ') st += 1
+      while (en > st && raw.charAt(en - 1) == ' ') en -= 1
+      val s = UTF8String.fromString(raw.substring(st, en)).toLowerCase.toString
+      val toks: Array[String] = s.split("\\s+", -1)
+      val nWords = toks.length
+      // (count map, total gram chars) for one n — single pass over toks
+      def gramCounts(n: Int): (java.util.HashMap[String, Long], Long) = {
+        val m = new java.util.HashMap[String, Long]
+        var total = 0L
+        var i = 0
+        while (i + n <= nWords) {
+          val sb = new java.lang.StringBuilder
+          var t = i
+          while (t < i + n) {
+            if (t > i) sb.append(' ')
+            sb.append(toks(t))
+            t += 1
+          }
+          val gm = sb.toString
+          total += gm.length
+          m.put(gm, m.getOrDefault(gm, 0L) + 1L)
+          i += 1
+        }
+        (m, total)
+      }
+      val out = new Array[Any](12)
+      var o = 0
+      var n = 2
+      while (n <= 4) {
+        val (m, total) = gramCounts(n)
+        var bestGram: String = ""
+        var bestCnt = 0L
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val better = e.getValue > bestCnt ||
+            (e.getValue == bestCnt && bestCnt > 0L &&
+              UTF8String.fromString(e.getKey).compareTo(UTF8String.fromString(bestGram)) < 0)
+          if (better) { bestGram = e.getKey; bestCnt = e.getValue }
+        }
+        out(o) = UTF8String.fromString(bestGram)
+        out(o + 1) =
+          if (total == 0L) 0.0 else (bestCnt * bestGram.length).toDouble / total
+        o += 2
+        n += 1
+      }
+      n = 5
+      while (n <= 10) {
+        val (m, total) = gramCounts(n)
+        var dup = 0L
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue > 1L) dup += (e.getValue - 1L) * e.getKey.length
+        }
+        out(o) = if (total == 0L) 0.0 else dup.toDouble / total
+        o += 1
+        n += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(out: _*)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  def repetitionStats(text: Column): Column =
+    ExpressionUtils.column(RepetitionStatsExpr(ExpressionUtils.expression(text)))
+
+  /** PassJoin blocking keys (Li, Deng, Feng 2011, "PASS-JOIN: a partition-
+    * based method for similarity joins"): if ed(a, b) <= d, then splitting
+    * `a` into d+1 segments, at least one segment occurs VERBATIM in `b`
+    * at a start position shifted by at most d (pigeonhole: d edits cannot
+    * touch all d+1 segments, and untouched text shifts by at most the net
+    * insertions/deletions so far). So equality on
+    * (targetLen, segIdx, segText) keys is a COMPLETE candidate filter for
+    * edit distance — never all-pairs, and the exchange carries only short
+    * substrings.
+    *
+    * `index = false` (probe side): one key per segment of the string
+    * itself — `(l = |a|, i, segment_i(a))`.
+    * `index = true` (indexed side): for every compatible probe length
+    * l in [|b|-d, |b|+d], every segment slot i of the length-l
+    * segmentation, and every start within the +-d window, the substring of
+    * `b` of that segment's length — `(l, i, sub)`; deduplicated per row.
+    *
+    * Segmentation of a length-l string into n = d+1 parts: k = l / n,
+    * m = l mod n; the first n-m segments have length k, the last m have
+    * k+1 (the standard even split). Zero-length segments (l < n) emit ""
+    * keys on both sides, so strings shorter than d+1 degrade to
+    * length-blocked candidates rather than losing completeness.
+    */
+  case class PassJoinKeysExpr(child: Expression, maxDist: Int, index: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("l", IntegerType, nullable = false),
+      StructField("seg", IntegerType, nullable = false),
+      StructField("sub", StringType, nullable = false))), containsNull = false)
+    // (start, len) of segment i when a length-l string splits into d+1 parts
+    private def segBounds(l: Int): Array[(Int, Int)] = {
+      val n = maxDist + 1
+      val k = l / n
+      val m = l % n
+      val out = new Array[(Int, Int)](n)
+      var start = 0
+      var i = 0
+      while (i < n) {
+        val len = if (i >= n - m) k + 1 else k
+        out(i) = (start, len)
+        start += len
+        i += 1
+      }
+      out
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val len = s.length
+      val d = maxDist
+      val rows = new scala.collection.mutable.ArrayBuffer[Any]
+      if (!index) {
+        val bounds = segBounds(len)
+        var i = 0
+        while (i < bounds.length) {
+          val (p, k) = bounds(i)
+          rows += org.apache.spark.sql.catalyst.InternalRow(
+            len, i, UTF8String.fromString(s.substring(p, p + k)))
+          i += 1
+        }
+      } else {
+        val seen = new java.util.HashSet[String]
+        var l = math.max(0, len - d)
+        while (l <= len + d) {
+          val bounds = segBounds(l)
+          var i = 0
+          while (i < bounds.length) {
+            val (p, k) = bounds(i)
+            if (k == 0) {
+              if (seen.add(s"$l|$i|"))
+                rows += org.apache.spark.sql.catalyst.InternalRow(l, i, UTF8String.fromString(""))
+            } else {
+              var q = math.max(0, p - d)
+              val qMax = math.min(len - k, p + d)
+              while (q <= qMax) {
+                val sub = s.substring(q, q + k)
+                if (seen.add(s"$l|$i|$sub"))
+                  rows += org.apache.spark.sql.catalyst.InternalRow(l, i, UTF8String.fromString(sub))
+                q += 1
+              }
+            }
+            i += 1
+          }
+          l += 1
+        }
+      }
+      new GenericArrayData(rows.toArray)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  def passJoinKeys(text: Column, maxDist: Int, index: Boolean): Column =
+    ExpressionUtils.column(PassJoinKeysExpr(ExpressionUtils.expression(text), maxDist, index))
 }

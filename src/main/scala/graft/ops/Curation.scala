@@ -516,6 +516,43 @@ object Curation {
       q.getField("dup_2gram_frac") <= maxDup2gramFrac &&
       q.getField("dup_3gram_frac") <= maxDup3gramFrac
 
+  /** The Gopher repetition-signal family CurationStatsExpr does not carry
+    * (Rae et al. 2021 §A1.1 table A1): top-n-gram character fractions
+    * (n = 2..4 — all occurrences of the single most frequent word n-gram,
+    * ties to the byte-order-smallest gram) and duplicate-n-gram character
+    * fractions (n = 5..10 — occurrences beyond the first). One row per
+    * document: `(idCol, top_2gram, top_2gram_frac, ..., dup_10gram_frac)`.
+    * Pure projection (one single-pass expression), zero shuffle — at
+    * 100 TB this runs at scan speed alongside the other per-doc signals.
+    * Denominator convention is total n-gram characters for that n, same
+    * as the sibling dup_2/3gram signals (Gopher normalizes by document
+    * characters — monotonically related; one convention family-wide).
+    */
+  def repetitionStats(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.text.repetitionStats(col(textCol)).as("r"))
+      .select(col(idCol) +: repetitionFields.map(f => col(s"r.$f").as(f)): _*)
+
+  private[ops] val repetitionFields: Seq[String] =
+    (2 to 4).flatMap(n => Seq(s"top_${n}gram", s"top_${n}gram_frac")) ++
+      (5 to 10).map(n => s"dup_${n}gram_frac")
+
+  /** [[repetitionStats]] plus the Gopher keep conjunction. Default
+    * thresholds are Gopher's published table A1 values (top 0.20/0.18/0.16,
+    * dup 0.15 down to 0.10); signals stay in the output so re-filtering is
+    * a predicate, not a recompute.
+    */
+  def repetitionFilter(docs: DataFrame, textCol: String, idCol: String,
+      maxTopFracs: Seq[Double] = Seq(0.20, 0.18, 0.16),
+      maxDupFracs: Seq[Double] = Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10)): DataFrame = {
+    require(maxTopFracs.length == 3 && maxDupFracs.length == 6,
+      "thresholds cover n=2..4 (top) and n=5..10 (dup)")
+    val keep = (2 to 4).map(n => col(s"top_${n}gram_frac") <= maxTopFracs(n - 2))
+      .reduce(_ && _) &&
+      (5 to 10).map(n => col(s"dup_${n}gram_frac") <= maxDupFracs(n - 5)).reduce(_ && _)
+    repetitionStats(docs, textCol, idCol).withColumn("keep", keep)
+  }
+
   // ------------------------------------- importance resampling (DSIR)
 
   /** Sparse hashed n-gram (n = 1..2) feature counts per document — the
@@ -741,6 +778,33 @@ object Curation {
     df.withColumn(rk, row_number().over(w))
       .where(col(rk) <= quota)
       .drop(rk)
+  }
+
+  /** Per-group percentile rank of `scoreCol` as an integer per-mille
+    * (`(rank - 1) * 1000 div (n - 1)`, ranks by score asc with `idCol`
+    * breaking ties): the rank-based calibration that makes raw quality /
+    * LM scores comparable ACROSS domains before a global threshold or mix
+    * is applied (a 0.8 classifier score means different things in code vs
+    * prose; permille 800 means the same thing everywhere). Singleton
+    * groups get permille 0. Output: input columns + `outCol`.
+    *
+    * Scale: one window sort per group — the same shape (and the same
+    * skewed-group caveat) as [[keepTopFraction]]'s exact tier; for
+    * cardinality-skewed corpora compute a sketch-quantile bucket instead
+    * ([[keepTopFractionApprox]]'s GK machinery generalizes).
+    */
+  def percentileRank(df: DataFrame, scoreCol: String, idCol: String,
+      groupCols: Seq[String], outCol: String = "permille"): DataFrame = {
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty (a global rank is a single-partition sort; bucket globally with keepTopFractionApprox instead)")
+    require(!df.columns.contains(outCol), s"output column $outCol collides with input")
+    val part = groupCols.map(col)
+    val rk = row_number()
+      .over(Window.partitionBy(part: _*).orderBy(col(scoreCol).asc, col(idCol).asc))
+      .cast("long")
+    val n = count(lit(1)).over(Window.partitionBy(part: _*))
+    df.withColumn(outCol,
+      call_function("div", (rk - 1L) * 1000L, greatest(n - 1L, lit(1L))).cast("int"))
   }
 
   /** Per-group top-fraction keep, exact tier: retain the best

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edit-distance similarity joins (record linkage / fuzzy entity matching):
+  * find all cross- or self-pairs of short strings within Levenshtein
+  * distance `maxDist`, without ever forming the all-pairs product.
+  *
+  * Candidate generation is PassJoin segment blocking (Li, Deng, Feng 2011;
+  * see [[graft.functions.text.PassJoinKeysExpr]] for the pigeonhole
+  * argument): equality on (targetLen, segIdx, segText) keys is provably
+  * COMPLETE for ed <= maxDist, so the verified output equals the brute-
+  * force join — the property the DuckDB all-pairs oracle (ns_fuzzy_join)
+  * checks end-to-end. Verification is Spark's codegen'd `levenshtein`.
+  *
+  * Scale shape: each indexed row emits O((2d+1)^2 (d+1)) short substring
+  * keys (75 for d = 2) — the exchange carries keys plus the strings being
+  * matched, which this operator assumes are SHORT (names, titles, codes;
+  * for document bodies use the MinHash/SimHash family instead). The join
+  * is a plain shuffled equi-join on the key triple, so selectivity comes
+  * from segment diversity: corpora sharing long constant prefixes (serial
+  * numbers, "Customer#...") collapse many rows into one bucket. That
+  * degrades toward (but never past) verify-everything; `maxBucket` is the
+  * documented skew guard for the tail — finite values trade completeness
+  * in oversized buckets for a bounded worst case, exactly like the LSH
+  * generators' guard. Blocking operates on UTF-16 code units while the
+  * verify distance is code-point based — identical for BMP text; corpora
+  * with supplementary-plane characters should normalize first.
+  */
+object Fuzzy {
+
+  /** All pairs (idA from `left`, idB from `right`) with
+    * `levenshtein(textA, textB) <= maxDist`, plus the distance. Null
+    * strings and ids never match. Output: (idA, idB, dist), distinct.
+    */
+  def editDistanceJoin(
+      left: DataFrame, leftText: String, leftId: String,
+      right: DataFrame, rightText: String, rightId: String,
+      maxDist: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val lk = left
+      .where(col(leftText).isNotNull && col(leftId).isNotNull)
+      .select(col(leftId).as("__lid"), col(leftText).as("__ls"),
+        explode(graft.functions.text.passJoinKeys(col(leftText), maxDist, index = false)).as("k"))
+      .select(col("__lid"), col("__ls"), col("k.l"), col("k.seg"), col("k.sub"))
+    val rk = right
+      .where(col(rightText).isNotNull && col(rightId).isNotNull)
+      .select(col(rightId).as("__rid"), col(rightText).as("__rs"),
+        explode(graft.functions.text.passJoinKeys(col(rightText), maxDist, index = true)).as("k"))
+      .select(col("__rid"), col("__rs"), col("k.l"), col("k.seg"), col("k.sub"))
+    val keys = Seq("l", "seg", "sub")
+    Dedup.capBuckets(lk, keys, maxBucket)
+      .join(Dedup.capBuckets(rk, keys, maxBucket), keys)
+      // candidate pair once, regardless of how many segments matched
+      .dropDuplicates("__lid", "__rid")
+      .withColumn("dist", levenshtein(col("__ls"), col("__rs")))
+      .where(col("dist") <= maxDist)
+      .select(col("__lid").as("idA"), col("__rid").as("idB"), col("dist"))
+  }
+
+  /** Self-join form for near-duplicate keys within one table: unordered
+    * pairs (idA < idB) within `maxDist`. The id column must be orderable.
+    */
+  def editDistanceSelfJoin(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int, maxBucket: Int = Int.MaxValue): DataFrame =
+    editDistanceJoin(df, textCol, idCol, df, textCol, idCol, maxDist, maxBucket)
+      .where(col("idA") < col("idB"))
+}

@@ -175,6 +175,39 @@ object Profile {
         min("__n").as("min_tokens"),
         max("__n").as("max_tokens"))
 
+  /** Per-group distinctive terms: top-`k` tokens by an integer
+    * contrastive tf-idf — `score = tf_group * 1_000_000 div df_corpus`
+    * (fixed-point division, so the ranking replays exactly in any engine;
+    * the FP `log` of textbook idf does not cross engines bit-for-bit).
+    * High scores = frequent in the group, rare corpus-wide — the "what is
+    * this domain about" table used for mixture labeling and domain cards.
+    * One row per kept token: `(groupCol, tok, tf, df, score, rank)`;
+    * deterministic ties (score desc, token asc).
+    *
+    * Scale shape: two partial-aggregated token rollups (group-tf and
+    * distinct-doc df) joined on token — exchanges carry vocabulary-sized
+    * aggregates, never documents; the rank window sorts per-group
+    * vocabularies only.
+    */
+  def distinctiveTerms(docs: DataFrame, textCol: String, groupCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val tf = docs
+      .select(col(groupCol).as("__g"), explode(toks(col(textCol))).as("tok"))
+      .groupBy("__g", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = docs
+      .select(col(idCol).as("__id"), explode(array_distinct(toks(col(textCol)))).as("tok"))
+      .distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "tok")
+      .withColumn("score", call_function("div", col("tf") * lit(1000000L), col("df")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("__g").orderBy(col("score").desc, col("tok"))).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("__g").as(groupCol), col("tok"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
   /** Exact per-group heavy hitters: top-`k` tokens by frequency,
     * deterministic ties (count desc, token asc). One row per kept token:
     * `(groupCol, tok, cnt, rank)`.

@@ -652,4 +652,56 @@ class CurationSpec extends AnyFunSuite {
     // quota larger than the stratum returns the whole stratum
     assert(Curation.stratifiedQuota(df, "id", "s", quota = 1000).count() == 300)
   }
+
+  test("percentileRank: per-mille ranks, tie by id, singleton gets 0") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 20L), ("a", 4L, 30L), ("a", 5L, 5L),
+      ("b", 6L, 100L)
+    ).toDF("g", "id", "score")
+    val out = Curation.percentileRank(df, "score", "id", Seq("g"))
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toMap
+    // a ranks by (score, id): 5->1, 1->2, 3->3, 2->4, 4->5; permille = (rk-1)*1000//4
+    assert(out == Map(5L -> 0, 1L -> 250, 3L -> 500, 2L -> 750, 4L -> 1000, 6L -> 0))
+    // output column collision is rejected
+    intercept[IllegalArgumentException] {
+      Curation.percentileRank(df.withColumn("permille", lit(1)), "score", "id", Seq("g"))
+    }
+  }
+
+  test("repetitionStats: hand-computed top and dup n-gram fractions") {
+    val df = Seq((1L, "a b a b a c")).toDF("id", "text")
+    val r = Curation.repetitionStats(df, "text", "id").collect()(0)
+    // 2-grams: "a b"x2, "b a"x2, "a c"x1; tie breaks to byte-smallest "a b";
+    // chars = 2*3 over total 5*3
+    assert(r.getAs[String]("top_2gram") == "a b")
+    assert(r.getAs[Double]("top_2gram_frac") == 6.0 / 15.0)
+    // 3-grams: "a b a"x2 of 4 grams; 2*5 over 4*5
+    assert(r.getAs[String]("top_3gram") == "a b a")
+    assert(r.getAs[Double]("top_3gram_frac") == 10.0 / 20.0)
+    // 4-grams all unique: count-1 tie -> byte-smallest "a b a b"; 7 over 21
+    assert(r.getAs[String]("top_4gram") == "a b a b")
+    assert(r.getAs[Double]("top_4gram_frac") == 7.0 / 21.0)
+    // 5/6-grams occur once each -> dup 0; n=7..10 have no grams -> 0
+    (5 to 10).foreach(n => assert(r.getAs[Double](s"dup_${n}gram_frac") == 0.0, s"n=$n"))
+  }
+
+  test("repetitionStats: periodic text is caught by the dup fractions") {
+    val df = Seq((1L, Seq.fill(4)("x y").mkString(" "))).toDF("id", "text")
+    val r = Curation.repetitionStats(df, "text", "id").collect()(0)
+    // 8 tokens x-y alternating: "x y"x4 of 7 bigrams -> 12/21
+    assert(r.getAs[String]("top_2gram") == "x y")
+    assert(r.getAs[Double]("top_2gram_frac") == 12.0 / 21.0)
+    // 5-grams: both distinct grams appear twice -> dup = 2*9 over 4*9
+    assert(r.getAs[Double]("dup_5gram_frac") == 0.5)
+  }
+
+  test("repetitionFilter: Gopher thresholds keep natural text, drop loops") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog while nobody watches closely"),
+      (2L, Seq.fill(20)("buy now limited offer").mkString(" "))
+    ).toDF("id", "text")
+    val keep = Curation.repetitionFilter(df, "text", "id")
+      .orderBy("id").collect().map(_.getAs[Boolean]("keep")).toSeq
+    assert(keep == Seq(true, false))
+  }
 }

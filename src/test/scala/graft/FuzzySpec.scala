@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.Fuzzy
+
+/** Semantics tests for the PassJoin edit-distance join: hand goldens, the
+  * completeness law vs the brute-force join (the property the DuckDB
+  * oracle re-checks at corpus scale), short-string degenerate paths, and
+  * the skew-guard subset property.
+  */
+class FuzzySpec extends AnyFunSuite {
+  import SparkTestBase.spark
+  import spark.implicits._
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("self-join finds exactly the hand-computed pairs at d=2") {
+    val df = Seq(
+      (1L, "kitten"), (2L, "sitten"), (3L, "sitting"), (4L, "kitchen"), (5L, "apple")
+    ).toDF("id", "s")
+    val got = pairs(Fuzzy.editDistanceSelfJoin(df, "s", "id", maxDist = 2))
+    assert(got == Set((1L, 2L, 1), (2L, 3L, 2), (1L, 4L, 2)))
+  }
+
+  test("completeness law: PassJoin output equals the brute-force join") {
+    // deterministic string soup over a tiny alphabet, lengths 0..8 —
+    // includes empty and shorter-than-d+1 strings (the k=0 key path)
+    val rows = (0 until 90).map { i =>
+      val h = java.lang.Integer.hashCode(i * 0x9E3779B9.toInt)
+      val len = math.abs(h) % 9
+      val s = (0 until len).map(j => ("ab".charAt(math.abs(h >> j) % 2))).mkString
+      (i.toLong, s)
+    }
+    val df = rows.toDF("id", "s")
+    for (d <- 0 to 3) {
+      val got = pairs(Fuzzy.editDistanceSelfJoin(df, "s", "id", maxDist = d))
+      val a = df.select(col("id").as("idA"), col("s").as("sa"))
+      val b = df.select(col("id").as("idB"), col("s").as("sb"))
+      val brute = pairs(a.crossJoin(b).where(col("idA") < col("idB"))
+        .withColumn("dist", levenshtein(col("sa"), col("sb")))
+        .where(col("dist") <= d)
+        .select(col("idA"), col("idB"), col("dist")))
+      assert(got == brute, s"d=$d: PassJoin must equal brute force")
+    }
+  }
+
+  test("cross-table join matches ids across frames, keeps nulls out") {
+    val l = Seq((1L, "graft"), (2L, "spark"), (3L, null.asInstanceOf[String])).toDF("lid", "ls")
+    val r = Seq((10L, "craft"), (11L, "sparks"), (12L, "zzzzz")).toDF("rid", "rs")
+    val got = pairs(Fuzzy.editDistanceJoin(l, "ls", "lid", r, "rs", "rid", maxDist = 1))
+    assert(got == Set((1L, 10L, 1), (2L, 11L, 1)))
+  }
+
+  test("maxBucket skew guard yields a subset of the unguarded pairs") {
+    val df = (0 until 40).map(i => (i.toLong, f"item$i%02d")).toDF("id", "s")
+    val all = pairs(Fuzzy.editDistanceSelfJoin(df, "s", "id", maxDist = 2))
+    val guarded = pairs(Fuzzy.editDistanceSelfJoin(df, "s", "id", maxDist = 2, maxBucket = 10))
+    assert(guarded.subsetOf(all))
+    assert(all.nonEmpty)
+  }
+}

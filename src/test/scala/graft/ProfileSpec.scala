@@ -138,6 +138,24 @@ class ProfileSpec extends AnyFunSuite {
     assert(eb == Seq(2, 3))
   }
 
+  test("distinctiveTerms: integer contrastive tf-idf favors group-local tokens") {
+    val df = Seq(
+      (1L, "g1", "apple apple apple shared"),
+      (2L, "g1", "apple shared"),
+      (3L, "g2", "banana shared"),
+      (4L, "g2", "banana banana shared")
+    ).toDF("id", "grp", "text")
+    val out = graft.ops.Profile.distinctiveTerms(df, "text", "grp", "id", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))
+      .groupBy(_._1)
+    // g1: apple tf=4 df=2 -> 2_000_000 beats shared tf=2 df=4 -> 500_000
+    assert(out("g1").sortBy(_._6).toSeq == Seq(
+      ("g1", "apple", 4L, 2L, 2000000L, 1), ("g1", "shared", 2L, 4L, 500000L, 2)))
+    // g2: banana tf=3 df=2 -> 1_500_000 beats shared
+    assert(out("g2").sortBy(_._6).toSeq == Seq(
+      ("g2", "banana", 3L, 2L, 1500000L, 1), ("g2", "shared", 2L, 4L, 500000L, 2)))
+  }
+
   test("heavyHitters: top-k per group with deterministic ties") {
     val out = Profile.heavyHitters(corpus, "text", "grp", 2)
       .orderBy("grp", "rank").collect()
