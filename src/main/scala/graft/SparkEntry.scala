@@ -1263,6 +1263,43 @@ object SparkEntry {
       // ranking replays exactly in DuckDB
       graft.ops.Profile.distinctiveTerms(t(s, dir, "documents"), "text",
         "lang", "doc_id", k = 10)),
+    "ns_strip_markup" -> ((s, dir) => {
+      // Markup-removal gate: both engines wrap every document in the SAME
+      // HTML scaffold (tags, comment, script/style blocks, the named
+      // entities) and must extract the identical text. The scaffold is
+      // shared via htmlWrapSpark/htmlWrapSqlExpr.
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"),
+        graft.ops.TextAnalysis.stripMarkup(htmlWrapSpark(col("text"))).as("clean"))
+    }),
+    "ns_script_profile" -> ((s, dir) => {
+      // Unicode-script histogram gate: inject fixed non-Latin runs (unicode
+      // literals on the Spark side — chr() wraps at 256) so every class has
+      // mass; the oracle SQL is GENERATED from the same ScriptClasses table.
+      val docs = t(s, dir, "documents")
+      val mixed = concat(col("text"), scriptInjectLit)
+      graft.ops.TextAnalysis.scriptProfile(
+        docs.select(col("doc_id"), mixed.as("text")), "text", "doc_id")
+    }),
+    "ns_cross_corpus" -> ((s, dir) => {
+      // Priority cross-corpus dedup: pseudo-corpora from one table (id mod
+      // 3), "wiki" outranks "web"; winner = min (priority, id) per digest.
+      val docs = t(s, dir, "documents")
+      graft.ops.Dedup.crossCorpusDedup(
+        Seq(
+          "wiki" -> docs.filter(col("doc_id") % 3 === 0),
+          "web" -> docs.filter(col("doc_id") % 3 =!= 0)),
+        "text", "doc_id")
+    }),
+    "ns_token_drift" -> ((s, dir) => {
+      // Integer-exact unigram drift between two pseudo-snapshots (id mod
+      // 2): micro-frequency diff² div sum — values AND ranking replay.
+      val docs = t(s, dir, "documents")
+      graft.ops.Profile.tokenDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", k = 50)
+    }),
     "ns_line_dedup" -> ((s, dir) => {
       // restructure the word soup into 5-word lines (the corpus has no
       // newlines), then C4-style global line dedup: only the first global
@@ -1659,6 +1696,87 @@ object SparkEntry {
        |FROM tk
        |${topThresholds.map { case (n, _) => s"LEFT JOIN t$n USING (doc_id)" }.mkString(" ")}
        |${dupThresholds.map { case (n, _) => s"JOIN d$n USING (doc_id)" }.mkString(" ")}""".stripMargin
+  }
+
+  /** Shared HTML scaffold for ns_strip_markup: both engines wrap the
+    * document text in THIS string (no single quotes — it goes into a SQL
+    * literal verbatim) and must strip it back to
+    * `Doc <text> & tail "q" <3 'a'`. Kept as one pair of constants so the
+    * two sides cannot drift.
+    */
+  private val htmlPrefix =
+    "<html><head><style type=\"text/css\">p { color: red }</style>" +
+      "<script>var x = \"<b>1</b>\";</script></head>" +
+      "<body><!-- note --><h1>Doc</h1><p class=\"lead\">"
+  private val htmlSuffix =
+    " &amp; tail &quot;q&quot;&nbsp;&lt;3 &apos;a&#39;</p></body></html>"
+
+  private def htmlWrapSpark(inner: Column): Column =
+    concat(lit(htmlPrefix), inner, lit(htmlSuffix))
+
+  /** DuckDB replay of [[graft.ops.TextAnalysis.stripMarkup]] over the same
+    * scaffold — identical RE2-class patterns, every replace with the 'g'
+    * flag (DuckDB replaces first-only by default; Spark replaces all).
+    */
+  private def stripMarkupSql: String = {
+    val chain = Seq(
+      "(?s)<!--.*?-->" -> " ",
+      "(?is)<script\\b[^>]*>.*?</script>" -> " ",
+      "(?is)<style\\b[^>]*>.*?</style>" -> " ",
+      "<[^>]*>" -> " ",
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
+      "&amp;" -> "&",
+      "\\s+" -> " ")
+    val expr = chain.foldLeft("h") { case (acc, (pat, rep)) =>
+      val sqlRep = rep.replace("'", "''")
+      s"regexp_replace($acc, '$pat', '$sqlRep', 'g')"
+    }
+    s"""WITH w AS (SELECT doc_id, '$htmlPrefix' || text || '$htmlSuffix' AS h FROM documents)
+       |SELECT doc_id, trim($expr) AS clean FROM w""".stripMargin
+  }
+
+  /** Non-Latin injection for ns_script_profile, derived from ONE codepoint
+    * list: the Spark side gets the literal string, the SQL side a chr()
+    * chain (Spark's chr wraps at 256, so literals there; DuckDB's chr is
+    * by codepoint, so chr() there survives any transport encoding).
+    */
+  private val scriptInjectCps: Seq[Int] =
+    " привет 你好世界 αβ مرحبا カタ 가나 42"
+      .codePoints.toArray.toSeq
+  private def scriptInjectLit: Column =
+    lit(new String(scriptInjectCps.toArray, 0, scriptInjectCps.length))
+  private def scriptInjectSqlExpr: String =
+    scriptInjectCps.map(c => s"chr($c)").mkString(" || ")
+
+  /** DuckDB replay of [[graft.ops.TextAnalysis.scriptProfile]], generated
+    * from the same ScriptClasses table (Java `\\uXXXX` range escapes become
+    * RE2 `\\x{XXXX}`). Dominant = first name in alphabetical order hitting
+    * the row max (the fold's strict-> keeps the earliest on ties).
+    */
+  private def scriptProfileSql: String = {
+    val classes = graft.ops.TextAnalysis.ScriptClasses
+    val names = classes.map(_._1) :+ "other"
+    def re2(cls: String): String =
+      cls.replaceAll("\\\\u([0-9A-Fa-f]{4})", "\\\\x{$1}")
+    val countCols = classes.map { case (name, cls) =>
+      s"CAST(len(regexp_extract_all(t, '${re2(cls)}')) AS BIGINT) AS n_$name"
+    }
+    val known = classes.map { case (n, _) => s"n_$n" }.mkString(" + ")
+    val pmCols = names.map(n =>
+      s"CAST((n_$n * 1000) // greatest(n_chars, 1) AS INT) AS pm_$n")
+    val maxExpr = s"greatest(${names.map(n => s"n_$n").mkString(", ")})"
+    val domCases = names.init.map(n => s"WHEN n_$n = __m THEN '$n'").mkString(" ")
+    s"""WITH c AS (SELECT doc_id, text || $scriptInjectSqlExpr AS t FROM documents),
+       |n AS (SELECT doc_id,
+       |  ${countCols.mkString(",\n  ")},
+       |  CAST(length(regexp_replace(t, '\\s', '', 'g')) AS BIGINT) AS n_chars FROM c),
+       |o AS (SELECT *, n_chars - ($known) AS n_other FROM n),
+       |m AS (SELECT *, $maxExpr AS __m FROM o)
+       |SELECT doc_id, ${names.map(n => s"n_$n").mkString(", ")}, n_chars,
+       |  ${pmCols.mkString(",\n  ")},
+       |  CASE WHEN n_chars = 0 THEN 'other' $domCases ELSE 'other' END AS dominant_script
+       |FROM m""".stripMargin
   }
 
   private def minhashSigCtes: String =
@@ -2713,6 +2831,42 @@ object SparkEntry {
         |rk AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, tok) AS rank FROM sc)
         |SELECT lang, tok, tf, df, CAST(score AS BIGINT) AS score, CAST(rank AS INT) AS rank
         |FROM rk WHERE rank <= 10""".stripMargin,
+    "ns_strip_markup" -> stripMarkupSql,
+    "ns_script_profile" -> scriptProfileSql,
+    "ns_cross_corpus" ->
+      """WITH u AS (
+        |  SELECT 'wiki' AS source, 0 AS pri, doc_id AS id, md5(text) AS dg
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'web', 1, doc_id, md5(text) FROM documents WHERE doc_id % 3 <> 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY dg ORDER BY pri, id) AS rn FROM u),
+        |w AS (SELECT dg, source AS winner_source, id AS winner_id FROM r WHERE rn = 1)
+        |SELECT u.source, u.id,
+        |  (u.source = w.winner_source AND u.id = w.winner_id) AS keep,
+        |  w.winner_source, w.winner_id
+        |FROM u JOIN w USING (dg)""".stripMargin,
+    "ns_token_drift" ->
+      """WITH ta AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |tb AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |       FROM documents WHERE doc_id % 2 = 1),
+        |ca AS (SELECT tok, count(*) AS cnt_a FROM ta GROUP BY 1),
+        |cb AS (SELECT tok, count(*) AS cnt_b FROM tb GROUP BY 1),
+        |j AS (SELECT COALESCE(ca.tok, cb.tok) AS tok,
+        |        COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+        |      FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+        |t AS (SELECT greatest(CAST((SELECT sum(cnt_a) FROM j) AS BIGINT), 1) AS tta,
+        |        greatest(CAST((SELECT sum(cnt_b) FROM j) AS BIGINT), 1) AS ttb),
+        |f AS (SELECT tok, cnt_a, cnt_b,
+        |        (cnt_a * 1000000) // tta AS freq_a,
+        |        (cnt_b * 1000000) // ttb AS freq_b FROM j, t),
+        |c AS (SELECT *, CASE WHEN freq_a + freq_b = 0 THEN 0
+        |        ELSE ((freq_a - freq_b) * (freq_a - freq_b)) // (freq_a + freq_b) END AS contrib
+        |      FROM f),
+        |r AS (SELECT *, row_number() OVER (ORDER BY contrib DESC, tok) AS rank FROM c)
+        |SELECT tok, cnt_a, cnt_b, freq_a, freq_b, CAST(contrib AS BIGINT) AS contrib,
+        |  CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 50""".stripMargin,
     "ns_line_dedup" ->
       """WITH t2 AS (SELECT doc_id,
         |        string_split(regexp_replace(lower(trim(text)), '((?:\S+ ){4}\S+) ', '\1' || chr(10), 'g'), chr(10)) AS lines

@@ -129,6 +129,44 @@ object Dedup {
     size(filter(zip_with(sigA, sigB, (x, y) => (x === y).cast("int")),
       v => v === 1)) / lit(numHashes.toDouble)
 
+  /** Cross-corpus exact dedup with source priority: when the same content
+    * appears in several corpora (Wikipedia inside Common Crawl, a books
+    * set inside a web dump), keep ONE copy — from the most-trusted source.
+    * `corpora` is (sourceName, frame) in priority order (index 0 wins);
+    * within a source, ties break to the smallest id. Returns every input
+    * row tagged `(source, id, keep, winner_source, winner_id)` so callers
+    * can either filter `keep` or audit the overlap matrix.
+    *
+    * Scale shape: one union (no data movement), one hash-partitioned
+    * aggregation on the 16-byte digest (uniform key — no skew by
+    * construction), one digest equi-join back. Text never enters the
+    * exchange: the winner table carries (digest, priority, id) only.
+    * Chain [[graft.ops.TextAnalysis.normalizeText]] into `contentCol`
+    * upstream when cosmetic variants should collapse.
+    */
+  def crossCorpusDedup(corpora: Seq[(String, DataFrame)], contentCol: String,
+      idCol: String): DataFrame = {
+    require(corpora.nonEmpty, "need at least one corpus")
+    require(corpora.map(_._1).distinct.length == corpora.length,
+      "source names must be unique")
+    val tagged = corpora.zipWithIndex.map { case ((name, df), pri) =>
+      df.select(lit(name).as("source"), lit(pri).as("__pri"),
+        col(idCol).as("id"), md5(col(contentCol)).as("__digest"))
+    }.reduce(_.unionByName(_))
+    // winner per digest = min (priority, id) — a struct-min aggregation,
+    // partially aggregated map-side like any min
+    val winners = tagged
+      .groupBy("__digest")
+      .agg(min(struct(col("__pri"), col("id"), col("source"))).as("w"))
+      .select(col("__digest"), col("w.source").as("winner_source"),
+        col("w.id").as("winner_id"), col("w.__pri").as("__wpri"))
+    tagged.join(winners, "__digest")
+      .select(col("source"), col("id"),
+        (col("__pri") === col("__wpri") && col("id") === col("winner_id"))
+          .as("keep"),
+        col("winner_source"), col("winner_id"))
+  }
+
   // ---- Incremental (delta-vs-corpus) dedup — continuous ingestion ----
   //
   // At 100 TB you never re-dedupe the whole corpus per ingest: build a

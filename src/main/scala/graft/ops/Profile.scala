@@ -208,6 +208,61 @@ object Profile {
         col("score"), col("rank"))
   }
 
+  /** Token-distribution drift between two corpus snapshots: the "what
+    * changed in the data mix" check that catches silent upstream shifts
+    * (a crawler picking up a new spam cluster, a source going stale)
+    * BEFORE a training run does. Per-token: counts in each snapshot,
+    * integer micro-frequencies (`cnt * 1e6 div total`), and an integer
+    * chi-square-style divergence contribution
+    * `(freqA - freqB)^2 div (freqA + freqB)` — every step is integer
+    * multiply/divide, so ranking AND values replay exactly in any engine
+    * (the FP logs of textbook KL do not). Returns the top-`k` movers:
+    * `(tok, cnt_a, cnt_b, freq_a, freq_b, contrib, rank)`; ties rank by
+    * token ascending. Tokens absent from a side count 0 (full-outer).
+    *
+    * No overflow by construction: micro-frequencies are ≤ 1e6, so
+    * `diff² ≤ 1e12` and `cnt * 1e6` holds to 9e12-token snapshots.
+    *
+    * Scale shape: two partial-aggregated token rollups (the same
+    * vocabulary-sized exchange as [[heavyHitters]]), scalar totals
+    * broadcast via a 1-row cross join (never collected), one
+    * vocabulary-sized full-outer join, one vocabulary-sized rank window.
+    * Documents never enter an exchange.
+    */
+  def tokenDrift(a: DataFrame, b: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    def counts(df: DataFrame, cntName: String) =
+      df.select(explode(toks(col(textCol))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as(cntName))
+    val ca = counts(a, "cnt_a")
+    val cb = counts(b, "cnt_b")
+    val joined = ca.join(cb, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val totals = joined.agg(
+      greatest(sum("cnt_a"), lit(1L)).as("__ta"),
+      greatest(sum("cnt_b"), lit(1L)).as("__tb"))
+    val fa = call_function("div", col("cnt_a") * 1000000L, col("__ta"))
+    val fb = call_function("div", col("cnt_b") * 1000000L, col("__tb"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("freq_a", fa)
+      .withColumn("freq_b", fb)
+      .withColumn("contrib",
+        when(col("freq_a") + col("freq_b") === 0L, lit(0L))
+          .otherwise(call_function("div",
+            (col("freq_a") - col("freq_b")) * (col("freq_a") - col("freq_b")),
+            col("freq_a") + col("freq_b"))))
+      // distributed heap top-K (TakeOrderedAndProject), NOT a global
+      // window over the whole vocabulary; the rank window then sees only
+      // k rows (same shape as TextAnalysis.vocabulary)
+      .orderBy(col("contrib").desc, col("tok"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("contrib").desc, col("tok"))).cast("int"))
+      .select("tok", "cnt_a", "cnt_b", "freq_a", "freq_b", "contrib", "rank")
+  }
+
   /** Exact per-group heavy hitters: top-`k` tokens by frequency,
     * deterministic ties (count desc, token asc). One row per kept token:
     * `(groupCol, tok, cnt, rank)`.

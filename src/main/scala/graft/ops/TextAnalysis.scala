@@ -23,6 +23,91 @@ object TextAnalysis {
     (regexp_count(text, lit("[A-Za-z0-9]{1,4}")) +
       regexp_count(text, lit("[^A-Za-z0-9\\s]"))).cast("long")
 
+  /** Markup removal for web-scraped corpora (the WET-extraction step of a
+    * Common Crawl-style pipeline): drops HTML comments, whole
+    * `<script>`/`<style>` elements (their text is code, not prose), every
+    * remaining tag, decodes the ubiquitous named entities, and collapses
+    * the whitespace the removals leave behind. Case is PRESERVED — this
+    * extracts content, it does not build a dedup key (chain
+    * [[normalizeText]] after it for that).
+    *
+    * Pure codegen'd regexp chain, engine-portable by construction: every
+    * pattern is RE2-class ((?is) flags, non-greedy spans, no backrefs), so
+    * the DuckDB oracle replays it verbatim. Entity decoding covers the
+    * named set only (`&amp; &lt; &gt; &quot; &#39; &apos; &nbsp;`) with
+    * `&amp;` decoded LAST (standard order — `&amp;lt;` means literal
+    * "&lt;"); numeric references beyond 39 need a chr() the engines don't
+    * share (Spark's wraps at 256) and stay verbatim. Zero shuffle — a
+    * scan-stage projection.
+    */
+  def stripMarkup(text: Column): Column = {
+    val noComment = regexp_replace(text, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val ent = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (from, to)) => regexp_replace(c, from, to) }
+    val decoded = regexp_replace(ent, "&amp;", "&")
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Unicode script classes for [[scriptProfile]], alphabetical (the
+    * deterministic dominant-script tie order). Ranges are disjoint BMP
+    * blocks, so every character lands in at most one class; whatever no
+    * class claims is `other`.
+    */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "arabic" -> "[\\u0600-\\u06FF]",
+    "cjk" -> "[\\u4E00-\\u9FFF]",
+    "cyrillic" -> "[\\u0400-\\u04FF]",
+    "digit" -> "[0-9]",
+    "greek" -> "[\\u0370-\\u03FF]",
+    "hangul" -> "[\\u1100-\\u11FF\\uAC00-\\uD7AF]",
+    "kana" -> "[\\u3040-\\u30FF]",
+    "latin" -> "[A-Za-z\\u00C0-\\u024F]")
+
+  /** Per-document Unicode-script histogram: character counts per script
+    * class, integer per-mille fractions of non-space characters, and the
+    * dominant script (strict-majority argmax, alphabetical tie-break,
+    * "other" when no class claims the plurality). The script-consistency
+    * signal behind mixed-script spam filters and per-script routing —
+    * and the cheap complement to [[langId]] (markers say WHICH language,
+    * scripts say which ALPHABET, robustly for unseen languages).
+    *
+    * All counts are codegen'd `regexp_count` over disjoint BMP ranges —
+    * zero shuffle, scan-speed; integer divisions replay exactly in the
+    * DuckDB oracle (same literal character ranges, RE2 class syntax).
+    */
+  def scriptProfile(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val nonSpace = length(regexp_replace(col(textCol), "\\s", "")).cast("long")
+    val counted = docs.select(
+      col(idCol) +:
+        ScriptClasses.map { case (name, cls) =>
+          regexp_count(col(textCol), lit(cls)).cast("long").as(s"n_$name")
+        } :+ nonSpace.as("n_chars"): _*)
+    val known = ScriptClasses.map { case (name, _) => col(s"n_$name") }
+      .reduce(_ + _)
+    val withOther = counted.withColumn("n_other", col("n_chars") - known)
+    val names = ScriptClasses.map(_._1) :+ "other"
+    val safe = greatest(col("n_chars"), lit(1L))
+    val withFracs = names.foldLeft(withOther) { (d, name) =>
+      d.withColumn(s"pm_$name",
+        call_function("div", col(s"n_$name") * 1000L, safe).cast("int"))
+    }
+    // strict > keeps the alphabetically-first name on ties; "other" last
+    val dominant = names.tail.foldLeft(
+      struct(col(s"n_${names.head}").as("c"), lit(names.head).as("s"))) {
+      (best, name) =>
+        when(col(s"n_$name") > best.getField("c"),
+          struct(col(s"n_$name").as("c"), lit(name).as("s"))).otherwise(best)
+    }
+    withFracs.withColumn("dominant_script",
+      when(col("n_chars") === 0L, lit("other"))
+        .otherwise(dominant.getField("s")))
+  }
+
   /** Quality metrics struct: char length, word count, mean word length,
     * stopword ratio, punctuation ratio, uppercase ratio.
     */

@@ -832,4 +832,94 @@ class OpsSpec extends AnyFunSuite {
       Tables.zOrderValue(Seq(col("x"), col("y")), bits = 32) // 64 > 63
     }
   }
+
+  test("stripMarkup: tags/script/style/comments removed, entities decoded, case kept") {
+    val html =
+      """<html><head><style type="text/css">p { color: red; }</style>
+        |<script>var x = "<p>not text</p>";</script></head>
+        |<body><!-- hidden --><h1>Title</h1>
+        |<p class="lead">Hello &amp; welcome to &quot;Graft&quot;&nbsp;&mdash; 5 &lt; 7.</p>
+        |</body></html>""".stripMargin
+    val out = Seq(html).toDF("t")
+      .select(TextAnalysis.stripMarkup(col("t")).as("s")).collect().head.getString(0)
+    assert(out == "Title Hello & welcome to \"Graft\" &mdash; 5 < 7.")
+    // &amp;lt; decodes to literal "&lt;" (amp decoded LAST), unknown
+    // entities stay verbatim
+    val tricky = Seq("a &amp;lt; b").toDF("t")
+      .select(TextAnalysis.stripMarkup(col("t"))).collect().head.getString(0)
+    assert(tricky == "a &lt; b")
+    // plain text is untouched beyond whitespace canonicalization
+    val plain = Seq("no  markup\there").toDF("t")
+      .select(TextAnalysis.stripMarkup(col("t"))).collect().head.getString(0)
+    assert(plain == "no markup here")
+  }
+
+  test("scriptProfile: per-script counts, per-mille fractions, dominant argmax") {
+    val df = Seq(
+      (1L, "hello world"),                         // pure latin
+      (2L, "привет hi"), // 6 cyrillic, 2 latin
+      (3L, "你好世界"),            // 4 cjk
+      (4L, "12345"),                               // digits
+      (5L, "!!! ???"),                             // punct only -> other
+      (6L, "")                                     // empty
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptProfile(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[String]("dominant_script")).toSeq ==
+      Seq("latin", "cyrillic", "cjk", "digit", "other", "other"))
+    // row 2: 8 non-space chars, 6 cyrillic -> 750 permille, 2 latin -> 250
+    assert(out(1).getAs[Long]("n_cyrillic") == 6L)
+    assert(out(1).getAs[Int]("pm_cyrillic") == 750)
+    assert(out(1).getAs[Int]("pm_latin") == 250)
+    // row 5: everything lands in other
+    assert(out(4).getAs[Long]("n_other") == 6L)
+    assert(out(4).getAs[Int]("pm_other") == 1000)
+    // fractions are of NON-SPACE chars: row 1 has 10 letters
+    assert(out(0).getAs[Long]("n_chars") == 10L)
+    assert(out(0).getAs[Int]("pm_latin") == 1000)
+  }
+
+  test("crossCorpusDedup: higher-priority source wins, min-id within source, overlap audit") {
+    val wiki = Seq((10L, "shared doc"), (11L, "wiki only")).toDF("id", "text")
+    val web = Seq((1L, "shared doc"), (2L, "web only"), (3L, "web only"))
+      .toDF("id", "text")
+    val out = Dedup.crossCorpusDedup(
+      Seq("wiki" -> wiki, "web" -> web), "text", "id")
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getBoolean(2), r.getString(3), r.getLong(4)))).toMap
+    // the shared doc keeps the wiki copy even though web's id is smaller
+    assert(out(("wiki", 10L)) == ((true, "wiki", 10L)))
+    assert(out(("web", 1L)) == ((false, "wiki", 10L)))
+    // within-source dup: min id wins
+    assert(out(("web", 2L)) == ((true, "web", 2L)))
+    assert(out(("web", 3L)) == ((false, "web", 2L)))
+    assert(out(("wiki", 11L)) == ((true, "wiki", 11L)))
+    // exactly one keeper per distinct content
+    val keepers = out.values.count(_._1)
+    assert(keepers == 3)
+    intercept[IllegalArgumentException] {
+      Dedup.crossCorpusDedup(Seq("a" -> wiki, "a" -> web), "text", "id")
+    }
+  }
+
+  test("tokenDrift: integer contributions rank the movers, absent tokens count 0") {
+    val a = Seq("x x x y", "x y z").toDF("text")       // x:4 y:2 z:1, total 7
+    val b = Seq("x y y", "y w").toDF("text")           // x:1 y:3 w:1, total 5
+    val out = graft.ops.Profile.tokenDrift(a, b, "text", k = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6))).toMap
+    // freqs: x a=4*1e6/7=571428, b=1*1e6/5=200000 -> diff 371428
+    //   contrib = 371428^2 / 771428 = 178832...
+    assert(out("x")._3 == 571428L && out("x")._4 == 200000L)
+    assert(out("x")._5 == (371428L * 371428L) / 771428L)
+    // w absent from a: cnt_a=0, freq_a=0, contrib = 200000^2/200000 = 200000
+    assert(out("w")._1 == 0L && out("w")._4 == 200000L && out("w")._5 == 200000L)
+    // z absent from b symmetric: 142857^2/142857 = 142857
+    assert(out("z")._2 == 0L && out("z")._5 == 142857L)
+    // ranks: x (178832+) > w (200000)? no — w=200000 > x=178832 -> w first
+    val ranked = out.toSeq.sortBy(_._2._6).map(_._1)
+    assert(ranked == Seq("w", "x", "z", "y"))
+    // k truncates
+    assert(graft.ops.Profile.tokenDrift(a, b, "text", k = 2).count() == 2)
+  }
 }
