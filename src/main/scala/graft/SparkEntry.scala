@@ -1075,6 +1075,27 @@ object SparkEntry {
         multiLabelSuffixes = Seq("example.en", "example.de", "example.es",
           "example.fr", "example.zh"))
     }),
+    "ns_links" -> ((s, dir) => {
+      // HTML hyperlink extraction over deterministic markup built from
+      // corpus columns (the corpus stores no HTML — same constant-input
+      // pattern as ns_domains): each doc embeds an absolute, a
+      // protocol-relative, a conditional root-relative, and a doc-relative
+      // anchor plus three non-navigational ones; the oracle replays the
+      // shared AnchorTagRegex through DuckDB's RE2 and every resolution
+      // rule (the regex is RE2-portable by construction).
+      graft.ops.Web.extractLinks(linksGateInput(s, dir), "text", "url", "doc_id")
+    }),
+    "ns_link_edges" -> ((s, dir) => {
+      // Domain-level link graph over the same synthesized markup:
+      // extractLinks → registrable domains (example.{org,net,com} declared
+      // multi-label public suffixes so per-subdomain structure survives) →
+      // (src, dst) edge weights + distinct-source-doc counts. The oracle
+      // replays extraction, resolution, PSL-lite domains, and the
+      // two-level aggregate.
+      val links = graft.ops.Web.extractLinks(linksGateInput(s, dir), "text", "url", "doc_id")
+      graft.ops.Web.linkEdges(links, "url", "doc_id",
+        multiLabelSuffixes = Seq("example.org", "example.net", "example.com"))
+    }),
     "ns_boilerplate" -> ((s, dir) => {
       // restructure into 5-word lines (same convention as ns_line_dedup),
       // then drop boilerplate lines: < 3 words or stopword ratio < 10%
@@ -1713,6 +1734,89 @@ object SparkEntry {
 
   private def htmlWrapSpark(inner: Column): Column =
     concat(lit(htmlPrefix), inner, lit(htmlSuffix))
+
+  /** DuckDB replay of [[graft.ops.Web.registrableDomain]] (PSL-lite) over
+    * a host-typed SQL expression — shared by the ns_domains-family gates.
+    */
+  private def regDomainSql(hostExpr: String, suffixes: Seq[String]): String = {
+    val inList = suffixes.map(x => s"'$x'").mkString(", ")
+    s"""CASE WHEN len(string_split($hostExpr, '.')) >= 3
+       |          AND array_to_string(string_split($hostExpr, '.')[-2:], '.') IN ($inList)
+       |     THEN array_to_string(string_split($hostExpr, '.')[-3:], '.')
+       |     WHEN len(string_split($hostExpr, '.')) >= 2
+       |     THEN array_to_string(string_split($hostExpr, '.')[-2:], '.')
+       |     ELSE $hostExpr END""".stripMargin
+  }
+
+  /** DuckDB twin of [[linksGateInput]] + [[graft.ops.Web.extractLinks]]:
+    * synthesizes the identical markup, extracts with the same
+    * AnchorTagRegex (both engines run RE2-compatible patterns), and
+    * replays the drop-filter and all four absolutization rules. Ends with
+    * a `links` CTE of (doc_id, url, link_pos, href, anchor, abs_url).
+    * Note DuckDB regexp_replace needs the explicit 'g' flag to match
+    * Spark's replace-all default.
+    */
+  private def linksGateCtes: String =
+    """d AS (
+      |  SELECT doc_id,
+      |    'https://' || source || '.example.com/dir/page' || doc_id || '.html' AS url,
+      |    '<p>intro</p><A class="nav" HREF="https://ext' || (doc_id % 5) ||
+      |      '.example.org/p?q=1">Ext <b>' || lang || '</b>' || chr(10) || ' site</A>' ||
+      |      '<a href="//cdn' || (doc_id % 3) || '.example.net/lib.js">proto rel</a>' ||
+      |      CASE WHEN doc_id % 2 = 0 THEN '<a href="/abs/' || doc_id || '">abs path</a>' ELSE '' END ||
+      |      '<a href="rel' || (doc_id % 7) || '.html">doc rel</a><a href="#top">t</a>' ||
+      |      '<a href="mailto:a@b.c">m</a><a href="javascript:void(0)">j</a>' AS text
+      |  FROM documents),
+      |lx AS (
+      |  SELECT doc_id, url,
+      |    regexp_extract_all(text, '(?i)<a\s[^>]*href="([^"]*)"[^>]*>([\s\S]*?)</a>', 1) AS hrefs,
+      |    regexp_extract_all(text, '(?i)<a\s[^>]*href="([^"]*)"[^>]*>([\s\S]*?)</a>', 2) AS anchors
+      |  FROM d),
+      |li AS (
+      |  SELECT doc_id, url, CAST(i AS INT) AS link_pos,
+      |         hrefs[CAST(i AS INT) + 1] AS href, anchors[CAST(i AS INT) + 1] AS anchor
+      |  FROM (SELECT doc_id, url, hrefs, anchors, unnest(range(len(hrefs))) AS i FROM lx)),
+      |lr AS (
+      |  SELECT doc_id, url, link_pos, href,
+      |    trim(regexp_replace(regexp_replace(anchor, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS anchor,
+      |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS pscheme,
+      |    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS phost,
+      |    regexp_replace(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '/[^/]*$', '') AS pdir
+      |  FROM li
+      |  WHERE NOT (href = '' OR href LIKE '#%' OR regexp_matches(href, '^(?i)(javascript|mailto|tel):'))),
+      |links AS (
+      |  SELECT doc_id, url, link_pos, href, anchor,
+      |    CASE WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN href
+      |         WHEN href LIKE '//%' THEN pscheme || ':' || href
+      |         WHEN href LIKE '/%' THEN pscheme || '://' || phost || href
+      |         ELSE pscheme || '://' || phost || pdir || '/' || href END AS abs_url
+      |  FROM lr)""".stripMargin
+
+  /** Shared input frame for the ns_links / ns_link_edges gates:
+    * deterministic HTML-ish markup + page URL synthesized per document
+    * from real corpus columns. Exercises every [[graft.ops.Web
+    * .extractLinks]] path: absolute (mixed-case tag, nested markup +
+    * newline in the anchor body), protocol-relative, conditional
+    * root-relative (even ids only), doc-relative, and three dropped
+    * non-navigational hrefs. [[linksGateCtes]] is the DuckDB twin.
+    */
+  private def linksGateInput(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val html = concat(
+      lit("<p>intro</p><A class=\"nav\" HREF=\"https://ext"), pmod(col("doc_id"), lit(5)),
+      lit(".example.org/p?q=1\">Ext <b>"), col("lang"), lit("</b>\n site</A>"),
+      lit("<a href=\"//cdn"), pmod(col("doc_id"), lit(3)),
+      lit(".example.net/lib.js\">proto rel</a>"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit("<a href=\"/abs/"), col("doc_id"), lit("\">abs path</a>")))
+        .otherwise(lit("")),
+      lit("<a href=\"rel"), pmod(col("doc_id"), lit(7)),
+      lit(".html\">doc rel</a><a href=\"#top\">t</a>"),
+      lit("<a href=\"mailto:a@b.c\">m</a><a href=\"javascript:void(0)\">j</a>"))
+    val url = concat(lit("https://"), col("source"), lit(".example.com/dir/page"),
+      col("doc_id"), lit(".html"))
+    d.select(col("doc_id"), url.as("url"), html.as("text"))
+  }
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.stripMarkup]] over the same
     * scaffold — identical RE2-class patterns, every replace with the 'g'
@@ -2621,6 +2725,24 @@ object SparkEntry {
         |SELECT doc_id, url, scheme, host, path, query, reg_domain,
         |       reg_domain IN ('src1.example.en', 'src2.example.de', 'src3.example.zh') AS blocked
         |FROM r""".stripMargin,
+    "ns_links" ->
+      s"""WITH $linksGateCtes
+         |SELECT doc_id, url, link_pos, href, anchor, abs_url FROM links""".stripMargin,
+    "ns_link_edges" ->
+      s"""WITH $linksGateCtes,
+         |h AS (
+         |  SELECT doc_id,
+         |    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS shost,
+         |    lower(regexp_extract(abs_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS dhost
+         |  FROM links),
+         |g AS (
+         |  SELECT doc_id,
+         |    ${regDomainSql("shost", Seq("example.org", "example.net", "example.com"))} AS src_domain,
+         |    ${regDomainSql("dhost", Seq("example.org", "example.net", "example.com"))} AS dst_domain
+         |  FROM h)
+         |SELECT src_domain, dst_domain, count(*) AS n_links,
+         |       count(DISTINCT doc_id) AS n_src_docs
+         |FROM g GROUP BY 1, 2""".stripMargin,
     "ns_boilerplate" ->
       """WITH t2 AS (SELECT doc_id,
         |        string_split(regexp_replace(lower(trim(text)), '((?:\S+ ){4}\S+) ', '\1' || chr(10), 'g'), chr(10)) AS lines

@@ -141,4 +141,91 @@ object Web {
     df.groupBy(reg.as("reg_domain"))
       .agg(count(lit(1)).as("n_docs"), w)
   }
+
+  /** `<a href="...">anchor</a>` matcher shared by the Spark extraction and
+    * the DuckDB oracle: RE2-portable (case-insensitive flag, lazy
+    * quantifier, `[\s\S]` for dot-matches-newline — all supported by both
+    * java.util.regex and RE2). Group 1 = href, group 2 = raw anchor body.
+    * Single-quoted and unquoted href values are out of scope (a crawler's
+    * HTML normalizer runs upstream); tags with href AFTER other attributes
+    * match because `[^>]*` spans them.
+    */
+  val AnchorTagRegex: String =
+    "(?i)<a\\s[^>]*href=\"([^\"]*)\"[^>]*>([\\s\\S]*?)</a>"
+
+  /** Extract hyperlinks from HTML-ish markup: one output row per `<a>`
+    * tag, with the link's 0-based position in the document, the raw href,
+    * the absolutized target URL (resolved against the page URL), and the
+    * tag-stripped whitespace-normalized anchor text.
+    *
+    * Non-navigational hrefs (empty, fragment-only `#...`, `javascript:`,
+    * `mailto:`, `tel:`) are dropped. Resolution rules (each a portable
+    * string op, replayed by the `ns_links` oracle):
+    *   - `scheme://...`        → as-is
+    *   - `//host/...`          → page scheme + `:` + href
+    *   - `/path`               → page scheme://host + href
+    *   - `rel/path`            → page scheme://host + dir(page path) + `/` + href
+    * Dot-segment (`../`) normalization is intentionally out of scope —
+    * compose with [[canonicalUrl]] for dedup keys; it treats the path as
+    * opaque either way.
+    *
+    * Scale: the regex scan and resolution are scan-stage projections; the
+    * only data movement is the posexplode fan-out, which stays inside the
+    * stage (no shuffle). Documents with zero links vanish (explode of an
+    * empty array), so the output is links, not docs.
+    */
+  def extractLinks(docs: DataFrame, textCol: String, urlCol: String,
+      idCol: String): DataFrame = {
+    val hrefs = regexp_extract_all(col(textCol), lit(AnchorTagRegex), lit(1))
+    val anchors = regexp_extract_all(col(textCol), lit(AnchorTagRegex), lit(2))
+    val pageScheme = lower(regexp_extract(col(urlCol), "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val pageHost = lower(regexp_extract(col(urlCol), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    val pagePath = regexp_extract(col(urlCol), "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    // directory of the page path: strip the last segment; "" when the page
+    // sits at the root (abs = scheme://host + "" + "/" + rel)
+    val pageDir = regexp_replace(pagePath, "/[^/]*$", "")
+    val href = col("__lnk.href")
+    val absUrl = when(href.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), href)
+      .when(href.startsWith("//"), concat(pageScheme, lit(":"), href))
+      .when(href.startsWith("/"), concat(pageScheme, lit("://"), pageHost, href))
+      .otherwise(concat(pageScheme, lit("://"), pageHost, pageDir, lit("/"), href))
+    val anchorClean = trim(regexp_replace(
+      regexp_replace(col("__lnk.anchor"), "<[^>]*>", " "), "\\s+", " "))
+    docs
+      .select(col(idCol), col(urlCol),
+        posexplode(arrays_zip(hrefs.as("href"), anchors.as("anchor")))
+          .as(Seq("link_pos", "__lnk")))
+      .where(!(href === "" || href.startsWith("#") ||
+        href.rlike("^(?i)(javascript|mailto|tel):")))
+      .select(col(idCol), col(urlCol), col("link_pos"),
+        href.as("href"), anchorClean.as("anchor"), absUrl.as("abs_url"))
+  }
+
+  /** Domain-level link graph from [[extractLinks]] output: edges
+    * (src_domain, dst_domain) with link multiplicity and the number of
+    * distinct source documents — the input [[Graph.pageRank]] /
+    * [[Graph.degrees]] expect, and the evidence table for "who endorses
+    * whom" domain-trust scoring. Self-edges (intra-domain navigation) are
+    * kept; callers filter `src_domain =!= dst_domain` for endorsement
+    * analysis.
+    *
+    * Scale: domains are bounded-cardinality, so this is one
+    * partial-aggregated shuffle of ~40-byte rows regardless of corpus
+    * size; the distinct-doc count rides the same exchange via the
+    * two-level (edge, doc) pre-aggregate rather than a countDistinct
+    * hash set per edge.
+    */
+  def linkEdges(links: DataFrame, srcUrlCol: String, idCol: String,
+      multiLabelSuffixes: Seq[String] = Nil): DataFrame = {
+    def reg(url: Column): Column = registrableDomain(
+      lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)),
+      multiLabelSuffixes)
+    links
+      .select(reg(col(srcUrlCol)).as("src_domain"),
+        reg(col("abs_url")).as("dst_domain"), col(idCol))
+      .groupBy(col("src_domain"), col("dst_domain"), col(idCol))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("src_domain"), col("dst_domain"))
+      .agg(sum(col("__n")).as("n_links"), count(lit(1)).as("n_src_docs"))
+  }
 }

@@ -410,6 +410,24 @@ class PlanSpec extends AnyFunSuite {
       s"map-side partial aggregation expected:\n${stats.take(2000)}")
   }
 
+  test("link extraction is scan-stage; edge aggregation partial-aggregates, doc text stays out of the exchange") {
+    val docs = SparkEntry.t(spark, sf, "documents")
+      .selectExpr("doc_id", "concat('https://', source, '.example.com/d/', doc_id) AS url",
+        "concat('<a href=\"/x/', doc_id, '\">a</a>', text) AS text")
+    val links = graft.ops.Web.extractLinks(docs, "text", "url", "doc_id")
+    val lp = planOf(links)
+    assert(!lp.contains("Exchange"),
+      s"regex extraction + resolution must not shuffle:\n${lp.take(2000)}")
+    val ep = planOf(graft.ops.Web.linkEdges(links, "url", "doc_id"))
+    assert("HashAggregate".r.findAllIn(ep).size >= 2,
+      s"map-side partial aggregation expected:\n${ep.take(2500)}")
+    // the edge exchange carries domains + doc ids, never the markup: the
+    // pre-exchange aggregate's output must not include the text column
+    val exchangeRows = ep.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeRows.nonEmpty && exchangeRows.forall(!_.contains("text")),
+      s"markup must not ride the edge exchange:\n${ep.take(2500)}")
+  }
+
   test("sketch-tier profile: tokens never shuffle — HLL/GK sketches partial-aggregate map-side") {
     val docs = SparkEntry.t(spark, sf, "documents")
     val plan = planOf(graft.ops.Profile.groupProfileSketch(docs, "text", "lang"))

@@ -103,4 +103,53 @@ class WebSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(groups == Map(1L -> 2L, 3L -> 1L))
   }
+
+  test("extractLinks: positions, anchor cleanup, and every resolution rule") {
+    val html =
+      """<html><body>
+        |<p>intro</p>
+        |<A class="nav" HREF="https://ext.example.org/p?q=1">External <b>bold</b>
+        |site</A>
+        |<a href="//cdn.example.net/lib.js">proto relative</a>
+        |<a href="/abs/path">  root   relative </a>
+        |<a href="sibling.html">doc relative</a>
+        |<a href="#top">skip fragment</a>
+        |<a href="mailto:x@y.z">skip mail</a>
+        |<a href="javascript:void(0)">skip js</a>
+        |<a href="">skip empty</a>
+        |<a name="anchor-without-href">not a link</a>
+        |</body></html>""".stripMargin
+    val docs = Seq((7L, "https://www.host.com/dir/page.html", html),
+      (8L, "https://host.com/", "no links here")).toDF("doc_id", "url", "text")
+    val out = Web.extractLinks(docs, "text", "url", "doc_id")
+      .orderBy("doc_id", "link_pos").collect()
+    // doc 8 has no anchors → contributes no rows; doc 7 keeps 4 of 8
+    assert(out.map(_.getLong(0)).toSeq == Seq(7L, 7L, 7L, 7L))
+    // link_pos is the pre-filter tag index (0-based over ALL matched tags)
+    assert(out.map(_.getInt(2)).toSeq == Seq(0, 1, 2, 3))
+    assert(out.map(_.getString(4)).toSeq == Seq(
+      "External bold site", "proto relative", "root relative", "doc relative"))
+    assert(out.map(_.getString(5)).toSeq == Seq(
+      "https://ext.example.org/p?q=1",
+      "https://cdn.example.net/lib.js",
+      "https://www.host.com/abs/path",
+      "https://www.host.com/dir/sibling.html"))
+  }
+
+  test("linkEdges aggregates multiplicity and distinct source docs per domain pair") {
+    val links = Seq(
+      (1L, "https://a.site.com/x", "https://b.other.com/1"),
+      (1L, "https://a.site.com/x", "https://c.other.com/2"),
+      (2L, "https://site.com/y", "https://other.com/3"),
+      (2L, "https://site.com/y", "https://site.com/internal"),
+      (3L, "https://third.net/", "https://other.com/4")
+    ).toDF("doc_id", "url", "abs_url")
+    val out = Web.linkEdges(links, "url", "doc_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // site.com → other.com: 3 links (2 from doc 1, 1 from doc 2) over 2 docs
+    assert(out(("site.com", "other.com")) == (3L, 2L))
+    assert(out(("site.com", "site.com")) == (1L, 1L))   // self-edge kept
+    assert(out(("third.net", "other.com")) == (1L, 1L))
+    assert(out.size == 3)
+  }
 }
