@@ -1321,6 +1321,14 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1),
         "text", k = 50)
     }),
+    "ns_keywords" -> ((s, dir) => {
+      // Per-doc top-5 keywords by the integer tf-idf variant (inverse
+      // prevalence in permille), df-adaptive stopword drop at 790‰.
+      // Integer scores + alphabetical ties make rank/tf/df/score replay
+      // exactly in the DuckDB window.
+      graft.ops.TextAnalysis.keywords(t(s, dir, "documents"), "text", "doc_id",
+        k = 5, minTermLen = 3, maxDfPermille = 790)
+    }),
     "ns_line_dedup" -> ((s, dir) => {
       // restructure the word soup into 5-word lines (the corpus has no
       // newlines), then C4-style global line dedup: only the first global
@@ -2743,6 +2751,23 @@ object SparkEntry {
          |SELECT src_domain, dst_domain, count(*) AS n_links,
          |       count(DISTINCT doc_id) AS n_src_docs
          |FROM g GROUP BY 1, 2""".stripMargin,
+    "ns_keywords" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |f AS (SELECT doc_id, term, count(*) AS tf FROM tk WHERE len(term) >= 3 GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM f GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT f.doc_id, f.term, f.tf, dfq.df,
+        |    f.tf * (((n.n_docs - dfq.df) * 1000) // n.n_docs) AS score
+        |  FROM f JOIN dfq USING (term) CROSS JOIN n
+        |  WHERE (dfq.df * 1000) // n.n_docs <= 790),
+        |r AS (
+        |  SELECT doc_id, term, tf, df, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS kw_rank
+        |  FROM sc)
+        |SELECT doc_id, kw_rank, term, tf, df, score FROM r WHERE kw_rank <= 5""".stripMargin,
     "ns_boilerplate" ->
       """WITH t2 AS (SELECT doc_id,
         |        string_split(regexp_replace(lower(trim(text)), '((?:\S+ ){4}\S+) ', '\1' || chr(10), 'g'), chr(10)) AS lines

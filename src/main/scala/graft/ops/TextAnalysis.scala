@@ -260,6 +260,47 @@ object TextAnalysis {
         .orderBy(col("cnt").desc, col("token"))).cast("long"))
   }
 
+  /** Per-document keyword extraction — the integer-exact tf-idf variant.
+    * For each document, its top-`k` terms by `score = tf × idf_permille`,
+    * where `idf_permille = ((n_docs − df) × 1000) div n_docs`: an integer
+    * "inverse prevalence" weight that sends corpus-wide terms to ~0 and
+    * rare terms to ~1000 with none of the cross-engine float drift of
+    * log-idf (the ns_keywords oracle replays every value bit-for-bit).
+    * Ties break alphabetically, so the keyword set is deterministic.
+    * `maxDfPermille` additionally drops terms present in more than that
+    * fraction of documents (corpus-adaptive stopword removal) BEFORE the
+    * ranking window.
+    *
+    * Scale: tf is one partial-aggregated exchange keyed by (doc, term);
+    * df reduces that frame to a vocabulary-sized table joined back
+    * (AQE-broadcast at typical vocabulary sizes); n_docs is a one-row
+    * broadcast, never a driver action. The per-doc top-k is a rank
+    * predicate Spark plans with WindowGroupLimit — per-partition heaps
+    * ahead of the final rank, no global sort (PlanSpec-gated).
+    */
+  def keywords(docs: DataFrame, textCol: String, idCol: String, k: Int,
+      minTermLen: Int = 3, maxDfPermille: Int = 1000): DataFrame = {
+    val terms = docs.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .where(length(col("term")) >= minTermLen)
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfTable = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfTable, "term").crossJoin(broadcast(nDocs))
+      .withColumn("idf_permille",
+        call_function("div", (col("n_docs") - col("df")) * lit(1000L), col("n_docs")))
+      .where(call_function("div", col("df") * lit(1000L), col("n_docs"))
+        <= lit(maxDfPermille.toLong))
+      .withColumn("score", col("tf") * col("idf_permille"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("kw_rank", row_number().over(w).cast("long"))
+      .where(col("kw_rank") <= k)
+      .select(col(idCol), col("kw_rank"), col("term"), col("tf"), col("df"),
+        col("score"))
+  }
+
   /** Full document-profile projection over a corpus. */
   def profile(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(

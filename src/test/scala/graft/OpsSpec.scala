@@ -922,4 +922,30 @@ class OpsSpec extends AnyFunSuite {
     // k truncates
     assert(graft.ops.Profile.tokenDrift(a, b, "text", k = 2).count() == 2)
   }
+
+  test("keywords: integer tf-idf scores, adaptive stopword drop, alphabetical ties, top-k") {
+    val docs = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana cherry date date date"),
+      (3L, "apple xx cherry")).toDF("doc_id", "text")
+    // n_docs=3; df: apple 2, banana 2, cherry 3, date 1 ("xx" < minTermLen)
+    // idf_permille: apple/banana (3-2)*1000//3=333, cherry 0, date 666
+    // maxDfPermille=900 drops cherry (df_permille=1000)
+    val out = TextAnalysis.keywords(docs, "text", "doc_id", k = 2, maxDfPermille = 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out((1L, 1L)) == ("apple", 2L, 2L, 666L))   // 2*333
+    assert(out((1L, 2L)) == ("banana", 1L, 2L, 333L))
+    assert(out((2L, 1L)) == ("date", 3L, 1L, 1998L))   // 3*666
+    assert(out((2L, 2L)) == ("banana", 1L, 2L, 333L))
+    assert(out((3L, 1L)) == ("apple", 1L, 2L, 333L))
+    assert(out.size == 5)                               // doc 3 has one survivor
+    // equal scores break alphabetically: two idf-equal singleton terms
+    val tie = Seq((1L, "beta alpha solo")).toDF("doc_id", "text")
+      .unionByName(Seq((2L, "unrelated words here")).toDF("doc_id", "text"))
+    val got = TextAnalysis.keywords(tie, "text", "doc_id", k = 3)
+      .filter(col("doc_id") === 1L).orderBy(col("kw_rank"))
+      .collect().map(_.getString(2)).toSeq
+    assert(got == Seq("alpha", "beta", "solo"))
+  }
 }

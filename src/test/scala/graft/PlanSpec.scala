@@ -428,6 +428,20 @@ class PlanSpec extends AnyFunSuite {
       s"markup must not ride the edge exchange:\n${ep.take(2500)}")
   }
 
+  test("keywords: partial-agg tf, one-row n_docs broadcast, per-partition heap rank") {
+    val docs = SparkEntry.t(spark, sf, "documents")
+    val plan = planOf(graft.ops.TextAnalysis.keywords(docs, "text", "doc_id", k = 5))
+    // tf and df both map-side combine before their exchanges
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"partial aggregation expected for tf and df:\n${plan.take(3000)}")
+    // the corpus size joins as a broadcast single row, not a driver action
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"n_docs must broadcast:\n${plan.take(3000)}")
+    // rank<=k plans as per-partition heaps ahead of the final window
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k must push into WindowGroupLimit:\n${plan.take(3000)}")
+  }
+
   test("sketch-tier profile: tokens never shuffle — HLL/GK sketches partial-aggregate map-side") {
     val docs = SparkEntry.t(spark, sf, "documents")
     val plan = planOf(graft.ops.Profile.groupProfileSketch(docs, "text", "lang"))
