@@ -1321,6 +1321,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1),
         "text", k = 50)
     }),
+    "ns_epoch_plan" -> ((s, dir) => {
+      // Token-budgeted epoch plan over per-language corpus stats: with a
+      // 30k budget and a 2.5-epoch repetition cap, the de target (450‰)
+      // is cap-limited (shortfall > 0), en/es/fr are satisfiable, and zh
+      // is untargeted (audit row). All-integer → full DuckDB replay.
+      val stats = t(s, dir, "documents")
+        .groupBy(col("lang").as("stratum"))
+        .agg(sum(graft.ops.TextAnalysis.wsTokenCount(col("text"))).as("tokens"))
+      graft.ops.Curation.epochPlan(stats, "stratum", "tokens",
+        targetPermille = Map("en" -> 200, "de" -> 450, "es" -> 250, "fr" -> 100),
+        budgetTokens = 30000L, maxEpochsMilli = 2500L)
+    }),
     "ns_keywords" -> ((s, dir) => {
       // Per-doc top-5 keywords by the integer tf-idf variant (inverse
       // prevalence in permille), df-adaptive stopword drop at 790‰.
@@ -2751,6 +2763,26 @@ object SparkEntry {
          |SELECT src_domain, dst_domain, count(*) AS n_links,
          |       count(DISTINCT doc_id) AS n_src_docs
          |FROM g GROUP BY 1, 2""".stripMargin,
+    "ns_epoch_plan" ->
+      """WITH st AS (
+        |  SELECT lang AS stratum,
+        |    CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+        |             ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |tgt(stratum, permille) AS (VALUES ('en', 200), ('de', 450), ('es', 250), ('fr', 100)),
+        |p AS (
+        |  SELECT st.stratum, st.tokens, CAST(coalesce(tgt.permille, 0) AS BIGINT) AS permille
+        |  FROM st LEFT JOIN tgt USING (stratum)),
+        |e AS (SELECT *, (30000 * permille) // 1000 AS target_tokens FROM p),
+        |f AS (SELECT *, least(CASE WHEN tokens > 0 THEN (target_tokens * 1000) // tokens
+        |                           ELSE 0 END, 2500) AS epochs_milli FROM e),
+        |g AS (SELECT *, (tokens * epochs_milli) // 1000 AS planned_tokens FROM f),
+        |h AS (SELECT *, target_tokens - planned_tokens AS shortfall FROM g)
+        |SELECT stratum, tokens, permille, target_tokens, epochs_milli, planned_tokens, shortfall,
+        |  CASE WHEN (SELECT sum(planned_tokens) FROM h) > 0
+        |       THEN (planned_tokens * 1000) // CAST((SELECT sum(planned_tokens) FROM h) AS BIGINT)
+        |       ELSE 0 END AS achieved_permille
+        |FROM h""".stripMargin,
     "ns_keywords" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term

@@ -762,6 +762,59 @@ object Curation {
     powed.sortBy(_._1).map { case (s, v) => s -> v / z }.toMap
   }
 
+  /** Epoch/repeat plan for a token-budgeted training mix: given one row
+    * per stratum with its available (unique) token count and an integer
+    * target mix in permille of the budget, compute per stratum
+    *
+    *   - `target_tokens`  = budget × permille div 1000
+    *   - `epochs_milli`   = passes over the stratum required to supply
+    *                        them (thousandths), capped at
+    *                        `maxEpochsMilli` — the data-repetition budget
+    *                        (≈4 epochs of repeats is the usual
+    *                        near-lossless ceiling, after which repeated
+    *                        data stops helping)
+    *   - `planned_tokens` = tokens × epochs_milli div 1000
+    *   - `shortfall`      = target − planned (what the repetition cap
+    *                        refuses to cover; ≥ 0 by construction)
+    *   - `achieved_permille` of the realized mix
+    *
+    * Strata absent from `targetPermille` plan zero (reported, not
+    * dropped) — the audit row for "data we have but don't train on".
+    * All-integer arithmetic, so the ns_epoch_plan oracle replays the
+    * whole plan; compose upstream with [[temperatureFractions]] /
+    * [[mixRates]] to derive the target mix itself.
+    *
+    * Scale: the frame is strata-sized (bounded by construction); the
+    * target map rides the plan as a literal and the realized total joins
+    * back as a one-row broadcast — no driver action anywhere.
+    */
+  def epochPlan(stats: DataFrame, stratumCol: String, tokensCol: String,
+      targetPermille: Map[String, Int], budgetTokens: Long,
+      maxEpochsMilli: Long = 4000L): DataFrame = {
+    require(targetPermille.values.forall(_ >= 0) && targetPermille.values.sum <= 1000,
+      "target permille must be non-negative and sum to <= 1000")
+    require(budgetTokens >= 0 && maxEpochsMilli >= 0, "budget and epoch cap must be >= 0")
+    val targetMap = map(targetPermille.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v.toLong)) }: _*)
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    val planned = stats.select(
+        col(stratumCol), col(tokensCol).cast("long").as("tokens"),
+        coalesce(element_at(targetMap, col(stratumCol)), lit(0L)).as("permille"))
+      .withColumn("target_tokens", idiv(lit(budgetTokens) * col("permille"), lit(1000L)))
+      .withColumn("epochs_milli", least(
+        when(col("tokens") > 0, idiv(col("target_tokens") * 1000L, col("tokens")))
+          .otherwise(lit(0L)),
+        lit(maxEpochsMilli)))
+      .withColumn("planned_tokens", idiv(col("tokens") * col("epochs_milli"), lit(1000L)))
+      .withColumn("shortfall", col("target_tokens") - col("planned_tokens"))
+    val total = planned.agg(sum(col("planned_tokens")).as("__total"))
+    planned.crossJoin(broadcast(total))
+      .withColumn("achieved_permille",
+        when(col("__total") > 0, idiv(col("planned_tokens") * 1000L, col("__total")))
+          .otherwise(lit(0L)))
+      .drop("__total")
+  }
+
   /** Deterministic per-stratum quota: the `quota` rows with the smallest
     * portable hash per stratum (id tie-break) — an exact, reproducible
     * "take N per domain" for training-mix recipes. Exact top-N-per-group

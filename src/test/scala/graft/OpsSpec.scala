@@ -923,6 +923,21 @@ class OpsSpec extends AnyFunSuite {
     assert(graft.ops.Profile.tokenDrift(a, b, "text", k = 2).count() == 2)
   }
 
+  test("epochPlan: caps repeats, reports shortfall and achieved mix, keeps untargeted strata") {
+    val stats = Seq(("a", 1000L), ("b", 400L), ("c", 0L), ("d", 500L))
+      .toDF("stratum", "tokens")
+    val out = graft.ops.Curation.epochPlan(stats, "stratum", "tokens",
+      targetPermille = Map("a" -> 500, "b" -> 300, "c" -> 100),
+      budgetTokens = 2000L, maxEpochsMilli = 1200L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // (permille, target, epochs_milli, planned, shortfall, achieved)
+    assert(out("a") == (500L, 1000L, 1000L, 1000L, 0L, 675L))   // uncapped
+    assert(out("b") == (300L, 600L, 1200L, 480L, 120L, 324L))   // cap bites
+    assert(out("c") == (100L, 200L, 0L, 0L, 200L, 0L))          // no data
+    assert(out("d") == (0L, 0L, 0L, 0L, 0L, 0L))                // untargeted, kept
+  }
+
   test("keywords: integer tf-idf scores, adaptive stopword drop, alphabetical ties, top-k") {
     val docs = Seq(
       (1L, "apple banana apple cherry"),
