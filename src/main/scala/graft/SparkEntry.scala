@@ -1321,6 +1321,30 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1),
         "text", k = 50)
     }),
+    "ns_key_profile" -> ((s, dir) =>
+      // Join-key skew measurement over the 5-value event_type key (the
+      // same degenerate regime ns_salted_join exercises): top-3 keys with
+      // integer share and hot-key multiple — the saltFactor evidence.
+      graft.ops.Skew.keyProfile(
+        t(s, dir, "events").select(col("event_type")), Seq("event_type"), k = 3)),
+    "ns_domain_filter" -> ((s, dir) => {
+      // Table-driven blocklist tier (UT1-style million-entry lists):
+      // broadcast anti-join on the registrable domain over the same URL
+      // synthesis as ns_domains; blocked subdomains disappear with their
+      // parents.
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val urls = d.select(col("doc_id"),
+        concat(lit("https://"),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit("www.")).otherwise(lit("")),
+          col("source"), lit(".example."), col("lang"),
+          lit("/doc/"), col("doc_id")).as("url"))
+      val blocklist = Seq("src1.example.en", "src2.example.de", "src3.example.zh")
+        .toDF("domain")
+      graft.ops.Web.domainFilterTable(urls, "url", blocklist,
+        multiLabelSuffixes = Seq("example.en", "example.de", "example.es",
+          "example.fr", "example.zh"))
+    }),
     "ns_epoch_plan" -> ((s, dir) => {
       // Token-budgeted epoch plan over per-language corpus stats: with a
       // 30k budget and a 2.5-epoch repetition cap, the de target (450‰)
@@ -2763,6 +2787,32 @@ object SparkEntry {
          |SELECT src_domain, dst_domain, count(*) AS n_links,
          |       count(DISTINCT doc_id) AS n_src_docs
          |FROM g GROUP BY 1, 2""".stripMargin,
+    "ns_key_profile" ->
+      """WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
+        |s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_rows, count(*) AS n_keys FROM c),
+        |t3 AS (SELECT * FROM c ORDER BY cnt DESC, event_type LIMIT 3)
+        |SELECT event_type, cnt, total_rows, n_keys,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, event_type) AS BIGINT) AS key_rank,
+        |  (cnt * 1000) // total_rows AS share_permille,
+        |  (cnt * 1000) // greatest(total_rows // n_keys, 1) AS vs_mean_permille
+        |FROM t3 CROSS JOIN s""".stripMargin,
+    "ns_domain_filter" ->
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    'https://' || CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END ||
+         |    source || '.example.' || lang || '/doc/' || doc_id AS url
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, url,
+         |    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS host
+         |  FROM u),
+         |r AS (
+         |  SELECT doc_id, url,
+         |    ${regDomainSql("host", Seq("example.en", "example.de", "example.es",
+                "example.fr", "example.zh"))} AS reg
+         |  FROM p)
+         |SELECT doc_id, url FROM r
+         |WHERE reg NOT IN ('src1.example.en', 'src2.example.de', 'src3.example.zh')""".stripMargin,
     "ns_epoch_plan" ->
       """WITH st AS (
         |  SELECT lang AS stratum,

@@ -36,4 +36,41 @@ object Skew {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     s.join(b, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Join-key skew profile — the measurement that decides which tier a
+    * join needs (plain shuffle, AQE splits, or [[saltedJoin]], and at
+    * what saltFactor): the `k` heaviest keys with, per key,
+    *
+    *   - `cnt` and `key_rank` (count desc, key asc — deterministic)
+    *   - `share_permille`   = cnt × 1000 div total_rows
+    *   - `vs_mean_permille` = cnt × 1000 div mean-rows-per-key — the
+    *     hot-key multiple: 1000 = perfectly uniform; saltFactor ≈
+    *     vs_mean_permille / 1000 rounded up is the spread that levels it
+    *
+    * plus the corpus totals (`total_rows`, `n_keys`) on every row.
+    * All-integer, so the profile replays exactly in the oracle.
+    *
+    * Scale: per-key counts partial-aggregate map-side; the top-k is a
+    * distributed heap (TakeOrderedAndProject), never a global sort; the
+    * totals reduce to one broadcast row. The exchange carries one count
+    * row per distinct key — never input rows.
+    */
+  def keyProfile(df: DataFrame, keyCols: Seq[String], k: Int = 20): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(k >= 1, "k must be >= 1")
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(sum(col("cnt")).as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    val top = counts
+      .orderBy(col("cnt").desc +: keyCols.map(col): _*)
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc +: keyCols.map(col): _*)
+    top.crossJoin(broadcast(stats))
+      .withColumn("key_rank", row_number().over(w).cast("long"))
+      .withColumn("share_permille", idiv(col("cnt") * 1000L, col("total_rows")))
+      .withColumn("vs_mean_permille", idiv(col("cnt") * 1000L,
+        greatest(idiv(col("total_rows"), col("n_keys")), lit(1L))))
+  }
 }

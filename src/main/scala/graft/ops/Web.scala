@@ -75,6 +75,27 @@ object Web {
       lower(regexp_extract(col(urlCol), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)),
       multiLabelSuffixes).isin(blocklist: _*))
 
+  /** Blocklist filtering against a TABLE of blocked registrable domains —
+    * the million-entry (UT1-style) tier where [[domainFilter]]'s literal
+    * IN-list stops scaling. Broadcast LEFT ANTI join on the registrable
+    * domain: the blocklist ships once per executor and the corpus side
+    * never shuffles (PlanSpec asserts the broadcast-anti shape), so the
+    * filter rides the scan stage exactly like the literal tier.
+    * Subdomains of a blocked domain are covered by construction (the join
+    * key IS the registrable domain).
+    */
+  def domainFilterTable(df: DataFrame, urlCol: String, blocklist: DataFrame,
+      blockDomainCol: String = "domain",
+      multiLabelSuffixes: Seq[String] = Nil): DataFrame = {
+    val reg = registrableDomain(
+      lower(regexp_extract(col(urlCol), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)),
+      multiLabelSuffixes)
+    df.withColumn("__graft_reg", reg)
+      .join(broadcast(blocklist.select(col(blockDomainCol).as("__graft_blocked"))),
+        col("__graft_reg") === col("__graft_blocked"), "left_anti")
+      .drop("__graft_reg")
+  }
+
   /** Tracking parameters stripped by [[canonicalUrl]] by default — the
     * common cross-site analytics/click identifiers; `utm_*` is handled as
     * a prefix family.

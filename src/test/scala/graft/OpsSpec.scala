@@ -923,6 +923,36 @@ class OpsSpec extends AnyFunSuite {
     assert(graft.ops.Profile.tokenDrift(a, b, "text", k = 2).count() == 2)
   }
 
+  test("keyProfile: heavy keys ranked deterministically with integer share and hot-key multiple") {
+    // 16 rows over 4 keys: a=10, b=3, c=2, d=1 → mean 4/key
+    val df = (Seq.fill(10)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c") ++ Seq("d"))
+      .toDF("k")
+    val out = graft.ops.Skew.keyProfile(df, Seq("k"), k = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // (cnt, total_rows, n_keys, key_rank, share_permille, vs_mean_permille)
+    assert(out("a") == (10L, 16L, 4L, 1L, 625L, 2500L))  // 10/16, 10/mean(4)
+    assert(out("b") == (3L, 16L, 4L, 2L, 187L, 750L))
+    assert(out("c") == (2L, 16L, 4L, 3L, 125L, 500L))
+    assert(!out.contains("d"))                            // k=3 truncates
+    // count ties rank alphabetically
+    val tie = Seq("y", "x", "x", "y").toDF("k")
+    val ranks = graft.ops.Skew.keyProfile(tie, Seq("k"), k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(ranks == Map("x" -> 1L, "y" -> 2L))
+  }
+
+  test("domainFilterTable: broadcast anti-join blocks subdomains, keeps columns") {
+    val docs = Seq(
+      (1L, "https://a.bad.com/x"), (2L, "https://bad.com/y"),
+      (3L, "https://good.com/z"), (4L, "https://sub.good.com/w")
+    ).toDF("doc_id", "url")
+    val blocklist = Seq("bad.com", "worse.org").toDF("domain")
+    val kept = graft.ops.Web.domainFilterTable(docs, "url", blocklist)
+    assert(kept.columns.toSeq == Seq("doc_id", "url"))
+    assert(kept.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+  }
+
   test("epochPlan: caps repeats, reports shortfall and achieved mix, keeps untargeted strata") {
     val stats = Seq(("a", 1000L), ("b", 400L), ("c", 0L), ("d", 500L))
       .toDF("stratum", "tokens")

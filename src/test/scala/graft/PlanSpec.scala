@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
   */
 class PlanSpec extends AnyFunSuite {
   import SparkTestBase.spark
+  import spark.implicits._
 
   private val sf = "/root/testdata/sf0.001"
 
@@ -426,6 +427,28 @@ class PlanSpec extends AnyFunSuite {
     val exchangeRows = ep.linesIterator.filter(_.contains("Exchange")).toSeq
     assert(exchangeRows.nonEmpty && exchangeRows.forall(!_.contains("text")),
       s"markup must not ride the edge exchange:\n${ep.take(2500)}")
+  }
+
+  test("keyProfile: partial-agg counts, heap top-k, one-row totals broadcast") {
+    val e = SparkEntry.t(spark, sf, "events")
+    val plan = planOf(graft.ops.Skew.keyProfile(e.select(col("event_type")), Seq("event_type"), k = 5))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition heaps, not a global sort:\n${plan.take(2500)}")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"per-key counts must map-side combine:\n${plan.take(2500)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"totals must broadcast as one row:\n${plan.take(2500)}")
+  }
+
+  test("domainFilterTable: broadcast anti join, corpus side stays scan-stage") {
+    val docs = SparkEntry.t(spark, sf, "documents")
+      .selectExpr("doc_id", "concat('https://', source, '.example.com/d/', doc_id) AS url")
+    val bl = Seq("x.example.com").toDF("domain")
+    val plan = planOf(graft.ops.Web.domainFilterTable(docs, "url", bl))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"blocklist must broadcast-anti join:\n${plan.take(2500)}")
+    assert(!plan.replace("BroadcastExchange", "").contains("Exchange"),
+      s"the corpus side must not shuffle:\n${plan.take(2500)}")
   }
 
   test("keywords: partial-agg tf, one-row n_docs broadcast, per-partition heap rank") {
