@@ -1321,6 +1321,17 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1),
         "text", k = 50)
     }),
+    "ns_stream_monitor" -> ((s, dir) =>
+      // Batch-mode run of the streaming ingest-quality monitor — the SAME
+      // code path the stream executes (watermark applies to streams only),
+      // so the windowed counters oracle-gate here while StreamingSpec
+      // covers the live micro-batch behavior. The HLL dup-rate column is
+      // projected away: sketch values don't replay across engines.
+      // props lengths are 8–9 chars, so keep = len >= 9 splits the corpus.
+      graft.streaming.Windows.streamingCorpusMonitor(
+        t(s, dir, "events"), "ts", "props", "event_type", "1 hour",
+        keep = length(col("props")) >= 9)
+        .drop("approx_distinct")),
     "ns_key_profile" -> ((s, dir) =>
       // Join-key skew measurement over the 5-value event_type key (the
       // same degenerate regime ns_salted_join exercises): top-3 keys with
@@ -2787,6 +2798,15 @@ object SparkEntry {
          |SELECT src_domain, dst_domain, count(*) AS n_links,
          |       count(DISTINCT doc_id) AS n_src_docs
          |FROM g GROUP BY 1, 2""".stripMargin,
+    "ns_stream_monitor" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+        |       time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
+        |       event_type, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN len(trim(props)) = 0 THEN 0
+        |                ELSE len(string_split_regex(trim(props), '\s+')) END) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN len(props) >= 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN len(trim(props)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "ns_key_profile" ->
       """WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
         |s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_rows, count(*) AS n_keys FROM c),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -186,6 +186,41 @@ object Windows {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col(keyCol), col("n"))
+  }
+
+  /** Streaming ingest-quality monitor — the dashboard aggregate a corpus
+    * ingestion pipeline watches per micro-batch: for every (event-time
+    * window, group) it emits document volume, token volume, how many docs
+    * pass the caller's `keep` predicate (plug in any scan-stage signal:
+    * [[graft.ops.Curation.qualityFilter]]-style thresholds,
+    * [[graft.ops.TextAnalysis.langId]] agreement, PII counts), the empty
+    * count, and an HLL estimate of distinct content digests (the
+    * within-window dup-rate signal — exact streaming distinct would need
+    * unbounded state; the batch dedup operators own the exact answer).
+    *
+    * The same call works on a batch frame (the watermark applies only to
+    * streams), so closed-history equivalence is testable and the
+    * deterministic columns oracle-gate in batch mode (`ns_stream_monitor`
+    * projects the HLL column away — cross-engine sketch values don't
+    * replay). State is one row per (window, group) bounded by the
+    * watermark; all counters partial-aggregate map-side, so the exchange
+    * carries counter rows, never documents.
+    */
+  def streamingCorpusMonitor(docs: DataFrame, tsCol: String, textCol: String,
+      groupCol: String, windowDuration: String,
+      keep: Column, watermark: String = "10 minutes"): DataFrame = {
+    val src = if (docs.isStreaming) docs.withWatermark(tsCol, watermark) else docs
+    val toks = graft.ops.TextAnalysis.wsTokenCount(col(textCol))
+    src.groupBy(window(col(tsCol), windowDuration).as("w"), col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(toks).as("n_tokens"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(length(trim(col(textCol))) === 0, 1L).otherwise(0L)).as("n_empty"),
+        approx_count_distinct(md5(col(textCol))).as("approx_distinct"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col(groupCol), col("n_docs"), col("n_tokens"), col("n_kept"),
+        col("n_empty"), col("approx_distinct"))
   }
 
   final case class RollEvent(key: String, ts: java.sql.Timestamp, value: Long)

@@ -204,6 +204,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming corpus monitor: windowed volume/quality/empty counters over a memory stream") {
+    val input = MemoryStream[(java.sql.Timestamp, String, String)](spark, 1)
+    val df = input.toDF().toDF("ts", "lang", "text")
+    val mon = Windows.streamingCorpusMonitor(df, "ts", "text", "lang",
+      "10 minutes", keep = length(col("text")) >= 10, watermark = "5 minutes")
+    val q = mon.writeStream.format("memory").queryName("corpmon")
+      .outputMode("complete").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData(
+        (ts(1), "en", "one two three four"),   // 4 tokens, kept
+        (ts(2), "en", "short doc"),            // 2 tokens, dropped (len 9)
+        (ts(3), "en", ""),                     // empty
+        (ts(11), "en", "in the next window"),  // window 2
+        (ts(4), "de", "eins zwei drei vier fünf"))
+      q.processAllAvailable()
+      val rows = spark.table("corpmon").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start").toString, r.getString(2)) ->
+          (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+      // (n_docs, n_tokens, n_kept, n_empty)
+      assert(rows(("2024-01-01 10:00:00.0", "en")) == (3L, 6L, 1L, 1L))
+      assert(rows(("2024-01-01 10:10:00.0", "en")) == (1L, 4L, 1L, 0L))
+      assert(rows(("2024-01-01 10:00:00.0", "de")) == (1L, 5L, 1L, 0L))
+      // distinct-digest estimate is exact at these cardinalities
+      val en1 = spark.table("corpmon").collect()
+        .find(r => r.getString(2) == "en" &&
+          r.getAs[java.sql.Timestamp]("window_start").toString == "2024-01-01 10:00:00.0").get
+      assert(en1.getLong(7) == 3L)
+    } finally q.stop()
+    // the same call on a closed batch frame yields identical counters
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val batch = Seq(
+      (ts(1), "en", "one two three four"), (ts(2), "en", "short doc"),
+      (ts(3), "en", ""), (ts(11), "en", "in the next window"),
+      (ts(4), "de", "eins zwei drei vier fünf")).toDF("ts", "lang", "text")
+    val b = Windows.streamingCorpusMonitor(batch, "ts", "text", "lang",
+      "10 minutes", keep = length(col("text")) >= 10)
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("window_start").toString,
+        r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(b == Set(
+      ("2024-01-01 10:00:00.0", "en", 3L, 6L, 1L, 1L),
+      ("2024-01-01 10:10:00.0", "en", 1L, 4L, 1L, 0L),
+      ("2024-01-01 10:00:00.0", "de", 1L, 5L, 1L, 0L)))
+  }
+
   test("session windows group by gap") {
     val rows = Seq(
       ("2024-01-01 10:00:00", "u1"), ("2024-01-01 10:02:00", "u1"), // session 1
