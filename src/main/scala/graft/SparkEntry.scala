@@ -940,6 +940,18 @@ object SparkEntry {
         .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst")))
       graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3)
     }),
+    "ns_hits" -> ((s, dir) => {
+      // Hubs & authorities over the DIRECTED customer→supplier trading
+      // graph (customers: pure hubs; suppliers: pure authorities): 2
+      // max-normalized integer rounds — the oracle unrolls all four
+      // half-steps with scalar-subquery maxima.
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+      graft.ops.Graph.hits(edges, "src", "dst", iters = 2)
+    }),
     "ns_pagerank_dangling" -> ((s, dir) => {
       // dangling-mass redistribution gate: customer -> supplier edges only,
       // so every supplier is dangling; each round spreads
@@ -2570,6 +2582,35 @@ object SparkEntry {
         |r3 AS (SELECT n.node, CAST(150000 + (17 * coalesce(c3.s, 0)) // 20 AS BIGINT) AS pr
         |       FROM n LEFT JOIN c3 ON n.node = c3.node)
         |SELECT node, pr FROM r3""".stripMargin,
+    "ns_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM n),
+        |ar1 AS (SELECT e.dst AS node, CAST(sum(h.h) AS BIGINT) AS ar
+        |        FROM e JOIN h0 h ON e.src = h.node GROUP BY 1),
+        |am1 AS (SELECT greatest(CAST(coalesce(max(ar), 1) AS BIGINT), 1) AS m FROM ar1),
+        |a1 AS (SELECT n.node, CAST((coalesce(ar.ar, 0) * 1000000) // (SELECT m FROM am1) AS BIGINT) AS a
+        |       FROM n LEFT JOIN ar1 ar ON n.node = ar.node),
+        |hr1 AS (SELECT e.src AS node, CAST(sum(a.a) AS BIGINT) AS hr
+        |        FROM e JOIN a1 a ON e.dst = a.node GROUP BY 1),
+        |hm1 AS (SELECT greatest(CAST(coalesce(max(hr), 1) AS BIGINT), 1) AS m FROM hr1),
+        |h1 AS (SELECT n.node, CAST((coalesce(hr.hr, 0) * 1000000) // (SELECT m FROM hm1) AS BIGINT) AS h
+        |       FROM n LEFT JOIN hr1 hr ON n.node = hr.node),
+        |ar2 AS (SELECT e.dst AS node, CAST(sum(h.h) AS BIGINT) AS ar
+        |        FROM e JOIN h1 h ON e.src = h.node GROUP BY 1),
+        |am2 AS (SELECT greatest(CAST(coalesce(max(ar), 1) AS BIGINT), 1) AS m FROM ar2),
+        |a2 AS (SELECT n.node, CAST((coalesce(ar.ar, 0) * 1000000) // (SELECT m FROM am2) AS BIGINT) AS a
+        |       FROM n LEFT JOIN ar2 ar ON n.node = ar.node),
+        |hr2 AS (SELECT e.src AS node, CAST(sum(a.a) AS BIGINT) AS hr
+        |        FROM e JOIN a2 a ON e.dst = a.node GROUP BY 1),
+        |hm2 AS (SELECT greatest(CAST(coalesce(max(hr), 1) AS BIGINT), 1) AS m FROM hr2),
+        |h2 AS (SELECT n.node, CAST((coalesce(hr.hr, 0) * 1000000) // (SELECT m FROM hm2) AS BIGINT) AS h
+        |       FROM n LEFT JOIN hr2 hr ON n.node = hr.node)
+        |SELECT h2.node, h2.h AS hub, a2.a AS auth
+        |FROM h2 JOIN a2 USING (node)""".stripMargin,
     "ns_pagerank_dangling" ->
       """WITH e AS (
         |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,

@@ -128,6 +128,79 @@ object Graph {
     ranks
   }
 
+  /** Integer-exact HITS (Kleinberg hubs & authorities) over directed
+    * edges: `iters` rounds of a(v) = Σ h(in-neighbors), h(u) = Σ a(out-
+    * neighbors), each half-step max-normalized to micro-units (top score
+    * = 1,000,000; L2 normalization would need a square root — max-norm
+    * preserves the ranking and stays in integer arithmetic, so the
+    * `ns_hits` oracle unrolls the rounds bit-for-bit, scalar-subquerying
+    * the per-round maxima exactly like the dangling-mass shares of
+    * [[pageRank]]'s redistribute mode). Returns (node, hub, auth),
+    * zero-filled over the full node set.
+    *
+    * Complements PageRank for link-based curation: PageRank finds
+    * endorsed domains; the hub score finds directory/aggregator domains
+    * whose outlinks are worth crawling, the auth score content domains
+    * worth keeping.
+    *
+    * Scale shape mirrors [[pageRank]]: per-round state is node-sized,
+    * each half-step is one same-key join + partial-aggregated sum, the
+    * round maxima ride as broadcast one-row frames (action-free loop),
+    * and rounds checkpoint every `persistEvery` iterations. Integer
+    * headroom: raw sums are ≤ max-degree × 10⁶ and the normalize
+    * multiplies by 10⁶ again, so degrees up to ~9×10⁶ fit in a long —
+    * pre-aggregate parallel edges (or weight them down) beyond that.
+    * The returned frame is persisted (the loop's final checkpoint); the
+    * caller owns `unpersist()`.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 2, persistEvery: Int = 2): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(persistEvery > 0, "persistEvery must be positive")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    def normalized(raw: DataFrame, rawCol: String, outCol: String): DataFrame = {
+      val mx = raw.agg(greatest(coalesce(max(col(rawCol)), lit(1L)), lit(1L)).as("__mx"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr(s"(coalesce($rawCol, CAST(0 AS BIGINT)) * 1000000) div __mx")
+            .as(outCol))
+    }
+    var hubs = nodes.withColumn("h", lit(1000000L))
+    var auths: DataFrame = null
+    var prevH: DataFrame = null
+    var prevA: DataFrame = null
+    for (i <- 1 to iters) {
+      val aRaw = e.join(hubs, e("src") === hubs("node"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
+        .select(col("dst").as("node"), col("ar"))
+      auths = normalized(aRaw, "ar", "a")
+      val hRaw = e.join(auths, e("dst") === auths("node"))
+        .groupBy(col("src")).agg(sum(col("a")).as("hr"))
+        .select(col("src").as("node"), col("hr"))
+      var nextH = normalized(hRaw, "hr", "h")
+      if (i % persistEvery == 0 || i == iters) {
+        nextH = nextH.persist()
+        auths = auths.persist()
+        nextH.count()
+        auths.count()
+        if (prevH != null) { prevH.unpersist(); prevA.unpersist() }
+        prevH = nextH
+        prevA = auths
+      }
+      hubs = nextH
+    }
+    val out = hubs.select(col("node"), col("h").as("hub"))
+      .join(auths.select(col("node"), col("a").as("auth")), "node")
+      .persist()
+    out.count()
+    e.unpersist(); nodes.unpersist()
+    if (prevH != null) { prevH.unpersist(); prevA.unpersist() }
+    out
+  }
+
   /** Per-node degree profile: (node, out_deg, in_deg), zero-filled for
     * nodes that only appear on one side. Two partial-aggregated counts and
     * an outer join of node-sized frames.

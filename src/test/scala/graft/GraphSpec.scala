@@ -65,6 +65,41 @@ class GraphSpec extends AnyFunSuite {
     assert(kept > leaky && kept <= 3000000L)
   }
 
+  test("hits: hand-computed max-normalized rounds (micro-units)") {
+    // 1->3, 2->3, 3->4: 1 and 2 are hubs, 3 is the authority
+    val e = Seq(("1", "3"), ("2", "3"), ("3", "4")).toDF("src", "dst")
+    // round 1: a_raw 3:2e6 4:1e6, max 2e6 -> a 3:1e6 4:500000
+    //          h_raw 1:1e6 2:1e6 3:500000, max 1e6 -> h 1:1e6 2:1e6 3:500000
+    val r1 = Graph.hits(e, "src", "dst", iters = 1)
+    val m1 = r1.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    r1.unpersist()
+    assert(m1 == Map("1" -> (1000000L, 0L), "2" -> (1000000L, 0L),
+      "3" -> (500000L, 1000000L), "4" -> (0L, 500000L)))
+    // round 2: a_raw 3:2e6 4:500000 -> a 3:1e6 4:250000
+    //          h_raw 1:1e6 2:1e6 3:250000 -> h unchanged for 1,2; 3:250000
+    val r2 = Graph.hits(e, "src", "dst", iters = 2)
+    val m2 = r2.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    r2.unpersist()
+    assert(m2 == Map("1" -> (1000000L, 0L), "2" -> (1000000L, 0L),
+      "3" -> (250000L, 1000000L), "4" -> (0L, 250000L)))
+  }
+
+  test("hits: directory page scores hub, content pages score auth; deterministic") {
+    val edges = ((1 to 8).map(i => ("dir", s"page$i")) ++
+      Seq(("other", "page1"), ("other", "page2"))).toDF("src", "dst")
+    val out = Graph.hits(edges, "src", "dst", iters = 3)
+    val m = out.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out.unpersist()
+    assert(m("dir")._1 == 1000000L)                  // top hub
+    assert(m("dir")._2 == 0L)                        // no in-links
+    assert(m("page1")._2 > m("page3")._2)            // 2 in-links beat 1
+    assert(m("page1")._1 == 0L)                      // pages link nowhere
+    val again = Graph.hits(edges, "src", "dst", iters = 3)
+    val m2 = again.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    again.unpersist()
+    assert(m == m2)
+  }
+
   test("degrees: zero-filled in/out profile") {
     val d = Graph.degrees(tri, "src", "dst").orderBy("node").collect().map(_.toSeq)
     assert(d.toSeq == Seq(
