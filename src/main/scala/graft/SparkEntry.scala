@@ -1388,6 +1388,15 @@ object SparkEntry {
       graft.ops.TextAnalysis.keywords(t(s, dir, "documents"), "text", "doc_id",
         k = 5, minTermLen = 3, maxDfPermille = 790)
     }),
+    "ns_profile_drift" -> ((s, dir) => {
+      // Shape drift between two pseudo-snapshots (doc_id parity): per
+      // (lang, metric) integer deltas of the exact group profile —
+      // "did the corpus shape move between releases".
+      val docs = t(s, dir, "documents")
+      graft.ops.Profile.profileDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text", "lang")
+    }),
     "ns_line_dedup" -> ((s, dir) => {
       // restructure the word soup into 5-word lines (the corpus has no
       // newlines), then C4-style global line dedup: only the first global
@@ -1801,6 +1810,31 @@ object SparkEntry {
 
   private def htmlWrapSpark(inner: Column): Column =
     concat(lit(htmlPrefix), inner, lit(htmlSuffix))
+
+  /** DuckDB replay of one [[graft.ops.Profile.groupProfile]] pass over
+    * `documents` restricted by `whereSql`, as a chain of CTEs ending in
+    * `<pref>p(lang, n_docs, total_tokens, distinct_tokens, p50_tokens,
+    * p90_tokens)`. Shared by ns_profile_grouped-family gates so a derived
+    * gate (profile drift) cannot diverge from the base profile replay.
+    */
+  private def profileSideCtes(pref: String, whereSql: String): String =
+    raw"""${pref}d AS (
+         |  SELECT lang, CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n
+         |  FROM documents $whereSql),
+         |${pref}b AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(n) AS BIGINT) AS total_tokens FROM ${pref}d GROUP BY 1),
+         |${pref}r AS (SELECT lang, n, row_number() OVER (PARTITION BY lang ORDER BY n) AS rn,
+         |             count(*) OVER (PARTITION BY lang) AS cnt FROM ${pref}d),
+         |${pref}q AS (SELECT lang,
+         |        max(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT) THEN n END) AS p50_tokens,
+         |        max(CASE WHEN rn = CAST(ceil(0.9 * cnt) AS BIGINT) THEN n END) AS p90_tokens
+         |      FROM ${pref}r GROUP BY 1),
+         |${pref}tk AS (SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+         |       FROM documents $whereSql),
+         |${pref}dt AS (SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS distinct_tokens
+         |       FROM ${pref}tk GROUP BY 1),
+         |${pref}p AS (SELECT b.lang, n_docs, total_tokens, distinct_tokens, p50_tokens, p90_tokens
+         |       FROM ${pref}b b JOIN ${pref}dt USING (lang) JOIN ${pref}q USING (lang))""".stripMargin
 
   /** DuckDB replay of [[graft.ops.Web.registrableDomain]] (PSL-lite) over
     * a host-typed SQL expression — shared by the ns_domains-family gates.
@@ -2559,6 +2593,25 @@ object SparkEntry {
         |       FROM tk GROUP BY 1)
         |SELECT b.lang, n_docs, total_tokens, distinct_tokens, p50_tokens, p90_tokens
         |FROM b JOIN dt USING (lang) JOIN q USING (lang)""".stripMargin,
+    "ns_profile_drift" ->
+      s"""WITH ${profileSideCtes("x", "WHERE doc_id % 2 = 0")},
+         |${profileSideCtes("y", "WHERE doc_id % 2 = 1")},
+         |j AS (SELECT coalesce(xp.lang, yp.lang) AS lang,
+         |        coalesce(xp.n_docs, 0) AS a_n_docs, coalesce(yp.n_docs, 0) AS b_n_docs,
+         |        coalesce(xp.total_tokens, 0) AS a_tt, coalesce(yp.total_tokens, 0) AS b_tt,
+         |        coalesce(xp.distinct_tokens, 0) AS a_dt, coalesce(yp.distinct_tokens, 0) AS b_dt,
+         |        coalesce(xp.p50_tokens, 0) AS a_p50, coalesce(yp.p50_tokens, 0) AS b_p50,
+         |        coalesce(xp.p90_tokens, 0) AS a_p90, coalesce(yp.p90_tokens, 0) AS b_p90
+         |      FROM xp FULL OUTER JOIN yp ON xp.lang = yp.lang),
+         |u AS (
+         |  SELECT lang, 'n_docs' AS metric, a_n_docs AS v_a, b_n_docs AS v_b FROM j
+         |  UNION ALL SELECT lang, 'total_tokens', a_tt, b_tt FROM j
+         |  UNION ALL SELECT lang, 'distinct_tokens', a_dt, b_dt FROM j
+         |  UNION ALL SELECT lang, 'p50_tokens', a_p50, b_p50 FROM j
+         |  UNION ALL SELECT lang, 'p90_tokens', a_p90, b_p90 FROM j)
+         |SELECT lang, metric, v_a, v_b, v_b - v_a AS delta,
+         |       ((v_b - v_a) * 1000) // greatest(v_a, 1) AS delta_permille
+         |FROM u""".stripMargin,
     "ns_pagerank" ->
       """WITH pairs AS (
         |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS cn,

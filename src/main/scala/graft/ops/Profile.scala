@@ -83,6 +83,43 @@ object Profile {
       .withColumnRenamed("__g", groupCol)
   }
 
+  /** Release-over-release profile drift: [[groupProfile]] on two corpus
+    * snapshots, full-outer joined per group and unpivoted to one row per
+    * (group, metric) with both values, the integer delta, and the change
+    * in permille of the old value (`(v_b − v_a) × 1000 div max(v_a, 1)`).
+    * Groups that appeared or vanished between snapshots surface as drift
+    * rows against zero rather than disappearing — the regression-audit
+    * contract. All-integer output diffs cleanly across releases and
+    * engines (`ns_profile_drift` replays it in DuckDB); feed alongside
+    * [[tokenDrift]]: this answers "did the shape move", tokenDrift
+    * answers "which content moved it".
+    *
+    * Scale: two groupProfile passes (each one token-granular exchange +
+    * one ranking exchange) and a #groups-sized join; the unpivot is a
+    * narrow explode of metric structs.
+    */
+  def profileDrift(a: DataFrame, b: DataFrame, textCol: String, groupCol: String,
+      quantiles: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    val metrics = Seq("n_docs", "total_tokens", "distinct_tokens") ++ quantileNames(quantiles)
+    val pa = groupProfile(a, textCol, groupCol, quantiles)
+      .select(col(groupCol).as("__g") +: metrics.map(m => col(m).as(s"a_$m")): _*)
+    val pb = groupProfile(b, textCol, groupCol, quantiles)
+      .select(col(groupCol).as("__g") +: metrics.map(m => col(m).as(s"b_$m")): _*)
+    val rows = metrics.map { m =>
+      struct(lit(m).as("metric"),
+        coalesce(col(s"a_$m"), lit(0L)).as("v_a"),
+        coalesce(col(s"b_$m"), lit(0L)).as("v_b"))
+    }
+    pa.join(pb, Seq("__g"), "full")
+      .select(col("__g").as(groupCol), explode(array(rows: _*)).as("__m"))
+      .select(col(groupCol), col("__m.metric").as("metric"),
+        col("__m.v_a").as("v_a"), col("__m.v_b").as("v_b"))
+      .withColumn("delta", col("v_b") - col("v_a"))
+      .withColumn("delta_permille",
+        call_function("div", (col("v_b") - col("v_a")) * lit(1000L),
+          greatest(col("v_a"), lit(1L))))
+  }
+
   /** Sketch-tier profile: identical shape to [[groupProfile]] but
     * vocabulary breadth via HyperLogLog++ (relative sd `rsd`) and quantiles
     * via `percentile_approx` (GK, `accuracy` controls error). Every

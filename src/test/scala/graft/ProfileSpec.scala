@@ -166,4 +166,23 @@ class ProfileSpec extends AnyFunSuite {
     assert(out(2).toSeq == Seq("g2", "x", 3L, 1L))
     assert(out(3).toSeq == Seq("g2", "y", 2L, 2L))
   }
+
+  test("profileDrift: per-metric integer deltas, appeared/vanished groups drift against zero") {
+    val a = Seq(("g1", "x y"), ("g1", "x")).toDF("g", "text")
+    val b = Seq(("g1", "x y z"), ("g2", "a b")).toDF("g", "text")
+    val out = graft.ops.Profile.profileDrift(a, b, "text", "g")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // g1 in a: n_docs 2, total 3, distinct 2, p50 1 (ranks [1,2], ceil(1)=1), p90 2
+    // g1 in b: n_docs 1, total 3, distinct 3, p50 3, p90 3
+    assert(out(("g1", "n_docs")) == (2L, 1L, -1L, -500L))
+    assert(out(("g1", "total_tokens")) == (3L, 3L, 0L, 0L))
+    assert(out(("g1", "distinct_tokens")) == (2L, 3L, 1L, 500L))
+    assert(out(("g1", "p50_tokens")) == (1L, 3L, 2L, 2000L))
+    assert(out(("g1", "p90_tokens")) == (2L, 3L, 1L, 500L))
+    // g2 appeared: drifts against zero (permille divides by max(v_a, 1))
+    assert(out(("g2", "n_docs")) == (0L, 1L, 1L, 1000L))
+    assert(out(("g2", "total_tokens")) == (0L, 2L, 2L, 2000L))
+    assert(out.size == 10)
+  }
 }
