@@ -31,6 +31,29 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
       .drop("__digest")
 
+  /** Duplicate-cluster size histogram — the dedup-aggressiveness audit a
+    * curation run reads before committing: for each exact-duplicate
+    * multiplicity `dup_count`, how many content groups have exactly that
+    * many copies, how many documents those groups hold, and how many the
+    * dedup would remove (`(dup_count − 1) × n_groups`). A corpus whose
+    * mass sits in the 1-bin is already clean; a fat tail bin is the
+    * boilerplate signature worth inspecting before deleting.
+    *
+    * Scale: digest aggregation identical to [[exact]] (uniform 16-byte
+    * key, map-side combine), then a second partial-aggregated rollup over
+    * group-sized rows — the histogram exchange is at most #distinct-
+    * multiplicities rows.
+    */
+  def dupSizeHistogram(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.withColumn("__digest", md5(col(contentCol)))
+      .groupBy(col("__digest"))
+      .agg(count(lit(1)).as("dup_count"))
+      .groupBy(col("dup_count"))
+      .agg(count(lit(1)).as("n_groups"))
+      .select(col("dup_count"), col("n_groups"),
+        (col("dup_count") * col("n_groups")).as("n_docs"),
+        ((col("dup_count") - 1) * col("n_groups")).as("n_removable"))
+
   /** Word shingles: lowercase, whitespace-tokenize, sliding n-grams.
     * Pure codegen'd HOFs — no UDF, no extra parse.
     */

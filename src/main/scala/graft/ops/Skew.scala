@@ -55,6 +55,36 @@ object Skew {
     * totals reduce to one broadcast row. The exchange carries one count
     * row per distinct key — never input rows.
     */
+  /** Exact equi-join output cardinality WITHOUT running the join: both
+    * sides reduce to per-key counts, the counts inner-join (vocabulary-
+    * sized frames), and one row comes back:
+    *
+    *   - `join_rows` = Σ over matched keys of cntL × cntR — the exact
+    *     output size of `left JOIN right ON keys`
+    *   - `max_key_rows` = the largest single-key contribution (the row
+    *     count the hottest reducer would see — the salt decision)
+    *   - `matched_keys`, `left_rows/keys`, `right_rows/keys`
+    *
+    * Run on the sample tier first when the sides are 100 TB; the counts
+    * themselves are exact at any scale. Long arithmetic holds to ~10¹⁸
+    * output rows — past that the join was never going to run anyway.
+    */
+  def joinCardinality(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val cl = left.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__cl"))
+    val cr = right.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__cr"))
+    val matched = cl.join(cr, keyCols)
+      .agg(coalesce(sum(col("__cl") * col("__cr")), lit(0L)).as("join_rows"),
+        coalesce(max(col("__cl") * col("__cr")), lit(0L)).as("max_key_rows"),
+        count(lit(1)).as("matched_keys"))
+    val ls = cl.agg(coalesce(sum(col("__cl")), lit(0L)).as("left_rows"),
+      count(lit(1)).as("left_keys"))
+    val rs = cr.agg(coalesce(sum(col("__cr")), lit(0L)).as("right_rows"),
+      count(lit(1)).as("right_keys"))
+    matched.crossJoin(broadcast(ls)).crossJoin(broadcast(rs))
+  }
+
   def keyProfile(df: DataFrame, keyCols: Seq[String], k: Int = 20): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     require(k >= 1, "k must be >= 1")

@@ -236,6 +236,25 @@ object Web {
     * two-level (edge, doc) pre-aggregate rather than a countDistinct
     * hash set per edge.
     */
+  /** Inlink anchor-text profile per target domain: the `k` most frequent
+    * anchor terms pointing AT each registrable domain — classic external
+    * relevance evidence ("what the web calls this site") for domain
+    * classification and trust scoring. Thin composition of
+    * [[extractLinks]] output with [[Profile.heavyHitters]] over the
+    * cleaned anchor text, keyed by the resolved target's registrable
+    * domain — same partial-agg + per-group rank shape, (domain, term)-
+    * granular exchange, anchors never shuffle whole.
+    */
+  def anchorProfile(links: DataFrame, k: Int = 10,
+      multiLabelSuffixes: Seq[String] = Nil): DataFrame = {
+    val reg = registrableDomain(
+      lower(regexp_extract(col("abs_url"), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)),
+      multiLabelSuffixes)
+    Profile.heavyHitters(
+      links.select(reg.as("dst_domain"), col("anchor")),
+      "anchor", "dst_domain", k)
+  }
+
   def linkEdges(links: DataFrame, srcUrlCol: String, idCol: String,
       multiLabelSuffixes: Seq[String] = Nil): DataFrame = {
     def reg(url: Column): Column = registrableDomain(

@@ -923,6 +923,49 @@ class OpsSpec extends AnyFunSuite {
     assert(graft.ops.Profile.tokenDrift(a, b, "text", k = 2).count() == 2)
   }
 
+  test("dupSizeHistogram: multiplicity bins with doc and removable counts") {
+    val docs = (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = graft.ops.Dedup.dupSizeHistogram(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      3L -> (1L, 3L, 2L),   // one group of 3 copies: 3 docs, 2 removable
+      2L -> (1L, 2L, 1L),
+      1L -> (2L, 2L, 0L)))  // the clean tail removes nothing
+  }
+
+  test("joinCardinality: exact output size, hottest key, and side stats without joining") {
+    val left = Seq("a", "a", "b", "c", "c", "c").toDF("k")
+    val right = Seq("a", "a", "a", "b", "b", "d").toDF("k")
+    val r = graft.ops.Skew.joinCardinality(left, right, Seq("k")).collect().head
+    // matched: a 2*3=6, b 1*2=2 → join 8, max 6, 2 matched keys
+    assert(r.getAs[Long]("join_rows") == 8L)
+    assert(r.getAs[Long]("max_key_rows") == 6L)
+    assert(r.getAs[Long]("matched_keys") == 2L)
+    assert(r.getAs[Long]("left_rows") == 6L && r.getAs[Long]("left_keys") == 3L)
+    assert(r.getAs[Long]("right_rows") == 6L && r.getAs[Long]("right_keys") == 3L)
+    // the law: equals the actual join's count
+    assert(left.join(right, "k").count() == 8L)
+    // disjoint sides → all-zero matched stats
+    val z = graft.ops.Skew.joinCardinality(
+      Seq("x").toDF("k"), Seq("y").toDF("k"), Seq("k")).collect().head
+    assert(z.getAs[Long]("join_rows") == 0L && z.getAs[Long]("max_key_rows") == 0L)
+  }
+
+  test("anchorProfile: top anchor terms per target domain with deterministic ties") {
+    val links = Seq(
+      ("https://a.x.com/1", "fast cars"),
+      ("https://b.x.com/2", "Fast trucks"),
+      ("https://y.org/3", "slow cars")).toDF("abs_url", "anchor")
+    val out = graft.ops.Web.anchorProfile(links, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(3)) -> (r.getString(1), r.getLong(2))).toMap
+    // x.com terms: fast 2, cars 1, trucks 1 → fast then cars (tie alpha)
+    assert(out(("x.com", 1L)) == ("fast", 2L))
+    assert(out(("x.com", 2L)) == ("cars", 1L))
+    assert(out(("y.org", 1L)) == ("cars", 1L))
+    assert(out(("y.org", 2L)) == ("slow", 1L))
+  }
+
   test("keyProfile: heavy keys ranked deterministically with integer share and hot-key multiple") {
     // 16 rows over 4 keys: a=10, b=3, c=2, d=1 → mean 4/key
     val df = (Seq.fill(10)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c") ++ Seq("d"))
