@@ -12,6 +12,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // driver-generated parquet stores naive timestamps: read them as
+      // TIMESTAMP (UTC session) rather than TIMESTAMP_NTZ so timestamp
+      // functions and the DuckDB oracle see identical values
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -21,7 +26,11 @@ object Bench {
     // between near-identical plans in round 1).
     // deterministic name order: per-query attribution is comparable
     // across rounds regardless of Map iteration order
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run for local iteration; the
+    // driver never sets it, so per-round bench numbers stay full-surface
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
     }

@@ -11,6 +11,10 @@ object Smoke {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // driver-generated parquet stores naive timestamps: read them as
+      // TIMESTAMP (UTC session) rather than TIMESTAMP_NTZ so timestamp
+      // functions and the DuckDB oracle see identical values
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -18,6 +18,10 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // driver-generated parquet stores naive timestamps: read them as
+      // TIMESTAMP (UTC session) rather than TIMESTAMP_NTZ so timestamp
+      // functions and the DuckDB oracle see identical values
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -36,6 +36,29 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Rebuild a PERSISTED-AND-MATERIALIZED frame as a logical leaf over its
+    * cached rows. Persisting alone only fixes EXECUTION cost: the logical
+    * plan of round N still embeds the full plan of rounds 1..N-1, and a
+    * loop body that references a frame twice DOUBLES the tree per round —
+    * at iters = 6 the analyzer walks a 2^12-node tree and the driver OOMs
+    * before a single task runs (caught by GraphSpec's job-count gate).
+    * `createDataFrame(df.rdd, df.schema)` plans `df` once (reading the
+    * cache, since `df` is persisted) and wraps the result as a leaf, so
+    * every round's plan is O(round body) regardless of iteration count.
+    * The caller keeps the original persisted frame for unpersist
+    * bookkeeping; the wrapper reads its cache blocks lazily.
+    *
+    * CALL ONLY ON MATERIALIZED FRAMES: `.rdd` on an AQE plan eagerly
+    * materializes every non-result query stage, so on an unmaterialized
+    * frame this runs the plan's work immediately — and without populating
+    * the cache (the result stage never runs), so the real materialization
+    * then repeats it. On a materialized frame the substituted plan is a
+    * bare in-memory scan with no stages, and `.rdd` is free.
+    * (SCALE.md "Iterative operators".)
+    */
+  private def truncateLineage(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   /** Integer-exact PageRank over `edges` (one row per directed edge).
     * Returns (node, pr) in micro-units for every node appearing as a src
     * or dst. Parallel edges count as parallel (pre-`distinct` them if not
@@ -44,10 +67,19 @@ object Graph {
     * `redistributeDangling = true` closes the dangling-mass leak: each
     * round the summed rank of no-out-edge nodes is spread uniformly
     * (integer `div` — the sub-micro-unit remainder, < one micro-unit per
-    * node, still leaks deterministically). The share rides along as a
-    * broadcast one-row aggregate, so the loop stays action-free and
-    * `persistEvery` batching is preserved; cost is one extra edge-free
-    * aggregation per round. Leave it off when only ranking order matters.
+    * node, still leaks deterministically). The share rides as a broadcast
+    * one-row aggregate (floor(sum/N) computed plan-side; count(1) over
+    * ranks is the node count) and EVERY round persists: at the window
+    * boundary's single count, round i's broadcast-share stage finds
+    * round i-1 already cached — the previous share stage had to compute
+    * it — so the whole window executes each round exactly once inside one
+    * job cascade, action-free. The per-round cache is what makes the
+    * double reference of `ranks` (contributions + share) safe: without
+    * it this exact shape re-executed the base edge join 2^rounds times
+    * (round 4's scale-killer), and the per-round-action alternatives
+    * measured 5-10× slower than one fused job at sf0.1 (~1 s fixed cost
+    * per action that touches the edge cache — SCALE.md "Iterative
+    * operators"). Leave it off when only ranking order matters.
     *
     * The returned frame is PERSISTED (it is the loop's final checkpoint —
     * unpersisting it here would force a full recompute on first use). The
@@ -71,22 +103,24 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
 
-    // dangling = nodes with no out-edges; node count only needed for the
-    // redistribution quotient (both driver-side scalars, O(1))
+    // dangling = nodes with no out-edges; the redistribution quotient's
+    // node count rides inside the share aggregate (count(1) over ranks —
+    // one row per node), so no extra count job exists anywhere
     lazy val danglingNodes = nodes.join(outDeg.select(col("src").as("node")),
-      Seq("node"), "left_anti").persist()
-    lazy val nNodes: Long = nodes.count()
+      Seq("node"), "left_anti").withColumn("__dang", lit(1)).persist()
 
     var ranks = nodes.withColumn("pr", lit(1000000L))
-    var prev: DataFrame = null
+    // window bookkeeping: every round persists in redistribute mode (its
+    // cache is what makes the broadcast-share chain single-execution, see
+    // below), but only window boundaries materialize; `windowFrames`
+    // collects the window's interior caches so they can drop once the
+    // boundary count has run
+    var cur: DataFrame = null
+    var windowFrames: List[DataFrame] = Nil
     for (i <- 1 to iters) {
       val contribs = eo.join(ranks, eo("src") === ranks("node"))
         .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
         .groupBy("node").agg(sum("c").as("s"))
-      // per-node share of this round's dangling mass: floor(sum / N),
-      // integer-exact, carried as a broadcast 1-row frame so the loop
-      // stays action-free (a driver-side collect here would force one
-      // extra job per round and break persistEvery batching)
       var next =
         if (!redistributeDangling)
           nodes.join(contribs, Seq("node"), "left")
@@ -94,25 +128,59 @@ object Graph {
               (lit(150000L) + expr("(17 * coalesce(s, CAST(0 AS BIGINT))) div 20"))
                 .as("pr"))
         else {
-          val shareDf = ranks.join(danglingNodes, "node")
-            .agg(expr(s"coalesce(sum(pr), CAST(0 AS BIGINT)) div ${nNodes}L").as("__share"))
+          // per-node share of this round's dangling mass, floor(sum / N),
+          // computed entirely plan-side as a broadcast one-row aggregate
+          // (count(1) over ranks IS the node count). The loop stays
+          // action-free: at the window-boundary count, each round's
+          // broadcast-share stage finds its `ranks` input already cached by
+          // the previous round's share stage (which had to compute it),
+          // so the whole window executes every round exactly once inside
+          // ONE job cascade. Referencing `ranks` twice per round is safe
+          // ONLY because every round persists — without the caches this
+          // exact shape re-executed the base edge join 2^rounds times
+          // (round 4's scale-killer, SCALE.md "Iterative operators").
+          val shareDf = ranks.join(danglingNodes, Seq("node"), "left")
+            .agg(coalesce(
+              expr("sum(CASE WHEN __dang = 1 THEN pr END) div count(1)"),
+              lit(0L)).as("__share"))
           nodes.join(contribs, Seq("node"), "left")
             .crossJoin(broadcast(shareDf))
             .select(col("node"),
-              (lit(150000L) + expr("(17 * (coalesce(s, CAST(0 AS BIGINT)) + __share)) div 20"))
+              (lit(150000L) +
+                expr("(17 * (coalesce(s, CAST(0 AS BIGINT)) + __share)) div 20"))
                 .as("pr"))
         }
-      // materialize every persistEvery rounds (and at the end): each
-      // materialization is a full job, so cutting them 4x cuts fixed cost
-      // 4x while lineage depth stays bounded at persistEvery rounds
-      // (redistribution references `ranks` twice per round — contribs and
-      // the dangling sum — so lineage fan-out is 2^persistEvery between
-      // checkpoints: bounded and cheap for the default 4)
-      if (i % persistEvery == 0 || i == iters) {
+      if (redistributeDangling) {
         next = next.persist()
-        next.count() // materialize before dropping the previous checkpoint
-        if (prev != null) prev.unpersist()
-        prev = next
+        windowFrames ::= next
+      }
+      // redistribute windows cap at 2 rounds: within a window, the
+      // top-level stages and the nested broadcast-share stages race on
+      // the interior caches, and the wasted duplicate work grows with
+      // window depth (measured: a depth-4 window ran 47 jobs where a
+      // depth-2 window ran 3). Two rounds bounds the waste at one
+      // duplicated round while still fusing two rounds per action.
+      val window = if (redistributeDangling) math.min(persistEvery, 2)
+        else persistEvery
+      // materialize every persistEvery rounds (and at the end): one job per
+      // window is the loop's entire action count. Logical-plan growth per
+      // window: the leaky path references ranks once per round (chain,
+      // persistEvery bodies); redistribute references it twice (tree,
+      // 2^persistEvery bodies — fine for the default 4, the caches keep
+      // EXECUTION single-pass either way). The boundary truncation resets
+      // both to a leaf.
+      if (i % window == 0 || i == iters) {
+        if (!redistributeDangling) next = next.persist()
+        next.count() // materialize before dropping the previous window
+        if (cur != null) cur.unpersist()
+        windowFrames.drop(1).foreach(_.unpersist()) // keep the boundary frame
+        windowFrames = Nil
+        cur = next
+        // leaf-ify the checkpoint so the next window's logical plan starts
+        // from a constant-size tree regardless of iteration count (safe
+        // here and ONLY here: truncateLineage on an unmaterialized frame
+        // would eagerly run the plan's stages without populating the cache)
+        if (i != iters) next = truncateLineage(next)
       }
       ranks = next
     }
@@ -143,61 +211,97 @@ object Graph {
     * whose outlinks are worth crawling, the auth score content domains
     * worth keeping.
     *
-    * Scale shape mirrors [[pageRank]]: per-round state is node-sized,
-    * each half-step is one same-key join + partial-aggregated sum, the
-    * round maxima ride as broadcast one-row frames (action-free loop),
-    * and rounds checkpoint every `persistEvery` iterations. Integer
-    * headroom: raw sums are ≤ max-degree × 10⁶ and the normalize
-    * multiplies by 10⁶ again, so degrees up to ~9×10⁶ fit in a long —
-    * pre-aggregate parallel edges (or weight them down) beyond that.
-    * The returned frame is persisted (the loop's final checkpoint); the
-    * caller owns `unpersist()`.
+    * Scale shape mirrors [[pageRank]]'s redistribute mode: per-round
+    * state is node-sized, each half-step is one same-key join +
+    * partial-aggregated sum, and the half-step maxima ride as broadcast
+    * one-row aggregates over the PERSISTED raw sum frames. The loop is
+    * action-free: at the window boundary's single count, each max
+    * broadcast stage finds its raw input already cached (the previous
+    * half-step's broadcast stage had to compute it), so the whole window
+    * executes every half-step exactly once inside one job cascade. The
+    * per-half-step persist is what makes the double reference of each
+    * raw frame (max + normalize) safe — round 4 had this exact broadcast
+    * shape WITHOUT the persists and the base edge join re-executed
+    * 2^(2·rounds) times: 41.6 s at sf0.1 for two rounds vs 0.7 s for
+    * PageRank on the same graph; per-half-step collect actions measured
+    * ~1 s fixed cost each (SCALE.md "Iterative operators"). Zero-fill
+    * over the full node set happens once on the final output — a node
+    * missing from a half-step scores 0 and contributes nothing to the
+    * next sum, so mid-loop zero-fill joins are pure overhead. Windows of
+    * `windowRounds` rounds bound the logical tree (it doubles per
+    * half-step between materializations) with one count + lineage
+    * truncation per boundary. Integer headroom: raw sums are ≤
+    * max-degree × 10⁶ and the normalize multiplies by 10⁶ again, so
+    * degrees up to ~9×10⁶ fit in a long — pre-aggregate parallel edges
+    * (or weight them down) beyond that. The returned frame is persisted
+    * (the loop's final checkpoint); the caller owns `unpersist()`.
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 2, persistEvery: Int = 2): DataFrame = {
+      iters: Int = 2, windowRounds: Int = 2): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    require(persistEvery > 0, "persistEvery must be positive")
+    require(windowRounds >= 1, "windowRounds must be positive")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+    // max-normalize a persisted raw sum frame to micro-units: the max is a
+    // broadcast one-row aggregate whose stage doubles as the raw frame's
+    // cache population; the projection then reads the cache
     def normalized(raw: DataFrame, rawCol: String, outCol: String): DataFrame = {
-      val mx = raw.agg(greatest(coalesce(max(col(rawCol)), lit(1L)), lit(1L)).as("__mx"))
-      nodes.join(raw, Seq("node"), "left")
-        .crossJoin(broadcast(mx))
-        .select(col("node"),
-          expr(s"(coalesce($rawCol, CAST(0 AS BIGINT)) * 1000000) div __mx")
-            .as(outCol))
+      val mx = raw.agg(greatest(coalesce(max(col(rawCol)), lit(1L)), lit(1L))
+        .as("__mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("node"), expr(s"($rawCol * 1000000) div __mx").as(outCol))
     }
-    var hubs = nodes.withColumn("h", lit(1000000L))
+    var hubs: DataFrame = null
     var auths: DataFrame = null
-    var prevH: DataFrame = null
-    var prevA: DataFrame = null
+    // interior caches of the current window, dropped after its boundary
+    // count; the boundary round's raws must outlive the window (its
+    // hubs/auths read them) so they carry over to the next window's list
+    var windowFrames: List[DataFrame] = Nil
+    var boundary: List[DataFrame] = Nil
     for (i <- 1 to iters) {
-      val aRaw = e.join(hubs, e("src") === hubs("node"))
-        .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
+      // round 1's hub scores are uniformly 10⁶, so aRaw is just
+      // in-degree × 10⁶ — a bare aggregate over the edge cache, no join
+      val aRaw = (if (i == 1)
+          e.groupBy(col("dst")).agg((count(lit(1)) * 1000000L).as("ar"))
+        else
+          e.join(hubs, e("src") === hubs("node"))
+            .groupBy(col("dst")).agg(sum(col("h")).as("ar")))
         .select(col("dst").as("node"), col("ar"))
+        .persist()
       auths = normalized(aRaw, "ar", "a")
       val hRaw = e.join(auths, e("dst") === auths("node"))
         .groupBy(col("src")).agg(sum(col("a")).as("hr"))
         .select(col("src").as("node"), col("hr"))
-      var nextH = normalized(hRaw, "hr", "h")
-      if (i % persistEvery == 0 || i == iters) {
-        nextH = nextH.persist()
-        auths = auths.persist()
-        nextH.count()
-        auths.count()
-        if (prevH != null) { prevH.unpersist(); prevA.unpersist() }
-        prevH = nextH
-        prevA = auths
+        .persist()
+      hubs = normalized(hRaw, "hr", "h")
+      windowFrames = hRaw :: aRaw :: windowFrames
+      if (i % windowRounds == 0 && i != iters) {
+        // one job per window: the count's nested broadcast-max stages
+        // populate every interior cache in dependency order. The FINAL
+        // window skips this — out.count() below is its materialization.
+        hubs.count()
+        boundary.foreach(_.unpersist())
+        windowFrames.drop(2).foreach(_.unpersist()) // keep this round's raws
+        boundary = windowFrames.take(2)
+        windowFrames = Nil
+        // leaf-ify for the next window (safe: just materialized)
+        hubs = truncateLineage(hubs)
+        auths = truncateLineage(auths)
       }
-      hubs = nextH
     }
-    val out = hubs.select(col("node"), col("h").as("hub"))
-      .join(auths.select(col("node"), col("a").as("auth")), "node")
+    // zero-fill over the full node set exactly once
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val out = nodes
+      .join(hubs, Seq("node"), "left")
+      .join(auths, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("h"), lit(0L)).as("hub"),
+        coalesce(col("a"), lit(0L)).as("auth"))
       .persist()
     out.count()
-    e.unpersist(); nodes.unpersist()
-    if (prevH != null) { prevH.unpersist(); prevA.unpersist() }
+    e.unpersist()
+    boundary.foreach(_.unpersist())
+    windowFrames.foreach(_.unpersist())
     out
   }
 

@@ -12,13 +12,18 @@ import org.apache.spark.sql.types._
   * mapInPandas: per-partition setup cost is amortized across the batch, and
   * nothing ever collects to the driver).
   *
-  * The actual codec calls are STUBBED (this container has no image/audio
-  * libraries): `decodeStub` produces deterministic pseudo-features from the
-  * bytes. The Spark-side plumbing — schema, partitioning, batch iteration,
-  * output shape — is real and is what matters at 100 TB: media bytes stay
-  * columnar-compressed in parquet, scans prune to the metadata struct
-  * unless features are requested, and the decode stage parallelizes
-  * per-partition with constant memory.
+  * IMAGE decode is REAL: `javax.imageio` ships in the JDK, so PNG/JPEG/
+  * BMP/GIF payloads decode to pixels and feature-extract from their luma
+  * plane ([[decodeLumaGrid]]) — container-invariance (PNG == BMP of the
+  * same pixels) is ScalaTest-gated. AUDIO/VIDEO codecs are not in the JDK
+  * and stay stubbed: `decodeStub` produces deterministic pseudo-features
+  * from the bytes, and every non-decodable payload falls back to it, so
+  * the pipeline is total. The Spark-side plumbing — schema, partitioning,
+  * batch iteration, output shape — is identical for both tiers and is
+  * what matters at 100 TB: media bytes stay columnar-compressed in
+  * parquet, scans prune to the metadata struct unless features are
+  * requested, and the decode stage parallelizes per-partition with
+  * constant memory.
   */
 object Multimodal {
 
@@ -59,11 +64,60 @@ object Multimodal {
 
   final case class MediaFeatures(media_id: Long, feature: Array[Float], n_frames: Int)
 
+  /** Real image decode via `javax.imageio` (ships in the JDK — PNG, JPEG,
+    * BMP, GIF need no external dependency): returns the `grid`×`grid`
+    * block-average luma plane (0-255 ints, row-major), or None when the
+    * bytes are not a decodable image (text payloads, truncated files,
+    * unsupported codecs). Integer luma: (299·R + 587·G + 114·B) / 1000,
+    * block sums accumulated exactly then divided by the block pixel count,
+    * so two lossless encodings of the same pixels (PNG vs BMP) produce
+    * identical grids — that invariance is what makes decoded pHash a real
+    * cross-container near-dup signal, and it is ScalaTest-gated.
+    *
+    * This is deliberately an iterator-stage helper, not a Catalyst
+    * expression: codec calls are opaque JVM library invocations with
+    * per-call setup cost, exactly what the `mapPartitions` batching in
+    * [[extractFeatures]]/[[pHashDecoded]] amortizes. Audio/video codecs
+    * slot into the same batch shape behind [[decodeStub]].
+    */
+  private[graft] def decodeLumaGrid(bytes: Array[Byte], grid: Int): Option[Array[Int]] = {
+    if (bytes == null || bytes.length < 8) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth < 1 || img.getHeight < 1) return None
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Long](grid * grid)
+    val counts = new Array[Long](grid * grid)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(grid - 1, y * grid / h)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(grid - 1, x * grid / w)
+        val rgb = img.getRGB(x, y)
+        val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000
+        sums(gy * grid + gx) += luma
+        counts(gy * grid + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Int](grid * grid)
+    var i = 0
+    while (i < out.length) {
+      out(i) = if (counts(i) == 0) 0 else (sums(i) / counts(i)).toInt
+      i += 1
+    }
+    Some(out)
+  }
+
   /** Deterministic stand-in for a real decoder: hashes byte windows into a
     * fixed-length float feature vector. Replace the body with a codec call
     * (JNI/javacpp) in production; the batch shape stays identical.
     */
-  private[ops] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+  private[graft] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     if (bytes == null || bytes.isEmpty) return out
     var i = 0
@@ -78,19 +132,83 @@ object Multimodal {
     out
   }
 
-  /** Partition-local batched feature extraction. `???`-free by design: the
-    * stub is deterministic so the stage is testable end-to-end.
+  /** Partition-local batched feature extraction. Bytes that decode as a
+    * real image (PNG/JPEG/BMP/GIF via the JDK's ImageIO) produce the
+    * block-average luma grid as the feature vector (grid side =
+    * ⌊√dim⌋, zero-padded to `dim`, values scaled to [0, 1]; n_frames = 1 —
+    * a decoded still is one frame regardless of synthetic metadata).
+    * Anything else falls back to the deterministic byte-hash stub, which
+    * keeps the driver-contract gate (text payloads) bit-stable and gives
+    * un-decodable media a well-defined feature instead of an error row.
     */
   def extractFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
+    val grid = math.max(1, math.sqrt(dim.toDouble).toInt)
     media.select("media_id", "content", "meta.duration_ms").mapPartitions { rows =>
-      // per-partition decoder setup would go here (codec init, model load)
+      // per-partition decoder setup would go here (codec init, model load);
+      // ImageIO keeps its reader registry per-JVM so there is none today
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]]("content")
-        val frames = math.max(1, (r.getAs[Long]("duration_ms") / 40000L).toInt)
-        MediaFeatures(r.getLong(0), decodeStub(bytes, dim), frames)
+        decodeLumaGrid(bytes, grid) match {
+          case Some(cells) =>
+            val f = new Array[Float](dim)
+            var i = 0
+            while (i < cells.length && i < dim) { f(i) = cells(i) / 255.0f; i += 1 }
+            MediaFeatures(r.getLong(0), f, 1)
+          case None =>
+            val frames = math.max(1, (r.getAs[Long]("duration_ms") / 40000L).toInt)
+            MediaFeatures(r.getLong(0), decodeStub(bytes, dim), frames)
+        }
       }
     }
+  }
+
+  /** The MediaPHashExpr accumulate→threshold reduction over any 0-255
+    * integer sequence: acc(i mod 60) += v_i, bit d set iff 60·acc(d) >
+    * total. Shared by the decoded-pixel path (values = luma grid cells)
+    * and mirrored by the byte-path Catalyst expression (values = payload
+    * bytes), so both tiers band and join identically downstream.
+    */
+  private[graft] def pHash60(values: Array[Int]): Long = {
+    if (values == null || values.isEmpty) return 0L
+    val acc = new Array[Long](60)
+    var i = 0
+    while (i < values.length) { acc(i % 60) += values(i).toLong; i += 1 }
+    var total = 0L
+    var d = 0
+    while (d < 60) { total += acc(d); d += 1 }
+    var hash = 0L
+    d = 0
+    while (d < 60) { if (60L * acc(d) > total) hash |= (1L << d); d += 1 }
+    hash
+  }
+
+  /** Decode-aware perceptual hash: bytes that decode as an image hash
+    * their 8×8 block-average LUMA PLANE (so the hash is a function of the
+    * pixels — two lossless containers of the same image collide exactly,
+    * ScalaTest-gated); everything else hashes its raw bytes with the
+    * identical reduction (= [[pHash]]'s Catalyst expression, bit-for-bit).
+    * Runs as a partition-local batched decode stage like
+    * [[extractFeatures]] — codec work cannot be a codegen'd expression,
+    * and the batching keeps it scan-adjacent with only (media_id, phash)
+    * leaving the stage. Downstream banding ([[phashCandidates]]) is
+    * oblivious to which tier produced each hash.
+    */
+  def pHashDecoded(media: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[(Long, Long)]
+    val ds = media.select("media_id", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        val hash = decodeLumaGrid(bytes, 8) match {
+          case Some(cells) => pHash60(cells)
+          case None =>
+            if (bytes == null) 0L
+            else pHash60(bytes.map(b => b & 0xff))
+        }
+        (r.getLong(0), hash)
+      }
+    }
+    ds.toDF("media_id", "phash")
   }
 
   /** Frame-sampling stub: pick `n` deterministic byte-offset "frames". */

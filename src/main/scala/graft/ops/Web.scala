@@ -48,6 +48,61 @@ object Web {
     when(n >= 3 && multi, last3).when(n >= 2, last2).otherwise(host)
   }
 
+  /** Registrable domain against a FULL suffix table — the deploy-time
+    * Public Suffix List tier that [[registrableDomain]]'s literal
+    * `multiLabelSuffixes` stands in for at config scale. `suffixes` is one
+    * public suffix per row (the ~9k-entry PSL parses to exactly that:
+    * comment/blank lines dropped — see the WebSpec fixture, which loads one
+    * from a file), and the semantics are the PSL algorithm's common case:
+    * the LONGEST suffix matching the host's tail wins and the registrable
+    * domain is that suffix plus one more label. Hosts matching no entry
+    * use the PSL's implicit `*` rule (last label is public → registrable =
+    * last two labels); a host that IS a public suffix passes through
+    * whole, same as the literal tier. Wildcard (`*.ck`) and exception
+    * (`!www.ck`) entries are intentionally not interpreted — expand them
+    * upstream when parsing the PSL (a handful of label substitutions);
+    * keeping the table to plain suffixes keeps this a pure equi-join.
+    *
+    * Scale shape: one broadcast hash join per candidate suffix length
+    * (1..`maxSuffixLabels`, default 4 — covers all but a handful of PSL
+    * entries), all riding the corpus's scan stage: the suffix table ships
+    * once per executor per length, the corpus side never shuffles, and the
+    * added columns are dropped before anything downstream. No explode —
+    * row count is unchanged throughout.
+    */
+  def registrableDomainTable(df: DataFrame, hostCol: String,
+      suffixes: DataFrame, suffixCol: String = "suffix",
+      outCol: String = "reg_domain", maxSuffixLabels: Int = 4): DataFrame = {
+    require(maxSuffixLabels >= 1, "maxSuffixLabels must be >= 1")
+    val labels = split(lower(col(hostCol)), "\\.")
+    val n = size(labels)
+    var out = df.withColumn("__g_labels", labels).withColumn("__g_n", n)
+    val ks = 1 to maxSuffixLabels
+    for (k <- ks) {
+      // slice with negative start = last k labels; guarded to hosts with
+      // MORE than k labels (a host equal to the suffix has no extra label
+      // and falls through to the pass-through rule)
+      val cand = when(col("__g_n") > k,
+        concat_ws(".", slice(col("__g_labels"), -k, k)))
+      out = out.withColumn(s"__g_sfx$k", cand)
+        .join(broadcast(suffixes.select(lower(col(suffixCol)).as(s"__g_m$k")).distinct()),
+          col(s"__g_sfx$k") === col(s"__g_m$k"), "left")
+    }
+    // longest matched suffix wins: registrable = that suffix + one label
+    // (ascending fold nests ascending, so the LAST wrap — largest k — is
+    // the outermost WHEN and takes precedence)
+    val reg = ks.foldLeft(
+      // no match: implicit `*` rule (>= 2 labels → last two), else whole
+      when(col("__g_n") >= 2, concat_ws(".", slice(col("__g_labels"), -2, 2)))
+        .otherwise(lower(col(hostCol)))) { (acc, k) =>
+      when(col(s"__g_m$k").isNotNull,
+        concat_ws(".", slice(col("__g_labels"), -(k + 1), k + 1))).otherwise(acc)
+    }
+    out.withColumn(outCol, reg)
+      .drop("__g_labels" :: "__g_n" ::
+        ks.flatMap(k => Seq(s"__g_sfx$k", s"__g_m$k")).toList: _*)
+  }
+
   /** Tag rows with (scheme, host, path, query, reg_domain, blocked):
     * blocked = registrable domain ∈ blocklist, which covers every
     * subdomain of a blocked domain by construction.

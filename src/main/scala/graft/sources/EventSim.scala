@@ -304,14 +304,23 @@ object EventSim {
     withGeneratedJson(rows, spec, seed)
   }
 
-  /** Streaming generation from the rate-micro-batch source: same schema and
-    * generators; trigger index derives from the rate source's value stream.
+  /** Streaming generation over a tick source: same schema and generators;
+    * trigger index derives from the tick stream's value column.
     * Sinusoid/random modulation drops excess rows of each trigger's
     * allotment — a narrow filter, fully distributed.
+    *
+    * The default tick source is the registered DataSource V2
+    * `format("eventsim")` ([[EventSimSourceProvider]] — SURVEY §2 A5's
+    * custom-source registry, end-to-end): clock anchored at
+    * `startTimestampMs` = 0, so replays are bit-deterministic and a
+    * uniform-rate stream equals [[batch]] row-for-row (ScalaTest-gated).
+    * Pass `format = "rate-micro-batch"` for the built-in wall-clock-
+    * anchored source — the projection is tick-schema-compatible with both.
     */
-  def stream(spark: SparkSession, spec: SimSpec, seed: Long): DataFrame = {
+  def stream(spark: SparkSession, spec: SimSpec, seed: Long,
+      format: String = "eventsim"): DataFrame = {
     val maxPerTrigger = math.max(1, math.max(spec.eventGeneration.maxCount, 1))
-    val src = spark.readStream.format("rate-micro-batch")
+    val src = spark.readStream.format(format)
       .option("rowsPerBatch", maxPerTrigger)
       // source time advances by one sim resolution per micro-batch, so the
       // sinusoid phase matches the batch generator's trigger clock

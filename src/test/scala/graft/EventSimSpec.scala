@@ -112,8 +112,52 @@ class EventSimSpec extends AnyFunSuite {
     assert(byTrigger(15L) == 5, "quarter period → midpoint")
   }
 
+  test("DataSource V2 format(\"eventsim\") stream replays EventSim.batch bit-for-bit") {
+    // uniform rate (one event per trigger): stream tick ids equal batch row
+    // ids, so the generated JSON must match EXACTLY for the same seed. The
+    // v2 source anchors trigger 0 at startTimestampMs=0, so the batch twin
+    // uses Instant.EPOCH.
+    val uniform = EventSim.parseSpec(
+      """{
+        |  "simResolutionMilliseconds": 1000,
+        |  "eventSpec": {"fields": [
+        |    {"field": "name", "predefinedValues": [{"value": "A", "frequencyFactor": 1},
+        |                                           {"value": "B", "frequencyFactor": 1}]},
+        |    {"field": "n", "randomizedValue": {"type": "int", "min": 0, "max": 99}}
+        |  ]}
+        |}""".stripMargin)
+    val q = EventSim.stream(spark, uniform, seed = 7L)
+      .writeStream.format("memory").queryName("evsim_v2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("evsim_v2").count() < 5 && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      val got = spark.table("evsim_v2").where(col("trigger") < 5)
+        .orderBy("trigger").collect().map(_.toSeq)
+      assert(got.length == 5, s"expected 5 triggers, got ${got.length}")
+      val want = EventSim.batch(spark, uniform, triggers = 5,
+        java.time.Instant.EPOCH, seed = 7L).orderBy("trigger").collect().map(_.toSeq)
+      assert(got.toSeq == want.toSeq,
+        "format(\"eventsim\") stream must equal the batch generator row-for-row")
+    } finally q.stop()
+  }
+
+  test("eventsim v2 bounded batch read honors numBatches and the tick clock") {
+    val ticks = spark.read.format("eventsim")
+      .option("rowsPerBatch", 3).option("advanceMillisPerBatch", 500)
+      .option("numBatches", 4).load()
+    val rows = ticks.orderBy("value").collect()
+    assert(rows.length == 12)
+    assert(rows.map(_.getLong(1)).toSeq == (0L until 12L))
+    // trigger b's timestamp = b * advanceMillis (micros precision)
+    val tsOfLast = rows.last.getTimestamp(0).getTime
+    assert(tsOfLast == 3 * 500)
+  }
+
   test("streaming variant produces the same schema via rate-micro-batch") {
-    val q = EventSim.stream(spark, spec, seed = 42L)
+    val q = EventSim.stream(spark, spec, seed = 42L, format = "rate-micro-batch")
       .writeStream.format("memory").queryName("evsim").outputMode("append").start()
     try {
       // rate source is unbounded: await a few micro-batches, then stop

@@ -100,6 +100,97 @@ class GraphSpec extends AnyFunSuite {
     assert(m == m2)
   }
 
+  // --- loop-lineage gates (SCALE.md "Iterative operators") ---------------
+  // Plan-shape asserts can't see lineage blow-ups: the plan of round N looks
+  // fine, only the number of Spark jobs explodes (each un-persisted frame
+  // referenced twice per round doubles the lineage paths → 2^rounds job
+  // fan-out). So these gates count JOBS via a listener and assert the
+  // per-round delta is constant in iters — the round-4 regression (hits
+  // re-executing the base join ~2^4 times for 2 rounds) fails them at
+  // iters = 4 long before it costs seconds.
+  private def countJobs(body: => Unit): Int = {
+    // scope to a job group: suites share one SparkSession and may run in
+    // parallel, so an unfiltered count would include other suites' jobs
+    // (AQE stage-materialization threads inherit the submitter's local
+    // properties, so broadcast/shuffle stage jobs carry the group too)
+    val group = s"graft-jobgate-${java.util.UUID.randomUUID().toString.take(8)}"
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (js.properties != null &&
+          group == js.properties.getProperty("spark.jobGroup.id"))
+          n.incrementAndGet()
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, "job-count gate")
+    try {
+      body
+      // JobStart events post at submission and every action above blocks
+      // until its jobs finish, but the listener bus drains asynchronously —
+      // poll until the counter is stable
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        val cur = n.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    val jobs = n.get()
+    assert(jobs > 0, "job-group scoping captured no jobs — gate would be vacuous")
+    jobs
+  }
+
+  test("job-count gate: hits is linear in iters (no lineage fan-out)") {
+    def run(iters: Int): Int = countJobs {
+      // unique node names per run — see the pageRank gate's cache note
+      val edges = ((1 to 8).map(i => ("dir", s"page$i-i$iters")) ++
+        Seq(("other", s"page1-i$iters"), ("other", s"page2-i$iters")))
+        .toDF("src", "dst")
+      val r = Graph.hits(edges, "src", "dst", iters = iters)
+      r.collect(); r.unpersist(); ()
+    }
+    val j2 = run(2)
+    val j4 = run(4)
+    val j6 = run(6)
+    // linear: each extra round adds a bounded number of jobs (one count
+    // action + its AQE stage/broadcast jobs). An exponential regression
+    // multiplies the per-round cost by 2^2 per added round pair, so the
+    // second delta would dwarf the first.
+    val d1 = j4 - j2
+    val d2 = j6 - j4
+    assert(d2 <= d1 + 4, s"hits job growth must be linear: j2=$j2 j4=$j4 j6=$j6")
+    assert(d1 <= 40, s"per-round job cost out of bounds: j2=$j2 j4=$j4")
+  }
+
+  test("job-count gate: redistributeDangling pageRank is linear in iters") {
+    def run(iters: Int): Int = countJobs {
+      // unique node names per run: identical plans would silently reuse
+      // the cache of an earlier test's run (CacheManager matches by
+      // canonical plan), making the baseline job count vacuously small
+      val uniq = Seq(("a", "b"), ("b", "a"), ("a", "c"))
+        .map { case (s, d) => (s"$s-i$iters", s"$d-i$iters") }.toDF("src", "dst")
+      val r = Graph.pageRank(uniq, "src", "dst", iters = iters,
+        redistributeDangling = true)
+      r.collect(); r.unpersist(); ()
+    }
+    val j2 = run(2)
+    val j4 = run(4)
+    val j6 = run(6)
+    val d1 = j4 - j2
+    val d2 = j6 - j4
+    assert(d2 <= d1 + 4,
+      s"pageRank(redistribute) job growth must be linear: j2=$j2 j4=$j4 j6=$j6")
+    assert(d1 <= 40, s"per-round job cost out of bounds: j2=$j2 j4=$j4")
+  }
+
   test("degrees: zero-filled in/out profile") {
     val d = Graph.degrees(tri, "src", "dst").orderBy("node").collect().map(_.toSeq)
     assert(d.toSeq == Seq(

@@ -812,6 +812,59 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.forall(_.getSeq[Long](1).size == 4))
   }
 
+  // --- real image decode (javax.imageio, JDK-only) -----------------------
+  private def imageBytes(fmt: String, w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer in JDK")
+    bos.toByteArray
+  }
+
+  private def mediaFrom(rows: Seq[(Long, Array[Byte])]) = {
+    import spark.implicits._
+    rows.toDF("media_id", "content").withColumn("meta", struct(
+      lit("image/x-test").as("mime"), lit(16).as("width"), lit(16).as("height"),
+      lit(0L).as("duration_ms"), length(col("content")).cast("long").as("n_bytes")))
+  }
+
+  test("multimodal: real PNG decodes to the luma grid; text falls back to the stub") {
+    // top half white, bottom half black — the 4x4 luma grid's first two
+    // rows must read bright, last two dark
+    val png = imageBytes("png", 16, 16)((_, y) => if (y < 8) 0xffffff else 0x000000)
+    val txt = "just some plain text, definitely not an image".getBytes("UTF-8")
+    val media = mediaFrom(Seq((1L, png), (2L, txt)))
+    val f = Multimodal.extractFeatures(media, dim = 16).collect()
+      .map(m => m.media_id -> m).toMap
+    val img = f(1L)
+    assert(img.n_frames == 1, "a decoded still image is one frame")
+    assert(img.feature.take(8).forall(_ > 0.9f), s"top grid rows must be bright: ${img.feature.toSeq}")
+    assert(img.feature.drop(8).forall(_ < 0.1f), s"bottom grid rows must be dark: ${img.feature.toSeq}")
+    // text payload: byte-hash stub, unchanged by the decode tier
+    assert(f(2L).feature.toSeq == Multimodal.decodeStub(txt, 16).toSeq)
+  }
+
+  test("multimodal: decoded pHash is container-invariant (PNG == BMP) and pixel-sensitive") {
+    val pxTwoTone = (x: Int, _: Int) => if (x < 8) 0xffffff else 0x000000
+    val png = imageBytes("png", 16, 16)(pxTwoTone)
+    val bmp = imageBytes("bmp", 16, 16)(pxTwoTone)
+    val inv = imageBytes("png", 16, 16)((x, _) => if (x < 8) 0x000000 else 0xffffff)
+    val txt = "not an image".getBytes("UTF-8")
+    assert(!png.sameElements(bmp), "containers must actually differ byte-wise")
+    val media = mediaFrom(Seq((1L, png), (2L, bmp), (3L, inv), (4L, txt)))
+    val ph = Multimodal.pHashDecoded(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ph(1L) == ph(2L), "same pixels, different container => same pixel pHash")
+    assert(ph(1L) != ph(3L), "inverted pixels => different pHash")
+    // non-image payloads degrade to the byte-path expression, bit-for-bit
+    val bytePh = Multimodal.pHash(mediaFrom(Seq((4L, txt)))).head().getLong(1)
+    assert(ph(4L) == bytePh, "fallback must equal the Catalyst byte pHash")
+    // and the fixture PNG round-trips through the frame-fingerprint tier too
+    val fps = Multimodal.frameFingerprints(media, n = 4, w = 8, stride = 16).collect()
+    assert(fps.nonEmpty && fps.forall(_.getLong(2) >= 0))
+  }
+
   test("zOrderValue: Morton interleave goldens, monotone locality, bit-budget guard") {
     import graft.ops.Tables
     import spark.implicits._

@@ -175,4 +175,65 @@ class PropertySpec extends AnyFunSuite {
       assert(p.toJson.startsWith("{\"platform\":"))
     }
   }
+
+  test("keepTopFractionApprox: GK rank-error accuracy contract vs the exact tier") {
+    // The approx tier's stated contract (the one a 100 TB user relies on):
+    // with percentile_approx at `accuracy`, the per-group kept count is
+    // within eps = 1/accuracy of the exact tier's N·p/1000 (±1 for
+    // rounding), and the kept set is a top-prefix by score — so
+    // exact(p - 1000·eps) ⊆ approx(p) ⊆ exact(p + 1000·eps) on distinct
+    // scores. accuracy = 50 forces real sketch compression at N ≥ 100
+    // (eps = 2% rank error); distinct scores sidestep the documented
+    // ties-all-pass divergence.
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    import graft.ops.Curation
+    val accuracy = 50
+    val eps = 1.0 / accuracy
+    val gen = for {
+      n <- Gen.chooseNum(100, 320)
+      p <- Gen.chooseNum(50, 950)
+      seed <- Gen.chooseNum(0L, Long.MaxValue / 2)
+    } yield (n, p, seed)
+    forAll(gen, 8) { case (n, p, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val rows = rnd.shuffle((1 to n).toList).zipWithIndex.map { case (s, i) =>
+        (i.toLong, s"g${i % 2}", s.toDouble)
+      }
+      val df = rows.toDF("id", "g", "score")
+      val approxIds = Curation.keepTopFractionApprox(df, "score", Seq("g"), p, accuracy)
+        .select("id").as[Long].collect().toSet
+      val byGroup = rows.groupBy(_._2)
+      byGroup.foreach { case (g, members) =>
+        val ng = members.size
+        val kept = members.count(m => approxIds.contains(m._1))
+        val target = ng * p / 1000.0
+        val lo = math.floor(target - eps * ng) - 1
+        val hi = math.ceil(target + eps * ng) + 1
+        assert(kept >= lo && kept <= hi,
+          s"group $g: kept $kept outside [$lo, $hi] (n=$ng p=$p seed=$seed)")
+        // top-prefix: every kept score beats every dropped score
+        val keptScores = members.filter(m => approxIds.contains(m._1)).map(_._3)
+        val dropScores = members.filterNot(m => approxIds.contains(m._1)).map(_._3)
+        if (keptScores.nonEmpty && dropScores.nonEmpty)
+          assert(keptScores.min > dropScores.max,
+            s"group $g: kept set is not a score prefix (seed=$seed)")
+      }
+      // containment law against the exact tier at ±(eps + 2/N_min) rank
+      // error: eps from the sketch contract, 2/N_min for the ±1-row
+      // rounding on each side (both tiers floor at different points)
+      val ngMin = byGroup.values.map(_.size).min
+      val slackPm = (1000 * eps).toInt + (2 * 1000 + ngMin - 1) / ngMin
+      val pLo = math.max(0, p - slackPm)
+      val pHi = math.min(1000, p + slackPm)
+      val exactLo = Curation.keepTopFraction(df, "score", Seq("g"), pLo, "id")
+        .select("id").as[Long].collect().toSet
+      val exactHi = Curation.keepTopFraction(df, "score", Seq("g"), pHi, "id")
+        .select("id").as[Long].collect().toSet
+      assert(exactLo.subsetOf(approxIds),
+        s"exact($pLo) must be contained in approx($p) (seed=$seed)")
+      assert(approxIds.subsetOf(exactHi),
+        s"approx($p) must be contained in exact($pHi) (seed=$seed)")
+    }
+  }
 }

@@ -10,6 +10,10 @@ object SparkTestBase {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // driver-generated parquet stores naive timestamps: read them as
+      // TIMESTAMP (UTC session) rather than TIMESTAMP_NTZ so timestamp
+      // functions and the DuckDB oracle see identical values
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // per-run temp dir: a fixed path left non-empty by a crashed run
       // would make every later CTAS saveAsTable fail, and concurrent
       // checkouts would stomp each other's tables

@@ -42,6 +42,64 @@ class WebSpec extends AnyFunSuite {
     assert(out("a.b.github.io") == "b.github.io")
   }
 
+  test("registrableDomainTable: real PSL subset loaded from a file, longest suffix wins") {
+    // a PSL-format file exactly as published: comments, blanks, plain
+    // suffixes of 1-3 labels (wildcard/exception entries are expanded
+    // upstream per the scaladoc)
+    val dir = java.nio.file.Files.createTempDirectory("psl").toFile
+    val pslFile = new java.io.File(dir, "public_suffix_list.dat")
+    val fw = new java.io.FileWriter(pslFile)
+    fw.write(
+      """// ===BEGIN ICANN DOMAINS===
+        |// uk : https://en.wikipedia.org/wiki/.uk
+        |uk
+        |co.uk
+        |gov.uk
+        |
+        |// au
+        |au
+        |com.au
+        |
+        |// jp geographic
+        |jp
+        |pref.aichi.jp
+        |
+        |// user-content namespaces
+        |github.io
+        |""".stripMargin)
+    fw.close()
+    val psl = spark.read.text(pslFile.getAbsolutePath)
+      .select(trim(col("value")).as("suffix"))
+      .where(col("suffix") =!= "" && !col("suffix").startsWith("//"))
+    val hosts = Seq(
+      "shop.Example.co.uk",     // 2-label suffix -> example.co.uk
+      "example.co.uk",          // already registrable
+      "co.uk",                  // IS a suffix -> pass through whole
+      "deep.a.b.pref.aichi.jp", // 3-label suffix -> b.pref.aichi.jp
+      "www.example.com.au",     // 2-label suffix -> example.com.au
+      "user.github.io",         // private-namespace suffix -> user.github.io
+      "www.example.com",        // no entry -> implicit * rule, last two
+      "localhost"               // single label, no entry -> pass through
+    ).toDF("host")
+    val out = Web.registrableDomainTable(hosts, "host", psl).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("shop.Example.co.uk") == "example.co.uk")
+    assert(out("example.co.uk") == "example.co.uk")
+    assert(out("co.uk") == "co.uk")
+    assert(out("deep.a.b.pref.aichi.jp") == "b.pref.aichi.jp")
+    assert(out("www.example.com.au") == "example.com.au")
+    assert(out("user.github.io") == "user.github.io")
+    assert(out("www.example.com") == "example.com")
+    assert(out("localhost") == "localhost")
+    // agreement law: on hosts whose suffixes are all 2-label, the table
+    // tier and the literal tier produce identical groupings
+    val lit2 = hosts.select(col("host"),
+      Web.registrableDomain(lower(col("host")), Seq("co.uk", "com.au", "github.io")).as("r"))
+      .where(!col("host").isin("co.uk", "deep.a.b.pref.aichi.jp"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    lit2.foreach { case (h, r) => assert(out(h) == r, s"tier mismatch on $h") }
+  }
+
   test("domainFilter blocks every subdomain of a blocked domain, keeps the rest") {
     val df = Seq(
       (1L, "https://ads.tracker.com/x"),
