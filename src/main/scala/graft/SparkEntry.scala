@@ -1293,6 +1293,20 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(17)) === 0),
         "text", "doc_id", n = 4)
     }),
+    "ns_decontaminate_bloom" -> ((s, dir) => {
+      // The Bloom-prefiltered tier of decontamination (the 100 TB path:
+      // benchmark grams become a fixed-size bit filter checked map-side;
+      // only candidate survivors enter the exact join that kills the
+      // filter's false positives). EXACTNESS is the operator's contract —
+      // no false negatives, FPs removed — so the oracle is the plain
+      // distinct-overlap count restricted to hit docs, identical to
+      // ns_decontaminate's construction minus the zero-hit rows.
+      val d = t(s, dir, "documents")
+      graft.ops.Curation.decontaminateBloom(
+        d.filter(pmod(col("doc_id"), lit(17)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(17)) === 0),
+        "text", "doc_id", n = 4)
+    }),
     "ns_quality_filter" -> ((s, dir) =>
       // thresholds chosen so each rule actually splits this corpus
       // (106 short docs, 6 low-MWL, 112 low-stopword, 181 with dup 2-token
@@ -3179,6 +3193,17 @@ object SparkEntry {
         |  coalesce(n_hits, 0) >= 1 AS contaminated
         |FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
         |WHERE g.doc_id % 17 != 0""".stripMargin,
+    "ns_decontaminate_bloom" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(toks) - 2), i -> array_to_string(toks[i:i+3], ' '))) END AS grams
+        |      FROM tk),
+        |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 17 = 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams,
+        |       count(*) >= 1 AS contaminated
+        |FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 17 != 0) cg
+        |JOIN bg USING (gram)
+        |GROUP BY doc_id""".stripMargin,
     "ns_quality_filter" -> qualityFilterSql,
     "ns_repetition" -> repetitionSql,
     "ns_fuzzy_join" ->

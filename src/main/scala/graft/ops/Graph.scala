@@ -154,21 +154,21 @@ object Graph {
         next = next.persist()
         windowFrames ::= next
       }
-      // redistribute windows cap at 2 rounds: within a window, the
-      // top-level stages and the nested broadcast-share stages race on
-      // the interior caches, and the wasted duplicate work grows with
-      // window depth (measured: a depth-4 window ran 47 jobs where a
-      // depth-2 window ran 3). Two rounds bounds the waste at one
-      // duplicated round while still fusing two rounds per action.
-      val window = if (redistributeDangling) math.min(persistEvery, 2)
-        else persistEvery
-      // materialize every persistEvery rounds (and at the end): one job per
-      // window is the loop's entire action count. Logical-plan growth per
-      // window: the leaky path references ranks once per round (chain,
-      // persistEvery bodies); redistribute references it twice (tree,
-      // 2^persistEvery bodies — fine for the default 4, the caches keep
-      // EXECUTION single-pass either way). The boundary truncation resets
-      // both to a leaf.
+      // Window sizing: fewer actions win decisively — every intermediate
+      // materialization was measured 3-5× more expensive than letting the
+      // final count's single job cascade populate the per-round caches
+      // (per-round counts: 5.7-10.3 s at sf0.1 in a busy JVM; fused
+      // single action: 1.5-2.1 s in the same JVM — and an explicit
+      // cache-warming count on the edge frame alone cost more than the
+      // whole fused run). Stage races on not-yet-populated caches are
+      // bounded by the caches themselves (each frame computes at most
+      // once per concurrent reader, typically ≤ 2, never exponentially).
+      // So redistribute fuses up to 8 rounds per action; the window cap
+      // exists only to bound the LOGICAL tree (it doubles per round —
+      // 2^8 bodies ≈ 10^4 analyzer nodes — and interior caches drop at
+      // each boundary, keeping live cache ≤ 8 node-sized frames). The
+      // leaky path is a chain and keeps persistEvery batching.
+      val window = if (redistributeDangling) 8 else persistEvery
       if (i % window == 0 || i == iters) {
         if (!redistributeDangling) next = next.persist()
         next.count() // materialize before dropping the previous window
