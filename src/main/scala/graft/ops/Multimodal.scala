@@ -12,13 +12,16 @@ import org.apache.spark.sql.types._
   * mapInPandas: per-partition setup cost is amortized across the batch, and
   * nothing ever collects to the driver).
   *
-  * IMAGE decode is REAL: `javax.imageio` ships in the JDK, so PNG/JPEG/
-  * BMP/GIF payloads decode to pixels and feature-extract from their luma
-  * plane ([[decodeLumaGrid]]) — container-invariance (PNG == BMP of the
-  * same pixels) is ScalaTest-gated. AUDIO/VIDEO codecs are not in the JDK
-  * and stay stubbed: `decodeStub` produces deterministic pseudo-features
-  * from the bytes, and every non-decodable payload falls back to it, so
-  * the pipeline is total. The Spark-side plumbing — schema, partitioning,
+  * IMAGE and AUDIO decode are REAL, JDK-only: `javax.imageio` decodes
+  * PNG/JPEG/BMP/GIF to pixels ([[decodeLumaGrid]] → luma-plane features
+  * and pixel pHash), `javax.sound.sampled` decodes WAV/AIFF to PCM
+  * ([[decodeAudioPcm]] → windowed energy/zero-crossing features and the
+  * envelope fingerprint). Container-invariance (PNG == BMP of the same
+  * pixels; WAV == AIFF of the same PCM) is ScalaTest-gated for both.
+  * VIDEO and compressed-audio codecs are not in the JDK and stay stubbed:
+  * `decodeStub` produces deterministic pseudo-features from the bytes,
+  * and every non-decodable payload falls back to the byte tier, so the
+  * pipeline is total. The Spark-side plumbing — schema, partitioning,
   * batch iteration, output shape — is identical for both tiers and is
   * what matters at 100 TB: media bytes stay columnar-compressed in
   * parquet, scans prune to the metadata struct unless features are
@@ -111,6 +114,140 @@ object Multimodal {
       i += 1
     }
     Some(out)
+  }
+
+  /** Real audio decode via `javax.sound.sampled` (JDK-resident like
+    * ImageIO — WAV and AIFF need no external dependency): returns the
+    * mono PCM samples as 16-bit ints, or None when the bytes are not a
+    * decodable audio container (text, truncated files, compressed codecs
+    * the JDK lacks). Channels downmix by integer average; 8-bit samples
+    * upscale to 16-bit range. Two containers of the same PCM (WAV vs
+    * AIFF, different endianness on disk) decode to identical samples —
+    * the container-invariance that makes the audio fingerprint a real
+    * cross-container near-dup signal (ScalaTest-gated, same law as the
+    * PNG == BMP image gate).
+    */
+  private[graft] def decodeAudioPcm(bytes: Array[Byte]): Option[Array[Int]] = {
+    if (bytes == null || bytes.length < 12) return None
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => return None }
+    try {
+      val fmt = in.getFormat
+      val bits = fmt.getSampleSizeInBits
+      val ch = fmt.getChannels
+      if (bits != 8 && bits != 16) return None
+      val raw = in.readAllBytes()
+      val bytesPerSample = bits / 8
+      val frameBytes = bytesPerSample * ch
+      if (frameBytes == 0) return None
+      val nFrames = raw.length / frameBytes
+      val out = new Array[Int](nFrames)
+      val big = fmt.isBigEndian
+      val signed = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      var f = 0
+      while (f < nFrames) {
+        var acc = 0
+        var c = 0
+        while (c < ch) {
+          val off = f * frameBytes + c * bytesPerSample
+          val s =
+            if (bits == 16) {
+              val lo = raw(off + (if (big) 1 else 0)) & 0xff
+              val hi = raw(off + (if (big) 0 else 1))
+              (hi << 8) | lo
+            } else {
+              // 8-bit audio is conventionally unsigned; center then widen
+              val v = if (signed) raw(off).toInt else (raw(off) & 0xff) - 128
+              v << 8
+            }
+          acc += s
+          c += 1
+        }
+        out(f) = acc / ch
+        f += 1
+      }
+      Some(out)
+    } catch { case _: Exception => None }
+    finally in.close()
+  }
+
+  /** Windowed audio features over decoded PCM: one row per fixed-length
+    * sample window — integer RMS energy proxy (mean |sample|, exact
+    * integer division) and zero-crossing count (the classic cheap
+    * speech/music/noise separator). Partition-local batched decode, same
+    * stage shape as [[extractFeatures]]; non-audio payloads produce zero
+    * rows (audio QA pipelines treat them via the byte-tier fingerprints
+    * instead). Output: (media_id, frame, energy, zero_crossings).
+    */
+  def audioFeatures(media: DataFrame, windowSamples: Int = 1024,
+      maxWindows: Int = 64): DataFrame = {
+    require(windowSamples >= 1 && maxWindows >= 1, "window params must be >= 1")
+    implicit val enc = Encoders.product[(Long, Int, Long, Int)]
+    media.select("media_id", "content").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        decodeAudioPcm(bytes) match {
+          case None => Iterator.empty
+          case Some(pcm) =>
+            val nWin = math.min(maxWindows, pcm.length / windowSamples)
+            (0 until nWin).iterator.map { w =>
+              var i = w * windowSamples
+              val end = i + windowSamples
+              var absSum = 0L
+              var zc = 0
+              var prev = pcm(i)
+              while (i < end) {
+                val s = pcm(i)
+                absSum += math.abs(s).toLong
+                if ((s < 0 && prev >= 0) || (s >= 0 && prev < 0)) zc += 1
+                prev = s
+                i += 1
+              }
+              (r.getLong(0), w, absSum / windowSamples, zc)
+            }
+        }
+      }
+    }.toDF("media_id", "frame", "energy", "zero_crossings")
+  }
+
+  /** Decode-aware audio fingerprint: decodable audio hashes its windowed
+    * energy ENVELOPE (per-window mean |sample| scaled to 0-255, reduced
+    * with the same accumulate→threshold [[pHash60]] as every other media
+    * tier), so two containers of the same recording collide exactly and
+    * lightly-trimmed copies stay Hamming-close; everything else falls
+    * back to the byte-path hash, bit-identical to [[pHash]]. Output:
+    * (media_id, phash) — drop-in input to [[phashCandidates]]'s banding.
+    */
+  def audioFingerprint(media: DataFrame, windowSamples: Int = 1024,
+      maxWindows: Int = 240): DataFrame = {
+    implicit val enc = Encoders.product[(Long, Long)]
+    media.select("media_id", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        val hash = decodeAudioPcm(bytes) match {
+          case Some(pcm) if pcm.length >= windowSamples =>
+            val nWin = math.min(maxWindows, pcm.length / windowSamples)
+            val env = new Array[Int](nWin)
+            var w = 0
+            while (w < nWin) {
+              var i = w * windowSamples
+              val end = i + windowSamples
+              var absSum = 0L
+              while (i < end) { absSum += math.abs(pcm(i)).toLong; i += 1 }
+              // mean |sample| in 0..32768 → scale to the 0-255 range the
+              // shared reduction expects
+              env(w) = ((absSum / windowSamples) / 129L).toInt
+              w += 1
+            }
+            pHash60(env)
+          case _ =>
+            if (bytes == null) 0L else pHash60(bytes.map(b => b & 0xff))
+        }
+        (r.getLong(0), hash)
+      }
+    }.toDF("media_id", "phash")
   }
 
   /** Deterministic stand-in for a real decoder: hashes byte windows into a

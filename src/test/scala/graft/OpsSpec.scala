@@ -865,6 +865,65 @@ class OpsSpec extends AnyFunSuite {
     assert(fps.nonEmpty && fps.forall(_.getLong(2) >= 0))
   }
 
+  // --- real audio decode (javax.sound.sampled, JDK-only) -----------------
+  private def audioBytes(fileType: javax.sound.sampled.AudioFileFormat.Type,
+      samples: Array[Short], bigEndian: Boolean): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1,
+      2, 8000f, bigEndian)
+    val raw = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      val s = samples(i)
+      if (bigEndian) { raw(2 * i) = (s >> 8).toByte; raw(2 * i + 1) = s.toByte }
+      else { raw(2 * i) = s.toByte; raw(2 * i + 1) = (s >> 8).toByte }
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(raw), fmt,
+      samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, fileType, bos)
+    bos.toByteArray
+  }
+
+  test("multimodal: audio features decode real WAV PCM (energy + zero crossings)") {
+    import javax.sound.sampled.AudioFileFormat
+    // 2048 samples: first window a +/-1000 square wave at period 16
+    // (energy 1000, 128 crossings), second window silence
+    val sq = Array.tabulate[Short](2048) { i =>
+      if (i < 1024) { if ((i / 8) % 2 == 0) 1000 else -1000 } else 0
+    }
+    val wav = audioBytes(AudioFileFormat.Type.WAVE, sq, bigEndian = false)
+    val media = mediaFrom(Seq((1L, wav), (2L, "not audio".getBytes("UTF-8"))))
+    val rows = Multimodal.audioFeatures(media, windowSamples = 1024).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getInt(3))).toMap
+    assert(rows.keySet == Set((1L, 0), (1L, 1)), s"non-audio must yield no rows: $rows")
+    assert(rows((1L, 0))._1 == 1000L, "square wave mean |sample|")
+    assert(rows((1L, 0))._2 == 127, s"8-sample half-period => 127 sign flips after t0: $rows")
+    assert(rows((1L, 1)) == ((0L, 0)), "silent window")
+  }
+
+  test("multimodal: audio fingerprint is container-invariant (WAV == AIFF) and content-sensitive") {
+    import javax.sound.sampled.AudioFileFormat
+    val rnd = new scala.util.Random(7)
+    // amplitude-modulated noise: alternating loud/quiet 1024-sample blocks
+    val pcm = Array.tabulate[Short](16384) { i =>
+      val amp = if ((i / 1024) % 2 == 0) 8000 else 200
+      (rnd.nextInt(2 * amp) - amp).toShort
+    }
+    val wav = audioBytes(AudioFileFormat.Type.WAVE, pcm, bigEndian = false)
+    val aiff = audioBytes(AudioFileFormat.Type.AIFF, pcm, bigEndian = true)
+    assert(!wav.sameElements(aiff), "containers must differ byte-wise")
+    val flat = Array.tabulate[Short](16384)(_ => (rnd.nextInt(4000) - 2000).toShort)
+    val wavFlat = audioBytes(AudioFileFormat.Type.WAVE, flat, bigEndian = false)
+    val txt = "definitely not audio".getBytes("UTF-8")
+    val media = mediaFrom(Seq((1L, wav), (2L, aiff), (3L, wavFlat), (4L, txt)))
+    val fp = Multimodal.audioFingerprint(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L), "same PCM, different container => same fingerprint")
+    assert(fp(1L) != fp(3L), "different envelope => different fingerprint")
+    val byteFp = Multimodal.pHash(mediaFrom(Seq((4L, txt)))).head().getLong(1)
+    assert(fp(4L) == byteFp, "fallback must equal the Catalyst byte pHash")
+  }
+
   test("zOrderValue: Morton interleave goldens, monotone locality, bit-budget guard") {
     import graft.ops.Tables
     import spark.implicits._

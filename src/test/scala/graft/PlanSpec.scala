@@ -451,6 +451,31 @@ class PlanSpec extends AnyFunSuite {
       s"the corpus side must not shuffle:\n${plan.take(2500)}")
   }
 
+  test("registrableDomainTable: per-length broadcast joins, corpus side never shuffles") {
+    import spark.implicits._
+    val hosts = SparkEntry.t(spark, sf, "documents")
+      .selectExpr("doc_id", "concat(source, '.example.co.uk') AS host")
+    val psl = Seq("uk", "co.uk", "com.au", "github.io").toDF("suffix")
+    val df = graft.ops.Web.registrableDomainTable(hosts, "host", psl)
+    val plan = planOf(df)
+    // one broadcast hash join per candidate suffix length (default 4)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 4,
+      s"expected 4 per-length broadcast joins:\n${plan.take(3000)}")
+    // the suffix table broadcasts (its tiny dedup exchange is fine); no
+    // shuffle may sit on the corpus lineage — walk the tree and check
+    // every ShuffleExchange subtree for the documents scan
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val corpusShuffles = exec.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if s.collectLeaves().exists(_.toString.contains("documents")) => s
+    }
+    assert(corpusShuffles.isEmpty,
+      s"the corpus side must not shuffle:\n${corpusShuffles.mkString("\n").take(2000)}")
+  }
+
   test("keywords: partial-agg tf, one-row n_docs broadcast, per-partition heap rank") {
     val docs = SparkEntry.t(spark, sf, "documents")
     val plan = planOf(graft.ops.TextAnalysis.keywords(docs, "text", "doc_id", k = 5))
