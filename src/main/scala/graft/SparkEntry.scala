@@ -1293,6 +1293,17 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(17)) === 0),
         "text", "doc_id", n = 4)
     }),
+    "ns_badwords" -> ((s, dir) => {
+      // Blocklist term matching: one Aho-Corasick pass per doc counting
+      // every (overlapping) occurrence of each term plus the distinct-term
+      // count. Terms deliberately include a phrase, a high-frequency
+      // single char (matches inside words — substring semantics are the
+      // contract), and an absent term. The oracle replays with a
+      // positional substring scan per term.
+      graft.ops.TextAnalysis.termMatchStats(t(s, dir, "documents"),
+        "text", "doc_id",
+        terms = Seq("big table", "slow", "a", "nosuchterm"), minMatches = 3)
+    }),
     "ns_decontaminate_bloom" -> ((s, dir) => {
       // The Bloom-prefiltered tier of decontamination (the 100 TB path:
       // benchmark grams become a fixed-size bit filter checked map-side;
@@ -3193,6 +3204,18 @@ object SparkEntry {
         |  coalesce(n_hits, 0) >= 1 AS contaminated
         |FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
         |WHERE g.doc_id % 17 != 0""".stripMargin,
+    "ns_badwords" ->
+      """WITH terms AS (SELECT unnest(['big table', 'slow', 'a', 'nosuchterm']) AS term),
+        |hits AS (
+        |  SELECT d.doc_id, t.term,
+        |         len(list_filter(range(1, length(lower(d.text)) - length(t.term) + 2),
+        |             i -> lower(d.text)[i:i + length(t.term) - 1] = t.term)) AS n
+        |  FROM documents d CROSS JOIN terms t)
+        |SELECT doc_id,
+        |       CAST(sum(n) AS BIGINT) AS n_matches,
+        |       CAST(count(*) FILTER (WHERE n > 0) AS INT) AS n_distinct_terms,
+        |       sum(n) >= 3 AS flagged
+        |FROM hits GROUP BY doc_id""".stripMargin,
     "ns_decontaminate_bloom" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
         |g AS (SELECT doc_id, CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]

@@ -43,6 +43,21 @@ object GraftFunctions {
     }
   }
 
+  private def stringArrayArg(fn: String, args: Seq[Expression], pos: Int): Seq[String] = {
+    val e = args(pos)
+    need(e.foldable, s"$fn argument ${pos + 1} must be a string-array literal")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        (0 until a.numElements()).map { i =>
+          val v = a.get(i, org.apache.spark.sql.types.StringType)
+          need(v != null, s"$fn argument ${pos + 1} must not contain nulls")
+          v.toString
+        }
+      case other => throw new IllegalArgumentException(
+        s"$fn argument ${pos + 1} must be a string-array literal, got $other")
+    }
+  }
+
   private def boolArg(fn: String, args: Seq[Expression], pos: Int,
       default: Boolean): Boolean =
     if (args.length <= pos) default
@@ -124,6 +139,13 @@ object GraftFunctions {
       arity("graft_passjoin_keys", args, 3 to 3)
       text.PassJoinKeysExpr(args.head, intArg("graft_passjoin_keys", args, 1),
         boolArg("graft_passjoin_keys", args, 2, default = false))
+    },
+    // graft_term_matches(text, array('term', ...) [, caseInsensitive])
+    "graft_term_matches" -> { args =>
+      arity("graft_term_matches", args, 2 to 3)
+      text.TermMatchExpr(args.head,
+        stringArrayArg("graft_term_matches", args, 1),
+        boolArg("graft_term_matches", args, 2, default = true))
     })
 
   private def infoOf(name: String): ExpressionInfo =

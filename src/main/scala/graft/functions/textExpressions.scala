@@ -1513,4 +1513,93 @@ object text {
 
   def passJoinKeys(text: Column, maxDist: Int, index: Boolean): Column =
     ExpressionUtils.column(PassJoinKeysExpr(ExpressionUtils.expression(text), maxDist, index))
+
+  /** Multi-pattern substring matching in ONE text pass (Aho-Corasick 1975,
+    * built from the published construction): returns
+    * struct(n_matches BIGINT, n_distinct_terms INT) — total occurrences of
+    * every term (overlapping occurrences all count: each text position
+    * that ends a term contributes, which is also what the oracle's
+    * positional scan counts) and how many distinct terms appeared. The
+    * blocklist tier of content filtering (profanity/NSFW/spam term lists):
+    * a naive contains() chain scans the document once PER TERM — a
+    * thousand-entry list means a thousand passes — where the automaton is
+    * one pass total at any list size, with the trie riding the closure
+    * like every other frozen model here. SUBSTRING semantics by design
+    * (terms match inside words; add boundary chars to the terms
+    * themselves for word-boundary behavior) — portable to any engine,
+    * no locale-dependent tokenization.
+    */
+  case class TermMatchExpr(child: Expression, terms: Seq[String],
+      caseInsensitive: Boolean) extends UnaryExpression with CodegenFallback {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.forall(_.nonEmpty), "empty terms are not matchable")
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_matches", LongType, nullable = false),
+      StructField("n_distinct_terms", IntegerType, nullable = false)))
+    override def nullable: Boolean = false
+
+    // goto / fail / output construction, one-time per executor
+    @transient private lazy val auto: (Array[scala.collection.mutable.HashMap[Char, Int]], Array[Int], Array[List[Int]]) = {
+      val ts = terms.map(t => if (caseInsensitive) t.toLowerCase else t)
+      val goto = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.HashMap.empty[Char, Int])
+      val out = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+      ts.zipWithIndex.foreach { case (t, ti) =>
+        var s = 0
+        t.foreach { c =>
+          s = goto(s).getOrElseUpdate(c, {
+            goto += scala.collection.mutable.HashMap.empty[Char, Int]
+            out += Nil
+            goto.size - 1
+          })
+        }
+        out(s) ::= ti
+      }
+      val fail = Array.fill(goto.size)(0)
+      val q = scala.collection.mutable.Queue.empty[Int]
+      goto(0).values.foreach(q += _)
+      while (q.nonEmpty) {
+        val s = q.dequeue()
+        goto(s).foreach { case (c, nxt) =>
+          q += nxt
+          var f = fail(s)
+          while (f != 0 && !goto(f).contains(c)) f = fail(f)
+          fail(nxt) = if (nxt != goto(f).getOrElse(c, 0)) goto(f).getOrElse(c, 0) else 0
+          out(nxt) = out(nxt) ++ out(fail(nxt)) // dictionary-suffix outputs
+        }
+      }
+      (goto.toArray, fail, out.toArray)
+    }
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val raw = child.eval(input)
+      val (goto, fail, out) = auto
+      if (raw == null)
+        return org.apache.spark.sql.catalyst.InternalRow(0L, 0)
+      val text0 = raw.toString
+      val text = if (caseInsensitive) text0.toLowerCase else text0
+      var total = 0L
+      val seen = new Array[Boolean](terms.size)
+      var s = 0
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        while (s != 0 && !goto(s).contains(c)) s = fail(s)
+        s = goto(s).getOrElse(c, 0)
+        var o = out(s)
+        while (o.nonEmpty) { total += 1; seen(o.head) = true; o = o.tail }
+        i += 1
+      }
+      var distinct = 0
+      var d = 0
+      while (d < seen.length) { if (seen(d)) distinct += 1; d += 1 }
+      org.apache.spark.sql.catalyst.InternalRow(total, distinct)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  def termMatches(text: Column, terms: Seq[String],
+      caseInsensitive: Boolean = true): Column =
+    ExpressionUtils.column(TermMatchExpr(ExpressionUtils.expression(text),
+      terms, caseInsensitive))
 }

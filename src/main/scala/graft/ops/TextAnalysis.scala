@@ -310,4 +310,37 @@ object TextAnalysis {
       qualityMetrics(col(textCol), DefaultStopwords).as("quality"),
       langId(col(textCol)).as("lang_pred"),
       fingerprint(col(textCol)).as("fingerprints"))
+
+  /** Blocklist term matching (the profanity/NSFW/spam-list filter tier):
+    * per-doc total occurrences and distinct-term count over a term list,
+    * via a single-pass Aho-Corasick scan
+    * ([[graft.functions.text.termMatches]]) — one text traversal at ANY
+    * list size where a contains() chain would re-scan per term.
+    * SUBSTRING semantics (terms match inside words — encode boundaries
+    * into the terms for word matching); `flagged` = total occurrences ≥
+    * `minMatches`. Zero shuffle: a scan-stage projection like every
+    * other per-doc signal; the automaton rides the closure as a frozen
+    * model. Output: (idCol, n_matches, n_distinct_terms, flagged).
+    */
+  def termMatchStats(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], minMatches: Int = 1,
+      caseInsensitive: Boolean = true): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.text.termMatches(col(textCol), terms, caseInsensitive)
+          .as("__m"))
+      .select(col(idCol),
+        col("__m.n_matches").as("n_matches"),
+        col("__m.n_distinct_terms").as("n_distinct_terms"))
+      .withColumn("flagged", col("n_matches") >= minMatches)
+
+  /** Drop documents whose blocklist occurrence count reaches `minMatches`,
+    * keeping the input columns — the apply form of [[termMatchStats]].
+    * Same single-pass scan-stage shape; nothing shuffles.
+    */
+  def filterTermMatches(docs: DataFrame, textCol: String,
+      terms: Seq[String], minMatches: Int = 1,
+      caseInsensitive: Boolean = true): DataFrame =
+    docs.where(
+      graft.functions.text.termMatches(col(textCol), terms, caseInsensitive)
+        .getField("n_matches") < minMatches)
 }

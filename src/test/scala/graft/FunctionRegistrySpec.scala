@@ -34,7 +34,8 @@ class FunctionRegistrySpec extends AnyFunSuite {
         |  graft_repetition_stats(text) AS rep,
         |  graft_compression_ratio(text) AS cr,
         |  graft_word_chunks(text, 5, 1) AS ch,
-        |  graft_passjoin_keys(text, 1, false) AS pk
+        |  graft_passjoin_keys(text, 1, false) AS pk,
+        |  graft_term_matches(text, array('quick brown', 'pack', 'a'), true) AS tm
         |FROM frdocs""".stripMargin)
     val viaCol = docs.select(col("id"),
       text.simhash64(split(lower(col("text")), " ")).as("sh"),
@@ -44,7 +45,8 @@ class FunctionRegistrySpec extends AnyFunSuite {
       text.repetitionStats(col("text")).as("rep"),
       text.compressionRatio(col("text")).as("cr"),
       text.wordChunks(col("text"), 5, 1).as("ch"),
-      text.passJoinKeys(col("text"), 1, index = false).as("pk"))
+      text.passJoinKeys(col("text"), 1, index = false).as("pk"),
+      text.termMatches(col("text"), Seq("quick brown", "pack", "a"), caseInsensitive = true).as("tm"))
     assert(viaSql.schema == viaCol.schema)
     val a = viaSql.orderBy("id").collect().map(_.toString).toSeq
     val b = viaCol.orderBy("id").collect().map(_.toString).toSeq

@@ -865,6 +865,32 @@ class OpsSpec extends AnyFunSuite {
     assert(fps.nonEmpty && fps.forall(_.getLong(2) >= 0))
   }
 
+  test("termMatchStats: Aho-Corasick goldens — overlaps, phrases, case, absent terms") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "aaa big Table BIG table slow"), // 'a' x3 standalone + inside 'table' x2
+      (2L, "nothing to see here"),
+      (3L, "slowslow")                      // adjacent occurrences
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.termMatchStats(docs, "text", "doc_id",
+      terms = Seq("big table", "slow", "a", "zz"), minMatches = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getBoolean(3))).toMap
+    // doc 1: 'big table' x2 (case-folded), 'slow' x1, 'a' = 3 (aaa) + 2 (tables) = 5 -> 8 total
+    assert(m(1L) == ((8L, 3, true)), s"got $m")
+    // doc 2: only 'a' does not appear... 'nothing to see here' has no 'a'
+    assert(m(2L) == ((0L, 0, false)), s"got $m")
+    assert(m(3L) == ((2L, 1, false)), s"got $m")
+    // self-overlapping pattern: every position counts
+    val ov = TextAnalysis.termMatchStats(Seq((1L, "aaaa")).toDF("doc_id", "text"),
+      "text", "doc_id", terms = Seq("aa")).collect().head
+    assert(ov.getLong(1) == 3L, "overlapping occurrences all count")
+    // filter form keeps originals and drops flagged
+    val kept = TextAnalysis.filterTermMatches(docs, "text", Seq("slow"), minMatches = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+
   // --- real audio decode (javax.sound.sampled, JDK-only) -----------------
   private def audioBytes(fileType: javax.sound.sampled.AudioFileFormat.Type,
       samples: Array[Short], bigEndian: Boolean): Array[Byte] = {
