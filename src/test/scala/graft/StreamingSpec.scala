@@ -14,6 +14,35 @@ class StreamingSpec extends AnyFunSuite {
   import SparkTestBase.spark
   import spark.implicits._
 
+  test("stateless curation ops apply to streaming frames unchanged (term filter, bloom gram check)") {
+    // The scan-stage curation tier (blocklist matching, Bloom membership,
+    // quality metrics...) is stateless, so the BATCH operators run on a
+    // streaming frame as-is — no twin needed. This gate pins that: the
+    // same filterTermMatches call on a memory stream emits exactly the
+    // rows its batch form keeps.
+    val input = MemoryStream[(Long, String)](spark, 1)
+    val df = input.toDF().toDF("doc_id", "text")
+    val filtered = graft.ops.TextAnalysis.filterTermMatches(
+      df, "text", terms = Seq("bad phrase", "junk"), minMatches = 1)
+    val q = filtered.writeStream.format("memory").queryName("stermf")
+      .outputMode("append").start()
+    try {
+      val rows = Seq(
+        (1L, "clean document about spark tables"),
+        (2L, "contains a bad phrase right here"),
+        (3L, "junk junk junk"),
+        (4L, "JUNK uppercase still matches"))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stermf").select("doc_id").as[Long].collect().toSet
+      val batch = graft.ops.TextAnalysis.filterTermMatches(
+        rows.toDF("doc_id", "text"), "text",
+        terms = Seq("bad phrase", "junk"), minMatches = 1)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch && streamed == Set(1L))
+    } finally q.stop()
+  }
+
   test("kafka source config: per-env topics, consumer properties, micro-batch shaping (A4/I5)") {
     val spec = graft.spec.StreamSpec.parseUnsafe(
       """{
