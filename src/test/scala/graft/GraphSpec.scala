@@ -191,6 +191,31 @@ class GraphSpec extends AnyFunSuite {
     assert(d1 <= 40, s"per-round job cost out of bounds: j2=$j2 j4=$j4")
   }
 
+  test("job-count gate: star-contraction CC jobs stay proportional to executed rounds") {
+    // the third iterative loop under the SCALE.md rule: a chain forces
+    // multiple large/small-star rounds, and the per-round checkpoint must
+    // keep jobs ∝ rounds — lineage fan-out would blow the ratio up
+    def run(n: Int): (Int, Int) = {
+      var rounds = 0
+      val jobs = countJobs {
+        val pairs = (0 until n - 1)
+          .map(i => (i.toLong + 1000L * n, i.toLong + 1 + 1000L * n))
+          .toDF("idA", "idB")
+        val (cc, r) = graft.ops.Dedup.connectedComponentsStarWithRounds(pairs)
+        rounds = r
+        cc.collect(); ()
+      }
+      (jobs, rounds)
+    }
+    val (j1, r1) = run(32)
+    val (j2, r2) = run(128)
+    assert(r2 > r1, s"longer chain must take more rounds: $r1 vs $r2")
+    val perRound1 = j1.toDouble / r1
+    val perRound2 = j2.toDouble / r2
+    assert(perRound2 <= perRound1 * 2 + 4,
+      s"per-round job cost must stay bounded: n=32 -> $j1/$r1, n=128 -> $j2/$r2")
+  }
+
   test("degrees: zero-filled in/out profile") {
     val d = Graph.degrees(tri, "src", "dst").orderBy("node").collect().map(_.toSeq)
     assert(d.toSeq == Seq(
