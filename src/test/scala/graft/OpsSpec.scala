@@ -891,6 +891,44 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(2L))
   }
 
+  test("media dedup end-to-end on real images: decoded pHash + banding finds the near-dup pairs") {
+    // the full pipeline on actual decoded pixels: gradient images where
+    // pairs (1,2) and (3,4) differ by an invisible single-pixel tweak
+    // (same luma grid => identical pixel pHash) while 5 is a different
+    // gradient and 6 is text. phashCandidates over pHashDecoded must
+    // return exactly the two planted pairs.
+    def gradient(dx: Int, dy: Int, tweak: Boolean): Array[Byte] =
+      imageBytes("png", 32, 32) { (x, y) =>
+        val v = math.min(255, math.max(0, 128 + dx * (x - 16) + dy * (y - 16)))
+        val v2 = if (tweak && x == 0 && y == 0) math.min(255, v + 1) else v
+        (v2 << 16) | (v2 << 8) | v2
+      }
+    val media = mediaFrom(Seq(
+      (1L, gradient(4, 0, tweak = false)),
+      (2L, gradient(4, 0, tweak = true)),   // near-dup of 1 (sub-grid tweak)
+      (3L, gradient(0, 4, tweak = false)),
+      (4L, gradient(0, 4, tweak = true)),   // near-dup of 3
+      (5L, gradient(-4, 2, tweak = false)), // different gradient
+      (6L, "some text payload, not an image at all".getBytes("UTF-8"))))
+    val hashed = graft.ops.Multimodal.pHashDecoded(media)
+    // feed decoded hashes through the same banding join the byte tier uses
+    val banded0 = hashed.select(col("media_id"), col("phash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("phash"), (lit(15) * b).cast("int"))
+          .bitwiseAND(lit(0x7fffL)))).as(Seq("band", "chunk")))
+    val a = banded0.select(col("band"), col("chunk"), col("media_id").as("idA"), col("phash").as("fpA"))
+    val b = banded0.select(col("band"), col("chunk"), col("media_id").as("idB"), col("phash").as("fpB"))
+    val pairs = a.join(b, Seq("band", "chunk"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        bit_count(col("fpA").bitwiseXOR(col("fpB"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .dropDuplicates("idA", "idB")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)),
+      s"planted near-dup pairs must surface, nothing else: $pairs")
+  }
+
   // --- real audio decode (javax.sound.sampled, JDK-only) -----------------
   private def audioBytes(fileType: javax.sound.sampled.AudioFileFormat.Type,
       samples: Array[Short], bigEndian: Boolean): Array[Byte] = {
