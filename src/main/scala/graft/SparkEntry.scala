@@ -1107,6 +1107,14 @@ object SparkEntry {
       // deterministic 80/10/10 split assignment by portable id hash
       graft.ops.Curation.assignSplit(t(s, dir, "documents"), "doc_id")
         .select("doc_id", "split")),
+    "ns_epoch_shuffle" -> ((s, dir) =>
+      // deterministic training-order permutation: dense 0-based rank in
+      // (portable-hash, id) order, computed with the bucketed two-level
+      // rank (never a global window). The oracle IS the global window —
+      // one row_number over the same hash — so the distributed ranking
+      // must agree with the single-node definition exactly.
+      graft.ops.Curation.epochShuffle(t(s, dir, "documents"), "doc_id", epoch = 1)
+        .select(col("doc_id"), col("shuffle_pos"))),
     "ns_domains" -> ((s, dir) => {
       // web-curation URL machinery over a deterministic URL column built
       // from real corpus columns (the corpus stores no URLs — same
@@ -1347,6 +1355,30 @@ object SparkEntry {
       // The id cap keeps the gate (and its quadratic oracle) SF-invariant.
       val c = t(s, dir, "customer").filter(col("c_custkey") <= 1000)
       graft.ops.Fuzzy.editDistanceSelfJoin(c, "c_name", "c_custkey", maxDist = 2)
+    }),
+    "ns_jaro_winkler" -> ((s, dir) => {
+      // Scalar parity gate for the Jaro-Winkler comparator: score every
+      // adjacent (k, k+1) part-name pair, emit micro-unit floors. The
+      // oracle replays with DuckDB's OWN jaro_winkler_similarity (byte-
+      // based Jaro, 0.7 boost threshold, 4-byte prefix cap), which
+      // JaroWinklerExpr matches bit-for-bit — same FP reduction order —
+      // so the floor is deterministic. Linear in |part|: SF-scaling safe.
+      val p = t(s, dir, "part").select(col("p_partkey").as("id"), col("p_name").as("nm"))
+      val b = p.select((col("id") - 1).as("id"), col("nm").as("nm2"))
+      p.join(b, "id").select(col("id"),
+        floor(graft.functions.text.jaroWinkler(col("nm"), col("nm2")) * lit(1e6))
+          .cast("long").as("sim_ppm"))
+    }),
+    "ns_jw_join" -> ((s, dir) => {
+      // Record-linkage join: initial-letter blocking + exact comparator,
+      // replayed END-TO-END (blocking included) by the oracle, so the
+      // gate checks the operator's documented contract — pairs sharing
+      // the block key at/above threshold — not a weaker projection of
+      // it. Fixed id slice keeps the quadratic-in-block cost SF-invariant.
+      val p = t(s, dir, "part").filter(col("p_partkey") <= 600)
+      graft.ops.Fuzzy.jaroWinklerSelfJoin(p, "p_name", "p_partkey", minSim = 0.92)
+        .select(col("idA"), col("idB"),
+          floor(col("sim") * lit(1e6)).cast("long").as("sim_ppm"))
     }),
     "ns_percentile_rank" -> ((s, dir) =>
       // cross-domain score calibration: per-language integer per-mille
@@ -2864,6 +2896,13 @@ object SparkEntry {
         |        (('0x' || substr(md5('graft-split|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
         |         & 2147483647) % 1000 AS hv
         |      FROM documents)""".stripMargin,
+    "ns_epoch_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY hv, doc_id) - 1 AS BIGINT) AS shuffle_pos
+        |FROM (SELECT doc_id,
+        |        (('0x' || substr(md5('graft-shuffle-e1|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |         & 2147483647) AS hv
+        |      FROM documents)""".stripMargin,
     "ns_embed_int8" ->
       """SELECT id, vmin, vmax, CAST(i AS INT) AS pos,
         |  CASE WHEN vmax = vmin THEN 0
@@ -3239,6 +3278,17 @@ object SparkEntry {
         |SELECT a.id AS idA, b.id AS idB, CAST(levenshtein(a.s, b.s) AS INT) AS dist
         |FROM n a JOIN n b ON a.id < b.id
         |WHERE levenshtein(a.s, b.s) <= 2""".stripMargin,
+    "ns_jaro_winkler" ->
+      """SELECT a.p_partkey AS id,
+        |  CAST(floor(jaro_winkler_similarity(a.p_name, b.p_name) * 1e6) AS BIGINT) AS sim_ppm
+        |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1""".stripMargin,
+    "ns_jw_join" ->
+      """WITH n AS (SELECT p_partkey AS id, p_name AS s FROM part WHERE p_partkey <= 600)
+        |SELECT a.id AS idA, b.id AS idB,
+        |  CAST(floor(jaro_winkler_similarity(a.s, b.s) * 1e6) AS BIGINT) AS sim_ppm
+        |FROM n a JOIN n b
+        |  ON upper(substr(a.s, 1, 1)) = upper(substr(b.s, 1, 1)) AND a.id < b.id
+        |WHERE jaro_winkler_similarity(a.s, b.s) >= 0.92""".stripMargin,
     "ns_percentile_rank" ->
       """WITH s AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS score FROM documents),
         |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rk,

@@ -146,6 +146,11 @@ object GraftFunctions {
       text.TermMatchExpr(args.head,
         stringArrayArg("graft_term_matches", args, 1),
         boolArg("graft_term_matches", args, 2, default = true))
+    },
+    // graft_jaro_winkler(a string, b string)
+    "graft_jaro_winkler" -> { args =>
+      arity("graft_jaro_winkler", args, 2 to 2)
+      text.JaroWinklerExpr(args.head, args(1))
     })
 
   private def infoOf(name: String): ExpressionInfo =

@@ -707,6 +707,52 @@ object Curation {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic global shuffle for training order: every row gets a
+    * dense 0-based `shuffle_pos` equal to its rank under
+    * `(portableHash31(seed-e<epoch> | id), id)` — a reproducible random
+    * permutation of the corpus that any engine can replay (the DuckDB
+    * oracle is one `row_number() OVER (ORDER BY hv, id)`), changes
+    * completely between epochs, and never touches an RNG (stable under
+    * task retries and backfills, unlike `orderBy(rand())`).
+    *
+    * Scale shape — TeraSort-style two-level ranking, because a global
+    * `row_number()` window is a single-partition scale-killer: rows are
+    * range-bucketed by the hash's high bits (`buckets` contiguous hash
+    * ranges, so bucket order IS hash order), per-bucket counts (a
+    * `buckets`-row aggregate, driver metadata like the IVF centroids)
+    * prefix-sum into bucket offsets, and the final position is
+    * offset(bucket) + rank-within-bucket — the window partitions by
+    * bucket, never globally. The hash is uniform on [0, 2^31), so bucket
+    * sizes concentrate at n/buckets; raise `buckets` until a bucket fits
+    * an executor (1024 buckets at 100 TB ≈ 100 GB ranges of ROW IDS, i.e.
+    * tiny (id, hash) pairs — size by row count, not payload).
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int = 0,
+      seed: String = "graft-shuffle", buckets: Int = 1024): DataFrame = {
+    require(epoch >= 0, "epoch must be >= 0")
+    require(buckets >= 1, "buckets must be >= 1")
+    val p = 2147483647L
+    val width = p / buckets + 1 // ceil over the hash domain: bucket ids in [0, buckets)
+    val hv = portableHash31(col(idCol), s"$seed-e$epoch")
+    val withB = df.withColumn("__hv", hv)
+      .withColumn("__bk", (col("__hv") / lit(width)).cast("int"))
+    // per-bucket counts: a <= `buckets`-row frame; the prefix sum runs on
+    // that metadata-sized frame (single-partition window over <= `buckets`
+    // rows is fine — it never sees row data)
+    val offsets = withB.groupBy(col("__bk")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(col("__bk")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__bk"), col("__off"))
+    val ranked = withB.withColumn("__rk",
+      row_number().over(
+        Window.partitionBy(col("__bk")).orderBy(col("__hv"), col(idCol))))
+    ranked.join(broadcast(offsets), "__bk")
+      .withColumn("shuffle_pos", col("__off") + col("__rk") - 1)
+      .drop("__hv", "__bk", "__rk", "__off")
+  }
+
   /** Solve the per-stratum sampling rates that realize a target training
     * mix: given desired output fractions per stratum (by `weightCol`, e.g.
     * a token count) and optionally a total output budget, return the

@@ -90,6 +90,38 @@ object Dedup {
       banded.join(sizes, keys)
     }
 
+  /** A chosen MinHash-LSH banding: `bands * rowsPerBand` signature
+    * components, candidate-probability curve
+    * `p(s) = 1 - (1 - s^rowsPerBand)^bands` (Leskovec/Rajaraman/Ullman,
+    * MMDS ch. 3), S-curve midpoint ~ `(1/bands)^(1/rowsPerBand)`.
+    */
+  final case class LshPlan(bands: Int, rowsPerBand: Int) {
+    /** probability a pair with true Jaccard `s` becomes a candidate */
+    def candidateProb(s: Double): Double =
+      1.0 - math.pow(1.0 - math.pow(s, rowsPerBand.toDouble), bands.toDouble)
+    /** the similarity where the S-curve crosses its steep midpoint */
+    def threshold: Double = math.pow(1.0 / bands, 1.0 / rowsPerBand)
+  }
+
+  /** Pick (bands, rowsPerBand) for a target Jaccard threshold: among
+    * exact divisor pairs of `numHashes`, the banding whose S-curve
+    * midpoint `(1/b)^(1/r)` lands closest to `targetJaccard` — the MMDS
+    * tuning rule. Ties (and near-ties within 1e-9) break toward MORE
+    * bands (smaller rows-per-band): a shallower curve on the high side,
+    * i.e. better recall at the target at the cost of more candidates —
+    * the right default when the verify step is cheap relative to a miss.
+    * Feed the result straight into [[minhashCandidates]]'s
+    * (numHashes, bands); pure driver arithmetic, no data touched.
+    */
+  def lshPlan(numHashes: Int, targetJaccard: Double): LshPlan = {
+    require(numHashes >= 1, "numHashes must be >= 1")
+    require(targetJaccard > 0.0 && targetJaccard < 1.0,
+      "targetJaccard must be in (0, 1)")
+    val options = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => LshPlan(b, numHashes / b))
+    options.minBy(p => (math.round(math.abs(p.threshold - targetJaccard) * 1e9), -p.bands))
+  }
+
   /** Candidate near-duplicate pairs via banded LSH.
     *
     * @param bands      number of LSH bands; rows = numHashes / bands.

@@ -67,4 +67,66 @@ object Fuzzy {
       maxDist: Int, maxBucket: Int = Int.MaxValue): DataFrame =
     editDistanceJoin(df, textCol, idCol, df, textCol, idCol, maxDist, maxBucket)
       .where(col("idA") < col("idB"))
+
+  import org.apache.spark.sql.Column
+
+  /** Jaro-Winkler record linkage (Winkler 1990; the Fellegi-Sunter-era
+    * comparator still standard for person/entity name matching): all
+    * cross-pairs with `jaroWinkler(textA, textB) >= minSim`, generated
+    * under caller-supplied BLOCKING and verified with the exact
+    * [[graft.functions.text.JaroWinklerExpr]] comparator (bit-identical
+    * to DuckDB's `jaro_winkler_similarity`, see the expression doc).
+    *
+    * Unlike Levenshtein (pigeonhole-complete PassJoin segments, see
+    * [[editDistanceJoin]]), Jaro-Winkler admits NO exact filter-key
+    * family: two strings can exceed any threshold while sharing no
+    * contiguous substring (matches need only fall inside the Jaro
+    * window). Real record-linkage systems therefore block on a modeling
+    * key — phonetic code, first token, zip code, sorted-neighborhood key
+    * (Christen 2012 survey) — accepting that recall is defined BY the
+    * blocking choice. This operator makes that contract explicit:
+    * `blockKey` maps the text column to a join key (default: first byte,
+    * uppercased — the classic initial-letter block); pairs in different
+    * blocks are out of scope by definition, and the `ns_jw_join` gate
+    * replays blocking + threshold end-to-end in the oracle.
+    *
+    * Scale shape: one shuffled equi-join on the block key; per-block cost
+    * is quadratic, so blocks must be kept small BY THE KEY CHOICE (that
+    * too is standard practice), with `maxBucket` as the hard skew guard —
+    * oversized blocks are capped (trading recall inside them, like the
+    * LSH generators' guard) rather than detonating a task. Comparator
+    * cost is O(len_a * len_b) per candidate on short strings. Output:
+    * (idA, idB, sim DOUBLE), one row per qualifying pair.
+    */
+  def jaroWinklerJoin(
+      left: DataFrame, leftText: String, leftId: String,
+      right: DataFrame, rightText: String, rightId: String,
+      minSim: Double,
+      blockKey: Column => Column = c => upper(substring(c, 1, 1)),
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(minSim >= 0.0 && minSim <= 1.0, "minSim must be in [0, 1]")
+    val lk = left
+      .where(col(leftText).isNotNull && col(leftId).isNotNull)
+      .select(col(leftId).as("__lid"), col(leftText).as("__ls"),
+        blockKey(col(leftText)).as("__bk"))
+    val rk = right
+      .where(col(rightText).isNotNull && col(rightId).isNotNull)
+      .select(col(rightId).as("__rid"), col(rightText).as("__rs"),
+        blockKey(col(rightText)).as("__bk"))
+    Dedup.capBuckets(lk, Seq("__bk"), maxBucket)
+      .join(Dedup.capBuckets(rk, Seq("__bk"), maxBucket), Seq("__bk"))
+      .withColumn("sim", graft.functions.text.jaroWinkler(col("__ls"), col("__rs")))
+      .where(col("sim") >= minSim)
+      .select(col("__lid").as("idA"), col("__rid").as("idB"), col("sim"))
+  }
+
+  /** Self-join form: unordered pairs (idA < idB) with similarity at or
+    * above `minSim` under the same blocking contract.
+    */
+  def jaroWinklerSelfJoin(df: DataFrame, textCol: String, idCol: String,
+      minSim: Double,
+      blockKey: Column => Column = c => upper(substring(c, 1, 1)),
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    jaroWinklerJoin(df, textCol, idCol, df, textCol, idCol, minSim, blockKey, maxBucket)
+      .where(col("idA") < col("idB"))
 }

@@ -704,4 +704,38 @@ class CurationSpec extends AnyFunSuite {
       .orderBy("id").collect().map(_.getAs[Boolean]("keep")).toSeq
     assert(keep == Seq(true, false))
   }
+
+  // -------------------------------------------------------- epoch shuffle
+
+  test("epochShuffle: positions are a bijection onto 0..n-1 in portable-hash order") {
+    val df = (0L until 500L).map(i => (i, s"doc$i")).toDF("id", "payload")
+    val got = Curation.epochShuffle(df, "id", epoch = 0, buckets = 8)
+      .select("id", "shuffle_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSeq.sorted == (0L until 500L))
+    // order law: pos ranks (hash, id) ascending — check on the driver
+    val byHash = (0L until 500L).sortBy { i =>
+      val s = "graft-shuffle-e0|" + i
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hv = java.lang.Long.parseLong(
+        md.take(4).map(b => f"$b%02x").mkString, 16) & 2147483647L
+      (hv, i)
+    }
+    byHash.zipWithIndex.foreach { case (id, pos) =>
+      assert(got(id) == pos.toLong, s"id $id")
+    }
+  }
+
+  test("epochShuffle: different epochs permute differently; same epoch is stable") {
+    val df = (0L until 200L).map(i => (i, i)).toDF("id", "v")
+    def posMap(e: Int) = Curation.epochShuffle(df, "id", epoch = e, buckets = 4)
+      .select("id", "shuffle_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e0 = posMap(0); val e0b = posMap(0); val e1 = posMap(1)
+    assert(e0 == e0b)
+    assert(e0 != e1)
+    // not just a shifted copy: many rows must actually move
+    assert((0L until 200L).count(i => e0(i) != e1(i)) > 150)
+  }
 }

@@ -35,7 +35,8 @@ class FunctionRegistrySpec extends AnyFunSuite {
         |  graft_compression_ratio(text) AS cr,
         |  graft_word_chunks(text, 5, 1) AS ch,
         |  graft_passjoin_keys(text, 1, false) AS pk,
-        |  graft_term_matches(text, array('quick brown', 'pack', 'a'), true) AS tm
+        |  graft_term_matches(text, array('quick brown', 'pack', 'a'), true) AS tm,
+        |  graft_jaro_winkler(text, reverse(text)) AS jw
         |FROM frdocs""".stripMargin)
     val viaCol = docs.select(col("id"),
       text.simhash64(split(lower(col("text")), " ")).as("sh"),
@@ -46,7 +47,8 @@ class FunctionRegistrySpec extends AnyFunSuite {
       text.compressionRatio(col("text")).as("cr"),
       text.wordChunks(col("text"), 5, 1).as("ch"),
       text.passJoinKeys(col("text"), 1, index = false).as("pk"),
-      text.termMatches(col("text"), Seq("quick brown", "pack", "a"), caseInsensitive = true).as("tm"))
+      text.termMatches(col("text"), Seq("quick brown", "pack", "a"), caseInsensitive = true).as("tm"),
+      text.jaroWinkler(col("text"), reverse(col("text"))).as("jw"))
     assert(viaSql.schema == viaCol.schema)
     val a = viaSql.orderBy("id").collect().map(_.toString).toSeq
     val b = viaCol.orderBy("id").collect().map(_.toString).toSeq

@@ -54,6 +54,65 @@ class FuzzySpec extends AnyFunSuite {
     assert(got == Set((1L, 10L, 1), (2L, 11L, 1)))
   }
 
+  test("jaroWinkler goldens: published examples + DuckDB-verified edge cases") {
+    // Expected doubles are DuckDB jaro_winkler_similarity outputs
+    // (bit-exact contract): the classic Winkler-paper pairs, the boost
+    // threshold (prefix present but jaro <= 0.7 -> NO boost), the
+    // byte-not-codepoint semantics (multibyte é), and the empty/equal
+    // conventions (both-empty -> 0.0; equal nonempty -> 1.0).
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("duane", "dwayne", 0.8400000000000001),
+      ("crate", "trace", 0.7333333333333334), // jaro > 0.7 but prefix 0
+      ("abwxyzijkl", "abmnopqrst", 0.4666666666666666), // prefix 2, no boost
+      ("abcz", "abyx", 0.6666666666666666), // prefix 2, jaro < 0.7: no boost
+      ("héllo", "héllp", 0.9333333333333333), // 6-byte strings, byte jaro
+      ("ab", "ba", 0.0), // window 0: no matches
+      ("ab", "ab", 1.0),
+      ("a", "", 0.0),
+      ("", "", 0.0)
+    )
+    val df = cases.zipWithIndex
+      .map { case ((a, b, e), i) => (i, a, b, e) }.toDF("i", "a", "b", "want")
+    val got = df.select(col("i"), graft.functions.text.jaroWinkler(col("a"), col("b")).as("jw"), col("want"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2), s"case ${r.getInt(0)}")
+    }
+    // null in -> null out
+    val n = Seq((1, null.asInstanceOf[String], "x")).toDF("i", "a", "b")
+      .select(graft.functions.text.jaroWinkler(col("a"), col("b"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("jaroWinkler join: constant blocking equals brute force; default blocking restricts to same initial") {
+    val df = Seq(
+      (1L, "martha"), (2L, "marhta"), (3L, "michelle"), (4L, "michela"),
+      (5L, "sean"), (6L, "shawn"), (7L, "Sean"), (8L, "zzz")
+    ).toDF("id", "s")
+    def jwPairs(got: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      got.select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = {
+      val a = df.select(col("id").as("idA"), col("s").as("sa"))
+      val b = df.select(col("id").as("idB"), col("s").as("sb"))
+      a.crossJoin(b).where(col("idA") < col("idB"))
+        .withColumn("sim", graft.functions.text.jaroWinkler(col("sa"), col("sb")))
+        .where(col("sim") >= 0.83)
+        .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val allPairs = jwPairs(Fuzzy.jaroWinklerSelfJoin(df, "s", "id", minSim = 0.83,
+      blockKey = _ => lit("all")))
+    assert(allPairs == brute)
+    assert(allPairs.contains((1L, 2L)) && allPairs.contains((3L, 4L)))
+    // default initial-letter blocking: the same pairs, since every
+    // qualifying brute pair here shares an (upper-cased) initial —
+    // including the case-folded (5, 7) pair
+    val blocked = jwPairs(Fuzzy.jaroWinklerSelfJoin(df, "s", "id", minSim = 0.83))
+    assert(blocked == brute)
+    assert(blocked.contains((5L, 7L)))
+  }
+
   test("maxBucket skew guard yields a subset of the unguarded pairs") {
     val df = (0 until 40).map(i => (i.toLong, f"item$i%02d")).toDF("id", "s")
     val all = pairs(Fuzzy.editDistanceSelfJoin(df, "s", "id", maxDist = 2))

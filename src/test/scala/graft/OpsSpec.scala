@@ -48,6 +48,24 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(est - trueJ) < 0.2, s"est=$est true=$trueJ")
   }
 
+  test("lshPlan: MMDS tuning rule picks the divisor banding nearest the target") {
+    // 128 hashes, target 0.8: divisor thresholds are (1/8)^(1/16)=.878 and
+    // (1/16)^(1/8)=.707 — .878 is nearer, so 8 bands of 16 rows
+    assert(Dedup.lshPlan(128, 0.8) == Dedup.LshPlan(8, 16))
+    // 64 hashes, target 0.5: (1/16)^(1/4)=.5 exactly
+    assert(Dedup.lshPlan(64, 0.5) == Dedup.LshPlan(16, 4))
+    val p = Dedup.lshPlan(64, 0.5)
+    // S-curve laws: monotone in s, complete at s=1, dead at s=0
+    assert(p.candidateProb(0.0) == 0.0 && p.candidateProb(1.0) == 1.0)
+    val probs = (0 to 10).map(i => p.candidateProb(i / 10.0))
+    assert(probs == probs.sorted)
+    // midpoint sits on the steep part: clearly separates +-0.2
+    assert(p.candidateProb(p.threshold + 0.2) > 0.9)
+    assert(p.candidateProb(p.threshold - 0.2) < 0.35)
+    // degenerate corners still legal
+    assert(Dedup.lshPlan(1, 0.5) == Dedup.LshPlan(1, 1))
+  }
+
   test("simhash: identical docs → distance 0; near-dups close; unrelated far") {
     val base = (1 to 80).map(i => s"tok$i").mkString(" ")
     val docs = Seq((1L, base), (2L, base), (3L, base.replace("tok40", "tokX")),

@@ -588,6 +588,29 @@ class PlanSpec extends AnyFunSuite {
       s"dim_idx exchange expected:\n${plan.take(2500)}")
   }
 
+  test("epochShuffle: windows partition by hash bucket — no global single-partition window") {
+    val docs = SparkEntry.t(spark, sf, "documents")
+    val q = graft.ops.Curation.epochShuffle(docs, "doc_id", epoch = 0)
+    val plan = planOf(q)
+    // the rank window must run per-bucket: its exchange hashes on __bk
+    assert(plan.contains("Exchange hashpartitioning(__bk"),
+      s"bucketed rank exchange expected:\n${plan.take(3000)}")
+    // no global-order window over the data: the only SinglePartition
+    // exchange allowed is the <= buckets-row offsets aggregate, which must
+    // feed a broadcast — the row-data join side must be broadcast, not
+    // merged through a global sort
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"offsets must broadcast back:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"offsets join must not sort-merge the corpus:\n${plan.take(3000)}")
+  }
+
+  test("jaroWinkler join: shuffled equi-join on the block key, never a product") {
+    val plan = planOf(SparkEntry.queries("ns_jw_join")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"blocking join must be an equi-join:\n${plan.take(3000)}")
+  }
+
   test("range join plans as a hash-joinable equi-join on buckets, not a nested loop") {
     val plan = planOf(SparkEntry.queries("ns_range_join")(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
