@@ -1356,6 +1356,14 @@ object SparkEntry {
       val c = t(s, dir, "customer").filter(col("c_custkey") <= 1000)
       graft.ops.Fuzzy.editDistanceSelfJoin(c, "c_name", "c_custkey", maxDist = 2)
     }),
+    "ns_jaccard_join" -> ((s, dir) => {
+      // EXACT set-similarity self-join (df-ordered prefix filtering — no
+      // hashing, no approximation): 3-gram Jaccard >= 0.5. Unbounded
+      // buckets = provably complete, so the output EQUALS the all-pairs
+      // oracle. Fixed id slice keeps the quadratic oracle SF-invariant.
+      val d = t(s, dir, "documents").filter(col("doc_id") <= 1000)
+      graft.ops.Dedup.jaccardJoin(d, "text", "doc_id", minJaccardPermille = 500)
+    }),
     "ns_jaro_winkler" -> ((s, dir) => {
       // Scalar parity gate for the Jaro-Winkler comparator: score every
       // adjacent (k, k+1) part-name pair, emit micro-unit floors. The
@@ -3278,6 +3286,18 @@ object SparkEntry {
         |SELECT a.id AS idA, b.id AS idB, CAST(levenshtein(a.s, b.s) AS INT) AS dist
         |FROM n a JOIN n b ON a.id < b.id
         |WHERE levenshtein(a.s, b.s) <= 2""".stripMargin,
+    "ns_jaccard_join" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |            FROM documents WHERE doc_id <= 1000),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) END AS grams
+        |      FROM tk),
+        |p AS (SELECT a.doc_id AS idA, b.doc_id AS idB,
+        |        len(list_intersect(a.grams, b.grams)) AS n_common,
+        |        len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS n_union
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |SELECT idA, idB, CAST(n_common AS INT) AS n_common, CAST(n_union AS INT) AS n_union
+        |FROM p WHERE n_common * 1000 >= 500 * n_union""".stripMargin,
     "ns_jaro_winkler" ->
       """SELECT a.p_partkey AS id,
         |  CAST(floor(jaro_winkler_similarity(a.p_name, b.p_name) * 1e6) AS BIGINT) AS sim_ppm

@@ -453,6 +453,82 @@ object Dedup {
         size(array_union(col("gramsA"), col("gramsB"))).as("n_union"))
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (Chaudhuri/
+    * Ganti/Kaushik 2006; Bayardo/Ma/Srikant 2007 AllPairs; Xiao et al.
+    * 2008 PPJoin): every unordered pair of docs whose distinct word
+    * n-gram sets have Jaccard >= `minJaccardPermille`/1000 — no hashing,
+    * no approximation, yet never all-pairs. The deterministic complement
+    * to [[minhashCandidates]]: use THIS when the contract is "find every
+    * pair, exactly" (dedup audits, legal/compliance sweeps, oracle
+    * construction) and MinHash when a bounded false-negative rate buys a
+    * cheaper exchange on billion-doc corpora.
+    *
+    * Completeness argument (the prefix-filter theorem): under ANY one
+    * global total order on tokens, J(a,b) >= t implies the overlap
+    * o >= t*|a| (from o(1+t) >= t(|a|+|b|) and |b| >= o), so the first
+    * |a| - ceil(t*|a|) + 1 tokens of a — its PREFIX — must contain a
+    * common token with b's prefix, else all >= ceil(t*max(|a|,|b|))
+    * common tokens would have to fit in suffixes too short to hold them.
+    * Candidates = equi-join on prefix tokens only. The order used is
+    * ascending global document frequency (rare tokens first, ties by
+    * token text), which makes prefixes maximally selective — the order
+    * affects only the candidate count, never the answer, since every
+    * candidate is verified with an exact intersection. The PPJoin length
+    * filter (|b|*1000 >= t*|a| both ways) prunes inside the join.
+    *
+    * Scale shape: one vocabulary-sized df aggregate (partial, map-side),
+    * one per-doc rank window keyed by id, a candidate equi-join on
+    * prefix tokens (selective BY CONSTRUCTION — prefixes are the rare
+    * tokens; `maxBucket` guards boilerplate-token floods, trading
+    * completeness in capped buckets like every banded generator), and a
+    * verify join carrying the token arrays (doc-sized payload — for long
+    * documents shingle first, or use the MinHash family). Gate mode
+    * (`ns_jaccard_join`) runs maxBucket = unbounded so output == the
+    * DuckDB all-pairs oracle.
+    *
+    * Output: (idA, idB, n_common, n_union), idA < idB, distinct.
+    */
+  def jaccardJoin(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minJaccardPermille: Int,
+      shingleLen: Int = 3,
+      maxBucket: Int = Int.MaxValue
+  ): DataFrame = {
+    require(minJaccardPermille >= 1 && minJaccardPermille <= 1000,
+      "minJaccardPermille must be in [1, 1000]")
+    val tp = minJaccardPermille.toLong
+    val toks = df.select(col(idCol).as("__id"),
+        graft.functions.text.wordNgrams(col(textCol), shingleLen, distinct = true).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    val exploded = toks.select(col("__id"), col("__n"), explode(col("__toks")).as("__tok"))
+    val dfreq = exploded.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    // prefix length |a| - ceil(t*|a|) + 1 under the (df, token) order
+    val ceilT = call_function("div", lit(tp) * col("__n") + lit(999L), lit(1000L))
+    val pfx = exploded.join(dfreq, "__tok")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("__id").orderBy(col("__df"), col("__tok"))))
+      .where(col("__rk") <= col("__n") - ceilT + lit(1L))
+      .select(col("__tok"), col("__id"), col("__n"))
+    val capped = capBuckets(pfx, Seq("__tok"), maxBucket)
+    val a = capped.select(col("__tok"), col("__id").as("idA"), col("__n").as("__na"))
+    val b = capped.select(col("__tok"), col("__id").as("idB"), col("__n").as("__nb"))
+    val cands = a.join(b, Seq("__tok"))
+      .where(col("idA") < col("idB") &&
+        col("__nb") * 1000L >= lit(tp) * col("__na") &&
+        col("__na") * 1000L >= lit(tp) * col("__nb"))
+      .select("idA", "idB").dropDuplicates("idA", "idB")
+    val sets = toks.select(col("__id"), col("__toks"), col("__n"))
+    cands
+      .join(sets.select(col("__id").as("idA"), col("__toks").as("__ta"), col("__n").as("__na")), "idA")
+      .join(sets.select(col("__id").as("idB"), col("__toks").as("__tb"), col("__n").as("__nb")), "idB")
+      .withColumn("n_common", size(array_intersect(col("__ta"), col("__tb"))))
+      .withColumn("n_union", col("__na") + col("__nb") - col("n_common"))
+      .where(col("n_common").cast("long") * 1000L >= lit(tp) * col("n_union").cast("long"))
+      .select(col("idA"), col("idB"), col("n_common"), col("n_union"))
+  }
+
   /** Shared-substring candidate pairs via winnowing fingerprints (the
     * MOSS construction, Schleimer et al. 2003): docs sharing at least
     * `minShared` selected k-gram hashes are candidates for containing

@@ -48,6 +48,53 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(est - trueJ) < 0.2, s"est=$est true=$trueJ")
   }
 
+  test("jaccardJoin completeness law: prefix-filtered output equals brute force") {
+    // deterministic docs over a small vocab so overlaps span the whole
+    // similarity range; includes duplicates and a short (<n tokens) doc
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val rows = (0 until 60).map { i =>
+      val h = i * 2654435761L
+      val len = 3 + (math.abs(h) % 10).toInt
+      val s = (0 until len).map(j => vocab(((h >> (j % 5)) & 7).toInt)).mkString(" ")
+      (i.toLong, if (i % 13 == 0) "tiny" else s)
+    } :+ (60L, "alpha beta gamma delta eps zeta") :+ (61L, "alpha beta gamma delta eps zeta")
+    val df = rows.toDF("id", "text")
+    for (tp <- Seq(300, 500, 800, 1000)) {
+      val got = Dedup.jaccardJoin(df, "text", "id", minJaccardPermille = tp, shingleLen = 2)
+        .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ids = df.select(col("id").as("idA"))
+      val brute = Dedup.ngramJaccard(
+        ids.crossJoin(df.select(col("id").as("idB"))).where(col("idA") < col("idB")),
+        df, "text", "id", n = 2)
+        .where(col("n_common").cast("long") * 1000 >= lit(tp.toLong) * col("n_union"))
+        .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute, s"tp=$tp")
+    }
+    // the injected exact duplicate must always surface, even at t=1.0
+    val dup = Dedup.jaccardJoin(df, "text", "id", minJaccardPermille = 1000, shingleLen = 2)
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dup.contains((60L, 61L)))
+  }
+
+  test("jaccardJoin maxBucket guard yields a subset; output carries exact counts") {
+    val df = (0 until 30).map(i => (i.toLong, s"common words everywhere plus w$i w${i % 3}"))
+      .toDF("id", "text")
+    val full = Dedup.jaccardJoin(df, "text", "id", 400, shingleLen = 2)
+    val fullPairs = full.select("idA", "idB").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = Dedup.jaccardJoin(df, "text", "id", 400, shingleLen = 2, maxBucket = 4)
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded.subsetOf(fullPairs))
+    // n_common/n_union are the exact intersection sizes
+    val r = full.where(col("idA") === 0 && col("idB") === 3).collect()
+    if (r.nonEmpty) {
+      val exact = Dedup.ngramJaccard(Seq((0L, 3L)).toDF("idA", "idB"), df, "text", "id", n = 2)
+        .collect().head
+      assert(r.head.getAs[Int]("n_common") == exact.getAs[Int]("n_common"))
+      assert(r.head.getAs[Int]("n_union") == exact.getAs[Int]("n_union"))
+    }
+  }
+
   test("lshPlan: MMDS tuning rule picks the divisor banding nearest the target") {
     // 128 hashes, target 0.8: divisor thresholds are (1/8)^(1/16)=.878 and
     // (1/16)^(1/8)=.707 — .878 is nearer, so 8 bands of 16 rows

@@ -611,6 +611,16 @@ class PlanSpec extends AnyFunSuite {
       s"blocking join must be an equi-join:\n${plan.take(3000)}")
   }
 
+  test("exact jaccard join: prefix rank windows per doc, candidate join never a product") {
+    val plan = planOf(SparkEntry.queries("ns_jaccard_join")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"prefix-filtered join must stay equi:\n${plan.take(3000)}")
+    // the rank window must partition by doc id — a global token sort
+    // would single-partition the corpus
+    assert(plan.contains("row_number() windowspecdefinition(__id#"),
+      s"per-doc rank window expected:\n${plan.take(3000)}")
+  }
+
   test("range join plans as a hash-joinable equi-join on buckets, not a nested loop") {
     val plan = planOf(SparkEntry.queries("ns_range_join")(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
