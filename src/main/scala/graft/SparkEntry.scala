@@ -1364,6 +1364,15 @@ object SparkEntry {
       val d = t(s, dir, "documents").filter(col("doc_id") <= 1000)
       graft.ops.Dedup.jaccardJoin(d, "text", "doc_id", minJaccardPermille = 500)
     }),
+    "ns_containment_join" -> ((s, dir) => {
+      // Directional containment (sub mostly inside sup) at 70% of the
+      // sub's 3-gram set — unbounded buckets = provably complete, so
+      // output EQUALS the all-pairs oracle. Same fixed slice as the
+      // symmetric gate; asymmetric pairs (short-in-long) appear only
+      // here, symmetric near-dups appear in both directions.
+      val d = t(s, dir, "documents").filter(col("doc_id") <= 1000)
+      graft.ops.Dedup.containmentJoin(d, "text", "doc_id", minContainPermille = 700)
+    }),
     "ns_jaro_winkler" -> ((s, dir) => {
       // Scalar parity gate for the Jaro-Winkler comparator: score every
       // adjacent (k, k+1) part-name pair, emit micro-unit floors. The
@@ -3298,6 +3307,17 @@ object SparkEntry {
         |      FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |SELECT idA, idB, CAST(n_common AS INT) AS n_common, CAST(n_union AS INT) AS n_union
         |FROM p WHERE n_common * 1000 >= 500 * n_union""".stripMargin,
+    "ns_containment_join" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |            FROM documents WHERE doc_id <= 1000),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) END AS grams
+        |      FROM tk)
+        |SELECT a.doc_id AS idSub, b.doc_id AS idSup,
+        |  CAST(len(list_intersect(a.grams, b.grams)) AS INT) AS n_common,
+        |  CAST(len(a.grams) AS INT) AS n_sub
+        |FROM g a JOIN g b ON a.doc_id <> b.doc_id
+        |WHERE len(list_intersect(a.grams, b.grams)) * 1000 >= 700 * len(a.grams)""".stripMargin,
     "ns_jaro_winkler" ->
       """SELECT a.p_partkey AS id,
         |  CAST(floor(jaro_winkler_similarity(a.p_name, b.p_name) * 1e6) AS BIGINT) AS sim_ppm

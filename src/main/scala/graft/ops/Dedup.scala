@@ -529,6 +529,71 @@ object Dedup {
       .select(col("idA"), col("idB"), col("n_common"), col("n_union"))
   }
 
+  /** EXACT asymmetric set-containment self-join: every ORDERED pair
+    * (sub, sup), sub != sup, with containment
+    * C(sub -> sup) = |T_sub ∩ T_sup| / |T_sub| >= `minContainPermille`/1000
+    * over distinct word n-gram sets. The directional complement to
+    * [[jaccardJoin]]: symmetric Jaccard misses a short document embedded
+    * verbatim inside a much longer one (J shrinks with the length gap;
+    * C(short -> long) stays 1.0), which is exactly the quote / wrapped-
+    * boilerplate / subset-record shape a dedup sweep must catch.
+    *
+    * Prefix filter, containment form: C >= t forces overlap
+    * o >= ceil(t*|sub|), so if sup shares NO token with sub's first
+    * |sub| - ceil(t*|sub|) + 1 tokens (ascending-df order), the common
+    * tokens would all have to fit in sub's suffix of ceil(t*|sub|) - 1
+    * slots — impossible. Unlike the symmetric join, sup cannot be
+    * prefix-filtered (containment puts no upper bound on |sup|), so
+    * candidates = sub's PREFIX tokens equi-joined against sup's FULL
+    * posting lists — the honest cost of a one-sided predicate, same
+    * exchange as an inverted-index build. df-ordering keeps sub prefixes
+    * on the rare tokens; `maxBucket` caps a token's sup-side posting
+    * list (boilerplate tokens), trading completeness only inside capped
+    * buckets. The one admissible length filter is |sup| >= t*|sub|
+    * (o <= |sup| always).
+    *
+    * Output: (idSub, idSup, n_common, n_sub), one row per satisfied
+    * DIRECTION (mutual 100% containment = identical sets = two rows).
+    */
+  def containmentJoin(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minContainPermille: Int,
+      shingleLen: Int = 3,
+      maxBucket: Int = Int.MaxValue
+  ): DataFrame = {
+    require(minContainPermille >= 1 && minContainPermille <= 1000,
+      "minContainPermille must be in [1, 1000]")
+    val tp = minContainPermille.toLong
+    val toks = df.select(col(idCol).as("__id"),
+        graft.functions.text.wordNgrams(col(textCol), shingleLen, distinct = true).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    val exploded = toks.select(col("__id"), col("__n"), explode(col("__toks")).as("__tok"))
+    val dfreq = exploded.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val ceilT = call_function("div", lit(tp) * col("__n") + lit(999L), lit(1000L))
+    val sub = exploded.join(dfreq, "__tok")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("__id").orderBy(col("__df"), col("__tok"))))
+      .where(col("__rk") <= col("__n") - ceilT + lit(1L))
+      .select(col("__tok"), col("__id").as("idSub"), col("__n").as("__ns"))
+    // sup side: FULL posting lists, capped per token (the scale guard)
+    val sup = capBuckets(
+      exploded.select(col("__tok"), col("__id").as("idSup"), col("__n").as("__np")),
+      Seq("__tok"), maxBucket)
+    val cands = sub.join(sup, Seq("__tok"))
+      .where(col("idSub") =!= col("idSup") &&
+        col("__np") * 1000L >= lit(tp) * col("__ns"))
+      .select("idSub", "idSup").dropDuplicates("idSub", "idSup")
+    val sets = toks.select(col("__id"), col("__toks"), col("__n"))
+    cands
+      .join(sets.select(col("__id").as("idSub"), col("__toks").as("__ta"), col("__n").as("n_sub")), "idSub")
+      .join(sets.select(col("__id").as("idSup"), col("__toks").as("__tb")), "idSup")
+      .withColumn("n_common", size(array_intersect(col("__ta"), col("__tb"))))
+      .where(col("n_common").cast("long") * 1000L >= lit(tp) * col("n_sub").cast("long"))
+      .select(col("idSub"), col("idSup"), col("n_common"), col("n_sub"))
+  }
+
   /** Shared-substring candidate pairs via winnowing fingerprints (the
     * MOSS construction, Schleimer et al. 2003): docs sharing at least
     * `minShared` selected k-gram hashes are candidates for containing

@@ -76,6 +76,49 @@ class OpsSpec extends AnyFunSuite {
     assert(dup.contains((60L, 61L)))
   }
 
+  test("containmentJoin completeness law: prefix-filtered output equals brute force") {
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val rows = (0 until 50).map { i =>
+      val h = i * 2654435761L
+      val len = 3 + (math.abs(h) % 10).toInt
+      (i.toLong, (0 until len).map(j => vocab(((h >> (j % 5)) & 7).toInt)).mkString(" "))
+    } :+ (50L, "alpha beta gamma") :+
+      (51L, "intro words alpha beta gamma delta eps zeta eta theta closing words")
+    val df = rows.toDF("id", "text")
+    for (tp <- Seq(500, 700, 1000)) {
+      val got = Dedup.containmentJoin(df, "text", "id", minContainPermille = tp, shingleLen = 2)
+        .select("idSub", "idSup").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ids = df.select(col("id").as("idSub"))
+      // brute force: every ordered pair, exact containment over 2-gram sets
+      val pairs = ids.crossJoin(df.select(col("id").as("idSup"))).where(col("idSub") =!= col("idSup"))
+      val sets = df.select(col("id"),
+        graft.functions.text.wordNgrams(col("text"), 2, distinct = true).as("g"))
+      val brute = pairs
+        .join(sets.select(col("id").as("idSub"), col("g").as("ga")), "idSub")
+        .join(sets.select(col("id").as("idSup"), col("g").as("gb")), "idSup")
+        .where(size(array_intersect(col("ga"), col("gb"))).cast("long") * 1000 >=
+          lit(tp.toLong) * size(col("ga")).cast("long"))
+        .select("idSub", "idSup").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute, s"tp=$tp")
+    }
+  }
+
+  test("containmentJoin is directional: short-in-long fires sub->sup only") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "prologue text here the quick brown fox jumps and much more epilogue text tail"),
+      (3L, "unrelated content entirely different words")
+    ).toDF("id", "text")
+    val out = Dedup.containmentJoin(df, "text", "id", minContainPermille = 900, shingleLen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)), s"short doc contained in long must fire: $out")
+    assert(!out.contains((2L, 1L)), s"long doc is NOT contained in short: $out")
+    // symmetric Jaccard at the same bar misses the pair entirely
+    val sym = Dedup.jaccardJoin(df, "text", "id", minJaccardPermille = 900, shingleLen = 2)
+      .collect()
+    assert(sym.isEmpty, "J(1,2) is far below 0.9 — the containment-only shape")
+  }
+
   test("jaccardJoin maxBucket guard yields a subset; output carries exact counts") {
     val df = (0 until 30).map(i => (i.toLong, s"common words everywhere plus w$i w${i % 3}"))
       .toDF("id", "text")

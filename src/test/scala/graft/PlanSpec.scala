@@ -621,6 +621,14 @@ class PlanSpec extends AnyFunSuite {
       s"per-doc rank window expected:\n${plan.take(3000)}")
   }
 
+  test("containment join: sub-prefix vs full-posting equi-join, never a product") {
+    val plan = planOf(SparkEntry.queries("ns_containment_join")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"containment candidates must stay equi:\n${plan.take(3000)}")
+    assert(plan.contains("row_number() windowspecdefinition(__id#"),
+      s"per-doc prefix rank window expected:\n${plan.take(3000)}")
+  }
+
   test("range join plans as a hash-joinable equi-join on buckets, not a nested loop") {
     val plan = planOf(SparkEntry.queries("ns_range_join")(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
