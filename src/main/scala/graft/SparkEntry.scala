@@ -979,6 +979,19 @@ object SparkEntry {
         .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst")))
       graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3)
     }),
+    "ns_triangles" -> ((s, dir) => {
+      // Exact triangles + local clustering coefficient on the co-ordered-
+      // parts graph (parts sharing an order are adjacent — each order's
+      // parts form a clique, so the graph is triangle-rich and overlapping
+      // orders fuse cliques). Fixed order slice keeps the gate SF-invariant;
+      // the oracle replays orientation, wedges, and closure in SQL.
+      val l = t(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = l.select(col("ok"), col("pk").as("pa"))
+        .join(l.select(col("ok"), col("pk").as("pb")), "ok")
+        .where(col("pa") < col("pb")).select("pa", "pb").distinct()
+      graft.ops.Graph.triangles(edges, "pa", "pb")
+    }),
     "ns_hits" -> ((s, dir) => {
       // Hubs & authorities over the DIRECTED customer→supplier trading
       // graph (customers: pure hubs; suppliers: pure authorities): 2
@@ -2719,6 +2732,29 @@ object SparkEntry {
          |SELECT lang, metric, v_a, v_b, v_b - v_a AS delta,
          |       ((v_b - v_a) * 1000) // greatest(v_a, 1) AS delta_permille
          |FROM u""".stripMargin,
+    "ns_triangles" ->
+      """WITH l AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem WHERE l_orderkey <= 2000),
+        |e0 AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb FROM l a JOIN l b ON a.ok = b.ok AND a.pk < b.pk),
+        |und AS (SELECT DISTINCT least(pa, pb) AS u, greatest(pa, pb) AS v FROM e0),
+        |deg AS (SELECT node, COUNT(*) AS deg
+        |        FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY node),
+        |wd AS (SELECT u, v, du.deg AS du, dv.deg AS dv
+        |       FROM und JOIN deg du ON und.u = du.node JOIN deg dv ON und.v = dv.node),
+        |fwd AS (SELECT CASE WHEN du <= dv THEN u ELSE v END AS s,
+        |               CASE WHEN du <= dv THEN v ELSE u END AS t,
+        |               CASE WHEN du <= dv THEN dv ELSE du END AS dt FROM wd),
+        |wed AS (SELECT e1.s AS ws, e1.t AS wv, e2.t AS ww
+        |        FROM fwd e1 JOIN fwd e2 ON e1.s = e2.s
+        |        WHERE e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t)),
+        |tri AS (SELECT ws, wv, ww FROM wed JOIN fwd ON wed.wv = fwd.s AND wed.ww = fwd.t),
+        |pn AS (SELECT node, COUNT(*) AS triangles
+        |       FROM (SELECT ws AS node FROM tri UNION ALL SELECT wv FROM tri
+        |             UNION ALL SELECT ww FROM tri) GROUP BY node)
+        |SELECT deg.node, deg.deg,
+        |  COALESCE(pn.triangles, 0) AS triangles,
+        |  CASE WHEN deg.deg >= 2 THEN (2000 * COALESCE(pn.triangles, 0)) // (deg.deg * (deg.deg - 1))
+        |       ELSE 0 END AS lcc_permille
+        |FROM deg LEFT JOIN pn ON deg.node = pn.node""".stripMargin,
     "ns_pagerank" ->
       """WITH pairs AS (
         |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS cn,

@@ -305,6 +305,81 @@ object Graph {
     out
   }
 
+  /** Exact triangle count + local clustering coefficient per node, over
+    * the UNDIRECTED simple graph induced by `edges` (direction dropped,
+    * self-loops and parallel edges removed). The standard local-density
+    * signal: spam/link-farm detection on domain graphs (farms are
+    * near-cliques — LCC ~ 1000 permille at high degree), community
+    * cohesion, and the wedge-closure input to transitivity audits.
+    *
+    * Algorithm: degree-ordered orientation (Chiba–Nishizeki compact-
+    * forward, the standard distributed formulation from Suri/Vassilvitskii
+    * 2011 "Counting Triangles and the Curse of the Last Reducer"). Each
+    * undirected edge {u,v} is oriented from the endpoint with the smaller
+    * (degree, node) rank to the larger; every triangle then has exactly
+    * one node with two out-edges, so wedges (two oriented edges sharing a
+    * source, targets rank-ordered) closed by a third oriented edge count
+    * each triangle ONCE, with no post-hoc dedup.
+    *
+    * Scale shape — the orientation IS the skew guard: a degree-D hub's
+    * ORIENTED out-degree is bounded by the number of neighbors ranking
+    * above it, at most O(sqrt(m)) on any graph (a node with oriented
+    * out-degree k has k neighbors of degree >= its own, and sum(deg) =
+    * 2m), so the wedge stage generates O(m^1.5) rows worst-case instead
+    * of the sum-of-deg² a naive neighbor self-join pays — the "last
+    * reducer" hub that would hold deg² wedges holds ~none, because hubs
+    * rank LAST and source no wedges. Every stage is a partial-aggregated
+    * count or an equi-join on node / (v,w) pair keys.
+    *
+    * Output: (node, deg, triangles, lcc_permille) with
+    * lcc_permille = (2000 * triangles) div (deg * (deg - 1)) for
+    * deg >= 2 else 0 — integer arithmetic end-to-end, so the whole
+    * pipeline replays bit-for-bit in the `ns_triangles` oracle. Global
+    * triangle count = sum(triangles) / 3.
+    */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+    val und = e0.select(least(col("a"), col("b")).as("u"),
+      greatest(col("a"), col("b")).as("v")).distinct()
+    val deg = und.select(col("u").as("node")).union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient low (deg, node) -> high; u < v canonically, so the tie falls u -> v
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val fwd = lower_rank_first(withDeg)
+    // wedges: two oriented edges out of the same source, targets rank-ordered
+    val e1 = fwd.select(col("s").as("ws"), col("t").as("wv"), col("dt").as("dwv"))
+    val e2 = fwd.select(col("s").as("ws"), col("t").as("ww"), col("dt").as("dww"))
+    val wedges = e1.join(e2, Seq("ws"))
+      .where(col("dwv") < col("dww") ||
+        (col("dwv") === col("dww") && col("wv") < col("ww")))
+      .select(col("ws"), col("wv"), col("ww"))
+    val closed = wedges.join(
+      fwd.select(col("s").as("wv"), col("t").as("ww")), Seq("wv", "ww"))
+    val perNode = closed.select(explode(array(col("ws"), col("wv"), col("ww"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2,
+          call_function("div", lit(2000L) * coalesce(col("triangles"), lit(0L)),
+            col("deg") * (col("deg") - lit(1L))))
+          .otherwise(lit(0L)).as("lcc_permille"))
+  }
+
+  /** Orient each (u, v, du, dv) row from the smaller (deg, node) endpoint
+    * to the larger, carrying the target's degree for wedge rank-ordering.
+    * u < v canonically, so on a degree tie the u -> v direction is the
+    * (deg, node)-lexicographic one: the condition is du <= dv.
+    */
+  private def lower_rank_first(withDeg: DataFrame): DataFrame =
+    withDeg.select(
+      when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("s"),
+      when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("t"),
+      when(col("du") <= col("dv"), col("dv")).otherwise(col("du")).as("dt"))
+
   /** Per-node degree profile: (node, out_deg, in_deg), zero-filled for
     * nodes that only appear on one side. Two partial-aggregated counts and
     * an outer join of node-sized frames.

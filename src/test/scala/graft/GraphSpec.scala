@@ -223,4 +223,44 @@ class GraphSpec extends AnyFunSuite {
       Seq("b", 1L, 1L),
       Seq("c", 0L, 1L)))
   }
+
+  test("triangles: K4 clique, bipartite zero, and direction/multi-edge immunity") {
+    // K4: every node deg 3, C(3,2)=3 triangles each, lcc = 1000 permille
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong))
+      .toDF("src", "dst")
+    val r = Graph.triangles(k4, "src", "dst").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).sorted
+    assert(r.toSeq == (1 to 4).map(i => (i.toLong, 3L, 3L, 1000L)))
+    // reversed + duplicated edges change nothing (undirected simple graph)
+    val noisy = k4.unionAll(k4.select(col("dst").as("src"), col("src").as("dst"))).unionAll(k4)
+    val r2 = Graph.triangles(noisy, "src", "dst").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).sorted
+    assert(r2.toSeq == r.toSeq)
+    // bipartite graphs have no odd cycles: zero triangles everywhere
+    val bip = (for { a <- 1 to 3; b <- 10 to 13 } yield (a.toLong, b.toLong)).toDF("src", "dst")
+    val rb = Graph.triangles(bip, "src", "dst").collect()
+    assert(rb.length == 7 && rb.forall(_.getLong(2) == 0L))
+  }
+
+  test("triangles: equals the brute-force 3-subset count on a hashed random graph") {
+    val edges = (0 until 300).map { i =>
+      val h = i * 2654435761L
+      ((math.abs(h) % 25).toInt.toLong, (math.abs(h >> 7) % 25).toInt.toLong)
+    }.filter(p => p._1 != p._2).toDF("src", "dst")
+    val got = Graph.triangles(edges, "src", "dst").collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    // brute force: canonical simple edges, all (i<j<k) with the 3 edges present
+    val simple = edges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = simple.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    var per = Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      i <- nodes; j <- nodes if i < j; k <- nodes if j < k
+      if simple((i, j)) && simple((j, k)) && simple((i, k))
+    } { per = per + (i -> (per(i) + 1)) + (j -> (per(j) + 1)) + (k -> (per(k) + 1)) }
+    nodes.foreach { n => assert(got.getOrElse(n, 0L) == per(n), s"node $n") }
+    // global count: sum/3 consistency
+    assert(got.values.sum % 3 == 0)
+  }
 }

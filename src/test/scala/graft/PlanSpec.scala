@@ -621,6 +621,12 @@ class PlanSpec extends AnyFunSuite {
       s"per-doc rank window expected:\n${plan.take(3000)}")
   }
 
+  test("triangles: wedge and closure stages are equi-joins, never a product") {
+    val plan = planOf(SparkEntry.queries("ns_triangles")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"oriented wedge/closure joins must stay equi:\n${plan.take(3000)}")
+  }
+
   test("containment join: sub-prefix vs full-posting equi-join, never a product") {
     val plan = planOf(SparkEntry.queries("ns_containment_join")(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
