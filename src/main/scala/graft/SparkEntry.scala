@@ -965,6 +965,12 @@ object SparkEntry {
     "ns_heavy_hitters" -> ((s, dir) =>
       // top-5 tokens per language, deterministic ties (count desc, token asc)
       graft.ops.Profile.heavyHitters(t(s, dir, "documents"), "text", "lang", 5)),
+    "ns_analyze_table" -> ((s, dir) =>
+      // ANALYZE-style one-pass column stats on orders (long, string,
+      // double, timestamp columns) — exact tier; every value mapped to
+      // BIGINT (string = char lengths, double = floor micro-units,
+      // timestamp = epoch micros) so the oracle replays per-column.
+      graft.ops.Profile.analyzeColumns(t(s, dir, "orders"))),
     "ns_pagerank" -> ((s, dir) => {
       // link-graph authority over the customer<->supplier bipartite graph
       // (distinct trading pairs, both directions): 3 integer-exact
@@ -2935,6 +2941,36 @@ object SparkEntry {
         |         CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS BIGINT) AS rank
         |       FROM c)
         |SELECT lang, tok, cnt, rank FROM rk WHERE rank <= 5""".stripMargin,
+    "ns_analyze_table" -> {
+      // GENERATED per orders column from the same type mapping the
+      // operator applies (see Profile.analyzeColumns scaladoc) — the two
+      // sides cannot drift independently of this list.
+      def rows(c: String, kind: String): Seq[String] = {
+        val base = Seq(
+          s"SELECT '$c' AS col_name, 'n_null' AS metric, CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value FROM orders",
+          s"SELECT '$c', 'n_distinct', CAST(COUNT(DISTINCT $c) AS BIGINT) FROM orders")
+        val rng = kind match {
+          case "long" => Seq(
+            s"SELECT '$c', 'min_v', CAST(MIN($c) AS BIGINT) FROM orders",
+            s"SELECT '$c', 'max_v', CAST(MAX($c) AS BIGINT) FROM orders")
+          case "str" => Seq(
+            s"SELECT '$c', 'min_v', CAST(MIN(length($c)) AS BIGINT) FROM orders",
+            s"SELECT '$c', 'max_v', CAST(MAX(length($c)) AS BIGINT) FROM orders",
+            s"SELECT '$c', 'len_total', CAST(SUM(length($c)) AS BIGINT) FROM orders")
+          case "dbl" => Seq(
+            s"SELECT '$c', 'min_v', CAST(FLOOR(MIN($c) * 1e6) AS BIGINT) FROM orders",
+            s"SELECT '$c', 'max_v', CAST(FLOOR(MAX($c) * 1e6) AS BIGINT) FROM orders")
+          case "ts" => Seq(
+            s"SELECT '$c', 'min_v', epoch_us(MIN($c)) FROM orders",
+            s"SELECT '$c', 'max_v', epoch_us(MAX($c)) FROM orders")
+        }
+        base ++ rng
+      }
+      (rows("o_orderkey", "long") ++ rows("o_custkey", "long") ++
+        rows("o_orderstatus", "str") ++ rows("o_totalprice", "dbl") ++
+        rows("o_orderdate", "ts") ++ rows("o_orderpriority", "str"))
+        .mkString("\nUNION ALL ")
+    },
     "ns_vocab" ->
       """WITH toks AS (
         |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents),

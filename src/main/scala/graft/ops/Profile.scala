@@ -322,4 +322,75 @@ object Profile {
       .where(col("rank") <= k)
       .withColumnRenamed("__g", groupCol)
   }
+
+  /** ANALYZE-style column statistics for any table, one pass: per column a
+    * long-format row set (col_name, metric, value) with EVERY value a
+    * BIGINT so the whole profile replays bit-for-bit in any engine — the
+    * pre-flight check before choosing join keys, partition columns, or
+    * dedup digests on an unfamiliar 100 TB table.
+    *
+    * Metrics per column (value mapping by type):
+    *   - `n_null` — NULL count; `n_distinct` — distinct non-null count.
+    *   - `min_v` / `max_v` — integrals: the value; strings: min/max CHAR
+    *     LENGTH (value ordering of strings is collation-dependent and so
+    *     not portable; length is); double/float: floor(value * 1e6)
+    *     micro-units (floor commutes with min/max — monotone — and a
+    *     single IEEE multiply+floor replays exactly); timestamps: epoch
+    *     micros; dates: days since epoch; booleans: 0/1.
+    *     Complex/binary columns emit no min/max rows.
+    *   - `len_total` — string columns only: total char length.
+    *
+    * Scale shape: ONE aggregation job over the scan. The exact tier's
+    * multi-column distinct counts plan as a single-scan Expand (rows ×
+    * distinct-aggs map-side — the standard plan, still one pass over the
+    * files); `exact = false` swaps every distinct to a mergeable HLL++
+    * sketch, collapsing the Expand — the exchange is then ONE partial row
+    * per partition, the 100 TB tier. All-NULL columns yield NULL min/max
+    * values (the driver-facing convention; n_null still counts them).
+    */
+  def analyzeColumns(df: DataFrame, cols: Seq[String] = Seq.empty,
+      exact: Boolean = true, rsd: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.types._
+    val names = if (cols.nonEmpty) cols else df.columns.toSeq
+    def nd(c: String): Column =
+      if (exact) countDistinct(col(c)) else approx_count_distinct(col(c), rsd)
+    // (min_v, max_v, len_total) per the portable mapping; None = no row
+    def ranges(c: String): Option[(Column, Column)] = df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some((min(col(c)).cast("long"), max(col(c)).cast("long")))
+      case StringType =>
+        Some((min(length(col(c))).cast("long"), max(length(col(c))).cast("long")))
+      case DoubleType | FloatType =>
+        Some((floor(min(col(c)) * lit(1e6)).cast("long"),
+          floor(max(col(c)) * lit(1e6)).cast("long")))
+      case TimestampType => Some((unix_micros(min(col(c))), unix_micros(max(col(c)))))
+      case DateType => Some((unix_date(min(col(c))).cast("long"), unix_date(max(col(c))).cast("long")))
+      case BooleanType => Some((min(col(c).cast("long")), max(col(c).cast("long"))))
+      case _ => None
+    }
+    val aggs = names.flatMap { c =>
+      val base = Seq(
+        count(when(col(c).isNull, 1)).as(s"__${c}__n_null"),
+        nd(c).as(s"__${c}__n_distinct"))
+      val rng = ranges(c).toSeq.flatMap { case (lo, hi) =>
+        Seq(lo.as(s"__${c}__min_v"), hi.as(s"__${c}__max_v")) }
+      val len = df.schema(c).dataType match {
+        case StringType => Seq(sum(length(col(c)).cast("long")).as(s"__${c}__len_total"))
+        case _ => Seq.empty
+      }
+      base ++ rng ++ len
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = names.flatMap { c =>
+      val metrics = Seq("n_null", "n_distinct") ++
+        (if (ranges(c).isDefined) Seq("min_v", "max_v") else Seq.empty) ++
+        (df.schema(c).dataType match {
+          case StringType => Seq("len_total"); case _ => Seq.empty
+        })
+      metrics.map(m => struct(lit(c).as("col_name"), lit(m).as("metric"),
+        col(s"__${c}__$m").as("value")))
+    }
+    wide.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.col_name"), col("e.metric"), col("e.value"))
+  }
 }

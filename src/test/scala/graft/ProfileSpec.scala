@@ -185,4 +185,45 @@ class ProfileSpec extends AnyFunSuite {
     assert(out(("g2", "total_tokens")) == (0L, 2L, 2L, 2000L))
     assert(out.size == 10)
   }
+
+  test("analyzeColumns: typed value mapping, nulls, and metric coverage") {
+    val df = Seq(
+      (1L, Some("ab"), Some(1.5), Some(true)),
+      (2L, Some("xyz"), Some(-0.25), Some(false)),
+      (3L, None: Option[String], None: Option[Double], None: Option[Boolean]),
+      (3L, Some(""), Some(1.5), Some(true))
+    ).toDF("id", "s", "d", "b")
+    val out = Profile.analyzeColumns(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (if (r.isNullAt(2)) null else r.getLong(2)))
+      .toMap
+    assert(out(("id", "n_null")) == 0L && out(("id", "n_distinct")) == 3L)
+    assert(out(("id", "min_v")) == 1L && out(("id", "max_v")) == 3L)
+    assert(out(("s", "n_null")) == 1L && out(("s", "n_distinct")) == 3L)
+    assert(out(("s", "min_v")) == 0L && out(("s", "max_v")) == 3L) // char lengths
+    assert(out(("s", "len_total")) == 5L)
+    assert(out(("d", "n_distinct")) == 2L)
+    assert(out(("d", "min_v")) == -250000L && out(("d", "max_v")) == 1500000L)
+    assert(out(("b", "min_v")) == 0L && out(("b", "max_v")) == 1L)
+    // coverage: 4 + 5 + 4 + 4 metrics, no extras
+    assert(out.size == 17)
+  }
+
+  test("analyzeColumns: sketch tier matches exact counts within rsd scale; one row per partial") {
+    val df = (0 until 2000).map(i => (i.toLong % 700, s"v${i % 137}")).toDF("k", "s")
+    val exact = Profile.analyzeColumns(df, exact = true).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sk = Profile.analyzeColumns(df, exact = false, rsd = 0.02).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (c <- Seq("k", "s")) {
+      val (e, a) = (exact((c, "n_distinct")), sk((c, "n_distinct")))
+      assert(math.abs(a - e).toDouble / e < 0.1, s"$c: exact=$e approx=$a")
+      // non-distinct metrics are identical across tiers
+      assert(exact((c, "n_null")) == sk((c, "n_null")))
+      assert(exact((c, "min_v")) == sk((c, "min_v")))
+      assert(exact((c, "max_v")) == sk((c, "max_v")))
+    }
+    // sketch tier must not plan an Expand (single-pass partial aggregate)
+    val plan = Profile.analyzeColumns(df, exact = false).queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"sketch tier must collapse the Expand:\n${plan.take(2000)}")
+  }
 }
