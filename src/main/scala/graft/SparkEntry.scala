@@ -1646,6 +1646,21 @@ object SparkEntry {
       graft.ops.Dedup.auditCandidates(pairs, docs, "text", "doc_id",
         minJaccardPermille = 500, samplePermille = 500)
     }),
+    "ns_audit_recall" -> ((s, dir) => {
+      // Recall-audit gate: portable-hash-sample 600permille of a fixed doc
+      // slice, build the complete 3-gram-Jaccard>=0.5 truth set among the
+      // sampled docs with the exact prefix-filtered join (3-gram = the
+      // shingle family the minhash signatures hash — truth and generator
+      // must grade the SAME similarity), and measure how many truth pairs
+      // the minhash generator surfaced. Every stage replays in DuckDB.
+      val docs = t(s, dir, "documents")
+      val pairs = graft.ops.Dedup.minhashCandidates(docs, "text", "doc_id",
+        maxBucket = Int.MaxValue, portable = true)
+        .filter(col("est_jaccard") >= 0.5).select("idA", "idB")
+      graft.ops.Dedup.auditRecall(pairs, docs.filter(col("doc_id") <= 2000),
+        "text", "doc_id", minJaccardPermille = 500, samplePermille = 600,
+        shingleLen = 3)
+    }),
     "ns_ranking_eval" -> ((s, dir) => {
       // Retrieval-eval harness gate: grade exact cosine top-5 against the
       // label ground truth (same-label vectors are the relevant set).
@@ -2529,6 +2544,34 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN 1000 * n_common >= 500 * n_union THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
          |       CAST((1000 * sum(CASE WHEN 1000 * n_common >= 500 * n_union THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS precision_permille
          |FROM v""".stripMargin,
+    "ns_audit_recall" ->
+      s"""WITH $minhashSigCtes, prs AS (
+         |  SELECT a.doc_id AS idA, b.doc_id AS idB
+         |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+         |  WHERE $minhashPairPredSql
+         |), sd AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id <= 2000
+         |    AND (('0x' || substr(md5('graft-recall|' || doc_id), 1, 8))::UBIGINT & 2147483647) % 1000 < 600
+         |), stk AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM sd
+         |), g AS (
+         |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) END AS grams
+         |  FROM stk
+         |), tr AS (
+         |  SELECT a.doc_id AS idA, b.doc_id AS idB
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |  WHERE 1000 * len(list_intersect(a.grams, b.grams))
+         |        >= 500 * (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+         |), f AS (
+         |  SELECT CASE WHEN p.idA IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM tr LEFT JOIN prs p ON tr.idA = p.idA AND tr.idB = p.idB
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_truth,
+         |       CAST(sum(hit) AS BIGINT) AS n_found,
+         |       CAST((1000 * sum(hit)) // greatest(count(*), 1) AS BIGINT) AS recall_permille
+         |FROM f""".stripMargin,
     "ns_ranking_eval" ->
       s"""WITH pred AS ($exactTopKSql),
          |t AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id

@@ -388,6 +388,46 @@ object Dedup {
           .as("precision_permille"))
   }
 
+  /** Deterministic RECALL audit of a candidate-pair generator — the
+    * complement of [[auditCandidates]] (which measures precision): sample
+    * `samplePermille`‰ of the DOCUMENTS by portable id-hash, compute the
+    * complete ground-truth pair set among the sampled docs with the EXACT
+    * prefix-filtered join ([[jaccardJoin]] — provably complete, never
+    * all-pairs), and report how many truth pairs the generator's `pairs`
+    * actually contains: `(n_truth, n_found, recall_permille)`.
+    *
+    * This closes the tuning loop [[lshPlan]] opens: the S-curve predicts
+    * recall from assumed similarity; this measures it on the real corpus.
+    * Sampling DOCS (not pairs) is forced — recall needs the full truth
+    * set over a closed universe, and a pair sample can't see pairs the
+    * generator missed. A doc-sample at rate p retains ~p² of the true
+    * pairs, so size `samplePermille` to the corpus dup rate (sparse dups
+    * need a larger sample for a tight interval); the truth join's cost is
+    * quadratic only in the SAMPLE and still prefix-filtered within it.
+    * Candidate orientation is normalized (least/greatest), so generators
+    * emitting either (idA < idB) or both directions audit identically.
+    */
+  def auditRecall(pairs: DataFrame, docs: DataFrame, textCol: String,
+      idCol: String, minJaccardPermille: Int, samplePermille: Int = 100,
+      shingleLen: Int = 1, seed: String = "graft-recall"): DataFrame = {
+    require(samplePermille > 0 && samplePermille <= 1000,
+      "samplePermille must be in (0, 1000]")
+    val sampledDocs = docs.where(
+      pmod(Curation.portableHash31(col(idCol), seed), lit(1000L)) < samplePermille)
+    val truth = jaccardJoin(sampledDocs, textCol, idCol, minJaccardPermille, shingleLen)
+      .select("idA", "idB")
+    val cand = pairs.select(
+        least(col("idA"), col("idB")).as("idA"),
+        greatest(col("idA"), col("idB")).as("idB"))
+      .dropDuplicates("idA", "idB").withColumn("__f", lit(1L))
+    truth.join(cand, Seq("idA", "idB"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("__f"), lit(0L))).as("n_found"))
+      .select(col("n_truth"), col("n_found"),
+        call_function("div", lit(1000L) * col("n_found"),
+          greatest(col("n_truth"), lit(1L))).as("recall_permille"))
+  }
+
   /** Corpus-level MinHash signature: the element-wise minimum of every
     * document's signature, i.e. the MinHash signature of the UNION of all
     * documents' shingle sets (min over a union = min of per-set minima).

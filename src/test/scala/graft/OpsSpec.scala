@@ -119,6 +119,35 @@ class OpsSpec extends AnyFunSuite {
     assert(sym.isEmpty, "J(1,2) is far below 0.9 — the containment-only shape")
   }
 
+  test("auditRecall: perfect generator scores 1000, empty scores 0, orientation-free") {
+    val df = (0 until 40).map { i =>
+      val base = s"w${i % 8} w${(i + 1) % 8} w${(i + 2) % 8} w${(i + 3) % 8}"
+      (i.toLong, base)
+    }.toDF("id", "text")
+    // ground truth among ALL docs at 60% unigram jaccard (sample 1000permille)
+    val truth = Dedup.jaccardJoin(df, "text", "id", 600, shingleLen = 1)
+      .select("idA", "idB")
+    val n = truth.count()
+    assert(n > 0, "test corpus must contain true pairs")
+    val perfect = Dedup.auditRecall(truth, df, "text", "id", 600,
+      samplePermille = 1000, shingleLen = 1).collect().head
+    assert(perfect.getLong(0) == n && perfect.getLong(1) == n && perfect.getLong(2) == 1000L)
+    // reversed-orientation candidates audit identically
+    val reversed = truth.select(col("idB").as("idA"), col("idA").as("idB"))
+    val rev = Dedup.auditRecall(reversed, df, "text", "id", 600,
+      samplePermille = 1000, shingleLen = 1).collect().head
+    assert(rev.getLong(2) == 1000L)
+    // a generator that only returns half the truth scores proportionally
+    val half = truth.where(col("idA") % 2 === 0)
+    val h = Dedup.auditRecall(half, df, "text", "id", 600,
+      samplePermille = 1000, shingleLen = 1).collect().head
+    assert(h.getLong(1) == half.count() && h.getLong(2) < 1000L)
+    // sampling restricts the truth universe to sampled docs only
+    val s = Dedup.auditRecall(truth, df, "text", "id", 600,
+      samplePermille = 400, shingleLen = 1).collect().head
+    assert(s.getLong(0) <= n && s.getLong(2) == 1000L)
+  }
+
   test("jaccardJoin maxBucket guard yields a subset; output carries exact counts") {
     val df = (0 until 30).map(i => (i.toLong, s"common words everywhere plus w$i w${i % 3}"))
       .toDF("id", "text")
