@@ -1416,6 +1416,14 @@ object SparkEntry {
         .select(col("idA"), col("idB"),
           floor(col("sim") * lit(1e6)).cast("long").as("sim_ppm"))
     }),
+    "ns_snm_join" -> ((s, dir) =>
+      // Sorted-neighborhood candidates over customer names, window 5 —
+      // deterministic positional pairs regardless of the range
+      // partitioner's sampled boundaries (two-level rank); the oracle is
+      // one global row_number + a rank-distance join.
+      graft.ops.Fuzzy.sortedNeighborhoodJoin(
+        t(s, dir, "customer").filter(col("c_custkey") <= 2000),
+        "c_name", "c_custkey", window = 5, buckets = 8)),
     "ns_percentile_rank" -> ((s, dir) =>
       // cross-domain score calibration: per-language integer per-mille
       // percentile of a length score — rank*1000 div (n-1), ties by id
@@ -3444,6 +3452,12 @@ object SparkEntry {
         |FROM n a JOIN n b
         |  ON upper(substr(a.s, 1, 1)) = upper(substr(b.s, 1, 1)) AND a.id < b.id
         |WHERE jaro_winkler_similarity(a.s, b.s) >= 0.92""".stripMargin,
+    "ns_snm_join" ->
+      """WITH r AS (SELECT c_custkey, c_name,
+        |    CAST(row_number() OVER (ORDER BY c_name, c_custkey) - 1 AS BIGINT) AS pos
+        |  FROM customer WHERE c_custkey <= 2000)
+        |SELECT a.c_custkey AS idA, b.c_custkey AS idB, b.pos - a.pos AS dist
+        |FROM r a JOIN r b ON b.pos > a.pos AND b.pos - a.pos < 5""".stripMargin,
     "ns_percentile_rank" ->
       """WITH s AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS score FROM documents),
         |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rk,

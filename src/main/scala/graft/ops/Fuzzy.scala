@@ -129,4 +129,67 @@ object Fuzzy {
       maxBucket: Int = Int.MaxValue): DataFrame =
     jaroWinklerJoin(df, textCol, idCol, df, textCol, idCol, minSim, blockKey, maxBucket)
       .where(col("idA") < col("idB"))
+
+  /** Sorted-neighborhood candidate generation (Hernández/Stolfo 1995, the
+    * merge/purge method): sort the corpus by `keyCol` (a blocking key —
+    * normalized name, address line, phonetic code) and emit every pair
+    * within `window` positions of each other. The third blocking family
+    * next to value-equality ([[jaroWinklerJoin]]'s blockKey) and structure
+    * ([[editDistanceJoin]]'s segments): it catches near-misses that CROSS
+    * a block boundary (e.g. "smith"/"smyth" under an initial-letter block
+    * share a block, but "aalto "/"aalto" with a stray leading space do
+    * not — sorted order still puts them adjacent). Verify candidates with
+    * any comparator ([[jaroWinklerJoin]]'s expression via
+    * `graft_jaro_winkler`, levenshtein, a field-wise rule).
+    *
+    * Scale shape — no global window, no product:
+    *   - the global 0-based position over (key, id) comes from a TeraSort-
+    *     style two-level rank (the [[graft.ops.Curation.epochShuffle]]
+    *     construction): range-exchange into `buckets` ordered ranges,
+    *     per-bucket `row_number`, plus a broadcast bucket-size prefix sum
+    *     (metadata-sized — the single-partition window only ever sees
+    *     <= `buckets` rows). Range boundaries come from Spark's sampling
+    *     range partitioner; boundaries affect only which bucket ranks a
+    *     row, never the final position, so the output is deterministic.
+    *   - the neighborhood self-join is an EQUI-join on block id
+    *     (`pos div window`): the right side is duplicated into its block
+    *     and predecessor block, so a pair at rank distance d < window
+    *     falls in exactly one (block, block) key match — O(n·window)
+    *     candidates, two rows exchanged per right row, never a range or
+    *     nested-loop join.
+    *
+    * Output: (idA, idB, dist) with dist = rank distance in [1, window),
+    * idA the lower-ranked row. SNM's contract is positional, so dist is
+    * audit information: dist 1 pairs are adjacent in sort order.
+    */
+  def sortedNeighborhoodJoin(df: DataFrame, keyCol: String, idCol: String,
+      window: Int, buckets: Int = 64): DataFrame = {
+    require(window >= 2, "window must be >= 2 (window 1 pairs nothing)")
+    require(buckets >= 1, "buckets must be >= 1")
+    val ranged = df.select(col(keyCol).as("__k"), col(idCol).as("__id"))
+      .repartitionByRange(buckets, col("__k"), col("__id"))
+      .withColumn("__bk", spark_partition_id())
+    val offsets = ranged.groupBy(col("__bk")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("__bk"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__bk"), col("__off"))
+    val pos = ranged.withColumn("__rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__bk")).orderBy(col("__k"), col("__id"))).cast("long"))
+      .join(broadcast(offsets), "__bk")
+      .select(col("__id"), (col("__off") + col("__rk") - 1L).as("__pos"))
+    val w = window.toLong
+    val a = pos.select(col("__id").as("idA"), col("__pos").as("__pa"),
+      call_function("div", col("__pos"), lit(w)).as("__blk"))
+    val b = pos.select(col("__id").as("idB"), col("__pos").as("__pb"),
+        array(call_function("div", col("__pos"), lit(w)),
+          call_function("div", col("__pos"), lit(w)) - 1L).as("__blks"))
+      .select(col("idB"), col("__pb"), explode(col("__blks")).as("__blk"))
+    a.join(b, Seq("__blk"))
+      .where(col("__pb") > col("__pa") && col("__pb") - col("__pa") < w)
+      .select(col("idA"), col("idB"), (col("__pb") - col("__pa")).as("dist"))
+  }
 }

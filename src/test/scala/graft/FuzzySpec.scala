@@ -120,4 +120,31 @@ class FuzzySpec extends AnyFunSuite {
     assert(guarded.subsetOf(all))
     assert(all.nonEmpty)
   }
+
+  test("sortedNeighborhoodJoin equals the global-window replay at any bucket count") {
+    val rows = (0 until 97).map { i =>
+      val h = i * 2654435761L
+      (i.toLong, s"name-${(math.abs(h) % 40)}-${i % 7}")
+    }
+    val df = rows.toDF("id", "k")
+    // expected: sort by (k, id), pairs at rank distance 1..3
+    val sorted = rows.sortBy(r => (r._2, r._1))
+    val want = (for {
+      i <- sorted.indices; d <- 1 until 4 if i + d < sorted.length
+    } yield (sorted(i)._1, sorted(i + d)._1, d.toLong)).toSet
+    for (buckets <- Seq(1, 4, 200)) {
+      val got = graft.ops.Fuzzy.sortedNeighborhoodJoin(df, "k", "id", window = 4, buckets = buckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"buckets=$buckets")
+    }
+  }
+
+  test("sortedNeighborhoodJoin pairs across value-block boundaries; window 2 = adjacency") {
+    // "aa x"/"ab x" differ in the blocking-fatal second char but are
+    // sort-adjacent — SNM's reason to exist
+    val df = Seq((1L, "aa smith"), (2L, "ab smith"), (3L, "zz other")).toDF("id", "k")
+    val got = graft.ops.Fuzzy.sortedNeighborhoodJoin(df, "k", "id", window = 2, buckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 1L)))
+  }
 }

@@ -621,6 +621,16 @@ class PlanSpec extends AnyFunSuite {
       s"per-doc rank window expected:\n${plan.take(3000)}")
   }
 
+  test("sorted-neighborhood join: block equi-join, per-bucket rank, no global row window") {
+    val plan = planOf(SparkEntry.queries("ns_snm_join")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"neighborhood join must be a block equi-join:\n${plan.take(3000)}")
+    // the data-sized rank window must partition by bucket; the only
+    // unpartitioned window is the <=buckets-row offset prefix sum
+    assert(plan.contains("windowspecdefinition(__bk#"),
+      s"per-bucket rank window expected:\n${plan.take(3000)}")
+  }
+
   test("triangles: wedge and closure stages are equi-joins, never a product") {
     val plan = planOf(SparkEntry.queries("ns_triangles")(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
