@@ -1688,6 +1688,12 @@ object SparkEntry {
         .select("query_id", "doc_id")
       graft.ops.Search.rankingMetrics(predicted, truth, k = 5)
     }),
+    "ns_embed_pool" -> ((s, dir) =>
+      // chunk→doc mean pooling gate: pool the embeddings per label into
+      // integer micro-unit prototypes — exact division, replayed per
+      // (label, dim) by the oracle
+      graft.ops.Embeddings.meanPool(t(s, dir, "embeddings"), "label",
+        "embedding", dim = 64)),
     "ns_embed_profile" -> ((s, dir) => {
       // Embedding QA: per-dim exact integer micro-moments + collapsed
       // flag over the embeddings table. Every value is a long sum/min/max
@@ -2595,6 +2601,15 @@ object SparkEntry {
          |       min(rank) AS first_hit_rank,
          |       CAST(coalesce(1000000 // min(rank), 0) AS BIGINT) AS rr_micro
          |FROM j GROUP BY 1""".stripMargin,
+    "ns_embed_pool" ->
+      """WITH q AS (
+        |  SELECT label, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS qe
+        |  FROM embeddings WHERE len(embedding) = 64),
+        |e AS (SELECT label, unnest(range(1, 65)) AS i, unnest(qe) AS x FROM q)
+        |SELECT label, CAST(i - 1 AS INT) AS dim_idx,
+        |       CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS mean_micro
+        |FROM e GROUP BY 1, 2""".stripMargin,
     "ns_embed_profile" ->
       """WITH q AS (
         |  SELECT list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS qe

@@ -222,4 +222,45 @@ object Embeddings {
     val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
     when(norm > 0, transform(v, x => x / norm)).otherwise(v)
   }
+
+  /** Mean-pool many embeddings into one vector per group — the
+    * chunk→document (or doc→class-prototype) reduction every long-doc
+    * embedding pipeline needs: embed bounded chunks, pool to a doc vector
+    * for ANN/dedup. Exact integer arithmetic: components micro-quantize
+    * (same `quantScale` convention as [[trainPca]]/[[embeddingProfile]]),
+    * LONG sums are order-independent, and the mean is an integer division
+    * — so pooled vectors replay bit-for-bit across engines and retries
+    * (a float mean would depend on reduction order).
+    *
+    * Long-format output (group, dim_idx, n_chunks, mean_micro): the
+    * portable/oracle form. Scale shape: explode to (group, dim) then ONE
+    * partially-aggregated groupBy — the exchange carries groups × dim
+    * partial rows per partition (map-side combined), not chunks × dim;
+    * vectors with the wrong `dim` are dropped (the [[embeddingProfile]]
+    * pre-flight counts them). Use [[meanPoolVectors]] for the assembled
+    * array form ANN consumes.
+    */
+  def meanPool(vecs: DataFrame, groupCol: String, vecCol: String, dim: Int,
+      quantScale: Long = 1000000L): DataFrame =
+    vecs.select(col(groupCol).as("__g"), quantized(vecCol, quantScale).as("q"))
+      .filter(size(col("q")) === dim)
+      .select(col("__g"), posexplode(col("q")).as(Seq("dim_idx", "x")))
+      .groupBy("__g", "dim_idx")
+      .agg(count(lit(1)).as("n_chunks"),
+        call_function("div", sum("x"), count(lit(1))).as("mean_micro"))
+      .withColumnRenamed("__g", groupCol)
+
+  /** [[meanPool]] assembled back into one micro-unit LONG vector per group
+    * (components in dim order). The collect_list is per-group and
+    * dim-bounded; array_sort on (dim_idx, value) structs pins the order so
+    * assembly is deterministic on any partitioning.
+    */
+  def meanPoolVectors(vecs: DataFrame, groupCol: String, vecCol: String,
+      dim: Int, quantScale: Long = 1000000L): DataFrame =
+    meanPool(vecs, groupCol, vecCol, dim, quantScale)
+      .groupBy(groupCol)
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim_idx"), col("mean_micro")))),
+        s => s.getField("mean_micro")).as("pooled_micro"),
+        max(col("n_chunks")).as("n_chunks"))
 }

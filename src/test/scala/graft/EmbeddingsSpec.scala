@@ -176,6 +176,32 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(df(2L) == Seq(0.0, 0.0), "zero vector must not divide by zero")
   }
 
+  test("meanPool: exact integer means, wrong-dim drop, vector assembly order") {
+    val df = Seq(
+      ("a", Array(1.0, -0.5)), ("a", Array(0.0, 0.5)), ("a", Array(0.5, 0.25)),
+      ("b", Array(2.0, 2.0)),
+      ("b", Array(1.0, 1.0, 1.0)) // wrong dim: dropped
+    ).toDF("g", "vec")
+    val pooled = Embeddings.meanPool(df, "g", "vec", dim = 2).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // a dim0: (1000000 + 0 + 500000) div 3 = 500000; dim1: (-500000+500000+250000) div 3
+    assert(pooled(("a", 0)) == (3L, 500000L))
+    assert(pooled(("a", 1)) == (3L, 83333L))
+    assert(pooled(("b", 0)) == (1L, 2000000L) && pooled(("b", 1)) == (1L, 2000000L))
+    assert(pooled.size == 4)
+    val vecs = Embeddings.meanPoolVectors(df, "g", "vec", dim = 2).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(vecs("a") == Seq(500000L, 83333L), "components must assemble in dim order")
+    assert(vecs("b") == Seq(2000000L, 2000000L))
+  }
+
+  test("meanPool: negative-sum division truncates toward zero (cross-engine rule)") {
+    val df = Seq(("g", Array(-1.0)), ("g", Array(0.25))).toDF("g", "vec")
+    val r = Embeddings.meanPool(df, "g", "vec", dim = 1).collect().head
+    // (-1000000 + 250000) div 2 = -375000 exactly (no floor to -375001)
+    assert(r.getLong(3) == -375000L)
+  }
+
   test("projection scan is shuffle-free (components ride the closure)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val m = graft.ops.Embeddings.PcaModel(SparkEntry.FrozenPcaComponentsMicro,
