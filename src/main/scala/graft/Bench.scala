@@ -36,16 +36,24 @@ object Bench {
     }
     // min-of-2 timed passes: a transient host-contention spike (round 3's
     // driver recorded 22 s for a query that re-measures at 1.1 s) can only
-    // distort a query if it hits the SAME query in BOTH passes.
+    // distort a query if it hits the SAME query in BOTH passes. A query
+    // that THROWS is recorded by name — a fast failure would otherwise
+    // masquerade as a fast query (a ~0.00 s entry) and silently deflate
+    // the total.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def timedPass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => failed += name }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val p1 = timedPass().toMap
     val p2 = timedPass().toMap
     val results = ordered.map { case (name, _) => name -> math.min(p1(name), p2(name)) }
     val total = results.map(_._2).sum
+    val failedJson =
+      if (failed.isEmpty) ""
+      else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val sfName = sfDir.split('/').last
     // The driver may capture only a bounded head or tail of stdout (round 3
     // kept a ~1.9 KB tail and lost the line head). Emit a SHORT totals line
@@ -55,10 +63,10 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(8)
     val compact = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${
       slowest.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
-    },"sf":"$sfName","n_queries":${results.size}}"""
+    },"sf":"$sfName","n_queries":${results.size}$failedJson}"""
     val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${
       results.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
-    },"sf":"$sfName"}"""
+    },"sf":"$sfName"$failedJson}"""
     println(compact)
     println(full)
     println(compact)
