@@ -1081,6 +1081,17 @@ object SparkEntry {
       graft.ops.Temporal.rolling(e, Seq("user_id"), "ts_us",
         window = 3600000000L, valueCol = "cents")
     }),
+    "ns_resample" -> ((s, dir) => {
+      // Per-user 6h-grid LOCF series over integer cents: bucket winner is
+      // max (ts, value) — an explicit tie rule the oracle replays with
+      // row_number — and the carry is last-non-null over the user's own
+      // grid. Fixed user slice keeps the grid bounded.
+      val e = t(s, dir, "events").filter(col("user_id") <= 200)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          round(col("value") * 100).cast("long").as("cents"))
+      graft.ops.Temporal.resample(e, Seq("user_id"), "ts_us", "cents",
+        gridStep = 21600000000L)
+    }),
     "ns_interval_join" -> ((s, dir) => {
       // overlapping exposure windows: 1h purchase windows x 30min click
       // windows per user — grid-cell interval join, each pair emitted from
@@ -2966,6 +2977,25 @@ object SparkEntry {
         |       CAST(count(*) OVER w AS BIGINT) AS w_n
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
         |                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "ns_resample" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |                  CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events WHERE user_id <= 200),
+        |b0 AS (SELECT user_id, (ts_us // 21600000000) * 21600000000 AS tick, ts_us, cents FROM e),
+        |bw AS (SELECT user_id, tick, cents,
+        |         row_number() OVER (PARTITION BY user_id, tick ORDER BY ts_us DESC, cents DESC) AS rn,
+        |         count(*) OVER (PARTITION BY user_id, tick) AS n_obs
+        |       FROM b0),
+        |b AS (SELECT user_id, tick, cents AS bv, CAST(n_obs AS BIGINT) AS n_obs FROM bw WHERE rn = 1),
+        |sp AS (SELECT user_id, min(tick) AS lo, max(tick) AS hi FROM b GROUP BY 1),
+        |g AS (SELECT user_id, unnest(range(lo, hi + 1, 21600000000)) AS tick FROM sp),
+        |j AS (SELECT g.user_id, g.tick, b.bv, COALESCE(b.n_obs, 0) AS n_obs
+        |      FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.tick = b.tick)
+        |SELECT user_id, tick,
+        |  last_value(bv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tick
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents,
+        |  n_obs
+        |FROM j""".stripMargin,
     "ns_interval_join" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
         |                  event_id, event_type FROM events),

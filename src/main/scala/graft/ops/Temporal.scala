@@ -335,4 +335,62 @@ object Temporal {
           bucketWidth))
       .drop("__b")
   }
+
+  /** Regular-grid resampling with last-observation-carried-forward: per
+    * key, one row per `gridStep` tick from the key's first to last
+    * observation bucket, carrying the latest value at-or-before the tick
+    * across empty buckets — the irregular-telemetry → fixed-step-series
+    * transform feeding rolling windows, drift monitors, and
+    * sequence-model featurization (all of which assume an evenly spaced,
+    * gap-free series).
+    *
+    * Deterministic by construction: the per-bucket representative is the
+    * observation with the lexicographically greatest (time, value) — one
+    * `max(struct)` partial aggregate, an explicit tie rule instead of
+    * engine-dependent arg_max — and the carry-forward is
+    * `last(ignoreNulls)` over the per-key tick order. Ticks are
+    * `floorDiv(t, gridStep) * gridStep` (floor semantics shared with
+    * [[rangeJoin]]'s buckets), so a tick's value includes observations AT
+    * the tick. No leading nulls: each key's grid starts at its own first
+    * observed bucket.
+    *
+    * Scale shape: one partial-agg reduction to (key, bucket) rows, one
+    * per-key min/max aggregate, `sequence`-exploded grid rows (the OUTPUT
+    * size — `gridStep` is the caller's series resolution, and the
+    * require-guard caps ticks-per-key against a mis-sized step), and one
+    * window over each key's own grid — never a global window, never a
+    * join wider than the grid itself.
+    *
+    * Output: keyCols + (tick, `valueCol`, n_obs); n_obs = observations in
+    * that bucket (0 on gap ticks the carry filled).
+    */
+  def resample(events: DataFrame, keyCols: Seq[String], timeCol: String,
+      valueCol: String, gridStep: Long, maxTicksPerKey: Long = 1000000L): DataFrame = {
+    require(gridStep > 0, "gridStep must be positive")
+    require(keyCols.nonEmpty, "keyCols must be non-empty (a keyless series is one global window)")
+    val tick = (floorDiv(col(timeCol), gridStep) * gridStep).as("tick")
+    val buckets = events
+      .select(keyCols.map(col) :+ tick :+ col(timeCol).as("__t") :+ col(valueCol).as("__v"): _*)
+      .groupBy(keyCols.map(col) :+ col("tick"): _*)
+      .agg(max(struct(col("__t"), col("__v"))).getField("__v").as("__bv"),
+        count(lit(1)).as("n_obs"))
+    val spans = buckets.groupBy(keyCols.map(col): _*)
+      .agg(min("tick").as("__lo"), max("tick").as("__hi"))
+      .withColumn("__nt",
+        call_function("div", col("__hi") - col("__lo"), lit(gridStep)) + 1)
+    // a mis-sized step (micros step on a millis column) would explode the
+    // grid a millionfold — fail loudly per key instead of OOMing the stage
+    val guardedHi = when(col("__nt") <= maxTicksPerKey, col("__hi"))
+      .otherwise(raise_error(concat(
+        lit(s"resample: a key spans more than maxTicksPerKey=$maxTicksPerKey ticks — widen gridStep ("),
+        col("__nt").cast("string"), lit(" ticks)"))))
+    val grid = spans.select(keyCols.map(col) :+
+      explode(sequence(col("__lo"), guardedHi, lit(gridStep))).as("tick"): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("tick"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(buckets, keyCols :+ "tick", "left")
+      .select(keyCols.map(col) :+ col("tick") :+
+        last(col("__bv"), ignoreNulls = true).over(w).as(valueCol) :+
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"): _*)
+  }
 }

@@ -243,4 +243,38 @@ class TemporalSpec extends AnyFunSuite {
     assert(r1.exceptAll(r64).isEmpty && r64.exceptAll(r1).isEmpty)
     assert(r1.count() > 0)
   }
+
+  test("resample: LOCF over gaps, per-bucket tie rule, per-key grid bounds") {
+    val e = Seq(
+      // key a: obs in buckets 0 and 30 (step 10) — gaps at 10, 20
+      ("a", 3L, 100L), ("a", 34L, 400L),
+      // bucket 0 has a second, later obs: (7, 150) wins over (3, 100)
+      ("a", 7L, 150L),
+      // same-time tie in bucket 30: (34, 400) vs (34, 350) — larger value wins
+      ("a", 34L, 350L),
+      // key b: single observation
+      ("b", 25L, 900L)
+    ).toDF("k", "t", "v")
+    val out = graft.ops.Temporal.resample(e, Seq("k"), "t", "v", gridStep = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("a", 0L)) == (150L, 2L)) // 2 obs in bucket, later obs wins
+    assert(out(("a", 10L)) == (150L, 0L)) // gap: carried, zero observations
+    assert(out(("a", 20L)) == (150L, 0L))
+    assert(out(("a", 30L)) == (400L, 2L)) // same-ts tie: larger value
+    assert(out(("b", 20L)) == (900L, 1L))
+    assert(out.size == 5, "grid spans each key's own range only")
+  }
+
+  test("resample: negative times floor correctly; tick guard trips on mis-sized steps") {
+    val e = Seq(("k", -15L, 1L), ("k", 5L, 2L)).toDF("k", "t", "v")
+    val out = graft.ops.Temporal.resample(e, Seq("k"), "t", "v", gridStep = 10L)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(-20L -> 1L, -10L -> 1L, 0L -> 2L), s"floor(-15/10) = -2: $out")
+    val wide = Seq(("k", 0L, 1L), ("k", 1000000L, 2L)).toDF("k", "t", "v")
+    val ex = intercept[Exception] {
+      graft.ops.Temporal.resample(wide, Seq("k"), "t", "v", gridStep = 1L,
+        maxTicksPerKey = 100L).count()
+    }
+    assert(ex.getMessage != null)
+  }
 }
