@@ -1762,6 +1762,29 @@ object SparkEntry {
         docs.select("doc_id", "lang", "text").join(keep, "doc_id"),
         "text", "lang", keepCol = Some("keep"))
     }),
+    "ns_changelog_merge" -> ((s, dir) => {
+      // CDC merge gate: snapshot = docs <= 3000; a three-layer synthetic
+      // changelog over docs <= 3600 exercises insert (keys past the
+      // snapshot), update chains (v1 then v2), delete (v2 delete outranks
+      // v1 upsert), the same-version upsert-over-delete tie (%16 keys
+      // reinserted), and passthrough (odd keys). The oracle replays the
+      // layers and the (version, is_upsert) winner rule.
+      val docs = t(s, dir, "documents")
+      val snap = docs.filter(col("doc_id") <= 3000)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val base = docs.filter(col("doc_id") <= 3600)
+      val c1 = base.filter(col("doc_id") % 2 === 0).select(col("doc_id"),
+        lit("upsert").as("op"), lit(1L).as("version"),
+        concat(lit("v1:"), col("text")).as("text"), col("lang"))
+      val c2 = base.filter(col("doc_id") % 4 === 0).select(col("doc_id"),
+        when(col("doc_id") % 8 === 0, "delete").otherwise("upsert").as("op"),
+        lit(2L).as("version"),
+        concat(lit("v2:"), col("text")).as("text"), col("lang"))
+      val c3 = base.filter(col("doc_id") % 16 === 0).select(col("doc_id"),
+        lit("upsert").as("op"), lit(2L).as("version"),
+        concat(lit("v2b:"), col("text")).as("text"), col("lang"))
+      graft.ops.Tables.applyChangelog(snap, c1.unionAll(c2).unionAll(c3), "doc_id")
+    }),
     "ns_snapshot_diff" -> ((s, dir) => {
       // Dataset-versioning audit: two snapshots derived deterministically
       // from the documents table (old = id < 400; new = id >= 100 with
@@ -2690,6 +2713,28 @@ object SparkEntry {
          |       CAST((1000 * (n_docs - n_distinct_docs)) // n_docs AS BIGINT) AS dup_permille,
          |       n_kept, CAST((1000 * n_kept) // n_docs AS BIGINT) AS keep_permille
          |FROM b JOIN dt USING (lang) JOIN q USING (lang) JOIN kp USING (lang)""".stripMargin,
+    "ns_changelog_merge" ->
+      """WITH snap AS (SELECT doc_id, text, lang FROM documents WHERE doc_id <= 3000),
+        |base AS (SELECT doc_id, text, lang FROM documents WHERE doc_id <= 3600),
+        |ch AS (
+        |  SELECT doc_id, 'upsert' AS op, CAST(1 AS BIGINT) AS version,
+        |         'v1:' || text AS text, lang FROM base WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN doc_id % 8 = 0 THEN 'delete' ELSE 'upsert' END,
+        |         2, 'v2:' || text, lang FROM base WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'upsert', 2, 'v2b:' || text, lang FROM base WHERE doc_id % 16 = 0),
+        |w AS (
+        |  SELECT doc_id, op, text, lang,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY version DESC, (op = 'upsert') DESC) AS rn
+        |  FROM ch),
+        |win AS (SELECT doc_id, op, text, lang FROM w WHERE rn = 1)
+        |SELECT COALESCE(s.doc_id, win.doc_id) AS doc_id,
+        |  CASE WHEN win.doc_id IS NOT NULL THEN win.text ELSE s.text END AS text,
+        |  CASE WHEN win.doc_id IS NOT NULL THEN win.lang ELSE s.lang END AS lang
+        |FROM snap s FULL OUTER JOIN win ON s.doc_id = win.doc_id
+        |WHERE win.doc_id IS NULL OR win.op = 'upsert'""".stripMargin,
     "ns_snapshot_diff" ->
       """WITH old AS (
         |  SELECT doc_id, md5(text) AS old_digest FROM documents WHERE doc_id < 400

@@ -207,4 +207,51 @@ object Tables {
       i * n + j)
     parts.reduce(_ + _)
   }
+
+  /** Apply a CDC changelog to a snapshot — the upsert/delete merge every
+    * incrementally-maintained corpus table needs (delta ingest, GDPR
+    * deletes, metadata corrections) without a lakehouse format: latest
+    * change per key wins (ordered by `versionCol`, ties broken by upsert
+    * over delete so a same-version delete+reinsert converges to present),
+    * an `upsert` replaces the row, a `delete` removes it, keys untouched
+    * by the log pass through.
+    *
+    * Deterministic: the winner is `max(struct(version, is_upsert, row))`
+    * — one partial aggregate with an explicit total order, not a
+    * dropDuplicates whose survivor depends on partition order. Scale
+    * shape: the changelog (delta-sized) aggregates to one winner per
+    * changed key, then ONE outer join against the snapshot on the key —
+    * the snapshot never shuffles more than that join, and with both
+    * sides bucketed by key ([[writeBucketed]]) the join is co-located.
+    * Idempotent: applying the same log twice is a no-op (law-tested), so
+    * at-least-once delivery upstream is safe.
+    *
+    * `changes` must carry `opCol` ("upsert"/"delete"), `versionCol`
+    * (monotone per key: LSN, commit ts), and the snapshot's data columns
+    * for upserts (ignored for deletes). Output: the merged snapshot with
+    * the snapshot's schema.
+    */
+  def applyChangelog(snapshot: DataFrame, changes: DataFrame, idCol: String,
+      opCol: String = "op", versionCol: String = "version"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dataCols = snapshot.columns.filter(_ != idCol).toSeq
+    require(dataCols.forall(changes.columns.contains),
+      s"changes must carry the snapshot's data columns: ${dataCols.mkString(", ")}")
+    // per-row op validation inside the plan (no driver-side pre-scan job):
+    // an unknown op fails the stage loudly instead of merging as garbage
+    val isUpsert = when(col(opCol).isin("upsert", "delete"), col(opCol) === "upsert")
+      .otherwise(raise_error(concat(
+        lit("applyChangelog: unknown op '"), col(opCol), lit("'"))))
+    val winner = changes
+      .groupBy(col(idCol))
+      .agg(max(struct(
+        col(versionCol).as("__v"),
+        isUpsert.as("__up"),
+        struct(dataCols.map(col): _*).as("__row"))).as("__w"))
+      .select(col(idCol), col("__w.__up").as("__up"), col("__w.__row").as("__row"))
+    snapshot.join(winner, Seq(idCol), "full_outer")
+      .where(col("__up").isNull || col("__up")) // latest op delete → drop
+      .select(col(idCol) +: dataCols.map(c =>
+        when(col("__up").isNotNull, col(s"__row.$c")).otherwise(col(c)).as(c)): _*)
+  }
 }

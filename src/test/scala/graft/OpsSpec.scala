@@ -76,6 +76,37 @@ class OpsSpec extends AnyFunSuite {
     assert(dup.contains((60L, 61L)))
   }
 
+  test("applyChangelog: insert/update/delete/passthrough, latest-wins, ties, idempotency") {
+    val snap = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+      .toDF("id", "s", "n")
+    val changes = Seq(
+      (2L, "upsert", 1L, "b1", 21L), // update chain: v1 then v2 — v2 wins
+      (2L, "upsert", 2L, "b2", 22L),
+      (3L, "delete", 5L, null, 0L), // delete beats earlier upsert
+      (3L, "upsert", 4L, "c4", 34L),
+      (4L, "delete", 7L, null, 0L), // same-version tie: upsert wins
+      (4L, "upsert", 7L, "d7", 47L),
+      (9L, "upsert", 1L, "new", 90L), // insert
+      (8L, "delete", 1L, null, 0L) // delete of a missing key: no-op
+    ).toDF("id", "op", "version", "s", "n")
+    val out = graft.ops.Tables.applyChangelog(snap, changes, "id")
+    val got = out.collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> ("a", 10L), // passthrough
+      2L -> ("b2", 22L),
+      4L -> ("d7", 47L),
+      9L -> ("new", 90L)))
+    // idempotent: re-applying the same log to the merged result is a no-op
+    val twice = graft.ops.Tables.applyChangelog(out, changes, "id")
+    assert(twice.exceptAll(out).isEmpty && out.exceptAll(twice).isEmpty)
+    // unknown ops fail the stage loudly instead of merging as garbage
+    val bad = Seq((1L, "merge", 1L, "x", 0L)).toDF("id", "op", "version", "s", "n")
+    val ex = intercept[Exception] {
+      graft.ops.Tables.applyChangelog(snap, bad, "id").count()
+    }
+    assert(ex.getMessage.contains("unknown op") || ex.getCause != null)
+  }
+
   test("containmentJoin completeness law: prefix-filtered output equals brute force") {
     val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
     val rows = (0 until 50).map { i =>
