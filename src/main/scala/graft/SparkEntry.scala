@@ -1762,6 +1762,16 @@ object SparkEntry {
         docs.select("doc_id", "lang", "text").join(keep, "doc_id"),
         "text", "lang", keepCol = Some("keep"))
     }),
+    "ns_kanon_audit" -> ((s, dir) =>
+      // re-identification risk audit: (nation, segment) classes smaller
+      // than k=10 — classes out, never rows
+      graft.ops.Curation.kAnonymityAudit(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 10L)),
+    "ns_kanon_suppress" -> ((s, dir) =>
+      // suppression enforcement: rows surviving the k=10 bar, slim output
+      graft.ops.Curation.suppressToK(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 10L)
+        .select("c_custkey", "c_nationkey", "c_mktsegment")),
     "ns_changelog_merge" -> ((s, dir) => {
       // CDC merge gate: snapshot = docs <= 3000; a three-layer synthetic
       // changelog over docs <= 3600 exercises insert (keys past the
@@ -2713,6 +2723,14 @@ object SparkEntry {
          |       CAST((1000 * (n_docs - n_distinct_docs)) // n_docs AS BIGINT) AS dup_permille,
          |       n_kept, CAST((1000 * n_kept) // n_docs AS BIGINT) AS keep_permille
          |FROM b JOIN dt USING (lang) JOIN q USING (lang) JOIN kp USING (lang)""".stripMargin,
+    "ns_kanon_audit" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS class_size
+        |FROM customer GROUP BY 1, 2 HAVING count(*) < 10""".stripMargin,
+    "ns_kanon_suppress" ->
+      """WITH ok AS (SELECT c_nationkey, c_mktsegment FROM customer
+        |            GROUP BY 1, 2 HAVING count(*) >= 10)
+        |SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment
+        |FROM customer c JOIN ok USING (c_nationkey, c_mktsegment)""".stripMargin,
     "ns_changelog_merge" ->
       """WITH snap AS (SELECT doc_id, text, lang FROM documents WHERE doc_id <= 3000),
         |base AS (SELECT doc_id, text, lang FROM documents WHERE doc_id <= 3600),

@@ -962,4 +962,46 @@ object Curation {
       .where(col(scoreCol) >= col(thrName))
       .select(df.columns.map(col): _*) // the join key-first reorder is an artifact
   }
+
+  // ------------------------------------------------- release governance
+
+  /** k-anonymity audit over quasi-identifier columns (Sweeney 2002): every
+    * equivalence class (distinct quasi-identifier combination) smaller
+    * than `k`, with its size — the re-identification risk check before
+    * releasing a metadata-rich dataset (a class of 1 on (zip, age-band,
+    * source) points at ONE person even with names stripped). NULL
+    * quasi-values form their own class (null is itself identifying).
+    * One partial-aggregated groupBy; output is classes, never rows.
+    * Output: quasiCols + (class_size), ascending risk order = smallest
+    * classes first after an orderBy downstream.
+    */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2, "need quasi columns and k >= 2")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .where(col("class_size") < k)
+  }
+
+  /** Enforce k-anonymity by suppression: drop every row whose
+    * quasi-identifier class is smaller than `k` (the conservative
+    * baseline next to generalization, which is schema-specific and the
+    * caller's job — bucket `age` to bands, truncate `zip`, THEN suppress
+    * what still violates). The class-size table is one partial aggregate
+    * keyed like the data, so the enforcement join co-partitions with it;
+    * rows, not classes, are what flow out. Suppression rate is the
+    * [[kAnonymityAudit]] class mass over the row count — audit first,
+    * generalize until the rate is acceptable, suppress last.
+    */
+  def suppressToK(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2, "need quasi columns and k >= 2")
+    // null-SAFE join keys: a plain equi-join would never match a NULL
+    // quasi-value, silently suppressing the whole null class regardless
+    // of its size — <=> keeps the audit's nulls-form-a-class semantics
+    val sizes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__cs"))
+      .where(col("__cs") >= k)
+      .select(quasiCols.map(c => col(c).as(s"__q_$c")): _*)
+    val cond = quasiCols.map(c => col(c) <=> col(s"__q_$c")).reduce(_ && _)
+    df.join(sizes, cond, "left_semi")
+  }
 }

@@ -738,4 +738,21 @@ class CurationSpec extends AnyFunSuite {
     // not just a shifted copy: many rows must actually move
     assert((0L until 200L).count(i => e0(i) != e1(i)) > 150)
   }
+
+  test("kAnonymityAudit flags small classes; suppressToK keeps null classes null-safely") {
+    val df = Seq(
+      ("us", "a"), ("us", "a"), ("us", "a"), // class of 3: safe at k=3
+      ("us", "b"), ("us", "b"), // class of 2: violates
+      ("de", "a"), // class of 1: violates
+      (null: String, "a"), (null, "a"), (null, "a") // null class of 3: safe
+    ).toDF("country", "seg")
+    val audit = Curation.kAnonymityAudit(df, Seq("country", "seg"), k = 3)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1)) -> r.getLong(2)).toMap
+    assert(audit == Map((Some("us"), "b") -> 2L, (Some("de"), "a") -> 1L))
+    val kept = Curation.suppressToK(df, Seq("country", "seg"), k = 3)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1)))
+    assert(kept.count(_ == (Some("us"), "a")) == 3)
+    assert(kept.count(_ == (None, "a")) == 3, "null class of 3 must SURVIVE (null-safe join)")
+    assert(kept.length == 6)
+  }
 }
