@@ -998,6 +998,17 @@ object SparkEntry {
         .where(col("pa") < col("pb")).select("pa", "pb").distinct()
       graft.ops.Graph.triangles(edges, "pa", "pb")
     }),
+    "ns_kcore" -> ((s, dir) => {
+      // 3-core of the co-ordered-parts graph (peeling to fixed point, 3
+      // rounds at this SF). The oracle unrolls 6 peel rounds — extra
+      // rounds past the fixed point are no-ops, so it equals convergence.
+      val l = t(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = l.select(col("ok"), col("pk").as("pa"))
+        .join(l.select(col("ok"), col("pk").as("pb")), "ok")
+        .where(col("pa") < col("pb")).select("pa", "pb").distinct()
+      graft.ops.Graph.kCore(edges, "pa", "pb", k = 3L)
+    }),
     "ns_hits" -> ((s, dir) => {
       // Hubs & authorities over the DIRECTED customer→supplier trading
       // graph (customers: pure hubs; suppliers: pure authorities): 2
@@ -2878,6 +2889,26 @@ object SparkEntry {
          |SELECT lang, metric, v_a, v_b, v_b - v_a AS delta,
          |       ((v_b - v_a) * 1000) // greatest(v_a, 1) AS delta_permille
          |FROM u""".stripMargin,
+    "ns_kcore" -> {
+      // GENERATED 6-round unroll of the peel loop; rounds past the fixed
+      // point are identity, so the unroll equals Spark's run-to-convergence
+      // MATERIALIZED: each round reads its predecessor several times —
+      // unmaterialized CTEs would re-open the parquet per reference and
+      // trip the process fd limit on the 6-round unroll
+      val rounds = (1 to 6).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT node, count(*) AS d FROM (
+           |  SELECT u AS node FROM r${i - 1} UNION ALL SELECT v FROM r${i - 1}) GROUP BY node),
+           |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE d >= 3),
+           |r$i AS MATERIALIZED (SELECT u, v FROM r${i - 1}
+           |        WHERE u IN (SELECT node FROM k$i) AND v IN (SELECT node FROM k$i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH l AS MATERIALIZED (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem WHERE l_orderkey <= 2000),
+         |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS pa, b.pk AS pb FROM l a JOIN l b ON a.ok = b.ok AND a.pk < b.pk),
+         |r0 AS MATERIALIZED (SELECT least(pa, pb) AS u, greatest(pa, pb) AS v FROM e0),
+         |$rounds
+         |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |  SELECT u AS node FROM r6 UNION ALL SELECT v FROM r6) GROUP BY node""".stripMargin
+    },
     "ns_triangles" ->
       """WITH l AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem WHERE l_orderkey <= 2000),
         |e0 AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb FROM l a JOIN l b ON a.ok = b.ok AND a.pk < b.pk),

@@ -380,6 +380,64 @@ object Graph {
       when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("t"),
       when(col("du") <= col("dv"), col("dv")).otherwise(col("du")).as("dt"))
 
+  /** k-core of the undirected simple graph: the maximal subgraph where
+    * every node keeps degree >= k, by parallel peeling (remove all
+    * sub-k nodes, recompute, repeat to fixed point) — the density filter
+    * behind link-farm cores, community nuclei, and "only well-embedded
+    * domains" crawl policies ([[triangles]] measures local density;
+    * k-core keeps the globally cohesive part).
+    *
+    * Loop discipline (SCALE.md "Iterative operators"): each round
+    * references the edge frame three times (doubled neighborhood + two
+    * semi-joins), so every round localCheckpoints — lineage stays
+    * O(round body) — and the convergence probe is the edge COUNT, which
+    * is monotone decreasing and strictly drops while any node peels
+    * (every peeled node carries >= 1 remaining edge), so equal counts ==
+    * fixed point with no fingerprint pass. Worst case is O(n) rounds on
+    * degenerate chains (peeling's inherent depth — a path with k = 2
+    * sheds only its two endpoints per round); `maxRounds` fails loudly
+    * rather than looping silently. Each round is two partial-agg counts
+    * + two semi-joins on node keys — no row ever carries more than
+    * (u, v).
+    *
+    * Output: (node, deg) for k-core members, deg = degree WITHIN the
+    * core (>= k by construction). Empty output = the graph has no
+    * k-core.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Long,
+      maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    var e = e0.localCheckpoint(true)
+    var n = e.count()
+    var converged = n == 0
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val keep = deg.where(col("d") >= k).select(col("node"))
+      val e2 = e
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+      val cp = e2.localCheckpoint(true)
+      val n2 = cp.count()
+      e.unpersist()
+      e = cp
+      converged = n2 == n
+      n = n2
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore did not converge in $maxRounds rounds — degenerate chain-" +
+          "heavy input; raise maxRounds (peeling depth is O(n) worst case)")
+    e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
+
   /** Per-node degree profile: (node, out_deg, in_deg), zero-filled for
     * nodes that only appear on one side. Two partial-aggregated counts and
     * an outer join of node-sized frames.

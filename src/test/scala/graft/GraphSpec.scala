@@ -224,6 +224,37 @@ class GraphSpec extends AnyFunSuite {
       Seq("c", 0L, 1L)))
   }
 
+  test("kCore: clique survives, pendants peel, chain collapses, cycle holds") {
+    // K4 with a pendant path hanging off node 1: 1-2-3-4 clique, 1-5-6 tail
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong))
+    val g = (k4 ++ Seq((1L, 5L), (5L, 6L))).toDF("src", "dst")
+    val core3 = Graph.kCore(g, "src", "dst", k = 3L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      "3-core = the clique; tail peels in 2 rounds and deg is WITHIN-core")
+    // pure path: 2-core is empty (endpoints peel until nothing remains)
+    val path = (1 until 6).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    assert(Graph.kCore(path, "src", "dst", k = 2L).isEmpty)
+    // cycle: every node is exactly degree 2 — the 2-core is the whole cycle
+    val cyc = ((1 until 6).map(i => (i.toLong, (i + 1).toLong)) :+ (6L, 1L)).toDF("src", "dst")
+    val core2 = Graph.kCore(cyc, "src", "dst", k = 2L).collect()
+    assert(core2.length == 6 && core2.forall(_.getLong(1) == 2L))
+  }
+
+  test("job-count gate: kCore jobs stay proportional to peel rounds") {
+    // a path of length L peels from both ends: rounds grow with L, and
+    // jobs must grow LINEARLY with rounds (localCheckpoint per round)
+    def run(len: Int): Int = countJobs {
+      val path = (1 until len).map(i => (s"p$len-$i", s"p$len-${i + 1}")).toDF("src", "dst")
+      Graph.kCore(path, "src", "dst", k = 2L).count(); ()
+    }
+    val j6 = run(6) // 3 peel rounds (incl. the fixed-point probe)
+    val j12 = run(12) // 6 peel rounds
+    // linear: doubling rounds at most ~doubles jobs plus a constant; a
+    // lineage fan-out would go combinatorial
+    assert(j12 <= 2 * j6 + 6, s"j6=$j6 j12=$j12 — job growth must be linear in rounds")
+  }
+
   test("triangles: K4 clique, bipartite zero, and direction/multi-edge immunity") {
     // K4: every node deg 3, C(3,2)=3 triangles each, lcc = 1000 permille
     val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong))
