@@ -1240,6 +1240,15 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("term"), col("tf"),
           col("dl").cast("long").as("dl"))
     }),
+    "ns_bm25_indexed" -> ((s, dir) => {
+      // persisted-index tier: the FULL inverted index restricted to the
+      // same query terms must carry the same postings the scan tier
+      // derives — shared oracle SQL, so the tiers cannot drift
+      val idx = graft.ops.Search.buildBm25Index(t(s, dir, "documents"),
+        "text", "doc_id")
+      idx.postings.filter(col("term").isin("join", "filter", "spark"))
+        .select(col("id").as("doc_id"), col("term"), col("tf"), col("dl"))
+    }),
     "ns_substring_candidates" -> ((s, dir) => {
       // MOSS-style shared-substring candidates over winnowing fingerprints
       // (guard disabled + portable hashes so n_shared is EXACTLY the
@@ -1901,6 +1910,18 @@ object SparkEntry {
       graft.ops.TextAnalysis.vocabulary(t(s, dir, "documents"), "text",
         minCount = 2, topK = 100, n = 2))
   )
+
+  /** Query-term postings (tf, dl) replay — shared by the scan-tier
+    * (`ns_bm25`) and index-tier (`ns_bm25_indexed`) gates so the two
+    * tiers are pinned to the SAME inverted representation.
+    */
+  private val bm25PostingsOracleSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)
+      |SELECT doc_id, t AS term, count(*) AS tf, CAST(any_value(n) AS BIGINT) AS dl
+      |FROM (SELECT doc_id, len(toks) AS n, unnest(toks) AS t FROM tk)
+      |WHERE t IN ('join', 'filter', 'spark')
+      |GROUP BY 1, 2""".stripMargin
 
   /** The 64 portable-minhash signature components as DuckDB expressions —
     * generated from the SAME affine constants the Spark-side
@@ -3419,13 +3440,8 @@ object SparkEntry {
         |SELECT id, CAST(cell AS BIGINT) AS cell, CAST(rank AS INT) AS rank,
         |       n_cell, rank > floor(0.3 * n_cell) AS keep
         |FROM r""".stripMargin,
-    "ns_bm25" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)
-        |SELECT doc_id, t AS term, count(*) AS tf, CAST(any_value(n) AS BIGINT) AS dl
-        |FROM (SELECT doc_id, len(toks) AS n, unnest(toks) AS t FROM tk)
-        |WHERE t IN ('join', 'filter', 'spark')
-        |GROUP BY 1, 2""".stripMargin,
+    "ns_bm25" -> bm25PostingsOracleSql,
+    "ns_bm25_indexed" -> bm25PostingsOracleSql,
     "ns_substring_candidates" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -155,4 +155,35 @@ class SearchSpec extends AnyFunSuite {
       truth.union(truth), k = 5).orderBy("query_id").collect()
     assert(dup(0).getLong(1) == 2L)
   }
+
+  test("bm25Indexed equals the corpus-scan bm25; add == build-on-union; save/load round-trips") {
+    val corpus = Seq(
+      (1L, "spark join filter join"),
+      (2L, "filter filter filter words here"),
+      (3L, "spark spark spark spark join"),
+      (4L, "completely unrelated text body"),
+      (5L, "join")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val idx = Search.buildBm25Index(corpus, "text", "doc_id")
+    for (terms <- Seq(Seq("join", "spark"), Seq("filter"), Seq("join", "filter", "spark"))) {
+      val scan = rows(Search.bm25(corpus, "text", "doc_id", terms, k = 5))
+      val indexed = rows(Search.bm25Indexed(idx, terms, k = 5))
+      assert(indexed == scan, s"terms=$terms")
+    }
+    // incremental append equals rebuilding on the union
+    val delta = Seq((6L, "spark filter"), (7L, "noise")).toDF("doc_id", "text")
+    val added = Search.addToBm25Index(idx, delta, "text", "doc_id")
+    val rebuilt = Search.buildBm25Index(corpus.unionAll(delta), "text", "doc_id")
+    assert(added.nDocs == rebuilt.nDocs && added.dlSum == rebuilt.dlSum)
+    assert(rows(Search.bm25Indexed(added, Seq("spark", "filter"), 7)) ==
+      rows(Search.bm25Indexed(rebuilt, Seq("spark", "filter"), 7)))
+    // persistence round-trip
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Search.saveBm25Index(added, dir, shards = 4)
+    val loaded = Search.loadBm25Index(spark, dir)
+    assert(rows(Search.bm25Indexed(loaded, Seq("join", "spark"), 7)) ==
+      rows(Search.bm25Indexed(added, Seq("join", "spark"), 7)))
+  }
 }
