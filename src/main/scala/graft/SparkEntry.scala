@@ -241,23 +241,30 @@ object SparkEntry {
     * algorithm because a learned merge's output symbol only ever appears
     * in strictly-higher-rank pairs.
     */
-  private def bpeOracleSql: String = {
+  /** Frozen-BPE encode CTEs (tk → w → e with per-word subword lists) —
+    * shared by the encode gate (`ns_bpe`) and the fertility gate
+    * (`ns_bpe_fertility`) so both replay the SAME merge chain.
+    */
+  private def bpeEncodeCtes: String = {
     val symStr = "' ' || array_to_string(list_transform(range(1, length(word)+1), " +
       "i -> substr(word, i, 1)), '  ') || ' '"
     val chain = FrozenBpeMerges.foldLeft(symStr) { case (acc, (a, b)) =>
       s"replace($acc, ' $a  $b ', ' $a$b ')"
     }
-    s"""WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+    s"""tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
        |w AS (SELECT doc_id, unnest(range(1, len(toks)+1)) AS wpos, unnest(toks) AS word FROM tk),
        |e AS (SELECT doc_id, wpos,
        |        CASE WHEN word = '' THEN [] ELSE string_split(trim($chain), '  ') END AS subs
-       |      FROM w),
+       |      FROM w)""".stripMargin
+  }
+
+  private def bpeOracleSql: String =
+    s"""WITH $bpeEncodeCtes,
        |x AS (SELECT doc_id, wpos, unnest(range(1, len(subs)+1)) AS spos, unnest(subs) AS tok FROM e)
        |SELECT doc_id,
        |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, spos) - 1 AS INT) AS pos,
        |       tok AS token
        |FROM x""".stripMargin
-  }
 
   // ------------------------------------------------------------ specs
 
@@ -1275,6 +1282,11 @@ object SparkEntry {
             .otherwise(lit(""))).as("text"))
       graft.ops.Curation.exactSubstrDedup(inj, "text", "doc_id", minTokens = 8)
     }),
+    "ns_bpe_fertility" -> ((s, dir) =>
+      // tokenizer-fairness audit: bytes-per-token by language under the
+      // frozen merges — shared encode CTEs with ns_bpe
+      graft.ops.Bpe.fertilityByGroup(t(s, dir, "documents"), "text", "lang",
+        FrozenBpeMerges)),
     "ns_bpe" -> ((s, dir) => {
       // frozen BPE tokenizer (trained once on the sf0.001 corpus via
       // Bpe.learnFromCorpus, then applied everywhere — the standard
@@ -3461,6 +3473,15 @@ object SparkEntry {
         |  FROM f a JOIN f b ON a.doc_id < b.doc_id)
         |WHERE n_shared >= 30""".stripMargin,
     "ns_bpe" -> bpeOracleSql,
+    "ns_bpe_fertility" ->
+      s"""WITH $bpeEncodeCtes,
+         |tc AS (SELECT doc_id, CAST(sum(len(subs)) AS BIGINT) AS ntok FROM e GROUP BY 1),
+         |d AS (SELECT doc_id, lang, strlen(text) AS nb FROM documents)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(COALESCE(tc.ntok, 0)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(d.nb) AS BIGINT) AS n_bytes,
+         |  CAST((1000 * sum(d.nb)) // greatest(sum(COALESCE(tc.ntok, 0)), 1) AS BIGINT) AS bytes_per_token_permille
+         |FROM d LEFT JOIN tc ON d.doc_id = tc.doc_id GROUP BY 1""".stripMargin,
     "ns_substr_dedup" ->
       s"""WITH inj AS (
          |  SELECT doc_id, text ||

@@ -87,4 +87,26 @@ object Bpe {
     */
   def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
     size(encode(text, merges)).cast("long")
+
+  /** Tokenizer fertility by group (the multilingual-fairness audit: how
+    * many BYTES one subword token covers per language/source — a
+    * tokenizer trained on English pays 2-4× more tokens per byte on
+    * scripts it under-merges, which silently taxes those languages'
+    * context budget and training compute). Zero-shuffle scan (merges
+    * ride the closure) + one partial aggregate; integer output
+    * (`bytes_per_token_permille = 1000·bytes div tokens`) so the audit
+    * replays across engines.
+    */
+  def fertilityByGroup(docs: DataFrame, textCol: String, groupCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(groupCol).as("__g"),
+        tokenCount(col(textCol), merges).as("__tok"),
+        octet_length(col(textCol)).cast("long").as("__bytes"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__tok").as("n_tokens"),
+        sum("__bytes").as("n_bytes"))
+      .select(col("__g").as(groupCol), col("n_docs"), col("n_tokens"), col("n_bytes"),
+        call_function("div", lit(1000L) * col("n_bytes"),
+          greatest(col("n_tokens"), lit(1L))).as("bytes_per_token_permille"))
 }

@@ -79,4 +79,25 @@ class BpeSpec extends AnyFunSuite {
     assert(shrunk.forall(r => r.getLong(1) <= r.getLong(0)))
     docs.unpersist()
   }
+
+  test("fertilityByGroup: hand-checked bytes/tokens, empty docs count, zero-shuffle scan side") {
+    // no merges: every character of every word is one token
+    val df = Seq(
+      ("en", "ab cd"),   // 4 tokens, 5 bytes
+      ("en", "xyz"),     // 3 tokens, 3 bytes
+      ("de", ""),        // 0 tokens, 0 bytes — still a doc
+      ("de", "qq")       // 2 tokens, 2 bytes
+    ).toDF("lang", "text")
+    val out = Bpe.fertilityByGroup(df, "text", "lang", merges = Seq.empty)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("en") == (2L, 7L, 8L, (8L * 1000) / 7L))
+    assert(out("de") == (2L, 2L, 2L, 1000L))
+    // a merge halves the all-same-pair word's token count
+    val merged = Bpe.fertilityByGroup(
+      Seq(("x", "abab")).toDF("lang", "text"), "text", "lang",
+      merges = Seq("a" -> "b"))
+      .collect().head
+    assert(merged.getLong(2) == 2L, "ab+ab after one merge")
+  }
 }

@@ -236,4 +236,43 @@ class PropertySpec extends AnyFunSuite {
         s"approx($p) must be contained in exact($pHi) (seed=$seed)")
     }
   }
+
+  test("property: prefix-filtered joins equal a driver-side brute force on random corpora") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    import graft.ops.Dedup
+    // driver-side mirror of WordNgramsExpr(distinct = true)
+    def grams(s: String, n: Int): Set[String] = {
+      val t = s.trim.toLowerCase.split("\\s+", -1).toSeq
+      (if (t.length < n) Seq(t.mkString(" "))
+       else t.sliding(n).map(_.mkString(" ")).toSeq).toSet
+    }
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "kappa", "mu")
+    val doc = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val gen = for {
+      docs <- Gen.listOfN(22, doc)
+      tp <- Gen.chooseNum(300, 1000)
+    } yield (docs, tp)
+    forAll(gen, 5) { case (docs, tp) =>
+      val df = docs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
+      val g = docs.zipWithIndex.map { case (s, i) => i.toLong -> grams(s, 2) }.toMap
+      val ids = g.keys.toSeq.sorted
+      val wantJ = (for {
+        i <- ids; j <- ids if i < j
+        inter = (g(i) & g(j)).size; uni = (g(i) | g(j)).size
+        if uni > 0 && inter * 1000L >= tp.toLong * uni
+      } yield (i, j)).toSet
+      val gotJ = Dedup.jaccardJoin(df, "text", "id", tp, shingleLen = 2)
+        .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotJ == wantJ, s"jaccard tp=$tp docs=$docs")
+      val wantC = (for {
+        i <- ids; j <- ids if i != j
+        inter = (g(i) & g(j)).size
+        if g(i).nonEmpty && inter * 1000L >= tp.toLong * g(i).size
+      } yield (i, j)).toSet
+      val gotC = Dedup.containmentJoin(df, "text", "id", tp, shingleLen = 2)
+        .select("idSub", "idSup").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotC == wantC, s"containment tp=$tp docs=$docs")
+    }
+  }
 }
