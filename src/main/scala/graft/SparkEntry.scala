@@ -1794,6 +1794,13 @@ object SparkEntry {
         docs.select("doc_id", "lang", "text").join(keep, "doc_id"),
         "text", "lang", keepCol = Some("keep"))
     }),
+    "ns_integrity_audit" -> ((s, dir) =>
+      // orphan check against a deliberately truncated dim table (TPC-H
+      // fks are valid, so the gate drops customers > 1000 to synthesize
+      // violations): orders whose customer vanished, with row counts
+      graft.ops.Tables.integrityAudit(
+        t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer").filter(col("c_custkey") <= 1000), "c_custkey")),
     "ns_kanon_audit" -> ((s, dir) =>
       // re-identification risk audit: (nation, segment) classes smaller
       // than k=10 — classes out, never rows
@@ -2767,6 +2774,13 @@ object SparkEntry {
          |       CAST((1000 * (n_docs - n_distinct_docs)) // n_docs AS BIGINT) AS dup_permille,
          |       n_kept, CAST((1000 * n_kept) // n_docs AS BIGINT) AS keep_permille
          |FROM b JOIN dt USING (lang) JOIN q USING (lang) JOIN kp USING (lang)""".stripMargin,
+    "ns_integrity_audit" ->
+      """WITH ck AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_rows
+        |            FROM orders GROUP BY 1),
+        |pk AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey <= 1000)
+        |SELECT CAST(ck.k AS VARCHAR) AS orphan_key, ck.n_rows
+        |FROM ck LEFT JOIN pk ON ck.k = pk.k
+        |WHERE pk.k IS NULL OR ck.k IS NULL""".stripMargin,
     "ns_kanon_audit" ->
       """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS class_size
         |FROM customer GROUP BY 1, 2 HAVING count(*) < 10""".stripMargin,

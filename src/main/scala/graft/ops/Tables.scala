@@ -208,6 +208,28 @@ object Tables {
     parts.reduce(_ + _)
   }
 
+  /** Referential-integrity audit: child keys with no matching parent —
+    * the orphan check before joining two 100 TB tables (an fk-violating
+    * ingest silently drops rows in inner joins downstream; this makes
+    * the loss visible and attributable first). NULL child keys are
+    * reported as their own row (they also vanish in joins). Scale shape:
+    * the child reduces to (key, count) partial aggregates BEFORE the
+    * anti-join, so the join touches distinct keys, not rows; the parent
+    * side is its distinct key set.
+    * Output: (orphan_key as string, n_rows), one row per violating key.
+    */
+  def integrityAudit(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ck = child.groupBy(col(childKey).as("__k")).agg(count(lit(1)).as("n_rows"))
+    val pk = parent.select(col(parentKey).as("__k")).distinct()
+    val orphans = ck.where(col("__k").isNotNull)
+      .join(pk, Seq("__k"), "left_anti")
+    val nulls = ck.where(col("__k").isNull)
+    orphans.unionByName(nulls)
+      .select(col("__k").cast("string").as("orphan_key"), col("n_rows"))
+  }
+
   /** Apply a CDC changelog to a snapshot — the upsert/delete merge every
     * incrementally-maintained corpus table needs (delta ingest, GDPR
     * deletes, metadata corrections) without a lakehouse format: latest

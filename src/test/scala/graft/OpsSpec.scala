@@ -76,6 +76,17 @@ class OpsSpec extends AnyFunSuite {
     assert(dup.contains((60L, 61L)))
   }
 
+  test("integrityAudit: orphans with counts, null keys reported, valid fks silent") {
+    val parent = Seq(1L, 2L, 3L).toDF("pid")
+    val child = Seq(Some(1L), Some(1L), Some(9L), Some(9L), Some(9L), None)
+      .toDF("fk")
+    val out = graft.ops.Tables.integrityAudit(child, "fk", parent, "pid")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(out == Map(Some("9") -> 3L, None -> 1L))
+    val clean = Seq(1L, 2L).toDF("fk")
+    assert(graft.ops.Tables.integrityAudit(clean, "fk", parent, "pid").isEmpty)
+  }
+
   test("applyChangelog: insert/update/delete/passthrough, latest-wins, ties, idempotency") {
     val snap = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
       .toDF("id", "s", "n")
