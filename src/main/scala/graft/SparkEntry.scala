@@ -1794,6 +1794,13 @@ object SparkEntry {
         docs.select("doc_id", "lang", "text").join(keep, "doc_id"),
         "text", "lang", keepCol = Some("keep"))
     }),
+    "ns_robust_outliers" -> ((s, dir) =>
+      // median/MAD spend-spike screen per event type at the 3.5-MAD rule,
+      // integer cents — both medians replay as rank windows in the oracle
+      graft.ops.Profile.robustOutliers(
+        t(s, dir, "events").select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents")),
+        "cents", "event_id", Seq("event_type"))),
     "ns_integrity_audit" -> ((s, dir) =>
       // orphan check against a deliberately truncated dim table (TPC-H
       // fks are valid, so the gate drops customers > 1000 to synthesize
@@ -2774,6 +2781,18 @@ object SparkEntry {
          |       CAST((1000 * (n_docs - n_distinct_docs)) // n_docs AS BIGINT) AS dup_permille,
          |       n_kept, CAST((1000 * n_kept) // n_docs AS BIGINT) AS keep_permille
          |FROM b JOIN dt USING (lang) JOIN q USING (lang) JOIN kp USING (lang)""".stripMargin,
+    "ns_robust_outliers" ->
+      """WITH e AS (SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |m AS (SELECT event_type, max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS med FROM r GROUP BY 1),
+        |d AS (SELECT e.*, m.med, abs(e.cents - m.med) AS dev FROM e JOIN m USING (event_type)),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS n FROM d),
+        |md AS (SELECT event_type, max(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad FROM r2 GROUP BY 1)
+        |SELECT d.event_type, d.event_id, d.cents, d.med, md.mad, d.dev
+        |FROM d JOIN md USING (event_type)
+        |WHERE d.dev * 1000 > 3500 * md.mad""".stripMargin,
     "ns_integrity_audit" ->
       """WITH ck AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_rows
         |            FROM orders GROUP BY 1),

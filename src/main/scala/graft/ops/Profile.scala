@@ -323,6 +323,47 @@ object Profile {
       .withColumnRenamed("__g", groupCol)
   }
 
+  /** Robust per-group outlier detection on an integer metric: median/MAD
+    * (median absolute deviation) instead of mean/stddev, so the
+    * thresholds themselves cannot be dragged by the outliers they hunt —
+    * the standard telemetry/quality-score anomaly screen (spend spikes,
+    * quality-score collapse, length anomalies). A row is an outlier when
+    * `|x − med| · 1000 > kPermille · MAD` (kPermille = 3500 ≈ the usual
+    * 3.5-MAD rule), all integer arithmetic on an integer `valueCol`
+    * (cents, micro-units), so verdicts replay exactly cross-engine.
+    *
+    * Medians use the repo's nearest-rank convention (value at rank
+    * `ceil(n/2)` ascending — ties share the value, so tie order cannot
+    * change it). MAD = 0 (over half the group identical) flags EVERY
+    * deviating row — the inherent MAD degenerate case; pre-filter such
+    * groups via [[analyzeColumns]] distinct counts if that bites.
+    *
+    * Scale shape: two rank windows keyed by group (value ranks, then
+    * deviation ranks) and broadcast-sized per-group stat rows joined
+    * back; output is the OUTLIERS, not the corpus.
+    * Output: groupCols + (idCol, valueCol, med, mad, dev).
+    */
+  def robustOutliers(df: DataFrame, valueCol: String, idCol: String,
+      groupCols: Seq[String], kPermille: Long = 3500L): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty (a global window would single-partition)")
+    require(kPermille >= 0, "kPermille must be >= 0")
+    val gc = groupCols.map(col)
+    def medianOf(in: DataFrame, c: String, out: String): DataFrame = {
+      val w = Window.partitionBy(gc: _*).orderBy(col(c))
+      in.withColumn("__rn", row_number().over(w).cast("long"))
+        .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(gc: _*)))
+        .groupBy(gc: _*)
+        .agg(max(when(col("__rn") === ceil(col("__cnt") / 2), col(c))).as(out))
+    }
+    val med = medianOf(df, valueCol, "med")
+    val withMed = df.join(med, groupCols)
+      .withColumn("dev", abs(col(valueCol) - col("med")))
+    val mad = medianOf(withMed, "dev", "mad")
+    withMed.join(mad, groupCols)
+      .where(col("dev") * 1000L > lit(kPermille) * col("mad"))
+      .select(gc ++ Seq(col(idCol), col(valueCol), col("med"), col("mad"), col("dev")): _*)
+  }
+
   /** ANALYZE-style column statistics for any table, one pass: per column a
     * long-format row set (col_name, metric, value) with EVERY value a
     * BIGINT so the whole profile replays bit-for-bit in any engine — the

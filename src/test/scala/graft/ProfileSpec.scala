@@ -186,6 +186,23 @@ class ProfileSpec extends AnyFunSuite {
     assert(out.size == 10)
   }
 
+  test("robustOutliers: hand-checked median/MAD verdicts; robust to the outlier itself") {
+    // g: values 10,10,11,12,13,1000 → n=6, med = rank ceil(6/2)=3 asc = 11
+    // devs: 1,1,0,1,2,989 → mad = rank 3 of (0,1,1,1,2,989) = 1
+    // outlier rule |x-11|*1000 > 3500*1 → only 1000 (dev 989) and 13? dev 2*1000=2000 < 3500 no
+    val df = Seq(10L, 10L, 11L, 12L, 13L, 1000L).zipWithIndex
+      .map { case (v, i) => ("g", i.toLong, v) }.toDF("grp", "id", "v")
+    val out = Profile.robustOutliers(df, "v", "id", Seq("grp"))
+      .collect().map(r => r.getLong(2) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toMap == Map(1000L -> (11L, 1L, 989L)),
+      s"mean/stddev would be dragged to ~176 and miss everything: ${out.toSeq}")
+    // MAD = 0 degenerate case: every deviating row flags
+    val deg = Seq(5L, 5L, 5L, 5L, 7L).zipWithIndex
+      .map { case (v, i) => ("g", i.toLong, v) }.toDF("grp", "id", "v")
+    val dout = Profile.robustOutliers(deg, "v", "id", Seq("grp")).collect()
+    assert(dout.length == 1 && dout.head.getLong(2) == 7L)
+  }
+
   test("analyzeColumns: typed value mapping, nulls, and metric coverage") {
     val df = Seq(
       (1L, Some("ab"), Some(1.5), Some(true)),
