@@ -1099,6 +1099,16 @@ object SparkEntry {
       graft.ops.Temporal.rolling(e, Seq("user_id"), "ts_us",
         window = 3600000000L, valueCol = "cents")
     }),
+    "ns_journey_match" -> ((s, dir) =>
+      // CEP-lite gate: which users ever purchase DIRECTLY after a click
+      // (funnel's anything-between cannot express adjacency). Fixed user
+      // slice bounds the journey strings.
+      graft.ops.Temporal.journeyMatch(
+        t(s, dir, "events").filter(col("user_id") <= 300)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("event_type")),
+        Seq("user_id"), "ts_us", "event_id", "event_type",
+        pattern = ".*click>purchase.*")),
     "ns_resample" -> ((s, dir) => {
       // Per-user 6h-grid LOCF series over integer cents: bucket winner is
       // max (ts, value) — an explicit tie rule the oracle replays with
@@ -3137,6 +3147,14 @@ object SparkEntry {
         |       CAST(count(*) OVER w AS BIGINT) AS w_n
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
         |                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "ns_journey_match" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |                  event_id, event_type FROM events WHERE user_id <= 300)
+        |SELECT user_id,
+        |  string_agg(event_type, '>' ORDER BY ts_us, event_id, event_type) AS journey,
+        |  regexp_matches(string_agg(event_type, '>' ORDER BY ts_us, event_id, event_type),
+        |                 '.*click>purchase.*') AS is_match
+        |FROM e GROUP BY 1""".stripMargin,
     "ns_resample" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
         |                  CAST(round(value * 100) AS BIGINT) AS cents

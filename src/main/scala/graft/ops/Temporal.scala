@@ -336,6 +336,38 @@ object Temporal {
       .drop("__b")
   }
 
+  /** Journey pattern matching (CEP-lite): per key, the time-ordered
+    * event-type sequence rendered as a `sep`-joined string, matched
+    * against a regex — the expressiveness layer [[funnel]] lacks
+    * (alternation `a|b`, repetition `(x>)*`, IMMEDIATE adjacency
+    * `click>purchase` vs funnel's anything-between). Write patterns
+    * against the encoded form, e.g. `.*click>purchase.*` = "a purchase
+    * directly after a click".
+    *
+    * Determinism: events sort by (time, id, type) struct order before
+    * joining, so same-timestamp events have a pinned order. Keep
+    * patterns in the RE2-portable subset (no backrefs/lookaround — the
+    * repo-wide regex convention) so the oracle replays them.
+    *
+    * Scale shape: ONE partial-agg collect per key; state is the key's
+    * journey string, so bound the key first — compose with
+    * [[sessionize]] and key by (user, session_id) to make journeys
+    * session-sized rather than lifetime-sized (the note every
+    * collect_list operator here carries).
+    *
+    * Output: keyCols + (journey, is_match).
+    */
+  def journeyMatch(events: DataFrame, keyCols: Seq[String], timeCol: String,
+      idCol: String, typeCol: String, pattern: String,
+      sep: String = ">"): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    events.groupBy(keyCols.map(col): _*)
+      .agg(concat_ws(sep, transform(
+        array_sort(collect_list(struct(col(timeCol), col(idCol), col(typeCol)))),
+        s => s.getField(typeCol))).as("journey"))
+      .withColumn("is_match", col("journey").rlike(pattern))
+  }
+
   /** Regular-grid resampling with last-observation-carried-forward: per
     * key, one row per `gridStep` tick from the key's first to last
     * observation bucket, carrying the latest value at-or-before the tick

@@ -244,6 +244,24 @@ class TemporalSpec extends AnyFunSuite {
     assert(r1.count() > 0)
   }
 
+  test("journeyMatch: adjacency regex, time order, same-ts determinism") {
+    val e = Seq(
+      // u1: click then purchase adjacent — matches
+      ("u1", 10L, 1L, "view"), ("u1", 20L, 2L, "click"), ("u1", 30L, 3L, "purchase"),
+      // u2: click ... view ... purchase — adjacency broken, no match
+      ("u2", 10L, 4L, "click"), ("u2", 20L, 5L, "view"), ("u2", 30L, 6L, "purchase"),
+      // u3: same timestamp — id order pins the journey
+      ("u3", 10L, 8L, "purchase"), ("u3", 10L, 7L, "click")
+    ).toDF("u", "t", "id", "typ")
+    val out = graft.ops.Temporal.journeyMatch(e, Seq("u"), "t", "id", "typ",
+      ".*click>purchase.*").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(out("u1") == ("view>click>purchase", true))
+    assert(out("u2") == ("click>view>purchase", false),
+      "funnel would match this; adjacency must not")
+    assert(out("u3") == ("click>purchase", true), "same-ts order pinned by id")
+  }
+
   test("resample: LOCF over gaps, per-bucket tie rule, per-key grid bounds") {
     val e = Seq(
       // key a: obs in buckets 0 and 30 (step 10) — gaps at 10, 20
