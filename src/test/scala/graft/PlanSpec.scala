@@ -621,6 +621,34 @@ class PlanSpec extends AnyFunSuite {
       s"per-doc rank window expected:\n${plan.take(3000)}")
   }
 
+  test("resample: every data window partitions by the series key") {
+    val plan = planOf(SparkEntry.queries("ns_resample")(spark, sf))
+    // both the LOCF carry and any rank windows must be keyed — a keyless
+    // window would single-partition the series
+    assert(plan.contains("windowspecdefinition(user_id#"),
+      s"key-partitioned window expected:\n${plan.take(3000)}")
+    assert(!plan.contains("windowspecdefinition(specifiedwindowframe") ||
+      !plan.contains("Window [last("),
+      s"unkeyed window suspected:\n${plan.take(3000)}")
+  }
+
+  test("changelog merge: one delta-sized winner aggregate, partial-agg shape") {
+    val plan = planOf(SparkEntry.queries("ns_changelog_merge")(spark, sf))
+    assert(plan.contains("partial_max") || plan.contains("HashAggregate"),
+      s"winner rule must partial-aggregate map-side:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"merge join must stay equi:\n${plan.take(3000)}")
+  }
+
+  test("journey match: single partial collect per key, no product") {
+    val plan = planOf(SparkEntry.queries("ns_journey_match")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"journey build is one aggregation:\n${plan.take(3000)}")
+    assert(plan.contains("partial_collect_list") || plan.contains("objecthashaggregate") ||
+      plan.contains("ObjectHashAggregate"),
+      s"collect must partial-aggregate:\n${plan.take(3000)}")
+  }
+
   test("sorted-neighborhood join: block equi-join, per-bucket rank, no global row window") {
     val plan = planOf(SparkEntry.queries("ns_snm_join")(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
