@@ -1005,6 +1005,16 @@ object SparkEntry {
         .where(col("pa") < col("pb")).select("pa", "pb").distinct()
       graft.ops.Graph.triangles(edges, "pa", "pb")
     }),
+    "ns_label_prop" -> ((s, dir) => {
+      // 3 fixed sync LPA rounds on the co-ordered-parts graph; the oracle
+      // unrolls each round's neighbor-mode with the (count, label)-max tie
+      val l = t(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = l.select(col("ok"), col("pk").as("pa"))
+        .join(l.select(col("ok"), col("pk").as("pb")), "ok")
+        .where(col("pa") < col("pb")).select("pa", "pb").distinct()
+      graft.ops.Graph.labelPropagation(edges, "pa", "pb", rounds = 3)
+    }),
     "ns_kcore" -> ((s, dir) => {
       // 3-core of the co-ordered-parts graph (peeling to fixed point, 3
       // rounds at this SF). The oracle unrolls 6 peel rounds — extra
@@ -2965,6 +2975,29 @@ object SparkEntry {
          |SELECT lang, metric, v_a, v_b, v_b - v_a AS delta,
          |       ((v_b - v_a) * 1000) // greatest(v_a, 1) AS delta_permille
          |FROM u""".stripMargin,
+    "ns_label_prop" -> {
+      // GENERATED 3-round sync-LPA unroll; winner = max (count, label)
+      val rounds = (1 to 3).map { i =>
+        s"""cnt$i AS MATERIALIZED (
+           |  SELECT nb.n, l.label AS nbl, count(*) AS c
+           |  FROM nbrs nb JOIN lab${i - 1} l ON nb.nb = l.node GROUP BY 1, 2),
+           |win$i AS MATERIALIZED (
+           |  SELECT n AS node, nbl AS label FROM (
+           |    SELECT n, nbl, row_number() OVER (PARTITION BY n ORDER BY c DESC, nbl DESC) AS rn
+           |    FROM cnt$i) WHERE rn = 1),
+           |lab$i AS MATERIALIZED (
+           |  SELECT l.node, COALESCE(w.label, l.label) AS label
+           |  FROM lab${i - 1} l LEFT JOIN win$i w ON l.node = w.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH l AS MATERIALIZED (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem WHERE l_orderkey <= 2000),
+         |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS pa, b.pk AS pb FROM l a JOIN l b ON a.ok = b.ok AND a.pk < b.pk),
+         |und AS MATERIALIZED (SELECT DISTINCT least(pa, pb) AS u, greatest(pa, pb) AS v FROM e0),
+         |nbrs AS MATERIALIZED (SELECT u AS n, v AS nb FROM und UNION ALL SELECT v, u FROM und),
+         |lab0 AS MATERIALIZED (SELECT node, node AS label FROM (
+         |  SELECT DISTINCT u AS node FROM und UNION SELECT DISTINCT v FROM und)),
+         |$rounds
+         |SELECT node, label FROM lab3""".stripMargin
+    },
     "ns_kcore" -> {
       // GENERATED 6-round unroll of the peel loop; rounds past the fixed
       // point are identity, so the unroll equals Spark's run-to-convergence

@@ -380,6 +380,60 @@ object Graph {
       when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("t"),
       when(col("du") <= col("dv"), col("dv")).otherwise(col("du")).as("dt"))
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007),
+    * FIXED-round form: labels start as node ids; each round every node
+    * adopts the most frequent label among its neighbors, ties broken
+    * toward the LARGER label — chosen so the round is ONE
+    * `max(struct(count, label))` partial aggregate per node instead of a
+    * rank window (any fixed tie direction yields valid communities; this
+    * one is the cheapest to compute and to replay in SQL). Run for
+    * exactly `rounds` rounds: sync LPA can oscillate on bipartite-ish
+    * structure (the classic 2-coloring flip-flop), so run-to-convergence
+    * is NOT offered — fixed rounds make the operator total and
+    * deterministic, and 3-5 rounds is the standard operating range
+    * (labels stabilize inside dense communities long before global
+    * convergence). For connected-component semantics use
+    * [[graft.ops.Dedup.connectedComponentsStar]]; LPA splits DENSE
+    * subregions apart where CC would fuse everything reachable.
+    *
+    * Loop discipline (SCALE.md): labels are node-sized, localCheckpointed
+    * per round (the round references the frame in the join AND the
+    * isolated-node coalesce). Each round = one edge-sized join + one
+    * (node, label) partial-agg count + one argmax partial agg.
+    *
+    * Output: (node, label) — nodes sharing a label are one community.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 0, "rounds must be >= 0")
+    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct().persist()
+    val nbrs = und.select(col("u").as("n"), col("v").as("nb"))
+      .union(und.select(col("v").as("n"), col("u").as("nb")))
+    var labels = und.select(col("u").as("node")).union(und.select(col("v").as("node")))
+      .distinct().withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val nbrLabels = nbrs
+        .join(labels.select(col("node").as("nb"), col("label").as("nbl")), "nb")
+        .groupBy(col("n"), col("nbl")).agg(count(lit(1)).as("c"))
+      val winners = nbrLabels.groupBy(col("n"))
+        .agg(max(struct(col("c"), col("nbl"))).getField("nbl").as("__new"))
+      val next = labels
+        .join(winners.withColumnRenamed("n", "node"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
+      val cp = next.localCheckpoint(true)
+      labels.unpersist()
+      labels = cp
+      r += 1
+    }
+    und.unpersist()
+    labels
+  }
+
   /** k-core of the undirected simple graph: the maximal subgraph where
     * every node keeps degree >= k, by parallel peeling (remove all
     * sub-k nodes, recompute, repeat to fixed point) — the density filter

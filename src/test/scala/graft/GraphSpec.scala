@@ -224,6 +224,26 @@ class GraphSpec extends AnyFunSuite {
       Seq("c", 0L, 1L)))
   }
 
+  test("labelPropagation: two cliques with a bridge settle into two communities") {
+    // cliques {1..4} and {11..14} joined by one bridge edge 4-11
+    val cl = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong)) ++
+      (for { a <- 11 to 14; b <- 11 to 14 if a < b } yield (a.toLong, b.toLong)) :+ (4L, 11L)
+    val out = Graph.labelPropagation(cl.toDF("src", "dst"), "src", "dst", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c1 = (1 to 4).map(i => out(i.toLong)).toSet
+    val c2 = (11 to 14).map(i => out(i.toLong)).toSet
+    assert(c1.size == 1 && c2.size == 1, s"each clique must agree internally: $out")
+    assert(c1 != c2, s"bridge must not fuse the cliques (CC would): $out")
+    // rounds = 0 is the identity labeling
+    val id0 = Graph.labelPropagation(cl.toDF("src", "dst"), "src", "dst", rounds = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(id0.forall { case (n, l) => n == l })
+    // deterministic across runs
+    val again = Graph.labelPropagation(cl.toDF("src", "dst"), "src", "dst", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out)
+  }
+
   test("kCore: clique survives, pendants peel, chain collapses, cycle holds") {
     // K4 with a pendant path hanging off node 1: 1-2-3-4 clique, 1-5-6 tail
     val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong))
