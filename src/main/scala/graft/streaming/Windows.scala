@@ -428,4 +428,62 @@ object Windows {
           Iterator(RunningOutput(key, n, total))
         })
   }
+
+  final case class JourneyEvent(key: String, ts: java.sql.Timestamp, id: Long, typ: String)
+  final case class JourneyBuf(entries: List[(Long, Long, String)], matched: Boolean)
+  final case class JourneyHit(key: String, journey: String)
+
+  /** Streaming twin of [[graft.ops.Temporal.journeyMatch]], DETECTION
+    * form: per key, maintain the (ts, id)-sorted event-type journey in
+    * keyed state and emit ONE hit row the first time the journey matches
+    * `pattern` — fire-on-match CEP, where the batch twin's one-row-per-key
+    * final answer becomes "alert the moment the sequence completes".
+    *
+    * Semantics under lateness: each batch merges its rows into the
+    * retained buffer and re-sorts by (ts, id), so a within-watermark late
+    * event lands at its correct journey position BEFORE matching is
+    * evaluated — an out-of-order `click` arriving after its `purchase`
+    * still completes `click>purchase`. Once a key fires it never fires
+    * again (matched flag); append-mode cannot retract a hit. State: the
+    * per-key journey plus one flag; event-time timeout clears idle keys
+    * at the watermark (batch inputs run the same code with NoTimeout —
+    * the batch-identical-path convention of this file).
+    */
+  def streamingJourneyMatch(events: Dataset[JourneyEvent], pattern: String,
+      sep: String = ">", watermark: String = "10 minutes",
+      idleGapMs: Long = 1800000L): Dataset[JourneyHit] = {
+    implicit val stateEnc = Encoders.product[JourneyBuf]
+    implicit val outEnc = Encoders.product[JourneyHit]
+    implicit val keyEnc = Encoders.STRING
+    val re = pattern.r
+    val gapMs = idleGapMs
+    // capture BEFORE the state function: a Dataset referenced inside the
+    // closure ships with a null logical plan and NPEs on executors
+    val isStream = events.isStreaming
+    val src = if (isStream) events.withWatermark("ts", watermark) else events
+    val timeout = if (isStream) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    src.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(
+        (key: String, rows: Iterator[JourneyEvent], state: GroupState[JourneyBuf]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption.getOrElse(JourneyBuf(Nil, matched = false))
+            if (prev.matched) { rows.foreach(_ => ()); Iterator.empty }
+            else {
+              val merged = (prev.entries ++
+                rows.map(e => (e.ts.getTime, e.id, e.typ))).sortBy(t => (t._1, t._2))
+              val journey = merged.map(_._3).mkString(sep)
+              val hit = re.findFirstIn(journey).isDefined
+              if (isStream) {
+                val wm = try state.getCurrentWatermarkMs() catch { case _: Throwable => 0L }
+                val last = merged.lastOption.map(_._1).getOrElse(wm)
+                state.setTimeoutTimestamp(math.max(last, wm + 1) + gapMs)
+              }
+              state.update(JourneyBuf(if (hit) Nil else merged, matched = hit))
+              if (hit) Iterator(JourneyHit(key, journey)) else Iterator.empty
+            }
+          }
+        })
+  }
 }

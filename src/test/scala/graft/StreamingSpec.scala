@@ -449,4 +449,47 @@ class StreamingSpec extends AnyFunSuite {
       assert(res.contains(("b", 1L, 5.0)))
     } finally q.stop()
   }
+
+  test("streaming journey match: fires once on completion; late event completes adjacency") {
+    val input = MemoryStream[Windows.JourneyEvent](spark, 4)
+    val out = Windows.streamingJourneyMatch(input.toDS(), ".*click>purchase.*",
+      watermark = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("sjourney").outputMode("append").start()
+    try {
+      def ev(k: String, m: Int, id: Long, t: String) =
+        Windows.JourneyEvent(k, java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00"), id, t)
+      // u1 no match yet; u2's purchase arrives BEFORE its click
+      input.addData(ev("u1", 0, 1, "view"), ev("u1", 2, 2, "click"),
+        ev("u2", 5, 3, "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("sjourney").isEmpty)
+      // u1 completes; u2's click arrives late (ts before the purchase) and
+      // must sort into place to complete click>purchase
+      input.addData(ev("u1", 4, 4, "purchase"), ev("u2", 3, 5, "click"))
+      q.processAllAvailable()
+      val got = spark.table("sjourney").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == Map("u1" -> "view>click>purchase", "u2" -> "click>purchase"))
+      // a matched key never fires again
+      input.addData(ev("u1", 6, 6, "click"), ev("u1", 7, 7, "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("sjourney").count() == 2)
+    } finally q.stop()
+  }
+
+  test("streaming journey match on a closed batch equals the batch operator's matches") {
+    val events = Seq(
+      ("u1", 0, 1L, "view"), ("u1", 2, 2L, "click"), ("u1", 4, 3L, "purchase"),
+      ("u2", 0, 4L, "click"), ("u2", 2, 5L, "view"), ("u2", 4, 6L, "purchase"))
+      .map { case (k, m, id, t) =>
+        Windows.JourneyEvent(k, java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00"), id, t) }
+    val stream = Windows.streamingJourneyMatch(events.toDS(), ".*click>purchase.*")
+      .collect().map(h => h.key -> h.journey).toMap
+    val batchIn = events.toDF().select(col("key"),
+      col("ts").cast("long").as("t_s"), col("id"), col("typ"))
+    val batch = graft.ops.Temporal.journeyMatch(batchIn, Seq("key"), "t_s", "id", "typ",
+      ".*click>purchase.*").where(col("is_match"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(stream == batch && stream == Map("u1" -> "view>click>purchase"))
+  }
 }
