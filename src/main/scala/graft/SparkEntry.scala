@@ -1487,6 +1487,13 @@ object SparkEntry {
       graft.ops.Fuzzy.sortedNeighborhoodJoin(
         t(s, dir, "customer").filter(col("c_custkey") <= 2000),
         "c_name", "c_custkey", window = 5, buckets = 8)),
+    "ns_entity_resolution" -> ((s, dir) =>
+      // end-to-end ER capstone: JW blocking + 0.92 threshold + transitive
+      // closure + min-id canonical — the oracle replays blocking,
+      // comparator, recursive closure, and the canonical rule
+      graft.ops.Fuzzy.resolveEntities(
+        t(s, dir, "part").filter(col("p_partkey") <= 600),
+        "p_name", "p_partkey", minSim = 0.92)),
     "ns_percentile_rank" -> ((s, dir) =>
       // cross-domain score calibration: per-language integer per-mille
       // percentile of a length score — rank*1000 div (n-1), ties by id
@@ -3712,6 +3719,21 @@ object SparkEntry {
         |FROM n a JOIN n b
         |  ON upper(substr(a.s, 1, 1)) = upper(substr(b.s, 1, 1)) AND a.id < b.id
         |WHERE jaro_winkler_similarity(a.s, b.s) >= 0.92""".stripMargin,
+    "ns_entity_resolution" ->
+      """WITH RECURSIVE n AS (SELECT p_partkey AS id, p_name AS s FROM part WHERE p_partkey <= 600),
+        |prs AS (
+        |  SELECT a.id AS idA, b.id AS idB FROM n a JOIN n b
+        |  ON upper(substr(a.s, 1, 1)) = upper(substr(b.s, 1, 1)) AND a.id < b.id
+        |  WHERE jaro_winkler_similarity(a.s, b.s) >= 0.92),
+        |und AS (SELECT idA AS a, idB AS b FROM prs UNION ALL SELECT idB, idA FROM prs),
+        |reach AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+        |SELECT n.id,
+        |  CAST(coalesce(least(n.id, m.minb), n.id) AS BIGINT) AS cluster_id,
+        |  (n.id = coalesce(least(n.id, m.minb), n.id)) AS is_canonical
+        |FROM n LEFT JOIN (SELECT a, min(b) AS minb FROM reach GROUP BY a) m ON n.id = m.a""".stripMargin,
     "ns_snm_join" ->
       """WITH r AS (SELECT c_custkey, c_name,
         |    CAST(row_number() OVER (ORDER BY c_name, c_custkey) - 1 AS BIGINT) AS pos

@@ -130,6 +130,34 @@ object Fuzzy {
     jaroWinklerJoin(df, textCol, idCol, df, textCol, idCol, minSim, blockKey, maxBucket)
       .where(col("idA") < col("idB"))
 
+  /** One-call entity resolution: blocking → Jaro-Winkler comparator →
+    * transitive closure → canonical representative. The standard
+    * merge/purge pipeline as one composition of the audited parts
+    * ([[jaroWinklerSelfJoin]] for match pairs,
+    * [[graft.ops.Dedup.clusterAssignments]] for the hybrid
+    * label-prop/star-contraction closure), so its scale and correctness
+    * properties are exactly those parts': blocked equi-join candidates,
+    * O(log n) clustering rounds, no all-pairs stage.
+    *
+    * Canonical choice: the cluster's MINIMUM id — deterministic and
+    * schema-free. For quality-aware survivorship (best record wins, not
+    * lowest id) run [[graft.ops.Dedup.keepBest]] over the returned
+    * cluster_id with your score column instead.
+    *
+    * Output: (id, cluster_id, is_canonical); unmatched records are their
+    * own singleton cluster.
+    */
+  def resolveEntities(df: DataFrame, textCol: String, idCol: String,
+      minSim: Double = 0.92,
+      blockKey: Column => Column = c => upper(substring(c, 1, 1)),
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val pairs = jaroWinklerSelfJoin(df, textCol, idCol, minSim, blockKey, maxBucket)
+      .select(col("idA"), col("idB"))
+    graft.ops.Dedup.clusterAssignments(df, idCol, pairs)
+      .select(col("id"), col("cluster_id"),
+        (col("id") === col("cluster_id")).as("is_canonical"))
+  }
+
   /** Sorted-neighborhood candidate generation (Hernández/Stolfo 1995, the
     * merge/purge method): sort the corpus by `keyCol` (a blocking key —
     * normalized name, address line, phonetic code) and emit every pair

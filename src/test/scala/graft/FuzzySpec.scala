@@ -121,6 +121,25 @@ class FuzzySpec extends AnyFunSuite {
     assert(all.nonEmpty)
   }
 
+  test("resolveEntities: variants cluster to min id, one canonical each, singletons intact") {
+    val df = Seq(
+      (10L, "MARTHA"), (11L, "MARHTA"), // classic JW pair ~0.961
+      (20L, "JONATHON"), (21L, "JONATHAN"),
+      (30L, "ZEBRA") // singleton
+    ).toDF("id", "name")
+    val out = graft.ops.Fuzzy.resolveEntities(df, "name", "id", minSim = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(10L) == (10L, true) && out(11L) == (10L, false))
+    assert(out(20L) == (20L, true) && out(21L) == (20L, false))
+    assert(out(30L) == (30L, true))
+    // transitivity across a chain: A~B and B~C put A,B,C in one cluster
+    // even if A~C alone misses the bar
+    val chain = Seq((1L, "AAAAAAX"), (2L, "AAAAAXX"), (3L, "AAAAXXX")).toDF("id", "name")
+    val c = graft.ops.Fuzzy.resolveEntities(chain, "name", "id", minSim = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c.values.toSet.size == 1, s"chain must close transitively: $c")
+  }
+
   test("sortedNeighborhoodJoin equals the global-window replay at any bucket count") {
     val rows = (0 until 97).map { i =>
       val h = i * 2654435761L
