@@ -429,6 +429,99 @@ object Windows {
         })
   }
 
+  final case class GridEvent(key: String, ts: java.sql.Timestamp, value: Long)
+  final case class GridBuf(
+      started: Boolean,
+      emitted: Boolean, // once true, nextTick is an emission frontier
+      nextTick: Long, // first unemitted grid tick (ms)
+      last: Long, // LOCF carry (valid once emitted)
+      maxTick: Long, // largest bucket ever observed
+      open: Map[Long, (Long, Long, Long)]) // tick -> (bestTsMs, bestVal, n)
+  final case class GridOut(key: String, tick: Long, value: Long, n_obs: Long)
+
+  /** Streaming twin of [[graft.ops.Temporal.resample]]: per key, emit one
+    * (tick, value, n_obs) row per `gridStepMs` bucket with
+    * last-observation-carried-forward over gaps, as the WATERMARK closes
+    * each bucket — the live form of irregular-telemetry → fixed-step
+    * series. A bucket emits when `tick + gridStepMs <= watermark`; gap
+    * ticks between observations emit via event-time timeouts re-armed at
+    * each next bucket boundary, so an idle key still produces its carried
+    * ticks as the watermark advances. Same per-bucket representative rule
+    * as batch (lexicographic (ts, value) max); rows later than an
+    * already-emitted bucket are DROPPED (append mode cannot retract) —
+    * size the watermark to the lateness you must absorb.
+    *
+    * On a batch frame the same code runs with NoTimeout and a closed
+    * horizon (everything emits through the last observed bucket), which
+    * is the law-tested equality with the batch operator. State per key:
+    * the LOCF carry plus only the OPEN (un-closed) buckets.
+    */
+  def streamingResample(events: Dataset[GridEvent], gridStepMs: Long,
+      watermark: String = "10 minutes"): Dataset[GridOut] = {
+    require(gridStepMs > 0, "gridStepMs must be positive")
+    implicit val stateEnc = Encoders.product[GridBuf]
+    implicit val outEnc = Encoders.product[GridOut]
+    implicit val keyEnc = Encoders.STRING
+    val isStream = events.isStreaming
+    val src = if (isStream) events.withWatermark("ts", watermark) else events
+    val timeout = if (isStream) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    src.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(
+        (key: String, rows: Iterator[GridEvent], state: GroupState[GridBuf]) => {
+          val step = gridStepMs
+          var buf = state.getOption.getOrElse(
+            GridBuf(started = false, emitted = false, 0L, 0L, Long.MinValue, Map.empty))
+          // merge incoming rows into open buckets; a row whose bucket is
+          // behind the EMISSION frontier is late beyond repair → dropped
+          rows.foreach { e =>
+            val t = e.ts.getTime
+            val tick = Math.floorDiv(t, step) * step
+            val lateBeyondEmit = buf.emitted && tick < buf.nextTick
+            if (!lateBeyondEmit) {
+              val cur = buf.open.get(tick)
+              val keepNew = cur.forall { case (bt, bv, _) =>
+                t > bt || (t == bt && e.value > bv) }
+              val rep = if (keepNew) (t, e.value) else (cur.get._1, cur.get._2)
+              buf = buf.copy(
+                started = true,
+                // before any emission the grid start follows the earliest
+                // observed bucket (out-of-order-safe); after, it is pinned
+                nextTick = if (!buf.started) tick
+                  else if (!buf.emitted) math.min(buf.nextTick, tick)
+                  else buf.nextTick,
+                maxTick = math.max(buf.maxTick, tick),
+                open = buf.open + (tick -> ((rep._1, rep._2, cur.map(_._3).getOrElse(0L) + 1L))))
+            }
+          }
+          val out = List.newBuilder[GridOut]
+          if (buf.started) {
+            val wm = if (isStream)
+              (try state.getCurrentWatermarkMs() catch { case _: Throwable => 0L })
+            else Long.MaxValue
+            // a bucket closes once tick + step <= wm; like the batch
+            // operator the grid never extends past the key's own last
+            // observed bucket
+            val horizon = math.min(if (isStream) wm - step else Long.MaxValue, buf.maxTick)
+            var t = buf.nextTick
+            var last = buf.last
+            while (t <= horizon) {
+              val obs = buf.open.get(t)
+              obs.foreach { case (_, v, _) => last = v }
+              out += GridOut(key, t, last, obs.map(_._3).getOrElse(0L))
+              buf = buf.copy(emitted = true, nextTick = t + step, last = last,
+                open = buf.open - t)
+              t += step
+            }
+          }
+          if (isStream && buf.started && buf.nextTick <= buf.maxTick)
+            // pending ticks: re-arm so gap ticks emit as the watermark moves
+            state.setTimeoutTimestamp(buf.nextTick + step)
+          state.update(buf)
+          out.result().iterator
+        })
+  }
+
   final case class JourneyEvent(key: String, ts: java.sql.Timestamp, id: Long, typ: String)
   final case class JourneyBuf(entries: List[(Long, Long, String)], matched: Boolean)
   final case class JourneyHit(key: String, journey: String)

@@ -450,6 +450,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming resample: buckets close at the watermark, gap ticks emit LOCF") {
+    val input = MemoryStream[Windows.GridEvent](spark, 5)
+    val out = Windows.streamingResample(input.toDS(), gridStepMs = 10 * 60 * 1000,
+      watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("sgrid").outputMode("append").start()
+    try {
+      def ev(k: String, m: Int, v: Long) =
+        Windows.GridEvent(k, java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00"), v)
+      val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+      // obs in buckets 00 and 20; watermark reaches 10:20 → buckets 00
+      // and 10 (gap) close
+      input.addData(ev("a", 0, 1), ev("a", 25, 5))
+      q.processAllAvailable()
+      def got() = spark.table("sgrid").collect()
+        .map(r => (r.getString(0), (r.getLong(1) - base) / 60000, r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got() == Set(("a", 0L, 1L, 1L), ("a", 10L, 1L, 0L)))
+      // watermark advances past 10:30 → bucket 20 (obs 5) and 30 (gap) close
+      input.addData(ev("a", 45, 9))
+      q.processAllAvailable()
+      assert(got() == Set(("a", 0L, 1L, 1L), ("a", 10L, 1L, 0L),
+        ("a", 20L, 5L, 1L), ("a", 30L, 5L, 0L)))
+    } finally q.stop()
+  }
+
+  test("streaming resample on a closed batch equals the batch operator") {
+    val events = Seq(("a", 3, 100L), ("a", 7, 150L), ("a", 34, 400L), ("b", 25, 900L))
+      .map { case (k, m, v) =>
+        Windows.GridEvent(k, java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00"), v) }
+    val stream = Windows.streamingResample(events.toDS(), gridStepMs = 10 * 60 * 1000)
+      .collect().map(o => (o.key, o.tick, o.value, o.n_obs)).toSet
+    val batchIn = events.toDF().select(col("key"),
+      col("ts").cast("long").*(1000).as("t_ms"), col("value"))
+    val batch = graft.ops.Temporal.resample(batchIn, Seq("key"), "t_ms", "value",
+      gridStep = 10 * 60 * 1000)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stream == batch && stream.nonEmpty)
+  }
+
   test("streaming journey match: fires once on completion; late event completes adjacency") {
     val input = MemoryStream[Windows.JourneyEvent](spark, 4)
     val out = Windows.streamingJourneyMatch(input.toDS(), ".*click>purchase.*",
