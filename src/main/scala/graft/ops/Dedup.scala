@@ -931,6 +931,24 @@ object Dedup {
       .drop("__rk")
   }
 
+  /** Cluster-size histogram for a dedup run — the one-page audit of what
+    * clustering found: per cluster size, how many clusters, how many
+    * documents they hold, and how many rows dedup would remove
+    * (`dup_mass = docs − clusters` at that size). Size 1 = untouched
+    * docs; a heavy far tail (one giant cluster) usually means the
+    * candidate threshold is too loose or a boilerplate pattern slipped
+    * the guards — this is the number to look at BEFORE deleting
+    * anything. Two partial-agg reductions: (cluster → size), then
+    * (size → histogram row); nothing document-sized leaves the first.
+    */
+  def clusterStats(assignments: DataFrame, clusterCol: String = "cluster_id")
+      : DataFrame =
+    assignments.groupBy(col(clusterCol)).agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("__sz")).as("n_docs"))
+      .withColumn("dup_mass", col("n_docs") - col("n_clusters"))
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): cluster embeddings into
     * `nCentroids` k-means cells, compute exact pairwise cosine WITHIN each

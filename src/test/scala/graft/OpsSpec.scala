@@ -76,6 +76,17 @@ class OpsSpec extends AnyFunSuite {
     assert(dup.contains((60L, 61L)))
   }
 
+  test("clusterStats: histogram with dup mass; all-singletons degenerate case") {
+    val asg = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 6L))
+      .toDF("id", "cluster_id")
+    val out = Dedup.clusterStats(asg).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(3L -> (1L, 3L, 2L), 2L -> (1L, 2L, 1L), 1L -> (1L, 1L, 0L)))
+    val singles = Seq((1L, 1L), (2L, 2L)).toDF("id", "cluster_id")
+    val s = Dedup.clusterStats(singles).collect()
+    assert(s.length == 1 && s.head.getLong(0) == 1L && s.head.getLong(3) == 0L)
+  }
+
   test("integrityAudit: orphans with counts, null keys reported, valid fks silent") {
     val parent = Seq(1L, 2L, 3L).toDF("pid")
     val child = Seq(Some(1L), Some(1L), Some(9L), Some(9L), Some(9L), None)
