@@ -1831,6 +1831,13 @@ object SparkEntry {
         docs.select("doc_id", "lang", "text").join(keep, "doc_id"),
         "text", "lang", keepCol = Some("keep"))
     }),
+    "ns_correlation" -> ((s, dir) =>
+      // one-scan Pearson matrix over integer metrics: exact decimal
+      // co-moments + a fixed-order IEEE tail the oracle replays
+      graft.ops.Profile.correlationMatrix(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")),
+        Seq("o_orderkey", "o_custkey", "cents"))),
     "ns_robust_outliers" -> ((s, dir) =>
       // median/MAD spend-spike screen per event type at the 3.5-MAD rule,
       // integer cents — both medians replay as rank windows in the oracle
@@ -2840,6 +2847,27 @@ object SparkEntry {
          |       CAST((1000 * (n_docs - n_distinct_docs)) // n_docs AS BIGINT) AS dup_permille,
          |       n_kept, CAST((1000 * n_kept) // n_docs AS BIGINT) AS keep_permille
          |FROM b JOIN dt USING (lang) JOIN q USING (lang) JOIN kp USING (lang)""".stripMargin,
+    "ns_correlation" ->
+      """WITH v AS (SELECT CAST(o_orderkey AS HUGEINT) AS a, CAST(o_custkey AS HUGEINT) AS b,
+        |                  CAST(round(o_totalprice * 100) AS HUGEINT) AS c FROM orders),
+        |s AS (SELECT count(*) AS n, sum(a) AS sa, sum(b) AS sb, sum(c) AS sc,
+        |             sum(a*a) AS qa, sum(b*b) AS qb, sum(c*c) AS qc,
+        |             sum(a*b) AS xab, sum(a*c) AS xac, sum(b*c) AS xbc FROM v),
+        |p AS (
+        |  SELECT 'o_orderkey' AS col_x, 'o_custkey' AS col_y, n, sa AS sum_x, sb AS sum_y,
+        |         qa AS sum_x2, qb AS sum_y2, xab AS sum_xy FROM s
+        |  UNION ALL SELECT 'o_orderkey', 'cents', n, sa, sc, qa, qc, xac FROM s
+        |  UNION ALL SELECT 'o_custkey', 'cents', n, sb, sc, qb, qc, xbc FROM s)
+        |SELECT col_x, col_y, CAST(n AS BIGINT) AS n,
+        |  CAST(sum_x AS DECIMAL(38,0)) AS sum_x, CAST(sum_y AS DECIMAL(38,0)) AS sum_y,
+        |  CAST(sum_x2 AS DECIMAL(38,0)) AS sum_x2, CAST(sum_y2 AS DECIMAL(38,0)) AS sum_y2,
+        |  CAST(sum_xy AS DECIMAL(38,0)) AS sum_xy,
+        |  CASE WHEN (n*sum_x2 - sum_x*sum_x) > 0 AND (n*sum_y2 - sum_y*sum_y) > 0 THEN
+        |    CAST(round(1000.0 * CAST(n*sum_xy - sum_x*sum_y AS DOUBLE) /
+        |      (sqrt(CAST(n*sum_x2 - sum_x*sum_x AS DOUBLE)) *
+        |       sqrt(CAST(n*sum_y2 - sum_y*sum_y AS DOUBLE)))) AS BIGINT)
+        |  END AS corr_permille
+        |FROM p""".stripMargin,
     "ns_robust_outliers" ->
       """WITH e AS (SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,

@@ -364,6 +364,59 @@ object Profile {
       .select(gc ++ Seq(col(idCol), col(valueCol), col("med"), col("mad"), col("dev")): _*)
   }
 
+  /** Pairwise Pearson correlation over integer metric columns, ONE scan:
+    * co-moments accumulate as exact DECIMAL(38,0) sums (order-independent
+    * — a double-sum correlation depends on reduction order and drifts
+    * across partitionings), and only the final correlation divides:
+    * `corr_permille = floor(1000·num / (sqrt(dx)·sqrt(dy)))` with
+    * num = n·Sxy − Sx·Sy, dx = n·Sx2 − Sx², dy likewise — a fixed-order
+    * IEEE chain (decimal→double casts, two sqrts, one divide) that
+    * replays bit-for-bit cross-engine. Inputs must already be integers
+    * (cents, micro-units — same convention as every scoring op here);
+    * constant columns (dx or dy = 0) yield NULL correlation.
+    *
+    * One aggregation job: k per-column sums + k squares + C(k,2) cross
+    * sums in a single partial-agg pass; the matrix then unpivots from
+    * the one wide row. Output per unordered pair (colX < colY by
+    * position): (col_x, col_y, n, corr_permille) plus the exact decimal
+    * co-moments for downstream reuse.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    def d(c: String): Column = col(c).cast("decimal(19,0)")
+    val aggs =
+      Seq(count(lit(1)).as("__n")) ++
+      cols.map(c => sum(d(c)).as(s"__s_$c")) ++
+      cols.map(c => sum(d(c) * d(c)).as(s"__q_$c")) ++
+      (for { i <- cols.indices; j <- cols.indices if i < j }
+        yield sum(d(cols(i)) * d(cols(j))).as(s"__x_${cols(i)}__${cols(j)}"))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val pairRows = for { i <- cols.indices; j <- cols.indices if i < j } yield {
+      val (a, b) = (cols(i), cols(j))
+      // pin every moment to decimal(38,0) so the parquet schema matches
+      // the oracle's declared type exactly (dtype-stable hash compare)
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        col("__n").as("n"),
+        col(s"__s_$a").cast("decimal(38,0)").as("sum_x"),
+        col(s"__s_$b").cast("decimal(38,0)").as("sum_y"),
+        col(s"__q_$a").cast("decimal(38,0)").as("sum_x2"),
+        col(s"__q_$b").cast("decimal(38,0)").as("sum_y2"),
+        col(s"__x_${a}__$b").cast("decimal(38,0)").as("sum_xy"))
+    }
+    val base = wide.select(explode(array(pairRows: _*)).as("p")).select(col("p.*"))
+    val n = col("n").cast("decimal(38,0)")
+    val num = (n * col("sum_xy") - col("sum_x") * col("sum_y")).cast("double")
+    val dx = (n * col("sum_x2") - col("sum_x") * col("sum_x")).cast("double")
+    val dy = (n * col("sum_y2") - col("sum_y") * col("sum_y")).cast("double")
+    // round, not floor: sqrt rounding leaves a perfect correlation at
+    // 999.9999..., which floor would report as 999. round-half-away is
+    // the shared Spark/DuckDB double convention, and an exact .5 tie
+    // after two irrational sqrts does not occur on integer inputs.
+    base.withColumn("corr_permille",
+      when(dx > 0 && dy > 0,
+        round(lit(1000.0) * num / (sqrt(dx) * sqrt(dy))).cast("long")))
+  }
+
   /** ANALYZE-style column statistics for any table, one pass: per column a
     * long-format row set (col_name, metric, value) with EVERY value a
     * BIGINT so the whole profile replays bit-for-bit in any engine — the

@@ -186,6 +186,23 @@ class ProfileSpec extends AnyFunSuite {
     assert(out.size == 10)
   }
 
+  test("correlationMatrix: perfect/inverse/constant columns, exact moments") {
+    val df = Seq((1L, 2L, 10L, 5L), (2L, 4L, 8L, 5L), (3L, 6L, 6L, 5L), (4L, 8L, 4L, 5L))
+      .toDF("x", "y2", "inv", "const")
+    val out = Profile.correlationMatrix(df, Seq("x", "y2", "inv", "const"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(8)) null else r.getLong(8))).toMap
+    assert(out(("x", "y2")) == 1000L, "y = 2x is perfectly correlated")
+    assert(out(("x", "inv")) == -1000L, "inv = 12 - 2x is perfectly anti-correlated")
+    assert(out(("x", "const")) == null, "constant column has no defined correlation")
+    // moments are exact decimals
+    val m = Profile.correlationMatrix(df, Seq("x", "y2"))
+      .collect().head
+    assert(m.getDecimal(3).longValueExact() == 10L) // sum_x
+    assert(m.getDecimal(7).longValueExact() == 60L) // sum_xy = 2+8+18+32
+    assert(m.getLong(2) == 4L)
+  }
+
   test("robustOutliers: hand-checked median/MAD verdicts; robust to the outlier itself") {
     // g: values 10,10,11,12,13,1000 → n=6, med = rank ceil(6/2)=3 asc = 11
     // devs: 1,1,0,1,2,989 → mad = rank 3 of (0,1,1,1,2,989) = 1
