@@ -1015,6 +1015,17 @@ object SparkEntry {
         .where(col("pa") < col("pb")).select("pa", "pb").distinct()
       graft.ops.Graph.triangles(edges, "pa", "pb")
     }),
+    "ns_assortativity" -> ((s, dir) => {
+      // degree-degree correlation of the co-ordered-parts graph — one
+      // exact-decimal correlation row; the oracle replays degrees, the
+      // orientation symmetrization, and the IEEE correlation tail
+      val l = t(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = l.select(col("ok"), col("pk").as("pa"))
+        .join(l.select(col("ok"), col("pk").as("pb")), "ok")
+        .where(col("pa") < col("pb")).select("pa", "pb").distinct()
+      graft.ops.Graph.degreeAssortativity(edges, "pa", "pb")
+    }),
     "ns_label_prop" -> ((s, dir) => {
       // 3 fixed sync LPA rounds on the co-ordered-parts graph; the oracle
       // unrolls each round's neighbor-mode with the (count, label)-max tie
@@ -3028,6 +3039,27 @@ object SparkEntry {
          |SELECT lang, metric, v_a, v_b, v_b - v_a AS delta,
          |       ((v_b - v_a) * 1000) // greatest(v_a, 1) AS delta_permille
          |FROM u""".stripMargin,
+    "ns_assortativity" ->
+      """WITH l AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem WHERE l_orderkey <= 2000),
+        |e0 AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb FROM l a JOIN l b ON a.ok = b.ok AND a.pk < b.pk),
+        |und AS (SELECT DISTINCT least(pa, pb) AS u, greatest(pa, pb) AS v FROM e0),
+        |deg AS (SELECT node, COUNT(*) AS deg
+        |        FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY node),
+        |bo AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+        |pr AS (SELECT CAST(ds.deg AS HUGEINT) AS x, CAST(dd.deg AS HUGEINT) AS y
+        |       FROM bo JOIN deg ds ON bo.u = ds.node JOIN deg dd ON bo.v = dd.node),
+        |s AS (SELECT count(*) AS n, sum(x) AS sum_x, sum(y) AS sum_y,
+        |             sum(x*x) AS sum_x2, sum(y*y) AS sum_y2, sum(x*y) AS sum_xy FROM pr)
+        |SELECT 'deg_src' AS col_x, 'deg_dst' AS col_y, CAST(n AS BIGINT) AS n,
+        |  CAST(sum_x AS DECIMAL(38,0)) AS sum_x, CAST(sum_y AS DECIMAL(38,0)) AS sum_y,
+        |  CAST(sum_x2 AS DECIMAL(38,0)) AS sum_x2, CAST(sum_y2 AS DECIMAL(38,0)) AS sum_y2,
+        |  CAST(sum_xy AS DECIMAL(38,0)) AS sum_xy,
+        |  CASE WHEN (n*sum_x2 - sum_x*sum_x) > 0 AND (n*sum_y2 - sum_y*sum_y) > 0 THEN
+        |    CAST(round(1000.0 * CAST(n*sum_xy - sum_x*sum_y AS DOUBLE) /
+        |      (sqrt(CAST(n*sum_x2 - sum_x*sum_x AS DOUBLE)) *
+        |       sqrt(CAST(n*sum_y2 - sum_y*sum_y AS DOUBLE)))) AS BIGINT)
+        |  END AS corr_permille
+        |FROM s""".stripMargin,
     "ns_label_prop" -> {
       // GENERATED 3-round sync-LPA unroll; winner = max (count, label)
       val rounds = (1 to 3).map { i =>

@@ -369,6 +369,37 @@ object Graph {
           .otherwise(lit(0L)).as("lcc_permille"))
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees across edges of the undirected simple graph —
+    * POSITIVE when high-degree nodes link to each other (social/citation
+    * shape), NEGATIVE for hub-and-spoke (web/link-farm shape; a strongly
+    * disassortative domain graph is a spam-architecture smell next to
+    * [[triangles]]' local density). Both edge orientations enter the
+    * correlation (the standard symmetrization — the undirected metric
+    * must not depend on storage orientation).
+    *
+    * Implementation is one composition: simple-graph degrees (two
+    * partial-agg counts) joined onto the edge list, then
+    * [[Profile.correlationMatrix]]'s exact-decimal one-scan correlation.
+    * Output: one row, (col_x, col_y, n, co-moments, corr_permille) with
+    * n = 2 × |edges|.
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node")).union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val both = und.select(col("u"), col("v"))
+      .union(und.select(col("v").as("u"), col("u").as("v")))
+    val pairs = both
+      .join(deg.select(col("node").as("u"), col("deg").as("deg_src")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("deg_dst")), "v")
+      .select("deg_src", "deg_dst")
+    Profile.correlationMatrix(pairs, Seq("deg_src", "deg_dst"))
+  }
+
   /** Orient each (u, v, du, dv) row from the smaller (deg, node) endpoint
     * to the larger, carrying the target's degree for wedge rank-ordering.
     * u < v canonically, so on a degree tie the u -> v direction is the

@@ -224,6 +224,19 @@ class GraphSpec extends AnyFunSuite {
       Seq("c", 0L, 1L)))
   }
 
+  test("degreeAssortativity: star is maximally disassortative, ladder of equals is NULL") {
+    // star: hub degree 5 pairs only with leaves of degree 1 — every
+    // directed pair is (1,5) or (5,1): perfect anti-correlation
+    val star = (1 to 5).map(i => (0L, i.toLong)).toDF("src", "dst")
+    val s = Graph.degreeAssortativity(star, "src", "dst").collect().head
+    assert(s.getLong(2) == 10L, "n = 2 x edges")
+    assert(s.getLong(8) == -1000L, s"star must be perfectly disassortative: $s")
+    // cycle: every node degree 2 — constant degrees, correlation undefined
+    val cyc = ((1 until 6).map(i => (i.toLong, (i + 1).toLong)) :+ (6L, 1L)).toDF("src", "dst")
+    val c = Graph.degreeAssortativity(cyc, "src", "dst").collect().head
+    assert(c.isNullAt(8), "constant-degree graph has no defined assortativity")
+  }
+
   test("labelPropagation: two cliques with a bridge settle into two communities") {
     // cliques {1..4} and {11..14} joined by one bridge edge 4-11
     val cl = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong)) ++
