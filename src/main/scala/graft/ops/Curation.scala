@@ -658,6 +658,35 @@ object Curation {
       .drop("__key")
   }
 
+  /** Per-group form of [[dsirResample]]: the Gumbel-top-k weighted
+    * selection with a quota of `k` PER GROUP (language, source) instead
+    * of one global budget — importance-weighted selection that cannot
+    * let one dominant stratum starve the rest (the global form follows
+    * the weights wherever they mass; this form pins the mix). Same
+    * scored input (`logw`), same temperature and seeded-Gumbel
+    * semantics, so per-group results are reproducible across engines
+    * and reruns. Plan shape: one rank window PER GROUP (never a global
+    * sort/limit), so it scales with groups × k where the global form's
+    * TakeOrdered is driver-bounded by k alone.
+    */
+  def dsirResampleByGroup(scored: DataFrame, idCol: String,
+      groupCols: Seq[String], k: Int, temperature: Double = 1.0,
+      seed: String = "graft-dsir"): DataFrame = {
+    require(k >= 1 && temperature >= 0.0, "need k >= 1 and temperature >= 0")
+    require(groupCols.nonEmpty, "groupCols must be non-empty — use dsirResample for a global budget")
+    val u = (portableHash31(col(idCol), seed) + lit(1.0)) / lit(2147483648.0)
+    val gumbel = -log(-log(u))
+    val key =
+      if (temperature == 0.0) col("logw")
+      else col("logw") / lit(temperature) + gumbel
+    scored.withColumn("__key", key)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(groupCols.map(col): _*)
+          .orderBy(col("__key").desc, col(idCol))))
+      .where(col("__rk") <= k)
+      .drop("__key", "__rk")
+  }
+
   // --------------------------------------------------- sampling / mixing
 
   /** Portable 31-bit hash of (seed|value) — identical to the SQL form

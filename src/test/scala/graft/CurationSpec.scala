@@ -739,6 +739,25 @@ class CurationSpec extends AnyFunSuite {
     assert((0L until 200L).count(i => e0(i) != e1(i)) > 150)
   }
 
+  test("dsirResampleByGroup: per-group quotas, greedy at T=0, deterministic") {
+    val df = (0 until 40).map { i =>
+      (i.toLong, if (i < 30) "big" else "small", i.toDouble / 10)
+    }.toDF("id", "g", "logw")
+    // T=0 is greedy top-logw per group
+    val greedy = Curation.dsirResampleByGroup(df, "id", Seq("g"), k = 3, temperature = 0.0)
+      .collect().map(r => r.getString(1) -> r.getLong(0))
+    assert(greedy.filter(_._1 == "big").map(_._2).sorted.toSeq == Seq(27L, 28L, 29L))
+    assert(greedy.filter(_._1 == "small").map(_._2).sorted.toSeq == Seq(37L, 38L, 39L))
+    // sampled tier: quota respected per group; dominant stratum cannot starve the small one
+    val s = Curation.dsirResampleByGroup(df, "id", Seq("g"), k = 5)
+      .collect().map(r => r.getString(1)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(s == Map("big" -> 5, "small" -> 5))
+    // deterministic across runs
+    val a = Curation.dsirResampleByGroup(df, "id", Seq("g"), k = 5).collect().map(_.getLong(0)).sorted
+    val b = Curation.dsirResampleByGroup(df, "id", Seq("g"), k = 5).collect().map(_.getLong(0)).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("kAnonymityAudit flags small classes; suppressToK keeps null classes null-safely") {
     val df = Seq(
       ("us", "a"), ("us", "a"), ("us", "a"), // class of 3: safe at k=3
