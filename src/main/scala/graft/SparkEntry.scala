@@ -1409,6 +1409,15 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(17)) === 0),
         "text", "doc_id", n = 4)
     }),
+    "ns_contamination_report" -> ((s, dir) => {
+      // per-source rollup of the same benchmark split ns_decontaminate
+      // pins — the release-gate number, with shared gram semantics
+      val d = t(s, dir, "documents")
+      graft.ops.Curation.contaminationReport(
+        d.filter(pmod(col("doc_id"), lit(17)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(17)) === 0),
+        "text", "doc_id", "source", n = 4)
+    }),
     "ns_badwords" -> ((s, dir) => {
       // Blocklist term matching: one Aho-Corasick pass per doc counting
       // every (overlapping) occurrence of each term plus the distinct-term
@@ -3733,6 +3742,23 @@ object SparkEntry {
         |  coalesce(n_hits, 0) >= 1 AS contaminated
         |FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
         |WHERE g.doc_id % 17 != 0""".stripMargin,
+    "ns_contamination_report" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(toks) - 2), i -> array_to_string(toks[i:i+3], ' '))) END AS grams
+        |      FROM tk),
+        |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 17 = 0),
+        |hits AS (SELECT doc_id, count(*) AS n_hits
+        |         FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 17 != 0) cg
+        |         JOIN bg USING (gram) GROUP BY doc_id),
+        |per AS (SELECT g.doc_id, coalesce(n_hits, 0) >= 1 AS contaminated
+        |        FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
+        |        WHERE g.doc_id % 17 != 0)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN per.contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  CAST((1000 * sum(CASE WHEN per.contaminated THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS contaminated_permille
+        |FROM per JOIN documents d ON per.doc_id = d.doc_id
+        |GROUP BY 1""".stripMargin,
     "ns_badwords" ->
       """WITH terms AS (SELECT unnest(['big table', 'slow', 'a', 'nosuchterm']) AS term),
         |hits AS (

@@ -115,6 +115,25 @@ object Curation {
       .withColumn("contaminated", col("n_contaminated_grams") >= minOverlap)
   }
 
+  /** Per-group contamination report: the release-gate rollup of
+    * [[decontaminate]] — for each `groupCol` value (source, language,
+    * crawl snapshot), how many docs overlap the benchmark and at what
+    * per-mille rate. The number a data release actually publishes (and
+    * the one that localizes a leak to the source that shipped it, which
+    * per-doc flags don't). One extra groups-sized aggregate over the
+    * per-doc frame; integer rate so the report replays cross-engine.
+    */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, groupCol: String, n: Int = 8,
+      minOverlap: Int = 1): DataFrame =
+    decontaminate(corpus, benchmark, textCol, idCol, n, minOverlap)
+      .join(corpus.select(col(idCol), col(groupCol)), Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"))
+      .withColumn("contaminated_permille",
+        call_function("div", lit(1000L) * col("n_contaminated"), col("n_docs")))
+
   /** Near-duplicate decontamination: flag corpus documents that are
     * MinHash near-dups of any benchmark document (est Jaccard ≥
     * `minJaccard`), catching paraphrased / lightly-edited benchmark leaks

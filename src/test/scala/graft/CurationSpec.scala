@@ -739,6 +739,20 @@ class CurationSpec extends AnyFunSuite {
     assert((0L until 200L).count(i => e0(i) != e1(i)) > 150)
   }
 
+  test("contaminationReport: per-source rates localize the leaking source") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over dogs", "clean"),
+      (2L, "totally original content here folks", "clean"),
+      (3L, "held out eval question text here", "leaky"),
+      (4L, "more held out eval question text", "leaky")
+    ).toDF("doc_id", "text", "source")
+    val bench = Seq((100L, "held out eval question text and answers")).toDF("doc_id", "text")
+    val out = Curation.contaminationReport(corpus, bench, "text", "doc_id", "source", n = 4)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("leaky") == (2L, 2L, 1000L))
+    assert(out("clean") == (2L, 0L, 0L))
+  }
+
   test("dsirResampleByGroup: per-group quotas, greedy at T=0, deterministic") {
     val df = (0 until 40).map { i =>
       (i.toLong, if (i < 30) "big" else "small", i.toDouble / 10)
