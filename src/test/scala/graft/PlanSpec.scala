@@ -621,6 +621,16 @@ class PlanSpec extends AnyFunSuite {
       s"per-doc rank window expected:\n${plan.take(3000)}")
   }
 
+  test("correlation matrix: ONE aggregation over the scan, partial map-side, no join") {
+    val plan = planOf(SparkEntry.queries("ns_correlation")(spark, sf))
+    assert(!plan.contains("Join"), s"one-scan matrix must not join:\n${plan.take(3000)}")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"co-moments must partial-aggregate:\n${plan.take(3000)}")
+    // exactly one Exchange: the single-row final aggregate
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected the lone final-agg exchange, got $exchanges:\n${plan.take(3000)}")
+  }
+
   test("resample: every data window partitions by the series key") {
     val plan = planOf(SparkEntry.queries("ns_resample")(spark, sf))
     // both the LOCF carry and any rank windows must be keyed — a keyless
