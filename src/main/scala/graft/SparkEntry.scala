@@ -1409,6 +1409,17 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(17)) === 0),
         "text", "doc_id", n = 4)
     }),
+    "ns_split_by_cluster" -> ((s, dir) => {
+      // leakage-free split gate on a deterministic synthetic clustering
+      // (%37): members of one cluster must share a split label; docs
+      // outside the cluster table band by their own id
+      val d = t(s, dir, "documents")
+      val clusters = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("id"), (col("doc_id") % 37).as("cluster_id"))
+      graft.ops.Curation.assignSplitByCluster(
+          d.select(col("doc_id"), col("lang")), "doc_id", clusters)
+        .select(col("doc_id"), col("lang"), col("split"))
+    }),
     "ns_contamination_report" -> ((s, dir) => {
       // per-source rollup of the same benchmark split ns_decontaminate
       // pins — the release-gate number, with shared gram semantics
@@ -3742,6 +3753,16 @@ object SparkEntry {
         |  coalesce(n_hits, 0) >= 1 AS contaminated
         |FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
         |WHERE g.doc_id % 17 != 0""".stripMargin,
+    "ns_split_by_cluster" ->
+      """WITH cl AS (SELECT doc_id AS id, doc_id % 37 AS cluster_id FROM documents WHERE doc_id % 2 = 0),
+        |j AS (SELECT d.doc_id, d.lang, COALESCE(cl.cluster_id, d.doc_id) AS k
+        |      FROM documents d LEFT JOIN cl ON d.doc_id = cl.id),
+        |h AS (SELECT doc_id, lang,
+        |        (('0x' || substr(md5('graft-split|' || CAST(k AS VARCHAR)), 1, 8))::UBIGINT & 2147483647) % 1000 AS hv
+        |      FROM j)
+        |SELECT doc_id, lang,
+        |  CASE WHEN hv < 800 THEN 'train' WHEN hv < 900 THEN 'val' ELSE 'test' END AS split
+        |FROM h""".stripMargin,
     "ns_contamination_report" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
         |g AS (SELECT doc_id, CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]

@@ -755,6 +755,36 @@ object Curation {
     df.withColumn("split", expr)
   }
 
+  /** Leakage-free split assignment: band by the NEAR-DUP CLUSTER id
+    * instead of the document id, so a cluster of near-duplicates can
+    * never straddle train/test — the failure mode [[assignSplit]]'s
+    * scaladoc warns about made structurally impossible instead of
+    * procedurally avoided (id-banding after dedup still leaks when
+    * dedup kept several members, e.g. [[Dedup.keepBest]] retention or a
+    * threshold looser than "identical"). `clusters` is any (id,
+    * cluster_id) assignment ([[Dedup.clusterAssignments]], SemDeDup
+    * cells); unclustered docs (absent from `clusters`) band by their own
+    * id — identical to [[assignSplit]] for singletons, so the two
+    * operators agree wherever no clustering applies. One key join
+    * against the assignment table; the hash/band arithmetic is the same
+    * portable chain, so the oracle replays it.
+    */
+  def assignSplitByCluster(df: DataFrame, idCol: String, clusters: DataFrame,
+      bands: Seq[(String, Int)] = Seq("train" -> 800, "val" -> 100, "test" -> 100),
+      seed: String = "graft-split"): DataFrame = {
+    require(bands.nonEmpty && bands.forall(_._2 >= 0) && bands.map(_._2).sum <= 1000,
+      "band per-milles must be non-negative and sum to <= 1000")
+    val withCluster = df.join(
+      clusters.select(col("id").as(idCol), col("cluster_id").as("__cl")),
+      Seq(idCol), "left")
+    val hv = pmod(portableHash31(coalesce(col("__cl"), col(idCol)), seed), lit(1000L))
+    val cum = bands.scanLeft(0)(_ + _._2).tail
+    val expr = bands.init.zip(cum.init).foldRight(lit(bands.last._1): Column) {
+      case (((label, _), hi), acc) => when(hv < hi, lit(label)).otherwise(acc)
+    }
+    withCluster.withColumn("split", expr).drop("__cl")
+  }
+
   /** Deterministic global shuffle for training order: every row gets a
     * dense 0-based `shuffle_pos` equal to its rank under
     * `(portableHash31(seed-e<epoch> | id), id)` — a reproducible random

@@ -739,6 +739,24 @@ class CurationSpec extends AnyFunSuite {
     assert((0L until 200L).count(i => e0(i) != e1(i)) > 150)
   }
 
+  test("assignSplitByCluster: a cluster never straddles splits; singletons match assignSplit") {
+    val df = (0L until 300L).map(i => (i, s"doc$i")).toDF("id", "payload")
+    // clusters of 3: ids 0..149 in 50 clusters; 150..299 unclustered
+    val clusters = (0L until 150L).map(i => (i, i / 3 * 3)).toDF("id", "cluster_id")
+    val out = Curation.assignSplitByCluster(df, "id", clusters)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // every cluster is split-homogeneous
+    (0L until 150L by 3).foreach { c =>
+      assert(Set(out(c), out(c + 1), out(c + 2)).size == 1, s"cluster $c straddles")
+    }
+    // unclustered ids band exactly like plain assignSplit
+    val plain = Curation.assignSplit(df.where(col("id") >= 150), "id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    (150L until 300L).foreach(i => assert(out(i) == plain(i)))
+    // all three labels occur (sanity on the banding)
+    assert(out.values.toSet == Set("train", "val", "test"))
+  }
+
   test("contaminationReport: per-source rates localize the leaking source") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over dogs", "clean"),
