@@ -1130,6 +1130,12 @@ object SparkEntry {
       graft.ops.Temporal.rolling(e, Seq("user_id"), "ts_us",
         window = 3600000000L, valueCol = "cents")
     }),
+    "ns_trending" -> ((s, dir) =>
+      // top-3 event types per 6h tumbling window, deterministic ties
+      graft.ops.Temporal.trendingTopK(
+        t(s, dir, "events").select(unix_micros(col("ts")).as("ts_us"),
+          col("event_type")),
+        "ts_us", "event_type", windowMs = 21600000000L, k = 3)),
     "ns_journey_match" -> ((s, dir) =>
       // CEP-lite gate: which users ever purchase DIRECTLY after a click
       // (funnel's anything-between cannot express adjacency). Fixed user
@@ -3285,6 +3291,14 @@ object SparkEntry {
         |       CAST(count(*) OVER w AS BIGINT) AS w_n
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
         |                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "ns_trending" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type FROM events),
+        |c AS (SELECT (ts_us // 21600000000) * 21600000000 AS window_start,
+        |             event_type AS item, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM e GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY window_start
+        |        ORDER BY cnt DESC, item) AS BIGINT) AS rank FROM c)
+        |SELECT window_start, item, cnt, rank FROM r WHERE rank <= 3""".stripMargin,
     "ns_journey_match" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
         |                  event_id, event_type FROM events WHERE user_id <= 300)

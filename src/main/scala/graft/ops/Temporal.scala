@@ -336,6 +336,28 @@ object Temporal {
       .drop("__b")
   }
 
+  /** Trending items per time window: top-`k` `itemCol` values by count
+    * in each `windowMs` tumbling bucket, deterministic ties (count desc,
+    * item asc) — the dashboard/alerting staple (what spiked this hour)
+    * and the windowed face of [[graft.ops.Profile.heavyHitters]]. One
+    * partial-aggregated (window, item) count, then a rank window
+    * PARTITIONED BY WINDOW — windows are numerous, so the ranking
+    * parallelizes across them and no partition ever holds more than one
+    * window's distinct items. Output: (window_start, item, cnt, rank).
+    */
+  def trendingTopK(events: DataFrame, timeCol: String, itemCol: String,
+      windowMs: Long, k: Int): DataFrame = {
+    require(windowMs > 0 && k >= 1, "need windowMs > 0 and k >= 1")
+    events
+      .select((floorDiv(col(timeCol), windowMs) * windowMs).as("window_start"),
+        col(itemCol).as("item"))
+      .groupBy("window_start", "item").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("window_start")
+          .orderBy(col("cnt").desc, col("item"))).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Journey pattern matching (CEP-lite): per key, the time-ordered
     * event-type sequence rendered as a `sep`-joined string, matched
     * against a regex — the expressiveness layer [[funnel]] lacks

@@ -244,6 +244,22 @@ class TemporalSpec extends AnyFunSuite {
     assert(r1.count() > 0)
   }
 
+  test("trendingTopK: per-window ranks, deterministic ties, k cut") {
+    val e = Seq(
+      // window 0: a×3, b×2, c×1, d×1 (c/d tie → c first alphabetically)
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"), (6L, "c"), (7L, "d"),
+      // window 10: b×2, a×1
+      (12L, "b"), (13L, "b"), (14L, "a")
+    ).toDF("t", "item")
+    val out = graft.ops.Temporal.trendingTopK(e, "t", "item", windowMs = 10L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out((0L, "a")) == (3L, 1L) && out((0L, "b")) == (2L, 2L))
+    assert(out((0L, "c")) == (1L, 3L), "alphabetical tie: c ranks before d")
+    assert(!out.contains((0L, "d")), "k = 3 cuts d")
+    assert(out((10L, "b")) == (2L, 1L) && out((10L, "a")) == (1L, 2L))
+    assert(out.size == 5)
+  }
+
   test("journeyMatch: adjacency regex, time order, same-ts determinism") {
     val e = Seq(
       // u1: click then purchase adjacent — matches
