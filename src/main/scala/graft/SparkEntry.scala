@@ -1073,6 +1073,24 @@ object SparkEntry {
       graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3,
         redistributeDangling = true)
     }),
+    "ns_ppr" -> ((s, dir) => {
+      // personalized PageRank on the bipartite trading graph, restart mass
+      // pinned to a deterministic supplier whitelist (s_suppkey % 7 == 1):
+      // proximity-to-trusted-seeds vs ns_pagerank's global popularity. The
+      // oracle unrolls 2 integer rounds with the seed indicator joined
+      // into every damping step.
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("cn"),
+          concat(lit("s"), col("l_suppkey")).as("sn")).distinct()
+      val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
+        .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+      val seeds = t(s, dir, "supplier").where(col("s_suppkey") % 7 === 1)
+        .select(concat(lit("s"), col("s_suppkey")).as("seed"))
+      graft.ops.Graph.personalizedPageRank(edges, "src", "dst", seeds, "seed",
+        iters = 2)
+    }),
     "ns_asof_join" -> ((s, dir) => {
       // each click attaches the user's latest at-or-before purchase —
       // DuckDB's native ASOF JOIN is the oracle; the Spark plan is the
@@ -3175,6 +3193,33 @@ object SparkEntry {
         |r3 AS (SELECT n.node, CAST(150000 + (17 * coalesce(c3.s, 0)) // 20 AS BIGINT) AS pr
         |       FROM n LEFT JOIN c3 ON n.node = c3.node)
         |SELECT node, pr FROM r3""".stripMargin,
+    "ns_ppr" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS cn,
+        |                  's' || CAST(l_suppkey AS VARCHAR) AS sn
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT cn AS src, sn AS dst FROM pairs
+        |      UNION ALL SELECT sn, cn FROM pairs),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |sd AS (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+        |       FROM supplier WHERE s_suppkey % 7 = 1),
+        |ns AS (SELECT n.node,
+        |              CASE WHEN sd.node IS NOT NULL THEN CAST(1 AS BIGINT)
+        |                   ELSE CAST(0 AS BIGINT) END AS s
+        |       FROM n LEFT JOIN sd ON n.node = sd.node),
+        |r0 AS (SELECT node, CAST(s * 1000000 AS BIGINT) AS pr FROM ns),
+        |c1 AS (SELECT e.dst AS node, sum(r.pr // d.outdeg) AS sc
+        |       FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r1 AS (SELECT ns.node,
+        |              CAST(ns.s * 150000 + (17 * coalesce(c1.sc, 0)) // 20 AS BIGINT) AS pr
+        |       FROM ns LEFT JOIN c1 ON ns.node = c1.node),
+        |c2 AS (SELECT e.dst AS node, sum(r.pr // d.outdeg) AS sc
+        |       FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r2 AS (SELECT ns.node,
+        |              CAST(ns.s * 150000 + (17 * coalesce(c2.sc, 0)) // 20 AS BIGINT) AS pr
+        |       FROM ns LEFT JOIN c2 ON ns.node = c2.node)
+        |SELECT node, pr FROM r2""".stripMargin,
     "ns_hits" ->
       """WITH e AS (
         |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,

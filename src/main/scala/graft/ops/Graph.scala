@@ -196,6 +196,73 @@ object Graph {
     ranks
   }
 
+  /** Personalized (topic-sensitive) PageRank: the teleport mass returns to
+    * the `seeds` set instead of spreading uniformly, so scores measure
+    * proximity-with-endorsement to the seeds — the standard "expand a
+    * trusted whitelist" signal (TrustRank's core mechanic): seed a few
+    * hand-verified reputable domains, rank the whole link graph by
+    * random-walk-with-restart mass, and crawl/keep the high-mass tail that
+    * plain [[pageRank]] (which rewards ANY popularity, spam-farm links
+    * included) cannot distinguish.
+    *
+    * Integer-exact in micro-units like [[pageRank]]: seeds start at
+    * 1,000,000 and non-seeds at 0; each round
+    * `pr'(v) = [v∈S]·150000 + (17·Σ contrib) div 20`. Each SEED retains
+    * its own 0.15 restart mass (mass scales with |S| — divide downstream
+    * if a normalized score matters; ranking is unaffected). Seeds not
+    * present in the graph are ignored (documented: the walk can only
+    * restart at nodes that exist).
+    *
+    * Scale shape = [[pageRank]]'s leaky chain: seed membership joins into
+    * the node frame ONCE before the loop (node-sized, persisted), each
+    * round is one same-key edge join + partial-agg sum + node-sized
+    * projection referencing `ranks` exactly once, so lineage is a chain
+    * and `persistEvery` batching + leaf-ification bound both plan size
+    * and recompute (SCALE.md "Iterative operators"). The returned frame
+    * is persisted (final checkpoint); the caller owns `unpersist()`.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String,
+      iters: Int = 3, persistEvery: Int = 4): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    require(persistEvery > 0, "persistEvery must be positive")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eo = e.join(outDeg, "src").persist()
+    // node frame carries the seed indicator for the whole loop: one
+    // distinct + one left join total, never inside a round
+    val seedSet = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("__s", lit(1L))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(seedSet, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0L)).as("__s"))
+      .persist()
+    var ranks = nodes.select(col("node"), (col("__s") * lit(1000000L)).as("pr"))
+    var cur: DataFrame = null
+    for (i <- 1 to iters) {
+      val contribs = eo.join(ranks, eo("src") === ranks("node"))
+        .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      var next = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (col("__s") * lit(150000L) +
+            expr("(17 * coalesce(s, CAST(0 AS BIGINT))) div 20")).as("pr"))
+      if (i % persistEvery == 0 || i == iters) {
+        next = next.persist()
+        next.count()
+        if (cur != null) cur.unpersist()
+        cur = next
+        if (i != iters) next = truncateLineage(next)
+      }
+      ranks = next
+    }
+    e.unpersist()
+    eo.unpersist()
+    nodes.unpersist()
+    ranks
+  }
+
   /** Integer-exact HITS (Kleinberg hubs & authorities) over directed
     * edges: `iters` rounds of a(v) = Σ h(in-neighbors), h(u) = Σ a(out-
     * neighbors), each half-step max-normalized to micro-units (top score

@@ -65,6 +65,33 @@ class GraphSpec extends AnyFunSuite {
     assert(kept > leaky && kept <= 3000000L)
   }
 
+  test("personalizedPageRank: hand-computed restart-at-seed rounds") {
+    // seeds = {a}; pr0: a=10^6, b=c=0
+    // iter1: b,c each get 10^6 div 2 from a; a gets 0 from b
+    //   a = 150000 + 0 = 150000; b = c = 0 + (17*500000) div 20 = 425000
+    // iter2: a gets 425000 from b; b,c get 150000 div 2 = 75000 from a
+    //   a = 150000 + (17*425000) div 20 = 511250
+    //   b = c = 0 + (17*75000) div 20 = 63750
+    val seeds = Seq("a").toDF("n")
+    val r1 = Graph.personalizedPageRank(tri, "src", "dst", seeds, "n", iters = 1)
+      .orderBy("node").collect().map(_.toSeq)
+    assert(r1.toSeq == Seq(Seq("a", 150000L), Seq("b", 425000L), Seq("c", 425000L)))
+    val r2 = Graph.personalizedPageRank(tri, "src", "dst", seeds, "n", iters = 2)
+      .orderBy("node").collect().map(_.toSeq)
+    assert(r2.toSeq == Seq(Seq("a", 511250L), Seq("b", 63750L), Seq("c", 63750L)))
+  }
+
+  test("personalizedPageRank: seeds outside the graph are ignored; mass stays near seeds") {
+    // two disjoint 2-cycles; seeding one leaves the other at exactly zero
+    val e = Seq(("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")).toDF("src", "dst")
+    val seeds = Seq("a", "ghost").toDF("n") // ghost not in the graph
+    val pr = Graph.personalizedPageRank(e, "src", "dst", seeds, "n", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pr.keySet == Set("a", "b", "x", "y"), "ghost seed must not add a node")
+    assert(pr("x") == 0L && pr("y") == 0L, s"unreachable component must hold zero mass: $pr")
+    assert(pr("a") > 0L && pr("b") > 0L)
+  }
+
   test("hits: hand-computed max-normalized rounds (micro-units)") {
     // 1->3, 2->3, 3->4: 1 and 2 are hubs, 3 is the authority
     val e = Seq(("1", "3"), ("2", "3"), ("3", "4")).toDF("src", "dst")
