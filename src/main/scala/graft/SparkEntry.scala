@@ -1015,6 +1015,18 @@ object SparkEntry {
         .where(col("pa") < col("pb")).select("pa", "pb").distinct()
       graft.ops.Graph.triangles(edges, "pa", "pb")
     }),
+    "ns_neighbor_jaccard" -> ((s, dir) => {
+      // structural mirror detection on the co-ordered-parts graph: part
+      // pairs whose neighborhoods overlap in >= 2 nodes, Jaccard-scored in
+      // permille. Guard above the max degree, so the output is exact and
+      // the oracle replays wedge counting + true-degree Jaccard verbatim.
+      val l = t(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = l.select(col("ok"), col("pk").as("pa"))
+        .join(l.select(col("ok"), col("pk").as("pb")), "ok")
+        .where(col("pa") < col("pb")).select("pa", "pb").distinct()
+      graft.ops.Graph.neighborJaccard(edges, "pa", "pb", minCommon = 2)
+    }),
     "ns_assortativity" -> ((s, dir) => {
       // degree-degree correlation of the co-ordered-parts graph — one
       // exact-decimal correlation row; the oracle replays degrees, the
@@ -1147,6 +1159,29 @@ object SparkEntry {
         round(col("value") * 100).cast("long").as("cents"))
       graft.ops.Temporal.rolling(e, Seq("user_id"), "ts_us",
         window = 3600000000L, valueCol = "cents")
+    }),
+    "ns_file_stats" -> ((s, dir) => {
+      // per-file manifest over the (single-file) lineitem table: counts,
+      // min/max, null counts replayed by a whole-table aggregate. Multi-
+      // file semantics (disjoint ranges, pruning) are gated in ScalaTest
+      // where the file layout is under test control.
+      graft.ops.Tables.fileStats(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_returnflag"))
+        .select(regexp_extract(col("file"), "([^/]+)$", 1).as("file"),
+          col("n_rows"),
+          col("l_orderkey_min"), col("l_orderkey_max"), col("l_orderkey_nulls"),
+          col("l_returnflag_min"), col("l_returnflag_max"),
+          col("l_returnflag_nulls"))
+    }),
+    "ns_anomalies" -> ((s, dir) => {
+      // trailing z-score screen: each spend flagged against its user's own
+      // prior-24h mean/variance (integer cents, decimal-promoted squares);
+      // the oracle replays the same RANGE frame + HUGEINT comparison.
+      val e = t(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      graft.ops.Temporal.anomalies(e, Seq("user_id"), "ts_us", "cents",
+        windowUs = 86400000000L, kPermille = 2500L, minPoints = 5L)
     }),
     "ns_trending" -> ((s, dir) =>
       // top-3 event types per 6h tumbling window, deterministic ties
@@ -3083,6 +3118,21 @@ object SparkEntry {
          |SELECT lang, metric, v_a, v_b, v_b - v_a AS delta,
          |       ((v_b - v_a) * 1000) // greatest(v_a, 1) AS delta_permille
          |FROM u""".stripMargin,
+    "ns_neighbor_jaccard" ->
+      """WITH l AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem WHERE l_orderkey <= 2000),
+        |e0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM l a JOIN l b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |        FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+        |nb AS (SELECT u AS n, v AS nb FROM e0 UNION ALL SELECT v, u FROM e0),
+        |pairs AS (SELECT x.nb AS node_a, y.nb AS node_b, CAST(count(*) AS BIGINT) AS common
+        |          FROM nb x JOIN nb y ON x.n = y.n AND x.nb < y.nb
+        |          GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.node_a, p.node_b, p.common, da.deg AS deg_a, db.deg AS deg_b,
+        |       CAST((1000 * p.common) // (da.deg + db.deg - p.common) AS BIGINT)
+        |         AS jaccard_permille
+        |FROM pairs p
+        |JOIN deg da ON p.node_a = da.node
+        |JOIN deg db ON p.node_b = db.node""".stripMargin,
     "ns_assortativity" ->
       """WITH l AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem WHERE l_orderkey <= 2000),
         |e0 AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb FROM l a JOIN l b ON a.ok = b.ok AND a.pk < b.pk),
@@ -3336,6 +3386,32 @@ object SparkEntry {
         |       CAST(count(*) OVER w AS BIGINT) AS w_n
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
         |                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "ns_file_stats" ->
+      """SELECT 'lineitem.parquet' AS file, CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(l_orderkey) AS l_orderkey_min, max(l_orderkey) AS l_orderkey_max,
+        |       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS l_orderkey_nulls,
+        |       min(l_returnflag) AS l_returnflag_min,
+        |       max(l_returnflag) AS l_returnflag_max,
+        |       CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS l_returnflag_nulls
+        |FROM lineitem""".stripMargin,
+    "ns_anomalies" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+        |                  CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |st AS (SELECT user_id, ts_us, event_id, cents,
+        |              CAST(count(*) OVER w AS BIGINT) AS n_ref,
+        |              CAST(coalesce(sum(cents) OVER w, 0) AS BIGINT) AS s,
+        |              CAST(coalesce(sum(cents * cents) OVER w, 0) AS BIGINT) AS q
+        |       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |                           RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, ts_us, event_id, cents, n_ref,
+        |       (n_ref >= 5 AND
+        |        CAST(cents * n_ref - s AS HUGEINT) * CAST(cents * n_ref - s AS HUGEINT)
+        |          * 1000000
+        |          > 6250000 * CAST(n_ref * q - s * s AS HUGEINT)) AS is_anomaly
+        |FROM st""".stripMargin,
     "ns_trending" ->
       """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type FROM events),
         |c AS (SELECT (ts_us // 21600000000) * 21600000000 AS window_start,

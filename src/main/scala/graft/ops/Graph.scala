@@ -436,6 +436,69 @@ object Graph {
           .otherwise(lit(0L)).as("lcc_permille"))
   }
 
+  /** Neighborhood-overlap similarity: node pairs of the undirected simple
+    * graph that share at least `minCommon` neighbors, scored by Jaccard
+    * overlap of their neighbor sets in integer permille. The structural
+    * mirror/clone detector on link graphs — two domains whose OUTLINK or
+    * co-citation neighborhoods coincide are mirrors, scraper clones, or a
+    * link farm's members even when their page text already diverged
+    * (complements [[triangles]]' density and content-side
+    * [[graft.ops.Dedup.minhashCandidates]]): rows with jaccard_permille
+    * near 1000 are near-identical link contexts.
+    *
+    * Algorithm: count common neighbors by wedge enumeration — for every
+    * node u emit the rank-ordered pairs of its neighborhood, then one
+    * partial-aggregated count per pair; Jaccard then needs no set
+    * intersection: |A∩B| = common, |A∪B| = deg_a + deg_b − common.
+    *
+    * Scale shape — wedge volume is Σ deg(u)², and a single celebrity hub
+    * would emit deg² pairs from ITS neighborhood alone (the co-citation
+    * analogue of a stopword). `maxWedgeDegree` is the skew guard: nodes
+    * with degree above it contribute NO wedges (their shared-ness carries
+    * almost no similarity signal — everyone links the hub), exactly the
+    * stop-neighbor pruning of prefix-filter similarity joins. Degrees in
+    * the Jaccard stay the TRUE degrees, so excluded hubs only UNDERCOUNT
+    * `common` (scores are a lower bound when the guard fires; the gate
+    * query runs with the guard above the max degree, where the output is
+    * exact). Pairs, not wedges, are the output unit: one exchange keyed by
+    * (a, b) after the per-u flat enumeration, everything else node-keyed.
+    *
+    * Output: (node_a, node_b, common, deg_a, deg_b, jaccard_permille)
+    * with node_a < node_b, jaccard_permille = (1000·common) div
+    * (deg_a + deg_b − common).
+    */
+  def neighborJaccard(edges: DataFrame, srcCol: String, dstCol: String,
+      minCommon: Long = 1L, maxWedgeDegree: Long = 10000L): DataFrame = {
+    require(minCommon >= 1, "minCommon must be >= 1")
+    require(maxWedgeDegree >= 1, "maxWedgeDegree must be >= 1")
+    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node")).union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val nbrs = und.select(col("u").as("n"), col("v").as("nb"))
+      .union(und.select(col("v").as("n"), col("u").as("nb")))
+    // stop-neighbor guard: high-degree wedge CENTERS are dropped before
+    // the quadratic enumeration (broadcastable node-sized side)
+    val centers = nbrs.join(
+      deg.where(col("deg") <= maxWedgeDegree).select(col("node").as("n")),
+      Seq("n"), "left_semi")
+    val pairs = centers.select(col("n"), col("nb").as("na"))
+      .join(centers.select(col("n"), col("nb").as("nb2")), Seq("n"))
+      .where(col("na") < col("nb2"))
+      .groupBy(col("na").as("node_a"), col("nb2").as("node_b"))
+      .agg(count(lit(1)).as("common"))
+      .where(col("common") >= minCommon)
+    pairs
+      .join(deg.select(col("node").as("node_a"), col("deg").as("deg_a")), "node_a")
+      .join(deg.select(col("node").as("node_b"), col("deg").as("deg_b")), "node_b")
+      .select(col("node_a"), col("node_b"), col("common"),
+        col("deg_a"), col("deg_b"),
+        call_function("div", lit(1000L) * col("common"),
+          col("deg_a") + col("deg_b") - col("common")).as("jaccard_permille"))
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * endpoint degrees across edges of the undirected simple graph —
     * POSITIVE when high-degree nodes link to each other (social/citation

@@ -178,6 +178,52 @@ object Tables {
     if (includeUnchanged) out else out.filter(col("status") =!= "unchanged")
   }
 
+  /** Per-file column-statistics manifest: one row per underlying data
+    * file with its row count and, for every requested column, min / max /
+    * null count. This is the query-side half of the layout work
+    * ([[zOrderValue]], [[writeSharded]] sort the data so these ranges are
+    * TIGHT): persist the manifest once per snapshot and a planner — or an
+    * operator like [[pruneCandidates]] — can skip every file whose range
+    * cannot match a predicate, without opening a single footer. At 100 TB
+    * that is the difference between listing a manifest table of ~10⁵ rows
+    * and stat-ing 10⁵ files on an object store; it is also how incremental
+    * jobs pick JUST the files overlapping their key range.
+    *
+    * Plan shape: `_metadata.file_path` is a generated column on any file
+    * source scan (no extra IO), and the aggregate is partial — each task
+    * pre-combines to one row per (task, file), so the exchange carries
+    * O(files) rows regardless of data size.
+    *
+    * Output: (file, n_rows, <c>_min, <c>_max, <c>_nulls ...). min/max of
+    * an all-null file are null (no non-null value exists — range-predicate
+    * pruning may drop such files for non-null predicates).
+    */
+  def fileStats(df: DataFrame, statCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(statCols.nonEmpty, "need at least one column to profile")
+    val aggs = count(lit(1)).as("n_rows") +:
+      statCols.flatMap { c =>
+        Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"))
+      }
+    df.groupBy(col("_metadata.file_path").as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Files whose [min, max] range for `colName` can intersect [lo, hi] —
+    * the manifest-side prune over a [[fileStats]] output. Conservative on
+    * nulls only where it must be: an all-null file (null min/max) cannot
+    * satisfy a range predicate and is dropped. The result is metadata-
+    * sized; feed the file list into a source filter or an incremental
+    * job's input selection.
+    */
+  def pruneCandidates(stats: DataFrame, colName: String,
+      lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.col
+    stats.where(col(s"${colName}_max") >= lo && col(s"${colName}_min") <= hi)
+  }
+
   /** Z-order (Morton) interleave of `cols`, each clamped to its low `bits`
     * bits: bit i of column j lands at output bit `i * nCols + j`, so rows
     * close in EVERY dimension get close z-values. Sorting/range-sharding

@@ -302,6 +302,60 @@ object Temporal {
       .withColumn(cntCol, count(lit(1)).over(w))
   }
 
+  /** Trailing z-score anomaly screen: flag each point whose deviation from
+    * its OWN key's trailing-window mean exceeds `kPermille/1000` standard
+    * deviations — the streaming-shaped outlier detector for metric
+    * pipelines (ingest-rate spikes, quality-score collapses, sensor
+    * glitches), complementing [[graft.ops.Profile.robustOutliers]]' global
+    * per-group screen with a time-local reference window.
+    *
+    * The reference frame is `RANGE [ts − windowUs, ts − 1]` — the point
+    * itself and ALL points at its exact timestamp are excluded, so (a) a
+    * lone spike cannot mask itself by inflating its own reference
+    * statistics, and (b) equal-time peers see identical frames, making the
+    * flag independent of tie order (the oracle hash-matches under any
+    * sort). Integer-exact: with n/s/q = count/sum/sum-of-squares over the
+    * frame, `z² > k²  ⟺  (x·n − s)² · 10⁶ > kPermille² · (n·q − s²)` —
+    * every term integer, promoted to DECIMAL(38,0) for the squares
+    * (inputs |x| ≤ ~10⁹ with n ≤ ~10⁶ stay inside 38 digits; q is a LONG
+    * sum of x², so keep |x| ≤ ~3·10⁶ at million-row windows — same
+    * overflow-budget convention as the PCA moments). A zero-variance
+    * reference (all values equal) flags ANY deviation, the natural limit.
+    *
+    * One exchange keyed by `keyCols`, one ordered pass per key computing
+    * all three window aggregates over the same frame (single Window node);
+    * rows with fewer than `minPoints` reference points are never flagged.
+    * Output: input columns + `n_ref` + `is_anomaly`.
+    */
+  def anomalies(events: DataFrame, keyCols: Seq[String], timeCol: String,
+      valueCol: String, windowUs: Long, kPermille: Long = 3000L,
+      minPoints: Long = 5L): DataFrame = {
+    require(windowUs >= 1, "windowUs must be >= 1")
+    require(kPermille >= 0, "kPermille must be >= 0")
+    require(minPoints >= 1, "minPoints must be >= 1")
+    Seq("n_ref", "is_anomaly").foreach { c =>
+      require(!events.columns.contains(c), s"output column $c already exists")
+    }
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(timeCol))
+      .rangeBetween(-windowUs, -1)
+    val x = col(valueCol)
+    val withStats = events
+      .withColumn("n_ref", count(lit(1)).over(w))
+      .withColumn("__s", coalesce(sum(x).over(w), lit(0L)))
+      .withColumn("__q", coalesce(sum(x * x).over(w), lit(0L)))
+    // promote BEFORE multiplying: x·n and n·q can overflow LONG long
+    // before the decimal cast would see them
+    val dec = "decimal(38,0)"
+    val dev = x.cast(dec) * col("n_ref") - col("__s")
+    val den = col("n_ref").cast(dec) * col("__q") -
+      col("__s").cast(dec) * col("__s")
+    withStats
+      .withColumn("is_anomaly",
+        col("n_ref") >= minPoints &&
+          dev * dev * lit(1000000L) > lit(kPermille * kPermille) * den)
+      .drop("__s", "__q")
+  }
+
   /** Interval-overlap join: left [s,e] × right [s,e] pairs that overlap
     * (closed bounds: `ls <= re && rs <= le`), keys equal. Right columns
     * come back prefixed. Both sides bucketize like [[rangeJoin]]; each

@@ -579,4 +579,74 @@ object Windows {
           }
         })
   }
+
+  final case class TrendEvent(ts: java.sql.Timestamp, item: String)
+  final case class TrendBuf(counts: Map[String, Long])
+  final case class TrendOut(window_start: Long, item: String, cnt: Long, rank: Long)
+
+  /** Streaming twin of [[graft.ops.Temporal.trendingTopK]]: per tumbling
+    * `windowMs` window, emit the top-`k` items by count ONCE, when the
+    * watermark closes the window — the "what spiked this hour" alert
+    * feed, where the batch form is the backfill. Ranking needs the whole
+    * window (an item's final rank depends on every other item's count),
+    * so emission is inherently at-window-close; the state is one count
+    * map per open window, keyed BY window start — counts merge
+    * commutatively across micro-batches and partitions, and the same tie
+    * rule as batch (count desc, then item asc) pins the emitted ranks.
+    *
+    * State bound: open windows × distinct items per window. That is the
+    * EXACT top-k contract's floor (rank needs every candidate's count);
+    * for unbounded item domains cap the alert stream's vocabulary
+    * upstream or use [[graft.ops.Profile.heavyHitters]]' sketch tier —
+    * same trade the exact/sketch profile pair documents. Batch inputs run
+    * the identical code path with no timeout and emit directly
+    * (batch-identical-path convention; `window_start` is epoch MILLIS
+    * here — the batch operator inherits whatever unit its time column
+    * uses).
+    */
+  def streamingTrending(events: Dataset[TrendEvent], windowMs: Long, k: Int,
+      watermark: String = "10 minutes"): Dataset[TrendOut] = {
+    require(windowMs > 0 && k >= 1, "need windowMs > 0 and k >= 1")
+    implicit val stateEnc = Encoders.product[TrendBuf]
+    implicit val outEnc = Encoders.product[TrendOut]
+    implicit val keyEnc = Encoders.scalaLong
+    val isStream = events.isStreaming
+    val src = if (isStream) events.withWatermark("ts", watermark) else events
+    val timeout = if (isStream) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    def topK(ws: Long, counts: Map[String, Long]): Iterator[TrendOut] =
+      counts.toSeq.sortBy { case (item, c) => (-c, item) }.take(k)
+        .zipWithIndex.map { case ((item, c), i) => TrendOut(ws, item, c, i + 1L) }
+        .iterator
+    src.groupByKey(e => Math.floorDiv(e.ts.getTime, windowMs) * windowMs)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(
+        (ws: Long, rows: Iterator[TrendEvent], state: GroupState[TrendBuf]) => {
+          if (state.hasTimedOut) {
+            // watermark passed window end: the window is final — rank & emit
+            val counts = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+            state.remove()
+            topK(ws, counts)
+          } else {
+            var counts = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+            rows.foreach { e =>
+              counts = counts.updated(e.item, counts.getOrElse(e.item, 0L) + 1L)
+            }
+            if (!isStream) topK(ws, counts)
+            else {
+              val wm = try state.getCurrentWatermarkMs() catch { case _: Throwable => 0L }
+              if (ws + windowMs <= wm) {
+                // window already closed when its first data arrived in this
+                // batch (watermark advanced within the same trigger) — emit
+                // now; later rows are watermark-dropped, so no double emit
+                state.remove()
+                topK(ws, counts)
+              } else {
+                state.update(TrendBuf(counts))
+                state.setTimeoutTimestamp(ws + windowMs)
+                Iterator.empty
+              }
+            }
+          }
+        })
+  }
 }

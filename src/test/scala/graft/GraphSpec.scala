@@ -243,6 +243,30 @@ class GraphSpec extends AnyFunSuite {
       s"per-round job cost must stay bounded: n=32 -> $j1/$r1, n=128 -> $j2/$r2")
   }
 
+  test("neighborJaccard: opposite corners of a 4-cycle are perfect mirrors") {
+    // square a-b-c-d-a: N(a)=N(c)={b,d}, N(b)=N(d)={a,c} — the two
+    // diagonals are the only overlapping pairs, both with full overlap
+    val sq = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")).toDF("src", "dst")
+    val r = Graph.neighborJaccard(sq, "src", "dst")
+      .orderBy("node_a").collect().map(_.toSeq)
+    assert(r.toSeq == Seq(
+      Seq("a", "c", 2L, 2L, 2L, 1000L),
+      Seq("b", "d", 2L, 2L, 2L, 1000L)))
+    // minCommon above the max overlap empties the result
+    assert(Graph.neighborJaccard(sq, "src", "dst", minCommon = 3).count() == 0)
+  }
+
+  test("neighborJaccard: maxWedgeDegree drops hub-mediated pairs (stop-neighbor guard)") {
+    val star = (1 to 4).map(i => ("h", s"s$i")).toDF("src", "dst")
+    // unguarded: every spoke pair shares exactly {h}
+    val full = Graph.neighborJaccard(star, "src", "dst")
+    assert(full.count() == 6)
+    assert(full.select(max(col("common"))).first().getLong(0) == 1L)
+    // hub degree 4 > guard 3: h centers no wedges, spokes have 1-element
+    // neighborhoods — nothing left
+    assert(Graph.neighborJaccard(star, "src", "dst", maxWedgeDegree = 3).count() == 0)
+  }
+
   test("degrees: zero-filled in/out profile") {
     val d = Graph.degrees(tri, "src", "dst").orderBy("node").collect().map(_.toSeq)
     assert(d.toSeq == Seq(

@@ -943,6 +943,38 @@ class OpsSpec extends AnyFunSuite {
     assert(changed.getString(2) != changed.getString(3))
   }
 
+  test("fileStats + pruneCandidates: per-file range manifest prunes non-overlapping files") {
+    import graft.ops.Tables
+    val out = java.nio.file.Files.createTempDirectory("graft-filestats").toString + "/tbl"
+    // range-sharded write → tight, disjoint per-file id ranges (the layout
+    // fileStats is designed to exploit); every 100th v is null
+    spark.range(0, 1000).toDF("id")
+      .withColumn("v", when(col("id") % 100 === 0, lit(null: String))
+        .otherwise(concat(lit("x"), col("id"))))
+      .repartitionByRange(4, col("id"))
+      .write.parquet(out)
+    val df = spark.read.parquet(out)
+    val stats = Tables.fileStats(df, Seq("id", "v")).collect()
+    assert(stats.length == 4, "one manifest row per file")
+    assert(stats.map(_.getAs[Long]("n_rows")).sum == 1000L)
+    assert(stats.map(_.getAs[Long]("v_nulls")).sum == 10L)
+    assert(stats.forall(_.getAs[Long]("id_nulls") == 0L))
+    // ranges are disjoint, so a point predicate prunes to exactly one file
+    val ranges = stats.map(r => (r.getAs[Long]("id_min"), r.getAs[Long]("id_max")))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 < b._1, s"ranges must be disjoint: ${ranges.toSeq}")
+      case _ =>
+    }
+    val cand = Tables.pruneCandidates(
+      Tables.fileStats(df, Seq("id")), "id", lit(5L), lit(5L)).collect()
+    assert(cand.length == 1)
+    // the manifest points at a real readable file containing the match
+    val hit = spark.read.parquet(cand.head.getAs[String]("file"))
+      .filter(col("id") === 5L).count()
+    assert(hit == 1L)
+  }
+
   test("compactDir: merges small files per partition leaf, lossless, idempotent") {
     import graft.ops.Tables
     val out = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/tbl"

@@ -531,4 +531,44 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(stream == batch && stream == Map("u1" -> "view>click>purchase"))
   }
+
+  test("streaming trending: top-k ranks emit once, when the watermark closes the window") {
+    val input = MemoryStream[Windows.TrendEvent](spark, 6)
+    val out = Windows.streamingTrending(input.toDS(),
+      windowMs = 10 * 60 * 1000, k = 2, watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("strend")
+      .outputMode("append").start()
+    try {
+      def ev(m: Int, item: String) = Windows.TrendEvent(
+        java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00"), item)
+      val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+      input.addData(ev(0, "a"), ev(1, "a"), ev(2, "b"), ev(3, "b"),
+        ev(4, "b"), ev(5, "c"))
+      q.processAllAvailable()
+      // window [10:00, 10:10) still open: ranking may not emit early
+      assert(spark.table("strend").count() == 0)
+      input.addData(ev(25, "z")) // watermark → 10:20, closes the window
+      q.processAllAvailable()
+      val got = spark.table("strend").collect()
+        .map(r => ((r.getLong(0) - base) / 60000, r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      // k=2 cut: b(3) rank 1, a(2) rank 2; c(1) cut
+      assert(got == Set((0L, "b", 3L, 1L), (0L, "a", 2L, 2L)))
+    } finally q.stop()
+  }
+
+  test("streaming trending on a closed batch equals the batch operator") {
+    val events = Seq((0, "a"), (1, "a"), (2, "b"), (12, "c"), (13, "c"), (14, "d"))
+      .map { case (m, i) =>
+        Windows.TrendEvent(java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00"), i) }
+    val stream = Windows.streamingTrending(events.toDS(), 10 * 60 * 1000, k = 1)
+      .collect().map(o => (o.window_start, o.item, o.cnt, o.rank)).toSet
+    val batchIn = events.toDF().select((col("ts").cast("long") * 1000).as("t_ms"),
+      col("item"))
+    val batch = graft.ops.Temporal.trendingTopK(batchIn, "t_ms", "item",
+      windowMs = 600000L, k = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(stream == batch && stream.nonEmpty)
+  }
 }

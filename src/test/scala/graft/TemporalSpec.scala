@@ -244,6 +244,37 @@ class TemporalSpec extends AnyFunSuite {
     assert(r1.count() > 0)
   }
 
+  test("anomalies: trailing z-score flags spikes, never its own frame, minPoints gate") {
+    // 5 reference points (mean 10, some variance), then one normal and one
+    // spike probe — z² is integer-compared: dev=(x·n−s), den=(n·q−s²)
+    val e = Seq(
+      ("a", 1L, 10L), ("a", 2L, 12L), ("a", 3L, 8L), ("a", 4L, 11L), ("a", 5L, 9L),
+      ("a", 6L, 11L),  // dev=5 → 25e6 ≤ 9e6·50 → normal
+      ("a", 7L, 30L)   // spike vs refreshed frame
+    ).toDF("k", "ts", "v")
+    val out = Temporal.anomalies(e, Seq("k"), "ts", "v",
+      windowUs = 100L, kPermille = 3000L, minPoints = 5L)
+      .orderBy("ts").collect().map(r => (r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    // first 5 points: n_ref < minPoints → never flagged
+    assert(out.take(5).forall(!_._3))
+    assert(out(5) == ((6L, 5L, false)))
+    assert(out(6)._2 == 6L && out(6)._3, s"spike must flag: ${out.toSeq}")
+  }
+
+  test("anomalies: zero-variance reference flags any deviation; ties share a frame") {
+    val e = Seq(
+      ("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L), ("a", 4L, 10L), ("a", 5L, 10L),
+      ("a", 6L, 10L), ("a", 6L, 100L) // equal-time peers: identical frames
+    ).toDF("k", "ts", "v")
+    val out = Temporal.anomalies(e, Seq("k"), "ts", "v",
+      windowUs = 100L, kPermille = 3000L, minPoints = 5L)
+      .orderBy("ts", "v").collect().map(r => (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val atSix = out.filter(_._2 == 5L)
+    // both ts=6 rows reference ONLY the 5 earlier points (self+peer excluded):
+    // the on-mean value passes, the deviating one trips the zero-variance limit
+    assert(atSix.toSeq == Seq((10L, 5L, false), (100L, 5L, true)))
+  }
+
   test("trendingTopK: per-window ranks, deterministic ties, k cut") {
     val e = Seq(
       // window 0: a×3, b×2, c×1, d×1 (c/d tie → c first alphabetically)
