@@ -1160,6 +1160,28 @@ object SparkEntry {
       graft.ops.Temporal.rolling(e, Seq("user_id"), "ts_us",
         window = 3600000000L, valueCol = "cents")
     }),
+    "ns_gaps" -> ((s, dir) => {
+      // downtime detection: every >6h silence per user in the event
+      // stream; exactly one row per hole under any tie order
+      val e = t(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      graft.ops.Temporal.gaps(e, Seq("user_id"), "ts_us",
+        minGap = 21600000000L)
+    }),
+    "ns_ldiversity" -> ((s, dir) => {
+      // attribute-disclosure audit: customers whose order-status history
+      // carries < 3 distinct values — k-anonymity-safe classes the
+      // diversity audit still flags
+      graft.ops.Curation.lDiversityAudit(t(s, dir, "orders"),
+        Seq("o_custkey"), "o_orderstatus", l = 3)
+    }),
+    "ns_fd" -> ((s, dir) => {
+      // functional-dependency discovery over three order columns: the key
+      // direction holds, the reverses are violated; oracle replays each
+      // pair's two-level distinct aggregate
+      graft.ops.Profile.functionalDependencies(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderpriority"))
+    }),
     "ns_file_stats" -> ((s, dir) => {
       // per-file manifest over the (single-file) lineitem table: counts,
       // min/max, null counts replayed by a whole-table aggregate. Multi-
@@ -3386,6 +3408,57 @@ object SparkEntry {
         |       CAST(count(*) OVER w AS BIGINT) AS w_n
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
         |                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "ns_gaps" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |g AS (SELECT user_id,
+        |             lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS gap_start,
+        |             ts_us AS gap_end
+        |      FROM e)
+        |SELECT user_id, gap_start, gap_end, gap_end - gap_start AS gap
+        |FROM g WHERE gap_end - gap_start > 21600000000""".stripMargin,
+    "ns_ldiversity" ->
+      """WITH c AS (SELECT o_custkey, o_orderstatus, count(*) AS n
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT o_custkey, CAST(sum(n) AS BIGINT) AS class_size,
+        |       CAST(count(*) AS BIGINT) AS sensitive_diversity
+        |FROM c GROUP BY 1 HAVING count(*) < 3""".stripMargin,
+    "ns_fd" ->
+      """SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+        |       CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+        |       sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0 AS holds
+        |FROM (SELECT l, count(*) AS nr FROM
+        |      (SELECT DISTINCT o_orderkey AS l, o_custkey AS r FROM orders) GROUP BY 1)
+        |UNION ALL
+        |SELECT 'o_orderkey', 'o_orderpriority', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |       sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0
+        |FROM (SELECT l, count(*) AS nr FROM
+        |      (SELECT DISTINCT o_orderkey AS l, o_orderpriority AS r FROM orders) GROUP BY 1)
+        |UNION ALL
+        |SELECT 'o_custkey', 'o_orderkey', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |       sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0
+        |FROM (SELECT l, count(*) AS nr FROM
+        |      (SELECT DISTINCT o_custkey AS l, o_orderkey AS r FROM orders) GROUP BY 1)
+        |UNION ALL
+        |SELECT 'o_custkey', 'o_orderpriority', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |       sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0
+        |FROM (SELECT l, count(*) AS nr FROM
+        |      (SELECT DISTINCT o_custkey AS l, o_orderpriority AS r FROM orders) GROUP BY 1)
+        |UNION ALL
+        |SELECT 'o_orderpriority', 'o_orderkey', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |       sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0
+        |FROM (SELECT l, count(*) AS nr FROM
+        |      (SELECT DISTINCT o_orderpriority AS l, o_orderkey AS r FROM orders) GROUP BY 1)
+        |UNION ALL
+        |SELECT 'o_orderpriority', 'o_custkey', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |       sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0
+        |FROM (SELECT l, count(*) AS nr FROM
+        |      (SELECT DISTINCT o_orderpriority AS l, o_custkey AS r FROM orders) GROUP BY 1)""".stripMargin,
     "ns_file_stats" ->
       """SELECT 'lineitem.parquet' AS file, CAST(count(*) AS BIGINT) AS n_rows,
         |       min(l_orderkey) AS l_orderkey_min, max(l_orderkey) AS l_orderkey_max,

@@ -1060,6 +1060,33 @@ object Curation {
       .where(col("class_size") < k)
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2007), distinct-l form:
+    * equivalence classes whose SENSITIVE column carries fewer than `l`
+    * distinct values — the attack [[kAnonymityAudit]] cannot see: a class
+    * of 50 people is 50-anonymous, but if all 50 share one diagnosis the
+    * attribute still discloses. Run it after the k audit passes; classes
+    * this audit flags need generalization of the quasi columns or
+    * suppression even though they are large enough for k.
+    *
+    * NULL sensitive values count as one distinct value (null discloses
+    * "value withheld", itself an attribute). Exact distinct per class =
+    * one two-level partial aggregate (class+value, then class) — same
+    * exchange discipline as the k audit; output is classes, never rows.
+    * Output: quasiCols + (class_size, sensitive_diversity).
+    */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty && l >= 2, "need quasi columns and l >= 2")
+    require(!quasiCols.contains(sensitiveCol),
+      "sensitive column cannot be a quasi-identifier")
+    df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__n")).as("class_size"),
+        count(lit(1)).as("sensitive_diversity"))
+      .where(col("sensitive_diversity") < l)
+  }
+
   /** Enforce k-anonymity by suppression: drop every row whose
     * quasi-identifier class is smaller than `k` (the conservative
     * baseline next to generalization, which is schema-specific and the

@@ -487,4 +487,35 @@ object Profile {
     wide.select(explode(array(entries: _*)).as("e"))
       .select(col("e.col_name"), col("e.metric"), col("e.value"))
   }
+
+  /** Functional-dependency discovery over candidate column pairs: for
+    * every ordered pair (lhs → rhs) of `cols`, does each lhs value map to
+    * exactly one rhs value? The schema-inference primitive behind key
+    * detection ("is doc_id unique per shard?"), denormalization audits
+    * ("does zip really determine city in THIS extract?"), and join-safety
+    * checks before a dimension is broadcast as a lookup.
+    *
+    * Exact, two partial aggregates per pair: distinct (lhs, rhs) combos,
+    * then per-lhs distinct-rhs counts — the exchange carries combos, never
+    * rows. Pairs evaluate independently (one union of per-pair plans;
+    * candidate sets are a handful of columns, and each pair's plan prunes
+    * its scan to two columns). NULLs: a NULL lhs is one group, a NULL rhs
+    * one value — same convention as the governance audits.
+    *
+    * Output per pair: (lhs, rhs, n_groups, violating_groups, holds) —
+    * `violating_groups` = lhs values mapping to >= 2 rhs values.
+    */
+  def functionalDependencies(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.distinct.size == cols.size, "candidate columns must be distinct")
+    require(cols.size >= 2, "need at least two candidate columns")
+    val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+    pairs.map { case (a, b) =>
+      df.select(col(a).as("__l"), col(b).as("__r")).distinct()
+        .groupBy(col("__l")).agg(count(lit(1)).as("__nr"))
+        .agg(lit(a).as("lhs"), lit(b).as("rhs"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("__nr") > 1, 1L).otherwise(0L)).as("violating_groups"))
+        .withColumn("holds", col("violating_groups") === 0L)
+    }.reduce(_ unionAll _)
+  }
 }

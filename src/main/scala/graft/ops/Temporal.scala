@@ -302,6 +302,32 @@ object Temporal {
       .withColumn(cntCol, count(lit(1)).over(w))
   }
 
+  /** Silence/downtime detection — the inverse of [[sessionize]]: per key,
+    * every consecutive-event interval LONGER than `minGap` time units,
+    * as one row (key, gap_start, gap_end, gap). Sessionize groups the
+    * activity; this reports the holes — feed outages in ingest streams,
+    * sensor dropouts, churn-risk inactivity windows. The same lag shape
+    * as sessionize's boundary detection (one exchange on the keys, one
+    * ordered pass per key), emitting boundaries instead of labels.
+    *
+    * Tie-safe: with k equal-time rows closing a gap, exactly ONE of them
+    * (whichever sorts first) sees the pre-gap predecessor — the other
+    * k−1 see a tie neighbor, delta 0 — so every tie order emits the
+    * identical one-row-per-gap set and the oracle hashes equal.
+    */
+  def gaps(events: DataFrame, keyCols: Seq[String], timeCol: String,
+      minGap: Long): DataFrame = {
+    require(minGap >= 1, "minGap must be >= 1")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(timeCol))
+    events
+      .select(keyCols.map(col) :+ col(timeCol): _*)
+      .withColumn("gap_start", lag(col(timeCol), 1).over(w))
+      .withColumn("gap_end", col(timeCol))
+      .withColumn("gap", col("gap_end") - col("gap_start"))
+      .where(col("gap") > minGap)
+      .select(keyCols.map(col) :+ col("gap_start") :+ col("gap_end") :+ col("gap"): _*)
+  }
+
   /** Trailing z-score anomaly screen: flag each point whose deviation from
     * its OWN key's trailing-window mean exceeds `kPermille/1000` standard
     * deviations — the streaming-shaped outlier detector for metric

@@ -806,4 +806,19 @@ class CurationSpec extends AnyFunSuite {
     assert(kept.count(_ == (None, "a")) == 3, "null class of 3 must SURVIVE (null-safe join)")
     assert(kept.length == 6)
   }
+
+  test("lDiversityAudit: large-but-homogeneous classes flagged; nulls are one value") {
+    val df = Seq(
+      ("z1", "flu"), ("z1", "flu"), ("z1", "flu"), // k-safe size 3, diversity 1
+      ("z2", "flu"), ("z2", "cold"), // diversity 2
+      ("z3", null: String), ("z3", null), ("z3", "flu") // null + flu = diversity 2
+    ).toDF("zip", "diag")
+    val l2 = Curation.lDiversityAudit(df, Seq("zip"), "diag", l = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(l2.toSeq == Seq(("z1", 3L, 1L)),
+      "only the homogeneous class violates distinct-2 diversity")
+    val l3 = Curation.lDiversityAudit(df, Seq("zip"), "diag", l = 3)
+      .collect().map(_.getString(0)).sorted
+    assert(l3.toSeq == Seq("z1", "z2", "z3"))
+  }
 }

@@ -260,4 +260,19 @@ class ProfileSpec extends AnyFunSuite {
     val plan = Profile.analyzeColumns(df, exact = false).queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), s"sketch tier must collapse the Expand:\n${plan.take(2000)}")
   }
+
+  test("functionalDependencies: keys hold, reverse direction violated, duplicates collapse") {
+    val df = Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "b", 20L), (3L, "b", 20L))
+      .toDF("id", "g", "v")
+    val out = Profile.functionalDependencies(df, Seq("id", "g", "v")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out.size == 6)
+    assert(out(("id", "g")) == ((3L, 0L, true)), "id is a key: id → g holds")
+    assert(out(("id", "v")) == ((3L, 0L, true)))
+    assert(out(("g", "id")) == ((2L, 1L, false)), "g=a maps to ids {1,2}")
+    assert(out(("g", "v")) == ((2L, 0L, true)))
+    assert(out(("v", "g")) == ((2L, 0L, true)))
+    assert(out(("v", "id")) == ((2L, 1L, false)))
+  }
 }

@@ -244,6 +244,17 @@ class TemporalSpec extends AnyFunSuite {
     assert(r1.count() > 0)
   }
 
+  test("gaps: inter-event holes above threshold; ties never open or duplicate a gap") {
+    val e = Seq(("a", 0L), ("a", 10L), ("a", 100L), ("a", 100L), ("a", 105L),
+      ("b", 0L), ("b", 500L)).toDF("k", "ts")
+    val out = Temporal.gaps(e, Seq("k"), "ts", minGap = 50L)
+      .orderBy("k", "gap_end").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // a: 10→100 is the only >50 hole (the 100-tie contributes delta 0,
+    // and exactly one of the tied rows closes the gap); b: 0→500
+    assert(out.toSeq == Seq(("a", 10L, 100L, 90L), ("b", 0L, 500L, 500L)))
+  }
+
   test("anomalies: trailing z-score flags spikes, never its own frame, minPoints gate") {
     // 5 reference points (mean 10, some variance), then one normal and one
     // spike probe — z² is integer-compared: dev=(x·n−s), den=(n·q−s²)
