@@ -365,10 +365,14 @@ object Temporal {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(timeCol))
       .rangeBetween(-windowUs, -1)
     val x = col(valueCol)
+    // pre-project the square: as a plain column all three aggregates share
+    // ONE Window node (an inline x*x forces a second window pass)
     val withStats = events
+      .withColumn("__x2", x * x)
       .withColumn("n_ref", count(lit(1)).over(w))
       .withColumn("__s", coalesce(sum(x).over(w), lit(0L)))
-      .withColumn("__q", coalesce(sum(x * x).over(w), lit(0L)))
+      .withColumn("__q", coalesce(sum(col("__x2")).over(w), lit(0L)))
+      .drop("__x2")
     // promote BEFORE multiplying: x·n and n·q can overflow LONG long
     // before the decimal cast would see them
     val dec = "decimal(38,0)"

@@ -690,4 +690,38 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
       s"equi-join on (keys, bucket) expected:\n${plan.take(3000)}")
   }
+
+  test("neighborJaccard: wedge/pair stages are equi-joins, never a product") {
+    val plan = planOf(SparkEntry.queries("ns_neighbor_jaccard")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"wedge enumeration must stay an equi-join on the center node:\n${plan.take(3000)}")
+  }
+
+  test("anomalies: all three reference aggregates ride ONE window over ONE key exchange") {
+    val plan = planOf(SparkEntry.queries("ns_anomalies")(spark, sf))
+    val windows = "(?m)^.*Window .*$".r.findAllIn(plan).size
+    assert(windows == 1, s"n/s/q must share one Window node, found $windows:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), s"no join belongs in the screen:\n${plan.take(2000)}")
+  }
+
+  test("fileStats: manifest rollup is one partial aggregate, no join, no window") {
+    val plan = planOf(SparkEntry.queries("ns_file_stats")(spark, sf))
+    assert(plan.contains("partial_"), s"map-side combine expected:\n${plan.take(3000)}")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"manifest must be a bare aggregate over the scan:\n${plan.take(2000)}")
+  }
+
+  test("gaps: one key exchange, one window, no join") {
+    val plan = planOf(SparkEntry.queries("ns_gaps")(spark, sf))
+    val windows = "(?m)^.*Window .*$".r.findAllIn(plan).size
+    assert(windows == 1 && !plan.contains("Join"),
+      s"gap detection is a single lag pass:\n${plan.take(2000)}")
+  }
+
+  test("functionalDependencies: distinct-combo partial aggregates, no row-sized exchange") {
+    val plan = planOf(SparkEntry.queries("ns_fd")(spark, sf))
+    assert(plan.contains("partial_"), s"map-side combine expected:\n${plan.take(3000)}")
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"pairs evaluate independently, no join:\n${plan.take(2000)}")
+  }
 }
