@@ -1886,6 +1886,13 @@ object SparkEntry {
       // (label, dim) by the oracle
       graft.ops.Embeddings.meanPool(t(s, dir, "embeddings"), "label",
         "embedding", dim = 64)),
+    "ns_group_affinity" -> ((s, dir) =>
+      // Corpus-cartography gate: pairwise centroid affinity between the
+      // label groups — integer-exact pooled components, dots, and squared
+      // norms; the cosine's fixed-order IEEE tail (two sqrts, one divide,
+      // one floor) replays bit-for-bit in DuckDB
+      graft.ops.Embeddings.groupAffinity(t(s, dir, "embeddings"), "label",
+        "embedding", dim = 64)),
     "ns_embed_profile" -> ((s, dir) => {
       // Embedding QA: per-dim exact integer micro-moments + collapsed
       // flag over the embeddings table. Every value is a long sum/min/max
@@ -2876,6 +2883,23 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_chunks,
         |       CAST(CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS mean_micro
         |FROM e GROUP BY 1, 2""".stripMargin,
+    "ns_group_affinity" ->
+      """WITH q AS (
+        |  SELECT label, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS qe
+        |  FROM embeddings WHERE len(embedding) = 64),
+        |e AS (SELECT label, unnest(range(1, 65)) AS i, unnest(qe) AS x FROM q),
+        |p AS (SELECT label, i, CAST(CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS v
+        |      FROM e GROUP BY 1, 2),
+        |n AS (SELECT label, CAST(sum(v * v) AS BIGINT) AS nsq FROM p GROUP BY 1),
+        |d AS (SELECT a.label AS ga, b.label AS gb, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+        |      FROM p a JOIN p b ON a.i = b.i AND a.label < b.label
+        |      GROUP BY 1, 2)
+        |SELECT d.ga AS group_a, d.gb AS group_b, d.dot AS dot,
+        |       CASE WHEN na.nsq > 0 AND nb.nsq > 0
+        |            THEN CAST(floor(1000.0 * CAST(d.dot AS DOUBLE) /
+        |                 (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))) AS BIGINT)
+        |            ELSE 0 END AS cos_permille
+        |FROM d JOIN n na ON d.ga = na.label JOIN n nb ON d.gb = nb.label""".stripMargin,
     "ns_embed_profile" ->
       """WITH q AS (
         |  SELECT list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS qe

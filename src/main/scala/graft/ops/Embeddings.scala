@@ -250,6 +250,50 @@ object Embeddings {
         call_function("div", sum("x"), count(lit(1))).as("mean_micro"))
       .withColumnRenamed("__g", groupCol)
 
+  /** Pairwise affinity between GROUP CENTROIDS: mean-pool each group
+    * ([[meanPool]]'s integer-exact reduction), then score every group
+    * pair by centroid dot product and cosine. The corpus-cartography
+    * rollup — which topics/classes/sources sit close in embedding space —
+    * that drives mix design ("these two sources are near-duplicates of
+    * each other's distribution"), label-noise triage (two classes with
+    * cos ≈ 1000 permille are one class), and SemDeDup-style cell merging.
+    *
+    * Exact where it matters: pooled components, dots and squared norms
+    * are integer micro-unit arithmetic (order-independent LONG sums);
+    * only the final cosine takes the repo's fixed-order IEEE tail (two
+    * sqrts, one divide — bit-replayable cross-engine like the profile
+    * family's mean_word_len). Zero-norm centroids score cos 0.
+    *
+    * Scale shape: G groups × d dims. The pair stage is an EQUI-join on
+    * dim_idx (d keys × G rows each), so the exchange is hash-joinable —
+    * no nested-loop product — and the G²-pair aggregate partial-combines
+    * map-side. Affinity matrices are for group-like cardinalities
+    * (sources, languages, classes: G ≤ ~10⁴ → ≤ 10⁸ partial rows across
+    * the cluster); per-DOCUMENT similarity belongs to the ANN family.
+    *
+    * Output: (group_a, group_b, dot, cos_permille), group_a < group_b.
+    */
+  def groupAffinity(vecs: DataFrame, groupCol: String, vecCol: String,
+      dim: Int, quantScale: Long = 1000000L): DataFrame = {
+    val pooled = meanPool(vecs, groupCol, vecCol, dim, quantScale)
+      .select(col(groupCol).as("g"), col("dim_idx"), col("mean_micro").as("v"))
+    val norms = pooled.groupBy("g").agg(sum(col("v") * col("v")).as("nsq"))
+    val dots = pooled.select(col("g").as("ga"), col("dim_idx"), col("v").as("va"))
+      .join(pooled.select(col("g").as("gb"), col("dim_idx"), col("v").as("vb")),
+        "dim_idx")
+      .where(col("ga") < col("gb"))
+      .groupBy("ga", "gb").agg(sum(col("va") * col("vb")).as("dot"))
+    dots
+      .join(norms.select(col("g").as("ga"), col("nsq").as("na")), "ga")
+      .join(norms.select(col("g").as("gb"), col("nsq").as("nb")), "gb")
+      .select(col("ga").as("group_a"), col("gb").as("group_b"), col("dot"),
+        when(col("na") > 0 && col("nb") > 0,
+          floor(lit(1000.0) * col("dot") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+            .cast("long"))
+          .otherwise(lit(0L)).as("cos_permille"))
+  }
+
   /** [[meanPool]] assembled back into one micro-unit LONG vector per group
     * (components in dim order). The collect_list is per-group and
     * dim-bounded; array_sort on (dim_idx, value) structs pins the order so

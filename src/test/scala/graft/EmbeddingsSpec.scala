@@ -202,6 +202,40 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(r.getLong(3) == -375000L)
   }
 
+  test("groupAffinity: exact centroid dots, ordered pairs, zero-norm cos 0") {
+    // centroids by construction: a -> (1e6, 0), b -> (0, 1e6),
+    // c -> (500000, 500000) (exact mean of (1,1) and (0,0)), z -> (0, 0)
+    val df = Seq(
+      ("a", Array(1.0, 0.0)), ("a", Array(1.0, 0.0)),
+      ("b", Array(0.0, 1.0)),
+      ("c", Array(1.0, 1.0)), ("c", Array(0.0, 0.0)),
+      ("z", Array(0.0, 0.0))).toDF("g", "vec")
+    val got = Embeddings.groupAffinity(df, "g", "vec", dim = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == Set(("a","b"), ("a","c"), ("a","z"), ("b","c"), ("b","z"), ("c","z")),
+      "every unordered group pair exactly once, group_a < group_b")
+    assert(got(("a","b")) == (0L, 0L), "orthogonal centroids score 0")
+    // dot(a,c) = 1e6*5e5 = 5e11; cos = 5e11 / (1e6 * sqrt(2*(5e5)^2))
+    val dotAC = 1000000L * 500000L
+    val cosAC = math.floor(1000.0 * dotAC.toDouble /
+      (math.sqrt(1e12) * math.sqrt(2.0 * 500000.0 * 500000.0))).toLong
+    assert(got(("a","c")) == (dotAC, cosAC), "exact integer dot + IEEE cosine tail")
+    assert(cosAC == 707L, "45-degree centroids score ~707 permille")
+    assert(got(("a","z")) == (0L, 0L) && got(("b","z")) == (0L, 0L) &&
+      got(("c","z")) == (0L, 0L), "zero-norm centroid scores cos 0, not NaN")
+    // symmetric input order: b,c dot = 1e6*5e5 likewise
+    assert(got(("b","c")) == (dotAC, cosAC))
+  }
+
+  test("groupAffinity: pair stage is an equi-join on dim_idx (no nested loop)") {
+    val df = Seq(("a", Array(1.0, 0.0)), ("b", Array(0.0, 1.0))).toDF("g", "vec")
+    val plan = Embeddings.groupAffinity(df, "g", "vec", dim = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid pairing must be a hash-joinable equi-join on dim_idx:\n$plan")
+  }
+
   test("projection scan is shuffle-free (components ride the closure)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val m = graft.ops.Embeddings.PcaModel(SparkEntry.FrozenPcaComponentsMicro,
