@@ -1893,6 +1893,11 @@ object SparkEntry {
       // one floor) replays bit-for-bit in DuckDB
       graft.ops.Embeddings.groupAffinity(t(s, dir, "embeddings"), "label",
         "embedding", dim = 64)),
+    "ns_embed_outliers" -> ((s, dir) =>
+      // Label-noise triage gate: integer squared distance to the own-label
+      // centroid + deterministic outlier rank — no floats, bit-exact replay
+      graft.ops.Embeddings.centroidOutliers(t(s, dir, "embeddings"), "label",
+        "vec_id", "embedding", dim = 64)),
     "ns_embed_profile" -> ((s, dir) => {
       // Embedding QA: per-dim exact integer micro-moments + collapsed
       // flag over the embeddings table. Every value is a long sum/min/max
@@ -2900,6 +2905,22 @@ object SparkEntry {
         |                 (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))) AS BIGINT)
         |            ELSE 0 END AS cos_permille
         |FROM d JOIN n na ON d.ga = na.label JOIN n nb ON d.gb = nb.label""".stripMargin,
+    "ns_embed_outliers" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS qe
+        |  FROM embeddings WHERE len(embedding) = 64),
+        |e AS (SELECT label, unnest(range(1, 65)) AS i, unnest(qe) AS x FROM q),
+        |p AS (SELECT label, i, CAST(CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS v
+        |      FROM e GROUP BY 1, 2),
+        |c AS (SELECT label, list(v ORDER BY i) AS cv FROM p GROUP BY 1),
+        |d AS (SELECT q.vec_id AS id, q.label,
+        |             CAST(list_sum(list_transform(range(1, 65),
+        |               j -> (qe[CAST(j AS INT)] - cv[CAST(j AS INT)]) *
+        |                    (qe[CAST(j AS INT)] - cv[CAST(j AS INT)]))) AS BIGINT) AS d2
+        |      FROM q JOIN c ON q.label = c.label)
+        |SELECT id, label, d2,
+        |       CAST(row_number() OVER (PARTITION BY label ORDER BY d2 DESC, id) AS BIGINT) AS outlier_rank
+        |FROM d""".stripMargin,
     "ns_embed_profile" ->
       """WITH q AS (
         |  SELECT list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS qe

@@ -307,4 +307,47 @@ object Embeddings {
         array_sort(collect_list(struct(col("dim_idx"), col("mean_micro")))),
         s => s.getField("mean_micro")).as("pooled_micro"),
         max(col("n_chunks")).as("n_chunks"))
+
+  /** Label-noise triage: integer squared distance from every vector to its
+    * OWN group's centroid ([[meanPoolVectors]]'s exact pooled mean), plus
+    * a deterministic within-group outlier rank (1 = farthest; ties break
+    * by id). The standard mislabeled-example detector — a document whose
+    * embedding sits far from its class centroid is a labeling error,
+    * an off-topic scrape, or genuinely hard, and all three are what a
+    * curation pass wants ranked first — and the cheap single-pass
+    * complement to [[graft.ops.Dedup.semDedup]] (which compares pairs;
+    * this compares to the prototype).
+    *
+    * Integer-exact end-to-end: quantized components minus integer
+    * centroid components, squared and long-summed — no floats anywhere,
+    * so the `ns_embed_outliers` oracle replays d2 bit-for-bit. Overflow:
+    * component diffs ≤ 2·quantScale ⇒ d2 ≤ 4·dim·quantScale² (64 dims at
+    * 10⁶ → 2.6·10¹⁴, comfortable).
+    *
+    * Scale shape: centroids are G×d rows pooled by one partial-agg
+    * exchange; the distance pass joins them back BROADCAST (group-like
+    * cardinalities by contract) so the scan never shuffles, and the rank
+    * window repartitions by group only — (id, group, d2) rows, vectors
+    * never leave the scan stage. Wrong-dimension vectors drop (the
+    * meanPool rule).
+    *
+    * Output: (id, group, d2, outlier_rank).
+    */
+  def centroidOutliers(vecs: DataFrame, groupCol: String, idCol: String,
+      vecCol: String, dim: Int, quantScale: Long = 1000000L): DataFrame = {
+    val cents = meanPoolVectors(vecs, groupCol, vecCol, dim, quantScale)
+      .select(col(groupCol), col("pooled_micro"))
+    val q = vecs.select(col(idCol).as("id"), col(groupCol),
+        quantized(vecCol, quantScale).as("q"))
+      .filter(size(col("q")) === dim)
+    val d = q.join(broadcast(cents), groupCol)
+      .select(col("id"), col(groupCol),
+        aggregate(zip_with(col("q"), col("pooled_micro"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+    d.withColumn("outlier_rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCol).orderBy(col("d2").desc, col("id")))
+        .cast("long"))
+  }
 }

@@ -236,6 +236,30 @@ class EmbeddingsSpec extends AnyFunSuite {
       s"centroid pairing must be a hash-joinable equi-join on dim_idx:\n$plan")
   }
 
+  test("centroidOutliers: exact integer distances, deterministic rank, planted outlier first") {
+    // group g centroid = mean of (0,0),(0,0),(3,0) = (1e6, 0); the planted
+    // far point (3,0) must rank 1
+    val df = Seq(
+      (1L, "g", Array(0.0, 0.0)), (2L, "g", Array(0.0, 0.0)),
+      (3L, "g", Array(3.0, 0.0)),
+      (4L, "h", Array(1.0, 1.0))).toDF("id0", "g", "vec")
+    val got = Embeddings.centroidOutliers(df, "g", "id0", "vec", dim = 2)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(3L) == (("g", 4000000000000L, 1L)), "planted outlier: d2=(2e6)^2, rank 1")
+    assert(got(1L) == (("g", 1000000000000L, 2L)) &&
+      got(2L) == (("g", 1000000000000L, 3L)), "ties rank deterministically by id")
+    assert(got(4L) == (("h", 0L, 1L)), "singleton group sits on its own centroid")
+  }
+
+  test("centroidOutliers: centroids broadcast — the vector scan never shuffles rows") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = Embeddings.centroidOutliers(e, "label", "vec_id", "embedding", dim = 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"distance pass must join centroids broadcast:\n$plan")
+  }
+
   test("projection scan is shuffle-free (components ride the closure)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val m = graft.ops.Embeddings.PcaModel(SparkEntry.FrozenPcaComponentsMicro,
