@@ -1175,6 +1175,14 @@ object SparkEntry {
       graft.ops.Curation.lDiversityAudit(t(s, dir, "orders"),
         Seq("o_custkey"), "o_orderstatus", l = 3)
     }),
+    "ns_tcloseness" -> ((s, dir) => {
+      // distribution-skew disclosure audit: order-priority classes whose
+      // status mix sits > 5 permille total-variation from the global mix —
+      // exact decimal cross products, one integral divide, so membership
+      // (not just the distance) replays bit-for-bit
+      graft.ops.Curation.tClosenessAudit(t(s, dir, "orders"),
+        Seq("o_orderpriority"), "o_orderstatus", tPermille = 5L)
+    }),
     "ns_fd" -> ((s, dir) => {
       // functional-dependency discovery over three order columns: the key
       // direction holds, the reverses are violated; oracle replays each
@@ -3467,6 +3475,20 @@ object SparkEntry {
         |SELECT o_custkey, CAST(sum(n) AS BIGINT) AS class_size,
         |       CAST(count(*) AS BIGINT) AS sensitive_diversity
         |FROM c GROUP BY 1 HAVING count(*) < 3""".stripMargin,
+    "ns_tcloseness" ->
+      """WITH vc AS (SELECT o_orderpriority AS qp, o_orderstatus AS v, count(*) AS nvc
+        |            FROM orders GROUP BY 1, 2),
+        |c AS (SELECT qp, sum(nvc) AS nc FROM vc GROUP BY 1),
+        |g AS (SELECT v, sum(nvc) AS nv FROM vc GROUP BY 1),
+        |t AS (SELECT sum(nvc) AS n FROM vc),
+        |p AS (SELECT c.qp, c.nc, g.v, g.nv FROM c CROSS JOIN g),
+        |j AS (SELECT p.qp, p.nc, p.nv, coalesce(vc.nvc, 0) AS nvc
+        |      FROM p LEFT JOIN vc ON p.qp = vc.qp AND p.v = vc.v)
+        |SELECT qp AS o_orderpriority, CAST(max(nc) AS BIGINT) AS class_size,
+        |       CAST((500 * sum(abs(nvc * (SELECT n FROM t) - nv * nc))) //
+        |            (max(nc) * (SELECT n FROM t)) AS BIGINT) AS dist_permille
+        |FROM j GROUP BY 1 HAVING CAST((500 * sum(abs(nvc * (SELECT n FROM t) - nv * nc))) //
+        |            (max(nc) * (SELECT n FROM t)) AS BIGINT) > 5""".stripMargin,
     "ns_fd" ->
       """SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
         |       CAST(count(*) AS BIGINT) AS n_groups,

@@ -1087,6 +1087,65 @@ object Curation {
       .where(col("sensitive_diversity") < l)
   }
 
+  /** t-closeness audit (Li et al. 2007), categorical/variational form:
+    * equivalence classes whose SENSITIVE-value distribution sits more
+    * than `tPermille` total-variation distance from the corpus-global
+    * distribution — the skew attack [[lDiversityAudit]] cannot see: a
+    * class can carry l distinct diagnoses and still be 98% one rare
+    * disease, disclosing it probabilistically. Distance per class c =
+    * ½·Σ_v |n_vc/n_c − N_v/N|, reported in integer permille.
+    *
+    * Exact arithmetic: counts cast to DECIMAL(38,0) before the cross
+    * products (n_vc·N spans N² — decimal removes the long-overflow
+    * budget entirely), one integral divide at the end:
+    * dist = (500·Σ_v |n_vc·N − N_v·n_c|) div (n_c·N). Values ABSENT
+    * from a class still contribute N_v·n_c to the sum; rather than
+    * materializing the class×value cross product, the absent mass folds
+    * in closed form: Σ_absent N_v·n_c = n_c·N − Σ_present N_v·n_c, so
+    * only the present (class, value) pairs ever exist as rows. NULL
+    * sensitive values are a value (the [[lDiversityAudit]] rule — the
+    * global join is null-safe), NULL quasi-values a class.
+    *
+    * Scale shape: one partial-aggregated groupBy on class+value, a
+    * window re-key on the class (nc), a BROADCAST null-safe join of the
+    * value-cardinality-sized global table, and a final class-keyed
+    * aggregate that reuses the window's partitioning — rows never flow,
+    * classes do. Output: quasiCols + (class_size, dist_permille) for
+    * breaching classes only.
+    */
+  def tClosenessAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, tPermille: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need quasi columns")
+    require(tPermille >= 0 && tPermille < 1000,
+      "tPermille must be in [0, 1000)")
+    require(!quasiCols.contains(sensitiveCol),
+      "sensitive column cannot be a quasi-identifier")
+    val dec = "decimal(38,0)"
+    val vc = df
+      .groupBy((quasiCols.map(col) :+ col(sensitiveCol).as("__v")): _*)
+      .agg(count(lit(1)).cast(dec).as("__nvc"))
+    val gv = df.groupBy(col(sensitiveCol).as("__gv"))
+      .agg(count(lit(1)).cast(dec).as("__nv"))
+    val tot = df.agg(count(lit(1)).cast(dec).as("__N"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*)
+    vc.withColumn("__nc", sum(col("__nvc")).over(w))
+      .join(broadcast(gv), col("__v") <=> col("__gv"))
+      .crossJoin(broadcast(tot))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(max(col("__nc")).as("__nc2"), max(col("__N")).as("__N2"),
+        // present pairs: |n_vc·N − N_v·n_c| minus the N_v·n_c the
+        // closed-form absent mass (n_c·N) double-counts
+        sum(abs(col("__nvc") * col("__N") - col("__nv") * col("__nc"))
+          - col("__nv") * col("__nc")).as("__sp"))
+      .select((quasiCols.map(col) :+
+        col("__nc2").cast("long").as("class_size") :+
+        call_function("div",
+          lit(500L) * (col("__sp") + col("__nc2") * col("__N2")),
+          col("__nc2") * col("__N2")).as("dist_permille")): _*)
+      .where(col("dist_permille") > tPermille)
+  }
+
   /** Enforce k-anonymity by suppression: drop every row whose
     * quasi-identifier class is smaller than `k` (the conservative
     * baseline next to generalization, which is schema-specific and the

@@ -821,4 +821,28 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).sorted
     assert(l3.toSeq == Seq("z1", "z2", "z3"))
   }
+
+  test("tClosenessAudit: exact variational distances, absent values, null sensitive") {
+    // global: flu 3, cold 5, null 2; N = 10
+    // A = 3 flu + 1 cold, B = 4 cold (flu ABSENT — closed-form mass),
+    // C = 2 null. Hand TV permille: A 450, B 500, C 800.
+    val df = Seq(
+      ("A", "flu"), ("A", "flu"), ("A", "flu"), ("A", "cold"),
+      ("B", "cold"), ("B", "cold"), ("B", "cold"), ("B", "cold"),
+      ("C", null: String), ("C", null)).toDF("zip", "diag")
+    val got = Curation.tClosenessAudit(df, Seq("zip"), "diag", tPermille = 0L)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("A" -> ((4L, 450L)), "B" -> ((4L, 500L)), "C" -> ((2L, 800L))),
+      s"hand-computed distances must replay exactly, got $got")
+    val strict = Curation.tClosenessAudit(df, Seq("zip"), "diag", tPermille = 600L)
+      .collect().map(_.getString(0))
+    assert(strict.toSeq == Seq("C"), "threshold gates membership")
+  }
+
+  test("tClosenessAudit: identical class mix scores distance 0 and never breaches") {
+    // both classes carry the exact global mix -> TV = 0
+    val df = Seq(
+      ("A", "x"), ("A", "y"), ("B", "x"), ("B", "y")).toDF("zip", "diag")
+    assert(Curation.tClosenessAudit(df, Seq("zip"), "diag", 0L).count() == 0)
+  }
 }
