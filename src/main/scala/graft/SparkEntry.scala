@@ -974,6 +974,12 @@ object SparkEntry {
       // (count desc, token asc) — deterministic incl. ties
       graft.ops.TextAnalysis.vocabulary(t(s, dir, "documents"), "text",
         minCount = 2L, topK = 100)),
+    "ns_collocations" -> ((s, dir) =>
+      // phrase-table gate: top-50 adjacent pairs seen >= 5 times ranked by
+      // exact-decimal lift (micro-units) — observed over independence, the
+      // transcendental-free PMI stand-in
+      graft.ops.TextAnalysis.collocations(t(s, dir, "documents"), "text",
+        minCount = 5L, topK = 50)),
     "ns_profile_grouped" -> ((s, dir) =>
       // exact per-language corpus profile (docs, tokens, vocab breadth,
       // nearest-rank length quantiles) — the oracle twin of the
@@ -3664,6 +3670,23 @@ object SparkEntry {
         |c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1 HAVING count(*) >= 2),
         |k AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 100)
         |SELECT token, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
+        |FROM k""".stripMargin,
+    "ns_collocations" ->
+      """WITH toks AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        |tot AS (SELECT CAST(sum(len(tk)) AS HUGEINT) AS u,
+        |               CAST(sum(greatest(len(tk) - 1, 0)) AS HUGEINT) AS b FROM toks),
+        |uni AS (SELECT unnest(tk) AS tok FROM toks),
+        |cx AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+        |prs AS (SELECT tk[CAST(i AS INT)] AS tok_a, tk[CAST(i + 1 AS INT)] AS tok_b
+        |        FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM toks WHERE len(tk) >= 2)),
+        |pc AS (SELECT tok_a, tok_b, count(*) AS pair_cnt FROM prs GROUP BY 1, 2 HAVING count(*) >= 5),
+        |sc AS (SELECT pc.tok_a, pc.tok_b, pc.pair_cnt, ca.c AS cnt_a, cb.c AS cnt_b,
+        |       CAST((1000000::HUGEINT * pc.pair_cnt * u * u) // (b * ca.c * cb.c) AS BIGINT) AS lift_micro
+        |       FROM pc JOIN cx ca ON pc.tok_a = ca.tok JOIN cx cb ON pc.tok_b = cb.tok, tot),
+        |k AS (SELECT * FROM sc ORDER BY lift_micro DESC, tok_a, tok_b LIMIT 50)
+        |SELECT tok_a, tok_b, CAST(pair_cnt AS BIGINT) AS pair_cnt,
+        |       CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b, lift_micro,
+        |       CAST(row_number() OVER (ORDER BY lift_micro DESC, tok_a, tok_b) AS BIGINT) AS rank
         |FROM k""".stripMargin,
     "ns_split" ->
       """SELECT doc_id,

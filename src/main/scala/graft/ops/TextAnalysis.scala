@@ -260,6 +260,72 @@ object TextAnalysis {
         .orderBy(col("cnt").desc, col("token"))).cast("long"))
   }
 
+  /** Collocation mining: adjacent-token pairs ranked by LIFT — observed
+    * pair frequency over the frequency independence predicts,
+    * lift = (c_xy/B) / ((c_x/U)·(c_y/U)) in integer micro-units
+    * (1,000,000 = independent; phrase-like pairs score orders of
+    * magnitude higher). The phrase-table builder next to [[vocabulary]]'s
+    * raw n-gram counts: lift is what separates "new york" from "of the" —
+    * both frequent, only one a collocation — feeding tokenizer vocab
+    * seeding, boilerplate phrase lists, and query segmentation. Lift is
+    * the monotone exp(PMI) stand-in: same ranking, no cross-engine
+    * transcendental (ln is not correctly-rounded IEEE; an integer ratio
+    * replays bit-for-bit).
+    *
+    * Exact arithmetic: counts cross-multiply in DECIMAL(38,0) —
+    * lift_micro = (10⁶·c_xy·U²) div (B·c_x·c_y) — one integral divide at
+    * the end. Exactness budget: numerator ≤ 10⁶·c_xy·U² needs c_xy·U² <
+    * 10³² — bounded by U³, safe to U ≈ 4·10¹⁰ corpus tokens; mine larger
+    * corpora on a sample (collocation statistics saturate long before
+    * that).
+    *
+    * Scale shape: two scans of the text column (token+pair instance
+    * totals fuse into one one-row broadcast aggregate; unigram and pair
+    * counts partial-aggregate on their keys), `minCount` prunes the pair
+    * table BEFORE the two vocabulary-sized count joins (AQE broadcasts
+    * them at typical vocab sizes), and the global top-k is an
+    * orderBy+limit (TakeOrdered — per-partition heaps, no full sort).
+    * Tokenization = [[vocabulary]]'s rule (lowercase, split `\s+`).
+    *
+    * Output: (tok_a, tok_b, pair_cnt, cnt_a, cnt_b, lift_micro, rank),
+    * rank by (lift desc, tok_a, tok_b) — deterministic under ties.
+    */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long = 5L,
+      topK: Int = 1000): DataFrame = {
+    require(minCount >= 1 && topK >= 1, "minCount and topK must be positive")
+    val dec = "decimal(38,0)"
+    val tk = split(lower(trim(col(textCol))), "\\s+")
+    val totals = docs.agg(
+      sum(size(tk)).cast(dec).as("__U"),
+      sum(greatest(size(tk) - lit(1), lit(0))).cast(dec).as("__B"))
+    val uni = docs.select(explode(tk).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__c"))
+    val pairs = docs.select(tk.as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .select(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("pair_cnt"))
+      .where(col("pair_cnt") >= minCount)
+    val scored = pairs
+      .join(uni.select(col("tok").as("tok_a"), col("__c").as("cnt_a")), "tok_a")
+      .join(uni.select(col("tok").as("tok_b"), col("__c").as("cnt_b")), "tok_b")
+      .crossJoin(broadcast(totals))
+      .select(col("tok_a"), col("tok_b"), col("pair_cnt"), col("cnt_a"),
+        col("cnt_b"),
+        call_function("div",
+          lit(1000000L).cast(dec) * col("pair_cnt") * col("__U") * col("__U"),
+          col("__B") * col("cnt_a") * col("cnt_b")).as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("tok_a"), col("tok_b"))
+      .limit(topK)
+    scored.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("lift_micro").desc, col("tok_a"), col("tok_b")))
+        .cast("long"))
+  }
+
   /** Per-document keyword extraction — the integer-exact tf-idf variant.
     * For each document, its top-`k` terms by `score = tf × idf_permille`,
     * where `idf_permille = ((n_docs − df) × 1000) div n_docs`: an integer

@@ -366,6 +366,24 @@ class CurationSpec extends AnyFunSuite {
     assert(grams == Map("a b" -> 2L, "b a" -> 1L, "q" -> 1L))
   }
 
+  test("collocations: exact decimal lift, minCount prune, adjacency only") {
+    // tokens: a:3 b:3 c:2 d:2 e:1, U = 11; pair instances B = 7;
+    // (a,b) appears 3x adjacent -> lift = 10^6*3*11^2 div (7*3*3) = 5761904
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "c d a b"), (4L, "e"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.collocations(docs, "text",
+      minCount = 2L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(("a", "b", 3L, 3L, 3L, 5761904L, 1L)),
+      s"only the repeated adjacent pair survives minCount, exact lift; got ${out.toSeq}")
+    // non-adjacent co-occurrence must NOT count: (a,c) share docs but never touch
+    val all = graft.ops.TextAnalysis.collocations(docs, "text", 1L, 100)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!all.contains(("a", "c")) && all.contains(("b", "c")),
+      "pairs are strictly adjacent, order-sensitive")
+  }
+
   test("assignSplit: total labeling, band boundaries, determinism, remainder band") {
     val df = (0L until 2000L).toDF("doc_id")
     val out = Curation.assignSplit(df, "doc_id").cache()
