@@ -859,6 +859,15 @@ object SparkEntry {
         .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
       graft.ops.Similarity.bruteForceTopK(e.filter(col("id") < 50), e, k = 5)
     }),
+    "ns_hard_negatives" -> ((s, dir) => {
+      // contrastive-pair mining gate: per query, top-5 most-similar
+      // DIFFERENT-label corpus vectors — exact cosine ranking, rank-only
+      // output like the ANN gates
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 1000)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"), col("label"))
+      graft.ops.Similarity.hardNegatives(e.filter(col("id") < 50), e, k = 5)
+    }),
     // ANN correctness gates run in provably-exhaustive mode (probe every
     // bucket / every IVF cell): the output must then EQUAL exact top-k, so
     // the DuckDB exact-cosine oracle pins the whole pipeline — bucketing,
@@ -2720,6 +2729,17 @@ object SparkEntry {
         |       len(list_distinct(list_concat(a.grams, b.grams))) AS n_union
         |FROM g a JOIN g b ON a.doc_id < b.doc_id""".stripMargin,
     "ns_embed_topk" -> exactTopKSql,
+    "ns_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS ql, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 50),
+        |     c AS (SELECT vec_id AS nid, label AS nl, embedding::DOUBLE[] AS cv
+        |           FROM embeddings WHERE vec_id < 1000)
+        |SELECT query_id, neighbor_id, neg_label, rank FROM (
+        |  SELECT q.qid AS query_id, c.nid AS neighbor_id, c.nl AS neg_label,
+        |         row_number() OVER (PARTITION BY q.qid
+        |           ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.nid) AS rank
+        |  FROM q JOIN c ON q.qid != c.nid AND q.ql IS DISTINCT FROM c.nl)
+        |WHERE rank <= 5""".stripMargin,
     "ns_ann_lsh" -> exactTopKSql,
     "ns_ann_ivf" -> exactTopKSql,
     "ns_dedup_embed" ->

@@ -52,6 +52,49 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: for every query, its
+    * `k` most-similar corpus items carrying a DIFFERENT label — the pairs
+    * a contrastive/embedding objective learns most from (near the decision
+    * boundary, unlike random negatives which are trivially far). The
+    * standard retrieval-training data generator (DPR/SimCSE-style) and the
+    * confusion probe: a query whose top hard negative outranks its own
+    * class's neighbors is a labeling problem [[graft.ops.Embeddings.centroidOutliers]]
+    * sees from the centroid side.
+    *
+    * Brute-force tier (this): corpus × broadcast-queries scan, exact
+    * cosine, per-query rank window — the oracle-gated baseline, right
+    * whenever query batches are bounded (the mining loop's usual shape:
+    * a few thousand anchors per step against the full corpus). At
+    * corpus-scale query sets, generate candidates with [[lshTopK]] /
+    * [[ivfTopK]] first and label-filter those instead: hard negatives are
+    * by definition high-similarity, exactly what ANN recall is best at.
+    * NULL labels never match any label (null-safe inequality), so
+    * unlabeled corpus rows are negatives for everyone.
+    *
+    * Output: (query_id, neighbor_id, neg_label, rank) — rank-only like
+    * the ANN gates (cosine ordering replays cross-engine; its float value
+    * does not).
+    */
+  def hardNegatives(
+      queries: DataFrame, // (id, vec, label)
+      corpus: DataFrame, // (id, vec, label)
+      k: Int
+  ): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      col("label").as("__ql"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+      col("label").as("neg_label"))
+    val joined = c.join(broadcast(q),
+      col("query_id") =!= col("neighbor_id") &&
+        !(col("__ql") <=> col("neg_label")))
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        cosine(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"), col("rank"))
+  }
+
   /** Multi-table LSH ANN top-k: candidates collide in at least one of
     * `tables` hyperplane hash tables; exact cosine ranks the candidates.
     * Shuffle cost: corpus × tables bucket entries (ids + vectors), never a

@@ -252,6 +252,26 @@ class OpsSpec extends AnyFunSuite {
     assert(cands.contains((1L, 2L)))
   }
 
+  test("hardNegatives: labels filter, null labels are everyone's negative, planted boundary pair") {
+    // planted geometry: q (1,0,'a'); same-label near twin must NOT appear;
+    // different-label near twin is the #1 hard negative; far opposite-label last
+    val rows = Seq(
+      (0L, Array(1.0, 0.0), "a"),
+      (1L, Array(0.999, 0.01), "a"), // same label: excluded
+      (2L, Array(0.99, 0.1), "b"), // the hard negative
+      (3L, Array(0.0, 1.0), "b"),
+      (4L, Array(0.5, 0.5), null: String)) // null label: valid negative
+    val df = rows.toDF("id", "vec", "label")
+    val got = Similarity.hardNegatives(df.filter(col("id") === 0L), df, k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3).toLong))
+    assert(got.toSeq == Seq((2L, 1L), (4L, 2L), (3L, 3L)),
+      s"rank order must follow cosine among different-label rows only; got ${got.toSeq}")
+    // null-labeled query: every labeled row is a negative
+    val gotNull = Similarity.hardNegatives(df.filter(col("id") === 4L), df, k = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(gotNull == Set(0L, 1L, 2L, 3L), "null query label never equals any label")
+  }
+
   test("LSH ANN achieves reasonable top-1 recall vs brute force on real embeddings") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
