@@ -1558,6 +1558,15 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(17)) === 0),
         "text", "doc_id", n = 4)
     }),
+    "ns_filter_funnel" -> ((s, dir) =>
+      // per-rule kill attribution in application order, one scan: chars
+      // floor, language allowlist, approximate word floor — n_killed sums
+      // to exactly input minus survivors
+      graft.ops.Curation.filterFunnel(t(s, dir, "documents"), Seq(
+        "min_chars" -> (col("n_chars") >= 100),
+        "lang_ok" -> (col("lang") =!= "zh"),
+        "min_words" -> (length(col("text"))
+          - length(translate(col("text"), " ", "")) + 1 >= 30)))),
     "ns_quality_filter" -> ((s, dir) =>
       // thresholds chosen so each rule actually splits this corpus
       // (106 short docs, 6 low-MWL, 112 low-stopword, 181 with dup 2-token
@@ -4122,6 +4131,24 @@ object SparkEntry {
         |JOIN bg USING (gram)
         |GROUP BY doc_id""".stripMargin,
     "ns_quality_filter" -> qualityFilterSql,
+    "ns_filter_funnel" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN NOT coalesce(n_chars >= 100, FALSE) THEN 1 ELSE 0 END) AS k1,
+        |  sum(CASE WHEN coalesce(n_chars >= 100, FALSE)
+        |            AND NOT coalesce(lang != 'zh', FALSE) THEN 1 ELSE 0 END) AS k2,
+        |  sum(CASE WHEN coalesce(n_chars >= 100, FALSE) AND coalesce(lang != 'zh', FALSE)
+        |            AND NOT coalesce(length(text) - length(replace(text, ' ', '')) + 1 >= 30, FALSE)
+        |           THEN 1 ELSE 0 END) AS k3
+        |  FROM documents)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'min_chars' AS rule, CAST(n AS BIGINT) AS n_in,
+        |       CAST(k1 AS BIGINT) AS n_killed, CAST(n - k1 AS BIGINT) AS n_out,
+        |       CAST((k1 * 1000) // n AS BIGINT) AS killed_permille FROM a
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'lang_ok', CAST(n - k1 AS BIGINT), CAST(k2 AS BIGINT),
+        |       CAST(n - k1 - k2 AS BIGINT), CAST((k2 * 1000) // (n - k1) AS BIGINT) FROM a
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'min_words', CAST(n - k1 - k2 AS BIGINT), CAST(k3 AS BIGINT),
+        |       CAST(n - k1 - k2 - k3 AS BIGINT), CAST((k3 * 1000) // (n - k1 - k2) AS BIGINT) FROM a""".stripMargin,
     "ns_repetition" -> repetitionSql,
     "ns_fuzzy_join" ->
       """WITH n AS (SELECT c_custkey AS id, c_name AS s FROM customer WHERE c_custkey <= 1000)

@@ -515,6 +515,52 @@ object Curation {
           minStopwordHits, minAlphaWordFrac, maxDupLineFrac, maxDupLineCharFrac,
           maxDup2gramFrac, maxDup3gramFrac).as("keep"))
 
+  /** Filter-funnel attribution: apply named keep-rules IN ORDER and
+    * report, per rule, how many documents it killed among the survivors
+    * of every earlier rule — the curation debugging artifact behind every
+    * "where did my corpus go?" question (a pipeline that drops 60% wants
+    * to know WHICH rule, at which stage, before anyone re-tunes
+    * thresholds). First-failing-rule attribution: a document failing
+    * rules 2 and 4 counts against rule 2 only, so killed counts sum to
+    * exactly (input − survivors) with no double counting — the funnel
+    * reads top to bottom like the pipeline runs.
+    *
+    * A NULL rule result is a FAIL (three-valued logic would silently
+    * attribute null-field docs to no rule at all).
+    *
+    * Scale shape: ONE scan, one partial-aggregated conditional-sum row —
+    * NOT n sequential filter+count passes (n rules over 100 TB must not
+    * mean n jobs); the rules-sized explode and cumulative window run on a
+    * one-row frame. Output: (stage, rule, n_in, n_killed, n_out,
+    * killed_permille), stage in application order.
+    */
+  def filterFunnel(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val names = rules.map(_._1)
+    require(names.distinct.size == names.size, "rule names must be unique")
+    val pass = rules.map { case (_, c) => coalesce(c, lit(false)) }
+    val kills = rules.indices.map { i =>
+      val prev = pass.take(i).foldLeft(lit(true))(_ && _)
+      sum(when(prev && !pass(i), lit(1L)).otherwise(lit(0L))).as(s"__k$i")
+    }
+    val aggRow = df.agg(count(lit(1)).as("__n"), kills: _*)
+    val stages = aggRow.select(col("__n"),
+      posexplode(array(rules.indices.map(i =>
+        struct(lit(names(i)).as("rule"), col(s"__k$i").as("killed"))): _*))
+        .as(Seq("stage0", "rs")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("stage0")).rowsBetween(Long.MinValue, -1)
+    stages.select(
+      (col("stage0") + 1).cast("long").as("stage"),
+      col("rs.rule").as("rule"),
+      (col("__n") - coalesce(sum(col("rs.killed")).over(w), lit(0L))).as("n_in"),
+      col("rs.killed").as("n_killed"))
+      .withColumn("n_out", col("n_in") - col("n_killed"))
+      .withColumn("killed_permille", when(col("n_in") > 0,
+        call_function("div", col("n_killed") * lit(1000L), col("n_in")))
+        .otherwise(lit(0L)))
+  }
+
   /** The quality-filter conjunction over a [[curationStats]] struct —
     * shared by [[qualityFilter]] and the composed pipeline so thresholds
     * have a single definition.

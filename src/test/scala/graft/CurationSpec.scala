@@ -840,6 +840,36 @@ class CurationSpec extends AnyFunSuite {
     assert(l3.toSeq == Seq("z1", "z2", "z3"))
   }
 
+  test("filterFunnel: first-fail attribution, null = fail, kills sum to input minus survivors") {
+    // doc 1 passes all; 2 fails r1 (and r2 — attributed to r1 only);
+    // 3 fails r2; 4 has NULL len -> fails r1 by the null-is-fail rule
+    val df = Seq(
+      (1L, Some(100L), "en"), (2L, Some(5L), "zh"),
+      (3L, Some(50L), "zh"), (4L, None: Option[Long], "en"))
+      .toDF("id", "len", "lang")
+    val out = Curation.filterFunnel(df, Seq(
+      "len_ok" -> (col("len") >= 10L),
+      "lang_ok" -> (col("lang") =!= "zh")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, "len_ok", 4L, 2L, 2L, 500L),
+      (2L, "lang_ok", 2L, 1L, 1L, 500L)),
+      s"got ${out.toSeq}")
+    val killed = out.map(_._4).sum
+    assert(killed == 4 - 1, "attribution partitions the dropped set exactly")
+  }
+
+  test("filterFunnel: plan is one aggregate scan, not one job per rule") {
+    val df = Seq((1L, 10L), (2L, 20L)).toDF("id", "len")
+    val plan = Curation.filterFunnel(df, Seq(
+      "a" -> (col("len") > 0L), "b" -> (col("len") > 5L),
+      "c" -> (col("len") > 15L))).queryExecution.executedPlan.toString
+    // all three conditional sums live in ONE HashAggregate pair
+    assert(plan.split("HashAggregate").length - 1 <= 4,
+      s"rules must fuse into a single partial+final aggregate:\n$plan")
+  }
+
   test("tClosenessAudit: exact variational distances, absent values, null sensitive") {
     // global: flu 3, cold 5, null 2; N = 10
     // A = 3 flu + 1 cold, B = 4 cold (flu ABSENT — closed-form mass),
