@@ -1971,6 +1971,15 @@ object SparkEntry {
         "text", "doc_id", minJaccard = 0.5, portable = true)
         .select(col("doc_id"), col("contaminated"))
     }),
+    "ns_decontaminate_embed" -> ((s, dir) => {
+      // Semantic decontamination tier: vectors < 25 play the benchmark;
+      // per corpus vector its max integer-cosine over the benchmark, the
+      // deterministic argmax, and the flag at 990 permille
+      val e = t(s, dir, "embeddings")
+      graft.ops.Curation.decontaminateEmbedding(e,
+        e.filter(col("vec_id") < 25), "embedding", "vec_id",
+        minCosPermille = 990L, dim = 64)
+    }),
     "ns_dataset_card" -> ((s, dir) => {
       // One-call per-language dataset card (exact tier): profile counts +
       // exact dup rate + Gopher-quality keep rate (same thresholds as the
@@ -2996,6 +3005,27 @@ object SparkEntry {
         |  '[\t\n\x{000B}\f\r\x{0085}\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]', ' ', 'g'),
         |  ' {2,}', ' ', 'g'))) AS norm
         |FROM documents""".stripMargin,
+    "ns_decontaminate_embed" ->
+      """WITH cq AS (SELECT vec_id AS cid,
+        |              list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+        |            FROM embeddings WHERE len(embedding) = 64),
+        |bq AS (SELECT vec_id AS bid,
+        |         list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+        |       FROM embeddings WHERE vec_id < 25 AND len(embedding) = 64),
+        |cn AS (SELECT cid, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq FROM cq),
+        |bn AS (SELECT bid, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq FROM bq),
+        |s AS (SELECT cn.cid, bn.bid,
+        |        CASE WHEN cn.nsq > 0 AND bn.nsq > 0 THEN
+        |          CAST(floor(1000.0 * CAST(list_sum(list_transform(range(1, 65),
+        |                 j -> cn.v[CAST(j AS INT)] * bn.v[CAST(j AS INT)])) AS DOUBLE) /
+        |               (sqrt(CAST(cn.nsq AS DOUBLE)) * sqrt(CAST(bn.nsq AS DOUBLE)))) AS BIGINT)
+        |        ELSE 0 END AS cos
+        |      FROM cn CROSS JOIN bn)
+        |SELECT cid AS vec_id, bid AS best_benchmark_id, cos AS max_cos_permille,
+        |       cos >= 990 AS contaminated
+        |FROM (SELECT cid, bid, cos,
+        |        row_number() OVER (PARTITION BY cid ORDER BY cos DESC, bid) AS rn FROM s)
+        |WHERE rn = 1""".stripMargin,
     "ns_decontaminate_neardup" ->
       s"""WITH $minhashSigCtes, hits AS (
          |  SELECT DISTINCT b.doc_id AS did

@@ -160,6 +160,62 @@ object Curation {
       .drop("__contaminated_id")
   }
 
+  /** Embedding-space decontamination — the SEMANTIC tier of the family
+    * ([[decontaminate]] catches verbatim grams, [[decontaminateNearDup]]
+    * lexical near-copies; this catches paraphrases and translations that
+    * share no surface text with the benchmark, the leak n-gram methods
+    * structurally miss). Per corpus vector: its maximum cosine against
+    * ANY benchmark vector, the argmax benchmark id (ties to the smallest
+    * id), and the `contaminated` flag at `minCosPermille`.
+    *
+    * Determinism: both sides micro-quantize, dots and squared norms are
+    * integer, and the cosine takes the repo's fixed-order IEEE tail
+    * (two sqrts, one divide, one floor — [[Embeddings.groupAffinity]]'s
+    * convention), so the permille values, the flag, AND the argmax replay
+    * bit-for-bit cross-engine. Zero-norm vectors score 0 everywhere.
+    *
+    * Scale shape: the benchmark (eval sets — thousands of rows) rides as
+    * a BROADCAST build side; the corpus×benchmark expansion partial-
+    * aggregates to one row per corpus id before any exchange, so shuffle
+    * payload is corpus-sized ids+scores, never vectors. Benchmarks too
+    * large to broadcast should first reduce via [[Similarity.ivfTopK]]
+    * candidates — contamination is high-similarity by definition, ANN
+    * recall's best regime.
+    *
+    * Output: corpus idCol + (best_benchmark_id, max_cos_permille,
+    * contaminated).
+    */
+  def decontaminateEmbedding(corpus: DataFrame, benchmark: DataFrame,
+      vecCol: String, idCol: String, minCosPermille: Long,
+      dim: Int, quantScale: Long = 1000000L): DataFrame = {
+    require(minCosPermille >= 0 && minCosPermille <= 1000,
+      "minCosPermille must be in [0, 1000]")
+    def q(df: DataFrame, id: String, v: String) = df.select(
+      col(idCol).as(id),
+      transform(col(vecCol).cast("array<double>"),
+        x => round(x * quantScale).cast("long")).as(v))
+      .filter(size(col(v)) === dim)
+      .withColumn(s"${v}_nsq",
+        aggregate(col(v), lit(0L), (acc, x) => acc + x * x))
+    val c = q(corpus, "cid", "cq")
+    val b = q(benchmark, "bid", "bq")
+    val scored = c.crossJoin(broadcast(b))
+      .select(col("cid"), col("bid"),
+        when(col("cq_nsq") > 0 && col("bq_nsq") > 0,
+          floor(lit(1000.0) *
+            aggregate(zip_with(col("cq"), col("bq"), (x, y) => x * y),
+              lit(0L), (acc, x) => acc + x) /
+            (sqrt(col("cq_nsq").cast("double")) *
+              sqrt(col("bq_nsq").cast("double")))).cast("long"))
+          .otherwise(lit(0L)).as("cos_permille"))
+    scored.groupBy(col("cid"))
+      .agg(max(struct(col("cos_permille"), (-col("bid")).as("nb"))).as("m"))
+      .select(col("cid").as(idCol),
+        (-col("m.nb")).as("best_benchmark_id"),
+        col("m.cos_permille").as("max_cos_permille"),
+        (col("m.cos_permille") >= minCosPermille).as("contaminated"))
+  }
+
   /** Decontamination for benchmark sets too large to broadcast as a hash
     * relation: a Bloom filter over the benchmark grams (bits, not strings —
     * ~10× smaller) pre-filters corpus grams MAP-SIDE, and only the

@@ -840,6 +840,26 @@ class CurationSpec extends AnyFunSuite {
     assert(l3.toSeq == Seq("z1", "z2", "z3"))
   }
 
+  test("decontaminateEmbedding: paraphrase-tier flags, argmax ties to smallest id, zero-norm safe") {
+    // corpus: 10 = exact copy of bench 1; 11 = near-parallel (cos ~ 999);
+    // 12 = orthogonal; 13 = zero vector
+    val bench = Seq((1L, Array(1.0, 0.0)), (2L, Array(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(2.0, 0.0)), (11L, Array(1.0, 0.02)),
+      (12L, Array(0.0, 1.0)), (13L, Array(0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = Curation.decontaminateEmbedding(corpus, bench, "embedding",
+      "vec_id", minCosPermille = 990L, dim = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got(10L) == ((1L, 1000L, true)),
+      "scaled copy scores 1000; tie between bench 1 and 2 resolves to 1")
+    assert(got(11L)._2 >= 990L && got(11L)._3, "near-parallel is contaminated")
+    assert(got(12L) == ((1L, 0L, false)), "orthogonal passes")
+    assert(got(13L) == ((1L, 0L, false)), "zero-norm scores 0, not NaN")
+  }
+
   test("filterFunnel: first-fail attribution, null = fail, kills sum to input minus survivors") {
     // doc 1 passes all; 2 fails r1 (and r2 — attributed to r1 only);
     // 3 fails r2; 4 has NULL len -> fails r1 by the null-is-fail rule
