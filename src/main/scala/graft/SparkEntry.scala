@@ -1558,6 +1558,14 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(17)) === 0),
         "text", "doc_id", n = 4)
     }),
+    "ns_align_scores" -> ((s, dir) => {
+      // quantile recalibration gate: per-language n_chars ranks map onto
+      // the reference sample's (doc_id < 100) distribution — rank-to-rank
+      // integer selection, aligned values are reference multiset members
+      val docs = t(s, dir, "documents")
+      graft.ops.Curation.alignScores(docs, "n_chars", "doc_id",
+        Seq("lang"), docs.filter(col("doc_id") < 100), "n_chars")
+    }),
     "ns_filter_funnel" -> ((s, dir) =>
       // per-rule kill attribution in application order, one scan: chars
       // floor, language allowlist, approximate word floor — n_killed sums
@@ -4161,6 +4169,19 @@ object SparkEntry {
         |JOIN bg USING (gram)
         |GROUP BY doc_id""".stripMargin,
     "ns_quality_filter" -> qualityFilterSql,
+    "ns_align_scores" ->
+      """WITH refr AS (SELECT n_chars AS rv, row_number() OVER (ORDER BY n_chars) AS idx
+        |              FROM documents WHERE doc_id < 100),
+        |mm AS (SELECT count(*) AS m FROM documents WHERE doc_id < 100),
+        |d AS (SELECT lang, doc_id, n_chars,
+        |        row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS r,
+        |        count(*) OVER (PARTITION BY lang) AS n
+        |      FROM documents)
+        |SELECT d.lang, d.doc_id, d.n_chars,
+        |       CAST((d.r * 1000) // d.n AS BIGINT) AS pct_permille,
+        |       refr.rv AS aligned_score
+        |FROM d CROSS JOIN mm
+        |JOIN refr ON refr.idx = (d.r * mm.m + d.n - 1) // d.n""".stripMargin,
     "ns_filter_funnel" ->
       """WITH a AS (SELECT count(*) AS n,
         |  sum(CASE WHEN NOT coalesce(n_chars >= 100, FALSE) THEN 1 ELSE 0 END) AS k1,

@@ -1143,6 +1143,60 @@ object Curation {
       .select(df.columns.map(col): _*) // the join key-first reorder is an artifact
   }
 
+  /** Quantile alignment: map every row's score onto a REFERENCE corpus's
+    * score distribution — the rank-preserving recalibration for merging
+    * corpora scored by DIFFERENT classifiers (per-language quality
+    * models, two vintage scorers): a document at the 37th percentile of
+    * its group gets the reference's 37th-percentile score, so one
+    * threshold means one thing across every source. Histogram matching /
+    * quantile normalization, per group.
+    *
+    * Exact, engine-free semantics: within each group, rank r by
+    * (score asc, id asc) over group size n maps to reference rank
+    * ceil(r·m/n) = (r·m + n − 1) div n of the m reference rows sorted
+    * ascending — rank-to-rank integer arithmetic, no percentile floats.
+    * The aligned value is a MEMBER of the reference's score multiset
+    * (selection, never interpolation), so float scores replay exactly
+    * too: no arithmetic ever touches the score value. Reference ties:
+    * any tie order selects the same VALUE, so the output is total-order
+    * independent.
+    *
+    * Scale shape: the group rank+count share one hash partitioning
+    * (the [[keepTopFraction]] exchange); the reference ranking is a
+    * GLOBAL sort of the reference corpus — size the reference like a
+    * model, not a corpus (a uniform sample of the target distribution;
+    * quantile curves saturate at ~10⁶ rows), exactly how
+    * [[graft.ops.Embeddings.trainPca]] treats its training sample. The
+    * alignment itself is an equi-join on the computed reference rank.
+    *
+    * Output: groupCols + (idCol, scoreCol, pct_permille, aligned_score).
+    */
+  def alignScores(df: DataFrame, scoreCol: String, idCol: String,
+      groupCols: Seq[String], ref: DataFrame, refScoreCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val part = groupCols.map(col)
+    val ranked = Window.partitionBy(part: _*)
+      .orderBy(col(scoreCol), col(idCol))
+    val whole = Window.partitionBy(part: _*)
+    val refRanked = ref
+      .select(col(refScoreCol).as("__align_rv"))
+      .withColumn("__align_idx",
+        row_number().over(Window.orderBy(col("__align_rv"))).cast("long"))
+    val m = ref.agg(count(lit(1)).as("__align_m"))
+    df.select((groupCols :+ idCol :+ scoreCol).map(col): _*)
+      .withColumn("__align_r", row_number().over(ranked).cast("long"))
+      .withColumn("__align_n", count(lit(1)).over(whole))
+      .crossJoin(broadcast(m))
+      .withColumn("__align_idx", call_function("div",
+        col("__align_r") * col("__align_m") + col("__align_n") - 1,
+        col("__align_n")))
+      .withColumn("pct_permille", call_function("div",
+        col("__align_r") * 1000, col("__align_n")))
+      .join(refRanked, "__align_idx")
+      .select((groupCols :+ idCol :+ scoreCol).map(col) :+
+        col("pct_permille") :+ col("__align_rv").as("aligned_score"): _*)
+  }
+
   // ------------------------------------------------- release governance
 
   /** k-anonymity audit over quasi-identifier columns (Sweeney 2002): every

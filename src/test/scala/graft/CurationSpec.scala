@@ -840,6 +840,27 @@ class CurationSpec extends AnyFunSuite {
     assert(l3.toSeq == Seq("z1", "z2", "z3"))
   }
 
+  test("alignScores: rank-to-rank selection, aligned values are reference members") {
+    // group g: scores 1,2,3,4 (n=4); ref: 10,20,30,40,50,60,70,80 (m=8)
+    // idx = ceil(r*8/4) = 2,4,6,8 -> aligned 20,40,60,80
+    val df = Seq((1L, "g", 1L), (2L, "g", 2L), (3L, "g", 3L), (4L, "g", 4L),
+      (5L, "h", 7L)).toDF("id", "grp", "score")
+    val ref = (1L to 8L).map(i => i * 10L).toDF("rscore")
+    val got = Curation.alignScores(df, "score", "id", Seq("grp"), ref, "rscore")
+      .collect().map(r => (r.getLong(1), (r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      1L -> ((250L, 20L)), 2L -> ((500L, 40L)),
+      3L -> ((750L, 60L)), 4L -> ((1000L, 80L)),
+      5L -> ((1000L, 80L))), // singleton group maps to the ref max
+      s"got $got")
+    // reference ties: any tie order yields the same aligned VALUE
+    val tied = Seq(10L, 20L, 20L, 40L).toDF("rscore")
+    val got2 = Curation.alignScores(df.filter(col("grp") === "g"), "score",
+      "id", Seq("grp"), tied, "rscore")
+      .collect().map(r => (r.getLong(1), r.getLong(4))).toMap
+    assert(got2 == Map(1L -> 10L, 2L -> 20L, 3L -> 20L, 4L -> 40L))
+  }
+
   test("decontaminateEmbedding: paraphrase-tier flags, argmax ties to smallest id, zero-norm safe") {
     // corpus: 10 = exact copy of bench 1; 11 = near-parallel (cos ~ 999);
     // 12 = orthogonal; 13 = zero vector
