@@ -724,4 +724,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
       s"pairs evaluate independently, no join:\n${plan.take(2000)}")
   }
+
+  test("decontaminateEmbedding: benchmark broadcasts; vectors never enter the max exchange") {
+    val plan = planOf(SparkEntry.queries("ns_decontaminate_embed")(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"benchmark must ride broadcast, corpus must not shuffle for the scoring:\n${plan.take(2000)}")
+    assert(plan.contains("partial_max"),
+      s"per-corpus-id max must partial-aggregate before its exchange:\n${plan.take(3000)}")
+    assert(!plan.contains("partial_max(cq") && !plan.contains("first(cq"),
+      s"quantized vectors must reduce to scalars before any exchange:\n${plan.take(3000)}")
+  }
+
+  test("tCloseness: class/value partial aggregates; the global value table joins broadcast") {
+    val plan = planOf(SparkEntry.queries("ns_tcloseness")(spark, sf))
+    assert(plan.contains("partial_count"),
+      s"class+value counting must map-side combine:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the value-cardinality global table must broadcast:\n${plan.take(3000)}")
+  }
+
+  test("collocations: pair counts partial-aggregate; global top-k is a heap, not a sort") {
+    val plan = planOf(SparkEntry.queries("ns_collocations")(spark, sf))
+    assert(plan.contains("partial_count"),
+      s"pair instances must combine map-side before the exchange:\n${plan.take(3000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"topK must plan as per-partition heaps (TakeOrdered), no full sort:\n${plan.take(3000)}")
+  }
+
+  test("alignScores: group rank and group count share one hash exchange") {
+    val plan = planOf(SparkEntry.queries("ns_align_scores")(spark, sf))
+    val groupExchanges = "Exchange hashpartitioning\\(lang".r.findAllIn(plan).size
+    assert(groupExchanges == 1,
+      s"rank window and count window must reuse one group partitioning, found $groupExchanges:\n${plan.take(3000)}")
+  }
+
+  test("hardNegatives: query batch broadcasts; the corpus side never shuffles for scoring") {
+    val plan = planOf(SparkEntry.queries("ns_hard_negatives")(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"bounded query batches must broadcast against the corpus scan:\n${plan.take(2000)}")
+    assert(plan.contains("Exchange hashpartitioning(query_id"),
+      s"only the (id, sim) rank exchange may shuffle:\n${plan.take(2000)}")
+  }
 }
