@@ -1781,6 +1781,18 @@ object SparkEntry {
         regexp_replace(lower(trim(col("text"))), "((?:\\S+ ){4}\\S+) ", "$1\n").as("text"))
       graft.ops.Curation.lineDedup(structured, "text", "doc_id", "\n")
     }),
+    "ns_line_dedup_doc" -> ((s, dir) => {
+      // within-doc repeat removal: restructure into 5-word lines, then
+      // plant a repeat of each doc's own first line — the zero-shuffle
+      // local pass must remove exactly the planted copy and reassemble
+      val structured = regexp_replace(lower(trim(col("text"))),
+        "((?:\\S+ ){4}\\S+) ", "$1\n")
+      val planted = concat(structured, lit("\n"),
+        substring_index(structured, "\n", 1))
+      graft.ops.Curation.dedupeLinesInDoc(
+        t(s, dir, "documents").select(col("doc_id"), planted.as("text")),
+        "text", "doc_id", "\n")
+    }),
     "ns_sample_stratified" -> ((s, dir) => {
       // deterministic training-mix sampling: per-language per-mille rates
       // (mode=rate) and an exact per-language quota (mode=quota), both
@@ -4323,6 +4335,22 @@ object SparkEntry {
         |SELECT doc_id, CAST(any_value(n_lines) AS BIGINT) AS n_lines, count(*) AS n_kept,
         |       string_agg(line, chr(10) ORDER BY pos) AS text_dedup
         |FROM k WHERE rn = 1 OR line = '' GROUP BY doc_id""".stripMargin,
+    "ns_line_dedup_doc" ->
+      """WITH s AS (SELECT doc_id,
+        |        regexp_replace(lower(trim(text)), '((?:\S+ ){4}\S+) ', '\1' || chr(10), 'g') AS st
+        |      FROM documents),
+        |w AS (SELECT doc_id,
+        |        string_split(st || chr(10) || split_part(st, chr(10), 1), chr(10)) AS ls
+        |      FROM s),
+        |k AS (SELECT doc_id, ls,
+        |        list_filter(range(len(ls)),
+        |          i -> ls[CAST(i + 1 AS INT)] = ''
+        |               OR list_position(ls, ls[CAST(i + 1 AS INT)]) = i + 1) AS keep
+        |      FROM w)
+        |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |       CAST(len(keep) AS BIGINT) AS n_kept,
+        |       array_to_string(list_transform(keep, i -> ls[CAST(i + 1 AS INT)]), chr(10)) AS text_dedup
+        |FROM k""".stripMargin,
     "ns_sample_stratified" ->
       """WITH h AS (SELECT doc_id, lang,
         |  (('0x' || substr(md5('graft|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT & 2147483647) AS hv

@@ -275,6 +275,44 @@ object Curation {
     * Output: (idCol, n_lines, n_kept, text_dedup), one row per surviving
     * document.
     */
+  /** WITHIN-document repeated-line removal: each line keeps only its first
+    * occurrence INSIDE its own document (navigation bars, repeated headers,
+    * templated footers stamped several times into one page) — the
+    * document-local complement to [[lineDedup]]'s corpus-global pass, and
+    * the one to run FIRST: local repeats are page structure, not shared
+    * content, and removing them locally keeps the global pass's
+    * first-occurrence winner from being a boilerplate copy.
+    *
+    * ZERO SHUFFLE: the whole operator is one scan-stage projection over
+    * array HOFs (split → first-index filter → reassemble) — no explode, no
+    * exchange, no window; at 100 TB it runs at scan speed like the quality
+    * expressions. The first-index probe is O(lines²) string compares per
+    * document worst-case — document-local by construction, the same budget
+    * class as the gram expressions. Empty lines are structure and always
+    * survive ([[lineDedup]]'s rule). The split never yields an empty
+    * array (`split("") == [""]`), so the index sequence is well-defined.
+    *
+    * Output: (idCol, n_lines, n_kept, text_dedup), one row PER document —
+    * unlike the global pass, a fully-duplicate document keeps its first
+    * line (dedup is local; there is no "earlier document" to defer to).
+    */
+  def dedupeLinesInDoc(docs: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    docs
+      .select(col(idCol), split(col(textCol), sepRe).as("__ls"))
+      .select(col(idCol), col("__ls"),
+        filter(sequence(lit(0), size(col("__ls")) - 1),
+          i => col("__ls").getItem(i) === "" ||
+            array_position(col("__ls"), col("__ls").getItem(i))
+              === (i + 1).cast("long")).as("__keep"))
+      .select(col(idCol),
+        size(col("__ls")).cast("long").as("n_lines"),
+        size(col("__keep")).cast("long").as("n_kept"),
+        array_join(transform(col("__keep"), i => col("__ls").getItem(i)), sep)
+          .as("text_dedup"))
+  }
+
   def lineDedup(docs: DataFrame, textCol: String, idCol: String, sep: String = "\n"): DataFrame = {
     val sepRe = java.util.regex.Pattern.quote(sep)
     // the per-doc line count rides along each exploded row (one long) so no

@@ -840,6 +840,26 @@ class CurationSpec extends AnyFunSuite {
     assert(l3.toSeq == Seq("z1", "z2", "z3"))
   }
 
+  test("dedupeLinesInDoc: local first occurrence wins, empties survive, zero shuffle") {
+    val df = Seq(
+      (1L, "head\nbody\n\nhead\nbody\ntail"), // head+body repeat; blank stays
+      (2L, "head\nhead\nhead"), // fully repeated keeps first
+      (3L, "solo")).toDF("doc_id", "text")
+    val out = Curation.dedupeLinesInDoc(df, "text", "doc_id")
+    val got = out.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((6L, 4L, "head\nbody\n\ntail")), s"got ${got(1L)}")
+    assert(got(2L) == ((3L, 1L, "head")), "local dedup keeps the doc's own first line")
+    assert(got(3L) == ((1L, 1L, "solo")))
+    // cross-doc repeats must SURVIVE (that's lineDedup's job, not this one's)
+    val cross = Curation.dedupeLinesInDoc(
+      Seq((1L, "same"), (2L, "same")).toDF("doc_id", "text"), "text", "doc_id")
+    assert(cross.collect().map(_.getString(3)).toSeq == Seq("same", "same"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Generate"),
+      s"local pass must be a bare projection — no shuffle, no explode:\n$plan")
+  }
+
   test("alignScores: rank-to-rank selection, aligned values are reference members") {
     // group g: scores 1,2,3,4 (n=4); ref: 10,20,30,40,50,60,70,80 (m=8)
     // idx = ceil(r*8/4) = 2,4,6,8 -> aligned 20,40,60,80
