@@ -1234,6 +1234,27 @@ object SparkEntry {
         t(s, dir, "events").select(unix_micros(col("ts")).as("ts_us"),
           col("event_type")),
         "ts_us", "event_type", windowMs = 21600000000L, k = 3)),
+    "ns_seasonality" -> ((s, dir) =>
+      // 168-cell traffic baseline: integer calendar arithmetic on
+      // epoch-micros (dow 0 = Monday), exact distinct actors per cell
+      graft.ops.Temporal.seasonality(
+        t(s, dir, "events").select(unix_micros(col("ts")).as("ts_us"),
+          col("user_id")),
+        "ts_us", "user_id")),
+    "ns_active_users" -> ((s, dir) =>
+      // engagement rollup: exact distinct users + events per 6h window
+      graft.ops.Temporal.activeActors(
+        t(s, dir, "events").select(unix_micros(col("ts")).as("ts_us"),
+          col("user_id")),
+        "ts_us", "user_id", windowMs = 21600000000L)),
+    "ns_transitions" -> ((s, dir) =>
+      // Markov journey view: immediate-successor counts per user with
+      // integer row-stochastic normalization, (time, id, type) tie order
+      graft.ops.Temporal.transitions(
+        t(s, dir, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("event_type")),
+        Seq("user_id"), "ts_us", "event_id", "event_type")),
     "ns_journey_match" -> ((s, dir) =>
       // CEP-lite gate: which users ever purchase DIRECTLY after a click
       // (funnel's anything-between cannot express adjacency). Fixed user
@@ -3645,6 +3666,31 @@ object SparkEntry {
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY window_start
         |        ORDER BY cnt DESC, item) AS BIGINT) AS rank FROM c)
         |SELECT window_start, item, cnt, rank FROM r WHERE rank <= 3""".stripMargin,
+    "ns_seasonality" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id FROM events)
+        |SELECT CAST(((ts_us // 86400000000) + 3) % 7 AS BIGINT) AS dow,
+        |       CAST((ts_us // 3600000000) % 24 AS BIGINT) AS hour,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_actors
+        |FROM e GROUP BY 1, 2""".stripMargin,
+    "ns_active_users" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id FROM events)
+        |SELECT CAST((ts_us // 21600000000) * 21600000000 AS BIGINT) AS window_start,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_actors
+        |FROM e GROUP BY 1""".stripMargin,
+    "ns_transitions" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |                  event_id, event_type FROM events),
+        |p AS (SELECT event_type AS from_type,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY ts_us, event_id, event_type) AS to_type
+        |      FROM e),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       CAST((n * 1000) // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS permille_of_from
+        |FROM c""".stripMargin,
     "ns_journey_match" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
         |                  event_id, event_type FROM events WHERE user_id <= 300)

@@ -474,6 +474,90 @@ object Temporal {
       .withColumn("is_match", col("journey").rlike(pattern))
   }
 
+  /** Seasonality profile: event and distinct-actor counts per
+    * (day-of-week, hour-of-day) slot — the 168-cell traffic baseline
+    * behind capacity planning, anomaly reference curves ("is Tuesday 3am
+    * ALWAYS this quiet?"), and load-shaped ingest scheduling. Pure
+    * integer calendar arithmetic on epoch-micros (hour = µs div 3600s
+    * mod 24, dow = epoch-day + 3 mod 7 with 0 = Monday — epoch day 0 was
+    * a Thursday): no timezone tables, no locale, so every cell replays
+    * bit-for-bit in any engine. UTC by construction; shift `timeCol` by
+    * a fixed offset upstream for local-time profiles.
+    *
+    * Scale shape: one partial-aggregated groupBy onto AT MOST 168 cells —
+    * the distinct-actor count is the standard two-phase expand, whose
+    * first exchange is keyed (cell, actor): bounded by actors × 168, and
+    * the final frame is metadata-sized. Output: (dow, hour, n_events,
+    * n_actors), only observed cells.
+    */
+  def seasonality(events: DataFrame, timeCol: String,
+      actorCol: String): DataFrame =
+    events.select(
+      ((floorDiv(col(timeCol), 86400000000L) + 3) % 7).as("dow"),
+      (floorDiv(col(timeCol), 3600000000L) % 24).as("hour"),
+      col(actorCol).as("__a"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("__a")).as("n_actors"))
+
+  /** Active-actor rollup per tumbling window: exact distinct actors and
+    * event counts per `windowMs` bucket — DAU/WAU-style engagement
+    * curves and the denominator feed for [[retention]]. Exact tier (the
+    * contract): two-phase distinct whose first exchange is keyed
+    * (window, actor). At 100 TB actor cardinalities, swap the exact
+    * distinct for `approx_count_distinct` — same plan shape, sketch-sized
+    * partials (the profile family's exact/sketch split).
+    *
+    * Output: (window_start, n_events, n_actors).
+    */
+  def activeActors(events: DataFrame, timeCol: String, actorCol: String,
+      windowMs: Long): DataFrame = {
+    require(windowMs > 0, "windowMs must be positive")
+    events
+      .select((floorDiv(col(timeCol), windowMs) * windowMs).as("window_start"),
+        col(actorCol).as("__a"))
+      .groupBy("window_start")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("__a")).as("n_actors"))
+  }
+
+  /** First-order transition matrix over per-key event sequences: how
+    * often type A is IMMEDIATELY followed by type B within the same key —
+    * the Markov-chain view of user journeys ([[funnel]] asks "did the
+    * ordered stages happen"; this asks "what usually happens next"),
+    * feeding next-step prediction baselines, anomalous-flow detection
+    * (a transition with near-zero mass suddenly spiking), and UX funnel
+    * design. The terminal event of each key has no successor and emits
+    * nothing.
+    *
+    * Determinism: successors resolve by lead over the (time, id, type)
+    * struct order — the [[journeyMatch]] tie rule — so same-timestamp
+    * events transition in a pinned order. `permille_of_from` =
+    * (1000·n) div Σ n over the same from_type: integer row-stochastic
+    * normalization.
+    *
+    * Scale shape: one hash exchange on the keys for the lead window
+    * (events carry (key, ts, id, type) only), then a partial-aggregated
+    * pair count onto a types²-bounded frame; the normalization window
+    * runs on that tiny frame. Output: (from_type, to_type, n,
+    * permille_of_from).
+    */
+  def transitions(events: DataFrame, keyCols: Seq[String], timeCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol), col(idCol), col("from_type"))
+    val pairs = events
+      .select(keyCols.map(col) :+ col(timeCol) :+ col(idCol) :+
+        col(typeCol).as("from_type"): _*)
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy(col("from_type"))
+    pairs.withColumn("permille_of_from",
+      call_function("div", col("n") * lit(1000L), sum(col("n")).over(wf)))
+  }
+
   /** Regular-grid resampling with last-observation-carried-forward: per
     * key, one row per `gridStep` tick from the key's first to last
     * observation bucket, carrying the latest value at-or-before the tick

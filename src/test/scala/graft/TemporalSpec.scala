@@ -320,6 +320,43 @@ class TemporalSpec extends AnyFunSuite {
     assert(out("u3") == ("click>purchase", true), "same-ts order pinned by id")
   }
 
+  test("seasonality: integer calendar cells (dow 0 = Monday), distinct actors") {
+    val hour = 3600000000L
+    val day = 24 * hour
+    // epoch day 0 = Thursday -> dow (0+3)%7 = 3; day 4 = Monday -> dow 0
+    val df = Seq(
+      (0L * day + 5 * hour, 1L), (0L * day + 5 * hour + 1, 1L), // Thu 05: 2 ev, 1 actor
+      (4L * day + 0 * hour, 2L), (4L * day + 0 * hour + 7, 3L)) // Mon 00: 2 ev, 2 actors
+      .toDF("ts_us", "uid")
+    val got = graft.ops.Temporal.seasonality(df, "ts_us", "uid")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map((3L, 5L) -> ((2L, 1L)), (0L, 0L) -> ((2L, 2L))), s"got $got")
+  }
+
+  test("activeActors: tumbling windows, exact distinct") {
+    val df = Seq((0L, 1L), (5L, 1L), (9L, 2L), (10L, 1L)).toDF("ts_us", "uid")
+    val got = graft.ops.Temporal.activeActors(df, "ts_us", "uid", windowMs = 10L)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(0L -> ((3L, 2L)), 10L -> ((1L, 1L))), s"got $got")
+  }
+
+  test("transitions: immediate successors only, per-key, row-stochastic permille") {
+    // user 1: a(t0) b(t1) a(t2) c(t3); user 2: b(t0) — terminal, no pair
+    val df = Seq(
+      (1L, 0L, 10L, "a"), (1L, 1L, 11L, "b"), (1L, 2L, 12L, "a"), (1L, 3L, 13L, "c"),
+      (2L, 0L, 14L, "b")).toDF("uid", "ts_us", "eid", "et")
+    val got = graft.ops.Temporal.transitions(df, Seq("uid"), "ts_us", "eid", "et")
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // from a: a->b, a->c (500 each); from b: b->a (1000)
+    assert(got == Map(("a", "b") -> ((1L, 500L)), ("a", "c") -> ((1L, 500L)),
+      ("b", "a") -> ((1L, 1000L))), s"got $got")
+    // same-timestamp tie: order pins on (ts, id, type)
+    val tied = Seq((1L, 0L, 1L, "x"), (1L, 0L, 2L, "y")).toDF("uid", "ts_us", "eid", "et")
+    val g2 = graft.ops.Temporal.transitions(tied, Seq("uid"), "ts_us", "eid", "et")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(g2.toSeq == Seq(("x", "y")), "lower event_id transitions first")
+  }
+
   test("resample: LOCF over gaps, per-bucket tie rule, per-key grid bounds") {
     val e = Seq(
       // key a: obs in buckets 0 and 30 (step 10) — gaps at 10, 20
