@@ -2012,6 +2012,20 @@ object SparkEntry {
         "text", "doc_id", minJaccard = 0.5, portable = true)
         .select(col("doc_id"), col("contaminated"))
     }),
+    "ns_incremental_embed" -> ((s, dir) => {
+      // semantic incremental-index tier: vectors >= 400 probe the < 400
+      // index with exhaustive probes (2^planes) so candidates are
+      // provably complete and the all-pairs integer-cosine oracle pins
+      // bucketing, collision, scoring, and the threshold; tables = 2
+      // (one fully-probed table is already complete — the second
+      // exercises the multi-table dedup without oracle-imposed cost)
+      val e = t(s, dir, "embeddings")
+      val idx = graft.ops.Dedup.embedIndex(
+        e.filter(col("vec_id") < 400), "embedding", "vec_id", tables = 2)
+      graft.ops.Dedup.incrementalEmbedCandidates(
+        e.filter(col("vec_id") >= 400), idx, "embedding", "vec_id",
+        minCosPermille = 400L, probes = 16)
+    }),
     "ns_decontaminate_embed" -> ((s, dir) => {
       // Semantic decontamination tier: vectors < 25 play the benchmark;
       // per corpus vector its max integer-cosine over the benchmark, the
@@ -3046,6 +3060,18 @@ object SparkEntry {
         |  '[\t\n\x{000B}\f\r\x{0085}\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]', ' ', 'g'),
         |  ' {2,}', ' ', 'g'))) AS norm
         |FROM documents""".stripMargin,
+    "ns_incremental_embed" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+        |           FROM embeddings WHERE len(embedding) = 64),
+        |n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq FROM q),
+        |s AS (SELECT a.vec_id AS batch_id, b.vec_id AS index_id,
+        |        CASE WHEN a.nsq > 0 AND b.nsq > 0 THEN
+        |          CAST(floor(1000.0 * CAST(list_sum(list_transform(range(1, 65),
+        |                 j -> a.v[CAST(j AS INT)] * b.v[CAST(j AS INT)])) AS DOUBLE) /
+        |               (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE)))) AS BIGINT)
+        |        ELSE 0 END AS cos_permille
+        |      FROM n a CROSS JOIN n b WHERE a.vec_id >= 400 AND b.vec_id < 400)
+        |SELECT batch_id, index_id, cos_permille FROM s WHERE cos_permille >= 400""".stripMargin,
     "ns_decontaminate_embed" ->
       """WITH cq AS (SELECT vec_id AS cid,
         |              list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS v

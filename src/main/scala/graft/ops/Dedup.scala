@@ -358,6 +358,96 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** A persistable embedding dedup index: hyperplane-LSH bucket entries
+    * with PRE-QUANTIZED vectors and squared norms, plus the geometry
+    * (planes/tables/quantScale) carried alongside so probes can never hash
+    * or quantize differently than the build did — the [[MinhashIndex]]
+    * param-capture contract.
+    */
+  final case class EmbedIndex(entries: DataFrame, planes: Int, tables: Int,
+      quantScale: Long)
+
+  /** Build the EMBEDDING tier of the incremental index family
+    * ([[exactIndex]] verbatim, [[minhashIndex]] lexical, [[simhashIndex]]
+    * bitwise; this one semantic): one (key, index_id, vec_micro,
+    * nsq_micro2) row per vector per hash table. Quantization and the
+    * squared norm are paid ONCE at build, so later probes score each
+    * collision with a single integer dot product. Write `entries`
+    * bucketed by `key` ([[graft.ops.Tables]] writers) and every delta
+    * probe becomes a zero-exchange bucket join. At rest the index is
+    * `tables`× vector storage — tune `tables` down, or index PCA-reduced
+    * vectors ([[graft.ops.Embeddings.project]]), when storage dominates.
+    */
+  def embedIndex(corpus: DataFrame, vecCol: String, idCol: String,
+      planes: Int = 4, tables: Int = 8,
+      quantScale: Long = 1000000L): EmbedIndex = {
+    val entries = corpus
+      .select(col(idCol).as("index_id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .select(col("index_id"), col("__v"),
+        transform(col("__v"), x => round(x * quantScale).cast("long"))
+          .as("vec_micro"))
+      .select(col("index_id"), col("__v"), col("vec_micro"),
+        aggregate(col("vec_micro"), lit(0L), (a, x) => a + x * x)
+          .as("nsq_micro2"))
+      .select(col("index_id"), col("vec_micro"), col("nsq_micro2"),
+        explode(graft.functions.text.hyperplaneKeys(col("__v"), planes, tables))
+          .as("key"))
+    EmbedIndex(entries, planes, tables, quantScale)
+  }
+
+  /** Semantic near-dup candidates of a new batch against a prebuilt
+    * [[embedIndex]]: batch vectors hash into the same hyperplane buckets
+    * (multi-probe on the BATCH side — `probes = 2^planes` probes every
+    * bucket, making candidates provably complete through even a single
+    * table; the gate runs there so the all-pairs oracle pins bucketing,
+    * collision, scoring, and threshold, while production probes ≪
+    * 2^planes trade recall for delta-sized cost), collide with index
+    * entries, and survivors score by INTEGER cosine — micro-quantized
+    * dots and norms with the repo's fixed-order IEEE tail, so the
+    * permille values and the threshold decision replay bit-for-bit.
+    *
+    * Scale shape: cost ∝ delta size × bucket hit rate, never corpus
+    * size. Quantized arrays and norms are staged in projections BELOW
+    * each side's key explode (computed once per vector, not once per
+    * key), so a collision costs exactly one zip/aggregate dot; the
+    * multi-table (batch, index) dedup aggregates AFTER the cosine
+    * projection, so only ids+scalar ride its exchange — vectors stay in
+    * the scan/join stage (the [[graft.ops.Similarity.lshTopK]] payload
+    * rule). Mismatched-dimension pairs drop (null-propagating zip).
+    * Output: (batch_id, index_id, cos_permille), distinct pairs at
+    * `minCosPermille`+.
+    */
+  def incrementalEmbedCandidates(batch: DataFrame, index: EmbedIndex,
+      vecCol: String, idCol: String, minCosPermille: Long,
+      probes: Int = 1): DataFrame = {
+    require(minCosPermille >= 0 && minCosPermille <= 1000,
+      "minCosPermille must be in [0, 1000]")
+    val b = batch
+      .select(col(idCol).as("batch_id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .select(col("batch_id"), col("__v"),
+        transform(col("__v"), x => round(x * index.quantScale).cast("long"))
+          .as("qm"))
+      .select(col("batch_id"), col("__v"), col("qm"),
+        aggregate(col("qm"), lit(0L), (a, x) => a + x * x).as("qnsq"))
+      .select(col("batch_id"), col("qm"), col("qnsq"),
+        explode(graft.functions.text.hyperplaneKeys(col("__v"), index.planes,
+          index.tables, probes)).as("key"))
+    val scored = index.entries.join(b, Seq("key"))
+      .select(col("batch_id"), col("index_id"),
+        when(col("qnsq") > 0 && col("nsq_micro2") > 0,
+          floor(lit(1000.0) *
+            aggregate(zip_with(col("qm"), col("vec_micro"), (x, y) => x * y),
+              lit(0L), (a, x) => a + x) /
+            (sqrt(col("qnsq").cast("double")) *
+              sqrt(col("nsq_micro2").cast("double")))).cast("long"))
+          .otherwise(lit(0L)).as("cos_permille"))
+      .where(col("cos_permille") >= minCosPermille)
+    scored.groupBy("batch_id", "index_id")
+      .agg(max(col("cos_permille")).as("cos_permille"))
+  }
+
   /** Deterministic precision audit of a candidate-pair generator: sample
     * `samplePermille`‰ of the pairs by a portable hash of (idA, idB) —
     * reproducible across engines/reruns, unlike `sample()` — verify each

@@ -252,6 +252,35 @@ class OpsSpec extends AnyFunSuite {
     assert(cands.contains((1L, 2L)))
   }
 
+  test("incrementalEmbedCandidates: exhaustive probes equal all-pairs; approx settings recall a planted twin") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val idx = Dedup.embedIndex(e.filter(col("vec_id") < 150), "embedding", "vec_id")
+    val exhaustive = Dedup.incrementalEmbedCandidates(
+      e.filter(col("vec_id") >= 150), idx, "embedding", "vec_id",
+      minCosPermille = 300L, probes = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // planted twin: a batch row whose vector IS an index vector must be
+    // found even at probes = 1 (identical vectors share every bucket)
+    val twin = e.filter(col("vec_id") === 7L)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val found = Dedup.incrementalEmbedCandidates(twin, idx, "embedding",
+      "vec_id", minCosPermille = 999L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // self-cosine floors to 999 when the squared norm is not a perfect
+    // square (sqrt(n)² > n in IEEE): the documented fixed-order tail,
+    // identical in the DuckDB oracle
+    assert(found.length == 1 && found.head._1 == 10007L &&
+      found.head._2 == 7L && found.head._3 >= 999L,
+      s"identical vector must collide in its own buckets and score ~1000; got ${found.toSeq}")
+    // approx probes find a subset of exhaustive (no false positives)
+    val approx = Dedup.incrementalEmbedCandidates(
+      e.filter(col("vec_id") >= 150), idx, "embedding", "vec_id",
+      minCosPermille = 300L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.subsetOf(exhaustive), "LSH collision can only shrink the candidate set")
+  }
+
   test("hardNegatives: labels filter, null labels are everyone's negative, planted boundary pair") {
     // planted geometry: q (1,0,'a'); same-label near twin must NOT appear;
     // different-label near twin is the #1 hard negative; far opposite-label last
