@@ -147,6 +147,54 @@ object Windows {
       .drop("__fp", "__chunks")
   }
 
+  /** Embedding twin of [[streamingIncrementalNearDedup]]: drop stream
+    * rows whose vector scores `minCosPermille`+ integer cosine against
+    * ANY corpus vector in a persisted [[graft.ops.Dedup.EmbedIndex]] —
+    * one stream-static LEFT ANTI join per hash table (hyperplane bucket
+    * equi-key pre-filter + the integer-cosine residual as the join
+    * condition, quantized with the INDEX's captured scale so stream and
+    * batch cannot drift), then a watermark-bounded identical-vector
+    * dedup within the stream. Per-event cost is `tables` × bucket hit
+    * rate × one integer dot, regardless of corpus size; the only keyed
+    * state is the final quantized-vector-hash dedup. Same single-table
+    * recall caveat as the batch generator: collision is probabilistic —
+    * raise `tables` at build, not here.
+    */
+  def streamingIncrementalEmbedDedup(stream: DataFrame,
+      index: graft.ops.Dedup.EmbedIndex, tsCol: String, vecCol: String,
+      watermark: String, minCosPermille: Long,
+      maxBucket: Int = 1024): DataFrame = {
+    val withQ = stream
+      .withColumn("__v", col(vecCol).cast("array<double>"))
+      .withColumn("__keys", graft.functions.text.hyperplaneKeys(col("__v"),
+        index.planes, index.tables))
+      .withColumn("__qm",
+        transform(col("__v"), x => round(x * index.quantScale).cast("long")))
+      .withColumn("__qnsq",
+        aggregate(col("__qm"), lit(0L), (a, x) => a + x * x))
+    val idx = graft.ops.Dedup.capBuckets(index.entries, Seq("key"), maxBucket)
+    var cur = withQ
+    for (tb <- 0 until index.tables) {
+      val ib = idx.select(col("key").as(s"__k$tb"),
+        col("vec_micro").as(s"__im$tb"), col("nsq_micro2").as(s"__in$tb"))
+      cur = cur.join(ib,
+        element_at(col("__keys"), tb + 1) === col(s"__k$tb") &&
+          col("__qnsq") > 0 && col(s"__in$tb") > 0 &&
+          floor(lit(1000.0) *
+            aggregate(zip_with(col("__qm"), col(s"__im$tb"), (x, y) => x * y),
+              lit(0L), (a, x) => a + x) /
+            (sqrt(col("__qnsq").cast("double")) *
+              sqrt(col(s"__in$tb").cast("double")))).cast("long")
+            >= minCosPermille,
+        "left_anti")
+    }
+    cur
+      .withColumn("__vkey", xxhash64(col("__qm")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__vkey")
+      .drop("__v", "__keys", "__qm", "__qnsq", "__vkey")
+  }
+
   /** Tumbling/sliding windowed counts + sums per key with a watermark:
     * the standard event-time aggregation. Late rows beyond the watermark
     * are dropped by the engine — at scale the watermark bounds state size.

@@ -214,6 +214,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental embedding near-dedup: cosine match against the index drops dups") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      .filter(col("vec_id") < 40)
+    val index = graft.ops.Dedup.embedIndex(corpus, "vec", "vec_id")
+    val c = corpus.collect().map(_.getSeq[Double](1).toArray)
+    val streamed: Seq[Array[Double]] = Seq(
+      c(3), // exact corpus dup
+      c(5).map(_ * 2.0), // scaled copy (cosine ~ 1000) of a corpus vector
+      c(7).map(-_), // anti-parallel: cosine -1000, must SURVIVE
+      c(7).map(-_), // in-stream identical dup of the survivor
+      Array.fill(c(0).length)(0.0)) // zero vector: scores 0, survives
+    // shared-semantics law vs the batch generator at probes = 1
+    val batchDf = streamed.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("sid", "vec")
+    val matched = graft.ops.Dedup.incrementalEmbedCandidates(
+        batchDf, index, "vec", "sid", minCosPermille = 990L)
+      .select("batch_id").as[Long].collect().toSet
+    val expectedIdx = streamed.zipWithIndex.collect {
+      case (v, i) if !matched.contains(i.toLong) &&
+        streamed.indexWhere(_.sameElements(v)) == i => i.toLong
+    }
+    assert(expectedIdx.nonEmpty && expectedIdx.size < streamed.size,
+      s"fixture must exercise both keep and drop: $expectedIdx")
+
+    val input = MemoryStream[(java.sql.Timestamp, Long, Array[Double])](spark, 28)
+    val df = input.toDF().toDF("ts", "sid", "vec")
+    val deduped = Windows.streamingIncrementalEmbedDedup(
+      df, index, "ts", "vec", "10 minutes", minCosPermille = 990L)
+    val q = deduped.writeStream.format("memory").queryName("sembdedup").outputMode("append").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData(streamed.zipWithIndex.map { case (v, i) => (ts(i), i.toLong, v) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("sembdedup").select("sid").as[Long].collect().sorted.toSeq
+      assert(got == expectedIdx.sorted.toSeq, s"got $got expected $expectedIdx")
+      assert(spark.table("sembdedup").columns.toSeq == Seq("ts", "sid", "vec"),
+        "quantization helper columns must not leak")
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over a memory stream") {
     val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark, 1)
     val df = input.toDF().toDF("ts", "key", "v")
