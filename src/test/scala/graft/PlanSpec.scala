@@ -725,6 +725,33 @@ class PlanSpec extends AnyFunSuite {
       s"pairs evaluate independently, no join:\n${plan.take(2000)}")
   }
 
+  test("seasonality and activeActors: partial-aggregated rollups, no join, no window") {
+    Seq("ns_seasonality", "ns_active_users").foreach { q =>
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(plan.contains("partial_"), s"$q must map-side combine:\n${plan.take(3000)}")
+      assert(!plan.contains("Join") && !plan.contains("Window"),
+        s"$q is a bare aggregate over the scan:\n${plan.take(2000)}")
+    }
+  }
+
+  test("transitions: one key exchange for the lead pass; pair counts partial-aggregate") {
+    val plan = planOf(SparkEntry.queries("ns_transitions")(spark, sf))
+    val keyExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(keyExchanges == 1,
+      s"the lead window owns the only event-sized exchange, found $keyExchanges:\n${plan.take(3000)}")
+    assert(plan.contains("partial_count"),
+      s"pair counting must combine map-side:\n${plan.take(3000)}")
+  }
+
+  test("incrementalEmbedCandidates: pair dedup exchange carries ids+cos, never vectors") {
+    val plan = planOf(SparkEntry.queries("ns_incremental_embed")(spark, sf))
+    assert(plan.contains("partial_max(cos_permille"),
+      s"multi-table dedup must partial-aggregate the scalar:\n${plan.take(3000)}")
+    assert(!plan.contains("partial_max(qm") && !plan.contains("first(qm") &&
+      !plan.contains("first(vec_micro"),
+      s"quantized vectors must not ride the dedup exchange:\n${plan.take(3000)}")
+  }
+
   test("decontaminateEmbedding: benchmark broadcasts; vectors never enter the max exchange") {
     val plan = planOf(SparkEntry.queries("ns_decontaminate_embed")(spark, sf))
     assert(plan.contains("BroadcastNestedLoopJoin"),
