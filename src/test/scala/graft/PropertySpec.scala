@@ -275,4 +275,117 @@ class PropertySpec extends AnyFunSuite {
       assert(gotC == wantC, s"containment tp=$tp docs=$docs")
     }
   }
+
+  test("filterFunnel law: single-scan attribution equals sequential filtering") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val gen = for {
+      n <- Gen.chooseNum(20, 120)
+      t1 <- Gen.chooseNum(0, 100); t2 <- Gen.chooseNum(0, 100); t3 <- Gen.chooseNum(0, 100)
+      seed <- Gen.chooseNum(0L, Long.MaxValue / 2)
+    } yield (n, t1, t2, t3, seed)
+    forAll(gen, 6) { case (n, t1, t2, t3, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until n).map(i => (i.toLong, rnd.nextInt(100).toLong,
+        rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+      val df = rows.toDF("id", "a", "b", "c")
+      val rules = Seq("ra" -> (col("a") >= t1), "rb" -> (col("b") >= t2),
+        "rc" -> (col("c") >= t3))
+      val out = graft.ops.Curation.filterFunnel(df, rules)
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      // sequential replay on the driver
+      var live = rows
+      val want = Seq(("ra", (r: (Long, Long, Long, Long)) => r._2 >= t1),
+        ("rb", (r: (Long, Long, Long, Long)) => r._3 >= t2),
+        ("rc", (r: (Long, Long, Long, Long)) => r._4 >= t3)).map { case (nm, p) =>
+        val in = live.size; live = live.filter(p)
+        (nm, in.toLong, (in - live.size).toLong, live.size.toLong)
+      }
+      assert(out.toSeq == want, s"seed=$seed thresholds=($t1,$t2,$t3)")
+    }
+  }
+
+  test("transitions law: pair counts reconcile to events minus keys") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(10, 80)
+      k <- Gen.chooseNum(1, 6)
+      seed <- Gen.chooseNum(0L, Long.MaxValue / 2)
+    } yield (n, k, seed)
+    forAll(gen, 6) { case (n, k, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until n).map(i => (rnd.nextInt(k).toLong, rnd.nextInt(20).toLong,
+        i.toLong, s"e${rnd.nextInt(4)}"))
+      val df = rows.toDF("uid", "ts_us", "eid", "et")
+      val out = graft.ops.Temporal.transitions(df, Seq("uid"), "ts_us", "eid", "et")
+        .collect()
+      val totalPairs = out.map(_.getLong(2)).sum
+      val distinctKeys = rows.map(_._1).distinct.size
+      assert(totalPairs == n - distinctKeys,
+        s"every non-terminal event emits exactly one transition (seed=$seed)")
+      // row-stochastic: per from_type, permilles sum to <= 1000 (integer floor)
+      out.groupBy(_.getString(0)).foreach { case (ft, rs) =>
+        val s = rs.map(_.getLong(3)).sum
+        assert(s <= 1000 && s > 1000 - rs.size,
+          s"from=$ft permille sum $s out of floor range (seed=$seed)")
+      }
+    }
+  }
+
+  test("alignScores law: aligned values are reference members and order-preserving") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(5, 60)
+      m <- Gen.chooseNum(1, 40)
+      seed <- Gen.chooseNum(0L, Long.MaxValue / 2)
+    } yield (n, m, seed)
+    forAll(gen, 6) { case (n, m, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val df = (0 until n).map(i => (i.toLong, s"g${i % 2}", rnd.nextInt(1000).toLong))
+        .toDF("id", "grp", "score")
+      val refVals = (0 until m).map(_ => rnd.nextInt(1000).toLong)
+      val ref = refVals.toDF("rscore")
+      val out = graft.ops.Curation.alignScores(df, "score", "id", Seq("grp"), ref, "rscore")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      assert(out.length == n, "alignment is total")
+      val refSet = refVals.toSet
+      assert(out.forall(r => refSet.contains(r._4)), "selection, never interpolation")
+      out.groupBy(_._1).foreach { case (g, rs) =>
+        val byScore = rs.sortBy(r => (r._3, r._2))
+        assert(byScore.map(_._4).toSeq == byScore.map(_._4).sorted.toSeq,
+          s"group $g: alignment must preserve score order (seed=$seed)")
+      }
+    }
+  }
+
+  test("dedupeLinesInDoc law: idempotent, and output lines are a subsequence of input") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val lineGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "")
+    val gen = for {
+      n <- Gen.chooseNum(0, 10)
+      ls <- Gen.listOfN(n, lineGen)
+    } yield ls.mkString("\n")
+    forAll(gen, 10) { text =>
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val once = graft.ops.Curation.dedupeLinesInDoc(df, "text", "doc_id")
+        .collect().head
+      val dedup1 = once.getString(3)
+      val twice = graft.ops.Curation.dedupeLinesInDoc(
+        Seq((1L, dedup1)).toDF("doc_id", "text"), "text", "doc_id")
+        .collect().head.getString(3)
+      assert(twice == dedup1, s"idempotence on ${text.replace("\n", "|")}")
+      // subsequence + first-occurrence preservation
+      val in = text.split("\n", -1).toSeq
+      val outLines = dedup1.split("\n", -1).toSeq
+      val nonEmptyDistinct = in.filter(_.nonEmpty).distinct
+      assert(outLines.filter(_.nonEmpty) == nonEmptyDistinct,
+        s"non-empty lines keep first-occurrence order: in=$in out=$outLines")
+      assert(outLines.count(_.isEmpty) == in.count(_.isEmpty),
+        "every empty line survives")
+    }
+  }
 }
