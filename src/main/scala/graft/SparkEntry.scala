@@ -2181,6 +2181,18 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", "text/plain")
       graft.ops.Multimodal.frameFingerprints(media, n = 8, w = 16, stride = 64)
     }),
+    "ns_media_keyframes" -> ((s, dir) => {
+      // shot-boundary gate: synthesize held shots (block1 ×3 then
+      // block2 ×2 of each doc's padded payload) — the keyframe reduction
+      // must emit exactly the run starts, replayed fp-for-fp
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          repeat(substring(rpad(col("text"), 192, "x"), 1, 64), 3),
+          repeat(substring(rpad(col("text"), 192, "x"), 65, 64), 2)).as("text"))
+      val media = graft.ops.Multimodal.fromDocuments(
+        planted, "doc_id", "text", "text/plain")
+      graft.ops.Multimodal.keyframes(media, n = 8, w = 16, stride = 64)
+    }),
     "ns_media_frame_neardup" -> ((s, dir) => {
       // frame-overlap near-dup gate: corpus ∪ tail-trimmed copies
       // (media_id + 100000) — fixed-stride anchoring makes each trimmed
@@ -3868,6 +3880,20 @@ object SparkEntry {
         |       & 2147483647 AS BIGINT) AS fp
         |FROM (SELECT doc_id, text, unnest(range(8)) AS f FROM documents)
         |WHERE f * 64 + 16 <= length(text)""".stripMargin,
+    "ns_media_keyframes" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |      repeat(substr(rpad(text, 192, 'x'), 1, 64), 3) ||
+        |      repeat(substr(rpad(text, 192, 'x'), 65, 64), 2) AS p
+        |    FROM documents),
+        |fr AS (SELECT media_id, f AS frame,
+        |      CAST(('0x' || substr(md5(substr(p, CAST(f * 64 + 1 AS INT), 16)), 1, 8))::UBIGINT
+        |           & 2147483647 AS BIGINT) AS fp
+        |    FROM (SELECT media_id, p, unnest(range(8)) AS f FROM m)
+        |    WHERE f * 64 + 16 <= length(p)),
+        |k AS (SELECT media_id, frame, fp,
+        |        lag(fp) OVER (PARTITION BY media_id ORDER BY frame) AS prev FROM fr)
+        |SELECT media_id, CAST(frame AS INT) AS keyframe, fp
+        |FROM k WHERE prev IS NULL OR prev != fp""".stripMargin,
     "ns_media_frame_neardup" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, text FROM documents

@@ -399,6 +399,32 @@ object Multimodal {
         h31(col("__p").substr(col("frame") * stride + 1, lit(w))).as("fp"))
   }
 
+  /** Keyframe selection over [[frameFingerprints]]: the first frame of
+    * every RUN of identical consecutive fingerprints — the shot-boundary
+    * reduction that turns "every frame" into "one frame per held shot"
+    * before expensive downstream work (decode, embedding, captioning at
+    * keyframes only: the standard video-corpus cost lever). Fingerprint
+    * tier = byte-exact shot holds; near-identical-but-not-equal frames
+    * belong to the DECODED tier (luma-distance thresholds over
+    * [[decodeLumaGrid]] features), the same byte/decode split the whole
+    * multimodal family documents.
+    *
+    * Scale shape: the fingerprint scan stage plus ONE window keyed by
+    * media_id over frame-index order — per-media state is `n` (frame
+    * count) rows of (idx, fp) scalars; payload bytes never reach the
+    * exchange. Output: (media_id, keyframe, fp), keyframe = the run's
+    * first frame index.
+    */
+  def keyframes(media: DataFrame, n: Int = 8, w: Int = 16,
+      stride: Int = 64): DataFrame = {
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame"))
+    frameFingerprints(media, n, w, stride)
+      .withColumn("__prev", lag(col("fp"), 1).over(wd))
+      .where(col("__prev").isNull || col("__prev") =!= col("fp"))
+      .select(col("media_id"), col("frame").as("keyframe"), col("fp"))
+  }
+
   /** Media pairs sharing ≥ `minShared` of their `n` frame fingerprints —
     * the set-overlap candidate join over [[frameFingerprints]]. Pairs
     * meet per (frame, fp) key (positional agreement: same content at the

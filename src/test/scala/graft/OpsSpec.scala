@@ -688,6 +688,26 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 3L), "unrelated media must not pair")
   }
 
+  test("keyframes: one emission per held-shot run, in frame order") {
+    val a = "a" * 64; val b = "b" * 64
+    // frames: a a b a a -> runs start at 0, 2, 3
+    val docs = Seq((1L, a + a + b + a + a), (2L, a)).toDF("doc_id", "text")
+    val media = Multimodal.fromDocuments(docs, "doc_id", "text", "text/plain")
+    val got = Multimodal.keyframes(media, n = 8, w = 16, stride = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(0, 2, 3),
+      s"run starts only: ${got.toSeq}")
+    assert(got.filter(_._1 == 2L).map(_._2).toSeq == Seq(0),
+      "single-frame media keeps its one frame")
+    // reduction law: keyframe count <= frame count, and fp at a keyframe
+    // equals the fingerprint of that frame
+    val fps = Multimodal.frameFingerprints(media, n = 8, w = 16, stride = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    Multimodal.keyframes(media, n = 8, w = 16, stride = 64).collect().foreach { r =>
+      assert(fps((r.getLong(0), r.getInt(1))) == r.getLong(2))
+    }
+  }
+
   test("pHash skew guard bounds degenerate buckets (identical payloads)") {
     val docs = (1L to 500L).map(i => (i, "same payload body " * 10)).toDF("doc_id", "text")
     val media = Multimodal.fromDocuments(docs, "doc_id", "text", "text/plain")
