@@ -218,6 +218,41 @@ class GraphSpec extends AnyFunSuite {
     assert(d1 <= 40, s"per-round job cost out of bounds: j2=$j2 j4=$j4")
   }
 
+  test("job-count gate: personalizedPageRank is linear in iters") {
+    def run(iters: Int): Int = countJobs {
+      val uniq = Seq(("a", "b"), ("b", "a"), ("a", "c"))
+        .map { case (s, d) => (s"$s-p$iters", s"$d-p$iters") }.toDF("src", "dst")
+      val seeds = Seq(s"a-p$iters").toDF("n")
+      val r = Graph.personalizedPageRank(uniq, "src", "dst", seeds, "n",
+        iters = iters, persistEvery = 2)
+      r.collect(); r.unpersist(); ()
+    }
+    val j2 = run(2)
+    val j4 = run(4)
+    val j6 = run(6)
+    val d1 = j4 - j2
+    val d2 = j6 - j4
+    assert(d2 <= d1 + 4,
+      s"personalizedPageRank job growth must be linear: j2=$j2 j4=$j4 j6=$j6")
+    assert(d1 <= 40, s"per-round job cost out of bounds: j2=$j2 j4=$j4")
+  }
+
+  test("job-count gate: labelPropagation is linear in rounds") {
+    def run(rounds: Int): Int = countJobs {
+      val uniq = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("d", "e"))
+        .map { case (s, d) => (s"$s-l$rounds", s"$d-l$rounds") }.toDF("src", "dst")
+      Graph.labelPropagation(uniq, "src", "dst", rounds = rounds).collect(); ()
+    }
+    val j2 = run(2)
+    val j4 = run(4)
+    val j6 = run(6)
+    val d1 = j4 - j2
+    val d2 = j6 - j4
+    assert(d2 <= d1 + 4,
+      s"labelPropagation job growth must be linear: j2=$j2 j4=$j4 j6=$j6")
+    assert(d1 <= 40, s"per-round job cost out of bounds: j2=$j2 j4=$j4")
+  }
+
   test("job-count gate: star-contraction CC jobs stay proportional to executed rounds") {
     // the third iterative loop under the SCALE.md rule: a chain forces
     // multiple large/small-star rounds, and the per-round checkpoint must
