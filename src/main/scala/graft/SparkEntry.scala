@@ -1042,6 +1042,19 @@ object SparkEntry {
         .where(col("pa") < col("pb")).select("pa", "pb").distinct()
       graft.ops.Graph.neighborJaccard(edges, "pa", "pb", minCommon = 2)
     }),
+    "ns_reciprocity" -> ((s, dir) => {
+      // directed-graph shape gate: parity-oriented part<->supplier edges
+      // give genuine partial reciprocation; one semi-join on the swapped
+      // key, one aggregate row
+      val l = t(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+          col("l_linenumber").as("ln"))
+        .where(col("pk") =!= col("sk"))
+      val edges = l.select(
+        when(col("ln") % 2 === 0, col("pk")).otherwise(col("sk")).as("s"),
+        when(col("ln") % 2 === 0, col("sk")).otherwise(col("pk")).as("d"))
+      graft.ops.Graph.reciprocity(edges, "s", "d")
+    }),
     "ns_assortativity" -> ((s, dir) => {
       // degree-degree correlation of the co-ordered-parts graph — one
       // exact-decimal correlation row; the oracle replays degrees, the
@@ -2023,8 +2036,8 @@ object SparkEntry {
       val idx = graft.ops.Dedup.embedIndex(
         e.filter(col("vec_id") < 400), "embedding", "vec_id", tables = 2)
       graft.ops.Dedup.incrementalEmbedCandidates(
-        e.filter(col("vec_id") >= 400), idx, "embedding", "vec_id",
-        minCosPermille = 400L, probes = 16)
+        e.filter(col("vec_id") >= 400 && col("vec_id") < 1400), idx,
+        "embedding", "vec_id", minCosPermille = 400L, probes = 16)
     }),
     "ns_decontaminate_embed" -> ((s, dir) => {
       // Semantic decontamination tier: vectors < 25 play the benchmark;
@@ -3082,7 +3095,8 @@ object SparkEntry {
         |                 j -> a.v[CAST(j AS INT)] * b.v[CAST(j AS INT)])) AS DOUBLE) /
         |               (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE)))) AS BIGINT)
         |        ELSE 0 END AS cos_permille
-        |      FROM n a CROSS JOIN n b WHERE a.vec_id >= 400 AND b.vec_id < 400)
+        |      FROM n a CROSS JOIN n b
+        |      WHERE a.vec_id >= 400 AND a.vec_id < 1400 AND b.vec_id < 400)
         |SELECT batch_id, index_id, cos_permille FROM s WHERE cos_permille >= 400""".stripMargin,
     "ns_decontaminate_embed" ->
       """WITH cq AS (SELECT vec_id AS cid,
@@ -3352,6 +3366,18 @@ object SparkEntry {
         |FROM pairs p
         |JOIN deg da ON p.node_a = da.node
         |JOIN deg db ON p.node_b = db.node""".stripMargin,
+    "ns_reciprocity" ->
+      """WITH l AS (SELECT l_partkey AS pk, l_suppkey AS sk, l_linenumber AS ln
+        |           FROM lineitem WHERE l_orderkey <= 2000),
+        |e AS (SELECT DISTINCT CASE WHEN ln % 2 = 0 THEN pk ELSE sk END AS s,
+        |             CASE WHEN ln % 2 = 0 THEN sk ELSE pk END AS d
+        |      FROM l WHERE pk != sk),
+        |r AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+        |rec AS (SELECT CAST(count(*) AS BIGINT) AS n_reciprocated FROM e a
+        |        WHERE EXISTS (SELECT 1 FROM e b WHERE b.s = a.d AND b.d = a.s))
+        |SELECT n_edges, n_reciprocated,
+        |       CAST((n_reciprocated * 1000) // n_edges AS BIGINT) AS reciprocity_permille
+        |FROM r, rec""".stripMargin,
     "ns_assortativity" ->
       """WITH l AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem WHERE l_orderkey <= 2000),
         |e0 AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb FROM l a JOIN l b ON a.ok = b.ok AND a.pk < b.pk),

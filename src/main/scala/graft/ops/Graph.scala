@@ -653,6 +653,35 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("deg"))
   }
 
+  /** Edge reciprocity of the directed simple graph: the fraction of
+    * directed edges whose reverse edge also exists, in integer permille —
+    * the third shape metric next to [[degreeAssortativity]] (who links
+    * whom by degree) and [[triangles]] (local density): citation/link
+    * graphs run near 0 (endorsement is one-way), social graphs high, and
+    * a link farm's mutual-exchange core shows as a high-reciprocity
+    * subregion of an otherwise low-reciprocity web graph. Self-loops
+    * drop; parallel edges collapse (simple-graph semantics, the
+    * [[triangles]] convention).
+    *
+    * One distinct + one self left-semi join on the swapped key pair +
+    * two counts folded into a single aggregate row — the join is
+    * equi-keyed on (dst, src) so it hash-partitions, never a product.
+    * Output: one row (n_edges, n_reciprocated, reciprocity_permille).
+    */
+  def reciprocity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .where(col("s") =!= col("d") && col("s").isNotNull && col("d").isNotNull)
+      .distinct()
+    val recip = e.join(e.select(col("d").as("s"), col("s").as("d")),
+      Seq("s", "d"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_reciprocated"))))
+      .select(col("n_edges"), col("n_reciprocated"),
+        when(col("n_edges") > 0, call_function("div",
+          col("n_reciprocated") * lit(1000L), col("n_edges")))
+          .otherwise(lit(0L)).as("reciprocity_permille"))
+  }
+
   /** Per-node degree profile: (node, out_deg, in_deg), zero-filled for
     * nodes that only appear on one side. Two partial-aggregated counts and
     * an outer join of node-sized frames.

@@ -218,6 +218,20 @@ class GraphSpec extends AnyFunSuite {
     assert(d1 <= 40, s"per-round job cost out of bounds: j2=$j2 j4=$j4")
   }
 
+  test("reciprocity: mutual pairs count both ways, self-loops and parallels drop") {
+    // a<->b mutual (2 edges, both reciprocated), a->c one-way, c->c self,
+    // duplicate a->b parallel collapses
+    val e = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "c"), ("a", "b"))
+      .toDF("src", "dst")
+    val r = Graph.reciprocity(e, "src", "dst").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 666L)),
+      s"3 simple edges, 2 reciprocated, 666 permille; got $r")
+    // empty graph: zero row, no division error
+    val z = Graph.reciprocity(Seq(("x", "x")).toDF("src", "dst"), "src", "dst")
+      .collect().head
+    assert((z.getLong(0), z.getLong(1), z.getLong(2)) == ((0L, 0L, 0L)))
+  }
+
   test("job-count gate: personalizedPageRank is linear in iters") {
     def run(iters: Int): Int = countJobs {
       val uniq = Seq(("a", "b"), ("b", "a"), ("a", "c"))
