@@ -2034,9 +2034,9 @@ object SparkEntry {
       // exercises the multi-table dedup without oracle-imposed cost)
       val e = t(s, dir, "embeddings")
       val idx = graft.ops.Dedup.embedIndex(
-        e.filter(col("vec_id") < 400), "embedding", "vec_id", tables = 2)
+        e.filter(col("vec_id") < 100), "embedding", "vec_id", tables = 2)
       graft.ops.Dedup.incrementalEmbedCandidates(
-        e.filter(col("vec_id") >= 400 && col("vec_id") < 1400), idx,
+        e.filter(col("vec_id") >= 100 && col("vec_id") < 1100), idx,
         "embedding", "vec_id", minCosPermille = 400L, probes = 16)
     }),
     "ns_decontaminate_embed" -> ((s, dir) => {
@@ -3096,7 +3096,7 @@ object SparkEntry {
         |               (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE)))) AS BIGINT)
         |        ELSE 0 END AS cos_permille
         |      FROM n a CROSS JOIN n b
-        |      WHERE a.vec_id >= 400 AND a.vec_id < 1400 AND b.vec_id < 400)
+        |      WHERE a.vec_id >= 100 AND a.vec_id < 1100 AND b.vec_id < 100)
         |SELECT batch_id, index_id, cos_permille FROM s WHERE cos_permille >= 400""".stripMargin,
     "ns_decontaminate_embed" ->
       """WITH cq AS (SELECT vec_id AS cid,
