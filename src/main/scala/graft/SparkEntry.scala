@@ -1211,6 +1211,11 @@ object SparkEntry {
       graft.ops.Curation.tClosenessAudit(t(s, dir, "orders"),
         Seq("o_orderpriority"), "o_orderstatus", tPermille = 5L)
     }),
+    "ns_crosstab" -> ((s, dir) =>
+      // categorical association gate: lang × source contingency with
+      // exact-decimal lift — marginals from windows (null-safe), one
+      // cells-sized frame after the first aggregate
+      graft.ops.Profile.crossTab(t(s, dir, "documents"), "lang", "source")),
     "ns_fd" -> ((s, dir) => {
       // functional-dependency discovery over three order columns: the key
       // direction holds, the reverses are violated; oracle replays each
@@ -3659,6 +3664,16 @@ object SparkEntry {
         |            (max(nc) * (SELECT n FROM t)) AS BIGINT) AS dist_permille
         |FROM j GROUP BY 1 HAVING CAST((500 * sum(abs(nvc * (SELECT n FROM t) - nv * nc))) //
         |            (max(nc) * (SELECT n FROM t)) AS BIGINT) > 5""".stripMargin,
+    "ns_crosstab" ->
+      """WITH c AS (SELECT lang, source, CAST(count(*) AS HUGEINT) AS n
+        |           FROM documents GROUP BY 1, 2),
+        |t AS (SELECT sum(n) AS total FROM c)
+        |SELECT lang, source, CAST(n AS BIGINT) AS n,
+        |  CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_a,
+        |  CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS n_b,
+        |  CAST((1000000::HUGEINT * n * (SELECT total FROM t)) //
+        |       (sum(n) OVER (PARTITION BY lang) * sum(n) OVER (PARTITION BY source)) AS BIGINT) AS lift_micro
+        |FROM c""".stripMargin,
     "ns_fd" ->
       """SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
         |       CAST(count(*) AS BIGINT) AS n_groups,

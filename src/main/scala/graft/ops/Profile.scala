@@ -518,4 +518,42 @@ object Profile {
         .withColumn("holds", col("violating_groups") === 0L)
     }.reduce(_ unionAll _)
   }
+
+  /** Exact contingency table with association lift for two CATEGORICAL
+    * columns — the categorical sibling of [[correlationMatrix]] (numeric)
+    * and [[functionalDependencies]] (determinism): per (a, b) cell its
+    * count, the marginals, and lift_micro = observed over independence
+    * (10⁶ = independent) in exact DECIMAL arithmetic, the
+    * [[graft.ops.TextAnalysis.collocations]] formula applied to column
+    * values. The metadata-dependence probe behind mix design ("is
+    * `source` secretly a language partition?"), leakage checks (a split
+    * column associated with a label column), and stratification
+    * planning. NULL values are categories (nulls carry association
+    * signal; the marginals come from windows, never joins, so no
+    * null-key rows drop).
+    *
+    * Scale shape: one partial-aggregated groupBy onto |A|×|B| cells —
+    * categorical columns by contract (cardinalities like languages,
+    * sources, labels); the marginal windows and the broadcast one-row
+    * total all run on the cells frame, so nothing row-sized ever moves
+    * after the first aggregate. Output: (colA, colB, n, n_a, n_b,
+    * lift_micro).
+    */
+  def crossTab(df: DataFrame, colA: String, colB: String): DataFrame = {
+    require(colA != colB, "need two distinct columns")
+    val dec = "decimal(38,0)"
+    val cells = df.groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).cast(dec).as("n"))
+    val tot = cells.agg(sum(col("n")).as("__N"))
+    cells
+      .withColumn("n_a", sum(col("n")).over(Window.partitionBy(col("a"))))
+      .withColumn("n_b", sum(col("n")).over(Window.partitionBy(col("b"))))
+      .crossJoin(broadcast(tot))
+      .select(col("a").as(colA), col("b").as(colB),
+        col("n").cast("long").as("n"),
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        call_function("div", lit(1000000L).cast(dec) * col("n") * col("__N"),
+          col("n_a") * col("n_b")).as("lift_micro"))
+  }
 }

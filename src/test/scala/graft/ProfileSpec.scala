@@ -275,4 +275,21 @@ class ProfileSpec extends AnyFunSuite {
     assert(out(("v", "g")) == ((2L, 0L, true)))
     assert(out(("v", "id")) == ((2L, 1L, false)))
   }
+
+  test("crossTab: exact cells, marginals from windows, nulls are categories") {
+    // a x x, a y, b y, null y: N = 5
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "y"),
+      (null: String, "y")).toDF("l", "s")
+    val got = graft.ops.Profile.crossTab(df, "l", "s")
+      .collect().map(r => ((Option(r.getString(0)), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // lift(a,x) = 1e6*2*5/(3*2) = 1666666
+    assert(got((Some("a"), "x")) == ((2L, 3L, 2L, 1666666L)), s"got $got")
+    // lift(a,y) = 1e6*1*5/(3*3) = 555555
+    assert(got((Some("a"), "y")) == ((1L, 3L, 3L, 555555L)))
+    assert(got((Some("b"), "y")) == ((1L, 1L, 3L, 1666666L)))
+    assert(got((None, "y")) == ((1L, 1L, 3L, 1666666L)),
+      "null category must survive with correct marginals")
+    assert(got.size == 4, "only observed cells emit")
+  }
 }
