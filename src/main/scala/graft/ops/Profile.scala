@@ -544,11 +544,14 @@ object Profile {
     val dec = "decimal(38,0)"
     val cells = df.groupBy(col(colA).as("a"), col(colB).as("b"))
       .agg(count(lit(1)).cast(dec).as("n"))
-    val tot = cells.agg(sum(col("n")).as("__N"))
+    // the grand total comes from a window over the CELLS frame, not a
+    // second aggregate branch: an unpersisted second branch would re-scan
+    // the corpus (PlanSpec-gated); the single-partition window is bounded
+    // by the |A|×|B| cells contract
     cells
       .withColumn("n_a", sum(col("n")).over(Window.partitionBy(col("a"))))
       .withColumn("n_b", sum(col("n")).over(Window.partitionBy(col("b"))))
-      .crossJoin(broadcast(tot))
+      .withColumn("__N", sum(col("n")).over(Window.partitionBy(lit(1))))
       .select(col("a").as(colA), col("b").as(colB),
         col("n").cast("long").as("n"),
         col("n_a").cast("long").as("n_a"),

@@ -725,6 +725,16 @@ class PlanSpec extends AnyFunSuite {
       s"pairs evaluate independently, no join:\n${plan.take(2000)}")
   }
 
+  test("crossTab: one partial-aggregated cell exchange; marginals never re-scan rows") {
+    val plan = planOf(SparkEntry.queries("ns_crosstab")(spark, sf))
+    assert(plan.contains("partial_count"),
+      s"cell counting must map-side combine:\n${plan.take(3000)}")
+    // after the first aggregate everything runs on the cells frame: the
+    // documents scan must appear exactly once
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"marginals/total must derive from cells, not re-scans ($scans):\n${plan.take(2000)}")
+  }
+
   test("seasonality and activeActors: partial-aggregated rollups, no join, no window") {
     Seq("ns_seasonality", "ns_active_users").foreach { q =>
       val plan = planOf(SparkEntry.queries(q)(spark, sf))
