@@ -2030,6 +2030,21 @@ object SparkEntry {
         "text", "doc_id", minJaccard = 0.5, portable = true)
         .select(col("doc_id"), col("contaminated"))
     }),
+    "ns_index_stats" -> ((s, dir) => {
+      // index health gate: bucket-size histogram over band-slice buckets
+      // of the portable minhash signatures (slice-as-bucket keeps the
+      // bucket key oracle-replayable; the histogram reduction is what the
+      // gate pins)
+      val docs = t(s, dir, "documents")
+      val sig = graft.ops.Dedup.minhashSigAndBuckets(col("text"),
+        3, 64, 16, portable = true).getField("sig")
+      val entries = docs.select(col("doc_id"), sig.as("sig"))
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), lit(15)),
+          b => concat_ws(",", slice(col("sig"), b * 4 + 1, lit(4)))))
+          .as(Seq("band", "bucket")))
+      graft.ops.Dedup.indexStats(entries, Seq("band", "bucket"))
+    }),
     "ns_incremental_embed" -> ((s, dir) => {
       // semantic incremental-index tier: vectors >= 400 probe the < 400
       // index with exhaustive probes (2^planes) so candidates are
@@ -3090,6 +3105,16 @@ object SparkEntry {
         |  '[\t\n\x{000B}\f\r\x{0085}\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]', ' ', 'g'),
         |  ' {2,}', ' ', 'g'))) AS norm
         |FROM documents""".stripMargin,
+    "ns_index_stats" ->
+      s"""WITH $minhashSigCtes,
+         |en AS (SELECT doc_id, bb AS band,
+         |         array_to_string(sig[bb * 4 + 1 : bb * 4 + 4], ',') AS bucket
+         |       FROM (SELECT doc_id, sig, unnest(range(0, 16)) AS bb FROM sg)),
+         |b AS (SELECT band, bucket, count(*) AS sz FROM en GROUP BY 1, 2)
+         |SELECT CAST(sz AS BIGINT) AS bucket_size,
+         |       CAST(count(*) AS BIGINT) AS n_buckets,
+         |       CAST(sum(sz) AS BIGINT) AS n_entries
+         |FROM b GROUP BY 1""".stripMargin,
     "ns_incremental_embed" ->
       """WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS v
         |           FROM embeddings WHERE len(embedding) = 64),

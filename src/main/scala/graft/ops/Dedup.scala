@@ -448,6 +448,30 @@ object Dedup {
       .agg(max(col("cos_permille")).as("cos_permille"))
   }
 
+  /** Bucket-size histogram of a persisted index's entries — the health
+    * probe to run BEFORE pointing a delta at any bucketed index
+    * ([[minhashIndex]]'s (band, bucket), [[simhashIndex]]'s (band,
+    * chunk), [[embedIndex]]'s key): per-probe cost is the hit bucket's
+    * size, so a skewed histogram (a few giant buckets from boilerplate /
+    * constant payloads) predicts exactly the hot probes the `maxBucket`
+    * caps exist to bound — this is the report that tells you what to SET
+    * `maxBucket` to, instead of guessing. The index-side sibling of
+    * [[clusterStats]] (same histogram reduction, buckets instead of
+    * clusters).
+    *
+    * Two partial-aggregated exchanges (keys → sizes, sizes → histogram);
+    * output is one row per DISTINCT bucket size — log-scale small
+    * regardless of index size. Output: (bucket_size, n_buckets,
+    * n_entries), n_entries = bucket_size × n_buckets (the probe-mass
+    * column: Σ over rows = index entries).
+    */
+  def indexStats(entries: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    entries.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("__sz")).as("n_entries"))
+  }
+
   /** Deterministic precision audit of a candidate-pair generator: sample
     * `samplePermille`‰ of the pairs by a portable hash of (idA, idB) —
     * reproducible across engines/reruns, unlike `sample()` — verify each

@@ -252,6 +252,24 @@ class OpsSpec extends AnyFunSuite {
     assert(cands.contains((1L, 2L)))
   }
 
+  test("indexStats: histogram mass reconciles to entries; skew shows as a giant bucket") {
+    // buckets: k1 x3, k2 x1, k3 x1 -> histogram {3: 1 bucket, 1: 2 buckets}
+    val entries = Seq(("k1", 1L), ("k1", 2L), ("k1", 3L), ("k2", 4L), ("k3", 5L))
+      .toDF("key", "corpus_id")
+    val got = Dedup.indexStats(entries, Seq("key"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(3L -> ((1L, 3L)), 1L -> ((2L, 2L))), s"got $got")
+    assert(got.values.map(_._2).sum == 5L, "n_entries sums to the index size")
+    // a real index round-trips: minhashIndex entries keyed (band, bucket)
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "unrelated totally different words here")).toDF("doc_id", "text")
+    val idx = Dedup.minhashIndex(docs, "text", "doc_id")
+    val hist = Dedup.indexStats(idx.entries, Seq("band", "bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hist.getOrElse(2L, 0L) == 16L,
+      s"the identical pair shares all 16 band buckets: $hist")
+  }
+
   test("incrementalEmbedCandidates: exhaustive probes equal all-pairs; approx settings recall a planted twin") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
