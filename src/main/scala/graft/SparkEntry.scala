@@ -1320,6 +1320,20 @@ object SparkEntry {
       graft.ops.Temporal.sessionize(e, Seq("user_id"), "ts_us",
         gap = 3600000000L)
     }),
+    "ns_session_stats" -> ((s, dir) => {
+      // per-session rollup over the sessionize labels: bounds + size per
+      // (user, session) — tie-safe aggregates on the delta-derived labels
+      val e = t(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      graft.ops.Temporal.sessionStats(e, Seq("user_id"), "ts_us",
+        gap = 3600000000L)
+    }),
+    "ns_trim_tokens" -> ((s, dir) =>
+      // context-budget truncation: first 50 whitespace tokens, single-space
+      // rejoin (the normalize-family whitespace convention), with counts
+      // and the truncation flag — pure scan-stage projection
+      graft.ops.Curation.trimToTokens(t(s, dir, "documents"), "text",
+        "doc_id", maxTokens = 50)),
     "ns_range_join" -> ((s, dir) => {
       // attribution: clicks within one hour at-or-after a purchase by the
       // same user — point-in-interval via bucketized equi-join (15-min
@@ -3844,6 +3858,27 @@ object SparkEntry {
         |       CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY ts_us
         |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
         |FROM b""".stripMargin,
+    "ns_session_stats" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |b AS (SELECT user_id, ts_us,
+        |        CASE WHEN lag(ts_us) OVER w IS NULL
+        |                  OR ts_us - lag(ts_us) OVER w > 3600000000
+        |             THEN 1 ELSE 0 END AS nb
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |l AS (SELECT user_id, ts_us,
+        |        CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |      FROM b)
+        |SELECT user_id, session_seq, min(ts_us) AS session_start,
+        |       max(ts_us) AS session_end, CAST(count(*) AS BIGINT) AS n_events
+        |FROM l GROUP BY 1, 2""".stripMargin,
+    "ns_trim_tokens" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
+        |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |       CAST(least(len(t), 50) AS BIGINT) AS n_kept,
+        |       len(t) > 50 AS truncated,
+        |       array_to_string(t[1:50], ' ') AS text_trim
+        |FROM tk""".stripMargin,
     "ns_range_join" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
         |                  event_id, event_type FROM events),

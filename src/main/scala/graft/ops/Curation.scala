@@ -609,6 +609,33 @@ object Curation {
           minStopwordHits, minAlphaWordFrac, maxDupLineFrac, maxDupLineCharFrac,
           maxDup2gramFrac, maxDup3gramFrac).as("keep"))
 
+  /** Context-budget truncation: keep the first `maxTokens` whitespace
+    * tokens of each document, single-space rejoined — the hard-cap
+    * companion to [[chunkByTokens]] (chunking keeps everything in
+    * pieces; trimming keeps one budgeted head — embedding inputs,
+    * prompt-context fields, preview columns). Whitespace normalizes to
+    * single spaces as a side effect (the [[graft.ops.TextAnalysis.normalizeText]]
+    * family convention: token CONTENT is preserved, layout is not).
+    * Tokens are `split(trim, \s+)` — the corpus-wide tokenization rule —
+    * so `n_tokens` agrees with [[graft.ops.TextAnalysis.wsTokenCount]]'s
+    * convention (empty text counts its one empty token).
+    *
+    * Pure scan-stage projection (split, slice, rejoin): zero shuffle,
+    * runs at scan speed at any corpus size. Output: (idCol, n_tokens,
+    * n_kept, truncated, text_trim).
+    */
+  def trimToTokens(docs: DataFrame, textCol: String, idCol: String,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, "maxTokens must be >= 1")
+    docs
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__tk"))
+      .select(col(idCol),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        least(size(col("__tk")).cast("long"), lit(maxTokens.toLong)).as("n_kept"),
+        (size(col("__tk")) > maxTokens).as("truncated"),
+        array_join(slice(col("__tk"), 1, maxTokens), " ").as("text_trim"))
+  }
+
   /** Filter-funnel attribution: apply named keep-rules IN ORDER and
     * report, per rule, how many documents it killed among the survivors
     * of every earlier rule — the curation debugging artifact behind every

@@ -840,6 +840,23 @@ class CurationSpec extends AnyFunSuite {
     assert(l3.toSeq == Seq("z1", "z2", "z3"))
   }
 
+  test("trimToTokens: head kept, whitespace normalized, counts and flag exact, zero shuffle") {
+    val df = Seq(
+      (1L, "  a  b\tc\nd e "), // messy whitespace, 5 tokens
+      (2L, "one two"), // under budget
+      (3L, "")).toDF("doc_id", "text")
+    val out = Curation.trimToTokens(df, "text", "doc_id", maxTokens = 3)
+    val got = out.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getString(4))))
+      .toMap
+    assert(got(1L) == ((5L, 3L, true, "a b c")), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 2L, false, "one two")))
+    assert(got(3L) == ((1L, 1L, false, "")), "empty text counts its one empty token")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Generate"),
+      s"trim must be a bare projection:\n$plan")
+  }
+
   test("dedupeLinesInDoc: local first occurrence wins, empties survive, zero shuffle") {
     val df = Seq(
       (1L, "head\nbody\n\nhead\nbody\ntail"), // head+body repeat; blank stays
