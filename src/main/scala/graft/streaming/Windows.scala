@@ -219,6 +219,28 @@ object Windows {
         col(keyCol), col("n"), col("total"))
   }
 
+  /** Streaming twin of [[graft.ops.Temporal.activeActors]]: event counts
+    * and distinct-actor counts per tumbling event-time window with a
+    * watermark. The distinct count is the HLL++ SKETCH tier
+    * (`approx_count_distinct` — exact streaming distinct would hold every
+    * actor id per open window in state; the sketch holds fixed-size
+    * state, the same exact/sketch split the batch operator documents for
+    * 100 TB actor cardinalities). `rsd` is the sketch's relative standard
+    * deviation; the batch twin is the exact tier and the divergence is
+    * bounded by it (test-gated). Late rows beyond the watermark drop;
+    * state is one sketch + one counter per open window.
+    */
+  def streamingActiveActors(df: DataFrame, tsCol: String, actorCol: String,
+      windowDuration: String, watermark: String = "10 minutes",
+      rsd: Double = 0.02): DataFrame = {
+    val src = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    src.groupBy(window(col(tsCol), windowDuration).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col(actorCol), rsd).as("n_actors_approx"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("n_events"), col("n_actors_approx"))
+  }
+
   /** Session windows (gap-based) via the built-in session_window —
     * state-bounded by the watermark.
     */

@@ -254,6 +254,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingActiveActors: windowed sketch counts track the exact batch twin") {
+    val input = MemoryStream[(java.sql.Timestamp, Long)](spark, 38)
+    val df = input.toDF().toDF("ts", "uid")
+    val agg = Windows.streamingActiveActors(df, "ts", "uid", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("sactive").outputMode("complete").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      // window [10:00,10:10): uids 1,1,2,3 -> 4 events, 3 actors
+      // window [10:10,10:20): uid 1 -> 1 event, 1 actor
+      input.addData((ts(1), 1L), (ts(2), 1L), (ts(3), 2L), (ts(9), 3L), (ts(11), 1L))
+      q.processAllAvailable()
+      val got = spark.table("sactive").collect()
+        .map(r => (r.getAs[java.sql.Timestamp](0).toString,
+          r.getLong(2), r.getLong(3))).toSet
+      // at tiny cardinalities the HLL++ sketch is exact
+      assert(got == Set(("2024-01-01 10:00:00.0", 4L, 3L),
+        ("2024-01-01 10:10:00.0", 1L, 1L)), s"got $got")
+      // batch twin agreement on the same rows (sketch exact at this size)
+      val batch = graft.ops.Temporal.activeActors(
+        Seq((60L, 1L), (120L, 1L), (180L, 2L), (540L, 3L), (660L, 1L))
+          .toDF("ts_us", "uid"), "ts_us", "uid", windowMs = 600L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch == Set((0L, 4L, 3L), (600L, 1L, 1L)))
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over a memory stream") {
     val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark, 1)
     val df = input.toDF().toDF("ts", "key", "v")
