@@ -927,6 +927,84 @@ object SparkEntry {
           keepFrac = 0.7, centroids = Some(cents))
         .select(col("id"), col("cell"), col("rank"), col("n_cell"), col("keep"))
     }),
+    "ns_dialog_audit" -> ((s, dir) => {
+      // SFT transcript hygiene: dialogs assembled deterministically from
+      // the event stream (role by event_id parity, empties and special-
+      // token leaks injected by modulus), audited with the array-HOF
+      // operator; the oracle computes the same checks in row form
+      // (arg_min/arg_max + lag window) — two independent formulations of
+      // the same contract.
+      val e = t(s, dir, "events")
+        .where(col("user_id") % 20 === 3)
+        .select(col("user_id"),
+          struct(col("event_id"),
+            when(col("event_id") % 2 === 0, lit("user"))
+              .otherwise(lit("assistant")).as("role"),
+            when(col("event_id") % 97 === 0, lit(""))
+              .when(col("event_id") % 53 === 0,
+                concat(col("event_type"), lit(" <|endoftext|>")))
+              .otherwise(col("event_type")).as("content")).as("m"))
+      val dialogs = e.groupBy("user_id")
+        .agg(array_sort(collect_list(col("m"))).as("msgs0"))
+        .select(col("user_id"),
+          transform(col("msgs0"), x => struct(
+            x.getField("role").as("role"),
+            x.getField("content").as("content"))).as("msgs"))
+      graft.ops.Curation.dialogAudit(dialogs, "user_id", "msgs")
+    }),
+    "ns_benford" -> ((s, dir) =>
+      // first-digit law audit over an organic magnitude (o_totalprice,
+      // Benford-ish) and a dense surrogate key (o_custkey, flat — large
+      // dev_milli by construction): the audit reports, thresholds are the
+      // caller's
+      graft.ops.Profile.benfordAudit(t(s, dir, "orders"),
+        Seq("o_totalprice", "o_custkey"))),
+    "ns_code_signals" -> ((s, dir) => {
+      // code-vs-prose router features: five RE2-class regexp counts + two
+      // permille ratios, one scan projection, replayed verbatim in DuckDB.
+      // The corpus is single-line prose, so the gate derives a mixed corpus
+      // deterministically first (chained plain substring replaces — both
+      // engines scan left-to-right over the source): statement lines,
+      // indented lines, camelCase idents, and fenced blocks on every third
+      // doc.
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(
+            replace(replace(replace(col("text"),
+              lit(" table "), lit(";\n")),
+              lit(" row "), lit("\n    ")),
+              lit("fast"), lit("fastPath")),
+            when(col("doc_id") % 3 === 0,
+              lit("\n```\ncode();\n```")).otherwise(lit(""))).as("text"))
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.codeSignals(col("text")).as("c"))
+        .select(col("doc_id"),
+          col("c.n_lines").as("n_lines"),
+          col("c.fenced_blocks").as("fenced_blocks"),
+          col("c.semi_brace_lines").as("semi_brace_lines"),
+          col("c.indented_lines").as("indented_lines"),
+          col("c.camel_idents").as("camel_idents"),
+          col("c.semi_brace_permille").as("semi_brace_permille"),
+          col("c.indent_permille").as("indent_permille"))
+    }),
+    "ns_readability" -> ((s, dir) => {
+      // Flesch + FK grade in integer milli-points: three regexp_counts and
+      // integer divides — one codegen'd scan projection, replayed in DuckDB
+      // with len(regexp_extract_all(...)).
+      // sentence punctuation is synthesized deterministically (the corpus
+      // is unpunctuated word soup): every " value " becomes a period break
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          replace(col("text"), lit(" value "), lit(". ")).as("text"))
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.readability(col("text")).as("r"))
+        .select(col("doc_id"),
+          col("r.n_words").as("n_words"),
+          col("r.n_sentences").as("n_sentences"),
+          col("r.n_syllables").as("n_syllables"),
+          col("r.flesch_milli").as("flesch_milli"),
+          col("r.fk_grade_milli").as("fk_grade_milli"))
+    }),
     "ns_text_profile" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       import graft.ops.TextAnalysis._
@@ -1130,6 +1208,23 @@ object SparkEntry {
         .select(concat(lit("s"), col("s_suppkey")).as("seed"))
       graft.ops.Graph.personalizedPageRank(edges, "src", "dst", seeds, "seed",
         iters = 2)
+    }),
+    "ns_seed_distance" -> ((s, dir) => {
+      // BFS hop distance from the ns_ppr supplier whitelist over the same
+      // bipartite trading graph — the hard crawl-radius cut next to ns_ppr's
+      // soft endorsement ranking. The oracle is a DuckDB recursive CTE
+      // (UNION-deduped frontier expansion, min(hops) per node).
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("cn"),
+          concat(lit("s"), col("l_suppkey")).as("sn")).distinct()
+      val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
+        .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+      val seeds = t(s, dir, "supplier").where(col("s_suppkey") % 7 === 1)
+        .select(concat(lit("s"), col("s_suppkey")).as("seed"))
+      graft.ops.Graph.seedDistance(edges, "src", "dst", seeds, "seed",
+        maxHops = 3)
     }),
     "ns_asof_join" -> ((s, dir) => {
       // each click attaches the user's latest at-or-before purchase —
@@ -3559,6 +3654,21 @@ object SparkEntry {
         |              CAST(ns.s * 150000 + (17 * coalesce(c2.sc, 0)) // 20 AS BIGINT) AS pr
         |       FROM ns LEFT JOIN c2 ON ns.node = c2.node)
         |SELECT node, pr FROM r2""".stripMargin,
+    "ns_seed_distance" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS cn,
+        |                  's' || CAST(l_suppkey AS VARCHAR) AS sn
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT cn AS src, sn AS dst FROM pairs
+        |      UNION ALL SELECT sn, cn FROM pairs),
+        |sd AS (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+        |       FROM supplier WHERE s_suppkey % 7 = 1),
+        |bfs(node, hops) AS (
+        |  SELECT node, CAST(0 AS BIGINT) AS hops FROM sd
+        |  UNION
+        |  SELECT e.dst, b.hops + 1 FROM bfs b JOIN e ON e.src = b.node
+        |  WHERE b.hops < 3)
+        |SELECT node, min(hops) AS hops FROM bfs GROUP BY node""".stripMargin,
     "ns_hits" ->
       """WITH e AS (
         |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
@@ -4689,6 +4799,84 @@ object SparkEntry {
         |     - len(list_filter(toks, x -> x IN ('bad','terrible','slow','hate','worst','sad','fail','poor','wrong','broken'))) AS DOUBLE)
         |    / greatest(len(toks), 1) AS score
         |FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)""".stripMargin,
+    "ns_dialog_audit" ->
+      """WITH msg AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    CASE WHEN event_id % 97 = 0 THEN ''
+        |         WHEN event_id % 53 = 0 THEN event_type || ' <|endoftext|>'
+        |         ELSE event_type END AS content
+        |  FROM events WHERE user_id % 20 = 3),
+        |w AS (
+        |  SELECT user_id, event_id, role, content,
+        |    lag(role) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_role
+        |  FROM msg)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_turns,
+        |  arg_min(role, event_id) AS first_role,
+        |  arg_max(role, event_id) AS last_role,
+        |  CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT) AS n_role_repeats,
+        |  CAST(sum(CASE WHEN trim(content) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+        |  CAST(sum(CASE WHEN regexp_matches(content, '<\|[A-Za-z_]+\|>') THEN 1 ELSE 0 END) AS BIGINT) AS n_special
+        |FROM w GROUP BY user_id""".stripMargin,
+    "ns_benford" ->
+      """WITH v AS (
+        |  SELECT 'o_totalprice' AS "column",
+        |         CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', CAST(floor(o_custkey) AS BIGINT) FROM orders),
+        |d AS (SELECT "column", CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit
+        |      FROM v WHERE v > 0),
+        |c AS (SELECT "column", digit, CAST(count(*) AS BIGINT) AS n
+        |      FROM d GROUP BY 1, 2),
+        |t AS (SELECT "column", sum(n) AS tt FROM c GROUP BY 1),
+        |e(digit, expected_milli) AS (VALUES
+        |  (1, CAST(301 AS BIGINT)), (2, 176), (3, 125), (4, 97), (5, 79),
+        |  (6, 67), (7, 58), (8, 51), (9, 46))
+        |SELECT c."column", c.digit, c.n,
+        |  CAST((c.n * 1000) // t.tt AS BIGINT) AS observed_milli,
+        |  e.expected_milli,
+        |  CAST((c.n * 1000) // t.tt - e.expected_milli AS BIGINT) AS dev_milli
+        |FROM c JOIN t USING ("column") JOIN e USING (digit)""".stripMargin,
+    "ns_code_signals" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    replace(replace(replace(text, ' table ', ';' || chr(10)),
+        |            ' row ', chr(10) || '    '), 'fast', 'fastPath')
+        |    || CASE WHEN doc_id % 3 = 0
+        |            THEN chr(10) || '```' || chr(10) || 'code();' || chr(10) || '```'
+        |            ELSE '' END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(len(regexp_extract_all(text, '\n')) + 1 AS BIGINT)
+        |    END AS n_lines,
+        |    CAST(len(regexp_extract_all(text, '(?s)```.*?```')) AS BIGINT) AS fenced_blocks,
+        |    CAST(len(regexp_extract_all(text, '(?m)^.*[;{}][ \t]*$')) AS BIGINT) AS semi_brace_lines,
+        |    CAST(len(regexp_extract_all(text, '(?m)^(?:\t|    )')) AS BIGINT) AS indented_lines,
+        |    CAST(len(regexp_extract_all(text, '[a-z][a-z0-9]*[A-Z]')) AS BIGINT) AS camel_idents
+        |  FROM m)
+        |SELECT doc_id, n_lines, fenced_blocks, semi_brace_lines,
+        |  indented_lines, camel_idents,
+        |  (semi_brace_lines * 1000) // greatest(n_lines, 1) AS semi_brace_permille,
+        |  (indented_lines * 1000) // greatest(n_lines, 1) AS indent_permille
+        |FROM c""".stripMargin,
+    "ns_readability" ->
+      """WITH m AS (
+        |  SELECT doc_id, replace(text, ' value ', '. ') AS text FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS s,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS y
+        |  FROM m)
+        |SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+        |  CAST(206835 - (1015 * w) // greatest(s, 1)
+        |              - (84600 * y) // greatest(w, 1) AS BIGINT) AS flesch_milli,
+        |  CAST((390 * w) // greatest(s, 1)
+        |     + (11800 * y) // greatest(w, 1) - 15590 AS BIGINT) AS fk_grade_milli
+        |FROM c""".stripMargin,
     "ns_text_profile" ->
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0

@@ -1274,6 +1274,45 @@ object Curation {
     * Output: quasiCols + (class_size), ascending risk order = smallest
     * classes first after an orderBy downstream.
     */
+  /** SFT dialog hygiene audit over a conversation column
+    * (`array<struct<role: string, content: string>>`): the structural
+    * checks every instruction-tuning pipeline runs before packing
+    * transcripts into training sequences — turn count, who opens/closes,
+    * role alternation, empty turns, and leaked special/template tokens
+    * (`<|...|>` markers by default; pass the corpus's own artifact pattern
+    * for others). Counts, not verdicts: acceptance thresholds differ per
+    * recipe (single-turn completion data legitimately "fails" alternation),
+    * and the counts feed [[filterFunnel]] as named kill reasons.
+    *
+    * One narrow projection per dialog row — the array HOFs (zip_with over
+    * the off-by-one slices for repeats, filter for empties/specials)
+    * evaluate per row with no shuffle, so the audit runs at scan speed and
+    * composes with the pack/chunk stages that follow. Dialogs are audited
+    * as stored; null message arrays are the caller's schema bug, not
+    * silently zeroed.
+    *
+    * Output: (id, n_turns, first_role, last_role, n_role_repeats
+    * [consecutive same-role pairs], n_empty [whitespace-only contents],
+    * n_special [messages containing the artifact pattern]).
+    */
+  def dialogAudit(df: DataFrame, idCol: String, msgsCol: String,
+      specialPattern: String = "<\\|[A-Za-z_]+\\|>"): DataFrame = {
+    val m = col(msgsCol)
+    val pairLen = greatest(size(m) - 1, lit(0))
+    val repeats = zip_with(slice(m, lit(1), pairLen), slice(m, lit(2), pairLen),
+      (a, b) => (a.getField("role") === b.getField("role")).cast("long"))
+    df.select(col(idCol),
+      size(m).cast("long").as("n_turns"),
+      try_element_at(m, lit(1)).getField("role").as("first_role"),
+      try_element_at(m, lit(-1)).getField("role").as("last_role"),
+      coalesce(aggregate(repeats, lit(0L), (acc, x) => acc + x), lit(0L))
+        .as("n_role_repeats"),
+      size(filter(m, x => trim(x.getField("content")) === ""))
+        .cast("long").as("n_empty"),
+      size(filter(m, x => x.getField("content").rlike(specialPattern)))
+        .cast("long").as("n_special"))
+  }
+
   def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty && k >= 2, "need quasi columns and k >= 2")
     df.groupBy(quasiCols.map(col): _*)

@@ -263,6 +263,76 @@ object Graph {
     ranks
   }
 
+  /** BFS hop distance from a seed set: every node reachable from `seeds`
+    * within `maxHops` directed hops, with its shortest hop count (seeds at
+    * 0, including seeds with no edges — the distance is a property of the
+    * seed set, not of graph membership). The crawl-policy complement to
+    * [[personalizedPageRank]]: PPR ranks by random-walk endorsement mass,
+    * seed distance gives the hard radius cut ("fetch nothing more than 3
+    * hops from a trusted seed" — the classic frontier-depth crawl rule),
+    * and the two disagree exactly where it matters (a page 1 hop from one
+    * minor seed outranks a page 4 hops from many).
+    *
+    * Algorithm is frontier-only BFS, the Pregel formulation: round r joins
+    * ONLY the nodes first reached at round r-1 against the edge list, then
+    * anti-joins the accumulated distance table to keep first discoveries.
+    * Total join work across ALL rounds is O(|E|) — each edge fires exactly
+    * once, when its source enters the frontier — plus one node-sized
+    * anti-join per round; re-deriving distances each round from scratch
+    * would be O(rounds × |E|).
+    *
+    * Loop discipline (SCALE.md "Iterative operators"): the per-round
+    * localCheckpoint lands on the FRONTIER (the only frame the next round's
+    * join references); the distance table is a union of already-checkpointed
+    * frontier leaves, so referencing it twice (anti-join + result) re-reads
+    * caches, never recomputes, and the logical tree grows O(1) per round.
+    * The eager checkpoint doubles as the empty-frontier probe: BFS stops as
+    * soon as the reachable set is exhausted, so `maxHops` larger than the
+    * graph's diameter costs nothing.
+    *
+    * Output: (node, hops) with hops in [0, maxHops], one row per reached
+    * node. Unreached nodes are absent (left-join the node set and treat
+    * null as "outside the radius" — materializing "infinity" rows would
+    * make the output graph-sized even for a one-node seed set). The
+    * returned frame is PERSISTED (the accumulated frontier checkpoints are
+    * its lineage leaves and drop inside the call — localCheckpoint data is
+    * unrecoverable once unpersisted, so the result must be materialized
+    * first); the caller owns `result.unpersist()`.
+    */
+  def seedDistance(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().persist()
+    var frontier = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("hops", lit(0L)).localCheckpoint(true)
+    var dist = frontier
+    var leaves: List[DataFrame] = frontier :: Nil
+    var hop = 0
+    var exhausted = frontier.isEmpty
+    while (hop < maxHops && !exhausted) {
+      val reached = e
+        .join(frontier.select(col("node").as("src")), Seq("src"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+      val fresh = reached.join(dist, Seq("node"), "left_anti")
+        .withColumn("hops", lit(hop + 1L))
+      val cp = fresh.localCheckpoint(true)
+      exhausted = cp.isEmpty
+      if (!exhausted) {
+        dist = dist.union(cp)
+        leaves ::= cp
+        frontier = cp
+      } else cp.unpersist()
+      hop += 1
+    }
+    val out = dist.persist()
+    out.count()
+    leaves.foreach(_.unpersist())
+    e.unpersist()
+    out
+  }
+
   /** Integer-exact HITS (Kleinberg hubs & authorities) over directed
     * edges: `iters` rounds of a(v) = Σ h(in-neighbors), h(u) = Σ a(out-
     * neighbors), each half-step max-normalized to micro-units (top score

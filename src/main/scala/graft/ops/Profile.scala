@@ -539,6 +539,48 @@ object Profile {
     * after the first aggregate. Output: (colA, colB, n, n_a, n_b,
     * lift_micro).
     */
+  /** Benford first-digit audit over numeric columns — the classic
+    * fabricated-data / pipeline-bug tripwire for "naturally grown"
+    * magnitudes (transaction amounts, counts, file sizes): organic data
+    * follows log10(1 + 1/d) per leading digit, while synthetic fills,
+    * unit-conversion bugs, and truncated exports show up as flat or
+    * spiked digit histograms. Completes the audit family next to
+    * [[kAnonymityAudit]]/[[lDiversityAudit]]/[[tClosenessAudit]].
+    *
+    * Values are `floor`ed to longs FIRST (explicit on both engines —
+    * Spark truncates decimal→bigint casts while DuckDB rounds them, so
+    * the floor is what makes the digit cross-engine); non-positive values
+    * are excluded (Benford is defined on positive magnitudes — audit
+    * sign/null hygiene with [[analyzeColumns]]). One scan per column (a union of
+    * narrow projections — column pruning reaches each scan), one
+    * partial-agg count keyed by (column, digit), digit-share arithmetic
+    * in integer milli against the rounded-milli Benford constants
+    * (301 176 125 97 79 67 58 51 46 — they sum to exactly 1000).
+    *
+    * Output: (column, digit, n, observed_milli, expected_milli,
+    * dev_milli) — one row per column × observed digit; dev_milli =
+    * observed − expected.
+    */
+  def benfordAudit(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val expectedMilli = array(Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+      .map(lit): _*)
+    val perCol = cols.map { c =>
+      df.select(lit(c).as("column"), floor(col(c)).cast("long").as("v"))
+        .where(col("v") > 0)
+        .select(col("column"),
+          substring(col("v").cast("string"), 1, 1).cast("int").as("digit"))
+    }.reduce(_.unionAll(_))
+    val counts = perCol.groupBy(col("column"), col("digit"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("__t", sum(col("n")).over(Window.partitionBy(col("column"))))
+      .select(col("column"), col("digit"), col("n"),
+        call_function("div", col("n") * 1000L, col("__t")).as("observed_milli"),
+        element_at(expectedMilli, col("digit")).as("expected_milli"))
+      .withColumn("dev_milli", col("observed_milli") - col("expected_milli"))
+  }
+
   def crossTab(df: DataFrame, colA: String, colB: String): DataFrame = {
     require(colA != colB, "need two distinct columns")
     val dec = "decimal(38,0)"

@@ -15,6 +15,83 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0L))
       .otherwise(size(split(trim(text), "\\s+")).cast("long"))
 
+  /** Flesch-style readability in integer MILLI-points, the standard
+    * "educational level" quality signal next to [[qualityMetrics]]'
+    * surface ratios (curation pipelines bucket corpora by reading grade —
+    * children's text, encyclopedic prose, and OCR noise separate cleanly
+    * on this axis even with the crude syllable heuristic).
+    *
+    * Heuristics are deliberately engine-portable: a word is a maximal
+    * `[a-z0-9]+` run of the lowercased text, a sentence a maximal `[.!?]+`
+    * run, a syllable a maximal `[aeiouy]+` vowel run — three
+    * `regexp_count`s, no per-word loop, so the whole thing is one
+    * codegen'd scan-stage projection and the DuckDB oracle replays it
+    * with `len(regexp_extract_all(...))`. Scores are the classic formulas
+    * ×1000 with integer division (operands all positive — truncation and
+    * floor agree):
+    *   flesch_milli = 206835 − (1015·words) div sentences
+    *                         − (84600·syllables) div words
+    *   fk_grade_milli = (390·words) div sentences
+    *                  + (11800·syllables) div words − 15590
+    * Zero-word/zero-sentence texts guard the divisors at 1 (counts stay
+    * raw). Returns a struct (n_words, n_sentences, n_syllables,
+    * flesch_milli, fk_grade_milli), all longs.
+    */
+  def readability(text: Column): Column = {
+    val lowered = lower(text)
+    val words = regexp_count(lowered, lit("[a-z0-9]+")).cast("long")
+    val sentences = regexp_count(text, lit("[.!?]+")).cast("long")
+    val syllables = regexp_count(lowered, lit("[aeiouy]+")).cast("long")
+    val w = greatest(words, lit(1L))
+    val s = greatest(sentences, lit(1L))
+    struct(
+      words.as("n_words"),
+      sentences.as("n_sentences"),
+      syllables.as("n_syllables"),
+      (lit(206835L) - call_function("div", lit(1015L) * words, s) -
+        call_function("div", lit(84600L) * syllables, w)).as("flesch_milli"),
+      (call_function("div", lit(390L) * words, s) +
+        call_function("div", lit(11800L) * syllables, w) - lit(15590L))
+        .as("fk_grade_milli"))
+  }
+
+  /** Code-vs-prose signals: the router feature set for splitting a scraped
+    * corpus into code and natural-language lanes (code gets lexer-aware
+    * dedup and license filtering, prose gets [[qualityMetrics]]/
+    * [[readability]] — misrouted code poisons both). Counts, not a binary
+    * verdict: downstream thresholds differ per corpus, and the raw counts
+    * feed [[graft.ops.Classifier]] as features when a learned router is
+    * wanted.
+    *
+    * All signals are engine-portable regexp counts ((?m)/(?s) inline
+    * flags, non-greedy spans, no backrefs — RE2-class, so the DuckDB
+    * oracle replays them verbatim) in ONE codegen'd scan projection:
+    *   - n_lines: newline count + 1 (0 for empty text)
+    *   - fenced_blocks: markdown ``` ... ``` spans (the explicit marker)
+    *   - semi_brace_lines: lines ending in `;`/`{`/`}` (C-family statements)
+    *   - indented_lines: lines starting with a tab or 4 spaces (code
+    *     blocks by indentation, Python/markdown convention)
+    *   - camel_idents: camelCase identifier occurrences (rare in prose)
+    *   - semi_brace_permille / indent_permille: the line counts ×1000
+    *     div n_lines (guarded at 1) — the two ratios curation rules
+    *     threshold on directly.
+    */
+  def codeSignals(text: Column): Column = {
+    val nLines = when(length(text) === 0, lit(0L))
+      .otherwise(regexp_count(text, lit("\n")).cast("long") + 1L)
+    val semiBrace = regexp_count(text, lit("(?m)^.*[;{}][ \t]*$")).cast("long")
+    val indented = regexp_count(text, lit("(?m)^(?:\t|    )")).cast("long")
+    val safeLines = greatest(nLines, lit(1L))
+    struct(
+      nLines.as("n_lines"),
+      regexp_count(text, lit("(?s)```.*?```")).cast("long").as("fenced_blocks"),
+      semiBrace.as("semi_brace_lines"),
+      indented.as("indented_lines"),
+      regexp_count(text, lit("[a-z][a-z0-9]*[A-Z]")).cast("long").as("camel_idents"),
+      call_function("div", semiBrace * 1000L, safeLines).as("semi_brace_permille"),
+      call_function("div", indented * 1000L, safeLines).as("indent_permille"))
+  }
+
   /** BPE-ish subword token estimate: words + punctuation marks counted
     * separately (a cheap, deterministic proxy for tokenizer cost used to
     * budget training corpora).

@@ -971,4 +971,26 @@ class CurationSpec extends AnyFunSuite {
       ("A", "x"), ("A", "y"), ("B", "x"), ("B", "y")).toDF("zip", "diag")
     assert(Curation.tClosenessAudit(df, Seq("zip"), "diag", 0L).count() == 0)
   }
+
+  test("dialogAudit: turn structure, alternation, empties, special-token leaks") {
+    import SparkTestBase.spark.implicits._
+    val dialogs = Seq(
+      // clean 3-turn dialog
+      (1L, Seq(("user", "hi"), ("assistant", "hello"), ("user", "bye"))),
+      // double assistant turn + empty content + template leak
+      (2L, Seq(("user", "q"), ("assistant", "  "), ("assistant", "a <|im_end|>"))),
+      // single turn
+      (3L, Seq(("assistant", "orphan"))))
+      .toDF("id", "raw")
+      .select(col("id"), transform(col("raw"), x =>
+        struct(x.getField("_1").as("role"), x.getField("_2").as("content")))
+        .as("msgs"))
+    val out = Curation.dialogAudit(dialogs, "id", "msgs").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(out(1L) == ((3L, "user", "user", 0L, 0L, 0L)))
+    assert(out(2L) == ((3L, "user", "assistant", 1L, 1L, 1L)))
+    assert(out(3L) == ((1L, "assistant", "assistant", 0L, 0L, 0L)))
+  }
 }

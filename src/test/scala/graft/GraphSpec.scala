@@ -427,4 +427,52 @@ class GraphSpec extends AnyFunSuite {
     // global count: sum/3 consistency
     assert(got.values.sum % 3 == 0)
   }
+
+  test("seedDistance: shortest hops on a branching graph, radius cut, isolated seed") {
+    // s -> a -> b -> c -> d (chain) plus shortcut s -> b; x isolated seed;
+    // unreachable island y -> z
+    val edges = Seq(("s", "a"), ("a", "b"), ("b", "c"), ("c", "d"),
+      ("s", "b"), ("y", "z")).toDF("src", "dst")
+    val seeds = Seq("s", "x").toDF("seed")
+    val d = Graph.seedDistance(edges, "src", "dst", seeds, "seed", maxHops = 2)
+    val m = d.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    d.unpersist()
+    // shortcut wins: b is 1 hop, not 2; c first reached at 2; d outside radius
+    assert(m == Map("s" -> 0L, "x" -> 0L, "a" -> 1L, "b" -> 1L, "c" -> 2L))
+    // full radius reaches d at 3; island stays absent; seed at 0 even if it
+    // is also reachable later (first discovery wins)
+    val d3 = Graph.seedDistance(edges, "src", "dst", seeds, "seed", maxHops = 9)
+    val m3 = d3.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    d3.unpersist()
+    assert(m3 == m + ("d" -> 3L))
+  }
+
+  test("seedDistance: maxHops=0 is the seed set; empty seeds empty output") {
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val d0 = Graph.seedDistance(edges, "src", "dst", Seq("a", "a").toDF("s"), "s", 0)
+    assert(d0.collect().map(_.toSeq).toSeq == Seq(Seq("a", 0L)))
+    d0.unpersist()
+    val de = Graph.seedDistance(edges, "src", "dst",
+      Seq.empty[String].toDF("s"), "s", 5)
+    assert(de.isEmpty)
+    de.unpersist()
+  }
+
+  test("job-count gate: seedDistance is linear in hops (frontier-only expansion)") {
+    def run(hops: Int): Int = countJobs {
+      // a long chain so every round has a non-empty frontier
+      val edges = (0 until 16)
+        .map(i => (s"c$i-h$hops", s"c${i + 1}-h$hops")).toDF("src", "dst")
+      val seeds = Seq(s"c0-h$hops").toDF("seed")
+      val r = Graph.seedDistance(edges, "src", "dst", seeds, "seed", hops)
+      r.collect(); r.unpersist(); ()
+    }
+    val j2 = run(2)
+    val j4 = run(4)
+    val j6 = run(6)
+    val d1 = j4 - j2
+    val d2 = j6 - j4
+    assert(d2 <= d1 + 4, s"seedDistance job growth must be linear: j2=$j2 j4=$j4 j6=$j6")
+    assert(d1 <= 40, s"per-round job cost out of bounds: j2=$j2 j4=$j4")
+  }
 }

@@ -417,6 +417,48 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "und"))
   }
 
+  test("readability: hand-computed Flesch/FK milli-points, empty-text guards") {
+    // "The cat sat. It ran off!" lowered: words = [the cat sat it ran off]
+    // = 6; sentences = [. !] runs = 2; vowel runs: the(1) cat(1) sat(1)
+    // it(1) ran(1) off(1) = 6
+    // flesch = 206835 - 1015*6/2 - 84600*6/6 = 206835 - 3045 - 84600 = 119190
+    // fk = 390*6/2 + 11800*6/6 - 15590 = 1170 + 11800 - 15590 = -2620
+    val docs = Seq((1L, "The cat sat. It ran off!"), (2L, ""), (3L, "?!?"))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextAnalysis.readability(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_words"), col("r.n_sentences"),
+        col("r.n_syllables"), col("r.flesch_milli"), col("r.fk_grade_milli"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(out(1L) == Seq(6L, 2L, 6L, 119190L, -2620L))
+    // empty text: zero counts, guarded divisors -> flesch 206835, fk -15590
+    assert(out(2L) == Seq(0L, 0L, 0L, 206835L, -15590L))
+    // punctuation-only: one sentence run, zero words/syllables
+    assert(out(3L) == Seq(0L, 1L, 0L, 206835L, -15590L))
+  }
+
+  test("codeSignals: fences, statement lines, indentation, camelCase counted per doc") {
+    val code = "def fooBar() {\n    val x = 1;\n    return x;\n}\nplain prose line"
+    val prose = "Just a sentence. And another one here."
+    val fenced = "intro\n```\nlet y = 2;\n```\ntail"
+    val docs = Seq((1L, code), (2L, prose), (3L, fenced), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextAnalysis.codeSignals(col("text")).as("c"))
+      .select(col("doc_id"), col("c.n_lines"), col("c.fenced_blocks"),
+        col("c.semi_brace_lines"), col("c.indented_lines"),
+        col("c.camel_idents"), col("c.semi_brace_permille"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    // code: 5 lines; lines 1,2,3,4 end in {/;/;/} = 4; two 4-space indents;
+    // one camelCase ident (fooBar); permille = 4000/5 = 800
+    assert(out(1L) == Seq(5L, 0L, 4L, 2L, 1L, 800L))
+    // prose: nothing fires
+    assert(out(2L) == Seq(1L, 0L, 0L, 0L, 0L, 0L))
+    // fenced: one block, the statement inside still counts as a ;-line
+    assert(out(3L) == Seq(5L, 1L, 1L, 0L, 0L, 200L))
+    assert(out(4L) == Seq(0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
   test("connected components: transitive chains collapse, isolated docs self-label") {
     // chain 1-2-3-4 (diameter 3) + pair 10-11 + isolated 99
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("idA", "idB")

@@ -802,4 +802,23 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Exchange hashpartitioning(query_id"),
       s"only the (id, sim) rank exchange may shuffle:\n${plan.take(2000)}")
   }
+
+  test("readability and codeSignals: zero-shuffle codegen'd scan projections") {
+    Seq("ns_readability", "ns_code_signals").foreach { q =>
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("Exchange"), s"$q must not shuffle:\n${plan.take(2000)}")
+      // whole-stage codegen renders as the "*(n)" prefix in toString
+      assert(plan.contains("*(1)"),
+        s"$q must stay inside codegen:\n${plan.take(2000)}")
+    }
+  }
+
+  test("benfordAudit: per-column digit counts partial-aggregate; share window over digit rows only") {
+    val plan = planOf(SparkEntry.queries("ns_benford")(spark, sf))
+    assert(plan.contains("partial_"), s"map-side combine expected:\n${plan.take(3000)}")
+    // the share window keys on column — its input is the <=9-rows-per-column
+    // digit frame, never the order rows
+    assert(plan.contains("Window"), s"per-column share window expected:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), s"no join anywhere in the audit:\n${plan.take(2000)}")
+  }
 }

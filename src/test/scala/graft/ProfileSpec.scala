@@ -292,4 +292,22 @@ class ProfileSpec extends AnyFunSuite {
       "null category must survive with correct marginals")
     assert(got.size == 4, "only observed cells emit")
   }
+
+  test("benfordAudit: hand-computed digit shares, floor + positivity filter") {
+    // x: digits 1,1,1,2,3 after floor; 0 and -5 excluded -> total 5
+    val df = Seq(10.0, 11.0, 19.0, 25.0, 3.7, 0.0, -5.0).toDF("x")
+    val out = Profile.benfordAudit(df, Seq("x")).collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out(1) == ((3L, 600L, 301L, 299L)))
+    assert(out(2) == ((1L, 200L, 176L, 24L)))
+    assert(out(3) == ((1L, 200L, 125L, 75L)))
+    assert(out.size == 3, "only observed digits emit")
+    // two columns: shares are per-column (each sums to ~1000 over observed)
+    val two = Seq((10L, 90L), (20L, 95L)).toDF("a", "b")
+    val perCol = Profile.benfordAudit(two, Seq("a", "b")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(perCol(("a", 1)) == 500L && perCol(("a", 2)) == 500L)
+    assert(perCol(("b", 9)) == 1000L)
+  }
 }
