@@ -912,6 +912,17 @@ object SparkEntry {
         .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
       graft.ops.Dedup.semanticDedup(e, "vec", "id", threshold = 0.48, nCentroids = 1)
     }),
+    "ns_kcenter" -> ((s, dir) => {
+      // greedy k-center on int8-quantized vectors: every distance is an
+      // exact integer (codes-as-doubles, partial sums < 2^53), so the
+      // 4-round selection replays bit-for-bit in the unrolled SQL
+      val e = t(s, dir, "embeddings").where(col("vec_id") < 500)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val codes = graft.ops.Similarity.quantizeInt8(e)
+        .select(col("id"), col("codes").cast("array<double>").as("vec"))
+      graft.ops.Similarity.kCenterSelect(codes, "vec", "id", k = 4, firstId = 0L)
+    }),
     "ns_prototypes" -> ((s, dir) => {
       // SSL-prototypes pruning in fixed-centroid gate mode: 4 one-hot
       // centroids (dims 0/16/32/48) make cell assignment and the
@@ -4311,6 +4322,37 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN i > 1 THEN coalesce(cb, 0) ELSE 0 END) AS BIGINT) AS sum_cb,
         |  CAST(sum(coalesce(cw, 0)) AS BIGINT) AS sum_cw
         |FROM j GROUP BY 1""".stripMargin,
+    "ns_kcenter" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+        |             list_min(embedding::DOUBLE[]) AS vmin,
+        |             list_max(embedding::DOUBLE[]) AS vmax
+        |           FROM embeddings WHERE vec_id < 500),
+        |c AS (SELECT id, list_transform(vec, x -> CASE WHEN vmax = vmin THEN CAST(0 AS BIGINT)
+        |        ELSE CAST(least(greatest(round((x - vmin) * 255.0 / (vmax - vmin)), 0), 255) AS BIGINT) END) AS q
+        |      FROM e),
+        |c0 AS (SELECT q AS cq0 FROM c WHERE id = 0),
+        |d1 AS (SELECT c.id, c.q,
+        |         CAST(list_sum(list_transform(range(len(c.q)),
+        |           i -> (c.q[CAST(i+1 AS INT)] - c0.cq0[CAST(i+1 AS INT)])
+        |              * (c.q[CAST(i+1 AS INT)] - c0.cq0[CAST(i+1 AS INT)]))) AS BIGINT) AS md
+        |       FROM c, c0),
+        |s1 AS (SELECT id AS sid1, q AS cq1, md AS r1 FROM d1 ORDER BY md DESC, id LIMIT 1),
+        |d2 AS (SELECT d1.id, d1.q,
+        |         least(d1.md, CAST(list_sum(list_transform(range(len(d1.q)),
+        |           i -> (d1.q[CAST(i+1 AS INT)] - s1.cq1[CAST(i+1 AS INT)])
+        |              * (d1.q[CAST(i+1 AS INT)] - s1.cq1[CAST(i+1 AS INT)]))) AS BIGINT)) AS md
+        |       FROM d1, s1),
+        |s2 AS (SELECT id AS sid2, q AS cq2, md AS r2 FROM d2 ORDER BY md DESC, id LIMIT 1),
+        |d3 AS (SELECT d2.id, d2.q,
+        |         least(d2.md, CAST(list_sum(list_transform(range(len(d2.q)),
+        |           i -> (d2.q[CAST(i+1 AS INT)] - s2.cq2[CAST(i+1 AS INT)])
+        |              * (d2.q[CAST(i+1 AS INT)] - s2.cq2[CAST(i+1 AS INT)]))) AS BIGINT)) AS md
+        |       FROM d2, s2),
+        |s3 AS (SELECT id AS sid3, md AS r3 FROM d3 ORDER BY md DESC, id LIMIT 1)
+        |SELECT CAST(0 AS BIGINT) AS rank, CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS radius_sq
+        |UNION ALL SELECT 1, sid1, r1 FROM s1
+        |UNION ALL SELECT 2, sid2, r2 FROM s2
+        |UNION ALL SELECT 3, sid3, r3 FROM s3""".stripMargin,
     "ns_prototypes" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
         |c AS (SELECT * FROM (VALUES (0, 1), (1, 17), (2, 33), (3, 49)) AS t(cell, dim)),

@@ -457,4 +457,64 @@ object Similarity {
         col("rank") > floor(lit(1.0 - keepFrac) * col("n_cell")))
       .select("id", "cell", "proto_sim", "rank", "n_cell", "keep")
   }
+
+  /** Greedy k-center (farthest-point-first, Gonzalez 1985) coreset
+    * selection: pick `k` maximally-diverse exemplars — each round adds the
+    * point FARTHEST from everything already selected. The classic
+    * diversity-pruning complement to [[prototypicality]] (which keeps the
+    * DENSE core of each cell, k-center keeps the spread: a 2-approximation
+    * of the optimal covering radius), used to seed labeling budgets,
+    * curriculum anchors, and eval probes from a 100 TB corpus.
+    *
+    * Determinism contract: the caller names the first center (`firstId` —
+    * no RNG), squared L2 runs as an in-order fold over the dims, and the
+    * per-round argmax tie-breaks (distance desc, id asc). Feed
+    * INTEGER-VALUED vectors (e.g. [[quantizeInt8]] codes cast to double)
+    * and every distance is exact — partial sums stay integers below 2^53,
+    * so the selection replays bit-for-bit in any engine; float vectors
+    * select validly but the argmax near float-ties is engine-specific.
+    *
+    * Scale shape: centers live on the DRIVER (k × d doubles — model-sized,
+    * like [[trainCentroids]]' codebook); round r is ONE stateless scan
+    * computing min-over-r-centers distance per row (the centers ride the
+    * closure as literals, no join, no shuffle) topped by a
+    * TakeOrderedAndProject(1) — no iterative lineage, no per-round
+    * node-sized state to checkpoint, at the price of Σr = k²/2 distance
+    * evals per row total. Right for the label-budget k regime (≤ a few
+    * hundred); for k beyond that, partition the corpus with
+    * [[trainCentroids]]/IVF cells first and run k-center per cell.
+    *
+    * Output: (rank, id, radius_sq) — rank 0 is `firstId` with radius 0;
+    * radius_sq of rank r is the chosen point's squared distance to its
+    * nearest earlier center (the coverage radius before round r, a
+    * monotone non-increasing curve worth plotting before picking k).
+    */
+  def kCenterSelect(corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, firstId: Long): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = corpus.sparkSession
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec")).persist()
+    def d2To(center: Array[Double]): Column =
+      aggregate(
+        zip_with(col("vec"), array(center.map(lit).toSeq: _*),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    val firstRow = base.where(col("id") === firstId).select("vec").head()
+    var centers = Vector(firstRow.getSeq[Double](0).toArray)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]((0L, firstId, 0L))
+    var r = 1
+    while (r < k) {
+      val dmin = centers.map(d2To).reduce(least(_, _))
+      val top = base
+        .select(col("id"), col("vec"), dmin.cast("long").as("md"))
+        .orderBy(col("md").desc, col("id").asc).limit(1).head()
+      out += ((r.toLong, top.getLong(0), top.getLong(2)))
+      centers :+= top.getSeq[Double](1).toArray
+      r += 1
+    }
+    base.unpersist()
+    import spark.implicits._
+    out.toSeq.toDF("rank", "id", "radius_sq")
+  }
 }

@@ -268,4 +268,20 @@ class EmbeddingsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
   }
+
+  test("kCenterSelect: farthest-point rounds on a hand-laid 1-D line; ties break by id") {
+    // line positions: id0 at 0, id1 at 10, id2 at 6, id3 at 1, id4 at 9
+    // round 1 from id0: farthest is id1 (d2 = 100)
+    // round 2: min-dists to {0, 10}: id2 -> min(36, 16) = 16; id3 -> 1;
+    //          id4 -> min(81, 1) = 1   => pick id2, radius 16
+    // round 3: id3 -> 1; id4 -> min(1, 9) = 1 — TIE at 1, id asc picks id3
+    val pts = Seq((0L, 0.0), (1L, 10.0), (2L, 6.0), (3L, 1.0), (4L, 9.0))
+      .toDF("id", "x").select(col("id"), array(col("x")).as("vec"))
+    val sel = graft.ops.Similarity.kCenterSelect(pts, "vec", "id", k = 4, firstId = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sel == Seq((0L, 0L, 0L), (1L, 1L, 100L), (2L, 2L, 16L), (3L, 3L, 1L)))
+    // radius curve is monotone non-increasing by construction
+    val radii = sel.map(_._3).drop(1)
+    assert(radii == radii.sorted.reverse)
+  }
 }

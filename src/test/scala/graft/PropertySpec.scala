@@ -388,4 +388,44 @@ class PropertySpec extends AnyFunSuite {
         "every empty line survives")
     }
   }
+
+  test("seedDistance law: full-radius BFS on a symmetrized graph reaches exactly the seed's component") {
+    import org.apache.spark.sql.functions.col
+    import SparkTestBase.spark.implicits._
+    // random sparse graphs over 12 nodes; 30 trials keeps the spark jobs
+    // affordable while covering connected, fragmented, and edgeless shapes
+    val gGraph = for {
+      nEdges <- Gen.choose(0, 18)
+      edges <- Gen.listOfN(nEdges,
+        Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L)))
+      seed <- Gen.choose(0L, 11L)
+    } yield (edges, seed)
+    forAll(gGraph, n = 30) { case (edges, seed) =>
+      val sym = (edges ++ edges.map(_.swap)).filter(e => e._1 != e._2).distinct
+      // driver-side reachability closure from the seed
+      var reach = Set(seed)
+      var grew = true
+      while (grew) {
+        val next = reach ++ sym.collect { case (a, b) if reach(a) => b }
+        grew = next.size != reach.size
+        reach = next
+      }
+      val edf =
+        if (sym.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
+        else sym.toDF("src", "dst")
+      val d = graft.ops.Graph.seedDistance(edf, "src", "dst",
+        Seq(seed).toDF("s"), "s", maxHops = 12)
+      val got = d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      d.unpersist()
+      assert(got.keySet == reach,
+        s"BFS closure mismatch: edges=$sym seed=$seed got=${got.keySet} want=$reach")
+      // hop 0 is exactly the seed; every other distance is 1 + a neighbor's
+      assert(got(seed) == 0L)
+      got.foreach { case (node, h) =>
+        if (node != seed)
+          assert(sym.exists { case (a, b) => b == node && got.get(a).contains(h - 1) },
+            s"node $node at hop $h needs a predecessor at ${h - 1}")
+      }
+    }
+  }
 }
