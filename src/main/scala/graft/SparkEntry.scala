@@ -963,6 +963,11 @@ object SparkEntry {
             x.getField("content").as("content"))).as("msgs"))
       graft.ops.Curation.dialogAudit(dialogs, "user_id", "msgs")
     }),
+    "ns_gini" -> ((s, dir) =>
+      // corpus-concentration headline: how dominated is doc mass per
+      // source; tie-invariant coefficient sum makes the milli exact
+      graft.ops.Profile.giniByGroup(t(s, dir, "documents"), "n_chars",
+        Seq("source"))),
     "ns_benford" -> ((s, dir) =>
       // first-digit law audit over an organic magnitude (o_totalprice,
       // Benford-ish) and a dense surrogate key (o_custkey, flat — large
@@ -1220,12 +1225,30 @@ object SparkEntry {
       graft.ops.Graph.personalizedPageRank(edges, "src", "dst", seeds, "seed",
         iters = 2)
     }),
+    "ns_wpagerank" -> ((s, dir) => {
+      // traffic-weighted authority: edge weight = order-line count between
+      // customer and supplier, mass flows (pr * w) div sumw; oracle unrolls
+      // 2 integer rounds with the weighted quotient
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(concat(lit("c"), col("o_custkey")).as("cn"),
+          concat(lit("s"), col("l_suppkey")).as("sn"))
+        .agg(count(lit(1)).as("w"))
+      val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"), col("w"))
+        .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst"), col("w")))
+      graft.ops.Graph.weightedPageRank(edges, "src", "dst", "w", iters = 2)
+    }),
     "ns_seed_distance" -> ((s, dir) => {
       // BFS hop distance from the ns_ppr supplier whitelist over the same
       // bipartite trading graph — the hard crawl-radius cut next to ns_ppr's
       // soft endorsement ranking. The oracle is a DuckDB recursive CTE
-      // (UNION-deduped frontier expansion, min(hops) per node).
-      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      // (UNION-deduped frontier expansion, min(hops) per node). The graph
+      // is a deterministic quarter of orders: the 3 checkpointed rounds pay
+      // one edge-scan job each, so the gate trims the oracle-imposed edge
+      // count, not the operator (round-4 gate-cost convention).
+      val o = t(s, dir, "orders").where(col("o_orderkey") % 4 === 1)
+        .select(col("o_orderkey"), col("o_custkey"))
       val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("cn"),
@@ -3665,11 +3688,32 @@ object SparkEntry {
         |              CAST(ns.s * 150000 + (17 * coalesce(c2.sc, 0)) // 20 AS BIGINT) AS pr
         |       FROM ns LEFT JOIN c2 ON ns.node = c2.node)
         |SELECT node, pr FROM r2""".stripMargin,
+    "ns_wpagerank" ->
+      """WITH pairs AS (
+        |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS cn,
+        |         's' || CAST(l_suppkey AS VARCHAR) AS sn,
+        |         CAST(count(*) AS BIGINT) AS w
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+        |e AS (SELECT cn AS src, sn AS dst, w FROM pairs
+        |      UNION ALL SELECT sn, cn, w FROM pairs),
+        |sw AS (SELECT src, CAST(sum(w) AS BIGINT) AS sumw FROM e GROUP BY 1),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM n),
+        |c1 AS (SELECT e.dst AS node, CAST(sum((r.pr * e.w) // s.sumw) AS BIGINT) AS sc
+        |       FROM e JOIN r0 r ON e.src = r.node JOIN sw s ON e.src = s.src GROUP BY 1),
+        |r1 AS (SELECT n.node, CAST(150000 + (17 * coalesce(c1.sc, 0)) // 20 AS BIGINT) AS pr
+        |       FROM n LEFT JOIN c1 ON n.node = c1.node),
+        |c2 AS (SELECT e.dst AS node, CAST(sum((r.pr * e.w) // s.sumw) AS BIGINT) AS sc
+        |       FROM e JOIN r1 r ON e.src = r.node JOIN sw s ON e.src = s.src GROUP BY 1),
+        |r2 AS (SELECT n.node, CAST(150000 + (17 * coalesce(c2.sc, 0)) // 20 AS BIGINT) AS pr
+        |       FROM n LEFT JOIN c2 ON n.node = c2.node)
+        |SELECT node, pr FROM r2""".stripMargin,
     "ns_seed_distance" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS cn,
         |                  's' || CAST(l_suppkey AS VARCHAR) AS sn
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderkey % 4 = 1),
         |e AS (SELECT cn AS src, sn AS dst FROM pairs
         |      UNION ALL SELECT sn, cn FROM pairs),
         |sd AS (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
@@ -4861,6 +4905,18 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN trim(content) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
         |  CAST(sum(CASE WHEN regexp_matches(content, '<\|[A-Za-z_]+\|>') THEN 1 ELSE 0 END) AS BIGINT) AS n_special
         |FROM w GROUP BY user_id""".stripMargin,
+    "ns_gini" ->
+      """WITH r AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS x,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS total,
+        |  CASE WHEN sum(x) > 0
+        |    THEN CAST((1000 * sum((2*rn - n - 1) * x)) // (count(*) * sum(x)) AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS gini_milli
+        |FROM r GROUP BY source""".stripMargin,
     "ns_benford" ->
       """WITH v AS (
         |  SELECT 'o_totalprice' AS "column",

@@ -196,6 +196,59 @@ object Graph {
     ranks
   }
 
+  /** Edge-weighted PageRank: mass flows proportionally to integer edge
+    * weights (`pr * w div sumw` per out-edge) instead of uniformly —
+    * rank a domain graph by TRAFFIC or link COUNT rather than mere
+    * adjacency (a domain linked 10,000 times from one host should not
+    * score like one linked once). Same integer micro-unit convention,
+    * damping 17/20, and leaky dangling semantics as [[pageRank]]; weights
+    * must be positive integers (pre-aggregate parallel edges into the
+    * weight — that is the intended use).
+    *
+    * Scale shape = [[pageRank]]'s chain: per-source weight totals join
+    * into the edge frame ONCE before the loop, each round is one same-key
+    * join + partial-agg sum + node-sized projection referencing `ranks`
+    * exactly once, `persistEvery` batching + leaf-ification (SCALE.md
+    * "Iterative operators"). Integer headroom: `pr * w` peaks at
+    * 10⁶ × max-weight — keep weights below ~9×10⁹ (scale them down; only
+    * ratios matter). The returned frame is persisted; caller owns
+    * `unpersist()`.
+    */
+  def weightedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iters: Int = 3, persistEvery: Int = 4): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    require(persistEvery > 0, "persistEvery must be positive")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("long").as("w")).persist()
+    val outW = e.groupBy("src").agg(sum("w").as("sumw"))
+    val eo = e.join(outW, "src").persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    var ranks = nodes.withColumn("pr", lit(1000000L))
+    var cur: DataFrame = null
+    for (i <- 1 to iters) {
+      val contribs = eo.join(ranks, eo("src") === ranks("node"))
+        .select(col("dst").as("node"), expr("(pr * w) div sumw").as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      var next = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(17 * coalesce(s, CAST(0 AS BIGINT))) div 20"))
+            .as("pr"))
+      if (i % persistEvery == 0 || i == iters) {
+        next = next.persist()
+        next.count()
+        if (cur != null) cur.unpersist()
+        cur = next
+        if (i != iters) next = truncateLineage(next)
+      }
+      ranks = next
+    }
+    e.unpersist()
+    eo.unpersist()
+    nodes.unpersist()
+    ranks
+  }
+
   /** Personalized (topic-sensitive) PageRank: the teleport mass returns to
     * the `seeds` set instead of spreading uniformly, so scores measure
     * proximity-with-endorsement to the seeds — the standard "expand a

@@ -539,6 +539,47 @@ object Profile {
     * after the first aggregate. Output: (colA, colB, n, n_a, n_b,
     * lift_micro).
     */
+  /** Gini concentration coefficient per group, integer milli: HOW
+    * DOMINATED is a corpus dimension — doc mass per source, token mass
+    * per domain, cluster sizes — 0 = perfectly even, →1000 = one member
+    * holds everything. The standard headline number for "is this corpus
+    * a few-scrapers monoculture", complementing [[heavyHitters]] (WHO
+    * dominates) and [[lengthHistogram]] (the shape).
+    *
+    * Formula: over nonnegative values x₁ ≤ … ≤ xₙ (nulls dropped,
+    * negatives rejected upstream by contract — mass cannot be negative),
+    * gini = Σ(2i − n − 1)xᵢ / (n·Σx). TIES ARE ORDER-INVARIANT: equal
+    * values contribute the same coefficient SUM under any permutation of
+    * their ranks, so a bare row_number over the value (no tie-break
+    * column) is deterministic across engines — that is what makes the
+    * milli result oracle-exact. One rank window per group + one
+    * partial-agg rollup; the window shuffles (group, value) pairs only.
+    *
+    * Output: (group cols…, n, total, gini_milli) with gini_milli =
+    * (1000·Σ(2i−n−1)xᵢ) div (n·Σx), 0 when the group total is 0.
+    */
+  def giniByGroup(df: DataFrame, valueCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val ranked = df
+      .select(g :+ col(valueCol).cast("long").as("__x"): _*)
+      .where(col("__x").isNotNull)
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(g: _*).orderBy(col("__x"))).cast("long"))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(g: _*)).cast("long"))
+    ranked
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("total"),
+        sum((lit(2L) * col("__rn") - col("__n") - lit(1L)) * col("__x"))
+          .as("__num"))
+      .select(g ++ Seq(col("n"), col("total"),
+        when(col("total") > 0,
+          call_function("div", lit(1000L) * col("__num"),
+            col("n") * col("total"))).otherwise(lit(0L)).as("gini_milli")): _*)
+  }
+
   /** Benford first-digit audit over numeric columns — the classic
     * fabricated-data / pipeline-bug tripwire for "naturally grown"
     * magnitudes (transaction amounts, counts, file sizes): organic data

@@ -428,6 +428,29 @@ class GraphSpec extends AnyFunSuite {
     assert(got.values.sum % 3 == 0)
   }
 
+  test("weightedPageRank: hand-computed weighted round; uniform weights equal plain") {
+    // a->b w3, a->c w1, b->a w2: sumw a=4, b=2; c dangling
+    // iter1 contribs: b += (1e6*3) div 4 = 750000; c += 250000; a += 1e6
+    //   a = 150000 + 850000 = 1000000
+    //   b = 150000 + (17*750000) div 20 = 787500
+    //   c = 150000 + (17*250000) div 20 = 362500
+    val we = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 2L))
+      .toDF("src", "dst", "w")
+    val r = Graph.weightedPageRank(we, "src", "dst", "w", iters = 1)
+    val m = r.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    r.unpersist()
+    assert(m == Map("a" -> 1000000L, "b" -> 787500L, "c" -> 362500L))
+    // law: all-equal weights reduce to plain pageRank (quotients identical)
+    val uw = tri.withColumn("w", lit(7L))
+    val wpr = Graph.weightedPageRank(uw, "src", "dst", "w", iters = 3)
+    val got = wpr.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    wpr.unpersist()
+    val plain = Graph.pageRank(tri, "src", "dst", iters = 3)
+    val want = plain.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    plain.unpersist()
+    assert(got == want)
+  }
+
   test("seedDistance: shortest hops on a branching graph, radius cut, isolated seed") {
     // s -> a -> b -> c -> d (chain) plus shortcut s -> b; x isolated seed;
     // unreachable island y -> z

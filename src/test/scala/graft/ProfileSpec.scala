@@ -293,6 +293,21 @@ class ProfileSpec extends AnyFunSuite {
     assert(got.size == 4, "only observed cells emit")
   }
 
+  test("giniByGroup: equality is 0, one-holder approaches (n-1)/n, ties are order-invariant") {
+    val df = Seq(
+      ("even", 5L), ("even", 5L), ("even", 5L),         // perfectly even -> 0
+      ("mono", 0L), ("mono", 0L), ("mono", 9L),         // max for n=3 -> 666
+      ("tied", 1L), ("tied", 1L), ("tied", 2L),         // num=2, den=12 -> 166
+      ("zero", 0L), ("zero", 0L))                       // total 0 -> 0
+      .toDF("g", "x")
+    val got = Profile.giniByGroup(df, "x", Seq("g")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("even") == ((3L, 15L, 0L)))
+    assert(got("mono") == ((3L, 9L, 666L)))
+    assert(got("tied") == ((3L, 4L, 166L)))
+    assert(got("zero") == ((2L, 0L, 0L)))
+  }
+
   test("benfordAudit: hand-computed digit shares, floor + positivity filter") {
     // x: digits 1,1,1,2,3 after floor; 0 and -5 excluded -> total 5
     val df = Seq(10.0, 11.0, 19.0, 25.0, 3.7, 0.0, -5.0).toDF("x")
