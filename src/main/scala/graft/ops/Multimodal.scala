@@ -456,8 +456,32 @@ object Multimodal {
     * at corpus scale.
     */
   def phashCandidates(media: DataFrame, maxDist: Int = 3,
-      maxBucket: Int = 64): DataFrame = {
-    val fp = pHash(media)
+      maxBucket: Int = 64): DataFrame =
+    bandedHammingCandidates(pHash(media), maxDist, maxBucket)
+
+  /** Audio near-duplicate candidate pairs: [[audioFingerprint]]'s 60-bit
+    * envelope hash pushed through the same 4×15-bit band join as the image
+    * path — re-encoded copies, trims, and loudness-normalized re-uploads
+    * of the same recording land in shared bands (the envelope shape
+    * survives those edits; true different recordings don't collide within
+    * `maxDist`). Same scale shape as [[phashCandidates]]: banding bounds
+    * the join, `maxBucket` caps degenerate bands (silence-heavy corpora
+    * hash alike — the cap is the skew guard there), Hamming filters before
+    * the pair-dedup exchange.
+    */
+  def audioNearDupCandidates(media: DataFrame, maxDist: Int = 3,
+      maxBucket: Int = 64, windowSamples: Int = 1024,
+      maxWindows: Int = 240): DataFrame =
+    bandedHammingCandidates(
+      audioFingerprint(media, windowSamples, maxWindows), maxDist, maxBucket)
+
+  /** Shared candidate join over any (media_id, phash) 60-bit fingerprint
+    * frame: 4 bands × 15 bits — a pair within Hamming distance 3 shares at
+    * least one intact band (pigeonhole), so the equi-join on (band, chunk)
+    * is candidate-complete for maxDist <= 3.
+    */
+  private def bandedHammingCandidates(fp: DataFrame, maxDist: Int,
+      maxBucket: Int): DataFrame = {
     val banded0 = fp.select(col("media_id"), col("phash"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("phash"), (lit(15) * b).cast("int"))

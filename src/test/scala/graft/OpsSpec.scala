@@ -1339,6 +1339,31 @@ class OpsSpec extends AnyFunSuite {
     assert(fp(4L) == byteFp, "fallback must equal the Catalyst byte pHash")
   }
 
+  test("multimodal: audio near-dup candidates pair re-encoded copies, not different recordings") {
+    import javax.sound.sampled.AudioFileFormat
+    // the envelope (per-1024-block loudness) is the fingerprint input:
+    // same loudness pattern + different noise = a "re-encode"; a different
+    // loudness pattern is a different recording
+    def noisy(seed: Int, pattern: Int => Int) = {
+      val r = new scala.util.Random(seed)
+      Array.tabulate[Short](16384) { i =>
+        val amp = pattern(i / 1024)
+        (r.nextInt(2 * amp + 1) - amp).toShort
+      }
+    }
+    val loudQuiet = (b: Int) => if (b % 2 == 0) 8000 else 200
+    val ramp = (b: Int) => 500 + b * 500
+    val a = audioBytes(AudioFileFormat.Type.WAVE, noisy(1, loudQuiet), bigEndian = false)
+    val b = audioBytes(AudioFileFormat.Type.AIFF, noisy(2, loudQuiet), bigEndian = true)
+    val c = audioBytes(AudioFileFormat.Type.WAVE, noisy(3, ramp), bigEndian = false)
+    val media = mediaFrom(Seq((1L, a), (2L, b), (3L, c)))
+    val pairs = Multimodal.audioNearDupCandidates(media, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "same envelope, different noise/container must pair")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"different envelope must not pair: $pairs")
+  }
+
   test("zOrderValue: Morton interleave goldens, monotone locality, bit-budget guard") {
     import graft.ops.Tables
     import spark.implicits._
