@@ -251,6 +251,25 @@ class GraphSpec extends AnyFunSuite {
     assert(d1 <= 40, s"per-round job cost out of bounds: j2=$j2 j4=$j4")
   }
 
+  test("job-count gate: weightedPageRank is linear in iters") {
+    def run(iters: Int): Int = countJobs {
+      val uniq = Seq(("a", "b", 3L), ("b", "a", 2L), ("a", "c", 1L))
+        .map { case (s, d, w) => (s"$s-w$iters", s"$d-w$iters", w) }
+        .toDF("src", "dst", "w")
+      val r = Graph.weightedPageRank(uniq, "src", "dst", "w",
+        iters = iters, persistEvery = 2)
+      r.collect(); r.unpersist(); ()
+    }
+    val j2 = run(2)
+    val j4 = run(4)
+    val j6 = run(6)
+    val d1 = j4 - j2
+    val d2 = j6 - j4
+    assert(d2 <= d1 + 4,
+      s"weightedPageRank job growth must be linear: j2=$j2 j4=$j4 j6=$j6")
+    assert(d1 <= 40, s"per-round job cost out of bounds: j2=$j2 j4=$j4")
+  }
+
   test("job-count gate: labelPropagation is linear in rounds") {
     def run(rounds: Int): Int = countJobs {
       val uniq = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("d", "e"))

@@ -813,6 +813,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("giniByGroup: rank window and rollup share one group-keyed exchange") {
+    val q = graft.ops.Profile.giniByGroup(
+      SparkEntry.t(spark, sf, "documents"), "n_chars", Seq("source"))
+    val plan = planOf(q)
+    // the window hash-partitions on the group key; the groupBy that follows
+    // reuses that partitioning — a second Exchange would re-shuffle the
+    // corpus for nothing
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly one group-key exchange:\n${plan.take(2500)}")
+    assert(!plan.contains("Join"), s"no join anywhere:\n${plan.take(2000)}")
+  }
+
+  test("dialogAudit: pure per-row projection over an assembled dialog frame") {
+    import spark.implicits._
+    val dialogs = Seq((1L, Seq(("user", "hi"), ("assistant", "yo"))))
+      .toDF("id", "raw")
+      .select(col("id"), transform(col("raw"), x =>
+        struct(x.getField("_1").as("role"), x.getField("_2").as("content")))
+        .as("msgs"))
+    val plan = planOf(graft.ops.Curation.dialogAudit(dialogs, "id", "msgs"))
+    assert(!plan.contains("Exchange"),
+      s"audit must not shuffle — it is a scan-stage projection:\n${plan.take(2000)}")
+  }
+
   test("benfordAudit: per-column digit counts partial-aggregate; share window over digit rows only") {
     val plan = planOf(SparkEntry.queries("ns_benford")(spark, sf))
     assert(plan.contains("partial_"), s"map-side combine expected:\n${plan.take(3000)}")
