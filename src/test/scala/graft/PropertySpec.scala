@@ -389,6 +389,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dialogAudit law: HOF audit equals a driver-side model on random dialogs") {
+    import org.apache.spark.sql.functions.{col, struct, transform}
+    import SparkTestBase.spark.implicits._
+    val roles = Seq("user", "assistant", "system")
+    val contents = Seq("", "ok then", "x <|endoftext|> y", "   ", "plain words")
+    val gDialogs = Gen.listOfN(40, for {
+      n <- Gen.choose(1, 6)
+      msgs <- Gen.listOfN(n, Gen.zip(Gen.oneOf(roles), Gen.oneOf(contents)))
+    } yield msgs)
+    forAll(gDialogs, n = 5) { dialogs =>
+      val withIds = dialogs.zipWithIndex.map { case (m, i) => (i.toLong, m) }
+      val df = withIds.toDF("id", "raw")
+        .select(col("id"), transform(col("raw"), x =>
+          struct(x.getField("_1").as("role"), x.getField("_2").as("content")))
+          .as("msgs"))
+      val got = graft.ops.Curation.dialogAudit(df, "id", "msgs").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getString(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+      withIds.foreach { case (id, msgs) =>
+        val repeats = msgs.sliding(2).count {
+          case Seq(a, b) => a._1 == b._1
+          case _ => false
+        }
+        val special = msgs.count(_._2.matches(".*<\\|[A-Za-z_]+\\|>.*"))
+        val want = (msgs.length.toLong, msgs.head._1, msgs.last._1,
+          repeats.toLong, msgs.count(_._2.trim.isEmpty).toLong, special.toLong)
+        assert(got(id) == want, s"dialog $id: $msgs")
+      }
+    }
+  }
+
   test("seedDistance law: full-radius BFS on a symmetrized graph reaches exactly the seed's component") {
     import org.apache.spark.sql.functions.col
     import SparkTestBase.spark.implicits._

@@ -43,6 +43,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateless text scorers apply to streaming frames unchanged (readability, code signals)") {
+    // same contract as the curation gate above, for the round-5 scan-stage
+    // scorers: pure projections need no streaming twin — pin it
+    val input = MemoryStream[(Long, String)](spark, 1)
+    val df = input.toDF().toDF("doc_id", "text")
+    val scored = df.select(col("doc_id"),
+      graft.ops.TextAnalysis.readability(col("text")).getField("flesch_milli").as("fm"),
+      graft.ops.TextAnalysis.codeSignals(col("text")).getField("semi_brace_lines").as("sb"))
+    val q = scored.writeStream.format("memory").queryName("sscore")
+      .outputMode("append").start()
+    try {
+      val rows = Seq(
+        (1L, "The cat sat. It ran off!"),
+        (2L, "val x = 1;\nreturn x;"))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sscore").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = rows.toDF("doc_id", "text").select(col("doc_id"),
+        graft.ops.TextAnalysis.readability(col("text")).getField("flesch_milli").as("fm"),
+        graft.ops.TextAnalysis.codeSignals(col("text")).getField("semi_brace_lines").as("sb"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.exists(t => t._1 == 1L && t._2 == 119190L))
+      assert(streamed.exists(t => t._1 == 2L && t._3 == 2L))
+    } finally q.stop()
+  }
+
   test("kafka source config: per-env topics, consumer properties, micro-batch shaping (A4/I5)") {
     val spec = graft.spec.StreamSpec.parseUnsafe(
       """{
