@@ -968,6 +968,33 @@ object SparkEntry {
       // source; tie-invariant coefficient sum makes the milli exact
       graft.ops.Profile.giniByGroup(t(s, dir, "documents"), "n_chars",
         Seq("source"))),
+    "ns_dialog_redact" -> ((s, dir) => {
+      // per-turn PII redaction inside assembled dialogs; output scalarizes
+      // via posexplode (the compare harness hashes scalars only) and the
+      // oracle replays the regexp chain in row form with row_number-1 pos
+      val e = t(s, dir, "events").where(col("user_id") % 20 === 3)
+        .select(col("user_id"),
+          struct(col("event_id"),
+            when(col("event_id") % 2 === 0, lit("user"))
+              .otherwise(lit("assistant")).as("role"),
+            concat(col("event_type"),
+              when(col("event_id") % 3 === 0,
+                concat(lit(" mail u"), col("event_id"), lit("@ex.com")))
+                .otherwise(lit("")),
+              when(col("event_id") % 5 === 0,
+                concat(lit(" ip 10.0.0."), col("event_id") % 256))
+                .otherwise(lit(""))).as("content")).as("m"))
+      val dialogs = e.groupBy("user_id")
+        .agg(array_sort(collect_list(col("m"))).as("m0"))
+        .select(col("user_id"), transform(col("m0"), x => struct(
+          x.getField("role").as("role"),
+          x.getField("content").as("content"))).as("msgs"))
+      dialogs.select(col("user_id"),
+          posexplode(graft.ops.Curation.redactDialog(col("msgs")))
+            .as(Seq("pos", "m")))
+        .select(col("user_id"), col("pos"),
+          col("m.role").as("role"), col("m.content").as("content"))
+    }),
     "ns_benford" -> ((s, dir) =>
       // first-digit law audit over an organic magnitude (o_totalprice,
       // Benford-ish) and a dense surrogate key (o_custkey, flat — large
@@ -4905,6 +4932,23 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN trim(content) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
         |  CAST(sum(CASE WHEN regexp_matches(content, '<\|[A-Za-z_]+\|>') THEN 1 ELSE 0 END) AS BIGINT) AS n_special
         |FROM w GROUP BY user_id""".stripMargin,
+    "ns_dialog_redact" ->
+      """WITH msg AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    event_type ||
+        |      CASE WHEN event_id % 3 = 0 THEN ' mail u' || CAST(event_id AS VARCHAR) || '@ex.com' ELSE '' END ||
+        |      CASE WHEN event_id % 5 = 0 THEN ' ip 10.0.0.' || CAST(event_id % 256 AS VARCHAR) ELSE '' END AS content
+        |  FROM events WHERE user_id % 20 = 3)
+        |SELECT user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS pos,
+        |  role,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(content,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+\d{1,2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |    '\b\d{13,16}\b', '<CC>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS content
+        |FROM msg""".stripMargin,
     "ns_gini" ->
       """WITH r AS (
         |  SELECT source, CAST(n_chars AS BIGINT) AS x,

@@ -1313,6 +1313,19 @@ object Curation {
         .cast("long").as("n_special"))
   }
 
+  /** [[redactPii]] applied inside every turn of a dialog column
+    * (`array<struct<role, content>>`): roles and turn order pass through
+    * untouched, each content goes through the same 4-pattern regexp chain
+    * as the flat-text form — one per-row projection, the [[dialogAudit]]
+    * convention. SFT transcripts leak PII in user turns specifically
+    * (people paste their own emails/numbers at the model), so redaction
+    * must run before packing, at the turn level, not on a flattened blob
+    * whose role boundaries a later parser has to re-guess.
+    */
+  def redactDialog(msgs: Column): Column =
+    transform(msgs, m => struct(m.getField("role").as("role"),
+      redactPii(m.getField("content")).as("content")))
+
   def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty && k >= 2, "need quasi columns and k >= 2")
     df.groupBy(quasiCols.map(col): _*)

@@ -972,6 +972,24 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.tClosenessAudit(df, Seq("zip"), "diag", 0L).count() == 0)
   }
 
+  test("redactDialog: per-turn PII masking preserves roles and turn order") {
+    import SparkTestBase.spark.implicits._
+    val dialogs = Seq(
+      (1L, Seq(("user", "reach me at jo.doe@mail.org or 10.1.2.3"),
+        ("assistant", "noted, clean reply"))))
+      .toDF("id", "raw")
+      .select(col("id"), transform(col("raw"), x =>
+        struct(x.getField("_1").as("role"), x.getField("_2").as("content")))
+        .as("msgs"))
+    val out = dialogs.select(
+        explode(Curation.redactDialog(col("msgs"))).as("m"))
+      .select(col("m.role"), col("m.content")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out == Seq(
+      ("user", "reach me at <EMAIL> or <IP>"),
+      ("assistant", "noted, clean reply")))
+  }
+
   test("dialogAudit: turn structure, alternation, empties, special-token leaks") {
     import SparkTestBase.spark.implicits._
     val dialogs = Seq(
