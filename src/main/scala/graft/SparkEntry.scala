@@ -968,6 +968,24 @@ object SparkEntry {
       // source; tie-invariant coefficient sum makes the milli exact
       graft.ops.Profile.giniByGroup(t(s, dir, "documents"), "n_chars",
         Seq("source"))),
+    "ns_dialog_pack" -> ((s, dir) => {
+      // turn-aligned greedy packing at budget 7; turn token counts are
+      // deterministic (event_id % 5 + 1 repeats of the event type), and
+      // the oracle replays the fold as a recursive CTE over turn positions
+      val e = t(s, dir, "events").where(col("user_id") % 20 === 3)
+        .select(col("user_id"),
+          struct(col("event_id"),
+            when(col("event_id") % 2 === 0, lit("user"))
+              .otherwise(lit("assistant")).as("role"),
+            repeat(concat(col("event_type"), lit(" ")),
+              (col("event_id") % 5 + 1).cast("int")).as("content")).as("m"))
+      val dialogs = e.groupBy("user_id")
+        .agg(array_sort(collect_list(col("m"))).as("m0"))
+        .select(col("user_id"), transform(col("m0"), x => struct(
+          x.getField("role").as("role"),
+          x.getField("content").as("content"))).as("msgs"))
+      graft.ops.Curation.packDialog(dialogs, "user_id", "msgs", tokenBudget = 7L)
+    }),
     "ns_dialog_redact" -> ((s, dir) => {
       // per-turn PII redaction inside assembled dialogs; output scalarizes
       // via posexplode (the compare harness hashes scalars only) and the
@@ -4932,6 +4950,21 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN trim(content) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
         |  CAST(sum(CASE WHEN regexp_matches(content, '<\|[A-Za-z_]+\|>') THEN 1 ELSE 0 END) AS BIGINT) AS n_special
         |FROM w GROUP BY user_id""".stripMargin,
+    "ns_dialog_pack" ->
+      """WITH RECURSIVE msg AS (
+        |  SELECT user_id, event_id,
+        |    CAST(event_id % 5 + 1 AS BIGINT) AS t,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS pos
+        |  FROM events WHERE user_id % 20 = 3),
+        |rec(user_id, pos, cum, chunk) AS (
+        |  SELECT user_id, pos, t, CAST(0 AS BIGINT) FROM msg WHERE pos = 0
+        |  UNION ALL
+        |  SELECT m.user_id, m.pos,
+        |    CASE WHEN r.cum > 0 AND r.cum + m.t > 7 THEN m.t ELSE r.cum + m.t END,
+        |    CASE WHEN r.cum > 0 AND r.cum + m.t > 7 THEN r.chunk + 1 ELSE r.chunk END
+        |  FROM rec r JOIN msg m ON m.user_id = r.user_id AND m.pos = r.pos + 1)
+        |SELECT r.user_id, r.pos, r.chunk AS chunk_idx, m.t AS n_tokens
+        |FROM rec r JOIN msg m ON m.user_id = r.user_id AND m.pos = r.pos""".stripMargin,
     "ns_dialog_redact" ->
       """WITH msg AS (
         |  SELECT user_id, event_id,

@@ -1326,6 +1326,49 @@ object Curation {
     transform(msgs, m => struct(m.getField("role").as("role"),
       redactPii(m.getField("content")).as("content")))
 
+  /** Turn-aligned dialog packing: assign each turn of a conversation to a
+    * training chunk by greedy first-fit over a whitespace-token budget,
+    * WITHOUT ever splitting a turn — the SFT counterpart of
+    * [[chunkByTokens]] (which splits flat text mid-stream): a truncated
+    * assistant turn teaches truncation, so chunk boundaries must fall
+    * between turns. Rule: a turn opens a new chunk iff the running count
+    * is nonzero and adding it would exceed `tokenBudget`; an oversized
+    * single turn therefore occupies its own chunk rather than vanishing.
+    *
+    * The fold runs as ONE array-HOF `aggregate` per dialog row (state =
+    * (running tokens, chunk idx, per-turn assignment array)) — zero
+    * shuffle, scan speed, the [[dialogAudit]] convention — and the result
+    * scalarizes to (id, pos, chunk_idx, n_tokens) rows ready to group
+    * into packed sequences.
+    */
+  def packDialog(df: DataFrame, idCol: String, msgsCol: String,
+      tokenBudget: Long): DataFrame = {
+    require(tokenBudget >= 1, "tokenBudget must be >= 1")
+    val toks = transform(col(msgsCol), m => {
+      val c = m.getField("content")
+      when(length(trim(c)) === 0, lit(0L))
+        .otherwise(size(split(trim(c), "\\s+")).cast("long"))
+    })
+    val zero = struct(lit(0L).as("cum"), lit(0L).as("idx"),
+      array().cast("array<bigint>").as("chunks"))
+    val folded = aggregate(toks, zero,
+      (st, t) => {
+        val opens = st.getField("cum") > 0 &&
+          st.getField("cum") + t > tokenBudget
+        val idx = when(opens, st.getField("idx") + 1L)
+          .otherwise(st.getField("idx"))
+        struct(
+          when(opens, t).otherwise(st.getField("cum") + t).as("cum"),
+          idx.as("idx"),
+          concat(st.getField("chunks"), array(idx)).as("chunks"))
+      })
+    df.select(col(idCol), posexplode(
+        arrays_zip(folded.getField("chunks").as("c"), toks.as("t")))
+        .as(Seq("pos", "z")))
+      .select(col(idCol), col("pos"),
+        col("z.c").as("chunk_idx"), col("z.t").as("n_tokens"))
+  }
+
   def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty && k >= 2, "need quasi columns and k >= 2")
     df.groupBy(quasiCols.map(col): _*)

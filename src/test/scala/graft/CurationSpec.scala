@@ -972,6 +972,22 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.tClosenessAudit(df, Seq("zip"), "diag", 0L).count() == 0)
   }
 
+  test("packDialog: greedy first-fit by tokens, turns never split, oversized turn owns its chunk") {
+    import SparkTestBase.spark.implicits._
+    // token counts 3,2,4,6,1 at budget 5 -> chunks 0,0,1,2,3
+    val dialogs = Seq(
+      (1L, Seq(("user", "a b c"), ("assistant", "d e"), ("user", "f g h i"),
+        ("assistant", "j k l m n o"), ("user", "p"))))
+      .toDF("id", "raw")
+      .select(col("id"), transform(col("raw"), x =>
+        struct(x.getField("_1").as("role"), x.getField("_2").as("content")))
+        .as("msgs"))
+    val out = Curation.packDialog(dialogs, "id", "msgs", tokenBudget = 5L)
+      .orderBy("pos").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((0, 0L, 3L), (1, 0L, 2L), (2, 1L, 4L), (3, 2L, 6L), (4, 3L, 1L)))
+  }
+
   test("redactDialog: per-turn PII masking preserves roles and turn order") {
     import SparkTestBase.spark.implicits._
     val dialogs = Seq(
