@@ -947,20 +947,15 @@ object SparkEntry {
       // the same contract.
       val e = t(s, dir, "events")
         .where(col("user_id") % 20 === 3)
-        .select(col("user_id"),
-          struct(col("event_id"),
-            when(col("event_id") % 2 === 0, lit("user"))
-              .otherwise(lit("assistant")).as("role"),
-            when(col("event_id") % 97 === 0, lit(""))
-              .when(col("event_id") % 53 === 0,
-                concat(col("event_type"), lit(" <|endoftext|>")))
-              .otherwise(col("event_type")).as("content")).as("m"))
-      val dialogs = e.groupBy("user_id")
-        .agg(array_sort(collect_list(col("m"))).as("msgs0"))
-        .select(col("user_id"),
-          transform(col("msgs0"), x => struct(
-            x.getField("role").as("role"),
-            x.getField("content").as("content"))).as("msgs"))
+        .select(col("user_id"), col("event_id"),
+          when(col("event_id") % 2 === 0, lit("user"))
+            .otherwise(lit("assistant")).as("role"),
+          when(col("event_id") % 97 === 0, lit(""))
+            .when(col("event_id") % 53 === 0,
+              concat(col("event_type"), lit(" <|endoftext|>")))
+            .otherwise(col("event_type")).as("content"))
+      val dialogs = graft.ops.Curation.assembleDialogs(e, "user_id",
+        "event_id", "role", "content")
       graft.ops.Curation.dialogAudit(dialogs, "user_id", "msgs")
     }),
     "ns_gini" -> ((s, dir) =>
@@ -973,17 +968,13 @@ object SparkEntry {
       // deterministic (event_id % 5 + 1 repeats of the event type), and
       // the oracle replays the fold as a recursive CTE over turn positions
       val e = t(s, dir, "events").where(col("user_id") % 20 === 3)
-        .select(col("user_id"),
-          struct(col("event_id"),
-            when(col("event_id") % 2 === 0, lit("user"))
-              .otherwise(lit("assistant")).as("role"),
-            repeat(concat(col("event_type"), lit(" ")),
-              (col("event_id") % 5 + 1).cast("int")).as("content")).as("m"))
-      val dialogs = e.groupBy("user_id")
-        .agg(array_sort(collect_list(col("m"))).as("m0"))
-        .select(col("user_id"), transform(col("m0"), x => struct(
-          x.getField("role").as("role"),
-          x.getField("content").as("content"))).as("msgs"))
+        .select(col("user_id"), col("event_id"),
+          when(col("event_id") % 2 === 0, lit("user"))
+            .otherwise(lit("assistant")).as("role"),
+          repeat(concat(col("event_type"), lit(" ")),
+            (col("event_id") % 5 + 1).cast("int")).as("content"))
+      val dialogs = graft.ops.Curation.assembleDialogs(e, "user_id",
+        "event_id", "role", "content")
       graft.ops.Curation.packDialog(dialogs, "user_id", "msgs", tokenBudget = 7L)
     }),
     "ns_dialog_redact" -> ((s, dir) => {
@@ -991,22 +982,18 @@ object SparkEntry {
       // via posexplode (the compare harness hashes scalars only) and the
       // oracle replays the regexp chain in row form with row_number-1 pos
       val e = t(s, dir, "events").where(col("user_id") % 20 === 3)
-        .select(col("user_id"),
-          struct(col("event_id"),
-            when(col("event_id") % 2 === 0, lit("user"))
-              .otherwise(lit("assistant")).as("role"),
-            concat(col("event_type"),
-              when(col("event_id") % 3 === 0,
-                concat(lit(" mail u"), col("event_id"), lit("@ex.com")))
-                .otherwise(lit("")),
-              when(col("event_id") % 5 === 0,
-                concat(lit(" ip 10.0.0."), col("event_id") % 256))
-                .otherwise(lit(""))).as("content")).as("m"))
-      val dialogs = e.groupBy("user_id")
-        .agg(array_sort(collect_list(col("m"))).as("m0"))
-        .select(col("user_id"), transform(col("m0"), x => struct(
-          x.getField("role").as("role"),
-          x.getField("content").as("content"))).as("msgs"))
+        .select(col("user_id"), col("event_id"),
+          when(col("event_id") % 2 === 0, lit("user"))
+            .otherwise(lit("assistant")).as("role"),
+          concat(col("event_type"),
+            when(col("event_id") % 3 === 0,
+              concat(lit(" mail u"), col("event_id"), lit("@ex.com")))
+              .otherwise(lit("")),
+            when(col("event_id") % 5 === 0,
+              concat(lit(" ip 10.0.0."), col("event_id") % 256))
+              .otherwise(lit(""))).as("content"))
+      val dialogs = graft.ops.Curation.assembleDialogs(e, "user_id",
+        "event_id", "role", "content")
       dialogs.select(col("user_id"),
           posexplode(graft.ops.Curation.redactDialog(col("msgs")))
             .as(Seq("pos", "m")))

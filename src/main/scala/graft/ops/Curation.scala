@@ -1326,6 +1326,27 @@ object Curation {
     transform(msgs, m => struct(m.getField("role").as("role"),
       redactPii(m.getField("content")).as("content")))
 
+  /** Assemble per-conversation transcript columns from an event-shaped
+    * frame: one `array<struct<role, content>>` row per key, turns ordered
+    * by `orderCol` (which must be unique per key — it pins the sort inside
+    * the collected array, so assembly is deterministic under any shuffle
+    * order). THE one grouping exchange of the dialog tier: every
+    * downstream dialog op ([[dialogAudit]], [[redactDialog]],
+    * [[packDialog]]) is a zero-shuffle projection over this output, so a
+    * pipeline assembles once and audits/redacts/packs in the same stage.
+    */
+  def assembleDialogs(events: DataFrame, keyCol: String, orderCol: String,
+      roleCol: String, contentCol: String): DataFrame = {
+    val m = struct(col(orderCol).as("__o"), col(roleCol).as("role"),
+      col(contentCol).as("content"))
+    events
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(m)).as("__m"))
+      .select(col(keyCol), transform(col("__m"), x => struct(
+        x.getField("role").as("role"),
+        x.getField("content").as("content"))).as("msgs"))
+  }
+
   /** Turn-aligned dialog packing: assign each turn of a conversation to a
     * training chunk by greedy first-fit over a whitespace-token budget,
     * WITHOUT ever splitting a turn — the SFT counterpart of

@@ -972,6 +972,20 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.tClosenessAudit(df, Seq("zip"), "diag", 0L).count() == 0)
   }
 
+  test("assembleDialogs: turns sort by the order column regardless of input order") {
+    import SparkTestBase.spark.implicits._
+    val events = Seq(
+      (7L, 30L, "user", "third"), (7L, 10L, "user", "first"),
+      (7L, 20L, "assistant", "second"), (8L, 5L, "user", "solo"))
+      .toDF("k", "ord", "role", "content")
+      .repartition(4) // scramble physical order; assembly must not care
+    val out = Curation.assembleDialogs(events, "k", "ord", "role", "content")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(m => (m.getString(0), m.getString(1)))).toMap
+    assert(out(7L) == Seq(("user", "first"), ("assistant", "second"), ("user", "third")))
+    assert(out(8L) == Seq(("user", "solo")))
+  }
+
   test("packDialog: greedy first-fit by tokens, turns never split, oversized turn owns its chunk") {
     import SparkTestBase.spark.implicits._
     // token counts 3,2,4,6,1 at budget 5 -> chunks 0,0,1,2,3

@@ -837,6 +837,18 @@ class PlanSpec extends AnyFunSuite {
       s"audit must not shuffle — it is a scan-stage projection:\n${plan.take(2000)}")
   }
 
+  test("packDialog: fold + scalarize stays shuffle-free over an assembled frame") {
+    import spark.implicits._
+    val dialogs = Seq((1L, Seq(("user", "a b"), ("assistant", "c"))))
+      .toDF("id", "raw")
+      .select(col("id"), transform(col("raw"), x =>
+        struct(x.getField("_1").as("role"), x.getField("_2").as("content")))
+        .as("msgs"))
+    val plan = planOf(graft.ops.Curation.packDialog(dialogs, "id", "msgs", 5L))
+    assert(!plan.contains("Exchange"),
+      s"pack must not shuffle — the assembly exchange is the caller's:\n${plan.take(2000)}")
+  }
+
   test("benfordAudit: per-column digit counts partial-aggregate; share window over digit rows only") {
     val plan = planOf(SparkEntry.queries("ns_benford")(spark, sf))
     assert(plan.contains("partial_"), s"map-side combine expected:\n${plan.take(3000)}")
