@@ -912,6 +912,18 @@ object SparkEntry {
         .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
       graft.ops.Dedup.semanticDedup(e, "vec", "id", threshold = 0.48, nCentroids = 1)
     }),
+    "ns_margin_pairs" -> ((s, dir) => {
+      // absolute-margin pair mining on int8 codes: integer dots make the
+      // best-vs-runner-up margin exact, so the accept DECISION replays;
+      // 30000 splits the 50 queries roughly in half at this SF
+      val e = t(s, dir, "embeddings").where(col("vec_id") < 1000)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val codes = graft.ops.Similarity.quantizeInt8(e)
+        .select(col("id"), col("codes").cast("array<double>").as("vec"))
+      graft.ops.Similarity.marginPairs(
+        codes.where(col("id") < 50), codes, minMargin = 30000L)
+    }),
     "ns_kcenter" -> ((s, dir) => {
       // greedy k-center on int8-quantized vectors: every distance is an
       // exact integer (codes-as-doubles, partial sums < 2^53), so the
@@ -4398,6 +4410,27 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN i > 1 THEN coalesce(cb, 0) ELSE 0 END) AS BIGINT) AS sum_cb,
         |  CAST(sum(coalesce(cw, 0)) AS BIGINT) AS sum_cw
         |FROM j GROUP BY 1""".stripMargin,
+    "ns_margin_pairs" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+        |             list_min(embedding::DOUBLE[]) AS vmin,
+        |             list_max(embedding::DOUBLE[]) AS vmax
+        |           FROM embeddings WHERE vec_id < 1000),
+        |cz AS (SELECT id, list_transform(vec, x -> CASE WHEN vmax = vmin THEN CAST(0 AS BIGINT)
+        |        ELSE CAST(least(greatest(round((x - vmin) * 255.0 / (vmax - vmin)), 0), 255) AS BIGINT) END) AS q
+        |      FROM e),
+        |qs AS (SELECT id, q FROM cz WHERE id < 50),
+        |d AS (SELECT qs.id AS query_id, cz.id AS neighbor_id,
+        |        CAST(list_sum(list_transform(range(len(qs.q)),
+        |          i -> qs.q[CAST(i+1 AS INT)] * cz.q[CAST(i+1 AS INT)])) AS BIGINT) AS dot
+        |      FROM qs JOIN cz ON qs.id != cz.id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank FROM d),
+        |p AS (SELECT query_id,
+        |        max(CASE WHEN rank = 1 THEN neighbor_id END) AS neighbor_id,
+        |        max(CASE WHEN rank = 1 THEN dot END) AS dot,
+        |        max(CASE WHEN rank = 2 THEN dot END) AS runner_up
+        |      FROM r WHERE rank <= 2 GROUP BY query_id)
+        |SELECT query_id, neighbor_id, dot, runner_up, dot - runner_up AS margin
+        |FROM p WHERE runner_up IS NOT NULL AND dot - runner_up >= 30000""".stripMargin,
     "ns_kcenter" ->
       """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
         |             list_min(embedding::DOUBLE[]) AS vmin,

@@ -458,6 +458,52 @@ object Similarity {
       .select("id", "cell", "proto_sim", "rank", "n_cell", "keep")
   }
 
+  /** Margin-based pair mining (Artetxe & Schwenk's absolute-margin
+    * criterion): for each query vector, its best corpus match is accepted
+    * only when it beats the SECOND-best by at least `minMargin` — raw
+    * nearest-neighbor thresholds over-fire in dense regions where
+    * everything is close and under-fire in sparse ones; the margin against
+    * the runner-up is the density-normalized signal that made web-scale
+    * bitext mining (CCMatrix-class) precise. Same use here for any
+    * cross-corpus alignment: translation pairs, near-caption matches,
+    * code-docstring linking.
+    *
+    * Scores are raw dot products in an in-order fold — feed NORMALIZED
+    * embeddings (dot = cosine) or integer-valued quantized codes (exact
+    * arithmetic below 2^53, engine-replayable margins — the [[kCenterSelect]]
+    * determinism convention; the gate runs this mode). Scale shape =
+    * [[bruteForceTopK]]: the query side broadcasts, the corpus side
+    * streams (never materializes), one (query) key exchange ranks the
+    * top 2; for corpora where brute force is too wide, pre-bucket with
+    * [[lshTopK]]/[[ivfTopK]] and margin-filter their candidates instead.
+    *
+    * Output: (query_id, neighbor_id, dot, runner_up, margin) — one row
+    * per query whose margin clears the bar; queries with fewer than 2
+    * candidates are dropped (no runner-up → no calibrated margin).
+    */
+  def marginPairs(queries: DataFrame, corpus: DataFrame, minMargin: Long,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+    val joined = c.join(broadcast(q),
+      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x).cast("long").as("dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= 2)
+      .groupBy(col("query_id"))
+      .agg(
+        max(when(col("rank") === 1, col("neighbor_id"))).as("neighbor_id"),
+        max(when(col("rank") === 1, col("dot"))).as("dot"),
+        max(when(col("rank") === 2, col("dot"))).as("runner_up"))
+      .where(col("runner_up").isNotNull &&
+        col("dot") - col("runner_up") >= minMargin)
+      .select(col("query_id"), col("neighbor_id"), col("dot"),
+        col("runner_up"), (col("dot") - col("runner_up")).as("margin"))
+  }
+
   /** Greedy k-center (farthest-point-first, Gonzalez 1985) coreset
     * selection: pick `k` maximally-diverse exemplars — each round adds the
     * point FARTHEST from everything already selected. The classic

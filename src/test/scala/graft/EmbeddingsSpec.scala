@@ -269,6 +269,26 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
   }
 
+  test("marginPairs: dense-region runner-up kills the match, isolated pair survives") {
+    import spark.implicits._
+    // 2-D layout: q1 near c10 with c11 almost as close (dense -> rejected);
+    // q2 near c20 with everything else far (isolated -> accepted)
+    val corpus = Seq(
+      (10L, Seq(100.0, 0.0)), (11L, Seq(98.0, 0.0)),
+      (20L, Seq(0.0, 100.0)), (21L, Seq(3.0, 0.0)))
+      .toDF("id", "vec")
+    val queries = Seq((1L, Seq(10.0, 0.0)), (2L, Seq(0.0, 10.0))).toDF("id", "vec")
+    val out = graft.ops.Similarity.marginPairs(queries, corpus, minMargin = 50L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+    // q1: dots 1000 vs 980 -> margin 20 < 50, dropped
+    // q2: dots 1000 vs 0 -> margin 1000, kept
+    assert(out == Map(2L -> ((20L, 1000L))))
+    // single-candidate corpora yield no calibrated margin -> no output
+    val single = graft.ops.Similarity.marginPairs(
+      queries, corpus.where(col("id") === 10L), minMargin = 0L)
+    assert(single.isEmpty)
+  }
+
   test("kCenterSelect: farthest-point rounds on a hand-laid 1-D line; ties break by id") {
     // line positions: id0 at 0, id1 at 10, id2 at 6, id3 at 1, id4 at 9
     // round 1 from id0: farthest is id1 (d2 = 100)
