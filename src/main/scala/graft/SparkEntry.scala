@@ -975,6 +975,12 @@ object SparkEntry {
       // source; tie-invariant coefficient sum makes the milli exact
       graft.ops.Profile.giniByGroup(t(s, dir, "documents"), "n_chars",
         Seq("source"))),
+    "ns_word_dropout" -> ((s, dir) =>
+      // deterministic 200-permille token corruption; the oracle recomputes
+      // the per-(doc, position) portable hash with DuckDB's 1-based lambda
+      // index shifted to Spark's 0-based
+      graft.ops.Curation.wordDropout(t(s, dir, "documents"), "doc_id",
+        "text", dropPermille = 200)),
     "ns_dialog_pack" -> ((s, dir) => {
       // turn-aligned greedy packing at budget 7; turn token counts are
       // deterministic (event_id % 5 + 1 repeats of the event type), and
@@ -4970,6 +4976,22 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN trim(content) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
         |  CAST(sum(CASE WHEN regexp_matches(content, '<\|[A-Za-z_]+\|>') THEN 1 ELSE 0 END) AS BIGINT) AS n_special
         |FROM w GROUP BY user_id""".stripMargin,
+    "ns_word_dropout" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, toks,
+        |    list_filter(toks, (x, i) ->
+        |      (('0x' || substr(md5('graft-dropout|' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 8))::UBIGINT
+        |        & 2147483647) % 1000 >= 200) AS kept
+        |  FROM tk)
+        |SELECT doc_id, array_to_string(kept, ' ') AS text,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(kept) AS BIGINT) AS n_kept
+        |FROM k""".stripMargin,
     "ns_dialog_pack" ->
       """WITH RECURSIVE msg AS (
         |  SELECT user_id, event_id,

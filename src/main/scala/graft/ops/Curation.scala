@@ -1326,6 +1326,37 @@ object Curation {
     transform(msgs, m => struct(m.getField("role").as("role"),
       redactPii(m.getField("content")).as("content")))
 
+  /** Deterministic word dropout for denoising-objective data prep (the
+    * corruption half of a T5/BART-style pipeline): drop each whitespace
+    * token with probability `dropPermille`/1000, decided by the portable
+    * hash of (doc id, token position) — NO RNG, so the corrupted corpus is
+    * identical under retries, recomputation, and engine replay (the
+    * [[stratifiedSample]] determinism contract, applied per token). Seed
+    * variation produces independent corruption draws of the same corpus.
+    *
+    * One indexed array-HOF filter per row (Spark's 0-based lambda index;
+    * the oracle uses DuckDB's 1-based and subtracts) — zero shuffle,
+    * scan-stage. Output: (id, text [kept tokens rejoined with single
+    * spaces — whitespace shape is NOT preserved, this feeds a tokenizer,
+    * not a renderer], n_tokens, n_kept).
+    */
+  def wordDropout(df: DataFrame, idCol: String, textCol: String,
+      dropPermille: Int, seed: String = "graft-dropout"): DataFrame = {
+    require(dropPermille >= 0 && dropPermille <= 1000,
+      "dropPermille must be in [0, 1000]")
+    val toks = when(length(trim(col(textCol))) === 0,
+      array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    val kept = filter(toks, (_, i) =>
+      pmod(portableHash31(
+        concat(col(idCol).cast("string"), lit(":"), i.cast("string")), seed),
+        lit(1000L)) >= dropPermille)
+    df.select(col(idCol),
+      array_join(kept, " ").as("text"),
+      size(toks).cast("long").as("n_tokens"),
+      size(kept).cast("long").as("n_kept"))
+  }
+
   /** Assemble per-conversation transcript columns from an event-shaped
     * frame: one `array<struct<role, content>>` row per key, turns ordered
     * by `orderCol` (which must be unique per key — it pins the sort inside

@@ -972,6 +972,29 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.tClosenessAudit(df, Seq("zip"), "diag", 0L).count() == 0)
   }
 
+  test("wordDropout: deterministic, exact extremes, kept tokens are an ordered subsequence") {
+    import SparkTestBase.spark.implicits._
+    val df = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"), (2L, ""))
+      .toDF("doc_id", "text")
+    val keepAll = Curation.wordDropout(df, "doc_id", "text", 0)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(keepAll(1L) == (("alpha beta gamma delta epsilon zeta eta theta", 8L, 8L)))
+    assert(keepAll(2L) == (("", 0L, 0L)))
+    val dropAll = Curation.wordDropout(df, "doc_id", "text", 1000)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dropAll(1L) == "")
+    val a = Curation.wordDropout(df, "doc_id", "text", 500).collect().map(_.toSeq)
+    val b = Curation.wordDropout(df, "doc_id", "text", 500).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq, "no RNG anywhere: identical across runs")
+    val mid = a.find(_.head == 1L).get
+    val keptToks = mid(1).asInstanceOf[String].split(" ").filter(_.nonEmpty).toSeq
+    val orig = "alpha beta gamma delta epsilon zeta eta theta".split(" ").toSeq
+    // subsequence check: kept order must follow original order
+    assert(keptToks.foldLeft(orig) { (rest, t) =>
+      val i = rest.indexOf(t); assert(i >= 0, s"$t out of order"); rest.drop(i + 1)
+    } != null)
+  }
+
   test("assembleDialogs: turns sort by the order column regardless of input order") {
     import SparkTestBase.spark.implicits._
     val events = Seq(
