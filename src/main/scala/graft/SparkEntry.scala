@@ -975,6 +975,12 @@ object SparkEntry {
       // source; tie-invariant coefficient sum makes the milli exact
       graft.ops.Profile.giniByGroup(t(s, dir, "documents"), "n_chars",
         Seq("source"))),
+    "ns_span_corrupt" -> ((s, dir) =>
+      // T5-style sentinel masking at 150 permille, 3-token spans; the
+      // oracle replays the fold as a recursive CTE over token positions
+      // carrying (next-free, sentinel counter, both accumulating strings)
+      graft.ops.Curation.spanCorrupt(t(s, dir, "documents"), "doc_id",
+        "text", startPermille = 150, spanLen = 3)),
     "ns_word_dropout" -> ((s, dir) =>
       // deterministic 200-permille token corruption; the oracle recomputes
       // the per-(doc, position) portable hash with DuckDB's 1-based lambda
@@ -4976,6 +4982,36 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN trim(content) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
         |  CAST(sum(CASE WHEN regexp_matches(content, '<\|[A-Za-z_]+\|>') THEN 1 ELSE 0 END) AS BIGINT) AS n_special
         |FROM w GROUP BY user_id""".stripMargin,
+    "ns_span_corrupt" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |tn AS (SELECT doc_id, toks, len(toks) AS n FROM tk),
+        |rec(doc_id, pos, nf, k, corr, tgt) AS (
+        |  SELECT doc_id, -1, 0, 0, '', '' FROM tn
+        |  UNION ALL
+        |  SELECT r.doc_id, r.pos + 1,
+        |    CASE WHEN opens THEN r.pos + 1 + 3 ELSE r.nf END,
+        |    CASE WHEN opens THEN r.k + 1 ELSE r.k END,
+        |    CASE WHEN opens THEN r.corr || CASE WHEN r.corr = '' THEN '' ELSE ' ' END || '<extra_id_' || CAST(r.k AS VARCHAR) || '>'
+        |         WHEN inspan THEN r.corr
+        |         ELSE r.corr || CASE WHEN r.corr = '' THEN '' ELSE ' ' END || t END,
+        |    CASE WHEN opens THEN r.tgt || CASE WHEN r.tgt = '' THEN '' ELSE ' ' END || '<extra_id_' || CAST(r.k AS VARCHAR) || '>' || ' ' || t
+        |         WHEN inspan THEN r.tgt || ' ' || t
+        |         ELSE r.tgt END
+        |  FROM (
+        |    SELECT r0.*, tn.toks[r0.pos + 2] AS t, tn.n,
+        |      (r0.pos + 1) < r0.nf AS inspan,
+        |      (r0.pos + 1) >= r0.nf AND
+        |        (('0x' || substr(md5('graft-span|' || CAST(r0.doc_id AS VARCHAR) || ':' || CAST(r0.pos + 1 AS VARCHAR)), 1, 8))::UBIGINT
+        |          & 2147483647) % 1000 < 150 AS opens
+        |    FROM rec r0 JOIN tn ON tn.doc_id = r0.doc_id
+        |    WHERE r0.pos + 1 < tn.n) r)
+        |SELECT r.doc_id, r.corr AS corrupted, r.tgt AS target,
+        |  CAST(tn.n AS BIGINT) AS n_tokens, CAST(r.k AS BIGINT) AS n_spans
+        |FROM rec r JOIN tn ON tn.doc_id = r.doc_id AND r.pos = tn.n - 1""".stripMargin,
     "ns_word_dropout" ->
       """WITH tk AS (
         |  SELECT doc_id,

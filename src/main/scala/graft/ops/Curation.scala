@@ -1357,6 +1357,60 @@ object Curation {
       size(kept).cast("long").as("n_kept"))
   }
 
+  /** T5-style span corruption, deterministic: mask contiguous token spans
+    * with numbered sentinels and emit the (corrupted, target) pair the
+    * denoising objective trains on — `corrupted` keeps unmasked tokens
+    * with `<extra_id_k>` where span k was, `target` lists each sentinel
+    * followed by the tokens it hides. Span STARTS are per-(doc, position)
+    * portable-hash decisions at `startPermille` (the [[wordDropout]]
+    * contract: no RNG, replay-identical); spans run `spanLen` tokens and
+    * never overlap — a position inside an active span can't start a new
+    * one, which is the sequential rule that makes this a FOLD (one
+    * array-HOF aggregate over index-tagged tokens, zero shuffle) rather
+    * than an independent per-token map.
+    *
+    * Output: (id, corrupted, target, n_tokens, n_spans).
+    */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+      startPermille: Int, spanLen: Int = 3,
+      seed: String = "graft-span"): DataFrame = {
+    require(startPermille >= 0 && startPermille <= 1000,
+      "startPermille must be in [0, 1000]")
+    require(spanLen >= 1, "spanLen must be >= 1")
+    val toks = when(length(trim(col(textCol))) === 0,
+      array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    val indexed = transform(toks, (t, i) => struct(t.as("t"), i.as("i")))
+    val zero = struct(lit(0).as("nf"), lit(0).as("k"),
+      array().cast("array<string>").as("corr"),
+      array().cast("array<string>").as("tgt"))
+    val folded = aggregate(indexed, zero, (st, p) => {
+      val t = p.getField("t")
+      val i = p.getField("i")
+      val inSpan = i < st.getField("nf")
+      val opens = !inSpan &&
+        pmod(portableHash31(
+          concat(col(idCol).cast("string"), lit(":"), i.cast("string")), seed),
+          lit(1000L)) < startPermille
+      val sentinel = concat(lit("<extra_id_"),
+        st.getField("k").cast("string"), lit(">"))
+      struct(
+        when(opens, i + spanLen).otherwise(st.getField("nf")).as("nf"),
+        when(opens, st.getField("k") + 1).otherwise(st.getField("k")).as("k"),
+        when(opens, concat(st.getField("corr"), array(sentinel)))
+          .otherwise(when(inSpan, st.getField("corr"))
+            .otherwise(concat(st.getField("corr"), array(t)))).as("corr"),
+        when(opens, concat(st.getField("tgt"), array(sentinel), array(t)))
+          .otherwise(when(inSpan, concat(st.getField("tgt"), array(t)))
+            .otherwise(st.getField("tgt"))).as("tgt"))
+    })
+    df.select(col(idCol),
+      array_join(folded.getField("corr"), " ").as("corrupted"),
+      array_join(folded.getField("tgt"), " ").as("target"),
+      size(toks).cast("long").as("n_tokens"),
+      folded.getField("k").cast("long").as("n_spans"))
+  }
+
   /** Assemble per-conversation transcript columns from an event-shaped
     * frame: one `array<struct<role, content>>` row per key, turns ordered
     * by `orderCol` (which must be unique per key — it pins the sort inside

@@ -995,6 +995,31 @@ class CurationSpec extends AnyFunSuite {
     } != null)
   }
 
+  test("spanCorrupt: extremes are exact, spans never overlap, token-count law holds") {
+    import SparkTestBase.spark.implicits._
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    // rate 1000: every eligible position opens; spanLen 2 tiles the text
+    val full = Curation.spanCorrupt(df, "doc_id", "text", 1000, spanLen = 2)
+      .head()
+    assert(full.getString(1) == "<extra_id_0> <extra_id_1> <extra_id_2>")
+    assert(full.getString(2) == "<extra_id_0> a b <extra_id_1> c d <extra_id_2> e")
+    assert(full.getLong(3) == 5L && full.getLong(4) == 3L)
+    // rate 0: identity corruption, empty target
+    val none = Curation.spanCorrupt(df, "doc_id", "text", 0).head()
+    assert(none.getString(1) == "a b c d e" && none.getString(2) == ""
+      && none.getLong(4) == 0L)
+    // mid rate: deterministic, and kept + masked tokens partition the doc
+    val docs = Seq((7L, (1 to 40).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val m1 = Curation.spanCorrupt(docs, "doc_id", "text", 300, spanLen = 3).head()
+    val m2 = Curation.spanCorrupt(docs, "doc_id", "text", 300, spanLen = 3).head()
+    assert(m1.toSeq == m2.toSeq)
+    def realToks(s: String) = s.split(" ").filter(t => t.nonEmpty && !t.startsWith("<extra_id_"))
+    val together = (realToks(m1.getString(1)) ++ realToks(m1.getString(2))).sorted.toSeq
+    assert(together == (1 to 40).map(i => s"w$i").sorted.toSeq,
+      "corrupted + target must partition the original tokens")
+    assert(m1.getLong(4) > 0, "rate 300 over 40 tokens should open at least one span")
+  }
+
   test("assembleDialogs: turns sort by the order column regardless of input order") {
     import SparkTestBase.spark.implicits._
     val events = Seq(
