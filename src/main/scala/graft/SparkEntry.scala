@@ -975,6 +975,28 @@ object SparkEntry {
       // source; tie-invariant coefficient sum makes the milli exact
       graft.ops.Profile.giniByGroup(t(s, dir, "documents"), "n_chars",
         Seq("source"))),
+    "ns_kappa" -> ((s, dir) => {
+      // rater-agreement QA: rater B disagrees on every 5th event (labels
+      // it 'view'); chance-corrected agreement in exact DECIMAL milli
+      val e = t(s, dir, "events").select(
+        col("event_type").as("ra"),
+        when(col("event_id") % 5 === 0, lit("view"))
+          .otherwise(col("event_type")).as("rb"))
+      graft.ops.Profile.cohenKappa(e, "ra", "rb")
+    }),
+    "ns_preference_audit" -> ((s, dir) => {
+      // synthetic preference pairs from the corpus: every 7th rejected is
+      // byte-identical to chosen, every 11th is emptied, the rest get a
+      // word swap; the audit flags each failure class
+      val pairs = t(s, dir, "documents").select(col("doc_id"),
+        col("text").as("chosen"),
+        when(col("doc_id") % 7 === 0, col("text"))
+          .when(col("doc_id") % 11 === 0, lit(""))
+          .otherwise(replace(col("text"), lit("value"), lit("worth")))
+          .as("rejected"))
+      graft.ops.Curation.preferencePairAudit(pairs, "doc_id",
+        "chosen", "rejected")
+    }),
     "ns_span_corrupt" -> ((s, dir) =>
       // T5-style sentinel masking at 150 permille, 3-token spans; the
       // oracle replays the fold as a recursive CTE over token positions
@@ -4982,6 +5004,45 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN trim(content) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
         |  CAST(sum(CASE WHEN regexp_matches(content, '<\|[A-Za-z_]+\|>') THEN 1 ELSE 0 END) AS BIGINT) AS n_special
         |FROM w GROUP BY user_id""".stripMargin,
+    "ns_kappa" ->
+      """WITH p AS (
+        |  SELECT event_type AS a,
+        |    CASE WHEN event_id % 5 = 0 THEN 'view' ELSE event_type END AS b
+        |  FROM events),
+        |cells AS (SELECT a, b, CAST(count(*) AS HUGEINT) AS n FROM p GROUP BY 1, 2),
+        |ra AS (SELECT a AS l, sum(n) AS r FROM cells GROUP BY 1),
+        |cb AS (SELECT b AS l, sum(n) AS c FROM cells GROUP BY 1),
+        |pe AS (SELECT coalesce(sum(r * c), 0) AS rc FROM ra JOIN cb USING (l)),
+        |tot AS (SELECT sum(n) AS N,
+        |          coalesce(sum(CASE WHEN a = b THEN n END), 0) AS diag
+        |        FROM cells)
+        |SELECT CAST(N AS BIGINT) AS n, CAST(diag AS BIGINT) AS n_agree,
+        |  CASE WHEN N * N - rc = 0 THEN NULL
+        |       ELSE CAST((1000 * (N * diag - rc)) // (N * N - rc) AS BIGINT)
+        |  END AS kappa_milli
+        |FROM tot, pe""".stripMargin,
+    "ns_preference_audit" ->
+      """WITH p AS (
+        |  SELECT doc_id, text AS chosen,
+        |    CASE WHEN doc_id % 7 = 0 THEN text
+        |         WHEN doc_id % 11 = 0 THEN ''
+        |         ELSE replace(text, 'value', 'worth') END AS rejected
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, chosen, rejected,
+        |    CASE WHEN length(trim(chosen)) = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(len(string_split_regex(trim(chosen), '\s+')) AS BIGINT) END AS nc,
+        |    CASE WHEN length(trim(rejected)) = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(len(string_split_regex(trim(rejected), '\s+')) AS BIGINT) END AS nr
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN chosen = rejected THEN 1 ELSE 0 END AS INT) AS identical,
+        |  CAST(CASE WHEN nc = 0 THEN 1 ELSE 0 END AS INT) AS chosen_empty,
+        |  CAST(CASE WHEN nr = 0 THEN 1 ELSE 0 END AS INT) AS rejected_empty,
+        |  nc AS n_tokens_chosen, nr AS n_tokens_rejected,
+        |  CASE WHEN greatest(nc, nr) = 0 THEN CAST(1000 AS BIGINT)
+        |       ELSE CAST((least(nc, nr) * 1000) // greatest(nc, nr) AS BIGINT) END AS len_ratio_permille
+        |FROM c""".stripMargin,
     "ns_span_corrupt" ->
       """WITH RECURSIVE tk AS (
         |  SELECT doc_id,

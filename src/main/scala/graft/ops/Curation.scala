@@ -1357,6 +1357,40 @@ object Curation {
       size(kept).cast("long").as("n_kept"))
   }
 
+  /** Preference-pair hygiene audit for RLHF/DPO datasets: the structural
+    * checks run before a (prompt, chosen, rejected) triple enters
+    * preference training — identical sides (the gradient is zero and the
+    * pair is pure noise), empty sides, and degenerate length imbalance
+    * (a 20:1 length ratio usually means the "preference" is just length;
+    * reward models famously overfit it). Counts and flags, not verdicts —
+    * thresholds are recipe-specific and the columns feed [[filterFunnel]]
+    * as named kill reasons.
+    *
+    * One scan-stage projection: (id, identical [chosen == rejected
+    * byte-equal], chosen_empty, rejected_empty, n_tokens_chosen,
+    * n_tokens_rejected, len_ratio_permille [1000·shorter div longer,
+    * 1000 when both empty]).
+    */
+  def preferencePairAudit(df: DataFrame, idCol: String, chosenCol: String,
+      rejectedCol: String): DataFrame = {
+    def tokCount(c: Column): Column =
+      when(length(trim(c)) === 0, lit(0L))
+        .otherwise(size(split(trim(c), "\\s+")).cast("long"))
+    val nc = tokCount(col(chosenCol))
+    val nr = tokCount(col(rejectedCol))
+    val shorter = least(nc, nr)
+    val longer = greatest(nc, nr)
+    df.select(col(idCol),
+      (col(chosenCol) === col(rejectedCol)).cast("int").as("identical"),
+      (nc === 0L).cast("int").as("chosen_empty"),
+      (nr === 0L).cast("int").as("rejected_empty"),
+      nc.as("n_tokens_chosen"),
+      nr.as("n_tokens_rejected"),
+      when(longer === 0L, lit(1000L))
+        .otherwise(call_function("div", shorter * 1000L, longer))
+        .as("len_ratio_permille"))
+  }
+
   /** T5-style span corruption, deterministic: mask contiguous token spans
     * with numbered sentinels and emit the (corrupted, target) pair the
     * denoising objective trains on — `corrupted` keeps unmasked tokens

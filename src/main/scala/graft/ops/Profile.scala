@@ -622,6 +622,47 @@ object Profile {
       .withColumn("dev_milli", col("observed_milli") - col("expected_milli"))
   }
 
+  /** Cohen's kappa between two label columns, integer milli: the
+    * chance-corrected agreement behind every labeling-pipeline QA gate
+    * (two raters, rater vs model, model vs heuristic — raw agreement
+    * flatters whenever one label dominates; kappa subtracts the agreement
+    * two marginal-faithful random raters would reach). Exact DECIMAL
+    * arithmetic end-to-end:
+    * kappa_milli = 1000·(N·diag − Σ_l r_l·c_l) div (N² − Σ_l r_l·c_l),
+    * null when the denominator is 0 (both raters constant — agreement is
+    * vacuous and kappa undefined). Null labels drop (label hygiene is
+    * [[analyzeColumns]]' job).
+    *
+    * Plan shape: the (a, b) confusion cells aggregate once (one corpus
+    * exchange); both marginals and the totals re-derive from the
+    * IDENTICAL cells subplan, which Spark's ReuseExchange collapses to
+    * one physical shuffle — everything above it is cell-cardinality-sized.
+    * Output: one row (n, n_agree, kappa_milli).
+    */
+  def cohenKappa(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .where(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).cast(dec).as("n"))
+    val ra = cells.groupBy(col("a").as("l")).agg(sum("n").as("r"))
+    val cb = cells.groupBy(col("b").as("l")).agg(sum("n").as("c"))
+    val pe = ra.join(cb, Seq("l"))
+      .agg(coalesce(sum(col("r") * col("c")), lit(0).cast(dec)).as("rc"))
+    val tot = cells.agg(
+      coalesce(sum(col("n")), lit(0).cast(dec)).as("N"),
+      coalesce(sum(when(col("a") === col("b"), col("n"))), lit(0).cast(dec))
+        .as("diag"))
+    tot.crossJoin(broadcast(pe))
+      .select(col("N").cast("long").as("n"),
+        col("diag").cast("long").as("n_agree"),
+        when(col("N") * col("N") - col("rc") === 0, lit(null).cast("long"))
+          .otherwise(call_function("div",
+            lit(1000).cast(dec) * (col("N") * col("diag") - col("rc")),
+            col("N") * col("N") - col("rc")).cast("long"))
+          .as("kappa_milli"))
+  }
+
   def crossTab(df: DataFrame, colA: String, colB: String): DataFrame = {
     require(colA != colB, "need two distinct columns")
     val dec = "decimal(38,0)"

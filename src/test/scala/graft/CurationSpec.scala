@@ -995,6 +995,23 @@ class CurationSpec extends AnyFunSuite {
     } != null)
   }
 
+  test("preferencePairAudit: identical, empty, and length-skew flags fire per class") {
+    import SparkTestBase.spark.implicits._
+    val pairs = Seq(
+      (1L, "good long answer here", "good long answer here"),   // identical
+      (2L, "an answer", ""),                                     // empty rejected
+      (3L, "one two three four five six seven eight", "ok"),     // 8:1 skew
+      (4L, "fine answer", "other answer"))                       // clean
+      .toDF("id", "chosen", "rejected")
+    val out = Curation.preferencePairAudit(pairs, "id", "chosen", "rejected")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out(1L) == ((1, 0, 0, 4L, 4L, 1000L)))
+    assert(out(2L) == ((0, 0, 1, 2L, 0L, 0L)))
+    assert(out(3L) == ((0, 0, 0, 8L, 1L, 125L)))
+    assert(out(4L) == ((0, 0, 0, 2L, 2L, 1000L)))
+  }
+
   test("spanCorrupt: extremes are exact, spans never overlap, token-count law holds") {
     import SparkTestBase.spark.implicits._
     val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")

@@ -293,6 +293,24 @@ class ProfileSpec extends AnyFunSuite {
     assert(got.size == 4, "only observed cells emit")
   }
 
+  test("cohenKappa: textbook 0.4 example, perfect/inverse/vacuous corners") {
+    import SparkTestBase.spark.implicits._
+    // classic 2x2: yes/yes 20, no/no 15, yes/no 10, no/yes 5 -> kappa 0.400
+    val classic = (Seq.fill(20)(("y", "y")) ++ Seq.fill(15)(("n", "n")) ++
+      Seq.fill(10)(("y", "n")) ++ Seq.fill(5)(("n", "y"))).toDF("a", "b")
+    val k1 = Profile.cohenKappa(classic, "a", "b").head()
+    assert((k1.getLong(0), k1.getLong(1), k1.getLong(2)) == ((50L, 35L, 400L)))
+    // perfect agreement (non-constant labels) -> 1000
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("a", "b")
+    assert(Profile.cohenKappa(perfect, "a", "b").head().getLong(2) == 1000L)
+    // symmetric complete disagreement -> -1000
+    val inverse = (Seq.fill(5)(("x", "y")) ++ Seq.fill(5)(("y", "x"))).toDF("a", "b")
+    assert(Profile.cohenKappa(inverse, "a", "b").head().getLong(2) == -1000L)
+    // both raters constant -> denominator 0 -> null kappa
+    val constant = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(Profile.cohenKappa(constant, "a", "b").head().isNullAt(2))
+  }
+
   test("giniByGroup: equality is 0, one-holder approaches (n-1)/n, ties are order-invariant") {
     val df = Seq(
       ("even", 5L), ("even", 5L), ("even", 5L),         // perfectly even -> 0
