@@ -837,6 +837,25 @@ class PlanSpec extends AnyFunSuite {
       s"audit must not shuffle — it is a scan-stage projection:\n${plan.take(2000)}")
   }
 
+  test("cohenKappa: the confusion-cell aggregate materializes once (ReuseExchange)") {
+    // AQE reuses stages at runtime but hides it from the initial plan
+    // string — assert the static ReuseExchange rule with AQE off
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e = SparkEntry.t(spark, sf, "events")
+        .select(col("event_type").as("ra"), col("event_type").as("rb"))
+      val plan = planOf(graft.ops.Profile.cohenKappa(e, "ra", "rb"))
+      // three consumers (marginals ×2, totals) re-derive from the identical
+      // cells subplan — Spark must collapse them to one physical shuffle;
+      // without reuse the corpus scans three times
+      assert(plan.contains("ReusedExchange"),
+        s"cells exchange must be reused, not recomputed:\n${plan.take(3000)}")
+      val scans = "FileScan parquet".r.findAllIn(plan).length
+      assert(scans == 1, s"events must scan exactly once, saw $scans:\n${plan.take(3000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("packDialog: fold + scalarize stays shuffle-free over an assembled frame") {
     import spark.implicits._
     val dialogs = Seq((1L, Seq(("user", "a b"), ("assistant", "c"))))
