@@ -289,6 +289,52 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(single.isEmpty)
   }
 
+  test("job-count gate: kCenterSelect is linear in k (stateless rounds, no lineage growth)") {
+    // mirrors GraphSpec's loop gates: each round is one TakeOrdered scan,
+    // so jobs grow by a constant per added center
+    def countJobs(body: => Unit): Int = {
+      val group = s"graft-kcgate-${java.util.UUID.randomUUID().toString.take(8)}"
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id"))
+            n.incrementAndGet()
+          ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      spark.sparkContext.setJobGroup(group, "kcenter job gate")
+      try {
+        body
+        var last = -1; var stable = 0; var waited = 0
+        while (stable < 3 && waited < 5000) {
+          Thread.sleep(100); waited += 100
+          val cur = n.get()
+          if (cur == last) stable += 1 else { stable = 0; last = cur }
+        }
+      } finally {
+        spark.sparkContext.clearJobGroup()
+        spark.sparkContext.removeSparkListener(listener)
+      }
+      assert(n.get() > 0, "job-group scoping captured no jobs")
+      n.get()
+    }
+    import spark.implicits._
+    def run(k: Int): Int = countJobs {
+      val pts = (0 until 24)
+        .map(i => (i.toLong, Seq((i * 37 % 24).toDouble, (i * 11 % 24).toDouble)))
+        .toDF("id", "vec")
+      graft.ops.Similarity.kCenterSelect(pts, "vec", "id", k, firstId = 0L).collect()
+      ()
+    }
+    val j2 = run(2); val j4 = run(4); val j6 = run(6)
+    val d1 = j4 - j2; val d2 = j6 - j4
+    assert(d2 <= d1 + 4, s"kCenter job growth must be linear: j2=$j2 j4=$j4 j6=$j6")
+    assert(d1 <= 20, s"per-center job cost out of bounds: j2=$j2 j4=$j4")
+  }
+
   test("kCenterSelect: farthest-point rounds on a hand-laid 1-D line; ties break by id") {
     // line positions: id0 at 0, id1 at 10, id2 at 6, id3 at 1, id4 at 9
     // round 1 from id0: farthest is id1 (d2 = 100)
