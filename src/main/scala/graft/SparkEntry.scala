@@ -1081,6 +1081,18 @@ object SparkEntry {
           col("c.semi_brace_permille").as("semi_brace_permille"),
           col("c.indent_permille").as("indent_permille"))
     }),
+    "ns_lexical_diversity" -> ((s, dir) =>
+      // type-token and hapax ratios per doc; Spark counts hapaxes by
+      // sorted-neighbor isolation, the oracle by per-type frequency — two
+      // formulations of the same count
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.lexicalDiversity(col("text")).as("d"))
+        .select(col("doc_id"),
+          col("d.n_tokens").as("n_tokens"),
+          col("d.n_types").as("n_types"),
+          col("d.ttr_permille").as("ttr_permille"),
+          col("d.hapax_permille").as("hapax_permille"))),
     "ns_readability" -> ((s, dir) => {
       // Flesch + FK grade in integer milli-points: three regexp_counts and
       // integer divides — one codegen'd scan projection, replayed in DuckDB
@@ -5176,6 +5188,21 @@ object SparkEntry {
         |  (semi_brace_lines * 1000) // greatest(n_lines, 1) AS semi_brace_permille,
         |  (indented_lines * 1000) // greatest(n_lines, 1) AS indent_permille
         |FROM c""".stripMargin,
+    "ns_lexical_diversity" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+        |  FROM documents),
+        |x AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt,
+        |        CAST(len(list_distinct(toks)) AS BIGINT) AS ny,
+        |        CAST(len(list_filter(list_distinct(toks),
+        |          t -> len(list_filter(toks, u -> u = t)) = 1)) AS BIGINT) AS hp
+        |      FROM tk)
+        |SELECT doc_id, nt AS n_tokens, ny AS n_types,
+        |  (ny * 1000) // greatest(nt, 1) AS ttr_permille,
+        |  (hp * 1000) // greatest(nt, 1) AS hapax_permille
+        |FROM x""".stripMargin,
     "ns_readability" ->
       """WITH m AS (
         |  SELECT doc_id, replace(text, ' value ', '. ') AS text FROM documents),

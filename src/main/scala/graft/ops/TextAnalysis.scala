@@ -55,6 +55,43 @@ object TextAnalysis {
         .as("fk_grade_milli"))
   }
 
+  /** Lexical diversity per document, integer permille: type-token ratio
+    * (distinct words / words) and hapax ratio (words occurring exactly
+    * once / words) — the repetition-adjacent quality axis [[graft.ops.Curation]]'s
+    * Gopher signals don't cover (template spam repeats WORDS with high
+    * n-gram novelty; TTR catches it, and an anomalously HIGH TTR at
+    * length flags word-salad generators). Lowercased whitespace tokens,
+    * one scan-stage projection via array ops: `array_distinct` for types;
+    * hapax counts sort the tokens once and keep positions differing from
+    * BOTH neighbors (frequency-1 ⇔ isolated in sorted order) — O(n log n)
+    * per doc, not the O(n²) per-type membership scan. No shuffle, no map
+    * state. Returns a struct (n_tokens, n_types, ttr_permille,
+    * hapax_permille), zeros for empty text.
+    */
+  def lexicalDiversity(text: Column): Column = {
+    val toks = when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(text)), "\\s+"))
+    val types = array_distinct(toks)
+    val nTok = size(toks).cast("long")
+    val nTyp = size(types).cast("long")
+    val sorted = array_sort(toks)
+    // 1-based element_at: predecessor of 0-based i is element i, successor
+    // is element i+2; boundary positions treat the missing neighbor as
+    // different
+    val hapax = size(filter(transform(sorted, (x, i) =>
+      when(i === 0, lit(true))
+        .otherwise(x =!= try_element_at(sorted, i)) &&
+        when(i === size(sorted) - 1, lit(true))
+          .otherwise(x =!= try_element_at(sorted, i + 2))),
+      b => b)).cast("long")
+    val safe = greatest(nTok, lit(1L))
+    struct(
+      nTok.as("n_tokens"),
+      nTyp.as("n_types"),
+      call_function("div", nTyp * 1000L, safe).as("ttr_permille"),
+      call_function("div", hapax * 1000L, safe).as("hapax_permille"))
+  }
+
   /** Code-vs-prose signals: the router feature set for splitting a scraped
     * corpus into code and natural-language lanes (code gets lexer-aware
     * dedup and license filtering, prose gets [[qualityMetrics]]/

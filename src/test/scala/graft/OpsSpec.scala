@@ -437,6 +437,21 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L) == Seq(0L, 1L, 0L, 206835L, -15590L))
   }
 
+  test("lexicalDiversity: TTR and hapax by hand, case-folding, empty text") {
+    // "The cat the dog cat bird" -> 6 tokens, types {the,cat,dog,bird}=4,
+    // hapax {dog,bird}=2 -> ttr 666, hapax 333
+    val docs = Seq((1L, "The cat the dog cat bird"), (2L, ""), (3L, "x x x"))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextAnalysis.lexicalDiversity(col("text")).as("d"))
+      .select(col("doc_id"), col("d.n_tokens"), col("d.n_types"),
+        col("d.ttr_permille"), col("d.hapax_permille"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(out(1L) == Seq(6L, 4L, 666L, 333L))
+    assert(out(2L) == Seq(0L, 0L, 0L, 0L))
+    assert(out(3L) == Seq(3L, 1L, 333L, 0L))
+  }
+
   test("codeSignals: fences, statement lines, indentation, camelCase counted per doc") {
     val code = "def fooBar() {\n    val x = 1;\n    return x;\n}\nplain prose line"
     val prose = "Just a sentence. And another one here."
