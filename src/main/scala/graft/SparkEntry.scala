@@ -728,6 +728,16 @@ object SparkEntry {
     // ---- training-data pipeline operators (north star) ----
     "ns_dedup_exact" -> ((s, dir) =>
       graft.ops.Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
+    "ns_url_templates" -> ((s, dir) => {
+      // site-structure mining: doc ids become {n}, md5 revisions {hex},
+      // so each source host collapses to two template rows
+      val d = t(s, dir, "documents")
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.com/item/"), col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(lit("/rev/"), md5(col("text"))))
+          .otherwise(lit("/view")))
+      graft.ops.Web.urlTemplates(d.select(url.as("url")), "url")
+    }),
     "ns_url_canonical" -> ((s, dir) => {
       // URL canonicalization (web-corpus dedup key): four crawl-variant
       // shapes synthesized per doc — scheme/host case, www, default vs
@@ -2987,6 +2997,22 @@ object SparkEntry {
         |       event_id, user_id, event_type, value
         |FROM events
         |WHERE event_type = 'purchase' AND user_id = 7""".stripMargin,
+    "ns_url_templates" ->
+      """WITH u AS (
+        |  SELECT 'https://' || source || '.example.com/item/' || CAST(doc_id AS VARCHAR) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '/rev/' || md5(text) ELSE '/view' END AS url
+        |  FROM documents),
+        |p AS (SELECT lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS host,
+        |        regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path
+        |      FROM u),
+        |tt AS (SELECT host, array_to_string(list_transform(string_split(path, '/'), s ->
+        |        CASE WHEN regexp_matches(s, '^[0-9]+$') THEN '{n}'
+        |             WHEN regexp_matches(s, '^[0-9a-f]{8,}$') THEN '{hex}'
+        |             WHEN length(s) >= 16 AND regexp_matches(s, '^[A-Za-z0-9_-]+$') THEN '{id}'
+        |             ELSE s END), '/') AS template
+        |      FROM p)
+        |SELECT host, template, CAST(count(*) AS BIGINT) AS n_urls
+        |FROM tt GROUP BY 1, 2""".stripMargin,
     "ns_url_canonical" ->
       """WITH u AS (
         |  SELECT doc_id,

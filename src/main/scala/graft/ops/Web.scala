@@ -207,6 +207,34 @@ object Web {
     * mix analysis and [[Curation.mixRates]]. One partial-aggregated
     * shuffle keyed by domain.
     */
+  /** URL path-template mining: generalize each path segment that is an
+    * obvious identifier — all-digits → `{n}`, long lower-hex → `{hex}`,
+    * long url-safe tokens → `{id}` — and count URLs per (host, template).
+    * The crawl-analytics workhorse: a site's million product pages
+    * collapse to one `/product/{n}` row, so template counts ARE the
+    * site-structure profile (which templates dominate a domain, which are
+    * boilerplate farms worth one representative, where the crawler is
+    * burning budget on calendar-style infinite spaces).
+    *
+    * Segment classification is anchored full-segment regex (RE2-safe: no
+    * lookarounds — the path splits on '/' and each segment tests alone),
+    * applied in one scan projection; the rollup is one partial-aggregated
+    * (host, template) count. Output: (host, template, n_urls).
+    */
+  def urlTemplates(df: DataFrame, urlCol: String): DataFrame = {
+    val parts = urlParts(col(urlCol))
+    val segs = split(parts.getField("path"), "/")
+    val templated = transform(segs, s =>
+      when(s.rlike("^[0-9]+$"), lit("{n}"))
+        .when(s.rlike("^[0-9a-f]{8,}$"), lit("{hex}"))
+        .when(length(s) >= 16 && s.rlike("^[A-Za-z0-9_-]+$"), lit("{id}"))
+        .otherwise(s))
+    df.select(parts.getField("host").as("host"),
+        array_join(templated, "/").as("template"))
+      .groupBy("host", "template")
+      .agg(count(lit(1)).as("n_urls"))
+  }
+
   def domainStats(df: DataFrame, urlCol: String, weightCol: Option[String] = None,
       multiLabelSuffixes: Seq[String] = Nil): DataFrame = {
     val reg = registrableDomain(

@@ -210,4 +210,24 @@ class WebSpec extends AnyFunSuite {
     assert(out(("third.net", "other.com")) == (1L, 1L))
     assert(out.size == 3)
   }
+
+  test("urlTemplates: id-like segments generalize, product pages collapse to one row") {
+    import SparkTestBase.spark.implicits._
+    val urls = Seq(
+      "https://shop.example/product/123/view",
+      "https://shop.example/product/9876/view",
+      "https://shop.example/product/123/rev/0123456789abcdef0123456789abcdef",
+      "https://shop.example/about",                           // plain segment survives
+      "https://shop.example/s/AbCdEfGhIjKlMnOpQr",            // 18-char url-safe -> {id}
+      "https://other.example/product/5/view")                  // other host separate
+      .toDF("url")
+    val out = graft.ops.Web.urlTemplates(urls, "url").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("shop.example", "/product/{n}/view")) == 2L)
+    assert(out(("shop.example", "/product/{n}/rev/{hex}")) == 1L)
+    assert(out(("shop.example", "/about")) == 1L)
+    assert(out(("shop.example", "/s/{id}")) == 1L)
+    assert(out(("other.example", "/product/{n}/view")) == 1L)
+    assert(out.size == 5)
+  }
 }
