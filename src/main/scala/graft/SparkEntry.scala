@@ -985,6 +985,15 @@ object SparkEntry {
       // source; tie-invariant coefficient sum makes the milli exact
       graft.ops.Profile.giniByGroup(t(s, dir, "documents"), "n_chars",
         Seq("source"))),
+    "ns_confusion" -> ((s, dir) => {
+      // per-label precision/recall/F1 on the same rater setup as ns_kappa;
+      // F1 in count form (2000·tp div (2tp+fp+fn)) avoids milli rounding
+      val e = t(s, dir, "events").select(
+        col("event_type").as("gold"),
+        when(col("event_id") % 5 === 0, lit("view"))
+          .otherwise(col("event_type")).as("pred"))
+      graft.ops.Profile.confusionReport(e, "gold", "pred")
+    }),
     "ns_kappa" -> ((s, dir) => {
       // rater-agreement QA: rater B disagrees on every 5th event (labels
       // it 'view'); chance-corrected agreement in exact DECIMAL milli
@@ -5042,6 +5051,29 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN trim(content) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
         |  CAST(sum(CASE WHEN regexp_matches(content, '<\|[A-Za-z_]+\|>') THEN 1 ELSE 0 END) AS BIGINT) AS n_special
         |FROM w GROUP BY user_id""".stripMargin,
+    "ns_confusion" ->
+      """WITH pr AS (SELECT event_type AS g,
+        |              CASE WHEN event_id % 5 = 0 THEN 'view' ELSE event_type END AS p
+        |            FROM events),
+        |cells AS (SELECT g, p, CAST(count(*) AS HUGEINT) AS n FROM pr GROUP BY 1, 2),
+        |gold AS (SELECT g AS label, sum(n) AS n_gold,
+        |           coalesce(sum(CASE WHEN g = p THEN n END), 0) AS tp
+        |         FROM cells GROUP BY 1),
+        |pred AS (SELECT p AS label, sum(n) AS n_pred FROM cells GROUP BY 1),
+        |j AS (SELECT coalesce(gold.label, pred.label) AS label,
+        |        coalesce(tp, 0) AS tp,
+        |        coalesce(n_pred, 0) - coalesce(tp, 0) AS fp,
+        |        coalesce(n_gold, 0) - coalesce(tp, 0) AS fn
+        |      FROM gold FULL JOIN pred ON gold.label = pred.label)
+        |SELECT label, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CAST(fn AS BIGINT) AS fn,
+        |  CASE WHEN tp + fp = 0 THEN NULL
+        |       ELSE CAST((1000 * tp) // (tp + fp) AS BIGINT) END AS precision_milli,
+        |  CASE WHEN tp + fn = 0 THEN NULL
+        |       ELSE CAST((1000 * tp) // (tp + fn) AS BIGINT) END AS recall_milli,
+        |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+        |       ELSE CAST((2000 * tp) // (2 * tp + fp + fn) AS BIGINT) END AS f1_milli
+        |FROM j""".stripMargin,
     "ns_kappa" ->
       """WITH p AS (
         |  SELECT event_type AS a,

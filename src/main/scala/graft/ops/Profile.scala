@@ -622,6 +622,57 @@ object Profile {
       .withColumn("dev_milli", col("observed_milli") - col("expected_milli"))
   }
 
+  /** Per-label precision/recall/F1 against a gold column, integer milli —
+    * the classifier-QA report card next to [[cohenKappa]]'s single
+    * chance-corrected number: which LABELS the model confuses, not just
+    * how much. tp/fp/fn come from one (gold, pred) confusion-cell
+    * aggregate (the [[cohenKappa]] plan shape — cells materialize once,
+    * per-label rollups reuse the exchange); F1 stays integer-exact as
+    * 2000·tp div (2·tp + fp + fn), the harmonic mean's count form (no
+    * intermediate milli rounding). Null-label rows drop.
+    *
+    * Output: one row per label appearing in gold or pred —
+    * (label, tp, fp, fn, precision_milli, recall_milli, f1_milli);
+    * precision is null for never-predicted labels, recall null for
+    * labels absent from gold (0/0 is undefined, not zero — a label with
+    * no gold rows has VACUOUS recall, and forcing 0 would read as
+    * failure).
+    */
+  def confusionReport(df: DataFrame, goldCol: String, predCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .where(col(goldCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(goldCol).as("g"), col(predCol).as("p"))
+      .agg(count(lit(1)).cast(dec).as("n"))
+    val gold = cells.groupBy(col("g").as("label"))
+      .agg(sum("n").as("n_gold"),
+        sum(when(col("g") === col("p"), col("n"))).as("tp_g"))
+    val pred = cells.groupBy(col("p").as("label"))
+      .agg(sum("n").as("n_pred"))
+    gold.join(pred, Seq("label"), "full")
+      .select(col("label"),
+        coalesce(col("tp_g"), lit(0).cast(dec)).as("tp"),
+        (coalesce(col("n_pred"), lit(0).cast(dec)) -
+          coalesce(col("tp_g"), lit(0).cast(dec))).as("fp"),
+        (coalesce(col("n_gold"), lit(0).cast(dec)) -
+          coalesce(col("tp_g"), lit(0).cast(dec))).as("fn"))
+      .select(col("label"),
+        col("tp").cast("long").as("tp"),
+        col("fp").cast("long").as("fp"),
+        col("fn").cast("long").as("fn"),
+        when(col("tp") + col("fp") === 0, lit(null).cast("long"))
+          .otherwise(call_function("div", lit(1000).cast(dec) * col("tp"),
+            col("tp") + col("fp")).cast("long")).as("precision_milli"),
+        when(col("tp") + col("fn") === 0, lit(null).cast("long"))
+          .otherwise(call_function("div", lit(1000).cast(dec) * col("tp"),
+            col("tp") + col("fn")).cast("long")).as("recall_milli"),
+        when(lit(2).cast(dec) * col("tp") + col("fp") + col("fn") === 0,
+          lit(null).cast("long"))
+          .otherwise(call_function("div", lit(2000).cast(dec) * col("tp"),
+            lit(2).cast(dec) * col("tp") + col("fp") + col("fn")).cast("long"))
+          .as("f1_milli"))
+  }
+
   /** Cohen's kappa between two label columns, integer milli: the
     * chance-corrected agreement behind every labeling-pipeline QA gate
     * (two raters, rater vs model, model vs heuristic — raw agreement

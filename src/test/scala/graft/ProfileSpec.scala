@@ -293,6 +293,25 @@ class ProfileSpec extends AnyFunSuite {
     assert(got.size == 4, "only observed cells emit")
   }
 
+  test("confusionReport: per-label tp/fp/fn and null-not-zero vacuous ratios") {
+    import SparkTestBase.spark.implicits._
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"),
+      ("c", "d")).toDF("gold", "pred")
+    val out = Profile.confusionReport(df, "gold", "pred").collect()
+      .map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          opt(4), opt(5), opt(6)))
+      }.toMap
+    assert(out("a") == ((2L, 0L, 1L, Some(1000L), Some(666L), Some(800L))))
+    assert(out("b") == ((2L, 1L, 0L, Some(666L), Some(1000L), Some(800L))))
+    // gold-only label: never predicted -> precision is vacuous (null), not 0
+    assert(out("c") == ((0L, 0L, 1L, None, Some(0L), Some(0L))))
+    // pred-only label: no gold rows -> recall vacuous
+    assert(out("d") == ((0L, 1L, 0L, Some(0L), None, Some(0L))))
+    assert(out.size == 4)
+  }
+
   test("cohenKappa: textbook 0.4 example, perfect/inverse/vacuous corners") {
     import SparkTestBase.spark.implicits._
     // classic 2x2: yes/yes 20, no/no 15, yes/no 10, no/yes 5 -> kappa 0.400
