@@ -1028,6 +1028,35 @@ object SparkEntry {
       // index shifted to Spark's 0-based
       graft.ops.Curation.wordDropout(t(s, dir, "documents"), "doc_id",
         "text", dropPermille = 200)),
+    "ns_dialog_pipeline" -> ((s, dir) => {
+      // SFT capstone: assemble -> audit-filter (no empty turns, <= 1
+      // template leak) -> per-turn redact -> turn-aligned pack at budget
+      // 9; one grouping exchange total, everything downstream is
+      // projections. The oracle derives from the audit/redact/pack
+      // fragments in row form, so the composition cannot drift from the
+      // single-op gates.
+      val e = t(s, dir, "events").where(col("user_id") % 20 === 3)
+        .select(col("user_id"), col("event_id"),
+          when(col("event_id") % 2 === 0, lit("user"))
+            .otherwise(lit("assistant")).as("role"),
+          concat(
+            when(col("event_id") % 97 === 0, lit(""))
+              .when(col("event_id") % 53 === 0,
+                concat(col("event_type"), lit(" <|endoftext|>")))
+              .otherwise(col("event_type")),
+            when(col("event_id") % 3 === 0,
+              concat(lit(" mail u"), col("event_id"), lit("@ex.com")))
+              .otherwise(lit(""))).as("content"))
+      val dialogs = graft.ops.Curation.assembleDialogs(e, "user_id",
+        "event_id", "role", "content")
+      val audit = graft.ops.Curation.dialogAudit(dialogs, "user_id", "msgs")
+      val keep = audit.where(col("n_empty") === 0 && col("n_special") <= 1)
+        .select("user_id")
+      val clean = dialogs.join(keep, Seq("user_id"), "left_semi")
+      val red = clean.select(col("user_id"),
+        graft.ops.Curation.redactDialog(col("msgs")).as("msgs"))
+      graft.ops.Curation.packDialog(red, "user_id", "msgs", tokenBudget = 9L)
+    }),
     "ns_dialog_pack" -> ((s, dir) => {
       // turn-aligned greedy packing at budget 7; turn token counts are
       // deterministic (event_id % 5 + 1 repeats of the event type), and
@@ -5159,6 +5188,40 @@ object SparkEntry {
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
         |  CAST(len(kept) AS BIGINT) AS n_kept
         |FROM k""".stripMargin,
+    "ns_dialog_pipeline" ->
+      """WITH RECURSIVE msg AS (
+        |  SELECT user_id, event_id,
+        |    (CASE WHEN event_id % 97 = 0 THEN ''
+        |          WHEN event_id % 53 = 0 THEN event_type || ' <|endoftext|>'
+        |          ELSE event_type END) ||
+        |    (CASE WHEN event_id % 3 = 0 THEN ' mail u' || CAST(event_id AS VARCHAR) || '@ex.com' ELSE '' END) AS content
+        |  FROM events WHERE user_id % 20 = 3),
+        |aud AS (SELECT user_id,
+        |    sum(CASE WHEN trim(content) = '' THEN 1 ELSE 0 END) AS ne,
+        |    sum(CASE WHEN regexp_matches(content, '<\|[A-Za-z_]+\|>') THEN 1 ELSE 0 END) AS ns
+        |  FROM msg GROUP BY 1),
+        |kept AS (SELECT user_id FROM aud WHERE ne = 0 AND ns <= 1),
+        |red AS (SELECT m.user_id, m.event_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(m.content,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+\d{1,2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |      '\b\d{13,16}\b', '<CC>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS content
+        |  FROM msg m JOIN kept USING (user_id)),
+        |tok AS (SELECT user_id, event_id,
+        |    CASE WHEN length(trim(content)) = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(len(string_split_regex(trim(content), '\s+')) AS BIGINT) END AS t,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS pos
+        |  FROM red),
+        |rec(user_id, pos, cum, chunk) AS (
+        |  SELECT user_id, pos, t, CAST(0 AS BIGINT) FROM tok WHERE pos = 0
+        |  UNION ALL
+        |  SELECT m.user_id, m.pos,
+        |    CASE WHEN r.cum > 0 AND r.cum + m.t > 9 THEN m.t ELSE r.cum + m.t END,
+        |    CASE WHEN r.cum > 0 AND r.cum + m.t > 9 THEN r.chunk + 1 ELSE r.chunk END
+        |  FROM rec r JOIN tok m ON m.user_id = r.user_id AND m.pos = r.pos + 1)
+        |SELECT r.user_id, r.pos, r.chunk AS chunk_idx, m.t AS n_tokens
+        |FROM rec r JOIN tok m ON m.user_id = r.user_id AND m.pos = r.pos""".stripMargin,
     "ns_dialog_pack" ->
       """WITH RECURSIVE msg AS (
         |  SELECT user_id, event_id,
