@@ -389,6 +389,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("marginPairs law: equals a driver-side model on random integer vectors") {
+    import org.apache.spark.sql.functions.col
+    import SparkTestBase.spark.implicits._
+    val gCase = for {
+      n <- Gen.choose(3, 12)
+      vecs <- Gen.listOfN(n, Gen.listOfN(4, Gen.choose(0, 9)))
+      margin <- Gen.oneOf(0L, 5L, 20L)
+    } yield (vecs, margin)
+    forAll(gCase, n = 6) { case (vecs, margin) =>
+      val corpus = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(_.toDouble)) }
+      val queries = corpus.take(3)
+      val got = graft.ops.Similarity.marginPairs(
+        queries.toDF("id", "vec"), corpus.toDF("id", "vec"), margin)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      val want = queries.flatMap { case (qid, qv) =>
+        val scored = corpus.filter(_._1 != qid)
+          .map { case (cid, cv) =>
+            (cid, qv.zip(cv).map { case (a, b) => a * b }.sum.toLong) }
+          .sortBy { case (cid, d) => (-d, cid) }
+        scored match {
+          case (n1, d1) :: (_, d2) :: _ if d1 - d2 >= margin =>
+            Some((qid, n1, d1, d2, d1 - d2))
+          case _ => None
+        }
+      }.toSet
+      assert(got == want, s"vecs=$vecs margin=$margin")
+    }
+  }
+
   test("dialogAudit law: HOF audit equals a driver-side model on random dialogs") {
     import org.apache.spark.sql.functions.{col, struct, transform}
     import SparkTestBase.spark.implicits._
