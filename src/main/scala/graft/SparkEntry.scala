@@ -1129,6 +1129,15 @@ object SparkEntry {
           col("c.semi_brace_permille").as("semi_brace_permille"),
           col("c.indent_permille").as("indent_permille"))
     }),
+    "ns_sentences" -> ((s, dir) =>
+      // sentence rows from the punctuated corpus (same ' value ' -> '. '
+      // synthesis as ns_readability); scalarized via posexplode
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          replace(col("text"), lit(" value "), lit(". ")).as("text"))
+        .select(col("doc_id"),
+          posexplode(graft.ops.TextAnalysis.sentences(col("text")))
+            .as(Seq("pos", "sentence")))),
     "ns_lexical_diversity" -> ((s, dir) =>
       // type-token and hapax ratios per doc; Spark counts hapaxes by
       // sorted-neighbor isolation, the oracle by per-type frequency — two
@@ -5309,6 +5318,14 @@ object SparkEntry {
         |  (semi_brace_lines * 1000) // greatest(n_lines, 1) AS semi_brace_permille,
         |  (indented_lines * 1000) // greatest(n_lines, 1) AS indent_permille
         |FROM c""".stripMargin,
+    "ns_sentences" ->
+      """WITH m AS (SELECT doc_id, replace(text, ' value ', '. ') AS text FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'),
+        |          x -> trim(x)), x -> length(x) > 0) AS ss
+        |      FROM m)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS pos, ss[CAST(i AS INT)] AS sentence
+        |FROM (SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS i FROM s)""".stripMargin,
     "ns_lexical_diversity" ->
       """WITH tk AS (
         |  SELECT doc_id,

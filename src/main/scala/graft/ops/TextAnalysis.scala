@@ -55,6 +55,23 @@ object TextAnalysis {
         .as("fk_grade_milli"))
   }
 
+  /** Rule-based sentence segmentation: split on `.`/`!`/`?` terminator
+    * runs, keeping each terminator with its sentence — the granularity
+    * layer under doc-level ops (sentence-level decontamination, quote
+    * detection, per-sentence quality screens all want rows, not blobs).
+    * Deliberately lookbehind-free: the segments come from ONE
+    * `regexp_extract_all`-style pattern (`[^.!?]+[.!?]*` — a maximal
+    * non-terminator run plus its terminator run), which is RE2-class and
+    * replays verbatim in the oracle; abbreviation handling ("Dr.") is a
+    * lexicon problem this deliberately does not solve — the standard
+    * trade for an engine-portable splitter. Segments are trimmed;
+    * whitespace-only segments drop. Returns `array<string>`.
+    */
+  def sentences(text: Column): Column =
+    filter(
+      transform(regexp_extract_all(text, lit("[^.!?]+[.!?]*"), lit(0)), trim(_)),
+      s => length(s) > 0)
+
   /** Lexical diversity per document, integer permille: type-token ratio
     * (distinct words / words) and hapax ratio (words occurring exactly
     * once / words) — the repetition-adjacent quality axis [[graft.ops.Curation]]'s

@@ -437,6 +437,24 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L) == Seq(0L, 1L, 0L, 206835L, -15590L))
   }
 
+  test("sentences: terminator runs close sentences, abbreviation split documented, empties drop") {
+    val docs = Seq(
+      (1L, "Hi there! Dr. Smith went... End"),
+      (2L, "no terminator at all"),
+      (3L, "!!!"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextAnalysis.sentences(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // "Dr." splits — the documented lexicon-free trade; "..." stays with
+    // its sentence as one terminator run
+    assert(out(1L) == Seq("Hi there!", "Dr.", "Smith went...", "End"))
+    assert(out(2L) == Seq("no terminator at all"))
+    // terminator-only text has no non-terminator run to anchor a segment
+    assert(out(3L).isEmpty, s"punctuation-only yields nothing: ${out(3L)}")
+    assert(out(4L).isEmpty)
+  }
+
   test("lexicalDiversity: TTR and hapax by hand, case-folding, empty text") {
     // "The cat the dog cat bird" -> 6 tokens, types {the,cat,dog,bird}=4,
     // hapax {dog,bird}=2 -> ttr 666, hapax 333
