@@ -1129,6 +1129,12 @@ object SparkEntry {
           col("c.semi_brace_permille").as("semi_brace_permille"),
           col("c.indent_permille").as("indent_permille"))
     }),
+    "ns_acf" -> ((s, dir) =>
+      // hourly event-count autocorrelation at lags 1/2/24 — the
+      // periodicity confirmation behind the seasonality cells; gaps are
+      // zero-count buckets, not missing rows
+      graft.ops.Temporal.acf(t(s, dir, "events"), "ts",
+        bucketSeconds = 3600L, lags = Seq(1, 2, 24))),
     "ns_sentences" -> ((s, dir) =>
       // sentence rows from the punctuated corpus (same ' value ' -> '. '
       // synthesis as ns_readability); scalarized via posexplode
@@ -5318,6 +5324,31 @@ object SparkEntry {
         |  (semi_brace_lines * 1000) // greatest(n_lines, 1) AS semi_brace_permille,
         |  (indented_lines * 1000) // greatest(n_lines, 1) AS indent_permille
         |FROM c""".stripMargin,
+    "ns_acf" ->
+      """WITH c AS (SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600 AS BIGINT) AS bucket,
+        |             CAST(count(*) AS BIGINT) AS x
+        |           FROM events GROUP BY 1),
+        |r AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM c),
+        |d AS (SELECT gs.b AS bucket, coalesce(c.x, 0) AS x
+        |      FROM (SELECT unnest(generate_series(lo, hi)) AS b FROM r) gs
+        |      LEFT JOIN c ON c.bucket = gs.b),
+        |pl AS (
+        |  SELECT 1 AS lag, CAST(a.x AS HUGEINT) AS x, CAST(b.x AS HUGEINT) AS y
+        |  FROM d a JOIN d b ON b.bucket = a.bucket + 1
+        |  UNION ALL SELECT 2, CAST(a.x AS HUGEINT), CAST(b.x AS HUGEINT)
+        |  FROM d a JOIN d b ON b.bucket = a.bucket + 2
+        |  UNION ALL SELECT 24, CAST(a.x AS HUGEINT), CAST(b.x AS HUGEINT)
+        |  FROM d a JOIN d b ON b.bucket = a.bucket + 24),
+        |s AS (SELECT lag, count(*) AS n, sum(x) AS sum_x, sum(y) AS sum_y,
+        |        sum(x*x) AS sum_x2, sum(y*y) AS sum_y2, sum(x*y) AS sum_xy
+        |      FROM pl GROUP BY 1)
+        |SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN (n*sum_x2 - sum_x*sum_x) > 0 AND (n*sum_y2 - sum_y*sum_y) > 0 THEN
+        |    CAST(round(1000.0 * CAST(n*sum_xy - sum_x*sum_y AS DOUBLE) /
+        |      (sqrt(CAST(n*sum_x2 - sum_x*sum_x AS DOUBLE)) *
+        |       sqrt(CAST(n*sum_y2 - sum_y*sum_y AS DOUBLE)))) AS BIGINT)
+        |  END AS corr_permille
+        |FROM s""".stripMargin,
     "ns_sentences" ->
       """WITH m AS (SELECT doc_id, replace(text, ' value ', '. ') AS text FROM documents),
         |s AS (SELECT doc_id,

@@ -615,4 +615,48 @@ object Temporal {
         last(col("__bv"), ignoreNulls = true).over(w).as(valueCol) :+
         coalesce(col("n_obs"), lit(0L)).as("n_obs"): _*)
   }
+
+  /** Autocorrelation of the event-count series at the requested lags —
+    * the quantitative follow-up to [[seasonality]]'s calendar cells: a
+    * spike at lag = 24 (hourly buckets) CONFIRMS daily periodicity, decay
+    * across small lags measures burstiness, and near-zero everywhere says
+    * the arrival process is memoryless (so [[anomalies]]' trailing-window
+    * z-scores are well-calibrated). Missing buckets count as ZERO events
+    * (the series is densified from min to max bucket — gaps are data, not
+    * absent rows; skipping them would silently splice the series).
+    *
+    * Per lag: one equi-join of the dense series against itself shifted by
+    * the lag (bucket keys — hash join, never a window over one
+    * partition), then [[Profile.correlationMatrix]]'s exact-decimal
+    * moments with the shared IEEE sqrt tail. The dense frame derives from
+    * one (bucket) count exchange that Spark's exchange reuse shares
+    * across lags; its length is the TIME RANGE over the bucket width, not
+    * the corpus — pick bucket widths that keep it series-sized (a year of
+    * seconds is 31M rows; of minutes, 0.5M).
+    *
+    * Output: (lag, n [pairs entering the correlation], corr_permille —
+    * null when either side of the pair set is constant).
+    */
+  def acf(events: DataFrame, timeCol: String, bucketSeconds: Long,
+      lags: Seq[Int]): DataFrame = {
+    require(bucketSeconds >= 1, "bucketSeconds must be >= 1")
+    require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be >= 1")
+    val bucket = call_function("div",
+      call_function("div", unix_micros(col(timeCol)), lit(1000000L)),
+      lit(bucketSeconds))
+    val counts = events.select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("x"))
+    val dense = counts.agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("x"), lit(0L)).as("x"))
+    lags.map { l =>
+      val shifted = dense.select((col("bucket") - l).as("bucket"),
+        col("x").as("xl"))
+      val pairs = dense.select(col("bucket"), col("x").as("x0"))
+        .join(shifted, "bucket").select(col("x0"), col("xl"))
+      Profile.correlationMatrix(pairs, Seq("x0", "xl"))
+        .select(lit(l).as("lag"), col("n"), col("corr_permille"))
+    }.reduce(_.unionAll(_))
+  }
 }

@@ -390,4 +390,18 @@ class TemporalSpec extends AnyFunSuite {
     }
     assert(ex.getMessage != null)
   }
+
+  test("acf: alternating series scores -1000 at lag 1 and 1000 at lag 2; gaps are zeros") {
+    import SparkTestBase.spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    // two events in seconds 0, 2, 4; seconds 1 and 3 exist only through
+    // densification -> series [2,0,2,0,2]
+    val events = Seq(0L, 0L, 2L, 2L, 4L, 4L).toDF("s")
+      .select(timestamp_micros(col("s") * 1000000L).as("ts"))
+    val out = graft.ops.Temporal.acf(events, "ts", bucketSeconds = 1L,
+        lags = Seq(1, 2)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1) == ((4L, -1000L)))
+    assert(out(2) == ((3L, 1000L)))
+  }
 }
