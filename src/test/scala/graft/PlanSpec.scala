@@ -856,6 +856,13 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("sentences and corruption ops: zero-shuffle scan projections") {
+    Seq("ns_sentences", "ns_word_dropout", "ns_span_corrupt").foreach { q =>
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("Exchange"), s"$q must not shuffle:\n${plan.take(2000)}")
+    }
+  }
+
   test("packDialog: fold + scalarize stays shuffle-free over an assembled frame") {
     import spark.implicits._
     val dialogs = Seq((1L, Seq(("user", "a b"), ("assistant", "c"))))
