@@ -389,6 +389,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("packDialog law: fold equals a driver-side greedy model on random dialogs") {
+    import org.apache.spark.sql.functions.{col, struct, transform}
+    import SparkTestBase.spark.implicits._
+    val gDialogs = Gen.listOfN(30, for {
+      n <- Gen.choose(1, 8)
+      toks <- Gen.listOfN(n, Gen.choose(0, 7))
+    } yield toks)
+    forAll(Gen.zip(gDialogs, Gen.choose(3L, 9L)), n = 5) { case (dialogs, budget) =>
+      val rows = dialogs.zipWithIndex.map { case (toks, i) =>
+        (i.toLong, toks.map(t => ("user", Seq.fill(t)("w").mkString(" "))))
+      }
+      val df = rows.toDF("id", "raw")
+        .select(col("id"), transform(col("raw"), x =>
+          struct(x.getField("_1").as("role"), x.getField("_2").as("content")))
+          .as("msgs"))
+      val got = graft.ops.Curation.packDialog(df, "id", "msgs", budget)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      rows.foreach { case (id, msgs) =>
+        var cum = 0L; var chunk = 0L
+        msgs.map(m => if (m._2.trim.isEmpty) 0L
+          else m._2.trim.split("\\s+").length.toLong)
+          .zipWithIndex.foreach { case (t, pos) =>
+            if (cum > 0 && cum + t > budget) { chunk += 1; cum = t }
+            else cum += t
+            assert(got((id, pos)) == ((chunk, t)),
+              s"dialog $id pos $pos budget $budget: $msgs")
+          }
+      }
+    }
+  }
+
   test("marginPairs law: equals a driver-side model on random integer vectors") {
     import org.apache.spark.sql.functions.col
     import SparkTestBase.spark.implicits._
