@@ -985,6 +985,13 @@ object SparkEntry {
       // source; tie-invariant coefficient sum makes the milli exact
       graft.ops.Profile.giniByGroup(t(s, dir, "documents"), "n_chars",
         Seq("source"))),
+    "ns_balance" -> ((s, dir) =>
+      // label balance of event types per deterministic split assignment:
+      // inverse-Simpson effective labels, integer-exact (no ln)
+      graft.ops.Profile.balanceReport(
+        t(s, dir, "events").select(col("event_type"),
+          (pmod(col("event_id"), lit(10)) < 8).cast("string").as("split")),
+        Seq("split"), "event_type")),
     "ns_confusion" -> ((s, dir) => {
       // per-label precision/recall/F1 on the same rater setup as ns_kappa;
       // F1 in count form (2000·tp div (2tp+fp+fn)) avoids milli rounding
@@ -5095,6 +5102,18 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN trim(content) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
         |  CAST(sum(CASE WHEN regexp_matches(content, '<\|[A-Za-z_]+\|>') THEN 1 ELSE 0 END) AS BIGINT) AS n_special
         |FROM w GROUP BY user_id""".stripMargin,
+    "ns_balance" ->
+      """WITH b AS (
+        |  SELECT CAST(event_id % 10 < 8 AS VARCHAR) AS split, event_type AS l
+        |  FROM events),
+        |cells AS (SELECT split, l, CAST(count(*) AS HUGEINT) AS c FROM b GROUP BY 1, 2),
+        |r AS (SELECT split, sum(c) AS n, count(*) AS k, max(c) AS maj,
+        |        sum(c * c) AS sq
+        |      FROM cells GROUP BY 1)
+        |SELECT split, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_labels,
+        |  CAST((1000 * maj) // n AS BIGINT) AS majority_share_milli,
+        |  CAST((1000 * n * n) // sq AS BIGINT) AS effective_labels_milli
+        |FROM r""".stripMargin,
     "ns_confusion" ->
       """WITH pr AS (SELECT event_type AS g,
         |              CASE WHEN event_id % 5 = 0 THEN 'view' ELSE event_type END AS p

@@ -622,6 +622,46 @@ object Profile {
       .withColumn("dev_milli", col("observed_milli") - col("expected_milli"))
   }
 
+  /** Label-balance report per group, fully integer-exact: for each group
+    * (a train/test split, a source, a language), the label distribution's
+    * size, distinct-label count, majority share, and INVERSE-SIMPSON
+    * effective label count — `(1000·n²) div Σcᵢ²`, the "how many labels
+    * does this behave like" number (1000·k when perfectly balanced over k
+    * labels, →1000 as one label takes over). Chosen over Shannon entropy
+    * deliberately: entropy needs `ln`, whose last-ulp varies across libm
+    * implementations and breaks bit-exact replay, while Simpson's
+    * concentration is pure integer arithmetic in DECIMAL — same
+    * diagnostic ordering, exact everywhere. The split-QA companion to
+    * [[graft.ops.Curation.assignSplit]]: a split whose effective label
+    * count diverges from the corpus's is stratification gone wrong.
+    *
+    * One (group, label) cell aggregate + a group rollup. Output:
+    * (group cols…, n, n_labels, majority_share_milli,
+    * effective_labels_milli).
+    */
+  def balanceReport(df: DataFrame, groupCols: Seq[String],
+      labelCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val dec = "decimal(38,0)"
+    val g = groupCols.map(col)
+    val cells = df
+      .where(col(labelCol).isNotNull)
+      .groupBy(g :+ col(labelCol).as("__l"): _*)
+      .agg(count(lit(1)).cast(dec).as("__c"))
+    cells.groupBy(g: _*)
+      .agg(sum(col("__c")).as("__n"),
+        count(lit(1)).as("n_labels"),
+        max(col("__c")).as("__maj"),
+        sum(col("__c") * col("__c")).as("__sq"))
+      .select(g ++ Seq(
+        col("__n").cast("long").as("n"),
+        col("n_labels"),
+        call_function("div", lit(1000).cast(dec) * col("__maj"), col("__n"))
+          .cast("long").as("majority_share_milli"),
+        call_function("div", lit(1000).cast(dec) * col("__n") * col("__n"),
+          col("__sq")).cast("long").as("effective_labels_milli")): _*)
+  }
+
   /** Per-label precision/recall/F1 against a gold column, integer milli —
     * the classifier-QA report card next to [[cohenKappa]]'s single
     * chance-corrected number: which LABELS the model confuses, not just

@@ -293,6 +293,20 @@ class ProfileSpec extends AnyFunSuite {
     assert(got.size == 4, "only observed cells emit")
   }
 
+  test("balanceReport: effective labels hit 1000·k balanced, collapse to 1000 monoculture") {
+    import SparkTestBase.spark.implicits._
+    val df = (Seq.fill(3)(("even", "a")) ++ Seq.fill(3)(("even", "b")) ++
+      Seq.fill(9)(("skew", "a")) ++ Seq.fill(1)(("skew", "b")) ++
+      Seq.fill(4)(("mono", "a"))).toDF("g", "label")
+    val out = Profile.balanceReport(df, Seq("g"), "label").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("even") == ((6L, 2L, 500L, 2000L)))
+    // skew: sq = 81 + 1 = 82 -> 100000 // 82 = 1219
+    assert(out("skew") == ((10L, 2L, 900L, 1219L)))
+    assert(out("mono") == ((4L, 1L, 1000L, 1000L)))
+  }
+
   test("confusionReport: per-label tp/fp/fn and null-not-zero vacuous ratios") {
     import SparkTestBase.spark.implicits._
     val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"),
