@@ -985,6 +985,14 @@ object SparkEntry {
       // source; tie-invariant coefficient sum makes the milli exact
       graft.ops.Profile.giniByGroup(t(s, dir, "documents"), "n_chars",
         Seq("source"))),
+    "ns_token_budget" -> ((s, dir) =>
+      // best-data-that-fits: per source, highest-scoring docs until the
+      // token budget; strict prefix, slim window exchange
+      graft.ops.Curation.selectByTokenBudget(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars").as("score"),
+          call_function("div", col("n_chars"), lit(5L)).as("toks")),
+        Seq("source"), "doc_id", "score", "toks", tokenBudget = 3000L)),
     "ns_balance" -> ((s, dir) =>
       // label balance of event types per deterministic split assignment:
       // inverse-Simpson effective labels, integer-exact (no ln)
@@ -5102,6 +5110,16 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN trim(content) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
         |  CAST(sum(CASE WHEN regexp_matches(content, '<\|[A-Za-z_]+\|>') THEN 1 ELSE 0 END) AS BIGINT) AS n_special
         |FROM w GROUP BY user_id""".stripMargin,
+    "ns_token_budget" ->
+      """WITH d AS (SELECT source, doc_id, n_chars AS score,
+        |             n_chars // 5 AS t FROM documents),
+        |w AS (SELECT source, doc_id, score, CAST(t AS BIGINT) AS n_tokens,
+        |        CAST(sum(t) OVER (PARTITION BY source ORDER BY score DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |      FROM d)
+        |SELECT source, doc_id, score, n_tokens, cum_tokens,
+        |  CAST(CASE WHEN cum_tokens <= 3000 THEN 1 ELSE 0 END AS INT) AS selected
+        |FROM w""".stripMargin,
     "ns_balance" ->
       """WITH b AS (
         |  SELECT CAST(event_id % 10 < 8 AS VARCHAR) AS split, event_type AS l

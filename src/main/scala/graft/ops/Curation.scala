@@ -1357,6 +1357,39 @@ object Curation {
       size(kept).cast("long").as("n_kept"))
   }
 
+  /** Greedy selection under a token budget: per group, take documents in
+    * (score desc, id asc) order while the RUNNING token total stays
+    * within `tokenBudget` — the "best data that fits" selection every
+    * budgeted training run makes after scoring ([[keepTopFraction]] cuts
+    * by fraction of documents; budgets are in TOKENS, and a fraction cut
+    * can blow a token budget 10× when length correlates with score).
+    * STRICT-PREFIX by contract: selection stops at the first document
+    * that would overflow — later shorter documents are NOT back-filled.
+    * That forgoes a little budget utilization but keeps the plan one
+    * slim rank-window pass (skip-and-refill is a sequential fold whose
+    * distributed form collects group-sized state — the wrong trade at
+    * corpus scale, and the refill set it adds is exactly the
+    * lowest-scoring tail the budget cut exists to drop).
+    *
+    * One window exchange keyed by group carrying (id, score, tokens)
+    * only — document payloads never shuffle; join selected ids back to
+    * fetch text. Output: (group cols…, id, score, n_tokens, cum_tokens
+    * [running total INCLUDING this doc], selected [1/0]).
+    */
+  def selectByTokenBudget(df: DataFrame, groupCols: Seq[String],
+      idCol: String, scoreCol: String, tokensCol: String,
+      tokenBudget: Long): DataFrame = {
+    require(tokenBudget >= 0, "tokenBudget must be >= 0")
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(g :+ col(idCol) :+ col(scoreCol) :+
+        col(tokensCol).cast("long").as("n_tokens"): _*)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("selected", (col("cum_tokens") <= tokenBudget).cast("int"))
+  }
+
   /** Preference-pair hygiene audit for RLHF/DPO datasets: the structural
     * checks run before a (prompt, chosen, rejected) triple enters
     * preference training — identical sides (the gradient is zero and the

@@ -995,6 +995,25 @@ class CurationSpec extends AnyFunSuite {
     } != null)
   }
 
+  test("selectByTokenBudget: strict prefix per group, score-then-id order, exact boundary") {
+    import SparkTestBase.spark.implicits._
+    // group A ordered by score desc: id2(s9,t4), id1(s7,t5), id3(s7,t2), id4(s1,t1)
+    // budget 9: cum 4, 9, 11, 12 -> selected 1,1,0,0 (strict prefix: id4
+    // not back-filled even though it would fit a skip-and-refill scheme)
+    val df = Seq(
+      ("A", 1L, 7L, 5L), ("A", 2L, 9L, 4L), ("A", 3L, 7L, 2L), ("A", 4L, 1L, 1L),
+      ("B", 9L, 5L, 100L))
+      .toDF("g", "id", "score", "toks")
+    val out = Curation.selectByTokenBudget(df, Seq("g"), "id", "score", "toks", 9L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(4), r.getInt(5)))).toMap
+    assert(out(("A", 2L)) == ((4L, 1)))
+    assert(out(("A", 1L)) == ((9L, 1)))   // exactly at budget: selected
+    assert(out(("A", 3L)) == ((11L, 0)))
+    assert(out(("A", 4L)) == ((12L, 0)))
+    assert(out(("B", 9L)) == ((100L, 0))) // one oversized doc: nothing fits
+  }
+
   test("preferencePairAudit: identical, empty, and length-skew flags fire per class") {
     import SparkTestBase.spark.implicits._
     val pairs = Seq(
