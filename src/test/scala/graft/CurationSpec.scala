@@ -995,6 +995,44 @@ class CurationSpec extends AnyFunSuite {
     } != null)
   }
 
+  test("round-5 operators reject out-of-contract parameters loudly") {
+    import SparkTestBase.spark.implicits._
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Curation.wordDropout(df, "doc_id", "text", dropPermille = 1001)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.spanCorrupt(df, "doc_id", "text", startPermille = -1)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.spanCorrupt(df, "doc_id", "text", startPermille = 100, spanLen = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.selectByTokenBudget(df, Seq("doc_id"), "doc_id", "doc_id",
+        "doc_id", tokenBudget = -1L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Graph.seedDistance(Seq(("a", "b")).toDF("s", "d"), "s", "d",
+        Seq("a").toDF("n"), "n", maxHops = -1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Similarity.kCenterSelect(
+        Seq((1L, Seq(1.0))).toDF("id", "vec"), "vec", "id", k = 0, firstId = 1L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Temporal.acf(df.select(col("doc_id")), "doc_id", 0L, Seq(1))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Temporal.acf(df.select(col("doc_id")), "doc_id", 60L, Seq(0))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Profile.giniByGroup(df, "doc_id", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Profile.balanceReport(df, Seq.empty, "text")
+    }
+  }
+
   test("selectByTokenBudget: strict prefix per group, score-then-id order, exact boundary") {
     import SparkTestBase.spark.implicits._
     // group A ordered by score desc: id2(s9,t4), id1(s7,t5), id3(s7,t2), id4(s1,t1)

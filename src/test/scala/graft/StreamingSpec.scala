@@ -71,6 +71,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateless corruption ops apply to streaming frames unchanged (dropout, span corrupt)") {
+    // hash-keyed determinism means the corrupted stream equals the
+    // corrupted batch row-for-row — no RNG, no state, no twin needed
+    val input = MemoryStream[(Long, String)](spark, 1)
+    val df = input.toDF().toDF("doc_id", "text")
+    def chain(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Curation.wordDropout(
+        graft.ops.Curation.spanCorrupt(d, "doc_id", "text", 300, spanLen = 2)
+          .select(col("doc_id"), col("corrupted").as("text")),
+        "doc_id", "text", 400)
+    val q = chain(df).writeStream.format("memory").queryName("scorrupt")
+      .outputMode("append").start()
+    try {
+      val rows = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "one two three four five six seven eight nine ten"))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("scorrupt").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+      val batch = chain(rows.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("kafka source config: per-env topics, consumer properties, micro-batch shaping (A4/I5)") {
     val spec = graft.spec.StreamSpec.parseUnsafe(
       """{
