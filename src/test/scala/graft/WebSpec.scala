@@ -211,6 +211,22 @@ class WebSpec extends AnyFunSuite {
     assert(out.size == 3)
   }
 
+  test("urlTemplates law: templating is idempotent (placeholders never re-generalize)") {
+    import SparkTestBase.spark.implicits._
+    val urls = Seq(
+      "https://a.example/product/123/rev/0123456789abcdef0123456789abcdef",
+      "https://a.example/s/AbCdEfGhIjKlMnOpQr/99").toDF("url")
+    val once = graft.ops.Web.urlTemplates(urls, "url")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // rebuild URLs from the first pass's templates and template again:
+    // {n}/{hex}/{id} are not digit/hex/16-char-url-safe runs, so they
+    // survive verbatim and the row set is a fixed point
+    val rebuilt = once.toSeq.map { case (h, t, _) => s"https://$h$t" }.toDF("url")
+    val twice = graft.ops.Web.urlTemplates(rebuilt, "url")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(twice == once, s"once=$once twice=$twice")
+  }
+
   test("urlTemplates: id-like segments generalize, product pages collapse to one row") {
     import SparkTestBase.spark.implicits._
     val urls = Seq(
