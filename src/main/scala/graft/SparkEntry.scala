@@ -1407,6 +1407,24 @@ object SparkEntry {
         .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst"), col("w")))
       graft.ops.Graph.weightedPageRank(edges, "src", "dst", "w", iters = 2)
     }),
+    "ns_seed_attribution" -> ((s, dir) => {
+      // which whitelist supplier vouches for each node: min seed over
+      // shortest paths, same quarter-trimmed trading graph as
+      // ns_seed_distance; oracle = recursive (node, seed) expansion with
+      // min-hops-then-min-seed rollup
+      val o = t(s, dir, "orders").where(col("o_orderkey") % 4 === 1)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("cn"),
+          concat(lit("s"), col("l_suppkey")).as("sn")).distinct()
+      val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
+        .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+      val seeds = t(s, dir, "supplier").where(col("s_suppkey") % 7 === 1)
+        .select(concat(lit("s"), col("s_suppkey")).as("seed"))
+      graft.ops.Graph.seedAttribution(edges, "src", "dst", seeds, "seed",
+        maxHops = 3)
+    }),
     "ns_seed_distance" -> ((s, dir) => {
       // BFS hop distance from the ns_ppr supplier whitelist over the same
       // bipartite trading graph — the hard crawl-radius cut next to ns_ppr's
@@ -3892,6 +3910,25 @@ object SparkEntry {
         |r2 AS (SELECT n.node, CAST(150000 + (17 * coalesce(c2.sc, 0)) // 20 AS BIGINT) AS pr
         |       FROM n LEFT JOIN c2 ON n.node = c2.node)
         |SELECT node, pr FROM r2""".stripMargin,
+    "ns_seed_attribution" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS cn,
+        |                  's' || CAST(l_suppkey AS VARCHAR) AS sn
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderkey % 4 = 1),
+        |e AS (SELECT cn AS src, sn AS dst FROM pairs
+        |      UNION ALL SELECT sn, cn FROM pairs),
+        |sd AS (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+        |       FROM supplier WHERE s_suppkey % 7 = 1),
+        |bfs(node, seed, hops) AS (
+        |  SELECT node, node, CAST(0 AS BIGINT) AS hops FROM sd
+        |  UNION
+        |  SELECT e.dst, b.seed, b.hops + 1 FROM bfs b JOIN e ON e.src = b.node
+        |  WHERE b.hops < 3),
+        |m AS (SELECT node, min(hops) AS hops FROM bfs GROUP BY 1)
+        |SELECT m.node, m.hops, min(b.seed) AS seed
+        |FROM m JOIN bfs b ON b.node = m.node AND b.hops = m.hops
+        |GROUP BY 1, 2""".stripMargin,
     "ns_seed_distance" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS cn,

@@ -386,6 +386,59 @@ object Graph {
     out
   }
 
+  /** BFS with seed ATTRIBUTION: like [[seedDistance]], but every reached
+    * node also carries WHICH seed vouches for it — the minimum seed id
+    * among all seeds with a shortest path to the node (deterministic under
+    * every tie: distance first, then seed order). The trust-attribution
+    * form of the radius cut: "this domain is 2 hops from trusted seed X"
+    * supports per-seed quotas, blame ("every spam domain traces to seed
+    * Y"), and seed-set pruning in a way the bare hop count cannot.
+    *
+    * Same frontier-only loop as [[seedDistance]] with one extra column:
+    * the frontier carries (node, seed); expansion takes min(seed) over
+    * this hop's predecessors — correct because a node's min
+    * shortest-path seed is the min over its shortest-path predecessors'
+    * labels (every seed with a shortest path to the node shortest-reaches
+    * some predecessor one hop earlier). Per-round work gains only the
+    * min aggregate; state stays node-sized. The returned frame is
+    * PERSISTED (checkpoint leaves drop inside the call); caller owns
+    * `unpersist()`. Output: (node, hops, seed).
+    */
+  def seedAttribution(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().persist()
+    var frontier = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("hops", lit(0L)).withColumn("seed", col("node"))
+      .localCheckpoint(true)
+    var dist = frontier
+    var leaves: List[DataFrame] = frontier :: Nil
+    var hop = 0
+    var exhausted = frontier.isEmpty
+    while (hop < maxHops && !exhausted) {
+      val reached = e
+        .join(frontier.select(col("node").as("src"), col("seed")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(min(col("seed")).as("seed"))
+      val fresh = reached.join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(hop + 1L).as("hops"), col("seed"))
+      val cp = fresh.localCheckpoint(true)
+      exhausted = cp.isEmpty
+      if (!exhausted) {
+        dist = dist.union(cp)
+        leaves ::= cp
+        frontier = cp
+      } else cp.unpersist()
+      hop += 1
+    }
+    val out = dist.persist()
+    out.count()
+    leaves.foreach(_.unpersist())
+    e.unpersist()
+    out
+  }
+
   /** Integer-exact HITS (Kleinberg hubs & authorities) over directed
     * edges: `iters` rounds of a(v) = Σ h(in-neighbors), h(u) = Σ a(out-
     * neighbors), each half-step max-normalized to micro-units (top score

@@ -489,6 +489,24 @@ class GraphSpec extends AnyFunSuite {
     assert(m3 == m + ("d" -> 3L))
   }
 
+  test("seedAttribution: min seed over shortest paths; hops agree with seedDistance") {
+    // s1->a, s2->a, s2->b, b->c: a is 1 hop from BOTH seeds -> min "s1";
+    // c only via s2's branch
+    val edges = Seq(("s1", "a"), ("s2", "a"), ("s2", "b"), ("b", "c"))
+      .toDF("src", "dst")
+    val seeds = Seq("s2", "s1").toDF("seed")
+    val at = Graph.seedAttribution(edges, "src", "dst", seeds, "seed", maxHops = 5)
+    val m = at.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    at.unpersist()
+    assert(m == Map("s1" -> ((0L, "s1")), "s2" -> ((0L, "s2")),
+      "a" -> ((1L, "s1")), "b" -> ((1L, "s2")), "c" -> ((2L, "s2"))))
+    // law: dropping the seed column reproduces seedDistance exactly
+    val d = Graph.seedDistance(edges, "src", "dst", seeds, "seed", maxHops = 5)
+    val md = d.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    d.unpersist()
+    assert(md == m.map { case (k, v) => k -> v._1 })
+  }
+
   test("seedDistance: maxHops=0 is the seed set; empty seeds empty output") {
     val edges = Seq(("a", "b")).toDF("src", "dst")
     val d0 = Graph.seedDistance(edges, "src", "dst", Seq("a", "a").toDF("s"), "s", 0)
