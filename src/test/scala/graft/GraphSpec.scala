@@ -518,6 +518,23 @@ class GraphSpec extends AnyFunSuite {
     de.unpersist()
   }
 
+  test("job-count gate: seedAttribution is linear in hops") {
+    def run(hops: Int): Int = countJobs {
+      val edges = (0 until 16)
+        .map(i => (s"a$i-h$hops", s"a${i + 1}-h$hops")).toDF("src", "dst")
+      val seeds = Seq(s"a0-h$hops").toDF("seed")
+      val r = Graph.seedAttribution(edges, "src", "dst", seeds, "seed", hops)
+      r.collect(); r.unpersist(); ()
+    }
+    val j2 = run(2)
+    val j4 = run(4)
+    val j6 = run(6)
+    val d1 = j4 - j2
+    val d2 = j6 - j4
+    assert(d2 <= d1 + 4, s"seedAttribution job growth must be linear: j2=$j2 j4=$j4 j6=$j6")
+    assert(d1 <= 40, s"per-round job cost out of bounds: j2=$j2 j4=$j4")
+  }
+
   test("job-count gate: seedDistance is linear in hops (frontier-only expansion)") {
     def run(hops: Int): Int = countJobs {
       // a long chain so every round has a non-empty frontier

@@ -837,6 +837,18 @@ class PlanSpec extends AnyFunSuite {
       s"audit must not shuffle — it is a scan-stage projection:\n${plan.take(2000)}")
   }
 
+  test("selectByTokenBudget: one slim group-key window exchange, no payload columns") {
+    val q = graft.ops.Curation.selectByTokenBudget(
+      SparkEntry.t(spark, sf, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars").as("score"),
+          col("n_chars").as("toks")),
+      Seq("source"), "doc_id", "score", "toks", tokenBudget = 1000L)
+    val plan = planOf(q)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"exactly one window exchange expected:\n${plan.take(2500)}")
+    assert(!plan.contains("text"), s"document payload must stay out of the plan:\n${plan.take(2500)}")
+  }
+
   test("cohenKappa: the confusion-cell aggregate materializes once (ReuseExchange)") {
     // AQE reuses stages at runtime but hides it from the initial plan
     // string — assert the static ReuseExchange rule with AQE off
