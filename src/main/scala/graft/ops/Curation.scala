@@ -1436,6 +1436,14 @@ object Curation {
     * array-HOF aggregate over index-tagged tokens, zero shuffle) rather
     * than an independent per-token map.
     *
+    * Cost bound: the fold APPENDS to its accumulator arrays, and Catalyst
+    * array concat copies — per-doc cost is O(tokens²) in element moves.
+    * That is immaterial at the training-document regime (≤ ~10k tokens:
+    * tens of millions of moves, microseconds) but wrong for book-length
+    * monoliths — run [[chunkByTokens]] FIRST, which the pipeline wants
+    * anyway (corruption applies to training-sized pieces, and chunking
+    * after corruption would split sentinel/target pairs across chunks).
+    *
     * Output: (id, corrupted, target, n_tokens, n_spans).
     */
   def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
