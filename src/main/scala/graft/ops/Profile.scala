@@ -592,11 +592,13 @@ object Profile {
     * Spark truncates decimal→bigint casts while DuckDB rounds them, so
     * the floor is what makes the digit cross-engine); non-positive values
     * are excluded (Benford is defined on positive magnitudes — audit
-    * sign/null hygiene with [[analyzeColumns]]). One scan per column (a union of
-    * narrow projections — column pruning reaches each scan), one
-    * partial-agg count keyed by (column, digit), digit-share arithmetic
-    * in integer milli against the rounded-milli Benford constants
-    * (301 176 125 97 79 67 58 51 46 — they sum to exactly 1000).
+    * sign/null hygiene with [[analyzeColumns]]). ONE scan for all audited
+    * columns (each row explodes to its (column, first digit) pairs in the
+    * scan stage — a per-column union would re-read the table once per
+    * column; PlanSpec pins the single scan), one partial-agg count keyed
+    * by (column, digit), digit-share arithmetic in integer milli against
+    * the rounded-milli Benford constants (301 176 125 97 79 67 58 51 46 —
+    * they sum to exactly 1000).
     *
     * Output: (column, digit, n, observed_milli, expected_milli,
     * dev_milli) — one row per column × observed digit; dev_milli =
@@ -606,12 +608,14 @@ object Profile {
     require(cols.nonEmpty, "need at least one column")
     val expectedMilli = array(Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
       .map(lit): _*)
-    val perCol = cols.map { c =>
-      df.select(lit(c).as("column"), floor(col(c)).cast("long").as("v"))
-        .where(col("v") > 0)
-        .select(col("column"),
-          substring(col("v").cast("string"), 1, 1).cast("int").as("digit"))
-    }.reduce(_.unionAll(_))
+    val perCol = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"), floor(col(c)).cast("long").as("v"))): _*))
+        .as("p"))
+      .select(col("p.column").as("column"), col("p.v").as("v"))
+      .where(col("v") > 0)
+      .select(col("column"),
+        substring(col("v").cast("string"), 1, 1).cast("int").as("digit"))
     val counts = perCol.groupBy(col("column"), col("digit"))
       .agg(count(lit(1)).as("n"))
     counts

@@ -894,5 +894,8 @@ class PlanSpec extends AnyFunSuite {
     // digit frame, never the order rows
     assert(plan.contains("Window"), s"per-column share window expected:\n${plan.take(2000)}")
     assert(!plan.contains("Join"), s"no join anywhere in the audit:\n${plan.take(2000)}")
+    // all audited columns ride ONE scan (row-explode), not one scan each
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"audit must scan the table once, saw $scans:\n${plan.take(2500)}")
   }
 }
