@@ -849,6 +849,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("text"), s"document payload must stay out of the plan:\n${plan.take(2500)}")
   }
 
+  test("acf: the bucket-count aggregate materializes once across all lags") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = planOf(graft.ops.Temporal.acf(
+        SparkEntry.t(spark, sf, "events"), "ts", 3600L, Seq(1, 2, 24)))
+      assert(plan.contains("ReusedExchange"),
+        s"dense-series subplans must reuse the count exchange:\n${plan.take(3000)}")
+      // exactly two narrow scans regardless of lag count: the min/max
+      // range path prunes to (ts)->bucket only while the join side keeps
+      // (bucket, x), so their canonicalized scans differ — but adding
+      // lags must NOT add scans (that reuse is what the gate protects)
+      val scans = "FileScan parquet".r.findAllIn(plan).length
+      assert(scans == 2, s"lag count must not multiply scans, saw $scans:\n${plan.take(3000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("cohenKappa: the confusion-cell aggregate materializes once (ReuseExchange)") {
     // AQE reuses stages at runtime but hides it from the initial plan
     // string — assert the static ReuseExchange rule with AQE off
