@@ -885,6 +885,20 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("confusionReport: cells exchange shared by gold and pred rollups") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e = SparkEntry.t(spark, sf, "events")
+        .select(col("event_type").as("g"), col("event_type").as("p"))
+      val plan = planOf(graft.ops.Profile.confusionReport(e, "g", "p"))
+      assert(plan.contains("ReusedExchange"),
+        s"cells exchange must be reused:\n${plan.take(3000)}")
+      val scans = "FileScan parquet".r.findAllIn(plan).length
+      assert(scans == 1, s"events must scan exactly once, saw $scans:\n${plan.take(3000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("sentences and corruption ops: zero-shuffle scan projections") {
     Seq("ns_sentences", "ns_word_dropout", "ns_span_corrupt").foreach { q =>
       val plan = planOf(SparkEntry.queries(q)(spark, sf))
