@@ -1319,14 +1319,22 @@ object SparkEntry {
     }),
     "ns_assortativity" -> ((s, dir) => {
       // degree-degree correlation of the co-ordered-parts graph — one
-      // exact-decimal correlation row; the oracle replays degrees, the
-      // orientation symmetrization, and the IEEE correlation tail
+      // correlation row with the integer-exact corr tail; co-moments ride
+      // the contract as STRING (hash-stable cross-engine; see
+      // ns_correlation), the operator API keeps decimals
       val l = t(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       val edges = l.select(col("ok"), col("pk").as("pa"))
         .join(l.select(col("ok"), col("pk").as("pb")), "ok")
         .where(col("pa") < col("pb")).select("pa", "pb").distinct()
       graft.ops.Graph.degreeAssortativity(edges, "pa", "pb")
+        .select(col("col_x"), col("col_y"), col("n"),
+          col("sum_x").cast("string").as("sum_x"),
+          col("sum_y").cast("string").as("sum_y"),
+          col("sum_x2").cast("string").as("sum_x2"),
+          col("sum_y2").cast("string").as("sum_y2"),
+          col("sum_xy").cast("string").as("sum_xy"),
+          col("corr_permille"))
     }),
     "ns_label_prop" -> ((s, dir) => {
       // 3 fixed sync LPA rounds on the co-ordered-parts graph; the oracle
@@ -2414,13 +2422,25 @@ object SparkEntry {
         docs.select("doc_id", "lang", "text").join(keep, "doc_id"),
         "text", "lang", keepCol = Some("keep"))
     }),
-    "ns_correlation" -> ((s, dir) =>
+    "ns_correlation" -> ((s, dir) => {
       // one-scan Pearson matrix over integer metrics: exact decimal
-      // co-moments + a fixed-order IEEE tail the oracle replays
-      graft.ops.Profile.correlationMatrix(
+      // co-moments + the integer-exact BigInteger-isqrt corr tail. The
+      // CONTRACT casts the scale-0 decimal co-moments to STRING (plain
+      // integer text, identical in Spark and DuckDB) because DECIMAL is
+      // the one type generic hash comparators stringify differently per
+      // engine path; the operator API keeps decimals.
+      val m = graft.ops.Profile.correlationMatrix(
         t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice") * 100).cast("long").as("cents")),
-        Seq("o_orderkey", "o_custkey", "cents"))),
+        Seq("o_orderkey", "o_custkey", "cents"))
+      m.select(col("col_x"), col("col_y"), col("n"),
+        col("sum_x").cast("string").as("sum_x"),
+        col("sum_y").cast("string").as("sum_y"),
+        col("sum_x2").cast("string").as("sum_x2"),
+        col("sum_y2").cast("string").as("sum_y2"),
+        col("sum_xy").cast("string").as("sum_xy"),
+        col("corr_permille"))
+    }),
     "ns_robust_outliers" -> ((s, dir) =>
       // median/MAD spend-spike screen per event type at the 3.5-MAD rule,
       // integer cents — both medians replay as rank windows in the oracle
@@ -3544,9 +3564,9 @@ object SparkEntry {
         |  UNION ALL SELECT 'o_orderkey', 'cents', n, sa, sc, qa, qc, xac FROM s
         |  UNION ALL SELECT 'o_custkey', 'cents', n, sb, sc, qb, qc, xbc FROM s)
         |SELECT col_x, col_y, CAST(n AS BIGINT) AS n,
-        |  CAST(sum_x AS DECIMAL(38,0)) AS sum_x, CAST(sum_y AS DECIMAL(38,0)) AS sum_y,
-        |  CAST(sum_x2 AS DECIMAL(38,0)) AS sum_x2, CAST(sum_y2 AS DECIMAL(38,0)) AS sum_y2,
-        |  CAST(sum_xy AS DECIMAL(38,0)) AS sum_xy,
+        |  CAST(sum_x AS VARCHAR) AS sum_x, CAST(sum_y AS VARCHAR) AS sum_y,
+        |  CAST(sum_x2 AS VARCHAR) AS sum_x2, CAST(sum_y2 AS VARCHAR) AS sum_y2,
+        |  CAST(sum_xy AS VARCHAR) AS sum_xy,
         |  CASE WHEN (n*sum_x2 - sum_x*sum_x) > 0 AND (n*sum_y2 - sum_y*sum_y) > 0 THEN
         |    CAST(round(1000.0 * CAST(n*sum_xy - sum_x*sum_y AS DOUBLE) /
         |      (sqrt(CAST(n*sum_x2 - sum_x*sum_x AS DOUBLE)) *
@@ -3766,9 +3786,9 @@ object SparkEntry {
         |s AS (SELECT count(*) AS n, sum(x) AS sum_x, sum(y) AS sum_y,
         |             sum(x*x) AS sum_x2, sum(y*y) AS sum_y2, sum(x*y) AS sum_xy FROM pr)
         |SELECT 'deg_src' AS col_x, 'deg_dst' AS col_y, CAST(n AS BIGINT) AS n,
-        |  CAST(sum_x AS DECIMAL(38,0)) AS sum_x, CAST(sum_y AS DECIMAL(38,0)) AS sum_y,
-        |  CAST(sum_x2 AS DECIMAL(38,0)) AS sum_x2, CAST(sum_y2 AS DECIMAL(38,0)) AS sum_y2,
-        |  CAST(sum_xy AS DECIMAL(38,0)) AS sum_xy,
+        |  CAST(sum_x AS VARCHAR) AS sum_x, CAST(sum_y AS VARCHAR) AS sum_y,
+        |  CAST(sum_x2 AS VARCHAR) AS sum_x2, CAST(sum_y2 AS VARCHAR) AS sum_y2,
+        |  CAST(sum_xy AS VARCHAR) AS sum_xy,
         |  CASE WHEN (n*sum_x2 - sum_x*sum_x) > 0 AND (n*sum_y2 - sum_y*sum_y) > 0 THEN
         |    CAST(round(1000.0 * CAST(n*sum_xy - sum_x*sum_y AS DOUBLE) /
         |      (sqrt(CAST(n*sum_x2 - sum_x*sum_x AS DOUBLE)) *

@@ -151,6 +151,15 @@ object GraftFunctions {
     "graft_jaro_winkler" -> { args =>
       arity("graft_jaro_winkler", args, 2 to 2)
       text.JaroWinklerExpr(args.head, args(1))
+    },
+    // graft_corr_permille(num, dx, dy) — integer-exact Pearson tail;
+    // arguments are cast to DECIMAL(38,0) (the co-moment carrier type)
+    "graft_corr_permille" -> { args =>
+      arity("graft_corr_permille", args, 3 to 3)
+      def dec(e: Expression): Expression =
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          e, org.apache.spark.sql.types.DecimalType(38, 0))
+      text.CorrPermilleExpr(dec(args.head), dec(args(1)), dec(args(2)))
     })
 
   private def infoOf(name: String): ExpressionInfo =

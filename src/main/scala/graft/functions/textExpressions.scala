@@ -45,6 +45,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * | ProjectVecExpr        | Embeddings.project (PCA apply)     | ns_embed_pca |
   * | TermMatchExpr         | TextAnalysis.termMatchStats        | ns_badwords |
   * | JaroWinklerExpr       | Fuzzy.jaroWinklerJoin              | ns_jaro_winkler, ns_jw_join |
+  * | CorrPermilleExpr      | Profile.correlationMatrix, Graph.degreeAssortativity | ns_correlation, ns_assortativity |
   */
 object text {
 
@@ -1681,4 +1682,59 @@ object text {
   def jaroWinkler(a: Column, b: Column): Column =
     ExpressionUtils.column(JaroWinklerExpr(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Integer-exact permille Pearson correlation tail for
+    * [[graft.ops.Profile.correlationMatrix]]: given the exact decimal
+    * co-moment combinations num = n·Sxy − Sx·Sy, dx = n·Sx2 − Sx²,
+    * dy = n·Sy2 − Sy², returns round-half-away(1000·num / √(dx·dy)) as a
+    * BIGINT with NO IEEE operation anywhere — the last float tail in the
+    * exact tier, eliminated per the round-5 review.
+    *
+    * Derivation (k = |result|, all integer): k = ⌊r + ½⌋ for
+    * r = 1000|num|/√(dx·dy) (floor(x+½) IS round-half-away for x ≥ 0), and
+    * with A = (2000·num)², B = dx·dy that is the largest k with
+    * (2k−1)²·B ≤ A, i.e. k = ⌊(√(A/B)+1)/2⌋. Two standard identities make
+    * it exact in integers: ⌊√x⌋ = ⌊√⌊x⌋⌋ for real x ≥ 0, and no integer
+    * lies strictly inside (⌊√(A/B)⌋, √(A/B)+1), so
+    * k = (⌊√(A div B)⌋ + 1) div 2 — one BigInteger division and one
+    * BigInteger.sqrt (Java 9+, exact floor sqrt). A and B exceed 10³⁸ for
+    * large inputs (A ~ 4·10⁶·num²), which is why this is a BigInteger
+    * expression rather than decimal(38,0) column arithmetic: the CHILDREN
+    * must fit decimal(38,0) (budget: n·S2 < 10³⁸, e.g. 10¹² rows of
+    * 10¹³-unit values), the internals are arbitrary-precision.
+    *
+    * Null when any child is null or dx ≤ 0 or dy ≤ 0 (constant column —
+    * correlation undefined). Runs on pair-count-sized frames (the unpivoted
+    * matrix), so CodegenFallback costs nothing. Gate: ns_correlation,
+    * ns_assortativity + the PropertySpec law pinning it to a brute-force
+    * scan model on random integer vectors.
+    */
+  case class CorrPermilleExpr(first: Expression, second: Expression, third: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+      with CodegenFallback {
+    import java.math.BigInteger
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(n: Any, d1: Any, d2: Any): Any = {
+      val num = n.asInstanceOf[Decimal].toJavaBigDecimal.toBigIntegerExact
+      val dx = d1.asInstanceOf[Decimal].toJavaBigDecimal.toBigIntegerExact
+      val dy = d2.asInstanceOf[Decimal].toJavaBigDecimal.toBigIntegerExact
+      if (dx.signum <= 0 || dy.signum <= 0) null
+      else {
+        val a = num.abs.multiply(BigInteger.valueOf(2000L)).pow(2)
+        val b = dx.multiply(dy)
+        val k = a.divide(b).sqrt().add(BigInteger.ONE).shiftRight(1).longValueExact()
+        if (num.signum < 0) -k else k
+      }
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+  }
+
+  def corrPermille(num: Column, dx: Column, dy: Column): Column =
+    ExpressionUtils.column(CorrPermilleExpr(
+      ExpressionUtils.expression(num.cast("decimal(38,0)")),
+      ExpressionUtils.expression(dx.cast("decimal(38,0)")),
+      ExpressionUtils.expression(dy.cast("decimal(38,0)"))))
 }

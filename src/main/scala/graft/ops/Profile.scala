@@ -367,19 +367,27 @@ object Profile {
   /** Pairwise Pearson correlation over integer metric columns, ONE scan:
     * co-moments accumulate as exact DECIMAL(38,0) sums (order-independent
     * — a double-sum correlation depends on reduction order and drifts
-    * across partitionings), and only the final correlation divides:
-    * `corr_permille = floor(1000·num / (sqrt(dx)·sqrt(dy)))` with
-    * num = n·Sxy − Sx·Sy, dx = n·Sx2 − Sx², dy likewise — a fixed-order
-    * IEEE chain (decimal→double casts, two sqrts, one divide) that
-    * replays bit-for-bit cross-engine. Inputs must already be integers
-    * (cents, micro-units — same convention as every scoring op here);
-    * constant columns (dx or dy = 0) yield NULL correlation.
+    * across partitionings), and the final
+    * `corr_permille = round-half-away(1000·num / √(dx·dy))` with
+    * num = n·Sxy − Sx·Sy, dx = n·Sx2 − Sx², dy likewise is INTEGER-EXACT
+    * via [[graft.functions.text.CorrPermilleExpr]] (BigInteger isqrt
+    * identity — see its scaladoc): no IEEE operation anywhere in the
+    * operator, so the result is independent of engine, platform, and
+    * reduction order. Inputs must already be integers (cents, micro-units
+    * — same convention as every scoring op here); constant columns
+    * (dx or dy = 0) yield NULL correlation. Magnitude budget: n·S2 must
+    * fit DECIMAL(38,0) (e.g. 10¹² rows of 10¹³-unit values); the
+    * expression's internals are arbitrary-precision beyond that.
     *
     * One aggregation job: k per-column sums + k squares + C(k,2) cross
     * sums in a single partial-agg pass; the matrix then unpivots from
     * the one wide row. Output per unordered pair (colX < colY by
     * position): (col_x, col_y, n, corr_permille) plus the exact decimal
-    * co-moments for downstream reuse.
+    * co-moments for downstream reuse. NOTE (contract surface): DECIMAL
+    * output columns hash-compare unreliably across engine paths in
+    * generic harnesses — contract queries over this operator cast the
+    * co-moments to STRING (exact: scale-0 decimal → plain integer text in
+    * both Spark and DuckDB); the operator API keeps decimals.
     */
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
@@ -405,16 +413,10 @@ object Profile {
     }
     val base = wide.select(explode(array(pairRows: _*)).as("p")).select(col("p.*"))
     val n = col("n").cast("decimal(38,0)")
-    val num = (n * col("sum_xy") - col("sum_x") * col("sum_y")).cast("double")
-    val dx = (n * col("sum_x2") - col("sum_x") * col("sum_x")).cast("double")
-    val dy = (n * col("sum_y2") - col("sum_y") * col("sum_y")).cast("double")
-    // round, not floor: sqrt rounding leaves a perfect correlation at
-    // 999.9999..., which floor would report as 999. round-half-away is
-    // the shared Spark/DuckDB double convention, and an exact .5 tie
-    // after two irrational sqrts does not occur on integer inputs.
-    base.withColumn("corr_permille",
-      when(dx > 0 && dy > 0,
-        round(lit(1000.0) * num / (sqrt(dx) * sqrt(dy))).cast("long")))
+    val num = n * col("sum_xy") - col("sum_x") * col("sum_y")
+    val dx = n * col("sum_x2") - col("sum_x") * col("sum_x")
+    val dy = n * col("sum_y2") - col("sum_y") * col("sum_y")
+    base.withColumn("corr_permille", graft.functions.text.corrPermille(num, dx, dy))
   }
 
   /** ANALYZE-style column statistics for any table, one pass: per column a

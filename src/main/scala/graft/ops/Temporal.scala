@@ -628,7 +628,7 @@ object Temporal {
     * Per lag: one equi-join of the dense series against itself shifted by
     * the lag (bucket keys — hash join, never a window over one
     * partition), then [[Profile.correlationMatrix]]'s exact-decimal
-    * moments with the shared IEEE sqrt tail. The dense frame derives from
+    * moments with the integer-exact corr tail. The dense frame derives from
     * one (bucket) count exchange that Spark's exchange reuse shares
     * across lags; its length is the TIME RANGE over the bucket width, not
     * the corpus — pick bucket widths that keep it series-sized (a year of

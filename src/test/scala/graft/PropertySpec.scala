@@ -484,6 +484,65 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("corrPermille law: BigInteger-isqrt tail equals the definitional scan model on random integer vectors") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{Decimal, DecimalType}
+    import graft.functions.text.CorrPermilleExpr
+    def evalExpr(num: BigInt, dx: BigInt, dy: BigInt): Option[Long] = {
+      def lit(v: BigInt) = Literal.create(
+        Decimal(new java.math.BigDecimal(v.bigInteger), 38, 0), DecimalType(38, 0))
+      Option(CorrPermilleExpr(lit(num), lit(dx), lit(dy)).eval(null))
+        .map(_.asInstanceOf[Long])
+    }
+    // Definitional model: k = round-half-away(1000|num|/sqrt(dx*dy)) is the
+    // LARGEST k in 0..1000 with (2k-1)^2 * dx*dy <= (2000*num)^2 (k=0 holds
+    // vacuously: r >= -0.5 always). Scanned directly — no sqrt anywhere.
+    def model(num: BigInt, dx: BigInt, dy: BigInt): Option[Long] = {
+      if (dx.signum <= 0 || dy.signum <= 0) None
+      else {
+        val a = (num.abs * 2000).pow(2)
+        val b = dx * dy
+        val k = (0L to 1000L).filter(j => j == 0 || (BigInt(2 * j - 1).pow(2) * b) <= a).max
+        Some(if (num.signum < 0) -k else k)
+      }
+    }
+    val gVec = for {
+      n <- Gen.choose(2, 40)
+      xs <- Gen.listOfN(n, Gen.chooseNum(-1000000000L, 1000000000L))
+      ys <- Gen.listOfN(n, Gen.chooseNum(-1000000000L, 1000000000L))
+      // mix in strongly-correlated shapes so the k~1000 edge gets exercised
+      mode <- Gen.choose(0, 3)
+    } yield {
+      val y2 = mode match {
+        case 0 => ys
+        case 1 => xs.map(x => 3 * x + 7)     // perfect: k = 1000
+        case 2 => xs.map(x => -2 * x + 5)    // perfect inverse: k = -1000
+        case _ => xs.zip(ys).map { case (x, y) => x + y / 1000 } // near-perfect
+      }
+      (xs, y2)
+    }
+    forAll(gVec, n = 120) { case (xs, ys) =>
+      val n = BigInt(xs.length)
+      val sx = xs.map(BigInt(_)).sum; val sy = ys.map(BigInt(_)).sum
+      val sx2 = xs.map(x => BigInt(x) * x).sum; val sy2 = ys.map(y => BigInt(y) * y).sum
+      val sxy = xs.zip(ys).map { case (x, y) => BigInt(x) * y }.sum
+      val num = n * sxy - sx * sy
+      val dx = n * sx2 - sx * sx
+      val dy = n * sy2 - sy * sy
+      assert(evalExpr(num, dx, dy) == model(num, dx, dy),
+        s"n=$n num=$num dx=$dx dy=$dy")
+    }
+    // exact .5 tie rounds away from zero: sqrt(dx*dy) = 2000, num = +-1
+    // gives r = +-0.5 -> +-1 (floor(x+0.5) == half-away on the boundary)
+    assert(evalExpr(BigInt(1), BigInt(2000), BigInt(2000)) == Some(1L))
+    assert(evalExpr(BigInt(-1), BigInt(2000), BigInt(2000)) == Some(-1L))
+    assert(evalExpr(BigInt(0), BigInt(2000), BigInt(2000)) == Some(0L))
+    assert(evalExpr(BigInt(5), BigInt(0), BigInt(7)).isEmpty, "dx=0 is NULL")
+    // magnitudes past decimal(38,0)^2: internals are BigInteger, no overflow
+    val big = BigInt(10).pow(37)
+    assert(evalExpr(big, big, big) == Some(1000L), "r = 1000 exactly at any scale")
+  }
+
   test("seedDistance law: full-radius BFS on a symmetrized graph reaches exactly the seed's component") {
     import org.apache.spark.sql.functions.col
     import SparkTestBase.spark.implicits._
