@@ -184,6 +184,13 @@ object Curation {
     *
     * Output: corpus idCol + (best_benchmark_id, max_cos_permille,
     * contaminated).
+    *
+    * Id contract: benchmark ids must be NUMERIC (the deterministic argmax
+    * tie-breaks toward the SMALLEST benchmark id via `max(struct(cos,
+    * -bid))` — one partial-aggregable max instead of a window sort; a
+    * string id fails analysis on the unary minus, and a Long.MinValue id
+    * would overflow negation). Benchmark suites key by small integer ids;
+    * map exotic id types to a dense long before calling.
     */
   def decontaminateEmbedding(corpus: DataFrame, benchmark: DataFrame,
       vecCol: String, idCol: String, minCosPermille: Long,
@@ -616,9 +623,12 @@ object Curation {
     * prompt-context fields, preview columns). Whitespace normalizes to
     * single spaces as a side effect (the [[graft.ops.TextAnalysis.normalizeText]]
     * family convention: token CONTENT is preserved, layout is not).
-    * Tokens are `split(trim, \s+)` — the corpus-wide tokenization rule —
-    * so `n_tokens` agrees with [[graft.ops.TextAnalysis.wsTokenCount]]'s
-    * convention (empty text counts its one empty token).
+    * Tokens are `split(trim, \s+)` — the corpus-wide tokenization rule.
+    * Boundary divergence, by design: EMPTY text reports n_tokens = 1
+    * (split of "" yields one empty token, and text_trim round-trips the
+    * empty string), whereas [[graft.ops.TextAnalysis.wsTokenCount]]
+    * guards empty to 0 — counting callers should use wsTokenCount;
+    * this op's n_tokens exists to make n_kept/truncated self-consistent.
     *
     * Pure scan-stage projection (split, slice, rejoin): zero shuffle,
     * runs at scan speed at any corpus size. Output: (idCol, n_tokens,
@@ -1247,13 +1257,20 @@ object Curation {
       .select(col(refScoreCol).as("__align_rv"))
       .withColumn("__align_idx",
         row_number().over(Window.orderBy(col("__align_rv"))).cast("long"))
-    val m = ref.agg(count(lit(1)).as("__align_m"))
+    // an empty reference would compute __align_idx = 0 for every row and
+    // the inner join below would silently emit an EMPTY frame; a lazy
+    // raise_error guard is useless here (AQE empty-relation propagation
+    // prunes the whole plan before the guard column ever evaluates), so
+    // count eagerly — the reference is model-sized by this operator's own
+    // scale contract, and the count then rides the plan as a literal,
+    // which also drops the one-row crossJoin broadcast
+    val m = ref.count()
+    require(m > 0, "alignScores: reference corpus is empty — nothing to align to")
     df.select((groupCols :+ idCol :+ scoreCol).map(col): _*)
       .withColumn("__align_r", row_number().over(ranked).cast("long"))
       .withColumn("__align_n", count(lit(1)).over(whole))
-      .crossJoin(broadcast(m))
       .withColumn("__align_idx", call_function("div",
-        col("__align_r") * col("__align_m") + col("__align_n") - 1,
+        col("__align_r") * lit(m) + col("__align_n") - 1,
         col("__align_n")))
       .withColumn("pct_permille", call_function("div",
         col("__align_r") * 1000, col("__align_n")))

@@ -534,6 +534,10 @@ object Similarity {
     * radius_sq of rank r is the chosen point's squared distance to its
     * nearest earlier center (the coverage radius before round r, a
     * monotone non-increasing curve worth plotting before picking k).
+    * If k exceeds the number of DISTINCT points, selection stops early
+    * (fewer than k rows, never a duplicate center): once the max radius
+    * is 0 the corpus is covered exactly. A `firstId` absent from the
+    * corpus is an IllegalArgumentException, not a NoSuchElement surprise.
     */
   def kCenterSelect(corpus: DataFrame, vecCol: String, idCol: String,
       k: Int, firstId: Long): DataFrame = {
@@ -546,18 +550,32 @@ object Similarity {
         zip_with(col("vec"), array(center.map(lit).toSeq: _*),
           (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, x) => acc + x)
-    val firstRow = base.where(col("id") === firstId).select("vec").head()
+    val firstRow = base.where(col("id") === firstId).select("vec").take(1).headOption
+      .getOrElse {
+        base.unpersist()
+        throw new IllegalArgumentException(
+          s"kCenterSelect: firstId=$firstId not found in the corpus")
+      }
     var centers = Vector(firstRow.getSeq[Double](0).toArray)
     val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]((0L, firstId, 0L))
     var r = 1
-    while (r < k) {
+    var covered = false // max radius hit 0: every remaining point IS a center
+    while (r < k && !covered) {
       val dmin = centers.map(d2To).reduce(least(_, _))
       val top = base
         .select(col("id"), col("vec"), dmin.cast("long").as("md"))
         .orderBy(col("md").desc, col("id").asc).limit(1).head()
-      out += ((r.toLong, top.getLong(0), top.getLong(2)))
-      centers :+= top.getSeq[Double](1).toArray
-      r += 1
+      if (top.getLong(2) == 0L) {
+        // k exceeds the number of distinct points: the farthest remaining
+        // point is distance 0 from an existing center, and selecting it
+        // would emit a duplicate — stop with the < k centers that cover
+        // the corpus exactly (radius 0) rather than padding with repeats
+        covered = true
+      } else {
+        out += ((r.toLong, top.getLong(0), top.getLong(2)))
+        centers :+= top.getSeq[Double](1).toArray
+        r += 1
+      }
     }
     base.unpersist()
     import spark.implicits._

@@ -896,6 +896,13 @@ class CurationSpec extends AnyFunSuite {
       "id", Seq("grp"), tied, "rscore")
       .collect().map(r => (r.getLong(1), r.getLong(4))).toMap
     assert(got2 == Map(1L -> 10L, 2L -> 20L, 3L -> 20L, 4L -> 40L))
+    // an EMPTY reference fails loudly instead of silently emitting an
+    // empty frame (the inner join on refRanked would drop every row)
+    val err = intercept[IllegalArgumentException] {
+      Curation.alignScores(df, "score", "id", Seq("grp"),
+        ref.filter(col("rscore") < 0L), "rscore")
+    }
+    assert(err.getMessage.contains("reference corpus is empty"), err.getMessage)
   }
 
   test("decontaminateEmbedding: paraphrase-tier flags, argmax ties to smallest id, zero-norm safe") {

@@ -350,4 +350,19 @@ class EmbeddingsSpec extends AnyFunSuite {
     val radii = sel.map(_._3).drop(1)
     assert(radii == radii.sorted.reverse)
   }
+
+  test("kCenterSelect edges: absent firstId fails loudly; k past distinct points stops, no duplicates") {
+    val pts = Seq((0L, 0.0), (1L, 10.0), (2L, 10.0)) // ids 1 and 2 coincide
+      .toDF("id", "x").select(col("id"), array(col("x")).as("vec"))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Similarity.kCenterSelect(pts, "vec", "id", k = 2, firstId = 99L)
+    }
+    assert(e.getMessage.contains("firstId=99"))
+    // 3 points, 2 distinct positions, k = 3: after {0, 1} the farthest
+    // remaining point (id2) is at distance 0 — selection stops at 2 rows
+    val sel = graft.ops.Similarity.kCenterSelect(pts, "vec", "id", k = 3, firstId = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sel == Seq((0L, 0L, 0L), (1L, 1L, 100L)),
+      s"covered corpus must not pad with duplicate centers: $sel")
+  }
 }
