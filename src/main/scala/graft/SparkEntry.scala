@@ -659,24 +659,35 @@ object SparkEntry {
           col("value").cast("string").as("msg_value"))
     }),
     "g9_readback" -> ((s, dir) => {
-      // Sink read-back (G9): the interactive KeyValue / CompositeKeyValue
-      // lookup API over a keyed table (reference entity/extractor.go:
-      // 104-132 — QueryTypeKeyValue et al). The query writes the events
-      // table through the REAL sink with a G1-synthesized row key
-      // (event_type#user_id) and then looks up ONE composite key; the
-      // output proves both the written key layout and the lookup path
-      // (a parquet scan with the key predicate pushed down — the batch
-      // analog of a BigTable row-key get). DuckDB replays the lookup as
-      // the equivalent filter over the same source rows.
+      // Sink read-back (G9): the FULL ExtractFromSink enum (reference
+      // entity/extractor.go:104-132) over one written table —
+      // QueryTypeCompositeKeyValue (kv branch: one composite row-key get,
+      // key predicate pushed to the parquet scan), QueryTypeAll (all
+      // branch: the whole-table scan), and the timeRange window (range
+      // branch: day-partition pruning + exact field trim). The query
+      // writes the events table through the REAL sink (G1-synthesized
+      // event_type#user_id row key, DAY time-partitioning on ts) and
+      // unions the three read paths tagged by query_type; DuckDB replays
+      // each as the equivalent filter over the same source rows.
       val out = java.nio.file.Files.createTempDirectory("graft_g9_").toFile
         .getAbsolutePath + "/tbl"
-      val sink = new graft.sinks.KeyedTableSink(out)
+      val sink = new graft.sinks.KeyedTableSink(out,
+        partitionField = "ts", partitionType = "DAY", clustering = Seq("key"))
       sink.write(t(s, dir, "events")
         .select(concat_ws("#", col("event_type"), col("user_id")).as("key"),
-          col("event_id"), col("user_id"), col("event_type"), col("value")))
-      sink.compositeKeyValue(s, Seq("purchase", "7"), "#")
-        .select(col("key"), col("event_id"), col("user_id"),
-          col("event_type"), col("value"))
+          col("event_id"), col("user_id"), col("event_type"), col("value"),
+          col("ts")))
+      val cols = Seq(col("key"), col("event_id"), col("user_id"),
+        col("event_type"), col("value"))
+      val kv = sink.compositeKeyValue(s, Seq("purchase", "7"), "#")
+        .select(lit("kv").as("query_type") +: cols: _*)
+      val rng = sink.timeRange(s,
+        java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-12 00:00:00"))
+        .select(lit("range").as("query_type") +: cols: _*)
+      val all = sink.all(s)
+        .select(lit("all").as("query_type") +: cols: _*)
+      kv.unionAll(rng).unionAll(all)
     }),
 
     // ---- classic analytics over the TPC-H-ish tables (scale workhorses) ----
@@ -3100,10 +3111,19 @@ object SparkEntry {
         |         uid := CAST(user_id AS VARCHAR))) AS msg_value
         |FROM events""".stripMargin,
     "g9_readback" ->
-      """SELECT event_type || '#' || CAST(user_id AS VARCHAR) AS key,
-        |       event_id, user_id, event_type, value
-        |FROM events
-        |WHERE event_type = 'purchase' AND user_id = 7""".stripMargin,
+      """WITH src AS (
+        |  SELECT event_type || '#' || CAST(user_id AS VARCHAR) AS key,
+        |         event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events)
+        |SELECT 'kv' AS query_type, key, event_id, user_id, event_type, value
+        |FROM src WHERE event_type = 'purchase' AND user_id = 7
+        |UNION ALL
+        |SELECT 'range', key, event_id, user_id, event_type, value
+        |FROM src WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |             AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |UNION ALL
+        |SELECT 'all', key, event_id, user_id, event_type, value
+        |FROM src""".stripMargin,
     "ns_url_templates" ->
       """WITH u AS (
         |  SELECT 'https://' || source || '.example.com/item/' || CAST(doc_id AS VARCHAR) ||
