@@ -137,10 +137,18 @@ object Classifier {
       .withColumn("predicted",
         col("dot_micro") + lit(model.biasMicro) * col("n_feats") > 0)
 
-  /** Keep documents the classifier accepts — the corpus-filtering form. */
+  /** Keep documents the classifier accepts — the corpus-filtering form.
+    * ROW-LOCAL (round-6 rewrite): the margin decision evaluates inline in
+    * the filter predicate — one scan, zero shuffle — where the previous
+    * form semi-joined docs against their own scored ids (a second pass
+    * plus an exchange at 100 TB for the identical decision, and a
+    * stream-stream join on streaming frames). Decision is integer and
+    * identical to [[score]]'s `predicted` by construction.
+    */
   def filterQuality(docs: DataFrame, model: QualityModel, textCol: String,
-      idCol: String): DataFrame =
-    docs.join(score(docs, model, textCol, idCol)
-        .filter(col("predicted")).select(col("id").as(idCol)),
-      Seq(idCol), "left_semi")
+      idCol: String): DataFrame = {
+    val d = model.dotStruct(col(textCol))
+    docs.filter(
+      d.getField("t_hits") + lit(model.biasMicro) * d.getField("n_feats") > 0)
+  }
 }
