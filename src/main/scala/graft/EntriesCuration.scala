@@ -1,0 +1,1039 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.compile.SpecCompiler
+import graft.spec.StreamSpec
+
+/** Curation tier: quality filtering, decontamination, tokenization, dialogs, mix construction, privacy.
+  *
+  * One tier of the [[SparkEntry]] contract (round-6 split of the 5.5 kLoC
+  * registration file: the `queries`/`oracleSql` MAPS are the contract, the
+  * file layout is not). Every `queries` entry here must pair with an
+  * `oracleSql` entry of the SAME name in the SAME file - derived oracles
+  * (ns_pipeline_funnel) are composed in [[SparkEntry.oracleSql]].
+  */
+private[graft] object EntriesCuration {
+  import EntrySupport._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_quality_classifier" -> ((s, dir) => {
+      // Model-based quality filtering (fastText/logreg analog): score every
+      // document with the FROZEN trained linear model — integer dot over
+      // portable hashed unigram features + integer margin sign, so the
+      // decision itself replays in DuckDB. Training provenance is pinned
+      // by ClassifierSpec (re-derives the frozen weights from sf0.001).
+      val model = graft.ops.Classifier.QualityModel(
+        FrozenQualityWeightsMicro, FrozenQualityBiasMicro,
+        buckets = 64, maxN = 1, portable = true)
+      graft.ops.Classifier.score(t(s, dir, "documents"), model, "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_feats"), col("dot_micro"),
+          col("predicted"))
+    }),
+    "ns_dialog_audit" -> ((s, dir) => {
+      // SFT transcript hygiene: dialogs assembled deterministically from
+      // the event stream (role by event_id parity, empties and special-
+      // token leaks injected by modulus), audited with the array-HOF
+      // operator; the oracle computes the same checks in row form
+      // (arg_min/arg_max + lag window) — two independent formulations of
+      // the same contract.
+      val e = t(s, dir, "events")
+        .where(col("user_id") % 20 === 3)
+        .select(col("user_id"), col("event_id"),
+          when(col("event_id") % 2 === 0, lit("user"))
+            .otherwise(lit("assistant")).as("role"),
+          when(col("event_id") % 97 === 0, lit(""))
+            .when(col("event_id") % 53 === 0,
+              concat(col("event_type"), lit(" <|endoftext|>")))
+            .otherwise(col("event_type")).as("content"))
+      val dialogs = graft.ops.Curation.assembleDialogs(e, "user_id",
+        "event_id", "role", "content")
+      graft.ops.Curation.dialogAudit(dialogs, "user_id", "msgs")
+    }),
+    "ns_token_budget" -> ((s, dir) =>
+      // best-data-that-fits: per source, highest-scoring docs until the
+      // token budget; strict prefix, slim window exchange
+      graft.ops.Curation.selectByTokenBudget(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars").as("score"),
+          call_function("div", col("n_chars"), lit(5L)).as("toks")),
+        Seq("source"), "doc_id", "score", "toks", tokenBudget = 3000L)),
+    "ns_preference_audit" -> ((s, dir) => {
+      // synthetic preference pairs from the corpus: every 7th rejected is
+      // byte-identical to chosen, every 11th is emptied, the rest get a
+      // word swap; the audit flags each failure class
+      val pairs = t(s, dir, "documents").select(col("doc_id"),
+        col("text").as("chosen"),
+        when(col("doc_id") % 7 === 0, col("text"))
+          .when(col("doc_id") % 11 === 0, lit(""))
+          .otherwise(replace(col("text"), lit("value"), lit("worth")))
+          .as("rejected"))
+      graft.ops.Curation.preferencePairAudit(pairs, "doc_id",
+        "chosen", "rejected")
+    }),
+    "ns_span_corrupt" -> ((s, dir) =>
+      // T5-style sentinel masking at 150 permille, 3-token spans; the
+      // oracle replays the fold as a recursive CTE over token positions
+      // carrying (next-free, sentinel counter, both accumulating strings)
+      graft.ops.Curation.spanCorrupt(t(s, dir, "documents"), "doc_id",
+        "text", startPermille = 150, spanLen = 3)),
+    "ns_word_dropout" -> ((s, dir) =>
+      // deterministic 200-permille token corruption; the oracle recomputes
+      // the per-(doc, position) portable hash with DuckDB's 1-based lambda
+      // index shifted to Spark's 0-based
+      graft.ops.Curation.wordDropout(t(s, dir, "documents"), "doc_id",
+        "text", dropPermille = 200)),
+    "ns_dialog_pipeline" -> ((s, dir) => {
+      // SFT capstone: assemble -> audit-filter (no empty turns, <= 1
+      // template leak) -> per-turn redact -> turn-aligned pack at budget
+      // 9; one grouping exchange total, everything downstream is
+      // projections. The oracle derives from the audit/redact/pack
+      // fragments in row form, so the composition cannot drift from the
+      // single-op gates.
+      val e = t(s, dir, "events").where(col("user_id") % 20 === 3)
+        .select(col("user_id"), col("event_id"),
+          when(col("event_id") % 2 === 0, lit("user"))
+            .otherwise(lit("assistant")).as("role"),
+          concat(
+            when(col("event_id") % 97 === 0, lit(""))
+              .when(col("event_id") % 53 === 0,
+                concat(col("event_type"), lit(" <|endoftext|>")))
+              .otherwise(col("event_type")),
+            when(col("event_id") % 3 === 0,
+              concat(lit(" mail u"), col("event_id"), lit("@ex.com")))
+              .otherwise(lit(""))).as("content"))
+      val dialogs = graft.ops.Curation.assembleDialogs(e, "user_id",
+        "event_id", "role", "content")
+      val audit = graft.ops.Curation.dialogAudit(dialogs, "user_id", "msgs")
+      val keep = audit.where(col("n_empty") === 0 && col("n_special") <= 1)
+        .select("user_id")
+      val clean = dialogs.join(keep, Seq("user_id"), "left_semi")
+      val red = clean.select(col("user_id"),
+        graft.ops.Curation.redactDialog(col("msgs")).as("msgs"))
+      graft.ops.Curation.packDialog(red, "user_id", "msgs", tokenBudget = 9L)
+    }),
+    "ns_dialog_pack" -> ((s, dir) => {
+      // turn-aligned greedy packing at budget 7; turn token counts are
+      // deterministic (event_id % 5 + 1 repeats of the event type), and
+      // the oracle replays the fold as a recursive CTE over turn positions
+      val e = t(s, dir, "events").where(col("user_id") % 20 === 3)
+        .select(col("user_id"), col("event_id"),
+          when(col("event_id") % 2 === 0, lit("user"))
+            .otherwise(lit("assistant")).as("role"),
+          repeat(concat(col("event_type"), lit(" ")),
+            (col("event_id") % 5 + 1).cast("int")).as("content"))
+      val dialogs = graft.ops.Curation.assembleDialogs(e, "user_id",
+        "event_id", "role", "content")
+      graft.ops.Curation.packDialog(dialogs, "user_id", "msgs", tokenBudget = 7L)
+    }),
+    "ns_dialog_redact" -> ((s, dir) => {
+      // per-turn PII redaction inside assembled dialogs; output scalarizes
+      // via posexplode (the compare harness hashes scalars only) and the
+      // oracle replays the regexp chain in row form with row_number-1 pos
+      val e = t(s, dir, "events").where(col("user_id") % 20 === 3)
+        .select(col("user_id"), col("event_id"),
+          when(col("event_id") % 2 === 0, lit("user"))
+            .otherwise(lit("assistant")).as("role"),
+          concat(col("event_type"),
+            when(col("event_id") % 3 === 0,
+              concat(lit(" mail u"), col("event_id"), lit("@ex.com")))
+              .otherwise(lit("")),
+            when(col("event_id") % 5 === 0,
+              concat(lit(" ip 10.0.0."), col("event_id") % 256))
+              .otherwise(lit(""))).as("content"))
+      val dialogs = graft.ops.Curation.assembleDialogs(e, "user_id",
+        "event_id", "role", "content")
+      dialogs.select(col("user_id"),
+          posexplode(graft.ops.Curation.redactDialog(col("msgs")))
+            .as(Seq("pos", "m")))
+        .select(col("user_id"), col("pos"),
+          col("m.role").as("role"), col("m.content").as("content"))
+    }),
+    "ns_chunk" -> ((s, dir) =>
+      // training-sequence chunking: 32-token windows, 8-token overlap
+      graft.ops.Curation.chunkByTokens(t(s, dir, "documents"), "text", "doc_id",
+        size = 32, overlap = 8)),
+    "ns_pack" -> ((s, dir) => {
+      // chunk → pack pipeline: 32-token chunks greedily packed into
+      // 128-token context windows across 8 hash pack-groups. Every slot
+      // assignment (group, bin, offset) is deterministic, so the oracle
+      // replays the same next-fit recurrence in SQL.
+      val chunks = graft.ops.Curation.chunkByTokens(t(s, dir, "documents"),
+        "text", "doc_id", size = 32, overlap = 8)
+      graft.ops.Curation.packSequences(chunks, "n_chunk_tokens",
+        Seq("doc_id", "chunk_idx"), budget = 128, nGroups = 8)
+    }),
+    "ns_ldiversity" -> ((s, dir) => {
+      // attribute-disclosure audit: customers whose order-status history
+      // carries < 3 distinct values — k-anonymity-safe classes the
+      // diversity audit still flags
+      graft.ops.Curation.lDiversityAudit(t(s, dir, "orders"),
+        Seq("o_custkey"), "o_orderstatus", l = 3)
+    }),
+    "ns_tcloseness" -> ((s, dir) => {
+      // distribution-skew disclosure audit: order-priority classes whose
+      // status mix sits > 5 permille total-variation from the global mix —
+      // exact decimal cross products, one integral divide, so membership
+      // (not just the distance) replays bit-for-bit
+      graft.ops.Curation.tClosenessAudit(t(s, dir, "orders"),
+        Seq("o_orderpriority"), "o_orderstatus", tPermille = 5L)
+    }),
+    "ns_trim_tokens" -> ((s, dir) =>
+      // context-budget truncation: first 50 whitespace tokens, single-space
+      // rejoin (the normalize-family whitespace convention), with counts
+      // and the truncation flag — pure scan-stage projection
+      graft.ops.Curation.trimToTokens(t(s, dir, "documents"), "text",
+        "doc_id", maxTokens = 50)),
+    "ns_split" -> ((s, dir) =>
+      // deterministic 80/10/10 split assignment by portable id hash
+      graft.ops.Curation.assignSplit(t(s, dir, "documents"), "doc_id")
+        .select("doc_id", "split")),
+    "ns_epoch_shuffle" -> ((s, dir) =>
+      // deterministic training-order permutation: dense 0-based rank in
+      // (portable-hash, id) order, computed with the bucketed two-level
+      // rank (never a global window). The oracle IS the global window —
+      // one row_number over the same hash — so the distributed ranking
+      // must agree with the single-node definition exactly.
+      graft.ops.Curation.epochShuffle(t(s, dir, "documents"), "doc_id", epoch = 1)
+        .select(col("doc_id"), col("shuffle_pos"))),
+    "ns_boilerplate" -> ((s, dir) => {
+      // restructure into 5-word lines (same convention as ns_line_dedup),
+      // then drop boilerplate lines: < 3 words or stopword ratio < 10%
+      val d = t(s, dir, "documents")
+      val structured = d.select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "((?:\\S+ ){4}\\S+) ", "$1\n").as("text"))
+      graft.ops.Curation.removeBoilerplate(structured, "text", "doc_id", "\n",
+        minWords = 3, minStopPermille = 100)
+    }),
+    "ns_dsir" -> ((s, dir) => {
+      // DSIR importance machinery, integer-exact subset: hashed 1..2-gram
+      // bucket counts (portable hashes) dotted with the global target
+      // (lang='de') and raw bucket totals. The ln-based score column is
+      // excluded here — libm differences across engines make it
+      // non-hash-comparable — and is property-gated in CurationSpec.
+      val d = t(s, dir, "documents")
+      graft.ops.Curation.dsirScores(d, d.filter(col("lang") === "de"),
+        "text", "doc_id", buckets = 1024, portable = true)
+        .select("doc_id", "n_feats", "t_hits", "r_hits")
+    }),
+    "ns_lm_score" -> ((s, dir) => {
+      // CCNet-style LM quality scoring, integer-exact subset: a
+      // stupid-backoff bigram model trained on the even-id half of the
+      // corpus scores every document. The ln-based micronat/ppl columns
+      // are engine-local (libm differences are not hash-comparable) and
+      // are gated by LmSpec's driver-side replay; the oracle pins the
+      // exact join layer — token/OOV/bigram-hit counts and count sums.
+      val d = t(s, dir, "documents")
+      val model = graft.ops.Lm.train(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), "text")
+      graft.ops.Lm.score(d, "text", "doc_id", model)
+        .select("doc_id", "n_tokens", "n_oov", "n_hits", "sum_cb", "sum_cw")
+    }),
+    "ns_bpe_fertility" -> ((s, dir) =>
+      // tokenizer-fairness audit: bytes-per-token by language under the
+      // frozen merges — shared encode CTEs with ns_bpe
+      graft.ops.Bpe.fertilityByGroup(t(s, dir, "documents"), "text", "lang",
+        FrozenBpeMerges)),
+    "ns_bpe" -> ((s, dir) => {
+      // frozen BPE tokenizer (trained once on the sf0.001 corpus via
+      // Bpe.learnFromCorpus, then applied everywhere — the standard
+      // train-small/apply-everywhere tokenizer lifecycle). Encoding ships
+      // the merge ranks in the task closure and runs as a zero-shuffle
+      // scan; the oracle replays the same merges in rank order as a
+      // DuckDB replace() chain, which is provably equivalent to the
+      // iterative lowest-rank encoder for learned merge tables (a merge
+      // can only create pairs of strictly higher rank).
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        posexplode(graft.ops.Bpe.encode(col("text"), FrozenBpeMerges))
+          .as(Seq("pos", "token")))
+    }),
+    // ---- corpus curation (training-mix construction) ----
+    "ns_pii_redact" -> ((s, dir) => {
+      // PII is injected deterministically from doc_id (the corpus itself is
+      // PII-free word soup), so detection counts vary 0/1 per category and
+      // the redaction output is fully oracle-checkable.
+      val d = t(s, dir, "documents")
+      val injected = d.select(col("doc_id"), concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit(" contact u"), col("doc_id").cast("string"), lit("@ex.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" call +1-555-123-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" card 4111"), lpad(col("doc_id").cast("string"), 12, "0"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" ip 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".0."), pmod(col("doc_id"), lit(100)).cast("string"))).otherwise(lit(""))
+      ).as("text"))
+      injected.select(col("doc_id"),
+        graft.ops.Curation.piiStats(col("text")).as("p"),
+        graft.ops.Curation.redactPii(col("text")).as("redacted"))
+        .select(col("doc_id"), col("p.n_emails").as("n_emails"), col("p.n_phones").as("n_phones"),
+          col("p.n_ccs").as("n_ccs"), col("p.n_ips").as("n_ips"), col("redacted"))
+    }),
+    "ns_decontaminate" -> ((s, dir) => {
+      // benchmark = every 17th doc (an "eval set"); corpus = the rest.
+      // 4-word grams give a non-trivial contamination rate on this corpus.
+      val d = t(s, dir, "documents")
+      graft.ops.Curation.decontaminate(
+        d.filter(pmod(col("doc_id"), lit(17)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(17)) === 0),
+        "text", "doc_id", n = 4)
+    }),
+    "ns_split_by_cluster" -> ((s, dir) => {
+      // leakage-free split gate on a deterministic synthetic clustering
+      // (%37): members of one cluster must share a split label; docs
+      // outside the cluster table band by their own id
+      val d = t(s, dir, "documents")
+      val clusters = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("id"), (col("doc_id") % 37).as("cluster_id"))
+      graft.ops.Curation.assignSplitByCluster(
+          d.select(col("doc_id"), col("lang")), "doc_id", clusters)
+        .select(col("doc_id"), col("lang"), col("split"))
+    }),
+    "ns_contamination_report" -> ((s, dir) => {
+      // per-source rollup of the same benchmark split ns_decontaminate
+      // pins — the release-gate number, with shared gram semantics
+      val d = t(s, dir, "documents")
+      graft.ops.Curation.contaminationReport(
+        d.filter(pmod(col("doc_id"), lit(17)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(17)) === 0),
+        "text", "doc_id", "source", n = 4)
+    }),
+    "ns_badwords" -> ((s, dir) => {
+      // Blocklist term matching: one Aho-Corasick pass per doc counting
+      // every (overlapping) occurrence of each term plus the distinct-term
+      // count. Terms deliberately include a phrase, a high-frequency
+      // single char (matches inside words — substring semantics are the
+      // contract), and an absent term. The oracle replays with a
+      // positional substring scan per term.
+      graft.ops.TextAnalysis.termMatchStats(t(s, dir, "documents"),
+        "text", "doc_id",
+        terms = Seq("big table", "slow", "a", "nosuchterm"), minMatches = 3)
+    }),
+    "ns_decontaminate_bloom" -> ((s, dir) => {
+      // The Bloom-prefiltered tier of decontamination (the 100 TB path:
+      // benchmark grams become a fixed-size bit filter checked map-side;
+      // only candidate survivors enter the exact join that kills the
+      // filter's false positives). EXACTNESS is the operator's contract —
+      // no false negatives, FPs removed — so the oracle is the plain
+      // distinct-overlap count restricted to hit docs, identical to
+      // ns_decontaminate's construction minus the zero-hit rows.
+      val d = t(s, dir, "documents")
+      graft.ops.Curation.decontaminateBloom(
+        d.filter(pmod(col("doc_id"), lit(17)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(17)) === 0),
+        "text", "doc_id", n = 4)
+    }),
+    "ns_align_scores" -> ((s, dir) => {
+      // quantile recalibration gate: per-language n_chars ranks map onto
+      // the reference sample's (doc_id < 100) distribution — rank-to-rank
+      // integer selection, aligned values are reference multiset members
+      val docs = t(s, dir, "documents")
+      graft.ops.Curation.alignScores(docs, "n_chars", "doc_id",
+        Seq("lang"), docs.filter(col("doc_id") < 100), "n_chars")
+    }),
+    "ns_filter_funnel" -> ((s, dir) =>
+      // per-rule kill attribution in application order, one scan: chars
+      // floor, language allowlist, approximate word floor — n_killed sums
+      // to exactly input minus survivors
+      graft.ops.Curation.filterFunnel(t(s, dir, "documents"), Seq(
+        "min_chars" -> (col("n_chars") >= 100),
+        "lang_ok" -> (col("lang") =!= "zh"),
+        "min_words" -> (length(col("text"))
+          - length(translate(col("text"), " ", "")) + 1 >= 30)))),
+    "ns_quality_filter" -> ((s, dir) =>
+      // thresholds chosen so each rule actually splits this corpus
+      // (106 short docs, 6 low-MWL, 112 low-stopword, 181 with dup 2-token
+      // lines at sf0.01); lineLen=2 exercises the duplicate-line rules.
+      graft.ops.Curation.qualityFilter(t(s, dir, "documents"), "text", "doc_id",
+        minWords = 30, maxWords = 10000, minMeanWordLen = 4.0, maxMeanWordLen = 10.0,
+        minStopwordHits = 2, minAlphaWordFrac = 0.9,
+        maxDupLineFrac = 0.05, maxDupLineCharFrac = 0.05,
+        maxDup2gramFrac = 0.08, maxDup3gramFrac = 0.04, lineLen = 2)),
+    "ns_repetition" -> ((s, dir) =>
+      // Gopher repetition signals (top-2/3/4-gram + dup-5..10-gram char
+      // fractions). Top thresholds tightened from Gopher's table-A1 values
+      // so keep actually splits this corpus (352/500 at sf0.01); dup
+      // thresholds stay Gopher's (this corpus has no 5-gram repeats, the
+      // fractions themselves are still hashed).
+      graft.ops.Curation.repetitionFilter(t(s, dir, "documents"), "text", "doc_id",
+        maxTopFracs = Seq(0.05, 0.04, 0.04))),
+    "ns_percentile_rank" -> ((s, dir) =>
+      // cross-domain score calibration: per-language integer per-mille
+      // percentile of a length score — rank*1000 div (n-1), ties by id
+      graft.ops.Curation.percentileRank(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("score")),
+        "score", "doc_id", Seq("lang"))),
+    "ns_epoch_plan" -> ((s, dir) => {
+      // Token-budgeted epoch plan over per-language corpus stats: with a
+      // 30k budget and a 2.5-epoch repetition cap, the de target (450‰)
+      // is cap-limited (shortfall > 0), en/es/fr are satisfiable, and zh
+      // is untargeted (audit row). All-integer → full DuckDB replay.
+      val stats = t(s, dir, "documents")
+        .groupBy(col("lang").as("stratum"))
+        .agg(sum(graft.ops.TextAnalysis.wsTokenCount(col("text"))).as("tokens"))
+      graft.ops.Curation.epochPlan(stats, "stratum", "tokens",
+        targetPermille = Map("en" -> 200, "de" -> 450, "es" -> 250, "fr" -> 100),
+        budgetTokens = 30000L, maxEpochsMilli = 2500L)
+    }),
+    "ns_sample_stratified" -> ((s, dir) => {
+      // deterministic training-mix sampling: per-language per-mille rates
+      // (mode=rate) and an exact per-language quota (mode=quota), both
+      // driven by the portable md5 hash so DuckDB reproduces membership.
+      val d = t(s, dir, "documents")
+      val rates = Map("en" -> 250, "de" -> 900, "es" -> 500, "fr" -> 750, "zh" -> 100)
+      graft.ops.Curation.stratifiedSample(d, "doc_id", "lang", rates, defaultPermille = 0)
+        .select(lit("rate").as("mode"), col("doc_id"), col("lang"))
+        .unionByName(
+          graft.ops.Curation.stratifiedQuota(d, "doc_id", "lang", quota = 20)
+            .select(lit("quota").as("mode"), col("doc_id"), col("lang")))
+    }),
+    "ns_normalize" -> ((s, dir) => {
+      // Canonical text normalization gate: both engines build the SAME
+      // messy variant of every document (tabs, NBSP, a control char,
+      // a unicode line separator, double spaces, mixed case appended)
+      // and must normalize it to the identical canonical string.
+      val docs = t(s, dir, "documents")
+      // literals, not chr(): Spark's chr wraps at 256 (chr(8232) = "("),
+      // DuckDB's chr is by codepoint — the SQL side uses chr(codepoint)
+      val messy = concat(
+        lit("\t"), col("text"), lit("  "),
+        lit("\u00a0"), lit("MiXeD  CASE"),
+        lit("\u0007"), lit("\u2028"),
+        lit(" tail "))
+      docs.select(col("doc_id"),
+        graft.ops.TextAnalysis.normalizeText(messy).as("norm"))
+    }),
+    "ns_decontaminate_neardup" -> ((s, dir) => {
+      // Near-dup decontamination: docs < 250 play the benchmark, the rest
+      // the corpus; portable hashes + exhaustive buckets so the oracle
+      // replays the banded candidate generation and the Jaccard threshold
+      // exactly (same shared fragments as the other minhash gates).
+      val docs = t(s, dir, "documents")
+      graft.ops.Curation.decontaminateNearDup(
+        docs.filter(col("doc_id") >= 250).select("doc_id", "text"),
+        docs.filter(col("doc_id") < 250),
+        "text", "doc_id", minJaccard = 0.5, portable = true)
+        .select(col("doc_id"), col("contaminated"))
+    }),
+    "ns_decontaminate_embed" -> ((s, dir) => {
+      // Semantic decontamination tier: vectors < 25 play the benchmark;
+      // per corpus vector its max integer-cosine over the benchmark, the
+      // deterministic argmax, and the flag at 990 permille
+      val e = t(s, dir, "embeddings")
+      graft.ops.Curation.decontaminateEmbedding(e,
+        e.filter(col("vec_id") < 25), "embedding", "vec_id",
+        minCosPermille = 990L, dim = 64)
+    }),
+    "ns_kanon_audit" -> ((s, dir) =>
+      // re-identification risk audit: (nation, segment) classes smaller
+      // than k=10 — classes out, never rows
+      graft.ops.Curation.kAnonymityAudit(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 10L)),
+    "ns_kanon_suppress" -> ((s, dir) =>
+      // suppression enforcement: rows surviving the k=10 bar, slim output
+      graft.ops.Curation.suppressToK(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 10L)
+        .select("c_custkey", "c_nationkey", "c_mktsegment")),
+    "ns_top_fraction" -> ((s, dir) => {
+      // Per-language top-300‰ quality keep (exact tier, n_chars as the
+      // integer score): pure integer rank predicate, so DuckDB replays
+      // the kept set row-for-row including the doc_id tie-break.
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      graft.ops.Curation.keepTopFraction(docs, "n_chars", Seq("lang"), 300, "doc_id")
+    }),
+    "ns_pipeline" -> ((s, dir) =>
+      // Composed curation pipeline (dedup → lang → quality → split): the
+      // oracle replays every stage AND the first-drop precedence, pinning
+      // that the operators compose without semantic drift.
+      graft.ops.Pipelines.disposition(t(s, dir, "documents"), "text", "doc_id")),
+    "ns_pipeline_funnel" -> ((s, dir) =>
+      // the audit rollup of the disposition table (stage × split counts)
+      graft.ops.Pipelines.funnel(
+        graft.ops.Pipelines.disposition(t(s, dir, "documents"), "text", "doc_id")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ns_quality_classifier" -> qualityOracleSql,
+    "ns_normalize" ->
+      """SELECT doc_id, lower(trim(regexp_replace(regexp_replace(regexp_replace(
+        |  chr(9) || text || '  ' || chr(160) || 'MiXeD  CASE' || chr(7) || chr(8232) || ' tail ',
+        |  '[\x{0000}-\x{0008}\x{000E}-\x{001F}\x{007F}]', ' ', 'g'),
+        |  '[\t\n\x{000B}\f\r\x{0085}\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]', ' ', 'g'),
+        |  ' {2,}', ' ', 'g'))) AS norm
+        |FROM documents""".stripMargin,
+    "ns_decontaminate_embed" ->
+      """WITH cq AS (SELECT vec_id AS cid,
+        |              list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+        |            FROM embeddings WHERE len(embedding) = 64),
+        |bq AS (SELECT vec_id AS bid,
+        |         list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+        |       FROM embeddings WHERE vec_id < 25 AND len(embedding) = 64),
+        |cn AS (SELECT cid, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq FROM cq),
+        |bn AS (SELECT bid, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq FROM bq),
+        |s AS (SELECT cn.cid, bn.bid,
+        |        CASE WHEN cn.nsq > 0 AND bn.nsq > 0 THEN
+        |          CAST(floor(1000.0 * CAST(list_sum(list_transform(range(1, 65),
+        |                 j -> cn.v[CAST(j AS INT)] * bn.v[CAST(j AS INT)])) AS DOUBLE) /
+        |               (sqrt(CAST(cn.nsq AS DOUBLE)) * sqrt(CAST(bn.nsq AS DOUBLE)))) AS BIGINT)
+        |        ELSE 0 END AS cos
+        |      FROM cn CROSS JOIN bn)
+        |SELECT cid AS vec_id, bid AS best_benchmark_id, cos AS max_cos_permille,
+        |       cos >= 990 AS contaminated
+        |FROM (SELECT cid, bid, cos,
+        |        row_number() OVER (PARTITION BY cid ORDER BY cos DESC, bid) AS rn FROM s)
+        |WHERE rn = 1""".stripMargin,
+    "ns_decontaminate_neardup" ->
+      s"""WITH $minhashSigCtes, hits AS (
+         |  SELECT DISTINCT b.doc_id AS did
+         |  FROM sg a JOIN sg b ON a.doc_id < 250 AND b.doc_id >= 250
+         |  WHERE $minhashPairPredSql
+         |)
+         |SELECT d.doc_id, (h.did IS NOT NULL) AS contaminated
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.did
+         |WHERE d.doc_id >= 250""".stripMargin,
+    "ns_kanon_audit" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS class_size
+        |FROM customer GROUP BY 1, 2 HAVING count(*) < 10""".stripMargin,
+    "ns_kanon_suppress" ->
+      """WITH ok AS (SELECT c_nationkey, c_mktsegment FROM customer
+        |            GROUP BY 1, 2 HAVING count(*) >= 10)
+        |SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment
+        |FROM customer c JOIN ok USING (c_nationkey, c_mktsegment)""".stripMargin,
+    "ns_top_fraction" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |WHERE rk * 1000 <= n * 300""".stripMargin,
+    "ns_chunk" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) <= 32 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(0, (len(toks) - 32 + 23) // 24 + 1),
+        |           i -> array_to_string(toks[i*24 + 1 : least(i*24 + 32, len(toks))], ' ')) END AS chunks
+        |  FROM tk)
+        |SELECT doc_id, CAST(pos AS INT) AS chunk_idx, chunk,
+        |       CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_chunk_tokens
+        |FROM (SELECT doc_id, unnest(range(0, len(chunks))) AS pos, unnest(chunks) AS chunk FROM c)""".stripMargin,
+    "ns_pack" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) <= 32 THEN [CAST(len(toks) AS BIGINT)]
+        |         ELSE list_transform(range(0, (len(toks) - 32 + 23) // 24 + 1),
+        |           i -> CAST(least(i*24 + 32, len(toks)) - i*24 AS BIGINT)) END AS lens
+        |  FROM tk),
+        |u AS (
+        |  SELECT doc_id, CAST(pos AS INT) AS chunk_idx, l AS n_tokens
+        |  FROM (SELECT doc_id, unnest(range(0, len(lens))) AS pos, unnest(lens) AS l FROM c)),
+        |g AS (
+        |  SELECT *, row_number() OVER (PARTITION BY pack_group ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM (SELECT doc_id, chunk_idx, n_tokens,
+        |          CAST(('0x' || substr(md5('graft|' || concat_ws('|', doc_id, chunk_idx)), 1, 8))::UBIGINT
+        |               & 2147483647 AS BIGINT) % 8 AS pack_group FROM u)),
+        |p AS (
+        |  SELECT pack_group, rn, doc_id, chunk_idx, n_tokens,
+        |         CAST(0 AS BIGINT) AS bin_idx, CAST(0 AS BIGINT) AS bin_off, n_tokens AS acc
+        |  FROM g WHERE rn = 1
+        |  UNION ALL
+        |  SELECT g.pack_group, g.rn, g.doc_id, g.chunk_idx, g.n_tokens,
+        |    CASE WHEN p.acc + g.n_tokens <= 128 THEN p.bin_idx ELSE p.bin_idx + 1 END,
+        |    CASE WHEN p.acc + g.n_tokens <= 128 THEN p.acc ELSE CAST(0 AS BIGINT) END,
+        |    CASE WHEN p.acc + g.n_tokens <= 128 THEN p.acc + g.n_tokens ELSE g.n_tokens END
+        |  FROM g JOIN p ON g.pack_group = p.pack_group AND g.rn = p.rn + 1)
+        |SELECT pack_group, doc_id, chunk_idx, n_tokens, bin_idx, bin_off FROM p""".stripMargin,
+    "ns_ldiversity" ->
+      """WITH c AS (SELECT o_custkey, o_orderstatus, count(*) AS n
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT o_custkey, CAST(sum(n) AS BIGINT) AS class_size,
+        |       CAST(count(*) AS BIGINT) AS sensitive_diversity
+        |FROM c GROUP BY 1 HAVING count(*) < 3""".stripMargin,
+    "ns_tcloseness" ->
+      """WITH vc AS (SELECT o_orderpriority AS qp, o_orderstatus AS v, count(*) AS nvc
+        |            FROM orders GROUP BY 1, 2),
+        |c AS (SELECT qp, sum(nvc) AS nc FROM vc GROUP BY 1),
+        |g AS (SELECT v, sum(nvc) AS nv FROM vc GROUP BY 1),
+        |t AS (SELECT sum(nvc) AS n FROM vc),
+        |p AS (SELECT c.qp, c.nc, g.v, g.nv FROM c CROSS JOIN g),
+        |j AS (SELECT p.qp, p.nc, p.nv, coalesce(vc.nvc, 0) AS nvc
+        |      FROM p LEFT JOIN vc ON p.qp = vc.qp AND p.v = vc.v)
+        |SELECT qp AS o_orderpriority, CAST(max(nc) AS BIGINT) AS class_size,
+        |       CAST((500 * sum(abs(nvc * (SELECT n FROM t) - nv * nc))) //
+        |            (max(nc) * (SELECT n FROM t)) AS BIGINT) AS dist_permille
+        |FROM j GROUP BY 1 HAVING CAST((500 * sum(abs(nvc * (SELECT n FROM t) - nv * nc))) //
+        |            (max(nc) * (SELECT n FROM t)) AS BIGINT) > 5""".stripMargin,
+    "ns_trim_tokens" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
+        |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |       CAST(least(len(t), 50) AS BIGINT) AS n_kept,
+        |       len(t) > 50 AS truncated,
+        |       array_to_string(t[1:50], ' ') AS text_trim
+        |FROM tk""".stripMargin,
+    "ns_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN hv < 800 THEN 'train' WHEN hv < 900 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        (('0x' || substr(md5('graft-split|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |         & 2147483647) % 1000 AS hv
+        |      FROM documents)""".stripMargin,
+    "ns_epoch_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY hv, doc_id) - 1 AS BIGINT) AS shuffle_pos
+        |FROM (SELECT doc_id,
+        |        (('0x' || substr(md5('graft-shuffle-e1|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |         & 2147483647) AS hv
+        |      FROM documents)""".stripMargin,
+    "ns_epoch_plan" ->
+      """WITH st AS (
+        |  SELECT lang AS stratum,
+        |    CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+        |             ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |tgt(stratum, permille) AS (VALUES ('en', 200), ('de', 450), ('es', 250), ('fr', 100)),
+        |p AS (
+        |  SELECT st.stratum, st.tokens, CAST(coalesce(tgt.permille, 0) AS BIGINT) AS permille
+        |  FROM st LEFT JOIN tgt USING (stratum)),
+        |e AS (SELECT *, (30000 * permille) // 1000 AS target_tokens FROM p),
+        |f AS (SELECT *, least(CASE WHEN tokens > 0 THEN (target_tokens * 1000) // tokens
+        |                           ELSE 0 END, 2500) AS epochs_milli FROM e),
+        |g AS (SELECT *, (tokens * epochs_milli) // 1000 AS planned_tokens FROM f),
+        |h AS (SELECT *, target_tokens - planned_tokens AS shortfall FROM g)
+        |SELECT stratum, tokens, permille, target_tokens, epochs_milli, planned_tokens, shortfall,
+        |  CASE WHEN (SELECT sum(planned_tokens) FROM h) > 0
+        |       THEN (planned_tokens * 1000) // CAST((SELECT sum(planned_tokens) FROM h) AS BIGINT)
+        |       ELSE 0 END AS achieved_permille
+        |FROM h""".stripMargin,
+    "ns_boilerplate" ->
+      """WITH t2 AS (SELECT doc_id,
+        |        string_split(regexp_replace(lower(trim(text)), '((?:\S+ ){4}\S+) ', '\1' || chr(10), 'g'), chr(10)) AS lines
+        |      FROM documents),
+        |l AS (SELECT doc_id, unnest(range(1, len(lines) + 1)) AS pos, unnest(lines) AS line,
+        |             len(lines) AS n_lines FROM t2),
+        |s AS (SELECT *,
+        |        len(string_split_regex(lower(trim(line)), '\s+')) AS n_words,
+        |        len(list_filter(string_split_regex(lower(trim(line)), '\s+'),
+        |          t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], t))) AS stop_hits,
+        |        len(regexp_extract_all(line, '(?:^| )(?:https?://|www\.)')) AS n_links
+        |      FROM l)
+        |SELECT doc_id, CAST(any_value(n_lines) AS BIGINT) AS n_lines, count(*) AS n_kept,
+        |       string_agg(line, chr(10) ORDER BY pos) AS text_clean
+        |FROM s
+        |WHERE n_words >= 3 AND stop_hits * 1000 >= 100 * n_words AND n_links * 1000 <= 1000 * n_words
+        |GROUP BY doc_id""".stripMargin,
+    "ns_dsir" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |f AS (
+        |  SELECT doc_id, lang,
+        |    list_concat(toks, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS grams
+        |  FROM tk),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |    CAST((('0x' || substr(md5(g), 1, 8))::UBIGINT & 2147483647) % 1024 AS INT) AS bucket,
+        |    count(*) AS c
+        |  FROM (SELECT doc_id, lang, unnest(grams) AS g FROM f) GROUP BY 1, 2, 3),
+        |tt AS (SELECT bucket, sum(c) AS tb FROM b WHERE lang = 'de' GROUP BY 1),
+        |rr AS (SELECT bucket, sum(c) AS rb FROM b GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CAST(sum(b.c) AS BIGINT) AS n_feats,
+        |  CAST(sum(b.c * coalesce(tt.tb, 0)) AS BIGINT) AS t_hits,
+        |  CAST(sum(b.c * rr.rb) AS BIGINT) AS r_hits
+        |FROM b LEFT JOIN tt USING (bucket) JOIN rr USING (bucket)
+        |GROUP BY 1""".stripMargin,
+    "ns_lm_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |tr AS (SELECT toks FROM tk WHERE doc_id % 2 = 0),
+        |uni AS (SELECT t AS tok, count(*) AS c
+        |        FROM (SELECT unnest(toks) AS t FROM tr) GROUP BY 1),
+        |big AS (SELECT p, t, count(*) AS c FROM (
+        |          SELECT unnest(toks[1:len(toks)-1]) AS p,
+        |                 unnest(toks[2:len(toks)]) AS t
+        |          FROM tr WHERE len(toks) >= 2) GROUP BY 1, 2),
+        |pos AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i,
+        |               unnest(toks) AS tok, toks FROM tk),
+        |pt AS (SELECT doc_id, i, tok,
+        |              CASE WHEN i = 1 THEN NULL ELSE toks[i-1] END AS prev
+        |       FROM pos),
+        |j AS (SELECT pt.doc_id, pt.i, b.c AS cb, uw.c AS cw
+        |      FROM pt
+        |      LEFT JOIN big b ON pt.prev = b.p AND pt.tok = b.t
+        |      LEFT JOIN uni uw ON pt.tok = uw.tok)
+        |SELECT doc_id,
+        |  count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN cw IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(CASE WHEN i > 1 AND cb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  CAST(sum(CASE WHEN i > 1 THEN coalesce(cb, 0) ELSE 0 END) AS BIGINT) AS sum_cb,
+        |  CAST(sum(coalesce(cw, 0)) AS BIGINT) AS sum_cw
+        |FROM j GROUP BY 1""".stripMargin,
+    "ns_bpe" -> bpeOracleSql,
+    "ns_bpe_fertility" ->
+      s"""WITH $bpeEncodeCtes,
+         |tc AS (SELECT doc_id, CAST(sum(len(subs)) AS BIGINT) AS ntok FROM e GROUP BY 1),
+         |d AS (SELECT doc_id, lang, strlen(text) AS nb FROM documents)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(COALESCE(tc.ntok, 0)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(d.nb) AS BIGINT) AS n_bytes,
+         |  CAST((1000 * sum(d.nb)) // greatest(sum(COALESCE(tc.ntok, 0)), 1) AS BIGINT) AS bytes_per_token_permille
+         |FROM d LEFT JOIN tc ON d.doc_id = tc.doc_id GROUP BY 1""".stripMargin,
+    "ns_pii_redact" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' card 4111' || lpad(CAST(doc_id AS VARCHAR), 12, '0') ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+        |    AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\+\d{1,2}-\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text, '\b\d{13,16}\b')) AS BIGINT) AS n_ccs,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+\d{1,2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |    '\b\d{13,16}\b', '<CC>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM inj""".stripMargin,
+    "ns_decontaminate" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(toks) - 2), i -> array_to_string(toks[i:i+3], ' '))) END AS grams
+        |      FROM tk),
+        |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 17 = 0),
+        |hits AS (SELECT doc_id, count(*) AS n_hits
+        |         FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 17 != 0) cg
+        |         JOIN bg USING (gram) GROUP BY doc_id)
+        |SELECT g.doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_contaminated_grams,
+        |  coalesce(n_hits, 0) >= 1 AS contaminated
+        |FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
+        |WHERE g.doc_id % 17 != 0""".stripMargin,
+    "ns_split_by_cluster" ->
+      """WITH cl AS (SELECT doc_id AS id, doc_id % 37 AS cluster_id FROM documents WHERE doc_id % 2 = 0),
+        |j AS (SELECT d.doc_id, d.lang, COALESCE(cl.cluster_id, d.doc_id) AS k
+        |      FROM documents d LEFT JOIN cl ON d.doc_id = cl.id),
+        |h AS (SELECT doc_id, lang,
+        |        (('0x' || substr(md5('graft-split|' || CAST(k AS VARCHAR)), 1, 8))::UBIGINT & 2147483647) % 1000 AS hv
+        |      FROM j)
+        |SELECT doc_id, lang,
+        |  CASE WHEN hv < 800 THEN 'train' WHEN hv < 900 THEN 'val' ELSE 'test' END AS split
+        |FROM h""".stripMargin,
+    "ns_contamination_report" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(toks) - 2), i -> array_to_string(toks[i:i+3], ' '))) END AS grams
+        |      FROM tk),
+        |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 17 = 0),
+        |hits AS (SELECT doc_id, count(*) AS n_hits
+        |         FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 17 != 0) cg
+        |         JOIN bg USING (gram) GROUP BY doc_id),
+        |per AS (SELECT g.doc_id, coalesce(n_hits, 0) >= 1 AS contaminated
+        |        FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
+        |        WHERE g.doc_id % 17 != 0)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN per.contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  CAST((1000 * sum(CASE WHEN per.contaminated THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS contaminated_permille
+        |FROM per JOIN documents d ON per.doc_id = d.doc_id
+        |GROUP BY 1""".stripMargin,
+    "ns_badwords" ->
+      """WITH terms AS (SELECT unnest(['big table', 'slow', 'a', 'nosuchterm']) AS term),
+        |hits AS (
+        |  SELECT d.doc_id, t.term,
+        |         len(list_filter(range(1, length(lower(d.text)) - length(t.term) + 2),
+        |             i -> lower(d.text)[i:i + length(t.term) - 1] = t.term)) AS n
+        |  FROM documents d CROSS JOIN terms t)
+        |SELECT doc_id,
+        |       CAST(sum(n) AS BIGINT) AS n_matches,
+        |       CAST(count(*) FILTER (WHERE n > 0) AS INT) AS n_distinct_terms,
+        |       sum(n) >= 3 AS flagged
+        |FROM hits GROUP BY doc_id""".stripMargin,
+    "ns_decontaminate_bloom" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(toks) - 2), i -> array_to_string(toks[i:i+3], ' '))) END AS grams
+        |      FROM tk),
+        |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 17 = 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams,
+        |       count(*) >= 1 AS contaminated
+        |FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 17 != 0) cg
+        |JOIN bg USING (gram)
+        |GROUP BY doc_id""".stripMargin,
+    "ns_quality_filter" -> qualityFilterSql,
+    "ns_align_scores" ->
+      """WITH refr AS (SELECT n_chars AS rv, row_number() OVER (ORDER BY n_chars) AS idx
+        |              FROM documents WHERE doc_id < 100),
+        |mm AS (SELECT count(*) AS m FROM documents WHERE doc_id < 100),
+        |d AS (SELECT lang, doc_id, n_chars,
+        |        row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS r,
+        |        count(*) OVER (PARTITION BY lang) AS n
+        |      FROM documents)
+        |SELECT d.lang, d.doc_id, d.n_chars,
+        |       CAST((d.r * 1000) // d.n AS BIGINT) AS pct_permille,
+        |       refr.rv AS aligned_score
+        |FROM d CROSS JOIN mm
+        |JOIN refr ON refr.idx = (d.r * mm.m + d.n - 1) // d.n""".stripMargin,
+    "ns_filter_funnel" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN NOT coalesce(n_chars >= 100, FALSE) THEN 1 ELSE 0 END) AS k1,
+        |  sum(CASE WHEN coalesce(n_chars >= 100, FALSE)
+        |            AND NOT coalesce(lang != 'zh', FALSE) THEN 1 ELSE 0 END) AS k2,
+        |  sum(CASE WHEN coalesce(n_chars >= 100, FALSE) AND coalesce(lang != 'zh', FALSE)
+        |            AND NOT coalesce(length(text) - length(replace(text, ' ', '')) + 1 >= 30, FALSE)
+        |           THEN 1 ELSE 0 END) AS k3
+        |  FROM documents)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'min_chars' AS rule, CAST(n AS BIGINT) AS n_in,
+        |       CAST(k1 AS BIGINT) AS n_killed, CAST(n - k1 AS BIGINT) AS n_out,
+        |       CAST((k1 * 1000) // n AS BIGINT) AS killed_permille FROM a
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'lang_ok', CAST(n - k1 AS BIGINT), CAST(k2 AS BIGINT),
+        |       CAST(n - k1 - k2 AS BIGINT), CAST((k2 * 1000) // (n - k1) AS BIGINT) FROM a
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'min_words', CAST(n - k1 - k2 AS BIGINT), CAST(k3 AS BIGINT),
+        |       CAST(n - k1 - k2 - k3 AS BIGINT), CAST((k3 * 1000) // (n - k1 - k2) AS BIGINT) FROM a""".stripMargin,
+    "ns_repetition" -> repetitionSql,
+    "ns_percentile_rank" ->
+      """WITH s AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS score FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rk,
+        |        count(*) OVER (PARTITION BY lang) AS n FROM s)
+        |SELECT doc_id, lang, score,
+        |  CAST(((rk - 1) * 1000) // greatest(n - 1, 1) AS INT) AS permille FROM r""".stripMargin,
+    "ns_sample_stratified" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |  (('0x' || substr(md5('graft|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT & 2147483647) AS hv
+        |  FROM documents)
+        |SELECT 'rate' AS mode, doc_id, lang FROM h
+        |WHERE hv % 1000 < CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 900 WHEN 'es' THEN 500
+        |                            WHEN 'fr' THEN 750 WHEN 'zh' THEN 100 ELSE 0 END
+        |UNION ALL
+        |SELECT 'quota' AS mode, doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk FROM h)
+        |WHERE rk <= 20""".stripMargin,
+    "ns_pipeline" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+        |), lang AS (
+        |  SELECT doc_id,
+        |    CASE WHEN s_de = best AND best > 0 THEN 'de'
+        |         WHEN s_en = best AND best > 0 THEN 'en'
+        |         WHEN s_es = best AND best > 0 THEN 'es'
+        |         WHEN s_fr = best AND best > 0 THEN 'fr'
+        |         WHEN s_zh = best AND best > 0 THEN 'zh'
+        |         ELSE 'und' END AS lang_pred
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit'))) AS s_de,
+        |      len(list_filter(toks, x -> x IN ('the','and','of','to','is','that','with'))) AS s_en,
+        |      len(list_filter(toks, x -> x IN ('el','la','los','las','que','es','con'))) AS s_es,
+        |      len(list_filter(toks, x -> x IN ('le','la','les','est','que','avec','pour'))) AS s_fr,
+        |      len(list_filter(toks, x -> x IN ('的','是','了','在','我','不'))) AS s_zh,
+        |      greatest(
+        |        len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit'))),
+        |        len(list_filter(toks, x -> x IN ('the','and','of','to','is','that','with'))),
+        |        len(list_filter(toks, x -> x IN ('el','la','los','las','que','es','con'))),
+        |        len(list_filter(toks, x -> x IN ('le','la','les','est','que','avec','pour'))),
+        |        len(list_filter(toks, x -> x IN ('的','是','了','在','我','不')))) AS best
+        |    FROM tk)
+        |), q AS (
+        |  SELECT doc_id,
+        |    (len(toks) >= 30
+        |     AND CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) >= 4.0
+        |     AND len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) >= 2) AS q_keep
+        |  FROM tk
+        |), rep AS (
+        |  SELECT coalesce(md5(text), '∅' || CAST(doc_id AS VARCHAR)) AS digest,
+        |         min(doc_id) AS rep_id
+        |  FROM documents GROUP BY 1
+        |), d0 AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id != r.rep_id THEN 'dedup'
+        |         WHEN l.lang_pred != 'en' THEN 'lang'
+        |         WHEN NOT q.q_keep THEN 'quality' END AS dropped_at
+        |  FROM documents d
+        |  JOIN rep r ON coalesce(md5(d.text), '∅' || CAST(d.doc_id AS VARCHAR)) = r.digest
+        |  JOIN lang l USING (doc_id) JOIN q USING (doc_id)
+        |)
+        |SELECT doc_id, dropped_at,
+        |  CASE WHEN dropped_at IS NULL THEN
+        |    CASE WHEN hv < 800 THEN 'train' WHEN hv < 900 THEN 'val' ELSE 'test' END
+        |  END AS split
+        |FROM (SELECT *,
+        |        (('0x' || substr(md5('graft-split|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |         & 2147483647) % 1000 AS hv
+        |      FROM d0)""".stripMargin,
+    "ns_dialog_audit" ->
+      """WITH msg AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    CASE WHEN event_id % 97 = 0 THEN ''
+        |         WHEN event_id % 53 = 0 THEN event_type || ' <|endoftext|>'
+        |         ELSE event_type END AS content
+        |  FROM events WHERE user_id % 20 = 3),
+        |w AS (
+        |  SELECT user_id, event_id, role, content,
+        |    lag(role) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_role
+        |  FROM msg)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_turns,
+        |  arg_min(role, event_id) AS first_role,
+        |  arg_max(role, event_id) AS last_role,
+        |  CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT) AS n_role_repeats,
+        |  CAST(sum(CASE WHEN trim(content) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+        |  CAST(sum(CASE WHEN regexp_matches(content, '<\|[A-Za-z_]+\|>') THEN 1 ELSE 0 END) AS BIGINT) AS n_special
+        |FROM w GROUP BY user_id""".stripMargin,
+    "ns_token_budget" ->
+      """WITH d AS (SELECT source, doc_id, n_chars AS score,
+        |             n_chars // 5 AS t FROM documents),
+        |w AS (SELECT source, doc_id, score, CAST(t AS BIGINT) AS n_tokens,
+        |        CAST(sum(t) OVER (PARTITION BY source ORDER BY score DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |      FROM d)
+        |SELECT source, doc_id, score, n_tokens, cum_tokens,
+        |  CAST(CASE WHEN cum_tokens <= 3000 THEN 1 ELSE 0 END AS INT) AS selected
+        |FROM w""".stripMargin,
+    "ns_preference_audit" ->
+      """WITH p AS (
+        |  SELECT doc_id, text AS chosen,
+        |    CASE WHEN doc_id % 7 = 0 THEN text
+        |         WHEN doc_id % 11 = 0 THEN ''
+        |         ELSE replace(text, 'value', 'worth') END AS rejected
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, chosen, rejected,
+        |    CASE WHEN length(trim(chosen)) = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(len(string_split_regex(trim(chosen), '\s+')) AS BIGINT) END AS nc,
+        |    CASE WHEN length(trim(rejected)) = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(len(string_split_regex(trim(rejected), '\s+')) AS BIGINT) END AS nr
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN chosen = rejected THEN 1 ELSE 0 END AS INT) AS identical,
+        |  CAST(CASE WHEN nc = 0 THEN 1 ELSE 0 END AS INT) AS chosen_empty,
+        |  CAST(CASE WHEN nr = 0 THEN 1 ELSE 0 END AS INT) AS rejected_empty,
+        |  nc AS n_tokens_chosen, nr AS n_tokens_rejected,
+        |  CASE WHEN greatest(nc, nr) = 0 THEN CAST(1000 AS BIGINT)
+        |       ELSE CAST((least(nc, nr) * 1000) // greatest(nc, nr) AS BIGINT) END AS len_ratio_permille
+        |FROM c""".stripMargin,
+    "ns_span_corrupt" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |tn AS (SELECT doc_id, toks, len(toks) AS n FROM tk),
+        |rec(doc_id, pos, nf, k, corr, tgt) AS (
+        |  SELECT doc_id, -1, 0, 0, '', '' FROM tn
+        |  UNION ALL
+        |  SELECT r.doc_id, r.pos + 1,
+        |    CASE WHEN opens THEN r.pos + 1 + 3 ELSE r.nf END,
+        |    CASE WHEN opens THEN r.k + 1 ELSE r.k END,
+        |    CASE WHEN opens THEN r.corr || CASE WHEN r.corr = '' THEN '' ELSE ' ' END || '<extra_id_' || CAST(r.k AS VARCHAR) || '>'
+        |         WHEN inspan THEN r.corr
+        |         ELSE r.corr || CASE WHEN r.corr = '' THEN '' ELSE ' ' END || t END,
+        |    CASE WHEN opens THEN r.tgt || CASE WHEN r.tgt = '' THEN '' ELSE ' ' END || '<extra_id_' || CAST(r.k AS VARCHAR) || '>' || ' ' || t
+        |         WHEN inspan THEN r.tgt || ' ' || t
+        |         ELSE r.tgt END
+        |  FROM (
+        |    SELECT r0.*, tn.toks[r0.pos + 2] AS t, tn.n,
+        |      (r0.pos + 1) < r0.nf AS inspan,
+        |      (r0.pos + 1) >= r0.nf AND
+        |        (('0x' || substr(md5('graft-span|' || CAST(r0.doc_id AS VARCHAR) || ':' || CAST(r0.pos + 1 AS VARCHAR)), 1, 8))::UBIGINT
+        |          & 2147483647) % 1000 < 150 AS opens
+        |    FROM rec r0 JOIN tn ON tn.doc_id = r0.doc_id
+        |    WHERE r0.pos + 1 < tn.n) r)
+        |SELECT r.doc_id, r.corr AS corrupted, r.tgt AS target,
+        |  CAST(tn.n AS BIGINT) AS n_tokens, CAST(r.k AS BIGINT) AS n_spans
+        |FROM rec r JOIN tn ON tn.doc_id = r.doc_id AND r.pos = tn.n - 1""".stripMargin,
+    "ns_word_dropout" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, toks,
+        |    list_filter(toks, (x, i) ->
+        |      (('0x' || substr(md5('graft-dropout|' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 8))::UBIGINT
+        |        & 2147483647) % 1000 >= 200) AS kept
+        |  FROM tk)
+        |SELECT doc_id, array_to_string(kept, ' ') AS text,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(kept) AS BIGINT) AS n_kept
+        |FROM k""".stripMargin,
+    "ns_dialog_pipeline" ->
+      """WITH RECURSIVE msg AS (
+        |  SELECT user_id, event_id,
+        |    (CASE WHEN event_id % 97 = 0 THEN ''
+        |          WHEN event_id % 53 = 0 THEN event_type || ' <|endoftext|>'
+        |          ELSE event_type END) ||
+        |    (CASE WHEN event_id % 3 = 0 THEN ' mail u' || CAST(event_id AS VARCHAR) || '@ex.com' ELSE '' END) AS content
+        |  FROM events WHERE user_id % 20 = 3),
+        |aud AS (SELECT user_id,
+        |    sum(CASE WHEN trim(content) = '' THEN 1 ELSE 0 END) AS ne,
+        |    sum(CASE WHEN regexp_matches(content, '<\|[A-Za-z_]+\|>') THEN 1 ELSE 0 END) AS ns
+        |  FROM msg GROUP BY 1),
+        |kept AS (SELECT user_id FROM aud WHERE ne = 0 AND ns <= 1),
+        |red AS (SELECT m.user_id, m.event_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(m.content,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+\d{1,2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |      '\b\d{13,16}\b', '<CC>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS content
+        |  FROM msg m JOIN kept USING (user_id)),
+        |tok AS (SELECT user_id, event_id,
+        |    CASE WHEN length(trim(content)) = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(len(string_split_regex(trim(content), '\s+')) AS BIGINT) END AS t,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS pos
+        |  FROM red),
+        |rec(user_id, pos, cum, chunk) AS (
+        |  SELECT user_id, pos, t, CAST(0 AS BIGINT) FROM tok WHERE pos = 0
+        |  UNION ALL
+        |  SELECT m.user_id, m.pos,
+        |    CASE WHEN r.cum > 0 AND r.cum + m.t > 9 THEN m.t ELSE r.cum + m.t END,
+        |    CASE WHEN r.cum > 0 AND r.cum + m.t > 9 THEN r.chunk + 1 ELSE r.chunk END
+        |  FROM rec r JOIN tok m ON m.user_id = r.user_id AND m.pos = r.pos + 1)
+        |SELECT r.user_id, r.pos, r.chunk AS chunk_idx, m.t AS n_tokens
+        |FROM rec r JOIN tok m ON m.user_id = r.user_id AND m.pos = r.pos""".stripMargin,
+    "ns_dialog_pack" ->
+      """WITH RECURSIVE msg AS (
+        |  SELECT user_id, event_id,
+        |    CAST(event_id % 5 + 1 AS BIGINT) AS t,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS pos
+        |  FROM events WHERE user_id % 20 = 3),
+        |rec(user_id, pos, cum, chunk) AS (
+        |  SELECT user_id, pos, t, CAST(0 AS BIGINT) FROM msg WHERE pos = 0
+        |  UNION ALL
+        |  SELECT m.user_id, m.pos,
+        |    CASE WHEN r.cum > 0 AND r.cum + m.t > 7 THEN m.t ELSE r.cum + m.t END,
+        |    CASE WHEN r.cum > 0 AND r.cum + m.t > 7 THEN r.chunk + 1 ELSE r.chunk END
+        |  FROM rec r JOIN msg m ON m.user_id = r.user_id AND m.pos = r.pos + 1)
+        |SELECT r.user_id, r.pos, r.chunk AS chunk_idx, m.t AS n_tokens
+        |FROM rec r JOIN msg m ON m.user_id = r.user_id AND m.pos = r.pos""".stripMargin,
+    "ns_dialog_redact" ->
+      """WITH msg AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    event_type ||
+        |      CASE WHEN event_id % 3 = 0 THEN ' mail u' || CAST(event_id AS VARCHAR) || '@ex.com' ELSE '' END ||
+        |      CASE WHEN event_id % 5 = 0 THEN ' ip 10.0.0.' || CAST(event_id % 256 AS VARCHAR) ELSE '' END AS content
+        |  FROM events WHERE user_id % 20 = 3)
+        |SELECT user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS pos,
+        |  role,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(content,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+\d{1,2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |    '\b\d{13,16}\b', '<CC>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS content
+        |FROM msg""".stripMargin
+  )
+}
