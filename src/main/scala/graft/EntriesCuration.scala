@@ -19,6 +19,26 @@ private[graft] object EntriesCuration {
   import EntrySupport._
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_preference_pairs" -> ((s, dir) =>
+      // RLHF pair construction: per user (the prompt proxy) the best- and
+      // worst-scored events become (chosen, rejected), gap-gated at one
+      // dollar; ties break to the smallest event id on both sides — one
+      // partial-agg groupBy, replayed by the oracle as two rank windows
+      graft.ops.Curation.preferencePairsFromScores(
+        t(s, dir, "events").select(col("user_id").as("prompt"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents")),
+        "prompt", "event_id", "cents", minGap = 100L)),
+    "ns_pack_efficiency" -> ((s, dir) => {
+      // packing QA over the ns_pack layout: per (group, bin) fill/waste
+      // against the 128-token budget; the oracle derives from ns_pack's
+      // recursive replay (SparkEntry.oracleSql), so the two cannot drift
+      val chunks = graft.ops.Curation.chunkByTokens(t(s, dir, "documents"),
+        "text", "doc_id", size = 32, overlap = 8)
+      graft.ops.Curation.packEfficiency(
+        graft.ops.Curation.packSequences(chunks, "n_chunk_tokens",
+          Seq("doc_id", "chunk_idx"), budget = 128, nGroups = 8),
+        Seq("pack_group", "bin_idx"), "n_tokens", budget = 128L)
+    }),
     "ns_quality_classifier" -> ((s, dir) => {
       // Model-based quality filtering (fastText/logreg analog): score every
       // document with the FROZEN trained linear model — integer dot over
@@ -459,6 +479,19 @@ private[graft] object EntriesCuration {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ns_preference_pairs" ->
+      """WITH e AS (SELECT user_id AS prompt, event_id,
+        |                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT prompt, event_id AS chosen_id, cents AS chosen_score,
+        |        row_number() OVER (PARTITION BY prompt ORDER BY cents DESC, event_id ASC) AS rn
+        |      FROM e),
+        |w AS (SELECT prompt, event_id AS rejected_id, cents AS rejected_score,
+        |        row_number() OVER (PARTITION BY prompt ORDER BY cents ASC, event_id ASC) AS rn
+        |      FROM e)
+        |SELECT b.prompt, chosen_id, rejected_id, chosen_score, rejected_score,
+        |       chosen_score - rejected_score AS gap
+        |FROM b JOIN w ON b.prompt = w.prompt AND b.rn = 1 AND w.rn = 1
+        |WHERE chosen_score - rejected_score >= 100""".stripMargin,
     "ns_quality_classifier" -> qualityOracleSql,
     "ns_normalize" ->
       """SELECT doc_id, lower(trim(regexp_replace(regexp_replace(regexp_replace(

@@ -19,6 +19,23 @@ private[graft] object EntriesProfile {
   import EntrySupport._
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_kripp_alpha" -> ((s, dir) =>
+      // panel agreement with MISSING ratings: events quartets act as
+      // annotation units (event_id div 4), event_type as the label, and
+      // the value filter varies panel size per unit — exactly the ragged
+      // shape Cohen's kappa cannot take. Integer-exact via the lcm(1..12)
+      // scaling; the oracle replays the coincidence identities in HUGEINT
+      graft.ops.Profile.krippendorffAlpha(
+        t(s, dir, "events").filter(col("value") >= 5)
+          .select(call_function("div", col("event_id"), lit(4L)).as("panel"),
+            col("event_type")),
+        "panel", "event_type")),
+    "ns_lang_segments" -> ((s, dir) =>
+      // code-switch audit: per-20-token-segment language prediction and
+      // the per-doc mixture rollup; the oracle's marker lists interpolate
+      // from TextAnalysis.LangMarkers so the gate cannot drift
+      graft.ops.TextAnalysis.langSegments(
+        t(s, dir, "documents"), "text", "doc_id", chunkTokens = 20)),
     "ns_gini" -> ((s, dir) =>
       // corpus-concentration headline: how dominated is doc mass per
       // source; tie-invariant coefficient sum makes the milli exact
@@ -360,6 +377,22 @@ private[graft] object EntriesProfile {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ns_kripp_alpha" ->
+      """WITH r AS (SELECT event_id // 4 AS u, event_type AS c FROM events WHERE value >= 5),
+        |cnt AS (SELECT u, c, CAST(count(*) AS HUGEINT) AS k FROM r GROUP BY 1, 2),
+        |unit AS (SELECT u, sum(k) AS m, sum(k*k) AS ss FROM cnt GROUP BY 1 HAVING sum(k) >= 2),
+        |terms AS (SELECT u, m, (m*m - ss) * (27720 // (m - 1)) AS s FROM unit),
+        |gl AS (SELECT coalesce(sum(s), 0) AS S, coalesce(sum(m), 0) AS n,
+        |              CAST(count(*) AS BIGINT) AS n_units FROM terms),
+        |lt AS (SELECT c, sum(k) AS nc FROM cnt JOIN unit USING (u) GROUP BY 1),
+        |lab AS (SELECT coalesce(sum(nc*nc), 0) AS sum_nc2,
+        |               CAST(count(*) AS BIGINT) AS n_labels FROM lt)
+        |SELECT n_units, CAST(n AS BIGINT) AS n_ratings, n_labels,
+        |  CASE WHEN 27720 * (n*n - sum_nc2) = 0 THEN NULL
+        |       ELSE CAST((1000 * (27720 * (n*n - sum_nc2) - (n - 1) * S))
+        |                 // (27720 * (n*n - sum_nc2)) AS BIGINT) END AS alpha_milli
+        |FROM gl, lab""".stripMargin,
+    "ns_lang_segments" -> langSegmentsSql(20),
     "ns_length_histogram" ->
       """WITH d AS (
         |  SELECT lang, CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n

@@ -738,4 +738,61 @@ private[graft] object EntrySupport {
       |)""".stripMargin
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */
+
+  /** Oracle SQL for [[graft.ops.TextAnalysis.langSegments]], GENERATED
+    * from `TextAnalysis.LangMarkers` (the marker lists interpolate from
+    * the same definitions the operator evaluates, so the gate cannot
+    * drift from the model — the qualityFilterSql convention). Per-chunk
+    * langId replays as list_filter marker counts with the alphabetical
+    * tie CASE; the mixture rollup replays as list_filter counts over the
+    * predicted-segment list.
+    */
+  private[graft] def langSegmentsSql(k: Int): String = {
+    val markers = graft.ops.TextAnalysis.LangMarkers.toSeq.sortBy(_._1)
+    val codes = (markers.map(_._1) :+ "und").sorted
+    def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+    // per-chunk score per language — the chunk slice inlines into every
+    // list_filter because DuckDB lambdas cannot hold subqueries; only the
+    // oracle pays the repetition
+    val chunk = s"list_slice(toks, i * $k + 1, least((i + 1) * $k, n_tokens))"
+    val scores = markers.map { case (_, ws) =>
+      s"len(list_filter($chunk, x -> x IN (${inList(ws)})))"
+    }
+    val best = s"greatest(${scores.mkString(", ")})"
+    val pickCases = markers.zipWithIndex.map { case ((code, _), i) =>
+      s"WHEN ${scores(i)} = $best THEN '$code'"
+    }.mkString(" ")
+    val segLang = s"CASE WHEN $best = 0 THEN 'und' $pickCases END"
+    val perCode = codes.map(c =>
+      s"len(list_filter(segs, x -> x = '$c')) AS n_$c").mkString(",\n        ")
+    val topN = s"greatest(${codes.map(c => s"n_$c").mkString(", ")})"
+    val topCases = codes.map(c => s"WHEN n_$c = top_n THEN '$c'").mkString(" ")
+    val nLangs = codes.map(c => s"CASE WHEN n_$c > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |    CAST((n_tokens + ${k - 1}) // $k AS BIGINT) AS n_segments,
+       |    CASE WHEN n_tokens = 0 THEN CAST([] AS VARCHAR[])
+       |      ELSE list_transform(range((n_tokens + ${k - 1}) // $k),
+       |        i -> $segLang)
+       |      END AS segs
+       |  FROM d),
+       |cts AS (
+       |  SELECT doc_id, n_tokens, n_segments,
+       |        $perCode
+       |  FROM s),
+       |top AS (SELECT *, $topN AS top_n FROM cts)
+       |SELECT doc_id, n_tokens, n_segments,
+       |  CAST($nLangs AS BIGINT) AS n_langs,
+       |  CASE WHEN n_segments = 0 THEN NULL $topCases END AS top_lang,
+       |  CASE WHEN n_segments = 0 THEN NULL ELSE CAST(top_n AS BIGINT) END AS top_n,
+       |  CASE WHEN n_segments = 0 THEN NULL
+       |       ELSE CAST((top_n * 1000) // n_segments AS BIGINT) END AS top_share_permille,
+       |  ($nLangs) > 1 AS switched
+       |FROM top""".stripMargin
+  }
 }

@@ -48,11 +48,23 @@ object SparkEntry {
         EntriesCuration.oracleSql ++ EntriesProfile.oracleSql
     // the funnel oracle is the disposition oracle wrapped in the audit
     // rollup — derived, so the two can never drift apart
-    base + ("ns_pipeline_funnel" ->
-      s"""WITH disp AS (
-         |${base("ns_pipeline")}
-         |)
-         |SELECT coalesce(dropped_at, 'kept') AS stage, split, count(*)::BIGINT AS n
-         |FROM disp GROUP BY 1, 2""".stripMargin)
+    base +
+      ("ns_pipeline_funnel" ->
+        s"""WITH disp AS (
+           |${base("ns_pipeline")}
+           |)
+           |SELECT coalesce(dropped_at, 'kept') AS stage, split, count(*)::BIGINT AS n
+           |FROM disp GROUP BY 1, 2""".stripMargin) +
+      // packing QA derives from the pack layout's own recursive replay —
+      // the efficiency gate and the layout gate cannot drift apart
+      ("ns_pack_efficiency" ->
+        s"""WITH packed AS (
+           |${base("ns_pack")}
+           |)
+           |SELECT pack_group, bin_idx, CAST(count(*) AS BIGINT) AS n_items,
+           |       CAST(sum(n_tokens) AS BIGINT) AS used_tokens,
+           |       CAST(128 - sum(n_tokens) AS BIGINT) AS waste_tokens,
+           |       CAST((sum(n_tokens) * 1000) // 128 AS BIGINT) AS fill_permille
+           |FROM packed GROUP BY 1, 2""".stripMargin)
   }
 }

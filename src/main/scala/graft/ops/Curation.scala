@@ -1441,6 +1441,67 @@ object Curation {
         .as("len_ratio_permille"))
   }
 
+  /** Mine preference pairs from scored completions — the RLHF/DPO data
+    * construction step downstream of [[preferencePairAudit]] (which checks
+    * pairs you already HAVE; this builds them): per prompt, the
+    * highest-scored completion becomes `chosen` and the lowest `rejected`,
+    * emitted only when the score gap clears `minGap` (a pair whose margin
+    * is inside scorer noise teaches the reward model nothing — standard
+    * practice is to drop it). Deterministic argmax/argmin: score ties
+    * break toward the SMALLEST completion id on both sides (ids must be
+    * numeric — the [[decontaminateEmbedding]] id contract), so the pair
+    * set replays bit-for-bit. Prompts with a single completion, or where
+    * best == worst after tie-breaks, emit nothing.
+    *
+    * ONE partial-aggregable groupBy (two max(struct) aggregates), no
+    * window sort, no join — per-prompt state is two structs regardless of
+    * completions per prompt, so a 10⁹-prompt corpus shuffles one row per
+    * prompt. Output: (promptCol, chosen_id, rejected_id, chosen_score,
+    * rejected_score, gap).
+    */
+  def preferencePairsFromScores(df: DataFrame, promptCol: String,
+      idCol: String, scoreCol: String, minGap: Long = 1L): DataFrame = {
+    require(minGap >= 1, "minGap must be >= 1 (a zero-gap pair is a coin flip)")
+    val best = max(struct(col(scoreCol).as("s"), (-col(idCol)).as("ni")))
+    val worst = max(struct((-col(scoreCol)).as("ns"), (-col(idCol)).as("ni")))
+    df.where(col(idCol).isNotNull && col(scoreCol).isNotNull)
+      .groupBy(col(promptCol))
+      .agg(best.as("b"), worst.as("w"))
+      .select(col(promptCol),
+        (-col("b.ni")).as("chosen_id"), (-col("w.ni")).as("rejected_id"),
+        col("b.s").as("chosen_score"), (-col("w.ns")).as("rejected_score"),
+        (col("b.s") + col("w.ns")).as("gap"))
+      .where(col("gap") >= minGap)
+  }
+
+  /** Packing-efficiency audit over a packed corpus (the QA report for
+    * [[packSequences]]/[[packDialog]] outputs, or any frame carrying a bin
+    * assignment): per bin, item count, used tokens, waste against the
+    * budget, and integer fill rate. Packing quality is a first-order
+    * training-cost lever — 5% padding waste on a 10¹² -token run is
+    * 5·10¹⁰ tokens of heat — and this is the artifact that catches a bad
+    * budget/length distribution interaction before the GPUs do.
+    * Overfull bins (used > budget — only possible when a single item
+    * alone exceeds the budget, which the packers permit by design) report
+    * negative waste rather than clamping: they are the rows to look at.
+    *
+    * One partial-aggregated groupBy; output is BIN-sized. Output:
+    * binCols ++ (n_items, used_tokens, waste_tokens, fill_permille).
+    */
+  def packEfficiency(packed: DataFrame, binCols: Seq[String], lenCol: String,
+      budget: Long): DataFrame = {
+    require(binCols.nonEmpty, "binCols must be non-empty")
+    require(budget >= 1, "budget must be >= 1")
+    packed.groupBy(binCols.map(col): _*)
+      .agg(count(lit(1)).as("n_items"),
+        sum(col(lenCol)).cast("long").as("used_tokens"))
+      .select(binCols.map(col) ++ Seq(
+        col("n_items"), col("used_tokens"),
+        (lit(budget) - col("used_tokens")).as("waste_tokens"),
+        call_function("div", col("used_tokens") * 1000L, lit(budget))
+          .as("fill_permille")): _*)
+  }
+
   /** T5-style span corruption, deterministic: mask contiguous token spans
     * with numbered sentinels and emit the (corrupted, target) pair the
     * denoising objective trains on — `corrupted` keeps unmasked tokens

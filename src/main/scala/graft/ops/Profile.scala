@@ -760,6 +760,81 @@ object Profile {
           .as("kappa_milli"))
   }
 
+  /** Krippendorff's alpha (nominal data), integer-exact milli — the
+    * agreement coefficient for the REAL shape of annotation tables:
+    * any number of raters, raters may skip units, units with a single
+    * rating drop (nothing to pair). [[cohenKappa]] covers the two-rater
+    * complete-grid special case; alpha is the panel-QA generalization
+    * (Krippendorff 2004, computed via the coincidence-matrix identities).
+    *
+    * Math, reduced to integers: with per-unit label counts cnt_uc,
+    * m_u = Σ_c cnt_uc (units with m_u ≥ 2), n = Σ_u m_u and
+    * n_c = Σ_u cnt_uc, the nominal coincidence identities give
+    *   Do·n     = Σ_u (m_u² − Σ_c cnt_uc²) / (m_u − 1)
+    *   De·n(n−1) = n² − Σ_c n_c²
+    * so alpha = 1 − (n−1)·S/L / (n² − Σ n_c²) where
+    * S = Σ_u (m_u² − Σ_c cnt_uc²) · (L div (m_u − 1)) and L = 27720 =
+    * lcm(1..12) clears every per-unit denominator EXACTLY for panels of
+    * up to 13 raters per unit — the exactness budget; a unit beyond it
+    * raises (pool raters or pre-aggregate panels that large, they are
+    * committee decisions, not annotations). alpha_milli =
+    * (1000·(L·P − (n−1)·S)) div (L·P) with P = n² − Σ n_c², NULL when
+    * P = 0 (all ratings one label — agreement vacuous). No IEEE op
+    * anywhere; every product is DECIMAL(38,0) (budget: n ≤ ~10¹² pairable
+    * ratings).
+    *
+    * Scale shape: three keyed partial aggregations — (unit, label)
+    * counts, per-unit terms, per-label totals over qualifying units —
+    * then one-row frames crossJoin-broadcast; nothing bigger than the
+    * distinct (unit, label) set ever shuffles. Output: one row
+    * (n_units, n_ratings, n_labels, alpha_milli).
+    */
+  def krippendorffAlpha(df: DataFrame, itemCol: String, labelCol: String,
+      maxRaters: Int = 13): DataFrame = {
+    require(maxRaters >= 2 && maxRaters <= 13,
+      "maxRaters must be in [2, 13] (the lcm(1..12) exactness budget)")
+    val L = 27720L // lcm(1..12): divisible by every m-1 for m in 2..13
+    val dec = "decimal(38,0)"
+    val cnt = df.where(col(itemCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(itemCol).as("u"), col(labelCol).as("c"))
+      .agg(count(lit(1)).as("k"))
+    val unit = cnt.groupBy("u")
+      .agg(sum(col("k")).as("m"), sum(col("k") * col("k")).as("ss"))
+      .where(col("m") >= 2)
+    val terms = unit.select(col("u"), col("m"),
+      when(col("m") <= maxRaters,
+        (col("m") * col("m") - col("ss")).cast(dec) *
+          call_function("div", lit(L), col("m") - 1))
+        .otherwise(raise_error(concat(
+          lit("krippendorffAlpha: unit "), col("u").cast("string"),
+          lit(s" has more than $maxRaters ratings - beyond the lcm exactness budget; pool raters first"))))
+        .as("s"))
+    val gl = terms.agg(
+      coalesce(sum(col("s")), lit(0).cast(dec)).as("S"),
+      coalesce(sum(col("m")), lit(0).cast(dec)).as("n"),
+      count(lit(1)).as("n_units"))
+    val labelTotals = cnt
+      .join(unit.select("u"), Seq("u"), "left_semi")
+      .groupBy("c").agg(sum(col("k")).cast(dec).as("nc"))
+    val lab = labelTotals.agg(
+      coalesce(sum(col("nc") * col("nc")), lit(0).cast(dec)).as("sum_nc2"),
+      count(lit(1)).as("n_labels"))
+    gl.crossJoin(broadcast(lab))
+      .select(
+        col("n_units"),
+        col("n").cast("long").as("n_ratings"),
+        col("n_labels"),
+        {
+          val p = (col("n") * col("n") - col("sum_nc2")).cast(dec)
+          val lp = lit(L).cast(dec) * p
+          when(lp === 0, lit(null).cast("long"))
+            .otherwise(call_function("div",
+              lit(1000).cast(dec) * (lp - (col("n") - 1) * col("S")),
+              lp).cast("long"))
+            .as("alpha_milli")
+        })
+  }
+
   def crossTab(df: DataFrame, colA: String, colB: String): DataFrame = {
     require(colA != colB, "need two distinct columns")
     val dec = "decimal(38,0)"

@@ -323,6 +323,66 @@ object TextAnalysis {
   def langId(text: Column): Column =
     coalesce(langCounts(text).getField("pick"), lit("und"))
 
+  /** Per-SEGMENT language mixture — the code-switching / boilerplate-
+    * contamination detector that a whole-document [[langId]] structurally
+    * misses: a document that is 80% English with a German navigation
+    * footer argmaxes to "en" and sails through a per-doc language filter,
+    * yet poisons a monolingual training mix. Chunk the token stream into
+    * `chunkTokens`-token segments, predict each segment independently
+    * (same marker model and alphabetical tie-break as [[langId]]), and
+    * report the mixture: segment count, distinct predicted languages, the
+    * majority language with its integer share, and the `switched` flag
+    * (more than one language observed, "und" included — an undetermined
+    * segment inside an English document is exactly the anomaly the audit
+    * exists to surface).
+    *
+    * ROW-LOCAL: segmentation and per-segment prediction are array HOFs
+    * over the one token split — zero shuffle, registered in
+    * [[graft.streaming.RowLocal]], runs at scan speed on batch or stream.
+    * Majority tie-break: highest count, then alphabetically SMALLEST code
+    * (the [[langId]] convention). Empty/whitespace text: zero segments,
+    * zero languages, NULL top_lang/top_share. Output: (idCol, n_tokens,
+    * n_segments, n_langs, top_lang, top_n, top_share_permille, switched).
+    */
+  def langSegments(docs: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int = 100): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens must be >= 1")
+    val codes = (LangMarkers.keys.toSeq :+ "und").sorted
+    val toks = split(trim(col(textCol)), "\\s+")
+    val nTok = when(length(trim(col(textCol))) === 0, lit(0))
+      .otherwise(size(toks)).cast("long")
+    val k = chunkTokens.toLong
+    val nSeg = call_function("div", nTok + (k - 1), lit(k))
+    val segs = when(col("n_segments") === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0L), col("n_segments") - 1),
+        i => langId(array_join(slice(col("__toks"), (i * k + 1).cast("int"),
+          lit(chunkTokens)), " "))))
+    // (count, rank, code) structs: rank descends with alphabetical order,
+    // so array_max picks max count then the SMALLEST code on ties
+    val counted = array(codes.zipWithIndex.map { case (c, i) =>
+      struct(
+        size(filter(col("__segs"), s => s === c)).cast("long").as("n"),
+        lit(codes.length - i).as("r"), lit(c).as("code"))
+    }: _*)
+    docs
+      .select(col(idCol), toks.as("__toks"), nTok.as("n_tokens"),
+        nSeg.as("n_segments"))
+      .withColumn("__segs", segs)
+      .withColumn("__counts", counted)
+      .select(col(idCol), col("n_tokens"), col("n_segments"),
+        size(filter(col("__counts"), c => c.getField("n") > 0)).cast("long")
+          .as("n_langs"),
+        when(col("n_segments") > 0, array_max(col("__counts")).getField("code"))
+          .as("top_lang"),
+        when(col("n_segments") > 0, array_max(col("__counts")).getField("n"))
+          .as("top_n"),
+        when(col("n_segments") > 0, call_function("div",
+          array_max(col("__counts")).getField("n") * 1000L, col("n_segments")))
+          .as("top_share_permille"),
+        (size(filter(col("__counts"), c => c.getField("n") > 0)) > 1)
+          .as("switched"))
+  }
+
   /** Lexicon-based sentiment: (positive hits − negative hits) and their
     * normalized score over the token count. Deterministic, codegen'd,
     * replicable in SQL — the cheap corpus-curation signal (SURVEY §7.2).

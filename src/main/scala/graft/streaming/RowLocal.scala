@@ -86,6 +86,8 @@ object RowLocal {
       ops.TextAnalysis.profile(df, "text", "doc_id")),
     T("TextAnalysis.scriptProfile")(df =>
       ops.TextAnalysis.scriptProfile(df, "text", "doc_id")),
+    T("TextAnalysis.langSegments")(df =>
+      ops.TextAnalysis.langSegments(df, "text", "doc_id", chunkTokens = 4)),
     T("TextAnalysis.termMatchStats")(df =>
       ops.TextAnalysis.termMatchStats(df, "text", "doc_id",
         Seq("alpha", "beta gamma"), minMatches = 1)),
@@ -262,7 +264,9 @@ object RowLocal {
     "Curation.lDiversityAudit" -> "equivalence-class groupBy",
     "Curation.lineDedup" -> "corpus-level line-frequency aggregate",
     "Curation.packSequences" -> "grouped greedy bin packing (cross-row state)",
+    "Curation.packEfficiency" -> "per-bin aggregate over the packed corpus",
     "Curation.percentileRank" -> "per-group rank window",
+    "Curation.preferencePairsFromScores" -> "per-prompt argmax/argmin aggregate",
     "Curation.qualityKeep" -> "private[ops] helper (row-local keep rule inside qualityFilter, which is registered)",
     "Curation.removeBoilerplate" -> "per-doc reassembly via groupBy over exploded lines",
     "Curation.selectByTokenBudget" -> "rank + running-sum windows",
@@ -338,6 +342,7 @@ object RowLocal {
     "Profile.cohenKappa" -> "confusion-cell aggregate",
     "Profile.confusionReport" -> "confusion-cell aggregate",
     "Profile.correlationMatrix" -> "one-scan co-moment aggregate",
+    "Profile.krippendorffAlpha" -> "coincidence-matrix aggregates over (unit, label) counts",
     "Profile.crossTab" -> "two-column contingency aggregate",
     "Profile.datasetCard" -> "per-language corpus aggregates + quantile ranks",
     "Profile.distinctiveTerms" -> "per-group term lift aggregates",

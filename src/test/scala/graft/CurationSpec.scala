@@ -1101,6 +1101,48 @@ class CurationSpec extends AnyFunSuite {
     assert(m1.getLong(4) > 0, "rate 300 over 40 tokens should open at least one span")
   }
 
+  test("preferencePairsFromScores: per-prompt best/worst, tie to smallest id, gap gate") {
+    import SparkTestBase.spark.implicits._
+    val df = Seq(
+      // p1: clear winner 30, clear loser 5
+      ("p1", 1L, 30L), ("p1", 2L, 5L), ("p1", 3L, 20L),
+      // p2: best score 10 tied between ids 5 and 6 -> chosen id 5;
+      //     worst score 2 tied between ids 7 and 8 -> rejected id 7
+      ("p2", 5L, 10L), ("p2", 6L, 10L), ("p2", 7L, 2L), ("p2", 8L, 2L),
+      // p3: all equal -> gap 0, dropped
+      ("p3", 9L, 4L), ("p3", 10L, 4L),
+      // p4: single completion -> gap 0, dropped
+      ("p4", 11L, 99L))
+      .toDF("prompt", "cid", "score")
+    val out = Curation.preferencePairsFromScores(df, "prompt", "cid", "score", minGap = 1L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out == Map(
+      "p1" -> ((1L, 2L, 30L, 5L, 25L)),
+      "p2" -> ((5L, 7L, 10L, 2L, 8L))), s"got $out")
+    // raising the gap bar prunes the narrow pair
+    val strict = Curation.preferencePairsFromScores(df, "prompt", "cid", "score", minGap = 10L)
+      .collect().map(_.getString(0)).toSet
+    assert(strict == Set("p1"))
+  }
+
+  test("packEfficiency: fill/waste accounting, overfull bin reports negative waste") {
+    import SparkTestBase.spark.implicits._
+    val packed = Seq(
+      (0L, 0L, 6L), (0L, 0L, 3L), // bin (0,0): used 9 of 10
+      (0L, 1L, 10L),              // bin (0,1): exactly full
+      (1L, 0L, 14L))              // bin (1,0): one oversized item
+      .toDF("pack_group", "bin_idx", "n_tokens")
+    val out = Curation.packEfficiency(packed, Seq("pack_group", "bin_idx"),
+      "n_tokens", budget = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out == Map(
+      (0L, 0L) -> ((2L, 9L, 1L, 900L)),
+      (0L, 1L) -> ((1L, 10L, 0L, 1000L)),
+      (1L, 0L) -> ((1L, 14L, -4L, 1400L))), s"got $out")
+  }
+
   test("assembleDialogs: turns sort by the order column regardless of input order") {
     import SparkTestBase.spark.implicits._
     val events = Seq(

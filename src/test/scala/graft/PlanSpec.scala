@@ -929,4 +929,39 @@ class PlanSpec extends AnyFunSuite {
     val scans = "FileScan parquet".r.findAllIn(plan).length
     assert(scans == 1, s"audit must scan the table once, saw $scans:\n${plan.take(2500)}")
   }
+
+  test("preferencePairsFromScores: one partial-agg groupBy — no window sort, no join") {
+    val plan = planOf(SparkEntry.queries("ns_preference_pairs")(spark, sf))
+    assert(plan.contains("partial_"), s"map-side combine expected:\n${plan.take(2000)}")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"pair mining must stay a single aggregate (per-prompt state is two structs):\n${plan.take(2000)}")
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"one scan, saw $scans")
+  }
+
+  test("langSegments: zero-shuffle scan projection (segment langId is array HOFs)") {
+    val plan = planOf(SparkEntry.queries("ns_lang_segments")(spark, sf))
+    assert(!plan.contains("Exchange") && !plan.contains("Generate"),
+      s"mixture audit must be a bare projection — no shuffle, no explode:\n${plan.take(2000)}")
+  }
+
+  test("krippendorffAlpha: keyed partial aggregates only — no window, broadcast one-row tails") {
+    val plan = planOf(SparkEntry.queries("ns_kripp_alpha")(spark, sf))
+    assert(plan.contains("partial_"), s"map-side combine expected:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"),
+      s"coincidence identities need no window:\n${plan.take(2000)}")
+    // the only joins are the qualifying-unit semi join and the one-row
+    // crossJoin broadcast of the label tail — never a sort-merge
+    assert(!plan.contains("SortMergeJoin"),
+      s"unit/label frames must hash- or broadcast-join:\n${plan.take(2500)}")
+  }
+
+  test("packEfficiency: one partial-agg rollup over the packed frame") {
+    import SparkTestBase.spark.implicits._
+    val packed = Seq((0L, 0L, 5L), (0L, 1L, 7L)).toDF("pack_group", "bin_idx", "n_tokens")
+    val plan = planOf(graft.ops.Curation.packEfficiency(
+      packed, Seq("pack_group", "bin_idx"), "n_tokens", budget = 10L))
+    assert(plan.contains("partial_"), s"map-side combine expected:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Join"), s"one groupBy only:\n$plan")
+  }
 }

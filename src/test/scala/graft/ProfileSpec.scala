@@ -376,4 +376,58 @@ class ProfileSpec extends AnyFunSuite {
     assert(perCol(("a", 1)) == 500L && perCol(("a", 2)) == 500L)
     assert(perCol(("b", 9)) == 1000L)
   }
+
+  test("krippendorffAlpha: hand-derived mixture, perfect/vacuous corners, budget guard") {
+    // u1: a,a (agree) — u2: a,b (disagree) — u3: b,b,b — u4: single rating (drops)
+    // n=7, n_a=3, n_b=4, P=49-25=24, S=2L (only u2 disagrees) =>
+    // alpha = 1 - 6*2L/(24L) = 0.5
+    val df = Seq(("u1", "a"), ("u1", "a"), ("u2", "a"), ("u2", "b"),
+      ("u3", "b"), ("u3", "b"), ("u3", "b"), ("u4", "a"))
+      .toDF("item", "label")
+    val r = Profile.krippendorffAlpha(df, "item", "label").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 7L, 2L, 500L)), s"got $r")
+    // perfect agreement on a two-label corpus => alpha = 1000
+    val perfect = Seq(("u1", "a"), ("u1", "a"), ("u2", "b"), ("u2", "b"))
+      .toDF("item", "label")
+    assert(Profile.krippendorffAlpha(perfect, "item", "label")
+      .collect().head.getLong(3) == 1000L)
+    // one label everywhere => De = 0, alpha undefined (NULL)
+    val const = Seq(("u1", "a"), ("u1", "a"), ("u2", "a"), ("u2", "a"))
+      .toDF("item", "label")
+    assert(Profile.krippendorffAlpha(const, "item", "label")
+      .collect().head.isNullAt(3))
+    // rating order never matters (the statistic is over count multisets)
+    val shuffled = Profile.krippendorffAlpha(
+      df.orderBy(col("label").desc), "item", "label").collect().head
+    assert(shuffled.getLong(3) == 500L)
+    // a 14-rater unit breaks the lcm budget loudly
+    val big = (1 to 14).map(i => ("u1", if (i % 2 == 0) "a" else "b")).toDF("item", "label")
+    val e = intercept[Exception] {
+      Profile.krippendorffAlpha(big, "item", "label").collect()
+    }
+    assert(e.getMessage.contains("exactness budget") ||
+      Option(e.getCause).exists(_.getMessage.contains("exactness budget")), e.getMessage)
+  }
+
+  test("langSegments: code-switched doc flags, monolingual doc does not, empty doc is zero") {
+    import graft.ops.TextAnalysis
+    // doc 1: 4-token chunks — first chunk English markers, second German
+    val mixed = "the cat and the dog der hund ist nicht gut"
+    // doc 2: all-English across both chunks
+    val mono = "the cat and the dog is that with the fox"
+    val df = Seq((1L, mixed), (2L, mono), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.langSegments(df, "text", "doc_id", chunkTokens = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val m = out(1L)
+    assert(m.getLong(1) == 10L && m.getLong(2) == 2L, s"tokens/segments: $m")
+    assert(m.getLong(3) == 2L && m.getBoolean(7), s"mixed doc must switch: $m")
+    assert(m.getLong(6) == 500L, s"top share 1/2: $m")
+    val o = out(2L)
+    assert(o.getLong(3) == 1L && !o.getBoolean(7) && o.getString(4) == "en"
+      && o.getLong(6) == 1000L, s"monolingual: $o")
+    val z = out(3L)
+    assert(z.getLong(1) == 0L && z.getLong(2) == 0L && z.getLong(3) == 0L
+      && z.isNullAt(4) && !z.getBoolean(7), s"empty: $z")
+  }
 }
