@@ -543,6 +543,42 @@ class PropertySpec extends AnyFunSuite {
     assert(evalExpr(big, big, big) == Some(1000L), "r = 1000 exactly at any scale")
   }
 
+  test("krippendorffAlpha law: Spark equals a BigInt model on random ragged panels") {
+    import SparkTestBase.spark.implicits._
+    val L = BigInt(27720)
+    def model(ratings: Seq[(Int, String)]): (Long, Long, Long, Option[Long]) = {
+      val byUnit = ratings.groupBy(_._1).filter(_._2.size >= 2)
+      val n = BigInt(byUnit.values.map(_.size).sum)
+      val s = byUnit.values.map { rs =>
+        val m = BigInt(rs.size)
+        val ss = rs.groupBy(_._2).values.map(g => BigInt(g.size) * g.size).sum
+        (m * m - ss) * (L / (m - 1))
+      }.sum
+      val nc = byUnit.values.flatten.groupBy(_._2).values.map(g => BigInt(g.size))
+      val p = n * n - nc.map(c => c * c).sum
+      val alpha =
+        if (p == 0) None
+        else Some(((BigInt(1000) * (L * p - (n - 1) * s)) / (L * p)).toLong)
+      (byUnit.size.toLong, n.toLong, nc.size.toLong, alpha)
+    }
+    val gen = for {
+      nUnits <- Gen.choose(1, 8)
+      ratings <- Gen.listOfN(nUnits * 4, Gen.zip(
+        Gen.choose(1, nUnits), Gen.oneOf("a", "b", "c")))
+      drop <- Gen.choose(0, nUnits * 2) // ragged: drop a random prefix
+    } yield ratings.drop(drop)
+    forAll(gen, n = 8) { ratings =>
+      if (ratings.nonEmpty) {
+        val got = graft.ops.Profile.krippendorffAlpha(
+          ratings.toDF("item", "label"), "item", "label").collect().head
+        val want = model(ratings)
+        val gotT = (got.getLong(0), got.getLong(1), got.getLong(2),
+          if (got.isNullAt(3)) None else Some(got.getLong(3)))
+        assert(gotT == want, s"ratings=$ratings")
+      }
+    }
+  }
+
   test("seedDistance law: full-radius BFS on a symmetrized graph reaches exactly the seed's component") {
     import org.apache.spark.sql.functions.col
     import SparkTestBase.spark.implicits._
