@@ -579,6 +579,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("preferencePairsFromScores law: equals a driver-side scan model, token conservation") {
+    import SparkTestBase.spark.implicits._
+    val gen = for {
+      nPrompts <- Gen.choose(1, 6)
+      rows <- Gen.listOfN(nPrompts * 3, Gen.zip(
+        Gen.choose(1, nPrompts), Gen.choose(1L, 40L), Gen.choose(0L, 5L)))
+      gap <- Gen.choose(1L, 4L)
+    } yield (rows.map(r => (s"p${r._1}", r._2, r._3)).distinctBy(t => (t._1, t._2)), gap)
+    forAll(gen, n = 8) { case (rows, gap) =>
+      if (rows.nonEmpty) {
+        val got = graft.ops.Curation.preferencePairsFromScores(
+          rows.toDF("prompt", "cid", "score"), "prompt", "cid", "score", gap)
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+        val want = rows.groupBy(_._1).flatMap { case (p, rs) =>
+          val chosen = rs.minBy(t => (-t._3, t._2))
+          val rejected = rs.minBy(t => (t._3, t._2))
+          val g = chosen._3 - rejected._3
+          if (g >= gap) Some(p -> ((chosen._2, rejected._2, chosen._3, rejected._3, g)))
+          else None
+        }
+        assert(got == want, s"rows=$rows gap=$gap")
+      }
+    }
+  }
+
+  test("packEfficiency law: token and item conservation against any packed frame") {
+    import SparkTestBase.spark.implicits._
+    val gen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 4L), Gen.choose(1L, 20L)))
+    forAll(gen, n = 8) { items =>
+      if (items.nonEmpty) {
+        val out = graft.ops.Curation.packEfficiency(
+          items.toDF("pack_group", "bin_idx", "n_tokens"),
+          Seq("pack_group", "bin_idx"), "n_tokens", budget = 16L).collect()
+        assert(out.map(_.getLong(2)).sum == items.size.toLong, "items conserve")
+        assert(out.map(_.getLong(3)).sum == items.map(_._3).sum, "tokens conserve")
+        out.foreach { r =>
+          assert(r.getLong(3) + r.getLong(4) == 16L, "used + waste == budget")
+          assert(r.getLong(5) == r.getLong(3) * 1000 / 16, "fill permille exact")
+        }
+      }
+    }
+  }
+
   test("seedDistance law: full-radius BFS on a symmetrized graph reaches exactly the seed's component") {
     import org.apache.spark.sql.functions.col
     import SparkTestBase.spark.implicits._
