@@ -39,6 +39,21 @@ private[graft] object EntriesCuration {
           Seq("doc_id", "chunk_idx"), budget = 128, nGroups = 8),
         Seq("pack_group", "bin_idx"), "n_tokens", budget = 128L)
     }),
+    "ns_canary_insert" -> ((s, dir) =>
+      // memorization-audit governance: plant hash-deterministic canary
+      // tokens into a 200-permille slice; unselected docs pass verbatim
+      graft.ops.Curation.insertCanaries(t(s, dir, "documents"),
+        "text", "doc_id", ratePermille = 200)),
+    "ns_canary_recall" -> ((s, dir) => {
+      // the measurement half: docs with id % 3 == 0 play the generations;
+      // per planted canary, hit count + found. The oracle derives both
+      // sides from the SAME insertion replay (canaryInsertSql)
+      val ins = graft.ops.Curation.insertCanaries(t(s, dir, "documents"),
+        "text", "doc_id", ratePermille = 200)
+      graft.ops.Curation.canaryRecall(
+        ins.filter(col("doc_id") % 3 === 0).select(col("text_out")),
+        "text_out", ins.filter(col("has_canary")), "canary")
+    }),
     "ns_quality_classifier" -> ((s, dir) => {
       // Model-based quality filtering (fastText/logreg analog): score every
       // document with the FROZEN trained linear model — integer dot over
@@ -479,6 +494,19 @@ private[graft] object EntriesCuration {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ns_canary_insert" -> canaryInsertSql(200),
+    "ns_canary_recall" ->
+      s"""WITH ins AS (
+         |${canaryInsertSql(200)}
+         |),
+         |hits AS (
+         |  SELECT h AS canary, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM (SELECT unnest(regexp_extract_all(text_out, 'GRAFT-CANARY-[0-9]+')) AS h
+         |        FROM ins WHERE doc_id % 3 = 0)
+         |  GROUP BY 1),
+         |c AS (SELECT DISTINCT canary FROM ins WHERE has_canary)
+         |SELECT c.canary, coalesce(n_hits, 0) AS n_hits, coalesce(n_hits, 0) > 0 AS found
+         |FROM c LEFT JOIN hits USING (canary)""".stripMargin,
     "ns_preference_pairs" ->
       """WITH e AS (SELECT user_id AS prompt, event_id,
         |                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),

@@ -739,6 +739,32 @@ private[graft] object EntrySupport {
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */
 
+  /** Oracle SQL replaying [[graft.ops.Curation.insertCanaries]] over the
+    * documents table (portable md5 hash convention for selection, token,
+    * and position; list splice for the insertion). Shared by the insert
+    * and recall gates so they cannot drift.
+    */
+  private[graft] def canaryInsertSql(ratePermille: Int): String = {
+    def h(seed: String) =
+      s"(('0x' || substr(md5('$seed|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT & 2147483647)"
+    s"""WITH t0 AS (
+       |  SELECT doc_id, text,
+       |    string_split_regex(trim(text), '\\s+') AS toks,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n,
+       |    ${h("graft-canary-select")} % 1000 < $ratePermille AS sel,
+       |    'GRAFT-CANARY-' || CAST(${h("graft-canary-token")} AS VARCHAR) AS ctok
+       |  FROM documents),
+       |t1 AS (SELECT *, CAST(${h("graft-canary-pos")} % (n + 1) AS BIGINT) AS p FROM t0)
+       |SELECT doc_id,
+       |  CASE WHEN sel THEN array_to_string(
+       |         list_slice(toks, 1, p) || [ctok] || list_slice(toks, p + 1, n), ' ')
+       |       ELSE text END AS text_out,
+       |  sel AS has_canary,
+       |  CASE WHEN sel THEN ctok END AS canary
+       |FROM t1""".stripMargin
+  }
+
   /** Oracle SQL for [[graft.ops.TextAnalysis.langSegments]], GENERATED
     * from `TextAnalysis.LangMarkers` (the marker lists interpolate from
     * the same definitions the operator evaluates, so the gate cannot

@@ -1281,6 +1281,76 @@ object Curation {
 
   // ------------------------------------------------- release governance
 
+  /** Deterministic canary insertion — the training-data governance tool
+    * behind memorization audits (the "secret sharer" methodology, Carlini
+    * et al. 2019, reduced to its data-side half): plant unique, easily
+    * greppable marker tokens into a hash-selected `ratePermille` slice of
+    * the corpus BEFORE training, then measure how often they resurface in
+    * model generations with [[canaryRecall]] — the canary recall curve is
+    * the standard memorization dial. Everything derives from the portable
+    * id hash (selection, the canary token, and its insertion position),
+    * so re-running the pipeline replants byte-identical canaries: no RNG,
+    * no state, retry-stable — the same contract as [[stratifiedSample]].
+    *
+    * ROW-LOCAL (registered under the RowLocal batch==stream law): one
+    * token splice per selected row; unselected rows pass their text
+    * through VERBATIM (no whitespace normalization — the corpus must not
+    * change where no canary lands). Canary shape: `prefix-<31-bit hash>`,
+    * whitespace-free by construction and unique per document.
+    * Output: (idCol, text_out, has_canary, canary [null when unselected]).
+    */
+  def insertCanaries(docs: DataFrame, textCol: String, idCol: String,
+      ratePermille: Int, prefix: String = "GRAFT-CANARY",
+      seed: String = "graft-canary"): DataFrame = {
+    require(ratePermille >= 0 && ratePermille <= 1000,
+      "ratePermille must be in [0, 1000]")
+    require(prefix.nonEmpty && !prefix.exists(_.isWhitespace),
+      "prefix must be a non-empty whitespace-free token")
+    val selected = pmod(portableHash31(col(idCol), s"$seed-select"), lit(1000L)) <
+      ratePermille.toLong
+    val canary = concat(lit(prefix + "-"),
+      portableHash31(col(idCol), s"$seed-token").cast("string"))
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = when(length(trim(col(textCol))) === 0, lit(0)).otherwise(size(toks))
+    val p = pmod(portableHash31(col(idCol), s"$seed-pos"), (n + 1).cast("long"))
+      .cast("int")
+    val spliced = concat(slice(toks, lit(1), p), array(canary),
+      slice(toks, p + 1, n - p))
+    docs.select(col(idCol),
+      when(selected, array_join(spliced, " ")).otherwise(col(textCol))
+        .as("text_out"),
+      selected.as("has_canary"),
+      when(selected, canary).as("canary"))
+  }
+
+  /** Canary recall report — the measurement half of [[insertCanaries]]:
+    * given a generations/output corpus and the planted canary table,
+    * count how often each canary resurfaces. Detection is a regexp token
+    * extraction (`prefix-digits`) exploded and counted, then a keyed left
+    * join back onto the canary table — never a contains-scan of outputs
+    * per canary (that would be |canaries| passes over the generations; at
+    * a 10⁹-generation audit the extraction form is one pass and the join
+    * carries only actual matches). Output per canary: (canary, n_hits,
+    * found) — aggregate recall is `avg(found)` downstream; per-canary rows
+    * keep the which-documents-leak question answerable.
+    */
+  def canaryRecall(outputs: DataFrame, textCol: String, canaries: DataFrame,
+      canaryCol: String, prefix: String = "GRAFT-CANARY"): DataFrame = {
+    require(prefix.nonEmpty && !prefix.exists(_.isWhitespace),
+      "prefix must be a non-empty whitespace-free token")
+    val pat = java.util.regex.Pattern.quote(prefix) + "-[0-9]+"
+    val hits = outputs
+      .select(explode(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+        .as("canary"))
+      .groupBy("canary").agg(count(lit(1)).as("n_hits"))
+    canaries.select(col(canaryCol).as("canary"))
+      .where(col("canary").isNotNull).distinct()
+      .join(hits, Seq("canary"), "left")
+      .select(col("canary"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("found"))
+  }
+
   /** k-anonymity audit over quasi-identifier columns (Sweeney 2002): every
     * equivalence class (distinct quasi-identifier combination) smaller
     * than `k`, with its size — the re-identification risk check before

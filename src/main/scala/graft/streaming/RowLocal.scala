@@ -190,6 +190,8 @@ object RowLocal {
     T("Curation.packDialog")(df =>
       ops.Curation.packDialog(df.withColumn("msgs", msgs), "doc_id", "msgs",
         tokenBudget = 8)),
+    T("Curation.insertCanaries")(df =>
+      ops.Curation.insertCanaries(df, "text", "doc_id", ratePermille = 500)),
     T("Curation.preferencePairAudit")(df =>
       ops.Curation.preferencePairAudit(
         df.withColumn("chosen", col("text"))
@@ -246,6 +248,7 @@ object RowLocal {
     "Curation.alignScores" -> "rank windows + eager reference count (reference is a sorted model)",
     "Curation.assembleDialogs" -> "groupBy dialog assembly from event rows",
     "Curation.assignSplitByCluster" -> "join to the cluster map so a cluster stays in one split",
+    "Curation.canaryRecall" -> "extraction rollup + keyed join onto the canary table",
     "Curation.contaminationReport" -> "per-group contamination aggregate over the decontaminate join",
     "Curation.decontaminate" -> "join against broadcast benchmark grams",
     "Curation.decontaminateBloom" -> "bloom build is a corpus aggregate; survivors join exactly",

@@ -1143,6 +1143,44 @@ class CurationSpec extends AnyFunSuite {
       (1L, 0L) -> ((1L, 14L, -4L, 1400L))), s"got $out")
   }
 
+  test("insertCanaries: deterministic selection/splice, unselected text verbatim, recall closes the loop") {
+    import SparkTestBase.spark.implicits._
+    val docs = (1L to 40L).map(i => (i, s"alpha  beta\tgamma delta doc$i")).toDF("doc_id", "text")
+    val ins = Curation.insertCanaries(docs, "text", "doc_id", ratePermille = 500)
+    val rows = ins.collect().map(r => r.getLong(0) ->
+      (r.getString(1), r.getBoolean(2), Option(r.getString(3)))).toMap
+    val planted = rows.filter(_._2._2)
+    assert(planted.nonEmpty && planted.size < 40, s"rate 500 plants a strict subset: ${planted.size}")
+    planted.foreach { case (id, (text, _, canary)) =>
+      assert(canary.exists(c => c.startsWith("GRAFT-CANARY-") && text.split("\\s+").contains(c)),
+        s"doc $id must carry its canary as one whitespace token: $text")
+      assert(text.split("\\s+").count(_.startsWith("GRAFT-CANARY-")) == 1)
+    }
+    // unselected text passes through byte-identical (tabs/double spaces kept)
+    rows.filterNot(_._2._2).foreach { case (id, (text, _, canary)) =>
+      assert(text == s"alpha  beta\tgamma delta doc$id" && canary.isEmpty)
+    }
+    // deterministic: a rerun replants the identical canaries
+    assert(Curation.insertCanaries(docs, "text", "doc_id", 500)
+      .collect().map(_.toSeq).sortBy(_.head.toString).toSeq ==
+      ins.collect().map(_.toSeq).sortBy(_.head.toString).toSeq)
+    // empty doc: the canary IS the text
+    val empty = Curation.insertCanaries(Seq((7L, "")).toDF("doc_id", "text"),
+      "text", "doc_id", 1000).collect().head
+    assert(empty.getString(1) == empty.getString(3))
+    // recall over a slice of the canaried corpus finds exactly the slice's canaries
+    val outputs = ins.filter(col("doc_id") % 2 === 0).select(col("text_out").as("gen"))
+    val rec = Curation.canaryRecall(outputs, "gen",
+      ins.filter(col("has_canary")), "canary")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(rec.keySet == planted.values.flatMap(_._3).toSet)
+    planted.foreach { case (id, (_, _, Some(c))) =>
+      assert(rec(c) == (if (id % 2 == 0) (1L, true) else (0L, false)),
+        s"doc $id canary $c: ${rec(c)}")
+    case _ => ()
+    }
+  }
+
   test("assembleDialogs: turns sort by the order column regardless of input order") {
     import SparkTestBase.spark.implicits._
     val events = Seq(
