@@ -39,6 +39,60 @@ private[graft] object EntriesCuration {
           Seq("doc_id", "chunk_idx"), budget = 128, nGroups = 8),
         Seq("pack_group", "bin_idx"), "n_tokens", budget = 128L)
     }),
+    "ns_epoch_value" -> ((s, dir) => {
+      // datablations-style effective-token audit of the ns_epoch_plan
+      // repetition plan: epoch e is worth 500-permille^e of fresh data;
+      // the oracle derives from the plan oracle (SparkEntry.oracleSql)
+      // and replays the d=500 fold via the exact-halving identity
+      val stats = t(s, dir, "documents")
+        .groupBy(col("lang").as("stratum"))
+        .agg(sum(graft.ops.TextAnalysis.wsTokenCount(col("text"))).as("tokens"))
+      val plan = graft.ops.Curation.epochPlan(stats, "stratum", "tokens",
+        targetPermille = Map("en" -> 200, "de" -> 450, "es" -> 250, "fr" -> 100),
+        budgetTokens = 30000L, maxEpochsMilli = 2500L)
+      graft.ops.Curation.repeatedEpochValue(plan, "stratum", "tokens",
+        "epochs_milli", decayPermille = 500L)
+    }),
+    "ns_split_leakage" -> ((s, dir) =>
+      // train/eval fence audit: contiguous doc blocks of 20 as the
+      // leakage unit, split assignment flipping every 50 ids — blocks
+      // straddling a mid-block flip (250, 450, ...) leak; both engines
+      // replay the arithmetic assignment
+      graft.ops.Curation.splitLeakageAudit(
+        t(s, dir, "documents").select(
+          call_function("div", col("doc_id"), lit(20L)).as("blk"),
+          when(call_function("div", col("doc_id"), lit(50L)) % 5 < 4, lit("train"))
+            .otherwise(lit("val")).as("split")),
+        "blk", "split")),
+    "ns_pref_consistency" -> ((s, dir) =>
+      // preference-graph QA: judgments derived arithmetically from events
+      // (prompt = user bucket, winner/loser = event_id residues) so both
+      // engines replay the tournament; contradictions, ties, and
+      // majority-graph 3-cycles per prompt
+      graft.ops.Curation.preferenceConsistency(
+        t(s, dir, "events").select((col("user_id") % 30).as("prompt"),
+          (col("event_id") % 9).as("winner"),
+          ((col("event_id") * 7 + 3) % 9).as("loser")),
+        "prompt", "winner", "loser")),
+    "ns_copeland" -> ((s, dir) =>
+      // cycle-tolerant best-of-k ranking over the same judgment stream:
+      // wins - losses in the strict-majority tournament, rank per prompt
+      graft.ops.Curation.copelandScores(
+        t(s, dir, "events").select((col("user_id") % 30).as("prompt"),
+          (col("event_id") % 9).as("winner"),
+          ((col("event_id") * 7 + 3) % 9).as("loser")),
+        "prompt", "winner", "loser")),
+    "ns_waterfill" -> ((s, dir) =>
+      // mixture planning under supply caps: per-language token supply,
+      // weights from a deterministic hash of the language tag, budget
+      // 24000 — small languages cap and the surplus waterfalls to the
+      // big ones; the oracle replays the closed form in HUGEINT
+      graft.ops.Curation.waterfillPlan(
+        t(s, dir, "documents").groupBy(col("lang"))
+          .agg(sum(call_function("div", col("n_chars"), lit(5L))).as("toks"))
+          .select(col("lang"), col("toks"),
+            (lit(1L) + ascii(col("lang")) % 7).as("w")),
+        "lang", "toks", "w", budgetTokens = 24000L)),
     "ns_canary_insert" -> ((s, dir) =>
       // memorization-audit governance: plant hash-deterministic canary
       // tokens into a 200-permille slice; unselected docs pass verbatim
@@ -494,6 +548,93 @@ private[graft] object EntriesCuration {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // ns_epoch_value is a DERIVED oracle (wraps the ns_epoch_plan SQL) —
+    // composed in SparkEntry.oracleSql so the two gates cannot drift
+    "ns_split_leakage" ->
+      """WITH d AS (SELECT doc_id // 20 AS blk,
+        |             CASE WHEN (doc_id // 50) % 5 < 4 THEN 'train' ELSE 'val' END AS split
+        |           FROM documents)
+        |SELECT blk, CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(split) AS first_split, max(split) AS last_split,
+        |       count(DISTINCT split) > 1 AS leaking
+        |FROM d GROUP BY 1""".stripMargin,
+    "ns_pref_consistency" ->
+      """WITH j AS (SELECT user_id % 30 AS prompt, event_id % 9 AS w,
+        |                  (event_id * 7 + 3) % 9 AS l
+        |           FROM events WHERE event_id % 9 <> (event_id * 7 + 3) % 9),
+        |pairs AS (SELECT prompt, least(w, l) AS a, greatest(w, l) AS b,
+        |            CAST(sum(CASE WHEN w < l THEN 1 ELSE 0 END) AS BIGINT) AS n_ab,
+        |            CAST(sum(CASE WHEN w > l THEN 1 ELSE 0 END) AS BIGINT) AS n_ba
+        |          FROM j GROUP BY 1, 2, 3),
+        |maj AS (SELECT prompt, CASE WHEN n_ab > n_ba THEN a ELSE b END AS s,
+        |               CASE WHEN n_ab > n_ba THEN b ELSE a END AS t
+        |        FROM pairs WHERE n_ab <> n_ba),
+        |cyc AS (SELECT e1.prompt, CAST(count(*) AS BIGINT) AS n_cycles
+        |        FROM maj e1
+        |        JOIN maj e2 ON e1.prompt = e2.prompt AND e1.t = e2.s
+        |        JOIN maj e3 ON e2.prompt = e3.prompt AND e2.t = e3.s AND e3.t = e1.s
+        |        WHERE e1.s < e1.t AND e1.s < e2.t
+        |        GROUP BY 1),
+        |per AS (SELECT prompt, CAST(count(*) AS BIGINT) AS n_pairs,
+        |          CAST(sum(CASE WHEN n_ab > 0 AND n_ba > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS n_contradictory,
+        |          CAST(sum(CASE WHEN n_ab = n_ba THEN 1 ELSE 0 END) AS BIGINT) AS n_tied
+        |        FROM pairs GROUP BY 1),
+        |nj AS (SELECT prompt, CAST(count(*) AS BIGINT) AS n_judgments FROM j GROUP BY 1)
+        |SELECT nj.prompt, n_judgments, n_pairs, n_contradictory, n_tied,
+        |       coalesce(n_cycles, 0) AS n_cycles,
+        |       (n_contradictory = 0 AND coalesce(n_cycles, 0) = 0) AS consistent
+        |FROM nj JOIN per USING (prompt) LEFT JOIN cyc USING (prompt)""".stripMargin,
+    "ns_copeland" ->
+      """WITH j AS (SELECT user_id % 30 AS prompt, event_id % 9 AS w,
+        |                  (event_id * 7 + 3) % 9 AS l
+        |           FROM events WHERE event_id % 9 <> (event_id * 7 + 3) % 9),
+        |pairs AS (SELECT prompt, least(w, l) AS a, greatest(w, l) AS b,
+        |            CAST(sum(CASE WHEN w < l THEN 1 ELSE 0 END) AS BIGINT) AS n_ab,
+        |            CAST(sum(CASE WHEN w > l THEN 1 ELSE 0 END) AS BIGINT) AS n_ba
+        |          FROM j GROUP BY 1, 2, 3),
+        |o AS (SELECT prompt, a AS item,
+        |        CASE WHEN n_ab > n_ba THEN 1 ELSE 0 END AS win,
+        |        CASE WHEN n_ab < n_ba THEN 1 ELSE 0 END AS loss,
+        |        CASE WHEN n_ab = n_ba THEN 1 ELSE 0 END AS tie FROM pairs
+        |      UNION ALL
+        |      SELECT prompt, b, CASE WHEN n_ba > n_ab THEN 1 ELSE 0 END,
+        |        CASE WHEN n_ba < n_ab THEN 1 ELSE 0 END,
+        |        CASE WHEN n_ab = n_ba THEN 1 ELSE 0 END FROM pairs),
+        |sc AS (SELECT prompt, item, CAST(sum(win) AS BIGINT) AS wins,
+        |         CAST(sum(loss) AS BIGINT) AS losses, CAST(sum(tie) AS BIGINT) AS ties
+        |       FROM o GROUP BY 1, 2)
+        |SELECT prompt, item, wins, losses, ties, wins - losses AS copeland,
+        |  CAST(row_number() OVER (PARTITION BY prompt
+        |    ORDER BY wins - losses DESC, item ASC) AS BIGINT) AS rk
+        |FROM sc""".stripMargin,
+    "ns_waterfill" ->
+      """WITH s AS (SELECT lang, CAST(sum(n_chars // 5) AS BIGINT) AS toks,
+        |             CAST(1 + ascii(lang) % 7 AS BIGINT) AS w
+        |           FROM documents GROUP BY lang),
+        |a AS (SELECT *, CAST(toks AS HUGEINT) * 1000000000000 // w AS rk_key
+        |      FROM s WHERE w > 0),
+        |p AS (SELECT *,
+        |        CAST(sum(toks) OVER ord AS HUGEINT) AS pa,
+        |        CAST(sum(w) OVER ord AS HUGEINT) AS pw,
+        |        CAST(sum(w) OVER () AS HUGEINT) AS wtot
+        |      FROM a
+        |      WINDOW ord AS (ORDER BY rk_key, lang ROWS UNBOUNDED PRECEDING)),
+        |c AS (SELECT *, (CAST(toks AS HUGEINT) * (wtot - pw)
+        |                 <= CAST(w AS HUGEINT) * (24000 - pa)) AS capped FROM p),
+        |lvl AS (SELECT coalesce(sum(CASE WHEN capped THEN toks END), 0) AS ca,
+        |               coalesce(sum(CASE WHEN capped THEN w END), 0) AS cw,
+        |               coalesce(max(wtot), 0) AS wt FROM c),
+        |alloc AS (SELECT lang, toks, w, capped,
+        |            CASE WHEN capped THEN toks
+        |                 ELSE CAST(CAST(w AS HUGEINT) * (24000 - ca) // (wt - cw)
+        |                      AS BIGINT) END AS allocated
+        |          FROM c, lvl)
+        |SELECT lang, toks AS available, w AS weight, allocated, capped,
+        |       CASE WHEN toks > 0 THEN (allocated * 1000) // toks ELSE 0 END
+        |         AS fill_permille
+        |FROM alloc""".stripMargin,
     "ns_canary_insert" -> canaryInsertSql(200),
     "ns_canary_recall" ->
       s"""WITH ins AS (

@@ -30,6 +30,22 @@ private[graft] object EntriesProfile {
           .select(call_function("div", col("event_id"), lit(4L)).as("panel"),
             col("event_type")),
         "panel", "event_type")),
+    "ns_instr_templates" -> ((s, dir) =>
+      // SFT opening-template diversity: first-3-token templates of every
+      // document with corpus share; the oracle replays the split/slice
+      graft.ops.TextAnalysis.instructionTemplates(
+        t(s, dir, "documents"), "text", nTokens = 3)),
+    "ns_fleiss_kappa" -> ((s, dir) =>
+      // fixed-panel agreement: every document rated by a 4-rater panel
+      // with labels derived arithmetically from (doc_id, rater) — both
+      // engines replay the panel and the integer-exact kappa identically
+      graft.ops.Profile.fleissKappa(
+        t(s, dir, "documents").select(col("doc_id"))
+          .select(col("doc_id"), explode(sequence(lit(1L), lit(4L))).as("r"))
+          .select(col("doc_id").as("item"),
+            ((col("doc_id") * (col("r") + 3) +
+              call_function("div", col("doc_id"), lit(7L))) % 5).as("label")),
+        "item", "label")),
     "ns_lang_segments" -> ((s, dir) =>
       // code-switch audit: per-20-token-segment language prediction and
       // the per-doc mixture rollup; the oracle's marker lists interpolate
@@ -391,6 +407,37 @@ private[graft] object EntriesProfile {
         |  CASE WHEN 27720 * (n*n - sum_nc2) = 0 THEN NULL
         |       ELSE CAST((1000 * (27720 * (n*n - sum_nc2) - (n - 1) * S))
         |                 // (27720 * (n*n - sum_nc2)) AS BIGINT) END AS alpha_milli
+        |FROM gl, lab""".stripMargin,
+    "ns_instr_templates" ->
+      """WITH tpl AS (
+        |  SELECT array_to_string(string_split_regex(trim(lower(text)), '\s+')[1:3], ' ')
+        |           AS template
+        |  FROM documents),
+        |c AS (SELECT template, CAST(count(*) AS BIGINT) AS n_docs FROM tpl GROUP BY 1),
+        |t AS (SELECT sum(n_docs) AS total FROM c)
+        |SELECT template, n_docs, CAST((n_docs * 1000) // total AS BIGINT) AS share_permille
+        |FROM c, t""".stripMargin,
+    "ns_fleiss_kappa" ->
+      """WITH rt AS (SELECT doc_id AS item,
+        |              (doc_id * (rr + 3) + doc_id // 7) % 5 AS label
+        |            FROM (SELECT doc_id, unnest(range(1, 5)) AS rr FROM documents)),
+        |cnt AS (SELECT item, label, CAST(count(*) AS HUGEINT) AS k FROM rt GROUP BY 1, 2),
+        |unit AS (SELECT item, sum(k) AS m, sum(k*k) AS ss FROM cnt GROUP BY 1),
+        |gl AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |              coalesce(min(m), 0) AS mn, coalesce(max(m), 0) AS mx,
+        |              coalesce(sum(ss), 0) AS sum_ss FROM unit),
+        |lab AS (SELECT coalesce(sum(nc*nc), 0) AS sum_nc2,
+        |               CAST(count(*) AS BIGINT) AS n_labels
+        |        FROM (SELECT label, sum(k) AS nc FROM cnt GROUP BY 1))
+        |SELECT n_items, CAST(mx AS BIGINT) AS n_raters, n_labels,
+        |  CASE WHEN mx < 2 OR (n_items * mx) * (mx - 1)
+        |         * ((n_items * mx) * (n_items * mx) - sum_nc2) = 0 THEN NULL
+        |       ELSE CAST((1000 * ((sum_ss - n_items * mx)
+        |                    * ((n_items * mx) * (n_items * mx))
+        |                  - sum_nc2 * (n_items * mx) * (mx - 1)))
+        |            // ((n_items * mx) * (mx - 1)
+        |               * ((n_items * mx) * (n_items * mx) - sum_nc2)) AS BIGINT)
+        |  END AS kappa_milli
         |FROM gl, lab""".stripMargin,
     "ns_lang_segments" -> langSegmentsSql(20),
     "ns_length_histogram" ->

@@ -55,6 +55,28 @@ object SparkEntry {
            |)
            |SELECT coalesce(dropped_at, 'kept') AS stage, split, count(*)::BIGINT AS n
            |FROM disp GROUP BY 1, 2""".stripMargin) +
+      // the repetition-value audit derives from the plan oracle; the d=500
+      // staged fold collapses to the exact-halving identity 1000 div 2^e
+      // (p·500 div 1000 = p div 2, and nested integer halvings equal
+      // division by 2^e), so the SQL needs no recursive state
+      ("ns_epoch_value" ->
+        s"""WITH plan AS (
+           |${base("ns_epoch_plan")}
+           |),
+           |x AS (SELECT stratum, tokens, epochs_milli,
+           |        epochs_milli % 1000 AS frac,
+           |        coalesce(list_sum(list_transform(range(epochs_milli // 1000),
+           |          i -> 1000 // (1 << i))), 0) AS s,
+           |        1000 // (1 << (epochs_milli // 1000)) AS p
+           |      FROM plan),
+           |y AS (SELECT stratum, tokens, epochs_milli,
+           |        CAST((tokens * (s + (frac * p) // 1000)) // 1000 AS BIGINT) AS effective_tokens,
+           |        CAST((tokens * epochs_milli) // 1000 AS BIGINT) AS raw_tokens
+           |      FROM x)
+           |SELECT stratum, tokens, epochs_milli, effective_tokens, raw_tokens,
+           |       CASE WHEN raw_tokens > 0 THEN (effective_tokens * 1000) // raw_tokens
+           |            ELSE NULL END AS value_permille
+           |FROM y""".stripMargin) +
       // packing QA derives from the pack layout's own recursive replay —
       // the efficiency gate and the layout gate cannot drift apart
       ("ns_pack_efficiency" ->

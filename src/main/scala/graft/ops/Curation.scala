@@ -1116,6 +1116,86 @@ object Curation {
       .drop("__total")
   }
 
+  /** Effective-token value of a repetition plan — the datablations-style
+    * audit (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    * Models": repeated epochs are worth roughly a constant fraction of
+    * fresh data, decaying geometrically and to ~zero past ~4 epochs) for
+    * an [[epochPlan]] output: per stratum, how many FRESH-equivalent
+    * tokens the planned repetition actually buys. epochs_milli = E full
+    * epochs + a fractional pass; epoch e is valued at decay^e, so
+    *   effective = tokens · (Σ_{e<E} d^e + frac·d^E)   (all milli units)
+    * with each power computed by the STAGED integer fold
+    * p ← (p·d) div 1000 — deterministic rounding both engines replay
+    * (for d = 500 the stages are exact halvings, so the fold equals
+    * 1000 div 2^e in closed form — the gate's oracle uses that identity).
+    * value_permille compares effective to RAW repeated tokens: how much
+    * of the repetition budget is heat.
+    *
+    * Scale shape: row-local arithmetic over the strata-sized plan frame
+    * (an array fold of ≤ 64 steps per row); the only DECIMAL(38,0) op is
+    * the final tokens × factor product. epochs_milli beyond 64000 raises
+    * (64 epochs is far past the regime where repetition carries any
+    * value — and the exactness budget). Output: stratumCol + (tokens,
+    * epochs_milli, effective_tokens, raw_tokens, value_permille).
+    */
+  def repeatedEpochValue(plan: DataFrame, stratumCol: String, tokensCol: String,
+      epochsMilliCol: String, decayPermille: Long = 500L): DataFrame = {
+    require(decayPermille >= 0 && decayPermille <= 1000,
+      "decayPermille must be in [0, 1000]")
+    val dec = "decimal(38,0)"
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    val em = when(col(epochsMilliCol) >= 0 && col(epochsMilliCol) <= 64000L,
+      col(epochsMilliCol).cast("long"))
+      .otherwise(raise_error(concat(lit("repeatedEpochValue: epochs_milli for "),
+        col(stratumCol).cast("string"),
+        lit(" outside [0, 64000] - repetition past 64 epochs has no value to measure"))))
+    val base = plan.select(col(stratumCol),
+      col(tokensCol).cast("long").as("tokens"), em.as("epochs_milli"))
+      .withColumn("__e", idiv(col("epochs_milli"), lit(1000L)))
+      .withColumn("__frac", col("epochs_milli") - lit(1000L) * col("__e"))
+      .withColumn("__fold", aggregate(
+        when(col("__e") >= 1, sequence(lit(1L), col("__e")))
+          .otherwise(array().cast("array<bigint>")),
+        struct(lit(0L).as("s"), lit(1000L).as("p")),
+        (acc, _) => struct(
+          (acc.getField("s") + acc.getField("p")).as("s"),
+          idiv(acc.getField("p") * decayPermille, lit(1000L)).as("p"))))
+      .withColumn("__factor",
+        col("__fold.s") + idiv(col("__frac") * col("__fold.p"), lit(1000L)))
+    base.select(col(stratumCol), col("tokens"), col("epochs_milli"),
+      idiv(col("tokens").cast(dec) * col("__factor"), lit(1000L).cast(dec))
+        .cast("long").as("effective_tokens"),
+      idiv(col("tokens").cast(dec) * col("epochs_milli"), lit(1000L).cast(dec))
+        .cast("long").as("raw_tokens"))
+      .withColumn("value_permille",
+        when(col("raw_tokens") > 0,
+          idiv(col("effective_tokens") * 1000L, col("raw_tokens")))
+          .otherwise(lit(null).cast("long")))
+  }
+
+  /** Split-leakage audit — the inspection half of [[assignSplitByCluster]]
+    * (which PREVENTS leakage at assignment time; this AUDITS a split you
+    * already have): per grouping key (dedup cluster, registrable domain,
+    * author — whatever unit must not straddle train/eval), how many
+    * splits its rows landed in. A key with n_splits > 1 leaks: its
+    * near-duplicate or same-source rows sit on both sides of the
+    * train/test fence and inflate eval. min/max split names the offending
+    * pair without exploding the row.
+    *
+    * One partial-aggregable groupBy keyed by the audit key (distinct
+    * splits per key is bounded by the split count, so the agg state is
+    * tiny); output is KEY-sized. Output: (keyCol, n_splits, n_rows,
+    * first_split, last_split, leaking).
+    */
+  def splitLeakageAudit(df: DataFrame, keyCol: String, splitCol: String): DataFrame =
+    df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(countDistinct(col(splitCol)).as("n_splits"),
+        count(lit(1)).as("n_rows"),
+        min(col(splitCol)).as("first_split"),
+        max(col(splitCol)).as("last_split"))
+      .withColumn("leaking", col("n_splits") > 1)
+
   /** Deterministic per-stratum quota: the `quota` rows with the smallest
     * portable hash per stratum (id tie-break) — an exact, reproducible
     * "take N per domain" for training-mix recipes. Exact top-N-per-group
@@ -1542,6 +1622,207 @@ object Curation {
         col("b.s").as("chosen_score"), (-col("w.ns")).as("rejected_score"),
         (col("b.s") + col("w.ns")).as("gap"))
       .where(col("gap") >= minGap)
+  }
+
+  /** Preference-GRAPH consistency audit — the pairwise-judgment QA that
+    * [[preferencePairAudit]] (per-pair hygiene) cannot see: contradictions
+    * and intransitivity ACROSS a prompt's judgments. When the same pair is
+    * judged both ways, or the majority tournament contains a cycle
+    * (a ≻ b ≻ c ≻ a), a Bradley-Terry/DPO objective is being fed
+    * label noise — these are the prompts to re-adjudicate or drop.
+    *
+    * Per prompt, over judgments (winner, loser): unordered pairs get
+    * majority direction (strict majority; equal wins = tied, no edge),
+    * then directed 3-cycles are enumerated in the majority graph. Each
+    * cycle counts ONCE: the join requires the lexicographically smallest
+    * node to open the cycle (a 3-cycle has exactly one rotation starting
+    * at its minimum), so no post-hoc dedup.
+    *
+    * Scale shape: everything is keyed by prompt — pair reduction is one
+    * partial-aggregated groupBy(prompt, lo, hi); the cycle join is two
+    * self-joins on (prompt, node) keys whose volume is Σ_p k_p³ worst
+    * case for k_p completions per prompt. k is a sampling knob (best-of-k
+    * generation, typically ≤ 64), not a data-sized dimension, so the
+    * per-prompt cube is bounded by construction; there is no global hub —
+    * a "celebrity" completion exists only inside its own prompt. Output
+    * is prompt-sized: (promptCol, n_judgments, n_pairs, n_contradictory,
+    * n_tied, n_cycles, consistent).
+    */
+  def preferenceConsistency(df: DataFrame, promptCol: String,
+      winnerCol: String, loserCol: String): DataFrame = {
+    val judg = df.where(col(winnerCol).isNotNull && col(loserCol).isNotNull &&
+        col(winnerCol) =!= col(loserCol))
+      .select(col(promptCol).as("p"), col(winnerCol).as("w"), col(loserCol).as("l"))
+    val pairs = judg
+      .select(col("p"), least(col("w"), col("l")).as("a"),
+        greatest(col("w"), col("l")).as("b"),
+        (col("w") === least(col("w"), col("l"))).cast("long").as("aw"))
+      .groupBy("p", "a", "b")
+      .agg(sum(col("aw")).as("n_ab"), sum(lit(1L) - col("aw")).as("n_ba"))
+    val flagged = pairs.select(col("p"), col("a"), col("b"),
+      col("n_ab"), col("n_ba"),
+      (col("n_ab") > 0 && col("n_ba") > 0).cast("long").as("contradictory"),
+      (col("n_ab") === col("n_ba")).cast("long").as("tied"))
+    // strict-majority tournament edges src -> dst ("src beats dst")
+    val maj = flagged.where(col("n_ab") =!= col("n_ba"))
+      .select(col("p"),
+        when(col("n_ab") > col("n_ba"), col("a")).otherwise(col("b")).as("s"),
+        when(col("n_ab") > col("n_ba"), col("b")).otherwise(col("a")).as("t"))
+    val cycles = maj.select(col("p"), col("s").as("x"), col("t").as("y"))
+      .join(maj.select(col("p"), col("s").as("y"), col("t").as("z")), Seq("p", "y"))
+      .where(col("x") < col("y") && col("x") < col("z"))
+      .join(maj.select(col("p"), col("s").as("z"), col("t").as("x")), Seq("p", "z", "x"))
+      .groupBy("p").agg(count(lit(1)).as("n_cycles"))
+    val perPrompt = judg.groupBy("p").agg(count(lit(1)).as("n_judgments"))
+      .join(flagged.groupBy("p").agg(count(lit(1)).as("n_pairs"),
+        sum(col("contradictory")).as("n_contradictory"),
+        sum(col("tied")).as("n_tied")), Seq("p"))
+      .join(cycles, Seq("p"), "left")
+    perPrompt.select(col("p").as(promptCol), col("n_judgments"), col("n_pairs"),
+      col("n_contradictory"), col("n_tied"),
+      coalesce(col("n_cycles"), lit(0L)).as("n_cycles"),
+      (col("n_contradictory") === 0 &&
+        coalesce(col("n_cycles"), lit(0L)) === 0).as("consistent"))
+  }
+
+  /** Copeland ranking over pairwise judgments: per (prompt, item), wins −
+    * losses in the strict-majority tournament, the standard
+    * cycle-tolerant way to pick best-of-k from preference data when
+    * [[preferenceConsistency]] shows the tournament is not a clean order
+    * (argmax-by-score needs scores; Copeland needs only the judgments).
+    * Ties (equal wins on a pair) score neither side. `rk` ranks within
+    * the prompt by (copeland desc, item asc) — deterministic, so "take
+    * rk = 1 as chosen, rk = k as rejected" replays bit-for-bit.
+    *
+    * Scale shape: one partial-aggregated pair reduction keyed by
+    * (prompt, lo, hi), one explode back to per-(prompt, item) rows, one
+    * window partitioned BY PROMPT (k rows per partition, never global).
+    * Output: (promptCol, item, wins, losses, ties, copeland, rk).
+    */
+  def copelandScores(df: DataFrame, promptCol: String,
+      winnerCol: String, loserCol: String): DataFrame = {
+    val judg = df.where(col(winnerCol).isNotNull && col(loserCol).isNotNull &&
+        col(winnerCol) =!= col(loserCol))
+      .select(col(promptCol).as("p"), col(winnerCol).as("w"), col(loserCol).as("l"))
+    val pairs = judg
+      .select(col("p"), least(col("w"), col("l")).as("a"),
+        greatest(col("w"), col("l")).as("b"),
+        (col("w") === least(col("w"), col("l"))).cast("long").as("aw"))
+      .groupBy("p", "a", "b")
+      .agg(sum(col("aw")).as("n_ab"), sum(lit(1L) - col("aw")).as("n_ba"))
+    // per pair, each endpoint gets one (win|loss|tie) outcome row
+    val outcomes = pairs.select(col("p"), explode(array(
+        struct(col("a").as("item"),
+          (col("n_ab") > col("n_ba")).cast("long").as("win"),
+          (col("n_ab") < col("n_ba")).cast("long").as("loss"),
+          (col("n_ab") === col("n_ba")).cast("long").as("tie")),
+        struct(col("b").as("item"),
+          (col("n_ba") > col("n_ab")).cast("long").as("win"),
+          (col("n_ba") < col("n_ab")).cast("long").as("loss"),
+          (col("n_ab") === col("n_ba")).cast("long").as("tie")))).as("o"))
+      .select(col("p"), col("o.item").as("item"), col("o.win").as("win"),
+        col("o.loss").as("loss"), col("o.tie").as("tie"))
+    val scored = outcomes.groupBy("p", "item")
+      .agg(sum(col("win")).as("wins"), sum(col("loss")).as("losses"),
+        sum(col("tie")).as("ties"))
+      .withColumn("copeland", col("wins") - col("losses"))
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy(col("p"))
+        .orderBy(col("copeland").desc, col("item").asc)).cast("long"))
+      .select(col("p").as(promptCol), col("item"), col("wins"), col("losses"),
+        col("ties"), col("copeland"), col("rk"))
+  }
+
+  /** Waterfilling token allocation — the mixture planner for the case
+    * [[epochPlan]] punts on: you have target WEIGHTS (not a fixed permille
+    * per stratum) and some strata cannot supply their proportional share.
+    * Proportional-to-weight allocation caps each stratum at its available
+    * tokens and redistributes the surplus among uncapped strata, again
+    * proportionally — the exact waterfill, computed in closed form rather
+    * than by iteration.
+    *
+    * Closed form: sort strata by avail/weight ascending (the order in
+    * which they hit their caps as the water level rises). With inclusive
+    * prefix sums A_i, W_i and totals Atot, Wtot, stratum i is capped iff
+    *   avail_i · (Wtot − W_i) ≤ weight_i · (budget − A_i)
+    * — a predicate monotone along the sort order (the capped set is a
+    * prefix). Uncapped strata get floor(weight_i · N / D) with
+    * N = budget − Σ_capped avail, D = Wtot − Σ_capped weight. Flooring
+    * undershoots the budget by < |uncapped| tokens — allocation never
+    * exceeds the budget and never exceeds availability.
+    *
+    * Exact ordering without a float: the sort key is the DECIMAL
+    * quotient (avail·10¹²) / weight. With weights ≤ 10⁶ two DISTINCT
+    * ratios a₁/w₁ ≠ a₂/w₂ differ by ≥ 1/(w₁w₂) ≥ 10⁻¹², so the scaled
+    * keys differ by ≥ 1 while the decimal division's rounding error is
+    * ≤ 5·10⁻⁷ per key — order is preserved exactly, and equal ratios get
+    * equal keys (equal ratios cap together, so order between them is
+    * immaterial). (Spark's `div` returns BIGINT, which the 10¹²-scaled
+    * numerator would overflow — hence decimal division, not integral.)
+    * Weights beyond 10⁶ or avail beyond 10¹⁵ raise (the exactness
+    * budget — a petatoken per stratum; 100 TB of text is ~2.5·10¹³
+    * tokens TOTAL); negative inputs raise; weight-0 strata allocate 0
+    * and are reported, not dropped (the [[epochPlan]] convention). All
+    * products live in DECIMAL(38,0); outputs are BIGINT.
+    *
+    * Scale shape: the frame is STRATA-sized (domains/sources — bounded by
+    * construction, the epochPlan contract), so the single-partition
+    * ordering window is metadata-sized; the capped-set rollup broadcasts
+    * back as a one-row crossJoin. Output: (stratumCol, available, weight,
+    * allocated, capped, fill_permille).
+    */
+  def waterfillPlan(stats: DataFrame, stratumCol: String, tokensCol: String,
+      weightCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0 && budgetTokens <= 1000000000000000L,
+      "budget must be in [0, 1e15] (the integer-exactness budget)")
+    val dec = "decimal(38,0)"
+    // double-underscore temp names: Spark resolves columns
+    // case-insensitively, so e.g. a prefix-sum named "W" would silently
+    // REPLACE the weight column "w"
+    val base = stats.select(col(stratumCol),
+      when(col(tokensCol) >= 0 && col(tokensCol) <= 1000000000000000L,
+        col(tokensCol).cast("long"))
+        .otherwise(raise_error(concat(lit("waterfillPlan: available tokens for "),
+          col(stratumCol).cast("string"),
+          lit(" outside [0, 1e15] - the exact-ordering budget")))).as("__avail"),
+      when(col(weightCol) >= 0 && col(weightCol) <= 1000000L,
+        col(weightCol).cast("long"))
+        .otherwise(raise_error(concat(lit("waterfillPlan: weight for "),
+          col(stratumCol).cast("string"),
+          lit(" outside [0, 1e6] - the exact-ordering budget")))).as("__w"))
+    val act = base.where(col("__w") > 0)
+      .withColumn("__rk",
+        (col("__avail").cast(dec) * lit("1000000000000").cast(dec)) / col("__w"))
+    val ord = Window.orderBy(col("__rk"), col(stratumCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(lit(1))
+    val withPrefix = act
+      .withColumn("__pa", sum(col("__avail")).over(ord).cast(dec))
+      .withColumn("__pw", sum(col("__w")).over(ord).cast(dec))
+      .withColumn("__wtot", sum(col("__w")).over(tot).cast(dec))
+      .withColumn("__capped",
+        col("__avail").cast(dec) * (col("__wtot") - col("__pw")) <=
+          col("__w").cast(dec) * (lit(budgetTokens).cast(dec) - col("__pa")))
+    val level = withPrefix.agg(
+      coalesce(sum(when(col("__capped"), col("__avail"))), lit(0L)).cast(dec).as("__ca"),
+      coalesce(sum(when(col("__capped"), col("__w"))), lit(0L)).cast(dec).as("__cw"),
+      coalesce(max(col("__wtot")), lit(0).cast(dec)).as("__wt"))
+    val alloc = withPrefix.crossJoin(broadcast(level))
+      .select(col(stratumCol), col("__avail"), col("__w"),
+        when(col("__capped"), col("__avail"))
+          .otherwise(call_function("div",
+            col("__w").cast(dec) * (lit(budgetTokens).cast(dec) - col("__ca")),
+            col("__wt") - col("__cw")).cast("long")).as("allocated"),
+        col("__capped").as("capped"))
+    val zeroW = base.where(col("__w") <= 0)
+      .select(col(stratumCol), col("__avail"), col("__w"),
+        lit(0L).as("allocated"), lit(false).as("capped"))
+    alloc.unionByName(zeroW)
+      .select(col(stratumCol), col("__avail").as("available"),
+        col("__w").as("weight"), col("allocated"), col("capped"),
+        when(col("__avail") > 0,
+          call_function("div", col("allocated") * 1000L, col("__avail")))
+          .otherwise(lit(0L)).as("fill_permille"))
   }
 
   /** Packing-efficiency audit over a packed corpus (the QA report for

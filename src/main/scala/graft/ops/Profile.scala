@@ -835,6 +835,76 @@ object Profile {
         })
   }
 
+  /** Fleiss' kappa (integer-exact milli) — chance-corrected agreement for
+    * a FIXED-SIZE rater panel: every item rated by exactly the same number
+    * of raters n (Fleiss 1971). Completes the agreement family:
+    * [[cohenKappa]] is the two-rater complete grid, [[krippendorffAlpha]]
+    * the ragged any-panel general case; Fleiss is the fixed-panel shape
+    * labeling campaigns actually produce (each item routed to n annotators)
+    * and the statistic labeling vendors quote.
+    *
+    * Math, reduced to integers: with per-item-per-label counts n_ij,
+    * N items, n raters, c_j = Σ_i n_ij:
+    *   P̄  = (Σ_ij n_ij² − N·n) / (N·n·(n−1))        = Pb / Db
+    *   P̄e = Σ_j c_j² / (N·n)²                        = Pe / De
+    *   κ  = (P̄ − P̄e) / (1 − P̄e)
+    *      = (Pb·De − Pe·Db) / (Db·(De − Pe))
+    * kappa_milli = (1000·(Pb·De − Pe·Db)) div (Db·(De − Pe)), NULL when
+    * De = Pe (every rating one label — chance agreement is 1, κ vacuous).
+    * Every product is DECIMAL(38,0); Pb·De ≤ N³n⁴ keeps 10⁹ items × 13
+    * raters inside the 38-digit budget. No IEEE op anywhere.
+    *
+    * The fixed-panel precondition is ENFORCED, not assumed: if any item's
+    * rating count differs from the panel size (min ≠ max across items) the
+    * query raises — a silent ragged panel would change the statistic's
+    * meaning (use [[krippendorffAlpha]] for ragged panels).
+    *
+    * Scale shape: one (item, label) partial-aggregated count, one per-item
+    * rollup, one per-label rollup over the same cells frame, then one-row
+    * crossJoin-broadcasts — nothing bigger than the distinct (item, label)
+    * set ever shuffles. Output: one row (n_items, n_raters, n_labels,
+    * kappa_milli).
+    */
+  def fleissKappa(df: DataFrame, itemCol: String, labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cnt = df.where(col(itemCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(itemCol).as("u"), col(labelCol).as("c"))
+      .agg(count(lit(1)).as("k"))
+    val unit = cnt.groupBy("u")
+      .agg(sum(col("k")).as("m"), sum(col("k") * col("k")).cast(dec).as("ss"))
+    val gl = unit.agg(
+      count(lit(1)).as("n_items"),
+      coalesce(min(col("m")), lit(0L)).as("m_min"),
+      coalesce(max(col("m")), lit(0L)).as("m_max"),
+      coalesce(sum(col("ss")), lit(0).cast(dec)).as("sum_ss"))
+    val lab = cnt.groupBy("c").agg(sum(col("k")).cast(dec).as("nc"))
+      .agg(coalesce(sum(col("nc") * col("nc")), lit(0).cast(dec)).as("sum_nc2"),
+        count(lit(1)).as("n_labels"))
+    gl.crossJoin(broadcast(lab))
+      .select(
+        col("n_items"),
+        when(col("m_min") === col("m_max"), col("m_max"))
+          .otherwise(raise_error(concat(
+            lit("fleissKappa: panel size varies across items (min "),
+            col("m_min").cast("string"), lit(", max "),
+            col("m_max").cast("string"),
+            lit(") - Fleiss requires a fixed panel; use krippendorffAlpha for ragged panels"))))
+          .as("n_raters"),
+        col("n_labels"),
+        {
+          val nTot = (col("n_items").cast(dec) * col("m_max")).cast(dec)
+          val pb = col("sum_ss") - nTot
+          val db = (nTot * (col("m_max") - 1)).cast(dec)
+          val de = (nTot * nTot).cast(dec)
+          val denom = db * (de - col("sum_nc2"))
+          when(col("m_max") < 2 || denom === 0, lit(null).cast("long"))
+            .otherwise(call_function("div",
+              lit(1000).cast(dec) * (pb * de - col("sum_nc2") * db),
+              denom).cast("long"))
+            .as("kappa_milli")
+        })
+  }
+
   def crossTab(df: DataFrame, colA: String, colB: String): DataFrame = {
     require(colA != colB, "need two distinct columns")
     val dec = "decimal(38,0)"

@@ -600,4 +600,35 @@ object TextAnalysis {
     docs.where(
       graft.functions.text.termMatches(col(textCol), terms, caseInsensitive)
         .getField("n_matches") < minMatches)
+
+  /** Instruction-template diversity mining for SFT/prompt corpora: the
+    * opening-token template (lowercased first `nTokens` whitespace
+    * tokens) of every prompt, rolled up to (template, count, corpus
+    * share) — the Self-Instruct-style audit that catches a "diverse"
+    * instruction set that is actually 40% "write a short story about".
+    * Openings are where instruction datasets collapse (verb + object
+    * frame); a flat template histogram is the cheap proxy for task
+    * diversity, and the heavy head is the dedup/downsample worklist.
+    * Documents shorter than `nTokens` template on their full text;
+    * empty/whitespace docs group under the empty template (reported,
+    * not dropped — prompt hygiene is part of the audit).
+    *
+    * One partial-aggregated groupBy over the scan-stage template
+    * projection; the corpus total joins back as a one-row broadcast.
+    * Output is TEMPLATE-sized: (template, n_docs, share_permille),
+    * ordered by the caller (the gate ranks in SQL).
+    */
+  def instructionTemplates(docs: DataFrame, textCol: String,
+      nTokens: Int = 3): DataFrame = {
+    require(nTokens >= 1, "nTokens must be >= 1")
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val tpl = array_join(slice(toks, 1, nTokens), " ")
+    val counts = docs.select(tpl.as("template"))
+      .groupBy("template").agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("template"), col("n_docs"),
+        call_function("div", col("n_docs") * 1000L, col("__total"))
+          .as("share_permille"))
+  }
 }

@@ -88,6 +88,12 @@ object RowLocal {
       ops.TextAnalysis.scriptProfile(df, "text", "doc_id")),
     T("TextAnalysis.langSegments")(df =>
       ops.TextAnalysis.langSegments(df, "text", "doc_id", chunkTokens = 4)),
+    T("Curation.repeatedEpochValue")(df =>
+      ops.Curation.repeatedEpochValue(
+        df.select(col("doc_id").as("stratum"),
+          length(col("text")).cast("long").as("tokens"),
+          ((col("doc_id") % 5) * 700).as("epochs_milli")),
+        "stratum", "tokens", "epochs_milli", decayPermille = 700L)),
     T("TextAnalysis.termMatchStats")(df =>
       ops.TextAnalysis.termMatchStats(df, "text", "doc_id",
         Seq("alpha", "beta gamma"), minMatches = 1)),
@@ -269,7 +275,11 @@ object RowLocal {
     "Curation.packSequences" -> "grouped greedy bin packing (cross-row state)",
     "Curation.packEfficiency" -> "per-bin aggregate over the packed corpus",
     "Curation.percentileRank" -> "per-group rank window",
+    "Curation.copelandScores" -> "pair-reduction aggregate + prompt-partitioned rank window",
+    "Curation.preferenceConsistency" -> "pair aggregates + majority-graph cycle joins per prompt",
     "Curation.preferencePairsFromScores" -> "per-prompt argmax/argmin aggregate",
+    "Curation.splitLeakageAudit" -> "per-key distinct-split aggregate",
+    "Curation.waterfillPlan" -> "strata-frame prefix-sum windows + one-row level broadcast",
     "Curation.qualityKeep" -> "private[ops] helper (row-local keep rule inside qualityFilter, which is registered)",
     "Curation.removeBoilerplate" -> "per-doc reassembly via groupBy over exploded lines",
     "Curation.selectByTokenBudget" -> "rank + running-sum windows",
@@ -347,6 +357,7 @@ object RowLocal {
     "Profile.correlationMatrix" -> "one-scan co-moment aggregate",
     "Profile.krippendorffAlpha" -> "coincidence-matrix aggregates over (unit, label) counts",
     "Profile.crossTab" -> "two-column contingency aggregate",
+    "Profile.fleissKappa" -> "fixed-panel (item, label) count aggregates",
     "Profile.datasetCard" -> "per-language corpus aggregates + quantile ranks",
     "Profile.distinctiveTerms" -> "per-group term lift aggregates",
     "Profile.functionalDependencies" -> "pairwise distinct-count aggregates",
@@ -401,6 +412,7 @@ object RowLocal {
     "Temporal.transitions" -> "per-key ordered pair aggregate",
     "Temporal.trendingTopK" -> "windowed counts + top-k",
     "TextAnalysis.collocations" -> "corpus bigram/unigram aggregates",
+    "TextAnalysis.instructionTemplates" -> "template groupBy + one-row total broadcast",
     "TextAnalysis.keywords" -> "corpus df aggregate + per-doc tf-idf rank",
     "TextAnalysis.vocabulary" -> "corpus vocabulary aggregate",
     "Web.anchorProfile" -> "per-target anchor-text aggregate",

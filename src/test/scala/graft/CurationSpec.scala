@@ -1076,6 +1076,121 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4L) == ((0, 0, 0, 2L, 2L, 1000L)))
   }
 
+  test("repeatedEpochValue: staged-decay accounting, exact-epoch corners, budget guard") {
+    import SparkTestBase.spark.implicits._
+    val plan = Seq(
+      ("a", 1000L, 2500L),  // 2 full epochs + half: 1000+500 + 500*250/1000 = 1625
+      ("b", 1000L, 800L),   // sub-epoch: 800 fresh-equivalent, value 1000
+      ("c", 1000L, 1000L),  // exactly one epoch: all fresh
+      ("d", 1000L, 0L))     // nothing planned
+      .toDF("stratum", "tokens", "em")
+    val out = Curation.repeatedEpochValue(plan, "stratum", "tokens", "em")
+      .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    assert(out("a") == ((1625L, 2500L, 650L)))
+    assert(out("b") == ((800L, 800L, 1000L)))
+    assert(out("c") == ((1000L, 1000L, 1000L)))
+    assert(out("d") == ((0L, 0L, -1L)))
+    val e = intercept[Exception] {
+      Curation.repeatedEpochValue(Seq(("x", 10L, 65000L)).toDF("stratum", "tokens", "em"),
+        "stratum", "tokens", "em").collect()
+    }
+    assert(e.getMessage.contains("64 epochs") ||
+      Option(e.getCause).exists(_.getMessage.contains("64 epochs")), e.getMessage)
+  }
+
+  test("splitLeakageAudit: straddling keys flag, clean keys pass, null keys drop") {
+    import SparkTestBase.spark.implicits._
+    val rows = Seq(
+      (Some(1L), "train"), (Some(1L), "train"),
+      (Some(2L), "train"), (Some(2L), "val"), (Some(2L), "val"),
+      (Some(3L), "val"),
+      (None, "train"))
+      .toDF("k", "split")
+    val out = Curation.splitLeakageAudit(rows, "k", "split")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getBoolean(5)))).toMap
+    assert(out.size == 3)
+    assert(out(1L) == ((1L, 2L, "train", "train", false)))
+    assert(out(2L) == ((2L, 3L, "train", "val", true)))
+    assert(out(3L) == ((1L, 1L, "val", "val", false)))
+  }
+
+  test("preferenceConsistency: contradictions, ties, and 3-cycles flag per prompt") {
+    import SparkTestBase.spark.implicits._
+    val judg = Seq(
+      // p1: 1>2 twice, 2>3, and the {1,3} pair judged both ways (contradictory+tied)
+      ("p1", 1L, 2L), ("p1", 1L, 2L), ("p1", 2L, 3L), ("p1", 3L, 1L), ("p1", 1L, 3L),
+      // p2: a rock-paper-scissors cycle 1>2>3>1, each pair judged once
+      ("p2", 1L, 2L), ("p2", 2L, 3L), ("p2", 3L, 1L),
+      // p3: a clean transitive order 1>2>3
+      ("p3", 1L, 2L), ("p3", 1L, 3L), ("p3", 2L, 3L))
+      .toDF("prompt", "winner", "loser")
+    val out = Curation.preferenceConsistency(judg, "prompt", "winner", "loser")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(out("p1") == ((5L, 3L, 1L, 1L, 0L, false)))
+    assert(out("p2") == ((3L, 3L, 0L, 0L, 1L, false)))
+    assert(out("p3") == ((3L, 3L, 0L, 0L, 0L, true)))
+    // a 4-cycle alone (1>2>3>4>1 with the diagonals tied) has NO 3-cycle:
+    // the audit counts triangles, not general cycles — pin that boundary
+    val four = Seq(("q", 1L, 2L), ("q", 2L, 3L), ("q", 3L, 4L), ("q", 4L, 1L),
+      ("q", 1L, 3L), ("q", 3L, 1L), ("q", 2L, 4L), ("q", 4L, 2L))
+      .toDF("prompt", "winner", "loser")
+    val fr = Curation.preferenceConsistency(four, "prompt", "winner", "loser")
+      .collect().head
+    assert(fr.getLong(5) == 0L && fr.getLong(3) == 2L)
+  }
+
+  test("copelandScores: wins minus losses over the majority graph, deterministic rank") {
+    import SparkTestBase.spark.implicits._
+    val judg = Seq(
+      ("p1", 1L, 2L), ("p1", 1L, 2L),           // 1 beats 2 (majority 2-0)
+      ("p1", 2L, 3L),                           // 2 beats 3
+      ("p1", 3L, 1L), ("p1", 1L, 3L))           // {1,3} split 1-1: tie, no edge
+      .toDF("prompt", "winner", "loser")
+    val out = graft.ops.Curation.copelandScores(judg, "prompt", "winner", "loser")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out(1L) == ((1L, 0L, 1L, 1L, 1L)))
+    assert(out(2L) == ((1L, 1L, 0L, 0L, 2L)))
+    assert(out(3L) == ((0L, 1L, 1L, -1L, 3L)))
+  }
+
+  test("waterfillPlan: caps redistribute, budget extremes, zero weight, guard") {
+    import SparkTestBase.spark.implicits._
+    val stats = Seq(("A", 100L, 1L), ("B", 1000L, 1L), ("C", 10000L, 2L))
+      .toDF("stratum", "tokens", "w")
+    // budget 4000: proportional would give A/B 1000 each — A caps at 100,
+    // then B at 1000, and C absorbs the rest at the final water level
+    val out = Curation.waterfillPlan(stats, "stratum", "tokens", "w", 4000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getBoolean(4),
+        r.getLong(5)))).toMap
+    assert(out("A") == ((100L, true, 1000L)))
+    assert(out("B") == ((1000L, true, 1000L)))
+    assert(out("C") == ((2900L, false, 290L)))
+    // budget above total supply: everything caps at availability
+    val all = Curation.waterfillPlan(stats, "stratum", "tokens", "w", 20000L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(all == Map("A" -> 100L, "B" -> 1000L, "C" -> 10000L))
+    // zero budget allocates nothing, caps nothing
+    assert(Curation.waterfillPlan(stats, "stratum", "tokens", "w", 0L)
+      .collect().forall(r => r.getLong(3) == 0L && !r.getBoolean(4)))
+    // zero-weight strata are reported with allocation 0, not dropped
+    val withZero = stats.union(Seq(("D", 50L, 0L)).toDF("stratum", "tokens", "w"))
+    val z = Curation.waterfillPlan(withZero, "stratum", "tokens", "w", 4000L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(z("D") == 0L && z("C") == 2900L)
+    // negative weight raises loudly
+    val bad = Seq(("E", 10L, -1L)).toDF("stratum", "tokens", "w")
+    val e = intercept[Exception] {
+      Curation.waterfillPlan(bad, "stratum", "tokens", "w", 100L).collect()
+    }
+    assert(e.getMessage.contains("exact-ordering budget") ||
+      Option(e.getCause).exists(_.getMessage.contains("exact-ordering budget")),
+      e.getMessage)
+  }
+
   test("spanCorrupt: extremes are exact, spans never overlap, token-count law holds") {
     import SparkTestBase.spark.implicits._
     val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")

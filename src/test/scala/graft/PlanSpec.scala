@@ -964,4 +964,67 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_"), s"map-side combine expected:\n$plan")
     assert(!plan.contains("Window") && !plan.contains("Join"), s"one groupBy only:\n$plan")
   }
+
+  test("fleissKappa: keyed partial aggregates only — no window, one-row broadcast tail") {
+    val plan = planOf(SparkEntry.queries("ns_fleiss_kappa")(spark, sf))
+    assert(plan.contains("partial_"), s"map-side combine expected:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"),
+      s"the kappa identities need no window:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the one-row label tail must broadcast:\n${plan.take(2500)}")
+  }
+
+  test("preferenceConsistency: every exchange is prompt-keyed, cycle join never sort-merges the corpus") {
+    val plan = planOf(SparkEntry.queries("ns_pref_consistency")(spark, sf))
+    // the pair reduction must map-side combine — judgments shrink to one
+    // row per (prompt, pair) before any join sees them
+    assert(plan.contains("partial_"), s"map-side combine expected:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"),
+      s"tournament audit needs no window:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"cycle enumeration must stay equi-keyed:\n${plan.take(2500)}")
+  }
+
+  test("copelandScores: pair reduction combines map-side; the only window is prompt-partitioned") {
+    val plan = planOf(SparkEntry.queries("ns_copeland")(spark, sf))
+    assert(plan.contains("partial_"), s"map-side combine expected:\n${plan.take(2000)}")
+    // rank must be partitioned by prompt — a global window would hot-spot
+    assert(plan.contains("windowspecdefinition(p#"),
+      s"window must be prompt-partitioned:\n${plan.take(2500)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cross products in the tournament rollup:\n${plan.take(2500)}")
+  }
+
+  test("repeatedEpochValue: row-local fold over the plan frame — no extra exchange past the stats agg") {
+    val plan = planOf(SparkEntry.queries("ns_epoch_value")(spark, sf))
+    assert(!plan.contains("Window"),
+      s"the decay fold is an array HOF, not a window:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"value audit adds no join beyond the plan's own broadcast:\n${plan.take(2500)}")
+  }
+
+  test("splitLeakageAudit: one partial-aggregated groupBy keyed by the audit key") {
+    val plan = planOf(SparkEntry.queries("ns_split_leakage")(spark, sf))
+    assert(plan.contains("partial_"), s"map-side combine expected:\n${plan.take(2000)}")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"leakage audit is one keyed aggregate:\n${plan.take(2000)}")
+  }
+
+  test("instructionTemplates: template groupBy combines map-side, total joins as one-row broadcast") {
+    val plan = planOf(SparkEntry.queries("ns_instr_templates")(spark, sf))
+    assert(plan.contains("partial_"), s"map-side combine expected:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      s"corpus total must broadcast back:\n${plan.take(2500)}")
+  }
+
+  test("waterfillPlan: strata-frame windows only, level rejoins as one-row broadcast") {
+    val plan = planOf(SparkEntry.queries("ns_waterfill")(spark, sf))
+    // the corpus-sized work is ONE partial-aggregated groupBy(lang);
+    // everything after runs on the strata-sized frame
+    assert(plan.contains("partial_"), s"map-side combine expected:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastExchange") || !plan.contains("SortMergeJoin"),
+      s"the level tail must broadcast back, never SMJ:\n${plan.take(2500)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"the one-row level crossJoin must plan as broadcast:\n${plan.take(2500)}")
+  }
 }

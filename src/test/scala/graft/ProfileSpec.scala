@@ -410,6 +410,61 @@ class ProfileSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("exactness budget")), e.getMessage)
   }
 
+  test("instructionTemplates: opening templates, shares, short and empty docs") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "Write a story about dragons"),
+      (2L, "write a story quickly"),
+      (3L, "Summarize this text"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.instructionTemplates(docs, "text", nTokens = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.size == 3)
+    assert(out("write a story") == ((2L, 500L)))
+    assert(out("summarize this text") == ((1L, 250L)))
+    assert(out("") == ((1L, 250L)))
+  }
+
+  test("fleissKappa: Fleiss-1971 canonical table, corners, fixed-panel guard") {
+    // the canonical 10-item / 14-rater / 5-category table (Fleiss 1971):
+    // kappa = 5895400/28082600 = 0.20993... -> 209 milli (trunc toward zero)
+    val table = Seq(
+      Seq(0, 0, 0, 0, 14), Seq(0, 2, 6, 4, 2), Seq(0, 0, 3, 5, 6),
+      Seq(0, 3, 9, 2, 0), Seq(2, 2, 8, 1, 1), Seq(7, 7, 0, 0, 0),
+      Seq(3, 2, 6, 3, 0), Seq(2, 5, 3, 2, 2), Seq(6, 5, 2, 1, 0),
+      Seq(0, 2, 2, 3, 7))
+    val rows = for {
+      (counts, item) <- table.zipWithIndex
+      (k, cat) <- counts.zipWithIndex
+      _ <- 0 until k
+    } yield (s"i$item", s"c$cat")
+    val r = graft.ops.Profile.fleissKappa(rows.toDF("item", "label"), "item", "label")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((10L, 14L, 5L, 209L)), s"got $r")
+    // negative kappa: 2 items x 2 raters, (A,A) and (A,B) -> -1/3 -> -333
+    val neg = Seq(("u1", "A"), ("u1", "A"), ("u2", "A"), ("u2", "B"))
+      .toDF("item", "label")
+    assert(Profile.fleissKappa(neg, "item", "label").collect().head.getLong(3) == -333L)
+    // perfect agreement, two labels -> 1000
+    val perfect = Seq(("u1", "A"), ("u1", "A"), ("u1", "A"),
+      ("u2", "B"), ("u2", "B"), ("u2", "B")).toDF("item", "label")
+    assert(Profile.fleissKappa(perfect, "item", "label").collect().head.getLong(3) == 1000L)
+    // one label everywhere -> chance agreement 1, kappa undefined (NULL)
+    val const = Seq(("u1", "A"), ("u1", "A"), ("u2", "A"), ("u2", "A"))
+      .toDF("item", "label")
+    assert(Profile.fleissKappa(const, "item", "label").collect().head.isNullAt(3))
+    // ragged panel raises loudly instead of silently changing the statistic
+    val ragged = Seq(("u1", "A"), ("u1", "B"), ("u2", "A"))
+      .toDF("item", "label")
+    val e = intercept[Exception] {
+      Profile.fleissKappa(ragged, "item", "label").collect()
+    }
+    assert(e.getMessage.contains("fixed panel") ||
+      Option(e.getCause).exists(_.getMessage.contains("fixed panel")), e.getMessage)
+  }
+
   test("langSegments: code-switched doc flags, monolingual doc does not, empty doc is zero") {
     import graft.ops.TextAnalysis
     // doc 1: 4-token chunks — first chunk English markers, second German

@@ -579,6 +579,164 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fleissKappa law: Spark equals a BigInt model on random fixed panels") {
+    import SparkTestBase.spark.implicits._
+    def model(rows: Seq[(Int, String)]): (Long, Long, Long, Option[Long]) = {
+      val byItem = rows.groupBy(_._1)
+      val nItems = BigInt(byItem.size)
+      val nRaters = BigInt(byItem.values.head.size)
+      val nTot = nItems * nRaters
+      val sumSs = byItem.values.map(rs =>
+        rs.groupBy(_._2).values.map(g => BigInt(g.size) * g.size).sum).sum
+      val sumNc2 = rows.groupBy(_._2).values.map(g => BigInt(g.size) * g.size).sum
+      val (pb, db, de) = (sumSs - nTot, nTot * (nRaters - 1), nTot * nTot)
+      val denom = db * (de - sumNc2)
+      val kappa =
+        if (nRaters < 2 || denom == 0) None
+        else Some(((BigInt(1000) * (pb * de - sumNc2 * db)) / denom).toLong)
+      (nItems.toLong, nRaters.toLong, rows.map(_._2).distinct.size.toLong, kappa)
+    }
+    val gen = for {
+      nItems <- Gen.choose(1, 6)
+      nRaters <- Gen.choose(2, 5)
+      labels <- Gen.listOfN(nItems * nRaters, Gen.oneOf("a", "b", "c"))
+    } yield labels.zipWithIndex.map { case (l, i) => (i % nItems, l) }
+    forAll(gen, n = 8) { rows =>
+      val got = graft.ops.Profile.fleissKappa(
+        rows.toDF("item", "label"), "item", "label").collect().head
+      val gotT = (got.getLong(0), got.getLong(1), got.getLong(2),
+        if (got.isNullAt(3)) None else Some(got.getLong(3)))
+      assert(gotT == model(rows), s"rows=$rows")
+    }
+  }
+
+  test("waterfillPlan law: closed form equals the iterative waterfill fixpoint") {
+    import SparkTestBase.spark.implicits._
+    def model(strata: Seq[(String, Long, Long)], budget: Long): Map[String, (Long, Boolean)] = {
+      val act = strata.filter(_._3 > 0)
+      var capped = Set.empty[String]
+      var changed = true
+      while (changed) {
+        changed = false
+        val n = BigInt(budget) - act.filter(s => capped(s._1)).map(s => BigInt(s._2)).sum
+        val d = act.filterNot(s => capped(s._1)).map(s => BigInt(s._3)).sum
+        for (s <- act if !capped(s._1) && d > 0)
+          if (BigInt(s._2) * d <= BigInt(s._3) * n) { capped += s._1; changed = true }
+      }
+      val n = BigInt(budget) - act.filter(s => capped(s._1)).map(s => BigInt(s._2)).sum
+      val d = act.filterNot(s => capped(s._1)).map(s => BigInt(s._3)).sum
+      strata.map { case (k, avail, w) =>
+        k -> (if (w <= 0) (0L, false)
+              else if (capped(k)) (avail, true)
+              else ((BigInt(w) * n / d).toLong, false))
+      }.toMap
+    }
+    val gen = for {
+      nStrata <- Gen.choose(1, 7)
+      rows <- Gen.listOfN(nStrata, Gen.zip(Gen.choose(0L, 2000L), Gen.choose(0L, 9L)))
+      budget <- Gen.choose(0L, 6000L)
+    } yield (rows.zipWithIndex.map { case ((a, w), i) => (s"s$i", a, w) }, budget)
+    forAll(gen, n = 10) { case (strata, budget) =>
+      val got = graft.ops.Curation.waterfillPlan(
+        strata.toDF("stratum", "tokens", "w"), "stratum", "tokens", "w", budget)
+        .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+      val want = model(strata, budget)
+      assert(got == want, s"strata=$strata budget=$budget")
+      // never over budget, never over availability
+      val byName = strata.map(s => s._1 -> s._2).toMap
+      assert(got.values.map(_._1).sum <= budget || budget >= strata.map(_._2).sum)
+      got.foreach { case (k, (alloc, _)) => assert(alloc <= byName(k)) }
+    }
+  }
+
+  test("repeatedEpochValue law: staged fold equals a BigInt model, value never exceeds raw") {
+    import SparkTestBase.spark.implicits._
+    def model(tokens: Long, em: Long, d: Long): (Long, Long, Option[Long]) = {
+      val e = em / 1000
+      val frac = em - 1000 * e
+      var (s, p) = (BigInt(0), BigInt(1000))
+      for (_ <- 1L to e) { s += p; p = p * d / 1000 }
+      val factor = s + BigInt(frac) * p / 1000
+      val eff = (BigInt(tokens) * factor / 1000).toLong
+      val raw = (BigInt(tokens) * em / 1000).toLong
+      (eff, raw, if (raw > 0) Some(eff * 1000L / raw) else None)
+    }
+    val gen = for {
+      n <- Gen.choose(1, 6)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 100000L), Gen.choose(0L, 9000L)))
+      d <- Gen.choose(0L, 1000L)
+    } yield (rows.zipWithIndex.map { case ((t, em), i) => (s"s$i", t, em) }, d)
+    forAll(gen, n = 10) { case (rows, d) =>
+      val got = graft.ops.Curation.repeatedEpochValue(
+        rows.toDF("stratum", "tokens", "em"), "stratum", "tokens", "em", d)
+        .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+      rows.foreach { case (k, t, em) =>
+        assert(got(k) == model(t, em, d), s"row=($k,$t,$em) d=$d")
+        // repetition can never be worth MORE than its raw token count
+        assert(got(k)._1 <= got(k)._2)
+      }
+    }
+  }
+
+  test("preference tournament laws: consistency and Copeland equal brute-force models") {
+    import SparkTestBase.spark.implicits._
+    val gen = for {
+      nJudg <- Gen.choose(1, 25)
+      rows <- Gen.listOfN(nJudg, Gen.zip(
+        Gen.choose(1, 2), Gen.choose(1L, 5L), Gen.choose(1L, 5L)))
+    } yield rows.collect { case (p, w, l) if w != l => (s"p$p", w, l) }
+    forAll(gen, n = 8) { judg =>
+      if (judg.nonEmpty) {
+        val df = judg.toDF("prompt", "winner", "loser")
+        // brute-force per-prompt tournament model
+        val byPrompt = judg.groupBy(_._1)
+        val wantCons = byPrompt.map { case (p, js) =>
+          val pairs = js.groupBy(j => (math.min(j._2, j._3), math.max(j._2, j._3)))
+          val counts = pairs.map { case ((a, b), g) =>
+            (a, b) -> ((g.count(_._2 == a).toLong, g.count(_._2 == b).toLong)) }
+          // toSeq first: collecting pair elements straight out of a Map
+          // would rebuild a Map and collapse edges sharing a source node
+          val maj = counts.toSeq.collect {
+            case ((a, b), (ab, ba)) if ab > ba => (a, b)
+            case ((a, b), (ab, ba)) if ba > ab => (b, a)
+          }.toSet
+          val nodes = counts.keySet.flatMap(k => Set(k._1, k._2)).toSeq.sorted
+          val cycles = (for {
+            x <- nodes; y <- nodes; z <- nodes
+            if x < y && x < z && y != z
+            if maj((x, y)) && maj((y, z)) && maj((z, x))
+          } yield 1).size.toLong
+          val nContra = counts.values.count(c => c._1 > 0 && c._2 > 0).toLong
+          val nTied = counts.values.count(c => c._1 == c._2).toLong
+          p -> ((js.size.toLong, counts.size.toLong, nContra, nTied, cycles,
+            nContra == 0 && cycles == 0))
+        }
+        val gotCons = graft.ops.Curation.preferenceConsistency(df, "prompt", "winner", "loser")
+          .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+        assert(gotCons == wantCons, s"judg=$judg")
+        // Copeland: wins - losses over the same majority graphs
+        val wantCope = byPrompt.flatMap { case (p, js) =>
+          val pairs = js.groupBy(j => (math.min(j._2, j._3), math.max(j._2, j._3)))
+          val outcomes = pairs.toSeq.flatMap { case ((a, b), g) =>
+            val (ab, ba) = (g.count(_._2 == a), g.count(_._2 == b))
+            if (ab > ba) Seq((a, 1L, 0L, 0L), (b, 0L, 1L, 0L))
+            else if (ba > ab) Seq((b, 1L, 0L, 0L), (a, 0L, 1L, 0L))
+            else Seq((a, 0L, 0L, 1L), (b, 0L, 0L, 1L))
+          }
+          outcomes.groupBy(_._1).map { case (item, os) =>
+            (p, item) -> ((os.map(_._2).sum, os.map(_._3).sum, os.map(_._4).sum))
+          }
+        }
+        val gotCope = graft.ops.Curation.copelandScores(df, "prompt", "winner", "loser")
+          .collect().map(r => (r.getString(0), r.getLong(1)) ->
+            ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+        assert(gotCope == wantCope, s"judg=$judg")
+      }
+    }
+  }
+
   test("preferencePairsFromScores law: equals a driver-side scan model, token conservation") {
     import SparkTestBase.spark.implicits._
     val gen = for {
