@@ -39,6 +39,28 @@ private[graft] object EntriesCuration {
           Seq("doc_id", "chunk_idx"), budget = 128, nGroups = 8),
         Seq("pack_group", "bin_idx"), "n_tokens", budget = 128L)
     }),
+    "ns_mix_value" -> ((s, dir) => {
+      // end-to-end mix-planning capstone: quality-filter the corpus,
+      // plan a repetition mix over the SURVIVORS against a token budget,
+      // then value the repetition in fresh-token terms — three operators
+      // composed; the oracle chains qualityFilterSql + the plan replay +
+      // the d=500 halving identity so no stage can drift
+      val docs = t(s, dir, "documents")
+      val qf = graft.ops.Curation.qualityFilter(docs, "text", "doc_id",
+        minWords = 30, maxWords = 10000, minMeanWordLen = 4.0, maxMeanWordLen = 10.0,
+        minStopwordHits = 2, minAlphaWordFrac = 0.9,
+        maxDupLineFrac = 0.05, maxDupLineCharFrac = 0.05,
+        maxDup2gramFrac = 0.08, maxDup3gramFrac = 0.04, lineLen = 2)
+      val stats = qf.where(col("keep"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang").as("stratum"))
+        .agg(sum(col("n_words")).as("tokens"))
+      val plan = graft.ops.Curation.epochPlan(stats, "stratum", "tokens",
+        targetPermille = Map("en" -> 300, "de" -> 300, "es" -> 200, "fr" -> 200),
+        budgetTokens = 60000L, maxEpochsMilli = 4000L)
+      graft.ops.Curation.repeatedEpochValue(plan, "stratum", "tokens",
+        "epochs_milli", decayPermille = 500L)
+    }),
     "ns_epoch_value" -> ((s, dir) => {
       // datablations-style effective-token audit of the ns_epoch_plan
       // repetition plan: epoch e is worth 500-permille^e of fresh data;
@@ -550,6 +572,30 @@ private[graft] object EntriesCuration {
   val oracleSql: Map[String, String] = Map(
     // ns_epoch_value is a DERIVED oracle (wraps the ns_epoch_plan SQL) —
     // composed in SparkEntry.oracleSql so the two gates cannot drift
+    "ns_mix_value" ->
+      s"""WITH qf AS ($qualityFilterSql),
+         |st AS (SELECT d.lang AS stratum, CAST(sum(qf.n_words) AS BIGINT) AS tokens
+         |       FROM qf JOIN documents d USING (doc_id) WHERE qf.keep GROUP BY 1),
+         |tgt(stratum, permille) AS (VALUES ('en', 300), ('de', 300), ('es', 200), ('fr', 200)),
+         |p AS (SELECT st.stratum, st.tokens,
+         |             CAST(coalesce(tgt.permille, 0) AS BIGINT) AS permille
+         |      FROM st LEFT JOIN tgt USING (stratum)),
+         |e AS (SELECT *, (60000 * permille) // 1000 AS target_tokens FROM p),
+         |f AS (SELECT *, least(CASE WHEN tokens > 0 THEN (target_tokens * 1000) // tokens
+         |                           ELSE 0 END, 4000) AS epochs_milli FROM e),
+         |x AS (SELECT stratum, tokens, epochs_milli, epochs_milli % 1000 AS frac,
+         |        coalesce(list_sum(list_transform(range(epochs_milli // 1000),
+         |          i -> 1000 // (1 << i))), 0) AS s,
+         |        1000 // (1 << (epochs_milli // 1000)) AS p2
+         |      FROM f),
+         |y AS (SELECT stratum, tokens, epochs_milli,
+         |        CAST((tokens * (s + (frac * p2) // 1000)) // 1000 AS BIGINT) AS effective_tokens,
+         |        CAST((tokens * epochs_milli) // 1000 AS BIGINT) AS raw_tokens
+         |      FROM x)
+         |SELECT stratum, tokens, epochs_milli, effective_tokens, raw_tokens,
+         |       CASE WHEN raw_tokens > 0 THEN (effective_tokens * 1000) // raw_tokens
+         |            ELSE NULL END AS value_permille
+         |FROM y""".stripMargin,
     "ns_split_leakage" ->
       """WITH d AS (SELECT doc_id // 20 AS blk,
         |             CASE WHEN (doc_id // 50) % 5 < 4 THEN 'train' ELSE 'val' END AS split

@@ -22,6 +22,23 @@ private[graft] object EntriesDedup {
     // ---- training-data pipeline operators (north star) ----
     "ns_dedup_exact" -> ((s, dir) =>
       graft.ops.Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
+    "ns_doc_stitch" -> ((s, dir) => {
+      // crawl-reassembly gate: every eligible doc is split into
+      // overlapping halves (tokens 1-16 and 13-28 share a 4-token
+      // boundary), so each split pair MUST stitch back; run in exact
+      // mode (maxBucket disabled-high), guard semantics ScalaTest-gated
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+        .where(size(col("tk")) >= 28)
+      val halves = d.select(explode(array(
+          struct((col("doc_id") * 2).as("id"),
+            array_join(slice(col("tk"), 1, 16), " ").as("text")),
+          struct((col("doc_id") * 2 + 1).as("id"),
+            array_join(slice(col("tk"), 13, 16), " ").as("text")))).as("h"))
+        .select(col("h.id").as("id"), col("h.text").as("text"))
+      graft.ops.Dedup.docStitchCandidates(halves, "text", "id",
+        k = 4, maxBucket = 1000000)
+    }),
     "ns_embed_pca" -> ((s, dir) => {
       // PCA projection with the FROZEN basis: exact integer dots of
       // micro-quantized embeddings against micro-quantized components —
@@ -538,6 +555,22 @@ private[graft] object EntriesDedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ns_doc_stitch" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |e AS (SELECT * FROM d WHERE len(tk) >= 28),
+        |halves AS (
+        |  SELECT doc_id * 2 AS id, array_to_string(tk[1:16], ' ') AS text FROM e
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1, array_to_string(tk[13:28], ' ') FROM e),
+        |t2 AS (SELECT id, string_split_regex(trim(text), '\s+') AS t FROM halves
+        |       WHERE len(trim(text)) > 0),
+        |suf AS (SELECT id AS left_id, array_to_string(t[len(t)-3:len(t)], ' ')
+        |          AS boundary_gram FROM t2 WHERE len(t) >= 4),
+        |pre AS (SELECT id AS right_id, array_to_string(t[1:4], ' ')
+        |          AS boundary_gram FROM t2 WHERE len(t) >= 4)
+        |SELECT left_id, right_id, boundary_gram
+        |FROM suf JOIN pre USING (boundary_gram)
+        |WHERE left_id <> right_id""".stripMargin,
     "ns_embed_pca" -> pcaOracleSql,
     "ns_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count

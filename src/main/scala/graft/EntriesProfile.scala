@@ -30,6 +30,20 @@ private[graft] object EntriesProfile {
           .select(call_function("div", col("event_id"), lit(4L)).as("panel"),
             col("event_type")),
         "panel", "event_type")),
+    "ns_zipf" -> ((s, dir) =>
+      // corpus-health gate before tokenizer training: frequency-doubling
+      // vocabulary buckets with exact bit-length log2 — both engines
+      // compute floor(log2 cnt) as length(bin(cnt)) - 1. The synthetic
+      // corpus has a ~31-term template vocabulary (2 buckets — exactly
+      // the non-Zipf shape the audit exists to flag), so the gate widens
+      // the tail deterministically with per-doc / per-residue tokens to
+      // exercise buckets across the whole range
+      graft.ops.TextAnalysis.zipfProfile(
+        t(s, dir, "documents").select(concat_ws(" ", col("text"),
+          concat(lit("u"), col("doc_id").cast("string")),
+          concat(lit("v"), (col("doc_id") % 50).cast("string")),
+          concat(lit("w"), (col("doc_id") % 7).cast("string"))).as("text")),
+        "text")),
     "ns_instr_templates" -> ((s, dir) =>
       // SFT opening-template diversity: first-3-token templates of every
       // document with corpus share; the oracle replays the split/slice
@@ -408,6 +422,24 @@ private[graft] object EntriesProfile {
         |       ELSE CAST((1000 * (27720 * (n*n - sum_nc2) - (n - 1) * S))
         |                 // (27720 * (n*n - sum_nc2)) AS BIGINT) END AS alpha_milli
         |FROM gl, lab""".stripMargin,
+    "ns_zipf" ->
+      """WITH d AS (SELECT text || ' u' || CAST(doc_id AS VARCHAR)
+        |             || ' v' || CAST(doc_id % 50 AS VARCHAR)
+        |             || ' w' || CAST(doc_id % 7 AS VARCHAR) AS text FROM documents),
+        |toks AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM d),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+        |b AS (SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) AS bucket,
+        |             CAST(count(*) AS BIGINT) AS n_terms,
+        |             CAST(sum(cnt) AS BIGINT) AS n_tokens
+        |      FROM c GROUP BY 1),
+        |w AS (SELECT *, sum(n_tokens) OVER () AS total,
+        |             lag(n_terms) OVER (ORDER BY bucket) AS prev FROM b)
+        |SELECT bucket, n_terms, n_tokens,
+        |       CAST((n_tokens * 1000) // total AS BIGINT) AS token_share_permille,
+        |       CASE WHEN prev IS NOT NULL THEN CAST((n_terms * 1000) // prev AS BIGINT)
+        |            ELSE NULL END AS decay_permille
+        |FROM w""".stripMargin,
     "ns_instr_templates" ->
       """WITH tpl AS (
         |  SELECT array_to_string(string_split_regex(trim(lower(text)), '\s+')[1:3], ' ')

@@ -1129,4 +1129,41 @@ object Dedup {
       .dropDuplicates("idA", "idB")
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Document-stitching candidates: pairs (left, right) where the LAST
+    * `k` whitespace tokens of `left` equal the FIRST `k` tokens of
+    * `right` — the crawl-reassembly primitive for documents that arrive
+    * split (pagination, extraction window caps, chunked reposts). The
+    * directional complement of the dedup family: dedup finds the SAME
+    * content twice; stitching finds content cut in half. Tokens stay
+    * case-sensitive and verbatim (a stitch boundary is byte-evidence,
+    * not fuzzy similarity); documents shorter than `k` tokens can't
+    * anchor a boundary and are skipped.
+    *
+    * Scale shape: two scan-stage projections (suffix-gram, prefix-gram —
+    * split + slice, no regex backtrack) and ONE equi-join on the gram
+    * string. `maxBucket` is the skew guard (the [[capBuckets]]
+    * convention): a boilerplate boundary ("continue reading on page" ×
+    * 10⁶ docs) would otherwise turn the join into a hub self-join;
+    * grams with more than `maxBucket` occurrences on EITHER side are
+    * dropped as stop-boundaries (a gram that common is navigation, not
+    * evidence of a specific cut). Output: (left_id, right_id,
+    * boundary_gram), self-pairs excluded.
+    */
+  def docStitchCandidates(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, maxBucket: Int = 64): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxBucket >= 1, "maxBucket must be >= 1")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val base = docs.select(col(idCol).as("__id"), toks.as("__tk"))
+      .where(size(col("__tk")) >= k && length(trim(col(textCol))) > 0)
+    val suf = base.select(col("__id").as("left_id"),
+      array_join(slice(col("__tk"), -k, k), " ").as("boundary_gram"))
+    val pre = base.select(col("__id").as("right_id"),
+      array_join(slice(col("__tk"), 1, k), " ").as("boundary_gram"))
+    capBuckets(suf, Seq("boundary_gram"), maxBucket)
+      .join(capBuckets(pre, Seq("boundary_gram"), maxBucket), Seq("boundary_gram"))
+      .where(col("left_id") =!= col("right_id"))
+      .select(col("left_id"), col("right_id"), col("boundary_gram"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document-level text analysis for training-data pipelines: token
@@ -600,6 +601,46 @@ object TextAnalysis {
     docs.where(
       graft.functions.text.termMatches(col(textCol), terms, caseInsensitive)
         .getField("n_matches") < minMatches)
+
+  /** Zipf-shape audit of the corpus vocabulary: term counts rolled into
+    * FREQUENCY-DOUBLING buckets — bucket b holds terms whose count lies
+    * in [2^b, 2^{b+1}) — with per-bucket term totals, token mass, and
+    * the term-count decay ratio vs the previous bucket. Natural language
+    * roughly halves the number of terms per doubling (Zipf exponent ~1 →
+    * decay_permille ~500); a bucket histogram that DOESN'T decay that way
+    * flags synthetic/templated text, log spam, or tokenizer damage —
+    * a corpus-health gate run before tokenizer training. Buckets are
+    * exact integers (the bit length of the count), so no transcendental
+    * crosses the oracle: floor(log2 n) = length(bin(n)) − 1 in both
+    * engines.
+    *
+    * Scale shape: one exploded token count (partial-aggregated on the
+    * term key), then a rollup onto ≤ 64 buckets; the lag window runs on
+    * the bucket frame (≤ 64 rows — metadata-sized by construction).
+    * Output: (bucket, n_terms, n_tokens, token_share_permille,
+    * decay_permille [NULL for the first bucket]).
+    */
+  def zipfProfile(docs: DataFrame, textCol: String, minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val counts = docs
+      .select(graft.functions.text.wordNgrams(col(textCol), 1, distinct = false).as("__t"))
+      .select(explode(col("__t")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+    val buckets = counts
+      .groupBy((length(bin(col("cnt"))) - 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("cnt")).as("n_tokens"))
+    val w = Window.orderBy(col("bucket"))
+    buckets
+      .withColumn("__total", sum(col("n_tokens")).over(Window.partitionBy(lit(1))))
+      .withColumn("__prev", lag(col("n_terms"), 1).over(w))
+      .select(col("bucket"), col("n_terms"), col("n_tokens"),
+        call_function("div", col("n_tokens") * 1000L, col("__total"))
+          .as("token_share_permille"),
+        when(col("__prev").isNotNull,
+          call_function("div", col("n_terms") * 1000L, col("__prev")))
+          .otherwise(lit(null).cast("long")).as("decay_permille"))
+  }
 
   /** Instruction-template diversity mining for SFT/prompt corpora: the
     * opening-token template (lowercased first `nTokens` whitespace

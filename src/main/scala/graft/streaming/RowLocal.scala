@@ -298,6 +298,7 @@ object RowLocal {
     "Dedup.corpusOverlapEstimate" -> "aggregate over the overlap frame",
     "Dedup.corpusSignature" -> "corpus-level minhash aggregate",
     "Dedup.crossCorpusDedup" -> "union + digest groupBy across corpora",
+    "Dedup.docStitchCandidates" -> "suffix/prefix boundary-gram equi-join",
     "Dedup.dupSizeHistogram" -> "digest groupBy + size histogram",
     "Dedup.embeddingCandidates" -> "LSH bucket self-join",
     "Dedup.exact" -> "digest groupBy (first-occurrence winner)",
@@ -415,6 +416,7 @@ object RowLocal {
     "TextAnalysis.instructionTemplates" -> "template groupBy + one-row total broadcast",
     "TextAnalysis.keywords" -> "corpus df aggregate + per-doc tf-idf rank",
     "TextAnalysis.vocabulary" -> "corpus vocabulary aggregate",
+    "TextAnalysis.zipfProfile" -> "corpus vocabulary aggregate + doubling-bucket rollup",
     "Web.anchorProfile" -> "per-target anchor-text aggregate",
     "Web.domainFilterTable" -> "broadcast join vs the blocklist table",
     "Web.domainStats" -> "per-domain aggregate",

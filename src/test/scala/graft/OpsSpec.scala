@@ -1621,4 +1621,52 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(_.getString(2)).toSeq
     assert(got == Seq("alpha", "beta", "solo"))
   }
+
+  test("docStitchCandidates: split halves stitch back, short docs skip, maxBucket guards boilerplate") {
+    import SparkTestBase.spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),     // suffix-2: "g h"
+      (2L, "g h i j k l"),         // prefix-2: "g h" -> 1 stitches to 2
+      (3L, "zz yy"),               // no partner
+      (4L, "x")                    // shorter than k: skipped
+    ).toDF("id", "text")
+    val out = graft.ops.Dedup.docStitchCandidates(docs, "text", "id", k = 2,
+        maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq((1L, 2L, "g h")))
+    // a boilerplate boundary shared by many docs is dropped as a
+    // stop-boundary once either side exceeds maxBucket
+    val hub = Seq(
+      (1L, "alpha beta continue reading"), (2L, "gamma delta continue reading"),
+      (3L, "epsilon zeta continue reading"),
+      (11L, "continue reading part two"), (12L, "continue reading part three"))
+      .toDF("id", "text")
+    val capped = graft.ops.Dedup.docStitchCandidates(hub, "text", "id", k = 2,
+      maxBucket = 2)
+    // "continue reading" has 3 suffix occurrences > maxBucket=2: dropped
+    assert(capped.count() == 0L)
+    val uncapped = graft.ops.Dedup.docStitchCandidates(hub, "text", "id", k = 2,
+      maxBucket = 100)
+    assert(uncapped.count() == 6L, "3 suffixes x 2 prefixes when exact")
+  }
+
+  test("zipfProfile: exact doubling buckets, shares, decay vs previous bucket") {
+    import SparkTestBase.spark.implicits._
+    // counts: a=5 (bucket 2), b=2, c=2 (bucket 1), d=1, e=1, f=1 (bucket 0)
+    val docs = Seq((1L, "a a a b b c d"), (2L, "a a c e f")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.zipfProfile(docs, "text")
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    // totals: 12 tokens; bucket0: 3 terms 3 tokens (250 permille);
+    // bucket1: 2 terms 4 tokens (333); bucket2: 1 term 5 tokens (416)
+    assert(out.toSeq == Seq(
+      (0L, 3L, 3L, 250L, -1L),
+      (1L, 2L, 4L, 333L, 666L),
+      (2L, 1L, 5L, 416L, 500L)))
+    // minCount prunes singleton terms before bucketing
+    val pruned = graft.ops.TextAnalysis.zipfProfile(docs, "text", minCount = 2L)
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pruned.toSeq == Seq((1L, 2L), (2L, 1L)))
+  }
 }

@@ -1017,6 +1017,31 @@ class PlanSpec extends AnyFunSuite {
       s"corpus total must broadcast back:\n${plan.take(2500)}")
   }
 
+  test("docStitchCandidates: gram-keyed equi-join only, bucket counts combine map-side") {
+    val plan = planOf(SparkEntry.queries("ns_doc_stitch")(spark, sf))
+    assert(plan.contains("partial_"), s"bucket-cap counts must map-side combine:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"stitch join must stay equi-keyed on the gram:\n${plan.take(2500)}")
+    assert(!plan.contains("Window"),
+      s"no window anywhere in the stitch pipeline:\n${plan.take(2000)}")
+  }
+
+  test("zipfProfile: term counts combine map-side; windows run on the bucket frame only") {
+    val plan = planOf(SparkEntry.queries("ns_zipf")(spark, sf))
+    assert(plan.contains("partial_"), s"map-side combine expected:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"no join in the bucket rollup:\n${plan.take(2500)}")
+  }
+
+  test("mix-value capstone: composed stages add no cartesian and no global data-sized window") {
+    val plan = planOf(SparkEntry.queries("ns_mix_value")(spark, sf))
+    assert(plan.contains("partial_"), s"stats aggregates must map-side combine:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"one-row level/total joins must plan as broadcast:\n${plan.take(2500)}")
+    assert(!plan.contains("Window"),
+      s"quality -> plan -> value composes without any window:\n${plan.take(2000)}")
+  }
+
   test("waterfillPlan: strata-frame windows only, level rejoins as one-row broadcast") {
     val plan = planOf(SparkEntry.queries("ns_waterfill")(spark, sf))
     // the corpus-sized work is ONE partial-aggregated groupBy(lang);
