@@ -649,6 +649,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("docStitchCandidates law: exact mode equals a brute-force boundary model") {
+    import SparkTestBase.spark.implicits._
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val gen = for {
+      n <- Gen.choose(2, 10)
+      texts <- Gen.listOfN(n, Gen.choose(0, 6).flatMap(m => Gen.listOfN(m, word)))
+      k <- Gen.choose(1, 3)
+    } yield (texts.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }, k)
+    forAll(gen, n = 10) { case (docs, k) =>
+      val got = graft.ops.Dedup.docStitchCandidates(
+        docs.toDF("id", "text"), "text", "id", k = k, maxBucket = Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val toks = docs.map { case (i, t) =>
+        i -> t.trim.split("\\s+").toSeq.filter(_ => t.trim.nonEmpty) }.toMap
+      val want = (for {
+        (a, ta) <- toks; (b, tb) <- toks
+        if a != b && ta.size >= k && tb.size >= k
+        if ta.takeRight(k) == tb.take(k)
+      } yield (a, b, ta.takeRight(k).mkString(" "))).toSet
+      assert(got == want, s"docs=$docs k=$k")
+    }
+  }
+
+  test("zipfProfile law: buckets and shares equal a driver-side model on random corpora") {
+    import SparkTestBase.spark.implicits._
+    val word = Gen.oneOf("x", "y", "z", "w", "v")
+    val gen = for {
+      n <- Gen.choose(1, 8)
+      texts <- Gen.listOfN(n, Gen.choose(1, 12).flatMap(m => Gen.listOfN(m, word)))
+    } yield texts.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    forAll(gen, n = 8) { docs =>
+      val got = graft.ops.TextAnalysis.zipfProfile(docs.toDF("id", "text"), "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+      val counts = docs.flatMap(_._2.split("\\s+")).groupBy(identity)
+        .map { case (_, g) => g.size.toLong }
+      val total = counts.sum
+      val byBucket = counts.groupBy(c => 63L - java.lang.Long.numberOfLeadingZeros(c))
+        .map { case (b, cs) => b -> ((cs.size.toLong, cs.sum)) }
+      val ordered = byBucket.toSeq.sortBy(_._1)
+      val want = ordered.zipWithIndex.map { case ((b, (nt, tok)), i) =>
+        b -> ((nt, tok, tok * 1000 / total,
+          if (i == 0) None else Some(nt * 1000 / ordered(i - 1)._2._1)))
+      }.toMap
+      assert(got == want, s"docs=$docs")
+    }
+  }
+
   test("repeatedEpochValue law: staged fold equals a BigInt model, value never exceeds raw") {
     import SparkTestBase.spark.implicits._
     def model(tokens: Long, em: Long, d: Long): (Long, Long, Option[Long]) = {
