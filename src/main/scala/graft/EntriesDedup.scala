@@ -112,6 +112,16 @@ private[graft] object EntriesDedup {
         .join(ids.select(col("doc_id").as("idB")), col("idA") < col("idB"))
       graft.ops.Dedup.ngramJaccard(pairs, t(s, dir, "documents"), "text", "doc_id")
     }),
+    "ns_label_noise" -> ((s, dir) =>
+      // Cleanlab-lite: items whose 5 nearest embedding neighbors vote a
+      // different majority label (>= 3 agreeing) flag as probable
+      // mislabels; exact neighbor tier, 300-vector bound (oracle-imposed
+      // quadratic, the exactTopKSql convention)
+      graft.ops.Similarity.labelNoiseByNeighbors(
+        t(s, dir, "embeddings").filter(col("vec_id") < 300)
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            col("embedding").cast("array<double>").as("vec")),
+        "vec", "vec_id", "label", k = 5, minAgree = 3L)),
     "ns_embed_topk" -> ((s, dir) => {
       // corpus bounded to vec_id < 1000 (the whole table at the
       // correctness SF): the ANN gates deliberately run exhaustively to
@@ -585,6 +595,25 @@ private[graft] object EntriesDedup {
         |       len(list_distinct(list_concat(a.grams, b.grams))) AS n_union
         |FROM g a JOIN g b ON a.doc_id < b.doc_id""".stripMargin,
     "ns_embed_topk" -> exactTopKSql,
+    "ns_label_noise" ->
+      """WITH b AS (SELECT vec_id AS id, label::BIGINT AS label,
+        |                  embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE vec_id < 300),
+        |nn AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.id AS query_id, c.id AS neighbor_id,
+        |           row_number() OVER (PARTITION BY q.id
+        |             ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.id) AS rank
+        |    FROM b q JOIN b c ON q.id != c.id)
+        |  WHERE rank <= 5),
+        |votes AS (SELECT nn.query_id, b.label AS nl, CAST(count(*) AS BIGINT) AS c
+        |          FROM nn JOIN b ON nn.neighbor_id = b.id GROUP BY 1, 2),
+        |maj AS (SELECT query_id AS id, nl AS majority_label, c AS n_majority,
+        |               CAST(sum(c) OVER (PARTITION BY query_id) AS BIGINT) AS n_neighbors,
+        |               row_number() OVER (PARTITION BY query_id ORDER BY c DESC, nl ASC) AS rn
+        |        FROM votes)
+        |SELECT b.id AS vec_id, b.label, m.majority_label, m.n_majority, m.n_neighbors,
+        |       (m.majority_label <> b.label AND m.n_majority >= 3) AS flagged
+        |FROM b JOIN maj m ON b.id = m.id AND m.rn = 1""".stripMargin,
     "ns_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS qid, label AS ql, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 50),

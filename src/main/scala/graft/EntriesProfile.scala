@@ -30,6 +30,19 @@ private[graft] object EntriesProfile {
           .select(call_function("div", col("event_id"), lit(4L)).as("panel"),
             col("event_type")),
         "panel", "event_type")),
+    "ns_calibration" -> ((s, dir) =>
+      // reliability diagram for a synthetic scorer: scores spread over
+      // [0, 1000] by residue, labels mostly agree with score > 500 but
+      // flip on 7/11 residues — miscalibration the buckets must expose;
+      // pure arithmetic, both engines replay it
+      graft.ops.Profile.calibrationAudit(
+        t(s, dir, "documents").select(
+          ((col("doc_id") * 37) % 1001).as("score"),
+          when((col("doc_id") * 37) % 1001 > 500,
+            when(col("doc_id") % 7 === 0, 0L).otherwise(1L))
+            .otherwise(when(col("doc_id") % 11 === 0, 1L).otherwise(0L))
+            .as("label")),
+        "score", "label", bucketWidth = 100L)),
     "ns_zipf" -> ((s, dir) =>
       // corpus-health gate before tokenizer training: frequency-doubling
       // vocabulary buckets with exact bit-length log2 — both engines
@@ -422,6 +435,22 @@ private[graft] object EntriesProfile {
         |       ELSE CAST((1000 * (27720 * (n*n - sum_nc2) - (n - 1) * S))
         |                 // (27720 * (n*n - sum_nc2)) AS BIGINT) END AS alpha_milli
         |FROM gl, lab""".stripMargin,
+    "ns_calibration" ->
+      """WITH s AS (SELECT (doc_id * 37) % 1001 AS score,
+        |             CASE WHEN (doc_id * 37) % 1001 > 500
+        |                  THEN (CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END)
+        |                  ELSE (CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)
+        |             END AS label
+        |           FROM documents),
+        |b AS (SELECT score // 100 AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(label) AS BIGINT) AS n_pos,
+        |             CAST(sum(score) AS BIGINT) AS sum_s
+        |      FROM s GROUP BY 1)
+        |SELECT bucket, n, n_pos,
+        |       CAST(sum_s // n AS BIGINT) AS mean_score_milli,
+        |       CAST((n_pos * 1000) // n AS BIGINT) AS observed_permille,
+        |       CAST((n_pos * 1000) // n - sum_s // n AS BIGINT) AS gap_milli
+        |FROM b""".stripMargin,
     "ns_zipf" ->
       """WITH d AS (SELECT text || ' u' || CAST(doc_id AS VARCHAR)
         |             || ' v' || CAST(doc_id % 50 AS VARCHAR)

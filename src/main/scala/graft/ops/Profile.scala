@@ -905,6 +905,50 @@ object Profile {
         })
   }
 
+  /** Calibration audit for a binary scorer (reliability-diagram buckets,
+    * integer-exact): scores in milli-probability [0, 1000] bucket by
+    * `bucketWidth`, and each bucket reports its observed positive rate
+    * against its mean claimed score — the per-bucket gap is the
+    * reliability diagram, and Σ n·|gap| / N is ECE (left to the caller,
+    * it's one aggregate over this output). The artifact that answers
+    * "can I threshold this quality classifier at 0.8 and trust it?"
+    * before a model-based filter ([[graft.ops.Classifier]] scores,
+    * LM-score gates, reward margins) is allowed to delete data.
+    *
+    * Scores outside [0, 1000] raise (a milli-probability that isn't one
+    * is an upstream bug, not a bucket); score = 1000 lands in its own
+    * top boundary bucket (div semantics, documented rather than folded).
+    * NULL labels raise for the same reason. All arithmetic integral:
+    * observed_permille = (1000·n_pos) div n, mean_score_milli =
+    * Σscore div n, gap_milli = observed − mean.
+    *
+    * One partial-aggregated groupBy onto ≤ 1000/bucketWidth + 1 buckets;
+    * output is BUCKET-sized. Output: (bucket, n, n_pos,
+    * mean_score_milli, observed_permille, gap_milli).
+    */
+  def calibrationAudit(df: DataFrame, scoreMilliCol: String, labelCol: String,
+      bucketWidth: Long = 100L): DataFrame = {
+    require(bucketWidth >= 1 && bucketWidth <= 1000,
+      "bucketWidth must be in [1, 1000]")
+    val score = when(col(scoreMilliCol) >= 0 && col(scoreMilliCol) <= 1000,
+      col(scoreMilliCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("calibrationAudit: score outside [0, 1000] milli: "),
+        col(scoreMilliCol).cast("string"))))
+    val label = when(col(labelCol).isNotNull, col(labelCol).cast("long"))
+      .otherwise(raise_error(lit("calibrationAudit: NULL label")))
+    df.select(call_function("div", score, lit(bucketWidth)).as("bucket"),
+        score.as("__s"), label.as("__l"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("__l")).as("n_pos"),
+        sum(col("__s")).as("__sum_s"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        call_function("div", col("__sum_s"), col("n")).as("mean_score_milli"),
+        call_function("div", col("n_pos") * 1000L, col("n")).as("observed_permille"))
+      .withColumn("gap_milli",
+        col("observed_permille") - col("mean_score_milli"))
+  }
+
   def crossTab(df: DataFrame, colA: String, colB: String): DataFrame = {
     require(colA != colB, "need two distinct columns")
     val dec = "decimal(38,0)"

@@ -581,4 +581,49 @@ object Similarity {
     import spark.implicits._
     out.toSeq.toDF("rank", "id", "radius_sq")
   }
+
+  /** Neighbor-disagreement label-noise detection (confident-learning
+    * lite, the k-NN tier of Cleanlab-style auditing): an item whose k
+    * nearest embedding neighbors vote a DIFFERENT majority label is a
+    * probable mislabel — the classifier-free complement of
+    * [[graft.ops.Embeddings.centroidOutliers]] (centroid distance sees
+    * far-from-class outliers; neighbor votes see items sitting INSIDE
+    * another class's region). Majority ties break toward the smallest
+    * label (the [[graft.ops.Curation.decontaminateEmbedding]] numeric-id
+    * contract — labels must be numeric); `flagged` requires the majority
+    * to both differ from the item's own label AND reach `minAgree` votes
+    * (a 2-2-1 split is not evidence).
+    *
+    * Tiering: this runs on [[bruteForceTopK]] (exact; corpus ×
+    * broadcast-queries — the decision-grade gate mode). At corpus scale
+    * swap the neighbor stage for [[ivfTopK]] candidates; the vote logic
+    * is unchanged. The vote itself is one partial-aggregated
+    * groupBy(query, label) + one max-struct argmax — no window over the
+    * neighbor lists.
+    *
+    * Output: (idCol, labelCol, majority_label, n_majority, n_neighbors,
+    * flagged).
+    */
+  def labelNoiseByNeighbors(items: DataFrame, vecCol: String, idCol: String,
+      labelCol: String, k: Int = 5, minAgree: Long = 3L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(minAgree >= 1, "minAgree must be >= 1")
+    val base = items.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      col(labelCol).as("label"))
+    val nn = bruteForceTopK(base.select("id", "vec"), base.select("id", "vec"), k)
+    val votes = nn
+      .join(base.select(col("id").as("neighbor_id"), col("label").as("nl")),
+        Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("nl")).agg(count(lit(1)).as("c"))
+    val maj = votes.groupBy(col("query_id"))
+      .agg(max(struct(col("c"), (-col("nl")).as("nn"))).as("m"),
+        sum(col("c")).as("n_neighbors"))
+      .select(col("query_id").as("id"), (-col("m.nn")).as("majority_label"),
+        col("m.c").as("n_majority"), col("n_neighbors"))
+    base.select(col("id"), col("label")).join(maj, Seq("id"))
+      .select(col("id").as(idCol), col("label").as(labelCol),
+        col("majority_label"), col("n_majority"), col("n_neighbors"),
+        (col("majority_label") =!= col("label") &&
+          col("n_majority") >= minAgree).as("flagged"))
+  }
 }

@@ -353,6 +353,7 @@ object RowLocal {
     "Profile.analyzeColumns" -> "one-pass corpus statistics aggregate",
     "Profile.balanceReport" -> "per-group label-distribution aggregate",
     "Profile.benfordAudit" -> "single-scan digit-distribution aggregate",
+    "Profile.calibrationAudit" -> "score-bucket aggregate",
     "Profile.cohenKappa" -> "confusion-cell aggregate",
     "Profile.confusionReport" -> "confusion-cell aggregate",
     "Profile.correlationMatrix" -> "one-scan co-moment aggregate",
@@ -382,6 +383,7 @@ object RowLocal {
     "Similarity.hardNegatives" -> "label-aware candidate join",
     "Similarity.ivfTopK" -> "centroid training + probed cell join",
     "Similarity.kCenterSelect" -> "driver-side greedy selection loop",
+    "Similarity.labelNoiseByNeighbors" -> "neighbor top-k join + per-item vote aggregate",
     "Similarity.lshTopK" -> "hyperplane bucket join",
     "Similarity.marginPairs" -> "per-query rank window over candidate join",
     "Similarity.pqTopK" -> "codebook training + ADC scan top-k",

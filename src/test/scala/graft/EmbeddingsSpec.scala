@@ -365,4 +365,59 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(sel == Seq((0L, 0L, 0L), (1L, 1L, 100L)),
       s"covered corpus must not pad with duplicate centers: $sel")
   }
+
+  test("labelNoiseByNeighbors: planted mislabel flags, clean clusters pass, weak majority holds fire") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes; id 4 sits in cluster A but
+    // carries cluster B's label (the planted mislabel)
+    def vA(eps: Double) = Array(1.0, eps, 0.0)
+    def vB(eps: Double) = Array(0.0, eps, 1.0)
+    val items = Seq(
+      (1L, 0L, vA(0.01)), (2L, 0L, vA(0.02)), (3L, 0L, vA(0.03)),
+      (4L, 1L, vA(0.04)),                         // planted mislabel
+      (5L, 1L, vB(0.01)), (6L, 1L, vB(0.02)), (7L, 1L, vB(0.03)),
+      (8L, 1L, vB(0.04))
+    ).toDF("vec_id", "label", "vec")
+    val out = graft.ops.Similarity.labelNoiseByNeighbors(items, "vec", "vec_id",
+        "label", k = 3, minAgree = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getBoolean(5)))).toMap
+    // id 4's three nearest are 1,2,3 (all label 0): majority 0 != own 1 -> flagged
+    assert(out(4L) == ((0L, 3L, true)), s"got ${out(4L)}")
+    // clean members of each cluster keep their own majority
+    assert(!out(1L)._3 && !out(2L)._3 && !out(5L)._3 && !out(6L)._3)
+    // id 4's label pollutes nothing: 1-3 still see majority 0
+    assert(out(1L)._1 == 0L && out(3L)._1 == 0L)
+    // minAgree above k: no majority can reach it, nothing flags
+    val strict = graft.ops.Similarity.labelNoiseByNeighbors(items, "vec", "vec_id",
+      "label", k = 3, minAgree = 4L)
+    assert(strict.filter(col("flagged")).count() == 0L)
+  }
+
+  test("calibrationAudit: bucket accounting, boundary bucket, guards") {
+    import spark.implicits._
+    import graft.ops.Profile
+    val rows = Seq(
+      (50L, 0L), (80L, 1L),            // bucket 0: mean 65, observed 500
+      (950L, 1L), (960L, 1L),          // bucket 9: mean 955, observed 1000
+      (1000L, 1L))                     // boundary bucket 10
+      .toDF("score", "label")
+    val out = Profile.calibrationAudit(rows, "score", "label")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out(0L) == ((2L, 1L, 65L, 500L, 435L)))
+    assert(out(9L) == ((2L, 2L, 955L, 1000L, 45L)))
+    assert(out(10L) == ((1L, 1L, 1000L, 1000L, 0L)))
+    val bad = Seq((1200L, 1L)).toDF("score", "label")
+    val e = intercept[Exception] {
+      Profile.calibrationAudit(bad, "score", "label").collect()
+    }
+    assert(e.getMessage.contains("outside [0, 1000]") ||
+      Option(e.getCause).exists(_.getMessage.contains("outside [0, 1000]")), e.getMessage)
+    val nullLabel = Seq((Some(500L), Option.empty[Long])).toDF("score", "label")
+    val e2 = intercept[Exception] {
+      Profile.calibrationAudit(nullLabel, "score", "label").collect()
+    }
+    assert(e2.getMessage.contains("NULL label") ||
+      Option(e2.getCause).exists(_.getMessage.contains("NULL label")), e2.getMessage)
+  }
 }

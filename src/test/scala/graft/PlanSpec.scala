@@ -1017,6 +1017,20 @@ class PlanSpec extends AnyFunSuite {
       s"corpus total must broadcast back:\n${plan.take(2500)}")
   }
 
+  test("labelNoiseByNeighbors: queries broadcast into the neighbor scan; votes combine map-side") {
+    val plan = planOf(SparkEntry.queries("ns_label_noise")(spark, sf))
+    assert(plan.contains("partial_"), s"vote counts must map-side combine:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastExchange"),
+      s"the query side must broadcast (bruteForceTopK contract):\n${plan.take(2500)}")
+  }
+
+  test("calibrationAudit: one partial-aggregated bucket rollup, no join, no window") {
+    val plan = planOf(SparkEntry.queries("ns_calibration")(spark, sf))
+    assert(plan.contains("partial_"), s"map-side combine expected:\n${plan.take(2000)}")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"reliability buckets are one keyed aggregate:\n${plan.take(2000)}")
+  }
+
   test("docStitchCandidates: gram-keyed equi-join only, bucket counts combine map-side") {
     val plan = planOf(SparkEntry.queries("ns_doc_stitch")(spark, sf))
     assert(plan.contains("partial_"), s"bucket-cap counts must map-side combine:\n${plan.take(2000)}")

@@ -649,6 +649,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("labelNoiseByNeighbors law: equals a brute-force vote model on random clusters") {
+    import SparkTestBase.spark.implicits._
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i) * b(i); nx += a(i) * a(i); ny += b(i) * b(i); i += 1 }
+      if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val comp = Gen.oneOf(0.0, 0.5, 1.0, 2.0)
+    val gen = for {
+      n <- Gen.choose(4, 9)
+      vecs <- Gen.listOfN(n, Gen.listOfN(3, comp))
+      labels <- Gen.listOfN(n, Gen.choose(0L, 2L))
+      k <- Gen.choose(1, 4)
+      minAgree <- Gen.choose(1L, 3L)
+    } yield (vecs.zip(labels).zipWithIndex.map { case ((v, l), i) => (i.toLong, l, v) },
+      k, minAgree)
+    forAll(gen, n = 8) { case (items, k, minAgree) =>
+      val got = graft.ops.Similarity.labelNoiseByNeighbors(
+        items.toDF("id", "label", "vec"), "vec", "id", "label", k, minAgree)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5)))).toMap
+      val want = items.map { case (i, l, v) =>
+        val nbrs = items.filter(_._1 != i)
+          .sortBy { case (j, _, w) => (-cos(v, w), j) }.take(k)
+        val votes = nbrs.groupBy(_._2).map { case (nl, g) => nl -> g.size.toLong }
+        val (ml, mc) = votes.toSeq.sortBy { case (nl, c) => (-c, nl) }.head
+        i -> ((ml, mc, nbrs.size.toLong, ml != l && mc >= minAgree))
+      }.toMap
+      assert(got == want, s"items=$items k=$k minAgree=$minAgree")
+    }
+  }
+
   test("docStitchCandidates law: exact mode equals a brute-force boundary model") {
     import SparkTestBase.spark.implicits._
     val word = Gen.oneOf("aa", "bb", "cc", "dd")
