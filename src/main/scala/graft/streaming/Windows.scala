@@ -293,6 +293,44 @@ object Windows {
         col("n_empty"), col("approx_distinct"))
   }
 
+  /** Streaming twin of [[graft.ops.Profile.calibrationAudit]]: per
+    * tumbling window, the reliability-diagram buckets of a live scorer —
+    * the drift monitor that catches a quality/reward model going
+    * miscalibrated IN PRODUCTION (a filter thresholded at 0.8 silently
+    * over- or under-deleting as the corpus shifts), window by window
+    * rather than after the next offline audit. Same integer-exact bucket
+    * arithmetic as the batch operator; on a closed in-order history the
+    * per-window rows equal the batch operator applied per window slice
+    * (the StreamingSpec parity law). One windowed keyed aggregate —
+    * state is (window × bucket)-sized, bounded by the watermark.
+    *
+    * Inputs must already be range-checked milli scores; unlike the batch
+    * auditor this does NOT raise on out-of-range scores (a poison row
+    * must not kill the monitoring query — the standard streaming
+    * leniency) — they bucket under div semantics and surface as
+    * impossible bucket ids instead.
+    */
+  def streamingCalibration(df: DataFrame, tsCol: String, scoreMilliCol: String,
+      labelCol: String, windowDuration: String, bucketWidth: Long = 100L,
+      watermark: String = "10 minutes"): DataFrame = {
+    require(bucketWidth >= 1 && bucketWidth <= 1000,
+      "bucketWidth must be in [1, 1000]")
+    val src = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    src
+      .groupBy(window(col(tsCol), windowDuration).as("w"),
+        call_function("div", col(scoreMilliCol).cast("long"), lit(bucketWidth))
+          .as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("n_pos"),
+        sum(col(scoreMilliCol).cast("long")).as("__sum_s"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("bucket"), col("n"), col("n_pos"),
+        call_function("div", col("__sum_s"), col("n")).as("mean_score_milli"),
+        call_function("div", col("n_pos") * 1000L, col("n")).as("observed_permille"))
+      .withColumn("gap_milli",
+        col("observed_permille") - col("mean_score_milli"))
+  }
+
   final case class RollEvent(key: String, ts: java.sql.Timestamp, value: Long)
   final case class RollBuf(entries: List[(Long, Long)])
   final case class RollOutput(key: String, ts: java.sql.Timestamp, value: Long,

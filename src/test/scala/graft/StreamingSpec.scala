@@ -334,6 +334,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingCalibration: per-window reliability buckets equal the batch auditor per slice") {
+    val input = MemoryStream[(java.sql.Timestamp, Long, Long)](spark, 48)
+    val df = input.toDF().toDF("ts", "score", "label")
+    val agg = Windows.streamingCalibration(df, "ts", "score", "label", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("scalib")
+      .outputMode("complete").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      // window A [10:00,10:10): bucket0 {(50,0),(80,1)}, bucket9 {(950,1)}
+      // window B [10:10,10:20): bucket0 {(90,1)}
+      val rowsA = Seq((ts(1), 50L, 0L), (ts(2), 80L, 1L), (ts(3), 950L, 1L))
+      val rowsB = Seq((ts(11), 90L, 1L))
+      input.addData(rowsA ++ rowsB: _*)
+      q.processAllAvailable()
+      val got = spark.table("scalib").collect()
+        .map(r => (r.getAs[java.sql.Timestamp](0).toString, r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+        .toSet
+      assert(got == Set(
+        ("2024-01-01 10:00:00.0", 0L, 2L, 1L, 65L, 500L, 435L),
+        ("2024-01-01 10:00:00.0", 9L, 1L, 1L, 950L, 1000L, 50L),
+        ("2024-01-01 10:10:00.0", 0L, 1L, 1L, 90L, 1000L, 910L)), s"got $got")
+      // per-window slices equal the batch auditor on the same rows
+      val batchA = graft.ops.Profile.calibrationAudit(
+        rowsA.map(t => (t._2, t._3)).toDF("score", "label"), "score", "label")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(batchA == Set((0L, 2L, 1L, 65L, 500L, 435L),
+        (9L, 1L, 1L, 950L, 1000L, 50L)))
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over a memory stream") {
     val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark, 1)
     val df = input.toDF().toDF("ts", "key", "v")
