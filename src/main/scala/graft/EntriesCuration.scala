@@ -600,10 +600,12 @@ private[graft] object EntriesCuration {
       """WITH d AS (SELECT doc_id // 20 AS blk,
         |             CASE WHEN (doc_id // 50) % 5 < 4 THEN 'train' ELSE 'val' END AS split
         |           FROM documents)
-        |SELECT blk, CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+        |SELECT blk, CAST(count(DISTINCT split)
+        |         + max(CASE WHEN split IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_splits,
         |       CAST(count(*) AS BIGINT) AS n_rows,
         |       min(split) AS first_split, max(split) AS last_split,
-        |       count(DISTINCT split) > 1 AS leaking
+        |       count(DISTINCT split)
+        |         + max(CASE WHEN split IS NULL THEN 1 ELSE 0 END) > 1 AS leaking
         |FROM d GROUP BY 1""".stripMargin,
     "ns_pref_consistency" ->
       """WITH j AS (SELECT user_id % 30 AS prompt, event_id % 9 AS w,

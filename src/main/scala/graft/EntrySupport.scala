@@ -752,8 +752,9 @@ private[graft] object EntrySupport {
        |    string_split_regex(trim(text), '\\s+') AS toks,
        |    CASE WHEN length(trim(text)) = 0 THEN 0
        |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n,
-       |    ${h("graft-canary-select")} % 1000 < $ratePermille AS sel,
-       |    'GRAFT-CANARY-' || CAST(${h("graft-canary-token")} AS VARCHAR) AS ctok
+       |    text IS NOT NULL AND ${h("graft-canary-select")} % 1000 < $ratePermille AS sel,
+       |    'GRAFT-CANARY-' || CAST(CAST(${h("graft-canary-token")} AS BIGINT) * 2147483648
+       |                            + CAST(${h("graft-canary-token2")} AS BIGINT) AS VARCHAR) AS ctok
        |  FROM documents),
        |t1 AS (SELECT *, CAST(${h("graft-canary-pos")} % (n + 1) AS BIGINT) AS p FROM t0)
        |SELECT doc_id,

@@ -59,7 +59,7 @@ object ScaleProbe {
     val seeds1 = seedsOf(edges1).filter(col("s") < off)
 
     val ops = graft.ops.Graph
-    def run(name: String, f: DataFrame => DataFrame, seeds: DataFrame => DataFrame): Unit = {
+    def run(name: String, f: DataFrame => DataFrame): Unit = {
       def time(e: DataFrame): Double = {
         val t0 = System.nanoTime(); f(e).count(); (System.nanoTime() - t0) / 1e9
       }
@@ -70,20 +70,20 @@ object ScaleProbe {
       println(f"$name%-18s 1x=${t1}%.2fs 10x=${t10}%.2fs ratio=${t10 / t1}%.2f")
     }
 
-    run("pageRank", e => ops.pageRank(e, "pa", "pb", iters = 3), identity)
+    run("pageRank", e => ops.pageRank(e, "pa", "pb", iters = 3))
     run("pageRankDangling",
-      e => ops.pageRank(e, "pa", "pb", iters = 3, redistributeDangling = true), identity)
-    run("hits", e => ops.hits(e, "pa", "pb", iters = 2), identity)
-    run("labelPropagation", e => ops.labelPropagation(e, "pa", "pb", rounds = 3), identity)
-    run("kCore", e => ops.kCore(e, "pa", "pb", k = 3L), identity)
+      e => ops.pageRank(e, "pa", "pb", iters = 3, redistributeDangling = true))
+    run("hits", e => ops.hits(e, "pa", "pb", iters = 2))
+    run("labelPropagation", e => ops.labelPropagation(e, "pa", "pb", rounds = 3))
+    run("kCore", e => ops.kCore(e, "pa", "pb", k = 3L))
     run("seedDistance",
       e => ops.seedDistance(e, "pa", "pb",
-        if (e eq edges1) seeds1 else seedsOf(edges1), "s", maxHops = 3), identity)
+        if (e eq edges1) seeds1 else seedsOf(edges1), "s", maxHops = 3))
     run("seedAttribution",
       e => ops.seedAttribution(e, "pa", "pb",
-        if (e eq edges1) seeds1 else seedsOf(edges1), "s", maxHops = 3), identity)
+        if (e eq edges1) seeds1 else seedsOf(edges1), "s", maxHops = 3))
     run("ccStar", e => graft.ops.Dedup.connectedComponentsStar(
-      e.select(col("pa").as("idA"), col("pb").as("idB"))), identity)
+      e.select(col("pa").as("idA"), col("pb").as("idB"))))
 
     extra.foreach { m =>
       val edgesM = edges1

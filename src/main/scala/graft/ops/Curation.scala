@@ -1149,8 +1149,15 @@ object Curation {
       .otherwise(raise_error(concat(lit("repeatedEpochValue: epochs_milli for "),
         col(stratumCol).cast("string"),
         lit(" outside [0, 64000] - repetition past 64 epochs has no value to measure"))))
+    // tokens guard mirrors waterfillPlan's 1e15 budget: value_permille's
+    // effective·1000 multiply must stay inside long
+    val tok = when(col(tokensCol) >= 0 && col(tokensCol) <= 1000000000000000L,
+      col(tokensCol).cast("long"))
+      .otherwise(raise_error(concat(lit("repeatedEpochValue: tokens for "),
+        col(stratumCol).cast("string"),
+        lit(" outside [0, 1e15] - the integer-exactness budget"))))
     val base = plan.select(col(stratumCol),
-      col(tokensCol).cast("long").as("tokens"), em.as("epochs_milli"))
+      tok.as("tokens"), em.as("epochs_milli"))
       .withColumn("__e", idiv(col("epochs_milli"), lit(1000L)))
       .withColumn("__frac", col("epochs_milli") - lit(1000L) * col("__e"))
       .withColumn("__fold", aggregate(
@@ -1182,6 +1189,13 @@ object Curation {
     * train/test fence and inflate eval. min/max split names the offending
     * pair without exploding the row.
     *
+    * A NULL split is a DISTINCT assignment state, not an ignorable one:
+    * a cluster half in 'train' and half unassigned is exactly the
+    * leak-in-waiting this audit exists to surface (the unassigned rows
+    * may be exported to eval later), so NULL counts toward n_splits and
+    * flips `leaking` alongside any named split. first/last_split stay
+    * the min/max of the NAMED splits (NULL has no order).
+    *
     * One partial-aggregable groupBy keyed by the audit key (distinct
     * splits per key is bounded by the split count, so the agg state is
     * tiny); output is KEY-sized. Output: (keyCol, n_splits, n_rows,
@@ -1190,7 +1204,9 @@ object Curation {
   def splitLeakageAudit(df: DataFrame, keyCol: String, splitCol: String): DataFrame =
     df.where(col(keyCol).isNotNull)
       .groupBy(col(keyCol))
-      .agg(countDistinct(col(splitCol)).as("n_splits"),
+      .agg(
+        (countDistinct(col(splitCol)) +
+          max(when(col(splitCol).isNull, 1L).otherwise(0L))).as("n_splits"),
         count(lit(1)).as("n_rows"),
         min(col(splitCol)).as("first_split"),
         max(col(splitCol)).as("last_split"))
@@ -1375,8 +1391,11 @@ object Curation {
     * ROW-LOCAL (registered under the RowLocal batch==stream law): one
     * token splice per selected row; unselected rows pass their text
     * through VERBATIM (no whitespace normalization — the corpus must not
-    * change where no canary lands). Canary shape: `prefix-<31-bit hash>`,
-    * whitespace-free by construction and unique per document.
+    * change where no canary lands). Canary shape: `prefix-<62-bit hash>`
+    * (two independent 31-bit portable hashes combined), whitespace-free
+    * by construction; distinct per document up to the birthday budget
+    * (~0.4% chance of any collision at 2·10⁸ planted canaries). NULL
+    * text rows pass through unselected (no splice target exists).
     * Output: (idCol, text_out, has_canary, canary [null when unselected]).
     */
   def insertCanaries(docs: DataFrame, textCol: String, idCol: String,
@@ -1386,10 +1405,18 @@ object Curation {
       "ratePermille must be in [0, 1000]")
     require(prefix.nonEmpty && !prefix.exists(_.isWhitespace),
       "prefix must be a non-empty whitespace-free token")
-    val selected = pmod(portableHash31(col(idCol), s"$seed-select"), lit(1000L)) <
-      ratePermille.toLong
+    // NULL text can take no splice: such rows pass through unselected
+    // (has_canary=false) rather than claiming a canary that was never
+    // planted — a phantom canary would permanently deflate recall
+    val selected = col(textCol).isNotNull &&
+      pmod(portableHash31(col(idCol), s"$seed-select"), lit(1000L)) <
+        ratePermille.toLong
+    // 62-bit token (two independent 31-bit hashes): collision budget —
+    // at 2·10⁸ planted canaries the chance of ANY pair colliding is
+    // ~0.4% (birthday over 2⁶²); the 31-bit form collided at ~65k docs
     val canary = concat(lit(prefix + "-"),
-      portableHash31(col(idCol), s"$seed-token").cast("string"))
+      (portableHash31(col(idCol), s"$seed-token") * lit(2147483648L) +
+        portableHash31(col(idCol), s"$seed-token2")).cast("string"))
     val toks = split(trim(col(textCol)), "\\s+")
     val n = when(length(trim(col(textCol))) === 0, lit(0)).otherwise(size(toks))
     val p = pmod(portableHash31(col(idCol), s"$seed-pos"), (n + 1).cast("long"))
@@ -1648,8 +1675,15 @@ object Curation {
     * is prompt-sized: (promptCol, n_judgments, n_pairs, n_contradictory,
     * n_tied, n_cycles, consistent).
     */
-  def preferenceConsistency(df: DataFrame, promptCol: String,
-      winnerCol: String, loserCol: String): DataFrame = {
+  /** Shared judgment→pair reduction for the tournament family: drop
+    * null/self judgments, canonicalize each pair to (a = least, b =
+    * greatest), and partial-aggregate per-direction win counts — ONE
+    * definition so [[preferenceConsistency]] and [[copelandScores]] can
+    * never diverge on the null/tie/self conventions.
+    * Output: (p, a, b, n_ab, n_ba).
+    */
+  private def pairMajorities(df: DataFrame, promptCol: String,
+      winnerCol: String, loserCol: String): (DataFrame, DataFrame) = {
     val judg = df.where(col(winnerCol).isNotNull && col(loserCol).isNotNull &&
         col(winnerCol) =!= col(loserCol))
       .select(col(promptCol).as("p"), col(winnerCol).as("w"), col(loserCol).as("l"))
@@ -1659,6 +1693,12 @@ object Curation {
         (col("w") === least(col("w"), col("l"))).cast("long").as("aw"))
       .groupBy("p", "a", "b")
       .agg(sum(col("aw")).as("n_ab"), sum(lit(1L) - col("aw")).as("n_ba"))
+    (judg, pairs)
+  }
+
+  def preferenceConsistency(df: DataFrame, promptCol: String,
+      winnerCol: String, loserCol: String): DataFrame = {
+    val (judg, pairs) = pairMajorities(df, promptCol, winnerCol, loserCol)
     val flagged = pairs.select(col("p"), col("a"), col("b"),
       col("n_ab"), col("n_ba"),
       (col("n_ab") > 0 && col("n_ba") > 0).cast("long").as("contradictory"),
@@ -1701,15 +1741,7 @@ object Curation {
     */
   def copelandScores(df: DataFrame, promptCol: String,
       winnerCol: String, loserCol: String): DataFrame = {
-    val judg = df.where(col(winnerCol).isNotNull && col(loserCol).isNotNull &&
-        col(winnerCol) =!= col(loserCol))
-      .select(col(promptCol).as("p"), col(winnerCol).as("w"), col(loserCol).as("l"))
-    val pairs = judg
-      .select(col("p"), least(col("w"), col("l")).as("a"),
-        greatest(col("w"), col("l")).as("b"),
-        (col("w") === least(col("w"), col("l"))).cast("long").as("aw"))
-      .groupBy("p", "a", "b")
-      .agg(sum(col("aw")).as("n_ab"), sum(lit(1L) - col("aw")).as("n_ba"))
+    val (_, pairs) = pairMajorities(df, promptCol, winnerCol, loserCol)
     // per pair, each endpoint gets one (win|loss|tie) outcome row
     val outcomes = pairs.select(col("p"), explode(array(
         struct(col("a").as("item"),

@@ -349,8 +349,11 @@ object TextAnalysis {
       chunkTokens: Int = 100): DataFrame = {
     require(chunkTokens >= 1, "chunkTokens must be >= 1")
     val codes = (LangMarkers.keys.toSeq :+ "und").sorted
-    val toks = split(trim(col(textCol)), "\\s+")
-    val nTok = when(length(trim(col(textCol))) === 0, lit(0))
+    // coalesce FIRST: on NULL text the empty-check would be NULL, the
+    // otherwise branch would run, and size(split(NULL)) = -1 would leak
+    // negative token/segment counts into the mixture rollup
+    val toks = split(trim(coalesce(col(textCol), lit(""))), "\\s+")
+    val nTok = when(length(trim(coalesce(col(textCol), lit("")))) === 0, lit(0))
       .otherwise(size(toks)).cast("long")
     val k = chunkTokens.toLong
     val nSeg = call_function("div", nTok + (k - 1), lit(k))

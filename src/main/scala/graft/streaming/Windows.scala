@@ -305,10 +305,13 @@ object Windows {
     * state is (window × bucket)-sized, bounded by the watermark.
     *
     * Inputs must already be range-checked milli scores; unlike the batch
-    * auditor this does NOT raise on out-of-range scores (a poison row
-    * must not kill the monitoring query — the standard streaming
-    * leniency) — they bucket under div semantics and surface as
-    * impossible bucket ids instead.
+    * auditor this does NOT raise on poison rows (a poison row must not
+    * kill the monitoring query — the standard streaming leniency):
+    * out-of-range scores bucket under div semantics and surface as
+    * impossible bucket ids, and NULL-label/NULL-score rows are DROPPED
+    * before the aggregate (counting them in `n` but not `n_pos` would
+    * silently deflate the observed rate — the failure mode the batch
+    * auditor raises on).
     */
   def streamingCalibration(df: DataFrame, tsCol: String, scoreMilliCol: String,
       labelCol: String, windowDuration: String, bucketWidth: Long = 100L,
@@ -317,6 +320,7 @@ object Windows {
       "bucketWidth must be in [1, 1000]")
     val src = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
     src
+      .where(col(labelCol).isNotNull && col(scoreMilliCol).isNotNull)
       .groupBy(window(col(tsCol), windowDuration).as("w"),
         call_function("div", col(scoreMilliCol).cast("long"), lit(bucketWidth))
           .as("bucket"))

@@ -1099,21 +1099,24 @@ class CurationSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("64 epochs")), e.getMessage)
   }
 
-  test("splitLeakageAudit: straddling keys flag, clean keys pass, null keys drop") {
+  test("splitLeakageAudit: straddling keys flag, null splits count, null keys drop") {
     import SparkTestBase.spark.implicits._
     val rows = Seq(
-      (Some(1L), "train"), (Some(1L), "train"),
-      (Some(2L), "train"), (Some(2L), "val"), (Some(2L), "val"),
-      (Some(3L), "val"),
-      (None, "train"))
+      (Some(1L), Some("train")), (Some(1L), Some("train")),
+      (Some(2L), Some("train")), (Some(2L), Some("val")), (Some(2L), Some("val")),
+      (Some(3L), Some("val")),
+      // key 4: assigned + UNASSIGNED rows — the leak-in-waiting must flag
+      (Some(4L), Some("train")), (Some(4L), None),
+      (None, Some("train")))
       .toDF("k", "split")
     val out = Curation.splitLeakageAudit(rows, "k", "split")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
         r.getString(3), r.getString(4), r.getBoolean(5)))).toMap
-    assert(out.size == 3)
+    assert(out.size == 4)
     assert(out(1L) == ((1L, 2L, "train", "train", false)))
     assert(out(2L) == ((2L, 3L, "train", "val", true)))
     assert(out(3L) == ((1L, 1L, "val", "val", false)))
+    assert(out(4L) == ((2L, 2L, "train", "train", true)))
   }
 
   test("preferenceConsistency: contradictions, ties, and 3-cycles flag per prompt") {
