@@ -30,6 +30,17 @@ private[graft] object EntriesProfile {
           .select(call_function("div", col("event_id"), lit(4L)).as("panel"),
             col("event_type")),
         "panel", "event_type")),
+    "ns_vocab_coverage" -> ((s, dir) =>
+      // tokenizer-design curve: corpus token mass covered by the top-k
+      // terms at four candidate vocab sizes; rank rule = vocabulary's
+      graft.ops.TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text",
+        ks = Seq(5, 15, 30, 100))),
+    "ns_texttile" -> ((s, dir) =>
+      // topic-aware chunking: 10-token blocks, new chunk when adjacent
+      // distinct-token Jaccard drops under 150 permille; per-block
+      // boundary decisions replay exactly in DuckDB list ops
+      graft.ops.TextAnalysis.textTileBlocks(t(s, dir, "documents"), "text",
+        "doc_id", blockTokens = 10, minSimPermille = 150L)),
     "ns_calibration" -> ((s, dir) =>
       // reliability diagram for a synthetic scorer: scores spread over
       // [0, 1000] by residue, labels mostly agree with score > 500 but
@@ -435,6 +446,49 @@ private[graft] object EntriesProfile {
         |       ELSE CAST((1000 * (27720 * (n*n - sum_nc2) - (n - 1) * S))
         |                 // (27720 * (n*n - sum_nc2)) AS BIGINT) END AS alpha_milli
         |FROM gl, lab""".stripMargin,
+    "ns_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rk FROM c),
+        |cells AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS total,
+        |  CAST(coalesce(sum(CASE WHEN rk <= 5 THEN cnt END), 0) AS BIGINT) AS c5,
+        |  CAST(coalesce(sum(CASE WHEN rk <= 15 THEN cnt END), 0) AS BIGINT) AS c15,
+        |  CAST(coalesce(sum(CASE WHEN rk <= 30 THEN cnt END), 0) AS BIGINT) AS c30,
+        |  CAST(coalesce(sum(CASE WHEN rk <= 100 THEN cnt END), 0) AS BIGINT) AS c100
+        |  FROM r),
+        |u AS (SELECT CAST(5 AS BIGINT) AS k, c5 AS covered_tokens, total AS total_tokens FROM cells
+        |      UNION ALL SELECT 15, c15, total FROM cells
+        |      UNION ALL SELECT 30, c30, total FROM cells
+        |      UNION ALL SELECT 100, c100, total FROM cells)
+        |SELECT k, covered_tokens, total_tokens,
+        |       CASE WHEN total_tokens > 0
+        |            THEN CAST((covered_tokens * 1000) // total_tokens AS BIGINT)
+        |            ELSE 0 END AS coverage_permille
+        |FROM u""".stripMargin,
+    "ns_texttile" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+        |           FROM documents WHERE len(trim(text)) > 0),
+        |b AS (SELECT doc_id, CAST(i AS BIGINT) AS block_idx,
+        |        list_slice(tk, CAST(i * 10 + 1 AS INT), CAST(i * 10 + 10 AS INT)) AS blk
+        |      FROM (SELECT doc_id, tk, unnest(range((len(tk) + 9) // 10)) AS i FROM d)),
+        |s AS (SELECT doc_id, block_idx, blk, list_distinct(blk) AS db,
+        |        lag(list_distinct(blk)) OVER (PARTITION BY doc_id ORDER BY block_idx) AS prev
+        |      FROM b),
+        |t AS (SELECT doc_id, block_idx, CAST(len(blk) AS BIGINT) AS n_tokens,
+        |        CASE WHEN prev IS NULL THEN NULL
+        |             WHEN len(prev) + len(db) - len(list_intersect(prev, db)) <= 0 THEN 0
+        |             ELSE CAST((len(list_intersect(prev, db)) * 1000)
+        |                  // (len(prev) + len(db) - len(list_intersect(prev, db))) AS BIGINT)
+        |        END AS sim_prev_permille
+        |      FROM s)
+        |SELECT doc_id, block_idx, n_tokens, sim_prev_permille,
+        |       (sim_prev_permille IS NULL OR sim_prev_permille < 150) AS new_chunk,
+        |       CAST(sum(CASE WHEN sim_prev_permille IS NULL
+        |                       OR sim_prev_permille < 150 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY block_idx
+        |                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS chunk_id
+        |FROM t""".stripMargin,
     "ns_calibration" ->
       """WITH s AS (SELECT (doc_id * 37) % 1001 AS score,
         |             CASE WHEN (doc_id * 37) % 1001 > 500

@@ -645,6 +645,105 @@ object TextAnalysis {
           .otherwise(lit(null).cast("long")).as("decay_permille"))
   }
 
+  /** Vocabulary-coverage curve: for each candidate vocab size k, the
+    * fraction of corpus TOKEN MASS covered by the k most frequent terms
+    * (count desc, term asc — the [[vocabulary]] rank rule) — the
+    * tokenizer-design question "how big must the vocab be before OOV/
+    * byte-fallback is negligible" answered as data, complementing
+    * [[zipfProfile]]'s shape audit and [[graft.ops.Bpe]] fertility.
+    * coverage_permille = 1000·(tokens covered by top-k) div (all tokens);
+    * the OOV rate at k is 1000 − coverage.
+    *
+    * Scale shape: ONE exploded term count (the [[vocabulary]] shuffle),
+    * one vocab-sized rank window (global, but over DISTINCT TERMS — the
+    * vocabulary-not-corpus frame, the `vocabulary` contract), then one
+    * conditional aggregate producing |ks| cells and an unpivot onto a
+    * |ks|-row output. Output: (k, covered_tokens, total_tokens,
+    * coverage_permille), one row per requested k.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be non-empty, all >= 1")
+    require(ks.distinct.size == ks.size, "ks must be distinct")
+    val counts = docs
+      .select(graft.functions.text.wordNgrams(col(textCol), 1, distinct = false).as("__t"))
+      .select(explode(col("__t")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val ranked = counts.withColumn("rk",
+      row_number().over(Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+    val aggCols = sum(col("cnt")).as("__total") +:
+      ks.map(k => sum(when(col("rk") <= k, col("cnt"))).as(s"__c$k"))
+    val cells = ranked.agg(aggCols.head, aggCols.tail: _*)
+    val rows = explode(array(ks.map(k =>
+      struct(lit(k.toLong).as("k"),
+        coalesce(col(s"__c$k"), lit(0L)).as("covered_tokens"))): _*))
+    cells.select(rows.as("r"), col("__total"))
+      .select(col("r.k").as("k"), col("r.covered_tokens").as("covered_tokens"),
+        coalesce(col("__total"), lit(0L)).as("total_tokens"))
+      .withColumn("coverage_permille",
+        when(col("total_tokens") > 0,
+          call_function("div", col("covered_tokens") * 1000L, col("total_tokens")))
+          .otherwise(lit(0L)))
+  }
+
+  /** TextTiling-style semantic block segmentation (Hearst 1997, reduced
+    * to its deterministic core): split each document into fixed
+    * `blockTokens` blocks, score adjacent blocks by DISTINCT-token
+    * Jaccard in integer permille, and open a new chunk wherever cohesion
+    * drops below `minSimPermille` — topic-aware chunk boundaries for RAG
+    * indexing where [[graft.ops.Curation.chunkByTokens]]' fixed windows
+    * cut mid-topic. Output is per BLOCK (boundary decisions + chunk
+    * assignment), not reassembled text — the block/chunk ids join back
+    * onto whatever representation the pipeline carries.
+    *
+    * Scale shape: the block explode is corpus-token-sized (the same
+    * volume any tokenization pass moves); the lag/cumsum windows are
+    * PARTITIONED BY DOCUMENT (blocks-per-doc rows each, never global).
+    * Integer-exact end-to-end: jaccard_permille = 1000·|A∩B| div |A∪B|
+    * on distinct-token sets, so the gate replays in DuckDB. Empty or
+    * whitespace documents emit no blocks (nothing to segment).
+    * Output: (idCol, block_idx, n_tokens, sim_prev_permille [null for
+    * block 0], new_chunk, chunk_id [1-based]).
+    */
+  def textTileBlocks(docs: DataFrame, textCol: String, idCol: String,
+      blockTokens: Int = 50, minSimPermille: Long = 100L): DataFrame = {
+    require(blockTokens >= 1, "blockTokens must be >= 1")
+    require(minSimPermille >= 0 && minSimPermille <= 1000,
+      "minSimPermille must be in [0, 1000]")
+    val k = blockTokens.toLong
+    val toks = split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+")
+    val nTok = when(length(trim(coalesce(col(textCol), lit("")))) === 0, lit(0L))
+      .otherwise(size(toks).cast("long"))
+    val nb = call_function("div", nTok + (k - 1), lit(k))
+    val blocks = docs
+      .select(col(idCol), toks.as("__toks"), nb.as("__nb"))
+      .where(col("__nb") > 0)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0L), col("__nb") - 1),
+        i => slice(col("__toks"), (i * k + 1).cast("int"), lit(blockTokens)))))
+      .select(col(idCol), col("pos").as("block_idx"),
+        col("col").as("__block"), array_distinct(col("col")).as("__d"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("block_idx"))
+    val run = Window.partitionBy(col(idCol)).orderBy(col("block_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    blocks
+      .withColumn("__prev", lag(col("__d"), 1).over(byDoc))
+      .withColumn("__inter",
+        size(array_intersect(col("__prev"), col("__d"))).cast("long"))
+      .withColumn("__union",
+        size(col("__prev")).cast("long") + size(col("__d")) - col("__inter"))
+      .withColumn("sim_prev_permille",
+        when(col("__prev").isNull, lit(null).cast("long"))
+          .when(col("__union") <= 0, lit(0L))
+          .otherwise(call_function("div", col("__inter") * 1000L, col("__union"))))
+      .withColumn("new_chunk",
+        col("sim_prev_permille").isNull ||
+          col("sim_prev_permille") < minSimPermille)
+      .withColumn("chunk_id", sum(col("new_chunk").cast("long")).over(run))
+      .select(col(idCol), col("block_idx").cast("long").as("block_idx"),
+        size(col("__block")).cast("long").as("n_tokens"),
+        col("sim_prev_permille"), col("new_chunk"), col("chunk_id"))
+  }
+
   /** Instruction-template diversity mining for SFT/prompt corpora: the
     * opening-token template (lowercased first `nTokens` whitespace
     * tokens) of every prompt, rolled up to (template, count, corpus

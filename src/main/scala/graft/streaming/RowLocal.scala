@@ -418,6 +418,8 @@ object RowLocal {
     "TextAnalysis.instructionTemplates" -> "template groupBy + one-row total broadcast",
     "TextAnalysis.keywords" -> "corpus df aggregate + per-doc tf-idf rank",
     "TextAnalysis.vocabulary" -> "corpus vocabulary aggregate",
+    "TextAnalysis.textTileBlocks" -> "block explode + doc-partitioned lag/cumsum windows",
+    "TextAnalysis.vocabCoverage" -> "corpus vocabulary aggregate + vocab-frame rank window",
     "TextAnalysis.zipfProfile" -> "corpus vocabulary aggregate + doubling-bucket rollup",
     "Web.anchorProfile" -> "per-target anchor-text aggregate",
     "Web.domainFilterTable" -> "broadcast join vs the blocklist table",

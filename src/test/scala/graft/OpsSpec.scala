@@ -1669,4 +1669,47 @@ class OpsSpec extends AnyFunSuite {
       .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pruned.toSeq == Seq((1L, 2L), (2L, 1L)))
   }
+
+  test("vocabCoverage: top-k token-mass shares at each requested size") {
+    import SparkTestBase.spark.implicits._
+    // counts: a=3, b=2, c=1 -> total 6
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.vocabCoverage(docs, "text", ks = Seq(1, 2, 3))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((3L, 6L, 500L)))
+    assert(out(2L) == ((5L, 6L, 833L)))
+    assert(out(3L) == ((6L, 6L, 1000L)))
+    // k beyond the vocabulary covers everything
+    val big = graft.ops.TextAnalysis.vocabCoverage(docs, "text", ks = Seq(50))
+      .collect().head
+    assert(big.getLong(1) == 6L && big.getLong(3) == 1000L)
+    intercept[IllegalArgumentException] {
+      graft.ops.TextAnalysis.vocabCoverage(docs, "text", ks = Seq(2, 2))
+    }
+  }
+
+  test("textTileBlocks: cohesive blocks share a chunk, disjoint blocks split, empty docs vanish") {
+    import SparkTestBase.spark.implicits._
+    val docs = Seq(
+      (1L, "x y z x y z q r s"),  // blocks [xyz][xyz][qrs]: sims 1000, 0
+      (2L, "a b"),                // one short block
+      (3L, "   "))                // whitespace only: no blocks
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.textTileBlocks(docs, "text", "doc_id",
+        blockTokens = 3, minSimPermille = 150L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4), r.getLong(5)))).toMap
+    assert(out.size == 4)
+    assert(out((1L, 0L)) == ((3L, -1L, true, 1L)))
+    assert(out((1L, 1L)) == ((3L, 1000L, false, 1L)))
+    assert(out((1L, 2L)) == ((3L, 0L, true, 2L)))
+    assert(out((2L, 0L)) == ((2L, -1L, true, 1L)))
+    // partial-overlap boundary: blocks [a b c][b c d] share 2 of 4 -> 500
+    val mid = graft.ops.TextAnalysis.textTileBlocks(
+      Seq((9L, "a b c b c d")).toDF("doc_id", "text"), "text", "doc_id",
+      blockTokens = 3, minSimPermille = 600L)
+      .collect().map(r => r.getLong(1) -> ((if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getLong(5)))).toMap
+    assert(mid(1L) == ((500L, 2L)), s"got $mid")
+  }
 }

@@ -1031,6 +1031,21 @@ class PlanSpec extends AnyFunSuite {
       s"reliability buckets are one keyed aggregate:\n${plan.take(2000)}")
   }
 
+  test("vocabCoverage: term counts combine map-side; the rank window runs on the vocab frame") {
+    val plan = planOf(SparkEntry.queries("ns_vocab_coverage")(spark, sf))
+    assert(plan.contains("partial_"), s"map-side combine expected:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"coverage cells need no join:\n${plan.take(2500)}")
+  }
+
+  test("textTileBlocks: every window is document-partitioned, no join anywhere") {
+    val plan = planOf(SparkEntry.queries("ns_texttile")(spark, sf))
+    assert(plan.contains("windowspecdefinition(doc_id#"),
+      s"lag/cumsum must partition by document:\n${plan.take(2500)}")
+    assert(!plan.contains("Join"),
+      s"block segmentation is explode + windows only:\n${plan.take(2000)}")
+  }
+
   test("docStitchCandidates: gram-keyed equi-join only, bucket counts combine map-side") {
     val plan = planOf(SparkEntry.queries("ns_doc_stitch")(spark, sf))
     assert(plan.contains("partial_"), s"bucket-cap counts must map-side combine:\n${plan.take(2000)}")
