@@ -112,6 +112,22 @@ private[graft] object EntriesDedup {
         .join(ids.select(col("doc_id").as("idB")), col("idA") < col("idB"))
       graft.ops.Dedup.ngramJaccard(pairs, t(s, dir, "documents"), "text", "doc_id")
     }),
+    "ns_rank_agreement" -> ((s, dir) => {
+      // quantization-drift audit: exact cosine top-10 vs the same ranking
+      // over int8-reconstructed vectors; overlap@{1,3,5,10} in permille.
+      // Both rankings are deterministic IEEE chains both engines replay.
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val exact = graft.ops.Similarity.bruteForceTopK(
+        e.filter(col("id") < 50), e, k = 10)
+      val dq = graft.ops.Similarity.dequantizeInt8(
+        graft.ops.Similarity.quantizeInt8(e))
+      val approx = graft.ops.Similarity.bruteForceTopK(
+        dq.filter(col("id") < 50), dq, k = 10)
+      graft.ops.Search.rankAgreement(exact, approx, "query_id",
+        "neighbor_id", "rank", depths = Seq(1, 3, 5, 10))
+    }),
     "ns_label_noise" -> ((s, dir) =>
       // Cleanlab-lite: items whose 5 nearest embedding neighbors vote a
       // different majority label (>= 3 agreeing) flag as probable
@@ -595,6 +611,43 @@ private[graft] object EntriesDedup {
         |       len(list_distinct(list_concat(a.grams, b.grams))) AS n_union
         |FROM g a JOIN g b ON a.doc_id < b.doc_id""".stripMargin,
     "ns_embed_topk" -> exactTopKSql,
+    "ns_rank_agreement" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+        |             list_min(embedding::DOUBLE[]) AS vmin,
+        |             list_max(embedding::DOUBLE[]) AS vmax
+        |           FROM embeddings WHERE vec_id < 300),
+        |ra AS (SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT q.id AS query_id, c.id AS neighbor_id,
+        |           row_number() OVER (PARTITION BY q.id
+        |             ORDER BY list_cosine_similarity(q.vec, c.vec) DESC, c.id) AS rank
+        |    FROM e q JOIN e c ON q.id < 50 AND q.id != c.id) WHERE rank <= 10),
+        |dq AS (SELECT id, list_transform(vec, x -> CASE WHEN vmax = vmin THEN vmin
+        |         ELSE vmin + least(greatest(round((x - vmin) * 255.0 / (vmax - vmin)), 0), 255)
+        |              * (vmax - vmin) / 255.0 END) AS v
+        |       FROM e),
+        |rb AS (SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT q.id AS query_id, c.id AS neighbor_id,
+        |           row_number() OVER (PARTITION BY q.id
+        |             ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.id) AS rank
+        |    FROM dq q JOIN dq c ON q.id < 50 AND q.id != c.id) WHERE rank <= 10),
+        |j AS (SELECT ra.query_id, ra.rank AS rka, rb.rank AS rkb
+        |      FROM ra JOIN rb ON ra.query_id = rb.query_id
+        |                     AND ra.neighbor_id = rb.neighbor_id),
+        |nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n FROM ra),
+        |cells AS (SELECT
+        |  CAST(coalesce(sum(CASE WHEN rka <= 1 AND rkb <= 1 THEN 1 END), 0) AS BIGINT) AS o1,
+        |  CAST(coalesce(sum(CASE WHEN rka <= 3 AND rkb <= 3 THEN 1 END), 0) AS BIGINT) AS o3,
+        |  CAST(coalesce(sum(CASE WHEN rka <= 5 AND rkb <= 5 THEN 1 END), 0) AS BIGINT) AS o5,
+        |  CAST(coalesce(sum(CASE WHEN rka <= 10 AND rkb <= 10 THEN 1 END), 0) AS BIGINT) AS o10
+        |  FROM j),
+        |u AS (SELECT CAST(1 AS BIGINT) AS depth, o1 AS sum_overlap FROM cells
+        |      UNION ALL SELECT 3, o3 FROM cells
+        |      UNION ALL SELECT 5, o5 FROM cells
+        |      UNION ALL SELECT 10, o10 FROM cells)
+        |SELECT depth, n AS n_queries, sum_overlap,
+        |       CASE WHEN n > 0 THEN CAST((sum_overlap * 1000) // (n * depth) AS BIGINT)
+        |            ELSE 0 END AS overlap_permille
+        |FROM u, nq""".stripMargin,
     "ns_label_noise" ->
       """WITH b AS (SELECT vec_id AS id, label::BIGINT AS label,
         |                  embedding::DOUBLE[] AS v

@@ -30,6 +30,13 @@ private[graft] object EntriesProfile {
           .select(call_function("div", col("event_id"), lit(4L)).as("panel"),
             col("event_type")),
         "panel", "event_type")),
+    "ns_trimmed_stats" -> ((s, dir) =>
+      // robust per-language length center: drop the shortest and longest
+      // 10% by rank, report the kept band's count/mean/min/max — the
+      // score aggregate a few garbage rows cannot drag
+      graft.ops.Profile.trimmedStats(
+        t(s, dir, "documents").select(col("lang"), col("n_chars")),
+        "n_chars", Seq("lang"), trimPermille = 100L)),
     "ns_vocab_coverage" -> ((s, dir) =>
       // tokenizer-design curve: corpus token mass covered by the top-k
       // terms at four candidate vocab sizes; rank rule = vocabulary's
@@ -446,6 +453,23 @@ private[graft] object EntriesProfile {
         |       ELSE CAST((1000 * (27720 * (n*n - sum_nc2) - (n - 1) * S))
         |                 // (27720 * (n*n - sum_nc2)) AS BIGINT) END AS alpha_milli
         |FROM gl, lab""".stripMargin,
+    "ns_trimmed_stats" ->
+      """WITH r AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
+        |             row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rk,
+        |             count(*) OVER (PARTITION BY lang) AS n
+        |           FROM documents WHERE n_chars IS NOT NULL),
+        |k AS (SELECT *, (n * 100) // 1000 AS kk FROM r)
+        |SELECT lang, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(2 * max(kk) AS BIGINT) AS n_trimmed,
+        |  CAST(coalesce(sum(CASE WHEN rk > kk AND rk <= n - kk THEN 1 END), 0) AS BIGINT)
+        |    AS n_kept,
+        |  CASE WHEN coalesce(sum(CASE WHEN rk > kk AND rk <= n - kk THEN 1 END), 0) > 0
+        |       THEN CAST(sum(CASE WHEN rk > kk AND rk <= n - kk THEN v END)
+        |            // sum(CASE WHEN rk > kk AND rk <= n - kk THEN 1 END) AS BIGINT)
+        |  END AS mean_kept,
+        |  CAST(min(CASE WHEN rk > kk AND rk <= n - kk THEN v END) AS BIGINT) AS min_kept,
+        |  CAST(max(CASE WHEN rk > kk AND rk <= n - kk THEN v END) AS BIGINT) AS max_kept
+        |FROM k GROUP BY lang""".stripMargin,
     "ns_vocab_coverage" ->
       """WITH toks AS (
         |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents),

@@ -905,6 +905,56 @@ object Profile {
         })
   }
 
+  /** Rank-trimmed robust statistics per group (the trimmed/winsorized
+    * mean family): drop the lowest and highest `trimPermille` of rows BY
+    * RANK and report the kept range's count/mean/min/max — the score
+    * aggregate that a handful of garbage rows (parse explosions, stuck
+    * scorers emitting 0) cannot move, where a plain mean can be dragged
+    * arbitrarily. Complements [[robustOutliers]] (median/MAD flags the
+    * outliers; this reports the center WITHOUT them).
+    *
+    * Ties are trim-safe: ranking orders by value only, and any tie order
+    * yields the same KEPT MULTISET (equal values are interchangeable
+    * across the cut), so count/mean/min/max are deterministic without an
+    * id tie-break. k = (n·trimPermille) div 1000 rows trim from EACH
+    * side; with trimPermille < 500, k < n/2 always, so every non-empty
+    * group keeps at least one row. Integer-exact: mean_kept = Σ div
+    * n_kept.
+    *
+    * One rank window PARTITIONED BY GROUP + one partial-aggregated
+    * rollup; output is GROUP-sized. Output: groupCols + (n, n_trimmed,
+    * n_kept, mean_kept, min_kept, max_kept).
+    */
+  def trimmedStats(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      trimPermille: Long = 50L): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(trimPermille >= 0 && trimPermille < 500,
+      "trimPermille must be in [0, 500) - trimming half from each side keeps nothing")
+    val g = groupCols.map(col)
+    val ranked = df.where(col(valueCol).isNotNull)
+      .select(g :+ col(valueCol).cast("long").as("__v"): _*)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(g: _*).orderBy(col("__v").asc)).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(g: _*)))
+      .withColumn("__k", call_function("div", col("__n") * trimPermille, lit(1000L)))
+    ranked.groupBy(g: _*)
+      .agg(max(col("__n")).as("n"),
+        (lit(2L) * max(col("__k"))).as("n_trimmed"),
+        sum(when(col("__rk") > col("__k") && col("__rk") <= col("__n") - col("__k"), 1L))
+          .as("__nk"),
+        sum(when(col("__rk") > col("__k") && col("__rk") <= col("__n") - col("__k"),
+          col("__v"))).as("__sum"),
+        min(when(col("__rk") > col("__k") && col("__rk") <= col("__n") - col("__k"),
+          col("__v"))).as("min_kept"),
+        max(when(col("__rk") > col("__k") && col("__rk") <= col("__n") - col("__k"),
+          col("__v"))).as("max_kept"))
+      .select(g ++ Seq(col("n"), col("n_trimmed"),
+        coalesce(col("__nk"), lit(0L)).as("n_kept"),
+        when(coalesce(col("__nk"), lit(0L)) > 0,
+          call_function("div", col("__sum"), col("__nk"))).as("mean_kept"),
+        col("min_kept"), col("max_kept")): _*)
+  }
+
   /** Calibration audit for a binary scorer (reliability-diagram buckets,
     * integer-exact): scores in milli-probability [0, 1000] bucket by
     * `bucketWidth`, and each bucket reports its observed positive rate

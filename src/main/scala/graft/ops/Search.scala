@@ -249,6 +249,51 @@ object Search {
     * `term IN (...)` predicate skips row groups wholesale) plus a one-row
     * stats file. `shards` sizes the postings layout, not correctness.
     */
+  /** Ranker-vs-ranker agreement at depth — overlap@d between two ranked
+    * result sets WITHOUT ground truth: how much of ranker A's top-d does
+    * ranker B's top-d retain, averaged over queries. The quantization/
+    * ANN drift audit ([[graft.ops.Similarity.quantizeInt8]] rankings vs
+    * full-precision, IVF vs brute force, a new BM25 parameterization vs
+    * the old) and the cheap proxy for "can I ship the faster ranker" —
+    * [[rankingMetrics]] needs labels, this needs only the two rankings.
+    *
+    * overlap_permille at depth d = 1000·Σ_q |A_q@d ∩ B_q@d| div (n_q·d),
+    * assuming both rankers emit ≥ d items per query (the top-k contract;
+    * queries ranked by only one side contribute misses, which is the
+    * honest reading). Integer-exact.
+    *
+    * Scale shape: ONE (query, item) equi-join of the two rank tables and
+    * one conditional aggregate over all depths at once — no per-depth
+    * re-join, no window; the query-count tail broadcasts as one row.
+    * Output: (depth, n_queries, sum_overlap, overlap_permille).
+    */
+  def rankAgreement(a: DataFrame, b: DataFrame, queryCol: String,
+      itemCol: String, rankCol: String, depths: Seq[Int]): DataFrame = {
+    require(depths.nonEmpty && depths.forall(_ >= 1), "depths must be >= 1")
+    require(depths.distinct.size == depths.size, "depths must be distinct")
+    val aa = a.select(col(queryCol).as("q"), col(itemCol).as("i"),
+      col(rankCol).cast("long").as("ra"))
+    val bb = b.select(col(queryCol).as("q"), col(itemCol).as("i"),
+      col(rankCol).cast("long").as("rb"))
+    val joined = aa.join(bb, Seq("q", "i"))
+    val aggCols = depths.map(d =>
+      coalesce(sum(when(col("ra") <= d && col("rb") <= d, 1L)), lit(0L))
+        .as(s"__o$d"))
+    val cells = joined.agg(aggCols.head, aggCols.tail: _*)
+    val nq = aa.agg(countDistinct(col("q")).as("__nq"))
+    val rows = explode(array(depths.map(d =>
+      struct(lit(d.toLong).as("depth"), col(s"__o$d").as("sum_overlap"))): _*))
+    cells.crossJoin(broadcast(nq))
+      .select(rows.as("r"), col("__nq"))
+      .select(col("r.depth").as("depth"), col("__nq").as("n_queries"),
+        col("r.sum_overlap").as("sum_overlap"))
+      .withColumn("overlap_permille",
+        when(col("n_queries") > 0,
+          call_function("div", col("sum_overlap") * 1000L,
+            col("n_queries") * col("depth")))
+          .otherwise(lit(0L)))
+  }
+
   def saveBm25Index(index: Bm25Index, dir: String, shards: Int = 16): Unit = {
     index.postings.repartition(shards, col("term"))
       .sortWithinPartitions("term")

@@ -371,6 +371,7 @@ object RowLocal {
     "Profile.profileDrift" -> "two-corpus profile aggregates + join",
     "Profile.robustOutliers" -> "median/MAD rank windows",
     "Profile.tokenDrift" -> "two-corpus vocabulary aggregates + join",
+    "Profile.trimmedStats" -> "group-partitioned rank window + rollup",
     "Search.bm25" -> "df/idf corpus statistics + top-k",
     "Search.bm25Indexed" -> "query against the aggregated index",
     "Search.hybridTopK" -> "BM25 + vector fusion (corpus stats + top-k)",
@@ -382,6 +383,7 @@ object RowLocal {
     "Similarity.bruteForceTopK" -> "query x corpus join + per-query top-k",
     "Similarity.hardNegatives" -> "label-aware candidate join",
     "Similarity.ivfTopK" -> "centroid training + probed cell join",
+    "Search.rankAgreement" -> "two-ranking equi-join + depth-cell aggregate",
     "Similarity.kCenterSelect" -> "driver-side greedy selection loop",
     "Similarity.labelNoiseByNeighbors" -> "neighbor top-k join + per-item vote aggregate",
     "Similarity.lshTopK" -> "hyperplane bucket join",

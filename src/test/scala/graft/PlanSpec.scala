@@ -1031,6 +1031,21 @@ class PlanSpec extends AnyFunSuite {
       s"reliability buckets are one keyed aggregate:\n${plan.take(2000)}")
   }
 
+  test("rankAgreement: one equi-join of the rank tables, depth cells in one aggregate") {
+    val plan = planOf(SparkEntry.queries("ns_rank_agreement")(spark, sf))
+    assert(plan.contains("partial_"), s"depth cells must map-side combine:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"rank tables join on (query, item):\n${plan.take(2500)}")
+  }
+
+  test("trimmedStats: rank window is group-partitioned; one rollup, no join") {
+    val plan = planOf(SparkEntry.queries("ns_trimmed_stats")(spark, sf))
+    assert(plan.contains("windowspecdefinition(lang#"),
+      s"trim ranks must partition by group:\n${plan.take(2500)}")
+    assert(!plan.contains("Join"),
+      s"trimmed stats are window + rollup only:\n${plan.take(2000)}")
+  }
+
   test("vocabCoverage: term counts combine map-side; the rank window runs on the vocab frame") {
     val plan = planOf(SparkEntry.queries("ns_vocab_coverage")(spark, sf))
     assert(plan.contains("partial_"), s"map-side combine expected:\n${plan.take(2000)}")

@@ -485,4 +485,19 @@ class ProfileSpec extends AnyFunSuite {
     assert(z.getLong(1) == 0L && z.getLong(2) == 0L && z.getLong(3) == 0L
       && z.isNullAt(4) && !z.getBoolean(7), s"empty: $z")
   }
+
+  test("trimmedStats: rank trimming is tie-safe, small groups keep everything, guard") {
+    val rows = (Seq(0L, 10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L, 1000L).map(("A", _)) ++
+      Seq(5L, 7L, 9L).map(("B", _))).toDF("g", "v")
+    val out = Profile.trimmedStats(rows, "v", Seq("g"), trimPermille = 100L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // A: n=10, k=1 each side -> kept 10..80: mean 45, untouched by the 1000 outlier
+    assert(out("A") == ((10L, 2L, 8L, 45L, 10L, 80L)))
+    // B: n=3, k=0 -> everything kept
+    assert(out("B") == ((3L, 0L, 3L, 7L, 5L, 9L)))
+    intercept[IllegalArgumentException] {
+      Profile.trimmedStats(rows, "v", Seq("g"), trimPermille = 500L)
+    }
+  }
 }

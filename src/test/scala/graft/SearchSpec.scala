@@ -186,4 +186,27 @@ class SearchSpec extends AnyFunSuite {
     assert(rows(Search.bm25Indexed(loaded, Seq("join", "spark"), 7)) ==
       rows(Search.bm25Indexed(added, Seq("join", "spark"), 7)))
   }
+
+  test("rankAgreement: overlap at each depth against hand-built rankings") {
+    val a = Seq(
+      ("q1", "a", 1L), ("q1", "b", 2L), ("q1", "c", 3L),
+      ("q2", "x", 1L), ("q2", "y", 2L), ("q2", "z", 3L))
+      .toDF("q", "item", "rk")
+    val b = Seq(
+      ("q1", "a", 1L), ("q1", "c", 2L), ("q1", "d", 3L),
+      ("q2", "y", 1L), ("q2", "x", 2L), ("q2", "w", 3L))
+      .toDF("q", "item", "rk")
+    val out = graft.ops.Search.rankAgreement(a, b, "q", "item", "rk", Seq(1, 2, 3))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // d=1: only q1's 'a' sits in both top-1 -> 1/(2*1) = 500
+    assert(out(1L) == ((2L, 1L, 500L)))
+    // d=2: q1 {a}, q2 {x,y} -> 3/(2*2) = 750
+    assert(out(2L) == ((2L, 3L, 750L)))
+    // d=3: q1 {a,c}, q2 {x,y} -> 4/(2*3) = 666
+    assert(out(3L) == ((2L, 4L, 666L)))
+    // identical rankings agree fully at every depth
+    val self = graft.ops.Search.rankAgreement(a, a, "q", "item", "rk", Seq(1, 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(self == Map(1L -> 1000L, 3L -> 1000L))
+  }
 }
