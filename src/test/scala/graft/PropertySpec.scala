@@ -649,6 +649,61 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("trimmedStats law: equals a sorted-slice model; outliers never move the kept band") {
+    import SparkTestBase.spark.implicits._
+    val gen = for {
+      nGroups <- Gen.choose(1, 4)
+      rows <- Gen.listOfN(nGroups * 6, Gen.zip(
+        Gen.choose(1, nGroups), Gen.choose(-1000L, 1000L)))
+      trim <- Gen.choose(0L, 499L)
+    } yield (rows.map { case (g, v) => (s"g$g", v) }, trim)
+    forAll(gen, n = 10) { case (rows, trim) =>
+      val got = graft.ops.Profile.trimmedStats(
+        rows.toDF("g", "v"), "v", Seq("g"), trim)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val vs = rs.map(_._2).sorted
+        val n = vs.size
+        val k = n * trim / 1000
+        val kept = vs.slice(k.toInt, (n - k).toInt)
+        g -> ((n.toLong, 2 * k, kept.size.toLong,
+          // Spark div truncates toward zero, matching BigInt /
+          (BigInt(kept.sum) / kept.size).toLong, kept.min, kept.max))
+      }
+      assert(got == want, s"rows=$rows trim=$trim")
+    }
+  }
+
+  test("rankAgreement law: equals a per-depth brute intersection model") {
+    import SparkTestBase.spark.implicits._
+    val gen = for {
+      nq <- Gen.choose(1, 4)
+      k <- Gen.choose(2, 6)
+      // two random permutations of the item space per query
+      perms <- Gen.listOfN(nq, Gen.zip(
+        Gen.pick(k, 1 to 10).map(_.toList), Gen.pick(k, 1 to 10).map(_.toList)))
+      depths <- Gen.someOf(Seq(1, 2, 3, 5)).suchThat(_.nonEmpty)
+    } yield (perms.zipWithIndex, depths.toSeq.sorted)
+    forAll(gen, n = 8) { case (perms, depths) =>
+      val a = perms.flatMap { case ((pa, _), q) =>
+        pa.zipWithIndex.map { case (it, r) => (s"q$q", it.toLong, (r + 1).toLong) } }
+      val b = perms.flatMap { case ((_, pb), q) =>
+        pb.zipWithIndex.map { case (it, r) => (s"q$q", it.toLong, (r + 1).toLong) } }
+      val got = graft.ops.Search.rankAgreement(
+        a.toDF("q", "i", "rk"), b.toDF("q", "i", "rk"), "q", "i", "rk", depths)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3)))).toMap
+      val nq = perms.size.toLong
+      val want = depths.map { d =>
+        val s = perms.map { case ((pa, pb), _) =>
+          (pa.take(d).toSet intersect pb.take(d).toSet).size.toLong }.sum
+        d.toLong -> ((nq, s, s * 1000 / (nq * d)))
+      }.toMap
+      assert(got == want, s"perms=$perms depths=$depths")
+    }
+  }
+
   test("labelNoiseByNeighbors law: equals a brute-force vote model on random clusters") {
     import SparkTestBase.spark.implicits._
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
