@@ -30,6 +30,18 @@ private[graft] object EntriesProfile {
           .select(call_function("div", col("event_id"), lit(4L)).as("panel"),
             col("event_type")),
         "panel", "event_type")),
+    "ns_bootstrap" -> ((s, dir) =>
+      // deterministic Poisson bootstrap: 32 hash-derived resamples of the
+      // doc-length metric; every weight replays from the portable hash
+      graft.ops.Profile.bootstrapMeans(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "n_chars", "doc_id", replicates = 32)),
+    "ns_bootstrap_ci" -> ((s, dir) =>
+      // percentile CI over the same 32 replicates (alpha 100 permille:
+      // ranks 4 and 29 at B=32); oracle derives from the shared fragment
+      graft.ops.Profile.bootstrapCI(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "n_chars", "doc_id", replicates = 32, alphaPermille = 100L)),
     "ns_trimmed_stats" -> ((s, dir) =>
       // robust per-language length center: drop the shortest and longest
       // 10% by rank, report the kept band's count/mean/min/max — the
@@ -437,7 +449,45 @@ private[graft] object EntriesProfile {
         minCount = 2, topK = 100, n = 2))
   )
 
+  /** Shared replicate-means fragment for the bootstrap gates (the
+    * qualityFilterSql convention): the CI oracle builds on the SAME
+    * resample replay as the means oracle, so the two cannot drift. The
+    * Poisson cut points are the frozen constants from
+    * [[graft.ops.Profile]] (PoissonCuts31).
+    */
+  private val bootstrapMeansSql: String =
+    """WITH br AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v,
+      |             unnest(range(1, 33)) AS rep FROM documents),
+      |bh AS (SELECT rep, v,
+      |         ('0x' || substr(md5('graft-boot|' || CAST(doc_id AS VARCHAR) ||
+      |            '|' || CAST(rep AS VARCHAR)), 1, 8))::UBIGINT & 2147483647 AS u
+      |       FROM br),
+      |bw AS (SELECT rep, v,
+      |         CASE WHEN u < 790015084 THEN 0 WHEN u < 1580030168 THEN 1
+      |              WHEN u < 1975037710 THEN 2 WHEN u < 2106706891 THEN 3
+      |              WHEN u < 2139624186 THEN 4 WHEN u < 2146207645 THEN 5
+      |              ELSE 6 END AS w
+      |       FROM bh)
+      |SELECT rep AS replicate, CAST(sum(w) AS BIGINT) AS n_eff,
+      |  CASE WHEN sum(w) > 0 THEN CAST((sum(w * v) * 1000) // sum(w) AS BIGINT)
+      |  END AS mean_milli
+      |FROM bw GROUP BY 1""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "ns_bootstrap" -> bootstrapMeansSql,
+    "ns_bootstrap_ci" ->
+      s"""WITH means AS (
+         |$bootstrapMeansSql
+         |),
+         |m AS (SELECT replicate, mean_milli FROM means WHERE mean_milli IS NOT NULL),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY mean_milli, replicate) AS rk,
+         |              count(*) OVER () AS n FROM m),
+         |x AS (SELECT *, greatest((100 * n + 999) // 1000, 1) AS lo_rk FROM rk)
+         |SELECT CAST(max(n) AS BIGINT) AS n_replicates,
+         |  CAST(sum(mean_milli) // max(n) AS BIGINT) AS point_milli,
+         |  CAST(min(CASE WHEN rk = lo_rk THEN mean_milli END) AS BIGINT) AS lo_milli,
+         |  CAST(min(CASE WHEN rk = n + 1 - lo_rk THEN mean_milli END) AS BIGINT) AS hi_milli
+         |FROM x""".stripMargin,
     "ns_kripp_alpha" ->
       """WITH r AS (SELECT event_id // 4 AS u, event_type AS c FROM events WHERE value >= 5),
         |cnt AS (SELECT u, c, CAST(count(*) AS HUGEINT) AS k FROM r GROUP BY 1, 2),

@@ -905,6 +905,92 @@ object Profile {
         })
   }
 
+  /** Frozen Poisson(1) CDF cut points in 31-bit hash units
+    * (floor(CDF·2³¹)): a hash draw u < cut(k) at the first k gives the
+    * replicate weight — the deterministic Poisson bootstrap's inverse-CDF
+    * table. The tail (u past the last cut, probability ~0.06%) draws 6.
+    * FROZEN constants shared verbatim with the ns_bootstrap oracle SQL —
+    * exactness across engines depends on the literals matching, not on
+    * them being infinitely precise Poisson values.
+    */
+  private val PoissonCuts31: Seq[Long] =
+    Seq(790015084L, 1580030168L, 1975037710L, 2106706891L, 2139624186L, 2146207645L)
+
+  /** Deterministic Poisson bootstrap replicate means (the scalable
+    * bootstrap: Poisson(1) per-row weights approximate multinomial
+    * resampling without coordinating a global draw — the standard
+    * large-data form). Every (row, replicate) weight derives from the
+    * portable hash, so the "random" resample replays bit-for-bit on any
+    * engine and any retry: the eval-significance tool ("is ranker A
+    * really better, or is this eval-set noise?") as a deterministic
+    * dataflow. Output: one row per replicate (replicate, n_eff,
+    * mean_milli [Σw·v·1000 div Σw, NULL if the replicate drew nothing]).
+    *
+    * Scale shape: the explode is |rows|·B (B ≤ 200 enforced — the
+    * replicate axis is a CONSTANT fan-out, not a data dimension), all of
+    * it partial-aggregated onto B rows in one pass; no window, no join.
+    * Values cap at |v| ≤ 10¹² so Σw·v·1000 stays in long at 10¹⁵ rows.
+    */
+  def bootstrapMeans(df: DataFrame, valueCol: String, idCol: String,
+      replicates: Int = 64, seed: String = "graft-boot"): DataFrame = {
+    require(replicates >= 2 && replicates <= 200,
+      "replicates must be in [2, 200]")
+    val v = when(col(valueCol).isNotNull &&
+        abs(col(valueCol).cast("long")) <= 1000000000000L,
+      col(valueCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("bootstrapMeans: value outside [-1e12, 1e12] or NULL for id "),
+        col(idCol).cast("string"))))
+    val u = graft.ops.Curation.portableHash31(
+      concat_ws("|", col(idCol), col("replicate")), seed)
+    val w = PoissonCuts31.zipWithIndex
+      .foldRight(lit(PoissonCuts31.length.toLong)) { case ((cut, k), rest) =>
+        when(u < cut, k.toLong).otherwise(rest)
+      }
+    df.select(col(idCol), v.as("__v"),
+        explode(sequence(lit(1L), lit(replicates.toLong))).as("replicate"))
+      .select(col("replicate"), col("__v"), w.as("__w"))
+      .groupBy("replicate")
+      .agg(sum(col("__w")).as("n_eff"),
+        sum(col("__w") * col("__v")).as("__sum"))
+      .select(col("replicate"), col("n_eff"),
+        when(col("n_eff") > 0,
+          call_function("div", col("__sum") * 1000L, col("n_eff")))
+          .as("mean_milli"))
+  }
+
+  /** Bootstrap confidence interval from [[bootstrapMeans]]' replicate
+    * table: the percentile-method CI — lo/hi are the replicate means at
+    * ranks ceil(α·B) and B+1−ceil(α·B) (two-sided, α in permille), the
+    * point estimate is the integer mean of replicate means. Empty
+    * replicates (n_eff = 0, possible only on near-empty inputs) drop
+    * before ranking. The rank window runs on the B-row replicate frame —
+    * metadata-sized by the [[bootstrapMeans]] contract.
+    * Output: one row (n_replicates, point_milli, lo_milli, hi_milli).
+    */
+  def bootstrapCI(df: DataFrame, valueCol: String, idCol: String,
+      replicates: Int = 64, alphaPermille: Long = 25L,
+      seed: String = "graft-boot"): DataFrame = {
+    require(alphaPermille >= 1 && alphaPermille < 500,
+      "alphaPermille must be in [1, 500)")
+    val reps = bootstrapMeans(df, valueCol, idCol, replicates, seed)
+      .where(col("mean_milli").isNotNull)
+    val ranked = reps
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("mean_milli"), col("replicate"))).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(lit(1))))
+      // ceil(alpha*n/1000), floored at rank 1
+      .withColumn("__lo_rk", greatest(call_function("div",
+        lit(alphaPermille) * col("__n") + 999L, lit(1000L)), lit(1L)))
+    ranked.agg(
+      max(col("__n")).as("n_replicates"),
+      call_function("div", sum(col("mean_milli")), max(col("__n")))
+        .as("point_milli"),
+      min(when(col("__rk") === col("__lo_rk"), col("mean_milli"))).as("lo_milli"),
+      min(when(col("__rk") === col("__n") + 1L - col("__lo_rk"),
+        col("mean_milli"))).as("hi_milli"))
+  }
+
   /** Rank-trimmed robust statistics per group (the trimmed/winsorized
     * mean family): drop the lowest and highest `trimPermille` of rows BY
     * RANK and report the kept range's count/mean/min/max — the score

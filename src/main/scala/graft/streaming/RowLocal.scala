@@ -353,6 +353,8 @@ object RowLocal {
     "Profile.analyzeColumns" -> "one-pass corpus statistics aggregate",
     "Profile.balanceReport" -> "per-group label-distribution aggregate",
     "Profile.benfordAudit" -> "single-scan digit-distribution aggregate",
+    "Profile.bootstrapCI" -> "replicate-frame rank window over bootstrapMeans",
+    "Profile.bootstrapMeans" -> "constant replicate fan-out + per-replicate aggregate",
     "Profile.calibrationAudit" -> "score-bucket aggregate",
     "Profile.cohenKappa" -> "confusion-cell aggregate",
     "Profile.confusionReport" -> "confusion-cell aggregate",

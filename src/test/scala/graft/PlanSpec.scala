@@ -1031,6 +1031,13 @@ class PlanSpec extends AnyFunSuite {
       s"reliability buckets are one keyed aggregate:\n${plan.take(2000)}")
   }
 
+  test("bootstrapMeans: constant fan-out partial-aggregates onto B rows — no window, no join") {
+    val plan = planOf(SparkEntry.queries("ns_bootstrap")(spark, sf))
+    assert(plan.contains("partial_"), s"replicate sums must map-side combine:\n${plan.take(2000)}")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"the resample is explode + one aggregate:\n${plan.take(2000)}")
+  }
+
   test("rankAgreement: one equi-join of the rank tables, depth cells in one aggregate") {
     val plan = planOf(SparkEntry.queries("ns_rank_agreement")(spark, sf))
     assert(plan.contains("partial_"), s"depth cells must map-side combine:\n${plan.take(2000)}")

@@ -500,4 +500,30 @@ class ProfileSpec extends AnyFunSuite {
       Profile.trimmedStats(rows, "v", Seq("g"), trimPermille = 500L)
     }
   }
+
+  test("bootstrapCI: deterministic, ordered bounds, percentile ranks, guards") {
+    val rows = (1L to 40L).map(i => (i, i * 10L)).toDF("id", "v")
+    val ci1 = Profile.bootstrapCI(rows, "v", "id", replicates = 32,
+      alphaPermille = 100L).collect().head
+    val ci2 = Profile.bootstrapCI(rows, "v", "id", replicates = 32,
+      alphaPermille = 100L).collect().head
+    assert(ci1.toSeq == ci2.toSeq, "hash bootstrap must replay identically")
+    val (n, point, lo, hi) = (ci1.getLong(0), ci1.getLong(1),
+      ci1.getLong(2), ci1.getLong(3))
+    assert(n == 32L)
+    assert(lo <= point && point <= hi, s"bounds must bracket the point: $lo $point $hi")
+    // the true mean is 205000 milli; a 32-replicate bootstrap of a
+    // uniform ramp should bracket it comfortably
+    assert(lo <= 205000L && 205000L <= hi, s"CI [$lo, $hi] should cover the mean")
+    // tighter alpha can only widen or keep the interval
+    val wide = Profile.bootstrapCI(rows, "v", "id", replicates = 32,
+      alphaPermille = 10L).collect().head
+    assert(wide.getLong(2) <= lo && hi <= wide.getLong(3))
+    intercept[IllegalArgumentException] {
+      Profile.bootstrapCI(rows, "v", "id", replicates = 32, alphaPermille = 500L)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.bootstrapMeans(rows, "v", "id", replicates = 1)
+    }
+  }
 }

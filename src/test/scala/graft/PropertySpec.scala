@@ -649,6 +649,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bootstrapMeans law: hash-derived Poisson weights equal an MD5 model") {
+    import SparkTestBase.spark.implicits._
+    val cuts = Seq(790015084L, 1580030168L, 1975037710L, 2106706891L,
+      2139624186L, 2146207645L)
+    def h31(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) & 2147483647L
+    }
+    def weight(id: Long, rep: Long): Long = {
+      val u = h31(s"graft-boot|$id|$rep")
+      cuts.indexWhere(u < _) match { case -1 => 6L; case k => k.toLong }
+    }
+    val gen = for {
+      n <- Gen.choose(1, 12)
+      vals <- Gen.listOfN(n, Gen.choose(-500L, 500L))
+      b <- Gen.choose(2, 8)
+    } yield (vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }, b)
+    forAll(gen, n = 8) { case (rows, b) =>
+      val got = graft.ops.Profile.bootstrapMeans(
+        rows.toDF("id", "v"), "v", "id", replicates = b)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+      val want = (1L to b.toLong).map { rep =>
+        val ws = rows.map { case (id, v) => (weight(id, rep), v) }
+        val nEff = ws.map(_._1).sum
+        // Spark div truncates toward zero; Scala Long / does too
+        rep -> ((nEff,
+          if (nEff > 0) Some(ws.map { case (w, v) => w * v }.sum * 1000L / nEff)
+          else None))
+      }.toMap
+      assert(got == want, s"rows=$rows b=$b")
+    }
+  }
+
   test("trimmedStats law: equals a sorted-slice model; outliers never move the kept band") {
     import SparkTestBase.spark.implicits._
     val gen = for {
