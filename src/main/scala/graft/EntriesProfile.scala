@@ -30,6 +30,18 @@ private[graft] object EntriesProfile {
           .select(call_function("div", col("event_id"), lit(4L)).as("panel"),
             col("event_type")),
         "panel", "event_type")),
+    "ns_ece" -> ((s, dir) =>
+      // the model-card headline over the same calibration audit: ECE in
+      // milli; composes on the bucket table so bucketing cannot drift
+      graft.ops.Profile.expectedCalibrationError(
+        graft.ops.Profile.calibrationAudit(
+          t(s, dir, "documents").select(
+            ((col("doc_id") * 37) % 1001).as("score"),
+            when((col("doc_id") * 37) % 1001 > 500,
+              when(col("doc_id") % 7 === 0, 0L).otherwise(1L))
+              .otherwise(when(col("doc_id") % 11 === 0, 1L).otherwise(0L))
+              .as("label")),
+          "score", "label", bucketWidth = 100L))),
     "ns_bootstrap" -> ((s, dir) =>
       // deterministic Poisson bootstrap: 32 hash-derived resamples of the
       // doc-length metric; every weight replays from the portable hash
@@ -449,6 +461,27 @@ private[graft] object EntriesProfile {
         minCount = 2, topK = 100, n = 2))
   )
 
+  /** Shared calibration-bucket fragment: ns_calibration's full oracle,
+    * and the base ns_ece derives from (the qualityFilterSql convention —
+    * the headline cannot drift from the bucket table).
+    */
+  private val calibrationSql: String =
+    """WITH s AS (SELECT (doc_id * 37) % 1001 AS score,
+      |             CASE WHEN (doc_id * 37) % 1001 > 500
+      |                  THEN (CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END)
+      |                  ELSE (CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)
+      |             END AS label
+      |           FROM documents),
+      |b AS (SELECT score // 100 AS bucket, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(label) AS BIGINT) AS n_pos,
+      |             CAST(sum(score) AS BIGINT) AS sum_s
+      |      FROM s GROUP BY 1)
+      |SELECT bucket, n, n_pos,
+      |       CAST(sum_s // n AS BIGINT) AS mean_score_milli,
+      |       CAST((n_pos * 1000) // n AS BIGINT) AS observed_permille,
+      |       CAST((n_pos * 1000) // n - sum_s // n AS BIGINT) AS gap_milli
+      |FROM b""".stripMargin
+
   /** Shared replicate-means fragment for the bootstrap gates (the
     * qualityFilterSql convention): the CI oracle builds on the SAME
     * resample replay as the means oracle, so the two cannot drift. The
@@ -563,22 +596,16 @@ private[graft] object EntriesProfile {
         |            OVER (PARTITION BY doc_id ORDER BY block_idx
         |                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS chunk_id
         |FROM t""".stripMargin,
-    "ns_calibration" ->
-      """WITH s AS (SELECT (doc_id * 37) % 1001 AS score,
-        |             CASE WHEN (doc_id * 37) % 1001 > 500
-        |                  THEN (CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END)
-        |                  ELSE (CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)
-        |             END AS label
-        |           FROM documents),
-        |b AS (SELECT score // 100 AS bucket, CAST(count(*) AS BIGINT) AS n,
-        |             CAST(sum(label) AS BIGINT) AS n_pos,
-        |             CAST(sum(score) AS BIGINT) AS sum_s
-        |      FROM s GROUP BY 1)
-        |SELECT bucket, n, n_pos,
-        |       CAST(sum_s // n AS BIGINT) AS mean_score_milli,
-        |       CAST((n_pos * 1000) // n AS BIGINT) AS observed_permille,
-        |       CAST((n_pos * 1000) // n - sum_s // n AS BIGINT) AS gap_milli
-        |FROM b""".stripMargin,
+    "ns_calibration" -> calibrationSql,
+    "ns_ece" ->
+      s"""WITH cal AS (
+         |$calibrationSql
+         |)
+         |SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n,
+         |       CASE WHEN coalesce(sum(n), 0) > 0
+         |            THEN CAST(sum(n * abs(gap_milli)) // sum(n) AS BIGINT)
+         |       END AS ece_milli
+         |FROM cal""".stripMargin,
     "ns_zipf" ->
       """WITH d AS (SELECT text || ' u' || CAST(doc_id AS VARCHAR)
         |             || ' v' || CAST(doc_id % 50 AS VARCHAR)

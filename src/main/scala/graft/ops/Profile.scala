@@ -991,6 +991,22 @@ object Profile {
         col("mean_milli"))).as("hi_milli"))
   }
 
+  /** Expected calibration error — the one-number rollup of a
+    * [[calibrationAudit]] bucket table: ECE = Σ n_b·|gap_b| div Σ n_b in
+    * integer milli, the headline a model card quotes where the bucket
+    * table is the diagnostic. Composes on the audit output (batch or the
+    * streaming twin's per-window slices), so the two can never disagree
+    * about bucketing. One partial-aggregated rollup over the
+    * bucket-sized frame; output is one row (n, ece_milli [NULL on an
+    * empty audit]).
+    */
+  def expectedCalibrationError(audit: DataFrame): DataFrame =
+    audit.agg(
+      coalesce(sum(col("n")), lit(0L)).as("n"),
+      when(coalesce(sum(col("n")), lit(0L)) > 0,
+        call_function("div", sum(col("n") * abs(col("gap_milli"))), sum(col("n"))))
+        .as("ece_milli"))
+
   /** Rank-trimmed robust statistics per group (the trimmed/winsorized
     * mean family): drop the lowest and highest `trimPermille` of rows BY
     * RANK and report the kept range's count/mean/min/max — the score

@@ -361,6 +361,7 @@ object RowLocal {
     "Profile.correlationMatrix" -> "one-scan co-moment aggregate",
     "Profile.krippendorffAlpha" -> "coincidence-matrix aggregates over (unit, label) counts",
     "Profile.crossTab" -> "two-column contingency aggregate",
+    "Profile.expectedCalibrationError" -> "one rollup over the calibration bucket frame",
     "Profile.fleissKappa" -> "fixed-panel (item, label) count aggregates",
     "Profile.datasetCard" -> "per-language corpus aggregates + quantile ranks",
     "Profile.distinctiveTerms" -> "per-group term lift aggregates",

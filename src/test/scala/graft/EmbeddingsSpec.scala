@@ -407,6 +407,14 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(out(0L) == ((2L, 1L, 65L, 500L, 435L)))
     assert(out(9L) == ((2L, 2L, 955L, 1000L, 45L)))
     assert(out(10L) == ((1L, 1L, 1000L, 1000L, 0L)))
+    // ECE rollup over the same buckets: (2*435 + 2*45 + 1*0) / 5 = 192
+    val ece = Profile.expectedCalibrationError(
+      Profile.calibrationAudit(rows, "score", "label")).collect().head
+    assert((ece.getLong(0), ece.getLong(1)) == ((5L, 192L)))
+    // empty audit: n = 0, ece NULL
+    val empty = Profile.expectedCalibrationError(
+      Profile.calibrationAudit(rows.limit(0), "score", "label")).collect().head
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1))
     val bad = Seq((1200L, 1L)).toDF("score", "label")
     val e = intercept[Exception] {
       Profile.calibrationAudit(bad, "score", "label").collect()
