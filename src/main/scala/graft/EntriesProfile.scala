@@ -626,7 +626,8 @@ private[graft] object EntriesProfile {
         |FROM w""".stripMargin,
     "ns_instr_templates" ->
       """WITH tpl AS (
-        |  SELECT array_to_string(string_split_regex(trim(lower(text)), '\s+')[1:3], ' ')
+        |  SELECT array_to_string(
+        |           string_split_regex(trim(lower(coalesce(text, ''))), '\s+')[1:3], ' ')
         |           AS template
         |  FROM documents),
         |c AS (SELECT template, CAST(count(*) AS BIGINT) AS n_docs FROM tpl GROUP BY 1),

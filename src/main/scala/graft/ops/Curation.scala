@@ -1149,8 +1149,9 @@ object Curation {
       .otherwise(raise_error(concat(lit("repeatedEpochValue: epochs_milli for "),
         col(stratumCol).cast("string"),
         lit(" outside [0, 64000] - repetition past 64 epochs has no value to measure"))))
-    // tokens guard mirrors waterfillPlan's 1e15 budget: value_permille's
-    // effective·1000 multiply must stay inside long
+    // tokens guard mirrors waterfillPlan's 1e15 budget; value_permille's
+    // effective·1000 multiply runs in DECIMAL(38,0) below (effective can
+    // reach tokens·64 ≈ 6.4e16 at decay→1000, so ·1000 would wrap long)
     val tok = when(col(tokensCol) >= 0 && col(tokensCol) <= 1000000000000000L,
       col(tokensCol).cast("long"))
       .otherwise(raise_error(concat(lit("repeatedEpochValue: tokens for "),
@@ -1176,7 +1177,8 @@ object Curation {
         .cast("long").as("raw_tokens"))
       .withColumn("value_permille",
         when(col("raw_tokens") > 0,
-          idiv(col("effective_tokens") * 1000L, col("raw_tokens")))
+          idiv(col("effective_tokens").cast(dec) * lit(1000L).cast("decimal(4,0)"),
+            col("raw_tokens").cast(dec)))
           .otherwise(lit(null).cast("long")))
   }
 

@@ -929,7 +929,11 @@ object Profile {
     * Scale shape: the explode is |rows|·B (B ≤ 200 enforced — the
     * replicate axis is a CONSTANT fan-out, not a data dimension), all of
     * it partial-aggregated onto B rows in one pass; no window, no join.
-    * Values cap at |v| ≤ 10¹² so Σw·v·1000 stays in long at 10¹⁵ rows.
+    * Values cap at |v| ≤ 10¹² per row; Σw·v accumulates in
+    * DECIMAL(38,0) (the crossTab/fleissKappa carrier convention), so the
+    * sum and the ·1000 numerator stay exact at any row count — matching
+    * the DuckDB oracle's HUGEINT sum rather than wrapping in long (a
+    * long Σw·v wraps at ~10⁶ rows of 10¹²-scale values).
     */
   def bootstrapMeans(df: DataFrame, valueCol: String, idCol: String,
       replicates: Int = 64, seed: String = "graft-boot"): DataFrame = {
@@ -952,10 +956,11 @@ object Profile {
       .select(col("replicate"), col("__v"), w.as("__w"))
       .groupBy("replicate")
       .agg(sum(col("__w")).as("n_eff"),
-        sum(col("__w") * col("__v")).as("__sum"))
+        sum((col("__w") * col("__v")).cast("decimal(38,0)")).as("__sum"))
       .select(col("replicate"), col("n_eff"),
         when(col("n_eff") > 0,
-          call_function("div", col("__sum") * 1000L, col("n_eff")))
+          call_function("div", col("__sum") * lit(1000L).cast("decimal(4,0)"),
+            col("n_eff").cast("decimal(20,0)")))
           .as("mean_milli"))
   }
 
@@ -967,6 +972,9 @@ object Profile {
     * before ranking. The rank window runs on the B-row replicate frame —
     * metadata-sized by the [[bootstrapMeans]] contract.
     * Output: one row (n_replicates, point_milli, lo_milli, hi_milli).
+    * On an EMPTY input (or when every replicate drew nothing)
+    * n_replicates is 0 and the three CI columns are NULL — callers get a
+    * clean zero-count signal rather than an all-NULL row.
     */
   def bootstrapCI(df: DataFrame, valueCol: String, idCol: String,
       replicates: Int = 64, alphaPermille: Long = 25L,
@@ -983,7 +991,7 @@ object Profile {
       .withColumn("__lo_rk", greatest(call_function("div",
         lit(alphaPermille) * col("__n") + 999L, lit(1000L)), lit(1L)))
     ranked.agg(
-      max(col("__n")).as("n_replicates"),
+      coalesce(max(col("__n")), lit(0L)).as("n_replicates"),
       call_function("div", sum(col("mean_milli")), max(col("__n")))
         .as("point_milli"),
       min(when(col("__rk") === col("__lo_rk"), col("mean_milli"))).as("lo_milli"),

@@ -753,8 +753,10 @@ object TextAnalysis {
     * frame); a flat template histogram is the cheap proxy for task
     * diversity, and the heavy head is the dedup/downsample worklist.
     * Documents shorter than `nTokens` template on their full text;
-    * empty/whitespace docs group under the empty template (reported,
-    * not dropped — prompt hygiene is part of the audit).
+    * empty/whitespace/NULL docs group under the empty template (NULL
+    * text coalesces to '' before tokenizing — the textTileBlocks/
+    * langSegments convention; reported, not dropped — prompt hygiene
+    * is part of the audit).
     *
     * One partial-aggregated groupBy over the scan-stage template
     * projection; the corpus total joins back as a one-row broadcast.
@@ -764,7 +766,7 @@ object TextAnalysis {
   def instructionTemplates(docs: DataFrame, textCol: String,
       nTokens: Int = 3): DataFrame = {
     require(nTokens >= 1, "nTokens must be >= 1")
-    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val toks = split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+")
     val tpl = array_join(slice(toks, 1, nTokens), " ")
     val counts = docs.select(tpl.as("template"))
       .groupBy("template").agg(count(lit(1)).as("n_docs"))

@@ -1097,6 +1097,27 @@ class CurationSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("64 epochs") ||
       Option(e.getCause).exists(_.getMessage.contains("64 epochs")), e.getMessage)
+    // value_permille envelope corner: the guard's extremes (1e15 tokens,
+    // 64 epochs, no decay) drive effective_tokens to 6.4e16 — the ·1000
+    // numerator only fits in the DECIMAL(38,0) carrier (a long multiply
+    // wraps to a negative permille here)
+    val big = Curation.repeatedEpochValue(
+      Seq(("h", 1000000000000000L, 64000L)).toDF("stratum", "tokens", "em"),
+      "stratum", "tokens", "em", decayPermille = 1000L).collect().head
+    assert(big.getLong(3) == 64000000000000000L, big.toSeq.toString)
+    assert(big.getLong(4) == 64000000000000000L)
+    assert(big.getLong(5) == 1000L, s"undecayed repetition is worth raw: ${big.getLong(5)}")
+    // decay 900 at the same extremes: factor = Σ_{e=0}^{63} 900^e/1000^e
+    // staged-truncated — value strictly under 1000 but positive/exact
+    val dec9 = Curation.repeatedEpochValue(
+      Seq(("i", 1000000000000000L, 64000L)).toDF("stratum", "tokens", "em"),
+      "stratum", "tokens", "em", decayPermille = 900L).collect().head
+    var (s9, p9) = (BigInt(0), BigInt(1000))
+    for (_ <- 1 to 64) { s9 += p9; p9 = p9 * 900 / 1000 }
+    val eff9 = (BigInt(1000000000000000L) * s9 / 1000).toLong
+    assert(dec9.getLong(3) == eff9)
+    assert(dec9.getLong(5) ==
+      (BigInt(eff9) * 1000 / BigInt(64000000000000000L)).toLong)
   }
 
   test("splitLeakageAudit: straddling keys flag, null splits count, null keys drop") {

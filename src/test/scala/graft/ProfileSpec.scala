@@ -416,14 +416,16 @@ class ProfileSpec extends AnyFunSuite {
       (1L, "Write a story about dragons"),
       (2L, "write a story quickly"),
       (3L, "Summarize this text"),
-      (4L, ""))
+      (4L, ""),
+      (5L, null))
       .toDF("doc_id", "text")
     val out = TextAnalysis.instructionTemplates(docs, "text", nTokens = 3)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // NULL text coalesces into the empty template (never a NULL group key)
     assert(out.size == 3)
-    assert(out("write a story") == ((2L, 500L)))
-    assert(out("summarize this text") == ((1L, 250L)))
-    assert(out("") == ((1L, 250L)))
+    assert(out("write a story") == ((2L, 400L)))
+    assert(out("summarize this text") == ((1L, 200L)))
+    assert(out("") == ((2L, 400L)))
   }
 
   test("fleissKappa: Fleiss-1971 canonical table, corners, fixed-panel guard") {
@@ -525,5 +527,11 @@ class ProfileSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Profile.bootstrapMeans(rows, "v", "id", replicates = 1)
     }
+    // empty input: clean zero-count signal, NULL CI columns (never an
+    // all-NULL row a getLong(0) caller would trip on)
+    val empty = Profile.bootstrapCI(rows.limit(0), "v", "id",
+      replicates = 32, alphaPermille = 100L).collect().head
+    assert(empty.getLong(0) == 0L)
+    assert(empty.isNullAt(1) && empty.isNullAt(2) && empty.isNullAt(3))
   }
 }

@@ -684,6 +684,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bootstrapMeans overflow law: decimal carrier stays exact past the long envelope") {
+    // 12k rows at the +1e12 value cap: Σw·v ≈ 1.2e16, so the ·1000
+    // numerator (~1.2e19) exceeds Long.MaxValue — only the
+    // DECIMAL(38,0) accumulator matches the BigInt (= DuckDB HUGEINT)
+    // model; a long sum wraps negative here
+    import SparkTestBase.spark.implicits._
+    val cuts = Seq(790015084L, 1580030168L, 1975037710L, 2106706891L,
+      2139624186L, 2146207645L)
+    def h31(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) & 2147483647L
+    }
+    def weight(id: Long, rep: Long): Long = {
+      val u = h31(s"graft-boot|$id|$rep")
+      cuts.indexWhere(u < _) match { case -1 => 6L; case k => k.toLong }
+    }
+    val v = 1000000000000L
+    val ids = (1L to 12000L).toSeq
+    val got = graft.ops.Profile.bootstrapMeans(
+      ids.map(i => (i, v)).toDF("id", "v"), "v", "id", replicates = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    (1L to 2L).foreach { rep =>
+      val nEff = ids.map(weight(_, rep)).sum
+      val want = (ids.map(i => BigInt(weight(i, rep)) * v).sum * 1000 / nEff).toLong
+      assert(got(rep) == ((nEff, want)), s"rep=$rep")
+      assert(want > 0L, "model sanity: the exact mean is positive")
+    }
+  }
+
   test("trimmedStats law: equals a sorted-slice model; outliers never move the kept band") {
     import SparkTestBase.spark.implicits._
     val gen = for {
