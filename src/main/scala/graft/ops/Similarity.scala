@@ -594,12 +594,15 @@ object Similarity {
     * to both differ from the item's own label AND reach `minAgree` votes
     * (a 2-2-1 split is not evidence).
     *
-    * Tiering: this runs on [[bruteForceTopK]] (exact; corpus ×
-    * broadcast-queries — the decision-grade gate mode). At corpus scale
-    * swap the neighbor stage for [[ivfTopK]] candidates; the vote logic
-    * is unchanged. The vote itself is one partial-aggregated
-    * groupBy(query, label) + one max-struct argmax — no window over the
-    * neighbor lists.
+    * Tiering: the (vecCol, k) convenience overload runs on
+    * [[bruteForceTopK]] (exact; corpus × broadcast-queries — the
+    * decision-grade gate mode). At corpus scale feed the NEIGHBORS
+    * overload any `(query_id, neighbor_id, rank)` candidate frame —
+    * [[lshTopK]], [[ivfTopK]], [[pqTopK]] and the brute tier all emit
+    * exactly that shape — and the same vote runs unchanged (the
+    * PropertySpec law pins IVF-exhaustive votes == brute votes). The
+    * vote itself is one partial-aggregated groupBy(query, label) + one
+    * max-struct argmax — no window over the neighbor lists.
     *
     * Output: (idCol, labelCol, majority_label, n_majority, n_neighbors,
     * flagged).
@@ -608,10 +611,27 @@ object Similarity {
       labelCol: String, k: Int = 5, minAgree: Long = 3L): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(minAgree >= 1, "minAgree must be >= 1")
-    val base = items.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      col(labelCol).as("label"))
-    val nn = bruteForceTopK(base.select("id", "vec"), base.select("id", "vec"), k)
-    val votes = nn
+    val base = items.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    labelNoiseByNeighbors(items,
+      bruteForceTopK(base, base, k), idCol, labelCol, minAgree)
+  }
+
+  /** Candidate-frame form of [[labelNoiseByNeighbors]]: the vote logic
+    * over ANY precomputed neighbor list — `neighbors` is a
+    * `(query_id, neighbor_id, rank)` frame (rank is positional audit
+    * data; the vote weighs every listed neighbor equally), the shape
+    * every top-k tier here emits. This is the 100 TB path: generate
+    * candidates once with [[ivfTopK]]/[[lshTopK]]/[[pqTopK]] (or reuse a
+    * frame an ANN job already produced) and vote without an N×N scan.
+    * Neighbor ids absent from `items` contribute no vote (a filtered or
+    * unlabeled corpus side drops out silently — n_neighbors counts only
+    * LABELED voters); items with no surviving neighbors emit no row.
+    */
+  def labelNoiseByNeighbors(items: DataFrame, neighbors: DataFrame,
+      idCol: String, labelCol: String, minAgree: Long): DataFrame = {
+    require(minAgree >= 1, "minAgree must be >= 1")
+    val base = items.select(col(idCol).as("id"), col(labelCol).as("label"))
+    val votes = neighbors.select(col("query_id"), col("neighbor_id"))
       .join(base.select(col("id").as("neighbor_id"), col("label").as("nl")),
         Seq("neighbor_id"))
       .groupBy(col("query_id"), col("nl")).agg(count(lit(1)).as("c"))
@@ -620,7 +640,7 @@ object Similarity {
         sum(col("c")).as("n_neighbors"))
       .select(col("query_id").as("id"), (-col("m.nn")).as("majority_label"),
         col("m.c").as("n_majority"), col("n_neighbors"))
-    base.select(col("id"), col("label")).join(maj, Seq("id"))
+    base.join(maj, Seq("id"))
       .select(col("id").as(idCol), col("label").as(labelCol),
         col("majority_label"), col("n_majority"), col("n_neighbors"),
         (col("majority_label") =!= col("label") &&

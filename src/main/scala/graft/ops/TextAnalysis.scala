@@ -655,21 +655,44 @@ object TextAnalysis {
     * the OOV rate at k is 1000 − coverage.
     *
     * Scale shape: ONE exploded term count (the [[vocabulary]] shuffle),
-    * one vocab-sized rank window (global, but over DISTINCT TERMS — the
-    * vocabulary-not-corpus frame, the `vocabulary` contract), then one
-    * conditional aggregate producing |ks| cells and an unpivot onto a
-    * |ks|-row output. Output: (k, covered_tokens, total_tokens,
+    * then the vocabulary rank as a TWO-LEVEL bucket-offset rank (the
+    * [[graft.ops.Curation.epochShuffle]] /
+    * [[graft.ops.Fuzzy.sortedNeighborhoodJoin]] pattern): range-bucket
+    * the term frame on the rank key (cnt desc, token), per-bucket
+    * `row_number` partitioned by bucket, and add broadcast bucket
+    * offsets prefix-summed on the ≤ `buckets`-row count frame — a web
+    * vocabulary (10⁸–10⁹ distinct terms) never sorts through one task.
+    * Then one conditional aggregate producing |ks| cells and an unpivot
+    * onto a |ks|-row output. Output: (k, covered_tokens, total_tokens,
     * coverage_permille), one row per requested k.
     */
-  def vocabCoverage(docs: DataFrame, textCol: String, ks: Seq[Int]): DataFrame = {
+  def vocabCoverage(docs: DataFrame, textCol: String, ks: Seq[Int],
+      buckets: Int = 64): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be non-empty, all >= 1")
     require(ks.distinct.size == ks.size, "ks must be distinct")
+    require(buckets >= 1, "buckets must be >= 1")
     val counts = docs
       .select(graft.functions.text.wordNgrams(col(textCol), 1, distinct = false).as("__t"))
       .select(explode(col("__t")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val ranked = counts.withColumn("rk",
-      row_number().over(Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+    // range partitions follow the rank order, so global rank = offset of
+    // the bucket (a broadcast ≤ `buckets`-row prefix sum) + rank within
+    // it; boundaries come from range sampling but the computed rank is
+    // the exact deterministic global rank either way
+    val ranged = counts.repartitionByRange(buckets, col("cnt").desc, col("token"))
+      .withColumn("__bk", spark_partition_id())
+    val offsets = ranged.groupBy(col("__bk")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(col("__bk")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__bk"), col("__off"))
+    val ranked = ranged
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__bk")).orderBy(col("cnt").desc, col("token")))
+        .cast("long"))
+      .join(broadcast(offsets), "__bk")
+      .withColumn("rk", col("__off") + col("__rk"))
     val aggCols = sum(col("cnt")).as("__total") +:
       ks.map(k => sum(when(col("rk") <= k, col("cnt"))).as(s"__c$k"))
     val cells = ranked.agg(aggCols.head, aggCols.tail: _*)

@@ -1053,11 +1053,35 @@ class PlanSpec extends AnyFunSuite {
       s"trimmed stats are window + rollup only:\n${plan.take(2000)}")
   }
 
-  test("vocabCoverage: term counts combine map-side; the rank window runs on the vocab frame") {
-    val plan = planOf(SparkEntry.queries("ns_vocab_coverage")(spark, sf))
+  test("vocabCoverage: bucketed two-level rank — no single-partition sort of the token frame") {
+    val df = SparkEntry.queries("ns_vocab_coverage")(spark, sf)
+    val plan = planOf(df)
     assert(plan.contains("partial_"), s"map-side combine expected:\n${plan.take(2000)}")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
-      s"coverage cells need no join:\n${plan.take(2500)}")
+      s"offsets must broadcast; coverage cells need no wide join:\n${plan.take(2500)}")
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    // the vocabulary frame range-buckets on the rank key and ranks WITHIN
+    // buckets; the only unpartitioned window is the <= buckets-row offset
+    // prefix sum — a web-scale vocabulary never sorts through one task
+    val wins = root.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    val unpart = wins.filter(_.partitionSpec.isEmpty)
+    // (the __off alias lives in the downstream Project; at the physical
+    // window the prefix sum is recognizable by its __bk-ordered spec
+    // over the bucket-count frame)
+    assert(unpart.nonEmpty && unpart.forall(w =>
+        w.orderSpec.mkString.contains("__bk") &&
+          w.windowExpression.mkString.contains("sum(__n")),
+      s"only the bucket-offset prefix sum may run unpartitioned:\n${unpart.mkString("\n").take(2000)}")
+    assert(wins.exists(w => w.partitionSpec.nonEmpty &&
+        w.windowExpression.mkString.contains("row_number")),
+      s"the vocab rank must partition by bucket:\n${wins.mkString("\n").take(2000)}")
+    assert(root.toString.contains("rangepartitioning"),
+      s"token frame must range-bucket on the rank key:\n${root.toString.take(2500)}")
   }
 
   test("textTileBlocks: every window is document-partitioned, no join anywhere") {

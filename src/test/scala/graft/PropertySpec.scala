@@ -802,6 +802,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("labelNoiseByNeighbors law: IVF-exhaustive candidate frame votes equal the brute tier") {
+    // the 100 TB path: any (query_id, neighbor_id, rank) frame drives the
+    // same vote — with IVF in exhaustive mode (1 centroid, nprobe 1, the
+    // ns_ann_ivf convention) the candidate set equals brute top-k, so the
+    // two tiers must emit identical rows
+    import SparkTestBase.spark.implicits._
+    val items = (0L until 42L).map { i =>
+      val cl = i % 3
+      val lab = if (i == 7L) (cl + 1) % 3 else cl // one planted mislabel
+      (i, lab,
+        Seq(if (cl == 0) 10.0 else 0.0, if (cl == 1) 10.0 else 0.0,
+          if (cl == 2) 10.0 else 0.0, (i % 5).toDouble))
+    }.toDF("id", "label", "vec")
+    val brute = graft.ops.Similarity.labelNoiseByNeighbors(
+      items, "vec", "id", "label", k = 5, minAgree = 3L)
+      .collect().map(_.toSeq).toSet
+    val ivfNbrs = graft.ops.Similarity.ivfTopK(
+      items.select("id", "vec"), items.select("id", "vec"), k = 5,
+      nCentroids = 1, nprobe = 1)
+    val viaFrame = graft.ops.Similarity.labelNoiseByNeighbors(
+      items, ivfNbrs, "id", "label", minAgree = 3L)
+      .collect().map(_.toSeq).toSet
+    assert(viaFrame == brute)
+    assert(brute.exists(r => r(0) == 7L && r(5) == true),
+      "the planted mislabel must flag in both tiers")
+  }
+
   test("docStitchCandidates law: exact mode equals a brute-force boundary model") {
     import SparkTestBase.spark.implicits._
     val word = Gen.oneOf("aa", "bb", "cc", "dd")
