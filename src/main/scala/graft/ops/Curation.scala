@@ -1859,6 +1859,77 @@ object Curation {
           .otherwise(lit(0L)).as("fill_permille"))
   }
 
+  /** Exact floor integer square root as pure codegen'd column arithmetic:
+    * seed with the IEEE `sqrt` of the value, then one up- and one
+    * down-correction against DECIMAL(38,0) squares. Valid for inputs in
+    * [0, 10³⁰]: the double representation error is ≤ 2⁻⁵³ relative, so
+    * the seeded root is within ±1 of the true floor and the corrections
+    * land it exactly — no BigInteger fallback, no codegen break. The
+    * same 3-step recipe replays in DuckDB (floor(sqrt) + HUGEINT
+    * corrections), so isqrt-derived contracts oracle exactly.
+    */
+  private[ops] def isqrtExact(x: Column): Column = {
+    val dec = "decimal(38,0)"
+    val r0 = floor(sqrt(x.cast("double"))).cast("long")
+    val up = when(((r0 + 1).cast("decimal(19,0)") * (r0 + 1).cast("decimal(19,0)"))
+        .cast(dec) <= x.cast(dec), r0 + 1).otherwise(r0)
+    when((up.cast("decimal(19,0)") * up.cast("decimal(19,0)"))
+      .cast(dec) > x.cast(dec), up - 1).otherwise(up)
+  }
+
+  /** Temperature-scaled mixture weights (the multilingual sampling rule
+    * of mC4 [Raffel et al. 2020] and XLM-R [Conneau et al. 2020]):
+    * stratum i samples with weight nᵢ^α, α = `alphaQuarters`/4 — α = 1
+    * is natural sampling, lower α flattens the mixture toward small
+    * strata (the standard fix for head languages drowning the tail).
+    * Integer-exact on the quarter-power grid via [[isqrtExact]]:
+    * n^(1/2) = isqrt(n), n^(1/4) = isqrt(isqrt(n)), and n^(3/4) is
+    * DEFINED as isqrt(n·isqrt(n)) — floors compound deterministically
+    * and identically on any engine, which is the contract (the float
+    * power it approximates differs by < 1 part in isqrt(n)).
+    * target_tokens = budget·wᵢ div Σw is the unconstrained allocation;
+    * when strata have hard supply caps, feed the weights into
+    * [[waterfillPlan]] instead (its weight guard admits w ≤ 10⁶ — scale
+    * shares down first).
+    *
+    * Guards mirror the planning family: tokens in [0, 10¹⁵] (so n·isqrt(n)
+    * ≤ 10²²·⁵ sits inside the isqrt envelope), budget in [0, 10¹⁵].
+    * One row-local weight projection + a one-row broadcast total;
+    * output is STRATUM-sized: (stratumCol, tokens, weight,
+    * share_permille, target_tokens).
+    */
+  def temperatureMixture(stats: DataFrame, stratumCol: String, tokensCol: String,
+      alphaQuarters: Int = 2, budgetTokens: Long = 0L): DataFrame = {
+    require(alphaQuarters >= 1 && alphaQuarters <= 4,
+      "alphaQuarters must be in [1, 4] (alpha = quarters/4)")
+    require(budgetTokens >= 0 && budgetTokens <= 1000000000000000L,
+      "budget must be in [0, 1e15] (the integer-exactness budget)")
+    val dec = "decimal(38,0)"
+    val n = when(col(tokensCol) >= 0 && col(tokensCol) <= 1000000000000000L,
+      col(tokensCol).cast("long"))
+      .otherwise(raise_error(concat(lit("temperatureMixture: tokens for "),
+        col(stratumCol).cast("string"),
+        lit(" outside [0, 1e15] - the integer-exactness budget"))))
+    val base = stats.select(col(stratumCol), n.as("tokens"))
+      .withColumn("__s1", isqrtExact(col("tokens")))
+    val w = alphaQuarters match {
+      case 1 => isqrtExact(col("__s1"))
+      case 2 => col("__s1")
+      case 3 => isqrtExact(col("tokens").cast(dec) * col("__s1").cast(dec))
+      case 4 => col("tokens")
+    }
+    val weighted = base.withColumn("__w", w)
+    val total = weighted.agg(sum(col("__w").cast(dec)).as("__tot"))
+    weighted.crossJoin(broadcast(total))
+      .select(col(stratumCol), col("tokens"), col("__w").as("weight"),
+        when(col("__tot") > 0,
+          call_function("div", col("__w").cast(dec) * lit(1000L).cast("decimal(4,0)"),
+            col("__tot"))).otherwise(lit(0L)).as("share_permille"),
+        when(col("__tot") > 0,
+          call_function("div", col("__w").cast(dec) * lit(budgetTokens).cast(dec),
+            col("__tot"))).otherwise(lit(0L)).as("target_tokens"))
+  }
+
   /** Packing-efficiency audit over a packed corpus (the QA report for
     * [[packSequences]]/[[packDialog]] outputs, or any frame carrying a bin
     * assignment): per bin, item count, used tokens, waste against the

@@ -280,6 +280,8 @@ object RowLocal {
     "Curation.preferencePairsFromScores" -> "per-prompt argmax/argmin aggregate",
     "Curation.splitLeakageAudit" -> "per-key distinct-split aggregate",
     "Curation.waterfillPlan" -> "strata-frame prefix-sum windows + one-row level broadcast",
+    "Curation.temperatureMixture" -> "stratum-sized weight projection + one-row broadcast total",
+    "Curation.isqrtExact" -> "row-local scalar column (corrected floor sqrt) - pure per-row arithmetic with no frame semantics",
     "Curation.qualityKeep" -> "private[ops] helper (row-local keep rule inside qualityFilter, which is registered)",
     "Curation.removeBoilerplate" -> "per-doc reassembly via groupBy over exploded lines",
     "Curation.selectByTokenBudget" -> "rank + running-sum windows",

@@ -1120,6 +1120,37 @@ class CurationSpec extends AnyFunSuite {
       (BigInt(eff9) * 1000 / BigInt(64000000000000000L)).toLong)
   }
 
+  test("temperatureMixture: flattening order, known isqrt values, guards") {
+    import SparkTestBase.spark.implicits._
+    val stats = Seq(("big", 1000000L), ("small", 100L)).toDF("g", "c")
+    // alpha = 1/2: weights 1000 and 10 — the tail's share rises from
+    // ~0.0001 (natural) to ~10/1010
+    val out = Curation.temperatureMixture(stats, "g", "c",
+      alphaQuarters = 2, budgetTokens = 101000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(out("big") == ((1000L, 990L, 100000L)))
+    assert(out("small") == ((10L, 9L, 1000L)))
+    // lower alpha can only raise (or hold) the tail stratum's share
+    val shares = (1 to 4).map { q =>
+      Curation.temperatureMixture(stats, "g", "c", alphaQuarters = q)
+        .where(col("g") === "small").collect().head.getLong(3)
+    }
+    assert(shares == shares.sorted.reverse, s"tail share must fall with alpha: $shares")
+    intercept[IllegalArgumentException] {
+      Curation.temperatureMixture(stats, "g", "c", alphaQuarters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.temperatureMixture(stats, "g", "c", budgetTokens = -1L)
+    }
+    val e = intercept[Exception] {
+      Curation.temperatureMixture(
+        Seq(("x", 1000000000000001L)).toDF("g", "c"), "g", "c").collect()
+    }
+    assert(e.getMessage.contains("1e15") ||
+      Option(e.getCause).exists(_.getMessage.contains("1e15")), e.getMessage)
+  }
+
   test("splitLeakageAudit: straddling keys flag, null splits count, null keys drop") {
     import SparkTestBase.spark.implicits._
     val rows = Seq(

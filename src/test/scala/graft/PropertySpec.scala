@@ -907,6 +907,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("temperatureMixture law: quarter-power weights equal a BigInt isqrt model") {
+    import SparkTestBase.spark.implicits._
+    def isq(x: BigInt): BigInt = BigInt(x.bigInteger.sqrt())
+    val count = Gen.oneOf(
+      Gen.choose(0L, 1000L),
+      Gen.choose(0L, 31622L).map(k => k * k), // perfect squares: the floor boundary
+      Gen.choose(1L, 31622L).map(k => k * k - 1), // one under a square
+      Gen.choose(0L, 1000000000000000L)) // the full guard envelope
+    val gen = for {
+      n <- Gen.choose(1, 8)
+      counts <- Gen.listOfN(n, count)
+      q <- Gen.choose(1, 4)
+      b <- Gen.choose(0L, 1000000L)
+    } yield (counts.zipWithIndex.map { case (c, i) => (s"s$i", c) }, q, b)
+    forAll(gen, n = 10) { case (rows, q, b) =>
+      val got = graft.ops.Curation.temperatureMixture(
+        rows.toDF("g", "c"), "g", "c", alphaQuarters = q, budgetTokens = b)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+      val ws = rows.map { case (k, c) =>
+        val n0 = BigInt(c); val s1 = isq(n0)
+        val w = q match {
+          case 1 => isq(s1); case 2 => s1; case 3 => isq(n0 * s1); case 4 => n0
+        }
+        k -> ((c, w))
+      }
+      val tot = ws.map(_._2._2).sum
+      ws.foreach { case (k, (c, w)) =>
+        val share = if (tot > 0) (w * 1000 / tot).toLong else 0L
+        val target = if (tot > 0) (w * b / tot).toLong else 0L
+        assert(got(k) == ((c, w.toLong, share, target)),
+          s"rows=$rows q=$q b=$b stratum=$k")
+      }
+    }
+  }
+
   test("preference tournament laws: consistency and Copeland equal brute-force models") {
     import SparkTestBase.spark.implicits._
     val gen = for {
