@@ -164,6 +164,34 @@ object ScaleProbe {
     run("passJoin", cust1, cust10,
       (df, _) => graft.ops.Fuzzy.editDistanceSelfJoin(df, "c_name",
         "c_custkey", maxDist = 2))
+
+    // optional second arg: ALSO run the non-quadratic ops at `extra`x
+    // copies (the trend check one decade up; unset = skip)
+    args.lift(1).map(_.toInt).foreach { m =>
+      val docsM = persisted(docsAt, m)
+      val vecsM = persisted(vecsAt, m)
+      println(s"docs ${m}x=${docsM.count()} vecs ${m}x=${vecsM.count()}")
+      def timeM(name: String, f: => DataFrame): Unit = {
+        val t0 = System.nanoTime(); f.count()
+        println(f"$name%-18s ${m}x=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      timeM("exactSubstr", graft.ops.Curation.exactSubstrDedup(
+        docsM, "text", "doc_id", minTokens = 8))
+      timeM("semanticDedup", graft.ops.Dedup.semanticDedup(
+        vecsM, "vec", "id", threshold = 0.48,
+        nCentroids = math.ceil(math.sqrt(2000.0 * m)).toInt))
+      timeM("incrementalEmbed", {
+        val planes = math.max(4, (math.log(2000.0 * m / 125) / math.log(2)).round.toInt)
+        val idx = graft.ops.Dedup.embedIndex(
+          vecsM.filter(pmod(col("id"), lit(2)) === 0), "vec", "id",
+          planes = planes, tables = 2)
+        graft.ops.Dedup.incrementalEmbedCandidates(
+          vecsM.filter(pmod(col("id"), lit(2)) === 1), idx, "vec", "id",
+          minCosPermille = 400L, probes = 2)
+      })
+      timeM("pqTopK", graft.ops.Similarity.pqTopK(
+        vecsM.filter(col("id") < 50), vecsM, k = 5, m = 8, ksub = 16))
+    }
     spark.stop()
   }
 

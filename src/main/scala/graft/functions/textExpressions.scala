@@ -482,6 +482,10 @@ object text {
       labels: Seq[String], elseLabel: String)
       extends UnaryExpression with CodegenFallback {
     require(sets.nonEmpty && sets.length == labels.length, "one label per set")
+    // word-set payload (marker lexicons can be large) stays out of plan
+    // strings (the NearestCentroidsExpr.stringArgs rationale)
+    override def stringArgs: Iterator[Any] = Iterator(child,
+      s"<${sets.length} sets, ${sets.map(_.length).sum} words>", labels, elseLabel)
     @transient private lazy val lookup: java.util.HashMap[String, Array[Int]] = {
       // token -> indices of the sets containing it (a token may appear in
       // several sets; each gets its count). Words are deduped per set so a
@@ -755,6 +759,10 @@ object text {
     */
   case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
       extends UnaryExpression with CodegenFallback {
+    // merge-table payload (up to vocab-size pairs) stays out of plan
+    // strings (the NearestCentroidsExpr.stringArgs rationale)
+    override def stringArgs: Iterator[Any] =
+      Iterator(child, s"<${merges.length} merges>")
     @transient private lazy val rank: java.util.HashMap[String, Integer] = {
       val m = new java.util.HashMap[String, Integer]()
       merges.zipWithIndex.foreach { case ((a, b), i) =>
@@ -1027,6 +1035,13 @@ object text {
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = false
+    // summarize the centroid table in tree/plan strings: the matrix is a
+    // constructor payload (not a Literal child), so the default
+    // productIterator rendering would inline C×dim doubles into EVERY
+    // plan string — at production centroid counts a single explain/AQE
+    // log line becomes a multi-GB allocation on the driver
+    override def stringArgs: Iterator[Any] = Iterator(child,
+      s"<${centroids.length}x${centroids.headOption.map(_.length).getOrElse(0)} centroids>", n)
     @transient private lazy val cs: Array[Array[Double]] = centroids.map(_.toArray).toArray
     @transient private lazy val cNorms: Array[Double] =
       cs.map(c => math.sqrt(c.map(x => x * x).sum))
@@ -1064,6 +1079,11 @@ object text {
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override def nullable: Boolean = false
+    // see NearestCentroidsExpr.stringArgs: never inline the matrix into
+    // plan strings (this scalar form is the one JOIN KEYS carry, so it
+    // appears in Exchange/Filter/Join nodes — several copies per plan)
+    override def stringArgs: Iterator[Any] = Iterator(child,
+      s"<${centroids.length}x${centroids.headOption.map(_.length).getOrElse(0)} centroids>")
     @transient private lazy val cs: Array[Array[Double]] = centroids.map(_.toArray).toArray
     @transient private lazy val cNorms: Array[Double] =
       cs.map(c => math.sqrt(c.map(x => x * x).sum))
@@ -1124,6 +1144,10 @@ object text {
   case class PqEncodeExpr(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    // m×ksub×dsub codebook payload stays out of plan strings (the
+    // NearestCentroidsExpr.stringArgs rationale)
+    override def stringArgs: Iterator[Any] = Iterator(child,
+      s"<${codebooks.length}x${codebooks.headOption.map(_.length).getOrElse(0)} codebooks>")
     @transient private lazy val cbs: Array[Array[Array[Double]]] =
       codebooks.map(_.map(_.toArray).toArray).toArray
     override def nullSafeEval(raw: Any): Any = {
@@ -1169,6 +1193,9 @@ object text {
     override def left: Expression = sub
     override def right: Expression = sv
     override def dataType: DataType = IntegerType
+    // codebook payload stays out of plan strings (NearestCentroidsExpr rationale)
+    override def stringArgs: Iterator[Any] = Iterator(sub, sv,
+      s"<${codebooks.length}x${codebooks.headOption.map(_.length).getOrElse(0)} codebooks>")
     @transient private lazy val cbs: Array[Array[Array[Double]]] =
       codebooks.map(_.map(_.toArray).toArray).toArray
     override def nullSafeEval(a: Any, b: Any): Any = {
@@ -1209,6 +1236,9 @@ object text {
     override def second: Expression = dotLut
     override def third: Expression = qNorm
     override def dataType: DataType = DoubleType
+    // |centroid|² table stays out of plan strings (NearestCentroidsExpr rationale)
+    override def stringArgs: Iterator[Any] = Iterator(codes, dotLut, qNorm,
+      s"<${normSq.length} norms>", ksub)
     @transient private lazy val ns: Array[Double] = normSq.toArray
     override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
       val cd = a.asInstanceOf[ArrayData]

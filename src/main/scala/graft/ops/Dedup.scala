@@ -870,9 +870,16 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.select(col("id").as("b"), col("component")), "b")
         .select(col("a").as("id"), col("component"))
+      // each round references `labels` TWICE (the union and the join), so
+      // the logical plan doubles per round — the loop-lineage rule: cache
+      // does NOT truncate lineage, checkpoint does. Without this, round
+      // r's plan carries 2^r copies of the pair-generation subtree, and
+      // merely RENDERING it (explainString for the SQL listener fires on
+      // every action, UI on or off) allocates geometrically — the 100×
+      // ScaleProbe run OOMed the driver exactly there.
       val next = labels.union(viaNeighbors)
         .groupBy("id").agg(min(col("component")).as("component"))
-        .cache()
+        .localCheckpoint(true)
       val nextFp = labelFingerprint(next)
       labels.unpersist()
       labels = next

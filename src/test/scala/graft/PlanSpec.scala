@@ -1101,6 +1101,44 @@ class PlanSpec extends AnyFunSuite {
       s"no window anywhere in the stitch pipeline:\n${plan.take(2000)}")
   }
 
+  test("payload expressions summarize in plan strings - model tables never inline") {
+    // centroid/codebook/merge tables are constructor payloads, not
+    // Literal children: default TreeNode rendering would inline C×dim
+    // doubles into every plan string occurrence (join keys put the
+    // expression in Project/Filter/Exchange/Join nodes simultaneously) —
+    // at production model sizes one explain/AQE log line became a
+    // multi-GB driver allocation (caught by the 100× ScaleProbe run)
+    val cents = Array.fill(512)(Array.fill(64)(0.5))
+    val df = SparkEntry.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      .select(graft.functions.text.nearestCentroid(col("vec"), cents).as("cell"))
+      .filter(col("cell") >= 0)
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("<512x64 centroids>"), s.take(1500))
+    assert(s.length < 20000,
+      s"plan string must stay payload-free: ${s.length} chars\n${s.take(1500)}")
+  }
+
+  test("temperatureMixture: row-local weight projection, total joins as one-row broadcast") {
+    val plan = planOf(SparkEntry.queries("ns_temperature_mix")(spark, sf))
+    assert(!plan.contains("Window"),
+      s"no window anywhere - weights are per-row arithmetic:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the one-row total must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"nothing may shuffle-join the stratum frame:\n${plan.take(2500)}")
+  }
+
+  test("streamingCalibration (batch mode): one partial-aggregated windowed groupBy, no join") {
+    val plan = planOf(SparkEntry.queries("ns_stream_calibration")(spark, sf))
+    assert(plan.contains("partial_"),
+      s"bucket counters must combine map-side:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"),
+      s"the monitor is a single aggregate - no join:\n${plan.take(2000)}")
+    assert(!plan.contains("WindowExec"),
+      s"tumbling windows are group keys, not window functions:\n${plan.take(2000)}")
+  }
+
   test("zipfProfile: term counts combine map-side; windows run on the bucket frame only") {
     val plan = planOf(SparkEntry.queries("ns_zipf")(spark, sf))
     assert(plan.contains("partial_"), s"map-side combine expected:\n${plan.take(2000)}")
