@@ -383,6 +383,18 @@ private[graft] object EntriesDedup {
         t(s, dir, "documents").select(col("doc_id"), planted.as("text")),
         "text", "doc_id", "\n")
     }),
+    "ns_ann_ivfpq" -> ((s, dir) => {
+      // IVFADC composition in exhaustive-lossless gate mode: one cell +
+      // nprobe 1 makes the coarse join exhaustive, ksub = 512 makes ADC
+      // exact (the ns_ann_pq losslessness argument), so the composed
+      // pipeline — coarse assignment, probing, encoding, LUT scoring,
+      // ranking — must EQUAL brute-force top-k (the shared exactTopKSql
+      // oracle). Pruning-mode recall (nCentroids ≫ 1) is OpsSpec-gated.
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 1000)
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      graft.ops.Similarity.ivfPqTopK(e.filter(col("id") < 50), e, k = 5,
+        nCentroids = 1, nprobe = 1, m = 8, ksub = 512)
+    }),
     "ns_ann_pq" -> ((s, dir) => {
       // Product-quantization ANN in lossless gate mode: ksub = 512 ≥ the
       // sf0.01 corpus's distinct subvectors per subspace, so codebooks
@@ -1161,6 +1173,7 @@ private[graft] object EntriesDedup {
         |       array_to_string(list_transform(keep, i -> ls[CAST(i + 1 AS INT)]), chr(10)) AS text_dedup
         |FROM k""".stripMargin,
     "ns_ann_pq" -> exactTopKSql,
+    "ns_ann_ivfpq" -> exactTopKSql,
     "ns_incremental_exact" ->
       """WITH corpus AS (
         |  SELECT md5(text) AS digest, min(doc_id) AS corpus_id

@@ -384,6 +384,72 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** IVF + PQ composition (IVFADC, Jégou, Douze & Schmid 2011 §IV): the
+    * coarse quantizer prunes the scan to the query's `nprobe` of
+    * `nCentroids` cells, and ADC scores the survivors on their `m`-byte
+    * codes — the scan tier and the memory tier compose, which is the
+    * standard billion-vector ANN layout ([[ivfTopK]] alone still reads
+    * raw vectors; [[pqTopK]] alone still scans the whole corpus). At
+    * 100 TB: corpus-side state is (cell, m codes) per vector, the
+    * cell equi-join replaces the all-pairs condition, and per-probed-cell
+    * work is |cell| LUT lookups — total scan cost nprobe/nCentroids of
+    * the PQ tier's.
+    *
+    * Correctness gate mode (the [[pqTopK]]/[[ivfTopK]] convention):
+    * nCentroids = 1 + nprobe = 1 makes the cell join exhaustive and a
+    * lossless codebook (ksub ≥ distinct subvectors) makes ADC exact, so
+    * the output EQUALS brute-force top-k and the exact-cosine oracle
+    * pins coarse assignment, encoding, LUT scoring and ranking together.
+    * Compression/pruning-mode recall is ScalaTest-gated.
+    *
+    * Each corpus vector lives in exactly ONE cell, so probing distinct
+    * cells can never produce duplicate (query, neighbor) candidates — no
+    * dedup stage exists. Query batches are bounded ([[bruteForceTopK]]'s
+    * documented tier): LUTs are |Q| × m × ksub doubles of broadcast
+    * metadata. Output: (query_id, neighbor_id, rank).
+    */
+  def ivfPqTopK(
+      queries: DataFrame, // (id, vec)
+      corpus: DataFrame, // (id, vec)
+      k: Int,
+      nCentroids: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 256,
+      excludeSelf: Boolean = true,
+      centroids: Option[Array[Array[Double]]] = None,
+      model: Option[PqModel] = None
+  ): DataFrame = {
+    import graft.functions.text
+    val cents = centroids.getOrElse(trainCentroids(corpus, nCentroids))
+    val pq = model.getOrElse(trainPq(corpus, m, ksub))
+    val session = corpus.sparkSession
+    import session.implicits._
+    val qRows = queries.select(col("id"), col("vec")).collect()
+    val luts = qRows.map { r =>
+      val q = r.getSeq[Double](1).toArray
+      (r.getLong(0), pq.dotLut(q), math.sqrt(q.map(x => x * x).sum))
+    }.toSeq
+    // probed cells come from the SAME expression the corpus assignment
+    // uses (tie-break parity by construction); the per-query LUT rides
+    // the same broadcast frame
+    val qCells = queries.select(col("id").as("query_id"),
+      explode(text.nearestCentroids(col("vec"), cents, nprobe)).as("cell"))
+    val qSide = broadcast(
+      qCells.join(luts.toDF("query_id", "dot_lut", "q_norm"), "query_id"))
+    val c = corpus.select(col("id").as("neighbor_id"),
+      text.nearestCentroid(col("vec"), cents).as("cell"),
+      text.pqEncode(col("vec"), pq.codebooks).as("codes"))
+    val joined = c.join(qSide, Seq("cell"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        text.pqAdc(col("codes"), col("dot_lut"), col("q_norm"),
+          pq.normSqFlat, pq.ksub).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Scalar int8 quantization of an embedding corpus: per-vector
     * [min, max] range + 8-bit codes — the middle tier of the ANN memory
     * ladder (raw doubles 8 B/dim, int8 1 B/dim, PQ m bytes/vector).

@@ -394,6 +394,7 @@ object RowLocal {
     "Similarity.lshTopK" -> "hyperplane bucket join",
     "Similarity.marginPairs" -> "per-query rank window over candidate join",
     "Similarity.pqTopK" -> "codebook training + ADC scan top-k",
+    "Similarity.ivfPqTopK" -> "coarse-cell join + ADC scoring top-k (IVFADC)",
     "Similarity.prototypicality" -> "centroid training + per-cell density",
     "Similarity.refinementSample" -> "private[graft] helper (deterministic sample for codebook refinement)",
     "Skew.joinCardinality" -> "key-frequency aggregates of both sides",

@@ -741,6 +741,35 @@ class OpsSpec extends AnyFunSuite {
     assert(pq1 == pq2)
   }
 
+  test("IVFADC: exhaustive-lossless mode equals brute force; recall grows with nprobe") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val q = e.filter(col("id") < 20)
+    val bf = Similarity.bruteForceTopK(q, e, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // gate mode: 1 cell + nprobe 1 (exhaustive join) + lossless codebook
+    val exhaustive = Similarity.ivfPqTopK(q, e, k = 5,
+      nCentroids = 1, nprobe = 1, m = 8, ksub = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(exhaustive == bf, "exhaustive-lossless IVFADC must reproduce brute-force ranks")
+    // pruning mode: with a lossless codebook, probing ALL cells is again
+    // exact, and recall@5 can only grow as nprobe widens the scan
+    val bfIds = bf.map(t => (t._1, t._2))
+    val cents = Similarity.trainCentroids(e, nCentroids = 8)
+    val model = Similarity.trainPq(e, m = 8, ksub = 512)
+    def recallAt(nprobe: Int): Double = {
+      val got = Similarity.ivfPqTopK(q, e, k = 5, nCentroids = 8,
+        nprobe = nprobe, m = 8, ksub = 512,
+        centroids = Some(cents), model = Some(model))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & bfIds).size.toDouble / bfIds.size
+    }
+    val r1 = recallAt(1)
+    val r8 = recallAt(8)
+    assert(r8 >= r1, s"recall must not fall as nprobe grows: r1=$r1 r8=$r8")
+    assert(r8 == 1.0, s"full probe with a lossless codebook is exact: $r8")
+  }
+
   test("pHash: identical payloads collide, perturbed payloads stay close, inverted drift far") {
     // structured payloads make the expectation exact: "azaz…" puts the
     // high byte in odd position classes, "zaza…" in even ones — the two

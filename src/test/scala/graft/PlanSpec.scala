@@ -315,6 +315,28 @@ class PlanSpec extends AnyFunSuite {
       s"bounded query side must broadcast:\n${plan.take(2500)}")
   }
 
+  test("IVFADC: cell equi-join on broadcast query side; corpus carries codes, never vectors") {
+    val e = SparkEntry.t(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val cents = graft.ops.Similarity.trainCentroids(e, nCentroids = 4)
+    val model = graft.ops.Similarity.trainPq(e, m = 8, ksub = 16)
+    val plan = planOf(graft.ops.Similarity.ivfPqTopK(
+      e.filter(col("id") < 10), e, k = 3, nCentroids = 4, nprobe = 2,
+      centroids = Some(cents), model = Some(model)))
+    // the coarse cell is an EQUI-join key (the pruning claim) — never the
+    // pq tier's nested-loop over the whole corpus
+    assert(plan.contains("BroadcastHashJoin [cell"),
+      s"cell must be a broadcast equi-join key:\n${plan.take(2500)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"no all-pairs condition may remain:\n${plan.take(2500)}")
+    // pre-exchange projection is ids+sim only: codes, LUTs and embeddings
+    // all die at the join stage (the pqTopK slim-exchange claim, composed)
+    assert("Project \\[query_id#\\d+L?, neighbor_id#\\d+L?, pqadcexpr".r.findFirstIn(plan).nonEmpty,
+      s"pre-exchange projection must be ids+sim only:\n${plan.take(3000)}")
+    assert("pqencodeexpr".r.findAllIn(plan.toLowerCase).size == 1,
+      s"corpus must encode exactly once, in its scan stage:\n${plan.take(3000)}")
+  }
+
   test("pHash banding: media scan prunes to (id, payload); band join keys the exchange") {
     val docs = SparkEntry.t(spark, sf, "documents")
     val media = graft.ops.Multimodal.fromDocuments(docs, "doc_id", "text", "text/plain")
