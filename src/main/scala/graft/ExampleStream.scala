@@ -80,8 +80,12 @@ object ExampleStream {
 
     // let the emitter run a few micro-batches (the Go example idles until
     // SIGINT; we poll the metrics the supervisor keeps per stream)
+    // wait on the LAST counter a batch updates (BytesIngested is credited
+    // only after every sink load succeeded — H1 parity), so shutdown never
+    // races a half-finished micro-batch
     val deadline = System.currentTimeMillis() + 30000
-    while (g.metrics(id).getOrElse("EventsProcessed", 0L) < 3 &&
+    while ((g.metrics(id).getOrElse("EventsStoredInSink", 0L) < 3 ||
+        g.metrics(id).getOrElse("BytesIngested", 0L) == 0L) &&
         System.currentTimeMillis() < deadline)
       Thread.sleep(250)
 
@@ -90,8 +94,10 @@ object ExampleStream {
       .map { case (k, v) => s"$k=$v" }.mkString(", "))
     g.shutdown()
     spark.stop()
-    assert(m.getOrElse("EventsProcessed", 0L) >= 3,
-      "expected the emitter stream to process events before shutdown")
+    assert(m.getOrElse("EventsStoredInSink", 0L) >= 3,
+      "expected the emitter stream to sink events before shutdown")
+    assert(m.getOrElse("BytesIngested", 0L) > 0L,
+      "H1 parity: autonomous streams must credit BytesIngested")
     println("example stream shut down cleanly")
   }
 }

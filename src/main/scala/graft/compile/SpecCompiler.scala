@@ -170,6 +170,34 @@ object SpecCompiler {
       else df.filter(preds.reduce(_ || _))
     }
 
+    /** True where the event yields ≥1 transformed record in some branch —
+      * the H1 `BytesIngested` accounting predicate (executor.go:214-237:
+      * a non-nil transform output appends to `transformed` and credits the
+      * raw event's bytes; excluded / unrouted / transform-error events
+      * credit nothing). Per branch this is routed ∧ not-an-error-row, i.e.
+      * the exact complement of `errorFrame`'s predicate within the routed
+      * set.
+      */
+    def ingestedCol(ev: Column): Column = {
+      val perBranch = branches.map {
+        case fb: FieldsBranch =>
+          val uaOk = fb.fields.filter(_.gtype == gjson.GUserAgent).map(f =>
+            gjson.extractFields(ev, Seq(f)).getField(f.id).isNotNull)
+          val reOk = fb.regexp
+            .filter(re => fb.outputColumns.contains(re.spec.field))
+            .map { re =>
+              val extracted = gjson.extractFields(ev, fb.fields.filter(_.id == re.spec.field))
+                .getField(re.spec.field)
+              re.payload(extracted).isNotNull
+            }
+          (Seq(routedCol(fb, ev)) ++ uaOk ++ reOk.toSeq).reduce(_ && _)
+        case rb: RegexpBranch =>
+          routedCol(rb, ev) && rb.regexp.payload(ev).isNotNull
+        case b => routedCol(b, ev)
+      }
+      if (perBranch.isEmpty) lit(false) else perBranch.reduce(_ || _)
+    }
+
     /** Apply the whole transform: one (branchId, DataFrame) per branch. */
     def apply(df: DataFrame, eventCol: String = "value"): Seq[(String, DataFrame)] =
       branches.map(b => b.id -> branchFrame(df, b, eventCol))

@@ -271,7 +271,19 @@ final class Stream(
     // stats action — without it each is a full recomputation of the batch
     val cachedEvents = trackEvents(events.cache())
     val branches = pipeline(cachedEvents)
-    var stored = 0L
+
+    // Processed counters advance whether or not the sink loads succeed
+    // (executor_test.go:536-575: Microbatches/EventsProcessed/BytesProcessed
+    // grow across the MockLoader_Error and RetryableError legs while the
+    // sink counters stay flat) — so they are accounted BEFORE the loads.
+    val stats = rawEvents.select(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.length(col("value"))).cast("long"),
+        org.apache.spark.sql.functions.lit(0L))).collect()(0)
+    metrics.eventsProcessed.addAndGet(stats.getLong(0))
+    metrics.bytesProcessed.addAndGet(stats.getLong(1))
+    metrics.microbatches.incrementAndGet()
 
     branches.foreach { case (_, branchDf0) =>
       // F10 post-transform hook stage on the branch output.
@@ -282,7 +294,6 @@ final class Stream(
         else Seq("default" -> branchDf)
       routed.foreach { case (tableName, out) =>
         val sunk = loadWithRetry(out, tableName)
-        stored += sunk._1
         if (sunk._2.nonEmpty) resourceId = sunk._2
       }
     }
@@ -302,16 +313,20 @@ final class Stream(
         ()
     }
 
-    // one action for both counters (count + byte volume)
-    val stats = rawEvents.select(
-      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+    // H1 BytesIngested (executor.go:236-249): the raw bytes of (post-hook)
+    // events whose transform produced ≥1 record, credited only once the
+    // whole batch — every sink load AND the houe policy — succeeded. An
+    // all-excluded batch credits 0 (nothing transformed → no load,
+    // executor_test.go:518-533). Computed lazily here so failed batches
+    // never pay the extra aggregate job.
+    val ingestedBytes = cachedEvents.select(
       org.apache.spark.sql.functions.coalesce(
-        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.length(col("value"))).cast("long"),
-        org.apache.spark.sql.functions.lit(0L))).collect()(0)
-    metrics.eventsProcessed.addAndGet(stats.getLong(0))
-    metrics.bytesProcessed.addAndGet(stats.getLong(1))
-    metrics.microbatches.incrementAndGet()
-    metrics.eventsStoredInSink.addAndGet(stored)
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(
+            pipeline.ingestedCol(col("value")),
+            org.apache.spark.sql.functions.length(col("value")))).cast("long"),
+        org.apache.spark.sql.functions.lit(0L))).collect()(0).getLong(0)
+    metrics.bytesIngested.addAndGet(ingestedBytes)
     metrics.eventProcessingTimeMicros.addAndGet((System.nanoTime() - t0) / 1000)
     if (shutdownRequested) supervisor.requestShutdown(spec.id)
     resourceId
@@ -330,12 +345,19 @@ final class Stream(
     // row keys would otherwise differ between the write and the stats scan)
     val out = out0.cache()
     try {
+    // Nothing transformed for this table → successful no-op: no load
+    // attempt, no sink operation, no error simulation (executor.go:240-243;
+    // executor_test.go:518-533 pins SinkOperations/EventsStoredInSink flat
+    // across an all-excluded batch). The count materializes the cache the
+    // write below would need anyway.
+    val batchRows = out.count()
+    if (batchRows == 0L) return (0L, "")
     while (true) {
       try {
         val t0 = System.nanoTime()
         val (n, rid) = supervisor.config.customLoaders.get(spec.sink.sinkType) match {
           case Some(loader) => // A5: pluggable loader returns the resource id
-            (out.count(), loader(spec, out))
+            (batchRows, loader(spec, out))
           case None => keyedSinkFor(tableName) match {
             case Some(ks) if out.columns.contains("key") =>
               ks.write(out)
@@ -349,6 +371,10 @@ final class Stream(
           }
         }
         metrics.sinkOperations.incrementAndGet()
+        // per successful load, like the reference's sinkMetrics.Events
+        // (executor.go:295) — NOT at batch end, so a later houe=fail abort
+        // still accounts rows that did land in the sink
+        metrics.eventsStoredInSink.addAndGet(n)
         metrics.sinkProcessingTimeMicros.addAndGet((System.nanoTime() - t0) / 1000)
         return (n, rid)
       } catch {
@@ -759,7 +785,9 @@ final class Supervisor(val spark: SparkSession, val config: RuntimeConfig) {
       s"publish only supported for geistapi sources (stream $streamId is ${st.spec.source.sourceType})")
     import spark.implicits._
     val df = Seq(eventJson).toDF("value")
-    st.metrics.bytesIngested.addAndGet(eventJson.length)
+    // BytesIngested is accounted inside processBatch (H1 parity: every
+    // path credits post-transform, post-sink — executor.go:236-249), not
+    // pre-credited here.
     st.processBatch(df)
   }
 

@@ -408,4 +408,95 @@ class RuntimeSpec extends AnyFunSuite {
     assert(g.getStreamSpec(id).get.version == 2)
     g.shutdown()
   }
+
+  // ---------------------------------------------------------------------
+  // H1 metric-delta golden matrix (executor_test.go:515-610): after every
+  // processed batch the FULL counter snapshot must equal the expected map —
+  // the reference's assertEqualMetrics style, which catches any
+  // counter-accounting drift (e.g. BytesIngested credited on the wrong
+  // path) that a lone `> 0` assertion cannot.
+  // ---------------------------------------------------------------------
+
+  private def metricSpec(suffix: String, sink: String) =
+    s"""{
+       |  "namespace": "mt", "streamIdSuffix": "$suffix", "version": 1,
+       |  "description": "...",
+       |  "source": {"type": "geistapi"},
+       |  "transform": {
+       |    "excludeEventsWith": [{"key": "name", "values": ["USELESS_EVENT"]}],
+       |    "extractFields": [{"fields": [{"id": "name", "jsonPath": "name"}]}]
+       |  },
+       |  "sink": $sink
+       |}""".stripMargin
+
+  /** Snapshot minus the duration counters (the reference's Metrics compare
+    * also omits them — they are monotonic wall-clock, not golden-able).
+    */
+  private def counters(sup: graft.runtime.Supervisor, id: String): Map[String, Long] =
+    sup.metrics(id).snapshot -- Seq("EventProcessingTimeMicros", "SinkProcessingTimeMicros")
+
+  test("metric goldens: happy path, excluded batch, multi-event batch (executor_test.go:502-534,576-610)") {
+    val sup = new graft.runtime.Supervisor(spark, RuntimeConfig(retryBackoffBaseMs = 1))
+    val id = sup.registerStream(metricSpec("golden", """{"type": "void"}"""))
+      .fold(e => fail(e.msg), identity)
+    val tiny = """{"name": "GREAT_EVENT"}"""
+    val tiny2 = """{"name": "COOL_EVENT_2"}"""
+    val useless = """{"name": "USELESS_EVENT"}"""
+
+    // happy path: ingested bytes == processed bytes, one sink op
+    sup.publish(id, tiny)
+    assert(counters(sup, id) == Map(
+      "Microbatches" -> 1L, "EventsProcessed" -> 1L,
+      "BytesProcessed" -> tiny.length.toLong,
+      "EventsStoredInSink" -> 1L, "SinkOperations" -> 1L,
+      "BytesIngested" -> tiny.length.toLong))
+
+    // nothing to transform: processed counters advance, sink counters and
+    // BytesIngested stay flat — no load attempt for an all-excluded batch
+    sup.publish(id, useless)
+    assert(counters(sup, id) == Map(
+      "Microbatches" -> 2L, "EventsProcessed" -> 2L,
+      "BytesProcessed" -> (tiny.length + useless.length).toLong,
+      "EventsStoredInSink" -> 1L, "SinkOperations" -> 1L,
+      "BytesIngested" -> tiny.length.toLong))
+
+    // multi-event micro-batch (TestExecutorProcessMultiEvent): both events'
+    // bytes ingested, ONE sink operation for the whole batch
+    val s = spark
+    import s.implicits._
+    sup.stream(id).get.processBatch(Seq(tiny, tiny2).toDF("value"))
+    assert(counters(sup, id) == Map(
+      "Microbatches" -> 3L, "EventsProcessed" -> 4L,
+      "BytesProcessed" -> (2 * tiny.length + useless.length + tiny2.length).toLong,
+      "EventsStoredInSink" -> 3L, "SinkOperations" -> 2L,
+      "BytesIngested" -> (2 * tiny.length + tiny2.length).toLong))
+    sup.shutdownAll()
+  }
+
+  test("metric goldens: failed sink loads advance processed counters only (executor_test.go:536-575)") {
+    val sup = new graft.runtime.Supervisor(spark, RuntimeConfig(retryBackoffBaseMs = 1))
+    val tiny = """{"name": "GREAT_EVENT"}"""
+    val processedOnly = Map(
+      "Microbatches" -> 1L, "EventsProcessed" -> 1L,
+      "BytesProcessed" -> tiny.length.toLong,
+      "EventsStoredInSink" -> 0L, "SinkOperations" -> 0L,
+      "BytesIngested" -> 0L)
+
+    // unretryable load error (MockLoader_Error leg)
+    val idU = sup.registerStream(metricSpec("goldenu",
+      """{"type": "void", "config": {"properties": [
+        |  {"key": "simulateError", "value": "alwaysUnretryable"}]}}""".stripMargin))
+      .fold(e => fail(e.msg), identity)
+    intercept[Exception] { sup.publish(idU, tiny) }
+    assert(counters(sup, idU) == processedOnly)
+
+    // retryable load error, retries exhausted (MockLoader_RetryableError leg)
+    val idR = sup.registerStream(metricSpec("goldenr",
+      """{"type": "void", "config": {"properties": [
+        |  {"key": "simulateError", "value": "alwaysRetryable"}]}}""".stripMargin))
+      .fold(e => fail(e.msg), identity)
+    intercept[graft.runtime.RetryableStreamException] { sup.publish(idR, tiny) }
+    assert(counters(sup, idR) == processedOnly)
+    sup.shutdownAll()
+  }
 }
