@@ -117,12 +117,13 @@ private[graft] object EntriesCuration {
         "lang", "toks", "w", budgetTokens = 24000L)),
     "ns_temperature_mix" -> ((s, dir) => {
       // multilingual temperature sampling (mC4/XLM-R): per-language token
-      // supply re-weighted at alpha = 1/2 AND alpha = 3/4 — the 3/4 leg
-      // exercises the composite floor (isqrt of a 38-digit product) and
-      // both replay in DuckDB via the corrected floor-sqrt recipe
+      // supply re-weighted at every quarter-power alpha — 1/4 exercises the
+      // isqrt∘isqrt composition, 3/4 the composite floor (isqrt of a
+      // 38-digit product), 4/4 natural sampling; all replay in DuckDB via
+      // the corrected floor-sqrt recipe
       val stats = t(s, dir, "documents").groupBy(col("lang"))
         .agg(sum(call_function("div", col("n_chars"), lit(5L))).as("toks"))
-      Seq(2, 3).map(q =>
+      Seq(1, 2, 3, 4).map(q =>
         graft.ops.Curation.temperatureMixture(stats, "lang", "toks",
           alphaQuarters = q, budgetTokens = 1000000L)
           .withColumn("alpha_quarters", lit(q.toLong)))
@@ -683,14 +684,26 @@ private[graft] object EntriesCuration {
         |c3 AS (SELECT *, CASE WHEN (q0+1)*(q0+1) <= x3 THEN q0+1 ELSE q0 END AS q1 FROM r3),
         |s3 AS (SELECT lang, tokens, w2,
         |         CAST(CASE WHEN q1*q1 > x3 THEN q1-1 ELSE q1 END AS BIGINT) AS w3 FROM c3),
-        |u AS (SELECT lang, tokens, w2 AS weight, CAST(2 AS BIGINT) AS alpha_quarters FROM s3
+        |r1q AS (SELECT *, CAST(floor(sqrt(CAST(w2 AS DOUBLE))) AS HUGEINT) AS p0 FROM s3),
+        |c1 AS (SELECT *, CASE WHEN (p0+1)*(p0+1) <= w2 THEN p0+1 ELSE p0 END AS p1 FROM r1q),
+        |s4 AS (SELECT lang, tokens, w2, w3,
+        |         CAST(CASE WHEN p1*p1 > w2 THEN p1-1 ELSE p1 END AS BIGINT) AS w1 FROM c1),
+        |u AS (SELECT lang, tokens, w1 AS weight, CAST(1 AS BIGINT) AS alpha_quarters FROM s4
         |      UNION ALL
-        |      SELECT lang, tokens, w3, CAST(3 AS BIGINT) FROM s3),
+        |      SELECT lang, tokens, w2, CAST(2 AS BIGINT) FROM s4
+        |      UNION ALL
+        |      SELECT lang, tokens, w3, CAST(3 AS BIGINT) FROM s4
+        |      UNION ALL
+        |      SELECT lang, tokens, tokens, CAST(4 AS BIGINT) FROM s4),
         |t AS (SELECT alpha_quarters, CAST(sum(weight) AS HUGEINT) AS tot
         |      FROM u GROUP BY 1)
         |SELECT u.lang, u.tokens, u.weight,
-        |       CAST((CAST(u.weight AS HUGEINT) * 1000) // t.tot AS BIGINT) AS share_permille,
-        |       CAST((CAST(u.weight AS HUGEINT) * 1000000) // t.tot AS BIGINT) AS target_tokens,
+        |       CASE WHEN t.tot > 0
+        |            THEN CAST((CAST(u.weight AS HUGEINT) * 1000) // t.tot AS BIGINT)
+        |            ELSE 0 END AS share_permille,
+        |       CASE WHEN t.tot > 0
+        |            THEN CAST((CAST(u.weight AS HUGEINT) * 1000000) // t.tot AS BIGINT)
+        |            ELSE 0 END AS target_tokens,
         |       u.alpha_quarters
         |FROM u JOIN t USING (alpha_quarters)""".stripMargin,
     "ns_waterfill" ->

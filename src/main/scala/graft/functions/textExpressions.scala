@@ -767,7 +767,7 @@ object text {
       val m = new java.util.HashMap[String, Integer]()
       merges.zipWithIndex.foreach { case ((a, b), i) =>
         // first occurrence wins, matching learn()'s emission order
-        if (!m.containsKey(a + " " + b)) m.put(a + " " + b, i)
+        if (!m.containsKey(a + "\u0000" + b)) m.put(a + "\u0000" + b, i)
       }
       m
     }
@@ -780,7 +780,7 @@ object text {
         var bestRank = Int.MaxValue
         var i = 0
         while (i < syms.length - 1) {
-          val r = rank.get(syms(i) + " " + syms(i + 1))
+          val r = rank.get(syms(i) + "\u0000" + syms(i + 1))
           if (r != null && r < bestRank) { bestRank = r; bestIdx = i }
           i += 1
         }

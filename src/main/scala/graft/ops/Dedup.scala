@@ -843,10 +843,14 @@ object Dedup {
     * same.
     *
     * Output: (id, component) for every id appearing in `pairs`, where
-    * component = the minimum id reachable. The returned frame is cached
-    * (its lineage spans every iteration — recomputing it would replay the
-    * whole loop): `.unpersist()` it once consumed, or let the context
-    * cleaner collect it.
+    * component = the minimum id reachable. The returned frame is a LOCAL
+    * CHECKPOINT (lineage truncated — recomputing would otherwise replay
+    * the whole loop; non-reliable storage, so on a real cluster executor
+    * loss after the call means re-running the operator): its blocks are
+    * collected by the ContextCleaner once the frame is unreferenced, or
+    * release them eagerly with `bridge.unpersistLocalCheckpoint` after
+    * consuming — plain `.unpersist()` does NOT touch checkpoint blocks.
+    * Superseded per-round frames are released inside the loop.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("idA").as("a"), col("idB").as("b"))
@@ -881,7 +885,12 @@ object Dedup {
         .groupBy("id").agg(min(col("component")).as("component"))
         .localCheckpoint(true)
       val nextFp = labelFingerprint(next)
+      // round 0's frame is a cache() (unpersist releases it); later rounds
+      // are local checkpoints, whose blocks Dataset.unpersist does NOT
+      // touch — release them explicitly or the block manager accumulates
+      // one dead label frame per round
       labels.unpersist()
+      org.apache.spark.sql.graft.bridge.unpersistLocalCheckpoint(labels)
       labels = next
       converged = nextFp == prevFp
       prevFp = nextFp
@@ -975,7 +984,8 @@ object Dedup {
       // spark.checkpoint.dir so executor loss cannot drop a round.
       val cp = small.localCheckpoint(true)
       val fp = fingerprint(cp)
-      e.unpersist()
+      e.unpersist() // round 0: cache; later rounds: no-op (checkpoint)
+      org.apache.spark.sql.graft.bridge.unpersistLocalCheckpoint(e)
       e = cp
       converged = fp == prevFp
       prevFp = fp
@@ -994,8 +1004,9 @@ object Dedup {
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
       .cache()
-    out.count()
+    out.count() // `out` is materialized before e's checkpoint blocks drop
     e.unpersist()
+    org.apache.spark.sql.graft.bridge.unpersistLocalCheckpoint(e)
     nodes.unpersist()
     (out, iter)
   }

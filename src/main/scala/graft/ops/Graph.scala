@@ -347,10 +347,11 @@ object Graph {
     * node. Unreached nodes are absent (left-join the node set and treat
     * null as "outside the radius" — materializing "infinity" rows would
     * make the output graph-sized even for a one-node seed set). The
-    * returned frame is PERSISTED (the accumulated frontier checkpoints are
-    * its lineage leaves and drop inside the call — localCheckpoint data is
-    * unrecoverable once unpersisted, so the result must be materialized
-    * first); the caller owns `result.unpersist()`.
+    * returned frame is a LOCAL CHECKPOINT (materialized before the per-hop
+    * frontier blocks — its former lineage leaves — are released inside the
+    * call; localCheckpoint data is unrecoverable once dropped). Its blocks
+    * are ContextCleaner-collected when the frame is unreferenced, or
+    * release eagerly via `bridge.unpersistLocalCheckpoint`.
     */
   def seedDistance(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, maxHops: Int = 3): DataFrame = {
@@ -376,12 +377,20 @@ object Graph {
         dist = dist.union(cp)
         leaves ::= cp
         frontier = cp
-      } else cp.unpersist()
+      } else {
+        cp.unpersist()
+        org.apache.spark.sql.graft.bridge.unpersistLocalCheckpoint(cp)
+      }
       hop += 1
     }
-    val out = dist.persist()
-    out.count()
-    leaves.foreach(_.unpersist())
+    // materialize the result as its OWN local checkpoint BEFORE releasing
+    // the per-hop frontiers: `dist` is the union of every round's
+    // checkpointed frontier, so the result must stop referencing their
+    // blocks first. (A persist()+count() is not enough: when maxHops=0 the
+    // result IS the hop-0 frame, and releasing that leaf would drop the
+    // result's own storage.)
+    val out = dist.localCheckpoint(true)
+    leaves.foreach(org.apache.spark.sql.graft.bridge.unpersistLocalCheckpoint(_))
     e.unpersist()
     out
   }
@@ -400,9 +409,10 @@ object Graph {
     * shortest-path seed is the min over its shortest-path predecessors'
     * labels (every seed with a shortest path to the node shortest-reaches
     * some predecessor one hop earlier). Per-round work gains only the
-    * min aggregate; state stays node-sized. The returned frame is
-    * PERSISTED (checkpoint leaves drop inside the call); caller owns
-    * `unpersist()`. Output: (node, hops, seed).
+    * min aggregate; state stays node-sized. The returned frame is a LOCAL
+    * CHECKPOINT (the per-hop frontier blocks drop inside the call;
+    * ContextCleaner collects the result's blocks once unreferenced).
+    * Output: (node, hops, seed).
     */
   def seedAttribution(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, maxHops: Int = 3): DataFrame = {
@@ -429,12 +439,20 @@ object Graph {
         dist = dist.union(cp)
         leaves ::= cp
         frontier = cp
-      } else cp.unpersist()
+      } else {
+        cp.unpersist()
+        org.apache.spark.sql.graft.bridge.unpersistLocalCheckpoint(cp)
+      }
       hop += 1
     }
-    val out = dist.persist()
-    out.count()
-    leaves.foreach(_.unpersist())
+    // materialize the result as its OWN local checkpoint BEFORE releasing
+    // the per-hop frontiers: `dist` is the union of every round's
+    // checkpointed frontier, so the result must stop referencing their
+    // blocks first. (A persist()+count() is not enough: when maxHops=0 the
+    // result IS the hop-0 frame, and releasing that leaf would drop the
+    // result's own storage.)
+    val out = dist.localCheckpoint(true)
+    leaves.foreach(org.apache.spark.sql.graft.bridge.unpersistLocalCheckpoint(_))
     e.unpersist()
     out
   }
@@ -763,7 +781,8 @@ object Graph {
         .join(winners.withColumnRenamed("n", "node"), Seq("node"), "left")
         .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
       val cp = next.localCheckpoint(true)
-      labels.unpersist()
+      labels.unpersist() // no-op past round 0 — release the checkpoint too
+      org.apache.spark.sql.graft.bridge.unpersistLocalCheckpoint(labels)
       labels = cp
       r += 1
     }
@@ -815,7 +834,8 @@ object Graph {
         .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
       val cp = e2.localCheckpoint(true)
       val n2 = cp.count()
-      e.unpersist()
+      e.unpersist() // no-op for checkpoint rounds — release blocks too
+      org.apache.spark.sql.graft.bridge.unpersistLocalCheckpoint(e)
       e = cp
       converged = n2 == n
       n = n2

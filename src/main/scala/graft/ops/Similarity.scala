@@ -425,15 +425,22 @@ object Similarity {
     val pq = model.getOrElse(trainPq(corpus, m, ksub))
     val session = corpus.sparkSession
     import session.implicits._
-    val qRows = queries.select(col("id"), col("vec")).collect()
+    val qProj = queries.select(col("id"), col("vec"))
+    val qRows = qProj.collect()
     val luts = qRows.map { r =>
       val q = r.getSeq[Double](1).toArray
       (r.getLong(0), pq.dotLut(q), math.sqrt(q.map(x => x * x).sum))
     }.toSeq
-    // probed cells come from the SAME expression the corpus assignment
-    // uses (tie-break parity by construction); the per-query LUT rides
-    // the same broadcast frame
-    val qCells = queries.select(col("id").as("query_id"),
+    // single-read rule (the pqTopK/ivfTopK convention): qRows is the ONLY
+    // evaluation of `queries` — the probed-cell frame is rebuilt from the
+    // collected rows as a local relation, so a nondeterministic query
+    // frame (sample/limit without order) cannot produce two different id
+    // sets whose mismatch the query_id join would silently drop. Probed
+    // cells still come from the SAME nearestCentroids expression the
+    // corpus assignment uses (tie-break parity by construction).
+    val qLocal = session.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qProj.schema)
+    val qCells = qLocal.select(col("id").as("query_id"),
       explode(text.nearestCentroids(col("vec"), cents, nprobe)).as("cell"))
     val qSide = broadcast(
       qCells.join(luts.toDF("query_id", "dot_lut", "q_norm"), "query_id"))
@@ -692,12 +699,16 @@ object Similarity {
     * Neighbor ids absent from `items` contribute no vote (a filtered or
     * unlabeled corpus side drops out silently — n_neighbors counts only
     * LABELED voters); items with no surviving neighbors emit no row.
+    * Self-pairs (query_id == neighbor_id, e.g. from a tier run with
+    * excludeSelf=false) are dropped before the vote — an item's own label
+    * must never vote for itself, which would suppress `flagged`.
     */
   def labelNoiseByNeighbors(items: DataFrame, neighbors: DataFrame,
       idCol: String, labelCol: String, minAgree: Long): DataFrame = {
     require(minAgree >= 1, "minAgree must be >= 1")
     val base = items.select(col(idCol).as("id"), col(labelCol).as("label"))
     val votes = neighbors.select(col("query_id"), col("neighbor_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .join(base.select(col("id").as("neighbor_id"), col("label").as("nl")),
         Seq("neighbor_id"))
       .groupBy(col("query_id"), col("nl")).agg(count(lit(1)).as("c"))

@@ -827,6 +827,17 @@ class PropertySpec extends AnyFunSuite {
     assert(viaFrame == brute)
     assert(brute.exists(r => r(0) == 7L && r(5) == true),
       "the planted mislabel must flag in both tiers")
+    // self-pair invariance: a tier run with excludeSelf=false includes
+    // (i, i) rows — the vote must drop them (an item's own label never
+    // votes for itself) so the result still equals the brute tier
+    val withSelf = graft.ops.Similarity.ivfTopK(
+      items.select("id", "vec"), items.select("id", "vec"), k = 6,
+      nCentroids = 1, nprobe = 1, excludeSelf = false)
+    val viaSelfFrame = graft.ops.Similarity.labelNoiseByNeighbors(
+      items, withSelf, "id", "label", minAgree = 3L)
+    assert(viaSelfFrame.filter(org.apache.spark.sql.functions.col("id") === 7L)
+      .select("flagged").collect()(0).getBoolean(0),
+      "self-votes must not suppress the planted mislabel's flag")
   }
 
   test("docStitchCandidates law: exact mode equals a brute-force boundary model") {
