@@ -61,12 +61,23 @@ object Bench {
     // retains one complete parseable JSON line; the full per-query line sits
     // between them.
     val slowest = results.sortBy(-_._2).take(8)
+    // streaming runtime-path numbers (events/sec through a deployed stream
+    // with hooks + keyed sink, publish round-trip, hot-swap latency) ride
+    // the same JSON line; a streaming failure must not zero the query
+    // bench, so it degrades to an error marker. SPARK_GRAFT_NO_STREAMBENCH
+    // skips it for query-only iteration.
+    val streaming =
+      if (sys.env.contains("SPARK_GRAFT_NO_STREAMBENCH") || only.isDefined) ""
+      else try s""","streaming":${StreamBench.jsonFragment(StreamBench.run(spark))}"""
+      catch { case e: Throwable =>
+        s""","streaming":{"error":"${e.getClass.getSimpleName}"}"""
+      }
     val compact = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${
       slowest.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
-    },"sf":"$sfName","n_queries":${results.size}$failedJson}"""
+    },"sf":"$sfName","n_queries":${results.size}$failedJson$streaming}"""
     val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${
       results.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
-    },"sf":"$sfName"$failedJson}"""
+    },"sf":"$sfName"$failedJson$streaming}"""
     println(compact)
     println(full)
     println(compact)

@@ -1336,25 +1336,49 @@ object Curation {
     *
     * Scale shape: the group rank+count share one hash partitioning
     * (the [[keepTopFraction]] exchange); the reference ranking is a
-    * GLOBAL sort of the reference corpus — size the reference like a
-    * model, not a corpus (a uniform sample of the target distribution;
-    * quantile curves saturate at ~10⁶ rows), exactly how
-    * [[graft.ops.Embeddings.trainPca]] treats its training sample. The
-    * alignment itself is an equi-join on the computed reference rank.
+    * TWO-LEVEL bucket-offset rank (the [[vocabCoverage]] /
+    * [[epochShuffle]] pattern): range-bucket the reference on the score,
+    * per-bucket `row_number` partitioned by bucket, plus broadcast bucket
+    * offsets prefix-summed on the ≤ `refBuckets`-row count frame — no
+    * global single-partition sort, so the reference can be corpus-sized,
+    * though a uniform ~10⁶-row sample of the target distribution is
+    * still all a quantile curve needs. Rank ties across any bucket order
+    * select the same VALUE (equal scores land in one range bucket), so
+    * the output stays total-order independent. The alignment itself is
+    * an equi-join on the computed reference rank.
     *
     * Output: groupCols + (idCol, scoreCol, pct_permille, aligned_score).
     */
   def alignScores(df: DataFrame, scoreCol: String, idCol: String,
-      groupCols: Seq[String], ref: DataFrame, refScoreCol: String): DataFrame = {
+      groupCols: Seq[String], ref: DataFrame, refScoreCol: String,
+      refBuckets: Int = 64): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(refBuckets >= 1, "refBuckets must be >= 1")
     val part = groupCols.map(col)
     val ranked = Window.partitionBy(part: _*)
       .orderBy(col(scoreCol), col(idCol))
     val whole = Window.partitionBy(part: _*)
-    val refRanked = ref
-      .select(col(refScoreCol).as("__align_rv"))
-      .withColumn("__align_idx",
-        row_number().over(Window.orderBy(col("__align_rv"))).cast("long"))
+    // range partitions follow the rank order, so global rank = bucket
+    // offset (a broadcast ≤ refBuckets-row prefix sum) + rank within the
+    // bucket; equal scores share a range bucket, so every tie order
+    // computes the same (__align_idx → __align_rv) mapping
+    val rvRanged = ref.select(col(refScoreCol).as("__align_rv"))
+      .repartitionByRange(refBuckets, col("__align_rv"))
+      .withColumn("__align_bk", spark_partition_id())
+    val rvOffsets = rvRanged.groupBy(col("__align_bk"))
+      .agg(count(lit(1)).as("__align_bn"))
+      .withColumn("__align_off",
+        coalesce(sum(col("__align_bn")).over(
+          Window.orderBy(col("__align_bk"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__align_bk"), col("__align_off"))
+    val refRanked = rvRanged
+      .withColumn("__align_pr", row_number().over(
+        Window.partitionBy(col("__align_bk")).orderBy(col("__align_rv")))
+        .cast("long"))
+      .join(broadcast(rvOffsets), "__align_bk")
+      .withColumn("__align_idx", col("__align_off") + col("__align_pr"))
+      .select(col("__align_idx"), col("__align_rv"))
     // an empty reference would compute __align_idx = 0 for every row and
     // the inner join below would silently emit an EMPTY frame; a lazy
     // raise_error guard is useless here (AQE empty-relation propagation

@@ -227,6 +227,10 @@ final class Stream(
     var resourceId = "<noResourceId>"
 
     // F9 pre-transform hook: distributed per-event action evaluation.
+    // hook mode carries (raw event count, raw byte volume, ingested-
+    // candidate bytes) out of the hook aggregation so the processed
+    // counters need no second rawEvents scan and no separate ingested pass
+    var hookStats: Option[(Long, Long, Long)] = None
     val events = supervisor.config.preTransformHook match {
       case None => rawEvents
       case Some(h) =>
@@ -240,19 +244,36 @@ final class Stream(
           while (action == Hooks.RetryableError && attempts < maxRetries) {
             attempts += 1; action = h(sid, e)
           }
+          // __rawlen is the PRE-hook byte length: BytesProcessed counts
+          // what arrived from the source, not what a Proceed(e2) rewrote
           action match {
-            case Hooks.Proceed(e2) => ("p", e2)
-            case Hooks.Skip => ("s", e)
-            case Hooks.RetryableError | Hooks.UnretryableError => ("u", e)
-            case Hooks.Shutdown => ("x", e)
+            case Hooks.Proceed(e2) => ("p", e2, e.length)
+            case Hooks.Skip => ("s", e, e.length)
+            case Hooks.RetryableError | Hooks.UnretryableError => ("u", e, e.length)
+            case Hooks.Shutdown => ("x", e, e.length)
           }
-        }.toDF("__act", "value").cache()
+        }.toDF("__act", "value", "__rawlen").cache()
         trackHook(acted)
         // one aggregation covers every hook-action decision (previously two
-        // isEmpty probes = two extra job submissions per micro-batch); the
-        // DLQ write stays lazy — only submitted when flagged rows exist
-        val actCounts = acted.groupBy(org.apache.spark.sql.functions.col("__act")).count()
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // isEmpty probes = two extra job submissions per micro-batch), the
+        // processed counters (count + raw byte volume per action), AND the
+        // ingested-candidate bytes over the surviving 'p' rows; the DLQ
+        // write stays lazy — only submitted when flagged rows exist
+        val actRows = acted.groupBy(org.apache.spark.sql.functions.col("__act"))
+          .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("__n"),
+            org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.sum(col("__rawlen")).cast("long"),
+              org.apache.spark.sql.functions.lit(0L)).as("__b"),
+            org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.sum(
+                org.apache.spark.sql.functions.when(
+                  col("__act") === "p" && pipeline.ingestedCol(col("value")),
+                  org.apache.spark.sql.functions.length(col("value")))).cast("long"),
+              org.apache.spark.sql.functions.lit(0L)).as("__i"))
+          .collect()
+        val actCounts = actRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+        hookStats = Some((actRows.map(_.getLong(1)).sum,
+          actRows.map(_.getLong(2)).sum, actRows.map(_.getLong(3)).sum))
         if (actCounts.getOrElse("u", 0L) > 0) {
           spec.ops.handlingOfUnretryableEvents match {
             case Houe.Fail => throw new RuntimeException(s"hook flagged unretryable events in ${spec.id} (houe=fail)")
@@ -276,13 +297,27 @@ final class Stream(
     // (executor_test.go:536-575: Microbatches/EventsProcessed/BytesProcessed
     // grow across the MockLoader_Error and RetryableError legs while the
     // sink counters stay flat) — so they are accounted BEFORE the loads.
-    val stats = rawEvents.select(
-      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
-      org.apache.spark.sql.functions.coalesce(
-        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.length(col("value"))).cast("long"),
-        org.apache.spark.sql.functions.lit(0L))).collect()(0)
-    metrics.eventsProcessed.addAndGet(stats.getLong(0))
-    metrics.bytesProcessed.addAndGet(stats.getLong(1))
+    //
+    // Per-batch job budget: micro-batch throughput at high rates is
+    // bounded by fixed per-job cost, so each fused action is direct
+    // events/sec. Without a hook, cachedEvents has exactly rawEvents'
+    // rows, so ONE action computes count, byte volume, AND the
+    // ingested-candidate bytes (and materializes the cache every branch
+    // load reuses). With a hook, count + raw bytes already came out of
+    // the hook aggregation above — no second rawEvents scan either way.
+    import org.apache.spark.sql.functions.{coalesce => fnCoalesce, count => fnCount, length => fnLength, lit => fnLit, sum => fnSum, when => fnWhen}
+    val ingestedBytesCol = fnCoalesce(
+      fnSum(fnWhen(pipeline.ingestedCol(col("value")), fnLength(col("value"))))
+        .cast("long"), fnLit(0L)).as("__ingestable")
+    val fusedStats = hookStats.getOrElse {
+      val r = cachedEvents.select(
+        fnCount(fnLit(1)),
+        fnCoalesce(fnSum(fnLength(col("value"))).cast("long"), fnLit(0L)),
+        ingestedBytesCol).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    metrics.eventsProcessed.addAndGet(fusedStats._1)
+    metrics.bytesProcessed.addAndGet(fusedStats._2)
     metrics.microbatches.incrementAndGet()
 
     branches.foreach { case (_, branchDf0) =>
@@ -314,19 +349,13 @@ final class Stream(
     }
 
     // H1 BytesIngested (executor.go:236-249): the raw bytes of (post-hook)
-    // events whose transform produced ≥1 record, credited only once the
-    // whole batch — every sink load AND the houe policy — succeeded. An
-    // all-excluded batch credits 0 (nothing transformed → no load,
-    // executor_test.go:518-533). Computed lazily here so failed batches
-    // never pay the extra aggregate job.
-    val ingestedBytes = cachedEvents.select(
-      org.apache.spark.sql.functions.coalesce(
-        org.apache.spark.sql.functions.sum(
-          org.apache.spark.sql.functions.when(
-            pipeline.ingestedCol(col("value")),
-            org.apache.spark.sql.functions.length(col("value")))).cast("long"),
-        org.apache.spark.sql.functions.lit(0L))).collect()(0).getLong(0)
-    metrics.bytesIngested.addAndGet(ingestedBytes)
+    // events whose transform produced ≥1 record, CREDITED only once the
+    // whole batch — every sink load AND the houe policy — succeeded (a
+    // throwing load above skips this line). An all-excluded batch credits
+    // 0 (nothing transformed → no load, executor_test.go:518-533). The
+    // value itself was fused into the stats action (hook-free mode) or the
+    // hook aggregation ('p'-row sum, post-hook values) — no extra job.
+    metrics.bytesIngested.addAndGet(fusedStats._3)
     metrics.eventProcessingTimeMicros.addAndGet((System.nanoTime() - t0) / 1000)
     if (shutdownRequested) supervisor.requestShutdown(spec.id)
     resourceId
@@ -348,10 +377,20 @@ final class Stream(
     // Nothing transformed for this table → successful no-op: no load
     // attempt, no sink operation, no error simulation (executor.go:240-243;
     // executor_test.go:518-533 pins SinkOperations/EventsStoredInSink flat
-    // across an all-excluded batch). The count materializes the cache the
-    // write below would need anyway.
-    val batchRows = out.count()
+    // across an all-excluded batch). ONE action probes the batch size AND
+    // (keyed sinks) the deterministic min row key, materializing the cache
+    // the write below reuses — per-batch job count is the throughput floor
+    // at high event rates. The probe sits OUTSIDE the retry loop: retries
+    // re-run only the write.
+    val keyed = supervisor.config.customLoaders.get(spec.sink.sinkType).isEmpty &&
+      keyedSinkFor(tableName).isDefined && out.columns.contains("key")
+    val probeCols = org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)) +:
+      (if (keyed) Seq(org.apache.spark.sql.functions.min(col("key"))) else Nil)
+    val probe = out.select(probeCols: _*).collect()(0)
+    val batchRows = probe.getLong(0)
     if (batchRows == 0L) return (0L, "")
+    val minKey = if (keyed) Option(probe.getString(1)).getOrElse("") else ""
     while (true) {
       try {
         val t0 = System.nanoTime()
@@ -360,14 +399,10 @@ final class Stream(
             (batchRows, loader(spec, out))
           case None => keyedSinkFor(tableName) match {
             case Some(ks) if out.columns.contains("key") =>
-              ks.write(out)
-              // one action: batch size + a deterministic resource key
-              val r = out.select(
-                org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
-                org.apache.spark.sql.functions.min(col("key"))).collect()(0)
-              (r.getLong(0), Option(r.getString(1)).getOrElse(""))
+              ks.write(out, batchRows) // size hint packs small-batch files
+              (batchRows, minKey) // both came out of the fused probe
             case _ =>
-              (voidSink.load(out), "<noResourceId>")
+              (voidSink.load(out, batchRows), "<noResourceId>")
           }
         }
         metrics.sinkOperations.incrementAndGet()

@@ -233,7 +233,15 @@ final class KeyedTableSink(
     case _ => "day"
   }
 
-  def write(df: DataFrame): Unit = {
+  /** Target rows per written file when the caller supplies the batch size
+    * (`write(df, knownRows)`): an unbounded micro-batch stream appends
+    * sparkPartitions × batches files without packing — the classic
+    * small-files failure on a long-lived table. ~1M small keyed rows ≈
+    * tens of MB of parquet, a sane file size for later scans.
+    */
+  val rowsPerFile: Long = 1000000L
+
+  def write(df: DataFrame, knownRows: Long = -1L): Unit = {
     val hasPartition = partitionField.nonEmpty
     // fail fast rather than silently degrade: a batch missing the
     // configured partition column would write an unpartitioned layout into
@@ -242,6 +250,17 @@ final class KeyedTableSink(
     require(!hasPartition || df.columns.contains(partitionField),
       s"table at $path is time-partitioned on '$partitionField' but the batch has columns ${df.columns.mkString(",")}")
     var out = df
+    // small-files control: pack small batches into ~rowsPerFile-row files.
+    // coalesce is NARROW — no shuffle, no extra job, the write job just
+    // runs fewer tasks — and large batches keep full write parallelism
+    // (coalesce never increases the partition count). Applied before the
+    // clustering sort so sortWithinPartitions orders the merged output.
+    if (knownRows >= 0) {
+      val cap = df.sparkSession.sparkContext.defaultParallelism.toLong
+      val target = math.max(1L,
+        math.min(cap, (knownRows + rowsPerFile - 1) / rowsPerFile))
+      out = out.coalesce(target.toInt)
+    }
     if (hasPartition)
       out = out.withColumn("__pdate", date_trunc(truncUnit, col(partitionField)))
     val clusterCols = clustering.filter(out.columns.contains)
@@ -320,15 +339,19 @@ final class VoidSink(props: Map[String, String]) {
   final case class SimulatedError(retryable: Boolean)
     extends RuntimeException(s"simulated ${if (retryable) "retryable" else "unretryable"} error")
 
-  /** Returns the batch row count; throws per the simulateError contract. */
-  def load(df: DataFrame): Long = {
+  /** Returns the batch row count; throws per the simulateError contract.
+    * `knownCount` skips the count job when the caller already probed the
+    * batch size (the runtime's fused emptiness probe) — per-micro-batch
+    * job count is the streaming throughput floor.
+    */
+  def load(df: DataFrame, knownCount: Long = -1L): Long = {
     props.get("simulateError") match {
       case Some(mode @ ("alwaysRetryable" | "alwaysUnretryable")) if errorsSimulated.get() < maxErrors =>
         errorsSimulated.incrementAndGet()
         throw SimulatedError(retryable = mode == "alwaysRetryable")
       case _ =>
     }
-    val n = df.count()
+    val n = if (knownCount >= 0) knownCount else df.count()
     eventsLoaded.addAndGet(n)
     batches.incrementAndGet()
     n

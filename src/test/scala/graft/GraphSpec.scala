@@ -135,45 +135,7 @@ class GraphSpec extends AnyFunSuite {
   // per-round delta is constant in iters — the round-4 regression (hits
   // re-executing the base join ~2^4 times for 2 rounds) fails them at
   // iters = 4 long before it costs seconds.
-  private def countJobs(body: => Unit): Int = {
-    // scope to a job group: suites share one SparkSession and may run in
-    // parallel, so an unfiltered count would include other suites' jobs
-    // (AQE stage-materialization threads inherit the submitter's local
-    // properties, so broadcast/shuffle stage jobs carry the group too)
-    val group = s"graft-jobgate-${java.util.UUID.randomUUID().toString.take(8)}"
-    val n = new java.util.concurrent.atomic.AtomicInteger(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        if (js.properties != null &&
-          group == js.properties.getProperty("spark.jobGroup.id"))
-          n.incrementAndGet()
-        ()
-      }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    spark.sparkContext.setJobGroup(group, "job-count gate")
-    try {
-      body
-      // JobStart events post at submission and every action above blocks
-      // until its jobs finish, but the listener bus drains asynchronously —
-      // poll until the counter is stable
-      var last = -1
-      var stable = 0
-      var waited = 0
-      while (stable < 3 && waited < 5000) {
-        Thread.sleep(100); waited += 100
-        val cur = n.get()
-        if (cur == last) stable += 1 else { stable = 0; last = cur }
-      }
-    } finally {
-      spark.sparkContext.clearJobGroup()
-      spark.sparkContext.removeSparkListener(listener)
-    }
-    val jobs = n.get()
-    assert(jobs > 0, "job-group scoping captured no jobs — gate would be vacuous")
-    jobs
-  }
+  private def countJobs(body: => Unit): Int = SparkTestBase.countJobs(body)
 
   test("job-count gate: hits is linear in iters (no lineage fan-out)") {
     def run(iters: Int): Int = countJobs {

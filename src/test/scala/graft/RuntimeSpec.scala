@@ -473,6 +473,47 @@ class RuntimeSpec extends AnyFunSuite {
     sup.shutdownAll()
   }
 
+  test("job-count gate: a micro-batch stays within its job budget (streaming throughput floor)") {
+    // per-batch Spark job count is the micro-batch throughput floor at
+    // high event rates (SCALE.md "Streaming runtime"): the round-8 fusion
+    // took a batch from 6 jobs to 3 — the hook aggregation carries action
+    // tallies + processed counters + ingested bytes, the sink probe
+    // carries batch size + min row key and materializes the cache the
+    // write reuses. This pins the budget so an innocent extra .count()
+    // can't silently tax every micro-batch at every deployment.
+    val keyedSink =
+      """{"type": "bigtable", "config": {"customConfig": {"tables": [
+        |  {"name": "t", "rowKey": {"keys": ["name"], "delimiter": "#"},
+        |   "columnFamilies": [{"name": "d", "columnQualifiers": [
+        |     {"id": "name", "name": "n"}]}]}
+        |]}}}""".stripMargin
+    def jobsPerPublish(hook: Boolean): Int = {
+      val sup = new graft.runtime.Supervisor(spark, RuntimeConfig(
+        sinkRoot = Some(tmpDir()), retryBackoffBaseMs = 1,
+        preTransformHook =
+          if (hook) Some((_: String, e: String) => graft.runtime.Hooks.Proceed(e))
+          else None))
+      val id = sup.registerStream(metricSpec(s"jobs$hook", keyedSink))
+        .fold(e => fail(e.msg), identity)
+      sup.publish(id, """{"name": "WARM_EVENT"}""") // untimed plan warm-up
+      val jobs = SparkTestBase.countJobs {
+        sup.publish(id, """{"name": "GREAT_EVENT"}""")
+      }
+      sup.shutdownAll()
+      jobs
+    }
+    val hookJobs = jobsPerPublish(hook = true)
+    val plainJobs = jobsPerPublish(hook = false)
+    // measured composition (both modes): 3 ACTIONS — [hook aggregation |
+    // fused stats] + sink probe + parquet write — which AQE executes as 7
+    // scheduler jobs (each aggregate's shuffle runs as 2 stage-
+    // materialization sub-jobs plus the result job; the narrow write is
+    // 1). Budget 8 leaves one job of engine variance while still failing
+    // a regression to per-concern actions (6 actions ≈ 13+ jobs).
+    assert(hookJobs <= 8, s"hook-mode micro-batch used $hookJobs jobs (budget 8 ≈ 3 actions)")
+    assert(plainJobs <= 8, s"hook-free micro-batch used $plainJobs jobs (budget 8 ≈ 3 actions)")
+  }
+
   test("metric goldens: failed sink loads advance processed counters only (executor_test.go:536-575)") {
     val sup = new graft.runtime.Supervisor(spark, RuntimeConfig(retryBackoffBaseMs = 1))
     val tiny = """{"name": "GREAT_EVENT"}"""

@@ -23,6 +23,26 @@ class SinkSpec extends AnyFunSuite {
     ("k3", "c3", java.sql.Timestamp.valueOf("2024-06-03 05:00:00"))
   ).toDF("key", "customerId", "dateIngested")
 
+  test("small-files control: a size-hinted write packs a small batch into one file; unhinted keeps parallelism") {
+    // micro-batch streams append every trigger — without packing a table
+    // accumulates sparkPartitions × batches files; the size hint coalesces
+    // (narrow, no extra job) toward ~rowsPerFile-row files
+    val p1 = tmp()
+    val sink1 = new KeyedTableSink(p1)
+    val wide = rows.repartition(4)
+    sink1.write(wide, knownRows = 3L)
+    def partFiles(p: String): Int =
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(partFiles(p1) == 1, "3 rows must pack into one parquet file")
+    assert(spark.read.parquet(p1).count() == 3)
+    val p2 = tmp()
+    new KeyedTableSink(p2).write(wide) // no hint: legacy full-parallelism write
+    // empty partitions emit no file, so 3 rows across 4 partitions yield
+    // up to 4 files — the point is plural files without the hint
+    assert(partFiles(p2) >= 2, "unhinted write keeps the batch's partitioning")
+  }
+
   test("G6 parse: tableCreation yields partition type/field, clustering, filter requirement") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val cfg = mapper.readTree(

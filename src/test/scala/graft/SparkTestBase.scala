@@ -24,4 +24,46 @@ object SparkTestBase {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Count Spark jobs submitted by `body`, scoped to a fresh job group so
+    * parallel suites sharing the session don't pollute the count (AQE
+    * stage-materialization threads inherit the submitter's local
+    * properties, so broadcast/shuffle stage jobs carry the group too).
+    * JobStart posts at submission and actions block until their jobs
+    * finish, but the listener bus drains asynchronously — polls until the
+    * counter is stable. The job-count gates (GraphSpec loop linearity,
+    * RuntimeSpec micro-batch budget) build on this.
+    */
+  def countJobs(body: => Unit): Int = {
+    val group = s"graft-jobgate-${java.util.UUID.randomUUID().toString.take(8)}"
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (js.properties != null &&
+          group == js.properties.getProperty("spark.jobGroup.id"))
+          n.incrementAndGet()
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, "job-count gate")
+    try {
+      body
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        val cur = n.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    val jobs = n.get()
+    assert(jobs > 0, "job-group scoping captured no jobs — gate would be vacuous")
+    jobs
+  }
 }

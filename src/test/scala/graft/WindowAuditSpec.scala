@@ -53,8 +53,7 @@ class WindowAuditSpec extends AnyFunSuite {
     "B-row bootstrap replicate frame (replicates <= 200 enforced by bootstrapMeans)"
   private val allow: Map[String, Seq[(String, String)]] = Map(
     "ns_align_scores" -> Seq(
-      ("row_number() windowspecdefinition(__align_rv" ->
-        "global rank of the REFERENCE distribution — model-sized by the alignScores scale contract (quantile curves saturate ~1e6 rows)")),
+      ("__align_bk ASC NULLS FIRST | sum(__align_bn" -> bucketOffsets)),
     "ns_bootstrap_ci" -> Seq(
       (" | count(1) windowspecdefinition" -> replicateFrame),
       ("mean_milli ASC NULLS FIRST,replicate ASC NULLS FIRST | row_number()" ->
