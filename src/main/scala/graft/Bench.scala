@@ -2,7 +2,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
-  private def jnum(v: Double): String = f"$v%.3f"
+  // Locale.ROOT: the f-interpolator uses the JVM default locale, which on
+  // comma-decimal locales (de_DE, fr_FR) would render 1.5 as "1,5" and
+  // corrupt the one JSON line the bench contract guarantees stays parseable
+  private def jnum(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -102,11 +102,17 @@ object StreamBench {
       def m(name: String): Long = sup.metrics(id).snapshot(name)
       val deadline0 = System.currentTimeMillis() + 120000
       // warm-up: skip the first two batches (codegen/JIT/scheduler
-      // first-touch), then measure a steady window
+      // first-touch), then measure a steady window. The window opens and
+      // closes RIGHT AFTER a batch-boundary observation (the poll loop
+      // exits within ~20 ms of the Microbatches increment), so the e0/b0/t0
+      // snapshot triplet is taken inside the idle gap between batches —
+      // a batch completing BETWEEN the counter reads and the clock read
+      // would otherwise put its ~rowsPerBatch events in the numerator but
+      // not its time in the denominator (up to 1/measuredBatches skew)
       while (m("Microbatches") < 2 && System.currentTimeMillis() < deadline0)
         Thread.sleep(20)
-      val e0 = m("EventsProcessed"); val b0 = m("Microbatches")
       val t0 = System.nanoTime()
+      val e0 = m("EventsProcessed"); val b0 = m("Microbatches")
       val deadline1 = System.currentTimeMillis() + 120000
       while (m("Microbatches") < b0 + measuredBatches &&
           System.currentTimeMillis() < deadline1)
@@ -168,7 +174,11 @@ object StreamBench {
 
   def jsonFragment(r: Map[String, Double]): String =
     r.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
+      // Locale.ROOT: comma-decimal default locales would render "310000,5"
+      // and corrupt the bench JSON line this fragment is embedded into
+      .map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+      }
       .mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {

@@ -135,6 +135,17 @@ object SpecCompiler {
               dropped.filter(col("regexppayload").isNotNull)
             case _ => projected
           }
+        case rb: RegexpBranch =>
+          // A routed event the whole-event regexp does NOT match is the
+          // reference's error path (applyRegExp panics on non-match →
+          // regexpTransform returns err → nothing reaches the sink,
+          // transformer.go:191-196 + 229-236): split it off to errorFrame
+          // rather than emitting a null-payload row — keeps the sink
+          // output, ingestedCol, and the houe policy mutually consistent.
+          routed
+            .select(keepColumns.map(col) :+ rb.project(ev).as("__t"): _*)
+            .select(keepColumns.map(col) ++ rb.outputColumns.map(c => col(s"__t.`$c`").as(c)): _*)
+            .filter(col("regexppayload").isNotNull)
         case _ =>
           routed
             .select(keepColumns.map(col) :+ b.project(ev).as("__t"): _*)

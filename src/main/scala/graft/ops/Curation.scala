@@ -1339,7 +1339,9 @@ object Curation {
     * TWO-LEVEL bucket-offset rank (the [[vocabCoverage]] /
     * [[epochShuffle]] pattern): range-bucket the reference on the score,
     * per-bucket `row_number` partitioned by bucket, plus broadcast bucket
-    * offsets prefix-summed on the ≤ `refBuckets`-row count frame — no
+    * offsets prefix-summed on the driver from the collected ≤
+    * `refBuckets`-row count frame (the same single read also supplies the
+    * reference total and the empty-reference guard) — no
     * global single-partition sort, so the reference can be corpus-sized,
     * though a uniform ~10⁶-row sample of the target distribution is
     * still all a quantile curve needs. Rank ties across any bucket order
@@ -1365,13 +1367,30 @@ object Curation {
     val rvRanged = ref.select(col(refScoreCol).as("__align_rv"))
       .repartitionByRange(refBuckets, col("__align_rv"))
       .withColumn("__align_bk", spark_partition_id())
-    val rvOffsets = rvRanged.groupBy(col("__align_bk"))
+    // ONE aggregate evaluation of the bucketed reference yields the
+    // per-bucket counts (≤ refBuckets rows); the bucket offsets (prefix
+    // sum), the reference total m, and the empty-ref guard all derive on
+    // the driver from that single collect — no second evaluation of the
+    // offsets aggregate inside the final plan (the single-read rule) and
+    // no separate ref.count() scan. A nondeterministic reference
+    // (sample() without a seed) is unsupported here, as for all range
+    // partitioning: the boundary-sampling pass alone re-evaluates it.
+    // An empty reference must raise eagerly: lazily it would compute
+    // __align_idx = 0 for every row and the inner join below would
+    // silently emit an EMPTY frame (AQE empty-relation propagation prunes
+    // any lazy raise_error guard before it evaluates).
+    val bucketCounts = rvRanged.groupBy(col("__align_bk"))
       .agg(count(lit(1)).as("__align_bn"))
-      .withColumn("__align_off",
-        coalesce(sum(col("__align_bn")).over(
-          Window.orderBy(col("__align_bk"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__align_bk"), col("__align_off"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val m = bucketCounts.map(_._2).sum
+    require(m > 0, "alignScores: reference corpus is empty — nothing to align to")
+    var running = 0L
+    val offsetRows = bucketCounts.map { case (bk, n) =>
+      val off = running; running += n; (bk, off)
+    }.toSeq
+    val sparkS = df.sparkSession
+    import sparkS.implicits._
+    val rvOffsets = offsetRows.toDF("__align_bk", "__align_off")
     val refRanked = rvRanged
       .withColumn("__align_pr", row_number().over(
         Window.partitionBy(col("__align_bk")).orderBy(col("__align_rv")))
@@ -1379,15 +1398,6 @@ object Curation {
       .join(broadcast(rvOffsets), "__align_bk")
       .withColumn("__align_idx", col("__align_off") + col("__align_pr"))
       .select(col("__align_idx"), col("__align_rv"))
-    // an empty reference would compute __align_idx = 0 for every row and
-    // the inner join below would silently emit an EMPTY frame; a lazy
-    // raise_error guard is useless here (AQE empty-relation propagation
-    // prunes the whole plan before the guard column ever evaluates), so
-    // count eagerly — the reference is model-sized by this operator's own
-    // scale contract, and the count then rides the plan as a literal,
-    // which also drops the one-row crossJoin broadcast
-    val m = ref.count()
-    require(m > 0, "alignScores: reference corpus is empty — nothing to align to")
     df.select((groupCols :+ idCol :+ scoreCol).map(col): _*)
       .withColumn("__align_r", row_number().over(ranked).cast("long"))
       .withColumn("__align_n", count(lit(1)).over(whole))

@@ -1000,11 +1000,18 @@ object Dedup {
     val labels = e.select(col("a").as("id"), col("b").as("component"))
       .union(e.select(col("b").as("id"), col("b").as("component")))
       .groupBy("id").agg(min(col("component")).as("component"))
+    // checkpoint the RESULT, not cache it: a cached frame stays
+    // recomputable-from-lineage, and that lineage reads e's checkpoint
+    // blocks — which the releases below destroy. On a cluster a lost or
+    // evicted cached partition would then fail with "checkpoint block not
+    // found"; localCheckpoint(true) materializes `out` AND truncates its
+    // lineage first (the BFS-epilogue rule), making the leaf drop safe.
+    // Same return contract as [[connectedComponents]]: a checkpointed
+    // frame the context cleaner reclaims when the caller drops it.
     val out = nodes
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
-      .cache()
-    out.count() // `out` is materialized before e's checkpoint blocks drop
+      .localCheckpoint(true)
     e.unpersist()
     org.apache.spark.sql.graft.bridge.unpersistLocalCheckpoint(e)
     nodes.unpersist()

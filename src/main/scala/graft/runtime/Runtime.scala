@@ -165,12 +165,15 @@ final class Stream(
   // parquet directory (multi-table specs write differently-shaped rows);
   // each sink carries its table's G6 creation config (partitioning,
   // clustering, partition-filter requirement)
-  private def sinkOf(path: String, t: Option[SinkCompiler.TableSpec]): KeyedTableSink =
+  private def sinkOf(path: String, t: Option[SinkCompiler.TableSpec]): KeyedTableSink = {
+    val rowsPerFile = spec.sink.config.properties.get("rowsPerFile")
+      .map(_.toLong).getOrElse(1000000L)
     t match {
       case Some(ts) => new KeyedTableSink(path, ts.partitionField, ts.partitionType,
-        ts.clustering, ts.requirePartitionFilter)
-      case None => new KeyedTableSink(path)
+        ts.clustering, ts.requirePartitionFilter, rowsPerFile)
+      case None => new KeyedTableSink(path, rowsPerFile = rowsPerFile)
     }
+  }
   private[runtime] val keyedSinks: Map[String, KeyedTableSink] =
     supervisor.config.sinkRoot.map { root =>
       if (tables.size > 1)
@@ -212,9 +215,16 @@ final class Stream(
     // would accumulate one orphaned cached frame per restart cycle
     var hookFrame: Option[DataFrame] = None
     var cachedEvents: Option[DataFrame] = None
+    val t0 = System.nanoTime()
     try processBatchInner(rawEvents,
       f => { hookFrame = Some(f); f }, f => { cachedEvents = Some(f); f })
     finally {
+      // deferred, like the reference's processEventExit (executor.go:
+      // 344-352, registered before any work): Microbatches and the
+      // processing-time counter advance on EVERY batch attempt — hook
+      // failures, transform errors, and sink failures included
+      metrics.microbatches.incrementAndGet()
+      metrics.eventProcessingTimeMicros.addAndGet((System.nanoTime() - t0) / 1000)
       hookFrame.foreach(_.unpersist())
       cachedEvents.foreach(_.unpersist())
     }
@@ -223,7 +233,6 @@ final class Stream(
   private def processBatchInner(rawEvents: DataFrame,
       trackHook: DataFrame => DataFrame,
       trackEvents: DataFrame => DataFrame): String = {
-    val t0 = System.nanoTime()
     var resourceId = "<noResourceId>"
 
     // F9 pre-transform hook: distributed per-event action evaluation.
@@ -274,6 +283,12 @@ final class Stream(
         val actCounts = actRows.map(r => r.getString(0) -> r.getLong(1)).toMap
         hookStats = Some((actRows.map(_.getLong(1)).sum,
           actRows.map(_.getLong(2)).sum, actRows.map(_.getLong(3)).sum))
+        // the reference credits Events/Bytes at the top of the per-event
+        // loop, BEFORE the hook-action dispatch (executor.go:196-198) — so
+        // a batch the hook flags unretryable under houe=fail still advances
+        // the processed counters (the throw below happens after this)
+        metrics.eventsProcessed.addAndGet(hookStats.get._1)
+        metrics.bytesProcessed.addAndGet(hookStats.get._2)
         if (actCounts.getOrElse("u", 0L) > 0) {
           spec.ops.handlingOfUnretryableEvents match {
             case Houe.Fail => throw new RuntimeException(s"hook flagged unretryable events in ${spec.id} (houe=fail)")
@@ -296,7 +311,9 @@ final class Stream(
     // Processed counters advance whether or not the sink loads succeed
     // (executor_test.go:536-575: Microbatches/EventsProcessed/BytesProcessed
     // grow across the MockLoader_Error and RetryableError legs while the
-    // sink counters stay flat) — so they are accounted BEFORE the loads.
+    // sink counters stay flat) — so they are accounted BEFORE the loads
+    // (hook mode accounted them above, before the houe dispatch;
+    // Microbatches + processing time are deferred in processBatch).
     //
     // Per-batch job budget: micro-batch throughput at high rates is
     // bounded by fixed per-job cost, so each fused action is direct
@@ -314,11 +331,10 @@ final class Stream(
         fnCount(fnLit(1)),
         fnCoalesce(fnSum(fnLength(col("value"))).cast("long"), fnLit(0L)),
         ingestedBytesCol).collect()(0)
+      metrics.eventsProcessed.addAndGet(r.getLong(0))
+      metrics.bytesProcessed.addAndGet(r.getLong(1))
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    metrics.eventsProcessed.addAndGet(fusedStats._1)
-    metrics.bytesProcessed.addAndGet(fusedStats._2)
-    metrics.microbatches.incrementAndGet()
 
     branches.foreach { case (_, branchDf0) =>
       // F10 post-transform hook stage on the branch output.
@@ -356,7 +372,6 @@ final class Stream(
     // value itself was fused into the stats action (hook-free mode) or the
     // hook aggregation ('p'-row sum, post-hook values) — no extra job.
     metrics.bytesIngested.addAndGet(fusedStats._3)
-    metrics.eventProcessingTimeMicros.addAndGet((System.nanoTime() - t0) / 1000)
     if (shutdownRequested) supervisor.requestShutdown(spec.id)
     resourceId
   }

@@ -224,7 +224,18 @@ final class KeyedTableSink(
     val partitionField: String = "",
     val partitionType: String = "DAY",
     val clustering: Seq[String] = Nil,
-    val requirePartitionFilter: Boolean = false) {
+    val requirePartitionFilter: Boolean = false,
+    /** Target rows per written file when the caller supplies the batch size
+      * (`write(df, knownRows)`): an unbounded micro-batch stream appends
+      * sparkPartitions × batches files without packing — the classic
+      * small-files failure on a long-lived table. Default ~1M small keyed
+      * rows ≈ tens of MB of parquet, a sane file size for later scans;
+      * tunable per sink via the `rowsPerFile` sink property (rows are the
+      * unit the runtime's fused batch probe already knows — no byte
+      * estimation pass).
+      */
+    val rowsPerFile: Long = 1000000L) {
+  require(rowsPerFile >= 1, s"rowsPerFile must be >= 1 (got $rowsPerFile)")
 
   private def truncUnit: String = partitionType.toUpperCase match {
     case "HOUR" => "hour"
@@ -232,14 +243,6 @@ final class KeyedTableSink(
     case "YEAR" => "year"
     case _ => "day"
   }
-
-  /** Target rows per written file when the caller supplies the batch size
-    * (`write(df, knownRows)`): an unbounded micro-batch stream appends
-    * sparkPartitions × batches files without packing — the classic
-    * small-files failure on a long-lived table. ~1M small keyed rows ≈
-    * tens of MB of parquet, a sane file size for later scans.
-    */
-  val rowsPerFile: Long = 1000000L
 
   def write(df: DataFrame, knownRows: Long = -1L): Unit = {
     val hasPartition = partitionField.nonEmpty
@@ -252,13 +255,15 @@ final class KeyedTableSink(
     var out = df
     // small-files control: pack small batches into ~rowsPerFile-row files.
     // coalesce is NARROW — no shuffle, no extra job, the write job just
-    // runs fewer tasks — and large batches keep full write parallelism
-    // (coalesce never increases the partition count). Applied before the
+    // runs fewer tasks — and large batches keep full write parallelism:
+    // coalesce never increases the partition count, so a target above the
+    // frame's partitioning is a no-op (no defaultParallelism cap — capping
+    // would merge a 256-partition 200M-row batch down to the core count,
+    // producing oversized files AND fewer write tasks). Applied before the
     // clustering sort so sortWithinPartitions orders the merged output.
     if (knownRows >= 0) {
-      val cap = df.sparkSession.sparkContext.defaultParallelism.toLong
-      val target = math.max(1L,
-        math.min(cap, (knownRows + rowsPerFile - 1) / rowsPerFile))
+      val target = math.min(Int.MaxValue.toLong,
+        math.max(1L, (knownRows + rowsPerFile - 1) / rowsPerFile))
       out = out.coalesce(target.toInt)
     }
     if (hasPartition)

@@ -55,7 +55,20 @@ class HooksSpec extends AnyFunSuite {
       if (e.contains("BAD")) Hooks.UnretryableError else Hooks.Proceed(e)
     val gFail = new Geist(spark, RuntimeConfig(retryBackoffBaseMs = 1, preTransformHook = Some(hook)))
     val idF = gFail.registerStream(apiSpec("uhfail", houe = "fail")).fold(e => fail(e.msg), identity)
-    intercept[Exception] { gFail.publish(idF, """{"name": "BAD"}""") }
+    val badEvent = """{"name": "BAD"}"""
+    intercept[Exception] { gFail.publish(idF, badEvent) }
+    // the reference credits Events/Bytes at the top of the per-event loop,
+    // BEFORE the hook-action dispatch (executor.go:196-198), and
+    // Microbatches via the deferred processEventExit (executor.go:344-352)
+    // — so even the houe=fail throw leaves the processed counters advanced
+    // while the sink counters stay flat
+    val mF = gFail.metrics(idF)
+    assert(mF("EventsProcessed") == 1L, "hook-failed batch still counts processed events")
+    assert(mF("BytesProcessed") == badEvent.length.toLong)
+    assert(mF("Microbatches") == 1L)
+    assert(mF("EventsStoredInSink") == 0L)
+    assert(mF("SinkOperations") == 0L)
+    assert(mF("BytesIngested") == 0L)
     gFail.shutdown()
 
     val gDisc = new Geist(spark, RuntimeConfig(retryBackoffBaseMs = 1, preTransformHook = Some(hook)))

@@ -41,6 +41,13 @@ class SinkSpec extends AnyFunSuite {
     // empty partitions emit no file, so 3 rows across 4 partitions yield
     // up to 4 files — the point is plural files without the hint
     assert(partFiles(p2) >= 2, "unhinted write keeps the batch's partitioning")
+    // rowsPerFile tunes the packing target (sink property `rowsPerFile`):
+    // at 1 row/file a 3-row batch wants 3 files, and coalesce never
+    // INCREASES partitions, so the 2-partition frame keeps its 2 files
+    val p3 = tmp()
+    new KeyedTableSink(p3, rowsPerFile = 1L).write(rows.repartition(2), knownRows = 3L)
+    assert(partFiles(p3) == 2, "rowsPerFile=1 must not pack below the target")
+    intercept[IllegalArgumentException] { new KeyedTableSink(tmp(), rowsPerFile = 0L) }
   }
 
   test("G6 parse: tableCreation yields partition type/field, clustering, filter requirement") {

@@ -347,6 +347,28 @@ class TransformConformanceSpec extends AnyFunSuite {
     assert(errs.toSeq == Seq(bad))
   }
 
+  test("whole-event regexp non-match routes to error frame, not a null-payload row (transformer.go:191-196)") {
+    // regexp with NO extractFields applies to the raw event (RegexpBranch);
+    // the reference's applyRegExp panics on non-match → regexpTransform
+    // returns err → the event is an unretryable error, never sink output.
+    // Regression: this path used to emit the routed row with
+    // regexppayload = null while errorFrame ALSO flagged it — one event
+    // simultaneously 'stored in sink' and 'unretryable error'.
+    val spec = exclusionSpec(
+      """{
+        |  "regexp": {"expression": "^.*num=(?P<num>\\d+).*$"}
+        |}""".stripMargin)
+    val good = """num=42"""
+    val bad = """no digits here"""
+    val p = compiled(spec)
+    val df = eventsDf(good, bad)
+    val out = p(df).toMap.apply("regexp").collect()
+    assert(out.length == 1, "non-matching event must not produce a sink row")
+    assert(out(0).getAs[String]("regexppayload") == """{"num":"42"}""")
+    val errs = p.errorFrame(df).as[String].collect()
+    assert(errs.toSeq == Seq(bad))
+  }
+
   // --------------------------------------------------------------------- F8
 
   test("userAgent extraction — exact golden (transformer_test.go:349-367)") {

@@ -52,8 +52,9 @@ class WindowAuditSpec extends AnyFunSuite {
   private val replicateFrame =
     "B-row bootstrap replicate frame (replicates <= 200 enforced by bootstrapMeans)"
   private val allow: Map[String, Seq[(String, String)]] = Map(
-    "ns_align_scores" -> Seq(
-      ("__align_bk ASC NULLS FIRST | sum(__align_bn" -> bucketOffsets)),
+    // ns_align_scores needs no entry: its bucket offsets prefix-sum on the
+    // DRIVER from the collected <= refBuckets-row count frame, so no
+    // unpartitioned window exists in its plan at all
     "ns_bootstrap_ci" -> Seq(
       (" | count(1) windowspecdefinition" -> replicateFrame),
       ("mean_milli ASC NULLS FIRST,replicate ASC NULLS FIRST | row_number()" ->
