@@ -19,6 +19,31 @@ private[graft] object EntriesCuration {
   import EntrySupport._
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_bleu" -> ((s, dir) =>
+      // corpus-scale BLEU components over the shared eval-pair frame
+      // (even ids: high-overlap truncated-self pairs exercising the clip;
+      // odd ids: adjacent-doc pairs exercising the low-overlap regime);
+      // the permille geometric mean rides the corrected floor-isqrt grid
+      graft.ops.EvalMetrics.bleuComponents(
+        evalPairs(s, dir), "pair_id", "cand", "ref")),
+    "ns_rouge" -> ((s, dir) =>
+      // ROUGE-1/2 recall + P/F1 permille per pair, long by n — same pair
+      // frame as ns_bleu so the two gates pin the shared overlap kernel
+      graft.ops.EvalMetrics.rougeN(
+        evalPairs(s, dir), "pair_id", "cand", "ref", maxN = 2)),
+    "ns_chrf" -> ((s, dir) =>
+      // character n-gram F (chrF's unit, β=2 column included), texts
+      // truncated to 500 chars BEFORE gram extraction (the length² guard)
+      graft.ops.EvalMetrics.chrF(
+        evalPairs(s, dir), "pair_id", "cand", "ref", maxN = 3, maxChars = 500)),
+    "ns_bradley_terry" -> ((s, dir) =>
+      // global leaderboard strength over the same judgment stream the
+      // Copeland gate ranks: 3 MM rounds in micro-units, max-norm per
+      // round — the oracle unrolls the identical integer arithmetic
+      graft.ops.Curation.bradleyTerry(
+        t(s, dir, "events").select((col("event_id") % 9).as("winner"),
+          ((col("event_id") * 7 + 3) % 9).as("loser")),
+        "winner", "loser", iters = 3)),
     "ns_preference_pairs" -> ((s, dir) =>
       // RLHF pair construction: per user (the prompt proxy) the best- and
       // worst-scored events become (chosen, rejected), gap-gated at one
@@ -584,6 +609,131 @@ private[graft] object EntriesCuration {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ns_bleu" ->
+      s"""WITH $evalPairsSql,
+         |${ngramCompSql(4)},
+         |wide AS (SELECT pair_id,
+         |    CAST(coalesce(sum(CASE WHEN n = 1 THEN m END), 0) AS BIGINT) AS m1,
+         |    CAST(coalesce(sum(CASE WHEN n = 1 THEN t END), 0) AS BIGINT) AS t1,
+         |    CAST(coalesce(sum(CASE WHEN n = 2 THEN m END), 0) AS BIGINT) AS m2,
+         |    CAST(coalesce(sum(CASE WHEN n = 2 THEN t END), 0) AS BIGINT) AS t2,
+         |    CAST(coalesce(sum(CASE WHEN n = 3 THEN m END), 0) AS BIGINT) AS m3,
+         |    CAST(coalesce(sum(CASE WHEN n = 3 THEN t END), 0) AS BIGINT) AS t3,
+         |    CAST(coalesce(sum(CASE WHEN n = 4 THEN m END), 0) AS BIGINT) AS m4,
+         |    CAST(coalesce(sum(CASE WHEN n = 4 THEN t END), 0) AS BIGINT) AS t4
+         |  FROM comp GROUP BY 1),
+         |lw AS (SELECT tk.pair_id, CAST(len(ct) AS BIGINT) AS cand_len,
+         |    CAST(len(rt) AS BIGINT) AS ref_len,
+         |    coalesce(m1, 0) AS m1, coalesce(t1, 0) AS t1, coalesce(m2, 0) AS m2,
+         |    coalesce(t2, 0) AS t2, coalesce(m3, 0) AS m3, coalesce(t3, 0) AS t3,
+         |    coalesce(m4, 0) AS m4, coalesce(t4, 0) AS t4
+         |  FROM tk LEFT JOIN wide USING (pair_id)),
+         |pp AS (SELECT *, CASE WHEN t1 > 0 THEN m1 * 1000 // t1 END AS p1,
+         |    CASE WHEN t2 > 0 THEN m2 * 1000 // t2 END AS p2,
+         |    CASE WHEN t3 > 0 THEN m3 * 1000 // t3 END AS p3,
+         |    CASE WHEN t4 > 0 THEN m4 * 1000 // t4 END AS p4 FROM lw),
+         |pr AS (SELECT *, p1 * p2 * p3 * p4 AS prod FROM pp),
+         |i1 AS (SELECT *, CAST(floor(sqrt(CAST(prod AS DOUBLE))) AS HUGEINT) AS r0 FROM pr),
+         |c1 AS (SELECT *, CASE WHEN (r0 + 1) * (r0 + 1) <= prod THEN r0 + 1 ELSE r0 END AS r1 FROM i1),
+         |s1 AS (SELECT *, CAST(CASE WHEN r1 * r1 > prod THEN r1 - 1 ELSE r1 END AS BIGINT) AS sq1 FROM c1),
+         |i2 AS (SELECT *, CAST(floor(sqrt(CAST(sq1 AS DOUBLE))) AS HUGEINT) AS q0 FROM s1),
+         |c2 AS (SELECT *, CASE WHEN (q0 + 1) * (q0 + 1) <= sq1 THEN q0 + 1 ELSE q0 END AS q1 FROM i2),
+         |s2 AS (SELECT *, CAST(CASE WHEN q1 * q1 > sq1 THEN q1 - 1 ELSE q1 END AS BIGINT) AS geo FROM c2)
+         |SELECT pair_id, cand_len, ref_len,
+         |  m1 AS matches_1, t1 AS total_1, m2 AS matches_2, t2 AS total_2,
+         |  m3 AS matches_3, t3 AS total_3, m4 AS matches_4, t4 AS total_4,
+         |  CASE WHEN t1 > 0 AND t2 > 0 AND t3 > 0 AND t4 > 0 THEN geo END
+         |    AS precision_geo_permille
+         |FROM s2""".stripMargin,
+    "ns_rouge" ->
+      s"""WITH $evalPairsSql,
+         |${ngramCompSql(2)},
+         |prf AS (SELECT pair_id, n, m AS matches, t AS cand_total, rt AS ref_total,
+         |    CASE WHEN t > 0 THEN m * 1000 // t END AS precision_permille,
+         |    CASE WHEN rt > 0 THEN m * 1000 // rt END AS recall_permille
+         |  FROM comp)
+         |SELECT *, CASE WHEN precision_permille IS NOT NULL AND recall_permille IS NOT NULL
+         |    AND precision_permille + recall_permille > 0
+         |    THEN precision_permille * recall_permille * 2 // (precision_permille + recall_permille)
+         |  END AS f1_permille
+         |FROM prf""".stripMargin,
+    "ns_chrf" ->
+      """WITH p0 AS (SELECT a.doc_id AS pair_id,
+        |  CASE WHEN a.doc_id % 2 = 0
+        |       THEN array_to_string(list_slice(string_split_regex(trim(lower(a.text)), '\s+'), 1, 40), ' ')
+        |       ELSE a.text END AS cand,
+        |  CASE WHEN a.doc_id % 2 = 0 THEN a.text ELSE b.text END AS ref
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+        |tk AS MATERIALIZED (SELECT pair_id,
+        |    substr(trim(lower(coalesce(cand, ''))), 1, 500) AS cs,
+        |    substr(trim(lower(coalesce(ref, ''))), 1, 500) AS rs FROM p0),
+        |ns AS (SELECT pair_id, cs, rs, CAST(unnest([1, 2, 3]) AS BIGINT) AS n FROM tk),
+        |cgr AS (SELECT pair_id, n, unnest(list_transform(range(1, length(cs) - n + 2),
+        |          i -> substr(cs, CAST(i AS INT), CAST(n AS INT)))) AS gram FROM ns),
+        |rgr AS (SELECT pair_id, n, unnest(list_transform(range(1, length(rs) - n + 2),
+        |          i -> substr(rs, CAST(i AS INT), CAST(n AS INT)))) AS gram FROM ns),
+        |cc AS (SELECT pair_id, n, gram, count(*) AS c FROM cgr GROUP BY 1, 2, 3),
+        |rc AS (SELECT pair_id, n, gram, count(*) AS r FROM rgr GROUP BY 1, 2, 3),
+        |g AS (SELECT coalesce(cc.pair_id, rc.pair_id) AS pair_id, coalesce(cc.n, rc.n) AS n,
+        |        coalesce(cc.c, 0) AS c, coalesce(rc.r, 0) AS r
+        |      FROM cc FULL JOIN rc ON cc.pair_id = rc.pair_id AND cc.n = rc.n AND cc.gram = rc.gram),
+        |comp AS (SELECT pair_id, n, CAST(sum(least(c, r)) AS BIGINT) AS m,
+        |        CAST(sum(c) AS BIGINT) AS t, CAST(sum(r) AS BIGINT) AS rt
+        |      FROM g GROUP BY 1, 2),
+        |prf AS (SELECT pair_id, n, m AS matches, t AS cand_total, rt AS ref_total,
+        |    CASE WHEN t > 0 THEN m * 1000 // t END AS precision_permille,
+        |    CASE WHEN rt > 0 THEN m * 1000 // rt END AS recall_permille
+        |  FROM comp)
+        |SELECT *,
+        |  CASE WHEN precision_permille IS NOT NULL AND recall_permille IS NOT NULL
+        |    AND precision_permille + recall_permille > 0
+        |    THEN precision_permille * recall_permille * 2 // (precision_permille + recall_permille)
+        |  END AS f1_permille,
+        |  CASE WHEN precision_permille IS NOT NULL AND recall_permille IS NOT NULL
+        |    AND precision_permille * 4 + recall_permille > 0
+        |    THEN precision_permille * recall_permille * 5 // (precision_permille * 4 + recall_permille)
+        |  END AS f2_permille
+        |FROM prf""".stripMargin,
+    "ns_bradley_terry" -> {
+      // GENERATED 3-round MM unroll in micro-units (the pageRank/HITS
+      // oracle convention: HUGEINT carriers, integer //, scalar-subquery
+      // max-norm per round)
+      val rounds = (1 to 3).map { i =>
+        s"""t$i AS MATERIALIZED (
+           |  SELECT p.a, p.b,
+           |    CASE WHEN sa.s + sb.s > 0
+           |         THEN (CAST(p.n AS HUGEINT) * 1000000 * 1000000) // (sa.s + sb.s)
+           |         ELSE 0 END AS t
+           |  FROM bt_pairs p JOIN it${i - 1} sa ON p.a = sa.item
+           |    JOIN it${i - 1} sb ON p.b = sb.item),
+           |d$i AS MATERIALIZED (
+           |  SELECT item, sum(t) AS d FROM (
+           |    SELECT a AS item, t FROM t$i UNION ALL SELECT b, t FROM t$i) GROUP BY 1),
+           |r$i AS MATERIALIZED (
+           |  SELECT b.item,
+           |    CASE WHEN coalesce(d.d, 0) > 0
+           |         THEN (CAST(b.wins AS HUGEINT) * 1000000 * 1000000) // d.d
+           |         ELSE 0 END AS r
+           |  FROM base b LEFT JOIN d$i d USING (item)),
+           |it$i AS MATERIALIZED (
+           |  SELECT item, (r * 1000000) // greatest((SELECT max(r) FROM r$i), 1) AS s
+           |  FROM r$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH j AS MATERIALIZED (
+         |  SELECT event_id % 9 AS w, (event_id * 7 + 3) % 9 AS l FROM events
+         |  WHERE event_id % 9 <> (event_id * 7 + 3) % 9),
+         |bt_pairs AS MATERIALIZED (SELECT least(w, l) AS a, greatest(w, l) AS b,
+         |    CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1, 2),
+         |wn AS (SELECT w AS item, CAST(count(*) AS BIGINT) AS wins FROM j GROUP BY 1),
+         |gm AS (SELECT item, CAST(sum(n) AS BIGINT) AS games FROM (
+         |    SELECT a AS item, n FROM bt_pairs UNION ALL SELECT b, n FROM bt_pairs) GROUP BY 1),
+         |base AS MATERIALIZED (SELECT gm.item, CAST(coalesce(wn.wins, 0) AS BIGINT) AS wins,
+         |    gm.games FROM gm LEFT JOIN wn USING (item)),
+         |it0 AS (SELECT item, CAST(1000000 AS HUGEINT) AS s FROM base),
+         |$rounds
+         |SELECT base.item, base.wins, base.games, CAST(it3.s AS BIGINT) AS skill_micro
+         |FROM base JOIN it3 USING (item)""".stripMargin
+    },
     // ns_epoch_value is a DERIVED oracle (wraps the ns_epoch_plan SQL) —
     // composed in SparkEntry.oracleSql so the two gates cannot drift
     "ns_mix_value" ->

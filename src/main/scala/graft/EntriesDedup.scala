@@ -138,6 +138,18 @@ private[graft] object EntriesDedup {
           .select(col("vec_id"), col("label").cast("long").as("label"),
             col("embedding").cast("array<double>").as("vec")),
         "vec", "vec_id", "label", k = 5, minAgree = 3L)),
+    "ns_mmr" -> ((s, dir) => {
+      // diversity-aware selection: 8 MMR picks (λ = 1/2) from the 300-
+      // vector pool against vec 0 as the query — the oracle replays the
+      // greedy loop as a recursive CTE carrying the full candidate state
+      // (id, rel, max-sim-to-selected) per round; rank-only output like
+      // the ANN gates (cosine ORDERING replays cross-engine, floats don't)
+      val e = t(s, dir, "embeddings").filter(col("vec_id") >= 1 && col("vec_id") < 300)
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      val q = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+      graft.ops.Similarity.mmrSelect(e, "vec", "id", q, k = 8, lambdaPermille = 500)
+    }),
     "ns_embed_topk" -> ((s, dir) => {
       // corpus bounded to vec_id < 1000 (the whole table at the
       // correctness SF): the ANN gates deliberately run exhaustively to
@@ -622,6 +634,32 @@ private[graft] object EntriesDedup {
         |       len(list_intersect(a.grams, b.grams)) AS n_common,
         |       len(list_distinct(list_concat(a.grams, b.grams))) AS n_union
         |FROM g a JOIN g b ON a.doc_id < b.doc_id""".stripMargin,
+    "ns_mmr" ->
+      """WITH RECURSIVE
+        |base AS MATERIALIZED (
+        |  SELECT c.vec_id AS id, c.embedding::DOUBLE[] AS v,
+        |         list_cosine_similarity(c.embedding::DOUBLE[], q.qv) AS rel
+        |  FROM embeddings c,
+        |       (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+        |  WHERE c.vec_id >= 1 AND c.vec_id < 300),
+        |st AS (
+        |  -- msim starts NULL, not 0: a 0 sentinel would CLAMP negative
+        |  -- similarities (greatest(0, -x) = 0) while the operator's
+        |  -- max-over-selected keeps the true negative max; only the
+        |  -- SCORE coalesces the empty-set diversity term to 0
+        |  SELECT 0 AS r, id, v, rel, CAST(NULL AS DOUBLE) AS msim, CAST(NULL AS BIGINT) AS rk
+        |  FROM base
+        |  UNION ALL
+        |  SELECT r + 1, st.id, st.v, st.rel,
+        |    CASE WHEN st.rk IS NOT NULL OR st.id = w.id THEN st.msim
+        |         WHEN st.msim IS NULL THEN list_cosine_similarity(st.v, w.v)
+        |         ELSE greatest(st.msim, list_cosine_similarity(st.v, w.v)) END,
+        |    CASE WHEN st.rk IS NOT NULL THEN st.rk
+        |         WHEN st.id = w.id THEN CAST(r + 1 AS BIGINT) END
+        |  FROM st, (SELECT id, v FROM st WHERE rk IS NULL
+        |            ORDER BY 0.5 * rel - 0.5 * coalesce(msim, 0.0) DESC, id LIMIT 1) w
+        |  WHERE r < 8)
+        |SELECT rk AS rank, id FROM st WHERE r = 8 AND rk IS NOT NULL""".stripMargin,
     "ns_embed_topk" -> exactTopKSql,
     "ns_rank_agreement" ->
       """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec,

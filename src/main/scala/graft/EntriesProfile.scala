@@ -19,6 +19,13 @@ private[graft] object EntriesProfile {
   import EntrySupport._
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_shard_manifest" -> ((s, dir) =>
+      // dataset-publishing manifest: 16 portable-hash shards over the
+      // documents table, each with rows/bytes/id-range/an order-
+      // independent content digest + the balance share — one partial-agg
+      // groupBy, every number replayed by the md5 convention in SQL
+      graft.ops.Profile.shardManifest(t(s, dir, "documents"),
+        "doc_id", "text", shards = 16)),
     "ns_kripp_alpha" -> ((s, dir) =>
       // panel agreement with MISSING ratings: events quartets act as
       // annotation units (event_id div 4), event_type as the label, and
@@ -507,6 +514,24 @@ private[graft] object EntriesProfile {
       |FROM bw GROUP BY 1""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "ns_shard_manifest" ->
+      """WITH pr AS (SELECT
+        |    CAST((('0x' || substr(md5('graft-shard|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |          & 2147483647) % 16 AS BIGINT) AS shard,
+        |    doc_id,
+        |    CAST(coalesce(length(text), 0) AS BIGINT) AS b,
+        |    CAST((('0x' || substr(md5('graft-shard-digest|' || coalesce(text, '')), 1, 8))::UBIGINT
+        |          & 2147483647) AS BIGINT) AS h
+        |  FROM documents),
+        |m AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(b) AS BIGINT) AS bytes,
+        |        min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |        CAST(CAST(sum(h) AS HUGEINT) % 2305843009213693951 AS BIGINT) AS digest
+        |      FROM pr GROUP BY 1),
+        |t AS (SELECT CAST(sum(bytes) AS HUGEINT) AS tot FROM m)
+        |SELECT shard, n_rows, bytes, min_id, max_id, digest,
+        |  CASE WHEN t.tot > 0 THEN CAST((CAST(bytes AS HUGEINT) * 1000) // t.tot AS BIGINT)
+        |       ELSE 0 END AS bytes_share_permille
+        |FROM m, t""".stripMargin,
     "ns_bootstrap" -> bootstrapMeansSql,
     "ns_bootstrap_ci" ->
       s"""WITH means AS (

@@ -700,6 +700,60 @@ private[graft] object EntrySupport {
     s"""$minhashBandEqSql
        |  AND $minhashEstSql >= 0.5""".stripMargin
 
+  /** Shared eval-metric pair frame (ns_bleu / ns_rouge / ns_chrf): even
+    * doc ids pair a 40-token truncation of the doc against the doc itself
+    * (high overlap — exercises the clipped-count path), odd ids pair the
+    * doc against its successor (low overlap — the realistic regime). One
+    * definition + one SQL twin so the three gates share one pair source
+    * and cannot drift.
+    */
+  private[graft] def evalPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val a = docs.select(col("doc_id"), col("text"))
+    val b = docs.select((col("doc_id") - 1L).as("doc_id"), col("text").as("__next"))
+    a.join(b, "doc_id").select(col("doc_id").as("pair_id"),
+      when(col("doc_id") % 2 === 0,
+        concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 40)))
+        .otherwise(col("text")).as("cand"),
+      when(col("doc_id") % 2 === 0, col("text")).otherwise(col("__next")).as("ref"))
+  }
+
+  private[graft] val evalPairsSql =
+    """p AS (SELECT a.doc_id AS pair_id,
+      |  CASE WHEN a.doc_id % 2 = 0
+      |       THEN array_to_string(list_slice(string_split_regex(trim(lower(a.text)), '\s+'), 1, 40), ' ')
+      |       ELSE a.text END AS cand,
+      |  CASE WHEN a.doc_id % 2 = 0 THEN a.text ELSE b.text END AS ref
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1)""".stripMargin
+
+  /** Per-(pair, n) clipped word-n-gram counts over [[evalPairsSql]]'s `p`
+    * for n = 1..`maxN` — the oracle twin of
+    * [[graft.ops.EvalMetrics.ngramOverlap]]; ends with CTE `comp`
+    * (pair_id, n, m, t, rt).
+    */
+  private[graft] def ngramCompSql(maxN: Int): String = {
+    val ns = (1 to maxN).mkString(", ")
+    s"""tk AS MATERIALIZED (SELECT pair_id,
+       |    CASE WHEN length(trim(lower(cand))) = 0 THEN []::VARCHAR[]
+       |         ELSE string_split_regex(trim(lower(cand)), '\\s+') END AS ct,
+       |    CASE WHEN length(trim(lower(ref))) = 0 THEN []::VARCHAR[]
+       |         ELSE string_split_regex(trim(lower(ref)), '\\s+') END AS rt
+       |  FROM p),
+       |ns AS (SELECT pair_id, ct, rt, CAST(unnest([$ns]) AS BIGINT) AS n FROM tk),
+       |cgr AS (SELECT pair_id, n, unnest(list_transform(range(1, len(ct) - n + 2),
+       |          i -> array_to_string(list_slice(ct, i, i + n - 1), ' '))) AS gram FROM ns),
+       |rgr AS (SELECT pair_id, n, unnest(list_transform(range(1, len(rt) - n + 2),
+       |          i -> array_to_string(list_slice(rt, i, i + n - 1), ' '))) AS gram FROM ns),
+       |cc AS (SELECT pair_id, n, gram, count(*) AS c FROM cgr GROUP BY 1, 2, 3),
+       |rc AS (SELECT pair_id, n, gram, count(*) AS r FROM rgr GROUP BY 1, 2, 3),
+       |g AS (SELECT coalesce(cc.pair_id, rc.pair_id) AS pair_id, coalesce(cc.n, rc.n) AS n,
+       |        coalesce(cc.c, 0) AS c, coalesce(rc.r, 0) AS r
+       |      FROM cc FULL JOIN rc ON cc.pair_id = rc.pair_id AND cc.n = rc.n AND cc.gram = rc.gram),
+       |comp AS MATERIALIZED (SELECT pair_id, n, CAST(sum(least(c, r)) AS BIGINT) AS m,
+       |        CAST(sum(c) AS BIGINT) AS t, CAST(sum(r) AS BIGINT) AS rt
+       |      FROM g GROUP BY 1, 2)""".stripMargin
+  }
+
   /** Exact cosine top-k oracle — shared by ns_embed_topk and by the ANN
     * queries (which run in provably-exhaustive probe mode, so their output
     * must equal exact top-k: brute force, LSH, and IVF are mutually gated).

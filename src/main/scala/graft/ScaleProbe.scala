@@ -164,6 +164,24 @@ object ScaleProbe {
     run("passJoin", cust1, cust10,
       (df, _) => graft.ops.Fuzzy.editDistanceSelfJoin(df, "c_name",
         "c_custkey", maxDist = 2))
+    // eval metrics are one union-fed gram shuffle — the probe checks the
+    // claimed ~linear growth (adjacent-id pairs stay salt-local except
+    // one boundary pair per copy)
+    run("bleuComponents", docs1, docs10, (df, _) => {
+      val a = df.select(col("doc_id"), col("text"))
+      val b = df.select((col("doc_id") - 1L).as("doc_id"),
+        col("text").as("__next"))
+      graft.ops.EvalMetrics.bleuComponents(
+        a.join(b, "doc_id").select(col("doc_id").as("pair_id"),
+          col("text").as("cand"), col("__next").as("ref")),
+        "pair_id", "cand", "ref")
+    })
+    // MMR: k fixed, corpus grows — k TakeOrdered scans should scale
+    // linearly in the corpus
+    run("mmrSelect", vecs1, vecs10, (df, _) => {
+      val q = e0.orderBy("id").select("vec").head().getSeq[Double](0).toArray
+      graft.ops.Similarity.mmrSelect(df, "vec", "id", q, k = 8)
+    })
 
     // optional second arg: ALSO run the non-quadratic ops at `extra`x
     // copies (the trend check one decade up; unset = skip)

@@ -1801,6 +1801,120 @@ object Curation {
         col("ties"), col("copeland"), col("rk"))
   }
 
+  /** Bradley-Terry skill fitting over pairwise judgments by
+    * minorization-maximization (Hunter 2004) — the STRENGTH estimate the
+    * win-count rankings ([[copelandScores]]) cannot give: Copeland says
+    * who beats whom; BT says by how much, which is what reward-model
+    * data QA, annotator-pool weighting, and leaderboard aggregation
+    * actually consume. `iters` MM rounds of
+    *
+    *   sᵢ ← wᵢ / Σⱼ nᵢⱼ / (sᵢ + sⱼ)
+    *
+    * in integer micro-units (every item starts at 10⁶; each round
+    * max-normalizes the leader back to 10⁶ — the [[graft.ops.Graph.hits]]
+    * convention: max-norm needs no square root, preserves ratios, and
+    * keeps every intermediate inside integer arithmetic, so the oracle
+    * unrolls the rounds bit-for-bit). Items that never win fit to skill
+    * 0 (their MM fixed point; the +ε-smoothing variants are caller
+    * policy). MM converges monotonically for connected comparison
+    * graphs; disconnected components fit independently, which is the
+    * right answer (no information orders them).
+    *
+    * Integer envelope: per-pair game counts ≤ 10⁶ (guarded — beyond that
+    * nᵢⱼ·10¹² wraps a long; at 10⁶ games per PAIR you are aggregating a
+    * duplicate stream, not judgments); per-item sums carry in
+    * DECIMAL(38,0). Division floors compound deterministically, so skills
+    * replay exactly in any engine with 128-bit integer division.
+    *
+    * Scale shape: judgments reduce once to pair counts (partial-agg,
+    * pair-keyed); each round is one skill join per pair side + one
+    * item-keyed partial-agg sum + a broadcast one-row max — all frames
+    * item- or pair-sized, never judgment-sized. Loop discipline
+    * (SCALE.md "Iterative operators"): each round references the previous
+    * skills TWICE (both pair endpoints) and its own raw frame twice (the
+    * max-norm), so skills localCheckpoint per round — a cache would grow
+    * the LOGICAL plan ~8× per round and the plan STRING geometrically —
+    * with superseded checkpoint blocks released via
+    * `bridge.unpersistLocalCheckpoint`. The returned frame is itself a
+    * LOCAL CHECKPOINT (materialized inside the call; blocks are
+    * ContextCleaner-collected once unreferenced).
+    *
+    * Output: (item, wins, games, skill_micro), one row per item ever
+    * judged. No rank column by design — ordering is `ORDER BY skill_micro
+    * DESC, item` at the consumer, which keeps this frame window-free.
+    */
+  def bradleyTerry(df: DataFrame, winnerCol: String, loserCol: String,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 16, "iters must be in [1, 16]")
+    val M = 1000000L
+    val dec = "decimal(38,0)"
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    val j = df.select(col(winnerCol).cast("long").as("w"),
+        col(loserCol).cast("long").as("l"))
+      .where(col("w").isNotNull && col("l").isNotNull && col("w") =!= col("l"))
+    // pair-keyed reduction: games per unordered pair + wins per item
+    val pairs = j.select(least(col("w"), col("l")).as("a"),
+        greatest(col("w"), col("l")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .withColumn("n", when(col("n") <= 1000000L, col("n"))
+        .otherwise(raise_error(concat(lit("bradleyTerry: pair ("),
+          col("a").cast("string"), lit(", "), col("b").cast("string"),
+          lit(") carries > 1e6 games - outside the integer envelope")))))
+      .persist()
+    val wins = j.groupBy(col("w").as("item")).agg(count(lit(1)).as("wins"))
+    val games = pairs.select(col("a").as("item"), col("n"))
+      .union(pairs.select(col("b").as("item"), col("n")))
+      .groupBy("item").agg(sum(col("n")).as("games"))
+    val base = games.join(wins, Seq("item"), "left")
+      .select(col("item"), coalesce(col("wins"), lit(0L)).as("wins"), col("games"))
+      .persist()
+
+    var cur = base.select(col("item"), lit(M).as("s")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val sa = cur.select(col("item").as("a"), col("s").as("__sa"))
+      val sb = cur.select(col("item").as("b"), col("s").as("__sb"))
+      // term = n·M² div (sᵢ+sⱼ); both-zero skills contribute nothing
+      // (their pair is mutual-zero-win — no mass to exchange)
+      val terms = pairs.join(sa, "a").join(sb, "b")
+        .select(col("a"), col("b"),
+          when(col("__sa") + col("__sb") > 0,
+            idiv(col("n") * M * M, col("__sa") + col("__sb")))
+            .otherwise(lit(0L)).as("t"))
+      val denom = terms.select(col("a").as("item"), col("t"))
+        .union(terms.select(col("b").as("item"), col("t")))
+        .groupBy("item").agg(sum(col("t").cast(dec)).as("d"))
+      // raw persists (cache, not checkpoint: its lineage is one shallow
+      // round body over the checkpointed cur) because the max-norm
+      // references it twice; the round's eager checkpoint materializes it
+      val raw = base.join(denom, Seq("item"), "left")
+        .select(col("item"),
+          when(coalesce(col("d"), lit(0L).cast(dec)) > 0,
+            idiv((col("wins") * M).cast(dec) * lit(M).cast(dec), col("d")))
+            .otherwise(lit(0L)).as("r"))
+        .persist()
+      // broadcast one-row max-norm (never 0 while any judgment exists:
+      // some item won, its denominator is positive, its raw is positive)
+      val mx = raw.agg(max(col("r")).as("__mx"))
+      val next = raw.crossJoin(broadcast(mx))
+        .select(col("item"), idiv(col("r") * M, greatest(col("__mx"), lit(1L)))
+          .as("s"))
+        .localCheckpoint(true)
+      raw.unpersist()
+      org.apache.spark.sql.graft.bridge.unpersistLocalCheckpoint(cur)
+      cur = next
+    }
+    // checkpoint the RESULT before releasing the final round's blocks —
+    // the seedDistance contract (the result must not alias released
+    // storage; a cache would stay recomputable-from-lineage into
+    // destroyed blocks)
+    val out = base.join(cur, "item")
+      .select(col("item"), col("wins"), col("games"), col("s").as("skill_micro"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.bridge.unpersistLocalCheckpoint(cur)
+    pairs.unpersist(); base.unpersist()
+    out
+  }
+
   /** Waterfilling token allocation — the mixture planner for the case
     * [[epochPlan]] punts on: you have target WEIGHTS (not a fixed permille
     * per stratum) and some strata cannot supply their proportional share.

@@ -1,0 +1,206 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-scale n-gram overlap metrics between paired texts — the eval
+  * half of a training-data pipeline: scoring model outputs against
+  * references (BLEU / ROUGE-N), measuring self-similarity of generated
+  * corpora (pair each sample with a sampled peer and read the BLEU
+  * column — self-BLEU), and character-level F for morphologically rich
+  * languages where word n-grams under-credit (chrF). One operator call
+  * scores MILLIONS of pairs in two shuffles; the per-pair loop every
+  * reference implementation ships is the non-distributed shape.
+  *
+  * All outputs are integer-exact (counts + permille ratios via integer
+  * division, geometric means via the floor-isqrt grid), so every score
+  * replays bit-for-bit in an independent SQL engine — the same contract
+  * discipline as the planning/profile families. The float variants
+  * (exp-brevity-penalty BLEU, smoothed precisions) are one `CASE` away
+  * from the emitted components and deliberately NOT emitted: floats
+  * don't replay across engines, components do.
+  *
+  * Tokenization = the corpus convention everywhere else in the repo:
+  * lowercase, split on `\s+`, empty/blank text = zero tokens.
+  *
+  * Scale shape (identical for all three):
+  *   1. explode each side's n-grams for ALL n in one generator pass —
+  *      rows carry (pair_id, n, gram, side);
+  *   2. ONE hash shuffle on (pair_id, n, gram) with map-side partial
+  *      aggregation produces per-gram candidate/reference counts;
+  *      clipped matches = Σ min(cand_count, ref_count) — the modified
+  *      precision of Papineni et al. 2002 — reduce in the same pass;
+  *   3. one pair-sized shuffle pivots n=1..N wide.
+  * No join of the two explode streams (a union feeds one aggregation),
+  * no window, no driver state. Skew = one pathological pair's grams
+  * land on Σ-of-its-grams reducers, not one.
+  */
+object EvalMetrics {
+
+  private def toks(c: Column): Column = {
+    val t = trim(lower(c))
+    when(c.isNull || length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
+
+  /** Word n-grams of `tokens` for one n, space-joined; empty when the
+    * text has fewer than n tokens (sequence() would go DESCENDING on an
+    * inverted range — the guard is load-bearing, not cosmetic).
+    */
+  private def grams(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      transform(sequence(lit(1), size(tokens) - lit(n - 1)),
+        i => concat_ws(" ", slice(tokens, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-(pair, n) clipped-match components over word n-grams:
+    * (pair_id, n, matches, cand_total, ref_total) — `matches` is the
+    * CLIPPED count (per distinct gram, min of the two sides' counts), so
+    * a candidate repeating a reference word 50 times scores it once per
+    * reference occurrence, never 50. The building block [[bleuComponents]]
+    * and [[rougeN]] pivot from.
+    */
+  def ngramOverlap(pairs: DataFrame, pairIdCol: String, candCol: String,
+      refCol: String, maxN: Int): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, "maxN must be in [1, 8]")
+    val base = pairs.select(col(pairIdCol).as("pair_id"),
+      toks(col(candCol)).as("__ct"), toks(col(refCol)).as("__rt"))
+    sideCounts(base, (d, n) => grams(d("__ct"), n), (d, n) => grams(d("__rt"), n), maxN)
+  }
+
+  /** Shared explode→count→clip kernel for word and character grams.
+    * `candG`/`refG` build the gram array for a given n from the base
+    * frame's prepared columns.
+    */
+  private def sideCounts(base: DataFrame,
+      candG: (DataFrame, Int) => Column, refG: (DataFrame, Int) => Column,
+      maxN: Int): DataFrame = {
+    // one generator pass per side covering every n: arrays of (n, gram)
+    // structs concatenated, then a single explode — the alternative
+    // (explode per n) multiplies scan+shuffle count by maxN
+    def tagged(side: DataFrame, f: (DataFrame, Int) => Column, flag: Int): DataFrame = {
+      val all = concat((1 to maxN).map { n =>
+        transform(f(side, n), g => struct(lit(n.toLong).as("n"), g.as("gram")))
+      }: _*)
+      side.select(col("pair_id"), explode(all).as("__g"))
+        .select(col("pair_id"), col("__g.n").as("n"), col("__g.gram").as("gram"),
+          lit(flag).as("__side"))
+    }
+    val both = tagged(base, candG, 0).union(tagged(base, refG, 1))
+    val perGram = both.groupBy(col("pair_id"), col("n"), col("gram"))
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__c"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__r"))
+    perGram.groupBy(col("pair_id"), col("n"))
+      .agg(sum(least(col("__c"), col("__r"))).as("matches"),
+        sum(col("__c")).as("cand_total"),
+        sum(col("__r")).as("ref_total"))
+  }
+
+  /** BLEU components per pair, integer-exact wide row:
+    *
+    *   - `cand_len`, `ref_len` — token counts (the brevity-penalty
+    *     inputs; BP itself is `exp(1 - r/c)`, a float — compute it from
+    *     these two columns when a float BLEU is wanted)
+    *   - `matches_n`, `total_n` for n = 1..4 — clipped matches and
+    *     candidate n-gram counts (modified precision numerator and
+    *     denominator)
+    *   - `precision_geo_permille` — the BLEU core
+    *     (∏ pₙ)^(1/4) on the permille grid, pₙ = 1000·matchesₙ div
+    *     totalₙ, the 4th root as isqrt∘isqrt (floors compound
+    *     deterministically — the [[Curation.temperatureMixture]]
+    *     quarter-power contract); NULL when the candidate is shorter
+    *     than 4 tokens (total₄ = 0: BLEU is undefined, smoothing is a
+    *     caller policy, not a default we bake in).
+    *
+    * Every pair appears exactly once, including zero-token candidates
+    * (all components 0 / NULL geo).
+    */
+  def bleuComponents(pairs: DataFrame, pairIdCol: String, candCol: String,
+      refCol: String): DataFrame = {
+    val base = pairs.select(col(pairIdCol).as("pair_id"),
+      toks(col(candCol)).as("__ct"), toks(col(refCol)).as("__rt"))
+    val lens = base.select(col("pair_id"), size(col("__ct")).cast("long").as("cand_len"),
+      size(col("__rt")).cast("long").as("ref_len"))
+    val comp = ngramOverlap(pairs, pairIdCol, candCol, refCol, maxN = 4)
+    val aggs = (1 to 4).flatMap { n =>
+      Seq(sum(when(col("n") === n, col("matches")).otherwise(0L)).as(s"matches_$n"),
+        sum(when(col("n") === n, col("cand_total")).otherwise(0L)).as(s"total_$n"))
+    }
+    val wide = comp.groupBy(col("pair_id")).agg(aggs.head, aggs.tail: _*)
+    def p(n: Int): Column =
+      when(col(s"total_$n") > 0,
+        call_function("div", col(s"matches_$n") * 1000L, col(s"total_$n")))
+    // pₙ ≤ 1000 so the product ≤ 10¹² — comfortably inside the isqrt
+    // envelope; 4th root of permille⁴ is permille
+    val geo = when((1 to 4).map(n => col(s"total_$n") > 0).reduce(_ && _),
+      Curation.isqrtExact(Curation.isqrtExact(p(1) * p(2) * p(3) * p(4))))
+    lens.join(wide, Seq("pair_id"), "left")
+      .select(col("pair_id") +: col("cand_len") +: col("ref_len") +:
+        (1 to 4).flatMap(n => Seq(coalesce(col(s"matches_$n"), lit(0L)).as(s"matches_$n"),
+          coalesce(col(s"total_$n"), lit(0L)).as(s"total_$n"))) :+
+        geo.as("precision_geo_permille"): _*)
+  }
+
+  /** ROUGE-N per pair for n = 1..`maxN`: clipped matches, the two
+    * totals, and the permille recall / precision / F1 —
+    * recall = 1000·m div ref_total (the ROUGE headline number),
+    * F1 = 2·P·R div (P+R) on the permille grid. One output row per
+    * (pair, n); pairs whose REFERENCE has no n-gram emit NULL recall
+    * (undefined, not zero — a zero would rank an empty reference as
+    * "perfectly missed").
+    */
+  def rougeN(pairs: DataFrame, pairIdCol: String, candCol: String,
+      refCol: String, maxN: Int = 2): DataFrame = {
+    val comp = ngramOverlap(pairs, pairIdCol, candCol, refCol, maxN)
+    withPrf(comp)
+  }
+
+  /** chrF components: character-n-gram overlap for n = 1..`maxN`
+    * (standard chrF uses 6; pass what the texts' length budget affords),
+    * same P/R/F1 permille columns as [[rougeN]] — chrF's β = 2 variant
+    * weights recall, F2 = 5·P·R div (4·P + R), also emitted. Texts are
+    * lowercased + trimmed; `maxChars` truncates BEFORE gram extraction
+    * so one pathological document can't explode length² rows.
+    */
+  def chrF(pairs: DataFrame, pairIdCol: String, candCol: String,
+      refCol: String, maxN: Int = 3, maxChars: Int = 2000): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, "maxN must be in [1, 8]")
+    require(maxChars >= maxN, "maxChars must cover at least one gram")
+    def prep(c: Column): Column = substring(trim(lower(coalesce(c, lit("")))), 1, maxChars)
+    val base = pairs.select(col(pairIdCol).as("pair_id"),
+      prep(col(candCol)).as("__cs"), prep(col(refCol)).as("__rs"))
+    def cg(d: DataFrame, colName: String, n: Int): Column = {
+      val t = col(colName)
+      when(length(t) >= n,
+        transform(sequence(lit(1), length(t) - lit(n - 1)),
+          i => t.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val comp = sideCounts(base, (d, n) => cg(d, "__cs", n), (d, n) => cg(d, "__rs", n), maxN)
+    withPrf(comp).withColumn("f2_permille",
+      when(col("precision_permille").isNotNull && col("recall_permille").isNotNull &&
+        (col("precision_permille") * 4L + col("recall_permille")) > 0,
+        call_function("div",
+          col("precision_permille") * col("recall_permille") * 5L,
+          col("precision_permille") * 4L + col("recall_permille"))))
+  }
+
+  /** Attach permille precision / recall / F1 to an [[ngramOverlap]]-shaped
+    * frame. NULL when the respective denominator is 0; F1 NULL unless
+    * both sides defined and P+R > 0.
+    */
+  private def withPrf(comp: DataFrame): DataFrame =
+    comp
+      .withColumn("precision_permille",
+        when(col("cand_total") > 0,
+          call_function("div", col("matches") * 1000L, col("cand_total"))))
+      .withColumn("recall_permille",
+        when(col("ref_total") > 0,
+          call_function("div", col("matches") * 1000L, col("ref_total"))))
+      .withColumn("f1_permille",
+        when(col("precision_permille").isNotNull && col("recall_permille").isNotNull &&
+          (col("precision_permille") + col("recall_permille")) > 0,
+          call_function("div",
+            col("precision_permille") * col("recall_permille") * 2L,
+            col("precision_permille") + col("recall_permille"))))
+}

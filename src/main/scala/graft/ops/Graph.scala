@@ -356,9 +356,13 @@ object Graph {
   def seedDistance(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, maxHops: Int = 3): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
+    // NO edge distinct: BFS is duplicate-insensitive (the per-round
+    // frontier `distinct` absorbs dupes), so a dedup here would be a full
+    // edge-table shuffle bought for nothing — on a heavy-duplicate edge
+    // stream dedupe at the SOURCE where the duplication is known
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().persist()
+      .persist()
     var frontier = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("hops", lit(0L)).localCheckpoint(true)
     var dist = frontier
@@ -417,9 +421,11 @@ object Graph {
   def seedAttribution(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, maxHops: Int = 3): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
+    // NO edge distinct (the seedDistance rationale): the per-round
+    // min(seed) aggregate is duplicate-insensitive
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().persist()
+      .persist()
     var frontier = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("hops", lit(0L)).withColumn("seed", col("node"))
       .localCheckpoint(true)

@@ -1129,4 +1129,64 @@ object Profile {
         call_function("div", lit(1000000L).cast(dec) * col("n") * col("__N"),
           col("n_a") * col("n_b")).as("lift_micro"))
   }
+
+  /** Deterministic shard assignment + per-shard manifest — the publishing
+    * step of a dataset build: rows hash into `shards` stable buckets and
+    * each bucket reports the numbers a consumer verifies a download
+    * against (row count, payload bytes, id range, an order-independent
+    * content digest) plus the balance number the WRITER consults
+    * (`bytes_share_permille` — a shard far off 1000/shards means the id
+    * space or payload sizes are skewed and the shard count should move).
+    *
+    * Assignment is [[graft.ops.Curation.portableHash31]] mod `shards` on
+    * the ID, so shard membership is a pure row-local predicate: any
+    * engine, any run, any subset of workers re-derives the same
+    * assignment (re-sharding a 100 TB corpus must never depend on row
+    * order or partition layout). The digest is Σ per-row 31-bit payload
+    * hashes mod 2⁶¹−1 — commutative, so it is insensitive to row order
+    * WITHIN a shard (parquet writers reorder freely) while any dropped,
+    * duplicated, or corrupted row moves it.
+    *
+    * Scale shape: one partial-aggregated groupBy on the shard id —
+    * `shards` output rows, the exchange carries one partial row per
+    * (task, shard). The share column rides a single-partition window over
+    * the MANIFEST frame (≤ `shards` rows, the crossTab convention — a
+    * second aggregate branch would re-scan the corpus).
+    * NULL payloads count 0 bytes and hash as the empty
+    * string (distinguishable in `rows` vs a missing row, which is the
+    * audit that matters).
+    *
+    * Output: (shard, n_rows, bytes, min_id, max_id, digest,
+    * bytes_share_permille); an EMPTY shard is absent — absence is the
+    * signal that the hash space is under-filled, not a zero row.
+    */
+  def shardManifest(df: DataFrame, idCol: String, payloadCol: String,
+      shards: Int): DataFrame = {
+    require(shards >= 1 && shards <= 1000000, "shards must be in [1, 1e6]")
+    val dec = "decimal(38,0)"
+    val Mod = 2305843009213693951L // 2^61 - 1
+    val rowHash = Curation.portableHash31(coalesce(col(payloadCol), lit("")), "graft-shard-digest")
+    val perRow = df.select(
+      pmod(Curation.portableHash31(col(idCol), "graft-shard"), lit(shards.toLong))
+        .as("shard"),
+      col(idCol).cast("long").as("__id"),
+      coalesce(length(col(payloadCol)).cast("long"), lit(0L)).as("__b"),
+      rowHash.as("__h"))
+    val manifest = perRow.groupBy("shard").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("__b")).as("bytes"),
+      min(col("__id")).as("min_id"),
+      max(col("__id")).as("max_id"),
+      (sum(col("__h").cast(dec)) % lit(Mod).cast(dec)).cast("long").as("digest"))
+    // grand total via a window over the MANIFEST frame (≤ `shards` rows —
+    // the crossTab convention): a second aggregate branch would re-scan
+    // the corpus, a broadcast would need a persist to avoid the same
+    manifest
+      .withColumn("__tot", sum(col("bytes")).over(Window.partitionBy(lit(1))))
+      .select(col("shard"), col("n_rows"), col("bytes"), col("min_id"),
+        col("max_id"), col("digest"),
+        when(col("__tot") > 0,
+          call_function("div", col("bytes") * 1000L, col("__tot")))
+          .otherwise(lit(0L)).as("bytes_share_permille"))
+  }
 }

@@ -655,6 +655,80 @@ object Similarity {
     out.toSeq.toDF("rank", "id", "radius_sq")
   }
 
+  /** Maximal-Marginal-Relevance selection (Carbonell & Goldstein 1998):
+    * greedily pick `k` items maximizing
+    *
+    *   λ·sim(item, query) − (1−λ)·max sim(item, already-selected)
+    *
+    * — the diversity-aware cousin of plain top-k. Top-k near a query
+    * returns k copies of the same neighborhood; MMR returns the
+    * neighborhood's SPREAD: the demonstration-selection rule for few-shot
+    * prompting, dedup-aware retrieval, and "diverse exemplars per
+    * cluster" curation. λ = 1 degenerates to exact top-k (tested law);
+    * λ = 0 ignores the query after the first pick (pure anti-similarity,
+    * [[kCenterSelect]] in cosine clothing — use that for the metric-
+    * coverage version).
+    *
+    * Same loop shape as [[kCenterSelect]]: the corpus persists once with
+    * its query relevance precomputed; each of k rounds is ONE
+    * TakeOrderedAndProject(1) job scoring every candidate against the
+    * selected set via a greatest(...)-chain over broadcast center
+    * literals — no per-round node-sized state, no checkpoint lineage, at
+    * the price of Σr = k²/2 sim evals per row. Right for the few-shot /
+    * exemplar k regime (≤ a few hundred); beyond that, pre-trim the
+    * corpus to an ANN candidate pool ([[ivfTopK]] with a generous k)
+    * first — MMR only ever promotes items with some relevance, so a
+    * relevance-pool cut loses nothing but the anti-neighborhood tail.
+    *
+    * Ties (exactly equal scores) break toward the smaller id, so the
+    * selection is deterministic and replays in the DuckDB oracle's
+    * recursive-CTE greedy. First pick (empty selected set) scores the
+    * diversity term as 0, the common convention.
+    *
+    * Output: (rank, id) — rank 1..k in selection order. Fewer than k
+    * rows when the corpus runs out.
+    */
+  def mmrSelect(corpus: DataFrame, vecCol: String, idCol: String,
+      queryVec: Array[Double], k: Int, lambdaPermille: Int = 500): DataFrame = {
+    require(k >= 1 && k <= 512, "k must be in [1, 512] (greedy driver loop)")
+    require(lambdaPermille >= 0 && lambdaPermille <= 1000,
+      "lambdaPermille must be in [0, 1000]")
+    val spark = corpus.sparkSession
+    val lam = lambdaPermille / 1000.0
+    val qLit = array(queryVec.map(lit).toSeq: _*)
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("rel", cosine(col("vec"), qLit))
+      .persist()
+    def simTo(center: Array[Double]): Column =
+      cosine(col("vec"), array(center.map(lit).toSeq: _*))
+    var selected = Vector.empty[(Long, Array[Double])]
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val diversity =
+        if (selected.isEmpty) lit(0.0)
+        else selected.map { case (_, v) => simTo(v) }.reduce(greatest(_, _))
+      val score = col("rel") * lam - diversity * (1.0 - lam)
+      val picked = base
+        .where(if (selected.isEmpty) lit(true)
+          else !col("id").isin(selected.map(_._1): _*))
+        .select(col("id"), col("vec"), score.as("s"))
+        .orderBy(col("s").desc, col("id").asc).limit(1).take(1)
+      picked.headOption match {
+        case Some(row) =>
+          out += ((r.toLong, row.getLong(0)))
+          selected :+= ((row.getLong(0), row.getSeq[Double](1).toArray))
+          r += 1
+        case None => exhausted = true
+      }
+    }
+    base.unpersist()
+    import spark.implicits._
+    out.toSeq.toDF("rank", "id")
+  }
+
   /** Neighbor-disagreement label-noise detection (confident-learning
     * lite, the k-NN tier of Cleanlab-style auditing): an item whose k
     * nearest embedding neighbors vote a DIFFERENT majority label is a

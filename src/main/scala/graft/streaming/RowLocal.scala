@@ -282,6 +282,13 @@ object RowLocal {
     "Curation.waterfillPlan" -> "strata-frame prefix-sum windows + one-row level broadcast",
     "Curation.temperatureMixture" -> "stratum-sized weight projection + one-row broadcast total",
     "Curation.isqrtExact" -> "row-local scalar column (corrected floor sqrt) - pure per-row arithmetic with no frame semantics",
+    "Curation.bradleyTerry" -> "iterative MM fixed point over pair aggregates (loop-lineage rule)",
+    "EvalMetrics.ngramOverlap" -> "per-pair gram-count aggregate (clipped matches need both sides' counts)",
+    "EvalMetrics.bleuComponents" -> "per-pair gram aggregates + wide pivot",
+    "EvalMetrics.rougeN" -> "per-pair gram aggregates",
+    "EvalMetrics.chrF" -> "per-pair character-gram aggregates",
+    "Profile.shardManifest" -> "per-shard groupBy + manifest-frame share window",
+    "Similarity.mmrSelect" -> "greedy driver loop of TakeOrdered scans (selection state = picked vectors)",
     "Curation.qualityKeep" -> "private[ops] helper (row-local keep rule inside qualityFilter, which is registered)",
     "Curation.removeBoilerplate" -> "per-doc reassembly via groupBy over exploded lines",
     "Curation.selectByTokenBudget" -> "rank + running-sum windows",

@@ -1,0 +1,199 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Curation, EvalMetrics, Profile, Similarity}
+
+/** Hand-computed goldens + laws for the eval-metric family (BLEU / ROUGE /
+  * chrF), MMR selection, Bradley-Terry fitting, and the shard manifest.
+  */
+class EvalMetricsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------- BLEU
+
+  test("bleuComponents: clipped counts, lengths, permille geometric mean") {
+    val pairs = Seq(
+      (1L, "the cat the cat", "the cat sat on the mat"),
+      (2L, "a b c d", "a b c d"),
+      (3L, "", "x y"))
+      .toDF("pair_id", "cand", "ref")
+    val out = EvalMetrics.bleuComponents(pairs, "pair_id", "cand", "ref")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val r1 = out(1L)
+    assert(r1.getLong(r1.fieldIndex("cand_len")) == 4L)
+    assert(r1.getLong(r1.fieldIndex("ref_len")) == 6L)
+    // 1-grams: clip(the)=2, clip(cat)=1 of 4 candidate grams
+    assert(r1.getLong(r1.fieldIndex("matches_1")) == 3L)
+    assert(r1.getLong(r1.fieldIndex("total_1")) == 4L)
+    // 2-grams: "the cat" appears twice in cand, once in ref -> clip 1 of 3
+    assert(r1.getLong(r1.fieldIndex("matches_2")) == 1L)
+    assert(r1.getLong(r1.fieldIndex("total_2")) == 3L)
+    assert(r1.getLong(r1.fieldIndex("matches_3")) == 0L)
+    assert(r1.getLong(r1.fieldIndex("total_3")) == 2L)
+    assert(r1.getLong(r1.fieldIndex("matches_4")) == 0L)
+    assert(r1.getLong(r1.fieldIndex("total_4")) == 1L)
+    // p3 = 0 -> product 0 -> geo 0 (defined: every total > 0)
+    assert(r1.getLong(r1.fieldIndex("precision_geo_permille")) == 0L)
+
+    val r2 = out(2L) // identity pair: every precision 1000
+    assert(r2.getLong(r2.fieldIndex("precision_geo_permille")) == 1000L)
+
+    val r3 = out(3L) // empty candidate: zero totals, geo undefined
+    assert(r3.getLong(r3.fieldIndex("cand_len")) == 0L)
+    assert(r3.getLong(r3.fieldIndex("total_1")) == 0L)
+    assert(r3.isNullAt(r3.fieldIndex("precision_geo_permille")))
+  }
+
+  test("rougeN: recall against the reference, integer F1") {
+    val pairs = Seq((1L, "the cat the cat", "the cat sat on the mat"))
+      .toDF("pair_id", "cand", "ref")
+    val rows = EvalMetrics.rougeN(pairs, "pair_id", "cand", "ref", maxN = 2)
+      .collect().map(r => r.getLong(r.fieldIndex("n")) -> r).toMap
+    val n1 = rows(1L)
+    assert(n1.getLong(n1.fieldIndex("matches")) == 3L)
+    assert(n1.getLong(n1.fieldIndex("ref_total")) == 6L)
+    assert(n1.getLong(n1.fieldIndex("recall_permille")) == 500L) // 3000 div 6
+    assert(n1.getLong(n1.fieldIndex("precision_permille")) == 750L) // 3000 div 4
+    // F1 = 2*750*500 div (750+500) = 600
+    assert(n1.getLong(n1.fieldIndex("f1_permille")) == 600L)
+  }
+
+  test("chrF: character grams, beta=2 F, absent rows for gram-free n") {
+    val pairs = Seq((1L, "ab", "ab")).toDF("pair_id", "cand", "ref")
+    val rows = EvalMetrics.chrF(pairs, "pair_id", "cand", "ref", maxN = 3)
+      .collect().map(r => r.getLong(r.fieldIndex("n")) -> r).toMap
+    assert(rows.keySet == Set(1L, 2L), "n=3 has no grams on either side")
+    val n1 = rows(1L)
+    assert(n1.getLong(n1.fieldIndex("f1_permille")) == 1000L)
+    assert(n1.getLong(n1.fieldIndex("f2_permille")) == 1000L)
+  }
+
+  test("rouge/bleu ignore token multiplicity beyond the clip (law)") {
+    // repeating a reference word 50x in the candidate scores it at most
+    // ref-count times
+    val pairs = Seq((1L, Seq.fill(50)("word").mkString(" "), "word once"))
+      .toDF("pair_id", "cand", "ref")
+    val r = EvalMetrics.rougeN(pairs, "pair_id", "cand", "ref", maxN = 1).head()
+    assert(r.getLong(r.fieldIndex("matches")) == 1L)
+    assert(r.getLong(r.fieldIndex("cand_total")) == 50L)
+  }
+
+  // -------------------------------------------------------------- MMR
+
+  private def vec(xs: Double*): Array[Double] = xs.toArray
+
+  test("mmrSelect: lambda=1 degenerates to exact top-k (law)") {
+    val corpus = Seq(
+      (1L, vec(1.0, 0.0)), (2L, vec(0.9, 0.1)), (3L, vec(0.0, 1.0)),
+      (4L, vec(0.5, 0.5)), (5L, vec(-1.0, 0.0)))
+      .toDF("id", "vec")
+    val q = vec(1.0, 0.0)
+    val mmr = Similarity.mmrSelect(corpus, "vec", "id", q, k = 3,
+      lambdaPermille = 1000).orderBy("rank").collect().map(_.getLong(1))
+    val topk = Similarity.bruteForceTopK(
+      Seq((99L, q)).toDF("id", "vec"), corpus, k = 3, excludeSelf = false)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(mmr.toSeq == topk.toSeq)
+  }
+
+  test("mmrSelect: diversity term spreads picks across clusters") {
+    // two tight clusters near the query; plain top-2 stays in cluster A,
+    // MMR's second pick crosses to cluster B
+    val corpus = Seq(
+      (1L, vec(1.0, 0.05)), (2L, vec(1.0, 0.06)), // cluster A (nearest)
+      (3L, vec(0.7, 0.7)), (4L, vec(0.7, 0.71))) // cluster B
+      .toDF("id", "vec")
+    val q = vec(1.0, 0.0)
+    val picks = Similarity.mmrSelect(corpus, "vec", "id", q, k = 2,
+      lambdaPermille = 300).orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(picks.head == 1L)
+    assert(Set(3L, 4L).contains(picks(1)),
+      s"second MMR pick should cross clusters, got $picks")
+    val plain = Similarity.mmrSelect(corpus, "vec", "id", q, k = 2,
+      lambdaPermille = 1000).orderBy("rank").collect().map(_.getLong(1)).toSet
+    assert(plain == Set(1L, 2L), "top-k without diversity stays in cluster A")
+  }
+
+  test("mmrSelect: stops early when the corpus runs out") {
+    val corpus = Seq((1L, vec(1.0, 0.0)), (2L, vec(0.0, 1.0))).toDF("id", "vec")
+    val out = Similarity.mmrSelect(corpus, "vec", "id", vec(1.0, 0.0), k = 5)
+    assert(out.count() == 2L)
+  }
+
+  // ---------------------------------------------------- Bradley-Terry
+
+  test("bradleyTerry: dominant winner normalizes to 1e6, shut-out fits 0") {
+    val j = Seq((0L, 1L), (0L, 1L), (0L, 1L)).toDF("winner", "loser")
+    val out = Curation.bradleyTerry(j, "winner", "loser", iters = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(out(0L).fieldIndex("skill_micro")) == 1000000L)
+    assert(out(1L).getLong(out(1L).fieldIndex("skill_micro")) == 0L)
+    assert(out(0L).getLong(out(0L).fieldIndex("wins")) == 3L)
+    assert(out(0L).getLong(out(0L).fieldIndex("games")) == 3L)
+    assert(out(1L).getLong(out(1L).fieldIndex("wins")) == 0L)
+  }
+
+  test("bradleyTerry: symmetric record fits equal skills (law)") {
+    val j = Seq((0L, 1L), (1L, 0L), (0L, 1L), (1L, 0L)).toDF("winner", "loser")
+    val skills = Curation.bradleyTerry(j, "winner", "loser", iters = 4)
+      .select("skill_micro").collect().map(_.getLong(0)).toSet
+    assert(skills == Set(1000000L))
+  }
+
+  test("bradleyTerry: strength orders beyond win counts") {
+    // A beats B 2-1; B beats C 3-0: wins(A)=2, wins(B)=4 — win COUNTS rank
+    // B first, but strength must rank A > B (A leads the head-to-head and
+    // B's wins come from the weakest player) — the Copeland-vs-BT gap
+    val j = Seq((0L, 1L), (0L, 1L), (1L, 0L),
+      (1L, 2L), (1L, 2L), (1L, 2L)).toDF("winner", "loser")
+    val out = Curation.bradleyTerry(j, "winner", "loser", iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("skill_micro"))).toMap
+    assert(out(0L) > out(1L), s"A must out-skill B: $out")
+    assert(out(1L) > out(2L), s"B must out-skill C: $out")
+  }
+
+  test("bradleyTerry: self-games and nulls are dropped") {
+    val j = Seq((Some(0L), Some(0L)), (Some(0L), Some(1L)), (None, Some(1L)))
+      .toDF("winner", "loser")
+    val out = Curation.bradleyTerry(j, "winner", "loser", iters = 2)
+    assert(out.agg(sum("games")).head().getLong(0) == 2L) // the one real game
+  }
+
+  // --------------------------------------------------- shard manifest
+
+  test("shardManifest: partition-layout invariance + digest sensitivity") {
+    val docs = (1L to 100L).map(i => (i, s"payload-$i" * (i % 5 + 1).toInt))
+      .toDF("doc_id", "text")
+    val m1 = Profile.shardManifest(docs, "doc_id", "text", shards = 8)
+      .orderBy("shard").collect()
+    val m2 = Profile.shardManifest(docs.repartition(7).sortWithinPartitions(desc("text")),
+      "doc_id", "text", shards = 8).orderBy("shard").collect()
+    assert(m1.map(_.toString).toSeq == m2.map(_.toString).toSeq,
+      "manifest must not depend on partitioning or row order")
+    assert(m1.map(_.getLong(1)).sum == 100L) // n_rows covers every doc
+    val shareSum = m1.map(r => r.getLong(r.fieldIndex("bytes_share_permille"))).sum
+    assert(shareSum >= 1000L - m1.length && shareSum <= 1000L, // floor undershoot
+      s"shares must sum to ~1000 permille, got $shareSum")
+
+    // corrupting ONE payload moves exactly that shard's digest
+    val corrupted = docs.withColumn("text",
+      when(col("doc_id") === 42L, lit("CORRUPTED")).otherwise(col("text")))
+    val m3 = Profile.shardManifest(corrupted, "doc_id", "text", shards = 8)
+      .orderBy("shard").collect()
+    val changed = m1.zip(m3).count { case (a, b) =>
+      a.getLong(a.fieldIndex("digest")) != b.getLong(b.fieldIndex("digest")) }
+    assert(changed == 1, s"exactly one shard digest must move, got $changed")
+  }
+
+  test("shardManifest: null payloads count zero bytes but keep their row") {
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, "x")).toDF("doc_id", "text")
+    val m = Profile.shardManifest(docs, "doc_id", "text", shards = 1).head()
+    assert(m.getLong(m.fieldIndex("n_rows")) == 2L)
+    assert(m.getLong(m.fieldIndex("bytes")) == 1L)
+  }
+}

@@ -1098,7 +1098,7 @@ class OpsSpec extends AnyFunSuite {
 
   test("normalizeText collapses cosmetic variants to one canonical form, idempotently") {
     val rows = Seq(
-      "\tHello World   TaiL   x",
+      "\tHello World\u0000  TaiL   x",
       "hello world tail x",
       "HELLO　　WORLD\r\nTAIL /x".replace("/", " ")
     ).toDF("t")

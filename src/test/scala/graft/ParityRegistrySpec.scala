@@ -24,6 +24,7 @@ class ParityRegistrySpec extends AnyFunSuite {
     "Curation" -> graft.ops.Curation,
     "Dedup" -> graft.ops.Dedup,
     "Embeddings" -> graft.ops.Embeddings,
+    "EvalMetrics" -> graft.ops.EvalMetrics,
     "Fuzzy" -> graft.ops.Fuzzy,
     "Graph" -> graft.ops.Graph,
     "Lm" -> graft.ops.Lm,

@@ -76,6 +76,9 @@ class WindowAuditSpec extends AnyFunSuite {
       ("cnt DESC NULLS LAST,event_type ASC NULLS FIRST" -> postLimitRank)),
     "ns_ngram_vocab" -> Seq(
       ("cnt DESC NULLS LAST,token ASC NULLS FIRST" -> postLimitRank)),
+    "ns_shard_manifest" -> Seq(
+      (" | sum(bytes) windowspecdefinition" ->
+        "manifest frame — one row per shard, <= `shards` rows by the groupBy key")),
     "ns_snm_join" -> Seq(("__bk ASC NULLS FIRST | sum(__n" -> bucketOffsets)),
     "ns_token_drift" -> Seq(
       ("contrib DESC NULLS LAST,tok ASC NULLS FIRST" -> postLimitRank)),
