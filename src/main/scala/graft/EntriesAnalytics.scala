@@ -19,6 +19,17 @@ private[graft] object EntriesAnalytics {
   import EntrySupport._
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_expectations" -> ((s, dir) =>
+      // Deequ-style declarative contract check before snapshot promotion:
+      // six rules (passing AND failing) in ONE corpus scan — nulls count
+      // only against not_null, value rules skip them
+      graft.ops.Tables.expectationReport(t(s, dir, "documents"), Seq(
+        graft.ops.Expectation.NotNull("text"),
+        graft.ops.Expectation.Unique("doc_id"),
+        graft.ops.Expectation.Matches("lang", "^[a-z]{2}$"),
+        graft.ops.Expectation.Between("n_chars", 100L, 100000L),
+        graft.ops.Expectation.LengthBetween("text", 400L, 1000000L),
+        graft.ops.Expectation.InSet("source", (0 to 9).map(i => s"src$i"))))),
     // ---- classic analytics over the TPC-H-ish tables (scale workhorses) ----
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -348,6 +359,33 @@ private[graft] object EntriesAnalytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ns_expectations" ->
+      """WITH base AS MATERIALIZED (SELECT * FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM base),
+        |v(rule, colname, detail, n_violations) AS (
+        |  SELECT 'not_null', 'text', '',
+        |    CAST(count(*) FILTER (WHERE text IS NULL) AS BIGINT) FROM base
+        |  UNION ALL SELECT 'unique', 'doc_id', '',
+        |    CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT) FROM base
+        |  UNION ALL SELECT 'matches', 'lang', '^[a-z]{2}$',
+        |    CAST(count(*) FILTER (WHERE lang IS NOT NULL
+        |      AND NOT regexp_matches(lang, '^[a-z]{2}$')) AS BIGINT) FROM base
+        |  UNION ALL SELECT 'between', 'n_chars', '[100, 100000]',
+        |    CAST(count(*) FILTER (WHERE n_chars IS NOT NULL
+        |      AND (n_chars < 100 OR n_chars > 100000)) AS BIGINT) FROM base
+        |  UNION ALL SELECT 'length_between', 'text', '[400, 1000000]',
+        |    CAST(count(*) FILTER (WHERE text IS NOT NULL
+        |      AND (length(text) < 400 OR length(text) > 1000000)) AS BIGINT) FROM base
+        |  UNION ALL SELECT 'in_set', 'source',
+        |    '{src0,src1,src2,src3,src4,src5,src6,src7,src8,src9}',
+        |    CAST(count(*) FILTER (WHERE source IS NOT NULL AND source NOT IN
+        |      ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9'))
+        |      AS BIGINT) FROM base)
+        |SELECT rule, colname AS "column", detail, n.n_rows, n_violations,
+        |  CASE WHEN n.n_rows > 0 THEN n_violations * 1000 // n.n_rows
+        |       ELSE 0 END AS violation_permille,
+        |  n_violations = 0 AS passed
+        |FROM v, n""".stripMargin,
     "ns_salted_join" ->
       """SELECT e.event_type AS etype, e.event_id, e.user_id, b.etype_users
         |FROM events e

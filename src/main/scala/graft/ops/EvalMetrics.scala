@@ -75,18 +75,20 @@ object EvalMetrics {
   private def sideCounts(base: DataFrame,
       candG: (DataFrame, Int) => Column, refG: (DataFrame, Int) => Column,
       maxN: Int): DataFrame = {
-    // one generator pass per side covering every n: arrays of (n, gram)
-    // structs concatenated, then a single explode — the alternative
-    // (explode per n) multiplies scan+shuffle count by maxN
-    def tagged(side: DataFrame, f: (DataFrame, Int) => Column, flag: Int): DataFrame = {
-      val all = concat((1 to maxN).map { n =>
-        transform(f(side, n), g => struct(lit(n.toLong).as("n"), g.as("gram")))
-      }: _*)
-      side.select(col("pair_id"), explode(all).as("__g"))
-        .select(col("pair_id"), col("__g.n").as("n"), col("__g.gram").as("gram"),
-          lit(flag).as("__side"))
-    }
-    val both = tagged(base, candG, 0).union(tagged(base, refG, 1))
+    // ONE generator pass covering BOTH sides and every n: per row the
+    // candidate and reference gram arrays concatenate, each element
+    // tagged (n, side), then a single explode — so the pair frame (often
+    // itself a join) evaluates once, not once per side, and the explode
+    // count stays 1 instead of 2·maxN
+    def tag(f: (DataFrame, Int) => Column, flag: Int): Seq[Column] =
+      (1 to maxN).map { n =>
+        transform(f(base, n), g =>
+          struct(lit(n.toLong).as("n"), lit(flag).as("side"), g.as("gram")))
+      }
+    val all = concat(tag(candG, 0) ++ tag(refG, 1): _*)
+    val both = base.select(col("pair_id"), explode(all).as("__g"))
+      .select(col("pair_id"), col("__g.n").as("n"), col("__g.gram").as("gram"),
+        col("__g.side").as("__side"))
     val perGram = both.groupBy(col("pair_id"), col("n"), col("gram"))
       .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__c"),
         sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__r"))

@@ -322,4 +322,114 @@ object Tables {
       .select(col(idCol) +: dataCols.map(c =>
         when(col("__up").isNotNull, col(s"__row.$c")).otherwise(col(c)).as(c)): _*)
   }
+
+  /** Declarative data-quality rules, evaluated in ONE corpus scan — the
+    * Deequ-style contract check a pipeline runs before promoting a
+    * snapshot: every rule's violation count, permille rate, and pass
+    * flag in a table shaped for diffing across snapshots. Null handling
+    * is explicit and uniform: only [[Expectation.NotNull]] counts nulls
+    * — every value-shaped rule skips them (a null cell is a completeness
+    * problem, not a range/pattern/set problem; counting it twice would
+    * double-bill one defect).
+    *
+    * Scale shape: all row-local rules fuse into a single partial
+    * aggregate (one scan, one one-row exchange); each
+    * [[Expectation.Unique]] adds an exact count-distinct to the SAME
+    * aggregate (Spark plans multi-distinct via one Expand — still one
+    * scan). The report reshapes plan-side from the one aggregate row via
+    * an explode of per-rule structs: no driver loop, no per-rule job.
+    *
+    * Output: (rule, column, detail, n_rows, n_violations,
+    * violation_permille, passed), one row per rule in input order.
+    */
+  def expectationReport(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(rules.nonEmpty, "need at least one expectation")
+    val aggs = count(lit(1)).cast("long").as("__n") +: rules.zipWithIndex.map {
+      case (Expectation.Unique(c), i) =>
+        // duplicates = non-null rows minus distinct values (countDistinct
+        // ignores nulls, so the non-null base keeps the two consistent)
+        (sum(when(col(c).isNotNull, 1L).otherwise(0L)) - countDistinct(col(c)))
+          .cast("long").as(s"__v$i")
+      case (r, i) =>
+        sum(when(r.violation, 1L).otherwise(0L)).cast("long").as(s"__v$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.rule).as("rule"), lit(r.column).as("column"),
+        lit(r.detail).as("detail"),
+        coalesce(col(s"__v$i"), lit(0L)).as("n_violations"))
+    }: _*)
+    one.select(col("__n"), explode(rows).as("__r"))
+      .select(col("__r.rule").as("rule"), col("__r.column").as("column"),
+        col("__r.detail").as("detail"), col("__n").as("n_rows"),
+        col("__r.n_violations").as("n_violations"),
+        when(col("__n") > 0,
+          call_function("div", col("__r.n_violations") * 1000L, col("__n")))
+          .otherwise(lit(0L)).as("violation_permille"),
+        (col("__r.n_violations") === 0L).as("passed"))
+  }
+}
+
+/** One declarative data-quality rule for [[Tables.expectationReport]].
+  * `violation` is the row-local predicate counting a row against the
+  * rule (Unique is the exception — it is aggregate-shaped and handled
+  * structurally in the report).
+  */
+sealed trait Expectation {
+  def rule: String
+  def column: String
+  def detail: String
+  private[ops] def violation: org.apache.spark.sql.Column
+}
+
+object Expectation {
+  import org.apache.spark.sql.functions._
+
+  /** Completeness: a null cell violates. */
+  case class NotNull(column: String) extends Expectation {
+    val rule = "not_null"; val detail = ""
+    private[ops] def violation = col(column).isNull
+  }
+
+  /** Full-string pattern conformance over NON-NULL values (anchor the
+    * regex yourself when partial matches should pass).
+    */
+  case class Matches(column: String, pattern: String) extends Expectation {
+    val rule = "matches"; def detail = pattern
+    private[ops] def violation = col(column).isNotNull && !col(column).rlike(pattern)
+  }
+
+  /** Inclusive numeric range over NON-NULL values. */
+  case class Between(column: String, lo: Long, hi: Long) extends Expectation {
+    require(lo <= hi, "lo must be <= hi")
+    val rule = "between"; def detail = s"[$lo, $hi]"
+    private[ops] def violation =
+      col(column).isNotNull && (col(column) < lo || col(column) > hi)
+  }
+
+  /** Inclusive character-length range over NON-NULL strings. */
+  case class LengthBetween(column: String, lo: Long, hi: Long) extends Expectation {
+    require(lo <= hi, "lo must be <= hi")
+    val rule = "length_between"; def detail = s"[$lo, $hi]"
+    private[ops] def violation = col(column).isNotNull &&
+      (length(col(column)) < lo || length(col(column)) > hi)
+  }
+
+  /** Set membership over NON-NULL values. */
+  case class InSet(column: String, values: Seq[String]) extends Expectation {
+    require(values.nonEmpty, "need at least one allowed value")
+    val rule = "in_set"; def detail = values.mkString("{", ",", "}")
+    private[ops] def violation =
+      col(column).isNotNull && !col(column).isin(values: _*)
+  }
+
+  /** Key uniqueness: each duplicate occurrence beyond the first counts
+    * one violation (nulls are [[NotNull]]'s business, not duplicates).
+    */
+  case class Unique(column: String) extends Expectation {
+    val rule = "unique"; val detail = ""
+    private[ops] def violation =
+      throw new UnsupportedOperationException("Unique is aggregate-shaped")
+  }
 }

@@ -98,6 +98,46 @@ class OpsSpec extends AnyFunSuite {
     assert(graft.ops.Tables.integrityAudit(clean, "fk", parent, "pid").isEmpty)
   }
 
+  test("expectationReport: per-rule violation accounting, null discipline, one scan") {
+    import graft.ops.Expectation._
+    val df = Seq(
+      (1L, Some("alpha"), Some(10L), Some("en")),
+      (2L, Some("alpha"), Some(10L), Some("en")), // text dup is fine, id unique
+      (2L, None, Some(-5L), Some("deu")), // null text; range + pattern violations
+      (3L, Some("x"), None, Some("fr")))
+      .toDF("id", "text", "score", "lang")
+    val out = graft.ops.Tables.expectationReport(df, Seq(
+      NotNull("text"), Unique("id"), Between("score", 0L, 100L),
+      LengthBetween("text", 2L, 10L), Matches("lang", "^[a-z]{2}$"),
+      InSet("lang", Seq("en", "fr"))))
+      .collect().map(r => r.getString(0) -> r).toMap
+    def v(rule: String) = out(rule).getLong(out(rule).fieldIndex("n_violations"))
+    assert(v("not_null") == 1L) // the null text row, once
+    assert(v("unique") == 1L) // id 2 appears twice -> one extra occurrence
+    assert(v("between") == 1L) // -5; the NULL score is NOT a range violation
+    assert(v("length_between") == 1L) // "x"; null text skipped here
+    assert(v("matches") == 1L) // "deu"
+    assert(v("in_set") == 1L) // "deu" again under set semantics
+    assert(out("not_null").getLong(out("not_null").fieldIndex("n_rows")) == 4L)
+    assert(!out("unique").getBoolean(out("unique").fieldIndex("passed")))
+    assert(out("matches").getLong(out("matches").fieldIndex("violation_permille")) == 250L)
+    // one scan: job count must NOT grow with the rule count (AQE stage
+    // jobs make the absolute number config-shaped; the invariant is that
+    // rules fuse into the one aggregate pass)
+    val jobs2 = SparkTestBase.countJobs {
+      graft.ops.Tables.expectationReport(df, Seq(NotNull("text"), Unique("id")))
+        .collect()
+    }
+    val jobs6 = SparkTestBase.countJobs {
+      graft.ops.Tables.expectationReport(df, Seq(
+        NotNull("text"), Unique("id"), Between("score", 0L, 100L),
+        LengthBetween("text", 2L, 10L), Matches("lang", "^[a-z]{2}$"),
+        InSet("lang", Seq("en", "fr")))).collect()
+    }
+    assert(jobs6 <= jobs2,
+      s"rules must fuse into one aggregate pass: 2 rules -> $jobs2 jobs, 6 rules -> $jobs6")
+  }
+
   test("applyChangelog: insert/update/delete/passthrough, latest-wins, ties, idempotency") {
     val snap = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
       .toDF("id", "s", "n")
