@@ -119,15 +119,15 @@ object EvalMetrics {
     */
   def bleuComponents(pairs: DataFrame, pairIdCol: String, candCol: String,
       refCol: String): DataFrame = {
-    val base = pairs.select(col(pairIdCol).as("pair_id"),
-      toks(col(candCol)).as("__ct"), toks(col(refCol)).as("__rt"))
-    val lens = base.select(col("pair_id"), size(col("__ct")).cast("long").as("cand_len"),
-      size(col("__rt")).cast("long").as("ref_len"))
     val comp = ngramOverlap(pairs, pairIdCol, candCol, refCol, maxN = 4)
+    // the lengths ARE the n=1 totals (1-grams == tokens), so they ride
+    // the same aggregate — the only second branch over the input is an
+    // id-only spine (column-pruned: no text re-scan, no re-tokenize)
+    // that keeps zero-gram pairs in the output
     val aggs = (1 to 4).flatMap { n =>
       Seq(sum(when(col("n") === n, col("matches")).otherwise(0L)).as(s"matches_$n"),
         sum(when(col("n") === n, col("cand_total")).otherwise(0L)).as(s"total_$n"))
-    }
+    } :+ sum(when(col("n") === 1, col("ref_total")).otherwise(0L)).as("__rt1")
     val wide = comp.groupBy(col("pair_id")).agg(aggs.head, aggs.tail: _*)
     def p(n: Int): Column =
       when(col(s"total_$n") > 0,
@@ -136,8 +136,11 @@ object EvalMetrics {
     // envelope; 4th root of permille⁴ is permille
     val geo = when((1 to 4).map(n => col(s"total_$n") > 0).reduce(_ && _),
       Curation.isqrtExact(Curation.isqrtExact(p(1) * p(2) * p(3) * p(4))))
-    lens.join(wide, Seq("pair_id"), "left")
-      .select(col("pair_id") +: col("cand_len") +: col("ref_len") +:
+    val spine = pairs.select(col(pairIdCol).as("pair_id"))
+    spine.join(wide, Seq("pair_id"), "left")
+      .select(col("pair_id") +:
+        coalesce(col("total_1"), lit(0L)).as("cand_len") +:
+        coalesce(col("__rt1"), lit(0L)).as("ref_len") +:
         (1 to 4).flatMap(n => Seq(coalesce(col(s"matches_$n"), lit(0L)).as(s"matches_$n"),
           coalesce(col(s"total_$n"), lit(0L)).as(s"total_$n"))) :+
         geo.as("precision_geo_permille"): _*)

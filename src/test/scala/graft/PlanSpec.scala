@@ -197,6 +197,21 @@ class PlanSpec extends AnyFunSuite {
       s"chunk text may not cross the pack exchange:\n${above.take(3000)}")
   }
 
+  test("eval-metric gram kernel: ONE explode for both sides and all n; spine re-scan is id-only") {
+    val q = EntriesCuration.queries("ns_bleu")(spark, sf)
+    val plan = planOf(q)
+    // both sides × n=1..4 concatenate into one generator — a per-side or
+    // per-n explode would multiply the scan of the pair join
+    val gens = "Generate explode".r.findAllIn(plan).length
+    assert(gens == 1, s"grams must ride ONE explode, got $gens:\n${plan.take(3000)}")
+    // gram branch reads the join's two text sides; the zero-gram-pair
+    // spine re-reads ids ONLY (no text re-scan, no re-tokenize)
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 4, s"pair join must evaluate once per branch (<= 4 scans), got $scans")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"the spine scan must prune to the id column:\n${plan.take(3000)}")
+  }
+
   test("exact substring dedup shuffles 120-bit keys, never gram text") {
     val docs = SparkEntry.t(spark, sf, "documents")
     val q = graft.ops.Curation.exactSubstrDedup(docs, "text", "doc_id", minTokens = 8)
