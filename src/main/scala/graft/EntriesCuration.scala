@@ -648,52 +648,43 @@ private[graft] object EntriesCuration {
     "ns_rouge" ->
       s"""WITH $evalPairsSql,
          |${ngramCompSql(2)},
-         |prf AS (SELECT pair_id, n, m AS matches, t AS cand_total, rt AS ref_total,
-         |    CASE WHEN t > 0 THEN m * 1000 // t END AS precision_permille,
-         |    CASE WHEN rt > 0 THEN m * 1000 // rt END AS recall_permille
-         |  FROM comp)
+         |$prfCteSql
          |SELECT *, CASE WHEN precision_permille IS NOT NULL AND recall_permille IS NOT NULL
          |    AND precision_permille + recall_permille > 0
          |    THEN precision_permille * recall_permille * 2 // (precision_permille + recall_permille)
          |  END AS f1_permille
          |FROM prf""".stripMargin,
     "ns_chrf" ->
-      """WITH p0 AS (SELECT a.doc_id AS pair_id,
-        |  CASE WHEN a.doc_id % 2 = 0
-        |       THEN array_to_string(list_slice(string_split_regex(trim(lower(a.text)), '\s+'), 1, 40), ' ')
-        |       ELSE a.text END AS cand,
-        |  CASE WHEN a.doc_id % 2 = 0 THEN a.text ELSE b.text END AS ref
-        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
-        |tk AS MATERIALIZED (SELECT pair_id,
-        |    substr(trim(lower(coalesce(cand, ''))), 1, 500) AS cs,
-        |    substr(trim(lower(coalesce(ref, ''))), 1, 500) AS rs FROM p0),
-        |ns AS (SELECT pair_id, cs, rs, CAST(unnest([1, 2, 3]) AS BIGINT) AS n FROM tk),
-        |cgr AS (SELECT pair_id, n, unnest(list_transform(range(1, length(cs) - n + 2),
-        |          i -> substr(cs, CAST(i AS INT), CAST(n AS INT)))) AS gram FROM ns),
-        |rgr AS (SELECT pair_id, n, unnest(list_transform(range(1, length(rs) - n + 2),
-        |          i -> substr(rs, CAST(i AS INT), CAST(n AS INT)))) AS gram FROM ns),
-        |cc AS (SELECT pair_id, n, gram, count(*) AS c FROM cgr GROUP BY 1, 2, 3),
-        |rc AS (SELECT pair_id, n, gram, count(*) AS r FROM rgr GROUP BY 1, 2, 3),
-        |g AS (SELECT coalesce(cc.pair_id, rc.pair_id) AS pair_id, coalesce(cc.n, rc.n) AS n,
-        |        coalesce(cc.c, 0) AS c, coalesce(rc.r, 0) AS r
-        |      FROM cc FULL JOIN rc ON cc.pair_id = rc.pair_id AND cc.n = rc.n AND cc.gram = rc.gram),
-        |comp AS (SELECT pair_id, n, CAST(sum(least(c, r)) AS BIGINT) AS m,
-        |        CAST(sum(c) AS BIGINT) AS t, CAST(sum(r) AS BIGINT) AS rt
-        |      FROM g GROUP BY 1, 2),
-        |prf AS (SELECT pair_id, n, m AS matches, t AS cand_total, rt AS ref_total,
-        |    CASE WHEN t > 0 THEN m * 1000 // t END AS precision_permille,
-        |    CASE WHEN rt > 0 THEN m * 1000 // rt END AS recall_permille
-        |  FROM comp)
-        |SELECT *,
-        |  CASE WHEN precision_permille IS NOT NULL AND recall_permille IS NOT NULL
-        |    AND precision_permille + recall_permille > 0
-        |    THEN precision_permille * recall_permille * 2 // (precision_permille + recall_permille)
-        |  END AS f1_permille,
-        |  CASE WHEN precision_permille IS NOT NULL AND recall_permille IS NOT NULL
-        |    AND precision_permille * 4 + recall_permille > 0
-        |    THEN precision_permille * recall_permille * 5 // (precision_permille * 4 + recall_permille)
-        |  END AS f2_permille
-        |FROM prf""".stripMargin,
+      // shares evalPairsSql + prfCteSql with ns_bleu/ns_rouge (no-drift
+      // convention); only the char-gram comp is chrF-specific
+      s"""WITH $evalPairsSql,
+         |tk AS MATERIALIZED (SELECT pair_id,
+         |    substr(trim(lower(coalesce(cand, ''))), 1, 500) AS cs,
+         |    substr(trim(lower(coalesce(ref, ''))), 1, 500) AS rs FROM p),
+         |ns AS (SELECT pair_id, cs, rs, CAST(unnest([1, 2, 3]) AS BIGINT) AS n FROM tk),
+         |cgr AS (SELECT pair_id, n, unnest(list_transform(range(1, length(cs) - n + 2),
+         |          i -> substr(cs, CAST(i AS INT), CAST(n AS INT)))) AS gram FROM ns),
+         |rgr AS (SELECT pair_id, n, unnest(list_transform(range(1, length(rs) - n + 2),
+         |          i -> substr(rs, CAST(i AS INT), CAST(n AS INT)))) AS gram FROM ns),
+         |cc AS (SELECT pair_id, n, gram, count(*) AS c FROM cgr GROUP BY 1, 2, 3),
+         |rc AS (SELECT pair_id, n, gram, count(*) AS r FROM rgr GROUP BY 1, 2, 3),
+         |g AS (SELECT coalesce(cc.pair_id, rc.pair_id) AS pair_id, coalesce(cc.n, rc.n) AS n,
+         |        coalesce(cc.c, 0) AS c, coalesce(rc.r, 0) AS r
+         |      FROM cc FULL JOIN rc ON cc.pair_id = rc.pair_id AND cc.n = rc.n AND cc.gram = rc.gram),
+         |comp AS (SELECT pair_id, n, CAST(sum(least(c, r)) AS BIGINT) AS m,
+         |        CAST(sum(c) AS BIGINT) AS t, CAST(sum(r) AS BIGINT) AS rt
+         |      FROM g GROUP BY 1, 2),
+         |$prfCteSql
+         |SELECT *,
+         |  CASE WHEN precision_permille IS NOT NULL AND recall_permille IS NOT NULL
+         |    AND precision_permille + recall_permille > 0
+         |    THEN precision_permille * recall_permille * 2 // (precision_permille + recall_permille)
+         |  END AS f1_permille,
+         |  CASE WHEN precision_permille IS NOT NULL AND recall_permille IS NOT NULL
+         |    AND precision_permille * 4 + recall_permille > 0
+         |    THEN precision_permille * recall_permille * 5 // (precision_permille * 4 + recall_permille)
+         |  END AS f2_permille
+         |FROM prf""".stripMargin,
     "ns_bradley_terry" -> {
       // GENERATED 3-round MM unroll in micro-units (the pageRank/HITS
       // oracle convention: HUGEINT carriers, integer //, scalar-subquery

@@ -519,7 +519,7 @@ private[graft] object EntriesProfile {
         |    CAST((('0x' || substr(md5('graft-shard|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
         |          & 2147483647) % 16 AS BIGINT) AS shard,
         |    doc_id,
-        |    CAST(coalesce(length(text), 0) AS BIGINT) AS b,
+        |    CAST(coalesce(strlen(text), 0) AS BIGINT) AS b,
         |    CAST((('0x' || substr(md5('graft-shard-digest|' || coalesce(text, '')), 1, 8))::UBIGINT
         |          & 2147483647) AS BIGINT) AS h
         |  FROM documents),

@@ -734,10 +734,10 @@ private[graft] object EntrySupport {
   private[graft] def ngramCompSql(maxN: Int): String = {
     val ns = (1 to maxN).mkString(", ")
     s"""tk AS MATERIALIZED (SELECT pair_id,
-       |    CASE WHEN length(trim(lower(cand))) = 0 THEN []::VARCHAR[]
-       |         ELSE string_split_regex(trim(lower(cand)), '\\s+') END AS ct,
-       |    CASE WHEN length(trim(lower(ref))) = 0 THEN []::VARCHAR[]
-       |         ELSE string_split_regex(trim(lower(ref)), '\\s+') END AS rt
+       |    list_filter(string_split_regex(trim(lower(coalesce(cand, ''))), '\\s+'),
+       |                x -> x <> '') AS ct,
+       |    list_filter(string_split_regex(trim(lower(coalesce(ref, ''))), '\\s+'),
+       |                x -> x <> '') AS rt
        |  FROM p),
        |ns AS (SELECT pair_id, ct, rt, CAST(unnest([$ns]) AS BIGINT) AS n FROM tk),
        |cgr AS (SELECT pair_id, n, unnest(list_transform(range(1, len(ct) - n + 2),
@@ -753,6 +753,15 @@ private[graft] object EntrySupport {
        |        CAST(sum(c) AS BIGINT) AS t, CAST(sum(r) AS BIGINT) AS rt
        |      FROM g GROUP BY 1, 2)""".stripMargin
   }
+
+  /** P/R permille over a `comp`-shaped CTE — shared by the ns_rouge and
+    * ns_chrf oracles so the ratio arithmetic cannot drift between them.
+    */
+  private[graft] val prfCteSql =
+    """prf AS (SELECT pair_id, n, m AS matches, t AS cand_total, rt AS ref_total,
+      |    CASE WHEN t > 0 THEN m * 1000 // t END AS precision_permille,
+      |    CASE WHEN rt > 0 THEN m * 1000 // rt END AS recall_permille
+      |  FROM comp)""".stripMargin
 
   /** Exact cosine top-k oracle — shared by ns_embed_topk and by the ANN
     * queries (which run in provably-exhaustive probe mode, so their output

@@ -1826,8 +1826,9 @@ object Curation {
     * DECIMAL(38,0). Division floors compound deterministically, so skills
     * replay exactly in any engine with 128-bit integer division.
     *
-    * Scale shape: judgments reduce once to pair counts (partial-agg,
-    * pair-keyed); each round is one skill join per pair side + one
+    * Scale shape: judgments reduce ONCE, to oriented pair counts
+    * (partial-agg; wins, games, and the unordered pair frame all derive
+    * from that pair-sized frame); each round is one skill join per pair side + one
     * item-keyed partial-agg sum + a broadcast one-row max — all frames
     * item- or pair-sized, never judgment-sized. Loop discipline
     * (SCALE.md "Iterative operators"): each round references the previous
@@ -1852,16 +1853,20 @@ object Curation {
     val j = df.select(col(winnerCol).cast("long").as("w"),
         col(loserCol).cast("long").as("l"))
       .where(col("w").isNotNull && col("l").isNotNull && col("w") =!= col("l"))
-    // pair-keyed reduction: games per unordered pair + wins per item
-    val pairs = j.select(least(col("w"), col("l")).as("a"),
-        greatest(col("w"), col("l")).as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+    // the judgment stream reduces ONCE, to ORIENTED pair counts — the
+    // pair-sized frame every other input (unordered pairs, wins, games)
+    // derives from; a second judgment-sized aggregate would re-evaluate
+    // an expensive upstream (scored frame, join) twice
+    val oriented = j.groupBy("w", "l").agg(count(lit(1)).as("__nw")).persist()
+    val pairs = oriented.select(least(col("w"), col("l")).as("a"),
+        greatest(col("w"), col("l")).as("b"), col("__nw"))
+      .groupBy("a", "b").agg(sum(col("__nw")).as("n"))
       .withColumn("n", when(col("n") <= 1000000L, col("n"))
         .otherwise(raise_error(concat(lit("bradleyTerry: pair ("),
           col("a").cast("string"), lit(", "), col("b").cast("string"),
           lit(") carries > 1e6 games - outside the integer envelope")))))
       .persist()
-    val wins = j.groupBy(col("w").as("item")).agg(count(lit(1)).as("wins"))
+    val wins = oriented.groupBy(col("w").as("item")).agg(sum(col("__nw")).as("wins"))
     val games = pairs.select(col("a").as("item"), col("n"))
       .union(pairs.select(col("b").as("item"), col("n")))
       .groupBy("item").agg(sum(col("n")).as("games"))
@@ -1911,7 +1916,7 @@ object Curation {
       .select(col("item"), col("wins"), col("games"), col("s").as("skill_micro"))
       .localCheckpoint(true)
     org.apache.spark.sql.graft.bridge.unpersistLocalCheckpoint(cur)
-    pairs.unpersist(); base.unpersist()
+    oriented.unpersist(); pairs.unpersist(); base.unpersist()
     out
   }
 

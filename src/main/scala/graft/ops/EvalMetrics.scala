@@ -38,9 +38,14 @@ import org.apache.spark.sql.functions._
 object EvalMetrics {
 
   private def toks(c: Column): Column = {
+    // array_remove("") is load-bearing: trim() strips ASCII spaces ONLY,
+    // so a tab/newline at either edge leaves a phantom "" token after the
+    // split ("a b\n" -> ["a","b",""]) that would score spurious clipped
+    // matches on BOTH sides of newline-terminated model outputs; empty
+    // strings can only arise from edge separators, never real tokens
     val t = trim(lower(c))
     when(c.isNull || length(t) === 0, array().cast("array<string>"))
-      .otherwise(split(t, "\\s+"))
+      .otherwise(array_remove(split(t, "\\s+"), ""))
   }
 
   /** Word n-grams of `tokens` for one n, space-joined; empty when the

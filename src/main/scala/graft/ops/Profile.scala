@@ -1170,7 +1170,10 @@ object Profile {
       pmod(Curation.portableHash31(col(idCol), "graft-shard"), lit(shards.toLong))
         .as("shard"),
       col(idCol).cast("long").as("__id"),
-      coalesce(length(col(payloadCol)).cast("long"), lit(0L)).as("__b"),
+      // octet_length, not length: the manifest verifies DOWNLOADS, so
+      // bytes must mean UTF-8 octets — a CJK shard's char count is a
+      // third of what the wire carries
+      coalesce(octet_length(col(payloadCol)).cast("long"), lit(0L)).as("__b"),
       rowHash.as("__h"))
     val manifest = perRow.groupBy("shard").agg(
       count(lit(1)).as("n_rows"),

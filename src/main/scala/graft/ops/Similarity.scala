@@ -665,9 +665,10 @@ object Similarity {
     * neighborhood's SPREAD: the demonstration-selection rule for few-shot
     * prompting, dedup-aware retrieval, and "diverse exemplars per
     * cluster" curation. λ = 1 degenerates to exact top-k (tested law);
-    * λ = 0 ignores the query after the first pick (pure anti-similarity,
-    * [[kCenterSelect]] in cosine clothing — use that for the metric-
-    * coverage version).
+    * λ = 0 is pure anti-similarity INCLUDING the first pick (every
+    * round-1 score is 0, so the seed falls to the smallest id — seed
+    * explicitly, or use [[kCenterSelect]] for metric-coverage
+    * semantics with a chosen first center).
     *
     * Same loop shape as [[kCenterSelect]]: the corpus persists once with
     * its query relevance precomputed; each of k rounds is ONE

@@ -392,8 +392,10 @@ object Expectation {
     private[ops] def violation = col(column).isNull
   }
 
-  /** Full-string pattern conformance over NON-NULL values (anchor the
-    * regex yourself when partial matches should pass).
+  /** Pattern conformance over NON-NULL values. `rlike` semantics: the
+    * pattern matches if it matches ANY substring, so anchor it
+    * (`^...$`) when the rule means full-string conformance — unanchored
+    * `[a-z]{2}` passes "ZZab12".
     */
   case class Matches(column: String, pattern: String) extends Expectation {
     val rule = "matches"; def detail = pattern

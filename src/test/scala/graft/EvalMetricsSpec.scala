@@ -73,6 +73,22 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(n1.getLong(n1.fieldIndex("f2_permille")) == 1000L)
   }
 
+  test("edge whitespace never yields phantom tokens (trim strips spaces only)") {
+    // "a b\n" vs "x y\n": without the empty-string filter both sides grow
+    // a phantom "" token (trim keeps the \n, split emits a trailing "")
+    // that scores a spurious clipped 1-gram match
+    val pairs = Seq((1L, "a b\n", "x y\n"), (2L, "\t", "z")).toDF("pair_id", "cand", "ref")
+    val out = EvalMetrics.bleuComponents(pairs, "pair_id", "cand", "ref")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(r1.fieldIndex("cand_len")) == 2L)
+    assert(r1.getLong(r1.fieldIndex("ref_len")) == 2L)
+    assert(r1.getLong(r1.fieldIndex("matches_1")) == 0L,
+      "disjoint texts must not match on a phantom empty token")
+    val r2 = out(2L) // tab-only candidate = zero tokens
+    assert(r2.getLong(r2.fieldIndex("cand_len")) == 0L)
+  }
+
   test("rouge/bleu ignore token multiplicity beyond the clip (law)") {
     // repeating a reference word 50x in the candidate scores it at most
     // ref-count times
