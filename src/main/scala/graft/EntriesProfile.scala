@@ -26,6 +26,16 @@ private[graft] object EntriesProfile {
       // groupBy, every number replayed by the md5 convention in SQL
       graft.ops.Profile.shardManifest(t(s, dir, "documents"),
         "doc_id", "text", shards = 16)),
+    "ns_distribution_drift" -> ((s, dir) => {
+      // histogram-level drift between two pseudo-snapshots (doc_id
+      // parity) on document length: per-bucket shares + the KS max and
+      // the Wasserstein-1 sum, both integer-exact cross products
+      val docs = t(s, dir, "documents")
+      graft.ops.Profile.distributionDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "n_chars", buckets = 20, lo = 0L, hi = 600L)
+    }),
     "ns_kripp_alpha" -> ((s, dir) =>
       // panel agreement with MISSING ratings: events quartets act as
       // annotation units (event_id div 4), event_type as the label, and
@@ -514,6 +524,30 @@ private[graft] object EntriesProfile {
       |FROM bw GROUP BY 1""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "ns_distribution_drift" ->
+      """WITH sp AS (SELECT CAST(unnest(range(20)) AS BIGINT) AS bucket),
+        |ca AS (SELECT greatest(0, least(19, n_chars * 20 // 600)) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n_a
+        |       FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL GROUP BY 1),
+        |cb AS (SELECT greatest(0, least(19, n_chars * 20 // 600)) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n_b
+        |       FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL GROUP BY 1),
+        |j AS (SELECT sp.bucket, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |      FROM sp LEFT JOIN ca USING (bucket) LEFT JOIN cb USING (bucket)),
+        |c AS (SELECT *, CAST(sum(n_a) OVER (ORDER BY bucket) AS HUGEINT) AS cca,
+        |        CAST(sum(n_b) OVER (ORDER BY bucket) AS HUGEINT) AS ccb,
+        |        CAST(sum(n_a) OVER () AS HUGEINT) AS ta,
+        |        CAST(sum(n_b) OVER () AS HUGEINT) AS tb FROM j),
+        |x AS (SELECT *, abs(cca * tb - ccb * ta) AS xx FROM c),
+        |m AS (SELECT *, max(xx) OVER () AS mx, sum(xx) OVER () AS sx FROM x)
+        |SELECT bucket, n_a, n_b,
+        |  CASE WHEN ta > 0 THEN CAST(n_a * 1000 // ta AS BIGINT) ELSE 0 END AS share_a_permille,
+        |  CASE WHEN tb > 0 THEN CAST(n_b * 1000 // tb AS BIGINT) ELSE 0 END AS share_b_permille,
+        |  CASE WHEN ta > 0 AND tb > 0 THEN CAST(mx * 1000000 // (ta * tb) AS BIGINT)
+        |       ELSE 0 END AS ks_micro,
+        |  CASE WHEN ta > 0 AND tb > 0 THEN CAST(sx * 1000000 // (ta * tb) AS BIGINT)
+        |       ELSE 0 END AS emd_micro
+        |FROM m""".stripMargin,
     "ns_shard_manifest" ->
       """WITH pr AS (SELECT
         |    CAST((('0x' || substr(md5('graft-shard|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT

@@ -1130,6 +1130,91 @@ object Profile {
           col("n_a") * col("n_b")).as("lift_micro"))
   }
 
+  /** Distribution drift between two corpora on one numeric column — the
+    * histogram-level complement of [[profileDrift]]'s per-metric deltas:
+    * equal-width buckets over [lo, hi] (outside values clamp into the
+    * edge buckets, so schema surprises show up as edge mass, not dropped
+    * rows), per-bucket counts and permille shares for both sides, and
+    * the two standard one-number drift statistics:
+    *
+    *   - `ks_micro` — the Kolmogorov-Smirnov statistic
+    *     max |CDF_a − CDF_b| in micro-units: the "is this the same
+    *     distribution" alarm threshold number
+    *   - `emd_micro` — the 1-D earth-mover (Wasserstein-1) distance in
+    *     micro-units of BUCKET WIDTHS, Σ |CDF_a − CDF_b|: how FAR the
+    *     mass moved, which KS's max cannot see (a small shift of all
+    *     mass vs a large shift of a little mass)
+    *
+    * Both are integer-exact: per-bucket cross products cumA·totB −
+    * cumB·totA carry in DECIMAL(38,0) and divide ONCE by totA·totB at
+    * the end, so the numbers replay bit-for-bit in the oracle (the PSI
+    * alternative needs ln — a float no two engines round alike — which
+    * is why the drift pair here is KS + EMD).
+    *
+    * Scale shape: each side reduces in one partial-aggregated bucket
+    * count (a `buckets`-row exchange per side); shares, CDFs, and the
+    * statistics ride windows over a DENSIFIED bucket spine (exactly
+    * `buckets` rows — metadata, the crossTab convention). The spine is
+    * load-bearing for EMD: |CDF_a − CDF_b| persists across EMPTY buckets
+    * (mass at bucket 0 vs bucket 19 is 19 widths apart, and 18 of those
+    * rows are empty), so a sum over occupied buckets alone would
+    * under-report exactly the far-moved mass the metric exists to see.
+    *
+    * Output: (bucket, n_a, n_b, share_a_permille, share_b_permille,
+    * ks_micro, emd_micro) — one row per bucket 0..buckets−1, the two
+    * statistics constant across rows.
+    */
+  def distributionDrift(a: DataFrame, b: DataFrame, valueCol: String,
+      buckets: Int, lo: Long, hi: Long): DataFrame = {
+    require(buckets >= 2 && buckets <= 10000, "buckets must be in [2, 1e4]")
+    require(lo < hi, "lo must be < hi")
+    val dec = "decimal(38,0)"
+    val bucketOf: Column = {
+      val v = col(valueCol).cast("long")
+      val raw = call_function("div", (v - lo) * buckets.toLong, lit(hi - lo))
+      greatest(lit(0L), least(lit(buckets - 1L), raw))
+    }
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.where(col(valueCol).isNotNull)
+        .groupBy(bucketOf.as("bucket")).agg(count(lit(1)).as(out))
+    val spine = a.sparkSession.range(buckets.toLong).select(col("id").as("bucket"))
+    val joined = spine
+      .join(counts(a, "n_a"), Seq("bucket"), "left")
+      .join(counts(b, "n_b"), Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(lit(1))
+    val cum = joined
+      .withColumn("__ca", sum(col("n_a")).over(w))
+      .withColumn("__cb", sum(col("n_b")).over(w))
+      .withColumn("__ta", sum(col("n_a")).over(whole))
+      .withColumn("__tb", sum(col("n_b")).over(whole))
+      // |cumA·totB − cumB·totA| — exact cross product, one division later
+      .withColumn("__x",
+        abs(col("__ca").cast(dec) * col("__tb").cast(dec) -
+          col("__cb").cast(dec) * col("__ta").cast(dec)))
+    cum
+      .withColumn("__mx", max(col("__x")).over(whole))
+      .withColumn("__sx", sum(col("__x")).over(whole))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        when(col("__ta") > 0,
+          call_function("div", col("n_a") * 1000L, col("__ta")))
+          .otherwise(lit(0L)).as("share_a_permille"),
+        when(col("__tb") > 0,
+          call_function("div", col("n_b") * 1000L, col("__tb")))
+          .otherwise(lit(0L)).as("share_b_permille"),
+        when(col("__ta") > 0 && col("__tb") > 0,
+          call_function("div", col("__mx") * lit(1000000L).cast(dec),
+            col("__ta").cast(dec) * col("__tb").cast(dec)))
+          .otherwise(lit(0L)).as("ks_micro"),
+        when(col("__ta") > 0 && col("__tb") > 0,
+          call_function("div", col("__sx") * lit(1000000L).cast(dec),
+            col("__ta").cast(dec) * col("__tb").cast(dec)))
+          .otherwise(lit(0L)).as("emd_micro"))
+  }
+
   /** Deterministic shard assignment + per-shard manifest — the publishing
     * step of a dataset build: rows hash into `shards` stable buckets and
     * each bucket reports the numbers a consumer verifies a download

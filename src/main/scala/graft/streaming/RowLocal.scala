@@ -288,6 +288,7 @@ object RowLocal {
     "EvalMetrics.rougeN" -> "per-pair gram aggregates",
     "EvalMetrics.chrF" -> "per-pair character-gram aggregates",
     "Profile.shardManifest" -> "per-shard groupBy + manifest-frame share window",
+    "Profile.distributionDrift" -> "two bucket-count aggregates + windows over the buckets spine",
     "Tables.expectationReport" -> "single-scan rule aggregate (one row) + plan-side reshape",
     "Similarity.mmrSelect" -> "greedy driver loop of TakeOrdered scans (selection state = picked vectors)",
     "Curation.qualityKeep" -> "private[ops] helper (row-local keep rule inside qualityFilter, which is registered)",

@@ -9,6 +9,30 @@ class ProfileSpec extends AnyFunSuite {
   import SparkTestBase.spark
   import spark.implicits._
 
+  test("distributionDrift: KS max vs EMD sum, empty-bucket persistence, identity = 0") {
+    // all of a in bucket 0 (value 5), all of b in bucket 19 (value 595),
+    // 20 buckets over [0, 600): KS = 1.0 (1e6 micro); EMD must count the
+    // 18 EMPTY buckets in between where |CDF diff| stays 1 -> 19 widths
+    val a = (1 to 10).map(i => (i.toLong, 5L)).toDF("id", "v")
+    val b = (1 to 10).map(i => (i.toLong, 595L)).toDF("id", "v")
+    val out = graft.ops.Profile.distributionDrift(a, b, "v", buckets = 20, lo = 0L, hi = 600L)
+      .collect()
+    assert(out.length == 20, "one row per bucket, empty buckets included")
+    val r0 = out.find(_.getLong(0) == 0L).get
+    assert(r0.getLong(r0.fieldIndex("ks_micro")) == 1000000L)
+    assert(r0.getLong(r0.fieldIndex("emd_micro")) == 19000000L,
+      "EMD must see the 19-bucket move, not just the two occupied rows")
+    assert(r0.getLong(r0.fieldIndex("share_a_permille")) == 1000L)
+    // identical distributions drift 0
+    val same = graft.ops.Profile.distributionDrift(a, a, "v", buckets = 20, lo = 0L, hi = 600L)
+      .select("ks_micro", "emd_micro").distinct().collect()
+    assert(same.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 0L)))
+    // clamping: out-of-range values land in edge buckets, never drop
+    val wild = Seq((1L, -50L), (2L, 9999L)).toDF("id", "v")
+    val cl = graft.ops.Profile.distributionDrift(wild, wild, "v", buckets = 20, lo = 0L, hi = 600L)
+    assert(cl.agg(org.apache.spark.sql.functions.sum("n_a")).head().getLong(0) == 2L)
+  }
+
   // Two groups with hand-checkable stats:
   //   g1: token counts 1,2,3,4  (p50 = rank ceil(0.5*4)=2 -> 2; p90 = rank 4 -> 4)
   //   g2: token counts 2,5      (p50 = rank 1 -> 2; p90 = rank 2 -> 5)

@@ -76,6 +76,13 @@ class WindowAuditSpec extends AnyFunSuite {
       ("cnt DESC NULLS LAST,event_type ASC NULLS FIRST" -> postLimitRank)),
     "ns_ngram_vocab" -> Seq(
       ("cnt DESC NULLS LAST,token ASC NULLS FIRST" -> postLimitRank)),
+    "ns_distribution_drift" -> Seq(
+      ("bucket ASC NULLS FIRST | sum(n_a)" ->
+        "CDF prefix sums (both sides, one fused WindowExec) over the densified bucket spine — exactly `buckets` (<= 1e4) rows"),
+      (" | sum(n_a) windowspecdefinition" ->
+        "side totals over the buckets spine — metadata-sized"),
+      (" | max(__x)" ->
+        "KS max / EMD sum over the buckets spine — metadata-sized")),
     "ns_shard_manifest" -> Seq(
       (" | sum(bytes) windowspecdefinition" ->
         "manifest frame — one row per shard, <= `shards` rows by the groupBy key")),
