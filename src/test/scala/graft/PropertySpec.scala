@@ -1095,4 +1095,127 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- round-8 model laws: BT / MMR / drift vs exact references ---------
+
+  test("bradleyTerry law: matches a BigInt reference replay of the MM recipe") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val gen = for {
+      nItems <- Gen.chooseNum(2, 5)
+      nGames <- Gen.chooseNum(1, 25)
+      games <- Gen.listOfN(nGames, for {
+        w <- Gen.chooseNum(0, nItems - 1)
+        l <- Gen.chooseNum(0, nItems - 1)
+      } yield (w.toLong, l.toLong))
+    } yield games.filter { case (w, l) => w != l }
+    forAll(gen.suchThat(_.nonEmpty), 25) { games =>
+      val iters = 3
+      val M = BigInt(1000000)
+      // reference: exact BigInt replay of the documented integer recipe
+      val pairs = games.map { case (w, l) => (w min l, w max l) }
+        .groupBy(identity).view.mapValues(v => BigInt(v.size)).toMap
+      val wins = games.groupBy(_._1).view.mapValues(v => BigInt(v.size)).toMap
+      val items = pairs.keys.flatMap(p => Seq(p._1, p._2)).toSet
+      var s: Map[Long, BigInt] = items.map(_ -> M).toMap
+      for (_ <- 1 to iters) {
+        val denom = scala.collection.mutable.Map[Long, BigInt]().withDefaultValue(BigInt(0))
+        pairs.foreach { case ((a, b), n) =>
+          val t = if (s(a) + s(b) > 0) n * M * M / (s(a) + s(b)) else BigInt(0)
+          denom(a) += t; denom(b) += t
+        }
+        val raw = items.map { i =>
+          i -> (if (denom(i) > 0) wins.getOrElse(i, BigInt(0)) * M * M / denom(i)
+                else BigInt(0))
+        }.toMap
+        val mx = raw.values.max.max(BigInt(1))
+        s = raw.map { case (i, r) => i -> r * M / mx }
+      }
+      val got = graft.ops.Curation.bradleyTerry(
+        games.toDF("winner", "loser"), "winner", "loser", iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("skill_micro"))).toMap
+      assert(got.keySet == items)
+      items.foreach { i =>
+        assert(BigInt(got(i)) == s(i), s"item $i: got ${got(i)} want ${s(i)} games=$games")
+      }
+    }
+  }
+
+  test("mmrSelect law: matches a plain-Scala greedy with identical arithmetic") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); nx += a(i) * a(i); ny += b(i) * b(i); i += 1 }
+      if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-5, 5).map(_.toDouble / 2))
+    val gen = for {
+      n <- Gen.chooseNum(3, 15)
+      vecs <- Gen.listOfN(n, vecGen)
+      q <- vecGen.suchThat(_.exists(_ != 0.0))
+      k <- Gen.chooseNum(1, 5)
+      lam <- Gen.oneOf(0, 300, 500, 1000)
+    } yield (vecs.map(_.toArray), q.toArray, k, lam)
+    forAll(gen, 25) { case (vecs, q, k, lam) =>
+      val ids = vecs.indices.map(_.toLong)
+      // reference greedy: same double ops in the same order as the operator
+      val rel = vecs.map(v => cos(v, q))
+      var selected = Vector.empty[Int]
+      val picks = scala.collection.mutable.ArrayBuffer[Long]()
+      while (picks.size < k && selected.size < vecs.size) {
+        val cand = vecs.indices.filterNot(selected.contains)
+        val best = cand.minBy { i =>
+          val div = if (selected.isEmpty) 0.0
+            else selected.map(sIdx => cos(vecs(i), vecs(sIdx))).max
+          // + 0.0 normalizes IEEE -0.0 to +0.0: Spark writes doubles
+          // through UnsafeRow which normalizes negative zero, while
+          // Ordering[Double] ranks -0.0 < +0.0 — reachable only at
+          // lam = 0 where every round-1 score is (+/-)0.0
+          val score = rel(i) * (lam / 1000.0) - div * (1.0 - lam / 1000.0) + 0.0
+          (-score, i.toLong) // max score, tie to smaller id
+        }
+        selected :+= best; picks += best.toLong
+      }
+      val df = ids.zip(vecs).toDF("id", "vec")
+      val got = graft.ops.Similarity.mmrSelect(df, "vec", "id", q, k, lam)
+        .orderBy("rank").collect().map(_.getLong(1)).toSeq
+      assert(got == picks.toSeq, s"lam=$lam k=$k got=$got want=$picks")
+    }
+  }
+
+  test("distributionDrift law: matches a BigInt CDF reference") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val gen = for {
+      na <- Gen.chooseNum(1, 30)
+      nb <- Gen.chooseNum(1, 30)
+      a <- Gen.listOfN(na, Gen.chooseNum(-10L, 110L))
+      b <- Gen.listOfN(nb, Gen.chooseNum(-10L, 110L))
+    } yield (a, b)
+    val buckets = 10; val lo = 0L; val hi = 100L
+    forAll(gen, 25) { case (a, b) =>
+      def bucketOf(v: Long): Int =
+        math.max(0, math.min(buckets - 1, ((v - lo) * buckets / (hi - lo)).toInt))
+      val ca = a.groupBy(bucketOf).view.mapValues(_.size.toLong).toMap
+      val cb = b.groupBy(bucketOf).view.mapValues(_.size.toLong).toMap
+      val ta = BigInt(a.size); val tb = BigInt(b.size)
+      var (cumA, cumB) = (BigInt(0), BigInt(0))
+      var mx = BigInt(0); var sx = BigInt(0)
+      (0 until buckets).foreach { bk =>
+        cumA += BigInt(ca.getOrElse(bk, 0L)); cumB += BigInt(cb.getOrElse(bk, 0L))
+        val x = (cumA * tb - cumB * ta).abs
+        mx = mx.max(x); sx += x
+      }
+      val wantKs = mx * 1000000 / (ta * tb)
+      val wantEmd = sx * 1000000 / (ta * tb)
+      val out = graft.ops.Profile.distributionDrift(
+        a.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v"),
+        b.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v"),
+        "v", buckets, lo, hi)
+        .select("ks_micro", "emd_micro").head()
+      assert(BigInt(out.getLong(0)) == wantKs, s"ks: a=$a b=$b")
+      assert(BigInt(out.getLong(1)) == wantEmd, s"emd: a=$a b=$b")
+    }
+  }
 }
