@@ -292,6 +292,16 @@ private[graft] object EntriesAnalytics {
         t(s, dir, "events"), "ts", "props", "event_type", "1 hour",
         keep = length(col("props")) >= 9)
         .drop("approx_distinct")),
+    "ns_stream_drift" -> ((s, dir) =>
+      // batch-mode run of the streaming drift monitor (same code path;
+      // watermark applies to streams only): hourly windows of the
+      // deterministic event-value derivation vs a frozen uniform
+      // 10-bucket reference — per-window KS + EMD in micro
+      graft.streaming.Windows.streamingDistributionDrift(
+        t(s, dir, "events").select(col("ts"),
+          ((col("event_id") * 37) % 1001).as("v")),
+        "ts", "v", referenceShares = Seq.fill(10)(100L),
+        windowDuration = "1 hour", lo = 0L, hi = 1000L)),
     "ns_stream_calibration" -> ((s, dir) =>
       // Batch-mode run of the streaming calibration monitor — the SAME
       // code path the stream executes (watermark applies to streams
@@ -669,6 +679,26 @@ private[graft] object EntriesAnalytics {
         |       CAST(sum(CASE WHEN len(props) >= 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |       CAST(sum(CASE WHEN len(trim(props)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "ns_stream_drift" ->
+      """WITH s AS (SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+        |             (event_id * 37) % 1001 AS v FROM events),
+        |b AS (SELECT window_start, greatest(0, least(9, v * 10 // 1000)) AS bucket,
+        |             CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1, 2),
+        |w AS (SELECT DISTINCT window_start FROM b),
+        |sp AS (SELECT window_start, CAST(unnest(range(10)) AS BIGINT) AS bucket FROM w),
+        |j AS (SELECT sp.window_start, sp.bucket, coalesce(b.n, 0) AS n
+        |      FROM sp LEFT JOIN b USING (window_start, bucket)),
+        |c AS (SELECT *, CAST(sum(n) OVER (PARTITION BY window_start ORDER BY bucket) AS HUGEINT) AS cum,
+        |        CAST(sum(n) OVER (PARTITION BY window_start) AS HUGEINT) AS tot FROM j),
+        |x AS (SELECT window_start, tot,
+        |        abs(cum * 1000000 - (bucket + 1) * 100000 * tot) AS xx FROM c),
+        |f AS (SELECT window_start, CAST(max(tot) AS BIGINT) AS n_obs,
+        |        CAST(max(xx) // max(tot) AS BIGINT) AS ks_micro,
+        |        CAST(sum(xx) // max(tot) AS BIGINT) AS emd_micro
+        |      FROM x GROUP BY 1)
+        |SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+        |       n_obs, ks_micro, emd_micro
+        |FROM f""".stripMargin,
     "ns_stream_calibration" ->
       """WITH s AS (SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
         |             (event_id * 37) % 1001 AS score,

@@ -716,6 +716,17 @@ private[graft] object EntrySupport {
         concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 40)))
         .otherwise(col("text")).as("cand"),
       when(col("doc_id") % 2 === 0, col("text")).otherwise(col("__next")).as("ref"))
+      // gate-scale parallelism: the one-file toy scan is ONE partition,
+      // and the gram generator amplifies each pair ~10³× — without this
+      // pair-keyed spread the whole explode+partial-agg map stage runs
+      // on a single task (measured: the dominant eval-gate cost). The
+      // EXPLICIT partition count is load-bearing: AQE coalesces a
+      // key-only repartition of 5k small rows straight back to one
+      // partition (it cannot see the amplification downstream of the
+      // generator); a user-specified numPartitions is exempt from
+      // coalescing. At production scale the scan has natural splits and
+      // this is the standard pre-amplification repartition.
+      .repartition(s.sparkContext.defaultParallelism, col("pair_id"))
   }
 
   private[graft] val evalPairsSql =

@@ -24,16 +24,18 @@ import org.apache.spark.sql.functions._
   * lowercase, split on `\s+`, empty/blank text = zero tokens.
   *
   * Scale shape (identical for all three):
-  *   1. explode each side's n-grams for ALL n in one generator pass —
-  *      rows carry (pair_id, n, gram, side);
+  *   1. ONE evaluation of the pair frame feeds a two-stage generator —
+  *      a tiny (n, side) spec explode (2·maxN rows per pair), then one
+  *      column-parameterized gram explode — rows carry
+  *      (pair_id, n, gram, side);
   *   2. ONE hash shuffle on (pair_id, n, gram) with map-side partial
   *      aggregation produces per-gram candidate/reference counts;
   *      clipped matches = Σ min(cand_count, ref_count) — the modified
   *      precision of Papineni et al. 2002 — reduce in the same pass;
   *   3. one pair-sized shuffle pivots n=1..N wide.
-  * No join of the two explode streams (a union feeds one aggregation),
-  * no window, no driver state. Skew = one pathological pair's grams
-  * land on Σ-of-its-grams reducers, not one.
+  * No join of the two sides (both feed one aggregation), no window, no
+  * driver state. Skew = one pathological pair's grams land on
+  * Σ-of-its-grams reducers, not one.
   */
 object EvalMetrics {
 
@@ -48,15 +50,18 @@ object EvalMetrics {
       .otherwise(array_remove(split(t, "\\s+"), ""))
   }
 
-  /** Word n-grams of `tokens` for one n, space-joined; empty when the
-    * text has fewer than n tokens (sequence() would go DESCENDING on an
-    * inverted range — the guard is load-bearing, not cosmetic).
+  /** Word n-grams parameterized by COLUMN n (the spec-explode pattern —
+    * see [[sideCounts]]); empty when the text has fewer than n tokens
+    * (sequence() would go DESCENDING on an inverted range — the guard is
+    * load-bearing, not cosmetic).
     */
-  private def grams(tokens: Column, n: Int): Column =
-    when(size(tokens) >= n,
-      transform(sequence(lit(1), size(tokens) - lit(n - 1)),
-        i => concat_ws(" ", slice(tokens, i, lit(n)))))
+  private def wordGrams(tokens: Column, n: Column): Column = {
+    val nI = n.cast("int")
+    when(size(tokens) >= nI,
+      transform(sequence(lit(1), size(tokens) - nI + lit(1)),
+        i => concat_ws(" ", slice(tokens, i, nI))))
       .otherwise(array().cast("array<string>"))
+  }
 
   /** Per-(pair, n) clipped-match components over word n-grams:
     * (pair_id, n, matches, cand_total, ref_total) — `matches` is the
@@ -70,7 +75,8 @@ object EvalMetrics {
     require(maxN >= 1 && maxN <= 8, "maxN must be in [1, 8]")
     val base = pairs.select(col(pairIdCol).as("pair_id"),
       toks(col(candCol)).as("__ct"), toks(col(refCol)).as("__rt"))
-    sideCounts(base, (d, n) => grams(d("__ct"), n), (d, n) => grams(d("__rt"), n), maxN)
+    sideCounts(base, (n, side) =>
+      wordGrams(when(side === 0, col("__ct")).otherwise(col("__rt")), n), maxN)
   }
 
   /** Shared explode→count→clip kernel for word and character grams.
@@ -78,22 +84,20 @@ object EvalMetrics {
     * frame's prepared columns.
     */
   private def sideCounts(base: DataFrame,
-      candG: (DataFrame, Int) => Column, refG: (DataFrame, Int) => Column,
-      maxN: Int): DataFrame = {
-    // ONE generator pass covering BOTH sides and every n: per row the
-    // candidate and reference gram arrays concatenate, each element
-    // tagged (n, side), then a single explode — so the pair frame (often
-    // itself a join) evaluates once, not once per side, and the explode
-    // count stays 1 instead of 2·maxN
-    def tag(f: (DataFrame, Int) => Column, flag: Int): Seq[Column] =
-      (1 to maxN).map { n =>
-        transform(f(base, n), g =>
-          struct(lit(n.toLong).as("n"), lit(flag).as("side"), g.as("gram")))
-      }
-    val all = concat(tag(candG, 0) ++ tag(refG, 1): _*)
-    val both = base.select(col("pair_id"), explode(all).as("__g"))
-      .select(col("pair_id"), col("__g.n").as("n"), col("__g.gram").as("gram"),
-        col("__g.side").as("__side"))
+      gramsFor: (Column, Column) => Column, maxN: Int): DataFrame = {
+    // parametric two-stage generator: a 2·maxN-row (n, side) spec explode
+    // per pair, then ONE column-parameterized gram builder. The pair
+    // frame (often itself a join) still evaluates once for both sides and
+    // every n; versus 2·maxN transform legs concatenated into one giant
+    // expression, the generated code here is a single small loop — the
+    // inlined-concat variant's janino compile alone took seconds per
+    // COLD plan and dominated the gate wall time.
+    val specs = array((for { side <- 0 to 1; n <- 1 to maxN }
+      yield struct(lit(n.toLong).as("n"), lit(side).as("side"))): _*)
+    val s1 = base.withColumn("__spec", explode(specs))
+    val both = s1.select(col("pair_id"), col("__spec.n").as("n"),
+      col("__spec.side").as("__side"),
+      explode(gramsFor(col("__spec.n"), col("__spec.side"))).as("gram"))
     val perGram = both.groupBy(col("pair_id"), col("n"), col("gram"))
       .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__c"),
         sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__r"))
@@ -179,14 +183,15 @@ object EvalMetrics {
     def prep(c: Column): Column = substring(trim(lower(coalesce(c, lit("")))), 1, maxChars)
     val base = pairs.select(col(pairIdCol).as("pair_id"),
       prep(col(candCol)).as("__cs"), prep(col(refCol)).as("__rs"))
-    def cg(d: DataFrame, colName: String, n: Int): Column = {
-      val t = col(colName)
-      when(length(t) >= n,
-        transform(sequence(lit(1), length(t) - lit(n - 1)),
-          i => t.substr(i, lit(n))))
+    def cg(n: Column, side: Column): Column = {
+      val t = when(side === 0, col("__cs")).otherwise(col("__rs"))
+      val nI = n.cast("int")
+      when(length(t) >= nI,
+        transform(sequence(lit(1), length(t) - nI + lit(1)),
+          i => t.substr(i, nI)))
         .otherwise(array().cast("array<string>"))
     }
-    val comp = sideCounts(base, (d, n) => cg(d, "__cs", n), (d, n) => cg(d, "__rs", n), maxN)
+    val comp = sideCounts(base, cg, maxN)
     withPrf(comp).withColumn("f2_permille",
       when(col("precision_permille").isNotNull && col("recall_permille").isNotNull &&
         (col("precision_permille") * 4L + col("recall_permille")) > 0,

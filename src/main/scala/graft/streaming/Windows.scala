@@ -335,6 +335,61 @@ object Windows {
         col("observed_permille") - col("mean_score_milli"))
   }
 
+  /** Streaming twin of [[graft.ops.Profile.distributionDrift]] against a
+    * FROZEN reference: per tumbling window, the KS statistic and
+    * Wasserstein-1 distance between the window's value histogram and a
+    * fixed reference distribution (permille shares per equal-width
+    * bucket over [lo, hi]) — the live alarm for "this feed stopped
+    * looking like the corpus we calibrated on", window by window instead
+    * of at the next offline audit.
+    *
+    * Streaming-legal shape: ONE windowed aggregate whose row pivots the
+    * per-bucket counts wide (`sum(when(bucket = i, 1))` per bucket —
+    * Structured Streaming forbids an aggregate over an aggregate, so the
+    * cross-bucket CDF fold happens ROW-LOCALLY on the wide row; bucket
+    * count ≤ 64 guarded for expression width). State is window-sized ×
+    * `buckets` longs, bounded by the watermark. Same integer contract as
+    * the batch operator: xᵢ = |cumᵢ·10⁶ − refCumMicroᵢ·tot|, one division
+    * at the end (exact while window rows ≤ 9·10¹²).
+    *
+    * Output: (window_start, window_end, n_obs, ks_micro, emd_micro).
+    * Out-of-range values clamp into edge buckets; NULL values drop.
+    */
+  def streamingDistributionDrift(df: DataFrame, tsCol: String, valueCol: String,
+      referenceShares: Seq[Long], windowDuration: String, lo: Long, hi: Long,
+      watermark: String = "10 minutes"): DataFrame = {
+    val buckets = referenceShares.length
+    require(buckets >= 2 && buckets <= 64,
+      "referenceShares length (bucket count) must be in [2, 64]")
+    require(referenceShares.forall(s => s >= 0L && s <= 1000L) &&
+      referenceShares.sum == 1000L,
+      "referenceShares must be permille values summing to 1000")
+    require(lo < hi, "lo must be < hi")
+    val src = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    val v = col(valueCol).cast("long")
+    val bk = greatest(lit(0L), least(lit(buckets - 1L),
+      call_function("div", (v - lo) * buckets.toLong, lit(hi - lo))))
+    val aggs = (0 until buckets).map(i =>
+      sum(when(col("__bk") === i, 1L).otherwise(0L)).as(s"__n$i"))
+    val perWindow = src.where(v.isNotNull)
+      .withColumn("__bk", bk)
+      .groupBy(window(col(tsCol), windowDuration).as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+    val refCumMicro: Seq[Long] =
+      referenceShares.scanLeft(0L)(_ + _).tail.map(_ * 1000L)
+    val tot = (0 until buckets).map(i => col(s"__n$i")).reduce(_ + _)
+    val withTot = perWindow.withColumn("__tot", tot)
+    val xs = (0 until buckets).map { i =>
+      val cum = (0 to i).map(j => col(s"__n$j")).reduce(_ + _)
+      abs(cum * 1000000L - lit(refCumMicro(i)) * col("__tot"))
+    }
+    withTot.select(
+      col("w.start").as("window_start"), col("w.end").as("window_end"),
+      col("__tot").as("n_obs"),
+      call_function("div", xs.reduce(greatest(_, _)), col("__tot")).as("ks_micro"),
+      call_function("div", xs.reduce(_ + _), col("__tot")).as("emd_micro"))
+  }
+
   final case class RollEvent(key: String, ts: java.sql.Timestamp, value: Long)
   final case class RollBuf(entries: List[(Long, Long)])
   final case class RollOutput(key: String, ts: java.sql.Timestamp, value: Long,

@@ -197,13 +197,16 @@ class PlanSpec extends AnyFunSuite {
       s"chunk text may not cross the pack exchange:\n${above.take(3000)}")
   }
 
-  test("eval-metric gram kernel: ONE explode for both sides and all n; spine re-scan is id-only") {
+  test("eval-metric gram kernel: one two-stage generator chain; spine re-scan is id-only") {
     val q = EntriesCuration.queries("ns_bleu")(spark, sf)
     val plan = planOf(q)
-    // both sides × n=1..4 concatenate into one generator — a per-side or
-    // per-n explode would multiply the scan of the pair join
+    // both sides × n=1..4 ride ONE generator chain: the (n, side) spec
+    // explode + the parametric gram explode — a per-side or per-n gram
+    // explode would multiply the scan of the pair join, and inlining all
+    // legs into one concat expression costs seconds of cold janino
+    // compile (measured; the reason the chain is TWO nodes, not one)
     val gens = "Generate explode".r.findAllIn(plan).length
-    assert(gens == 1, s"grams must ride ONE explode, got $gens:\n${plan.take(3000)}")
+    assert(gens == 2, s"expected the spec+gram generator chain, got $gens:\n${plan.take(3000)}")
     // gram branch reads the join's two text sides; the zero-gram-pair
     // spine re-reads ids ONLY (no text re-scan, no re-tokenize)
     val scans = "Scan parquet".r.findAllIn(plan).length

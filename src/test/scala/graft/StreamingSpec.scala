@@ -366,6 +366,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingDistributionDrift: per-window KS/EMD vs frozen reference, stream == batch twin") {
+    val input = MemoryStream[(java.sql.Timestamp, Long)](spark, 49)
+    val df = input.toDF().toDF("ts", "v")
+    // 4 buckets over [0, 100), uniform 250-permille reference
+    val agg = Windows.streamingDistributionDrift(df, "ts", "v",
+      referenceShares = Seq(250L, 250L, 250L, 250L), "10 minutes", lo = 0L, hi = 100L)
+    val q = agg.writeStream.format("memory").queryName("sdrift")
+      .outputMode("complete").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      // window A: all 4 values in bucket 0 -> CDF (1,1,1,1) vs ref
+      // (.25,.5,.75,1): xs = .75,.5,.25,0 of tot*1e6 -> ks=750000,
+      // emd=1500000; window B: perfectly uniform -> 0 drift
+      input.addData(Seq((ts(1), 5L), (ts(2), 10L), (ts(3), 20L), (ts(4), 24L),
+        (ts(11), 5L), (ts(12), 30L), (ts(13), 55L), (ts(14), 80L)): _*)
+      q.processAllAvailable()
+      val got = spark.table("sdrift").collect()
+        .map(r => (r.getAs[java.sql.Timestamp](0).toString, r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == Set(
+        ("2024-01-01 10:00:00.0", 4L, 750000L, 1500000L),
+        ("2024-01-01 10:10:00.0", 4L, 0L, 0L)), s"got $got")
+      // the batch-mode run of the same code path agrees row-for-row
+      val batch = Windows.streamingDistributionDrift(
+        spark.table("sdrift").sparkSession.createDataFrame(Seq(
+          (ts(1), 5L), (ts(2), 10L), (ts(3), 20L), (ts(4), 24L),
+          (ts(11), 5L), (ts(12), 30L), (ts(13), 55L), (ts(14), 80L)))
+          .toDF("ts", "v"),
+        "ts", "v", Seq(250L, 250L, 250L, 250L), "10 minutes", 0L, 100L)
+        .collect().map(r => (r.getAs[java.sql.Timestamp](0).toString,
+          r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over a memory stream") {
     val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark, 1)
     val df = input.toDF().toDF("ts", "key", "v")
