@@ -541,12 +541,12 @@ private[graft] object EntriesProfile {
         |x AS (SELECT *, abs(cca * tb - ccb * ta) AS xx FROM c),
         |m AS (SELECT *, max(xx) OVER () AS mx, sum(xx) OVER () AS sx FROM x)
         |SELECT bucket, n_a, n_b,
-        |  CASE WHEN ta > 0 THEN CAST(n_a * 1000 // ta AS BIGINT) ELSE 0 END AS share_a_permille,
-        |  CASE WHEN tb > 0 THEN CAST(n_b * 1000 // tb AS BIGINT) ELSE 0 END AS share_b_permille,
+        |  CASE WHEN ta > 0 THEN CAST(n_a * 1000 // ta AS BIGINT) END AS share_a_permille,
+        |  CASE WHEN tb > 0 THEN CAST(n_b * 1000 // tb AS BIGINT) END AS share_b_permille,
         |  CASE WHEN ta > 0 AND tb > 0 THEN CAST(mx * 1000000 // (ta * tb) AS BIGINT)
-        |       ELSE 0 END AS ks_micro,
+        |       END AS ks_micro,
         |  CASE WHEN ta > 0 AND tb > 0 THEN CAST(sx * 1000000 // (ta * tb) AS BIGINT)
-        |       ELSE 0 END AS emd_micro
+        |       END AS emd_micro
         |FROM m""".stripMargin,
     "ns_shard_manifest" ->
       """WITH pr AS (SELECT

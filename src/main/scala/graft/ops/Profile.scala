@@ -1132,10 +1132,12 @@ object Profile {
 
   /** Distribution drift between two corpora on one numeric column — the
     * histogram-level complement of [[profileDrift]]'s per-metric deltas:
-    * equal-width buckets over [lo, hi] (outside values clamp into the
-    * edge buckets, so schema surprises show up as edge mass, not dropped
-    * rows), per-bucket counts and permille shares for both sides, and
-    * the two standard one-number drift statistics:
+    * equal-width buckets over [lo, hi] (out-of-range values clamp into
+    * the edge buckets, so range surprises show up as edge mass; NULLs
+    * and values that cannot cast to BIGINT drop — completeness is
+    * [[graft.ops.Tables.expectationReport]]'s job), per-bucket counts
+    * and permille shares for both sides, and the two standard one-number
+    * drift statistics:
     *
     *   - `ks_micro` — the Kolmogorov-Smirnov statistic
     *     max |CDF_a − CDF_b| in micro-units: the "is this the same
@@ -1164,19 +1166,37 @@ object Profile {
     * ks_micro, emd_micro) — one row per bucket 0..buckets−1, the two
     * statistics constant across rows.
     */
+  /** Clamp-then-bucket shared by [[distributionDrift]] and
+    * [[graft.streaming.Windows.streamingDistributionDrift]] (the twins
+    * must agree on which bucket a value lands in — one definition).
+    * Clamping BEFORE the multiply plus a DECIMAL(38,0) product is what
+    * makes the arithmetic wrap-proof: `(v − lo) · buckets` on a raw
+    * nanosecond-epoch value wraps a long and would land far-out values
+    * on the WRONG edge, inverting the edge-mass signal.
+    */
+  private[graft] def clampedBucket(v: Column, lo: Long, hi: Long,
+      buckets: Int): Column = {
+    val vc = greatest(lit(lo), least(lit(hi), v))
+    val raw = call_function("div",
+      (vc - lo).cast("decimal(38,0)") * buckets.toLong, lit(hi - lo))
+    least(lit(buckets - 1L), raw)
+  }
+
   def distributionDrift(a: DataFrame, b: DataFrame, valueCol: String,
       buckets: Int, lo: Long, hi: Long): DataFrame = {
     require(buckets >= 2 && buckets <= 10000, "buckets must be in [2, 1e4]")
     require(lo < hi, "lo must be < hi")
+    require(BigInt(hi) - BigInt(lo) <= Long.MaxValue,
+      "hi - lo must fit a long (the span literal)")
     val dec = "decimal(38,0)"
-    val bucketOf: Column = {
-      val v = col(valueCol).cast("long")
-      val raw = call_function("div", (v - lo) * buckets.toLong, lit(hi - lo))
-      greatest(lit(0L), least(lit(buckets - 1L), raw))
-    }
+    // filter on the CAST, not the raw column: a value that cannot cast
+    // to BIGINT (overflowing decimal, string column) would otherwise
+    // survive into a NULL bucket and silently vanish from the totals
+    val v = col(valueCol).cast("long")
     def counts(df: DataFrame, out: String): DataFrame =
-      df.where(col(valueCol).isNotNull)
-        .groupBy(bucketOf.as("bucket")).agg(count(lit(1)).as(out))
+      df.where(v.isNotNull)
+        .groupBy(clampedBucket(v, lo, hi, buckets).as("bucket"))
+        .agg(count(lit(1)).as(out))
     val spine = a.sparkSession.range(buckets.toLong).select(col("id").as("bucket"))
     val joined = spine
       .join(counts(a, "n_a"), Seq("bucket"), "left")
@@ -1198,21 +1218,25 @@ object Profile {
     cum
       .withColumn("__mx", max(col("__x")).over(whole))
       .withColumn("__sx", sum(col("__x")).over(whole))
+      // NULL, never 0, when a side is empty: 0 is the ALL-CLEAR value,
+      // and "today's extract produced no rows" is the maximal anomaly a
+      // drift monitor exists to catch (the rougeN undefined-is-NULL
+      // convention)
       .select(col("bucket"), col("n_a"), col("n_b"),
         when(col("__ta") > 0,
           call_function("div", col("n_a") * 1000L, col("__ta")))
-          .otherwise(lit(0L)).as("share_a_permille"),
+          .as("share_a_permille"),
         when(col("__tb") > 0,
           call_function("div", col("n_b") * 1000L, col("__tb")))
-          .otherwise(lit(0L)).as("share_b_permille"),
+          .as("share_b_permille"),
         when(col("__ta") > 0 && col("__tb") > 0,
           call_function("div", col("__mx") * lit(1000000L).cast(dec),
             col("__ta").cast(dec) * col("__tb").cast(dec)))
-          .otherwise(lit(0L)).as("ks_micro"),
+          .as("ks_micro"),
         when(col("__ta") > 0 && col("__tb") > 0,
           call_function("div", col("__sx") * lit(1000000L).cast(dec),
             col("__ta").cast(dec) * col("__tb").cast(dec)))
-          .otherwise(lit(0L)).as("emd_micro"))
+          .as("emd_micro"))
   }
 
   /** Deterministic shard assignment + per-shard manifest — the publishing

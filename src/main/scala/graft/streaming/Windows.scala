@@ -365,10 +365,13 @@ object Windows {
       referenceShares.sum == 1000L,
       "referenceShares must be permille values summing to 1000")
     require(lo < hi, "lo must be < hi")
+    require(BigInt(hi) - BigInt(lo) <= Long.MaxValue,
+      "hi - lo must fit a long (the span literal)")
     val src = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    // cast-filter + the SHARED clamp-then-bucket definition (the batch
+    // twin's — the two ops must agree on which bucket a value lands in)
     val v = col(valueCol).cast("long")
-    val bk = greatest(lit(0L), least(lit(buckets - 1L),
-      call_function("div", (v - lo) * buckets.toLong, lit(hi - lo))))
+    val bk = graft.ops.Profile.clampedBucket(v, lo, hi, buckets)
     val aggs = (0 until buckets).map(i =>
       sum(when(col("__bk") === i, 1L).otherwise(0L)).as(s"__n$i"))
     val perWindow = src.where(v.isNotNull)

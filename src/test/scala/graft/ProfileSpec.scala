@@ -27,10 +27,20 @@ class ProfileSpec extends AnyFunSuite {
     val same = graft.ops.Profile.distributionDrift(a, a, "v", buckets = 20, lo = 0L, hi = 600L)
       .select("ks_micro", "emd_micro").distinct().collect()
     assert(same.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 0L)))
-    // clamping: out-of-range values land in edge buckets, never drop
-    val wild = Seq((1L, -50L), (2L, 9999L)).toDF("id", "v")
+    // clamping: out-of-range values land in the CORRECT edge bucket —
+    // including magnitudes where (v - lo) * buckets would wrap a long
+    // (a raw nanosecond epoch): the wrap would land the far-out value on
+    // the LOW edge, inverting the edge-mass signal
+    val wild = Seq((1L, -50L), (2L, 9999L), (3L, Long.MaxValue - 5L)).toDF("id", "v")
     val cl = graft.ops.Profile.distributionDrift(wild, wild, "v", buckets = 20, lo = 0L, hi = 600L)
-    assert(cl.agg(org.apache.spark.sql.functions.sum("n_a")).head().getLong(0) == 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl.values.sum == 3L)
+    assert(cl(0L) == 1L && cl(19L) == 2L,
+      s"huge values must clamp HIGH, negatives LOW: $cl")
+    // empty side: NULL statistics, never the all-clear 0
+    val e = graft.ops.Profile.distributionDrift(
+      a, a.where(org.apache.spark.sql.functions.lit(false)), "v", 20, 0L, 600L).head()
+    assert(e.isNullAt(e.fieldIndex("ks_micro")) && e.isNullAt(e.fieldIndex("emd_micro")))
   }
 
   // Two groups with hand-checkable stats:
