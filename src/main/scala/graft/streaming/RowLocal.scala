@@ -289,6 +289,7 @@ object RowLocal {
     "EvalMetrics.chrF" -> "per-pair character-gram aggregates",
     "Profile.shardManifest" -> "per-shard groupBy + manifest-frame share window",
     "Profile.distributionDrift" -> "two bucket-count aggregates + windows over the buckets spine",
+    "Profile.clampedBucket" -> "private[graft] helper (row-local clamp-then-bucket column shared by the batch and streaming drift twins)",
     "Tables.expectationReport" -> "single-scan rule aggregate (one row) + plan-side reshape",
     "Similarity.mmrSelect" -> "greedy driver loop of TakeOrdered scans (selection state = picked vectors)",
     "Curation.qualityKeep" -> "private[ops] helper (row-local keep rule inside qualityFilter, which is registered)",
