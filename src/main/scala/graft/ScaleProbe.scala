@@ -209,6 +209,19 @@ object ScaleProbe {
       })
       timeM("pqTopK", graft.ops.Similarity.pqTopK(
         vecsM.filter(col("id") < 50), vecsM, k = 5, m = 8, ksub = 16))
+      timeM("bleuComponents", {
+        val a = docsM.select(col("doc_id"), col("text"))
+        val b = docsM.select((col("doc_id") - 1L).as("doc_id"),
+          col("text").as("__next"))
+        graft.ops.EvalMetrics.bleuComponents(
+          a.join(b, "doc_id").select(col("doc_id").as("pair_id"),
+            col("text").as("cand"), col("__next").as("ref")),
+          "pair_id", "cand", "ref")
+      })
+      timeM("mmrSelect", {
+        val q = e0.orderBy("id").select("vec").head().getSeq[Double](0).toArray
+        graft.ops.Similarity.mmrSelect(vecsM, "vec", "id", q, k = 8)
+      })
     }
     spark.stop()
   }

@@ -67,8 +67,11 @@ object EvalMetrics {
     * (pair_id, n, matches, cand_total, ref_total) — `matches` is the
     * CLIPPED count (per distinct gram, min of the two sides' counts), so
     * a candidate repeating a reference word 50 times scores it once per
-    * reference occurrence, never 50. The building block [[bleuComponents]]
-    * and [[rougeN]] pivot from.
+    * reference occurrence, never 50. EVERY (pair, n) appears, including
+    * all-zero rows for gram-free pairs (the explode_outer coverage
+    * contract [[bleuComponents]] relies on — see sideCounts); [[rougeN]]
+    * and [[chrF]] filter the zero rows back out. The building block both
+    * pivot from.
     */
   def ngramOverlap(pairs: DataFrame, pairIdCol: String, candCol: String,
       refCol: String, maxN: Int): DataFrame = {
@@ -95,12 +98,22 @@ object EvalMetrics {
     val specs = array((for { side <- 0 to 1; n <- 1 to maxN }
       yield struct(lit(n.toLong).as("n"), lit(side).as("side"))): _*)
     val s1 = base.withColumn("__spec", explode(specs))
+    // explode_OUTER so a gram-free (pair, n, side) leg still emits one
+    // null-gram row: every pair then reaches the aggregate and the wide
+    // pivot carries EVERY pair with zero counts — no "keep empty pairs"
+    // outer join downstream (which, having a provably-unique right key,
+    // Catalyst ELIMINATES under a column-pruned action like count(),
+    // silently skipping the whole gram pipeline). Null-gram rows guard
+    // to zero in both counters — they exist for coverage, never for
+    // matching (two empty sides must not "match" on the null gram).
     val both = s1.select(col("pair_id"), col("__spec.n").as("n"),
       col("__spec.side").as("__side"),
-      explode(gramsFor(col("__spec.n"), col("__spec.side"))).as("gram"))
+      explode_outer(gramsFor(col("__spec.n"), col("__spec.side"))).as("gram"))
     val perGram = both.groupBy(col("pair_id"), col("n"), col("gram"))
-      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__c"),
-        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__r"))
+      .agg(sum(when(col("__side") === 0 && col("gram").isNotNull, 1L)
+          .otherwise(0L)).as("__c"),
+        sum(when(col("__side") === 1 && col("gram").isNotNull, 1L)
+          .otherwise(0L)).as("__r"))
     perGram.groupBy(col("pair_id"), col("n"))
       .agg(sum(least(col("__c"), col("__r"))).as("matches"),
         sum(col("__c")).as("cand_total"),
@@ -130,9 +143,11 @@ object EvalMetrics {
       refCol: String): DataFrame = {
     val comp = ngramOverlap(pairs, pairIdCol, candCol, refCol, maxN = 4)
     // the lengths ARE the n=1 totals (1-grams == tokens), so they ride
-    // the same aggregate — the only second branch over the input is an
-    // id-only spine (column-pruned: no text re-scan, no re-tokenize)
-    // that keeps zero-gram pairs in the output
+    // the same aggregate; comp carries EVERY pair (explode_outer
+    // coverage), so no outer join is needed to keep zero-gram pairs —
+    // and none must be: a unique-right-key outer join is eliminable
+    // under column-pruned actions, which would let a count() skip the
+    // gram pipeline entirely
     val aggs = (1 to 4).flatMap { n =>
       Seq(sum(when(col("n") === n, col("matches")).otherwise(0L)).as(s"matches_$n"),
         sum(when(col("n") === n, col("cand_total")).otherwise(0L)).as(s"total_$n"))
@@ -145,14 +160,11 @@ object EvalMetrics {
     // envelope; 4th root of permille⁴ is permille
     val geo = when((1 to 4).map(n => col(s"total_$n") > 0).reduce(_ && _),
       Curation.isqrtExact(Curation.isqrtExact(p(1) * p(2) * p(3) * p(4))))
-    val spine = pairs.select(col(pairIdCol).as("pair_id"))
-    spine.join(wide, Seq("pair_id"), "left")
-      .select(col("pair_id") +:
-        coalesce(col("total_1"), lit(0L)).as("cand_len") +:
-        coalesce(col("__rt1"), lit(0L)).as("ref_len") +:
-        (1 to 4).flatMap(n => Seq(coalesce(col(s"matches_$n"), lit(0L)).as(s"matches_$n"),
-          coalesce(col(s"total_$n"), lit(0L)).as(s"total_$n"))) :+
-        geo.as("precision_geo_permille"): _*)
+    wide.select(col("pair_id") +:
+      col("total_1").as("cand_len") +:
+      col("__rt1").as("ref_len") +:
+      (1 to 4).flatMap(n => Seq(col(s"matches_$n"), col(s"total_$n"))) :+
+      geo.as("precision_geo_permille"): _*)
   }
 
   /** ROUGE-N per pair for n = 1..`maxN`: clipped matches, the two
@@ -166,7 +178,9 @@ object EvalMetrics {
   def rougeN(pairs: DataFrame, pairIdCol: String, candCol: String,
       refCol: String, maxN: Int = 2): DataFrame = {
     val comp = ngramOverlap(pairs, pairIdCol, candCol, refCol, maxN)
-    withPrf(comp)
+    // drop the coverage rows (see ngramOverlap): a (pair, n) with no
+    // gram on EITHER side has no defined ROUGE row
+    withPrf(comp.where(col("cand_total") + col("ref_total") > 0))
   }
 
   /** chrF components: character-n-gram overlap for n = 1..`maxN`
@@ -192,6 +206,7 @@ object EvalMetrics {
         .otherwise(array().cast("array<string>"))
     }
     val comp = sideCounts(base, cg, maxN)
+      .where(col("cand_total") + col("ref_total") > 0) // rougeN's rule
     withPrf(comp).withColumn("f2_permille",
       when(col("precision_permille").isNotNull && col("recall_permille").isNotNull &&
         (col("precision_permille") * 4L + col("recall_permille")) > 0,

@@ -197,22 +197,27 @@ class PlanSpec extends AnyFunSuite {
       s"chunk text may not cross the pack exchange:\n${above.take(3000)}")
   }
 
-  test("eval-metric gram kernel: one two-stage generator chain; spine re-scan is id-only") {
+  test("eval-metric gram kernel: one two-stage generator chain; count() cannot skip it") {
     val q = EntriesCuration.queries("ns_bleu")(spark, sf)
     val plan = planOf(q)
     // both sides × n=1..4 ride ONE generator chain: the (n, side) spec
-    // explode + the parametric gram explode — a per-side or per-n gram
-    // explode would multiply the scan of the pair join, and inlining all
-    // legs into one concat expression costs seconds of cold janino
-    // compile (measured; the reason the chain is TWO nodes, not one)
+    // explode + the parametric gram explode_outer — a per-side or per-n
+    // gram explode would multiply the scan of the pair join, and
+    // inlining all legs into one concat expression costs seconds of
+    // cold janino compile (measured; the reason the chain is TWO nodes)
     val gens = "Generate explode".r.findAllIn(plan).length
     assert(gens == 2, s"expected the spec+gram generator chain, got $gens:\n${plan.take(3000)}")
-    // gram branch reads the join's two text sides; the zero-gram-pair
-    // spine re-reads ids ONLY (no text re-scan, no re-tokenize)
+    // the pair join evaluates ONCE: two text-side scans, no spine branch
     val scans = "Scan parquet".r.findAllIn(plan).length
-    assert(scans <= 4, s"pair join must evaluate once per branch (<= 4 scans), got $scans")
-    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
-      s"the spine scan must prune to the id column:\n${plan.take(3000)}")
+    assert(scans == 2, s"pair join must evaluate once (2 scans), got $scans")
+    // regression pin: the zero-gram-pair coverage must come from
+    // explode_outer, NOT an outer join onto the aggregate — a
+    // unique-right-key outer join is ELIMINATED under column-pruned
+    // actions, so a count() (the bench's action) silently skipped the
+    // whole gram pipeline
+    val countPlan = q.groupBy().count().queryExecution.optimizedPlan.toString
+    assert(countPlan.contains("Generate"),
+      s"count() must still execute the gram pipeline:\n${countPlan.take(2000)}")
   }
 
   test("exact substring dedup shuffles 120-bit keys, never gram text") {
