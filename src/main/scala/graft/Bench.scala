@@ -35,8 +35,16 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Materialize via the noop sink, NOT count(): count() re-plans with
+    // every output column pruned, and Catalyst then legitimately DELETES
+    // work — outer joins onto unique-key aggregates, enrichment joins,
+    // whole aggregate towers (an audit found 22 queries losing structure;
+    // ns_triangles benched 2 of its 26 joins). The noop write executes
+    // the query exactly as a consumer reading its rows would.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     ordered.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      try { run(fn(spark, sfDir)) } catch { case _: Throwable => }
     }
     // min-of-2 timed passes: a transient host-contention spike (round 3's
     // driver recorded 22 s for a query that re-measures at 1.1 s) can only
@@ -47,7 +55,7 @@ object Bench {
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def timedPass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      try { run(fn(spark, sfDir)) }
       catch { case _: Throwable => failed += name }
       name -> (System.nanoTime() - t0) / 1e9
     }

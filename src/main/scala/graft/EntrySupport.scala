@@ -709,8 +709,15 @@ private[graft] object EntrySupport {
     */
   private[graft] def evalPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val a = docs.select(col("doc_id"), col("text"))
-    val b = docs.select((col("doc_id") - 1L).as("doc_id"), col("text").as("__next"))
+    // both sides bound to the first 60 tokens — the gate-cost convention
+    // (the ANN gates' vec_id bound): caps the gram volume without
+    // touching what the gates prove; ScaleProbe measures the ops on
+    // FULL-LENGTH texts
+    def tr(c: Column): Column =
+      concat_ws(" ", slice(split(lower(trim(c)), "\\s+"), 1, 60))
+    val a = docs.select(col("doc_id"), tr(col("text")).as("text"))
+    val b = docs.select((col("doc_id") - 1L).as("doc_id"),
+      tr(col("text")).as("__next"))
     a.join(b, "doc_id").select(col("doc_id").as("pair_id"),
       when(col("doc_id") % 2 === 0,
         concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 40)))
@@ -730,12 +737,15 @@ private[graft] object EntrySupport {
   }
 
   private[graft] val evalPairsSql =
-    """p AS (SELECT a.doc_id AS pair_id,
+    """tr AS (SELECT doc_id,
+      |  array_to_string(list_slice(string_split_regex(trim(lower(text)), '\s+'), 1, 60), ' ') AS text
+      |FROM documents),
+      |p AS (SELECT a.doc_id AS pair_id,
       |  CASE WHEN a.doc_id % 2 = 0
       |       THEN array_to_string(list_slice(string_split_regex(trim(lower(a.text)), '\s+'), 1, 40), ' ')
       |       ELSE a.text END AS cand,
       |  CASE WHEN a.doc_id % 2 = 0 THEN a.text ELSE b.text END AS ref
-      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1)""".stripMargin
+      |FROM tr a JOIN tr b ON b.doc_id = a.doc_id + 1)""".stripMargin
 
   /** Per-(pair, n) clipped word-n-gram counts over [[evalPairsSql]]'s `p`
     * for n = 1..`maxN` — the oracle twin of

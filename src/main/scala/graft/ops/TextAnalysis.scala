@@ -93,15 +93,23 @@ object TextAnalysis {
     val nTok = size(toks).cast("long")
     val nTyp = size(types).cast("long")
     val sorted = array_sort(toks)
-    // 1-based element_at: predecessor of 0-based i is element i, successor
-    // is element i+2; boundary positions treat the missing neighbor as
-    // different
-    val hapax = size(filter(transform(sorted, (x, i) =>
-      when(i === 0, lit(true))
-        .otherwise(x =!= try_element_at(sorted, i)) &&
-        when(i === size(sorted) - 1, lit(true))
-          .otherwise(x =!= try_element_at(sorted, i + 2))),
-      b => b)).cast("long")
+    // hapax ⇔ isolated in sorted order: differs from BOTH neighbors.
+    // Neighbors come as SHIFTED ARRAYS compared element-wise by zip_with,
+    // whose lambdas touch only lambda variables — an earlier formulation
+    // referenced `sorted` INSIDE the per-element lambda (try_element_at),
+    // and loop-invariant subexpressions are NOT hoisted out of HOF
+    // bodies: the array re-SORTED once per element, O(n² log n) per doc
+    // (17 s of the sf0.1 bench for this one query). Boundary neighbors
+    // are nulls; tokens are never null, so the negated null-safe compare
+    // reads "differs or no neighbor".
+    val prev = concat(array(lit(null).cast("string")),
+      slice(sorted, lit(1), greatest(size(sorted) - 1, lit(0))))
+    val nxt = concat(slice(sorted, lit(2), greatest(size(sorted) - 1, lit(0))),
+      array(lit(null).cast("string")))
+    val diffPrev = zip_with(sorted, prev, (x, p) => !(x <=> p))
+    val diffNext = zip_with(sorted, nxt, (x, nx) => !(x <=> nx))
+    val hapax = size(filter(zip_with(diffPrev, diffNext, _ && _), b => b))
+      .cast("long")
     val safe = greatest(nTok, lit(1L))
     struct(
       nTok.as("n_tokens"),
