@@ -157,14 +157,22 @@ object EvalMetrics {
       when(col(s"total_$n") > 0,
         call_function("div", col(s"matches_$n") * 1000L, col(s"total_$n")))
     // pₙ ≤ 1000 so the product ≤ 10¹² — comfortably inside the isqrt
-    // envelope; 4th root of permille⁴ is permille
-    val geo = when((1 to 4).map(n => col(s"total_$n") > 0).reduce(_ && _),
-      Curation.isqrtExact(Curation.isqrtExact(p(1) * p(2) * p(3) * p(4))))
-    wide.select(col("pair_id") +:
+    // envelope; 4th root of permille⁴ is permille. The composition is
+    // STAGED through columns (the temperatureMixture discipline): each
+    // isqrtExact level references its input ~5× (seed + two corrections),
+    // so inlining isqrt(isqrt(prod)) copies the product subtree ~25× and
+    // the per-row evaluation cost with it — staged, each level computes
+    // once (a NULL product flows through to a NULL geo unchanged).
+    val staged = wide
+      .withColumn("__prod",
+        when((1 to 4).map(n => col(s"total_$n") > 0).reduce(_ && _),
+          p(1) * p(2) * p(3) * p(4)))
+      .withColumn("__sq1", Curation.isqrtExact(col("__prod")))
+    staged.select(col("pair_id") +:
       col("total_1").as("cand_len") +:
       col("__rt1").as("ref_len") +:
       (1 to 4).flatMap(n => Seq(col(s"matches_$n"), col(s"total_$n"))) :+
-      geo.as("precision_geo_permille"): _*)
+      Curation.isqrtExact(col("__sq1")).as("precision_geo_permille"): _*)
   }
 
   /** ROUGE-N per pair for n = 1..`maxN`: clipped matches, the two
