@@ -393,8 +393,8 @@ private[graft] object EntriesAnalytics {
         |      AS BIGINT) FROM base)
         |SELECT rule, colname AS "column", detail, n.n_rows, n_violations,
         |  CASE WHEN n.n_rows > 0 THEN n_violations * 1000 // n.n_rows
-        |       ELSE 0 END AS violation_permille,
-        |  n_violations = 0 AS passed
+        |       END AS violation_permille,
+        |  n.n_rows > 0 AND n_violations = 0 AS passed
         |FROM v, n""".stripMargin,
     "ns_salted_join" ->
       """SELECT e.event_type AS etype, e.event_id, e.user_id, b.etype_users

@@ -656,8 +656,11 @@ private[graft] object EntriesDedup {
         |         ELSE greatest(st.msim, list_cosine_similarity(st.v, w.v)) END,
         |    CASE WHEN st.rk IS NOT NULL THEN st.rk
         |         WHEN st.id = w.id THEN CAST(r + 1 AS BIGINT) END
+        |  -- micro-unit argmax (the operator's integer-contract grid):
+        |  -- floor(score*1e6) before the compare, so ulps-level double
+        |  -- divergence between engines cannot flip a near-tie pick
         |  FROM st, (SELECT id, v FROM st WHERE rk IS NULL
-        |            ORDER BY 0.5 * rel - 0.5 * coalesce(msim, 0.0) DESC, id LIMIT 1) w
+        |            ORDER BY CAST(floor((0.5 * rel - 0.5 * coalesce(msim, 0.0)) * 1000000) AS BIGINT) DESC, id LIMIT 1) w
         |  WHERE r < 8)
         |SELECT rk AS rank, id FROM st WHERE r = 8 AND rk IS NOT NULL""".stripMargin,
     "ns_embed_topk" -> exactTopKSql,

@@ -352,17 +352,26 @@ object Graph {
     * call; localCheckpoint data is unrecoverable once dropped). Its blocks
     * are ContextCleaner-collected when the frame is unreferenced, or
     * release eagerly via `bridge.unpersistLocalCheckpoint`.
+    *
+    * Duplicate edges: the loop is CORRECT under them (the per-round
+    * frontier `distinct` absorbs dupes) and by default does NOT dedup —
+    * but the full duplicate stream is persist()ed and re-joined every
+    * hop, so cache footprint and per-hop join input grow by the
+    * duplication factor. On an edge stream with known heavy duplication
+    * (multigraph logs, un-distinct'd click pairs) either dedupe at the
+    * source where the factor is known, or pass `dedupEdges = true` to
+    * buy one up-front edge shuffle that every subsequent hop amortizes.
     */
   def seedDistance(edges: DataFrame, srcCol: String, dstCol: String,
-      seeds: DataFrame, seedCol: String, maxHops: Int = 3): DataFrame = {
+      seeds: DataFrame, seedCol: String, maxHops: Int = 3,
+      dedupEdges: Boolean = false): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
-    // NO edge distinct: BFS is duplicate-insensitive (the per-round
-    // frontier `distinct` absorbs dupes), so a dedup here would be a full
-    // edge-table shuffle bought for nothing — on a heavy-duplicate edge
-    // stream dedupe at the SOURCE where the duplication is known
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // no edge distinct by DEFAULT: BFS is duplicate-insensitive, so on
+    // mostly-unique edges a dedup is a full edge-table shuffle bought for
+    // nothing; dedupEdges opts in for duplicate-heavy streams (scaladoc)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .persist()
+    val e = (if (dedupEdges) e0.distinct() else e0).persist()
     var frontier = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("hops", lit(0L)).localCheckpoint(true)
     var dist = frontier
@@ -416,16 +425,22 @@ object Graph {
     * min aggregate; state stays node-sized. The returned frame is a LOCAL
     * CHECKPOINT (the per-hop frontier blocks drop inside the call;
     * ContextCleaner collects the result's blocks once unreferenced).
+    *
+    * Duplicate edges: correct without dedup (the per-round min(seed)
+    * aggregate is duplicate-insensitive), but cache footprint and
+    * per-hop join input carry the duplication factor — see
+    * [[seedDistance]]'s duplicate-edges paragraph; `dedupEdges = true`
+    * opts into one up-front edge shuffle for duplicate-heavy streams.
+    *
     * Output: (node, hops, seed).
     */
   def seedAttribution(edges: DataFrame, srcCol: String, dstCol: String,
-      seeds: DataFrame, seedCol: String, maxHops: Int = 3): DataFrame = {
+      seeds: DataFrame, seedCol: String, maxHops: Int = 3,
+      dedupEdges: Boolean = false): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
-    // NO edge distinct (the seedDistance rationale): the per-round
-    // min(seed) aggregate is duplicate-insensitive
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .persist()
+    val e = (if (dedupEdges) e0.distinct() else e0).persist()
     var frontier = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("hops", lit(0L)).withColumn("seed", col("node"))
       .localCheckpoint(true)

@@ -681,10 +681,13 @@ object Similarity {
     * first — MMR only ever promotes items with some relevance, so a
     * relevance-pool cut loses nothing but the anti-neighborhood tail.
     *
-    * Ties (exactly equal scores) break toward the smaller id, so the
-    * selection is deterministic and replays in the DuckDB oracle's
-    * recursive-CTE greedy. First pick (empty selected set) scores the
-    * diversity term as 0, the common convention.
+    * The per-round argmax compares scores on the MICRO-UNIT grid
+    * (floor(score·10⁶)): candidates within 1e-6 are defined as tied and
+    * break toward the smaller id, so the selection is deterministic AND
+    * replays across engines (the DuckDB oracle's recursive-CTE greedy) —
+    * raw-double argmaxes would let an ulps-level divergence in one round
+    * compound through every later round. First pick (empty selected set)
+    * scores the diversity term as 0, the common convention.
     *
     * Output: (rank, id) — rank 1..k in selection order. Fewer than k
     * rows when the corpus runs out.
@@ -692,6 +695,15 @@ object Similarity {
   def mmrSelect(corpus: DataFrame, vecCol: String, idCol: String,
       queryVec: Array[Double], k: Int, lambdaPermille: Int = 500): DataFrame = {
     require(k >= 1 && k <= 512, "k must be in [1, 512] (greedy driver loop)")
+    // the real envelope is k·dim, not k: the last round's greatest()-chain
+    // embeds every selected vector as per-element literals, so the
+    // expression tree holds ~k·dim literal nodes — past ~32k that risks
+    // janino/codegen failure and pathological planning time (512 picks are
+    // fine at dim 64, 42 at dim 768; pre-trim + smaller k beyond)
+    require(k.toLong * queryVec.length <= 32768,
+      s"k*dim = ${k.toLong * queryVec.length} exceeds 32768: the greedy " +
+        "scorer inlines k*dim vector literals into one expression tree; " +
+        "lower k or reduce dimensionality (e.g. PCA) first")
     require(lambdaPermille >= 0 && lambdaPermille <= 1000,
       "lambdaPermille must be in [0, 1000]")
     val spark = corpus.sparkSession
@@ -711,7 +723,14 @@ object Similarity {
       val diversity =
         if (selected.isEmpty) lit(0.0)
         else selected.map { case (_, v) => simTo(v) }.reduce(greatest(_, _))
-      val score = col("rel") * lam - diversity * (1.0 - lam)
+      // argmax on the MICRO-UNIT grid (the integer-contract discipline):
+      // floor(score·10⁶) before the compare, so a cross-engine replay
+      // (the DuckDB oracle's recursive greedy) agrees on every pick even
+      // when the two engines' doubles differ in final ulps — a near-tie
+      // divergence in round r would otherwise compound through all later
+      // rounds. Candidates within 1e-6 are DEFINED as tied (id breaks).
+      val score = floor((col("rel") * lam - diversity * (1.0 - lam)) * 1e6)
+        .cast("long")
       val picked = base
         .where(if (selected.isEmpty) lit(true)
           else !col("id").isin(selected.map(_._1): _*))

@@ -340,7 +340,11 @@ object Tables {
     * an explode of per-rule structs: no driver loop, no per-rule job.
     *
     * Output: (rule, column, detail, n_rows, n_violations,
-    * violation_permille, passed), one row per rule in input order.
+    * violation_permille, passed), one row per rule in input order. An
+    * EMPTY table reports NULL violation_permille and passed = false for
+    * every rule: zero rows is the one state no expectation can vouch for,
+    * so the gate fails closed instead of promoting a void snapshot with a
+    * clean 0-permille report.
     */
   def expectationReport(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -364,10 +368,14 @@ object Tables {
       .select(col("__r.rule").as("rule"), col("__r.column").as("column"),
         col("__r.detail").as("detail"), col("__n").as("n_rows"),
         col("__r.n_violations").as("n_violations"),
+        // empty table: NULL rate (the drift-monitor convention — 0 is the
+        // all-clear reading, and "the snapshot produced no rows" is the
+        // maximal anomaly a promotion gate exists to catch) and passed =
+        // false so the gate FAILS CLOSED rather than promoting a void
         when(col("__n") > 0,
           call_function("div", col("__r.n_violations") * 1000L, col("__n")))
-          .otherwise(lit(0L)).as("violation_permille"),
-        (col("__r.n_violations") === 0L).as("passed"))
+          .as("violation_permille"),
+        (col("__n") > 0 && col("__r.n_violations") === 0L).as("passed"))
   }
 }
 

@@ -138,6 +138,21 @@ class OpsSpec extends AnyFunSuite {
       s"rules must fuse into one aggregate pass: 2 rules -> $jobs2 jobs, 6 rules -> $jobs6")
   }
 
+  test("expectationReport: empty table fails closed (NULL rate, passed=false)") {
+    import graft.ops.Expectation._
+    val empty = Seq.empty[(Long, Option[String])].toDF("id", "text")
+    val out = graft.ops.Tables.expectationReport(empty,
+      Seq(NotNull("text"), Unique("id"))).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_rows")) == 0L)
+      assert(r.getLong(r.fieldIndex("n_violations")) == 0L)
+      // NULL, not 0: a zero-row snapshot must not read as all-clear
+      assert(r.isNullAt(r.fieldIndex("violation_permille")))
+      assert(!r.getBoolean(r.fieldIndex("passed")))
+    }
+  }
+
   test("applyChangelog: insert/update/delete/passthrough, latest-wins, ties, idempotency") {
     val snap = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
       .toDF("id", "s", "n")

@@ -1168,11 +1168,11 @@ class PropertySpec extends AnyFunSuite {
         val best = cand.minBy { i =>
           val div = if (selected.isEmpty) 0.0
             else selected.map(sIdx => cos(vecs(i), vecs(sIdx))).max
-          // + 0.0 normalizes IEEE -0.0 to +0.0: Spark writes doubles
-          // through UnsafeRow which normalizes negative zero, while
-          // Ordering[Double] ranks -0.0 < +0.0 — reachable only at
-          // lam = 0 where every round-1 score is (+/-)0.0
-          val score = rel(i) * (lam / 1000.0) - div * (1.0 - lam / 1000.0) + 0.0
+          // the operator's micro-unit argmax grid: floor(score*1e6)
+          // before the compare (this also absorbs IEEE -0.0 — both
+          // zeros floor to 0L, so the old +0.0 normalization is moot)
+          val score = math.floor(
+            (rel(i) * (lam / 1000.0) - div * (1.0 - lam / 1000.0)) * 1e6).toLong
           (-score, i.toLong) // max score, tie to smaller id
         }
         selected :+= best; picks += best.toLong
