@@ -36,6 +36,23 @@ private[graft] object EntriesCuration {
       // truncated to 500 chars BEFORE gram extraction (the length² guard)
       graft.ops.EvalMetrics.chrF(
         evalPairs(s, dir), "pair_id", "cand", "ref", maxN = 3, maxChars = 500)),
+    "ns_self_bleu" -> ((s, dir) =>
+      // corpus self-BLEU (diversity metric): every 40-token-truncated doc
+      // against 2 deterministically hash-ring-sampled peers — the oracle
+      // replays the portable-hash rank, the global ring offsets, and the
+      // shared BLEU component tail (bleuTailSql, the ns_bleu arithmetic)
+      graft.ops.EvalMetrics.selfBleu(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat_ws(" ",
+            slice(split(lower(trim(col("text"))), "\\s+"), 1, 40)).as("text")),
+        "text", "doc_id", peers = 2, seed = "graft-selfbleu")),
+    "ns_ter" -> ((s, dir) =>
+      // TER-lite: token-level edit distance over the shared eval-pair
+      // frame (ASCII-relabeled levenshtein — integer-exact, replayable);
+      // 40-token truncation is the TER maxTokens contract, not the
+      // evalPairs 60-token gate bound
+      graft.ops.EvalMetrics.terComponents(
+        evalPairs(s, dir), "pair_id", "cand", "ref", maxTokens = 40)),
     "ns_bradley_terry" -> ((s, dir) =>
       // global leaderboard strength over the same judgment stream the
       // Copeland gate ranks: 3 MM rounds in micro-units, max-norm per
@@ -612,39 +629,36 @@ private[graft] object EntriesCuration {
     "ns_bleu" ->
       s"""WITH $evalPairsSql,
          |${ngramCompSql(4)},
-         |wide AS (SELECT pair_id,
-         |    CAST(coalesce(sum(CASE WHEN n = 1 THEN m END), 0) AS BIGINT) AS m1,
-         |    CAST(coalesce(sum(CASE WHEN n = 1 THEN t END), 0) AS BIGINT) AS t1,
-         |    CAST(coalesce(sum(CASE WHEN n = 2 THEN m END), 0) AS BIGINT) AS m2,
-         |    CAST(coalesce(sum(CASE WHEN n = 2 THEN t END), 0) AS BIGINT) AS t2,
-         |    CAST(coalesce(sum(CASE WHEN n = 3 THEN m END), 0) AS BIGINT) AS m3,
-         |    CAST(coalesce(sum(CASE WHEN n = 3 THEN t END), 0) AS BIGINT) AS t3,
-         |    CAST(coalesce(sum(CASE WHEN n = 4 THEN m END), 0) AS BIGINT) AS m4,
-         |    CAST(coalesce(sum(CASE WHEN n = 4 THEN t END), 0) AS BIGINT) AS t4
-         |  FROM comp GROUP BY 1),
-         |lw AS (SELECT tk.pair_id, CAST(len(ct) AS BIGINT) AS cand_len,
-         |    CAST(len(rt) AS BIGINT) AS ref_len,
-         |    coalesce(m1, 0) AS m1, coalesce(t1, 0) AS t1, coalesce(m2, 0) AS m2,
-         |    coalesce(t2, 0) AS t2, coalesce(m3, 0) AS m3, coalesce(t3, 0) AS t3,
-         |    coalesce(m4, 0) AS m4, coalesce(t4, 0) AS t4
-         |  FROM tk LEFT JOIN wide USING (pair_id)),
-         |pp AS (SELECT *, CASE WHEN t1 > 0 THEN m1 * 1000 // t1 END AS p1,
-         |    CASE WHEN t2 > 0 THEN m2 * 1000 // t2 END AS p2,
-         |    CASE WHEN t3 > 0 THEN m3 * 1000 // t3 END AS p3,
-         |    CASE WHEN t4 > 0 THEN m4 * 1000 // t4 END AS p4 FROM lw),
-         |pr AS (SELECT *, p1 * p2 * p3 * p4 AS prod FROM pp),
-         |i1 AS (SELECT *, CAST(floor(sqrt(CAST(prod AS DOUBLE))) AS HUGEINT) AS r0 FROM pr),
-         |c1 AS (SELECT *, CASE WHEN (r0 + 1) * (r0 + 1) <= prod THEN r0 + 1 ELSE r0 END AS r1 FROM i1),
-         |s1 AS (SELECT *, CAST(CASE WHEN r1 * r1 > prod THEN r1 - 1 ELSE r1 END AS BIGINT) AS sq1 FROM c1),
-         |i2 AS (SELECT *, CAST(floor(sqrt(CAST(sq1 AS DOUBLE))) AS HUGEINT) AS q0 FROM s1),
-         |c2 AS (SELECT *, CASE WHEN (q0 + 1) * (q0 + 1) <= sq1 THEN q0 + 1 ELSE q0 END AS q1 FROM i2),
-         |s2 AS (SELECT *, CAST(CASE WHEN q1 * q1 > sq1 THEN q1 - 1 ELSE q1 END AS BIGINT) AS geo FROM c2)
+         |$bleuTailSql""".stripMargin,
+    "ns_self_bleu" ->
+      // shares bleuTailSql + ngramCompSql with ns_bleu (no-drift
+      // convention); only the deterministic ring-pair frame is new
+      s"""WITH $selfBleuPairsSql,
+         |${ngramCompSql(4)},
+         |$bleuTailSql""".stripMargin,
+    "ns_ter" ->
+      // token-level edit distance via per-pair ASCII relabeling: each
+      // engine may order its union vocab differently — edit distance is
+      // invariant under injective relabeling, so the integers agree
+      s"""WITH $evalPairsSql,
+         |tt AS (SELECT pair_id,
+         |    list_slice(list_filter(string_split_regex(trim(lower(coalesce(cand, ''))), '\\s+'),
+         |               x -> x <> ''), 1, 40) AS ct,
+         |    list_slice(list_filter(string_split_regex(trim(lower(coalesce(ref, ''))), '\\s+'),
+         |               x -> x <> ''), 1, 40) AS rt
+         |  FROM p),
+         |vv AS (SELECT *, list_distinct(list_concat(ct, rt)) AS vocab FROM tt),
+         |ee AS (SELECT pair_id,
+         |    CAST(len(ct) AS BIGINT) AS cand_len, CAST(len(rt) AS BIGINT) AS ref_len,
+         |    array_to_string(list_transform(ct, t -> chr(CAST(47 + list_position(vocab, t) AS INT))), '') AS ec,
+         |    array_to_string(list_transform(rt, t -> chr(CAST(47 + list_position(vocab, t) AS INT))), '') AS er
+         |  FROM vv)
          |SELECT pair_id, cand_len, ref_len,
-         |  m1 AS matches_1, t1 AS total_1, m2 AS matches_2, t2 AS total_2,
-         |  m3 AS matches_3, t3 AS total_3, m4 AS matches_4, t4 AS total_4,
-         |  CASE WHEN t1 > 0 AND t2 > 0 AND t3 > 0 AND t4 > 0 THEN geo END
-         |    AS precision_geo_permille
-         |FROM s2""".stripMargin,
+         |  CAST(levenshtein(ec, er) AS BIGINT) AS edit_ops,
+         |  CASE WHEN ref_len > 0
+         |       THEN CAST(levenshtein(ec, er) AS BIGINT) * 1000 // ref_len
+         |  END AS ter_permille
+         |FROM ee""".stripMargin,
     "ns_rouge" ->
       s"""WITH $evalPairsSql,
          |${ngramCompSql(2)},

@@ -775,6 +775,69 @@ private[graft] object EntrySupport {
        |      FROM g GROUP BY 1, 2)""".stripMargin
   }
 
+  /** BLEU wide-pivot + staged floor-isqrt geo-mean over `tk` + `comp`
+    * CTEs (both from [[ngramCompSql]](4)) — shared by the ns_bleu and
+    * ns_self_bleu oracles so the component arithmetic cannot drift
+    * between the reference-pair and self-pair gates. Ends with the final
+    * SELECT (this fragment IS the query tail).
+    */
+  private[graft] val bleuTailSql =
+    """wide AS (SELECT pair_id,
+      |    CAST(coalesce(sum(CASE WHEN n = 1 THEN m END), 0) AS BIGINT) AS m1,
+      |    CAST(coalesce(sum(CASE WHEN n = 1 THEN t END), 0) AS BIGINT) AS t1,
+      |    CAST(coalesce(sum(CASE WHEN n = 2 THEN m END), 0) AS BIGINT) AS m2,
+      |    CAST(coalesce(sum(CASE WHEN n = 2 THEN t END), 0) AS BIGINT) AS t2,
+      |    CAST(coalesce(sum(CASE WHEN n = 3 THEN m END), 0) AS BIGINT) AS m3,
+      |    CAST(coalesce(sum(CASE WHEN n = 3 THEN t END), 0) AS BIGINT) AS t3,
+      |    CAST(coalesce(sum(CASE WHEN n = 4 THEN m END), 0) AS BIGINT) AS m4,
+      |    CAST(coalesce(sum(CASE WHEN n = 4 THEN t END), 0) AS BIGINT) AS t4
+      |  FROM comp GROUP BY 1),
+      |lw AS (SELECT tk.pair_id, CAST(len(ct) AS BIGINT) AS cand_len,
+      |    CAST(len(rt) AS BIGINT) AS ref_len,
+      |    coalesce(m1, 0) AS m1, coalesce(t1, 0) AS t1, coalesce(m2, 0) AS m2,
+      |    coalesce(t2, 0) AS t2, coalesce(m3, 0) AS m3, coalesce(t3, 0) AS t3,
+      |    coalesce(m4, 0) AS m4, coalesce(t4, 0) AS t4
+      |  FROM tk LEFT JOIN wide USING (pair_id)),
+      |pp AS (SELECT *, CASE WHEN t1 > 0 THEN m1 * 1000 // t1 END AS p1,
+      |    CASE WHEN t2 > 0 THEN m2 * 1000 // t2 END AS p2,
+      |    CASE WHEN t3 > 0 THEN m3 * 1000 // t3 END AS p3,
+      |    CASE WHEN t4 > 0 THEN m4 * 1000 // t4 END AS p4 FROM lw),
+      |pr AS (SELECT *, p1 * p2 * p3 * p4 AS prod FROM pp),
+      |i1 AS (SELECT *, CAST(floor(sqrt(CAST(prod AS DOUBLE))) AS HUGEINT) AS r0 FROM pr),
+      |c1 AS (SELECT *, CASE WHEN (r0 + 1) * (r0 + 1) <= prod THEN r0 + 1 ELSE r0 END AS r1 FROM i1),
+      |s1 AS (SELECT *, CAST(CASE WHEN r1 * r1 > prod THEN r1 - 1 ELSE r1 END AS BIGINT) AS sq1 FROM c1),
+      |i2 AS (SELECT *, CAST(floor(sqrt(CAST(sq1 AS DOUBLE))) AS HUGEINT) AS q0 FROM s1),
+      |c2 AS (SELECT *, CASE WHEN (q0 + 1) * (q0 + 1) <= sq1 THEN q0 + 1 ELSE q0 END AS q1 FROM i2),
+      |s2 AS (SELECT *, CAST(CASE WHEN q1 * q1 > sq1 THEN q1 - 1 ELSE q1 END AS BIGINT) AS geo FROM c2)
+      |SELECT pair_id, cand_len, ref_len,
+      |  m1 AS matches_1, t1 AS total_1, m2 AS matches_2, t2 AS total_2,
+      |  m3 AS matches_3, t3 AS total_3, m4 AS matches_4, t4 AS total_4,
+      |  CASE WHEN t1 > 0 AND t2 > 0 AND t3 > 0 AND t4 > 0 THEN geo END
+      |    AS precision_geo_permille
+      |FROM s2""".stripMargin
+
+  /** Self-BLEU pair frame oracle — replays
+    * [[graft.ops.EvalMetrics.selfBleuPairs]] over 40-token-truncated
+    * documents at peers = 2, seed "graft-selfbleu": portable-hash ring
+    * rank, global per-peer ring offsets from the same hash family, ring
+    * join. Ends with CTE `p` (pair_id, cand, ref), the [[ngramCompSql]]
+    * input shape.
+    */
+  private[graft] val selfBleuPairsSql =
+    """hd AS (SELECT doc_id AS id,
+      |    array_to_string(list_slice(string_split_regex(trim(lower(text)), '\s+'), 1, 40), ' ') AS text,
+      |    CAST(('0x' || substr(md5('graft-selfbleu|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT & 2147483647 AS BIGINT) AS hv
+      |  FROM documents),
+      |rk AS MATERIALIZED (SELECT id, text,
+      |    CAST(row_number() OVER (ORDER BY hv, id) - 1 AS BIGINT) AS pos FROM hd),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rk),
+      |oj AS (SELECT CAST(j AS BIGINT) AS peer_ord,
+      |    CAST(1 + CAST(('0x' || substr(md5('graft-selfbleu-off|' || CAST(j AS VARCHAR)), 1, 8))::UBIGINT & 2147483647 AS BIGINT) % (n - 1) AS BIGINT) AS o
+      |  FROM (SELECT unnest([1, 2]) AS j), nn),
+      |p AS (SELECT a.id * 2 + oj.peer_ord - 1 AS pair_id, a.text AS cand, b.text AS ref
+      |  FROM rk a, oj, nn, rk b
+      |  WHERE b.pos = (a.pos + oj.o) % nn.n)""".stripMargin
+
   /** P/R permille over a `comp`-shaped CTE — shared by the ns_rouge and
     * ns_chrf oracles so the ratio arithmetic cannot drift between them.
     */

@@ -223,6 +223,161 @@ object EvalMetrics {
           col("precision_permille") * 4L + col("recall_permille"))))
   }
 
+  /** Deterministic self-BLEU pair frame: every document paired with
+    * `peers` pseudo-random OTHER documents — the pair generator self-BLEU
+    * needs (score each generated sample against sampled peers; high
+    * corpus-level BLEU = mode collapse) without the non-replayable
+    * `rand()` peer pick every hand-rolled version reaches for. NO RNG
+    * (the [[Curation.wordDropout]] contract): the pairing is a pure
+    * function of (ids, seed), identical under retries, recomputation,
+    * and cross-engine replay.
+    *
+    * Construction — a hash-shuffled ring:
+    *   1. rank documents by (portableHash31(id, seed), id) into ring
+    *      positions 0..n-1 via the TWO-LEVEL bucket-offset rank (the
+    *      [[Curation.alignScores]] / [[Fuzzy.sortedNeighborhoodJoin]]
+    *      pattern: range-exchange into `buckets` ranges, per-bucket
+    *      row_number, broadcast ≤`buckets`-row prefix-sum offsets — no
+    *      global single-partition sort; range boundaries affect only
+    *      which bucket ranks a row, never the final position);
+    *   2. peer j of the doc at position r sits at (r + o_j) mod n, with
+    *      o_j = 1 + (hash31(seed-off|j) mod (n-1)) — a GLOBAL per-j ring
+    *      offset (k driver-computed longs from the same single-read
+    *      count frame the rank needs anyway). o_j ∈ [1, n-1] makes every
+    *      shift a derangement: self-pairs are impossible by construction.
+    *      Distinct j may collide on o_j (sampling peers with
+    *      replacement) — acceptable for a diversity statistic and the
+    *      price of keeping peer choice metadata-sized.
+    *   3. one shuffled equi-join on ring position fetches peer texts —
+    *      O(n·peers) rows, never a product.
+    *
+    * Output: (pair_id, cand_id, ref_id, peer_ord, cand, ref) with
+    * pair_id = cand_id·peers + (peer_ord − 1) (callers feed it straight
+    * to [[bleuComponents]]; ids must stay below Long.Max/peers).
+    * Requires n ≥ 2 (raised eagerly from the count read — one document
+    * has no peer).
+    */
+  def selfBleuPairs(df: DataFrame, textCol: String, idCol: String,
+      peers: Int, seed: String = "graft-selfbleu",
+      buckets: Int = 64): DataFrame = {
+    require(peers >= 1 && peers <= 16, "peers must be in [1, 16]")
+    require(buckets >= 1, "buckets must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("__sb_id"),
+        col(textCol).as("__sb_text"),
+        Curation.portableHash31(col(idCol).cast("long"), seed).as("__sb_h"))
+    val ranged = base.repartitionByRange(buckets, col("__sb_h"), col("__sb_id"))
+      .withColumn("__sb_bk", spark_partition_id())
+    // single read: per-bucket counts (≤ buckets rows) supply the prefix
+    // offsets, the corpus size n, AND the n ≥ 2 guard — the alignScores
+    // single-read discipline
+    val bucketCounts = ranged.groupBy(col("__sb_bk"))
+      .agg(count(lit(1)).as("__sb_bn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = bucketCounts.map(_._2).sum
+    require(n >= 2, s"selfBleuPairs: need >= 2 documents, got $n")
+    var running = 0L
+    val offsetRows = bucketCounts.map { case (bk, c) =>
+      val off = running; running += c; (bk, off)
+    }.toSeq
+    // per-peer ring offsets: driver-side portable hash (bit-identical to
+    // the portableHash31 SQL form, so the oracle replays the o_j values)
+    val ringOffsets = (1 to peers).map { j =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$seed-off|$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      (j, 1L + (java.lang.Long.parseLong(hex, 16) & 2147483647L) % (n - 1))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offs = offsetRows.toDF("__sb_bk", "__sb_off")
+    val peerSpec = ringOffsets.toDF("peer_ord", "__sb_oj")
+    val pos = ranged
+      .withColumn("__sb_pr", row_number().over(
+        Window.partitionBy(col("__sb_bk"))
+          .orderBy(col("__sb_h"), col("__sb_id"))).cast("long"))
+      .join(broadcast(offs), "__sb_bk")
+      .select(col("__sb_id"), col("__sb_text"),
+        (col("__sb_off") + col("__sb_pr") - 1L).as("__sb_pos"))
+    // crossJoin is a broadcast of the ≤16-row peer spec (metadata-sized,
+    // the one-row-frame convention's k-row sibling)
+    val left = pos.crossJoin(broadcast(peerSpec))
+      .select(col("__sb_id").as("cand_id"), col("__sb_text").as("cand"),
+        col("peer_ord"),
+        pmod(col("__sb_pos") + col("__sb_oj"), lit(n)).as("__sb_ppos"))
+    val right = pos.select(col("__sb_pos").as("__sb_ppos"),
+      col("__sb_id").as("ref_id"), col("__sb_text").as("ref"))
+    left.join(right, "__sb_ppos")
+      .select(
+        (col("cand_id") * peers.toLong + col("peer_ord").cast("long") - 1L)
+          .as("pair_id"),
+        col("cand_id"), col("ref_id"), col("peer_ord").cast("long").as("peer_ord"),
+        col("cand"), col("ref"))
+  }
+
+  /** Corpus self-BLEU (Zhu et al. 2018's diversity metric): BLEU
+    * components of every document against `peers` deterministically
+    * sampled peers — [[selfBleuPairs]] ∘ [[bleuComponents]]. High
+    * average precision_geo_permille = the generator repeats itself.
+    */
+  def selfBleu(df: DataFrame, textCol: String, idCol: String,
+      peers: Int = 2, seed: String = "graft-selfbleu"): DataFrame =
+    bleuComponents(selfBleuPairs(df, textCol, idCol, peers, seed),
+      "pair_id", "cand", "ref")
+
+  /** TER-lite: token-level edit distance per pair — the edit-family eval
+    * metric next to the n-gram families (TER, Snover et al. 2006, minus
+    * the shift operation: shifts need per-pair alignment search, and the
+    * insert/delete/substitute core is what a corpus-scale screen ranks
+    * by). Integer-exact and engine-replayable.
+    *
+    * Token-level distance via ASCII RELABELING: each pair's union
+    * vocabulary maps token → one ASCII char (codepoint 48 + first-seen
+    * index), and `levenshtein` over the encoded strings IS the token
+    * edit distance — edit distance is invariant under any injective
+    * symbol relabeling, so the two engines may order their vocabularies
+    * differently and still compute the same integer. `maxTokens` ≤ 40
+    * keeps the union vocabulary ≤ 80 symbols — codepoints stay strictly
+    * ASCII, where Spark's byte-wrapping chr() and DuckDB's
+    * codepoint chr() agree (and levenshtein counts the same units).
+    *
+    * Scale shape: zero shuffle — one per-row expression (the O(len²) DP
+    * is 40·40 cells on bounded tokens); truncation happens BEFORE
+    * encoding, the chrF maxChars discipline.
+    *
+    * Output: (pair_id, cand_len, ref_len [post-truncation token counts],
+    * edit_ops, ter_permille = 1000·edits div ref_len, NULL when the
+    * reference is empty — TER is undefined, not perfect, there).
+    */
+  def terComponents(pairs: DataFrame, pairIdCol: String, candCol: String,
+      refCol: String, maxTokens: Int = 40): DataFrame = {
+    require(maxTokens >= 1 && maxTokens <= 40,
+      "maxTokens must be in [1, 40] (ASCII relabeling: union vocab <= 80)")
+    val base = pairs.select(col(pairIdCol).as("pair_id"),
+      slice(toks(col(candCol)), 1, maxTokens).as("__ct"),
+      slice(toks(col(refCol)), 1, maxTokens).as("__rt"))
+    // first-occurrence vocab (array_distinct preserves order); the lambda
+    // touches only the lambda var + a bare attribute reference, so the
+    // HOF no-hoisting gotcha doesn't bite (nothing expensive re-evaluates
+    // per element — array_position over <= 80 entries is the DP's noise)
+    val withVocab = base.withColumn("__vocab",
+      array_distinct(concat(col("__ct"), col("__rt"))))
+    def enc(c: Column): Column =
+      concat_ws("", transform(c,
+        t => chr(array_position(col("__vocab"), t) + lit(47L))))
+    withVocab
+      .select(col("pair_id"),
+        size(col("__ct")).cast("long").as("cand_len"),
+        size(col("__rt")).cast("long").as("ref_len"),
+        levenshtein(enc(col("__ct")), enc(col("__rt")))
+          .cast("long").as("edit_ops"))
+      .withColumn("ter_permille",
+        when(col("ref_len") > 0,
+          call_function("div", col("edit_ops") * 1000L, col("ref_len"))))
+  }
+
   /** Attach permille precision / recall / F1 to an [[ngramOverlap]]-shaped
     * frame. NULL when the respective denominator is 0; F1 NULL unless
     * both sides defined and P+R > 0.

@@ -336,7 +336,13 @@ object Tables {
     * aggregate (one scan, one one-row exchange); each
     * [[Expectation.Unique]] adds an exact count-distinct to the SAME
     * aggregate (Spark plans multi-distinct via one Expand — still one
-    * scan). The report reshapes plan-side from the one aggregate row via
+    * scan, but the Expand REPLICATES every scanned row once per distinct
+    * rule, so d exact-unique rules shuffle ~d× the corpus). At 100 TB
+    * use [[Expectation.UniqueApprox]] instead: the HLL++ sketch is a
+    * plain declarative aggregate — no Expand, any number of unique rules
+    * rides the same un-multiplied scan, at the price of rsd-approximate
+    * violation counts (keep the exact tier as the audit twin). The
+    * report reshapes plan-side from the one aggregate row via
     * an explode of per-rule structs: no driver loop, no per-rule job.
     *
     * Output: (rule, column, detail, n_rows, n_violations,
@@ -354,6 +360,15 @@ object Tables {
         // duplicates = non-null rows minus distinct values (countDistinct
         // ignores nulls, so the non-null base keeps the two consistent)
         (sum(when(col(c).isNotNull, 1L).otherwise(0L)) - countDistinct(col(c)))
+          .cast("long").as(s"__v$i")
+      case (Expectation.UniqueApprox(c, rsd), i) =>
+        // HLL++ sketch is a REGULAR declarative aggregate — no Expand, so
+        // any number of these rules still costs one un-multiplied scan;
+        // the sketch can overshoot the true cardinality by up to rsd, so
+        // clamp at 0 rather than report negative duplicates
+        greatest(lit(0L),
+          sum(when(col(c).isNotNull, 1L).otherwise(0L)) -
+            approx_count_distinct(col(c), rsd))
           .cast("long").as(s"__v$i")
       case (r, i) =>
         sum(when(r.violation, 1L).otherwise(0L)).cast("long").as(s"__v$i")
@@ -441,5 +456,20 @@ object Expectation {
     val rule = "unique"; val detail = ""
     private[ops] def violation =
       throw new UnsupportedOperationException("Unique is aggregate-shaped")
+  }
+
+  /** Sketch-tier key uniqueness (HLL++, relative sd `rsd`): violation
+    * count is approximate within the sketch's error, clamped at 0. The
+    * 100 TB tier of [[Unique]] — no Expand row replication, so many
+    * unique rules still cost one un-multiplied scan; `passed` can
+    * misreport duplicates below the sketch's resolution (~rsd·n), which
+    * is the documented trade. Same null discipline as [[Unique]].
+    */
+  case class UniqueApprox(column: String, rsd: Double = 0.05)
+      extends Expectation {
+    require(rsd > 0 && rsd < 0.4, "rsd must be in (0, 0.4)")
+    val rule = "unique_approx"; def detail = s"rsd=$rsd"
+    private[ops] def violation =
+      throw new UnsupportedOperationException("UniqueApprox is aggregate-shaped")
   }
 }

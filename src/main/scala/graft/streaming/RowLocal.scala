@@ -203,6 +203,12 @@ object RowLocal {
         df.withColumn("chosen", col("text"))
           .withColumn("rejected", substring(col("text"), 1, 12)),
         "doc_id", "chosen", "rejected")),
+    // ---- eval metrics (per-pair row-local member) ---------------------------
+    T("EvalMetrics.terComponents")(df =>
+      ops.EvalMetrics.terComponents(
+        df.select(col("doc_id").as("pair_id"), col("text").as("cand"),
+          substring(col("text"), 1, 30).as("ref")),
+        "pair_id", "cand", "ref", maxTokens = 10)),
     // ---- vectors ----------------------------------------------------------
     T("Similarity.quantizeInt8")(df =>
       ops.Similarity.quantizeInt8(df.select(col("doc_id").as("id"), col("vec")))),
@@ -287,6 +293,8 @@ object RowLocal {
     "EvalMetrics.bleuComponents" -> "per-pair gram aggregates + wide pivot",
     "EvalMetrics.rougeN" -> "per-pair gram aggregates",
     "EvalMetrics.chrF" -> "per-pair character-gram aggregates",
+    "EvalMetrics.selfBleuPairs" -> "corpus ring rank (bucket-offset, driver-read counts) + position equi-join",
+    "EvalMetrics.selfBleu" -> "selfBleuPairs composition (ring rank + join) feeding the gram aggregates",
     "Profile.shardManifest" -> "per-shard groupBy + manifest-frame share window",
     "Profile.distributionDrift" -> "two bucket-count aggregates + windows over the buckets spine",
     "Profile.clampedBucket" -> "private[graft] helper (row-local clamp-then-bucket column shared by the batch and streaming drift twins)",

@@ -103,6 +103,94 @@ class EvalMetricsSpec extends AnyFunSuite {
 
   private def vec(xs: Double*): Array[Double] = xs.toArray
 
+  // ------------------------------------------------------ self-BLEU / TER
+
+  test("selfBleuPairs: deterministic derangement, k peers per doc") {
+    val docs = (0L until 37L).map(i => (i, s"tok$i words of doc $i"))
+      .toDF("doc_id", "text")
+    val pairs = EvalMetrics.selfBleuPairs(docs, "text", "doc_id", peers = 3)
+      .collect()
+    assert(pairs.length == 37 * 3) // every doc, every peer slot
+    pairs.foreach { r =>
+      assert(r.getLong(r.fieldIndex("cand_id")) != r.getLong(r.fieldIndex("ref_id")),
+        "self-pair leaked through the ring derangement")
+    }
+    // pair_id encodes (cand, peer slot) injectively
+    assert(pairs.map(_.getLong(0)).distinct.length == pairs.length)
+    // NO RNG: a second evaluation reproduces the pairing exactly
+    val again = EvalMetrics.selfBleuPairs(docs, "text", "doc_id", peers = 3)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq)
+    // texts ride along correctly (cand text belongs to cand_id)
+    pairs.foreach { r =>
+      assert(r.getString(r.fieldIndex("cand")) ==
+        s"tok${r.getLong(r.fieldIndex("cand_id"))} words of doc ${r.getLong(r.fieldIndex("cand_id"))}")
+      assert(r.getString(r.fieldIndex("ref")) ==
+        s"tok${r.getLong(r.fieldIndex("ref_id"))} words of doc ${r.getLong(r.fieldIndex("ref_id"))}")
+    }
+  }
+
+  test("selfBleuPairs: rejects a corpus with no possible peer") {
+    val one = Seq((1L, "only doc")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      EvalMetrics.selfBleuPairs(one, "text", "doc_id", peers = 1)
+    }
+    assert(e.getMessage.contains(">= 2 documents"))
+  }
+
+  test("selfBleu: identical corpus scores 1000 geo on every pair (law)") {
+    // every doc the same text -> every sampled peer is an exact match,
+    // the mode-collapse reading self-BLEU exists to flag
+    val docs = (0L until 12L).map(i => (i, "the same generated sample text here"))
+      .toDF("doc_id", "text")
+    val out = EvalMetrics.selfBleu(docs, "text", "doc_id", peers = 2).collect()
+    assert(out.length == 24)
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("precision_geo_permille")) == 1000L)
+    }
+  }
+
+  test("terComponents: hand-computed token edit distances") {
+    val pairs = Seq(
+      (1L, "a b c", "a x c"), // one substitution
+      (2L, "a b c d", "a b c"), // one deletion (cand has one extra)
+      (3L, "a b", "a b"), // identical
+      (4L, "", "x y z"), // empty candidate: 3 insertions
+      (5L, "p q", ""), // empty reference: TER undefined
+      (6L, "the cat sat", "sat the cat")) // reorder: 2 edits, no shift op
+      .toDF("pair_id", "cand", "ref")
+    val out = EvalMetrics.terComponents(pairs, "pair_id", "cand", "ref")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def ops(id: Long) = out(id).getLong(out(id).fieldIndex("edit_ops"))
+    def ter(id: Long) = out(id).getLong(out(id).fieldIndex("ter_permille"))
+    assert(ops(1L) == 1L && ter(1L) == 333L)
+    assert(ops(2L) == 1L && ter(2L) == 333L)
+    assert(ops(3L) == 0L && ter(3L) == 0L)
+    assert(ops(4L) == 3L && ter(4L) == 1000L)
+    assert(ops(5L) == 2L)
+    assert(out(5L).isNullAt(out(5L).fieldIndex("ter_permille")))
+    assert(ops(6L) == 2L) // levenshtein of "abc" vs "cab"
+    // lengths are post-truncation token counts
+    assert(out(4L).getLong(out(4L).fieldIndex("cand_len")) == 0L)
+    assert(out(4L).getLong(out(4L).fieldIndex("ref_len")) == 3L)
+  }
+
+  test("terComponents: truncation bounds the DP and the reported lengths") {
+    val longText = (1 to 100).map(i => s"w$i").mkString(" ")
+    val shifted = (3 to 102).map(i => s"w$i").mkString(" ")
+    val out = EvalMetrics.terComponents(
+      Seq((1L, longText, shifted)).toDF("pair_id", "cand", "ref"),
+      "pair_id", "cand", "ref", maxTokens = 10)
+      .collect().head
+    assert(out.getLong(out.fieldIndex("cand_len")) == 10L)
+    assert(out.getLong(out.fieldIndex("ref_len")) == 10L)
+    // w1..w10 vs w3..w12: distance on the truncated windows = 2 subs +
+    // shared middle -> levenshtein("1..10","3..12") token-wise = 4? no:
+    // optimal alignment deletes w1,w2 and inserts w11,w12 -> 4 edits
+    assert(out.getLong(out.fieldIndex("edit_ops")) == 4L)
+  }
+
   test("mmrSelect: lambda=1 degenerates to exact top-k (law)") {
     val corpus = Seq(
       (1L, vec(1.0, 0.0)), (2L, vec(0.9, 0.1)), (3L, vec(0.0, 1.0)),

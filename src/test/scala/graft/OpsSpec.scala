@@ -138,6 +138,30 @@ class OpsSpec extends AnyFunSuite {
       s"rules must fuse into one aggregate pass: 2 rules -> $jobs2 jobs, 6 rules -> $jobs6")
   }
 
+  test("expectationReport: UniqueApprox sketch law + no Expand in the plan") {
+    import graft.ops.Expectation._
+    // 5000 non-null rows, 4000 distinct keys -> exactly 1000 duplicates
+    val df = (1 to 5000).map(i => (i.toLong % 4000L, s"t$i")).toDF("k", "text")
+    val row = graft.ops.Tables.expectationReport(df, Seq(UniqueApprox("k", 0.05)))
+      .collect().head
+    val v = row.getLong(row.fieldIndex("n_violations"))
+    // law: the sketch estimate stays within ~3·rsd of the true distinct
+    // count, so violations land within 3·0.05·4000 = 600 of the exact 1000
+    assert(math.abs(v - 1000L) <= 600L, s"sketch violations drifted: $v")
+    // plan shape: two exact Unique rules rewrite through an Expand that
+    // replicates the scan per distinct group; the sketch tier must not
+    val planApprox = graft.ops.Tables.expectationReport(df,
+      Seq(UniqueApprox("k"), UniqueApprox("text")))
+      .queryExecution.optimizedPlan.toString
+    assert(!planApprox.contains("Expand"),
+      s"HLL tier must not Expand:\n${planApprox.take(1500)}")
+    val planExact = graft.ops.Tables.expectationReport(df,
+      Seq(Unique("k"), Unique("text")))
+      .queryExecution.optimizedPlan.toString
+    assert(planExact.contains("Expand"),
+      s"expected the exact multi-distinct Expand as the contrast case:\n${planExact.take(1500)}")
+  }
+
   test("expectationReport: empty table fails closed (NULL rate, passed=false)") {
     import graft.ops.Expectation._
     val empty = Seq.empty[(Long, Option[String])].toDF("id", "text")
