@@ -33,7 +33,114 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit =
     if (args.headOption.contains("text")) textTier(args.drop(1))
+    else if (args.headOption.contains("eval")) evalTier(args.drop(1))
     else graphTier(args)
+
+  /** Round-8 operators above contract scale (round-8 verdict item): the
+    * eval-metric family's char-gram leg (chrF — ~5× the word-gram
+    * volume, the family's heaviest), rougeN, bradleyTerry at 10×/100×
+    * JUDGMENT volume (fixed item universe — the claim under test is
+    * "judgments reduce ONCE to pair counts", so rounds stay item-sized
+    * while the input grows), and one leg each for distributionDrift and
+    * shardManifest. Salting: disjoint id offsets per copy (pairs stay
+    * copy-local); judgment/value rows replicate verbatim (volume, not
+    * cardinality, is the axis).
+    *
+    *   sbt "runMain graft.ScaleProbe eval [sfDir] [extraM]"
+    */
+  def evalTier(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val spark = session()
+    val off = lit(1000000000L)
+    def salts(m: Int) = spark.range(m.toLong).select(col("id").as("salt"))
+
+    val d0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    def docsAt(m: Int) = d0.crossJoin(salts(m))
+      .select((col("doc_id") + col("salt") * off).as("doc_id"), col("text"))
+    // adjacent-id pair frame (the eval-gate shape); offset ids keep
+    // pairs salt-local except one boundary pair per copy
+    def pairsOf(df: DataFrame): DataFrame = {
+      val a = df.select(col("doc_id"), col("text"))
+      val b = df.select((col("doc_id") - 1L).as("doc_id"),
+        col("text").as("__next"))
+      a.join(b, "doc_id").select(col("doc_id").as("pair_id"),
+        col("text").as("cand"), col("__next").as("ref"))
+        .repartition(spark.sparkContext.defaultParallelism, col("pair_id"))
+    }
+    val e0 = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+    def eventsAt(m: Int) = e0.crossJoin(salts(m))
+      .select(col("event_id"), col("cents"), col("salt"))
+
+    def persisted(df: DataFrame): DataFrame = { val p = df.persist(); p.count(); p }
+    val (docs1, docs10) = (persisted(docsAt(1)), persisted(docsAt(10)))
+    val (ev1, ev10) = (persisted(eventsAt(1)), persisted(eventsAt(10)))
+    println(s"docs 1x=${docs1.count()} 10x=${docs10.count()}; " +
+      s"events 1x=${ev1.count()} 10x=${ev10.count()} ($sfDir)")
+
+    def run(name: String, d1: DataFrame, d10: DataFrame,
+        f: DataFrame => DataFrame): Unit = {
+      def time(df: DataFrame): Double = {
+        val t0 = System.nanoTime(); f(df).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      time(d1) // warm-up
+      val t1 = time(d1)
+      val t10 = time(d10)
+      println(f"$name%-18s 1x=${t1}%.2fs 10x=${t10}%.2fs ratio=${t10 / t1}%.2f")
+    }
+
+    // gate settings (maxChars 500 barely truncates the ~300-char corpus
+    // texts, so the measured volume is the honest full-text gram count)
+    run("chrF", docs1, docs10, df => graft.ops.EvalMetrics.chrF(
+      pairsOf(df), "pair_id", "cand", "ref", maxN = 3, maxChars = 500))
+    run("rougeN", docs1, docs10, df => graft.ops.EvalMetrics.rougeN(
+      pairsOf(df), "pair_id", "cand", "ref", maxN = 2))
+    run("selfBleu", docs1, docs10, df =>
+      graft.ops.EvalMetrics.selfBleu(df, "text", "doc_id", peers = 2))
+    run("terComponents", docs1, docs10, df => graft.ops.EvalMetrics.terComponents(
+      pairsOf(df), "pair_id", "cand", "ref", maxTokens = 40))
+    // fixed 120-item universe, judgment volume grows with the salt copies
+    def judgments(df: DataFrame): DataFrame =
+      df.select((col("event_id") % 120).as("winner"),
+        ((col("event_id") * 7 + 3) % 120).as("loser"))
+    run("bradleyTerry", ev1, ev10, df =>
+      graft.ops.Curation.bradleyTerry(judgments(df), "winner", "loser", iters = 4))
+    run("distributionDrift", ev1, ev10, df =>
+      graft.ops.Profile.distributionDrift(
+        df, df.select((col("cents") + 1700L).as("cents")),
+        "cents", buckets = 200, lo = 0L, hi = 100000L))
+    run("shardManifest", docs1, docs10, df =>
+      graft.ops.Profile.shardManifest(df, "doc_id", "text", shards = 256))
+
+    // optional second arg: the non-quadratic trend check one decade up
+    args.lift(1).map(_.toInt).foreach { m =>
+      val docsM = persisted(docsAt(m))
+      val evM = persisted(eventsAt(m))
+      println(s"docs ${m}x=${docsM.count()} events ${m}x=${evM.count()}")
+      def timeM(name: String, f: => DataFrame): Unit = {
+        val t0 = System.nanoTime(); f.count()
+        println(f"$name%-18s ${m}x=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      timeM("chrF", graft.ops.EvalMetrics.chrF(
+        pairsOf(docsM), "pair_id", "cand", "ref", maxN = 3, maxChars = 500))
+      timeM("rougeN", graft.ops.EvalMetrics.rougeN(
+        pairsOf(docsM), "pair_id", "cand", "ref", maxN = 2))
+      timeM("selfBleu",
+        graft.ops.EvalMetrics.selfBleu(docsM, "text", "doc_id", peers = 2))
+      timeM("terComponents", graft.ops.EvalMetrics.terComponents(
+        pairsOf(docsM), "pair_id", "cand", "ref", maxTokens = 40))
+      timeM("bradleyTerry",
+        graft.ops.Curation.bradleyTerry(judgments(evM), "winner", "loser", iters = 4))
+      timeM("distributionDrift", graft.ops.Profile.distributionDrift(
+        evM, evM.select((col("cents") + 1700L).as("cents")),
+        "cents", buckets = 200, lo = 0L, hi = 100000L))
+      timeM("shardManifest",
+        graft.ops.Profile.shardManifest(docsM, "doc_id", "text", shards = 256))
+    }
+    spark.stop()
+  }
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -21,7 +21,12 @@ import graft.runtime.{Hooks, RuntimeConfig, Supervisor}
   *     stream processes batches; the reference claims zero-downtime spec
   *     upgrades, README.md:547-555) — wall time of the registerStream call
   *     that stops the v1 query and starts v2, plus time until v2 produces
-  *     its first batch.
+  *     its first batch;
+  *   - a streaming drift monitor DEPLOYED ALONGSIDE the keyed-sink stream
+  *     (round-9 probe): sustained events/sec with the monitor sharing the
+  *     executor, the monitor's own per-trigger wall, and its state rows
+  *     (bounded by open windows × buckets by design — the number verifies
+  *     it).
   *
   * Run standalone (`sbt "runMain graft.StreamBench"`) for one JSON line, or
   * embedded — [[Bench]] calls [[StreamBench.run]] and merges the map into
@@ -126,6 +131,42 @@ object StreamBench {
           m("EventProcessingTimeMicros") / 1000.0 / m("Microbatches")
         else 0.0
 
+      // ---- drift monitor ALONGSIDE the load (round-9 probe) ----
+      // streamingDistributionDrift is MemoryStream-gated for semantics;
+      // this measures it as deployed: a second streaming query over the
+      // same-rate source while the keyed-sink stream keeps processing —
+      // events/sec WITH the monitor attached (the latency delta vs the
+      // baseline window above), the monitor's own per-trigger wall, and
+      // its total state rows (design: open windows × buckets, never rows)
+      val monQ = graft.streaming.Windows.streamingDistributionDrift(
+        spark.readStream.format("rate-micro-batch")
+          .option("rowsPerBatch", rowsPerBatch.toLong)
+          .option("numPartitions", cpus.toLong).load()
+          .select(col("timestamp"), pmod(col("value"), lit(1000L)).as("v")),
+        "timestamp", "v", referenceShares = Seq.fill(10)(100L),
+        windowDuration = "1 minute", lo = 0L, hi = 1000L)
+        .writeStream.outputMode("update").format("noop")
+        .option("checkpointLocation", s"$tmp/__monitor_ckpt")
+        .start()
+      val bm0 = m("Microbatches"); val em0 = m("EventsProcessed")
+      val tm0 = System.nanoTime()
+      val deadlineM = System.currentTimeMillis() + 120000
+      while (m("Microbatches") < bm0 + measuredBatches &&
+          System.currentTimeMillis() < deadlineM)
+        Thread.sleep(20)
+      val elapsedM = (System.nanoTime() - tm0) / 1e9
+      val epsWithMonitor =
+        if (elapsedM > 0) (m("EventsProcessed") - em0) / elapsedM else 0.0
+      val monProg = monQ.recentProgress.toSeq
+      val monBatchMs = {
+        val ds = monProg.flatMap(p =>
+          Option(p.durationMs.get("triggerExecution")).map(_.toDouble))
+        if (ds.nonEmpty) ds.sum / ds.size else 0.0
+      }
+      val monStateRows = monProg.flatMap(_.stateOperators.toSeq)
+        .map(_.numRowsTotal).maxOption.getOrElse(0L).toDouble
+      monQ.stop()
+
       // ---- hot-swap under load (I7) ----
       // registerStream(v2) is the zero-downtime upgrade: it validates, stops
       // the v1 query, compiles and starts v2 — its wall time IS the window
@@ -154,6 +195,9 @@ object StreamBench {
       Map(
         "events_per_sec" -> eps,
         "batch_ms_avg" -> batchMs,
+        "events_per_sec_with_monitor" -> epsWithMonitor,
+        "monitor_batch_ms_avg" -> monBatchMs,
+        "monitor_state_rows" -> monStateRows,
         "measured_events" -> events,
         "measured_batches" -> batches,
         "measured_sec" -> elapsed,
