@@ -53,6 +53,27 @@ private[graft] object EntriesCuration {
       // evalPairs 60-token gate bound
       graft.ops.EvalMetrics.terComponents(
         evalPairs(s, dir), "pair_id", "cand", "ref", maxTokens = 40)),
+    "ns_rouge_l" -> ((s, dir) =>
+      // ROUGE-L over the shared eval-pair frame: token-LCS expression on
+      // the Spark side, recursive-CTE DP (list_reduce row fold) on the
+      // oracle side; 40-token truncation bounds both identically
+      graft.ops.EvalMetrics.rougeL(
+        evalPairs(s, dir), "pair_id", "cand", "ref", maxTokens = 40)),
+    // (ns_rouge_l oracle lives below in oracleSql; ns_corpus_* oracles
+    // are DERIVED in SparkEntry.oracleSql)
+    "ns_corpus_bleu" -> ((s, dir) =>
+      // the number papers report: components pooled across pairs FIRST,
+      // geo mean over the pooled precisions (micro-average). Oracle is
+      // DERIVED from ns_bleu's (SparkEntry.oracleSql) — no drift possible
+      graft.ops.EvalMetrics.corpusBleu(
+        graft.ops.EvalMetrics.bleuComponents(
+          evalPairs(s, dir), "pair_id", "cand", "ref"))),
+    "ns_corpus_ter" -> ((s, dir) =>
+      // corpus TER: pooled edits over pooled reference tokens; oracle
+      // DERIVED from ns_ter's
+      graft.ops.EvalMetrics.corpusTer(
+        graft.ops.EvalMetrics.terComponents(
+          evalPairs(s, dir), "pair_id", "cand", "ref", maxTokens = 40))),
     "ns_bradley_terry" -> ((s, dir) =>
       // global leaderboard strength over the same judgment stream the
       // Copeland gate ranks: 3 MM rounds in micro-units, max-norm per
@@ -641,12 +662,7 @@ private[graft] object EntriesCuration {
       // engine may order its union vocab differently — edit distance is
       // invariant under injective relabeling, so the integers agree
       s"""WITH $evalPairsSql,
-         |tt AS (SELECT pair_id,
-         |    list_slice(list_filter(string_split_regex(trim(lower(coalesce(cand, ''))), '\\s+'),
-         |               x -> x <> ''), 1, 40) AS ct,
-         |    list_slice(list_filter(string_split_regex(trim(lower(coalesce(ref, ''))), '\\s+'),
-         |               x -> x <> ''), 1, 40) AS rt
-         |  FROM p),
+         |$tok40CteSql,
          |vv AS (SELECT *, list_distinct(list_concat(ct, rt)) AS vocab FROM tt),
          |ee AS (SELECT pair_id,
          |    CAST(len(ct) AS BIGINT) AS cand_len, CAST(len(rt) AS BIGINT) AS ref_len,
@@ -659,6 +675,37 @@ private[graft] object EntriesCuration {
          |       THEN CAST(levenshtein(ec, er) AS BIGINT) * 1000 // ref_len
          |  END AS ter_permille
          |FROM ee""".stripMargin,
+    "ns_rouge_l" ->
+      // token-LCS via a recursive-CTE DP: the outer recursion walks the
+      // candidate tokens, list_reduce folds the new DP row left-to-right
+      // (the [j]-wrapped range makes the fold's accumulator a LIST with
+      // [0] as the seed — DuckDB 1.0 list_reduce has no init arg)
+      s"""WITH RECURSIVE $evalPairsSql,
+         |$tok40CteSql,
+         |lcs(pair_id, i, row) AS (
+         |  SELECT pair_id, 0::BIGINT, list_transform(range(len(rt) + 1), x -> 0::BIGINT) FROM tt
+         |  UNION ALL
+         |  SELECT l.pair_id, l.i + 1,
+         |    list_reduce(
+         |      list_prepend([0::BIGINT], list_transform(range(1, len(t.rt) + 1), j -> [j])),
+         |      (acc, x) -> list_append(acc,
+         |        greatest(l.row[CAST(x[1] AS INT) + 1], acc[-1],
+         |          l.row[CAST(x[1] AS INT)] +
+         |          CASE WHEN t.ct[CAST(l.i AS INT) + 1] = t.rt[CAST(x[1] AS INT)] THEN 1 ELSE 0 END)))
+         |  FROM lcs l JOIN tt t USING (pair_id)
+         |  WHERE l.i < len(t.ct)),
+         |fin AS (SELECT l.pair_id, CAST(len(t.ct) AS BIGINT) AS cand_len,
+         |    CAST(len(t.rt) AS BIGINT) AS ref_len, CAST(l.row[-1] AS BIGINT) AS lcs_len
+         |  FROM lcs l JOIN tt t USING (pair_id) WHERE l.i = len(t.ct)),
+         |prf2 AS (SELECT *,
+         |    CASE WHEN cand_len > 0 THEN lcs_len * 1000 // cand_len END AS precision_permille,
+         |    CASE WHEN ref_len > 0 THEN lcs_len * 1000 // ref_len END AS recall_permille
+         |  FROM fin)
+         |SELECT *, CASE WHEN precision_permille IS NOT NULL AND recall_permille IS NOT NULL
+         |    AND precision_permille + recall_permille > 0
+         |    THEN precision_permille * recall_permille * 2 // (precision_permille + recall_permille)
+         |  END AS f1_permille
+         |FROM prf2""".stripMargin,
     "ns_rouge" ->
       s"""WITH $evalPairsSql,
          |${ngramCompSql(2)},

@@ -775,6 +775,19 @@ private[graft] object EntrySupport {
        |      FROM g GROUP BY 1, 2)""".stripMargin
   }
 
+  /** Corrected floor-isqrt∘isqrt 4th-root chain over a `pr` CTE carrying
+    * `prod` — shared by every BLEU-geo oracle (per-pair and corpus) so
+    * the root arithmetic is one fragment. Ends with CTE `s2` carrying
+    * `geo` (BIGINT, NULL-propagating).
+    */
+  private[graft] val isqrtChainSql =
+    """i1 AS (SELECT *, CAST(floor(sqrt(CAST(prod AS DOUBLE))) AS HUGEINT) AS r0 FROM pr),
+      |c1 AS (SELECT *, CASE WHEN (r0 + 1) * (r0 + 1) <= prod THEN r0 + 1 ELSE r0 END AS r1 FROM i1),
+      |s1 AS (SELECT *, CAST(CASE WHEN r1 * r1 > prod THEN r1 - 1 ELSE r1 END AS BIGINT) AS sq1 FROM c1),
+      |i2 AS (SELECT *, CAST(floor(sqrt(CAST(sq1 AS DOUBLE))) AS HUGEINT) AS q0 FROM s1),
+      |c2 AS (SELECT *, CASE WHEN (q0 + 1) * (q0 + 1) <= sq1 THEN q0 + 1 ELSE q0 END AS q1 FROM i2),
+      |s2 AS (SELECT *, CAST(CASE WHEN q1 * q1 > sq1 THEN q1 - 1 ELSE q1 END AS BIGINT) AS geo FROM c2)""".stripMargin
+
   /** BLEU wide-pivot + staged floor-isqrt geo-mean over `tk` + `comp`
     * CTEs (both from [[ngramCompSql]](4)) — shared by the ns_bleu and
     * ns_self_bleu oracles so the component arithmetic cannot drift
@@ -803,18 +816,13 @@ private[graft] object EntrySupport {
       |    CASE WHEN t3 > 0 THEN m3 * 1000 // t3 END AS p3,
       |    CASE WHEN t4 > 0 THEN m4 * 1000 // t4 END AS p4 FROM lw),
       |pr AS (SELECT *, p1 * p2 * p3 * p4 AS prod FROM pp),
-      |i1 AS (SELECT *, CAST(floor(sqrt(CAST(prod AS DOUBLE))) AS HUGEINT) AS r0 FROM pr),
-      |c1 AS (SELECT *, CASE WHEN (r0 + 1) * (r0 + 1) <= prod THEN r0 + 1 ELSE r0 END AS r1 FROM i1),
-      |s1 AS (SELECT *, CAST(CASE WHEN r1 * r1 > prod THEN r1 - 1 ELSE r1 END AS BIGINT) AS sq1 FROM c1),
-      |i2 AS (SELECT *, CAST(floor(sqrt(CAST(sq1 AS DOUBLE))) AS HUGEINT) AS q0 FROM s1),
-      |c2 AS (SELECT *, CASE WHEN (q0 + 1) * (q0 + 1) <= sq1 THEN q0 + 1 ELSE q0 END AS q1 FROM i2),
-      |s2 AS (SELECT *, CAST(CASE WHEN q1 * q1 > sq1 THEN q1 - 1 ELSE q1 END AS BIGINT) AS geo FROM c2)
+      |__ISQRT__
       |SELECT pair_id, cand_len, ref_len,
       |  m1 AS matches_1, t1 AS total_1, m2 AS matches_2, t2 AS total_2,
       |  m3 AS matches_3, t3 AS total_3, m4 AS matches_4, t4 AS total_4,
       |  CASE WHEN t1 > 0 AND t2 > 0 AND t3 > 0 AND t4 > 0 THEN geo END
       |    AS precision_geo_permille
-      |FROM s2""".stripMargin
+      |FROM s2""".stripMargin.replace("__ISQRT__", isqrtChainSql)
 
   /** Self-BLEU pair frame oracle — replays
     * [[graft.ops.EvalMetrics.selfBleuPairs]] over 40-token-truncated
@@ -837,6 +845,18 @@ private[graft] object EntrySupport {
       |p AS (SELECT a.id * 2 + oj.peer_ord - 1 AS pair_id, a.text AS cand, b.text AS ref
       |  FROM rk a, oj, nn, rk b
       |  WHERE b.pos = (a.pos + oj.o) % nn.n)""".stripMargin
+
+  /** 40-token truncated tokenization of the eval-pair CTE `p` — shared
+    * by the ns_ter and ns_rouge_l oracles (the TER/ROUGE-L maxTokens
+    * contract applied identically). Ends with CTE `tt` (pair_id, ct, rt).
+    */
+  private[graft] val tok40CteSql =
+    """tt AS (SELECT pair_id,
+      |    list_slice(list_filter(string_split_regex(trim(lower(coalesce(cand, ''))), '\s+'),
+      |               x -> x <> ''), 1, 40) AS ct,
+      |    list_slice(list_filter(string_split_regex(trim(lower(coalesce(ref, ''))), '\s+'),
+      |               x -> x <> ''), 1, 40) AS rt
+      |  FROM p)""".stripMargin
 
   /** P/R permille over a `comp`-shaped CTE — shared by the ns_rouge and
     * ns_chrf oracles so the ratio arithmetic cannot drift between them.

@@ -45,6 +45,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * | ProjectVecExpr        | Embeddings.project (PCA apply)     | ns_embed_pca |
   * | TermMatchExpr         | TextAnalysis.termMatchStats        | ns_badwords |
   * | JaroWinklerExpr       | Fuzzy.jaroWinklerJoin              | ns_jaro_winkler, ns_jw_join |
+  * | TokenLcsExpr          | EvalMetrics.rougeL                 | ns_rouge_l |
   * | CorrPermilleExpr      | Profile.correlationMatrix, Graph.degreeAssortativity | ns_correlation, ns_assortativity |
   */
 object text {
@@ -1711,6 +1712,52 @@ object text {
 
   def jaroWinkler(a: Column, b: Column): Column =
     ExpressionUtils.column(JaroWinklerExpr(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Longest-common-subsequence LENGTH over two token arrays — the
+    * ROUGE-L kernel. Classic O(n·m) two-row DP per pair, token equality
+    * by exact UTF8String compare (case/tokenization policy is the
+    * caller's — [[graft.ops.EvalMetrics.rougeL]] applies the corpus
+    * convention and a maxTokens truncation BEFORE this expression, so
+    * the DP is bounded). Null array → null (BinaryExpression contract);
+    * null ELEMENTS never match (the tokenizers never produce them).
+    * CodegenFallback like the other bounded comparators
+    * ([[JaroWinklerExpr]]): the per-row loop dominates any codegen win.
+    */
+  case class TokenLcsExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = x.numElements(); val m = y.numElements()
+      if (n == 0 || m == 0) return 0L
+      val ys = Array.tabulate(m)(j => if (y.isNullAt(j)) null else y.getUTF8String(j))
+      var prev = new Array[Long](m + 1)
+      var curr = new Array[Long](m + 1)
+      var i = 0
+      while (i < n) {
+        val xi = if (x.isNullAt(i)) null else x.getUTF8String(i)
+        var j = 0
+        while (j < m) {
+          val diag = prev(j) +
+            (if (xi != null && ys(j) != null && xi.equals(ys(j))) 1L else 0L)
+          val best0 = if (prev(j + 1) > curr(j)) prev(j + 1) else curr(j)
+          curr(j + 1) = if (diag > best0) diag else best0
+          j += 1
+        }
+        val t = prev; prev = curr; curr = t
+        java.util.Arrays.fill(curr, 0L)
+        i += 1
+      }
+      prev(m)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def tokenLcs(a: Column, b: Column): Column =
+    ExpressionUtils.column(TokenLcsExpr(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Integer-exact permille Pearson correlation tail for

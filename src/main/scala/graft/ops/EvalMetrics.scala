@@ -163,17 +163,119 @@ object EvalMetrics {
     // so inlining isqrt(isqrt(prod)) copies the product subtree ~25× and
     // the per-row evaluation cost with it — staged, each level computes
     // once (a NULL product flows through to a NULL geo unchanged).
-    val staged = wide
-      .withColumn("__prod",
-        when((1 to 4).map(n => col(s"total_$n") > 0).reduce(_ && _),
-          p(1) * p(2) * p(3) * p(4)))
-      .withColumn("__sq1", Curation.isqrtExact(col("__prod")))
+    val staged = stagedGeo(wide)
     staged.select(col("pair_id") +:
       col("total_1").as("cand_len") +:
       col("__rt1").as("ref_len") +:
       (1 to 4).flatMap(n => Seq(col(s"matches_$n"), col(s"total_$n"))) :+
-      Curation.isqrtExact(col("__sq1")).as("precision_geo_permille"): _*)
+      col("__geo").as("precision_geo_permille"): _*)
   }
+
+  /** The shared BLEU geo-mean staging over a `matches_n`/`total_n` wide
+    * frame: permille precisions, their product, and the staged
+    * isqrt∘isqrt 4th root as `__geo` (NULL when any total is 0). Staged
+    * through columns because each isqrtExact level references its input
+    * ~5× — inlining the composition copies the product subtree ~25×.
+    */
+  private def stagedGeo(wide: DataFrame): DataFrame = {
+    def p(n: Int): Column =
+      when(col(s"total_$n") > 0,
+        call_function("div", col(s"matches_$n") * 1000L, col(s"total_$n")))
+    wide
+      .withColumn("__prod",
+        when((1 to 4).map(n => col(s"total_$n") > 0).reduce(_ && _),
+          p(1) * p(2) * p(3) * p(4)))
+      .withColumn("__sq1", Curation.isqrtExact(col("__prod")))
+      .withColumn("__geo", Curation.isqrtExact(col("__sq1")))
+  }
+
+  /** Corpus-level BLEU over a [[bleuComponents]] output frame — the
+    * number papers report: components SUM across pairs first, the
+    * geometric mean applies to the pooled modified precisions (Papineni
+    * et al. 2002's micro-average — NOT the mean of per-pair BLEUs, which
+    * over-weights short candidates and zeroes on any 4-gram-free pair).
+    * One partial-aggregated one-row reduce; same staged floor-isqrt
+    * grid, so the corpus number replays wherever the per-pair ones do.
+    *
+    * Output (one row): n_pairs, cand_tokens, ref_tokens (corpus
+    * brevity-penalty inputs: BP = exp(1 − ref/cand) when cand < ref),
+    * matches_n / total_n for n = 1..4, precision_geo_permille (NULL when
+    * the pooled total for any n is 0 — an all-too-short corpus has no
+    * defined BLEU).
+    */
+  def corpusBleu(components: DataFrame): DataFrame = {
+    val aggs = Seq(
+      count(lit(1)).as("n_pairs"),
+      coalesce(sum(col("cand_len")), lit(0L)).as("cand_tokens"),
+      coalesce(sum(col("ref_len")), lit(0L)).as("ref_tokens")) ++
+      (1 to 4).flatMap(n => Seq(
+        coalesce(sum(col(s"matches_$n")), lit(0L)).as(s"matches_$n"),
+        coalesce(sum(col(s"total_$n")), lit(0L)).as(s"total_$n")))
+    val wide = components.agg(aggs.head, aggs.tail: _*)
+    stagedGeo(wide).select(
+      col("n_pairs") +: col("cand_tokens") +: col("ref_tokens") +:
+        (1 to 4).flatMap(n => Seq(col(s"matches_$n"), col(s"total_$n"))) :+
+        col("__geo").as("precision_geo_permille"): _*)
+  }
+
+  /** ROUGE-L per pair (Lin 2004's LCS variant — the most-reported ROUGE):
+    * longest common token SUBSEQUENCE between candidate and reference,
+    * with permille P/R/F1 on the same integer grid as [[rougeN]]
+    * (R = 1000·lcs div ref_len — the headline number; F1 harmonic on the
+    * permille grid). LCS rewards in-order coverage without requiring the
+    * contiguity n-grams do, which is why summarization papers lead with
+    * it.
+    *
+    * Scale shape: zero shuffle — one bounded O(n·m) DP expression per
+    * row ([[graft.functions.text.TokenLcsExpr]]); `maxTokens` truncates
+    * BEFORE the DP (the chrF maxChars discipline), bounding the
+    * per-row cost at maxTokens². NULL P when the candidate is empty,
+    * NULL R when the reference is empty (undefined, not perfect).
+    *
+    * Output: (pair_id, cand_len, ref_len, lcs_len, precision_permille,
+    * recall_permille, f1_permille).
+    */
+  def rougeL(pairs: DataFrame, pairIdCol: String, candCol: String,
+      refCol: String, maxTokens: Int = 256): DataFrame = {
+    require(maxTokens >= 1 && maxTokens <= 4096,
+      "maxTokens must be in [1, 4096] (the DP is maxTokens^2 per pair)")
+    val base = pairs.select(col(pairIdCol).as("pair_id"),
+      slice(toks(col(candCol)), 1, maxTokens).as("__ct"),
+      slice(toks(col(refCol)), 1, maxTokens).as("__rt"))
+    base
+      .select(col("pair_id"),
+        size(col("__ct")).cast("long").as("cand_len"),
+        size(col("__rt")).cast("long").as("ref_len"),
+        graft.functions.text.tokenLcs(col("__ct"), col("__rt")).as("lcs_len"))
+      .withColumn("precision_permille",
+        when(col("cand_len") > 0,
+          call_function("div", col("lcs_len") * 1000L, col("cand_len"))))
+      .withColumn("recall_permille",
+        when(col("ref_len") > 0,
+          call_function("div", col("lcs_len") * 1000L, col("ref_len"))))
+      .withColumn("f1_permille",
+        when(col("precision_permille").isNotNull && col("recall_permille").isNotNull &&
+          (col("precision_permille") + col("recall_permille")) > 0,
+          call_function("div",
+            col("precision_permille") * col("recall_permille") * 2L,
+            col("precision_permille") + col("recall_permille"))))
+  }
+
+  /** Corpus-level TER over a [[terComponents]] output frame: pooled
+    * edits over pooled reference tokens (the standard corpus TER —
+    * again a micro-average, not a mean of per-pair rates). One one-row
+    * reduce. Output: n_pairs, cand_tokens, ref_tokens, edit_ops,
+    * ter_permille (NULL when the pooled reference is empty).
+    */
+  def corpusTer(components: DataFrame): DataFrame =
+    components.agg(
+      count(lit(1)).as("n_pairs"),
+      coalesce(sum(col("cand_len")), lit(0L)).as("cand_tokens"),
+      coalesce(sum(col("ref_len")), lit(0L)).as("ref_tokens"),
+      coalesce(sum(col("edit_ops")), lit(0L)).as("edit_ops"))
+      .withColumn("ter_permille",
+        when(col("ref_tokens") > 0,
+          call_function("div", col("edit_ops") * 1000L, col("ref_tokens"))))
 
   /** ROUGE-N per pair for n = 1..`maxN`: clipped matches, the two
     * totals, and the permille recall / precision / F1 —
@@ -323,9 +425,18 @@ object EvalMetrics {
     * average precision_geo_permille = the generator repeats itself.
     */
   def selfBleu(df: DataFrame, textCol: String, idCol: String,
-      peers: Int = 2, seed: String = "graft-selfbleu"): DataFrame =
-    bleuComponents(selfBleuPairs(df, textCol, idCol, peers, seed),
+      peers: Int = 2, seed: String = "graft-selfbleu"): DataFrame = {
+    val pairs = selfBleuPairs(df, textCol, idCol, peers, seed)
+    // explicit pre-amplification spread (the evalPairs discipline): the
+    // gram generator amplifies each pair ~10³×, and AQE — which cannot
+    // see amplification downstream of a generator — would coalesce the
+    // small ring-join output to a handful of partitions; an explicit
+    // numPartitions is exempt from AQE coalescing
+    bleuComponents(
+      pairs.repartition(
+        pairs.sparkSession.sparkContext.defaultParallelism, col("pair_id")),
       "pair_id", "cand", "ref")
+  }
 
   /** TER-lite: token-level edit distance per pair — the edit-family eval
     * metric next to the n-gram families (TER, Snover et al. 2006, minus

@@ -203,9 +203,14 @@ object RowLocal {
         df.withColumn("chosen", col("text"))
           .withColumn("rejected", substring(col("text"), 1, 12)),
         "doc_id", "chosen", "rejected")),
-    // ---- eval metrics (per-pair row-local member) ---------------------------
+    // ---- eval metrics (per-pair row-local members) --------------------------
     T("EvalMetrics.terComponents")(df =>
       ops.EvalMetrics.terComponents(
+        df.select(col("doc_id").as("pair_id"), col("text").as("cand"),
+          substring(col("text"), 1, 30).as("ref")),
+        "pair_id", "cand", "ref", maxTokens = 10)),
+    T("EvalMetrics.rougeL")(df =>
+      ops.EvalMetrics.rougeL(
         df.select(col("doc_id").as("pair_id"), col("text").as("cand"),
           substring(col("text"), 1, 30).as("ref")),
         "pair_id", "cand", "ref", maxTokens = 10)),
@@ -295,6 +300,8 @@ object RowLocal {
     "EvalMetrics.chrF" -> "per-pair character-gram aggregates",
     "EvalMetrics.selfBleuPairs" -> "corpus ring rank (bucket-offset, driver-read counts) + position equi-join",
     "EvalMetrics.selfBleu" -> "selfBleuPairs composition (ring rank + join) feeding the gram aggregates",
+    "EvalMetrics.corpusBleu" -> "corpus-level one-row component reduce (micro-average pooling)",
+    "EvalMetrics.corpusTer" -> "corpus-level one-row component reduce (micro-average pooling)",
     "Profile.shardManifest" -> "per-shard groupBy + manifest-frame share window",
     "Profile.distributionDrift" -> "two bucket-count aggregates + windows over the buckets spine",
     "Profile.clampedBucket" -> "private[graft] helper (row-local clamp-then-bucket column shared by the batch and streaming drift twins)",

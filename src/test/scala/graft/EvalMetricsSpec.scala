@@ -191,6 +191,81 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(out.getLong(out.fieldIndex("edit_ops")) == 4L)
   }
 
+  test("rougeL: token LCS with hand-computed goldens") {
+    val pairs = Seq(
+      (1L, "the cat sat on the mat", "the cat is on a mat"), // LCS 4
+      (2L, "a b c", "a b c"), // identity: LCS 3
+      (3L, "x y z", "p q r"), // disjoint: LCS 0
+      (4L, "", "a b"), // empty cand: P NULL, R 0
+      (5L, "c a b", "a b c")) // subsequence beats any n-gram: LCS 2
+      .toDF("pair_id", "cand", "ref")
+    val out = EvalMetrics.rougeL(pairs, "pair_id", "cand", "ref")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def lcs(id: Long) = out(id).getLong(out(id).fieldIndex("lcs_len"))
+    assert(lcs(1L) == 4L) // the cat ... on ... mat
+    assert(lcs(2L) == 3L)
+    assert(lcs(3L) == 0L)
+    assert(lcs(4L) == 0L)
+    assert(lcs(5L) == 2L) // "a b"
+    val r1 = out(1L)
+    assert(r1.getLong(r1.fieldIndex("recall_permille")) == 666L) // 4000 div 6
+    assert(r1.getLong(r1.fieldIndex("precision_permille")) == 666L)
+    assert(r1.getLong(r1.fieldIndex("f1_permille")) == 666L)
+    val r4 = out(4L)
+    assert(r4.isNullAt(r4.fieldIndex("precision_permille"))) // empty cand
+    assert(r4.getLong(r4.fieldIndex("recall_permille")) == 0L)
+    assert(r4.isNullAt(r4.fieldIndex("f1_permille")))
+    val r2 = out(2L)
+    assert(r2.getLong(r2.fieldIndex("f1_permille")) == 1000L)
+  }
+
+  test("rougeL: truncation bounds the DP (law: LCS <= min(len))") {
+    val longA = (1 to 100).map(i => s"w$i").mkString(" ")
+    val longB = (51 to 150).map(i => s"w$i").mkString(" ")
+    val out = EvalMetrics.rougeL(
+      Seq((1L, longA, longB)).toDF("pair_id", "cand", "ref"),
+      "pair_id", "cand", "ref", maxTokens = 60).collect().head
+    assert(out.getLong(out.fieldIndex("cand_len")) == 60L)
+    assert(out.getLong(out.fieldIndex("ref_len")) == 60L)
+    // truncated windows: w1..w60 vs w51..w110 share w51..w60 -> LCS 10
+    assert(out.getLong(out.fieldIndex("lcs_len")) == 10L)
+  }
+
+  test("corpusBleu: micro-average pools components BEFORE the root") {
+    val pairs = Seq(
+      (1L, "a b c d", "a b c d"), // identity pair: all precisions perfect
+      (2L, "x y", "x q")) // 2-token pair: per-pair geo is NULL (no 4-grams)
+      .toDF("pair_id", "cand", "ref")
+    val comp = EvalMetrics.bleuComponents(pairs, "pair_id", "cand", "ref")
+    val out = EvalMetrics.corpusBleu(comp).collect().head
+    assert(out.getLong(out.fieldIndex("n_pairs")) == 2L)
+    assert(out.getLong(out.fieldIndex("cand_tokens")) == 6L)
+    assert(out.getLong(out.fieldIndex("ref_tokens")) == 6L)
+    assert(out.getLong(out.fieldIndex("matches_1")) == 5L) // 4 + clip(x)
+    assert(out.getLong(out.fieldIndex("total_1")) == 6L)
+    assert(out.getLong(out.fieldIndex("matches_2")) == 3L) // 3/3 + 0/1
+    assert(out.getLong(out.fieldIndex("total_2")) == 4L)
+    // pooled p = (833, 750, 1000, 1000); isqrt∘isqrt(624.75e9) = 889 —
+    // DEFINED even though pair 2 alone has no BLEU (the micro-average
+    // point: pooling first keeps short pairs from zeroing the corpus)
+    assert(out.getLong(out.fieldIndex("precision_geo_permille")) == 889L)
+  }
+
+  test("corpusTer: pooled edits over pooled reference tokens") {
+    val pairs = Seq(
+      (1L, "a b c", "a x c"), // 1 substitution over 3 ref tokens
+      (2L, "p", "")) // empty ref: per-pair TER undefined, 1 edit pooled
+      .toDF("pair_id", "cand", "ref")
+    val out = EvalMetrics.corpusTer(
+      EvalMetrics.terComponents(pairs, "pair_id", "cand", "ref"))
+      .collect().head
+    assert(out.getLong(out.fieldIndex("n_pairs")) == 2L)
+    assert(out.getLong(out.fieldIndex("cand_tokens")) == 4L)
+    assert(out.getLong(out.fieldIndex("ref_tokens")) == 3L)
+    assert(out.getLong(out.fieldIndex("edit_ops")) == 2L)
+    assert(out.getLong(out.fieldIndex("ter_permille")) == 666L)
+  }
+
   test("mmrSelect: lambda=1 degenerates to exact top-k (law)") {
     val corpus = Seq(
       (1L, vec(1.0, 0.0)), (2L, vec(0.9, 0.1)), (3L, vec(0.0, 1.0)),
