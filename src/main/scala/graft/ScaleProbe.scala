@@ -79,27 +79,46 @@ object ScaleProbe {
     println(s"docs 1x=${docs1.count()} 10x=${docs10.count()}; " +
       s"events 1x=${ev1.count()} 10x=${ev10.count()} ($sfDir)")
 
+    // Shuffle partitions follow the frames that actually SHUFFLE, not
+    // the input volume — both directions were measured as failure modes:
+    // with the count FIXED at 32, the 10× gram aggregation's reducers
+    // each carry 10× the rows, outgrow the hash-agg memory and fall to
+    // the spill path (chrF 15.6× at 10×; sized, 5.4×); with the count
+    // blindly scaled to 32·m, bradleyTerry — whose exchanges are
+    // pair/item-sized METADATA by design — paid 3200-task scheduling
+    // overhead per round (49 s at 100× vs 4.6 s at 32). So the
+    // gram-volume legs size partitions with the data and the
+    // metadata-exchange legs keep the core count, which is exactly how
+    // a deployment tunes the two families.
+    def sized(m: Int): Int = 32 * m
     def run(name: String, d1: DataFrame, d10: DataFrame,
-        f: DataFrame => DataFrame): Unit = {
-      def time(df: DataFrame): Double = {
-        val t0 = System.nanoTime(); f(df).count()
-        (System.nanoTime() - t0) / 1e9
+        f: DataFrame => DataFrame, scaleParts: Boolean = false): Unit = {
+      def time(df: DataFrame, m: Int): Double = {
+        spark.conf.set("spark.sql.shuffle.partitions",
+          if (scaleParts) sized(m) else 32)
+        try { val t0 = System.nanoTime(); f(df).count()
+          (System.nanoTime() - t0) / 1e9
+        } finally spark.conf.set("spark.sql.shuffle.partitions", 32)
       }
-      time(d1) // warm-up
-      val t1 = time(d1)
-      val t10 = time(d10)
+      time(d1, 1) // warm-up
+      val t1 = time(d1, 1)
+      val t10 = time(d10, 10)
       println(f"$name%-18s 1x=${t1}%.2fs 10x=${t10}%.2fs ratio=${t10 / t1}%.2f")
     }
 
     // gate settings (maxChars 500 barely truncates the ~300-char corpus
     // texts, so the measured volume is the honest full-text gram count)
     run("chrF", docs1, docs10, df => graft.ops.EvalMetrics.chrF(
-      pairsOf(df), "pair_id", "cand", "ref", maxN = 3, maxChars = 500))
+      pairsOf(df), "pair_id", "cand", "ref", maxN = 3, maxChars = 500),
+      scaleParts = true)
     run("rougeN", docs1, docs10, df => graft.ops.EvalMetrics.rougeN(
-      pairsOf(df), "pair_id", "cand", "ref", maxN = 2))
+      pairsOf(df), "pair_id", "cand", "ref", maxN = 2), scaleParts = true)
     run("selfBleu", docs1, docs10, df =>
-      graft.ops.EvalMetrics.selfBleu(df, "text", "doc_id", peers = 2))
+      graft.ops.EvalMetrics.selfBleu(df, "text", "doc_id", peers = 2),
+      scaleParts = true)
     run("terComponents", docs1, docs10, df => graft.ops.EvalMetrics.terComponents(
+      pairsOf(df), "pair_id", "cand", "ref", maxTokens = 40))
+    run("rougeL", docs1, docs10, df => graft.ops.EvalMetrics.rougeL(
       pairsOf(df), "pair_id", "cand", "ref", maxTokens = 40))
     // fixed 120-item universe, judgment volume grows with the salt copies
     def judgments(df: DataFrame): DataFrame =
@@ -119,17 +138,24 @@ object ScaleProbe {
       val docsM = persisted(docsAt(m))
       val evM = persisted(eventsAt(m))
       println(s"docs ${m}x=${docsM.count()} events ${m}x=${evM.count()}")
-      def timeM(name: String, f: => DataFrame): Unit = {
-        val t0 = System.nanoTime(); f.count()
-        println(f"$name%-18s ${m}x=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      def timeM(name: String, f: => DataFrame, scaleParts: Boolean = false): Unit = {
+        spark.conf.set("spark.sql.shuffle.partitions",
+          if (scaleParts) sized(m) else 32)
+        try { val t0 = System.nanoTime(); f.count()
+          println(f"$name%-18s ${m}x=${(System.nanoTime() - t0) / 1e9}%.2fs")
+        } finally spark.conf.set("spark.sql.shuffle.partitions", 32)
       }
       timeM("chrF", graft.ops.EvalMetrics.chrF(
-        pairsOf(docsM), "pair_id", "cand", "ref", maxN = 3, maxChars = 500))
+        pairsOf(docsM), "pair_id", "cand", "ref", maxN = 3, maxChars = 500),
+        scaleParts = true)
       timeM("rougeN", graft.ops.EvalMetrics.rougeN(
-        pairsOf(docsM), "pair_id", "cand", "ref", maxN = 2))
+        pairsOf(docsM), "pair_id", "cand", "ref", maxN = 2), scaleParts = true)
       timeM("selfBleu",
-        graft.ops.EvalMetrics.selfBleu(docsM, "text", "doc_id", peers = 2))
+        graft.ops.EvalMetrics.selfBleu(docsM, "text", "doc_id", peers = 2),
+        scaleParts = true)
       timeM("terComponents", graft.ops.EvalMetrics.terComponents(
+        pairsOf(docsM), "pair_id", "cand", "ref", maxTokens = 40))
+      timeM("rougeL", graft.ops.EvalMetrics.rougeL(
         pairsOf(docsM), "pair_id", "cand", "ref", maxTokens = 40))
       timeM("bradleyTerry",
         graft.ops.Curation.bradleyTerry(judgments(evM), "winner", "loser", iters = 4))
