@@ -53,6 +53,24 @@ private[graft] object EntriesCuration {
       // evalPairs 60-token gate bound
       graft.ops.EvalMetrics.terComponents(
         evalPairs(s, dir), "pair_id", "cand", "ref", maxTokens = 40)),
+    "ns_self_consistency" -> ((s, dir) =>
+      // Wang-2022 majority vote over a deterministic sample grid
+      // (problem = user bucket, answer = event arithmetic, every 11th
+      // sample abstains) — most votes, ties to the smallest answer
+      graft.ops.EvalMetrics.selfConsistency(
+        t(s, dir, "events").select((col("user_id") % 50).as("problem"),
+          when(col("event_id") % 11 === 0, lit(null).cast("long"))
+            .otherwise((col("event_id") * 3 + col("user_id")) % 5).as("answer")),
+        "problem", "answer")),
+    "ns_pass_at_k" -> ((s, dir) =>
+      // Chen-2021 unbiased pass@k over a deterministic sample grid
+      // (problem = user bucket, pass = event-id residue — both engines
+      // replay the outcomes); the micro fold's compounded floors replay
+      // step-for-step in the oracle's list_reduce
+      graft.ops.EvalMetrics.passAtK(
+        t(s, dir, "events").select((col("user_id") % 50).as("problem"),
+          (col("event_id") % 7 < 2).as("passed")),
+        "problem", "passed", ks = Seq(1, 5, 10))),
     "ns_rouge_l" -> ((s, dir) =>
       // ROUGE-L over the shared eval-pair frame: token-LCS expression on
       // the Spark side, recursive-CTE DP (list_reduce row fold) on the
@@ -675,6 +693,32 @@ private[graft] object EntriesCuration {
          |       THEN CAST(levenshtein(ec, er) AS BIGINT) * 1000 // ref_len
          |  END AS ter_permille
          |FROM ee""".stripMargin,
+    "ns_self_consistency" ->
+      """WITH v AS (SELECT user_id % 50 AS problem,
+        |    (event_id * 3 + user_id) % 5 AS ans, CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE event_id % 11 <> 0 GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY problem
+        |    ORDER BY c DESC, ans ASC) AS rn,
+        |    CAST(sum(c) OVER (PARTITION BY problem) AS BIGINT) AS n_samples
+        |  FROM v)
+        |SELECT problem, ans AS majority_answer, c AS n_majority, n_samples,
+        |  c * 1000 // n_samples AS majority_permille
+        |FROM r WHERE rn = 1""".stripMargin,
+    "ns_pass_at_k" ->
+      // the k-step floor fold replays via list_reduce with the
+      // prepended-seed accumulator (10^6 is the first element)
+      """WITH per AS (SELECT user_id % 50 AS problem,
+        |    CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(sum(CASE WHEN event_id % 7 < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_passed
+        |  FROM events GROUP BY 1),
+        |kk AS (SELECT CAST(unnest([1, 5, 10]) AS BIGINT) AS k),
+        |f AS (SELECT *, CASE WHEN k <= n_samples THEN
+        |    list_reduce(list_prepend(1000000::BIGINT, range(0, k)),
+        |      (acc, i) -> (acc * (n_samples - n_passed - i)) // (n_samples - i))
+        |  END AS m FROM per, kk)
+        |SELECT problem, n_samples, n_passed, k,
+        |  1000000 - m AS pass_at_k_micro
+        |FROM f""".stripMargin,
     "ns_rouge_l" ->
       // token-LCS via a recursive-CTE DP: the outer recursion walks the
       // candidate tokens, list_reduce folds the new DP row left-to-right

@@ -261,6 +261,78 @@ object EvalMetrics {
             col("precision_permille") + col("recall_permille"))))
   }
 
+  /** pass@k per problem (Chen et al. 2021's unbiased estimator — THE
+    * code-eval aggregation): given n samples per problem of which c
+    * passed, pass@k = 1 − C(n−c, k)/C(n, k). Computed on the MICRO grid
+    * as a k-step integer fold, m ← ⌊m·(n−c−i)/(n−i)⌋ from m = 10⁶
+    * (floors compound deterministically in the same order on both
+    * engines — the [[Curation.temperatureMixture]] discipline; the
+    * result sits within k µ-units of the exact rational, and m can
+    * never overflow because every factor ratio ≤ 1). A zero factor
+    * (c > n−k: every size-k draw contains a pass) pins m to 0 and the
+    * estimate to exactly 10⁶. k > n is undefined → NULL, not clamped.
+    *
+    * Scale shape: ONE partial-aggregated groupBy(problem) + a ≤|ks|-row
+    * explode + the bounded per-row fold — no window, no second pass
+    * over samples.
+    *
+    * Output: (problem, n_samples, n_passed, k, pass_at_k_micro), one
+    * row per (problem, k in `ks`).
+    */
+  def passAtK(df: DataFrame, problemCol: String, passedCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= 64),
+      "ks must be non-empty with each k in [1, 64]")
+    require(ks == ks.distinct, "ks must be distinct")
+    val per = df.groupBy(col(problemCol).as("problem"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(when(col(passedCol).cast("boolean"), 1L).otherwise(0L))
+          .as("n_passed"))
+    per
+      .select(col("problem"), col("n_samples"), col("n_passed"),
+        explode(array(ks.map(k => lit(k.toLong)): _*)).as("k"))
+      .withColumn("__m",
+        when(col("k") <= col("n_samples"),
+          aggregate(sequence(lit(0L), col("k") - 1L), lit(1000000L),
+            (acc, i) => call_function("div",
+              acc * (col("n_samples") - col("n_passed") - i),
+              col("n_samples") - i))))
+      .select(col("problem"), col("n_samples"), col("n_passed"), col("k"),
+        (lit(1000000L) - col("__m")).as("pass_at_k_micro"))
+  }
+
+  /** Self-consistency majority vote (Wang et al. 2022 — sample k chains,
+    * answer with the mode): per problem, the majority answer among the
+    * samples, its vote count, and the permille vote share. Answers must
+    * be NUMERIC (the [[Similarity.labelNoiseByNeighbors]] /
+    * decontaminate numeric-id contract) so the argmax tie-break — most
+    * votes, then SMALLEST answer — rides one max(struct) aggregate with
+    * no window. NULL answers are abstentions (dropped before the vote;
+    * a problem whose samples all abstain emits no row).
+    *
+    * Scale shape: two partial-aggregated groupBys ((problem, answer) →
+    * problem), both keyed exchanges of vote-count rows — never a
+    * per-problem window or collected answer list.
+    *
+    * Output: (problem, majority_answer, n_majority, n_samples,
+    * majority_permille).
+    */
+  def selfConsistency(df: DataFrame, problemCol: String,
+      answerCol: String): DataFrame = {
+    val votes = df
+      .where(col(answerCol).isNotNull)
+      .groupBy(col(problemCol).as("problem"),
+        col(answerCol).cast("long").as("__ans"))
+      .agg(count(lit(1)).as("__c"))
+    votes.groupBy(col("problem"))
+      .agg(max(struct(col("__c"), (-col("__ans")).as("__na"))).as("__m"),
+        sum(col("__c")).as("n_samples"))
+      .select(col("problem"), (-col("__m.__na")).as("majority_answer"),
+        col("__m.__c").as("n_majority"), col("n_samples"),
+        call_function("div", col("__m.__c") * 1000L, col("n_samples"))
+          .as("majority_permille"))
+  }
+
   /** Corpus-level TER over a [[terComponents]] output frame: pooled
     * edits over pooled reference tokens (the standard corpus TER —
     * again a micro-average, not a mean of per-pair rates). One one-row

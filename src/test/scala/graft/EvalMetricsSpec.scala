@@ -231,6 +231,75 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(out.getLong(out.fieldIndex("lcs_len")) == 10L)
   }
 
+  test("passAtK: hand-computed estimator values and edge semantics") {
+    // problem A: n=5, c=2 -> pass@2 = 1 - C(3,2)/C(5,2) = 0.7 (exact on
+    // the micro fold: 1e6*3/5=600000, *2/4=300000 -> 700000)
+    val samples =
+      Seq.fill(2)(("A", true)) ++ Seq.fill(3)(("A", false)) ++
+        Seq.fill(4)(("B", false)) ++ // c=0: pass@k = 0 at every k <= n
+        Seq.fill(3)(("C", true)) // c=n: pass@k = 1
+    val out = EvalMetrics.passAtK(samples.toDF("problem", "passed"),
+      "problem", "passed", ks = Seq(1, 2, 5))
+      .collect().map(r => (r.getString(0), r.getLong(r.fieldIndex("k"))) -> r).toMap
+    def micro(p: String, k: Long) =
+      out((p, k)).getLong(out((p, k)).fieldIndex("pass_at_k_micro"))
+    assert(micro("A", 1L) == 400000L) // 1 - 3/5
+    assert(micro("A", 2L) == 700000L)
+    assert(micro("A", 5L) == 1000000L) // k = n, c >= 1: certain
+    assert(micro("B", 1L) == 0L)
+    assert(micro("B", 2L) == 0L)
+    assert(micro("C", 1L) == 1000000L)
+    // k > n is undefined, not clamped
+    assert(out(("B", 5L)).isNullAt(out(("B", 5L)).fieldIndex("pass_at_k_micro")))
+    assert(out(("C", 5L)).isNullAt(out(("C", 5L)).fieldIndex("pass_at_k_micro")))
+  }
+
+  test("passAtK law: fold matches the exact rational within k micro-units") {
+    val rnd = new scala.util.Random(7)
+    val cases = (1 to 30).map { i =>
+      val n = 1 + rnd.nextInt(20); val c = rnd.nextInt(n + 1); (i, n, c)
+    }
+    val rows = cases.flatMap { case (p, n, c) =>
+      Seq.fill(c)((p.toLong, true)) ++ Seq.fill(n - c)((p.toLong, false))
+    }
+    val ks = Seq(1, 3, 7)
+    val out = EvalMetrics.passAtK(rows.toDF("problem", "passed"),
+      "problem", "passed", ks)
+      .collect().map(r => (r.getLong(0), r.getLong(r.fieldIndex("k"))) -> r).toMap
+    for ((p, n, c) <- cases; k <- ks if k <= n) {
+      def comb(a: Int, b: Int): BigInt =
+        if (b < 0 || b > a) BigInt(0)
+        else (0 until b).map(i => BigInt(a - i)).product / (1 to b).map(BigInt(_)).product
+      val exact = BigInt(1000000) -
+        (if (comb(n, k) == 0) BigInt(0)
+         else BigInt(1000000) * comb(n - c, k) / comb(n, k))
+      val got = out((p.toLong, k.toLong))
+        .getLong(out((p.toLong, k.toLong)).fieldIndex("pass_at_k_micro"))
+      assert((BigInt(got) - exact).abs <= k,
+        s"n=$n c=$c k=$k got=$got exact=$exact")
+    }
+  }
+
+  test("selfConsistency: majority vote, smallest-answer ties, null abstentions") {
+    val rows = Seq(
+      (1L, Some(3L)), (1L, Some(3L)), (1L, Some(7L)), (1L, None), // 3 wins
+      (2L, Some(5L)), (2L, Some(2L)), // tie -> smaller answer 2
+      (3L, None)) // all abstain: no row
+      .map { case (p, a) => (p, a.map(Long.box).orNull) }
+      .toDF("problem", "answer")
+    val out = EvalMetrics.selfConsistency(rows, "problem", "answer")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    val r1 = out(1L)
+    assert(r1.getLong(r1.fieldIndex("majority_answer")) == 3L)
+    assert(r1.getLong(r1.fieldIndex("n_majority")) == 2L)
+    assert(r1.getLong(r1.fieldIndex("n_samples")) == 3L) // null dropped
+    assert(r1.getLong(r1.fieldIndex("majority_permille")) == 666L)
+    val r2 = out(2L)
+    assert(r2.getLong(r2.fieldIndex("majority_answer")) == 2L) // tie-break
+    assert(r2.getLong(r2.fieldIndex("majority_permille")) == 500L)
+  }
+
   test("corpusBleu: micro-average pools components BEFORE the root") {
     val pairs = Seq(
       (1L, "a b c d", "a b c d"), // identity pair: all precisions perfect

@@ -220,6 +220,54 @@ class PlanSpec extends AnyFunSuite {
       s"count() must still execute the gram pipeline:\n${countPlan.take(2000)}")
   }
 
+  test("TER and ROUGE-L are zero-shuffle narrow plans (bounded per-row DP)") {
+    // the scale claim on both operators is 'pure scan': truncation,
+    // relabeling/LCS, and the permille ratios all evaluate per row —
+    // an Exchange here would mean the DP accidentally became an
+    // aggregation or the pair frame got re-keyed
+    val ter = EntriesCuration.queries("ns_ter")(spark, sf)
+    val rl = EntriesCuration.queries("ns_rouge_l")(spark, sf)
+    for ((name, q) <- Seq("ns_ter" -> ter, "ns_rouge_l" -> rl)) {
+      val plan = planOf(q)
+      // the shared evalPairs frame carries ONE deliberate exchange (the
+      // pre-amplification/pair-key repartition) + the pair join's
+      // exchanges; the metric itself must add NONE beyond the pair
+      // frame's own plan
+      val pairPlan = planOf(EntrySupport.evalPairs(spark, sf))
+      val pairEx = "Exchange".r.findAllIn(pairPlan).length
+      val ex = "Exchange".r.findAllIn(plan).length
+      assert(ex == pairEx,
+        s"$name must add zero exchanges over the pair frame " +
+          s"($ex vs $pairEx):\n${plan.take(2500)}")
+    }
+  }
+
+  test("corpus BLEU/TER pool through partial aggregates (one-row reduce)") {
+    val cb = EntriesCuration.queries("ns_corpus_bleu")(spark, sf)
+    val plan = planOf(cb)
+    // the corpus pooling must be a partial (map-side) aggregate over the
+    // component frame — a single-partition global agg without partials
+    // would funnel the pair-component rows to one task
+    assert(plan.contains("partial_"),
+      s"corpus pooling needs map-side partials:\n${plan.take(2500)}")
+    val ct = EntriesCuration.queries("ns_corpus_ter")(spark, sf)
+    assert(planOf(ct).contains("partial_"),
+      s"corpus TER pooling needs map-side partials:\n${planOf(ct).take(2500)}")
+  }
+
+  test("self-BLEU: ring join stays position-keyed; count() cannot skip the gram pipeline") {
+    val q = EntriesCuration.queries("ns_self_bleu")(spark, sf)
+    val plan = planOf(q)
+    // same generator-chain shape as ns_bleu downstream of the pairing
+    val gens = "Generate explode".r.findAllIn(plan).length
+    assert(gens == 2, s"expected the spec+gram generator chain, got $gens:\n${plan.take(3000)}")
+    // the count()-elimination regression class, pinned for the self-pair
+    // variant too (its pair frame is a join, the shape Catalyst prunes)
+    val countPlan = q.groupBy().count().queryExecution.optimizedPlan.toString
+    assert(countPlan.contains("Generate"),
+      s"count() must still execute the gram pipeline:\n${countPlan.take(2000)}")
+  }
+
   test("exact substring dedup shuffles 120-bit keys, never gram text") {
     val docs = SparkEntry.t(spark, sf, "documents")
     val q = graft.ops.Curation.exactSubstrDedup(docs, "text", "doc_id", minTokens = 8)
