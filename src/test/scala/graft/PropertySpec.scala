@@ -1141,6 +1141,89 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("terComponents law: matches a plain-Scala token Levenshtein") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    def lev(a: Seq[String], b: Seq[String]): Long = {
+      val m = b.length
+      var prev = Array.tabulate(m + 1)(_.toLong)
+      val curr = new Array[Long](m + 1)
+      for (i <- a.indices) {
+        curr(0) = i + 1L
+        for (j <- 0 until m)
+          curr(j + 1) = math.min(math.min(prev(j + 1) + 1, curr(j) + 1),
+            prev(j) + (if (a(i) == b(j)) 0L else 1L))
+        Array.copy(curr, 0, prev, 0, m + 1)
+      }
+      prev(m)
+    }
+    val tok = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val gen = for {
+      na <- Gen.chooseNum(0, 12); nb <- Gen.chooseNum(0, 12)
+      a <- Gen.listOfN(na, tok); b <- Gen.listOfN(nb, tok)
+    } yield (a, b)
+    forAll(gen, 40) { case (a, b) =>
+      val out = graft.ops.EvalMetrics.terComponents(
+        Seq((1L, a.mkString(" "), b.mkString(" "))).toDF("pair_id", "cand", "ref"),
+        "pair_id", "cand", "ref").collect().head
+      assert(out.getLong(out.fieldIndex("edit_ops")) == lev(a, b),
+        s"a=$a b=$b")
+    }
+  }
+
+  test("rougeL law: TokenLcsExpr matches a plain-Scala LCS") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    def lcs(a: Seq[String], b: Seq[String]): Long = {
+      val m = b.length
+      var prev = new Array[Long](m + 1)
+      val curr = new Array[Long](m + 1)
+      for (i <- a.indices) {
+        for (j <- 0 until m)
+          curr(j + 1) = math.max(math.max(prev(j + 1), curr(j)),
+            prev(j) + (if (a(i) == b(j)) 1L else 0L))
+        Array.copy(curr, 0, prev, 0, m + 1)
+        java.util.Arrays.fill(curr, 0L)
+      }
+      prev(m)
+    }
+    val tok = Gen.oneOf("x", "y", "z", "w")
+    val gen = for {
+      na <- Gen.chooseNum(0, 12); nb <- Gen.chooseNum(0, 12)
+      a <- Gen.listOfN(na, tok); b <- Gen.listOfN(nb, tok)
+    } yield (a, b)
+    forAll(gen, 40) { case (a, b) =>
+      val out = graft.ops.EvalMetrics.rougeL(
+        Seq((1L, a.mkString(" "), b.mkString(" "))).toDF("pair_id", "cand", "ref"),
+        "pair_id", "cand", "ref").collect().head
+      assert(out.getLong(out.fieldIndex("lcs_len")) == lcs(a, b),
+        s"a=$a b=$b")
+    }
+  }
+
+  test("selfBleuPairs law: count, derangement, injective pair ids at random n/peers") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(2, 40)
+      peers <- Gen.chooseNum(1, 4)
+      seed <- Gen.oneOf("s1", "s2", "s3")
+    } yield (n, peers, seed)
+    forAll(gen, 8) { case (n, peers, seed) =>
+      // non-dense, non-contiguous ids: the ring rank must not assume them
+      val docs = (0 until n).map(i => (i * 7L + 3L, s"text $i")).toDF("doc_id", "text")
+      val rows = graft.ops.EvalMetrics.selfBleuPairs(
+        docs, "text", "doc_id", peers, seed).collect()
+      assert(rows.length == n * peers, s"n=$n peers=$peers")
+      assert(rows.forall(r => r.getLong(1) != r.getLong(2)),
+        s"self-pair at n=$n peers=$peers")
+      assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+      // every doc appears as candidate exactly `peers` times
+      val perCand = rows.groupBy(_.getLong(1)).view.mapValues(_.length)
+      assert(perCand.values.forall(_ == peers))
+    }
+  }
+
   test("mmrSelect law: matches a plain-Scala greedy with identical arithmetic") {
     val spark = SparkTestBase.spark
     import spark.implicits._
