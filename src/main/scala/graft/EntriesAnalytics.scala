@@ -302,6 +302,17 @@ private[graft] object EntriesAnalytics {
           ((col("event_id") * 37) % 1001).as("v")),
         "ts", "v", referenceShares = Seq.fill(10)(100L),
         windowDuration = "1 hour", lo = 0L, hi = 1000L)),
+    "ns_stream_passk" -> ((s, dir) =>
+      // batch-mode run of the streaming pass@k monitor (same code path;
+      // watermark applies to streams only): hourly windows of the
+      // ns_pass_at_k sample derivation — the live eval dashboard's
+      // per-window estimator oracle-gates here, StreamingSpec covers
+      // the micro-batch twin
+      graft.streaming.Windows.streamingPassAtK(
+        t(s, dir, "events").select(col("ts"),
+          (col("user_id") % 50).as("problem"),
+          (col("event_id") % 7 < 2).as("passed")),
+        "ts", "problem", "passed", ks = Seq(1, 5), windowDuration = "1 hour")),
     "ns_stream_calibration" -> ((s, dir) =>
       // Batch-mode run of the streaming calibration monitor — the SAME
       // code path the stream executes (watermark applies to streams
@@ -698,6 +709,20 @@ private[graft] object EntriesAnalytics {
         |      FROM x GROUP BY 1)
         |SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
         |       n_obs, ks_micro, emd_micro
+        |FROM f""".stripMargin,
+    "ns_stream_passk" ->
+      """WITH per AS (SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+        |    user_id % 50 AS problem,
+        |    CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(sum(CASE WHEN event_id % 7 < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_passed
+        |  FROM events GROUP BY 1, 2),
+        |kk AS (SELECT CAST(unnest([1, 5]) AS BIGINT) AS k),
+        |f AS (SELECT *, CASE WHEN k <= n_samples THEN
+        |    list_reduce(list_prepend(1000000::BIGINT, range(0, k)),
+        |      (acc, i) -> (acc * (n_samples - n_passed - i)) // (n_samples - i))
+        |  END AS m FROM per, kk)
+        |SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+        |  problem, n_samples, n_passed, k, 1000000 - m AS pass_at_k_micro
         |FROM f""".stripMargin,
     "ns_stream_calibration" ->
       """WITH s AS (SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,

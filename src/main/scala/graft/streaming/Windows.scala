@@ -393,6 +393,50 @@ object Windows {
       call_function("div", xs.reduce(_ + _), col("__tot")).as("emd_micro"))
   }
 
+  /** Streaming twin of [[graft.ops.EvalMetrics.passAtK]]: per tumbling
+    * window and problem, the Chen-2021 unbiased pass@k over the window's
+    * samples — the live eval dashboard ("is the new checkpoint's pass@1
+    * sliding?") without waiting for the offline sweep.
+    *
+    * Streaming-legal shape: ONE windowed aggregate takes (n, c) per
+    * (window, problem); the k-step micro fold and the per-k explode are
+    * STATELESS projections over finalized aggregate rows (Structured
+    * Streaming forbids a second aggregate, not a generator). Same
+    * integer contract as the batch operator — the fold's compounded
+    * floors replay anywhere; k > n is NULL. State is
+    * windows × problems rows, bounded by the watermark.
+    *
+    * Output: (window_start, window_end, problem, n_samples, n_passed,
+    * k, pass_at_k_micro).
+    */
+  def streamingPassAtK(df: DataFrame, tsCol: String, problemCol: String,
+      passedCol: String, ks: Seq[Int], windowDuration: String,
+      watermark: String = "10 minutes"): DataFrame = {
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= 64),
+      "ks must be non-empty with each k in [1, 64]")
+    require(ks == ks.distinct, "ks must be distinct")
+    val src = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    val per = src
+      .groupBy(window(col(tsCol), windowDuration).as("w"),
+        col(problemCol).as("problem"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(when(col(passedCol).cast("boolean"), 1L).otherwise(0L))
+          .as("n_passed"))
+    per
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("problem"), col("n_samples"), col("n_passed"),
+        explode(array(ks.map(k => lit(k.toLong)): _*)).as("k"))
+      .withColumn("__m",
+        when(col("k") <= col("n_samples"),
+          aggregate(sequence(lit(0L), col("k") - 1L), lit(1000000L),
+            (acc, i) => call_function("div",
+              acc * (col("n_samples") - col("n_passed") - i),
+              col("n_samples") - i))))
+      .select(col("window_start"), col("window_end"), col("problem"),
+        col("n_samples"), col("n_passed"), col("k"),
+        (lit(1000000L) - col("__m")).as("pass_at_k_micro"))
+  }
+
   final case class RollEvent(key: String, ts: java.sql.Timestamp, value: Long)
   final case class RollBuf(entries: List[(Long, Long)])
   final case class RollOutput(key: String, ts: java.sql.Timestamp, value: Long,

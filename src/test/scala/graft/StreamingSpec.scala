@@ -401,6 +401,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingPassAtK: per-window estimator over a memory stream, stream == batch twin") {
+    val input = MemoryStream[(java.sql.Timestamp, Long, Boolean)](spark, 51)
+    val df = input.toDF().toDF("ts", "problem", "passed")
+    val agg = Windows.streamingPassAtK(df, "ts", "problem", "passed",
+      ks = Seq(1, 2), windowDuration = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("spassk")
+      .outputMode("complete").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      // window A, problem 1: n=5 c=2 -> pass@1=400000, pass@2=700000;
+      // window B, problem 1: n=1 c=0 -> pass@1=0, pass@2=NULL (k>n)
+      val rows = Seq(
+        (ts(1), 1L, true), (ts(2), 1L, true), (ts(3), 1L, false),
+        (ts(4), 1L, false), (ts(5), 1L, false),
+        (ts(11), 1L, false))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("spassk").collect()
+        .map(r => (r.getAs[java.sql.Timestamp](0).toString, r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) -1L else r.getLong(6))).toSet
+      assert(got == Set(
+        ("2024-01-01 10:00:00.0", 1L, 5L, 2L, 1L, 400000L),
+        ("2024-01-01 10:00:00.0", 1L, 5L, 2L, 2L, 700000L),
+        ("2024-01-01 10:10:00.0", 1L, 1L, 0L, 1L, 0L),
+        ("2024-01-01 10:10:00.0", 1L, 1L, 0L, 2L, -1L)), s"got $got")
+      // batch-mode run of the same code path agrees row-for-row
+      val batch = Windows.streamingPassAtK(rows.toDF("ts", "problem", "passed"),
+        "ts", "problem", "passed", ks = Seq(1, 2), windowDuration = "10 minutes")
+        .collect().map(r => (r.getAs[java.sql.Timestamp](0).toString, r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) -1L else r.getLong(6))).toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over a memory stream") {
     val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark, 1)
     val df = input.toDF().toDF("ts", "key", "v")
