@@ -442,8 +442,19 @@ object EvalMetrics {
       .select(col(idCol).cast("long").as("__sb_id"),
         col(textCol).as("__sb_text"),
         Curation.portableHash31(col(idCol).cast("long"), seed).as("__sb_h"))
+    // materialize the BUCKETED frame (eager local checkpoint — the BFS
+    // convention: blocks are ContextCleaner-collected once the returned
+    // frame is unreferenced, unlike a persist() which would leak in the
+    // CacheManager on a lazily-consumed result): the counts job below
+    // and the ring join's two sides all read the same materialized
+    // bucketing, so the collected offsets can never disagree with the
+    // rank evaluation (range boundaries re-sample per evaluation in
+    // principle — measured deterministic in-session, but the
+    // materialization makes it a non-question) and the scan+hash runs
+    // once instead of twice
     val ranged = base.repartitionByRange(buckets, col("__sb_h"), col("__sb_id"))
       .withColumn("__sb_bk", spark_partition_id())
+      .localCheckpoint(true)
     // single read: per-bucket counts (≤ buckets rows) supply the prefix
     // offsets, the corpus size n, AND the n ≥ 2 guard — the alignScores
     // single-read discipline
