@@ -86,6 +86,12 @@ private[graft] object EntriesCuration {
       graft.ops.EvalMetrics.corpusBleu(
         graft.ops.EvalMetrics.bleuComponents(
           evalPairs(s, dir), "pair_id", "cand", "ref"))),
+    "ns_corpus_rouge_l" -> ((s, dir) =>
+      // corpus ROUGE-L: pooled LCS over pooled lengths; oracle DERIVED
+      // from ns_rouge_l's
+      graft.ops.EvalMetrics.corpusRougeL(
+        graft.ops.EvalMetrics.rougeL(
+          evalPairs(s, dir), "pair_id", "cand", "ref", maxTokens = 40))),
     "ns_corpus_ter" -> ((s, dir) =>
       // corpus TER: pooled edits over pooled reference tokens; oracle
       // DERIVED from ns_ter's

@@ -120,6 +120,25 @@ object SparkEntry {
            |  CASE WHEN t1 > 0 AND t2 > 0 AND t3 > 0 AND t4 > 0 THEN geo END
            |    AS precision_geo_permille
            |FROM s2""".stripMargin) +
+      // corpus ROUGE-L derives from the per-pair oracle the same way
+      ("ns_corpus_rouge_l" ->
+        s"""WITH rl AS (
+           |${base("ns_rouge_l")}
+           |),
+           |s AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           |    CAST(coalesce(sum(cand_len), 0) AS BIGINT) AS cand_tokens,
+           |    CAST(coalesce(sum(ref_len), 0) AS BIGINT) AS ref_tokens,
+           |    CAST(coalesce(sum(lcs_len), 0) AS BIGINT) AS lcs_total
+           |  FROM rl),
+           |pr2 AS (SELECT *,
+           |    CASE WHEN cand_tokens > 0 THEN lcs_total * 1000 // cand_tokens END AS precision_permille,
+           |    CASE WHEN ref_tokens > 0 THEN lcs_total * 1000 // ref_tokens END AS recall_permille
+           |  FROM s)
+           |SELECT *, CASE WHEN precision_permille IS NOT NULL AND recall_permille IS NOT NULL
+           |    AND precision_permille + recall_permille > 0
+           |    THEN precision_permille * recall_permille * 2 // (precision_permille + recall_permille)
+           |  END AS f1_permille
+           |FROM pr2""".stripMargin) +
       // corpus TER derives from the per-pair oracle the same way
       ("ns_corpus_ter" ->
         s"""WITH t AS (

@@ -333,6 +333,32 @@ object EvalMetrics {
           .as("majority_permille"))
   }
 
+  /** Corpus-level ROUGE-L over a [[rougeL]] output frame: pooled LCS
+    * over pooled lengths (the summary-level micro-average — Lin 2004's
+    * corpus aggregation; same short-pairs-can't-zero argument as
+    * [[corpusBleu]]). One one-row reduce. Output: n_pairs, cand_tokens,
+    * ref_tokens, lcs_total, precision/recall/f1_permille (NULL where
+    * the pooled denominator is empty).
+    */
+  def corpusRougeL(components: DataFrame): DataFrame =
+    components.agg(
+      count(lit(1)).as("n_pairs"),
+      coalesce(sum(col("cand_len")), lit(0L)).as("cand_tokens"),
+      coalesce(sum(col("ref_len")), lit(0L)).as("ref_tokens"),
+      coalesce(sum(col("lcs_len")), lit(0L)).as("lcs_total"))
+      .withColumn("precision_permille",
+        when(col("cand_tokens") > 0,
+          call_function("div", col("lcs_total") * 1000L, col("cand_tokens"))))
+      .withColumn("recall_permille",
+        when(col("ref_tokens") > 0,
+          call_function("div", col("lcs_total") * 1000L, col("ref_tokens"))))
+      .withColumn("f1_permille",
+        when(col("precision_permille").isNotNull && col("recall_permille").isNotNull &&
+          (col("precision_permille") + col("recall_permille")) > 0,
+          call_function("div",
+            col("precision_permille") * col("recall_permille") * 2L,
+            col("precision_permille") + col("recall_permille"))))
+
   /** Corpus-level TER over a [[terComponents]] output frame: pooled
     * edits over pooled reference tokens (the standard corpus TER —
     * again a micro-average, not a mean of per-pair rates). One one-row

@@ -302,6 +302,7 @@ object RowLocal {
     "EvalMetrics.selfBleu" -> "selfBleuPairs composition (ring rank + join) feeding the gram aggregates",
     "EvalMetrics.corpusBleu" -> "corpus-level one-row component reduce (micro-average pooling)",
     "EvalMetrics.corpusTer" -> "corpus-level one-row component reduce (micro-average pooling)",
+    "EvalMetrics.corpusRougeL" -> "corpus-level one-row component reduce (micro-average pooling)",
     "EvalMetrics.passAtK" -> "per-problem sample aggregate + bounded k-fold",
     "EvalMetrics.selfConsistency" -> "two-stage vote aggregate (problem, answer) -> problem argmax",
     "Profile.shardManifest" -> "per-shard groupBy + manifest-frame share window",

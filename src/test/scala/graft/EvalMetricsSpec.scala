@@ -320,6 +320,22 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(out.getLong(out.fieldIndex("precision_geo_permille")) == 889L)
   }
 
+  test("corpusRougeL: pooled LCS over pooled lengths") {
+    val pairs = Seq(
+      (1L, "a b c", "a x c"), // LCS 2 of 3/3
+      (2L, "", "y z")) // per-pair P undefined; pooled absorbs it
+      .toDF("pair_id", "cand", "ref")
+    val out = EvalMetrics.corpusRougeL(
+      EvalMetrics.rougeL(pairs, "pair_id", "cand", "ref")).collect().head
+    assert(out.getLong(out.fieldIndex("n_pairs")) == 2L)
+    assert(out.getLong(out.fieldIndex("lcs_total")) == 2L)
+    assert(out.getLong(out.fieldIndex("cand_tokens")) == 3L)
+    assert(out.getLong(out.fieldIndex("ref_tokens")) == 5L)
+    assert(out.getLong(out.fieldIndex("precision_permille")) == 666L)
+    assert(out.getLong(out.fieldIndex("recall_permille")) == 400L)
+    assert(out.getLong(out.fieldIndex("f1_permille")) == 499L) // 2*666*400/1066
+  }
+
   test("corpusTer: pooled edits over pooled reference tokens") {
     val pairs = Seq(
       (1L, "a b c", "a x c"), // 1 substitution over 3 ref tokens
