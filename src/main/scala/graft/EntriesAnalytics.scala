@@ -313,6 +313,18 @@ private[graft] object EntriesAnalytics {
           (col("user_id") % 50).as("problem"),
           (col("event_id") % 7 < 2).as("passed")),
         "ts", "problem", "passed", ks = Seq(1, 5), windowDuration = "1 hour")),
+    "ns_stream_selfcons" -> ((s, dir) =>
+      // batch-mode run of the streaming self-consistency monitor (same
+      // code path; watermark applies to streams only): hourly windows of
+      // the ns_self_consistency sample derivation, majority vote via the
+      // wide-pivot one-aggregate shape — the live agreement-drift
+      // dashboard oracle-gates here, StreamingSpec covers micro-batches
+      graft.streaming.Windows.streamingSelfConsistency(
+        t(s, dir, "events").select(col("ts"),
+          (col("user_id") % 50).as("problem"),
+          when(col("event_id") % 11 === 0, lit(null).cast("long"))
+            .otherwise((col("event_id") * 3 + col("user_id")) % 5).as("answer")),
+        "ts", "problem", "answer", nAnswers = 5, windowDuration = "1 hour")),
     "ns_stream_calibration" -> ((s, dir) =>
       // Batch-mode run of the streaming calibration monitor — the SAME
       // code path the stream executes (watermark applies to streams
@@ -724,6 +736,22 @@ private[graft] object EntriesAnalytics {
         |SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
         |  problem, n_samples, n_passed, k, 1000000 - m AS pass_at_k_micro
         |FROM f""".stripMargin,
+    "ns_stream_selfcons" ->
+      // the oracle is free to use the batch two-level shape (it is not
+      // bound by streaming's one-aggregate rule); ties to the smallest
+      // answer, matching the wide-pivot CASE's ascending first-match
+      """WITH v AS (SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+        |    user_id % 50 AS problem, (event_id * 3 + user_id) % 5 AS ans,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE event_id % 11 <> 0 GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY window_start, problem
+        |    ORDER BY c DESC, ans ASC) AS rn,
+        |    CAST(sum(c) OVER (PARTITION BY window_start, problem) AS BIGINT) AS n_samples
+        |  FROM v)
+        |SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+        |  problem, ans AS majority_answer, c AS n_majority, n_samples,
+        |  c * 1000 // n_samples AS majority_permille
+        |FROM r WHERE rn = 1""".stripMargin,
     "ns_stream_calibration" ->
       """WITH s AS (SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
         |             (event_id * 37) % 1001 AS score,

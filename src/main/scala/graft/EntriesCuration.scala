@@ -98,6 +98,51 @@ private[graft] object EntriesCuration {
       graft.ops.EvalMetrics.corpusTer(
         graft.ops.EvalMetrics.terComponents(
           evalPairs(s, dir), "pair_id", "cand", "ref", maxTokens = 40))),
+    "ns_corpus_chrf" -> ((s, dir) =>
+      // corpus chrF — the number sacrebleu reports (corpus-pooled F per
+      // char-gram order, not a pair mean); oracle DERIVED from ns_chrf's
+      // (SparkEntry.oracleSql) so the pair and corpus views cannot drift
+      graft.ops.EvalMetrics.corpusChrf(
+        graft.ops.EvalMetrics.chrF(
+          evalPairs(s, dir), "pair_id", "cand", "ref", maxN = 3, maxChars = 500))),
+    "ns_corpus_rouge_n" -> ((s, dir) =>
+      // corpus ROUGE-1/2: pooled clipped matches over pooled totals per
+      // n; oracle DERIVED from ns_rouge's
+      graft.ops.EvalMetrics.corpusRougeN(
+        graft.ops.EvalMetrics.rougeN(
+          evalPairs(s, dir), "pair_id", "cand", "ref", maxN = 2))),
+    "ns_passk_rollup" -> ((s, dir) =>
+      // benchmark-level pass@k: mean over problems per k (the quoted
+      // "pass@1 on the benchmark") + the pass^k all-draws-pass dual, both
+      // on the micro grid; oracle DERIVED from ns_pass_at_k's
+      graft.ops.EvalMetrics.passAtKRollup(
+        graft.ops.EvalMetrics.passAtK(
+          t(s, dir, "events").select((col("user_id") % 50).as("problem"),
+            (col("event_id") % 7 < 2).as("passed")),
+          "problem", "passed", ks = Seq(1, 5, 10)))),
+    "ns_bertscore" -> ((s, dir) => {
+      // BERTScore-lite on int8 codes (the ns_margin_pairs integer-dot
+      // contract: exact arithmetic, engine-replayable scores): vectors
+      // group into 25 pairs of ~10 cand + ~10 ref units each (pair =
+      // vec_id div 20, side = parity) — per ref unit the best candidate
+      // dot, integer means, harmonic F1
+      val e = t(s, dir, "embeddings").where(col("vec_id") < 500)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val units = graft.ops.Similarity.quantizeInt8(e)
+        .select(call_function("div", col("id"), lit(20L)).as("pair_id"),
+          col("id").as("unit_id"),
+          col("codes").cast("array<double>").as("vec"))
+      graft.ops.EvalMetrics.bertScore(
+        units.where(col("unit_id") % 2 === 0),
+        units.where(col("unit_id") % 2 === 1),
+        "pair_id", "unit_id", "vec")
+    }),
+    "ns_distinct_n" -> ((s, dir) =>
+      // corpus distinct-1/2 diversity (the cheap self-BLEU companion):
+      // distinct word n-grams over total, whole corpus, per n
+      graft.ops.EvalMetrics.distinctN(
+        t(s, dir, "documents").select(col("text")), "text", maxN = 2)),
     "ns_bradley_terry" -> ((s, dir) =>
       // global leaderboard strength over the same judgment stream the
       // Copeland gate ranks: 3 MM rounds in micro-units, max-norm per
@@ -699,6 +744,52 @@ private[graft] object EntriesCuration {
          |       THEN CAST(levenshtein(ec, er) AS BIGINT) * 1000 // ref_len
          |  END AS ter_permille
          |FROM ee""".stripMargin,
+    "ns_bertscore" ->
+      // int8 relabeling chain shared with ns_margin_pairs/ns_kcenter
+      // (codes replay bit-for-bit), integer dots, per-unit max, truncated
+      // integer means — the whole score replays
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+        |             list_min(embedding::DOUBLE[]) AS vmin,
+        |             list_max(embedding::DOUBLE[]) AS vmax
+        |           FROM embeddings WHERE vec_id < 500),
+        |cz AS (SELECT id, id // 20 AS pair_id,
+        |        list_transform(vec, x -> CASE WHEN vmax = vmin THEN CAST(0 AS BIGINT)
+        |          ELSE CAST(least(greatest(round((x - vmin) * 255.0 / (vmax - vmin)), 0), 255) AS BIGINT) END) AS q
+        |      FROM e),
+        |cd AS (SELECT pair_id, id AS cu, q FROM cz WHERE id % 2 = 0),
+        |rf AS (SELECT pair_id, id AS ru, q FROM cz WHERE id % 2 = 1),
+        |d AS (SELECT cd.pair_id, cd.cu, rf.ru,
+        |        CAST(list_sum(list_transform(range(len(cd.q)),
+        |          i -> cd.q[CAST(i+1 AS INT)] * rf.q[CAST(i+1 AS INT)])) AS BIGINT) AS sim
+        |      FROM cd JOIN rf USING (pair_id)),
+        |rr AS (SELECT pair_id, ru, max(sim) AS best FROM d GROUP BY 1, 2),
+        |r2 AS (SELECT pair_id, CAST(count(*) AS BIGINT) AS n_ref,
+        |        CAST(sum(best) AS BIGINT) AS recall_sum FROM rr GROUP BY 1),
+        |pp AS (SELECT pair_id, cu, max(sim) AS best FROM d GROUP BY 1, 2),
+        |p2 AS (SELECT pair_id, CAST(count(*) AS BIGINT) AS n_cand,
+        |        CAST(sum(best) AS BIGINT) AS precision_sum FROM pp GROUP BY 1),
+        |j AS (SELECT p2.pair_id, n_cand, n_ref, precision_sum, recall_sum,
+        |        precision_sum // n_cand AS precision_mean,
+        |        recall_sum // n_ref AS recall_mean
+        |      FROM p2 JOIN r2 USING (pair_id))
+        |SELECT pair_id, n_cand, n_ref, precision_sum, recall_sum,
+        |  precision_mean, recall_mean,
+        |  CASE WHEN precision_mean > 0 AND recall_mean > 0
+        |       THEN (precision_mean * recall_mean * 2) // (precision_mean + recall_mean)
+        |  END AS f1
+        |FROM j""".stripMargin,
+    "ns_distinct_n" ->
+      """WITH tk AS (SELECT list_filter(
+        |    string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+        |    x -> x <> '') AS t FROM documents),
+        |ns AS (SELECT t, CAST(unnest([1, 2]) AS BIGINT) AS n FROM tk),
+        |g AS (SELECT n, unnest(list_transform(range(1, len(t) - n + 2),
+        |        i -> array_to_string(list_slice(t, i, i + n - 1), ' '))) AS gram FROM ns),
+        |c AS (SELECT n, gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2)
+        |SELECT n, CAST(sum(cnt) AS BIGINT) AS total_grams,
+        |  CAST(count(*) AS BIGINT) AS distinct_grams,
+        |  (CAST(count(*) AS BIGINT) * 1000) // CAST(sum(cnt) AS BIGINT) AS distinct_permille
+        |FROM c GROUP BY n""".stripMargin,
     "ns_self_consistency" ->
       """WITH v AS (SELECT user_id % 50 AS problem,
         |    (event_id * 3 + user_id) % 5 AS ans, CAST(count(*) AS BIGINT) AS c

@@ -858,6 +858,22 @@ private[graft] object EntrySupport {
       |               x -> x <> ''), 1, 40) AS rt
       |  FROM p)""".stripMargin
 
+  /** Per-n corpus pooling over a per-pair component CTE `c` (matches /
+    * cand_total / ref_total, long by n) — shared by the ns_corpus_chrf
+    * and ns_corpus_rouge_n derived oracles: sums first, then the same
+    * permille ratios as the pair rows. Ends with CTE `pooled`.
+    */
+  private[graft] val pooledPrfByNSql =
+    """s AS (SELECT n, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(coalesce(sum(matches), 0) AS BIGINT) AS matches,
+      |    CAST(coalesce(sum(cand_total), 0) AS BIGINT) AS cand_total,
+      |    CAST(coalesce(sum(ref_total), 0) AS BIGINT) AS ref_total
+      |  FROM c GROUP BY n),
+      |pooled AS (SELECT *,
+      |    CASE WHEN cand_total > 0 THEN matches * 1000 // cand_total END AS precision_permille,
+      |    CASE WHEN ref_total > 0 THEN matches * 1000 // ref_total END AS recall_permille
+      |  FROM s)""".stripMargin
+
   /** P/R permille over a `comp`-shaped CTE — shared by the ns_rouge and
     * ns_chrf oracles so the ratio arithmetic cannot drift between them.
     */

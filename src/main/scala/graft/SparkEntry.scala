@@ -151,6 +151,55 @@ object SparkEntry {
            |  FROM t)
            |SELECT *, CASE WHEN ref_tokens > 0
            |    THEN edit_ops * 1000 // ref_tokens END AS ter_permille
-           |FROM s""".stripMargin)
+           |FROM s""".stripMargin) +
+      // corpus chrF derives from the per-pair oracle: pool the
+      // components per n, then the SAME permille/F arithmetic — the
+      // number sacrebleu reports, with no way to drift from the pair gate
+      ("ns_corpus_chrf" ->
+        s"""WITH c AS (
+           |${base("ns_chrf")}
+           |),
+           |${EntrySupport.pooledPrfByNSql}
+           |SELECT *,
+           |  CASE WHEN precision_permille IS NOT NULL AND recall_permille IS NOT NULL
+           |    AND precision_permille + recall_permille > 0
+           |    THEN precision_permille * recall_permille * 2 // (precision_permille + recall_permille)
+           |  END AS f1_permille,
+           |  CASE WHEN precision_permille IS NOT NULL AND recall_permille IS NOT NULL
+           |    AND precision_permille * 4 + recall_permille > 0
+           |    THEN precision_permille * recall_permille * 5 // (precision_permille * 4 + recall_permille)
+           |  END AS f2_permille
+           |FROM pooled""".stripMargin) +
+      // corpus ROUGE-N derives from the per-pair oracle the same way
+      ("ns_corpus_rouge_n" ->
+        s"""WITH c AS (
+           |${base("ns_rouge")}
+           |),
+           |${EntrySupport.pooledPrfByNSql}
+           |SELECT *,
+           |  CASE WHEN precision_permille IS NOT NULL AND recall_permille IS NOT NULL
+           |    AND precision_permille + recall_permille > 0
+           |    THEN precision_permille * recall_permille * 2 // (precision_permille + recall_permille)
+           |  END AS f1_permille
+           |FROM pooled""".stripMargin) +
+      // the benchmark-level pass@k rollup derives from the per-problem
+      // oracle: mean over problems per k on the micro grid, plus the
+      // pass^k all-draws-pass dual via the same compounded-floor fold
+      ("ns_passk_rollup" ->
+        s"""WITH p AS (
+           |${base("ns_pass_at_k")}
+           |),
+           |w AS (SELECT *, CASE WHEN k <= n_samples THEN
+           |    list_reduce(list_prepend(1000000::BIGINT, range(0, k)),
+           |      (acc, i) -> (acc * (n_passed - i)) // (n_samples - i))
+           |  END AS allm FROM p)
+           |SELECT k, CAST(count(pass_at_k_micro) AS BIGINT) AS n_problems,
+           |  CASE WHEN count(pass_at_k_micro) > 0
+           |    THEN CAST(sum(pass_at_k_micro) AS BIGINT) // count(pass_at_k_micro)
+           |  END AS mean_pass_at_k_micro,
+           |  CASE WHEN count(pass_at_k_micro) > 0
+           |    THEN CAST(sum(allm) AS BIGINT) // count(pass_at_k_micro)
+           |  END AS mean_pass_all_k_micro
+           |FROM w GROUP BY k""".stripMargin)
   }
 }

@@ -148,6 +148,15 @@ object StreamBench {
         .writeStream.outputMode("update").format("noop")
         .option("checkpointLocation", s"$tmp/__monitor_ckpt")
         .start()
+      // open the measurement window only once the monitor has produced
+      // its FIRST batch: the with-monitor throughput must price the
+      // monitor's steady-state contention, not a window where its
+      // cold-start (checkpoint init, first trigger planning) hasn't begun
+      // competing yet — snapshotting at start() overstates events_per_sec
+      val warmDeadline = System.currentTimeMillis() + 60000
+      while (monQ.recentProgress.isEmpty &&
+          System.currentTimeMillis() < warmDeadline)
+        Thread.sleep(20)
       val bm0 = m("Microbatches"); val em0 = m("EventsProcessed")
       val tm0 = System.nanoTime()
       val deadlineM = System.currentTimeMillis() + 120000

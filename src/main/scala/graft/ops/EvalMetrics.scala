@@ -375,6 +375,185 @@ object EvalMetrics {
         when(col("ref_tokens") > 0,
           call_function("div", col("edit_ops") * 1000L, col("ref_tokens"))))
 
+  /** Corpus-level chrF over a [[chrF]] output frame — the number
+    * sacrebleu actually reports: chrF's headline score is the
+    * CORPUS-pooled character-gram F (matches and totals sum across pairs
+    * per n FIRST, then the β = 2 F on the pooled grid), not a mean of
+    * per-pair scores — the per-pair rows are the diagnostic view, this is
+    * the quotable one. Pooling per n keeps the gram orders separate (the
+    * final chrF averages F over n in float space — a caller policy, like
+    * BLEU's exp brevity penalty; the pooled per-n components are the
+    * replayable carriers). One partial-aggregated ≤maxN-row reduce; the
+    * dropped all-zero coverage rows (see [[chrF]]) cannot move a sum.
+    *
+    * Output per n: (n, n_pairs, matches, cand_total, ref_total,
+    * precision/recall/f1/f2_permille — NULL where the pooled denominator
+    * is empty). `n_pairs` counts pairs with any gram on either side at
+    * that n.
+    */
+  def corpusChrf(components: DataFrame): DataFrame =
+    pooledByN(components).withColumn("f2_permille",
+      when(col("precision_permille").isNotNull && col("recall_permille").isNotNull &&
+        (col("precision_permille") * 4L + col("recall_permille")) > 0,
+        call_function("div",
+          col("precision_permille") * col("recall_permille") * 5L,
+          col("precision_permille") * 4L + col("recall_permille"))))
+
+  /** Corpus-level ROUGE-N over a [[rougeN]] output frame: pooled clipped
+    * matches over pooled totals per n — the same micro-average the papers
+    * that pool ROUGE-L report for ROUGE-1/2 (and the same
+    * short-pairs-can't-zero argument as [[corpusBleu]]). One
+    * partial-aggregated ≤maxN-row reduce. Output per n: (n, n_pairs,
+    * matches, cand_total, ref_total, precision/recall/f1_permille).
+    */
+  def corpusRougeN(components: DataFrame): DataFrame = pooledByN(components)
+
+  /** Shared per-n pooling for the corpus chrF / ROUGE-N rollups: sum the
+    * components across pairs per n, then the SAME permille ratio
+    * arithmetic as the per-pair rows ([[withPrf]] — one definition, no
+    * drift between the pair and corpus views).
+    */
+  private def pooledByN(components: DataFrame): DataFrame =
+    withPrf(components.groupBy(col("n"))
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("matches")), lit(0L)).as("matches"),
+        coalesce(sum(col("cand_total")), lit(0L)).as("cand_total"),
+        coalesce(sum(col("ref_total")), lit(0L)).as("ref_total")))
+
+  /** Benchmark-level pass@k rollup over a [[passAtK]] output frame — the
+    * quoted number ("pass@1 on the benchmark") is the MEAN over problems
+    * of the per-problem unbiased estimates, per k, on the micro grid
+    * (sum div count — integer-exact given integer inputs). Alongside it,
+    * the pass^k dual (Yao et al.-style agentic consistency: ALL k draws
+    * pass, C(c,k)/C(n,k)) computed with the same compounded-floor fold
+    * m ← ⌊m·(c−i)/(n−i)⌋ from 10⁶ — once a factor hits zero (c < k: some
+    * draw must fail) m pins to 0 exactly. Problems where k > n are
+    * undefined for BOTH estimators (same NULL set as [[passAtK]]) and
+    * drop from the mean; `n_problems` is the defined count, so a mean
+    * over a thinning problem set is visible, never silent.
+    *
+    * Scale shape: one bounded per-row fold + ONE partial-aggregated
+    * groupBy(k) over problem-sized rows (|ks| output rows) — the input
+    * aggregate already reduced samples to problems.
+    *
+    * Output: (k, n_problems, mean_pass_at_k_micro, mean_pass_all_k_micro),
+    * means NULL when no problem defines the estimate.
+    */
+  def passAtKRollup(perProblem: DataFrame): DataFrame =
+    perProblem
+      .withColumn("__all",
+        when(col("k") <= col("n_samples"),
+          aggregate(sequence(lit(0L), col("k") - 1L), lit(1000000L),
+            (acc, i) => call_function("div",
+              acc * (col("n_passed") - i), col("n_samples") - i))))
+      .groupBy(col("k"))
+      .agg(count(col("pass_at_k_micro")).as("n_problems"),
+        sum(col("pass_at_k_micro")).as("__sum_k"),
+        sum(col("__all")).as("__sum_all"))
+      .select(col("k"), col("n_problems"),
+        when(col("n_problems") > 0,
+          call_function("div", col("__sum_k"), col("n_problems")))
+          .as("mean_pass_at_k_micro"),
+        when(col("n_problems") > 0,
+          call_function("div", col("__sum_all"), col("n_problems")))
+          .as("mean_pass_all_k_micro"))
+
+  /** BERTScore-lite (Zhang et al. 2020, minus the contextual encoder and
+    * IDF weighting): soft max-matching between two UNIT-embedding sets
+    * per pair — recall = mean over reference units of the best similarity
+    * any candidate unit offers, precision the mirror, F1 harmonic. The
+    * embedding-family eval metric next to the n-gram (BLEU/ROUGE/chrF)
+    * and edit (TER) families: it credits paraphrases n-grams miss.
+    *
+    * Similarity = the raw dot product in an in-order fold — the
+    * [[Similarity.marginPairs]] contract: feed NORMALIZED embeddings
+    * (dot = cosine) or INTEGER-VALUED vectors (e.g.
+    * [[Similarity.quantizeInt8]] codes cast to double) for exact
+    * arithmetic below 2^53 and bit-for-bit engine replay (the gate runs
+    * integer mode; float vectors score validly but the max near
+    * float-ties is engine-specific). Means are truncated integer
+    * division on the dot grid; F1 is NULL unless both means are
+    * strictly positive (dots can be negative — a harmonic mean of
+    * signed similarities is undefined, not clamped).
+    *
+    * Scale shape: ONE pair-keyed equi-join (hash/SMJ on pair_id — never
+    * a cross product; per-pair cost is |cand units|·|ref units|, so
+    * bound units per document upstream the way [[chrF]] bounds chars),
+    * then two partial-aggregated max reductions and a per-pair join of
+    * two pair-sized frames. Pairs missing either side drop (inner join):
+    * a one-sided pair has no defined matching.
+    *
+    * Output: (pair_id, n_cand, n_ref, precision_sum, recall_sum,
+    * precision_mean, recall_mean, f1).
+    */
+  def bertScore(candUnits: DataFrame, refUnits: DataFrame,
+      pairCol: String, unitCol: String, vecCol: String): DataFrame = {
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        .cast("long")
+    val c = candUnits.select(col(pairCol).as("pair_id"),
+      col(unitCol).as("__cu"), col(vecCol).as("__cv"))
+    val r = refUnits.select(col(pairCol).as("pair_id"),
+      col(unitCol).as("__ru"), col(vecCol).as("__rv"))
+    val sims = c.join(r, "pair_id")
+      .select(col("pair_id"), col("__cu"), col("__ru"),
+        dot(col("__cv"), col("__rv")).as("__sim"))
+    val recall = sims.groupBy(col("pair_id"), col("__ru"))
+      .agg(max(col("__sim")).as("__best"))
+      .groupBy(col("pair_id"))
+      .agg(count(lit(1)).as("n_ref"), sum(col("__best")).as("recall_sum"))
+    val precision = sims.groupBy(col("pair_id"), col("__cu"))
+      .agg(max(col("__sim")).as("__best"))
+      .groupBy(col("pair_id"))
+      .agg(count(lit(1)).as("n_cand"), sum(col("__best")).as("precision_sum"))
+    precision.join(recall, "pair_id")
+      .withColumn("precision_mean",
+        call_function("div", col("precision_sum"), col("n_cand")))
+      .withColumn("recall_mean",
+        call_function("div", col("recall_sum"), col("n_ref")))
+      .withColumn("f1",
+        when(col("precision_mean") > 0 && col("recall_mean") > 0,
+          call_function("div",
+            col("precision_mean") * col("recall_mean") * 2L,
+            col("precision_mean") + col("recall_mean"))))
+      .select(col("pair_id"), col("n_cand"), col("n_ref"),
+        col("precision_sum"), col("recall_sum"),
+        col("precision_mean"), col("recall_mean"), col("f1"))
+  }
+
+  /** Corpus distinct-n (Li et al. 2016's diversity metric, the cheap
+    * companion to [[selfBleu]]): distinct word n-grams over total word
+    * n-grams across the WHOLE corpus, per n = 1..maxN — a mode-collapsed
+    * generator repeats itself, so its distinct share craters long before
+    * per-sample quality moves. Same tokenization as every metric here.
+    *
+    * Scale shape: the [[ngramOverlap]] two-stage generator (n-spec
+    * explode, one column-parameterized gram explode) into TWO keyed
+    * partial aggregates — (n, gram) counts, then the per-n reduce; the
+    * gram shuffle is the whole cost and it is one pass. Documents with
+    * fewer than n tokens contribute nothing at that n; an n with zero
+    * grams corpus-wide emits no row (explode, deliberately not outer —
+    * there is no pair-coverage contract here).
+    *
+    * Output: (n, total_grams, distinct_grams, distinct_permille).
+    */
+  def distinctN(df: DataFrame, textCol: String, maxN: Int = 2): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, "maxN must be in [1, 8]")
+    val specs = array((1 to maxN).map(n => lit(n.toLong)): _*)
+    val grams = df
+      .select(toks(col(textCol)).as("__t"))
+      .withColumn("n", explode(specs))
+      .select(col("n"), explode(wordGrams(col("__t"), col("n"))).as("gram"))
+    grams.groupBy(col("n"), col("gram"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("n"))
+      .agg(sum(col("__c")).as("total_grams"),
+        count(lit(1)).as("distinct_grams"))
+      .select(col("n"), col("total_grams"), col("distinct_grams"),
+        call_function("div", col("distinct_grams") * 1000L, col("total_grams"))
+          .as("distinct_permille"))
+  }
+
   /** ROUGE-N per pair for n = 1..`maxN`: clipped matches, the two
     * totals, and the permille recall / precision / F1 —
     * recall = 1000·m div ref_total (the ROUGE headline number),
@@ -454,8 +633,13 @@ object EvalMetrics {
     * Output: (pair_id, cand_id, ref_id, peer_ord, cand, ref) with
     * pair_id = cand_id·peers + (peer_ord − 1) (callers feed it straight
     * to [[bleuComponents]]; ids must stay below Long.Max/peers).
-    * Requires n ≥ 2 (raised eagerly from the count read — one document
-    * has no peer).
+    * PRECONDITION: ids must be UNIQUE after the long cast — duplicates
+    * would rank to distinct ring positions in a nondeterministic tie
+    * order, could pair with their own duplicate despite the derangement
+    * (cand_id == ref_id), and collide on pair_id; enforced eagerly from
+    * the same metadata-sized count read (per-bucket distinct counts sum
+    * globally because equal ids share the exact range key). Requires
+    * n ≥ 2 (also raised eagerly — one document has no peer).
     */
   def selfBleuPairs(df: DataFrame, textCol: String, idCol: String,
       peers: Int, seed: String = "graft-selfbleu",
@@ -482,15 +666,29 @@ object EvalMetrics {
       .withColumn("__sb_bk", spark_partition_id())
       .localCheckpoint(true)
     // single read: per-bucket counts (≤ buckets rows) supply the prefix
-    // offsets, the corpus size n, AND the n ≥ 2 guard — the alignScores
-    // single-read discipline
+    // offsets, the corpus size n, the n ≥ 2 guard, AND the unique-id
+    // guard — the alignScores single-read discipline. Ids MUST be unique
+    // (post long-cast): duplicates would take distinct ring positions in
+    // a nondeterministic tie order, could land on their own duplicate
+    // despite the derangement offsets (cand_id == ref_id), and collide on
+    // pair_id, silently corrupting the downstream component grouping.
+    // The check is metadata-priced: per-bucket count_distinct sums to the
+    // GLOBAL distinct count because duplicate ids share (hash, id) — the
+    // exact range key — so they can never straddle a bucket boundary.
     val bucketCounts = ranged.groupBy(col("__sb_bk"))
-      .agg(count(lit(1)).as("__sb_bn"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      .agg(count(lit(1)).as("__sb_bn"),
+        count_distinct(col("__sb_id")).as("__sb_bd"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
     val n = bucketCounts.map(_._2).sum
+    val nDistinct = bucketCounts.map(_._3).sum
     require(n >= 2, s"selfBleuPairs: need >= 2 documents, got $n")
+    require(nDistinct == n,
+      s"selfBleuPairs: ids must be unique after the long cast " +
+        s"(got $n rows over $nDistinct distinct ids) — duplicate ids " +
+        s"break the derangement and collide on pair_id")
     var running = 0L
-    val offsetRows = bucketCounts.map { case (bk, c) =>
+    val offsetRows = bucketCounts.map { case (bk, c, _) =>
       val off = running; running += c; (bk, off)
     }.toSeq
     // per-peer ring offsets: driver-side portable hash (bit-identical to

@@ -725,10 +725,15 @@ object Similarity {
         else selected.map { case (_, v) => simTo(v) }.reduce(greatest(_, _))
       // argmax on the MICRO-UNIT grid (the integer-contract discipline):
       // floor(score·10⁶) before the compare, so a cross-engine replay
-      // (the DuckDB oracle's recursive greedy) agrees on every pick even
-      // when the two engines' doubles differ in final ulps — a near-tie
-      // divergence in round r would otherwise compound through all later
-      // rounds. Candidates within 1e-6 are DEFINED as tied (id breaks).
+      // (the DuckDB oracle's recursive greedy) agrees on every pick
+      // whenever the engines' doubles differ only in final ulps AWAY from
+      // a 1e-6 grid boundary — candidates within 1e-6 are DEFINED as tied
+      // (id breaks), which is what stops near-tie divergence in round r
+      // compounding through all later rounds. The quantization is a
+      // massive reduction, not an absolute guarantee: a score whose exact
+      // value sits within ulps of a grid line can still floor differently
+      // across engines (no finite grid closes that; a fully integer score
+      // would, but rel/diversity are cosines and inherently float here).
       val score = floor((col("rel") * lam - diversity * (1.0 - lam)) * 1e6)
         .cast("long")
       val picked = base

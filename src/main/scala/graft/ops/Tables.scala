@@ -365,7 +365,10 @@ object Tables {
         // HLL++ sketch is a REGULAR declarative aggregate — no Expand, so
         // any number of these rules still costs one un-multiplied scan;
         // the sketch can overshoot the true cardinality by up to rsd, so
-        // clamp at 0 rather than report negative duplicates
+        // clamp at 0 rather than report negative duplicates. The error's
+        // other sign survives the clamp: an UNDERestimate yields spurious
+        // positive violations (passed = false on clean data) — see the
+        // UniqueApprox scaladoc for the false-fail contract
         greatest(lit(0L),
           sum(when(col(c).isNotNull, 1L).otherwise(0L)) -
             approx_count_distinct(col(c), rsd))
@@ -461,9 +464,16 @@ object Expectation {
   /** Sketch-tier key uniqueness (HLL++, relative sd `rsd`): violation
     * count is approximate within the sketch's error, clamped at 0. The
     * 100 TB tier of [[Unique]] — no Expand row replication, so many
-    * unique rules still cost one un-multiplied scan; `passed` can
-    * misreport duplicates below the sketch's resolution (~rsd·n), which
-    * is the documented trade. Same null discipline as [[Unique]].
+    * unique rules still cost one un-multiplied scan. The sketch error
+    * cuts BOTH ways and both directions are the documented trade:
+    * an overestimate hides real duplicates below the sketch's resolution
+    * (~rsd·n — false pass), and an UNDERestimate manufactures spurious
+    * positive n_violations on a genuinely unique column, so
+    * passed = false can fire on clean data (false fail, again ~rsd·n
+    * sized). Treat a sketch-tier failure as "re-check with [[Unique]]",
+    * not as a verdict — alerting strictly on n_violations = 0 from an
+    * approximate counter is noisy by construction at scale. Same null
+    * discipline as [[Unique]].
     */
   case class UniqueApprox(column: String, rsd: Double = 0.05)
       extends Expectation {

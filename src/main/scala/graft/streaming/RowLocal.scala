@@ -301,6 +301,11 @@ object RowLocal {
     "EvalMetrics.selfBleuPairs" -> "corpus ring rank (bucket-offset, driver-read counts) + position equi-join",
     "EvalMetrics.selfBleu" -> "selfBleuPairs composition (ring rank + join) feeding the gram aggregates",
     "EvalMetrics.corpusBleu" -> "corpus-level one-row component reduce (micro-average pooling)",
+    "EvalMetrics.corpusChrf" -> "corpus-level per-n component reduce (micro-average pooling)",
+    "EvalMetrics.corpusRougeN" -> "corpus-level per-n component reduce (micro-average pooling)",
+    "EvalMetrics.passAtKRollup" -> "per-k mean over problem-sized aggregate rows",
+    "EvalMetrics.bertScore" -> "pair-keyed unit join + two max-reduce aggregates",
+    "EvalMetrics.distinctN" -> "corpus-wide (n, gram) aggregate (distinct share needs all docs)",
     "EvalMetrics.corpusTer" -> "corpus-level one-row component reduce (micro-average pooling)",
     "EvalMetrics.corpusRougeL" -> "corpus-level one-row component reduce (micro-average pooling)",
     "EvalMetrics.passAtK" -> "per-problem sample aggregate + bounded k-fold",

@@ -437,6 +437,71 @@ object Windows {
         (lit(1000000L) - col("__m")).as("pass_at_k_micro"))
   }
 
+  /** Streaming twin of [[graft.ops.EvalMetrics.selfConsistency]]: per
+    * tumbling window and problem, the Wang-2022 majority vote — the live
+    * agreement-drift dashboard next to [[streamingPassAtK]] ("are the
+    * sampled chains still converging on one answer?").
+    *
+    * Streaming-legal shape: the batch operator's two-groupBy shape
+    * (votes per (problem, answer) → per-problem argmax) is ILLEGAL here
+    * — Structured Streaming forbids an aggregate over an aggregate — so
+    * the vote collapses to ONE windowed aggregate that pivots the
+    * per-answer counts WIDE (`sum(when(answer = a, 1))` per a — the
+    * [[streamingDistributionDrift]] wide-pivot pattern) and the argmax
+    * becomes a ROW-LOCAL stateless projection over the wide row
+    * (greatest + first-match CASE, ascending — ties to the smallest
+    * answer, the batch operator's exact tie-break). The price of
+    * streaming legality is a BOUNDED answer domain: answers must be
+    * integers in [0, nAnswers), nAnswers ≤ 64 (guarded for expression
+    * width, like the drift monitor's buckets) — the natural shape for
+    * MC evals and bucketed free-form answers; hash wider domains into
+    * the bound upstream. NULL and out-of-domain answers are abstentions
+    * (dropped before the vote — out-of-domain values are protocol noise,
+    * and counting them would let one corrupt sampler shift every
+    * majority). A (window, problem) whose samples all abstain emits no
+    * row. State is windows × problems rows of nAnswers longs, bounded by
+    * the watermark.
+    *
+    * Output: (window_start, window_end, problem, majority_answer,
+    * n_majority, n_samples, majority_permille) — the batch operator's
+    * columns plus the window bounds (the batch==stream parity law
+    * StreamingSpec asserts).
+    */
+  def streamingSelfConsistency(df: DataFrame, tsCol: String,
+      problemCol: String, answerCol: String, nAnswers: Int,
+      windowDuration: String, watermark: String = "10 minutes"): DataFrame = {
+    require(nAnswers >= 2 && nAnswers <= 64,
+      "nAnswers (answer domain size) must be in [2, 64]")
+    val src = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    val ans = col(answerCol).cast("long")
+    val aggs = (0 until nAnswers).map(a =>
+      sum(when(col("__ans") === a, 1L).otherwise(0L)).as(s"__v$a"))
+    val perWindow = src
+      .where(ans.isNotNull && ans >= 0 && ans < nAnswers)
+      .withColumn("__ans", ans)
+      .groupBy(window(col(tsCol), windowDuration).as("w"),
+        col(problemCol).as("problem"))
+      .agg(aggs.head, aggs.tail: _*)
+    val best = (0 until nAnswers).map(a => col(s"__v$a")).reduce(greatest(_, _))
+    val majority = (0 until nAnswers).foldRight(lit(null).cast("long")) {
+      // ascending first-match: a CASE chain evaluates in order, so fold
+      // from the HIGHEST answer outward and let lower answers override —
+      // the smallest answer holding the max count wins, the batch
+      // operator's (-answer) max-struct tie-break exactly
+      case (a, rest) => when(col(s"__v$a") === col("__best"), a.toLong)
+        .otherwise(rest)
+    }
+    perWindow
+      .withColumn("__best", best)
+      .withColumn("n_samples",
+        (0 until nAnswers).map(a => col(s"__v$a")).reduce(_ + _))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("problem"), majority.as("majority_answer"),
+        col("__best").as("n_majority"), col("n_samples"),
+        call_function("div", col("__best") * 1000L, col("n_samples"))
+          .as("majority_permille"))
+  }
+
   final case class RollEvent(key: String, ts: java.sql.Timestamp, value: Long)
   final case class RollBuf(entries: List[(Long, Long)])
   final case class RollOutput(key: String, ts: java.sql.Timestamp, value: Long,

@@ -437,6 +437,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingSelfConsistency: wide-pivot majority vote, stream == batch twin == batch operator") {
+    val input = MemoryStream[(java.sql.Timestamp, Long, Option[Long])](spark, 52)
+    val df = input.toDF().toDF("ts", "problem", "answer")
+    val agg = Windows.streamingSelfConsistency(df, "ts", "problem", "answer",
+      nAnswers = 5, windowDuration = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("sselfcons")
+      .outputMode("complete").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      // window A, problem 1: votes 2,2,3 -> majority 2 (2/3);
+      // window A, problem 2: tie 1 vs 3 -> smallest answer wins;
+      // window B, problem 1: one abstention (NULL) + one vote 4;
+      // window B, problem 3: only abstentions/out-of-domain -> NO row
+      val rows = Seq(
+        (ts(1), 1L, Some(2L)), (ts(2), 1L, Some(2L)), (ts(3), 1L, Some(3L)),
+        (ts(4), 2L, Some(3L)), (ts(5), 2L, Some(1L)),
+        (ts(11), 1L, None: Option[Long]), (ts(12), 1L, Some(4L)),
+        (ts(13), 3L, None: Option[Long]), (ts(14), 3L, Some(9L)))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      def shape(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+        (r.getAs[java.sql.Timestamp](0).toString, r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+      val got = shape(spark.table("sselfcons").collect())
+      assert(got == Set(
+        ("2024-01-01 10:00:00.0", 1L, 2L, 2L, 3L, 666L),
+        ("2024-01-01 10:00:00.0", 2L, 1L, 1L, 2L, 500L),
+        ("2024-01-01 10:10:00.0", 1L, 4L, 1L, 1L, 1000L)), s"got $got")
+      // batch-mode run of the same code path agrees row-for-row
+      val batchTwin = shape(Windows.streamingSelfConsistency(
+        rows.toDF("ts", "problem", "answer"), "ts", "problem", "answer",
+        nAnswers = 5, windowDuration = "10 minutes").collect())
+      assert(batchTwin == got)
+      // and the window-A slice matches the BATCH operator exactly
+      // (majority, count, share — the promotion parity law); the batch
+      // operator has no domain bound, so restrict to in-domain rows
+      val batchOp = graft.ops.EvalMetrics.selfConsistency(
+        rows.filter(_._1.getTime < ts(10).getTime)
+          .toDF("ts", "problem", "answer").drop("ts"),
+        "problem", "answer").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      val winA = got.filter(_._1 == "2024-01-01 10:00:00.0")
+        .map { case (_, p, a, nm, n, pm) => (p, a, nm, n, pm) }
+      assert(batchOp == winA, s"batch $batchOp vs stream $winA")
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over a memory stream") {
     val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark, 1)
     val df = input.toDF().toDF("ts", "key", "v")
