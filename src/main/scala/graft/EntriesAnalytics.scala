@@ -325,6 +325,22 @@ private[graft] object EntriesAnalytics {
           when(col("event_id") % 11 === 0, lit(null).cast("long"))
             .otherwise((col("event_id") * 3 + col("user_id")) % 5).as("answer")),
         "ts", "problem", "answer", nAnswers = 5, windowDuration = "1 hour")),
+    "ns_stream_bleu" -> ((s, dir) =>
+      // batch-mode run of the streaming corpus-BLEU monitor (same code
+      // path; watermark applies to streams only): hourly windows of a
+      // deterministic (cand, ref) pair derivation with a repeated token
+      // (exercising the row-local clip) — the live generation-quality
+      // dashboard; the pool+root tail is corpusBleu's own fragment
+      graft.streaming.Windows.streamingCorpusBleu(
+        t(s, dir, "events").select(col("ts"),
+          concat_ws(" ", col("event_type"), col("event_type"), col("props"),
+            (col("user_id") % 5).cast("string"),
+            (col("event_id") % 3).cast("string")).as("cand"),
+          concat_ws(" ", col("event_type"), col("props"),
+            (col("user_id") % 5).cast("string"),
+            (col("event_id") % 3).cast("string"),
+            (col("event_id") % 7).cast("string")).as("ref")),
+        "ts", "cand", "ref", windowDuration = "1 hour")),
     "ns_stream_calibration" -> ((s, dir) =>
       // Batch-mode run of the streaming calibration monitor — the SAME
       // code path the stream executes (watermark applies to streams
@@ -752,6 +768,65 @@ private[graft] object EntriesAnalytics {
         |  problem, ans AS majority_answer, c AS n_majority, n_samples,
         |  c * 1000 // n_samples AS majority_permille
         |FROM r WHERE rn = 1""".stripMargin,
+    "ns_stream_bleu" ->
+      // the oracle is free to use the batch two-level clip (per-event
+      // gram aggregate, then the window pool); the root chain is the
+      // shared isqrt fragment every BLEU-geo oracle compiles from
+      s"""WITH src AS (SELECT event_id,
+         |    time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w,
+         |    concat_ws(' ', event_type, event_type, props,
+         |      CAST(user_id % 5 AS VARCHAR), CAST(event_id % 3 AS VARCHAR)) AS cand,
+         |    concat_ws(' ', event_type, props, CAST(user_id % 5 AS VARCHAR),
+         |      CAST(event_id % 3 AS VARCHAR), CAST(event_id % 7 AS VARCHAR)) AS ref
+         |  FROM events),
+         |tk AS MATERIALIZED (SELECT event_id, w,
+         |    list_filter(string_split_regex(trim(lower(coalesce(cand, ''))), '\\s+'),
+         |                x -> x <> '') AS ct,
+         |    list_filter(string_split_regex(trim(lower(coalesce(ref, ''))), '\\s+'),
+         |                x -> x <> '') AS rt
+         |  FROM src),
+         |ns AS (SELECT event_id, ct, rt, CAST(unnest([1, 2, 3, 4]) AS BIGINT) AS n FROM tk),
+         |cgr AS (SELECT event_id, n, unnest(list_transform(range(1, len(ct) - n + 2),
+         |          i -> array_to_string(list_slice(ct, i, i + n - 1), ' '))) AS gram FROM ns),
+         |rgr AS (SELECT event_id, n, unnest(list_transform(range(1, len(rt) - n + 2),
+         |          i -> array_to_string(list_slice(rt, i, i + n - 1), ' '))) AS gram FROM ns),
+         |cc AS (SELECT event_id, n, gram, count(*) AS c FROM cgr GROUP BY 1, 2, 3),
+         |rc AS (SELECT event_id, n, gram, count(*) AS r FROM rgr GROUP BY 1, 2, 3),
+         |g AS (SELECT coalesce(cc.event_id, rc.event_id) AS event_id, coalesce(cc.n, rc.n) AS n,
+         |        coalesce(cc.c, 0) AS c, coalesce(rc.r, 0) AS r
+         |      FROM cc FULL JOIN rc ON cc.event_id = rc.event_id AND cc.n = rc.n AND cc.gram = rc.gram),
+         |comp AS (SELECT event_id, n, CAST(sum(least(c, r)) AS BIGINT) AS m,
+         |        CAST(sum(c) AS BIGINT) AS t FROM g GROUP BY 1, 2),
+         |pw AS (SELECT tk.w, comp.n, CAST(sum(m) AS BIGINT) AS m,
+         |        CAST(sum(t) AS BIGINT) AS t
+         |      FROM comp JOIN tk ON comp.event_id = tk.event_id GROUP BY 1, 2),
+         |lens AS (SELECT w, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(len(ct)) AS BIGINT) AS cand_tokens,
+         |    CAST(sum(len(rt)) AS BIGINT) AS ref_tokens
+         |  FROM tk GROUP BY 1),
+         |wide AS (SELECT lens.w, n_pairs, cand_tokens, ref_tokens,
+         |    CAST(coalesce(sum(CASE WHEN n = 1 THEN m END), 0) AS BIGINT) AS m1,
+         |    CAST(coalesce(sum(CASE WHEN n = 1 THEN t END), 0) AS BIGINT) AS t1,
+         |    CAST(coalesce(sum(CASE WHEN n = 2 THEN m END), 0) AS BIGINT) AS m2,
+         |    CAST(coalesce(sum(CASE WHEN n = 2 THEN t END), 0) AS BIGINT) AS t2,
+         |    CAST(coalesce(sum(CASE WHEN n = 3 THEN m END), 0) AS BIGINT) AS m3,
+         |    CAST(coalesce(sum(CASE WHEN n = 3 THEN t END), 0) AS BIGINT) AS t3,
+         |    CAST(coalesce(sum(CASE WHEN n = 4 THEN m END), 0) AS BIGINT) AS m4,
+         |    CAST(coalesce(sum(CASE WHEN n = 4 THEN t END), 0) AS BIGINT) AS t4
+         |  FROM lens LEFT JOIN pw ON lens.w = pw.w GROUP BY 1, 2, 3, 4),
+         |pp AS (SELECT *, CASE WHEN t1 > 0 THEN m1 * 1000 // t1 END AS p1,
+         |    CASE WHEN t2 > 0 THEN m2 * 1000 // t2 END AS p2,
+         |    CASE WHEN t3 > 0 THEN m3 * 1000 // t3 END AS p3,
+         |    CASE WHEN t4 > 0 THEN m4 * 1000 // t4 END AS p4 FROM wide),
+         |pr AS (SELECT *, p1 * p2 * p3 * p4 AS prod FROM pp),
+         |${EntrySupport.isqrtChainSql}
+         |SELECT w AS window_start, w + INTERVAL 1 HOUR AS window_end,
+         |  n_pairs, cand_tokens, ref_tokens,
+         |  m1 AS matches_1, t1 AS total_1, m2 AS matches_2, t2 AS total_2,
+         |  m3 AS matches_3, t3 AS total_3, m4 AS matches_4, t4 AS total_4,
+         |  CASE WHEN t1 > 0 AND t2 > 0 AND t3 > 0 AND t4 > 0 THEN geo END
+         |    AS precision_geo_permille
+         |FROM s2""".stripMargin,
     "ns_stream_calibration" ->
       """WITH s AS (SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
         |             (event_id * 37) % 1001 AS score,

@@ -34,7 +34,142 @@ object ScaleProbe {
   def main(args: Array[String]): Unit =
     if (args.headOption.contains("text")) textTier(args.drop(1))
     else if (args.headOption.contains("eval")) evalTier(args.drop(1))
+    else if (args.headOption.contains("eval2")) eval2Tier(args.drop(1))
     else graphTier(args)
+
+  /** Round-9/10 operators above contract scale (round-9 verdict item 5 +
+    * the round-10 additions): passAtK and selfConsistency at 10×/100×
+    * SAMPLE volume (fixed 200-problem universe — the claim is "samples
+    * reduce ONCE to per-problem counts", so everything after the first
+    * partial agg is problem-sized), the corpus rollups
+    * (corpusBleu/chrf/rougeN) at 10×/100× pairs (the reduce is free, the
+    * component pipeline is the cost — the probe verifies the composition
+    * stays component-shaped), passAtKRollup over the grown sample volume,
+    * bertScore at 10×/100× unit-pair volume (fixed units/pair, pairs
+    * grow), and distinctN at 10×/100× gram volume.
+    *
+    *   sbt "runMain graft.ScaleProbe eval2 [sfDir] [extraM]"
+    */
+  def eval2Tier(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val spark = session()
+    val off = lit(1000000000L)
+    def salts(m: Int) = spark.range(m.toLong).select(col("id").as("salt"))
+
+    val d0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    def docsAt(m: Int) = d0.crossJoin(salts(m))
+      .select((col("doc_id") + col("salt") * off).as("doc_id"), col("text"))
+    def pairsOf(df: DataFrame): DataFrame = {
+      val a = df.select(col("doc_id"), col("text"))
+      val b = df.select((col("doc_id") - 1L).as("doc_id"),
+        col("text").as("__next"))
+      a.join(b, "doc_id").select(col("doc_id").as("pair_id"),
+        col("text").as("cand"), col("__next").as("ref"))
+        .repartition(spark.sparkContext.defaultParallelism, col("pair_id"))
+    }
+    // sample volume axis: rows replicate per salt (fixed problem/answer
+    // universe — the cardinality the per-problem state is sized by)
+    val e0 = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"))
+    def samplesAt(m: Int) = e0.crossJoin(salts(m))
+      .select((col("event_id") % 200).as("problem"),
+        (col("event_id") % 7 < 2).as("passed"),
+        ((col("event_id") * 3 + col("user_id")) % 7).as("answer"))
+    // unit-pair volume axis: ~10 cand + ~10 ref int8 units per pair,
+    // pair count grows with the salt copies (disjoint pair id spaces)
+    val v0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+    def unitsAt(m: Int) = {
+      val codes = graft.ops.Similarity.quantizeInt8(v0.crossJoin(salts(m))
+        .select((col("id") + col("salt") * off).as("id"), col("vec")))
+        .select(col("id"), col("codes").cast("array<double>").as("vec"))
+      codes.select(call_function("div", col("id"), lit(20L)).as("pair_id"),
+        col("id").as("unit_id"), col("vec"))
+    }
+
+    def persisted(df: DataFrame): DataFrame = { val p = df.persist(); p.count(); p }
+    val (docs1, docs10) = (persisted(docsAt(1)), persisted(docsAt(10)))
+    val (s1, s10) = (persisted(samplesAt(1)), persisted(samplesAt(10)))
+    val (u1, u10) = (persisted(unitsAt(1)), persisted(unitsAt(10)))
+    println(s"docs 1x=${docs1.count()} 10x=${docs10.count()}; " +
+      s"samples 1x=${s1.count()} 10x=${s10.count()}; " +
+      s"units 1x=${u1.count()} 10x=${u10.count()} ($sfDir)")
+
+    // same shuffle-sizing discipline as evalTier: gram/unit-volume legs
+    // size partitions with the data, metadata-exchange legs keep 32
+    def sized(m: Int): Int = 32 * m
+    def run(name: String, d1: DataFrame, d10: DataFrame,
+        f: DataFrame => DataFrame, scaleParts: Boolean = false): Unit = {
+      def time(df: DataFrame, m: Int): Double = {
+        spark.conf.set("spark.sql.shuffle.partitions",
+          if (scaleParts) sized(m) else 32)
+        try { val t0 = System.nanoTime(); f(df).count()
+          (System.nanoTime() - t0) / 1e9
+        } finally spark.conf.set("spark.sql.shuffle.partitions", 32)
+      }
+      time(d1, 1) // warm-up
+      val t1 = time(d1, 1)
+      val t10 = time(d10, 10)
+      println(f"$name%-18s 1x=${t1}%.2fs 10x=${t10}%.2fs ratio=${t10 / t1}%.2f")
+    }
+
+    val em = graft.ops.EvalMetrics
+    run("passAtK", s1, s10,
+      df => em.passAtK(df, "problem", "passed", ks = Seq(1, 5, 10)))
+    run("passAtKRollup", s1, s10,
+      df => em.passAtKRollup(em.passAtK(df, "problem", "passed", ks = Seq(1, 5, 10))))
+    run("selfConsistency", s1, s10,
+      df => em.selfConsistency(df, "problem", "answer"))
+    run("corpusBleu", docs1, docs10,
+      df => em.corpusBleu(em.bleuComponents(pairsOf(df), "pair_id", "cand", "ref")),
+      scaleParts = true)
+    run("corpusChrf", docs1, docs10,
+      df => em.corpusChrf(em.chrF(pairsOf(df), "pair_id", "cand", "ref",
+        maxN = 3, maxChars = 500)), scaleParts = true)
+    run("corpusRougeN", docs1, docs10,
+      df => em.corpusRougeN(em.rougeN(pairsOf(df), "pair_id", "cand", "ref",
+        maxN = 2)), scaleParts = true)
+    run("bertScore", u1, u10,
+      df => em.bertScore(df.where(col("unit_id") % 2 === 0),
+        df.where(col("unit_id") % 2 === 1), "pair_id", "unit_id", "vec"),
+      scaleParts = true)
+    run("distinctN", docs1, docs10,
+      df => em.distinctN(df, "text", maxN = 2), scaleParts = true)
+
+    // optional second arg: the non-quadratic trend check one decade up
+    args.lift(1).map(_.toInt).foreach { m =>
+      val docsM = persisted(docsAt(m))
+      val sM = persisted(samplesAt(m))
+      val uM = persisted(unitsAt(m))
+      println(s"docs ${m}x=${docsM.count()} samples ${m}x=${sM.count()} " +
+        s"units ${m}x=${uM.count()}")
+      def timeM(name: String, f: => DataFrame, scaleParts: Boolean = false): Unit = {
+        spark.conf.set("spark.sql.shuffle.partitions",
+          if (scaleParts) sized(m) else 32)
+        try { val t0 = System.nanoTime(); f.count()
+          println(f"$name%-18s ${m}x=${(System.nanoTime() - t0) / 1e9}%.2fs")
+        } finally spark.conf.set("spark.sql.shuffle.partitions", 32)
+      }
+      timeM("passAtK", em.passAtK(sM, "problem", "passed", ks = Seq(1, 5, 10)))
+      timeM("passAtKRollup", em.passAtKRollup(
+        em.passAtK(sM, "problem", "passed", ks = Seq(1, 5, 10))))
+      timeM("selfConsistency", em.selfConsistency(sM, "problem", "answer"))
+      timeM("corpusBleu", em.corpusBleu(
+        em.bleuComponents(pairsOf(docsM), "pair_id", "cand", "ref")),
+        scaleParts = true)
+      timeM("corpusChrf", em.corpusChrf(em.chrF(pairsOf(docsM),
+        "pair_id", "cand", "ref", maxN = 3, maxChars = 500)), scaleParts = true)
+      timeM("corpusRougeN", em.corpusRougeN(em.rougeN(pairsOf(docsM),
+        "pair_id", "cand", "ref", maxN = 2)), scaleParts = true)
+      timeM("bertScore", em.bertScore(uM.where(col("unit_id") % 2 === 0),
+        uM.where(col("unit_id") % 2 === 1), "pair_id", "unit_id", "vec"),
+        scaleParts = true)
+      timeM("distinctN", em.distinctN(docsM, "text", maxN = 2), scaleParts = true)
+    }
+    spark.stop()
+  }
 
   /** Round-8 operators above contract scale (round-8 verdict item): the
     * eval-metric family's char-gram leg (chrF — ~5× the word-gram

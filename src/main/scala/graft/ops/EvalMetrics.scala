@@ -189,6 +189,92 @@ object EvalMetrics {
       .withColumn("__geo", Curation.isqrtExact(col("__sq1")))
   }
 
+  /** Row-local BLEU components: the same integer-exact wide row as
+    * [[bleuComponents]] — identical columns, identical values on
+    * identical inputs (the law EvalMetricsSpec asserts) — computed
+    * entirely WITHIN each row instead of through the (pair, n, gram)
+    * shuffle. Exists for the streaming twin: Structured Streaming allows
+    * ONE aggregate, and the distributed clip is itself an aggregate, so
+    * a windowed corpus-BLEU monitor needs the clip row-local (stateless)
+    * with the window pool as the single legal aggregate. Batch callers
+    * should prefer [[bleuComponents]]: the shuffle form scales to
+    * unbounded texts, while this form is O(maxTokens²) per row — which
+    * is exactly why `maxTokens` truncates BOTH sides first (the TER /
+    * ROUGE-L bounded-DP discipline; truncation is part of the metric's
+    * contract here, so compare like with like).
+    *
+    * Clip per n without the shuffle: fold over the DISTINCT candidate
+    * grams, adding min(candidate count, reference count) — occurrence
+    * counts via size∘filter over the (bounded) gram arrays. Gram arrays
+    * stage through columns so the fold's lambdas touch only attributes
+    * (the HOF no-hoisting gotcha: an inlined gram-builder would
+    * re-evaluate per element).
+    */
+  def bleuComponentsRowLocal(pairs: DataFrame, pairIdCol: String,
+      candCol: String, refCol: String, maxTokens: Int = 64): DataFrame = {
+    require(maxTokens >= 4 && maxTokens <= 256,
+      "maxTokens must be in [4, 256] (the row-local clip is maxTokens^2)")
+    val staged = withRowLocalBleuComponents(
+      pairs.select(col(pairIdCol).as("pair_id"), col(candCol).as("__c"),
+        col(refCol).as("__r")), "__c", "__r", maxTokens)
+    stagedGeo(staged).select(col("pair_id") +:
+      col("cand_len") +: col("ref_len") +:
+      (1 to 4).flatMap(n => Seq(col(s"matches_$n"), col(s"total_$n"))) :+
+      col("__geo").as("precision_geo_permille"): _*)
+  }
+
+  /** Appends the row-local BLEU component columns (cand_len, ref_len,
+    * matches_n / total_n for n = 1..4) to `df`, preserving its other
+    * columns — the kernel [[bleuComponentsRowLocal]] and the streaming
+    * corpus monitor share.
+    */
+  private[graft] def withRowLocalBleuComponents(df: DataFrame,
+      candCol: String, refCol: String, maxTokens: Int): DataFrame = {
+    def cnt(arr: Column, g: Column): Column =
+      size(filter(arr, x => x === g)).cast("long")
+    var out = df
+      .withColumn("__ct", slice(toks(col(candCol)), 1, maxTokens))
+      .withColumn("__rt", slice(toks(col(refCol)), 1, maxTokens))
+    for (n <- 1 to 4) {
+      out = out
+        .withColumn(s"__cg$n", wordGrams(col("__ct"), lit(n.toLong)))
+        .withColumn(s"__rg$n", wordGrams(col("__rt"), lit(n.toLong)))
+        .withColumn(s"matches_$n",
+          aggregate(array_distinct(col(s"__cg$n")), lit(0L),
+            (acc, g) => acc +
+              least(cnt(col(s"__cg$n"), g), cnt(col(s"__rg$n"), g))))
+        .withColumn(s"total_$n", size(col(s"__cg$n")).cast("long"))
+        .drop(s"__cg$n", s"__rg$n")
+    }
+    out
+      .withColumn("cand_len", size(col("__ct")).cast("long"))
+      .withColumn("ref_len", size(col("__rt")).cast("long"))
+      .drop("__ct", "__rt")
+  }
+
+  /** [[corpusBleu]] generalized to a grouping (empty = the global one-row
+    * reduce; the streaming twin pools per window column) — one shared
+    * aggregate list + the staged isqrt tail, so the batch and windowed
+    * corpus numbers cannot drift.
+    */
+  private[graft] def corpusBleuOver(components: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val aggs = Seq(
+      count(lit(1)).as("n_pairs"),
+      coalesce(sum(col("cand_len")), lit(0L)).as("cand_tokens"),
+      coalesce(sum(col("ref_len")), lit(0L)).as("ref_tokens")) ++
+      (1 to 4).flatMap(n => Seq(
+        coalesce(sum(col(s"matches_$n")), lit(0L)).as(s"matches_$n"),
+        coalesce(sum(col(s"total_$n")), lit(0L)).as(s"total_$n")))
+    val grouped =
+      if (keyCols.isEmpty) components.agg(aggs.head, aggs.tail: _*)
+      else components.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    stagedGeo(grouped).select(keyCols.map(col) ++
+      (col("n_pairs") +: col("cand_tokens") +: col("ref_tokens") +:
+        (1 to 4).flatMap(n => Seq(col(s"matches_$n"), col(s"total_$n")))) :+
+      col("__geo").as("precision_geo_permille"): _*)
+  }
+
   /** Corpus-level BLEU over a [[bleuComponents]] output frame — the
     * number papers report: components SUM across pairs first, the
     * geometric mean applies to the pooled modified precisions (Papineni
@@ -203,20 +289,8 @@ object EvalMetrics {
     * the pooled total for any n is 0 — an all-too-short corpus has no
     * defined BLEU).
     */
-  def corpusBleu(components: DataFrame): DataFrame = {
-    val aggs = Seq(
-      count(lit(1)).as("n_pairs"),
-      coalesce(sum(col("cand_len")), lit(0L)).as("cand_tokens"),
-      coalesce(sum(col("ref_len")), lit(0L)).as("ref_tokens")) ++
-      (1 to 4).flatMap(n => Seq(
-        coalesce(sum(col(s"matches_$n")), lit(0L)).as(s"matches_$n"),
-        coalesce(sum(col(s"total_$n")), lit(0L)).as(s"total_$n")))
-    val wide = components.agg(aggs.head, aggs.tail: _*)
-    stagedGeo(wide).select(
-      col("n_pairs") +: col("cand_tokens") +: col("ref_tokens") +:
-        (1 to 4).flatMap(n => Seq(col(s"matches_$n"), col(s"total_$n"))) :+
-        col("__geo").as("precision_geo_permille"): _*)
-  }
+  def corpusBleu(components: DataFrame): DataFrame =
+    corpusBleuOver(components, Seq.empty)
 
   /** ROUGE-L per pair (Lin 2004's LCS variant — the most-reported ROUGE):
     * longest common token SUBSEQUENCE between candidate and reference,

@@ -214,6 +214,11 @@ object RowLocal {
         df.select(col("doc_id").as("pair_id"), col("text").as("cand"),
           substring(col("text"), 1, 30).as("ref")),
         "pair_id", "cand", "ref", maxTokens = 10)),
+    T("EvalMetrics.bleuComponentsRowLocal")(df =>
+      ops.EvalMetrics.bleuComponentsRowLocal(
+        df.select(col("doc_id").as("pair_id"), col("text").as("cand"),
+          substring(col("text"), 1, 30).as("ref")),
+        "pair_id", "cand", "ref", maxTokens = 10)),
     // ---- vectors ----------------------------------------------------------
     T("Similarity.quantizeInt8")(df =>
       ops.Similarity.quantizeInt8(df.select(col("doc_id").as("id"), col("vec")))),
@@ -301,6 +306,8 @@ object RowLocal {
     "EvalMetrics.selfBleuPairs" -> "corpus ring rank (bucket-offset, driver-read counts) + position equi-join",
     "EvalMetrics.selfBleu" -> "selfBleuPairs composition (ring rank + join) feeding the gram aggregates",
     "EvalMetrics.corpusBleu" -> "corpus-level one-row component reduce (micro-average pooling)",
+    "EvalMetrics.withRowLocalBleuComponents" -> "private[graft] helper (row-local clip kernel shared by bleuComponentsRowLocal and the streaming corpus-BLEU twin)",
+    "EvalMetrics.corpusBleuOver" -> "private[graft] helper (shared pool+root tail for the global and windowed corpus BLEU)",
     "EvalMetrics.corpusChrf" -> "corpus-level per-n component reduce (micro-average pooling)",
     "EvalMetrics.corpusRougeN" -> "corpus-level per-n component reduce (micro-average pooling)",
     "EvalMetrics.passAtKRollup" -> "per-k mean over problem-sized aggregate rows",

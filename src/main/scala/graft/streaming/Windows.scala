@@ -502,6 +502,51 @@ object Windows {
           .as("majority_permille"))
   }
 
+  /** Streaming corpus-BLEU monitor: per tumbling window, the pooled BLEU
+    * components and micro-average geo precision of the window's
+    * (candidate, reference) pairs — the live translation/generation
+    * quality dashboard ("did the new model's BLEU slide?") window by
+    * window instead of at the next offline sweep.
+    *
+    * Streaming-legal shape: the distributed clip
+    * ([[graft.ops.EvalMetrics.ngramOverlap]]'s (pair, n, gram) aggregate)
+    * is itself an aggregate, and the window pool would be a second — so
+    * the clip runs ROW-LOCALLY
+    * ([[graft.ops.EvalMetrics.withRowLocalBleuComponents]], O(maxTokens²)
+    * per row with truncation BEFORE the fold) and the window pool is the
+    * ONE windowed aggregate; the staged isqrt geo is a stateless
+    * projection over finalized rows. The pool and root arithmetic are
+    * the batch [[graft.ops.EvalMetrics.corpusBleu]]'s own
+    * (corpusBleuOver — one shared fragment), so the live number equals
+    * the batch number over the same closed window (the StreamingSpec
+    * parity law), modulo the maxTokens truncation this twin's row-local
+    * clip imposes on both sides. State is windows × 11 longs, bounded by
+    * the watermark.
+    *
+    * Output: (window_start, window_end, n_pairs, cand_tokens, ref_tokens,
+    * matches_n / total_n for n = 1..4, precision_geo_permille).
+    */
+  def streamingCorpusBleu(df: DataFrame, tsCol: String, candCol: String,
+      refCol: String, windowDuration: String, maxTokens: Int = 64,
+      watermark: String = "10 minutes"): DataFrame = {
+    require(maxTokens >= 4 && maxTokens <= 256,
+      "maxTokens must be in [4, 256] (the row-local clip is maxTokens^2)")
+    // rename FIRST, watermark on the renamed column (watermark metadata
+    // rides the attribute — tag the exact attribute the window reads)
+    val base = df.select(col(tsCol).as("__ts"), col(candCol).as("__cand"),
+      col(refCol).as("__ref"))
+    val src = if (df.isStreaming) base.withWatermark("__ts", watermark) else base
+    val comp = graft.ops.EvalMetrics.withRowLocalBleuComponents(
+      src, "__cand", "__ref", maxTokens)
+      .withColumn("__w", window(col("__ts"), windowDuration))
+    graft.ops.EvalMetrics.corpusBleuOver(comp, Seq("__w"))
+      .select(col("__w.start").as("window_start") +:
+        col("__w.end").as("window_end") +:
+        col("n_pairs") +: col("cand_tokens") +: col("ref_tokens") +:
+        (1 to 4).flatMap(n => Seq(col(s"matches_$n"), col(s"total_$n"))) :+
+        col("precision_geo_permille"): _*)
+  }
+
   final case class RollEvent(key: String, ts: java.sql.Timestamp, value: Long)
   final case class RollBuf(entries: List[(Long, Long)])
   final case class RollOutput(key: String, ts: java.sql.Timestamp, value: Long,

@@ -351,6 +351,182 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(out.getLong(out.fieldIndex("ter_permille")) == 666L)
   }
 
+  test("bleuComponentsRowLocal == bleuComponents (law: the row-local clip IS the distributed clip)") {
+    val pairs = Seq(
+      (1L, "the cat the cat", "the cat sat on the mat"),
+      (2L, "a b c d", "a b c d"),
+      (3L, "", "x y"),
+      (4L, "a a a a a", "a a b"), // clip: 5 candidate 'a's score 2
+      (5L, "p q r s t u v w", "q p r s x t u v"),
+      (6L, "one two", "three")) // no overlap, short both sides
+      .toDF("pair_id", "cand", "ref")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val dist = EvalMetrics.bleuComponents(pairs, "pair_id", "cand", "ref")
+    val local = EvalMetrics.bleuComponentsRowLocal(pairs, "pair_id", "cand", "ref",
+      maxTokens = 16) // texts <= 16 tokens: truncation is a no-op
+    assert(local.columns.toSeq == dist.columns.toSeq)
+    assert(rows(local).toSeq == rows(dist).toSeq)
+  }
+
+  test("corpusChrf: per-n pooled components, beta=2 F on the pooled grid") {
+    val pairs = Seq(
+      (1L, "ab", "ab"), // n1: 2/2/2, n2: 1/1/1
+      (2L, "abc", "ab")) // n1: m2 t3 r2, n2: m1 t2 r1
+      .toDF("pair_id", "cand", "ref")
+    val out = EvalMetrics.corpusChrf(
+      EvalMetrics.chrF(pairs, "pair_id", "cand", "ref", maxN = 2))
+      .collect().map(r => r.getLong(r.fieldIndex("n")) -> r).toMap
+    val n1 = out(1L)
+    assert(n1.getLong(n1.fieldIndex("n_pairs")) == 2L)
+    assert(n1.getLong(n1.fieldIndex("matches")) == 4L)
+    assert(n1.getLong(n1.fieldIndex("cand_total")) == 5L)
+    assert(n1.getLong(n1.fieldIndex("ref_total")) == 4L)
+    assert(n1.getLong(n1.fieldIndex("precision_permille")) == 800L)
+    assert(n1.getLong(n1.fieldIndex("recall_permille")) == 1000L)
+    assert(n1.getLong(n1.fieldIndex("f1_permille")) == 888L)
+    // F2 = 5*800*1000 div (4*800 + 1000) = 4000000 div 4200
+    assert(n1.getLong(n1.fieldIndex("f2_permille")) == 952L)
+    val n2 = out(2L)
+    assert(n2.getLong(n2.fieldIndex("matches")) == 2L)
+    assert(n2.getLong(n2.fieldIndex("cand_total")) == 3L)
+    assert(n2.getLong(n2.fieldIndex("ref_total")) == 2L)
+    assert(n2.getLong(n2.fieldIndex("precision_permille")) == 666L)
+    assert(n2.getLong(n2.fieldIndex("recall_permille")) == 1000L)
+    assert(n2.getLong(n2.fieldIndex("f2_permille")) == 908L)
+  }
+
+  test("corpusRougeN: pooled clipped matches per n (micro-average law)") {
+    val pairs = Seq(
+      (1L, "a b", "a b"),
+      (2L, "a", "a b"))
+      .toDF("pair_id", "cand", "ref")
+    val out = EvalMetrics.corpusRougeN(
+      EvalMetrics.rougeN(pairs, "pair_id", "cand", "ref", maxN = 1))
+      .collect()
+    assert(out.length == 1)
+    val n1 = out.head
+    assert(n1.getLong(n1.fieldIndex("n_pairs")) == 2L)
+    assert(n1.getLong(n1.fieldIndex("matches")) == 3L)
+    assert(n1.getLong(n1.fieldIndex("cand_total")) == 3L)
+    assert(n1.getLong(n1.fieldIndex("ref_total")) == 4L)
+    assert(n1.getLong(n1.fieldIndex("precision_permille")) == 1000L)
+    assert(n1.getLong(n1.fieldIndex("recall_permille")) == 750L)
+    assert(n1.getLong(n1.fieldIndex("f1_permille")) == 857L)
+  }
+
+  test("passAtKRollup: per-k means, the pass^k dual, and k>n thinning") {
+    // p1: n=3 c=1; p2: n=2 c=2
+    val rows = Seq((1L, true), (1L, false), (1L, false), (2L, true), (2L, true))
+      .toDF("problem", "passed")
+    val out = EvalMetrics.passAtKRollup(
+      EvalMetrics.passAtK(rows, "problem", "passed", ks = Seq(1, 3)))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val k1 = out(1L)
+    assert(k1.getLong(k1.fieldIndex("n_problems")) == 2L)
+    // p1 pass@1 = 1e6 - floor(2e6/3) = 333334; p2 = 1e6; mean = 666667
+    assert(k1.getLong(k1.fieldIndex("mean_pass_at_k_micro")) == 666667L)
+    // pass^1: p1 floor(1e6/3) = 333333; p2 = 1e6; mean = 666666
+    assert(k1.getLong(k1.fieldIndex("mean_pass_all_k_micro")) == 666666L)
+    val k3 = out(3L)
+    // p2 has n=2 < k=3: undefined, drops from the mean — visibly
+    assert(k3.getLong(k3.fieldIndex("n_problems")) == 1L)
+    // p1 pass@3: some draw of 3 from 3 must contain the pass -> exactly 1e6
+    assert(k3.getLong(k3.fieldIndex("mean_pass_at_k_micro")) == 1000000L)
+    // p1 pass^3: c=1 < k=3 -> a zero factor pins the fold to 0
+    assert(k3.getLong(k3.fieldIndex("mean_pass_all_k_micro")) == 0L)
+  }
+
+  test("passAtKRollup law: means match exact rational means within k+1 micro-units") {
+    val rnd = new scala.util.Random(11)
+    val cases = (1 to 40).map { i =>
+      val n = 1 + rnd.nextInt(20); val c = rnd.nextInt(n + 1); (i, n, c)
+    }
+    val rows = cases.flatMap { case (p, n, c) =>
+      Seq.fill(c)((p.toLong, true)) ++ Seq.fill(n - c)((p.toLong, false))
+    }
+    val ks = Seq(1, 4, 9)
+    val out = EvalMetrics.passAtKRollup(
+      EvalMetrics.passAtK(rows.toDF("problem", "passed"), "problem", "passed", ks))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def comb(a: Int, b: Int): BigInt =
+      if (b < 0 || b > a) BigInt(0)
+      else (0 until b).map(i => BigInt(a - i)).product / (1 to b).map(BigInt(_)).product
+    for (k <- ks) {
+      val defined = cases.filter { case (_, n, _) => k <= n }
+      val r = out(k.toLong)
+      assert(r.getLong(r.fieldIndex("n_problems")) == defined.size.toLong)
+      // each per-problem fold sits within k micro-units of the exact
+      // rational; the mean inherits that, plus one more floor at the div
+      val exactAtK = defined.map { case (_, n, c) =>
+        BigInt(1000000) - BigInt(1000000) * comb(n - c, k) / comb(n, k)
+      }.sum / defined.size
+      val gotAtK = BigInt(r.getLong(r.fieldIndex("mean_pass_at_k_micro")))
+      assert((gotAtK - exactAtK).abs <= k + 1,
+        s"k=$k pass@k mean got=$gotAtK exact~$exactAtK")
+      val exactAllK = defined.map { case (_, n, c) =>
+        BigInt(1000000) * comb(c, k) / comb(n, k)
+      }.sum / defined.size
+      val gotAllK = BigInt(r.getLong(r.fieldIndex("mean_pass_all_k_micro")))
+      assert((gotAllK - exactAllK).abs <= k + 1,
+        s"k=$k pass^k mean got=$gotAllK exact~$exactAllK")
+    }
+  }
+
+  test("bertScore: per-unit max matching, integer means, signed-F1 guard") {
+    // pair 1: cand {[1,0],[0,2]}, ref {[2,0],[1,1]} — hand-traced dots;
+    // pair 2: one negative-dot unit each side -> F1 undefined (NULL);
+    // pair 3: candidate side only -> no defined matching, no row
+    val cand = Seq(
+      (1L, 0L, Seq(1.0, 0.0)), (1L, 2L, Seq(0.0, 2.0)),
+      (2L, 0L, Seq(-1.0, 0.0)),
+      (3L, 0L, Seq(1.0, 1.0)))
+      .toDF("pair_id", "unit_id", "vec")
+    val ref = Seq(
+      (1L, 1L, Seq(2.0, 0.0)), (1L, 3L, Seq(1.0, 1.0)),
+      (2L, 1L, Seq(1.0, 0.0)))
+      .toDF("pair_id", "unit_id", "vec")
+    val out = EvalMetrics.bertScore(cand, ref, "pair_id", "unit_id", "vec")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    val p1 = out(1L)
+    assert(p1.getLong(p1.fieldIndex("n_cand")) == 2L)
+    assert(p1.getLong(p1.fieldIndex("n_ref")) == 2L)
+    // ref [2,0]: best dot = 2 (vs [1,0]); ref [1,1]: best = 2 (vs [0,2])
+    assert(p1.getLong(p1.fieldIndex("recall_sum")) == 4L)
+    // cand [1,0]: best = 2; cand [0,2]: best = 2
+    assert(p1.getLong(p1.fieldIndex("precision_sum")) == 4L)
+    assert(p1.getLong(p1.fieldIndex("recall_mean")) == 2L)
+    assert(p1.getLong(p1.fieldIndex("precision_mean")) == 2L)
+    assert(p1.getLong(p1.fieldIndex("f1")) == 2L)
+    val p2 = out(2L)
+    assert(p2.getLong(p2.fieldIndex("precision_mean")) == -1L)
+    assert(p2.isNullAt(p2.fieldIndex("f1")), "signed means have no harmonic F1")
+  }
+
+  test("distinctN: corpus-level distinct share per n") {
+    val docs = Seq("a b a", "b c").toDF("text")
+    val out = EvalMetrics.distinctN(docs, "text", maxN = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val n1 = out(1L)
+    assert(n1.getLong(n1.fieldIndex("total_grams")) == 5L)
+    assert(n1.getLong(n1.fieldIndex("distinct_grams")) == 3L)
+    assert(n1.getLong(n1.fieldIndex("distinct_permille")) == 600L)
+    val n2 = out(2L)
+    assert(n2.getLong(n2.fieldIndex("total_grams")) == 3L)
+    assert(n2.getLong(n2.fieldIndex("distinct_grams")) == 3L)
+    assert(n2.getLong(n2.fieldIndex("distinct_permille")) == 1000L)
+  }
+
+  test("selfBleuPairs: duplicate ids are rejected eagerly (derangement precondition)") {
+    val docs = Seq((1L, "a b"), (1L, "c d"), (2L, "e f"))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      EvalMetrics.selfBleuPairs(docs, "text", "doc_id", peers = 1)
+    }
+    assert(ex.getMessage.contains("unique"), ex.getMessage)
+  }
+
   test("mmrSelect: lambda=1 degenerates to exact top-k (law)") {
     val corpus = Seq(
       (1L, vec(1.0, 0.0)), (2L, vec(0.9, 0.1)), (3L, vec(0.0, 1.0)),

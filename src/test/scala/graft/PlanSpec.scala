@@ -255,6 +255,55 @@ class PlanSpec extends AnyFunSuite {
       s"corpus TER pooling needs map-side partials:\n${planOf(ct).take(2500)}")
   }
 
+  test("corpus chrF/ROUGE-N and the pass@k rollup pool through partial aggregates") {
+    // same regression class as the BLEU/TER pin: the per-n (or per-k)
+    // reduce must combine map-side, never funnel component rows to one task
+    for (name <- Seq("ns_corpus_chrf", "ns_corpus_rouge_n", "ns_passk_rollup")) {
+      val plan = planOf(EntriesCuration.queries(name)(spark, sf))
+      assert(plan.contains("partial_"),
+        s"$name pooling needs map-side partials:\n${plan.take(2500)}")
+    }
+  }
+
+  test("self-BLEU: the pre-amplification pair-keyed exchange survives between ring join and gram generator") {
+    // the 9.0 -> 2.2 s fix is an explicit repartition(N, pair_id) inside
+    // selfBleu — explicit numPartitions is exempt from AQE coalescing,
+    // but nothing else stops a refactor (or an optimizer change) from
+    // dropping it and running the ~10^3x gram explode on the handful of
+    // partitions the small ring-join output coalesces to. Pin the
+    // exchange's presence, its REPARTITION_BY_NUM origin (the AQE
+    // exemption), and its position: downstream of the ring position
+    // join, upstream of the gram Generate chain.
+    val plan = planOf(EntriesCuration.queries("ns_self_bleu")(spark, sf))
+    val ex = "Exchange hashpartitioning\\(pair_id#\\d+L?, \\d+\\), REPARTITION_BY_NUM".r
+      .findFirstMatchIn(plan)
+    assert(ex.isDefined,
+      s"explicit pair_id repartition (REPARTITION_BY_NUM) missing:\n${plan.take(3000)}")
+    // tree prints root-first: the gram Generate (consumer) must sit ABOVE
+    // the exchange, the ring position join (producer) BELOW it
+    val genIdx = plan.indexOf("Generate explode")
+    assert(genIdx >= 0 && genIdx < ex.get.start,
+      s"gram generator must consume the pair-keyed exchange:\n${plan.take(3000)}")
+    assert(plan.indexOf("__sb_ppos", ex.get.start) > 0,
+      s"ring position join must feed the pair-keyed exchange:\n${plan.take(3000)}")
+  }
+
+  test("BERTScore: the unit-pair join is pair-keyed, never a cross product") {
+    // the operator's scale contract: per-pair |cand|x|ref| cost via an
+    // equi-join on pair_id — a missing/renamed join key would silently
+    // plan a cartesian over the whole unit corpus
+    val q = EntriesCuration.queries("ns_bertscore")(spark, sf)
+    val plan = planOf(q)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"unit-pair join degenerated to a product:\n${plan.take(3000)}")
+    assert(plan.contains("pair_id"),
+      s"join must key on pair_id:\n${plan.take(3000)}")
+    // both max-matching directions reduce map-side
+    assert(plan.contains("partial_max"),
+      s"per-unit max must combine map-side:\n${plan.take(3000)}")
+  }
+
   test("self-BLEU: ring join stays position-keyed; count() cannot skip the gram pipeline") {
     val q = EntriesCuration.queries("ns_self_bleu")(spark, sf)
     val plan = planOf(q)

@@ -485,6 +485,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingCorpusBleu: windowed pool over a memory stream == batch corpusBleu per window") {
+    val input = MemoryStream[(java.sql.Timestamp, String, String)](spark, 53)
+    val df = input.toDF().toDF("ts", "cand", "ref")
+    val agg = Windows.streamingCorpusBleu(df, "ts", "cand", "ref",
+      windowDuration = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("sbleu")
+      .outputMode("complete").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      // window A: an identity pair + a clip-exercising pair;
+      // window B: one short pair (no 4-grams -> pooled geo NULL)
+      val winA = Seq(
+        ("a b c d e", "a b c d e"),
+        ("the cat the cat x", "the cat sat on the mat"))
+      val winB = Seq(("x y", "x y"))
+      input.addData(winA.map { case (c, r) => (ts(1), c, r) } ++
+        winB.map { case (c, r) => (ts(11), c, r) }: _*)
+      q.processAllAvailable()
+      def shape(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+        (r.getAs[java.sql.Timestamp](0).toString, r.toSeq.drop(2))).toMap
+      val got = shape(spark.table("sbleu").collect())
+      assert(got.keySet ==
+        Set("2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0"))
+      // each window equals the BATCH corpus number over its pairs
+      // (truncation is a no-op at these lengths, so the distributed
+      // kernel is the comparable oracle)
+      def batchCorpus(pairs: Seq[(String, String)]) =
+        graft.ops.EvalMetrics.corpusBleu(graft.ops.EvalMetrics.bleuComponents(
+          pairs.zipWithIndex.map { case ((c, r), i) => (i.toLong, c, r) }
+            .toDF("pair_id", "cand", "ref"),
+          "pair_id", "cand", "ref")).collect().head.toSeq
+      assert(got("2024-01-01 10:00:00.0") == batchCorpus(winA))
+      assert(got("2024-01-01 10:10:00.0") == batchCorpus(winB))
+      // pooled geo for window B is NULL (no 4-grams anywhere)
+      assert(got("2024-01-01 10:10:00.0").last == null)
+      // batch-mode run of the same code path agrees row-for-row
+      val batchTwin = shape(Windows.streamingCorpusBleu(
+        (winA.map { case (c, r) => (ts(1), c, r) } ++
+          winB.map { case (c, r) => (ts(11), c, r) })
+          .toDF("ts", "cand", "ref"),
+        "ts", "cand", "ref", windowDuration = "10 minutes").collect())
+      assert(batchTwin == got)
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over a memory stream") {
     val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark, 1)
     val df = input.toDF().toDF("ts", "key", "v")
