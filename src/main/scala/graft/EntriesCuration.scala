@@ -143,6 +143,34 @@ private[graft] object EntriesCuration {
       // distinct word n-grams over total, whole corpus, per n
       graft.ops.EvalMetrics.distinctN(
         t(s, dir, "documents").select(col("text")), "text", maxN = 2)),
+    "ns_ngram_novelty" -> ((s, dir) => {
+      // RAVEN-style memorization audit: every 10th document plays the
+      // "generated" side, the rest are the reference corpus — per doc
+      // and n, the share of n-gram instances absent from the reference
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.ops.EvalMetrics.ngramNovelty(
+        docs.where(col("doc_id") % 10 === 0), "text", "doc_id",
+        docs.where(col("doc_id") % 10 =!= 0), "text", maxN = 2)
+    }),
+    "ns_corpus_novelty" -> ((s, dir) => {
+      // the quotable rollup ("x permille of emitted bigrams are new");
+      // oracle DERIVED from ns_ngram_novelty's (SparkEntry.oracleSql)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.ops.EvalMetrics.corpusNovelty(
+        graft.ops.EvalMetrics.ngramNovelty(
+          docs.where(col("doc_id") % 10 === 0), "text", "doc_id",
+          docs.where(col("doc_id") % 10 =!= 0), "text", maxN = 2))
+    }),
+    "ns_corpus_self_bleu" -> ((s, dir) =>
+      // corpus self-BLEU — the diversity number Zhu-2018 actually quotes
+      // (pooled over the ring pairs, not a pair mean); oracle DERIVED
+      // from ns_self_bleu's via the shared corpus pool fragment
+      graft.ops.EvalMetrics.corpusBleu(
+        graft.ops.EvalMetrics.selfBleu(
+          t(s, dir, "documents").select(col("doc_id"),
+            concat_ws(" ",
+              slice(split(lower(trim(col("text"))), "\\s+"), 1, 40)).as("text")),
+          "text", "doc_id", peers = 2, seed = "graft-selfbleu"))),
     "ns_bradley_terry" -> ((s, dir) =>
       // global leaderboard strength over the same judgment stream the
       // Copeland gate ranks: 3 MM rounds in micro-units, max-norm per
@@ -790,6 +818,32 @@ private[graft] object EntriesCuration {
         |  CAST(count(*) AS BIGINT) AS distinct_grams,
         |  (CAST(count(*) AS BIGINT) * 1000) // CAST(sum(cnt) AS BIGINT) AS distinct_permille
         |FROM c GROUP BY n""".stripMargin,
+    "ns_ngram_novelty" ->
+      // reference dedups ONCE to its distinct (n, gram) set; DuckDB's
+      // native ANTI JOIN is the novel-instance filter
+      """WITH gen AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+        |                x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |rf AS (SELECT
+        |    list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+        |                x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |gns AS (SELECT doc_id, t, CAST(unnest([1, 2]) AS BIGINT) AS n FROM gen),
+        |gg AS (SELECT doc_id, n, unnest(list_transform(range(1, len(t) - n + 2),
+        |        i -> array_to_string(list_slice(t, i, i + n - 1), ' '))) AS gram FROM gns),
+        |rns AS (SELECT t, CAST(unnest([1, 2]) AS BIGINT) AS n FROM rf),
+        |rgd AS (SELECT DISTINCT n, gram FROM
+        |    (SELECT n, unnest(list_transform(range(1, len(t) - n + 2),
+        |       i -> array_to_string(list_slice(t, i, i + n - 1), ' '))) AS gram FROM rns)),
+        |tot AS (SELECT doc_id, n, CAST(count(*) AS BIGINT) AS total_grams
+        |  FROM gg GROUP BY 1, 2),
+        |nov AS (SELECT doc_id, n, CAST(count(*) AS BIGINT) AS novel
+        |  FROM gg ANTI JOIN rgd USING (n, gram) GROUP BY 1, 2)
+        |SELECT tot.doc_id, tot.n, total_grams,
+        |  coalesce(nov.novel, 0) AS novel_grams,
+        |  (coalesce(nov.novel, 0) * 1000) // total_grams AS novelty_permille
+        |FROM tot LEFT JOIN nov USING (doc_id, n)""".stripMargin,
     "ns_self_consistency" ->
       """WITH v AS (SELECT user_id % 50 AS problem,
         |    (event_id * 3 + user_id) % 5 AS ans, CAST(count(*) AS BIGINT) AS c

@@ -858,6 +858,42 @@ private[graft] object EntrySupport {
       |               x -> x <> ''), 1, 40) AS rt
       |  FROM p)""".stripMargin
 
+  /** Corpus-BLEU pooling over ANY bleuComponents-schema oracle SQL
+    * (DERIVED-oracle convention): wrap the base gate's full SQL as a
+    * CTE, pool the components, and take the 4th root with the shared
+    * isqrt chain — used by both ns_corpus_bleu (over ns_bleu) and
+    * ns_corpus_self_bleu (over ns_self_bleu), so neither rollup can
+    * drift from its per-pair gate nor from the other.
+    */
+  private[graft] def corpusBleuPoolSql(inner: String): String =
+    s"""WITH b AS (
+       |$inner
+       |),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(coalesce(sum(cand_len), 0) AS BIGINT) AS cand_tokens,
+       |    CAST(coalesce(sum(ref_len), 0) AS BIGINT) AS ref_tokens,
+       |    CAST(coalesce(sum(matches_1), 0) AS BIGINT) AS m1,
+       |    CAST(coalesce(sum(total_1), 0) AS BIGINT) AS t1,
+       |    CAST(coalesce(sum(matches_2), 0) AS BIGINT) AS m2,
+       |    CAST(coalesce(sum(total_2), 0) AS BIGINT) AS t2,
+       |    CAST(coalesce(sum(matches_3), 0) AS BIGINT) AS m3,
+       |    CAST(coalesce(sum(total_3), 0) AS BIGINT) AS t3,
+       |    CAST(coalesce(sum(matches_4), 0) AS BIGINT) AS m4,
+       |    CAST(coalesce(sum(total_4), 0) AS BIGINT) AS t4
+       |  FROM b),
+       |pp AS (SELECT *, CASE WHEN t1 > 0 THEN m1 * 1000 // t1 END AS p1,
+       |    CASE WHEN t2 > 0 THEN m2 * 1000 // t2 END AS p2,
+       |    CASE WHEN t3 > 0 THEN m3 * 1000 // t3 END AS p3,
+       |    CASE WHEN t4 > 0 THEN m4 * 1000 // t4 END AS p4 FROM s),
+       |pr AS (SELECT *, p1 * p2 * p3 * p4 AS prod FROM pp),
+       |$isqrtChainSql
+       |SELECT n_pairs, cand_tokens, ref_tokens,
+       |  m1 AS matches_1, t1 AS total_1, m2 AS matches_2, t2 AS total_2,
+       |  m3 AS matches_3, t3 AS total_3, m4 AS matches_4, t4 AS total_4,
+       |  CASE WHEN t1 > 0 AND t2 > 0 AND t3 > 0 AND t4 > 0 THEN geo END
+       |    AS precision_geo_permille
+       |FROM s2""".stripMargin
+
   /** Per-n corpus pooling over a per-pair component CTE `c` (matches /
     * cand_total / ref_total, long by n) — shared by the ns_corpus_chrf
     * and ns_corpus_rouge_n derived oracles: sums first, then the same

@@ -91,35 +91,13 @@ object SparkEntry {
       // corpus BLEU derives from the per-pair oracle: pool the
       // components, then the SAME shared isqrt chain takes the 4th root
       // of the pooled precisions — the micro-average the operator
-      // documents, with no way to drift from the per-pair gate
-      ("ns_corpus_bleu" ->
-        s"""WITH b AS (
-           |${base("ns_bleu")}
-           |),
-           |s AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-           |    CAST(coalesce(sum(cand_len), 0) AS BIGINT) AS cand_tokens,
-           |    CAST(coalesce(sum(ref_len), 0) AS BIGINT) AS ref_tokens,
-           |    CAST(coalesce(sum(matches_1), 0) AS BIGINT) AS m1,
-           |    CAST(coalesce(sum(total_1), 0) AS BIGINT) AS t1,
-           |    CAST(coalesce(sum(matches_2), 0) AS BIGINT) AS m2,
-           |    CAST(coalesce(sum(total_2), 0) AS BIGINT) AS t2,
-           |    CAST(coalesce(sum(matches_3), 0) AS BIGINT) AS m3,
-           |    CAST(coalesce(sum(total_3), 0) AS BIGINT) AS t3,
-           |    CAST(coalesce(sum(matches_4), 0) AS BIGINT) AS m4,
-           |    CAST(coalesce(sum(total_4), 0) AS BIGINT) AS t4
-           |  FROM b),
-           |pp AS (SELECT *, CASE WHEN t1 > 0 THEN m1 * 1000 // t1 END AS p1,
-           |    CASE WHEN t2 > 0 THEN m2 * 1000 // t2 END AS p2,
-           |    CASE WHEN t3 > 0 THEN m3 * 1000 // t3 END AS p3,
-           |    CASE WHEN t4 > 0 THEN m4 * 1000 // t4 END AS p4 FROM s),
-           |pr AS (SELECT *, p1 * p2 * p3 * p4 AS prod FROM pp),
-           |${EntrySupport.isqrtChainSql}
-           |SELECT n_pairs, cand_tokens, ref_tokens,
-           |  m1 AS matches_1, t1 AS total_1, m2 AS matches_2, t2 AS total_2,
-           |  m3 AS matches_3, t3 AS total_3, m4 AS matches_4, t4 AS total_4,
-           |  CASE WHEN t1 > 0 AND t2 > 0 AND t3 > 0 AND t4 > 0 THEN geo END
-           |    AS precision_geo_permille
-           |FROM s2""".stripMargin) +
+      // documents, with no way to drift from the per-pair gate; the pool
+      // fragment is shared with the self-BLEU rollup below
+      ("ns_corpus_bleu" -> EntrySupport.corpusBleuPoolSql(base("ns_bleu"))) +
+      // corpus self-BLEU — the diversity number Zhu-2018 quotes — is the
+      // SAME pool over the ring-pair gate's SQL
+      ("ns_corpus_self_bleu" ->
+        EntrySupport.corpusBleuPoolSql(base("ns_self_bleu"))) +
       // corpus ROUGE-L derives from the per-pair oracle the same way
       ("ns_corpus_rouge_l" ->
         s"""WITH rl AS (
@@ -200,6 +178,18 @@ object SparkEntry {
            |  CASE WHEN count(pass_at_k_micro) > 0
            |    THEN CAST(sum(allm) AS BIGINT) // count(pass_at_k_micro)
            |  END AS mean_pass_all_k_micro
-           |FROM w GROUP BY k""".stripMargin)
+           |FROM w GROUP BY k""".stripMargin) +
+      // corpus novelty derives from the per-doc oracle: pooled novel
+      // instances over pooled instances per n
+      ("ns_corpus_novelty" ->
+        s"""WITH nv AS (
+           |${base("ns_ngram_novelty")}
+           |)
+           |SELECT n, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(coalesce(sum(total_grams), 0) AS BIGINT) AS total_grams,
+           |  CAST(coalesce(sum(novel_grams), 0) AS BIGINT) AS novel_grams,
+           |  (CAST(coalesce(sum(novel_grams), 0) AS BIGINT) * 1000)
+           |    // CAST(coalesce(sum(total_grams), 0) AS BIGINT) AS novelty_permille
+           |FROM nv GROUP BY n""".stripMargin)
   }
 }

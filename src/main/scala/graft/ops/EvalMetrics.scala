@@ -628,6 +628,65 @@ object EvalMetrics {
           .as("distinct_permille"))
   }
 
+  /** n-gram novelty of generated text against a reference corpus (the
+    * RAVEN-style memorization/creativity audit, McCoy et al. 2023: how
+    * much of what the model emits is copied n-grams?): per generated
+    * document and n = 1..maxN, the share of its word n-gram INSTANCES
+    * absent from the reference corpus's n-gram set. Low novelty at high
+    * n = the generator replays training text — the gram-level signal the
+    * document-level decontamination family can't see. Same tokenization
+    * as every metric here.
+    *
+    * Scale shape: the reference reduces ONCE to its distinct (n, gram)
+    * set (one partial-agg shuffle — at 100 TB this is the big side, and
+    * it is exactly one dedup); generated grams anti-join that set on the
+    * (n, gram) hash key (never broadcast-sized assumptions — Catalyst
+    * may still broadcast a small reference), then one doc-keyed rollup.
+    * Generated documents with no n-gram at some n emit no row for that n
+    * (the [[distinctN]] convention).
+    *
+    * Output: (doc_id, n, total_grams, novel_grams, novelty_permille).
+    */
+  def ngramNovelty(gen: DataFrame, textCol: String, idCol: String,
+      ref: DataFrame, refTextCol: String, maxN: Int = 2): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, "maxN must be in [1, 8]")
+    val specs = array((1 to maxN).map(n => lit(n.toLong)): _*)
+    val genGrams = gen
+      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t"))
+      .withColumn("n", explode(specs))
+      .select(col("doc_id"), col("n"),
+        explode(wordGrams(col("__t"), col("n"))).as("gram"))
+    val refGrams = ref
+      .select(toks(col(refTextCol)).as("__t"))
+      .withColumn("n", explode(specs))
+      .select(col("n"), explode(wordGrams(col("__t"), col("n"))).as("gram"))
+      .distinct()
+    val totals = genGrams.groupBy(col("doc_id"), col("n"))
+      .agg(count(lit(1)).as("total_grams"))
+    val novel = genGrams.join(refGrams, Seq("n", "gram"), "left_anti")
+      .groupBy(col("doc_id"), col("n"))
+      .agg(count(lit(1)).as("novel_grams"))
+    totals.join(novel, Seq("doc_id", "n"), "left")
+      .select(col("doc_id"), col("n"), col("total_grams"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"))
+      .withColumn("novelty_permille",
+        call_function("div", col("novel_grams") * 1000L, col("total_grams")))
+  }
+
+  /** Corpus-level novelty over an [[ngramNovelty]] output frame: pooled
+    * novel instances over pooled instances per n — the quotable number
+    * ("x‰ of emitted 4-grams are new"), micro-averaged like every corpus
+    * rollup here. One partial-aggregated ≤maxN-row reduce.
+    * Output: (n, n_docs, total_grams, novel_grams, novelty_permille).
+    */
+  def corpusNovelty(perDoc: DataFrame): DataFrame =
+    perDoc.groupBy(col("n"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("total_grams")), lit(0L)).as("total_grams"),
+        coalesce(sum(col("novel_grams")), lit(0L)).as("novel_grams"))
+      .withColumn("novelty_permille",
+        call_function("div", col("novel_grams") * 1000L, col("total_grams")))
+
   /** ROUGE-N per pair for n = 1..`maxN`: clipped matches, the two
     * totals, and the permille recall / precision / F1 —
     * recall = 1000·m div ref_total (the ROUGE headline number),

@@ -313,6 +313,8 @@ object RowLocal {
     "EvalMetrics.passAtKRollup" -> "per-k mean over problem-sized aggregate rows",
     "EvalMetrics.bertScore" -> "pair-keyed unit join + two max-reduce aggregates",
     "EvalMetrics.distinctN" -> "corpus-wide (n, gram) aggregate (distinct share needs all docs)",
+    "EvalMetrics.ngramNovelty" -> "reference-set dedup + (n, gram) anti-join + doc rollup",
+    "EvalMetrics.corpusNovelty" -> "corpus-level per-n reduce over doc-sized rows",
     "EvalMetrics.corpusTer" -> "corpus-level one-row component reduce (micro-average pooling)",
     "EvalMetrics.corpusRougeL" -> "corpus-level one-row component reduce (micro-average pooling)",
     "EvalMetrics.passAtK" -> "per-problem sample aggregate + bounded k-fold",

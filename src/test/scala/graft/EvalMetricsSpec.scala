@@ -518,6 +518,34 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(n2.getLong(n2.fieldIndex("distinct_permille")) == 1000L)
   }
 
+  test("ngramNovelty + corpusNovelty: instance-level novelty vs the reference gram set") {
+    val gen = Seq((10L, "a b c"), (20L, "x y")).toDF("doc_id", "text")
+    val ref = Seq((1L, "a b q"), (2L, "c d")).toDF("doc_id", "text")
+    val perDoc = EvalMetrics.ngramNovelty(gen, "text", "doc_id", ref, "text", maxN = 2)
+    val out = perDoc.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val d10n1 = out((10L, 1L)) // a, b, c all present in the reference
+    assert(d10n1.getLong(d10n1.fieldIndex("total_grams")) == 3L)
+    assert(d10n1.getLong(d10n1.fieldIndex("novel_grams")) == 0L)
+    assert(d10n1.getLong(d10n1.fieldIndex("novelty_permille")) == 0L)
+    val d10n2 = out((10L, 2L)) // "a b" known, "b c" never appears
+    assert(d10n2.getLong(d10n2.fieldIndex("novel_grams")) == 1L)
+    assert(d10n2.getLong(d10n2.fieldIndex("novelty_permille")) == 500L)
+    val d20n1 = out((20L, 1L)) // x, y entirely novel
+    assert(d20n1.getLong(d20n1.fieldIndex("novelty_permille")) == 1000L)
+    val corpus = EvalMetrics.corpusNovelty(perDoc).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val c1 = corpus(1L)
+    assert(c1.getLong(c1.fieldIndex("n_docs")) == 2L)
+    assert(c1.getLong(c1.fieldIndex("total_grams")) == 5L)
+    assert(c1.getLong(c1.fieldIndex("novel_grams")) == 2L)
+    assert(c1.getLong(c1.fieldIndex("novelty_permille")) == 400L)
+    val c2 = corpus(2L)
+    assert(c2.getLong(c2.fieldIndex("total_grams")) == 3L)
+    assert(c2.getLong(c2.fieldIndex("novel_grams")) == 2L)
+    assert(c2.getLong(c2.fieldIndex("novelty_permille")) == 666L)
+  }
+
   test("selfBleuPairs: duplicate ids are rejected eagerly (derangement precondition)") {
     val docs = Seq((1L, "a b"), (1L, "c d"), (2L, "e f"))
       .toDF("doc_id", "text")
