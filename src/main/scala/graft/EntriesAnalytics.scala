@@ -341,6 +341,20 @@ private[graft] object EntriesAnalytics {
             (col("event_id") % 3).cast("string"),
             (col("event_id") % 7).cast("string")).as("ref")),
         "ts", "cand", "ref", windowDuration = "1 hour")),
+    "ns_stream_novelty" -> ((s, dir) =>
+      // batch-mode run of the streaming novelty monitor (same code path;
+      // watermark applies to streams only): hourly windows of an
+      // event-derived text against the documents corpus's frozen gram
+      // set — the live memorization alarm; membership is a stream-static
+      // left outer join, the pool is the one windowed aggregate
+      graft.streaming.Windows.streamingNovelty(
+        t(s, dir, "events").select(col("ts"),
+          concat_ws(" ", col("event_type"), col("props"),
+            (col("event_id") % 13).cast("string")).as("text")),
+        "ts", "text",
+        graft.ops.EvalMetrics.referenceGramSet(
+          t(s, dir, "documents").select(col("text")), "text", maxN = 2),
+        windowDuration = "1 hour", maxN = 2)),
     "ns_stream_calibration" -> ((s, dir) =>
       // Batch-mode run of the streaming calibration monitor — the SAME
       // code path the stream executes (watermark applies to streams
@@ -827,6 +841,30 @@ private[graft] object EntriesAnalytics {
          |  CASE WHEN t1 > 0 AND t2 > 0 AND t3 > 0 AND t4 > 0 THEN geo END
          |    AS precision_geo_permille
          |FROM s2""".stripMargin,
+    "ns_stream_novelty" ->
+      """WITH ev AS (SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w,
+        |    list_filter(string_split_regex(trim(lower(
+        |      concat_ws(' ', event_type, props, CAST(event_id % 13 AS VARCHAR)))), '\s+'),
+        |      x -> x <> '') AS t
+        |  FROM events),
+        |ens AS (SELECT w, t, CAST(unnest([1, 2]) AS BIGINT) AS n FROM ev),
+        |eg AS (SELECT w, n, unnest(list_transform(range(1, len(t) - n + 2),
+        |        i -> array_to_string(list_slice(t, i, i + n - 1), ' '))) AS gram FROM ens),
+        |rf AS (SELECT
+        |    list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+        |                x -> x <> '') AS t
+        |  FROM documents),
+        |rns AS (SELECT t, CAST(unnest([1, 2]) AS BIGINT) AS n FROM rf),
+        |rgd AS (SELECT DISTINCT n, gram FROM
+        |    (SELECT n, unnest(list_transform(range(1, len(t) - n + 2),
+        |       i -> array_to_string(list_slice(t, i, i + n - 1), ' '))) AS gram FROM rns)),
+        |j AS (SELECT eg.w, eg.n, CASE WHEN rgd.gram IS NULL THEN 1 ELSE 0 END AS novel
+        |      FROM eg LEFT JOIN rgd ON eg.n = rgd.n AND eg.gram = rgd.gram)
+        |SELECT w AS window_start, w + INTERVAL 1 HOUR AS window_end, n,
+        |  CAST(count(*) AS BIGINT) AS total_grams,
+        |  CAST(sum(novel) AS BIGINT) AS novel_grams,
+        |  (CAST(sum(novel) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT) AS novelty_permille
+        |FROM j GROUP BY 1, 2, 3""".stripMargin,
     "ns_stream_calibration" ->
       """WITH s AS (SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
         |             (event_id * 37) % 1001 AS score,

@@ -137,6 +137,16 @@ object ScaleProbe {
       scaleParts = true)
     run("distinctN", docs1, docs10,
       df => em.distinctN(df, "text", maxN = 2), scaleParts = true)
+    run("ngramNovelty", docs1, docs10,
+      df => em.ngramNovelty(
+        df.where(col("doc_id") % 10 === 0), "text", "doc_id",
+        df.where(col("doc_id") % 10 =!= 0), "text", maxN = 2),
+      scaleParts = true)
+    // the streaming corpus-BLEU twin's cost center: the row-local clip
+    // (zero-shuffle scan — the windowed pool above it is metadata)
+    run("bleuRowLocal", docs1, docs10,
+      df => em.bleuComponentsRowLocal(pairsOf(df), "pair_id", "cand", "ref",
+        maxTokens = 64))
 
     // optional second arg: the non-quadratic trend check one decade up
     args.lift(1).map(_.toInt).foreach { m =>
@@ -167,6 +177,12 @@ object ScaleProbe {
         uM.where(col("unit_id") % 2 === 1), "pair_id", "unit_id", "vec"),
         scaleParts = true)
       timeM("distinctN", em.distinctN(docsM, "text", maxN = 2), scaleParts = true)
+      timeM("ngramNovelty", em.ngramNovelty(
+        docsM.where(col("doc_id") % 10 === 0), "text", "doc_id",
+        docsM.where(col("doc_id") % 10 =!= 0), "text", maxN = 2),
+        scaleParts = true)
+      timeM("bleuRowLocal", em.bleuComponentsRowLocal(pairsOf(docsM),
+        "pair_id", "cand", "ref", maxTokens = 64))
     }
     spark.stop()
   }

@@ -656,11 +656,7 @@ object EvalMetrics {
       .withColumn("n", explode(specs))
       .select(col("doc_id"), col("n"),
         explode(wordGrams(col("__t"), col("n"))).as("gram"))
-    val refGrams = ref
-      .select(toks(col(refTextCol)).as("__t"))
-      .withColumn("n", explode(specs))
-      .select(col("n"), explode(wordGrams(col("__t"), col("n"))).as("gram"))
-      .distinct()
+    val refGrams = referenceGramSet(ref, refTextCol, maxN)
     val totals = genGrams.groupBy(col("doc_id"), col("n"))
       .agg(count(lit(1)).as("total_grams"))
     val novel = genGrams.join(refGrams, Seq("n", "gram"), "left_anti")
@@ -671,6 +667,31 @@ object EvalMetrics {
         coalesce(col("novel_grams"), lit(0L)).as("novel_grams"))
       .withColumn("novelty_permille",
         call_function("div", col("novel_grams") * 1000L, col("total_grams")))
+  }
+
+  /** The family tokenizer / column-parameterized gram builder, exposed
+    * for the streaming novelty twin (same definitions, no drift). */
+  private[graft] def toksOf(c: Column): Column = toks(c)
+  private[graft] def wordGramsOf(tokens: Column, n: Column): Column =
+    wordGrams(tokens, n)
+
+  /** The distinct (n, gram) set of a reference corpus for n = 1..maxN —
+    * the novelty family's index side, built ONCE (one partial-agg dedup
+    * shuffle) and shared: [[ngramNovelty]] anti-joins it per audit, the
+    * streaming monitor stream-static-joins it per micro-batch (persist
+    * or write it out for the long-running query; at 100 TB the set is
+    * the expensive artifact and this is its single construction point).
+    * Output: (n, gram), distinct.
+    */
+  def referenceGramSet(ref: DataFrame, refTextCol: String,
+      maxN: Int = 2): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, "maxN must be in [1, 8]")
+    val specs = array((1 to maxN).map(n => lit(n.toLong)): _*)
+    ref
+      .select(toks(col(refTextCol)).as("__t"))
+      .withColumn("n", explode(specs))
+      .select(col("n"), explode(wordGrams(col("__t"), col("n"))).as("gram"))
+      .distinct()
   }
 
   /** Corpus-level novelty over an [[ngramNovelty]] output frame: pooled

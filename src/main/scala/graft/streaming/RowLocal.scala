@@ -315,6 +315,9 @@ object RowLocal {
     "EvalMetrics.distinctN" -> "corpus-wide (n, gram) aggregate (distinct share needs all docs)",
     "EvalMetrics.ngramNovelty" -> "reference-set dedup + (n, gram) anti-join + doc rollup",
     "EvalMetrics.corpusNovelty" -> "corpus-level per-n reduce over doc-sized rows",
+    "EvalMetrics.referenceGramSet" -> "corpus-wide (n, gram) dedup (the novelty family's index side)",
+    "EvalMetrics.toksOf" -> "private[graft] helper (the family tokenizer, shared with the streaming novelty twin)",
+    "EvalMetrics.wordGramsOf" -> "private[graft] helper (column-parameterized gram builder, shared with the streaming novelty twin)",
     "EvalMetrics.corpusTer" -> "corpus-level one-row component reduce (micro-average pooling)",
     "EvalMetrics.corpusRougeL" -> "corpus-level one-row component reduce (micro-average pooling)",
     "EvalMetrics.passAtK" -> "per-problem sample aggregate + bounded k-fold",

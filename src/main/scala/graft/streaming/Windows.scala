@@ -547,6 +547,56 @@ object Windows {
         col("precision_geo_permille"): _*)
   }
 
+  /** Streaming n-gram novelty monitor: per tumbling window and n, the
+    * share of the window's word n-gram instances absent from a FROZEN
+    * reference gram set ([[graft.ops.EvalMetrics.referenceGramSet]]) —
+    * the live memorization alarm ("is the generator starting to parrot
+    * the training corpus?") next to the batch
+    * [[graft.ops.EvalMetrics.ngramNovelty]] audit.
+    *
+    * Streaming-legal shape: the gram explode is a stateless generator;
+    * membership against the reference is a STREAM-STATIC left outer
+    * join (static side carries a hit marker — an anti-join would drop
+    * the matched rows and lose the total; Structured Streaming allows
+    * stream-static joins with the stream on the left, no watermark
+    * state); the pool is the ONE windowed aggregate. State is
+    * windows × maxN rows. The reference frame is the static side of
+    * every micro-batch's join — persist it (or read it from a bucketed
+    * table) for a long-running query; at 100 TB the reference set is
+    * the artifact, built once by referenceGramSet.
+    *
+    * Output: (window_start, window_end, n, total_grams, novel_grams,
+    * novelty_permille). Windows with no gram at some n emit no row for
+    * that n (the batch convention).
+    */
+  def streamingNovelty(df: DataFrame, tsCol: String, textCol: String,
+      refGrams: DataFrame, windowDuration: String, maxN: Int = 2,
+      watermark: String = "10 minutes"): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, "maxN must be in [1, 8]")
+    require(!refGrams.isStreaming,
+      "refGrams must be a static frame (stream-static join contract)")
+    val base = df.select(col(tsCol).as("__ts"), col(textCol).as("__text"))
+    val src = if (df.isStreaming) base.withWatermark("__ts", watermark) else base
+    val specs = array((1 to maxN).map(n => lit(n.toLong)): _*)
+    val grams = src
+      .select(col("__ts"), graft.ops.EvalMetrics.toksOf(col("__text")).as("__t"))
+      .withColumn("n", explode(specs))
+      .select(col("__ts"), col("n"),
+        explode(graft.ops.EvalMetrics.wordGramsOf(col("__t"), col("n")))
+          .as("gram"))
+    val marked = grams.join(
+      refGrams.select(col("n"), col("gram"), lit(1L).as("__hit")),
+      Seq("n", "gram"), "left_outer")
+    marked
+      .groupBy(window(col("__ts"), windowDuration).as("w"), col("n"))
+      .agg(count(lit(1)).as("total_grams"),
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("novel_grams"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("n"), col("total_grams"), col("novel_grams"),
+        call_function("div", col("novel_grams") * 1000L, col("total_grams"))
+          .as("novelty_permille"))
+  }
+
   final case class RollEvent(key: String, ts: java.sql.Timestamp, value: Long)
   final case class RollBuf(entries: List[(Long, Long)])
   final case class RollOutput(key: String, ts: java.sql.Timestamp, value: Long,

@@ -530,6 +530,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingNovelty: stream-static membership + windowed pool, stream == batch twin") {
+    val refGrams = graft.ops.EvalMetrics.referenceGramSet(
+      Seq("a b c").toDF("text"), "text", maxN = 2)
+    // ref sets: n1 {a, b, c}; n2 {"a b", "b c"}
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark, 54)
+    val df = input.toDF().toDF("ts", "text")
+    val agg = Windows.streamingNovelty(df, "ts", "text", refGrams,
+      windowDuration = "10 minutes", maxN = 2)
+    val q = agg.writeStream.format("memory").queryName("snovel")
+      .outputMode("complete").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      // window A: "a b x" (n1: 1/3 novel, n2: "b x" novel of 2)
+      //           "c c"   (n1: 0/2 novel, n2: "c c" novel of 1)
+      // window B: "z"     (n1: 1/1 novel; no bigram -> no n2 row)
+      val rows = Seq((ts(1), "a b x"), (ts(2), "c c"), (ts(11), "z"))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      def shape(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+        (r.getAs[java.sql.Timestamp](0).toString, r.getLong(2)) ->
+          (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      val got = shape(spark.table("snovel").collect())
+      assert(got == Map(
+        ("2024-01-01 10:00:00.0", 1L) -> ((5L, 1L, 200L)),
+        ("2024-01-01 10:00:00.0", 2L) -> ((3L, 2L, 666L)),
+        ("2024-01-01 10:10:00.0", 1L) -> ((1L, 1L, 1000L))), s"got $got")
+      val batchTwin = shape(Windows.streamingNovelty(
+        rows.toDF("ts", "text"), "ts", "text", refGrams,
+        windowDuration = "10 minutes", maxN = 2).collect())
+      assert(batchTwin == got)
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over a memory stream") {
     val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark, 1)
     val df = input.toDF().toDF("ts", "key", "v")
