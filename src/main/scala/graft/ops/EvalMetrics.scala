@@ -226,30 +226,28 @@ object EvalMetrics {
   /** Appends the row-local BLEU component columns (cand_len, ref_len,
     * matches_n / total_n for n = 1..4) to `df`, preserving its other
     * columns — the kernel [[bleuComponentsRowLocal]] and the streaming
-    * corpus monitor share.
+    * corpus monitor share. One pass per row through
+    * [[graft.functions.text.BleuComponentsExpr]] (hash-multiset clip):
+    * a first draft as a chain of HOF folds (array_distinct + two
+    * size∘filter scans per distinct gram per n) measured 4.9 s over 1M
+    * short rows — ~20 CodegenFallback HOF nodes per row; the single
+    * bounded expression is ~5× cheaper and is the same
+    * custom-kernel-over-HOF-chain call as TokenLcsExpr. The struct
+    * stages through ONE column (non-cheap alias referenced 10× —
+    * cost-aware CollapseProject keeps it a separate Project, so the
+    * kernel evaluates once per row, not once per extracted field).
     */
   private[graft] def withRowLocalBleuComponents(df: DataFrame,
       candCol: String, refCol: String, maxTokens: Int): DataFrame = {
-    def cnt(arr: Column, g: Column): Column =
-      size(filter(arr, x => x === g)).cast("long")
-    var out = df
+    val staged = df
       .withColumn("__ct", slice(toks(col(candCol)), 1, maxTokens))
       .withColumn("__rt", slice(toks(col(refCol)), 1, maxTokens))
-    for (n <- 1 to 4) {
-      out = out
-        .withColumn(s"__cg$n", wordGrams(col("__ct"), lit(n.toLong)))
-        .withColumn(s"__rg$n", wordGrams(col("__rt"), lit(n.toLong)))
-        .withColumn(s"matches_$n",
-          aggregate(array_distinct(col(s"__cg$n")), lit(0L),
-            (acc, g) => acc +
-              least(cnt(col(s"__cg$n"), g), cnt(col(s"__rg$n"), g))))
-        .withColumn(s"total_$n", size(col(s"__cg$n")).cast("long"))
-        .drop(s"__cg$n", s"__rg$n")
-    }
-    out
-      .withColumn("cand_len", size(col("__ct")).cast("long"))
-      .withColumn("ref_len", size(col("__rt")).cast("long"))
-      .drop("__ct", "__rt")
+      .withColumn("__bc",
+        graft.functions.text.bleuComponentsStruct(col("__ct"), col("__rt")))
+    val fields = Seq("cand_len", "ref_len") ++
+      (1 to 4).flatMap(n => Seq(s"matches_$n", s"total_$n"))
+    fields.foldLeft(staged)((d, f) => d.withColumn(f, col(s"__bc.$f")))
+      .drop("__ct", "__rt", "__bc")
   }
 
   /** [[corpusBleu]] generalized to a grouping (empty = the global one-row
