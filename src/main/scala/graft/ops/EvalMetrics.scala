@@ -197,18 +197,16 @@ object EvalMetrics {
     * ONE aggregate, and the distributed clip is itself an aggregate, so
     * a windowed corpus-BLEU monitor needs the clip row-local (stateless)
     * with the window pool as the single legal aggregate. Batch callers
-    * should prefer [[bleuComponents]]: the shuffle form scales to
-    * unbounded texts, while this form is O(maxTokens²) per row — which
-    * is exactly why `maxTokens` truncates BOTH sides first (the TER /
-    * ROUGE-L bounded-DP discipline; truncation is part of the metric's
+    * should prefer [[bleuComponents]]: the shuffle form's per-gram hash
+    * aggregation handles pathological texts a single row must not
+    * (`maxTokens` truncates BOTH sides first — the TER / ROUGE-L
+    * bounded-kernel discipline; truncation is part of the metric's
     * contract here, so compare like with like).
     *
-    * Clip per n without the shuffle: fold over the DISTINCT candidate
-    * grams, adding min(candidate count, reference count) — occurrence
-    * counts via size∘filter over the (bounded) gram arrays. Gram arrays
-    * stage through columns so the fold's lambdas touch only attributes
-    * (the HOF no-hoisting gotcha: an inlined gram-builder would
-    * re-evaluate per element).
+    * Clip per n without the shuffle: ONE bounded pass per row through
+    * [[graft.functions.text.BleuComponentsExpr]] — a hash multiset of
+    * reference grams that candidate grams consume by decrement, which
+    * IS Σ_g min(cand_g, ref_g).
     */
   def bleuComponentsRowLocal(pairs: DataFrame, pairIdCol: String,
       candCol: String, refCol: String, maxTokens: Int = 64): DataFrame = {

@@ -512,9 +512,10 @@ object Windows {
     * ([[graft.ops.EvalMetrics.ngramOverlap]]'s (pair, n, gram) aggregate)
     * is itself an aggregate, and the window pool would be a second — so
     * the clip runs ROW-LOCALLY
-    * ([[graft.ops.EvalMetrics.withRowLocalBleuComponents]], O(maxTokens²)
-    * per row with truncation BEFORE the fold) and the window pool is the
-    * ONE windowed aggregate; the staged isqrt geo is a stateless
+    * ([[graft.ops.EvalMetrics.withRowLocalBleuComponents]]: one bounded
+    * hash-multiset pass per row, truncation BEFORE the kernel) and the
+    * window pool is the ONE windowed aggregate; the staged isqrt geo is
+    * a stateless
     * projection over finalized rows. The pool and root arithmetic are
     * the batch [[graft.ops.EvalMetrics.corpusBleu]]'s own
     * (corpusBleuOver — one shared fragment), so the live number equals
