@@ -161,6 +161,25 @@ private[graft] object EntriesCuration {
           docs.where(col("doc_id") % 10 === 0), "text", "doc_id",
           docs.where(col("doc_id") % 10 =!= 0), "text", maxN = 2))
     }),
+    "ns_incremental_novelty" -> ((s, dir) => {
+      // continuous-ingest novelty: the reference gram set is a prebuilt
+      // persistable index (NoveltyIndex carries maxN so an order
+      // mismatch is unrepresentable); the batch pays only its own gram
+      // volume x one anti-join — a different split (mod 7) than
+      // ns_ngram_novelty so the two gates don't collapse to one query
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.ops.EvalMetrics.incrementalNovelty(
+        docs.where(col("doc_id") % 7 === 0), "text", "doc_id",
+        graft.ops.EvalMetrics.noveltyIndex(
+          docs.where(col("doc_id") % 7 =!= 0), "text", maxN = 2))
+    }),
+    "ns_seq_rep_n" -> ((s, dir) =>
+      // Welleck-2020 rep-n degeneration diagnostic: per doc and n, the
+      // share of n-gram instances repeating an earlier one — zero
+      // shuffle, row-local distinct
+      graft.ops.EvalMetrics.seqRepN(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", "doc_id", maxN = 2)),
     "ns_corpus_self_bleu" -> ((s, dir) =>
       // corpus self-BLEU — the diversity number Zhu-2018 actually quotes
       // (pooled over the ring pairs, not a pair mean); oracle DERIVED
@@ -743,6 +762,36 @@ private[graft] object EntriesCuration {
         graft.ops.Pipelines.disposition(t(s, dir, "documents"), "text", "doc_id")))
   )
 
+  /** Novelty-audit oracle over a doc_id % `mod` batch/reference split —
+    * one generated fragment for the one-shot (mod 10) and incremental
+    * (mod 7) gates: the reference dedups ONCE to its distinct (n, gram)
+    * set, DuckDB's native ANTI JOIN is the novel-instance filter.
+    */
+  private def noveltySqlByMod(mod: Int): String =
+    s"""WITH gen AS (SELECT doc_id,
+       |    list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+       |                x -> x <> '') AS t
+       |  FROM documents WHERE doc_id % $mod = 0),
+       |rf AS (SELECT
+       |    list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+       |                x -> x <> '') AS t
+       |  FROM documents WHERE doc_id % $mod <> 0),
+       |gns AS (SELECT doc_id, t, CAST(unnest([1, 2]) AS BIGINT) AS n FROM gen),
+       |gg AS (SELECT doc_id, n, unnest(list_transform(range(1, len(t) - n + 2),
+       |        i -> array_to_string(list_slice(t, i, i + n - 1), ' '))) AS gram FROM gns),
+       |rns AS (SELECT t, CAST(unnest([1, 2]) AS BIGINT) AS n FROM rf),
+       |rgd AS (SELECT DISTINCT n, gram FROM
+       |    (SELECT n, unnest(list_transform(range(1, len(t) - n + 2),
+       |       i -> array_to_string(list_slice(t, i, i + n - 1), ' '))) AS gram FROM rns)),
+       |tot AS (SELECT doc_id, n, CAST(count(*) AS BIGINT) AS total_grams
+       |  FROM gg GROUP BY 1, 2),
+       |nov AS (SELECT doc_id, n, CAST(count(*) AS BIGINT) AS novel
+       |  FROM gg ANTI JOIN rgd USING (n, gram) GROUP BY 1, 2)
+       |SELECT tot.doc_id, tot.n, total_grams,
+       |  coalesce(nov.novel, 0) AS novel_grams,
+       |  (coalesce(nov.novel, 0) * 1000) // total_grams AS novelty_permille
+       |FROM tot LEFT JOIN nov USING (doc_id, n)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "ns_bleu" ->
       s"""WITH $evalPairsSql,
@@ -818,32 +867,25 @@ private[graft] object EntriesCuration {
         |  CAST(count(*) AS BIGINT) AS distinct_grams,
         |  (CAST(count(*) AS BIGINT) * 1000) // CAST(sum(cnt) AS BIGINT) AS distinct_permille
         |FROM c GROUP BY n""".stripMargin,
-    "ns_ngram_novelty" ->
-      // reference dedups ONCE to its distinct (n, gram) set; DuckDB's
-      // native ANTI JOIN is the novel-instance filter
-      """WITH gen AS (SELECT doc_id,
+    "ns_ngram_novelty" -> noveltySqlByMod(10),
+    // the incremental gate replays the SAME novelty arithmetic over its
+    // own split — one generated fragment, the two gates cannot drift
+    "ns_incremental_novelty" -> noveltySqlByMod(7),
+    "ns_seq_rep_n" ->
+      """WITH tk AS (SELECT doc_id,
         |    list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
         |                x -> x <> '') AS t
-        |  FROM documents WHERE doc_id % 10 = 0),
-        |rf AS (SELECT
-        |    list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
-        |                x -> x <> '') AS t
-        |  FROM documents WHERE doc_id % 10 <> 0),
-        |gns AS (SELECT doc_id, t, CAST(unnest([1, 2]) AS BIGINT) AS n FROM gen),
-        |gg AS (SELECT doc_id, n, unnest(list_transform(range(1, len(t) - n + 2),
-        |        i -> array_to_string(list_slice(t, i, i + n - 1), ' '))) AS gram FROM gns),
-        |rns AS (SELECT t, CAST(unnest([1, 2]) AS BIGINT) AS n FROM rf),
-        |rgd AS (SELECT DISTINCT n, gram FROM
-        |    (SELECT n, unnest(list_transform(range(1, len(t) - n + 2),
-        |       i -> array_to_string(list_slice(t, i, i + n - 1), ' '))) AS gram FROM rns)),
-        |tot AS (SELECT doc_id, n, CAST(count(*) AS BIGINT) AS total_grams
-        |  FROM gg GROUP BY 1, 2),
-        |nov AS (SELECT doc_id, n, CAST(count(*) AS BIGINT) AS novel
-        |  FROM gg ANTI JOIN rgd USING (n, gram) GROUP BY 1, 2)
-        |SELECT tot.doc_id, tot.n, total_grams,
-        |  coalesce(nov.novel, 0) AS novel_grams,
-        |  (coalesce(nov.novel, 0) * 1000) // total_grams AS novelty_permille
-        |FROM tot LEFT JOIN nov USING (doc_id, n)""".stripMargin,
+        |  FROM documents),
+        |ns AS (SELECT doc_id, t, CAST(unnest([1, 2]) AS BIGINT) AS n FROM tk),
+        |g AS (SELECT doc_id, n,
+        |    list_transform(range(1, len(t) - n + 2),
+        |      i -> array_to_string(list_slice(t, i, i + n - 1), ' ')) AS gs
+        |  FROM ns)
+        |SELECT doc_id, n, CAST(len(gs) AS BIGINT) AS total_grams,
+        |  CAST(len(list_distinct(gs)) AS BIGINT) AS distinct_grams,
+        |  1000 - (CAST(len(list_distinct(gs)) AS BIGINT) * 1000 // CAST(len(gs) AS BIGINT))
+        |    AS rep_permille
+        |FROM g WHERE len(gs) > 0""".stripMargin,
     "ns_self_consistency" ->
       """WITH v AS (SELECT user_id % 50 AS problem,
         |    (event_id * 3 + user_id) % 5 AS ans, CAST(count(*) AS BIGINT) AS c

@@ -644,26 +644,9 @@ object EvalMetrics {
     * Output: (doc_id, n, total_grams, novel_grams, novelty_permille).
     */
   def ngramNovelty(gen: DataFrame, textCol: String, idCol: String,
-      ref: DataFrame, refTextCol: String, maxN: Int = 2): DataFrame = {
-    require(maxN >= 1 && maxN <= 8, "maxN must be in [1, 8]")
-    val specs = array((1 to maxN).map(n => lit(n.toLong)): _*)
-    val genGrams = gen
-      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t"))
-      .withColumn("n", explode(specs))
-      .select(col("doc_id"), col("n"),
-        explode(wordGrams(col("__t"), col("n"))).as("gram"))
-    val refGrams = referenceGramSet(ref, refTextCol, maxN)
-    val totals = genGrams.groupBy(col("doc_id"), col("n"))
-      .agg(count(lit(1)).as("total_grams"))
-    val novel = genGrams.join(refGrams, Seq("n", "gram"), "left_anti")
-      .groupBy(col("doc_id"), col("n"))
-      .agg(count(lit(1)).as("novel_grams"))
-    totals.join(novel, Seq("doc_id", "n"), "left")
-      .select(col("doc_id"), col("n"), col("total_grams"),
-        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"))
-      .withColumn("novelty_permille",
-        call_function("div", col("novel_grams") * 1000L, col("total_grams")))
-  }
+      ref: DataFrame, refTextCol: String, maxN: Int = 2): DataFrame =
+    incrementalNovelty(gen, textCol, idCol,
+      noveltyIndex(ref, refTextCol, maxN))
 
   /** The family tokenizer / column-parameterized gram builder, exposed
     * for the streaming novelty twin (same definitions, no drift). */
@@ -688,6 +671,86 @@ object EvalMetrics {
       .withColumn("n", explode(specs))
       .select(col("n"), explode(wordGrams(col("__t"), col("n"))).as("gram"))
       .distinct()
+  }
+
+  /** Persistable novelty index: the distinct (n, gram) reference set
+    * plus the maxN that produced it — carrying the parameter WITH the
+    * entries makes an order mismatch (index built to bigrams, batch
+    * probed to trigrams — absent grams silently all "novel")
+    * unrepresentable, the [[Dedup.MinhashIndex]] convention. Persist
+    * `entries` as a table bucketed by gram; reconstruct the wrapper with
+    * the same maxN on load.
+    */
+  final case class NoveltyIndex(entries: DataFrame, maxN: Int)
+
+  /** Build a [[NoveltyIndex]] over the reference corpus — one
+    * partial-agg dedup, the construction [[referenceGramSet]] documents.
+    */
+  def noveltyIndex(ref: DataFrame, refTextCol: String,
+      maxN: Int = 2): NoveltyIndex =
+    NoveltyIndex(referenceGramSet(ref, refTextCol, maxN), maxN)
+
+  /** Per-batch novelty against a prebuilt [[NoveltyIndex]] — the
+    * 100 TB / continuous-ingest path: the reference set is built (and
+    * persisted) ONCE, each incoming generation batch pays only its own
+    * gram volume × one anti-join against the stored set (the
+    * [[Dedup.incrementalExact]] delta-cost shape). Same output and
+    * semantics as [[ngramNovelty]] — which is this operator over a
+    * just-built index (one definition, no drift).
+    */
+  def incrementalNovelty(batch: DataFrame, textCol: String, idCol: String,
+      index: NoveltyIndex): DataFrame = {
+    val maxN = index.maxN
+    val specs = array((1 to maxN).map(n => lit(n.toLong)): _*)
+    val genGrams = batch
+      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t"))
+      .withColumn("n", explode(specs))
+      .select(col("doc_id"), col("n"),
+        explode(wordGrams(col("__t"), col("n"))).as("gram"))
+    val totals = genGrams.groupBy(col("doc_id"), col("n"))
+      .agg(count(lit(1)).as("total_grams"))
+    val novel = genGrams
+      .join(index.entries.select(col("n"), col("gram")), Seq("n", "gram"),
+        "left_anti")
+      .groupBy(col("doc_id"), col("n"))
+      .agg(count(lit(1)).as("novel_grams"))
+    totals.join(novel, Seq("doc_id", "n"), "left")
+      .select(col("doc_id"), col("n"), col("total_grams"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"))
+      .withColumn("novelty_permille",
+        call_function("div", col("novel_grams") * 1000L, col("total_grams")))
+  }
+
+  /** Per-sequence repetition (Welleck et al. 2020's rep-n, the
+    * text-degeneration diagnostic): per document and n, the share of
+    * n-gram instances that REPEAT an earlier n-gram of the same
+    * document — 1000 − distinct·1000 div total on the permille grid.
+    * The per-document twin of the corpus-level [[distinctN]]: a
+    * generator that loops emits high rep-n long before corpus-level
+    * diversity moves.
+    *
+    * Scale shape: zero shuffle — the n-spec explode plus a row-local
+    * distinct count (array_distinct is bounded by the document's own
+    * gram count). Documents with no n-gram at some n emit no row for
+    * that n ([[distinctN]]'s convention).
+    *
+    * Output: (doc_id, n, total_grams, distinct_grams, rep_permille).
+    */
+  def seqRepN(df: DataFrame, textCol: String, idCol: String,
+      maxN: Int = 3): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, "maxN must be in [1, 8]")
+    val specs = array((1 to maxN).map(n => lit(n.toLong)): _*)
+    df
+      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("__t"))
+      .withColumn("n", explode(specs))
+      .withColumn("__g", wordGrams(col("__t"), col("n")))
+      .where(size(col("__g")) > 0)
+      .select(col("doc_id"), col("n"),
+        size(col("__g")).cast("long").as("total_grams"),
+        size(array_distinct(col("__g"))).cast("long").as("distinct_grams"))
+      .withColumn("rep_permille",
+        lit(1000L) - call_function("div",
+          col("distinct_grams") * 1000L, col("total_grams")))
   }
 
   /** Corpus-level novelty over an [[ngramNovelty]] output frame: pooled

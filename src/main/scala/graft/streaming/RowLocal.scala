@@ -214,6 +214,8 @@ object RowLocal {
         df.select(col("doc_id").as("pair_id"), col("text").as("cand"),
           substring(col("text"), 1, 30).as("ref")),
         "pair_id", "cand", "ref", maxTokens = 10)),
+    T("EvalMetrics.seqRepN")(df =>
+      ops.EvalMetrics.seqRepN(df, "text", "doc_id", maxN = 2)),
     T("EvalMetrics.bleuComponentsRowLocal")(df =>
       ops.EvalMetrics.bleuComponentsRowLocal(
         df.select(col("doc_id").as("pair_id"), col("text").as("cand"),
@@ -316,6 +318,7 @@ object RowLocal {
     "EvalMetrics.ngramNovelty" -> "reference-set dedup + (n, gram) anti-join + doc rollup",
     "EvalMetrics.corpusNovelty" -> "corpus-level per-n reduce over doc-sized rows",
     "EvalMetrics.referenceGramSet" -> "corpus-wide (n, gram) dedup (the novelty family's index side)",
+    "EvalMetrics.incrementalNovelty" -> "batch grams anti-join a prebuilt reference index + doc rollup",
     "EvalMetrics.toksOf" -> "private[graft] helper (the family tokenizer, shared with the streaming novelty twin)",
     "EvalMetrics.wordGramsOf" -> "private[graft] helper (column-parameterized gram builder, shared with the streaming novelty twin)",
     "EvalMetrics.corpusTer" -> "corpus-level one-row component reduce (micro-average pooling)",

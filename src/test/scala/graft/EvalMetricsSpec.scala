@@ -546,6 +546,37 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(c2.getLong(c2.fieldIndex("novelty_permille")) == 666L)
   }
 
+  test("seqRepN: per-document repetition shares (Welleck rep-n)") {
+    val docs = Seq((1L, "a a a b"), (2L, "x")).toDF("doc_id", "text")
+    val out = EvalMetrics.seqRepN(docs, "text", "doc_id", maxN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val d1n1 = out((1L, 1L)) // 4 unigrams, 2 distinct
+    assert(d1n1.getLong(d1n1.fieldIndex("total_grams")) == 4L)
+    assert(d1n1.getLong(d1n1.fieldIndex("distinct_grams")) == 2L)
+    assert(d1n1.getLong(d1n1.fieldIndex("rep_permille")) == 500L)
+    val d1n2 = out((1L, 2L)) // "a a", "a a", "a b"
+    assert(d1n2.getLong(d1n2.fieldIndex("total_grams")) == 3L)
+    assert(d1n2.getLong(d1n2.fieldIndex("distinct_grams")) == 2L)
+    assert(d1n2.getLong(d1n2.fieldIndex("rep_permille")) == 334L)
+    val d2n1 = out((2L, 1L))
+    assert(d2n1.getLong(d2n1.fieldIndex("rep_permille")) == 0L)
+    assert(!out.contains((2L, 2L)), "one token has no bigram row")
+  }
+
+  test("incrementalNovelty over a prebuilt index == one-shot ngramNovelty (law)") {
+    val docs = (1L to 40L).map(i => (i, s"tok$i common a b tok${i % 7}"))
+      .toDF("doc_id", "text")
+    val gen = docs.where(col("doc_id") % 5 === 0)
+    val ref = docs.where(col("doc_id") % 5 =!= 0)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    val oneShot = rows(EvalMetrics.ngramNovelty(gen, "text", "doc_id",
+      ref, "text", maxN = 2))
+    val viaIndex = rows(EvalMetrics.incrementalNovelty(gen, "text", "doc_id",
+      EvalMetrics.noveltyIndex(ref, "text", maxN = 2)))
+    assert(oneShot == viaIndex && oneShot.nonEmpty)
+  }
+
   test("selfBleuPairs: duplicate ids are rejected eagerly (derangement precondition)") {
     val docs = Seq((1L, "a b"), (1L, "c d"), (2L, "e f"))
       .toDF("doc_id", "text")

@@ -276,6 +276,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: BLEU clip three ways — kernel == distributed == driver model on random pairs") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    import graft.ops.EvalMetrics
+    // driver-side mirror of the modified-precision clip over the corpus
+    // tokenization (space separators only in the generator, so plain
+    // trim matches Spark's ASCII-space trim)
+    def toks(s: String): Array[String] =
+      s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    def clip(c: Array[String], r: Array[String], n: Int): (Long, Long) = {
+      def gs(t: Array[String]) =
+        if (t.length < n) Seq.empty[String] else t.sliding(n).map(_.mkString(" ")).toSeq
+      val cg = gs(c); val rc = gs(r).groupBy(identity).map { case (k, v) => k -> v.size }
+      val m = cg.groupBy(identity).map { case (g, occ) =>
+        math.min(occ.size, rc.getOrElse(g, 0)).toLong }.sum
+      (m, cg.size.toLong)
+    }
+    val word = Gen.oneOf("a", "b", "c", "dd", "ee", "ff") // tiny alphabet forces clips
+    val text = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.listOfN(60, Gen.zip(text, text))
+    forAll(corpus, 4) { pairs =>
+      val df = pairs.zipWithIndex
+        .map { case ((c, r), i) => (i.toLong, c, r) }.toDF("pair_id", "cand", "ref")
+      def collectComp(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(row => row.getLong(0) -> row.toSeq.drop(1)).toMap
+      val dist = collectComp(EvalMetrics.bleuComponents(df, "pair_id", "cand", "ref"))
+      val local = collectComp(
+        EvalMetrics.bleuComponentsRowLocal(df, "pair_id", "cand", "ref", maxTokens = 16))
+      assert(local == dist, "kernel != distributed")
+      pairs.zipWithIndex.foreach { case ((c, r), i) =>
+        val ct = toks(c); val rt = toks(r)
+        val row = dist(i.toLong)
+        assert(row(0) == ct.length.toLong && row(1) == rt.length.toLong,
+          s"lengths for pair $i ($c | $r)")
+        (1 to 4).foreach { n =>
+          val (m, t) = clip(ct, rt, n)
+          assert(row(2 * n) == m && row(2 * n + 1) == t,
+            s"n=$n pair $i ($c | $r): got (${row(2 * n)}, ${row(2 * n + 1)}) want ($m, $t)")
+        }
+      }
+    }
+  }
+
   test("filterFunnel law: single-scan attribution equals sequential filtering") {
     val spark = SparkTestBase.spark
     import spark.implicits._
