@@ -26,7 +26,11 @@ import graft.runtime.{Hooks, RuntimeConfig, Supervisor}
   *     (round-9 probe): sustained events/sec with the monitor sharing the
   *     executor, the monitor's own per-trigger wall, and its state rows
   *     (bounded by open windows × buckets by design — the number verifies
-  *     it).
+  *     it);
+  *   - the corpus-BLEU monitor under the same protocol (round-10 probe):
+  *     the monitor family's heaviest member (row-local clip kernel per
+  *     row), measured as deployed — events/sec with it competing, its
+  *     trigger wall, state rows (one wide row per open window).
   *
   * Run standalone (`sbt "runMain graft.StreamBench"`) for one JSON line, or
   * embedded — [[Bench]] calls [[StreamBench.run]] and merges the map into
@@ -176,6 +180,52 @@ object StreamBench {
         .map(_.numRowsTotal).maxOption.getOrElse(0L).toDouble
       monQ.stop()
 
+      // ---- corpus-BLEU monitor ALONGSIDE the load (round-10 probe) ----
+      // same protocol as the drift leg for the round-10 monitor family's
+      // heaviest member (row-local clip kernel per row + one windowed
+      // pool): events/sec with the BLEU monitor competing, its own
+      // trigger wall, and its state rows (design: one 11-long row per
+      // open window — the number verifies it)
+      val bleuQ = graft.streaming.Windows.streamingCorpusBleu(
+        spark.readStream.format("rate-micro-batch")
+          .option("rowsPerBatch", rowsPerBatch.toLong)
+          .option("numPartitions", cpus.toLong).load()
+          .select(col("timestamp"),
+            concat_ws(" ", lit("tok"), (col("value") % 97).cast("string"),
+              (col("value") % 13).cast("string"),
+              (col("value") % 7).cast("string"),
+              (col("value") % 3).cast("string")).as("cand"),
+            concat_ws(" ", lit("tok"), (col("value") % 89).cast("string"),
+              (col("value") % 13).cast("string"),
+              (col("value") % 7).cast("string"),
+              (col("value") % 5).cast("string")).as("ref")),
+        "timestamp", "cand", "ref", windowDuration = "1 minute")
+        .writeStream.outputMode("update").format("noop")
+        .option("checkpointLocation", s"$tmp/__bleu_monitor_ckpt")
+        .start()
+      val warmDeadlineB = System.currentTimeMillis() + 60000
+      while (bleuQ.recentProgress.isEmpty &&
+          System.currentTimeMillis() < warmDeadlineB)
+        Thread.sleep(20)
+      val bb0 = m("Microbatches"); val eb0 = m("EventsProcessed")
+      val tb0 = System.nanoTime()
+      val deadlineB = System.currentTimeMillis() + 120000
+      while (m("Microbatches") < bb0 + measuredBatches &&
+          System.currentTimeMillis() < deadlineB)
+        Thread.sleep(20)
+      val elapsedB = (System.nanoTime() - tb0) / 1e9
+      val epsWithBleu =
+        if (elapsedB > 0) (m("EventsProcessed") - eb0) / elapsedB else 0.0
+      val bleuProg = bleuQ.recentProgress.toSeq
+      val bleuBatchMs = {
+        val ds = bleuProg.flatMap(p =>
+          Option(p.durationMs.get("triggerExecution")).map(_.toDouble))
+        if (ds.nonEmpty) ds.sum / ds.size else 0.0
+      }
+      val bleuStateRows = bleuProg.flatMap(_.stateOperators.toSeq)
+        .map(_.numRowsTotal).maxOption.getOrElse(0L).toDouble
+      bleuQ.stop()
+
       // ---- hot-swap under load (I7) ----
       // registerStream(v2) is the zero-downtime upgrade: it validates, stops
       // the v1 query, compiles and starts v2 — its wall time IS the window
@@ -207,6 +257,9 @@ object StreamBench {
         "events_per_sec_with_monitor" -> epsWithMonitor,
         "monitor_batch_ms_avg" -> monBatchMs,
         "monitor_state_rows" -> monStateRows,
+        "events_per_sec_with_bleu_monitor" -> epsWithBleu,
+        "bleu_monitor_batch_ms_avg" -> bleuBatchMs,
+        "bleu_monitor_state_rows" -> bleuStateRows,
         "measured_events" -> events,
         "measured_batches" -> batches,
         "measured_sec" -> elapsed,
