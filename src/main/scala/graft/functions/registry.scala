@@ -152,6 +152,19 @@ object GraftFunctions {
       arity("graft_jaro_winkler", args, 2 to 2)
       text.JaroWinklerExpr(args.head, args(1))
     },
+    // graft_token_lcs(a array<string>, b array<string>) — the ROUGE-L
+    // kernel (longest common token subsequence length)
+    "graft_token_lcs" -> { args =>
+      arity("graft_token_lcs", args, 2 to 2)
+      text.TokenLcsExpr(args.head, args(1))
+    },
+    // graft_bleu_components(cand array<string>, ref array<string>) — the
+    // row-local clipped-count kernel (struct of lengths + matches/totals
+    // for n = 1..4)
+    "graft_bleu_components" -> { args =>
+      arity("graft_bleu_components", args, 2 to 2)
+      text.BleuComponentsExpr(args.head, args(1))
+    },
     // graft_corr_permille(num, dx, dy) — integer-exact Pearson tail;
     // arguments are cast to DECIMAL(38,0) (the co-moment carrier type)
     "graft_corr_permille" -> { args =>

@@ -55,6 +55,23 @@ class FunctionRegistrySpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("token_lcs and bleu_components resolve and agree with the wrappers") {
+    val viaSql = spark.sql(
+      """SELECT id,
+        |  graft_token_lcs(split(lower(text), ' '), reverse(split(lower(text), ' '))) AS lcs,
+        |  graft_bleu_components(split(lower(text), ' '), reverse(split(lower(text), ' '))) AS bc
+        |FROM frdocs""".stripMargin)
+    val viaCol = docs.select(col("id"),
+      text.tokenLcs(split(lower(col("text")), " "),
+        reverse(split(lower(col("text")), " "))).as("lcs"),
+      text.bleuComponentsStruct(split(lower(col("text")), " "),
+        reverse(split(lower(col("text")), " "))).as("bc"))
+    assert(viaSql.schema == viaCol.schema)
+    val a = viaSql.orderBy("id").collect().map(_.toString).toSeq
+    val b = viaCol.orderBy("id").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("cosine, phash, useragent resolve and agree with the wrappers") {
     val ua = "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 " +
       "(KHTML, like Gecko) Chrome/91.0.4472.114 Safari/537.36"
