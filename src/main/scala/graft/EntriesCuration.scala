@@ -161,6 +161,20 @@ private[graft] object EntriesCuration {
           docs.where(col("doc_id") % 10 === 0), "text", "doc_id",
           docs.where(col("doc_id") % 10 =!= 0), "text", maxN = 2))
     }),
+    "ns_paired_bootstrap" -> ((s, dir) => {
+      // Koehn-2004 paired bootstrap over corpus BLEU: the gate's two
+      // "systems" are a deterministic construction — even pairs' BLEU
+      // components vs the adjacent odd pairs' mapped onto the same item
+      // key — so the oracle DERIVES wholly from ns_bleu's SQL and the
+      // frozen Poisson cut table (SparkEntry.oracleSql)
+      val comp = graft.ops.EvalMetrics.bleuComponents(
+        evalPairs(s, dir), "pair_id", "cand", "ref")
+      graft.ops.EvalMetrics.pairedBootstrapBleu(
+        comp.where(col("pair_id") % 2 === 0),
+        comp.where(col("pair_id") % 2 === 1)
+          .withColumn("pair_id", col("pair_id") - 1L),
+        replicates = 32)
+    }),
     "ns_incremental_novelty" -> ((s, dir) => {
       // continuous-ingest novelty: the reference gram set is a prebuilt
       // persistable index (NoveltyIndex carries maxN so an order

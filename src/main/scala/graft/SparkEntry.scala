@@ -179,6 +179,58 @@ object SparkEntry {
            |    THEN CAST(sum(allm) AS BIGINT) // count(pass_at_k_micro)
            |  END AS mean_pass_all_k_micro
            |FROM w GROUP BY k""".stripMargin) +
+      // the paired bootstrap derives from ns_bleu's components + the
+      // frozen Poisson cut table (bootstrapMeans' exact convention) +
+      // the corrected floor-isqrt chain, one per system
+      ("ns_paired_bootstrap" -> {
+        def chain(p: String): String =
+          s"""i${p}1 AS (SELECT *, CAST(floor(sqrt(CAST(${p}prod AS DOUBLE))) AS HUGEINT) AS ${p}r0 FROM ${if (p == "a") "pr" else "sa2"}),
+             |c${p}1 AS (SELECT *, CASE WHEN (${p}r0 + 1) * (${p}r0 + 1) <= ${p}prod THEN ${p}r0 + 1 ELSE ${p}r0 END AS ${p}r1 FROM i${p}1),
+             |s${p}1 AS (SELECT *, CAST(CASE WHEN ${p}r1 * ${p}r1 > ${p}prod THEN ${p}r1 - 1 ELSE ${p}r1 END AS BIGINT) AS ${p}sq1 FROM c${p}1),
+             |i${p}2 AS (SELECT *, CAST(floor(sqrt(CAST(${p}sq1 AS DOUBLE))) AS HUGEINT) AS ${p}q0 FROM s${p}1),
+             |c${p}2 AS (SELECT *, CASE WHEN (${p}q0 + 1) * (${p}q0 + 1) <= ${p}sq1 THEN ${p}q0 + 1 ELSE ${p}q0 END AS ${p}q1 FROM i${p}2),
+             |s${p}2 AS (SELECT *, CAST(CASE WHEN ${p}q1 * ${p}q1 > ${p}sq1 THEN ${p}q1 - 1 ELSE ${p}q1 END AS BIGINT) AS ${p}geo FROM c${p}2)""".stripMargin
+        val sideCols = (p: String) => (1 to 4).flatMap(n => Seq(
+          s"matches_$n AS ${p}m$n", s"total_$n AS ${p}t$n")).mkString(", ")
+        s"""WITH c AS (
+           |${base("ns_bleu")}
+           |),
+           |a AS (SELECT pair_id, ${sideCols("a")} FROM c WHERE pair_id % 2 = 0),
+           |b AS (SELECT pair_id - 1 AS pair_id, ${sideCols("b")} FROM c WHERE pair_id % 2 = 1),
+           |j AS (SELECT * FROM a JOIN b USING (pair_id)),
+           |r AS (SELECT j.*, CAST(unnest(range(1, 33)) AS BIGINT) AS rep FROM j),
+           |wu AS (SELECT *, ('0x' || substr(md5('graft-boot|' || CAST(pair_id AS VARCHAR)
+           |         || '|' || CAST(rep AS VARCHAR)), 1, 8))::UBIGINT & 2147483647 AS u FROM r),
+           |ww AS (SELECT *, CASE WHEN u < 790015084 THEN 0 WHEN u < 1580030168 THEN 1
+           |         WHEN u < 1975037710 THEN 2 WHEN u < 2106706891 THEN 3
+           |         WHEN u < 2139624186 THEN 4 WHEN u < 2146207645 THEN 5
+           |         ELSE 6 END AS w FROM wu),
+           |g AS (SELECT rep,
+           |${(for { p <- Seq("a", "b"); n <- 1 to 4; cc <- Seq("m", "t") }
+             yield s"    CAST(sum(w * $p$cc$n) AS BIGINT) AS $p$cc$n").mkString(",\n")}
+           |  FROM ww GROUP BY rep),
+           |pp AS (SELECT *,
+           |${(for { p <- Seq("a", "b"); n <- 1 to 4 }
+             yield s"    CASE WHEN ${p}t$n > 0 THEN ${p}m$n * 1000 // ${p}t$n END AS p$p$n").mkString(",\n")}
+           |  FROM g),
+           |pr AS (SELECT *,
+           |    CASE WHEN at1 > 0 AND at2 > 0 AND at3 > 0 AND at4 > 0
+           |         THEN pa1 * pa2 * pa3 * pa4 END AS aprod,
+           |    CASE WHEN bt1 > 0 AND bt2 > 0 AND bt3 > 0 AND bt4 > 0
+           |         THEN pb1 * pb2 * pb3 * pb4 END AS bprod
+           |  FROM pp),
+           |${chain("a")},
+           |${chain("b")},
+           |f AS (SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+           |    CAST(sum(CASE WHEN ageo IS NOT NULL AND bgeo IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS defined,
+           |    CAST(sum(CASE WHEN ageo > bgeo THEN 1 ELSE 0 END) AS BIGINT) AS a_wins,
+           |    CAST(sum(CASE WHEN bgeo > ageo THEN 1 ELSE 0 END) AS BIGINT) AS b_wins,
+           |    CAST(sum(CASE WHEN ageo = bgeo THEN 1 ELSE 0 END) AS BIGINT) AS ties,
+           |    CAST(sum(CASE WHEN ageo IS NULL OR bgeo IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS undefined
+           |  FROM sb2)
+           |SELECT *, CASE WHEN defined > 0 THEN a_wins * 1000 // defined END AS a_win_permille
+           |FROM f""".stripMargin
+      }) +
       // corpus novelty derives from the per-doc oracle: pooled novel
       // instances over pooled instances per n
       ("ns_corpus_novelty" ->

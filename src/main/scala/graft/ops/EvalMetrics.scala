@@ -288,6 +288,74 @@ object EvalMetrics {
   def corpusBleu(components: DataFrame): DataFrame =
     corpusBleuOver(components, Seq.empty)
 
+  /** Paired bootstrap significance test for corpus BLEU (Koehn 2004 —
+    * the standard "is system A really better, or is this eval-set
+    * noise?" machinery behind every "+0.8 BLEU (p < 0.05)" claim): given
+    * the per-pair [[bleuComponents]] of two systems scored against the
+    * SAME references, resample the pair set `replicates` times and count
+    * how often each system's pooled corpus geo wins. PAIRED: one
+    * deterministic Poisson(1) weight per (pair, replicate) — the
+    * [[Profile.bootstrapMeans]] portable-hash convention, one cut table,
+    * engine-replayable — applies to BOTH systems' components, so the
+    * resample never compares different pair sets. Replicates where
+    * either system's pooled geo is undefined (a weighted total hit 0)
+    * are counted `undefined` and excluded from the verdict rather than
+    * silently scored.
+    *
+    * Scale shape: one pair-keyed equi-join of the two component frames,
+    * a constant ×replicates fan-out (B ≤ 200 enforced), ONE
+    * partial-aggregated groupBy(replicate) onto B rows, then row-local
+    * geo arithmetic and a one-row reduce — no window, no second pass
+    * over pairs. Weighted sums stay inside long: Σ w·matches ≤
+    * 6 · Σ tokens (w ≤ 6 by the cut table).
+    *
+    * Output (one row): n_replicates, defined, a_wins, b_wins, ties,
+    * undefined, a_win_permille = 1000·a_wins div defined (NULL when no
+    * replicate is defined).
+    */
+  def pairedBootstrapBleu(componentsA: DataFrame, componentsB: DataFrame,
+      replicates: Int = 64, seed: String = "graft-boot"): DataFrame = {
+    require(replicates >= 2 && replicates <= 200,
+      "replicates must be in [2, 200]")
+    def side(df: DataFrame, p: String): DataFrame =
+      df.select(col("pair_id") +: (1 to 4).flatMap(n => Seq(
+        col(s"matches_$n").as(s"${p}m$n"), col(s"total_$n").as(s"${p}t$n"))): _*)
+    val joined = side(componentsA, "a").join(side(componentsB, "b"), "pair_id")
+    val u = Curation.portableHash31(
+      concat_ws("|", col("pair_id"), col("replicate")), seed)
+    val pooled = for { p <- Seq("a", "b"); n <- 1 to 4; c <- Seq("m", "t") }
+      yield sum(col("__w") * col(s"$p$c$n")).as(s"$p$c$n")
+    val perRep = joined
+      .select(col("*"),
+        explode(sequence(lit(1L), lit(replicates.toLong))).as("replicate"))
+      .withColumn("__w", Profile.poissonWeight31(u))
+      .groupBy(col("replicate"))
+      .agg(pooled.head, pooled.tail: _*)
+    def geo(rep: DataFrame, p: String): DataFrame = {
+      def prec(n: Int): Column =
+        when(col(s"${p}t$n") > 0,
+          call_function("div", col(s"${p}m$n") * 1000L, col(s"${p}t$n")))
+      rep
+        .withColumn(s"__prod$p",
+          when((1 to 4).map(n => col(s"${p}t$n") > 0).reduce(_ && _),
+            prec(1) * prec(2) * prec(3) * prec(4)))
+        .withColumn(s"__sq$p", Curation.isqrtExact(col(s"__prod$p")))
+        .withColumn(s"__geo$p", Curation.isqrtExact(col(s"__sq$p")))
+    }
+    geo(geo(perRep, "a"), "b")
+      .agg(count(lit(1)).as("n_replicates"),
+        sum(when(col("__geoa").isNotNull && col("__geob").isNotNull, 1L)
+          .otherwise(0L)).as("defined"),
+        sum(when(col("__geoa") > col("__geob"), 1L).otherwise(0L)).as("a_wins"),
+        sum(when(col("__geob") > col("__geoa"), 1L).otherwise(0L)).as("b_wins"),
+        sum(when(col("__geoa") === col("__geob"), 1L).otherwise(0L)).as("ties"),
+        sum(when(col("__geoa").isNull || col("__geob").isNull, 1L)
+          .otherwise(0L)).as("undefined"))
+      .withColumn("a_win_permille",
+        when(col("defined") > 0,
+          call_function("div", col("a_wins") * 1000L, col("defined"))))
+  }
+
   /** ROUGE-L per pair (Lin 2004's LCS variant — the most-reported ROUGE):
     * longest common token SUBSEQUENCE between candidate and reference,
     * with permille P/R/F1 on the same integer grid as [[rougeN]]

@@ -916,6 +916,20 @@ object Profile {
   private val PoissonCuts31: Seq[Long] =
     Seq(790015084L, 1580030168L, 1975037710L, 2106706891L, 2139624186L, 2146207645L)
 
+  /** Poisson(1) weight from a 31-bit portable-hash draw — the
+    * deterministic-bootstrap weight shared by [[bootstrapMeans]] and
+    * [[EvalMetrics.pairedBootstrapBleu]] (one cut table, one replay
+    * convention in every oracle).
+    */
+  private[ops] def poissonWeight31(u: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    PoissonCuts31.zipWithIndex
+      .foldRight(lit(PoissonCuts31.length.toLong)) { case ((cut, k), rest) =>
+        when(u < cut, k.toLong).otherwise(rest)
+      }
+  }
+
   /** Deterministic Poisson bootstrap replicate means (the scalable
     * bootstrap: Poisson(1) per-row weights approximate multinomial
     * resampling without coordinating a global draw — the standard
@@ -947,10 +961,7 @@ object Profile {
         col(idCol).cast("string"))))
     val u = graft.ops.Curation.portableHash31(
       concat_ws("|", col(idCol), col("replicate")), seed)
-    val w = PoissonCuts31.zipWithIndex
-      .foldRight(lit(PoissonCuts31.length.toLong)) { case ((cut, k), rest) =>
-        when(u < cut, k.toLong).otherwise(rest)
-      }
+    val w = poissonWeight31(u)
     df.select(col(idCol), v.as("__v"),
         explode(sequence(lit(1L), lit(replicates.toLong))).as("replicate"))
       .select(col("replicate"), col("__v"), w.as("__w"))

@@ -319,6 +319,8 @@ object RowLocal {
     "EvalMetrics.corpusNovelty" -> "corpus-level per-n reduce over doc-sized rows",
     "EvalMetrics.referenceGramSet" -> "corpus-wide (n, gram) dedup (the novelty family's index side)",
     "EvalMetrics.incrementalNovelty" -> "batch grams anti-join a prebuilt reference index + doc rollup",
+    "EvalMetrics.pairedBootstrapBleu" -> "pair-keyed system join + replicate fan-out onto one B-row aggregate",
+    "Profile.poissonWeight31" -> "private[ops] helper (the deterministic-bootstrap weight column, one cut table for every bootstrap oracle)",
     "EvalMetrics.toksOf" -> "private[graft] helper (the family tokenizer, shared with the streaming novelty twin)",
     "EvalMetrics.wordGramsOf" -> "private[graft] helper (column-parameterized gram builder, shared with the streaming novelty twin)",
     "EvalMetrics.corpusTer" -> "corpus-level one-row component reduce (micro-average pooling)",

@@ -546,6 +546,35 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(c2.getLong(c2.fieldIndex("novelty_permille")) == 666L)
   }
 
+  test("pairedBootstrapBleu: identical systems tie; a dominant system wins every defined replicate") {
+    val refs = (1L to 20L).map(i => (i, s"w$i a b c d e f g"))
+    val compA = EvalMetrics.bleuComponents(
+      refs.map { case (i, t) => (i, t, t) }.toDF("pair_id", "cand", "ref"),
+      "pair_id", "cand", "ref")
+    def counts(r: Row): Map[String, Long] =
+      Seq("n_replicates", "defined", "a_wins", "b_wins", "ties", "undefined")
+        .map(f => f -> r.getLong(r.fieldIndex(f))).toMap
+    val same = counts(
+      EvalMetrics.pairedBootstrapBleu(compA, compA, replicates = 16).collect().head)
+    assert(same("n_replicates") == 16L)
+    assert(same("a_wins") == 0L && same("b_wins") == 0L)
+    assert(same("ties") == same("defined"))
+    assert(same("defined") + same("undefined") == 16L)
+    // system B shares no token with the references: geo 0 wherever
+    // defined, so A wins every replicate both systems define
+    val compB = EvalMetrics.bleuComponents(
+      refs.map { case (i, t) => (i, "z y x z y x z y", t) }
+        .toDF("pair_id", "cand", "ref"),
+      "pair_id", "cand", "ref")
+    val dom = counts(
+      EvalMetrics.pairedBootstrapBleu(compA, compB, replicates = 16).collect().head)
+    assert(dom("a_wins") == dom("defined") && dom("defined") > 0L)
+    assert(dom("b_wins") == 0L && dom("ties") == 0L)
+    val row = EvalMetrics.pairedBootstrapBleu(compA, compB, replicates = 16)
+      .collect().head
+    assert(row.getLong(row.fieldIndex("a_win_permille")) == 1000L)
+  }
+
   test("seqRepN: per-document repetition shares (Welleck rep-n)") {
     val docs = Seq((1L, "a a a b"), (2L, "x")).toDF("doc_id", "text")
     val out = EvalMetrics.seqRepN(docs, "text", "doc_id", maxN = 2)
