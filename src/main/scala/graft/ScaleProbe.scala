@@ -147,6 +147,23 @@ object ScaleProbe {
     run("bleuRowLocal", docs1, docs10,
       df => em.bleuComponentsRowLocal(pairsOf(df), "pair_id", "cand", "ref",
         maxTokens = 64))
+    run("seqRepN", docs1, docs10,
+      df => em.seqRepN(df, "text", "doc_id", maxN = 2))
+    // paired bootstrap over PRECOMPUTED persisted components — the
+    // bootstrap stage's own growth in pair volume, not the gram
+    // pipeline's (that is corpusBleu's leg); the ×32 replicate fan-out
+    // reduces onto 32 rows whatever the pair count; systems = the gate's
+    // even/odd construction
+    val (comp1, comp10) = (
+      persisted(em.bleuComponents(pairsOf(docs1), "pair_id", "cand", "ref")),
+      persisted(em.bleuComponents(pairsOf(docs10), "pair_id", "cand", "ref")))
+    def bootOf(comp: DataFrame): DataFrame =
+      em.pairedBootstrapBleu(
+        comp.where(col("pair_id") % 2 === 0),
+        comp.where(col("pair_id") % 2 === 1)
+          .withColumn("pair_id", col("pair_id") - 1L),
+        replicates = 32)
+    run("pairedBootstrap", comp1, comp10, bootOf)
 
     // optional second arg: the non-quadratic trend check one decade up
     args.lift(1).map(_.toInt).foreach { m =>
@@ -183,6 +200,14 @@ object ScaleProbe {
         scaleParts = true)
       timeM("bleuRowLocal", em.bleuComponentsRowLocal(pairsOf(docsM),
         "pair_id", "cand", "ref", maxTokens = 64))
+      timeM("seqRepN", em.seqRepN(docsM, "text", "doc_id", maxN = 2))
+      val compM = persisted(
+        em.bleuComponents(pairsOf(docsM), "pair_id", "cand", "ref"))
+      timeM("pairedBootstrap", em.pairedBootstrapBleu(
+        compM.where(col("pair_id") % 2 === 0),
+        compM.where(col("pair_id") % 2 === 1)
+          .withColumn("pair_id", col("pair_id") - 1L),
+        replicates = 32))
     }
     spark.stop()
   }

@@ -1840,6 +1840,63 @@ object text {
     ExpressionUtils.column(BleuComponentsExpr(
       ExpressionUtils.expression(candTokens), ExpressionUtils.expression(refTokens)))
 
+  /** Per-n gram total/distinct counts over ONE token array in one pass —
+    * the rep-n kernel ([[graft.ops.EvalMetrics.seqRepN]]): per n a hash
+    * set of gram keys while the totals are arithmetic, versus the HOF
+    * formulation's per-n gram-array build + interpreted array_distinct
+    * (the [[BleuComponentsExpr]] lesson, measured ~8× on 300-token
+    * docs). Emits one (n, total_grams, distinct_grams) row per n with at
+    * least one gram — ns with none are ABSENT, the family convention.
+    * Null array = empty. Same U+0001 gram keys as the BLEU kernel.
+    */
+  case class GramRepCountsExpr(child: Expression, maxN: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(maxN >= 1 && maxN <= 8, "maxN must be in [1, 8]")
+    private val rowType = StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("total_grams", LongType, nullable = false),
+      StructField("distinct_grams", LongType, nullable = false)))
+    override def dataType: DataType = ArrayType(rowType, containsNull = false)
+    override def nullable: Boolean = false
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val raw = child.eval(input)
+      val t: Array[String] = raw match {
+        case null => Array.empty[String]
+        case a: ArrayData => Array.tabulate(a.numElements())(i =>
+          if (a.isNullAt(i)) "" else a.getUTF8String(i).toString)
+      }
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.catalyst.InternalRow]
+      var n = 1
+      while (n <= maxN) {
+        val total = t.length - n + 1
+        if (total > 0) {
+          val seen = new java.util.HashSet[String]()
+          var i = 0
+          while (i + n <= t.length) {
+            if (n == 1) seen.add(t(i))
+            else {
+              val sb = new java.lang.StringBuilder(t(i))
+              var k = 1
+              while (k < n) { sb.append('\u0001').append(t(i + k)); k += 1 }
+              seen.add(sb.toString)
+            }
+            i += 1
+          }
+          rows += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](n.toLong, total.toLong, seen.size.toLong))
+        }
+        n += 1
+      }
+      new GenericArrayData(rows.toArray[Any])
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def gramRepCounts(tokens: Column, maxN: Int): Column =
+    ExpressionUtils.column(GramRepCountsExpr(ExpressionUtils.expression(tokens), maxN))
+
   /** Integer-exact permille Pearson correlation tail for
     * [[graft.ops.Profile.correlationMatrix]]: given the exact decimal
     * co-moment combinations num = n·Sxy − Sx·Sy, dx = n·Sx2 − Sx²,

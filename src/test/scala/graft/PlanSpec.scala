@@ -317,6 +317,24 @@ class PlanSpec extends AnyFunSuite {
       s"count() must still execute the gram pipeline:\n${countPlan.take(2000)}")
   }
 
+  test("seqRepN is a zero-shuffle narrow plan; novelty and the paired bootstrap aggregate map-side") {
+    // rep-n's scale claim is 'pure scan' (row-local distinct per doc)
+    val rep = EntriesCuration.queries("ns_seq_rep_n")(spark, sf)
+    assert(!planOf(rep).contains("Exchange"),
+      s"seqRepN must not shuffle:\n${planOf(rep).take(2000)}")
+    // novelty: the reference dedup, the doc rollups, and the bootstrap's
+    // B-row replicate reduce must all combine map-side — a global agg
+    // without partials would funnel gram/pair rows to one task
+    for (name <- Seq("ns_ngram_novelty", "ns_paired_bootstrap")) {
+      val plan = planOf(EntriesCuration.queries(name)(spark, sf))
+      assert(plan.contains("partial_"),
+        s"$name needs map-side partials:\n${plan.take(2500)}")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name joins must stay keyed:\n${plan.take(2500)}")
+    }
+  }
+
   test("exact substring dedup shuffles 120-bit keys, never gram text") {
     val docs = SparkEntry.t(spark, sf, "documents")
     val q = graft.ops.Curation.exactSubstrDedup(docs, "text", "doc_id", minTokens = 8)
