@@ -341,6 +341,16 @@ private[graft] object EntriesAnalytics {
             (col("event_id") % 3).cast("string"),
             (col("event_id") % 7).cast("string")).as("ref")),
         "ts", "cand", "ref", windowDuration = "1 hour")),
+    "ns_stream_rep" -> ((s, dir) =>
+      // batch-mode run of the streaming rep-n monitor (same code path;
+      // watermark applies to streams only): hourly windows of an
+      // event-derived text with a REPEATED token (event_type twice), so
+      // the pooled within-doc repetition is non-trivial
+      graft.streaming.Windows.streamingSeqRep(
+        t(s, dir, "events").select(col("ts"),
+          concat_ws(" ", col("event_type"), col("props"), col("event_type"),
+            (col("event_id") % 13).cast("string")).as("text")),
+        "ts", "text", windowDuration = "1 hour", maxN = 2)),
     "ns_stream_novelty" -> ((s, dir) =>
       // batch-mode run of the streaming novelty monitor (same code path;
       // watermark applies to streams only): hourly windows of an
@@ -841,6 +851,24 @@ private[graft] object EntriesAnalytics {
          |  CASE WHEN t1 > 0 AND t2 > 0 AND t3 > 0 AND t4 > 0 THEN geo END
          |    AS precision_geo_permille
          |FROM s2""".stripMargin,
+    "ns_stream_rep" ->
+      """WITH ev AS (SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w,
+        |    list_filter(string_split_regex(trim(lower(
+        |      concat_ws(' ', event_type, props, event_type, CAST(event_id % 13 AS VARCHAR)))), '\s+'),
+        |      x -> x <> '') AS t
+        |  FROM events),
+        |ns AS (SELECT w, t, CAST(unnest([1, 2]) AS BIGINT) AS n FROM ev),
+        |g AS (SELECT w, n,
+        |    CAST(len(t) - n + 1 AS BIGINT) AS total,
+        |    CAST(len(list_distinct(list_transform(range(1, len(t) - n + 2),
+        |      i -> array_to_string(list_slice(t, i, i + n - 1), ' ')))) AS BIGINT) AS dist
+        |  FROM ns WHERE len(t) - n + 1 > 0)
+        |SELECT w AS window_start, w + INTERVAL 1 HOUR AS window_end, n,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(total) AS BIGINT) AS total_grams,
+        |  CAST(sum(dist) AS BIGINT) AS distinct_grams,
+        |  1000 - (CAST(sum(dist) AS BIGINT) * 1000 // CAST(sum(total) AS BIGINT)) AS rep_permille
+        |FROM g GROUP BY 1, 2, 3""".stripMargin,
     "ns_stream_novelty" ->
       """WITH ev AS (SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w,
         |    list_filter(string_split_regex(trim(lower(

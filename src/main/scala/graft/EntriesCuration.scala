@@ -175,6 +175,20 @@ private[graft] object EntriesCuration {
           .withColumn("pair_id", col("pair_id") - 1L),
         replicates = 32)
     }),
+    "ns_paired_bootstrap_rouge" -> ((s, dir) => {
+      // the metric-agnostic paired bootstrap over ROUGE-L F1 (same
+      // even/odd two-system construction as ns_paired_bootstrap; the
+      // paired weights make the verdict division-free — both systems
+      // share each replicate's weight sum); oracle DERIVED from
+      // ns_rouge_l's SQL (SparkEntry.oracleSql)
+      val rl = graft.ops.EvalMetrics.rougeL(
+        evalPairs(s, dir), "pair_id", "cand", "ref", maxTokens = 40)
+      graft.ops.EvalMetrics.pairedBootstrapMetric(
+        rl.where(col("pair_id") % 2 === 0),
+        rl.where(col("pair_id") % 2 === 1)
+          .withColumn("pair_id", col("pair_id") - 1L),
+        "pair_id", "f1_permille", replicates = 32)
+    }),
     "ns_incremental_novelty" -> ((s, dir) => {
       // continuous-ingest novelty: the reference gram set is a prebuilt
       // persistable index (NoveltyIndex carries maxN so an order

@@ -506,17 +506,13 @@ private[graft] object EntriesProfile {
     * [[graft.ops.Profile]] (PoissonCuts31).
     */
   private val bootstrapMeansSql: String =
-    """WITH br AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v,
+    s"""WITH br AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v,
       |             unnest(range(1, 33)) AS rep FROM documents),
       |bh AS (SELECT rep, v,
       |         ('0x' || substr(md5('graft-boot|' || CAST(doc_id AS VARCHAR) ||
       |            '|' || CAST(rep AS VARCHAR)), 1, 8))::UBIGINT & 2147483647 AS u
       |       FROM br),
-      |bw AS (SELECT rep, v,
-      |         CASE WHEN u < 790015084 THEN 0 WHEN u < 1580030168 THEN 1
-      |              WHEN u < 1975037710 THEN 2 WHEN u < 2106706891 THEN 3
-      |              WHEN u < 2139624186 THEN 4 WHEN u < 2146207645 THEN 5
-      |              ELSE 6 END AS w
+      |bw AS (SELECT rep, v, ${EntrySupport.poissonCutCaseSql} AS w
       |       FROM bh)
       |SELECT rep AS replicate, CAST(sum(w) AS BIGINT) AS n_eff,
       |  CASE WHEN sum(w) > 0 THEN CAST((sum(w * v) * 1000) // sum(w) AS BIGINT)

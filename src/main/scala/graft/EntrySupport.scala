@@ -858,6 +858,18 @@ private[graft] object EntrySupport {
       |               x -> x <> ''), 1, 40) AS rt
       |  FROM p)""".stripMargin
 
+  /** The frozen Poisson(1) inverse-CDF CASE over a 31-bit draw `u` —
+    * shared by every deterministic-bootstrap oracle (ns_bootstrap,
+    * ns_paired_bootstrap, ns_paired_bootstrap_rouge) so the cut table
+    * exists exactly once on the SQL side, mirroring
+    * Profile.poissonWeight31 on the Spark side.
+    */
+  private[graft] val poissonCutCaseSql =
+    """CASE WHEN u < 790015084 THEN 0 WHEN u < 1580030168 THEN 1
+      |         WHEN u < 1975037710 THEN 2 WHEN u < 2106706891 THEN 3
+      |         WHEN u < 2139624186 THEN 4 WHEN u < 2146207645 THEN 5
+      |         ELSE 6 END""".stripMargin
+
   /** Corpus-BLEU pooling over ANY bleuComponents-schema oracle SQL
     * (DERIVED-oracle convention): wrap the base gate's full SQL as a
     * CTE, pool the components, and take the 4th root with the shared

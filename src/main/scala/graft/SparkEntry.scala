@@ -201,10 +201,7 @@ object SparkEntry {
            |r AS (SELECT j.*, CAST(unnest(range(1, 33)) AS BIGINT) AS rep FROM j),
            |wu AS (SELECT *, ('0x' || substr(md5('graft-boot|' || CAST(pair_id AS VARCHAR)
            |         || '|' || CAST(rep AS VARCHAR)), 1, 8))::UBIGINT & 2147483647 AS u FROM r),
-           |ww AS (SELECT *, CASE WHEN u < 790015084 THEN 0 WHEN u < 1580030168 THEN 1
-           |         WHEN u < 1975037710 THEN 2 WHEN u < 2106706891 THEN 3
-           |         WHEN u < 2139624186 THEN 4 WHEN u < 2146207645 THEN 5
-           |         ELSE 6 END AS w FROM wu),
+           |ww AS (SELECT *, ${EntrySupport.poissonCutCaseSql} AS w FROM wu),
            |g AS (SELECT rep,
            |${(for { p <- Seq("a", "b"); n <- 1 to 4; cc <- Seq("m", "t") }
              yield s"    CAST(sum(w * $p$cc$n) AS BIGINT) AS $p$cc$n").mkString(",\n")}
@@ -231,6 +228,35 @@ object SparkEntry {
            |SELECT *, CASE WHEN defined > 0 THEN a_wins * 1000 // defined END AS a_win_permille
            |FROM f""".stripMargin
       }) +
+      // the metric-agnostic paired bootstrap derives from ns_rouge_l's
+      // SQL; the verdict is division-free (paired weights share Σw, so
+      // the weighted-mean compare is Σw·ma vs Σw·mb — exact HUGEINTs)
+      ("ns_paired_bootstrap_rouge" ->
+        s"""WITH c AS (
+           |${base("ns_rouge_l")}
+           |),
+           |a AS (SELECT pair_id, f1_permille AS ma FROM c WHERE pair_id % 2 = 0),
+           |b AS (SELECT pair_id - 1 AS pair_id, f1_permille AS mb FROM c WHERE pair_id % 2 = 1),
+           |j AS (SELECT * FROM a JOIN b USING (pair_id)
+           |      WHERE ma IS NOT NULL AND mb IS NOT NULL),
+           |r AS (SELECT j.*, CAST(unnest(range(1, 33)) AS BIGINT) AS rep FROM j),
+           |wu AS (SELECT *, ('0x' || substr(md5('graft-boot|' || CAST(pair_id AS VARCHAR)
+           |         || '|' || CAST(rep AS VARCHAR)), 1, 8))::UBIGINT & 2147483647 AS u FROM r),
+           |ww AS (SELECT *, ${EntrySupport.poissonCutCaseSql} AS w FROM wu),
+           |g AS (SELECT rep, CAST(sum(w) AS BIGINT) AS n,
+           |        CAST(count(*) AS BIGINT) AS pairs,
+           |        sum(w * ma) AS sa, sum(w * mb) AS sb
+           |      FROM ww GROUP BY rep),
+           |f AS (SELECT CAST(coalesce(max(pairs), 0) AS BIGINT) AS n_pairs_used,
+           |    CAST(count(*) AS BIGINT) AS n_replicates,
+           |    CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS defined,
+           |    CAST(sum(CASE WHEN n > 0 AND sa > sb THEN 1 ELSE 0 END) AS BIGINT) AS a_wins,
+           |    CAST(sum(CASE WHEN n > 0 AND sb > sa THEN 1 ELSE 0 END) AS BIGINT) AS b_wins,
+           |    CAST(sum(CASE WHEN n > 0 AND sa = sb THEN 1 ELSE 0 END) AS BIGINT) AS ties,
+           |    CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS undefined
+           |  FROM g)
+           |SELECT *, CASE WHEN defined > 0 THEN a_wins * 1000 // defined END AS a_win_permille
+           |FROM f""".stripMargin) +
       // corpus novelty derives from the per-doc oracle: pooled novel
       // instances over pooled instances per n
       ("ns_corpus_novelty" ->

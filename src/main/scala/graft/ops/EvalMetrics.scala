@@ -356,6 +356,71 @@ object EvalMetrics {
           call_function("div", col("a_wins") * 1000L, col("defined"))))
   }
 
+  /** Metric-agnostic paired bootstrap (the [[pairedBootstrapBleu]]
+    * machinery for ANY integer per-pair metric — ROUGE-L F1, chrF F2,
+    * TER, BERTScore means: "is A's ROUGE really better?"): given two
+    * frames of (pair_id, metric) scored on the same items, resample
+    * `replicates` times with the SAME deterministic Poisson weight per
+    * (pair, replicate) on both sides and count replicate wins of the
+    * weighted mean. The paired weights make the comparison
+    * DIVISION-FREE: both systems share Σw, so mean_A > mean_B ⇔
+    * Σw·mA > Σw·mB — exact integers, no grid, no rounding tie-break.
+    * Pairs where EITHER side's metric is NULL drop before resampling
+    * (a paired test needs both defined; `n_pairs_used` makes the drop
+    * visible). Replicates that draw nothing (Σw = 0) count `undefined`.
+    * For TER-like metrics where LOWER is better, flip the verdict
+    * columns at the call site.
+    *
+    * Scale shape: [[pairedBootstrapBleu]]'s — one pair-keyed equi-join,
+    * a constant ×B fan-out onto ONE partial-aggregated B-row reduce,
+    * then a one-row verdict. Metric values must satisfy |m| ≤ 10¹²
+    * (the [[Profile.bootstrapMeans]] envelope); Σw·m accumulates in
+    * DECIMAL(38,0) so any pair count stays exact.
+    *
+    * Output (one row): n_pairs_used, n_replicates, defined, a_wins,
+    * b_wins, ties, undefined, a_win_permille.
+    */
+  def pairedBootstrapMetric(a: DataFrame, b: DataFrame, pairIdCol: String,
+      metricCol: String, replicates: Int = 64,
+      seed: String = "graft-boot"): DataFrame = {
+    require(replicates >= 2 && replicates <= 200,
+      "replicates must be in [2, 200]")
+    def side(df: DataFrame, p: String): DataFrame = df.select(
+      col(pairIdCol).as("pair_id"),
+      when(abs(col(metricCol).cast("long")) <= 1000000000000L,
+        col(metricCol).cast("long")).as(s"__$p"))
+    val joined = side(a, "a").join(side(b, "b"), "pair_id")
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+    val u = Curation.portableHash31(
+      concat_ws("|", col("pair_id"), col("replicate")), seed)
+    val perRep = joined
+      .select(col("*"),
+        explode(sequence(lit(1L), lit(replicates.toLong))).as("replicate"))
+      .withColumn("__w", Profile.poissonWeight31(u))
+      .groupBy(col("replicate"))
+      .agg(sum(col("__w")).as("__n"),
+        sum((col("__w") * col("__a")).cast("decimal(38,0)")).as("__sa"),
+        sum((col("__w") * col("__b")).cast("decimal(38,0)")).as("__sb"),
+        // the joined frame is identical for every replicate, so any
+        // replicate's pair count IS n_pairs_used — carried through the
+        // same aggregate rather than a second job
+        count(lit(1)).as("__pairs"))
+    perRep.agg(
+      coalesce(max(col("__pairs")), lit(0L)).as("n_pairs_used"),
+      count(lit(1)).as("n_replicates"),
+      sum(when(col("__n") > 0, 1L).otherwise(0L)).as("defined"),
+      sum(when(col("__n") > 0 && col("__sa") > col("__sb"), 1L)
+        .otherwise(0L)).as("a_wins"),
+      sum(when(col("__n") > 0 && col("__sb") > col("__sa"), 1L)
+        .otherwise(0L)).as("b_wins"),
+      sum(when(col("__n") > 0 && col("__sa") === col("__sb"), 1L)
+        .otherwise(0L)).as("ties"),
+      sum(when(col("__n") === 0, 1L).otherwise(0L)).as("undefined"))
+      .withColumn("a_win_permille",
+        when(col("defined") > 0,
+          call_function("div", col("a_wins") * 1000L, col("defined"))))
+  }
+
   /** ROUGE-L per pair (Lin 2004's LCS variant — the most-reported ROUGE):
     * longest common token SUBSEQUENCE between candidate and reference,
     * with permille P/R/F1 on the same integer grid as [[rougeN]]

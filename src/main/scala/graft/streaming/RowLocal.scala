@@ -320,6 +320,7 @@ object RowLocal {
     "EvalMetrics.referenceGramSet" -> "corpus-wide (n, gram) dedup (the novelty family's index side)",
     "EvalMetrics.incrementalNovelty" -> "batch grams anti-join a prebuilt reference index + doc rollup",
     "EvalMetrics.pairedBootstrapBleu" -> "pair-keyed system join + replicate fan-out onto one B-row aggregate",
+    "EvalMetrics.pairedBootstrapMetric" -> "pair-keyed system join + replicate fan-out onto one B-row aggregate (division-free verdict)",
     "Profile.poissonWeight31" -> "private[ops] helper (the deterministic-bootstrap weight column, one cut table for every bootstrap oracle)",
     "EvalMetrics.toksOf" -> "private[graft] helper (the family tokenizer, shared with the streaming novelty twin)",
     "EvalMetrics.wordGramsOf" -> "private[graft] helper (column-parameterized gram builder, shared with the streaming novelty twin)",

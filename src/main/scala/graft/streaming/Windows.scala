@@ -598,6 +598,42 @@ object Windows {
           .as("novelty_permille"))
   }
 
+  /** Streaming rep-n monitor: per tumbling window and n, the pooled
+    * within-document repetition share of the window's texts
+    * (micro-average of [[graft.ops.EvalMetrics.seqRepN]]: Σ repeated
+    * instances over Σ instances — a generator that starts looping moves
+    * this long before sampled-eval scores do). Streaming-legal by
+    * construction: the per-doc total/distinct counts are ONE row-local
+    * kernel pass (`GramRepCountsExpr`) exploded statelessly, the window
+    * pool is the one aggregate. State = windows × maxN rows.
+    *
+    * Output: (window_start, window_end, n, n_docs, total_grams,
+    * distinct_grams, rep_permille). Documents with no n-gram at some n
+    * contribute nothing there (the batch convention); a window with no
+    * gram at any doc for some n emits no row for that n.
+    */
+  def streamingSeqRep(df: DataFrame, tsCol: String, textCol: String,
+      windowDuration: String, maxN: Int = 3,
+      watermark: String = "10 minutes"): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, "maxN must be in [1, 8]")
+    val base = df.select(col(tsCol).as("__ts"), col(textCol).as("__text"))
+    val src = if (df.isStreaming) base.withWatermark("__ts", watermark) else base
+    src
+      .select(col("__ts"),
+        explode(graft.functions.text.gramRepCounts(
+          graft.ops.EvalMetrics.toksOf(col("__text")), maxN)).as("__g"))
+      .groupBy(window(col("__ts"), windowDuration).as("w"),
+        col("__g.n").as("n"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__g.total_grams")).as("total_grams"),
+        sum(col("__g.distinct_grams")).as("distinct_grams"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("n"), col("n_docs"), col("total_grams"), col("distinct_grams"),
+        (lit(1000L) - call_function("div",
+          col("distinct_grams") * 1000L, col("total_grams")))
+          .as("rep_permille"))
+  }
+
   final case class RollEvent(key: String, ts: java.sql.Timestamp, value: Long)
   final case class RollBuf(entries: List[(Long, Long)])
   final case class RollOutput(key: String, ts: java.sql.Timestamp, value: Long,

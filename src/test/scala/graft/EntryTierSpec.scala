@@ -25,7 +25,8 @@ class EntryTierSpec extends AnyFunSuite {
     Set("ns_pipeline_funnel", "ns_pack_efficiency", "ns_epoch_value",
       "ns_corpus_bleu", "ns_corpus_ter", "ns_corpus_rouge_l",
       "ns_corpus_chrf", "ns_corpus_rouge_n", "ns_passk_rollup",
-      "ns_corpus_self_bleu", "ns_corpus_novelty", "ns_paired_bootstrap")
+      "ns_corpus_self_bleu", "ns_corpus_novelty", "ns_paired_bootstrap",
+      "ns_paired_bootstrap_rouge")
 
   test("every tier pairs queries and oracles by name (derived oracles excepted)") {
     tiers.foreach { case (name, q, o) =>
@@ -45,7 +46,7 @@ class EntryTierSpec extends AnyFunSuite {
     assert(SparkEntry.queries.keySet == all.toSet)
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
       "every query must have an oracle (including derived ones)")
-    assert(SparkEntry.queries.size == 259, s"contract size moved: ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size == 261, s"contract size moved: ${SparkEntry.queries.size}")
     derivedOracles.foreach { d =>
       assert(SparkEntry.queries.contains(d) && SparkEntry.oracleSql.contains(d))
     }

@@ -575,6 +575,28 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(row.getLong(row.fieldIndex("a_win_permille")) == 1000L)
   }
 
+  test("pairedBootstrapMetric: identity ties, dominance wins, NULL pairs drop visibly") {
+    val a = (1L to 20L).map(i => (i, Some(800L + (i % 3))))
+      .map { case (i, m) => (i, m.map(Long.box).orNull) }.toDF("pair_id", "m")
+    def counts(r: Row): Map[String, Long] =
+      Seq("n_pairs_used", "n_replicates", "defined", "a_wins", "b_wins",
+        "ties", "undefined").map(f => f -> r.getLong(r.fieldIndex(f))).toMap
+    val same = counts(EvalMetrics.pairedBootstrapMetric(a, a, "pair_id", "m",
+      replicates = 16).collect().head)
+    assert(same("n_pairs_used") == 20L && same("n_replicates") == 16L)
+    assert(same("a_wins") == 0L && same("b_wins") == 0L)
+    assert(same("ties") == same("defined"))
+    // uniformly worse system, with 5 NULL scores -> those pairs drop
+    val b = (1L to 20L).map(i =>
+        (i, if (i % 4 == 0) null else Long.box(500L)))
+      .toDF("pair_id", "m")
+    val dom = counts(EvalMetrics.pairedBootstrapMetric(a, b, "pair_id", "m",
+      replicates = 16).collect().head)
+    assert(dom("n_pairs_used") == 15L)
+    assert(dom("a_wins") == dom("defined") && dom("defined") > 0L)
+    assert(dom("b_wins") == 0L && dom("ties") == 0L)
+  }
+
   test("seqRepN: per-document repetition shares (Welleck rep-n)") {
     val docs = Seq((1L, "a a a b"), (2L, "x")).toDF("doc_id", "text")
     val out = EvalMetrics.seqRepN(docs, "text", "doc_id", maxN = 2)

@@ -563,6 +563,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingSeqRep: pooled within-doc repetition per window, stream == batch twin") {
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark, 55)
+    val df = input.toDF().toDF("ts", "text")
+    val agg = Windows.streamingSeqRep(df, "ts", "text",
+      windowDuration = "10 minutes", maxN = 2)
+    val q = agg.writeStream.format("memory").queryName("srep")
+      .outputMode("complete").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      // window A: "a a b" (n1 3/2, n2 2/2) + "x x x x" (n1 4/1, n2 3/1)
+      //   pooled: n1 7 total / 3 distinct -> rep 572; n2 5/3 -> rep 400
+      // window B: "z" -> n1 1/1 rep 0; no n2 row
+      val rows = Seq((ts(1), "a a b"), (ts(2), "x x x x"), (ts(11), "z"))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      def shape(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+        (r.getAs[java.sql.Timestamp](0).toString, r.getLong(2)) ->
+          (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+      val got = shape(spark.table("srep").collect())
+      assert(got == Map(
+        ("2024-01-01 10:00:00.0", 1L) -> ((2L, 7L, 3L, 572L)),
+        ("2024-01-01 10:00:00.0", 2L) -> ((2L, 5L, 3L, 400L)),
+        ("2024-01-01 10:10:00.0", 1L) -> ((1L, 1L, 1L, 0L))), s"got $got")
+      val batchTwin = shape(Windows.streamingSeqRep(
+        rows.toDF("ts", "text"), "ts", "text",
+        windowDuration = "10 minutes", maxN = 2).collect())
+      assert(batchTwin == got)
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over a memory stream") {
     val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark, 1)
     val df = input.toDF().toDF("ts", "key", "v")
