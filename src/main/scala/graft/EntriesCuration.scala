@@ -62,6 +62,17 @@ private[graft] object EntriesCuration {
           when(col("event_id") % 11 === 0, lit(null).cast("long"))
             .otherwise((col("event_id") * 3 + col("user_id")) % 5).as("answer")),
         "problem", "answer")),
+    "ns_selfcons_rollup" -> ((s, dir) =>
+      // benchmark-level agreement: mean majority share + the 600-permille
+      // quorum share over the ns_self_consistency problem set; oracle
+      // DERIVED from ns_self_consistency's (SparkEntry.oracleSql)
+      graft.ops.EvalMetrics.selfConsistencyRollup(
+        graft.ops.EvalMetrics.selfConsistency(
+          t(s, dir, "events").select((col("user_id") % 50).as("problem"),
+            when(col("event_id") % 11 === 0, lit(null).cast("long"))
+              .otherwise((col("event_id") * 3 + col("user_id")) % 5).as("answer")),
+          "problem", "answer"),
+        quorumPermille = 600L)),
     "ns_pass_at_k" -> ((s, dir) =>
       // Chen-2021 unbiased pass@k over a deterministic sample grid
       // (problem = user bucket, pass = event-id residue — both engines

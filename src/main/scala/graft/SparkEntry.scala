@@ -257,6 +257,20 @@ object SparkEntry {
            |  FROM g)
            |SELECT *, CASE WHEN defined > 0 THEN a_wins * 1000 // defined END AS a_win_permille
            |FROM f""".stripMargin) +
+      // the agreement rollup derives from the per-problem majority oracle
+      ("ns_selfcons_rollup" ->
+        s"""WITH sc AS (
+           |${base("ns_self_consistency")}
+           |)
+           |SELECT CAST(count(*) AS BIGINT) AS n_problems,
+           |  CASE WHEN count(*) > 0
+           |    THEN CAST(sum(majority_permille) AS BIGINT) // count(*)
+           |  END AS mean_majority_permille,
+           |  CAST(sum(CASE WHEN majority_permille >= 600 THEN 1 ELSE 0 END) AS BIGINT) AS n_quorum,
+           |  CASE WHEN count(*) > 0
+           |    THEN CAST(sum(CASE WHEN majority_permille >= 600 THEN 1 ELSE 0 END) AS BIGINT) * 1000 // count(*)
+           |  END AS quorum_share_permille
+           |FROM sc""".stripMargin) +
       // corpus novelty derives from the per-doc oracle: pooled novel
       // instances over pooled instances per n
       ("ns_corpus_novelty" ->

@@ -661,6 +661,37 @@ object EvalMetrics {
           call_function("div", col("__sum_all"), col("n_problems")))
           .as("mean_pass_all_k_micro"))
 
+  /** Benchmark-level self-consistency rollup over a [[selfConsistency]]
+    * output frame — the quoted agreement numbers: the mean majority
+    * share across problems (sum div count, integer-exact) and the share
+    * of problems whose majority clears a quorum (the "k chains agree"
+    * operating point an agentic pipeline gates on). The
+    * [[passAtKRollup]] symmetry: every per-problem estimator here has
+    * its benchmark mean. One partial-aggregated one-row reduce over
+    * problem-sized rows.
+    *
+    * Output (one row): n_problems, mean_majority_permille, n_quorum,
+    * quorum_share_permille (NULLs when there are no problems).
+    */
+  def selfConsistencyRollup(perProblem: DataFrame,
+      quorumPermille: Long = 500L): DataFrame = {
+    require(quorumPermille >= 0 && quorumPermille <= 1000,
+      "quorumPermille must be in [0, 1000]")
+    perProblem.agg(
+      count(lit(1)).as("n_problems"),
+      sum(col("majority_permille")).as("__sum"),
+      sum(when(col("majority_permille") >= quorumPermille, 1L).otherwise(0L))
+        .as("n_quorum"))
+      .select(col("n_problems"),
+        when(col("n_problems") > 0,
+          call_function("div", col("__sum"), col("n_problems")))
+          .as("mean_majority_permille"),
+        col("n_quorum"),
+        when(col("n_problems") > 0,
+          call_function("div", col("n_quorum") * 1000L, col("n_problems")))
+          .as("quorum_share_permille"))
+  }
+
   /** BERTScore-lite (Zhang et al. 2020, minus the contextual encoder and
     * IDF weighting): soft max-matching between two UNIT-embedding sets
     * per pair — recall = mean over reference units of the best similarity

@@ -313,6 +313,7 @@ object RowLocal {
     "EvalMetrics.corpusChrf" -> "corpus-level per-n component reduce (micro-average pooling)",
     "EvalMetrics.corpusRougeN" -> "corpus-level per-n component reduce (micro-average pooling)",
     "EvalMetrics.passAtKRollup" -> "per-k mean over problem-sized aggregate rows",
+    "EvalMetrics.selfConsistencyRollup" -> "one-row mean/quorum reduce over problem-sized aggregate rows",
     "EvalMetrics.bertScore" -> "pair-keyed unit join + two max-reduce aggregates",
     "EvalMetrics.distinctN" -> "corpus-wide (n, gram) aggregate (distinct share needs all docs)",
     "EvalMetrics.ngramNovelty" -> "reference-set dedup + (n, gram) anti-join + doc rollup",

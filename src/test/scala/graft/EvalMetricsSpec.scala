@@ -300,6 +300,23 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(r2.getLong(r2.fieldIndex("majority_permille")) == 500L)
   }
 
+  test("selfConsistencyRollup: mean majority share and the quorum share") {
+    // problems: p1 majority 2/3 (666), p2 tie 1/2 (500), p3 3/3 (1000)
+    val rows = Seq(
+      (1L, 3L), (1L, 3L), (1L, 7L),
+      (2L, 5L), (2L, 2L),
+      (3L, 9L), (3L, 9L), (3L, 9L))
+      .toDF("problem", "answer")
+    val per = EvalMetrics.selfConsistency(rows, "problem", "answer")
+    val out = EvalMetrics.selfConsistencyRollup(per, quorumPermille = 600L)
+      .collect().head
+    assert(out.getLong(out.fieldIndex("n_problems")) == 3L)
+    // (666 + 500 + 1000) div 3 = 722
+    assert(out.getLong(out.fieldIndex("mean_majority_permille")) == 722L)
+    assert(out.getLong(out.fieldIndex("n_quorum")) == 2L) // 666 and 1000
+    assert(out.getLong(out.fieldIndex("quorum_share_permille")) == 666L)
+  }
+
   test("corpusBleu: micro-average pools components BEFORE the root") {
     val pairs = Seq(
       (1L, "a b c d", "a b c d"), // identity pair: all precisions perfect
