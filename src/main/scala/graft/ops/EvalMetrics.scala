@@ -385,10 +385,17 @@ object EvalMetrics {
       seed: String = "graft-boot"): DataFrame = {
     require(replicates >= 2 && replicates <= 200,
       "replicates must be in [2, 200]")
+    // NULL metrics drop (visible via n_pairs_used); values OUTSIDE the
+    // bootstrap envelope FAIL LOUDLY instead of silently joining the
+    // dropped set — the bootstrapMeans error contract, not a silent NULL
     def side(df: DataFrame, p: String): DataFrame = df.select(
       col(pairIdCol).as("pair_id"),
-      when(abs(col(metricCol).cast("long")) <= 1000000000000L,
-        col(metricCol).cast("long")).as(s"__$p"))
+      when(col(metricCol).isNull, lit(null).cast("long"))
+        .when(abs(col(metricCol).cast("long")) <= 1000000000000L,
+          col(metricCol).cast("long"))
+        .otherwise(raise_error(concat(
+          lit("pairedBootstrapMetric: metric outside [-1e12, 1e12] for pair "),
+          col(pairIdCol).cast("string")))).as(s"__$p"))
     val joined = side(a, "a").join(side(b, "b"), "pair_id")
       .where(col("__a").isNotNull && col("__b").isNotNull)
     val u = Curation.portableHash31(
