@@ -355,16 +355,18 @@ private[graft] object EntriesAnalytics {
       // batch-mode run of the streaming novelty monitor (same code path;
       // watermark applies to streams only): hourly windows of an
       // event-derived text against the documents corpus's frozen gram
-      // set — the live memorization alarm; membership is a stream-static
-      // left outer join, the pool is the one windowed aggregate
+      // index — the live memorization alarm; membership is a
+      // stream-static left outer join, the pool is the one windowed
+      // aggregate; the NoveltyIndex type makes a non-distinct static
+      // side unrepresentable (the batch path's own convention)
       graft.streaming.Windows.streamingNovelty(
         t(s, dir, "events").select(col("ts"),
           concat_ws(" ", col("event_type"), col("props"),
             (col("event_id") % 13).cast("string")).as("text")),
         "ts", "text",
-        graft.ops.EvalMetrics.referenceGramSet(
+        graft.ops.EvalMetrics.noveltyIndex(
           t(s, dir, "documents").select(col("text")), "text", maxN = 2),
-        windowDuration = "1 hour", maxN = 2)),
+        windowDuration = "1 hour")),
     "ns_stream_calibration" -> ((s, dir) =>
       // Batch-mode run of the streaming calibration monitor — the SAME
       // code path the stream executes (watermark applies to streams
@@ -795,7 +797,11 @@ private[graft] object EntriesAnalytics {
     "ns_stream_bleu" ->
       // the oracle is free to use the batch two-level clip (per-event
       // gram aggregate, then the window pool); the root chain is the
-      // shared isqrt fragment every BLEU-geo oracle compiles from
+      // shared isqrt fragment every BLEU-geo oracle compiles from. The
+      // tk CTE slices BOTH sides to 64 tokens, mirroring the monitor's
+      // maxTokens = 64 row-local-clip contract — without the slice, gate
+      // parity would silently depend on the derived texts staying under
+      // 64 tokens (they do today; the contract should not rely on it)
       s"""WITH src AS (SELECT event_id,
          |    time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w,
          |    concat_ws(' ', event_type, event_type, props,
@@ -804,10 +810,10 @@ private[graft] object EntriesAnalytics {
          |      CAST(event_id % 3 AS VARCHAR), CAST(event_id % 7 AS VARCHAR)) AS ref
          |  FROM events),
          |tk AS MATERIALIZED (SELECT event_id, w,
-         |    list_filter(string_split_regex(trim(lower(coalesce(cand, ''))), '\\s+'),
-         |                x -> x <> '') AS ct,
-         |    list_filter(string_split_regex(trim(lower(coalesce(ref, ''))), '\\s+'),
-         |                x -> x <> '') AS rt
+         |    list_slice(list_filter(string_split_regex(trim(lower(coalesce(cand, ''))), '\\s+'),
+         |               x -> x <> ''), 1, 64) AS ct,
+         |    list_slice(list_filter(string_split_regex(trim(lower(coalesce(ref, ''))), '\\s+'),
+         |               x -> x <> ''), 1, 64) AS rt
          |  FROM src),
          |ns AS (SELECT event_id, ct, rt, CAST(unnest([1, 2, 3, 4]) AS BIGINT) AS n FROM tk),
          |cgr AS (SELECT event_id, n, unnest(list_transform(range(1, len(ct) - n + 2),

@@ -1771,9 +1771,13 @@ object text {
     * distinct × (2 filters) quadratic scans, and one expression eval
     * versus ~20 CodegenFallback HOF nodes (the HOF draft measured
     * 4.9 s / 1M short rows; this kernel ~5× less). Gram identity is the
-    * token SEQUENCE (keys joined on U+0001 — tokens are \s+-split so
-    * separators cannot collide), matching the distributed kernel's
-    * space-joined grams exactly; the law test pins column-for-column
+    * token SEQUENCE, keys joined on ' ' — an ASCII space can never
+    * appear INSIDE a \s+-split token (space matches \s, so it is always
+    * a separator), which makes the join injective; a U+0001 separator
+    * would NOT be (\s does not match U+0001, so a token may contain it
+    * and bigrams ("ab","c") / ("a","bc") would share a key).
+    * The space join is also exactly the distributed kernel's
+    * concat_ws(" ") gram identity; the law test pins column-for-column
     * equality. Inputs must be pre-truncated token arrays (the caller's
     * maxTokens contract); null arrays count as empty, never null out.
     * CodegenFallback like the other bounded per-row kernels
@@ -1799,7 +1803,7 @@ object text {
       else {
         val sb = new java.lang.StringBuilder(t(i))
         var k = 1
-        while (k < n) { sb.append('\u0001').append(t(i + k)); k += 1 }
+        while (k < n) { sb.append(' ').append(t(i + k)); k += 1 }
         sb.toString
       }
     override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
@@ -1847,7 +1851,8 @@ object text {
     * (the [[BleuComponentsExpr]] lesson, measured ~8× on 300-token
     * docs). Emits one (n, total_grams, distinct_grams) row per n with at
     * least one gram — ns with none are ABSENT, the family convention.
-    * Null array = empty. Same U+0001 gram keys as the BLEU kernel.
+    * Null array = empty. Same space-joined gram keys as the BLEU kernel
+    * (injective for \s+-split tokens — see [[BleuComponentsExpr]]).
     */
   case class GramRepCountsExpr(child: Expression, maxN: Int)
       extends UnaryExpression with CodegenFallback {
@@ -1878,7 +1883,7 @@ object text {
             else {
               val sb = new java.lang.StringBuilder(t(i))
               var k = 1
-              while (k < n) { sb.append('\u0001').append(t(i + k)); k += 1 }
+              while (k < n) { sb.append(' ').append(t(i + k)); k += 1 }
               seen.add(sb.toString)
             }
             i += 1

@@ -373,9 +373,12 @@ object EvalMetrics {
     *
     * Scale shape: [[pairedBootstrapBleu]]'s — one pair-keyed equi-join,
     * a constant ×B fan-out onto ONE partial-aggregated B-row reduce,
-    * then a one-row verdict. Metric values must satisfy |m| ≤ 10¹²
-    * (the [[Profile.bootstrapMeans]] envelope); Σw·m accumulates in
-    * DECIMAL(38,0) so any pair count stays exact.
+    * then a one-row verdict. Metric values must be INTEGRAL and satisfy
+    * |m| ≤ 10¹² (the [[Profile.bootstrapMeans]] envelope); a fractional
+    * metric FAILS LOUDLY rather than silently truncating (put float
+    * metrics on a micro/permille grid first — every metric in this file
+    * already is). Σw·m accumulates in DECIMAL(38,0) so any pair count
+    * stays exact.
     *
     * Output (one row): n_pairs_used, n_replicates, defined, a_wins,
     * b_wins, ties, undefined, a_win_permille.
@@ -386,16 +389,24 @@ object EvalMetrics {
     require(replicates >= 2 && replicates <= 200,
       "replicates must be in [2, 200]")
     // NULL metrics drop (visible via n_pairs_used); values OUTSIDE the
-    // bootstrap envelope FAIL LOUDLY instead of silently joining the
-    // dropped set — the bootstrapMeans error contract, not a silent NULL
-    def side(df: DataFrame, p: String): DataFrame = df.select(
-      col(pairIdCol).as("pair_id"),
-      when(col(metricCol).isNull, lit(null).cast("long"))
-        .when(abs(col(metricCol).cast("long")) <= 1000000000000L,
-          col(metricCol).cast("long"))
-        .otherwise(raise_error(concat(
-          lit("pairedBootstrapMetric: metric outside [-1e12, 1e12] for pair "),
-          col(pairIdCol).cast("string")))).as(s"__$p"))
+    // bootstrap envelope OR NON-INTEGRAL fail LOUDLY instead of silently
+    // joining the dropped set / truncating toward zero — the
+    // bootstrapMeans error contract, not a silent NULL or floor. The
+    // integrality probe compares on the double grid, exact below the
+    // 1e12 envelope (< 2^53)
+    def side(df: DataFrame, p: String): DataFrame = {
+      val m = col(metricCol)
+      val md = m.cast("double")
+      df.select(
+        col(pairIdCol).as("pair_id"),
+        when(m.isNull, lit(null).cast("long"))
+          .when(md === floor(md) && abs(md) <= 1.0e12, m.cast("long"))
+          .otherwise(raise_error(concat(
+            lit("pairedBootstrapMetric: metric must be integral inside " +
+              "[-1e12, 1e12] (grid fractional metrics first); got "),
+            m.cast("string"), lit(" for pair "),
+            col(pairIdCol).cast("string")))).as(s"__$p"))
+    }
     val joined = side(a, "a").join(side(b, "b"), "pair_id")
       .where(col("__a").isNotNull && col("__b").isNotNull)
     val u = Curation.portableHash31(
@@ -706,16 +717,19 @@ object EvalMetrics {
     * embedding-family eval metric next to the n-gram (BLEU/ROUGE/chrF)
     * and edit (TER) families: it credits paraphrases n-grams miss.
     *
-    * Similarity = the raw dot product in an in-order fold — the
-    * [[Similarity.marginPairs]] contract: feed NORMALIZED embeddings
-    * (dot = cosine) or INTEGER-VALUED vectors (e.g.
-    * [[Similarity.quantizeInt8]] codes cast to double) for exact
-    * arithmetic below 2^53 and bit-for-bit engine replay (the gate runs
-    * integer mode; float vectors score validly but the max near
-    * float-ties is engine-specific). Means are truncated integer
-    * division on the dot grid; F1 is NULL unless both means are
-    * strictly positive (dots can be negative — a harmonic mean of
-    * signed similarities is undefined, not clamped).
+    * Similarity = floor(dotScale · dot) — the dot product in an
+    * in-order fold, floored onto an integer grid. Two supported input
+    * regimes: INTEGER-VALUED vectors (e.g. [[Similarity.quantizeInt8]]
+    * codes cast to double) with dotScale = 1 give exact arithmetic
+    * below 2^53 and bit-for-bit engine replay (the gate's mode);
+    * NORMALIZED float embeddings (dot = cosine ∈ [−1, 1]) need
+    * dotScale = 1e6 — the mmrSelect micro-unit grid — because flooring
+    * a cosine at scale 1 collapses nearly every similarity to 0/−1 and
+    * the means with it. Float mode scores validly on the µ-grid but the
+    * max near float-ties is engine-specific. Means are truncated
+    * integer division on the (scaled) dot grid; F1 is NULL unless both
+    * means are strictly positive (dots can be negative — a harmonic
+    * mean of signed similarities is undefined, not clamped).
     *
     * Scale shape: ONE pair-keyed equi-join (hash/SMJ on pair_id — never
     * a cross product; per-pair cost is |cand units|·|ref units|, so
@@ -728,10 +742,13 @@ object EvalMetrics {
     * precision_mean, recall_mean, f1).
     */
   def bertScore(candUnits: DataFrame, refUnits: DataFrame,
-      pairCol: String, unitCol: String, vecCol: String): DataFrame = {
+      pairCol: String, unitCol: String, vecCol: String,
+      dotScale: Long = 1L): DataFrame = {
+    require(dotScale >= 1L && dotScale <= 1000000000L,
+      "dotScale must be in [1, 1e9]")
     def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-        .cast("long")
+      floor(aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
+        (acc, x) => acc + x) * lit(dotScale.toDouble)).cast("long")
     val c = candUnits.select(col(pairCol).as("pair_id"),
       col(unitCol).as("__cu"), col(vecCol).as("__cv"))
     val r = refUnits.select(col(pairCol).as("pair_id"),

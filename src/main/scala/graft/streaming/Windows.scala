@@ -561,21 +561,34 @@ object Windows {
     * the matched rows and lose the total; Structured Streaming allows
     * stream-static joins with the stream on the left, no watermark
     * state); the pool is the ONE windowed aggregate. State is
-    * windows × maxN rows. The reference frame is the static side of
-    * every micro-batch's join — persist it (or read it from a bucketed
-    * table) for a long-running query; at 100 TB the reference set is
-    * the artifact, built once by referenceGramSet.
+    * windows × maxN rows. The reference arrives as a
+    * [[graft.ops.EvalMetrics.NoveltyIndex]] — the SAME type the batch
+    * path takes, and for the same reason: the index's entries are
+    * distinct by construction and carry their own maxN, so a
+    * non-distinct static side (whose join multiplicity would silently
+    * INFLATE total_grams and distort novelty_permille) and an n-order
+    * mismatch are both unrepresentable, not merely documented away.
+    * The index frame is the static side of every micro-batch's join —
+    * persist it (or read it from a bucketed table) for a long-running
+    * query; at 100 TB the reference set is the artifact, built once by
+    * referenceGramSet/noveltyIndex.
     *
     * Output: (window_start, window_end, n, total_grams, novel_grams,
     * novelty_permille). Windows with no gram at some n emit no row for
     * that n (the batch convention).
     */
   def streamingNovelty(df: DataFrame, tsCol: String, textCol: String,
-      refGrams: DataFrame, windowDuration: String, maxN: Int = 2,
+      index: graft.ops.EvalMetrics.NoveltyIndex, windowDuration: String,
       watermark: String = "10 minutes"): DataFrame = {
-    require(maxN >= 1 && maxN <= 8, "maxN must be in [1, 8]")
+    val maxN = index.maxN
+    // defense in depth: NoveltyIndex entries are distinct by
+    // construction (noveltyIndex builds them via one dedup), but the
+    // case class's frame is caller-suppliable (e.g. re-read from a
+    // table) — the dropDuplicates is a no-op on a well-formed index and
+    // removes the join-multiplicity failure mode on a malformed one
+    val refGrams = index.entries.dropDuplicates("n", "gram")
     require(!refGrams.isStreaming,
-      "refGrams must be a static frame (stream-static join contract)")
+      "the novelty index must be a static frame (stream-static join contract)")
     val base = df.select(col(tsCol).as("__ts"), col(textCol).as("__text"))
     val src = if (df.isStreaming) base.withWatermark("__ts", watermark) else base
     val specs = array((1 to maxN).map(n => lit(n.toLong)): _*)

@@ -614,6 +614,57 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(dom("b_wins") == 0L && dom("ties") == 0L)
   }
 
+  test("pairedBootstrapMetric: a fractional metric fails loudly, never truncates") {
+    // the integer contract is ENFORCED, not documented: a float metric
+    // column (here 0.5) must raise, because .cast("long") would silently
+    // floor it toward zero and score garbage with full confidence
+    val a = (1L to 8L).map(i => (i, 700.0)).toDF("pair_id", "m")
+    val b = (1L to 8L).map(i => (i, if (i == 3L) 0.5 else 500.0))
+      .toDF("pair_id", "m")
+    // integral doubles pass (the envelope admits any carrier type whose
+    // VALUES are integers)
+    val ok = EvalMetrics.pairedBootstrapMetric(a, a, "pair_id", "m",
+      replicates = 4).collect().head
+    assert(ok.getLong(ok.fieldIndex("n_pairs_used")) == 8L)
+    val e = intercept[Exception] {
+      EvalMetrics.pairedBootstrapMetric(a, b, "pair_id", "m",
+        replicates = 4).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("must be integral"), s"got: $msgs")
+  }
+
+  test("bertScore dotScale: the micro grid rescues normalized-float cosines (law: scale multiplies integer dots)") {
+    // unit vectors whose cosines are fractional: at dotScale = 1 every
+    // similarity floors to 0/-1 (the degenerate regime the scaladoc now
+    // warns about); at 1e6 the micro grid carries them
+    val s = math.sqrt(0.5)
+    val cand = Seq((1L, 0L, Seq(1.0, 0.0))).toDF("pair_id", "unit_id", "vec")
+    val ref = Seq((1L, 1L, Seq(s, s)), (1L, 2L, Seq(0.0, 1.0)))
+      .toDF("pair_id", "unit_id", "vec")
+    val micro = EvalMetrics.bertScore(cand, ref, "pair_id", "unit_id", "vec",
+      dotScale = 1000000L).collect().head
+    // cand best = floor(1e6/sqrt2) = 707106; ref bests = 707106 and 0
+    assert(micro.getLong(micro.fieldIndex("precision_sum")) == 707106L)
+    assert(micro.getLong(micro.fieldIndex("recall_sum")) == 707106L)
+    assert(micro.getLong(micro.fieldIndex("recall_mean")) == 353553L)
+    // integer vectors: scale multiplies the (already integral) dots
+    // exactly, so scaled = unscaled x scale column-for-column
+    val ci = Seq((1L, 0L, Seq(1.0, 2.0)), (1L, 2L, Seq(3.0, 0.0)))
+      .toDF("pair_id", "unit_id", "vec")
+    val ri = Seq((1L, 1L, Seq(2.0, 1.0)), (1L, 3L, Seq(0.0, 5.0)))
+      .toDF("pair_id", "unit_id", "vec")
+    val base = EvalMetrics.bertScore(ci, ri, "pair_id", "unit_id", "vec")
+      .collect().head
+    val scaled = EvalMetrics.bertScore(ci, ri, "pair_id", "unit_id", "vec",
+      dotScale = 1000L).collect().head
+    Seq("precision_sum", "recall_sum").foreach { f =>
+      assert(scaled.getLong(scaled.fieldIndex(f)) ==
+        1000L * base.getLong(base.fieldIndex(f)), f)
+    }
+  }
+
   test("seqRepN: per-document repetition shares (Welleck rep-n)") {
     val docs = Seq((1L, "a a a b"), (2L, "x")).toDF("doc_id", "text")
     val out = EvalMetrics.seqRepN(docs, "text", "doc_id", maxN = 2)

@@ -531,13 +531,13 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streamingNovelty: stream-static membership + windowed pool, stream == batch twin") {
-    val refGrams = graft.ops.EvalMetrics.referenceGramSet(
+    val index = graft.ops.EvalMetrics.noveltyIndex(
       Seq("a b c").toDF("text"), "text", maxN = 2)
     // ref sets: n1 {a, b, c}; n2 {"a b", "b c"}
     val input = MemoryStream[(java.sql.Timestamp, String)](spark, 54)
     val df = input.toDF().toDF("ts", "text")
-    val agg = Windows.streamingNovelty(df, "ts", "text", refGrams,
-      windowDuration = "10 minutes", maxN = 2)
+    val agg = Windows.streamingNovelty(df, "ts", "text", index,
+      windowDuration = "10 minutes")
     val q = agg.writeStream.format("memory").queryName("snovel")
       .outputMode("complete").start()
     try {
@@ -557,10 +557,31 @@ class StreamingSpec extends AnyFunSuite {
         ("2024-01-01 10:00:00.0", 2L) -> ((3L, 2L, 666L)),
         ("2024-01-01 10:10:00.0", 1L) -> ((1L, 1L, 1000L))), s"got $got")
       val batchTwin = shape(Windows.streamingNovelty(
-        rows.toDF("ts", "text"), "ts", "text", refGrams,
-        windowDuration = "10 minutes", maxN = 2).collect())
+        rows.toDF("ts", "text"), "ts", "text", index,
+        windowDuration = "10 minutes").collect())
       assert(batchTwin == got)
     } finally q.stop()
+  }
+
+  test("streamingNovelty: a duplicated reference gram cannot inflate totals (index dedup)") {
+    // a malformed index frame (the case class's entries are
+    // caller-suppliable, e.g. re-read from a table): the gram "a"
+    // appears TWICE on the static side. Without the defensive dedup the
+    // left-outer membership join would emit two rows for every stream
+    // instance of "a", inflating total_grams (5 -> 6 here) and shifting
+    // novelty_permille silently.
+    val dup = graft.ops.EvalMetrics.NoveltyIndex(
+      Seq((1L, "a"), (1L, "a"), (1L, "b"), (1L, "c"))
+        .toDF("n", "gram"), maxN = 1)
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val rows = Seq((ts(1), "a b x"), (ts(2), "a a"))
+    val got = Windows.streamingNovelty(rows.toDF("ts", "text"),
+      "ts", "text", dup, windowDuration = "10 minutes")
+      .select("n", "total_grams", "novel_grams", "novelty_permille")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // 5 unigram instances (a, b, x, a, a), exactly 1 novel (x)
+    assert(got == Set((1L, 5L, 1L, 200L)), s"got $got")
   }
 
   test("streamingSeqRep: pooled within-doc repetition per window, stream == batch twin") {
