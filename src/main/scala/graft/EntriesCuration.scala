@@ -200,6 +200,37 @@ private[graft] object EntriesCuration {
           .withColumn("pair_id", col("pair_id") - 1L),
         "pair_id", "f1_permille", replicates = 32)
     }),
+    "ns_paired_bootstrap_ci" -> ((s, dir) => {
+      // Koehn-2004 95% CI of the corpus-BLEU delta: the verdict gate's
+      // per-replicate frame (same systems, same frozen cut table),
+      // sorted, 25 permille dropped each side — the interval sacrebleu
+      // prints next to the p-value; oracle DERIVED from ns_bleu's SQL
+      // via the shared bleuBootstrapRepsSql fragment the verdict gate
+      // also reduces (SparkEntry.oracleSql)
+      val comp = graft.ops.EvalMetrics.bleuComponents(
+        evalPairs(s, dir), "pair_id", "cand", "ref")
+      graft.ops.EvalMetrics.bootstrapDeltaCi(
+        graft.ops.EvalMetrics.pairedBootstrapBleuReplicates(
+          comp.where(col("pair_id") % 2 === 0),
+          comp.where(col("pair_id") % 2 === 1)
+            .withColumn("pair_id", col("pair_id") - 1L),
+          replicates = 32),
+        "delta")
+    }),
+    "ns_paired_bootstrap_rouge_ci" -> ((s, dir) => {
+      // the metric-agnostic twin's CI on the milli grid (weighted-mean
+      // delta of ROUGE-L F1); oracle DERIVED from ns_rouge_l's SQL via
+      // the shared metricBootstrapRepsSql fragment
+      val rl = graft.ops.EvalMetrics.rougeL(
+        evalPairs(s, dir), "pair_id", "cand", "ref", maxTokens = 40)
+      graft.ops.EvalMetrics.bootstrapDeltaCi(
+        graft.ops.EvalMetrics.pairedBootstrapMetricReplicates(
+          rl.where(col("pair_id") % 2 === 0),
+          rl.where(col("pair_id") % 2 === 1)
+            .withColumn("pair_id", col("pair_id") - 1L),
+          "pair_id", "f1_permille", replicates = 32),
+        "delta_milli")
+    }),
     "ns_incremental_novelty" -> ((s, dir) => {
       // continuous-ingest novelty: the reference gram set is a prebuilt
       // persistable index (NoveltyIndex carries maxN so an order

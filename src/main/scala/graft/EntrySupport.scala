@@ -906,6 +906,103 @@ private[graft] object EntrySupport {
        |    AS precision_geo_permille
        |FROM s2""".stripMargin
 
+  /** Per-replicate pooled-geo CTE chain of the BLEU paired bootstrap
+    * over ANY bleuComponents-schema oracle SQL `inner`, with the gate's
+    * even/odd two-system construction and 32 replicates — ends with CTE
+    * `reps(rep, ageo, bgeo, delta)`, the SQL twin of
+    * [[graft.ops.EvalMetrics.pairedBootstrapBleuReplicates]]. Shared by
+    * the verdict gate (ns_paired_bootstrap) and the CI gate
+    * (ns_paired_bootstrap_ci): both REDUCE this one fragment, so the
+    * win counts and the interval cannot drift from each other or from
+    * ns_bleu's components.
+    */
+  private[graft] def bleuBootstrapRepsSql(inner: String): String = {
+    def chain(p: String): String =
+      s"""i${p}1 AS (SELECT *, CAST(floor(sqrt(CAST(${p}prod AS DOUBLE))) AS HUGEINT) AS ${p}r0 FROM ${if (p == "a") "pr" else "sa2"}),
+         |c${p}1 AS (SELECT *, CASE WHEN (${p}r0 + 1) * (${p}r0 + 1) <= ${p}prod THEN ${p}r0 + 1 ELSE ${p}r0 END AS ${p}r1 FROM i${p}1),
+         |s${p}1 AS (SELECT *, CAST(CASE WHEN ${p}r1 * ${p}r1 > ${p}prod THEN ${p}r1 - 1 ELSE ${p}r1 END AS BIGINT) AS ${p}sq1 FROM c${p}1),
+         |i${p}2 AS (SELECT *, CAST(floor(sqrt(CAST(${p}sq1 AS DOUBLE))) AS HUGEINT) AS ${p}q0 FROM s${p}1),
+         |c${p}2 AS (SELECT *, CASE WHEN (${p}q0 + 1) * (${p}q0 + 1) <= ${p}sq1 THEN ${p}q0 + 1 ELSE ${p}q0 END AS ${p}q1 FROM i${p}2),
+         |s${p}2 AS (SELECT *, CAST(CASE WHEN ${p}q1 * ${p}q1 > ${p}sq1 THEN ${p}q1 - 1 ELSE ${p}q1 END AS BIGINT) AS ${p}geo FROM c${p}2)""".stripMargin
+    val sideCols = (p: String) => (1 to 4).flatMap(n => Seq(
+      s"matches_$n AS ${p}m$n", s"total_$n AS ${p}t$n")).mkString(", ")
+    s"""WITH c AS (
+       |$inner
+       |),
+       |a AS (SELECT pair_id, ${sideCols("a")} FROM c WHERE pair_id % 2 = 0),
+       |b AS (SELECT pair_id - 1 AS pair_id, ${sideCols("b")} FROM c WHERE pair_id % 2 = 1),
+       |j AS (SELECT * FROM a JOIN b USING (pair_id)),
+       |r AS (SELECT j.*, CAST(unnest(range(1, 33)) AS BIGINT) AS rep FROM j),
+       |wu AS (SELECT *, ('0x' || substr(md5('graft-boot|' || CAST(pair_id AS VARCHAR) ||
+       |         '|' || CAST(rep AS VARCHAR)), 1, 8))::UBIGINT & 2147483647 AS u FROM r),
+       |ww AS (SELECT *, $poissonCutCaseSql AS w FROM wu),
+       |g AS (SELECT rep,
+       |${(for { p <- Seq("a", "b"); n <- 1 to 4; cc <- Seq("m", "t") }
+         yield s"    CAST(sum(w * $p$cc$n) AS BIGINT) AS $p$cc$n").mkString(",\n")}
+       |  FROM ww GROUP BY rep),
+       |pp AS (SELECT *,
+       |${(for { p <- Seq("a", "b"); n <- 1 to 4 }
+         yield s"    CASE WHEN ${p}t$n > 0 THEN ${p}m$n * 1000 // ${p}t$n END AS p$p$n").mkString(",\n")}
+       |  FROM g),
+       |pr AS (SELECT *,
+       |    CASE WHEN at1 > 0 AND at2 > 0 AND at3 > 0 AND at4 > 0
+       |         THEN pa1 * pa2 * pa3 * pa4 END AS aprod,
+       |    CASE WHEN bt1 > 0 AND bt2 > 0 AND bt3 > 0 AND bt4 > 0
+       |         THEN pb1 * pb2 * pb3 * pb4 END AS bprod
+       |  FROM pp),
+       |${chain("a")},
+       |${chain("b")},
+       |reps AS (SELECT rep, ageo, bgeo,
+       |    CASE WHEN ageo IS NOT NULL AND bgeo IS NOT NULL
+       |         THEN ageo - bgeo END AS delta
+       |  FROM sb2)""".stripMargin
+  }
+
+  /** Per-replicate frame of the metric-agnostic paired bootstrap over a
+    * (pair_id, f1_permille) oracle SQL `inner` (the even/odd gate
+    * construction, 32 replicates) — ends with CTE `reps(rep, n_pairs,
+    * w_sum, sum_a, sum_b, delta_milli)`, the twin of
+    * [[graft.ops.EvalMetrics.pairedBootstrapMetricReplicates]]. Shared
+    * by ns_paired_bootstrap_rouge (verdict) and its CI gate.
+    */
+  private[graft] def metricBootstrapRepsSql(inner: String): String =
+    s"""WITH c AS (
+       |$inner
+       |),
+       |a AS (SELECT pair_id, f1_permille AS ma FROM c WHERE pair_id % 2 = 0),
+       |b AS (SELECT pair_id - 1 AS pair_id, f1_permille AS mb FROM c WHERE pair_id % 2 = 1),
+       |j AS (SELECT * FROM a JOIN b USING (pair_id)
+       |      WHERE ma IS NOT NULL AND mb IS NOT NULL),
+       |r AS (SELECT j.*, CAST(unnest(range(1, 33)) AS BIGINT) AS rep FROM j),
+       |wu AS (SELECT *, ('0x' || substr(md5('graft-boot|' || CAST(pair_id AS VARCHAR) ||
+       |         '|' || CAST(rep AS VARCHAR)), 1, 8))::UBIGINT & 2147483647 AS u FROM r),
+       |ww AS (SELECT *, $poissonCutCaseSql AS w FROM wu),
+       |g AS (SELECT rep, CAST(sum(w) AS BIGINT) AS n,
+       |        CAST(count(*) AS BIGINT) AS pairs,
+       |        sum(w * ma) AS sa, sum(w * mb) AS sb
+       |      FROM ww GROUP BY rep),
+       |reps AS (SELECT rep, pairs AS n_pairs, n AS w_sum, sa, sb,
+       |    CASE WHEN n > 0 THEN CAST(((sa - sb) * 1000) // n AS BIGINT)
+       |    END AS delta_milli
+       |  FROM g)""".stripMargin
+
+  /** The order-statistics CI tail over a `reps` CTE — the SQL twin of
+    * [[graft.ops.EvalMetrics.bootstrapDeltaCi]] at dropPermille = 25
+    * (Koehn's 95%): sort the defined deltas, drop 25‰ each side, read
+    * the bounds and the lower median. Shared by both CI gates.
+    */
+  private[graft] def bootstrapCiTailSql(deltaCol: String): String =
+    s"""ds AS (SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+       |    list_sort(list($deltaCol) FILTER (WHERE $deltaCol IS NOT NULL)) AS l
+       |  FROM reps),
+       |dd AS (SELECT n_replicates, CAST(len(l) AS BIGINT) AS defined,
+       |    (CAST(len(l) AS BIGINT) * 25) // 1000 AS drop_each_side, l FROM ds)
+       |SELECT n_replicates, defined, drop_each_side,
+       |  CASE WHEN defined > 0 THEN l[CAST(drop_each_side + 1 AS INT)] END AS delta_lo,
+       |  CASE WHEN defined > 0 THEN l[CAST(defined - drop_each_side AS INT)] END AS delta_hi,
+       |  CASE WHEN defined > 0 THEN l[CAST((defined + 1) // 2 AS INT)] END AS delta_median
+       |FROM dd""".stripMargin
+
   /** Per-n corpus pooling over a per-pair component CTE `c` (matches /
     * cand_total / ref_total, long by n) — shared by the ns_corpus_chrf
     * and ns_corpus_rouge_n derived oracles: sums first, then the same

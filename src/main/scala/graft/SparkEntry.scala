@@ -181,82 +181,50 @@ object SparkEntry {
            |FROM w GROUP BY k""".stripMargin) +
       // the paired bootstrap derives from ns_bleu's components + the
       // frozen Poisson cut table (bootstrapMeans' exact convention) +
-      // the corrected floor-isqrt chain, one per system
-      ("ns_paired_bootstrap" -> {
-        def chain(p: String): String =
-          s"""i${p}1 AS (SELECT *, CAST(floor(sqrt(CAST(${p}prod AS DOUBLE))) AS HUGEINT) AS ${p}r0 FROM ${if (p == "a") "pr" else "sa2"}),
-             |c${p}1 AS (SELECT *, CASE WHEN (${p}r0 + 1) * (${p}r0 + 1) <= ${p}prod THEN ${p}r0 + 1 ELSE ${p}r0 END AS ${p}r1 FROM i${p}1),
-             |s${p}1 AS (SELECT *, CAST(CASE WHEN ${p}r1 * ${p}r1 > ${p}prod THEN ${p}r1 - 1 ELSE ${p}r1 END AS BIGINT) AS ${p}sq1 FROM c${p}1),
-             |i${p}2 AS (SELECT *, CAST(floor(sqrt(CAST(${p}sq1 AS DOUBLE))) AS HUGEINT) AS ${p}q0 FROM s${p}1),
-             |c${p}2 AS (SELECT *, CASE WHEN (${p}q0 + 1) * (${p}q0 + 1) <= ${p}sq1 THEN ${p}q0 + 1 ELSE ${p}q0 END AS ${p}q1 FROM i${p}2),
-             |s${p}2 AS (SELECT *, CAST(CASE WHEN ${p}q1 * ${p}q1 > ${p}sq1 THEN ${p}q1 - 1 ELSE ${p}q1 END AS BIGINT) AS ${p}geo FROM c${p}2)""".stripMargin
-        val sideCols = (p: String) => (1 to 4).flatMap(n => Seq(
-          s"matches_$n AS ${p}m$n", s"total_$n AS ${p}t$n")).mkString(", ")
-        s"""WITH c AS (
-           |${base("ns_bleu")}
-           |),
-           |a AS (SELECT pair_id, ${sideCols("a")} FROM c WHERE pair_id % 2 = 0),
-           |b AS (SELECT pair_id - 1 AS pair_id, ${sideCols("b")} FROM c WHERE pair_id % 2 = 1),
-           |j AS (SELECT * FROM a JOIN b USING (pair_id)),
-           |r AS (SELECT j.*, CAST(unnest(range(1, 33)) AS BIGINT) AS rep FROM j),
-           |wu AS (SELECT *, ('0x' || substr(md5('graft-boot|' || CAST(pair_id AS VARCHAR)
-           |         || '|' || CAST(rep AS VARCHAR)), 1, 8))::UBIGINT & 2147483647 AS u FROM r),
-           |ww AS (SELECT *, ${EntrySupport.poissonCutCaseSql} AS w FROM wu),
-           |g AS (SELECT rep,
-           |${(for { p <- Seq("a", "b"); n <- 1 to 4; cc <- Seq("m", "t") }
-             yield s"    CAST(sum(w * $p$cc$n) AS BIGINT) AS $p$cc$n").mkString(",\n")}
-           |  FROM ww GROUP BY rep),
-           |pp AS (SELECT *,
-           |${(for { p <- Seq("a", "b"); n <- 1 to 4 }
-             yield s"    CASE WHEN ${p}t$n > 0 THEN ${p}m$n * 1000 // ${p}t$n END AS p$p$n").mkString(",\n")}
-           |  FROM g),
-           |pr AS (SELECT *,
-           |    CASE WHEN at1 > 0 AND at2 > 0 AND at3 > 0 AND at4 > 0
-           |         THEN pa1 * pa2 * pa3 * pa4 END AS aprod,
-           |    CASE WHEN bt1 > 0 AND bt2 > 0 AND bt3 > 0 AND bt4 > 0
-           |         THEN pb1 * pb2 * pb3 * pb4 END AS bprod
-           |  FROM pp),
-           |${chain("a")},
-           |${chain("b")},
+      // the corrected floor-isqrt chain, one per system. The whole
+      // per-replicate chain is the SHARED bleuBootstrapRepsSql fragment
+      // (ending in reps) — this verdict and the CI gate below both
+      // reduce that one fragment, mirroring the Scala refactor where
+      // pairedBootstrapBleu is re-derived from the replicates frame
+      ("ns_paired_bootstrap" ->
+        s"""${EntrySupport.bleuBootstrapRepsSql(base("ns_bleu"))},
            |f AS (SELECT CAST(count(*) AS BIGINT) AS n_replicates,
            |    CAST(sum(CASE WHEN ageo IS NOT NULL AND bgeo IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS defined,
            |    CAST(sum(CASE WHEN ageo > bgeo THEN 1 ELSE 0 END) AS BIGINT) AS a_wins,
            |    CAST(sum(CASE WHEN bgeo > ageo THEN 1 ELSE 0 END) AS BIGINT) AS b_wins,
            |    CAST(sum(CASE WHEN ageo = bgeo THEN 1 ELSE 0 END) AS BIGINT) AS ties,
            |    CAST(sum(CASE WHEN ageo IS NULL OR bgeo IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS undefined
-           |  FROM sb2)
-           |SELECT *, CASE WHEN defined > 0 THEN a_wins * 1000 // defined END AS a_win_permille
-           |FROM f""".stripMargin
-      }) +
-      // the metric-agnostic paired bootstrap derives from ns_rouge_l's
-      // SQL; the verdict is division-free (paired weights share Σw, so
-      // the weighted-mean compare is Σw·ma vs Σw·mb — exact HUGEINTs)
-      ("ns_paired_bootstrap_rouge" ->
-        s"""WITH c AS (
-           |${base("ns_rouge_l")}
-           |),
-           |a AS (SELECT pair_id, f1_permille AS ma FROM c WHERE pair_id % 2 = 0),
-           |b AS (SELECT pair_id - 1 AS pair_id, f1_permille AS mb FROM c WHERE pair_id % 2 = 1),
-           |j AS (SELECT * FROM a JOIN b USING (pair_id)
-           |      WHERE ma IS NOT NULL AND mb IS NOT NULL),
-           |r AS (SELECT j.*, CAST(unnest(range(1, 33)) AS BIGINT) AS rep FROM j),
-           |wu AS (SELECT *, ('0x' || substr(md5('graft-boot|' || CAST(pair_id AS VARCHAR)
-           |         || '|' || CAST(rep AS VARCHAR)), 1, 8))::UBIGINT & 2147483647 AS u FROM r),
-           |ww AS (SELECT *, ${EntrySupport.poissonCutCaseSql} AS w FROM wu),
-           |g AS (SELECT rep, CAST(sum(w) AS BIGINT) AS n,
-           |        CAST(count(*) AS BIGINT) AS pairs,
-           |        sum(w * ma) AS sa, sum(w * mb) AS sb
-           |      FROM ww GROUP BY rep),
-           |f AS (SELECT CAST(coalesce(max(pairs), 0) AS BIGINT) AS n_pairs_used,
-           |    CAST(count(*) AS BIGINT) AS n_replicates,
-           |    CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS defined,
-           |    CAST(sum(CASE WHEN n > 0 AND sa > sb THEN 1 ELSE 0 END) AS BIGINT) AS a_wins,
-           |    CAST(sum(CASE WHEN n > 0 AND sb > sa THEN 1 ELSE 0 END) AS BIGINT) AS b_wins,
-           |    CAST(sum(CASE WHEN n > 0 AND sa = sb THEN 1 ELSE 0 END) AS BIGINT) AS ties,
-           |    CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS undefined
-           |  FROM g)
+           |  FROM reps)
            |SELECT *, CASE WHEN defined > 0 THEN a_wins * 1000 // defined END AS a_win_permille
            |FROM f""".stripMargin) +
+      // the 95% delta CI over the SAME per-replicate fragment (Koehn
+      // 2004's order-statistics interval — the number sacrebleu prints
+      // next to the p-value): sort the defined deltas, drop 25 permille
+      // each side, read the bounds
+      ("ns_paired_bootstrap_ci" ->
+        s"""${EntrySupport.bleuBootstrapRepsSql(base("ns_bleu"))},
+           |${EntrySupport.bootstrapCiTailSql("delta")}""".stripMargin) +
+      // the metric-agnostic paired bootstrap derives from ns_rouge_l's
+      // SQL; the verdict is division-free (paired weights share Σw, so
+      // the weighted-mean compare is Σw·ma vs Σw·mb — exact HUGEINTs);
+      // the per-replicate chain is the shared metricBootstrapRepsSql
+      // fragment this verdict and its CI gate both reduce
+      ("ns_paired_bootstrap_rouge" ->
+        s"""${EntrySupport.metricBootstrapRepsSql(base("ns_rouge_l"))},
+           |f AS (SELECT CAST(coalesce(max(n_pairs), 0) AS BIGINT) AS n_pairs_used,
+           |    CAST(count(*) AS BIGINT) AS n_replicates,
+           |    CAST(sum(CASE WHEN w_sum > 0 THEN 1 ELSE 0 END) AS BIGINT) AS defined,
+           |    CAST(sum(CASE WHEN w_sum > 0 AND sa > sb THEN 1 ELSE 0 END) AS BIGINT) AS a_wins,
+           |    CAST(sum(CASE WHEN w_sum > 0 AND sb > sa THEN 1 ELSE 0 END) AS BIGINT) AS b_wins,
+           |    CAST(sum(CASE WHEN w_sum > 0 AND sa = sb THEN 1 ELSE 0 END) AS BIGINT) AS ties,
+           |    CAST(sum(CASE WHEN w_sum = 0 THEN 1 ELSE 0 END) AS BIGINT) AS undefined
+           |  FROM reps)
+           |SELECT *, CASE WHEN defined > 0 THEN a_wins * 1000 // defined END AS a_win_permille
+           |FROM f""".stripMargin) +
+      // the ROUGE-L delta CI on the milli grid, over the same fragment
+      ("ns_paired_bootstrap_rouge_ci" ->
+        s"""${EntrySupport.metricBootstrapRepsSql(base("ns_rouge_l"))},
+           |${EntrySupport.bootstrapCiTailSql("delta_milli")}""".stripMargin) +
       // the agreement rollup derives from the per-problem majority oracle
       ("ns_selfcons_rollup" ->
         s"""WITH sc AS (

@@ -314,7 +314,35 @@ object EvalMetrics {
     * replicate is defined).
     */
   def pairedBootstrapBleu(componentsA: DataFrame, componentsB: DataFrame,
-      replicates: Int = 64, seed: String = "graft-boot"): DataFrame = {
+      replicates: Int = 64, seed: String = "graft-boot"): DataFrame =
+    pairedBootstrapBleuReplicates(componentsA, componentsB, replicates, seed)
+      .agg(count(lit(1)).as("n_replicates"),
+        sum(when(col("geo_a").isNotNull && col("geo_b").isNotNull, 1L)
+          .otherwise(0L)).as("defined"),
+        sum(when(col("geo_a") > col("geo_b"), 1L).otherwise(0L)).as("a_wins"),
+        sum(when(col("geo_b") > col("geo_a"), 1L).otherwise(0L)).as("b_wins"),
+        sum(when(col("geo_a") === col("geo_b"), 1L).otherwise(0L)).as("ties"),
+        sum(when(col("geo_a").isNull || col("geo_b").isNull, 1L)
+          .otherwise(0L)).as("undefined"))
+      .withColumn("a_win_permille",
+        when(col("defined") > 0,
+          call_function("div", col("a_wins") * 1000L, col("defined"))))
+
+  /** The per-replicate frame [[pairedBootstrapBleu]] reduces to its
+    * verdict — EXPOSED (round-10 verdict item 2) because the B-row
+    * resample distribution carries more than the win counts: the 95%
+    * confidence interval of the corpus-metric delta sacrebleu prints
+    * next to the p-value ([[bootstrapDeltaCi]]), the full histogram for
+    * plotting, and any custom operating point. The verdict operator is
+    * re-derived FROM this frame (one construction, no way to drift).
+    *
+    * Output (`replicates` rows, B ≤ 200 — metadata-sized): (replicate,
+    * geo_a, geo_b, delta = geo_a − geo_b on the permille grid, NULL when
+    * either side's pooled geo is undefined for that resample).
+    */
+  def pairedBootstrapBleuReplicates(componentsA: DataFrame,
+      componentsB: DataFrame, replicates: Int = 64,
+      seed: String = "graft-boot"): DataFrame = {
     require(replicates >= 2 && replicates <= 200,
       "replicates must be in [2, 200]")
     def side(df: DataFrame, p: String): DataFrame =
@@ -343,17 +371,55 @@ object EvalMetrics {
         .withColumn(s"__geo$p", Curation.isqrtExact(col(s"__sq$p")))
     }
     geo(geo(perRep, "a"), "b")
+      .select(col("replicate"),
+        col("__geoa").as("geo_a"), col("__geob").as("geo_b"),
+        when(col("__geoa").isNotNull && col("__geob").isNotNull,
+          col("__geoa") - col("__geob")).as("delta"))
+  }
+
+  /** Order-statistics confidence interval of the bootstrap delta —
+    * the number sacrebleu's `--confidence` prints next to the win-count
+    * p-value (Koehn 2004 §3: sort the B resampled deltas, drop the top
+    * and bottom `dropPermille` share — 25‰ each side = the 95% interval
+    * — and read the bounds). Input is a replicates frame from
+    * [[pairedBootstrapBleuReplicates]] (`delta`, permille grid) or
+    * [[pairedBootstrapMetricReplicates]] (`delta_milli`); the delta
+    * column must be integer-valued (both producers' are). NULL deltas
+    * (undefined resamples) drop before ranking — `defined` makes the
+    * thinning visible.
+    *
+    * Scale shape: ONE aggregate over a B ≤ 200-row frame; the
+    * collect_list inside it is bounded by the producers' replicate cap,
+    * so the sort is metadata-priced by construction — this is the one
+    * place a collected list is the right tool (an order statistic over
+    * ≤200 integers does not deserve a shuffle).
+    *
+    * Output (one row): n_replicates, defined, drop_each_side,
+    * delta_lo, delta_hi (the CI bounds), delta_median (lower median).
+    */
+  def bootstrapDeltaCi(replicateFrame: DataFrame, deltaCol: String,
+      dropPermille: Long = 25L): DataFrame = {
+    require(dropPermille >= 0 && dropPermille < 500,
+      "dropPermille must be in [0, 500) (each side)")
+    replicateFrame
       .agg(count(lit(1)).as("n_replicates"),
-        sum(when(col("__geoa").isNotNull && col("__geob").isNotNull, 1L)
-          .otherwise(0L)).as("defined"),
-        sum(when(col("__geoa") > col("__geob"), 1L).otherwise(0L)).as("a_wins"),
-        sum(when(col("__geob") > col("__geoa"), 1L).otherwise(0L)).as("b_wins"),
-        sum(when(col("__geoa") === col("__geob"), 1L).otherwise(0L)).as("ties"),
-        sum(when(col("__geoa").isNull || col("__geob").isNull, 1L)
-          .otherwise(0L)).as("undefined"))
-      .withColumn("a_win_permille",
+        sort_array(collect_list(col(deltaCol))).as("__ds"))
+      .withColumn("defined", size(col("__ds")).cast("long"))
+      // d < defined/2 for dropPermille < 500, so lo/hi never cross
+      .withColumn("drop_each_side",
+        call_function("div", col("defined") * dropPermille, lit(1000L)))
+      .select(col("n_replicates"), col("defined"), col("drop_each_side"),
         when(col("defined") > 0,
-          call_function("div", col("a_wins") * 1000L, col("defined"))))
+          element_at(col("__ds"), (col("drop_each_side") + 1L).cast("int")))
+          .as("delta_lo"),
+        when(col("defined") > 0,
+          element_at(col("__ds"),
+            (col("defined") - col("drop_each_side")).cast("int")))
+          .as("delta_hi"),
+        when(col("defined") > 0,
+          element_at(col("__ds"),
+            call_function("div", col("defined") + 1L, lit(2L)).cast("int")))
+          .as("delta_median"))
   }
 
   /** Metric-agnostic paired bootstrap (the [[pairedBootstrapBleu]]
@@ -385,6 +451,41 @@ object EvalMetrics {
     */
   def pairedBootstrapMetric(a: DataFrame, b: DataFrame, pairIdCol: String,
       metricCol: String, replicates: Int = 64,
+      seed: String = "graft-boot"): DataFrame =
+    pairedBootstrapMetricReplicates(a, b, pairIdCol, metricCol, replicates,
+      seed)
+      .agg(
+        coalesce(max(col("n_pairs")), lit(0L)).as("n_pairs_used"),
+        count(lit(1)).as("n_replicates"),
+        sum(when(col("w_sum") > 0, 1L).otherwise(0L)).as("defined"),
+        sum(when(col("w_sum") > 0 && col("sum_a") > col("sum_b"), 1L)
+          .otherwise(0L)).as("a_wins"),
+        sum(when(col("w_sum") > 0 && col("sum_b") > col("sum_a"), 1L)
+          .otherwise(0L)).as("b_wins"),
+        sum(when(col("w_sum") > 0 && col("sum_a") === col("sum_b"), 1L)
+          .otherwise(0L)).as("ties"),
+        sum(when(col("w_sum") === 0, 1L).otherwise(0L)).as("undefined"))
+      .withColumn("a_win_permille",
+        when(col("defined") > 0,
+          call_function("div", col("a_wins") * 1000L, col("defined"))))
+
+  /** The per-replicate frame [[pairedBootstrapMetric]] reduces to its
+    * verdict — exposed for the same reasons as
+    * [[pairedBootstrapBleuReplicates]] (the delta CI, the histogram),
+    * and the verdict operator is re-derived from it. `delta_milli` puts
+    * the weighted-mean difference on a thousandths-of-a-grid-unit scale:
+    * (Σw·mA − Σw·mB)·1000 div Σw — truncated toward zero on both
+    * engines, exact in DECIMAL(38,0) up to the ×1000 long quotient
+    * (permille/micro-grid metrics keep Σw·Δ·1000 inside long through
+    * ~10¹² weighted pairs; milli, not micro, is deliberate — another
+    * ×1000 would cost three orders of magnitude of that headroom for
+    * sub-grid precision no metric here carries).
+    *
+    * Output (`replicates` rows): (replicate, n_pairs, w_sum, sum_a,
+    * sum_b, delta_milli — NULL when the resample drew nothing).
+    */
+  def pairedBootstrapMetricReplicates(a: DataFrame, b: DataFrame,
+      pairIdCol: String, metricCol: String, replicates: Int = 64,
       seed: String = "graft-boot"): DataFrame = {
     require(replicates >= 2 && replicates <= 200,
       "replicates must be in [2, 200]")
@@ -423,20 +524,12 @@ object EvalMetrics {
         // replicate's pair count IS n_pairs_used — carried through the
         // same aggregate rather than a second job
         count(lit(1)).as("__pairs"))
-    perRep.agg(
-      coalesce(max(col("__pairs")), lit(0L)).as("n_pairs_used"),
-      count(lit(1)).as("n_replicates"),
-      sum(when(col("__n") > 0, 1L).otherwise(0L)).as("defined"),
-      sum(when(col("__n") > 0 && col("__sa") > col("__sb"), 1L)
-        .otherwise(0L)).as("a_wins"),
-      sum(when(col("__n") > 0 && col("__sb") > col("__sa"), 1L)
-        .otherwise(0L)).as("b_wins"),
-      sum(when(col("__n") > 0 && col("__sa") === col("__sb"), 1L)
-        .otherwise(0L)).as("ties"),
-      sum(when(col("__n") === 0, 1L).otherwise(0L)).as("undefined"))
-      .withColumn("a_win_permille",
-        when(col("defined") > 0,
-          call_function("div", col("a_wins") * 1000L, col("defined"))))
+    perRep.select(col("replicate"), col("__pairs").as("n_pairs"),
+      col("__n").as("w_sum"), col("__sa").as("sum_a"),
+      col("__sb").as("sum_b"),
+      when(col("__n") > 0,
+        call_function("div", (col("__sa") - col("__sb")) * 1000L,
+          col("__n"))).as("delta_milli"))
   }
 
   /** ROUGE-L per pair (Lin 2004's LCS variant — the most-reported ROUGE):

@@ -322,6 +322,9 @@ object RowLocal {
     "EvalMetrics.incrementalNovelty" -> "batch grams anti-join a prebuilt reference index + doc rollup",
     "EvalMetrics.pairedBootstrapBleu" -> "pair-keyed system join + replicate fan-out onto one B-row aggregate",
     "EvalMetrics.pairedBootstrapMetric" -> "pair-keyed system join + replicate fan-out onto one B-row aggregate (division-free verdict)",
+    "EvalMetrics.pairedBootstrapBleuReplicates" -> "the exposed B-row per-replicate frame the BLEU verdict reduces",
+    "EvalMetrics.pairedBootstrapMetricReplicates" -> "the exposed B-row per-replicate frame the metric verdict reduces",
+    "EvalMetrics.bootstrapDeltaCi" -> "one aggregate over a B<=200-row replicate frame (bounded order statistic)",
     "Profile.poissonWeight31" -> "private[ops] helper (the deterministic-bootstrap weight column, one cut table for every bootstrap oracle)",
     "EvalMetrics.toksOf" -> "private[graft] helper (the family tokenizer, shared with the streaming novelty twin)",
     "EvalMetrics.wordGramsOf" -> "private[graft] helper (column-parameterized gram builder, shared with the streaming novelty twin)",

@@ -614,6 +614,62 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(dom("b_wins") == 0L && dom("ties") == 0L)
   }
 
+  test("bootstrapDeltaCi: order-statistics bounds, permille drop rule, NULL deltas drop visibly") {
+    // hand frame: deltas 1..200 ascending -> drop 200*25//1000 = 5 each
+    // side -> lo = 6th smallest = 6, hi = 195, lower median = 100
+    val reps = (1L to 200L).map(i => (i, i)).toDF("replicate", "delta")
+    val ci = EvalMetrics.bootstrapDeltaCi(reps, "delta").collect().head
+    assert(ci.getLong(ci.fieldIndex("n_replicates")) == 200L)
+    assert(ci.getLong(ci.fieldIndex("defined")) == 200L)
+    assert(ci.getLong(ci.fieldIndex("drop_each_side")) == 5L)
+    assert(ci.getLong(ci.fieldIndex("delta_lo")) == 6L)
+    assert(ci.getLong(ci.fieldIndex("delta_hi")) == 195L)
+    assert(ci.getLong(ci.fieldIndex("delta_median")) == 100L)
+    // undefined replicates (NULL delta) rank nowhere but stay counted
+    val withNulls = ((1L to 10L).map(i => (i, Long.box(i))) ++
+      Seq((11L, null.asInstanceOf[java.lang.Long]))).toDF("replicate", "delta")
+    val ci2 = EvalMetrics.bootstrapDeltaCi(withNulls, "delta").collect().head
+    assert(ci2.getLong(ci2.fieldIndex("n_replicates")) == 11L)
+    assert(ci2.getLong(ci2.fieldIndex("defined")) == 10L)
+    assert(ci2.getLong(ci2.fieldIndex("drop_each_side")) == 0L)
+    assert(ci2.getLong(ci2.fieldIndex("delta_lo")) == 1L)
+    assert(ci2.getLong(ci2.fieldIndex("delta_hi")) == 10L)
+  }
+
+  test("bootstrap replicate frames: identical systems pin the CI to [0,0]; the verdict re-derives from the frame") {
+    val refs = (1L to 24L).map(i => (i, s"w$i a b c d e f g"))
+    val comp = EvalMetrics.bleuComponents(
+      refs.map { case (i, t) => (i, t, t) }.toDF("pair_id", "cand", "ref"),
+      "pair_id", "cand", "ref")
+    val reps = EvalMetrics.pairedBootstrapBleuReplicates(comp, comp,
+      replicates = 16).collect()
+    assert(reps.length == 16)
+    // identical systems: every defined replicate's delta is exactly 0
+    assert(reps.filter(!_.isNullAt(3)).forall(_.getLong(3) == 0L))
+    val ci = EvalMetrics.bootstrapDeltaCi(
+      EvalMetrics.pairedBootstrapBleuReplicates(comp, comp, replicates = 16),
+      "delta").collect().head
+    assert(ci.getLong(ci.fieldIndex("delta_lo")) == 0L)
+    assert(ci.getLong(ci.fieldIndex("delta_hi")) == 0L)
+    // the verdict is a REDUCTION of the same frame: counts must agree
+    // with a hand reduction of the collected replicates
+    val verdict = EvalMetrics.pairedBootstrapBleu(comp, comp,
+      replicates = 16).collect().head
+    val definedHand = reps.count(r => !r.isNullAt(1) && !r.isNullAt(2))
+    assert(verdict.getLong(verdict.fieldIndex("defined")) == definedHand.toLong)
+    assert(verdict.getLong(verdict.fieldIndex("ties")) == definedHand.toLong)
+    // metric twin: dominance shows up as a strictly positive interval
+    val a = (1L to 20L).map(i => (i, 800L)).toDF("pair_id", "m")
+    val b = (1L to 20L).map(i => (i, 500L)).toDF("pair_id", "m")
+    val mi = EvalMetrics.bootstrapDeltaCi(
+      EvalMetrics.pairedBootstrapMetricReplicates(a, b, "pair_id", "m",
+        replicates = 16), "delta_milli").collect().head
+    // every defined resample's weighted-mean delta is exactly 300 on
+    // the metric grid -> 300000 milli
+    assert(mi.getLong(mi.fieldIndex("delta_lo")) == 300000L)
+    assert(mi.getLong(mi.fieldIndex("delta_hi")) == 300000L)
+  }
+
   test("pairedBootstrapMetric: a fractional metric fails loudly, never truncates") {
     // the integer contract is ENFORCED, not documented: a float metric
     // column (here 0.5) must raise, because .cast("long") would silently
