@@ -122,6 +122,40 @@ private[graft] object EntriesCuration {
       graft.ops.EvalMetrics.corpusRougeN(
         graft.ops.EvalMetrics.rougeN(
           evalPairs(s, dir), "pair_id", "cand", "ref", maxN = 2))),
+    "ns_bleu_multiref" -> ((s, dir) => {
+      // sacrebleu-semantics multi-reference BLEU over the shared
+      // two-reference frame: per-gram clip against the MAX count over
+      // references, brevity-penalty length = closest ref length (ties
+      // to the shorter) — the form published multi-ref BLEU uses
+      val (cands, refs) = evalMultiRef(s, dir)
+      graft.ops.EvalMetrics.bleuComponentsMultiRef(
+        cands, refs, "pair_id", "cand", "ref_ord", "ref")
+    }),
+    "ns_corpus_bleu_multiref" -> ((s, dir) => {
+      // the corpus rollup accepts the multi-reference components
+      // unchanged (same schema — the round-10 verdict's requirement);
+      // oracle DERIVED from ns_bleu_multiref's via the shared pool
+      // fragment (SparkEntry.oracleSql)
+      val (cands, refs) = evalMultiRef(s, dir)
+      graft.ops.EvalMetrics.corpusBleu(
+        graft.ops.EvalMetrics.bleuComponentsMultiRef(
+          cands, refs, "pair_id", "cand", "ref_ord", "ref"))
+    }),
+    "ns_rouge_multiref" -> ((s, dir) => {
+      // Lin-2004 multi-reference ROUGE-1/2: per-reference scores via the
+      // composite (pair, ref_ord) key, then the per-metric max over refs
+      val (cands, refs) = evalMultiRef(s, dir)
+      graft.ops.EvalMetrics.rougeNMultiRef(
+        cands, refs, "pair_id", "cand", "ref_ord", "ref", maxN = 2)
+    }),
+    "ns_chrf_multiref" -> ((s, dir) => {
+      // multi-reference chrF (max over refs, beta=2 column included),
+      // texts truncated to 500 chars before gram extraction
+      val (cands, refs) = evalMultiRef(s, dir)
+      graft.ops.EvalMetrics.chrFMultiRef(
+        cands, refs, "pair_id", "cand", "ref_ord", "ref",
+        maxN = 3, maxChars = 500)
+    }),
     "ns_passk_rollup" -> ((s, dir) =>
       // benchmark-level pass@k: mean over problems per k (the quoted
       // "pass@1 on the benchmark") + the pass^k all-draws-pass dual, both
@@ -925,6 +959,117 @@ private[graft] object EntriesCuration {
         |       THEN (precision_mean * recall_mean * 2) // (precision_mean + recall_mean)
         |  END AS f1
         |FROM j""".stripMargin,
+    "ns_bleu_multiref" ->
+      // per-gram max over references BEFORE the clip join, closest ref
+      // length (ties -> shorter) via the deterministic (diff, len) rank;
+      // the root chain is the shared isqrt fragment
+      s"""WITH $evalMultiRefSql,
+         |ctk AS MATERIALIZED (SELECT pair_id,
+         |    list_filter(string_split_regex(trim(lower(coalesce(cand, ''))), '\\s+'),
+         |                x -> x <> '') AS ct
+         |  FROM cd),
+         |rtk AS MATERIALIZED (SELECT pair_id, ref_ord,
+         |    list_filter(string_split_regex(trim(lower(coalesce(ref, ''))), '\\s+'),
+         |                x -> x <> '') AS rt
+         |  FROM rf),
+         |cns AS (SELECT pair_id, ct, CAST(unnest([1, 2, 3, 4]) AS BIGINT) AS n FROM ctk),
+         |cgr AS (SELECT pair_id, n, unnest(list_transform(range(1, len(ct) - n + 2),
+         |          i -> array_to_string(list_slice(ct, i, i + n - 1), ' '))) AS gram FROM cns),
+         |cc AS (SELECT pair_id, n, gram, CAST(count(*) AS BIGINT) AS c FROM cgr GROUP BY 1, 2, 3),
+         |rns AS (SELECT pair_id, ref_ord, rt, CAST(unnest([1, 2, 3, 4]) AS BIGINT) AS n FROM rtk),
+         |rgr AS (SELECT pair_id, ref_ord, n, unnest(list_transform(range(1, len(rt) - n + 2),
+         |          i -> array_to_string(list_slice(rt, i, i + n - 1), ' '))) AS gram FROM rns),
+         |rpc AS (SELECT pair_id, n, gram, ref_ord, count(*) AS r FROM rgr GROUP BY 1, 2, 3, 4),
+         |rmx AS (SELECT pair_id, n, gram, CAST(max(r) AS BIGINT) AS rmax FROM rpc GROUP BY 1, 2, 3),
+         |mg AS (SELECT cc.pair_id, cc.n, least(cc.c, coalesce(rmx.rmax, 0)) AS mm, cc.c AS c
+         |      FROM cc LEFT JOIN rmx USING (pair_id, n, gram)),
+         |comp AS (SELECT pair_id, n, CAST(sum(mm) AS BIGINT) AS m, CAST(sum(c) AS BIGINT) AS t
+         |      FROM mg GROUP BY 1, 2),
+         |wide AS (SELECT pair_id,
+         |    CAST(coalesce(sum(CASE WHEN n = 1 THEN m END), 0) AS BIGINT) AS m1,
+         |    CAST(coalesce(sum(CASE WHEN n = 1 THEN t END), 0) AS BIGINT) AS t1,
+         |    CAST(coalesce(sum(CASE WHEN n = 2 THEN m END), 0) AS BIGINT) AS m2,
+         |    CAST(coalesce(sum(CASE WHEN n = 2 THEN t END), 0) AS BIGINT) AS t2,
+         |    CAST(coalesce(sum(CASE WHEN n = 3 THEN m END), 0) AS BIGINT) AS m3,
+         |    CAST(coalesce(sum(CASE WHEN n = 3 THEN t END), 0) AS BIGINT) AS t3,
+         |    CAST(coalesce(sum(CASE WHEN n = 4 THEN m END), 0) AS BIGINT) AS m4,
+         |    CAST(coalesce(sum(CASE WHEN n = 4 THEN t END), 0) AS BIGINT) AS t4
+         |  FROM comp GROUP BY 1),
+         |lw AS (SELECT ctk.pair_id, CAST(len(ct) AS BIGINT) AS cand_len,
+         |    coalesce(m1, 0) AS m1, coalesce(t1, 0) AS t1, coalesce(m2, 0) AS m2,
+         |    coalesce(t2, 0) AS t2, coalesce(m3, 0) AS m3, coalesce(t3, 0) AS t3,
+         |    coalesce(m4, 0) AS m4, coalesce(t4, 0) AS t4
+         |  FROM ctk LEFT JOIN wide USING (pair_id)),
+         |rl AS (SELECT pair_id, CAST(len(rt) AS BIGINT) AS rlen FROM rtk),
+         |clp AS (SELECT lw.pair_id, rlen,
+         |    row_number() OVER (PARTITION BY lw.pair_id ORDER BY abs(rlen - cand_len), rlen) AS rn
+         |  FROM lw JOIN rl USING (pair_id)),
+         |lw2 AS (SELECT lw.*, clp.rlen AS ref_len
+         |  FROM lw JOIN clp ON clp.pair_id = lw.pair_id AND clp.rn = 1),
+         |pp AS (SELECT *, CASE WHEN t1 > 0 THEN m1 * 1000 // t1 END AS p1,
+         |    CASE WHEN t2 > 0 THEN m2 * 1000 // t2 END AS p2,
+         |    CASE WHEN t3 > 0 THEN m3 * 1000 // t3 END AS p3,
+         |    CASE WHEN t4 > 0 THEN m4 * 1000 // t4 END AS p4 FROM lw2),
+         |pr AS (SELECT *, p1 * p2 * p3 * p4 AS prod FROM pp),
+         |$isqrtChainSql
+         |SELECT pair_id, cand_len, ref_len,
+         |  m1 AS matches_1, t1 AS total_1, m2 AS matches_2, t2 AS total_2,
+         |  m3 AS matches_3, t3 AS total_3, m4 AS matches_4, t4 AS total_4,
+         |  CASE WHEN t1 > 0 AND t2 > 0 AND t3 > 0 AND t4 > 0 THEN geo END
+         |    AS precision_geo_permille
+         |FROM s2""".stripMargin,
+    "ns_rouge_multiref" ->
+      // per-reference ROUGE rows via the (pair, ref_ord)-keyed comp
+      // fragment, then the shared per-metric max-over-refs tail
+      s"""WITH $evalMultiRefSql,
+         |${multiRefCompSql(2)},
+         |prf AS (SELECT pair_id, ref_ord, n,
+         |    CASE WHEN t > 0 THEN m * 1000 // t END AS precision_permille,
+         |    CASE WHEN rt > 0 THEN m * 1000 // rt END AS recall_permille
+         |  FROM comp WHERE t + rt > 0),
+         |pf AS (SELECT *, CASE WHEN precision_permille IS NOT NULL AND recall_permille IS NOT NULL
+         |    AND precision_permille + recall_permille > 0
+         |    THEN precision_permille * recall_permille * 2 // (precision_permille + recall_permille)
+         |  END AS f1_permille FROM prf)
+         |${maxOverRefsTailSql(Seq("precision_permille", "recall_permille", "f1_permille"))}""".stripMargin,
+    "ns_chrf_multiref" ->
+      // the char-gram sibling (substr grams, beta=2 column), same
+      // (pair, ref_ord) key and the same max-over-refs tail
+      s"""WITH $evalMultiRefSql,
+         |jp AS (SELECT cd.pair_id, rf.ref_ord, cd.cand, rf.ref FROM cd JOIN rf USING (pair_id)),
+         |tk AS MATERIALIZED (SELECT pair_id, ref_ord,
+         |    substr(trim(lower(coalesce(cand, ''))), 1, 500) AS cs,
+         |    substr(trim(lower(coalesce(ref, ''))), 1, 500) AS rs FROM jp),
+         |ns AS (SELECT pair_id, ref_ord, cs, rs, CAST(unnest([1, 2, 3]) AS BIGINT) AS n FROM tk),
+         |cgr AS (SELECT pair_id, ref_ord, n, unnest(list_transform(range(1, length(cs) - n + 2),
+         |          i -> substr(cs, CAST(i AS INT), CAST(n AS INT)))) AS gram FROM ns),
+         |rgr AS (SELECT pair_id, ref_ord, n, unnest(list_transform(range(1, length(rs) - n + 2),
+         |          i -> substr(rs, CAST(i AS INT), CAST(n AS INT)))) AS gram FROM ns),
+         |cc AS (SELECT pair_id, ref_ord, n, gram, count(*) AS c FROM cgr GROUP BY 1, 2, 3, 4),
+         |rc AS (SELECT pair_id, ref_ord, n, gram, count(*) AS r FROM rgr GROUP BY 1, 2, 3, 4),
+         |g AS (SELECT coalesce(cc.pair_id, rc.pair_id) AS pair_id,
+         |        coalesce(cc.ref_ord, rc.ref_ord) AS ref_ord,
+         |        coalesce(cc.n, rc.n) AS n, coalesce(cc.c, 0) AS c, coalesce(rc.r, 0) AS r
+         |      FROM cc FULL JOIN rc ON cc.pair_id = rc.pair_id AND cc.ref_ord = rc.ref_ord
+         |        AND cc.n = rc.n AND cc.gram = rc.gram),
+         |comp AS (SELECT pair_id, ref_ord, n, CAST(sum(least(c, r)) AS BIGINT) AS m,
+         |        CAST(sum(c) AS BIGINT) AS t, CAST(sum(r) AS BIGINT) AS rt
+         |      FROM g GROUP BY 1, 2, 3),
+         |prf AS (SELECT pair_id, ref_ord, n,
+         |    CASE WHEN t > 0 THEN m * 1000 // t END AS precision_permille,
+         |    CASE WHEN rt > 0 THEN m * 1000 // rt END AS recall_permille
+         |  FROM comp WHERE t + rt > 0),
+         |pf AS (SELECT *,
+         |    CASE WHEN precision_permille IS NOT NULL AND recall_permille IS NOT NULL
+         |      AND precision_permille + recall_permille > 0
+         |      THEN precision_permille * recall_permille * 2 // (precision_permille + recall_permille)
+         |    END AS f1_permille,
+         |    CASE WHEN precision_permille IS NOT NULL AND recall_permille IS NOT NULL
+         |      AND precision_permille * 4 + recall_permille > 0
+         |      THEN precision_permille * recall_permille * 5 // (precision_permille * 4 + recall_permille)
+         |    END AS f2_permille
+         |  FROM prf)
+         |${maxOverRefsTailSql(Seq("precision_permille", "recall_permille", "f1_permille", "f2_permille"))}""".stripMargin,
     "ns_distinct_n" ->
       """WITH tk AS (SELECT list_filter(
         |    string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),

@@ -736,6 +736,98 @@ private[graft] object EntrySupport {
       .repartition(s.sparkContext.defaultParallelism, col("pair_id"))
   }
 
+  /** Shared multi-reference eval frame (ns_bleu_multiref /
+    * ns_rouge_multiref / ns_chrf_multiref): candidate = the doc's
+    * 40-token truncation; reference 1 = the doc's 60-token truncation
+    * (high overlap — exercises the max-clip crediting the best
+    * reference), reference 2 = the successor doc's (low overlap — the
+    * closest-length BP pick is non-trivial because ref lengths differ).
+    * One definition + one SQL twin, the [[evalPairs]] convention.
+    */
+  private[graft] def evalMultiRef(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents")
+    def tr(c: Column, k: Int): Column =
+      concat_ws(" ", slice(split(lower(trim(c)), "\\s+"), 1, k))
+    val a = docs.select(col("doc_id"), col("text"))
+    val b = docs.select((col("doc_id") - 1L).as("doc_id"),
+      col("text").as("__next"))
+    val joined = a.join(b, "doc_id")
+    // both frames feed gram generators — the evalPairs pre-amplification
+    // spread applies to each
+    val cands = joined
+      .select(col("doc_id").as("pair_id"), tr(col("text"), 40).as("cand"))
+      .repartition(s.sparkContext.defaultParallelism, col("pair_id"))
+    val refs = joined
+      .select(col("doc_id").as("pair_id"), explode(array(
+        struct(lit(1L).as("ref_ord"), tr(col("text"), 60).as("ref")),
+        struct(lit(2L).as("ref_ord"), tr(col("__next"), 60).as("ref"))))
+        .as("__r"))
+      .select(col("pair_id"), col("__r.ref_ord").as("ref_ord"),
+        col("__r.ref").as("ref"))
+      .repartition(s.sparkContext.defaultParallelism, col("pair_id"))
+    (cands, refs)
+  }
+
+  /** SQL twin of [[evalMultiRef]] — ends with CTEs `cd(pair_id, cand)`
+    * and `rf(pair_id, ref_ord, ref)`.
+    */
+  private[graft] val evalMultiRefSql =
+    """mtr AS (SELECT doc_id,
+      |  array_to_string(list_slice(string_split_regex(trim(lower(text)), '\s+'), 1, 60), ' ') AS t60,
+      |  array_to_string(list_slice(string_split_regex(trim(lower(text)), '\s+'), 1, 40), ' ') AS t40
+      |FROM documents),
+      |cd AS (SELECT a.doc_id AS pair_id, a.t40 AS cand
+      |  FROM mtr a JOIN mtr b ON b.doc_id = a.doc_id + 1),
+      |rf AS (SELECT a.doc_id AS pair_id, CAST(1 AS BIGINT) AS ref_ord, a.t60 AS ref
+      |    FROM mtr a JOIN mtr b ON b.doc_id = a.doc_id + 1
+      |  UNION ALL
+      |  SELECT a.doc_id, CAST(2 AS BIGINT), b.t60
+      |    FROM mtr a JOIN mtr b ON b.doc_id = a.doc_id + 1)""".stripMargin
+
+  /** Per-(pair, ref_ord, n) clipped word-n-gram counts over
+    * [[evalMultiRefSql]]'s `cd`/`rf` — [[ngramCompSql]] with the
+    * reference ordinal riding the key (the oracle twin of the
+    * multiRefPairs composite-struct key). Ends with CTE `comp`
+    * (pair_id, ref_ord, n, m, t, rt). Shared by the ROUGE and chrF
+    * multi-reference oracles' word-gram sibling.
+    */
+  private[graft] def multiRefCompSql(maxN: Int): String = {
+    val ns = (1 to maxN).mkString(", ")
+    s"""jp AS (SELECT cd.pair_id, rf.ref_ord, cd.cand, rf.ref
+       |  FROM cd JOIN rf USING (pair_id)),
+       |tk AS MATERIALIZED (SELECT pair_id, ref_ord,
+       |    list_filter(string_split_regex(trim(lower(coalesce(cand, ''))), '\\s+'),
+       |                x -> x <> '') AS ct,
+       |    list_filter(string_split_regex(trim(lower(coalesce(ref, ''))), '\\s+'),
+       |                x -> x <> '') AS rt
+       |  FROM jp),
+       |ns AS (SELECT pair_id, ref_ord, ct, rt, CAST(unnest([$ns]) AS BIGINT) AS n FROM tk),
+       |cgr AS (SELECT pair_id, ref_ord, n, unnest(list_transform(range(1, len(ct) - n + 2),
+       |          i -> array_to_string(list_slice(ct, i, i + n - 1), ' '))) AS gram FROM ns),
+       |rgr AS (SELECT pair_id, ref_ord, n, unnest(list_transform(range(1, len(rt) - n + 2),
+       |          i -> array_to_string(list_slice(rt, i, i + n - 1), ' '))) AS gram FROM ns),
+       |cc AS (SELECT pair_id, ref_ord, n, gram, count(*) AS c FROM cgr GROUP BY 1, 2, 3, 4),
+       |rc AS (SELECT pair_id, ref_ord, n, gram, count(*) AS r FROM rgr GROUP BY 1, 2, 3, 4),
+       |g AS (SELECT coalesce(cc.pair_id, rc.pair_id) AS pair_id,
+       |        coalesce(cc.ref_ord, rc.ref_ord) AS ref_ord,
+       |        coalesce(cc.n, rc.n) AS n, coalesce(cc.c, 0) AS c, coalesce(rc.r, 0) AS r
+       |      FROM cc FULL JOIN rc ON cc.pair_id = rc.pair_id AND cc.ref_ord = rc.ref_ord
+       |        AND cc.n = rc.n AND cc.gram = rc.gram),
+       |comp AS (SELECT pair_id, ref_ord, n, CAST(sum(least(c, r)) AS BIGINT) AS m,
+       |        CAST(sum(c) AS BIGINT) AS t, CAST(sum(r) AS BIGINT) AS rt
+       |      FROM g GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  /** The per-metric max-over-references tail over a per-ref `pf` CTE
+    * carrying (pair_id, n, the score columns) — shared by the ROUGE and
+    * chrF multi-reference oracles.
+    */
+  private[graft] def maxOverRefsTailSql(scoreCols: Seq[String]): String =
+    s"""SELECT pair_id, n, CAST(count(*) AS BIGINT) AS n_refs,
+       |${scoreCols.map(c => s"  CAST(max($c) AS BIGINT) AS $c").mkString(",\n")}
+       |FROM pf GROUP BY 1, 2""".stripMargin
+
   private[graft] val evalPairsSql =
     """tr AS (SELECT doc_id,
       |  array_to_string(list_slice(string_split_regex(trim(lower(text)), '\s+'), 1, 60), ' ') AS text

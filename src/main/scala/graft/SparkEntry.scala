@@ -98,6 +98,10 @@ object SparkEntry {
       // SAME pool over the ring-pair gate's SQL
       ("ns_corpus_self_bleu" ->
         EntrySupport.corpusBleuPoolSql(base("ns_self_bleu"))) +
+      // the corpus rollup accepts multi-reference components unchanged
+      // (same schema) — the SAME pool over the multi-ref gate's SQL
+      ("ns_corpus_bleu_multiref" ->
+        EntrySupport.corpusBleuPoolSql(base("ns_bleu_multiref"))) +
       // corpus ROUGE-L derives from the per-pair oracle the same way
       ("ns_corpus_rouge_l" ->
         s"""WITH rl AS (

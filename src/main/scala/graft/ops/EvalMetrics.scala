@@ -171,6 +171,148 @@ object EvalMetrics {
       col("__geo").as("precision_geo_permille"): _*)
   }
 
+  /** Multi-reference BLEU components — sacrebleu's semantics (Post 2018,
+    * matching Papineni et al. 2002 §2.2), the form every published
+    * multi-reference BLEU is computed in: candidates arrive once per
+    * pair (`cands`: pair, cand — one row per pair), references as
+    * (pair, ref_ord, ref) rows (`refs`). Per (pair, n, gram) the
+    * candidate count clips against the MAX count over the references —
+    * a gram is creditable up to the most ANY single reference repeats
+    * it — and the brevity-penalty reference length is the CLOSEST
+    * reference length to the candidate's, ties to the SHORTER (the
+    * `min(ref_lens, key = (|len − c|, len))` rule sacrebleu implements).
+    *
+    * Output schema == [[bleuComponents]], so [[corpusBleu]] pools either
+    * frame unchanged; a SINGLE-reference input reproduces
+    * [[bleuComponents]] column-for-column (the EvalMetricsSpec law) —
+    * with one reference the max-clip is the plain clip, and the
+    * reference-only grams the single-ref kernel also counts never
+    * mattered (they clip a candidate count of 0). Pairs with no
+    * reference row DROP (a candidate without references has no defined
+    * BLEU); zero-token candidates keep their all-zero coverage row.
+    *
+    * Scale shape: still ONE (pair, n, gram)-keyed hash shuffle for the
+    * clip — the reference side pays one extra keyed partial aggregate
+    * (per-(gram, ref_ord) counts → max over refs) before the clip join,
+    * and the BP length pick is a pair-sized min(struct) reduce. No
+    * window, no product, no driver state.
+    */
+  def bleuComponentsMultiRef(cands: DataFrame, refs: DataFrame,
+      pairIdCol: String, candCol: String, refOrdCol: String,
+      refCol: String): DataFrame = {
+    val specs = array((1 to 4).map(n => lit(n.toLong)): _*)
+    val candGrams = cands
+      .select(col(pairIdCol).as("pair_id"), toks(col(candCol)).as("__ct"))
+      .withColumn("n", explode(specs))
+      // explode_OUTER: gram-free (pair, n) legs keep a null-gram row so
+      // every candidate pair reaches the wide pivot with zero counts
+      // (the bleuComponents coverage contract; null grams never match)
+      .select(col("pair_id"), col("n"),
+        explode_outer(wordGrams(col("__ct"), col("n"))).as("gram"))
+    val cc = candGrams.groupBy(col("pair_id"), col("n"), col("gram"))
+      .agg(sum(when(col("gram").isNotNull, 1L).otherwise(0L)).as("__c"))
+    val refToks = refs.select(col(pairIdCol).as("pair_id"),
+      col(refOrdCol).as("__ord"), toks(col(refCol)).as("__rt"))
+    val rmax = refToks
+      .withColumn("n", explode(specs))
+      .select(col("pair_id"), col("__ord"), col("n"),
+        explode(wordGrams(col("__rt"), col("n"))).as("gram"))
+      .groupBy(col("pair_id"), col("n"), col("gram"), col("__ord"))
+      .agg(count(lit(1)).as("__r"))
+      .groupBy(col("pair_id"), col("n"), col("gram"))
+      .agg(max(col("__r")).as("__rmax"))
+    // left join: candidate grams absent from every reference clip to 0;
+    // reference-only grams need no row (they contribute min(0, r) = 0)
+    val comp = cc
+      .join(rmax, Seq("pair_id", "n", "gram"), "left")
+      .groupBy(col("pair_id"), col("n"))
+      .agg(sum(least(col("__c"), coalesce(col("__rmax"), lit(0L))))
+          .as("matches"),
+        sum(col("__c")).as("cand_total"))
+    val aggs = (1 to 4).flatMap { n =>
+      Seq(sum(when(col("n") === n, col("matches")).otherwise(0L)).as(s"matches_$n"),
+        sum(when(col("n") === n, col("cand_total")).otherwise(0L)).as(s"total_$n"))
+    }
+    val wide = comp.groupBy(col("pair_id")).agg(aggs.head, aggs.tail: _*)
+    // closest reference length, ties to the shorter: one pair-sized
+    // min(struct) reduce (cand_len IS total_1 — 1-grams are tokens)
+    val refLens = refToks.select(col("pair_id"),
+      size(col("__rt")).cast("long").as("__rl"))
+    val closest = wide.select(col("pair_id"), col("total_1").as("__cl"))
+      .join(refLens, "pair_id")
+      .groupBy(col("pair_id"))
+      .agg(min(struct(abs(col("__rl") - col("__cl")).as("__d"),
+        col("__rl").as("__l"))).as("__m"))
+      .select(col("pair_id"), col("__m.__l").as("__ref_len"))
+    stagedGeo(wide.join(closest, "pair_id")).select(col("pair_id") +:
+      col("total_1").as("cand_len") +:
+      col("__ref_len").as("ref_len") +:
+      (1 to 4).flatMap(n => Seq(col(s"matches_$n"), col(s"total_$n"))) :+
+      col("__geo").as("precision_geo_permille"): _*)
+  }
+
+  /** Multi-reference ROUGE-N — Lin 2004's multi-reference rule: score
+    * the candidate against EACH reference with [[rougeN]]'s exact
+    * arithmetic, then take the per-metric MAX over the references (the
+    * jackknife-free form; each of P/R/F1 maxes independently — the
+    * reported F1 is the best F1 any reference grants, not the F1 of an
+    * argmax reference). References whose (pair, ref, n) row has no gram
+    * on either side carry no score (the [[rougeN]] coverage rule);
+    * `n_refs` counts the references that defined a score at that n, so
+    * a thinning reference set is visible. A single-reference input
+    * reproduces [[rougeN]]'s scores exactly (the spec law).
+    *
+    * Scale shape: [[rougeN]]'s one gram shuffle keyed by the COMPOSITE
+    * (pair, ref_ord) struct — the reference fan-out multiplies rows, not
+    * stages — plus one pair-sized max reduce.
+    */
+  def rougeNMultiRef(cands: DataFrame, refs: DataFrame, pairIdCol: String,
+      candCol: String, refOrdCol: String, refCol: String,
+      maxN: Int = 2): DataFrame =
+    maxOverRefs(rougeN(multiRefPairs(cands, refs, pairIdCol, candCol,
+      refOrdCol, refCol), "__pk", "__cand", "__ref", maxN),
+      Seq("precision_permille", "recall_permille", "f1_permille"))
+
+  /** Multi-reference chrF — the same max-over-references rule applied to
+    * [[chrF]]'s per-reference scores (sacrebleu's multi-reference chrF
+    * keeps the best-scoring reference per segment), including the β = 2
+    * column. Single-reference input reproduces [[chrF]] exactly.
+    */
+  def chrFMultiRef(cands: DataFrame, refs: DataFrame, pairIdCol: String,
+      candCol: String, refOrdCol: String, refCol: String, maxN: Int = 3,
+      maxChars: Int = 2000): DataFrame =
+    maxOverRefs(chrF(multiRefPairs(cands, refs, pairIdCol, candCol,
+      refOrdCol, refCol), "__pk", "__cand", "__ref", maxN, maxChars),
+      Seq("precision_permille", "recall_permille", "f1_permille",
+        "f2_permille"))
+
+  /** The (pair, ref_ord)-keyed pair frame the per-reference metrics run
+    * over: candidate joined to each of its references, keyed by ONE
+    * composite struct column (struct columns group and shuffle like any
+    * key — no synthetic id arithmetic, no collision risk).
+    */
+  private def multiRefPairs(cands: DataFrame, refs: DataFrame,
+      pairIdCol: String, candCol: String, refOrdCol: String,
+      refCol: String): DataFrame =
+    cands.select(col(pairIdCol).as("__p"), col(candCol).as("__cand"))
+      .join(refs.select(col(pairIdCol).as("__p"),
+        col(refOrdCol).as("__ord"), col(refCol).as("__ref")), "__p")
+      .select(struct(col("__p").as("pair_id"), col("__ord").as("ref_ord"))
+        .as("__pk"), col("__cand"), col("__ref"))
+
+  /** Per-metric max over the reference axis of a (struct pair_id, n,
+    * scores...) frame — NULL scores are ignored by max (all-NULL → NULL,
+    * undefined stays undefined).
+    */
+  private def maxOverRefs(perRef: DataFrame,
+      scoreCols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_refs") +:
+      scoreCols.map(c => max(col(c)).as(c))
+    perRef.groupBy(col("pair_id").getField("pair_id").as("pair_id"),
+      col("n"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** The shared BLEU geo-mean staging over a `matches_n`/`total_n` wide
     * frame: permille precisions, their product, and the staged
     * isqrt∘isqrt 4th root as `__geo` (NULL when any total is 0). Staged

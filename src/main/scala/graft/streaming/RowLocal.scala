@@ -325,6 +325,9 @@ object RowLocal {
     "EvalMetrics.pairedBootstrapBleuReplicates" -> "the exposed B-row per-replicate frame the BLEU verdict reduces",
     "EvalMetrics.pairedBootstrapMetricReplicates" -> "the exposed B-row per-replicate frame the metric verdict reduces",
     "EvalMetrics.bootstrapDeltaCi" -> "one aggregate over a B<=200-row replicate frame (bounded order statistic)",
+    "EvalMetrics.bleuComponentsMultiRef" -> "one (pair, n, gram) shuffle + per-ref max partial agg + pair-sized BP-length reduce",
+    "EvalMetrics.rougeNMultiRef" -> "per-(pair, ref) gram aggregates + pair-sized max-over-refs reduce",
+    "EvalMetrics.chrFMultiRef" -> "per-(pair, ref) char-gram aggregates + pair-sized max-over-refs reduce",
     "Profile.poissonWeight31" -> "private[ops] helper (the deterministic-bootstrap weight column, one cut table for every bootstrap oracle)",
     "EvalMetrics.toksOf" -> "private[graft] helper (the family tokenizer, shared with the streaming novelty twin)",
     "EvalMetrics.wordGramsOf" -> "private[graft] helper (column-parameterized gram builder, shared with the streaming novelty twin)",

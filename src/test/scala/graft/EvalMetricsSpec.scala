@@ -614,6 +614,88 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(dom("b_wins") == 0L && dom("ties") == 0L)
   }
 
+  test("bleuComponentsMultiRef: max-over-refs clip, closest-ref BP length, shorter on ties") {
+    // cand "a a a b"; ref1 "a" (a x1), ref2 "a a c" (a x2):
+    // clip on max-over-refs -> min(3, 2) + min(1, 0) = 2 of 4
+    val cands = Seq((1L, "a a a b")).toDF("pair_id", "cand")
+    val refs = Seq((1L, 1L, "a"), (1L, 2L, "a a c"))
+      .toDF("pair_id", "ref_ord", "ref")
+    val out = EvalMetrics.bleuComponentsMultiRef(cands, refs,
+      "pair_id", "cand", "ref_ord", "ref").collect().head
+    assert(out.getLong(out.fieldIndex("matches_1")) == 2L)
+    assert(out.getLong(out.fieldIndex("total_1")) == 4L)
+    assert(out.getLong(out.fieldIndex("cand_len")) == 4L)
+    // closest length to 4 among {1, 3} is 3
+    assert(out.getLong(out.fieldIndex("ref_len")) == 3L)
+    // a length tie goes to the SHORTER reference (sacrebleu's rule):
+    // cand len 3, ref lens {4, 2} both at distance 1 -> 2
+    val o2 = EvalMetrics.bleuComponentsMultiRef(
+      Seq((1L, "x y z")).toDF("pair_id", "cand"),
+      Seq((1L, 1L, "x y w q"), (1L, 2L, "x y")).toDF("pair_id", "ref_ord", "ref"),
+      "pair_id", "cand", "ref_ord", "ref").collect().head
+    assert(o2.getLong(o2.fieldIndex("ref_len")) == 2L)
+    // a candidate with no reference rows drops (undefined, not zero)
+    val only1 = EvalMetrics.bleuComponentsMultiRef(
+      Seq((1L, "a"), (2L, "b")).toDF("pair_id", "cand"),
+      Seq((1L, 1L, "a")).toDF("pair_id", "ref_ord", "ref"),
+      "pair_id", "cand", "ref_ord", "ref")
+    assert(only1.count() == 1L)
+  }
+
+  test("multi-reference single-ref law: one reference reproduces the single-ref operators column-for-column") {
+    val pairs = Seq(
+      (1L, "the cat sat on the mat", "the cat sat on a mat"),
+      (2L, "a b c d e f g h", "a b c x e f g h"),
+      (3L, "", "x y"),
+      (4L, "q r s", "")).toDF("pair_id", "cand", "ref")
+    val cands = pairs.select(col("pair_id"), col("cand"))
+    val refs = pairs.select(col("pair_id"), lit(1L).as("ref_ord"), col("ref"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(rows(EvalMetrics.bleuComponentsMultiRef(cands, refs,
+        "pair_id", "cand", "ref_ord", "ref")) ==
+      rows(EvalMetrics.bleuComponents(pairs, "pair_id", "cand", "ref")))
+    def prf(df: org.apache.spark.sql.DataFrame) = df
+      .select("pair_id", "n", "precision_permille", "recall_permille",
+        "f1_permille")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+    assert(prf(EvalMetrics.rougeNMultiRef(cands, refs,
+        "pair_id", "cand", "ref_ord", "ref", maxN = 2)) ==
+      prf(EvalMetrics.rougeN(pairs, "pair_id", "cand", "ref", maxN = 2)))
+    def prf2(df: org.apache.spark.sql.DataFrame) = df
+      .select("pair_id", "n", "precision_permille", "recall_permille",
+        "f1_permille", "f2_permille")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+    assert(prf2(EvalMetrics.chrFMultiRef(cands, refs,
+        "pair_id", "cand", "ref_ord", "ref", maxN = 3, maxChars = 100)) ==
+      prf2(EvalMetrics.chrF(pairs, "pair_id", "cand", "ref",
+        maxN = 3, maxChars = 100)))
+    // and the corpus rollup accepts the multi-ref components unchanged
+    val corpus = EvalMetrics.corpusBleu(EvalMetrics.bleuComponentsMultiRef(
+      cands, refs, "pair_id", "cand", "ref_ord", "ref")).collect().head
+    assert(corpus.getLong(corpus.fieldIndex("n_pairs")) == 4L)
+  }
+
+  test("rougeNMultiRef: per-metric max over references, coverage-aware n_refs") {
+    // cand "a b"; ref1 "a": P=500 R=1000 F=666; ref2 "a b c d": P=1000
+    // R=500 F=666 -> maxes are per metric (P=1000 AND R=1000), not the
+    // scores of one argmax reference
+    val out = EvalMetrics.rougeNMultiRef(
+      Seq((1L, "a b")).toDF("pair_id", "cand"),
+      Seq((1L, 1L, "a"), (1L, 2L, "a b c d")).toDF("pair_id", "ref_ord", "ref"),
+      "pair_id", "cand", "ref_ord", "ref", maxN = 2)
+      .collect().map(r => r.getLong(r.fieldIndex("n")) -> r).toMap
+    val n1 = out(1L)
+    assert(n1.getLong(n1.fieldIndex("n_refs")) == 2L)
+    assert(n1.getLong(n1.fieldIndex("precision_permille")) == 1000L)
+    assert(n1.getLong(n1.fieldIndex("recall_permille")) == 1000L)
+    assert(n1.getLong(n1.fieldIndex("f1_permille")) == 666L)
+    // n=2: ref1 has no bigram (recall NULL there, ignored by max)
+    val n2 = out(2L)
+    assert(n2.getLong(n2.fieldIndex("recall_permille")) == 333L)
+    assert(n2.getLong(n2.fieldIndex("precision_permille")) == 1000L)
+  }
+
   test("bootstrapDeltaCi: order-statistics bounds, permille drop rule, NULL deltas drop visibly") {
     // hand frame: deltas 1..200 ascending -> drop 200*25//1000 = 5 each
     // side -> lo = 6th smallest = 6, hi = 195, lower median = 100
