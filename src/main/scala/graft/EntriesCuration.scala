@@ -18,6 +18,22 @@ import graft.spec.StreamSpec
 private[graft] object EntriesCuration {
   import EntrySupport._
 
+  /** Shared int8 unit frame for the BERTScore gates: vec_id < 500 → 25
+    * pairs of ~10 cand + ~10 ref units each (pair = vec_id div 20, side
+    * = parity); `key` = unit_id % 7 gives pseudo token classes with
+    * varying document frequency for the idf gate. One construction, so
+    * the unweighted and idf gates cannot drift.
+    */
+  private def bertUnits(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").where(col("vec_id") < 500)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+    graft.ops.Similarity.quantizeInt8(e)
+      .select(call_function("div", col("id"), lit(20L)).as("pair_id"),
+        col("id").as("unit_id"), (col("id") % 7).as("key"),
+        col("codes").cast("array<double>").as("vec"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ns_bleu" -> ((s, dir) =>
       // corpus-scale BLEU components over the shared eval-pair frame
@@ -171,17 +187,25 @@ private[graft] object EntriesCuration {
       // group into 25 pairs of ~10 cand + ~10 ref units each (pair =
       // vec_id div 20, side = parity) — per ref unit the best candidate
       // dot, integer means, harmonic F1
-      val e = t(s, dir, "embeddings").where(col("vec_id") < 500)
-        .select(col("vec_id").as("id"),
-          col("embedding").cast("array<double>").as("vec"))
-      val units = graft.ops.Similarity.quantizeInt8(e)
-        .select(call_function("div", col("id"), lit(20L)).as("pair_id"),
-          col("id").as("unit_id"),
-          col("codes").cast("array<double>").as("vec"))
+      val units = bertUnits(s, dir)
       graft.ops.EvalMetrics.bertScore(
         units.where(col("unit_id") % 2 === 0),
         units.where(col("unit_id") % 2 === 1),
         "pair_id", "unit_id", "vec")
+    }),
+    "ns_bertscore_idf" -> ((s, dir) => {
+      // Zhang-2020's headline configuration: reference-corpus idf
+      // weights both means. Same unit construction as ns_bertscore plus
+      // a key column (unit_id % 7 — pseudo token classes with varying
+      // document frequency); weights = the exactly-replayable rational
+      // inverse-frequency table over the REFERENCE side
+      val units = bertUnits(s, dir)
+      val cand = units.where(col("unit_id") % 2 === 0)
+      val ref = units.where(col("unit_id") % 2 === 1)
+      graft.ops.EvalMetrics.bertScoreIdf(cand, ref,
+        "pair_id", "unit_id", "vec", "key",
+        graft.ops.EvalMetrics.idfWeightsMicro(ref, "pair_id", "key"),
+        "key", "idf_micro")
     }),
     "ns_distinct_n" -> ((s, dir) =>
       // corpus distinct-1/2 diversity (the cheap self-BLEU companion):
@@ -954,6 +978,48 @@ private[graft] object EntriesCuration {
         |        recall_sum // n_ref AS recall_mean
         |      FROM p2 JOIN r2 USING (pair_id))
         |SELECT pair_id, n_cand, n_ref, precision_sum, recall_sum,
+        |  precision_mean, recall_mean,
+        |  CASE WHEN precision_mean > 0 AND recall_mean > 0
+        |       THEN (precision_mean * recall_mean * 2) // (precision_mean + recall_mean)
+        |  END AS f1
+        |FROM j""".stripMargin,
+    "ns_bertscore_idf" ->
+      // the idf-weighted twin: same int8 relabeling chain + the
+      // rational inverse-frequency table ((N+1)*1e6 // (df+1)) over the
+      // REFERENCE side, weighted means as HUGEINT dot-sums over weight
+      // sums — the whole weighted score replays
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+        |             list_min(embedding::DOUBLE[]) AS vmin,
+        |             list_max(embedding::DOUBLE[]) AS vmax
+        |           FROM embeddings WHERE vec_id < 500),
+        |cz AS (SELECT id, id // 20 AS pair_id, id % 7 AS key,
+        |        list_transform(vec, x -> CASE WHEN vmax = vmin THEN CAST(0 AS BIGINT)
+        |          ELSE CAST(least(greatest(round((x - vmin) * 255.0 / (vmax - vmin)), 0), 255) AS BIGINT) END) AS q
+        |      FROM e),
+        |cd AS (SELECT pair_id, id AS cu, key, q FROM cz WHERE id % 2 = 0),
+        |rf AS (SELECT pair_id, id AS ru, key, q FROM cz WHERE id % 2 = 1),
+        |nw AS (SELECT CAST(count(DISTINCT pair_id) AS BIGINT) AS nn FROM rf),
+        |dfq AS (SELECT key, CAST(count(DISTINCT pair_id) AS BIGINT) AS dfc FROM rf GROUP BY 1),
+        |w AS (SELECT key, ((nn + 1) * 1000000) // (dfc + 1) AS wm FROM dfq, nw),
+        |d AS (SELECT cd.pair_id, cd.cu, cd.key AS ck, rf.ru, rf.key AS rk,
+        |        CAST(list_sum(list_transform(range(len(cd.q)),
+        |          i -> cd.q[CAST(i+1 AS INT)] * rf.q[CAST(i+1 AS INT)])) AS BIGINT) AS sim
+        |      FROM cd JOIN rf USING (pair_id)),
+        |rr AS (SELECT pair_id, ru, rk, max(sim) AS best FROM d GROUP BY 1, 2, 3),
+        |r2 AS (SELECT rr.pair_id, CAST(count(*) AS BIGINT) AS n_ref,
+        |        CAST(sum(w.wm) AS BIGINT) AS recall_wsum,
+        |        sum(w.wm * rr.best) AS rd
+        |      FROM rr JOIN w ON w.key = rr.rk GROUP BY 1),
+        |pp AS (SELECT pair_id, cu, ck, max(sim) AS best FROM d GROUP BY 1, 2, 3),
+        |p2 AS (SELECT pp.pair_id, CAST(count(*) AS BIGINT) AS n_cand,
+        |        CAST(sum(w.wm) AS BIGINT) AS precision_wsum,
+        |        sum(w.wm * pp.best) AS pd
+        |      FROM pp JOIN w ON w.key = pp.ck GROUP BY 1),
+        |j AS (SELECT p2.pair_id, n_cand, n_ref, precision_wsum, recall_wsum,
+        |        CASE WHEN precision_wsum > 0 THEN CAST(pd // precision_wsum AS BIGINT) END AS precision_mean,
+        |        CASE WHEN recall_wsum > 0 THEN CAST(rd // recall_wsum AS BIGINT) END AS recall_mean
+        |      FROM p2 JOIN r2 USING (pair_id))
+        |SELECT pair_id, n_cand, n_ref, precision_wsum, recall_wsum,
         |  precision_mean, recall_mean,
         |  CASE WHEN precision_mean > 0 AND recall_mean > 0
         |       THEN (precision_mean * recall_mean * 2) // (precision_mean + recall_mean)

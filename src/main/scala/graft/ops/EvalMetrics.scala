@@ -1014,6 +1014,120 @@ object EvalMetrics {
         col("precision_mean"), col("recall_mean"), col("f1"))
   }
 
+  /** IDF-weighted BERTScore-lite — Zhang et al. 2020's headline
+    * configuration: reference units weight the recall mean by their
+    * corpus rarity (a candidate that recalls only stopwords should not
+    * score like one that recalls the content words), and the precision
+    * mean weights candidate units from the SAME reference-corpus table.
+    * recall_mean = ⌊Σ w(ru)·best(ru) / Σ w(ru)⌋ on the weight×dot grid,
+    * precision the mirror; F1 harmonic with the [[bertScore]] signed
+    * guard. Weights arrive as a (key, weight_micro) table joined on a
+    * unit-key column — broadcastable by construction (vocabulary-sized
+    * metadata; the join hints broadcast). Units whose key is absent take
+    * `missingWeightMicro` (Zhang's +1 smoothing gives unseen tokens a
+    * defined idf; the default 10⁶ = weight 1.0 on the µ grid — explicit,
+    * never silent: the parameter IS the policy). Any µ-integer weight
+    * table works — [[idfWeightsMicro]] supplies the exactly-replayable
+    * rational inverse-frequency table the gate pins; an ln-grid idf
+    * table computed outside the replay contract drops into the same
+    * plumbing. A UNIFORM weight table (any constant W > 0) reproduces
+    * [[bertScore]]'s means and F1 exactly (⌊W·S / W·n⌋ = ⌊S/n⌋ — the
+    * spec law).
+    *
+    * Scale shape: [[bertScore]]'s ONE pair-keyed equi-join and two max
+    * reductions, plus one broadcast-joined weight lookup per unit — the
+    * weighted sums accumulate in DECIMAL(38,0) (weight×dot products
+    * overflow long at corpus scale; the final div is the only long).
+    *
+    * Output: (pair_id, n_cand, n_ref, precision_wsum, recall_wsum,
+    * precision_mean, recall_mean, f1).
+    */
+  def bertScoreIdf(candUnits: DataFrame, refUnits: DataFrame,
+      pairCol: String, unitCol: String, vecCol: String, keyCol: String,
+      weights: DataFrame, weightKeyCol: String, weightCol: String,
+      missingWeightMicro: Long = 1000000L, dotScale: Long = 1L): DataFrame = {
+    require(dotScale >= 1L && dotScale <= 1000000000L,
+      "dotScale must be in [1, 1e9]")
+    require(missingWeightMicro >= 0L,
+      "missingWeightMicro must be non-negative")
+    def dot(a: Column, b: Column): Column =
+      floor(aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
+        (acc, x) => acc + x) * lit(dotScale.toDouble)).cast("long")
+    val w = broadcast(weights.select(col(weightKeyCol).as("__wk"),
+      col(weightCol).cast("long").as("__wm")))
+    val c = candUnits.select(col(pairCol).as("pair_id"),
+      col(unitCol).as("__cu"), col(vecCol).as("__cv"),
+      col(keyCol).as("__ck"))
+    val r = refUnits.select(col(pairCol).as("pair_id"),
+      col(unitCol).as("__ru"), col(vecCol).as("__rv"),
+      col(keyCol).as("__rk"))
+    val sims = c.join(r, "pair_id")
+      .select(col("pair_id"), col("__cu"), col("__ck"), col("__ru"),
+        col("__rk"), dot(col("__cv"), col("__rv")).as("__sim"))
+    // the key rides the per-unit groupBy (functionally dependent on the
+    // unit id — one extra grouping column, no second pass)
+    def sidePool(bestOf: DataFrame, unit: String, key: String,
+        nCol: String, wsumCol: String, dotCol: String): DataFrame =
+      bestOf.groupBy(col("pair_id"), col(unit), col(key))
+        .agg(max(col("__sim")).as("__best"))
+        .join(w, col(key) === col("__wk"), "left")
+        .withColumn("__w", coalesce(col("__wm"), lit(missingWeightMicro)))
+        .groupBy(col("pair_id"))
+        .agg(count(lit(1)).as(nCol), sum(col("__w")).as(wsumCol),
+          sum((col("__w") * col("__best")).cast("decimal(38,0)"))
+            .as(dotCol))
+    val recall = sidePool(sims, "__ru", "__rk", "n_ref", "recall_wsum", "__rd")
+    val precision = sidePool(sims, "__cu", "__ck", "n_cand",
+      "precision_wsum", "__pd")
+    precision.join(recall, "pair_id")
+      .withColumn("precision_mean",
+        when(col("precision_wsum") > 0,
+          call_function("div", col("__pd"), col("precision_wsum"))))
+      .withColumn("recall_mean",
+        when(col("recall_wsum") > 0,
+          call_function("div", col("__rd"), col("recall_wsum"))))
+      .withColumn("f1",
+        when(col("precision_mean") > 0 && col("recall_mean") > 0,
+          call_function("div",
+            col("precision_mean") * col("recall_mean") * 2L,
+            col("precision_mean") + col("recall_mean"))))
+      .select(col("pair_id"), col("n_cand"), col("n_ref"),
+        col("precision_wsum"), col("recall_wsum"),
+        col("precision_mean"), col("recall_mean"), col("f1"))
+  }
+
+  /** Rational inverse-document-frequency weights on the µ grid — the
+    * [[bertScoreIdf]] weight table built the exactly-replayable way:
+    * idf_micro = ⌊(N+1)·10⁶ / (df+1)⌋ with N = distinct documents
+    * (pairs) in the reference corpus and df = distinct documents
+    * containing the key (the +1s are Zhang-2020's smoothing — every
+    * unseen key has a defined weight). This is the RATIO Zhang's ln-idf
+    * is the logarithm of: the log itself is a transcendental whose
+    * µ-grid floor is not guaranteed to replay across engines (two
+    * correctly-rounded-ish libms can floor a near-boundary value apart),
+    * so the replayable table carries the ratio and callers wanting
+    * ln-compressed weights compute that table outside the replay
+    * contract — same plumbing, different table. Weights are ≥ 10⁶ by
+    * construction (df ≤ N), so weighted sums never hit the zero-wsum
+    * guard.
+    *
+    * Scale shape: one (key)-keyed distinct-count aggregate + a one-row
+    * broadcast total — vocabulary-sized output, built once and shared.
+    *
+    * Output: (key, df, idf_micro).
+    */
+  def idfWeightsMicro(units: DataFrame, pairCol: String,
+      keyCol: String): DataFrame = {
+    val base = units.select(col(pairCol).as("__p"), col(keyCol).as("key"))
+    val totals = base.agg(count_distinct(col("__p")).as("__nn"))
+    base.groupBy(col("key"))
+      .agg(count_distinct(col("__p")).as("df"))
+      .crossJoin(broadcast(totals))
+      .select(col("key"), col("df"),
+        call_function("div", (col("__nn") + 1L) * 1000000L,
+          col("df") + 1L).as("idf_micro"))
+  }
+
   /** Corpus distinct-n (Li et al. 2016's diversity metric, the cheap
     * companion to [[selfBleu]]): distinct word n-grams over total word
     * n-grams across the WHOLE corpus, per n = 1..maxN — a mode-collapsed

@@ -315,6 +315,8 @@ object RowLocal {
     "EvalMetrics.passAtKRollup" -> "per-k mean over problem-sized aggregate rows",
     "EvalMetrics.selfConsistencyRollup" -> "one-row mean/quorum reduce over problem-sized aggregate rows",
     "EvalMetrics.bertScore" -> "pair-keyed unit join + two max-reduce aggregates",
+    "EvalMetrics.bertScoreIdf" -> "bertScore's join + max reductions with a broadcast weight lookup per unit",
+    "EvalMetrics.idfWeightsMicro" -> "vocabulary-sized distinct-count aggregate + one-row broadcast total",
     "EvalMetrics.distinctN" -> "corpus-wide (n, gram) aggregate (distinct share needs all docs)",
     "EvalMetrics.ngramNovelty" -> "reference-set dedup + (n, gram) anti-join + doc rollup",
     "EvalMetrics.corpusNovelty" -> "corpus-level per-n reduce over doc-sized rows",

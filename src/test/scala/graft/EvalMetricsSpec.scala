@@ -521,6 +521,55 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(p2.isNullAt(p2.fieldIndex("f1")), "signed means have no harmonic F1")
   }
 
+  test("bertScoreIdf: uniform weights reproduce bertScore; idf weights tilt the means; missing keys take the default") {
+    val cand = Seq(
+      (1L, 0L, 10L, Seq(1.0, 0.0)), (1L, 2L, 11L, Seq(0.0, 2.0)))
+      .toDF("pair_id", "unit_id", "key", "vec")
+    val ref = Seq(
+      (1L, 1L, 10L, Seq(2.0, 0.0)), (1L, 3L, 11L, Seq(1.0, 1.0)))
+      .toDF("pair_id", "unit_id", "key", "vec")
+    // uniform-weight law: any constant W > 0 gives floor(W*S / W*n) =
+    // floor(S/n) — identical means and F1 to the unweighted operator
+    val uni = Seq((10L, 777000L), (11L, 777000L)).toDF("key", "wm")
+    val got = EvalMetrics.bertScoreIdf(cand, ref, "pair_id", "unit_id",
+      "vec", "key", uni, "key", "wm").collect().head
+    val base = EvalMetrics.bertScore(cand, ref, "pair_id", "unit_id", "vec")
+      .collect().head
+    Seq("precision_mean", "recall_mean", "f1").foreach { f =>
+      assert(got.getLong(got.fieldIndex(f)) == base.getLong(base.fieldIndex(f)), f)
+    }
+    // non-uniform weights: ref2's bests vs cand {[1,0],[0,2]} are
+    // unit1 (key 10) -> 2 and unit3 (key 11) -> 1, so a 9:1 weighting
+    // pools to Σw·best = 9e6·2 + 1e6·1 = 19e6 over Σw = 10e6
+    val ref2 = Seq(
+      (1L, 1L, 10L, Seq(2.0, 0.0)), (1L, 3L, 11L, Seq(0.0, 0.5)))
+      .toDF("pair_id", "unit_id", "key", "vec")
+    val w96 = Seq((10L, 9000000L), (11L, 1000000L)).toDF("key", "wm")
+    val tilted = EvalMetrics.bertScoreIdf(cand, ref2, "pair_id", "unit_id",
+      "vec", "key", w96, "key", "wm").collect().head
+    assert(tilted.getLong(tilted.fieldIndex("recall_wsum")) == 10000000L)
+    // weighted dot = 9e6*2 + 1e6*1 = 19e6 -> mean floor(19e6/10e6) = 1
+    assert(tilted.getLong(tilted.fieldIndex("recall_mean")) == 1L)
+    // missing key: drop key 11 from the table -> it takes the explicit
+    // default (2e6 here), recall_wsum = 9e6 + 2e6
+    val partial = Seq((10L, 9000000L)).toDF("key", "wm")
+    val miss = EvalMetrics.bertScoreIdf(cand, ref2, "pair_id", "unit_id",
+      "vec", "key", partial, "key", "wm",
+      missingWeightMicro = 2000000L).collect().head
+    assert(miss.getLong(miss.fieldIndex("recall_wsum")) == 11000000L)
+  }
+
+  test("idfWeightsMicro: rational inverse-frequency on the micro grid, smoothed") {
+    // 3 documents; key 'a' in all 3, 'b' in 1 -> N=3:
+    // idf(a) = (4*1e6)//4 = 1e6; idf(b) = (4*1e6)//2 = 2e6
+    val units = Seq((1L, "a"), (1L, "b"), (2L, "a"), (3L, "a"), (3L, "a"))
+      .toDF("doc", "key")
+    val w = EvalMetrics.idfWeightsMicro(units, "doc", "key")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(w("a") == ((3L, 1000000L)))
+    assert(w("b") == ((1L, 2000000L)))
+  }
+
   test("distinctN: corpus-level distinct share per n") {
     val docs = Seq("a b a", "b c").toDF("text")
     val out = EvalMetrics.distinctN(docs, "text", maxN = 2)
