@@ -289,6 +289,20 @@ private[graft] object EntriesCuration {
           "pair_id", "f1_permille", replicates = 32),
         "delta_milli")
     }),
+    "ns_approx_rand" -> ((s, dir) => {
+      // Riezler-Maxwell approximate randomization (sign-flip
+      // permutation) over ROUGE-L F1 — the same even/odd two-system
+      // construction as the bootstrap gates, a different frozen-draw
+      // seed ('graft-ar' flip bits); oracle DERIVED from ns_rouge_l's
+      // SQL (SparkEntry.oracleSql)
+      val rl = graft.ops.EvalMetrics.rougeL(
+        evalPairs(s, dir), "pair_id", "cand", "ref", maxTokens = 40)
+      graft.ops.EvalMetrics.approxRandomization(
+        rl.where(col("pair_id") % 2 === 0),
+        rl.where(col("pair_id") % 2 === 1)
+          .withColumn("pair_id", col("pair_id") - 1L),
+        "pair_id", "f1_permille", replicates = 32)
+    }),
     "ns_incremental_novelty" -> ((s, dir) => {
       // continuous-ingest novelty: the reference gram set is a prebuilt
       // persistable index (NoveltyIndex carries maxN so an order

@@ -229,6 +229,33 @@ object SparkEntry {
       ("ns_paired_bootstrap_rouge_ci" ->
         s"""${EntrySupport.metricBootstrapRepsSql(base("ns_rouge_l"))},
            |${EntrySupport.bootstrapCiTailSql("delta_milli")}""".stripMargin) +
+      // approximate randomization derives from ns_rouge_l's SQL + the
+      // portable-hash flip bits (seed 'graft-ar'): signed sum per
+      // replicate, add-one p estimator — all integer
+      ("ns_approx_rand" ->
+        s"""WITH c AS (
+           |${base("ns_rouge_l")}
+           |),
+           |a AS (SELECT pair_id, f1_permille AS ma FROM c WHERE pair_id % 2 = 0),
+           |b AS (SELECT pair_id - 1 AS pair_id, f1_permille AS mb FROM c WHERE pair_id % 2 = 1),
+           |j AS (SELECT pair_id, ma - mb AS dd FROM a JOIN b USING (pair_id)
+           |      WHERE ma IS NOT NULL AND mb IS NOT NULL),
+           |r AS (SELECT j.*, CAST(unnest(range(1, 33)) AS BIGINT) AS rep FROM j),
+           |wu AS (SELECT *, ('0x' || substr(md5('graft-ar|' || CAST(pair_id AS VARCHAR) ||
+           |         '|' || CAST(rep AS VARCHAR)), 1, 8))::UBIGINT & 2147483647 AS u FROM r),
+           |fl AS (SELECT *, u % 2 AS flip FROM wu),
+           |g AS (SELECT rep,
+           |    CAST(sum(CASE WHEN flip = 1 THEN -dd ELSE dd END) AS BIGINT) AS s,
+           |    CAST(sum(dd) AS BIGINT) AS obs,
+           |    CAST(count(*) AS BIGINT) AS pairs
+           |  FROM fl GROUP BY rep),
+           |f AS (SELECT CAST(coalesce(max(pairs), 0) AS BIGINT) AS n_pairs_used,
+           |    CAST(count(*) AS BIGINT) AS n_replicates,
+           |    CAST(coalesce(max(obs), 0) AS BIGINT) AS observed_delta,
+           |    CAST(sum(CASE WHEN abs(s) >= abs(obs) THEN 1 ELSE 0 END) AS BIGINT) AS ge_count
+           |  FROM g)
+           |SELECT *, (ge_count + 1) * 1000 // (n_replicates + 1) AS p_permille
+           |FROM f""".stripMargin) +
       // the agreement rollup derives from the per-problem majority oracle
       ("ns_selfcons_rollup" ->
         s"""WITH sc AS (

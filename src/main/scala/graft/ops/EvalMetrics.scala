@@ -631,26 +631,8 @@ object EvalMetrics {
       seed: String = "graft-boot"): DataFrame = {
     require(replicates >= 2 && replicates <= 200,
       "replicates must be in [2, 200]")
-    // NULL metrics drop (visible via n_pairs_used); values OUTSIDE the
-    // bootstrap envelope OR NON-INTEGRAL fail LOUDLY instead of silently
-    // joining the dropped set / truncating toward zero — the
-    // bootstrapMeans error contract, not a silent NULL or floor. The
-    // integrality probe compares on the double grid, exact below the
-    // 1e12 envelope (< 2^53)
-    def side(df: DataFrame, p: String): DataFrame = {
-      val m = col(metricCol)
-      val md = m.cast("double")
-      df.select(
-        col(pairIdCol).as("pair_id"),
-        when(m.isNull, lit(null).cast("long"))
-          .when(md === floor(md) && abs(md) <= 1.0e12, m.cast("long"))
-          .otherwise(raise_error(concat(
-            lit("pairedBootstrapMetric: metric must be integral inside " +
-              "[-1e12, 1e12] (grid fractional metrics first); got "),
-            m.cast("string"), lit(" for pair "),
-            col(pairIdCol).cast("string")))).as(s"__$p"))
-    }
-    val joined = side(a, "a").join(side(b, "b"), "pair_id")
+    val joined = integralSide(a, pairIdCol, metricCol, "a")
+      .join(integralSide(b, pairIdCol, metricCol, "b"), "pair_id")
       .where(col("__a").isNotNull && col("__b").isNotNull)
     val u = Curation.portableHash31(
       concat_ws("|", col("pair_id"), col("replicate")), seed)
@@ -672,6 +654,87 @@ object EvalMetrics {
       when(col("__n") > 0,
         call_function("div", (col("__sa") - col("__sb")) * 1000L,
           col("__n"))).as("delta_milli"))
+  }
+
+  /** The shared paired-test metric projection: NULL metrics pass through
+    * as NULL (they drop at the join, visible via n_pairs_used); values
+    * OUTSIDE the [-1e12, 1e12] envelope OR NON-INTEGRAL fail LOUDLY
+    * instead of silently joining the dropped set / truncating toward
+    * zero — the bootstrapMeans error contract. The integrality probe
+    * compares on the double grid, exact below the envelope (< 2^53).
+    */
+  private def integralSide(df: DataFrame, pairIdCol: String,
+      metricCol: String, p: String): DataFrame = {
+    val m = col(metricCol)
+    val md = m.cast("double")
+    df.select(
+      col(pairIdCol).as("pair_id"),
+      when(m.isNull, lit(null).cast("long"))
+        .when(md === floor(md) && abs(md) <= 1.0e12, m.cast("long"))
+        .otherwise(raise_error(concat(
+          lit("paired metric test: metric must be integral inside " +
+            "[-1e12, 1e12] (grid fractional metrics first); got "),
+          m.cast("string"), lit(" for pair "),
+          col(pairIdCol).cast("string")))).as(s"__$p"))
+  }
+
+  /** Approximate-randomization significance test (Riezler & Maxwell
+    * 2005 — the sign-flip permutation test, the other standard MT/NLP
+    * significance machinery next to [[pairedBootstrapMetric]]; it tests
+    * the sharp null "the two systems are exchangeable on each item"
+    * directly, which small eval sets prefer over resampling variance):
+    * given (pair, metric) for two systems scored on the SAME items, the
+    * observed statistic is S = Σ(mA − mB); each replicate flips every
+    * pair's difference sign with a deterministic bit from
+    * [[Curation.portableHash31]] (the frozen-draw convention every
+    * bootstrap here shares — no RNG, identical under retries and
+    * cross-engine replay), and the p-value is the add-one estimator
+    * (count(|S_r| ≥ |S|) + 1)/(R + 1) the paper prescribes.
+    *
+    * Division-free and integer-exact: every statistic is a signed sum
+    * of integer deltas (the shared [[integralSide]] fail-loud
+    * contract); the one division is the final permille.
+    *
+    * Scale shape: one pair-keyed equi-join, a constant ×R fan-out onto
+    * ONE partial-aggregated R-row reduce, then a one-row verdict —
+    * exactly the bootstrap's shape (Σ|d| must stay inside long; with
+    * permille-grid metrics that is ~10¹⁵ pairs of headroom).
+    *
+    * Output (one row): n_pairs_used, n_replicates, observed_delta,
+    * ge_count, p_permille = (ge_count+1)·1000 div (n_replicates+1).
+    */
+  def approxRandomization(a: DataFrame, b: DataFrame, pairIdCol: String,
+      metricCol: String, replicates: Int = 64,
+      seed: String = "graft-ar"): DataFrame = {
+    require(replicates >= 2 && replicates <= 200,
+      "replicates must be in [2, 200]")
+    val joined = integralSide(a, pairIdCol, metricCol, "a")
+      .join(integralSide(b, pairIdCol, metricCol, "b"), "pair_id")
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+      .withColumn("__d", col("__a") - col("__b"))
+    val u = Curation.portableHash31(
+      concat_ws("|", col("pair_id"), col("replicate")), seed)
+    val perRep = joined
+      .select(col("*"),
+        explode(sequence(lit(1L), lit(replicates.toLong))).as("replicate"))
+      .withColumn("__flip", pmod(u, lit(2L)))
+      .groupBy(col("replicate"))
+      .agg(sum(when(col("__flip") === 1L, -col("__d"))
+          .otherwise(col("__d"))).as("__s"),
+        // Σd is replicate-invariant (the join is identical per
+        // replicate) — carried through the same aggregate, the
+        // n_pairs_used trick
+        sum(col("__d")).as("__obs"),
+        count(lit(1)).as("__pairs"))
+    perRep.agg(
+      coalesce(max(col("__pairs")), lit(0L)).as("n_pairs_used"),
+      count(lit(1)).as("n_replicates"),
+      coalesce(max(col("__obs")), lit(0L)).as("observed_delta"),
+      sum(when(abs(col("__s")) >= abs(col("__obs")), 1L).otherwise(0L))
+        .as("ge_count"))
+      .withColumn("p_permille",
+        call_function("div", (col("ge_count") + 1L) * 1000L,
+          col("n_replicates") + 1L))
   }
 
   /** ROUGE-L per pair (Lin 2004's LCS variant — the most-reported ROUGE):

@@ -327,6 +327,7 @@ object RowLocal {
     "EvalMetrics.pairedBootstrapBleuReplicates" -> "the exposed B-row per-replicate frame the BLEU verdict reduces",
     "EvalMetrics.pairedBootstrapMetricReplicates" -> "the exposed B-row per-replicate frame the metric verdict reduces",
     "EvalMetrics.bootstrapDeltaCi" -> "one aggregate over a B<=200-row replicate frame (bounded order statistic)",
+    "EvalMetrics.approxRandomization" -> "pair-keyed system join + sign-flip fan-out onto one R-row aggregate",
     "EvalMetrics.bleuComponentsMultiRef" -> "one (pair, n, gram) shuffle + per-ref max partial agg + pair-sized BP-length reduce",
     "EvalMetrics.rougeNMultiRef" -> "per-(pair, ref) gram aggregates + pair-sized max-over-refs reduce",
     "EvalMetrics.chrFMultiRef" -> "per-(pair, ref) char-gram aggregates + pair-sized max-over-refs reduce",

@@ -852,6 +852,33 @@ class EvalMetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("approxRandomization: exchangeable systems give p = 1000; strong dominance drives p down") {
+    // identical systems: every delta is 0, so every flipped sum equals
+    // the observed 0 -> ge_count = R and the add-one p is exactly 1000
+    val a = (1L to 20L).map(i => (i, 700L + (i % 3))).toDF("pair_id", "m")
+    val same = EvalMetrics.approxRandomization(a, a, "pair_id", "m",
+      replicates = 16).collect().head
+    assert(same.getLong(same.fieldIndex("n_pairs_used")) == 20L)
+    assert(same.getLong(same.fieldIndex("observed_delta")) == 0L)
+    assert(same.getLong(same.fieldIndex("ge_count")) == 16L)
+    assert(same.getLong(same.fieldIndex("p_permille")) == 1000L)
+    // uniform +300 dominance over 20 pairs: a flipped sum matches the
+    // observed only if every flip agrees (2 of 2^20 sign patterns) —
+    // with the frozen draws ge_count stays (near) zero and p small
+    val b = (1L to 20L).map(i => (i, 400L + (i % 3))).toDF("pair_id", "m")
+    val dom = EvalMetrics.approxRandomization(a, b, "pair_id", "m",
+      replicates = 32).collect().head
+    assert(dom.getLong(dom.fieldIndex("observed_delta")) == 6000L)
+    assert(dom.getLong(dom.fieldIndex("ge_count")) <= 1L)
+    assert(dom.getLong(dom.fieldIndex("p_permille")) <= 61L)
+    // NULL metrics drop visibly, the bootstrap convention
+    val withNull = (1L to 20L).map(i =>
+      (i, if (i == 5L) null else Long.box(500L))).toDF("pair_id", "m")
+    val thin = EvalMetrics.approxRandomization(a, withNull, "pair_id", "m",
+      replicates = 8).collect().head
+    assert(thin.getLong(thin.fieldIndex("n_pairs_used")) == 19L)
+  }
+
   test("seqRepN: per-document repetition shares (Welleck rep-n)") {
     val docs = Seq((1L, "a a a b"), (2L, "x")).toDF("doc_id", "text")
     val out = EvalMetrics.seqRepN(docs, "text", "doc_id", maxN = 2)
