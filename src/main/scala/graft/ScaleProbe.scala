@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One-off scale spot-runs above the contract data size (round-6/7
@@ -35,7 +35,174 @@ object ScaleProbe {
     if (args.headOption.contains("text")) textTier(args.drop(1))
     else if (args.headOption.contains("eval")) evalTier(args.drop(1))
     else if (args.headOption.contains("eval2")) eval2Tier(args.drop(1))
+    else if (args.headOption.contains("eval3")) eval3Tier(args.drop(1))
     else graphTier(args)
+
+  /** Round-11 operators above contract scale (multi-reference metrics,
+    * bootstrap CI, idf-weighted BERTScore, approximate randomization)
+    * plus the round-10 verdict's streaming-novelty static-side probe:
+    * the novelty monitor's per-batch cost claim ("the stream pays its
+    * own gram volume") assumes the stream-static join's static side
+    * scales freely — this measures a 1× vs `staticM`× reference set's
+    * effect on a trigger's wall, PERSISTED vs UNPERSISTED (a streaming
+    * query re-executes the static side every micro-batch unless it is
+    * persisted; batch mode here is exactly one trigger).
+    *
+    *   sbt "runMain graft.ScaleProbe eval3 [sfDir] [staticM]"
+    */
+  def eval3Tier(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val staticM = args.lift(1).map(_.toInt).getOrElse(100)
+    val spark = session()
+    val off = lit(1000000000L)
+    def salts(m: Int) = spark.range(m.toLong).select(col("id").as("salt"))
+
+    val d0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    def docsAt(m: Int) = d0.crossJoin(salts(m))
+      .select((col("doc_id") + col("salt") * off).as("doc_id"), col("text"))
+    // the gate's two-reference frame over salted docs (adjacent-id refs
+    // stay salt-local except one boundary pair per copy)
+    def multiRefOf(df: DataFrame): (DataFrame, DataFrame) = {
+      def tr(c: Column, k: Int): Column =
+        concat_ws(" ", slice(split(lower(trim(c)), "\\s+"), 1, k))
+      val a = df.select(col("doc_id"), col("text"))
+      val b = df.select((col("doc_id") - 1L).as("doc_id"),
+        col("text").as("__next"))
+      val joined = a.join(b, "doc_id")
+      val par = spark.sparkContext.defaultParallelism
+      (joined.select(col("doc_id").as("pair_id"), tr(col("text"), 40).as("cand"))
+        .repartition(par, col("pair_id")),
+        joined.select(col("doc_id").as("pair_id"), explode(array(
+          struct(lit(1L).as("ref_ord"), tr(col("text"), 60).as("ref")),
+          struct(lit(2L).as("ref_ord"), tr(col("__next"), 60).as("ref"))))
+          .as("__r"))
+          .select(col("pair_id"), col("__r.ref_ord").as("ref_ord"),
+            col("__r.ref").as("ref"))
+          .repartition(par, col("pair_id")))
+    }
+    def pairsOf(df: DataFrame): DataFrame = {
+      val a = df.select(col("doc_id"), col("text"))
+      val b = df.select((col("doc_id") - 1L).as("doc_id"),
+        col("text").as("__next"))
+      a.join(b, "doc_id").select(col("doc_id").as("pair_id"),
+        col("text").as("cand"), col("__next").as("ref"))
+        .repartition(spark.sparkContext.defaultParallelism, col("pair_id"))
+    }
+    val v0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+    def unitsAt(m: Int) = {
+      val codes = graft.ops.Similarity.quantizeInt8(v0.crossJoin(salts(m))
+        .select((col("id") + col("salt") * off).as("id"), col("vec")))
+        .select(col("id"), col("codes").cast("array<double>").as("vec"))
+      codes.select(call_function("div", col("id"), lit(20L)).as("pair_id"),
+        col("id").as("unit_id"), (col("id") % 7).as("key"), col("vec"))
+    }
+
+    def persisted(df: DataFrame): DataFrame = { val p = df.persist(); p.count(); p }
+    val (docs1, docs10) = (persisted(docsAt(1)), persisted(docsAt(10)))
+    val (u1, u10) = (persisted(unitsAt(1)), persisted(unitsAt(10)))
+    println(s"docs 1x=${docs1.count()} 10x=${docs10.count()}; " +
+      s"units 1x=${u1.count()} 10x=${u10.count()} ($sfDir)")
+
+    def sized(m: Int): Int = 32 * m
+    def run(name: String, d1: DataFrame, d10: DataFrame,
+        f: DataFrame => DataFrame, scaleParts: Boolean = false): Unit = {
+      def time(df: DataFrame, m: Int): Double = {
+        spark.conf.set("spark.sql.shuffle.partitions",
+          if (scaleParts) sized(m) else 32)
+        try { val t0 = System.nanoTime(); f(df).count()
+          (System.nanoTime() - t0) / 1e9
+        } finally spark.conf.set("spark.sql.shuffle.partitions", 32)
+      }
+      time(d1, 1) // warm-up
+      val t1 = time(d1, 1)
+      val t10 = time(d10, 10)
+      println(f"$name%-18s 1x=${t1}%.2fs 10x=${t10}%.2fs ratio=${t10 / t1}%.2f")
+    }
+
+    val em = graft.ops.EvalMetrics
+    run("bleuMultiRef", docs1, docs10, df => {
+      val (c, r) = multiRefOf(df)
+      em.bleuComponentsMultiRef(c, r, "pair_id", "cand", "ref_ord", "ref")
+    }, scaleParts = true)
+    run("rougeMultiRef", docs1, docs10, df => {
+      val (c, r) = multiRefOf(df)
+      em.rougeNMultiRef(c, r, "pair_id", "cand", "ref_ord", "ref", maxN = 2)
+    }, scaleParts = true)
+    run("chrfMultiRef", docs1, docs10, df => {
+      val (c, r) = multiRefOf(df)
+      em.chrFMultiRef(c, r, "pair_id", "cand", "ref_ord", "ref",
+        maxN = 3, maxChars = 500)
+    }, scaleParts = true)
+    run("bertScoreIdf", u1, u10, df =>
+      em.bertScoreIdf(df.where(col("unit_id") % 2 === 0),
+        df.where(col("unit_id") % 2 === 1), "pair_id", "unit_id", "vec",
+        "key", em.idfWeightsMicro(df.where(col("unit_id") % 2 === 1),
+          "pair_id", "key"), "key", "idf_micro"),
+      scaleParts = true)
+    // CI / approx-rand stage growth in PAIR volume over precomputed
+    // persisted inputs (the component pipelines have their own legs)
+    val (comp1, comp10) = (
+      persisted(em.bleuComponents(pairsOf(docs1), "pair_id", "cand", "ref")),
+      persisted(em.bleuComponents(pairsOf(docs10), "pair_id", "cand", "ref")))
+    run("bootstrapCi", comp1, comp10, comp =>
+      em.bootstrapDeltaCi(em.pairedBootstrapBleuReplicates(
+        comp.where(col("pair_id") % 2 === 0),
+        comp.where(col("pair_id") % 2 === 1)
+          .withColumn("pair_id", col("pair_id") - 1L),
+        replicates = 32), "delta"))
+    val (rl1, rl10) = (
+      persisted(em.rougeL(pairsOf(docs1), "pair_id", "cand", "ref", maxTokens = 40)),
+      persisted(em.rougeL(pairsOf(docs10), "pair_id", "cand", "ref", maxTokens = 40)))
+    run("approxRand", rl1, rl10, rl =>
+      em.approxRandomization(
+        rl.where(col("pair_id") % 2 === 0),
+        rl.where(col("pair_id") % 2 === 1)
+          .withColumn("pair_id", col("pair_id") - 1L),
+        "pair_id", "f1_permille", replicates = 32))
+
+    // ---- streaming-novelty static side at 1x vs staticM x reference
+    // volume, persisted vs unpersisted (one batch run == one trigger)
+    val events = persisted(spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("ts"), concat_ws(" ", col("event_type"), col("props"),
+        (col("event_id") % 13).cast("string")).as("text")))
+    println(s"stream side: ${events.count()} events per trigger")
+    def trigger(idx: em.NoveltyIndex): Double = {
+      val t0 = System.nanoTime()
+      graft.streaming.Windows.streamingNovelty(events, "ts", "text", idx,
+        windowDuration = "1 hour").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // the reference CONTENT must grow, not just the row count: salted
+    // copies share identical text and would dedup back to the 1x gram
+    // set. Salt > 0 prefixes every token (disjoint gram spaces, exactly
+    // m x the distinct set); salt 0 keeps the real text so the stream's
+    // membership hits survive at every m
+    def refDocsAt(m: Int) = d0.crossJoin(salts(m))
+      .select((col("doc_id") + col("salt") * off).as("doc_id"),
+        when(col("salt") === 0, col("text")).otherwise(
+          concat_ws(" ", transform(split(lower(trim(col("text"))), "\\s+"),
+            t => concat(col("salt").cast("string"), lit("_"), t))))
+          .as("text"))
+    for (m <- Seq(1, staticM)) {
+      spark.conf.set("spark.sql.shuffle.partitions", sized(math.max(1, m / 4)))
+      try {
+        val idx = em.noveltyIndex(refDocsAt(m), "text", maxN = 2)
+        val cold1 = trigger(idx); val cold2 = trigger(idx)
+        val entries = idx.entries.persist()
+        val nGrams = entries.count()
+        val pIdx = em.NoveltyIndex(entries, idx.maxN)
+        trigger(pIdx) // warm the cache path
+        val warm = trigger(pIdx)
+        println(f"novelty static ${m}x: refGrams=$nGrams%d " +
+          f"unpersisted=${math.min(cold1, cold2)}%.2fs persisted=$warm%.2fs")
+        entries.unpersist()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", 32)
+    }
+    spark.stop()
+  }
 
   /** Round-9/10 operators above contract scale (round-9 verdict item 5 +
     * the round-10 additions): passAtK and selfConsistency at 10×/100×

@@ -304,6 +304,43 @@ class PlanSpec extends AnyFunSuite {
       s"per-unit max must combine map-side:\n${plan.take(3000)}")
   }
 
+  test("multi-ref BLEU / BERTScore-idf / approx-rand: keyed joins never degenerate to products, aggregates combine map-side") {
+    // bleuComponentsMultiRef's scale contract: the clip join is keyed
+    // (pair, n, gram) and the BP-length pick is a pair-keyed reduce —
+    // a dropped key plans a cartesian over the gram corpus
+    val mr = planOf(EntriesCuration.queries("ns_bleu_multiref")(spark, sf))
+    assert(!mr.contains("CartesianProduct") &&
+      !mr.contains("BroadcastNestedLoopJoin"),
+      s"multi-ref clip join degenerated to a product:\n${mr.take(3000)}")
+    assert(mr.contains("partial_max"),
+      s"the max-over-refs gram count must combine map-side:\n${mr.take(3000)}")
+    assert(mr.contains("partial_min"),
+      s"the closest-ref-length struct min must combine map-side:\n${mr.take(3000)}")
+    // bertScoreIdf: the weight lookup is hinted broadcast (a
+    // vocabulary-sized table must never shuffle the unit frame). The
+    // idf table build itself carries ONE BroadcastNestedLoopJoin — the
+    // one-row crossJoin(broadcast(totals)) convention — so the product
+    // check here is CartesianProduct plus a cap of exactly that one
+    // legitimate BNLJ occurrence per weight lookup side
+    val bi = planOf(EntriesCuration.queries("ns_bertscore_idf")(spark, sf))
+    assert(!bi.contains("CartesianProduct"),
+      s"idf weight join degenerated to a product:\n${bi.take(3000)}")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(bi).length
+    assert(bnlj <= 2,
+      s"unexpected non-one-row nested-loop joins ($bnlj):\n${bi.take(3000)}")
+    assert(bi.contains("BroadcastHashJoin"),
+      s"the weight lookup must broadcast:\n${bi.take(3000)}")
+    // the significance/CI tier reduces map-side onto replicate-sized
+    // frames (the bootstrap partial-agg shape)
+    Seq("ns_approx_rand", "ns_paired_bootstrap_ci").foreach { q =>
+      val p = planOf(EntriesCuration.queries(q)(spark, sf))
+      assert(p.contains("partial_"),
+        s"$q must partial-aggregate map-side:\n${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"),
+        s"$q planned a product:\n${p.take(2000)}")
+    }
+  }
+
   test("self-BLEU: ring join stays position-keyed; count() cannot skip the gram pipeline") {
     val q = EntriesCuration.queries("ns_self_bleu")(spark, sf)
     val plan = planOf(q)
