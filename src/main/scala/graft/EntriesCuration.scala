@@ -172,6 +172,20 @@ private[graft] object EntriesCuration {
         cands, refs, "pair_id", "cand", "ref_ord", "ref",
         maxN = 3, maxChars = 500)
     }),
+    "ns_rouge_l_multiref" -> ((s, dir) => {
+      // multi-reference ROUGE-L: per-reference LCS via the composite
+      // key, Lin-2004 per-metric max over refs
+      val (cands, refs) = evalMultiRef(s, dir)
+      graft.ops.EvalMetrics.rougeLMultiRef(
+        cands, refs, "pair_id", "cand", "ref_ord", "ref", maxTokens = 40)
+    }),
+    "ns_ter_multiref" -> ((s, dir) => {
+      // multi-reference TER (Snover 2006): min edits over refs, rate
+      // over the truncated-average reference length
+      val (cands, refs) = evalMultiRef(s, dir)
+      graft.ops.EvalMetrics.terMultiRef(
+        cands, refs, "pair_id", "cand", "ref_ord", "ref", maxTokens = 40)
+    }),
     "ns_passk_rollup" -> ((s, dir) =>
       // benchmark-level pass@k: mean over problems per k (the quoted
       // "pass@1 on the benchmark") + the pass^k all-draws-pass dual, both
@@ -1150,6 +1164,75 @@ private[graft] object EntriesCuration {
          |    END AS f2_permille
          |  FROM prf)
          |${maxOverRefsTailSql(Seq("precision_permille", "recall_permille", "f1_permille", "f2_permille"))}""".stripMargin,
+    "ns_ter_multiref" ->
+      // the per-(pair, ref) ASCII-relabeled levenshtein (the ns_ter
+      // chain keyed by ref_ord), then min edits / truncated-average
+      // reference length
+      s"""WITH $evalMultiRefSql,
+         |jp AS (SELECT cd.pair_id, rf.ref_ord, cd.cand, rf.ref FROM cd JOIN rf USING (pair_id)),
+         |tt AS (SELECT pair_id, ref_ord,
+         |    list_slice(list_filter(string_split_regex(trim(lower(coalesce(cand, ''))), '\\s+'),
+         |               x -> x <> ''), 1, 40) AS ct,
+         |    list_slice(list_filter(string_split_regex(trim(lower(coalesce(ref, ''))), '\\s+'),
+         |               x -> x <> ''), 1, 40) AS rt
+         |  FROM jp),
+         |vv AS (SELECT *, list_distinct(list_concat(ct, rt)) AS vocab FROM tt),
+         |ee AS (SELECT pair_id, ref_ord,
+         |    CAST(len(ct) AS BIGINT) AS cand_len, CAST(len(rt) AS BIGINT) AS ref_len,
+         |    array_to_string(list_transform(ct, t -> chr(CAST(47 + list_position(vocab, t) AS INT))), '') AS ec,
+         |    array_to_string(list_transform(rt, t -> chr(CAST(47 + list_position(vocab, t) AS INT))), '') AS er
+         |  FROM vv),
+         |pe AS (SELECT pair_id, ref_ord, cand_len, ref_len,
+         |    CAST(levenshtein(ec, er) AS BIGINT) AS eo FROM ee),
+         |ag AS (SELECT pair_id, CAST(count(*) AS BIGINT) AS n_refs,
+         |    CAST(max(cand_len) AS BIGINT) AS cand_len,
+         |    CAST(min(eo) AS BIGINT) AS edit_ops,
+         |    CAST(sum(ref_len) AS BIGINT) AS rl
+         |  FROM pe GROUP BY 1)
+         |SELECT pair_id, n_refs, cand_len, rl // n_refs AS avg_ref_len, edit_ops,
+         |  CASE WHEN rl // n_refs > 0 THEN edit_ops * 1000 // (rl // n_refs) END AS ter_permille
+         |FROM ag""".stripMargin,
+    "ns_rouge_l_multiref" ->
+      // the ns_rouge_l recursive-CTE LCS DP keyed by (pair, ref_ord),
+      // then the Lin-2004 per-metric max over references
+      s"""WITH RECURSIVE $evalMultiRefSql,
+         |jp AS (SELECT cd.pair_id, rf.ref_ord, cd.cand, rf.ref FROM cd JOIN rf USING (pair_id)),
+         |tt AS (SELECT pair_id, ref_ord,
+         |    list_slice(list_filter(string_split_regex(trim(lower(coalesce(cand, ''))), '\\s+'),
+         |               x -> x <> ''), 1, 40) AS ct,
+         |    list_slice(list_filter(string_split_regex(trim(lower(coalesce(ref, ''))), '\\s+'),
+         |               x -> x <> ''), 1, 40) AS rt
+         |  FROM jp),
+         |lcs(pair_id, ref_ord, i, row) AS (
+         |  SELECT pair_id, ref_ord, 0::BIGINT,
+         |    list_transform(range(len(rt) + 1), x -> 0::BIGINT) FROM tt
+         |  UNION ALL
+         |  SELECT l.pair_id, l.ref_ord, l.i + 1,
+         |    list_reduce(
+         |      list_prepend([0::BIGINT], list_transform(range(1, len(t.rt) + 1), j -> [j])),
+         |      (acc, x) -> list_append(acc,
+         |        greatest(l.row[CAST(x[1] AS INT) + 1], acc[-1],
+         |          l.row[CAST(x[1] AS INT)] +
+         |          CASE WHEN t.ct[CAST(l.i AS INT) + 1] = t.rt[CAST(x[1] AS INT)] THEN 1 ELSE 0 END)))
+         |  FROM lcs l JOIN tt t ON t.pair_id = l.pair_id AND t.ref_ord = l.ref_ord
+         |  WHERE l.i < len(t.ct)),
+         |fin AS (SELECT l.pair_id, l.ref_ord, CAST(len(t.ct) AS BIGINT) AS cand_len,
+         |    CAST(len(t.rt) AS BIGINT) AS ref_len, CAST(l.row[-1] AS BIGINT) AS lcs_len
+         |  FROM lcs l JOIN tt t ON t.pair_id = l.pair_id AND t.ref_ord = l.ref_ord
+         |  WHERE l.i = len(t.ct)),
+         |prf2 AS (SELECT *,
+         |    CASE WHEN cand_len > 0 THEN lcs_len * 1000 // cand_len END AS precision_permille,
+         |    CASE WHEN ref_len > 0 THEN lcs_len * 1000 // ref_len END AS recall_permille
+         |  FROM fin),
+         |pf AS (SELECT *, CASE WHEN precision_permille IS NOT NULL AND recall_permille IS NOT NULL
+         |    AND precision_permille + recall_permille > 0
+         |    THEN precision_permille * recall_permille * 2 // (precision_permille + recall_permille)
+         |  END AS f1_permille FROM prf2)
+         |SELECT pair_id, CAST(count(*) AS BIGINT) AS n_refs,
+         |  CAST(max(precision_permille) AS BIGINT) AS precision_permille,
+         |  CAST(max(recall_permille) AS BIGINT) AS recall_permille,
+         |  CAST(max(f1_permille) AS BIGINT) AS f1_permille
+         |FROM pf GROUP BY 1""".stripMargin,
     "ns_distinct_n" ->
       """WITH tk AS (SELECT list_filter(
         |    string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),

@@ -136,6 +136,16 @@ object ScaleProbe {
       em.chrFMultiRef(c, r, "pair_id", "cand", "ref_ord", "ref",
         maxN = 3, maxChars = 500)
     }, scaleParts = true)
+    run("rougeLMultiRef", docs1, docs10, df => {
+      val (c, r) = multiRefOf(df)
+      em.rougeLMultiRef(c, r, "pair_id", "cand", "ref_ord", "ref",
+        maxTokens = 40)
+    })
+    run("terMultiRef", docs1, docs10, df => {
+      val (c, r) = multiRefOf(df)
+      em.terMultiRef(c, r, "pair_id", "cand", "ref_ord", "ref",
+        maxTokens = 40)
+    })
     run("bertScoreIdf", u1, u10, df =>
       em.bertScoreIdf(df.where(col("unit_id") % 2 === 0),
         df.where(col("unit_id") % 2 === 1), "pair_id", "unit_id", "vec",

@@ -286,6 +286,63 @@ object EvalMetrics {
       Seq("precision_permille", "recall_permille", "f1_permille",
         "f2_permille"))
 
+  /** Multi-reference ROUGE-L — the same Lin-2004 max-over-references
+    * rule applied to [[rougeL]]'s per-reference P/R/F1 (each maxes
+    * independently, the [[rougeNMultiRef]] convention). [[rougeL]]
+    * defines a row for EVERY (pair, ref) — empty sides score NULL, not
+    * zero — so `n_refs` here is the full reference count and all-NULL
+    * scores stay NULL. Single-reference input reproduces [[rougeL]]'s
+    * scores exactly (the spec law). Scale shape: [[rougeL]]'s
+    * zero-shuffle bounded DP per (pair, ref) row + one pair-sized max
+    * reduce.
+    */
+  def rougeLMultiRef(cands: DataFrame, refs: DataFrame, pairIdCol: String,
+      candCol: String, refOrdCol: String, refCol: String,
+      maxTokens: Int = 256): DataFrame = {
+    val perRef = rougeL(multiRefPairs(cands, refs, pairIdCol, candCol,
+      refOrdCol, refCol), "__pk", "__cand", "__ref", maxTokens)
+    val aggs = count(lit(1)).as("n_refs") +:
+      Seq("precision_permille", "recall_permille", "f1_permille")
+        .map(c => max(col(c)).as(c))
+    perRef.groupBy(col("pair_id").getField("pair_id").as("pair_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Multi-reference TER — Snover et al. 2006's rule: the edit count is
+    * the MINIMUM over references (edits to the closest reference) and
+    * the rate denominator is the AVERAGE reference length (integer
+    * mean, truncated — both engines' convention). ter_permille = NULL
+    * when the average reference length is 0 (all references empty —
+    * undefined, not perfect). Single-reference input reproduces
+    * [[terComponents]]'s edit_ops and ter_permille exactly (avg of one
+    * length IS that length — the spec law). Scale shape:
+    * [[terComponents]]'s zero-shuffle bounded DP per (pair, ref) row +
+    * one pair-sized min/avg reduce.
+    *
+    * Output: (pair_id, n_refs, cand_len, avg_ref_len, edit_ops,
+    * ter_permille).
+    */
+  def terMultiRef(cands: DataFrame, refs: DataFrame, pairIdCol: String,
+      candCol: String, refOrdCol: String, refCol: String,
+      maxTokens: Int = 40): DataFrame = {
+    val perRef = terComponents(multiRefPairs(cands, refs, pairIdCol,
+      candCol, refOrdCol, refCol), "__pk", "__cand", "__ref", maxTokens)
+    perRef.groupBy(col("pair_id").getField("pair_id").as("pair_id"))
+      .agg(count(lit(1)).as("n_refs"),
+        // cand_len is identical across a pair's rows (same candidate,
+        // same truncation) — max is just the carrier
+        max(col("cand_len")).as("cand_len"),
+        min(col("edit_ops")).as("edit_ops"),
+        sum(col("ref_len")).as("__rl"))
+      .withColumn("avg_ref_len",
+        call_function("div", col("__rl"), col("n_refs")))
+      .withColumn("ter_permille",
+        when(col("avg_ref_len") > 0,
+          call_function("div", col("edit_ops") * 1000L, col("avg_ref_len"))))
+      .select(col("pair_id"), col("n_refs"), col("cand_len"),
+        col("avg_ref_len"), col("edit_ops"), col("ter_permille"))
+  }
+
   /** The (pair, ref_ord)-keyed pair frame the per-reference metrics run
     * over: candidate joined to each of its references, keyed by ONE
     * composite struct column (struct columns group and shuffle like any

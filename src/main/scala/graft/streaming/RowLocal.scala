@@ -331,6 +331,8 @@ object RowLocal {
     "EvalMetrics.bleuComponentsMultiRef" -> "one (pair, n, gram) shuffle + per-ref max partial agg + pair-sized BP-length reduce",
     "EvalMetrics.rougeNMultiRef" -> "per-(pair, ref) gram aggregates + pair-sized max-over-refs reduce",
     "EvalMetrics.chrFMultiRef" -> "per-(pair, ref) char-gram aggregates + pair-sized max-over-refs reduce",
+    "EvalMetrics.rougeLMultiRef" -> "per-(pair, ref) bounded LCS DP rows + pair-sized max-over-refs reduce",
+    "EvalMetrics.terMultiRef" -> "per-(pair, ref) bounded edit-DP rows + pair-sized min/avg reduce",
     "Profile.poissonWeight31" -> "private[ops] helper (the deterministic-bootstrap weight column, one cut table for every bootstrap oracle)",
     "EvalMetrics.toksOf" -> "private[graft] helper (the family tokenizer, shared with the streaming novelty twin)",
     "EvalMetrics.wordGramsOf" -> "private[graft] helper (column-parameterized gram builder, shared with the streaming novelty twin)",

@@ -723,6 +723,47 @@ class EvalMetricsSpec extends AnyFunSuite {
     val corpus = EvalMetrics.corpusBleu(EvalMetrics.bleuComponentsMultiRef(
       cands, refs, "pair_id", "cand", "ref_ord", "ref")).collect().head
     assert(corpus.getLong(corpus.fieldIndex("n_pairs")) == 4L)
+    // ROUGE-L: same P/R/F per pair as the single-ref DP
+    def prl(df: org.apache.spark.sql.DataFrame) = df
+      .select("pair_id", "precision_permille", "recall_permille",
+        "f1_permille")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(prl(EvalMetrics.rougeLMultiRef(cands, refs,
+        "pair_id", "cand", "ref_ord", "ref", maxTokens = 40)) ==
+      prl(EvalMetrics.rougeL(pairs, "pair_id", "cand", "ref", maxTokens = 40)))
+    // TER: one ref's average length IS its length, min edits its edits
+    val tm = EvalMetrics.terMultiRef(cands, refs,
+      "pair_id", "cand", "ref_ord", "ref", maxTokens = 40)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val ts = EvalMetrics.terComponents(pairs, "pair_id", "cand", "ref",
+      maxTokens = 40).collect().map(r => r.getLong(0) -> r).toMap
+    ts.foreach { case (id, s) =>
+      val m = tm(id)
+      assert(m.getLong(m.fieldIndex("edit_ops")) ==
+        s.getLong(s.fieldIndex("edit_ops")), s"edit_ops pair $id")
+      assert(m.getLong(m.fieldIndex("avg_ref_len")) ==
+        s.getLong(s.fieldIndex("ref_len")), s"ref_len pair $id")
+      assert(m.isNullAt(m.fieldIndex("ter_permille")) ==
+        s.isNullAt(s.fieldIndex("ter_permille")), s"ter null pair $id")
+      if (!s.isNullAt(s.fieldIndex("ter_permille")))
+        assert(m.getLong(m.fieldIndex("ter_permille")) ==
+          s.getLong(s.fieldIndex("ter_permille")), s"ter pair $id")
+    }
+  }
+
+  test("terMultiRef: min edits over refs, truncated-average length denominator") {
+    // cand "a b c"; ref1 "a b c d e" (2 edits: insert d, e... edit_ops
+    // = 2), ref2 "a x c" (1 edit: substitute) -> min edits 1; avg ref
+    // len = (5 + 3) div 2 = 4 -> ter = 1000 div 4 = 250
+    val out = EvalMetrics.terMultiRef(
+      Seq((1L, "a b c")).toDF("pair_id", "cand"),
+      Seq((1L, 1L, "a b c d e"), (1L, 2L, "a x c"))
+        .toDF("pair_id", "ref_ord", "ref"),
+      "pair_id", "cand", "ref_ord", "ref").collect().head
+    assert(out.getLong(out.fieldIndex("n_refs")) == 2L)
+    assert(out.getLong(out.fieldIndex("edit_ops")) == 1L)
+    assert(out.getLong(out.fieldIndex("avg_ref_len")) == 4L)
+    assert(out.getLong(out.fieldIndex("ter_permille")) == 250L)
   }
 
   test("rougeNMultiRef: per-metric max over references, coverage-aware n_refs") {
