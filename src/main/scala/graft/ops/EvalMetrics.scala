@@ -235,10 +235,17 @@ object EvalMetrics {
     }
     val wide = comp.groupBy(col("pair_id")).agg(aggs.head, aggs.tail: _*)
     // closest reference length, ties to the shorter: one pair-sized
-    // min(struct) reduce (cand_len IS total_1 — 1-grams are tokens)
+    // min(struct) reduce. The candidate length is recomputed from the
+    // SOURCE frame (size ∘ toks — equal to total_1 by construction:
+    // 1-grams are tokens) rather than read off `wide`: joining `wide`
+    // back to a frame derived from `wide` would evaluate the whole gram
+    // pipeline TWICE (self-join, no materialization between) — measured
+    // as a doubled Generate chain and ~1.8× gate wall
     val refLens = refToks.select(col("pair_id"),
       size(col("__rt")).cast("long").as("__rl"))
-    val closest = wide.select(col("pair_id"), col("total_1").as("__cl"))
+    val closest = cands
+      .select(col(pairIdCol).as("pair_id"),
+        size(toks(col(candCol))).cast("long").as("__cl"))
       .join(refLens, "pair_id")
       .groupBy(col("pair_id"))
       .agg(min(struct(abs(col("__rl") - col("__cl")).as("__d"),
@@ -719,6 +726,19 @@ object EvalMetrics {
     * instead of silently joining the dropped set / truncating toward
     * zero — the bootstrapMeans error contract. The integrality probe
     * compares on the double grid, exact below the envelope (< 2^53).
+    *
+    * Ends in ONE pair-keyed max aggregate — load-bearing twice over:
+    * (1) a paired test needs exactly one score per pair, and `max`
+    * collapses accidental duplicate pair ids DETERMINISTICALLY instead
+    * of letting the system join silently multiply them; (2) the
+    * aggregate is a constraint/inlining barrier. Without it, when the
+    * metric column is a non-cheap projection chain (ROUGE-L's LCS DP),
+    * join-constraint inference substitutes the aliased chain into
+    * inferred predicates MULTIPLICATIVELY — measured 40 copies of the
+    * DP per side in the join condition (the whole gate ~8.3 s); behind
+    * the aggregate the metric is a concrete column and the DP runs once
+    * per row (~2.6 s). The BLEU form never hit this because
+    * bleuComponents already ends in an aggregate.
     */
   private def integralSide(df: DataFrame, pairIdCol: String,
       metricCol: String, p: String): DataFrame = {
@@ -733,6 +753,8 @@ object EvalMetrics {
             "[-1e12, 1e12] (grid fractional metrics first); got "),
           m.cast("string"), lit(" for pair "),
           col(pairIdCol).cast("string")))).as(s"__$p"))
+      .groupBy(col("pair_id"))
+      .agg(max(col(s"__$p")).as(s"__$p"))
   }
 
   /** Approximate-randomization significance test (Riezler & Maxwell
