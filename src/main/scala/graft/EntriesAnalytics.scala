@@ -367,6 +367,18 @@ private[graft] object EntriesAnalytics {
         graft.ops.EvalMetrics.noveltyIndex(
           t(s, dir, "documents").select(col("text")), "text", maxN = 2),
         windowDuration = "1 hour")),
+    "ns_stream_paired_delta" -> ((s, dir) =>
+      // batch-mode run of the streaming A/B monitor (same code path;
+      // watermark applies to streams only): hourly windows of a paired
+      // two-system score derivation (every 13th A score NULL —
+      // abstentions drop visibly); row-local guarded delta, one
+      // windowed aggregate
+      graft.streaming.Windows.streamingPairedDelta(
+        t(s, dir, "events").select(col("ts"),
+          when(col("event_id") % 13 === 0, lit(null).cast("long"))
+            .otherwise((col("event_id") * 3) % 100).as("ma"),
+          ((col("event_id") * 7 + 1) % 100).as("mb")),
+        "ts", "ma", "mb", windowDuration = "1 hour")),
     "ns_stream_calibration" -> ((s, dir) =>
       // Batch-mode run of the streaming calibration monitor — the SAME
       // code path the stream executes (watermark applies to streams
@@ -899,6 +911,20 @@ private[graft] object EntriesAnalytics {
         |  CAST(sum(novel) AS BIGINT) AS novel_grams,
         |  (CAST(sum(novel) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT) AS novelty_permille
         |FROM j GROUP BY 1, 2, 3""".stripMargin,
+    "ns_stream_paired_delta" ->
+      """WITH s AS (SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w,
+        |    (event_id * 3) % 100 - ((event_id * 7 + 1) % 100) AS d
+        |  FROM events WHERE event_id % 13 <> 0),
+        |g AS (SELECT w, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS a_wins,
+        |    CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS b_wins,
+        |    CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties,
+        |    CAST(sum(d) AS BIGINT) AS delta_sum
+        |  FROM s GROUP BY 1)
+        |SELECT w AS window_start, w + INTERVAL 1 HOUR AS window_end,
+        |  n_pairs, a_wins, b_wins, ties, delta_sum,
+        |  (delta_sum * 1000) // n_pairs AS mean_delta_milli
+        |FROM g""".stripMargin,
     "ns_stream_calibration" ->
       """WITH s AS (SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
         |             (event_id * 37) % 1001 AS score,

@@ -303,6 +303,18 @@ private[graft] object EntriesCuration {
           "pair_id", "f1_permille", replicates = 32),
         "delta_milli")
     }),
+    "ns_mcnemar" -> ((s, dir) =>
+      // McNemar over paired pass/fail outcomes: two deterministic
+      // "systems" on the same event ids (A = mod-7 rule, B = mod-5 rule
+      // with every 13th outcome NULL — exercising the visible
+      // abstention drop); only discordant pairs move the statistic
+      graft.ops.EvalMetrics.mcnemarTest(
+        t(s, dir, "events").select(col("event_id").as("pair_id"),
+          (col("event_id") % 7 < 2).as("passed")),
+        t(s, dir, "events").select(col("event_id").as("pair_id"),
+          when(col("event_id") % 13 === 0, lit(null).cast("boolean"))
+            .otherwise(col("event_id") % 5 < 2).as("passed")),
+        "pair_id", "passed")),
     "ns_approx_rand" -> ((s, dir) => {
       // Riezler-Maxwell approximate randomization (sign-flip
       // permutation) over ROUGE-L F1 — the same even/odd two-system
@@ -1164,6 +1176,26 @@ private[graft] object EntriesCuration {
          |    END AS f2_permille
          |  FROM prf)
          |${maxOverRefsTailSql(Seq("precision_permille", "recall_permille", "f1_permille", "f2_permille"))}""".stripMargin,
+    "ns_mcnemar" ->
+      """WITH a AS (SELECT event_id AS pair_id, event_id % 7 < 2 AS pa FROM events),
+        |b AS (SELECT event_id AS pair_id, event_id % 5 < 2 AS pb FROM events
+        |      WHERE event_id % 13 <> 0),
+        |j AS (SELECT * FROM a JOIN b USING (pair_id)),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs_used,
+        |    CAST(sum(CASE WHEN pa AND pb THEN 1 ELSE 0 END) AS BIGINT) AS both_pass,
+        |    CAST(sum(CASE WHEN NOT pa AND NOT pb THEN 1 ELSE 0 END) AS BIGINT) AS both_fail,
+        |    CAST(sum(CASE WHEN pa AND NOT pb THEN 1 ELSE 0 END) AS BIGINT) AS a_only,
+        |    CAST(sum(CASE WHEN NOT pa AND pb THEN 1 ELSE 0 END) AS BIGINT) AS b_only
+        |  FROM j)
+        |SELECT *,
+        |  CASE WHEN a_only + b_only > 0
+        |       THEN ((a_only - b_only) * (a_only - b_only) * 1000) // (a_only + b_only)
+        |  END AS chi2_milli,
+        |  CASE WHEN a_only + b_only > 0
+        |       THEN (greatest(abs(a_only - b_only) - 1, 0) * greatest(abs(a_only - b_only) - 1, 0) * 1000)
+        |            // (a_only + b_only)
+        |  END AS chi2_corrected_milli
+        |FROM f""".stripMargin,
     "ns_ter_multiref" ->
       // the per-(pair, ref) ASCII-relabeled levenshtein (the ns_ter
       // chain keyed by ref_ord), then min edits / truncated-average

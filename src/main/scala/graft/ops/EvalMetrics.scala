@@ -816,6 +816,58 @@ object EvalMetrics {
           col("n_replicates") + 1L))
   }
 
+  /** McNemar's test for paired BINARY outcomes — the significance test
+    * the pass/fail eval family needs next to the continuous-metric
+    * bootstrap/randomization pair ("A solves 12 problems B misses, B
+    * solves 4 A misses — is A really better?"): only the DISCORDANT
+    * problems carry signal, and the χ² statistic is (b−c)²/(b+c) with
+    * b/c the two discordant counts, reported on the milli grid
+    * (compare chi2_milli to 3841 — χ² with 1 df at α = 0.05, ×1000 —
+    * for the standard verdict) alongside Edwards' continuity-corrected
+    * form (|b−c|−1)²/(b+c). Integer-exact throughout; both statistics
+    * are NULL when there are no discordant pairs (the test is
+    * undefined — identical systems have nothing to rank).
+    *
+    * NULL outcomes drop per side BEFORE pairing (an abstention is not
+    * a fail), pairs missing either side drop at the join —
+    * `n_pairs_used` makes both visible; duplicate pair ids collapse by
+    * OR (max over booleans, deterministic — the [[integralSide]]
+    * convention's binary sibling).
+    *
+    * Scale shape: two pair-keyed partial-agg dedups + one equi-join +
+    * ONE one-row reduce — no window, no fan-out at all (McNemar needs
+    * no resampling; the exact counts ARE the test).
+    *
+    * Output (one row): n_pairs_used, both_pass, both_fail, a_only,
+    * b_only, chi2_milli, chi2_corrected_milli.
+    */
+  def mcnemarTest(a: DataFrame, b: DataFrame, pairIdCol: String,
+      passedCol: String): DataFrame = {
+    def side(df: DataFrame, p: String): DataFrame = df
+      .select(col(pairIdCol).as("pair_id"),
+        col(passedCol).cast("boolean").as(s"__$p"))
+      .where(col(s"__$p").isNotNull)
+      .groupBy(col("pair_id"))
+      .agg(max(col(s"__$p")).as(s"__$p"))
+    val counts = side(a, "a").join(side(b, "b"), "pair_id")
+      .agg(count(lit(1)).as("n_pairs_used"),
+        sum(when(col("__a") && col("__b"), 1L).otherwise(0L)).as("both_pass"),
+        sum(when(!col("__a") && !col("__b"), 1L).otherwise(0L)).as("both_fail"),
+        sum(when(col("__a") && !col("__b"), 1L).otherwise(0L)).as("a_only"),
+        sum(when(!col("__a") && col("__b"), 1L).otherwise(0L)).as("b_only"))
+    val disc = col("a_only") + col("b_only")
+    counts
+      .withColumn("chi2_milli",
+        when(disc > 0, call_function("div",
+          (col("a_only") - col("b_only")) * (col("a_only") - col("b_only"))
+            * 1000L, disc)))
+      .withColumn("chi2_corrected_milli",
+        when(disc > 0, {
+          val d = greatest(abs(col("a_only") - col("b_only")) - 1L, lit(0L))
+          call_function("div", d * d * 1000L, disc)
+        }))
+  }
+
   /** ROUGE-L per pair (Lin 2004's LCS variant — the most-reported ROUGE):
     * longest common token SUBSEQUENCE between candidate and reference,
     * with permille P/R/F1 on the same integer grid as [[rougeN]]

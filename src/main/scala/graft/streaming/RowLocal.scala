@@ -328,6 +328,7 @@ object RowLocal {
     "EvalMetrics.pairedBootstrapMetricReplicates" -> "the exposed B-row per-replicate frame the metric verdict reduces",
     "EvalMetrics.bootstrapDeltaCi" -> "one aggregate over a B<=200-row replicate frame (bounded order statistic)",
     "EvalMetrics.approxRandomization" -> "pair-keyed system join + sign-flip fan-out onto one R-row aggregate",
+    "EvalMetrics.mcnemarTest" -> "two pair-keyed dedups + one equi-join + a one-row discordant-count reduce",
     "EvalMetrics.bleuComponentsMultiRef" -> "one (pair, n, gram) shuffle + per-ref max partial agg + pair-sized BP-length reduce",
     "EvalMetrics.rougeNMultiRef" -> "per-(pair, ref) gram aggregates + pair-sized max-over-refs reduce",
     "EvalMetrics.chrFMultiRef" -> "per-(pair, ref) char-gram aggregates + pair-sized max-over-refs reduce",

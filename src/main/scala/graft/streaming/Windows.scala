@@ -647,6 +647,62 @@ object Windows {
           .as("rep_permille"))
   }
 
+  /** Streaming paired-eval A/B monitor: per tumbling window, the paired
+    * comparison of two co-flowing systems scored on the SAME items —
+    * the live "did the new model actually get better?" dashboard next
+    * to the offline significance tests
+    * ([[graft.ops.EvalMetrics.pairedBootstrapMetric]] /
+    * `approxRandomization` run on closed data; this watches the delta
+    * move window by window). Rows arrive with BOTH systems' integer
+    * metrics for one item (the pairing happens upstream, where the item
+    * was scored twice — a stream-stream self-join would need watermark
+    * state for nothing); a row missing either side abstains (dropped —
+    * a paired comparison needs both; `n_pairs` makes thinning visible).
+    * Metrics must be integral — a fractional value FAILS the query
+    * loudly (the batch family's integralSide contract; silent
+    * truncation in a monitor is worse than a crash, because the monitor
+    * exists to be trusted).
+    *
+    * Streaming-legal shape: row-local guarded delta, ONE windowed
+    * aggregate, stateless mean projection over finalized rows. State =
+    * one row of 5 longs per open window.
+    *
+    * Output: (window_start, window_end, n_pairs, a_wins, b_wins, ties,
+    * delta_sum, mean_delta_milli = 1000·Σd div n — NULL only when a
+    * window is empty, which emits no row anyway).
+    */
+  def streamingPairedDelta(df: DataFrame, tsCol: String, aCol: String,
+      bCol: String, windowDuration: String,
+      watermark: String = "10 minutes"): DataFrame = {
+    def guarded(c: Column, what: String): Column = {
+      val md = c.cast("double")
+      when(md === floor(md) && abs(md) <= 1.0e12, c.cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"streamingPairedDelta: $what must be integral inside " +
+            "[-1e12, 1e12] (grid fractional metrics first); got "),
+          c.cast("string"))))
+    }
+    val base = df.select(col(tsCol).as("__ts"),
+      col(aCol).as("__ma"), col(bCol).as("__mb"))
+    val src = if (df.isStreaming) base.withWatermark("__ts", watermark) else base
+    src
+      .where(col("__ma").isNotNull && col("__mb").isNotNull)
+      .select(col("__ts"),
+        (guarded(col("__ma"), "metric A") - guarded(col("__mb"), "metric B"))
+          .as("__d"))
+      .groupBy(window(col("__ts"), windowDuration).as("w"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__d") > 0, 1L).otherwise(0L)).as("a_wins"),
+        sum(when(col("__d") < 0, 1L).otherwise(0L)).as("b_wins"),
+        sum(when(col("__d") === 0, 1L).otherwise(0L)).as("ties"),
+        sum(col("__d")).as("delta_sum"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("n_pairs"), col("a_wins"), col("b_wins"), col("ties"),
+        col("delta_sum"),
+        call_function("div", col("delta_sum") * 1000L, col("n_pairs"))
+          .as("mean_delta_milli"))
+  }
+
   final case class RollEvent(key: String, ts: java.sql.Timestamp, value: Long)
   final case class RollBuf(entries: List[(Long, Long)])
   final case class RollOutput(key: String, ts: java.sql.Timestamp, value: Long,

@@ -920,6 +920,33 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(thin.getLong(thin.fieldIndex("n_pairs_used")) == 19L)
   }
 
+  test("mcnemarTest: discordant counts drive the statistic; identical systems are undefined; NULLs drop visibly") {
+    // 20 problems: A passes 1-12, B passes 9-16 -> both_pass 4 (9-12),
+    // a_only 8 (1-8), b_only 4 (13-16), both_fail 4 (17-20)
+    val a = (1L to 20L).map(i => (i, i <= 12)).toDF("pair_id", "p")
+    val b = (1L to 20L).map(i => (i, i >= 9 && i <= 16)).toDF("pair_id", "p")
+    val out = EvalMetrics.mcnemarTest(a, b, "pair_id", "p").collect().head
+    assert(out.getLong(out.fieldIndex("n_pairs_used")) == 20L)
+    assert(out.getLong(out.fieldIndex("both_pass")) == 4L)
+    assert(out.getLong(out.fieldIndex("both_fail")) == 4L)
+    assert(out.getLong(out.fieldIndex("a_only")) == 8L)
+    assert(out.getLong(out.fieldIndex("b_only")) == 4L)
+    // chi2 = (8-4)^2/12 = 16/12 -> 1333 milli; corrected (|4|-1)^2/12 = 750
+    assert(out.getLong(out.fieldIndex("chi2_milli")) == 1333L)
+    assert(out.getLong(out.fieldIndex("chi2_corrected_milli")) == 750L)
+    // identical systems: no discordant pairs -> both statistics NULL
+    val same = EvalMetrics.mcnemarTest(a, a, "pair_id", "p").collect().head
+    assert(same.isNullAt(same.fieldIndex("chi2_milli")))
+    assert(same.isNullAt(same.fieldIndex("chi2_corrected_milli")))
+    // NULL outcomes drop the pair before counting
+    val bn = (1L to 20L).map(i =>
+      (i, if (i == 3L) null else java.lang.Boolean.valueOf(i >= 9 && i <= 16)))
+      .toDF("pair_id", "p")
+    val thin = EvalMetrics.mcnemarTest(a, bn, "pair_id", "p").collect().head
+    assert(thin.getLong(thin.fieldIndex("n_pairs_used")) == 19L)
+    assert(thin.getLong(thin.fieldIndex("a_only")) == 7L)
+  }
+
   test("seqRepN: per-document repetition shares (Welleck rep-n)") {
     val docs = Seq((1L, "a a a b"), (2L, "x")).toDF("doc_id", "text")
     val out = EvalMetrics.seqRepN(docs, "text", "doc_id", maxN = 2)

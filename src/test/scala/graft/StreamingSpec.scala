@@ -584,6 +584,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 5L, 1L, 200L)), s"got $got")
   }
 
+  test("streamingPairedDelta: windowed A/B comparison over a memory stream == batch twin; fractional metrics fail loudly") {
+    val input = MemoryStream[(java.sql.Timestamp, java.lang.Long, java.lang.Long)](spark, 56)
+    val df = input.toDF().toDF("ts", "ma", "mb")
+    val agg = Windows.streamingPairedDelta(df, "ts", "ma", "mb",
+      windowDuration = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("spd")
+      .outputMode("complete").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      // window A: deltas +5, -2, 0 and one abstention (NULL a-side)
+      // window B: one pair, delta -7
+      val rows = Seq(
+        (ts(1), Long.box(10L), Long.box(5L)),
+        (ts(2), Long.box(3L), Long.box(5L)),
+        (ts(3), Long.box(4L), Long.box(4L)),
+        (ts(4), null.asInstanceOf[java.lang.Long], Long.box(9L)),
+        (ts(11), Long.box(1L), Long.box(8L)))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      def shape(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+        r.getAs[java.sql.Timestamp](0).toString -> r.toSeq.drop(2)).toMap
+      val got = shape(spark.table("spd").collect())
+      assert(got("2024-01-01 10:00:00.0") ==
+        Seq(3L, 1L, 1L, 1L, 3L, 1000L), s"got $got")
+      assert(got("2024-01-01 10:10:00.0") ==
+        Seq(1L, 0L, 1L, 0L, -7L, -7000L), s"got $got")
+      val batchTwin = shape(Windows.streamingPairedDelta(
+        rows.toDF("ts", "ma", "mb"), "ts", "ma", "mb",
+        windowDuration = "10 minutes").collect())
+      assert(batchTwin == got)
+    } finally q.stop()
+    // fractional metric: the batch-mode run raises instead of truncating
+    val e = intercept[Exception] {
+      Windows.streamingPairedDelta(
+        Seq((java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 1.5, 2.0))
+          .toDF("ts", "ma", "mb"),
+        "ts", "ma", "mb", windowDuration = "10 minutes").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("must be integral"), s"got: $msgs")
+  }
+
   test("streamingSeqRep: pooled within-doc repetition per window, stream == batch twin") {
     val input = MemoryStream[(java.sql.Timestamp, String)](spark, 55)
     val df = input.toDF().toDF("ts", "text")
