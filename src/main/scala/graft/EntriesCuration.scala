@@ -98,6 +98,15 @@ private[graft] object EntriesCuration {
         t(s, dir, "events").select((col("user_id") % 50).as("problem"),
           (col("event_id") % 7 < 2).as("passed")),
         "problem", "passed", ks = Seq(1, 5, 10))),
+    "ns_gpass" -> ((s, dir) =>
+      // Liu-2024 G-Pass@k over the ns_pass_at_k sample grid at the
+      // half-majority and all-pass operating points (tau = 1/2, 1):
+      // the exact hypergeometric tail, replayed in the oracle with
+      // HUGEINT stepwise binomials
+      graft.ops.EvalMetrics.gPassAtK(
+        t(s, dir, "events").select((col("user_id") % 50).as("problem"),
+          (col("event_id") % 7 < 2).as("passed")),
+        "problem", "passed", ks = Seq(5, 10), taus = Seq((1, 2), (1, 1)))),
     "ns_rouge_l" -> ((s, dir) =>
       // ROUGE-L over the shared eval-pair frame: token-LCS expression on
       // the Spark side, recursive-CTE DP (list_reduce row fold) on the
@@ -1322,6 +1331,33 @@ private[graft] object EntriesCuration {
         |SELECT problem, n_samples, n_passed, k,
         |  1000000 - m AS pass_at_k_micro
         |FROM f""".stripMargin,
+    "ns_gpass" ->
+      // exact hypergeometric tail: stepwise HUGEINT binomials (each
+      // partial product IS a binomial, so every // is exact), one
+      // floor at the end — the kernel's arbitrary-precision arithmetic
+      // fits HUGEINT at the gate's n<=200, k<=10 envelope
+      """WITH per AS (SELECT user_id % 50 AS problem,
+        |    CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(sum(CASE WHEN event_id % 7 < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_passed
+        |  FROM events GROUP BY 1),
+        |kt AS (SELECT CAST(k AS BIGINT) AS k, CAST(tn AS BIGINT) AS tau_num,
+        |        CAST(td AS BIGINT) AS tau_den
+        |      FROM (VALUES (5, 1, 2), (5, 1, 1), (10, 1, 2), (10, 1, 1)) t(k, tn, td))
+        |SELECT problem, n_samples, n_passed, k, tau_num, tau_den,
+        |  CASE WHEN k <= n_samples THEN
+        |    CAST((list_sum(list_transform(range((tau_num * k + tau_den - 1) // tau_den, k + 1),
+        |        j -> CASE WHEN j <= n_passed AND k - j <= n_samples - n_passed
+        |             THEN list_reduce(list_prepend(1::HUGEINT, range(1, j + 1)),
+        |                    (acc, i) -> (acc * (n_passed - j + i)) // i)
+        |                * list_reduce(list_prepend(1::HUGEINT, range(1, k - j + 1)),
+        |                    (acc, i) -> (acc * (n_samples - n_passed - (k - j) + i)) // i)
+        |             ELSE 0::HUGEINT END))
+        |      * 1000000)
+        |      // list_reduce(list_prepend(1::HUGEINT, range(1, k + 1)),
+        |           (acc, i) -> (acc * (n_samples - k + i)) // i)
+        |    AS BIGINT)
+        |  END AS g_pass_micro
+        |FROM per, kt""".stripMargin,
     "ns_rouge_l" ->
       // token-LCS via a recursive-CTE DP: the outer recursion walks the
       // candidate tokens, list_reduce folds the new DP row left-to-right

@@ -173,6 +173,14 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.Cast(
           e, org.apache.spark.sql.types.DecimalType(38, 0))
       text.CorrPermilleExpr(dec(args.head), dec(args(1)), dec(args(2)))
+    },
+    // graft_g_pass_micro(n, c, k, tau_num, tau_den) — exact G-Pass@k_tau
+    // hypergeometric tail on the micro grid (arbitrary precision)
+    "graft_g_pass_micro" -> { args =>
+      arity("graft_g_pass_micro", args, 5 to 5)
+      text.GPassAtKExpr(args.map(e =>
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          e, org.apache.spark.sql.types.LongType)))
     })
 
   private def infoOf(name: String): ExpressionInfo =

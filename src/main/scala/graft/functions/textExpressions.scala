@@ -1956,4 +1956,73 @@ object text {
       ExpressionUtils.expression(num.cast("decimal(38,0)")),
       ExpressionUtils.expression(dx.cast("decimal(38,0)")),
       ExpressionUtils.expression(dy.cast("decimal(38,0)"))))
+
+  /** Exact G-Pass@k_τ on the micro grid — Liu et al. 2024's
+    * stable-reasoning generalization of pass@k: the probability that at
+    * least ⌈τ·k⌉ of k uniformly-drawn samples pass, given c of n
+    * passed — the hypergeometric tail
+    * Σ_{j=⌈τk⌉}^{k} C(c,j)·C(n−c,k−j) / C(n,k), evaluated with
+    * ARBITRARY-PRECISION integers and floored ONCE at the end
+    * (BigInteger — exact for any per-problem sample count n, where the
+    * pass@k compounded-floor folds would trade ≤k µ of slack for
+    * column-only arithmetic; this kernel runs on PROBLEM-sized rows, so
+    * a bounded loop costs nothing). Binomials build stepwise as
+    * acc·(a−b+i)/i — each partial product IS C(a−b+i, i), so every
+    * division is exact. τ arrives as a rational (num, den): floats have
+    * no place on a replayable grid. NULL when k > n (undefined — the
+    * passAtK convention) or any child is NULL. τ = 1/k degenerates to
+    * pass@k and τ = 1 to pass^k (the cross-family laws EvalMetricsSpec
+    * pins). Children: (n, c, k, tauNum, tauDen) as longs; requires
+    * k ≥ 1, 0 ≤ c ≤ n, 1 ≤ tauNum ≤ tauDen. CodegenFallback like the
+    * other bounded kernels — the loop dominates any codegen win.
+    */
+  case class GPassAtKExpr(children: Seq[Expression]) extends Expression
+      with CodegenFallback {
+    require(children.length == 5, "expects (n, c, k, tauNum, tauDen)")
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.contains(null)) null
+      else {
+        import java.math.BigInteger
+        val Seq(n, c, k, tn, td) = vs.map(_.asInstanceOf[Long])
+        require(k >= 1 && tn >= 1 && tn <= td && c >= 0 && c <= n,
+          s"gPassAtK: need k >= 1, 0 <= c <= n, 1 <= tauNum <= tauDen " +
+            s"(got n=$n c=$c k=$k tau=$tn/$td)")
+        if (k > n) null
+        else {
+          def comb(a: Long, b: Long): BigInteger =
+            if (b < 0 || b > a) BigInteger.ZERO
+            else {
+              var acc = BigInteger.ONE
+              var i = 1L
+              while (i <= b) {
+                acc = acc.multiply(BigInteger.valueOf(a - b + i))
+                  .divide(BigInteger.valueOf(i))
+                i += 1
+              }
+              acc
+            }
+          val j0 = (tn * k + td - 1) / td
+          var num = BigInteger.ZERO
+          var j = j0
+          while (j <= k) {
+            num = num.add(comb(c, j).multiply(comb(n - c, k - j)))
+            j += 1
+          }
+          num.multiply(BigInteger.valueOf(1000000L))
+            .divide(comb(n, k)).longValueExact()
+        }
+      }
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(children = newChildren)
+  }
+
+  def gPassAtKMicro(n: Column, c: Column, k: Column, tauNum: Column,
+      tauDen: Column): Column =
+    ExpressionUtils.column(GPassAtKExpr(Seq(n, c, k, tauNum, tauDen)
+      .map(x => ExpressionUtils.expression(x.cast("long")))))
 }

@@ -951,6 +951,51 @@ object EvalMetrics {
         (lit(1000000L) - col("__m")).as("pass_at_k_micro"))
   }
 
+  /** G-Pass@k_τ per problem (Liu et al. 2024's stable-reasoning
+    * generalization of pass@k — the number an AGENTIC pipeline actually
+    * gates on: "would at least ⌈τ·k⌉ of k attempts succeed?"; τ = 1/k
+    * recovers pass@k, τ = 1 recovers pass^k, and the interesting
+    * operating points sit between): the exact hypergeometric tail on
+    * the µ grid via [[graft.functions.text.GPassAtKExpr]] — arbitrary-
+    * precision rational, floored once, so unlike the pass@k/pass^k
+    * compounded-floor folds there is NO fold slack (the cross-family
+    * laws bound those folds against this kernel). τ arrives as
+    * rationals (num, den); problems with k > n emit NULL (undefined,
+    * the [[passAtK]] convention).
+    *
+    * Scale shape: [[passAtK]]'s — ONE partial-aggregated
+    * groupBy(problem), a ≤|ks × taus|-row explode, and the bounded
+    * kernel on problem-sized rows.
+    *
+    * Output: (problem, n_samples, n_passed, k, tau_num, tau_den,
+    * g_pass_micro), one row per (problem, k, τ).
+    */
+  def gPassAtK(df: DataFrame, problemCol: String, passedCol: String,
+      ks: Seq[Int], taus: Seq[(Int, Int)]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= 64),
+      "ks must be non-empty with each k in [1, 64]")
+    require(ks == ks.distinct, "ks must be distinct")
+    require(taus.nonEmpty &&
+      taus.forall { case (tn, td) => tn >= 1 && tn <= td },
+      "taus must be non-empty rationals with 1 <= num <= den")
+    require(taus == taus.distinct, "taus must be distinct")
+    val spec = array((for { k <- ks; (tn, td) <- taus } yield
+      struct(lit(k.toLong).as("k"), lit(tn.toLong).as("tau_num"),
+        lit(td.toLong).as("tau_den"))): _*)
+    df.groupBy(col(problemCol).as("problem"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(when(col(passedCol).cast("boolean"), 1L).otherwise(0L))
+          .as("n_passed"))
+      .select(col("problem"), col("n_samples"), col("n_passed"),
+        explode(spec).as("__s"))
+      .select(col("problem"), col("n_samples"), col("n_passed"),
+        col("__s.k").as("k"), col("__s.tau_num").as("tau_num"),
+        col("__s.tau_den").as("tau_den"),
+        graft.functions.text.gPassAtKMicro(col("n_samples"),
+          col("n_passed"), col("__s.k"), col("__s.tau_num"),
+          col("__s.tau_den")).as("g_pass_micro"))
+  }
+
   /** Self-consistency majority vote (Wang et al. 2022 — sample k chains,
     * answer with the mode): per problem, the majority answer among the
     * samples, its vote count, and the permille vote share. Answers must

@@ -340,6 +340,7 @@ object RowLocal {
     "EvalMetrics.corpusTer" -> "corpus-level one-row component reduce (micro-average pooling)",
     "EvalMetrics.corpusRougeL" -> "corpus-level one-row component reduce (micro-average pooling)",
     "EvalMetrics.passAtK" -> "per-problem sample aggregate + bounded k-fold",
+    "EvalMetrics.gPassAtK" -> "per-problem sample aggregate + bounded exact hypergeometric kernel on problem-sized rows",
     "EvalMetrics.selfConsistency" -> "two-stage vote aggregate (problem, answer) -> problem argmax",
     "Profile.shardManifest" -> "per-shard groupBy + manifest-frame share window",
     "Profile.distributionDrift" -> "two bucket-count aggregates + windows over the buckets spine",

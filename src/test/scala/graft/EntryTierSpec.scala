@@ -48,7 +48,7 @@ class EntryTierSpec extends AnyFunSuite {
     assert(SparkEntry.queries.keySet == all.toSet)
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
       "every query must have an oracle (including derived ones)")
-    assert(SparkEntry.queries.size == 274, s"contract size moved: ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size == 275, s"contract size moved: ${SparkEntry.queries.size}")
     derivedOracles.foreach { d =>
       assert(SparkEntry.queries.contains(d) && SparkEntry.oracleSql.contains(d))
     }

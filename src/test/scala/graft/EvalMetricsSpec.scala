@@ -280,6 +280,49 @@ class EvalMetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("gPassAtK: exact hypergeometric tail, brute-force law, pass@k and pass^k degenerations") {
+    // hand case: n=4, c=2, k=2 — G(tau=1/2) = P(>=1 pass) = 1 - C(2,2)/
+    // C(4,2) = 5/6 -> 833333; G(tau=1) = C(2,2)/C(4,2) = 1/6 -> 166666
+    val df = Seq.tabulate(4)(i => (1L, i < 2)).toDF("problem", "passed")
+    val out = EvalMetrics.gPassAtK(df, "problem", "passed",
+      ks = Seq(2), taus = Seq((1, 2), (1, 1)))
+      .collect().map(r => (r.getLong(4), r.getLong(5)) -> r.getLong(6)).toMap
+    assert(out((1L, 2L)) == 833333L)
+    assert(out((1L, 1L)) == 166666L)
+    // brute force over all C(n,k) subsets for small n: G equals the
+    // enumerated share of k-subsets with >= ceil(tau*k) passes
+    val n = 7; val c = 3
+    val samples = Seq.tabulate(n)(i => (1L, i < c)).toDF("problem", "passed")
+    for (k <- Seq(2, 3, 5); (tn, td) <- Seq((1, 3), (1, 2), (2, 3), (1, 1))) {
+      val j0 = (tn * k + td - 1) / td
+      val subsets = (0 until n).combinations(k).toSeq
+      val hit = subsets.count(_.count(_ < c) >= j0)
+      val exact = BigInt(hit) * 1000000 / subsets.size
+      val got = EvalMetrics.gPassAtK(samples, "problem", "passed",
+        ks = Seq(k), taus = Seq((tn, td))).collect().head.getLong(6)
+      assert(got == exact.toLong, s"k=$k tau=$tn/$td")
+    }
+    // cross-family: tau = 1/k degenerates to pass@k; tau = 1 to pass^k;
+    // the compounded-floor folds sit within k+1 micro of the exact tail
+    val wide = (1L to 200L).map(i => (1L, i <= 70L)).toDF("problem", "passed")
+    val g = EvalMetrics.gPassAtK(wide, "problem", "passed",
+      ks = Seq(10), taus = Seq((1, 10), (1, 1)))
+      .collect().map(r => (r.getLong(4), r.getLong(5)) -> r.getLong(6)).toMap
+    val pk = EvalMetrics.passAtK(wide, "problem", "passed", ks = Seq(10))
+      .collect().head.getLong(4)
+    assert(math.abs(g((1L, 10L)) - pk) <= 11L, s"pass@k ${g((1L, 10L))} vs $pk")
+    val allk = EvalMetrics.passAtKRollup(
+      EvalMetrics.passAtK(wide, "problem", "passed", ks = Seq(10)))
+      .collect().head
+    assert(math.abs(g((1L, 1L)) -
+      allk.getLong(allk.fieldIndex("mean_pass_all_k_micro"))) <= 11L)
+    // k > n is undefined
+    val tiny = Seq((1L, true), (1L, false)).toDF("problem", "passed")
+    val nulls = EvalMetrics.gPassAtK(tiny, "problem", "passed",
+      ks = Seq(5), taus = Seq((1, 1))).collect().head
+    assert(nulls.isNullAt(6))
+  }
+
   test("selfConsistency: majority vote, smallest-answer ties, null abstentions") {
     val rows = Seq(
       (1L, Some(3L)), (1L, Some(3L)), (1L, Some(7L)), (1L, None), // 3 wins

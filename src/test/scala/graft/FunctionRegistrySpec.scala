@@ -72,6 +72,18 @@ class FunctionRegistrySpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("g_pass_micro resolves and agrees with the wrapper (exact tail)") {
+    val viaSql = spark.sql("SELECT graft_g_pass_micro(10, 4, 3, 1, 2) AS g")
+      .collect().head.getLong(0)
+    val viaCol = spark.range(1).select(
+      text.gPassAtKMicro(lit(10L), lit(4L), lit(3L), lit(1L), lit(2L)).as("g"))
+      .collect().head.getLong(0)
+    assert(viaSql == viaCol)
+    // n=10, c=4, k=3, tau=1/2 -> j0=2: (C(4,2)C(6,1) + C(4,3)C(6,0)) /
+    // C(10,3) = 40/120 = 1/3 -> 333333
+    assert(viaSql == 333333L)
+  }
+
   test("cosine, phash, useragent resolve and agree with the wrappers") {
     val ua = "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 " +
       "(KHTML, like Gecko) Chrome/91.0.4472.114 Safari/537.36"
