@@ -173,6 +173,35 @@ object ScaleProbe {
           .withColumn("pair_id", col("pair_id") - 1L),
         "pair_id", "f1_permille", replicates = 32))
 
+    // sample/pair-volume legs for the round-11 additions: fixed
+    // 200-problem universe (the passAtK claim: samples reduce ONCE),
+    // event-pair volume for McNemar, event volume for the A/B monitor
+    val e0 = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    def samplesAt(m: Int) = e0.crossJoin(salts(m))
+      .select((col("event_id") % 200).as("problem"),
+        (col("event_id") % 7 < 2).as("passed"))
+    def pairsBinAt(m: Int) = e0.crossJoin(salts(m))
+      .select((col("event_id") + col("salt") * off).as("pair_id"),
+        col("event_id"))
+    def scoredAt(m: Int) = e0.crossJoin(salts(m))
+      .select(col("ts"), ((col("event_id") + col("salt")) * 3 % 100).as("ma"),
+        ((col("event_id") * 7 + 1) % 100).as("mb"))
+    val (s1, s10) = (persisted(samplesAt(1)), persisted(samplesAt(10)))
+    val (pb1, pb10) = (persisted(pairsBinAt(1)), persisted(pairsBinAt(10)))
+    val (sc1, sc10) = (persisted(scoredAt(1)), persisted(scoredAt(10)))
+    run("gPassAtK", s1, s10, df =>
+      em.gPassAtK(df, "problem", "passed", ks = Seq(5, 10),
+        taus = Seq((1, 2), (1, 1))))
+    run("mcnemar", pb1, pb10, df =>
+      em.mcnemarTest(
+        df.select(col("pair_id"), (col("event_id") % 7 < 2).as("passed")),
+        df.select(col("pair_id"), (col("event_id") % 5 < 2).as("passed")),
+        "pair_id", "passed"))
+    run("streamPairedDelta", sc1, sc10, df =>
+      graft.streaming.Windows.streamingPairedDelta(df, "ts", "ma", "mb",
+        windowDuration = "1 hour"))
+
     // ---- streaming-novelty static side at 1x vs staticM x reference
     // volume, persisted vs unpersisted (one batch run == one trigger)
     val events = persisted(spark.read.parquet(s"$sfDir/events.parquet")
