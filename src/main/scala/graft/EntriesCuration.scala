@@ -107,6 +107,14 @@ private[graft] object EntriesCuration {
         t(s, dir, "events").select((col("user_id") % 50).as("problem"),
           (col("event_id") % 7 < 2).as("passed")),
         "problem", "passed", ks = Seq(5, 10), taus = Seq((1, 2), (1, 1)))),
+    "ns_gpass_rollup" -> ((s, dir) =>
+      // the benchmark-level mean per (k, tau) — the passAtKRollup
+      // symmetry; oracle DERIVED from ns_gpass's (SparkEntry.oracleSql)
+      graft.ops.EvalMetrics.gPassAtKRollup(
+        graft.ops.EvalMetrics.gPassAtK(
+          t(s, dir, "events").select((col("user_id") % 50).as("problem"),
+            (col("event_id") % 7 < 2).as("passed")),
+          "problem", "passed", ks = Seq(5, 10), taus = Seq((1, 2), (1, 1))))),
     "ns_rouge_l" -> ((s, dir) =>
       // ROUGE-L over the shared eval-pair frame: token-LCS expression on
       // the Spark side, recursive-CTE DP (list_reduce row fold) on the

@@ -256,6 +256,17 @@ object SparkEntry {
            |  FROM g)
            |SELECT *, (ge_count + 1) * 1000 // (n_replicates + 1) AS p_permille
            |FROM f""".stripMargin) +
+      // the G-Pass@k benchmark mean derives from the per-problem oracle
+      ("ns_gpass_rollup" ->
+        s"""WITH g AS (
+           |${base("ns_gpass")}
+           |)
+           |SELECT k, tau_num, tau_den,
+           |  CAST(count(g_pass_micro) AS BIGINT) AS n_problems,
+           |  CASE WHEN count(g_pass_micro) > 0
+           |    THEN CAST(sum(g_pass_micro) AS BIGINT) // count(g_pass_micro)
+           |  END AS mean_g_pass_micro
+           |FROM g GROUP BY 1, 2, 3""".stripMargin) +
       // the agreement rollup derives from the per-problem majority oracle
       ("ns_selfcons_rollup" ->
         s"""WITH sc AS (

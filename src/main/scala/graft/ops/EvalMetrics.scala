@@ -1153,6 +1153,28 @@ object EvalMetrics {
           call_function("div", col("__sum_all"), col("n_problems")))
           .as("mean_pass_all_k_micro"))
 
+  /** Benchmark-level G-Pass@k rollup over a [[gPassAtK]] output frame —
+    * the [[passAtKRollup]] symmetry (every per-problem estimator here
+    * has its benchmark mean): the mean exact tail over problems per
+    * (k, τ) on the micro grid, integer-exact sum div count. Problems
+    * with k > n are NULL per the base operator and drop from the mean;
+    * `n_problems` is the defined count, so a thinning problem set is
+    * visible, never silent. ONE partial-aggregated groupBy over
+    * problem-sized rows (≤ |ks × taus| output rows).
+    *
+    * Output: (k, tau_num, tau_den, n_problems, mean_g_pass_micro —
+    * NULL when no problem defines the estimate).
+    */
+  def gPassAtKRollup(perProblem: DataFrame): DataFrame =
+    perProblem
+      .groupBy(col("k"), col("tau_num"), col("tau_den"))
+      .agg(count(col("g_pass_micro")).as("n_problems"),
+        sum(col("g_pass_micro")).as("__sum"))
+      .select(col("k"), col("tau_num"), col("tau_den"), col("n_problems"),
+        when(col("n_problems") > 0,
+          call_function("div", col("__sum"), col("n_problems")))
+          .as("mean_g_pass_micro"))
+
   /** Benchmark-level self-consistency rollup over a [[selfConsistency]]
     * output frame — the quoted agreement numbers: the mean majority
     * share across problems (sum div count, integer-exact) and the share

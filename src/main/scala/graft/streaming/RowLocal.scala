@@ -341,6 +341,7 @@ object RowLocal {
     "EvalMetrics.corpusRougeL" -> "corpus-level one-row component reduce (micro-average pooling)",
     "EvalMetrics.passAtK" -> "per-problem sample aggregate + bounded k-fold",
     "EvalMetrics.gPassAtK" -> "per-problem sample aggregate + bounded exact hypergeometric kernel on problem-sized rows",
+    "EvalMetrics.gPassAtKRollup" -> "per-(k, tau) mean over problem-sized aggregate rows",
     "EvalMetrics.selfConsistency" -> "two-stage vote aggregate (problem, answer) -> problem argmax",
     "Profile.shardManifest" -> "per-shard groupBy + manifest-frame share window",
     "Profile.distributionDrift" -> "two bucket-count aggregates + windows over the buckets spine",

@@ -28,7 +28,7 @@ class EntryTierSpec extends AnyFunSuite {
       "ns_corpus_self_bleu", "ns_corpus_novelty", "ns_paired_bootstrap",
       "ns_paired_bootstrap_rouge", "ns_selfcons_rollup",
       "ns_paired_bootstrap_ci", "ns_paired_bootstrap_rouge_ci",
-      "ns_corpus_bleu_multiref", "ns_approx_rand")
+      "ns_corpus_bleu_multiref", "ns_approx_rand", "ns_gpass_rollup")
 
   test("every tier pairs queries and oracles by name (derived oracles excepted)") {
     tiers.foreach { case (name, q, o) =>
@@ -48,7 +48,7 @@ class EntryTierSpec extends AnyFunSuite {
     assert(SparkEntry.queries.keySet == all.toSet)
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
       "every query must have an oracle (including derived ones)")
-    assert(SparkEntry.queries.size == 275, s"contract size moved: ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size == 276, s"contract size moved: ${SparkEntry.queries.size}")
     derivedOracles.foreach { d =>
       assert(SparkEntry.queries.contains(d) && SparkEntry.oracleSql.contains(d))
     }

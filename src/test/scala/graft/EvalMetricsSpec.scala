@@ -321,6 +321,18 @@ class EvalMetricsSpec extends AnyFunSuite {
     val nulls = EvalMetrics.gPassAtK(tiny, "problem", "passed",
       ks = Seq(5), taus = Seq((1, 1))).collect().head
     assert(nulls.isNullAt(6))
+    // rollup: mean over problems per (k, tau); undefined problems drop
+    // visibly. Two problems — (4 of 4 pass) and (2 of 4) — at k=2,
+    // tau=1: G = 1e6 and 166666 -> mean 583333 over 2 problems; a third
+    // problem with n=1 < k is NULL and drops
+    val three = (Seq.tabulate(4)(i => (1L, true)) ++
+      Seq.tabulate(4)(i => (2L, i < 2)) ++ Seq((3L, true)))
+      .toDF("problem", "passed")
+    val roll = EvalMetrics.gPassAtKRollup(EvalMetrics.gPassAtK(three,
+      "problem", "passed", ks = Seq(2), taus = Seq((1, 1))))
+      .collect().head
+    assert(roll.getLong(roll.fieldIndex("n_problems")) == 2L)
+    assert(roll.getLong(roll.fieldIndex("mean_g_pass_micro")) == 583333L)
   }
 
   test("selfConsistency: majority vote, smallest-answer ties, null abstentions") {
