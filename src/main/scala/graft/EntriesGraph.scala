@@ -18,6 +18,24 @@ import graft.spec.StreamSpec
 private[graft] object EntriesGraph {
   import EntrySupport._
 
+  /** Symmetrize a directed pair frame into both-direction edges with ONE
+    * evaluation of the (usually join-derived) input: a 2-struct explode
+    * per row instead of `unionAll` of two selects — the union's two
+    * branches each re-evaluate the unpersisted orders⨝lineitem join +
+    * distinct when the consuming operator materializes its edge cache
+    * (round-11 optimization: the guide's "don't compute things twice"
+    * rule; measured as a doubled join in the edge-build job of every
+    * rank/BFS gate). Row multiset is identical to the union (order
+    * differs — irrelevant to the set/aggregate consumers).
+    */
+  private def bothDirections(pairs: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+    val fwd = struct(col("cn").as("src") +: col("sn").as("dst") +:
+      extra.map(col): _*)
+    val rev = struct(col("sn").as("src") +: col("cn").as("dst") +:
+      extra.map(col): _*)
+    pairs.select(explode(array(fwd, rev)).as("__e")).select(col("__e.*"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ns_url_templates" -> ((s, dir) => {
       // site-structure mining: doc ids become {n}, md5 revisions {hex},
@@ -59,8 +77,7 @@ private[graft] object EntriesGraph {
       val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("cn"),
           concat(lit("s"), col("l_suppkey")).as("sn")).distinct()
-      val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
-        .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+      val edges = bothDirections(pairs)
       graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3)
     }),
     "ns_triangles" -> ((s, dir) => {
@@ -178,8 +195,7 @@ private[graft] object EntriesGraph {
       val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("cn"),
           concat(lit("s"), col("l_suppkey")).as("sn")).distinct()
-      val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
-        .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+      val edges = bothDirections(pairs)
       val seeds = t(s, dir, "supplier").where(col("s_suppkey") % 7 === 1)
         .select(concat(lit("s"), col("s_suppkey")).as("seed"))
       graft.ops.Graph.personalizedPageRank(edges, "src", "dst", seeds, "seed",
@@ -195,8 +211,7 @@ private[graft] object EntriesGraph {
         .groupBy(concat(lit("c"), col("o_custkey")).as("cn"),
           concat(lit("s"), col("l_suppkey")).as("sn"))
         .agg(count(lit(1)).as("w"))
-      val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"), col("w"))
-        .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst"), col("w")))
+      val edges = bothDirections(pairs, extra = Seq("w"))
       graft.ops.Graph.weightedPageRank(edges, "src", "dst", "w", iters = 2)
     }),
     "ns_seed_attribution" -> ((s, dir) => {
@@ -211,8 +226,7 @@ private[graft] object EntriesGraph {
       val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("cn"),
           concat(lit("s"), col("l_suppkey")).as("sn")).distinct()
-      val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
-        .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+      val edges = bothDirections(pairs)
       val seeds = t(s, dir, "supplier").where(col("s_suppkey") % 7 === 1)
         .select(concat(lit("s"), col("s_suppkey")).as("seed"))
       graft.ops.Graph.seedAttribution(edges, "src", "dst", seeds, "seed",
@@ -232,8 +246,7 @@ private[graft] object EntriesGraph {
       val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("cn"),
           concat(lit("s"), col("l_suppkey")).as("sn")).distinct()
-      val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
-        .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+      val edges = bothDirections(pairs)
       val seeds = t(s, dir, "supplier").where(col("s_suppkey") % 7 === 1)
         .select(concat(lit("s"), col("s_suppkey")).as("seed"))
       graft.ops.Graph.seedDistance(edges, "src", "dst", seeds, "seed",

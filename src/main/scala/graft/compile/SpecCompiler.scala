@@ -99,6 +99,33 @@ object SpecCompiler {
     def branchFrame(df: DataFrame, b: Branch, eventCol: String = "value"): DataFrame =
       applyWith(df, b, eventCol, keepColumns = Nil)
 
+    /** One-evaluation project-then-filter (round-11 optimization): emits
+      * each row's columns (plus an optional appended `payload` column)
+      * only when every `nonNull` column and the payload are non-null —
+      * through ONE explode(filter(array(struct(…)))) generator, so the
+      * projection chain evaluates exactly once per row. The plain
+      * `.withColumn(…).filter(isNotNull)` formulation lets Catalyst's
+      * filter pushdown substitute the deterministic alias into the
+      * Filter, re-evaluating the entire extraction chain there and again
+      * in the Project above it (measured: the whole
+      * to_json∘from_json∘extract∘regexp chain ran 2× per row on the
+      * e1_regexp / g7_kafka_mapping gates — the optimization guide's
+      * duplicated-expensive-expression pattern, JVM flavor). Output rows
+      * and columns are bit-identical to the unfused form; `drop` removes
+      * consumed input columns (the regexp keepField contract).
+      */
+    private def fuseKeep(df: DataFrame, payload: Option[(String, Column)],
+        nonNull: Seq[String], drop: Seq[String]): DataFrame = {
+      val cols = df.columns.toSeq
+      val s = struct(cols.map(c => col(s"`$c`")) ++
+        payload.map { case (n, c) => c.as(n) }: _*)
+      val checks = nonNull ++ payload.map(_._1)
+      val kept = df.select(explode(filter(array(s),
+        t => checks.map(t.getField(_).isNotNull).reduce(_ && _))).as("__r"))
+      val outCols = (cols ++ payload.map(_._1)).filterNot(drop.contains)
+      kept.select(outCols.map(c => col(s"__r.`$c`").as(c)): _*)
+    }
+
     /** Like branchFrame but keeps selected passthrough columns (e.g. Kafka
       * key/timestamp) alongside the projected fields.
       */
@@ -112,7 +139,7 @@ object SpecCompiler {
           // otherwise) — one JSON parse per row instead of a predicate
           // parse plus an extraction parse; a trivially-true predicate
           // keeps the plain projection
-          var projected = EventPred.and(keep, fb.pred) match {
+          val projected = EventPred.and(keep, fb.pred) match {
             case EventPred.True0() =>
               df.select(keepColumns.map(col) :+ fb.project(ev).as("__t"): _*)
                 .select(keepColumns.map(col) ++ fb.outputColumns.map(c => col(s"__t.`$c`").as(c)): _*)
@@ -122,17 +149,24 @@ object SpecCompiler {
           }
           // userAgent unescape failure fails the whole event into the error
           // path (reference: extractFields returns err → Transform errors);
-          // those rows are excluded here and surfaced via errorFrame.
-          fb.fields.filter(_.gtype == gjson.GUserAgent).foreach { f =>
-            projected = projected.filter(col(f.id).isNotNull)
-          }
+          // those rows are excluded here and surfaced via errorFrame —
+          // fused with the regexp stage below into ONE generator so the
+          // extraction chain evaluates once per row (round-11: Catalyst's
+          // filter pushdown substitutes a deterministic alias into the
+          // Filter, re-evaluating the whole to_json∘extract∘regexp chain
+          // there AND in the Project — measured 2× per-row cost on the
+          // e1/g7 gates; the guide's duplicated-UDF-evaluation pattern)
+          val uaCols = fb.fields.filter(_.gtype == gjson.GUserAgent).map(_.id)
           fb.regexp match {
             case Some(re) if fb.outputColumns.contains(re.spec.field) =>
-              val withPayload = projected.withColumn("regexppayload", re.payload(col(re.spec.field)))
-              val dropped = if (re.spec.keepField) withPayload else withPayload.drop(re.spec.field)
               // Non-matching rows are the reference's error path; they are
               // split off here (see errorFrame) rather than silently kept.
-              dropped.filter(col("regexppayload").isNotNull)
+              fuseKeep(projected,
+                payload = Some("regexppayload" -> re.payload(col(re.spec.field))),
+                nonNull = uaCols,
+                drop = if (re.spec.keepField) Nil else Seq(re.spec.field))
+            case _ if uaCols.nonEmpty =>
+              fuseKeep(projected, payload = None, nonNull = uaCols, drop = Nil)
             case _ => projected
           }
         case rb: RegexpBranch =>
@@ -142,10 +176,14 @@ object SpecCompiler {
           // transformer.go:191-196 + 229-236): split it off to errorFrame
           // rather than emitting a null-payload row — keeps the sink
           // output, ingestedCol, and the houe policy mutually consistent.
+          // The payload projection and its non-null filter fuse into ONE
+          // generator (the fuseKeep rationale: alias substitution would
+          // otherwise run the whole chain twice per row).
           routed
-            .select(keepColumns.map(col) :+ rb.project(ev).as("__t"): _*)
+            .select(keepColumns.map(col) :+
+              explode(filter(array(rb.project(ev)),
+                t => t.getField("regexppayload").isNotNull)).as("__t"): _*)
             .select(keepColumns.map(col) ++ rb.outputColumns.map(c => col(s"__t.`$c`").as(c)): _*)
-            .filter(col("regexppayload").isNotNull)
         case _ =>
           routed
             .select(keepColumns.map(col) :+ b.project(ev).as("__t"): _*)

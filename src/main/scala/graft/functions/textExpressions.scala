@@ -1902,6 +1902,201 @@ object text {
   def gramRepCounts(tokens: Column, maxN: Int): Column =
     ExpressionUtils.column(GramRepCountsExpr(ExpressionUtils.expression(tokens), maxN))
 
+  /** Per-n clipped-overlap components over BOTH sides in one pass — the
+    * row-local twin of [[graft.ops.EvalMetrics.ngramOverlap]]'s
+    * distributed (pair, n, gram) aggregate, emitting the identical
+    * (n, matches, cand_total, ref_total) rows (EVERY n in 1..maxN,
+    * including all-zero coverage rows — callers filter, exactly like
+    * ngramOverlap's consumers). `matches` is the clipped count: per n, a
+    * hash multiset of reference grams that candidate grams consume by
+    * decrement ≡ Σ_g min(cand_g, ref_g) — the [[BleuComponentsExpr]]
+    * kernel generalized to column-n and to CHARACTER grams.
+    *
+    * `chars = false`: children are token arrays; gram keys join on ' '
+    * (injective for \s+-split tokens — see [[BleuComponentsExpr]]) and
+    * match the distributed kernel's concat_ws(" ") identity exactly.
+    * `chars = true`: children are STRINGS (pre-lowercased/truncated by
+    * the caller — the chrF maxChars contract); grams slice CODE POINTS,
+    * matching Spark SQL's substr semantics (and DuckDB's substring) so
+    * supplementary-plane text scores identically to the distributed
+    * form. O(maxN·len) hash ops per row, memory bounded by the caller's
+    * truncation contract; CodegenFallback like the sibling kernels (the
+    * loop dominates any codegen win). Null input = empty side.
+    */
+  case class GramPrfCountsExpr(left: Expression, right: Expression,
+      maxN: Int, chars: Boolean)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    require(maxN >= 1 && maxN <= 8, "maxN must be in [1, 8]")
+    private val rowType = StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("matches", LongType, nullable = false),
+      StructField("cand_total", LongType, nullable = false),
+      StructField("ref_total", LongType, nullable = false)))
+    override def dataType: DataType = ArrayType(rowType, containsNull = false)
+    override def nullable: Boolean = false
+    // unified gram walk: words → Array[String] tokens, chars → one
+    // "token" per code point; keys for n>1 join on ' ' for words and
+    // concatenate raw for chars (a code-point slice)
+    private def unitsOf(raw: Any): Array[String] = raw match {
+      case null => Array.empty[String]
+      case a: ArrayData => Array.tabulate(a.numElements())(i =>
+        if (a.isNullAt(i)) "" else a.getUTF8String(i).toString)
+      case s: UTF8String =>
+        val cps = s.toString.codePoints().toArray
+        Array.tabulate(cps.length)(i => new String(cps, i, 1))
+    }
+    private def gramKey(t: Array[String], i: Int, n: Int): String =
+      if (n == 1) t(i)
+      else {
+        val sb = new java.lang.StringBuilder(t(i))
+        var k = 1
+        while (k < n) {
+          if (!chars) sb.append(' ')
+          sb.append(t(i + k)); k += 1
+        }
+        sb.toString
+      }
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val ct = unitsOf(left.eval(input))
+      val rt = unitsOf(right.eval(input))
+      val out = new Array[Any](maxN)
+      var n = 1
+      while (n <= maxN) {
+        val refCounts = new java.util.HashMap[String, Integer]()
+        var j = 0
+        while (j + n <= rt.length) {
+          val k = gramKey(rt, j, n)
+          val c = refCounts.get(k)
+          refCounts.put(k, if (c == null) 1 else c + 1)
+          j += 1
+        }
+        var matches = 0L
+        var i = 0
+        while (i + n <= ct.length) {
+          val k = gramKey(ct, i, n)
+          val c = refCounts.get(k)
+          if (c != null && c > 0) { matches += 1L; refCounts.put(k, c - 1) }
+          i += 1
+        }
+        out(n - 1) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](n.toLong, matches,
+            math.max(ct.length - n + 1, 0).toLong,
+            math.max(rt.length - n + 1, 0).toLong))
+        n += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def gramPrfCounts(cand: Column, ref: Column, maxN: Int, chars: Boolean): Column =
+    ExpressionUtils.column(GramPrfCountsExpr(
+      ExpressionUtils.expression(cand), ExpressionUtils.expression(ref), maxN, chars))
+
+  /** Multi-reference BLEU components in one pass per (candidate,
+    * references[]) row — the row-local twin of
+    * [[graft.ops.EvalMetrics.bleuComponentsMultiRef]]'s distributed
+    * max-clip (sacrebleu semantics): per n, the reference multiset is
+    * the per-gram MAX count over the references (merge-max across the
+    * per-reference maps), candidate grams consume from it by decrement ≡
+    * Σ_g min(cand_g, max_j ref_jg); the brevity-penalty reference length
+    * is the CLOSEST reference token length to the candidate's, ties to
+    * the SHORTER (min by (|len − c|, len) — order-invariant, so the
+    * caller's collect_list order never matters). Output struct ==
+    * [[BleuComponentsExpr]]'s (cand_len, ref_len, matches_n / total_n),
+    * so the staged-geo tail and [[graft.ops.EvalMetrics.corpusBleu]]
+    * pool it unchanged. Children: token array + array of token arrays
+    * (both pre-tokenized; the caller drops pairs with no reference row —
+    * an empty reference ARRAY here degrades to all-zero counts with
+    * ref_len 0 rather than throwing, but never reaches the gates).
+    * Gram keys join on ' ' (injective — see [[BleuComponentsExpr]]).
+    */
+  case class BleuMultiRefExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = StructType(
+      StructField("cand_len", LongType, nullable = false) +:
+      StructField("ref_len", LongType, nullable = false) +:
+      (1 to 4).flatMap(n => Seq(
+        StructField(s"matches_$n", LongType, nullable = false),
+        StructField(s"total_$n", LongType, nullable = false))))
+    override def nullable: Boolean = false
+    private def toksOf(raw: Any): Array[String] = raw match {
+      case null => Array.empty[String]
+      case a: ArrayData => Array.tabulate(a.numElements())(i =>
+        if (a.isNullAt(i)) "" else a.getUTF8String(i).toString)
+    }
+    private def gramKey(t: Array[String], i: Int, n: Int): String =
+      if (n == 1) t(i)
+      else {
+        val sb = new java.lang.StringBuilder(t(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(t(i + k)); k += 1 }
+        sb.toString
+      }
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val ct = toksOf(left.eval(input))
+      val refsRaw = right.eval(input)
+      val refs: Array[Array[String]] = refsRaw match {
+        case null => Array.empty
+        case a: ArrayData => Array.tabulate(a.numElements())(i =>
+          if (a.isNullAt(i)) Array.empty[String]
+          else toksOf(a.getArray(i)))
+      }
+      val out = new Array[Any](10)
+      out(0) = ct.length.toLong
+      // closest reference length, ties to the shorter
+      var bestLen = 0L
+      var bestDist = Long.MaxValue
+      refs.foreach { rt =>
+        val rl = rt.length.toLong
+        val d = math.abs(rl - ct.length)
+        if (d < bestDist || (d == bestDist && rl < bestLen)) {
+          bestDist = d; bestLen = rl
+        }
+      }
+      out(1) = if (refs.isEmpty) 0L else bestLen
+      var n = 1
+      while (n <= 4) {
+        val maxCounts = new java.util.HashMap[String, Integer]()
+        refs.foreach { rt =>
+          val cur = new java.util.HashMap[String, Integer]()
+          var j = 0
+          while (j + n <= rt.length) {
+            val k = gramKey(rt, j, n)
+            val c = cur.get(k)
+            cur.put(k, if (c == null) 1 else c + 1)
+            j += 1
+          }
+          cur.forEach { (k, c) =>
+            val m = maxCounts.get(k)
+            if (m == null || c > m) maxCounts.put(k, c)
+          }
+        }
+        var matches = 0L
+        var i = 0
+        while (i + n <= ct.length) {
+          val k = gramKey(ct, i, n)
+          val c = maxCounts.get(k)
+          if (c != null && c > 0) { matches += 1L; maxCounts.put(k, c - 1) }
+          i += 1
+        }
+        out(2 * n) = matches
+        out(2 * n + 1) = math.max(ct.length - n + 1, 0).toLong
+        n += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def bleuMultiRefStruct(candTokens: Column, refsTokens: Column): Column =
+    ExpressionUtils.column(BleuMultiRefExpr(
+      ExpressionUtils.expression(candTokens), ExpressionUtils.expression(refsTokens)))
+
   /** Integer-exact permille Pearson correlation tail for
     * [[graft.ops.Profile.correlationMatrix]]: given the exact decimal
     * co-moment combinations num = n·Sxy − Sx·Sy, dx = n·Sx2 − Sx²,

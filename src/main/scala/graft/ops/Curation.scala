@@ -1581,10 +1581,14 @@ object Curation {
       pmod(portableHash31(
         concat(col(idCol).cast("string"), lit(":"), i.cast("string")), seed),
         lit(1000L)) >= dropPermille)
-    df.select(col(idCol),
-      array_join(kept, " ").as("text"),
-      size(toks).cast("long").as("n_tokens"),
-      size(kept).cast("long").as("n_kept"))
+    // stage the filtered array through ONE column (round-11): `kept`
+    // referenced twice re-ran the per-token hash filter twice per row —
+    // the spanCorrupt staging discipline
+    df.withColumn("__kept", kept)
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("text"),
+        size(toks).cast("long").as("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"))
   }
 
   /** Greedy selection under a token budget: per group, take documents in
@@ -2166,11 +2170,18 @@ object Curation {
           .otherwise(when(inSpan, concat(st.getField("tgt"), array(t)))
             .otherwise(st.getField("tgt"))).as("tgt"))
     })
-    df.select(col(idCol),
-      array_join(folded.getField("corr"), " ").as("corrupted"),
-      array_join(folded.getField("tgt"), " ").as("target"),
-      size(toks).cast("long").as("n_tokens"),
-      folded.getField("k").cast("long").as("n_spans"))
+    // stage the fold through ONE column before extracting its three
+    // fields (round-11: referencing `folded` directly in three output
+    // expressions evaluated the whole per-token fold three times per row
+    // — the staged-kernel discipline bleuComponents already follows;
+    // cost-aware CollapseProject keeps the non-cheap alias a separate
+    // Project, so the fold runs once)
+    df.withColumn("__sc", folded)
+      .select(col(idCol),
+        array_join(col("__sc").getField("corr"), " ").as("corrupted"),
+        array_join(col("__sc").getField("tgt"), " ").as("target"),
+        size(toks).cast("long").as("n_tokens"),
+        col("__sc").getField("k").cast("long").as("n_spans"))
   }
 
   /** Assemble per-conversation transcript columns from an event-shaped

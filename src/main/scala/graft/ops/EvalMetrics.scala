@@ -23,19 +23,18 @@ import org.apache.spark.sql.functions._
   * Tokenization = the corpus convention everywhere else in the repo:
   * lowercase, split on `\s+`, empty/blank text = zero tokens.
   *
-  * Scale shape (identical for all three):
-  *   1. ONE evaluation of the pair frame feeds a two-stage generator —
-  *      a tiny (n, side) spec explode (2·maxN rows per pair), then one
-  *      column-parameterized gram explode — rows carry
-  *      (pair_id, n, gram, side);
-  *   2. ONE hash shuffle on (pair_id, n, gram) with map-side partial
-  *      aggregation produces per-gram candidate/reference counts;
-  *      clipped matches = Σ min(cand_count, ref_count) — the modified
-  *      precision of Papineni et al. 2002 — reduce in the same pass;
-  *   3. one pair-sized shuffle pivots n=1..N wide.
-  * No join of the two sides (both feed one aggregation), no window, no
-  * driver state. Skew = one pathological pair's grams land on
-  * Σ-of-its-grams reducers, not one.
+  * Scale shape (round-11 optimization; identical results either way):
+  * the clipped counts are per PAIR, so the hot path clips ROW-LOCALLY —
+  * one bounded hash-multiset pass per row (O(maxN·len) hash ops, memory
+  * = one row's grams; guide §2.4 "remove shuffles outright") — with
+  * ZERO exchange beyond the caller's pair frame. The round-10
+  * distributed form (two-stage generator → ONE (pair, n, gram) hash
+  * shuffle with map-side partials → pair-sized pivot) survives as the
+  * `*Shuffled` law witnesses and as the documented fallback for corpora
+  * whose SINGLE rows are too large to clip in task memory — there, one
+  * pathological pair's grams spread over Σ-of-its-grams reducers
+  * instead of one task. No join of the two sides, no window, no driver
+  * state in either form.
   */
 object EvalMetrics {
 
@@ -141,6 +140,45 @@ object EvalMetrics {
     */
   def bleuComponents(pairs: DataFrame, pairIdCol: String, candCol: String,
       refCol: String): DataFrame = {
+    // row-local clip kernel (round-11 optimization; guide §2.4 "remove
+    // shuffles outright"): the clip is per PAIR, so nothing about it
+    // needs a (pair, n, gram) exchange — one bounded hash-multiset pass
+    // per row (O(4·len) hash ops, linear, memory = one row's grams)
+    // computes the identical integer components with ZERO shuffle. The
+    // distributed form survives as [[bleuComponentsShuffled]] (the
+    // independent law witness in EvalMetricsSpec, and the shape to reach
+    // for if a corpus ever carries single rows too large to clip in
+    // task memory). Measured on the ns_bleu gate: 1.70 s → the TER/
+    // ROUGE-L zero-shuffle class; the gram exchange, its two-stage
+    // generator, and three downstream aggregates all disappear.
+    val staged = pairs
+      .select(col(pairIdCol).as("pair_id"),
+        toks(col(candCol)).as("__ct"), toks(col(refCol)).as("__rt"))
+      .withColumn("__bc",
+        graft.functions.text.bleuComponentsStruct(col("__ct"), col("__rt")))
+    // stage the kernel struct through ONE column, then extract fields:
+    // cost-aware CollapseProject keeps the non-cheap alias a separate
+    // Project, so the kernel evaluates once per row, not once per field
+    val fields = Seq("cand_len", "ref_len") ++
+      (1 to 4).flatMap(n => Seq(s"matches_$n", s"total_$n"))
+    val wide = fields.foldLeft(staged)((d, f) => d.withColumn(f, col(s"__bc.$f")))
+      .drop("__ct", "__rt", "__bc")
+    stagedGeo(wide).select(col("pair_id") +:
+      col("cand_len") +: col("ref_len") +:
+      (1 to 4).flatMap(n => Seq(col(s"matches_$n"), col(s"total_$n"))) :+
+      col("__geo").as("precision_geo_permille"): _*)
+  }
+
+  /** The distributed (pair, n, gram)-shuffle form [[bleuComponents]]
+    * used through round 10 — identical output (the EvalMetricsSpec law
+    * pins kernel == shuffle column-for-column). Kept as the law witness
+    * and as the documented fallback for corpora whose SINGLE rows are
+    * too large for a row-local clip (one pathological pair's grams
+    * spread over Σ-of-its-grams reducers here; the kernel holds one
+    * row's gram multiset in task memory).
+    */
+  private[graft] def bleuComponentsShuffled(pairs: DataFrame,
+      pairIdCol: String, candCol: String, refCol: String): DataFrame = {
     val comp = ngramOverlap(pairs, pairIdCol, candCol, refCol, maxN = 4)
     // the lengths ARE the n=1 totals (1-grams == tokens), so they ride
     // the same aggregate; comp carries EVERY pair (explode_outer
@@ -153,9 +191,6 @@ object EvalMetrics {
         sum(when(col("n") === n, col("cand_total")).otherwise(0L)).as(s"total_$n"))
     } :+ sum(when(col("n") === 1, col("ref_total")).otherwise(0L)).as("__rt1")
     val wide = comp.groupBy(col("pair_id")).agg(aggs.head, aggs.tail: _*)
-    def p(n: Int): Column =
-      when(col(s"total_$n") > 0,
-        call_function("div", col(s"matches_$n") * 1000L, col(s"total_$n")))
     // pₙ ≤ 1000 so the product ≤ 10¹² — comfortably inside the isqrt
     // envelope; 4th root of permille⁴ is permille. The composition is
     // STAGED through columns (the temperatureMixture discipline): each
@@ -191,15 +226,56 @@ object EvalMetrics {
     * reference row DROP (a candidate without references has no defined
     * BLEU); zero-token candidates keep their all-zero coverage row.
     *
-    * Scale shape: still ONE (pair, n, gram)-keyed hash shuffle for the
-    * clip — the reference side pays one extra keyed partial aggregate
-    * (per-(gram, ref_ord) counts → max over refs) before the clip join,
-    * and the BP length pick is a pair-sized min(struct) reduce. No
-    * window, no product, no driver state.
+    * Scale shape (round-11 optimization; guide §2.3 "shuffle keys and
+    * metadata instead of payloads" + §2.4): ONE pair-keyed aggregate
+    * assembles each pair's references into an array (reference counts
+    * per pair are small by the metric's nature — published sets ship
+    * 2–10), one pair-keyed equi-join attaches the candidate, and the
+    * max-clip + closest-length pick run in ONE bounded row-local pass
+    * ([[graft.functions.text.BleuMultiRefExpr]] — merge-max of the
+    * per-reference gram multisets, candidate consumes by decrement,
+    * min-by-(|Δlen|, len) for BP; all order-invariant, so collect_list
+    * order never matters). The round-10 distributed form — gram-keyed
+    * clip join + three aggregates + a separate BP-length reduce — paid
+    * FOUR exchanges on amplified gram rows; this shape pays TWO on
+    * text-sized rows. It survives as [[bleuComponentsMultiRefShuffled]]
+    * (the EvalMetricsSpec law witness, and the fallback for single rows
+    * too large to clip in task memory). No window, no product, no
+    * driver state.
     */
   def bleuComponentsMultiRef(cands: DataFrame, refs: DataFrame,
       pairIdCol: String, candCol: String, refOrdCol: String,
       refCol: String): DataFrame = {
+    val refsByPair = refs
+      .select(col(pairIdCol).as("pair_id"), toks(col(refCol)).as("__rt"))
+      .groupBy(col("pair_id"))
+      .agg(collect_list(col("__rt")).as("__refs"))
+    // inner join: pairs with no reference row DROP (a candidate without
+    // references has no defined BLEU) — the round-10 contract
+    val staged = cands
+      .select(col(pairIdCol).as("pair_id"), toks(col(candCol)).as("__ct"))
+      .join(refsByPair, "pair_id")
+      .withColumn("__bc",
+        graft.functions.text.bleuMultiRefStruct(col("__ct"), col("__refs")))
+    val fields = Seq("cand_len", "ref_len") ++
+      (1 to 4).flatMap(n => Seq(s"matches_$n", s"total_$n"))
+    val wide = fields.foldLeft(staged)((d, f) => d.withColumn(f, col(s"__bc.$f")))
+      .drop("__ct", "__refs", "__bc")
+    stagedGeo(wide).select(col("pair_id") +:
+      col("cand_len") +: col("ref_len") +:
+      (1 to 4).flatMap(n => Seq(col(s"matches_$n"), col(s"total_$n"))) :+
+      col("__geo").as("precision_geo_permille"): _*)
+  }
+
+  /** The round-10 distributed form of [[bleuComponentsMultiRef]] —
+    * identical output (the EvalMetricsSpec law pins kernel == shuffle
+    * column-for-column); kept as the law witness and the documented
+    * fallback for corpora whose single (pair, references) rows are too
+    * large for the row-local max-clip.
+    */
+  private[graft] def bleuComponentsMultiRefShuffled(cands: DataFrame,
+      refs: DataFrame, pairIdCol: String, candCol: String,
+      refOrdCol: String, refCol: String): DataFrame = {
     val specs = array((1 to 4).map(n => lit(n.toLong)): _*)
     val candGrams = cands
       .select(col(pairIdCol).as("pair_id"), toks(col(candCol)).as("__ct"))
@@ -1576,9 +1652,35 @@ object EvalMetrics {
     */
   def rougeN(pairs: DataFrame, pairIdCol: String, candCol: String,
       refCol: String, maxN: Int = 2): DataFrame = {
-    val comp = ngramOverlap(pairs, pairIdCol, candCol, refCol, maxN)
+    require(maxN >= 1 && maxN <= 8, "maxN must be in [1, 8]")
+    // row-local clip kernel (round-11; guide §2.4): the clipped counts
+    // are per (pair, n), so one bounded hash-multiset pass per row
+    // emits the identical rows [[ngramOverlap]]'s (pair, n, gram)
+    // shuffle aggregated — zero exchange; the explode fans out only
+    // maxN ≤ 8 pre-reduced structs per pair. The distributed witness
+    // is [[rougeNShuffled]] (EvalMetricsSpec law).
+    val comp = pairs
+      .select(col(pairIdCol).as("pair_id"),
+        toks(col(candCol)).as("__ct"), toks(col(refCol)).as("__rt"))
+      .withColumn("__pc", graft.functions.text.gramPrfCounts(
+        col("__ct"), col("__rt"), maxN, chars = false))
+      .select(col("pair_id"), explode(col("__pc")).as("__e"))
+      .select(col("pair_id"), col("__e.n").as("n"),
+        col("__e.matches").as("matches"),
+        col("__e.cand_total").as("cand_total"),
+        col("__e.ref_total").as("ref_total"))
     // drop the coverage rows (see ngramOverlap): a (pair, n) with no
     // gram on EITHER side has no defined ROUGE row
+    withPrf(comp.where(col("cand_total") + col("ref_total") > 0))
+  }
+
+  /** The distributed form of [[rougeN]] (the round-10 shape) — identical
+    * output; kept as the EvalMetricsSpec law witness and the fallback
+    * for single rows too large to clip in task memory.
+    */
+  private[graft] def rougeNShuffled(pairs: DataFrame, pairIdCol: String,
+      candCol: String, refCol: String, maxN: Int = 2): DataFrame = {
+    val comp = ngramOverlap(pairs, pairIdCol, candCol, refCol, maxN)
     withPrf(comp.where(col("cand_total") + col("ref_total") > 0))
   }
 
@@ -1594,6 +1696,35 @@ object EvalMetrics {
     require(maxN >= 1 && maxN <= 8, "maxN must be in [1, 8]")
     require(maxChars >= maxN, "maxChars must cover at least one gram")
     def prep(c: Column): Column = substring(trim(lower(coalesce(c, lit("")))), 1, maxChars)
+    // row-local clip kernel over CHARACTER grams (round-11; guide §2.4):
+    // maxChars bounds the per-row gram multiset by contract, so the
+    // char-gram explode — the family's largest amplification, ~maxChars
+    // rows per (pair, n, side) — and its (pair, n, gram) exchange
+    // collapse into one bounded pass per row (code-point slicing ==
+    // substr semantics, so scores are bit-identical; the law witness is
+    // [[chrFShuffled]]).
+    val comp = pairs
+      .select(col(pairIdCol).as("pair_id"),
+        prep(col(candCol)).as("__cs"), prep(col(refCol)).as("__rs"))
+      .withColumn("__pc", graft.functions.text.gramPrfCounts(
+        col("__cs"), col("__rs"), maxN, chars = true))
+      .select(col("pair_id"), explode(col("__pc")).as("__e"))
+      .select(col("pair_id"), col("__e.n").as("n"),
+        col("__e.matches").as("matches"),
+        col("__e.cand_total").as("cand_total"),
+        col("__e.ref_total").as("ref_total"))
+      .where(col("cand_total") + col("ref_total") > 0) // rougeN's rule
+    chrfTail(comp)
+  }
+
+  /** The distributed form of [[chrF]] (the round-10 shape) — identical
+    * output; kept as the EvalMetricsSpec law witness and the fallback
+    * when maxChars must exceed what one task comfortably holds.
+    */
+  private[graft] def chrFShuffled(pairs: DataFrame, pairIdCol: String,
+      candCol: String, refCol: String, maxN: Int = 3,
+      maxChars: Int = 2000): DataFrame = {
+    def prep(c: Column): Column = substring(trim(lower(coalesce(c, lit("")))), 1, maxChars)
     val base = pairs.select(col(pairIdCol).as("pair_id"),
       prep(col(candCol)).as("__cs"), prep(col(refCol)).as("__rs"))
     def cg(n: Column, side: Column): Column = {
@@ -1605,14 +1736,21 @@ object EvalMetrics {
         .otherwise(array().cast("array<string>"))
     }
     val comp = sideCounts(base, cg, maxN)
-      .where(col("cand_total") + col("ref_total") > 0) // rougeN's rule
+      .where(col("cand_total") + col("ref_total") > 0)
+    chrfTail(comp)
+  }
+
+  /** The shared chrF P/R/F1/F2 tail over a (pair, n, matches,
+    * cand_total, ref_total) component frame — one definition so the
+    * kernel and shuffled forms cannot drift.
+    */
+  private def chrfTail(comp: DataFrame): DataFrame =
     withPrf(comp).withColumn("f2_permille",
       when(col("precision_permille").isNotNull && col("recall_permille").isNotNull &&
         (col("precision_permille") * 4L + col("recall_permille")) > 0,
         call_function("div",
           col("precision_permille") * col("recall_permille") * 5L,
           col("precision_permille") * 4L + col("recall_permille"))))
-  }
 
   /** Deterministic self-BLEU pair frame: every document paired with
     * `peers` pseudo-random OTHER documents — the pair generator self-BLEU
@@ -1746,15 +1884,12 @@ object EvalMetrics {
   def selfBleu(df: DataFrame, textCol: String, idCol: String,
       peers: Int = 2, seed: String = "graft-selfbleu"): DataFrame = {
     val pairs = selfBleuPairs(df, textCol, idCol, peers, seed)
-    // explicit pre-amplification spread (the evalPairs discipline): the
-    // gram generator amplifies each pair ~10³×, and AQE — which cannot
-    // see amplification downstream of a generator — would coalesce the
-    // small ring-join output to a handful of partitions; an explicit
-    // numPartitions is exempt from AQE coalescing
-    bleuComponents(
-      pairs.repartition(
-        pairs.sparkSession.sparkContext.defaultParallelism, col("pair_id")),
-      "pair_id", "cand", "ref")
+    // round-11: the pre-amplification repartition is GONE with the gram
+    // generator it existed for — [[bleuComponents]] now clips row-local
+    // (no ~10³× explode downstream for AQE to mis-coalesce under), so
+    // the kernel rides the ring join's own position-keyed distribution
+    // and the extra exchange would be pure cost
+    bleuComponents(pairs, "pair_id", "cand", "ref")
   }
 
   /** TER-lite: token-level edit distance per pair — the edit-family eval

@@ -221,6 +221,24 @@ object RowLocal {
         df.select(col("doc_id").as("pair_id"), col("text").as("cand"),
           substring(col("text"), 1, 30).as("ref")),
         "pair_id", "cand", "ref", maxTokens = 10)),
+    // round-11: the per-pair clip metrics became row-local kernels (the
+    // (pair, n, gram) shuffle forms survive as *Shuffled law witnesses),
+    // so the batch operators ARE streaming-safe and move under the law
+    T("EvalMetrics.bleuComponents")(df =>
+      ops.EvalMetrics.bleuComponents(
+        df.select(col("doc_id").as("pair_id"), col("text").as("cand"),
+          substring(col("text"), 1, 30).as("ref")),
+        "pair_id", "cand", "ref")),
+    T("EvalMetrics.rougeN")(df =>
+      ops.EvalMetrics.rougeN(
+        df.select(col("doc_id").as("pair_id"), col("text").as("cand"),
+          substring(col("text"), 1, 30).as("ref")),
+        "pair_id", "cand", "ref", maxN = 2)),
+    T("EvalMetrics.chrF")(df =>
+      ops.EvalMetrics.chrF(
+        df.select(col("doc_id").as("pair_id"), col("text").as("cand"),
+          substring(col("text"), 1, 30).as("ref")),
+        "pair_id", "cand", "ref", maxN = 2, maxChars = 40)),
     // ---- vectors ----------------------------------------------------------
     T("Similarity.quantizeInt8")(df =>
       ops.Similarity.quantizeInt8(df.select(col("doc_id").as("id"), col("vec")))),
@@ -301,12 +319,13 @@ object RowLocal {
     "Curation.temperatureMixture" -> "stratum-sized weight projection + one-row broadcast total",
     "Curation.isqrtExact" -> "row-local scalar column (corrected floor sqrt) - pure per-row arithmetic with no frame semantics",
     "Curation.bradleyTerry" -> "iterative MM fixed point over pair aggregates (loop-lineage rule)",
-    "EvalMetrics.ngramOverlap" -> "per-pair gram-count aggregate (clipped matches need both sides' counts)",
-    "EvalMetrics.bleuComponents" -> "per-pair gram aggregates + wide pivot",
-    "EvalMetrics.rougeN" -> "per-pair gram aggregates",
-    "EvalMetrics.chrF" -> "per-pair character-gram aggregates",
+    "EvalMetrics.ngramOverlap" -> "distributed (pair, n, gram) aggregate — the row-local kernels' law witness and the fallback for rows too large to clip in task memory",
+    "EvalMetrics.bleuComponentsShuffled" -> "private[graft] distributed law witness of the row-local bleuComponents",
+    "EvalMetrics.rougeNShuffled" -> "private[graft] distributed law witness of the row-local rougeN",
+    "EvalMetrics.chrFShuffled" -> "private[graft] distributed law witness of the row-local chrF",
+    "EvalMetrics.bleuComponentsMultiRefShuffled" -> "private[graft] distributed law witness of the row-local bleuComponentsMultiRef",
     "EvalMetrics.selfBleuPairs" -> "corpus ring rank (bucket-offset, driver-read counts) + position equi-join",
-    "EvalMetrics.selfBleu" -> "selfBleuPairs composition (ring rank + join) feeding the gram aggregates",
+    "EvalMetrics.selfBleu" -> "selfBleuPairs composition (ring rank + join) feeding the row-local clip kernel",
     "EvalMetrics.corpusBleu" -> "corpus-level one-row component reduce (micro-average pooling)",
     "EvalMetrics.withRowLocalBleuComponents" -> "private[graft] helper (row-local clip kernel shared by bleuComponentsRowLocal and the streaming corpus-BLEU twin)",
     "EvalMetrics.corpusBleuOver" -> "private[graft] helper (shared pool+root tail for the global and windowed corpus BLEU)",
@@ -329,9 +348,9 @@ object RowLocal {
     "EvalMetrics.bootstrapDeltaCi" -> "one aggregate over a B<=200-row replicate frame (bounded order statistic)",
     "EvalMetrics.approxRandomization" -> "pair-keyed system join + sign-flip fan-out onto one R-row aggregate",
     "EvalMetrics.mcnemarTest" -> "two pair-keyed dedups + one equi-join + a one-row discordant-count reduce",
-    "EvalMetrics.bleuComponentsMultiRef" -> "one (pair, n, gram) shuffle + per-ref max partial agg + pair-sized BP-length reduce",
-    "EvalMetrics.rougeNMultiRef" -> "per-(pair, ref) gram aggregates + pair-sized max-over-refs reduce",
-    "EvalMetrics.chrFMultiRef" -> "per-(pair, ref) char-gram aggregates + pair-sized max-over-refs reduce",
+    "EvalMetrics.bleuComponentsMultiRef" -> "pair-keyed reference collect + equi-join feeding the row-local max-clip kernel",
+    "EvalMetrics.rougeNMultiRef" -> "per-(pair, ref) row-local clip rows + pair-sized max-over-refs reduce",
+    "EvalMetrics.chrFMultiRef" -> "per-(pair, ref) row-local char-clip rows + pair-sized max-over-refs reduce",
     "EvalMetrics.rougeLMultiRef" -> "per-(pair, ref) bounded LCS DP rows + pair-sized max-over-refs reduce",
     "EvalMetrics.terMultiRef" -> "per-(pair, ref) bounded edit-DP rows + pair-sized min/avg reduce",
     "Profile.poissonWeight31" -> "private[ops] helper (the deterministic-bootstrap weight column, one cut table for every bootstrap oracle)",

@@ -441,6 +441,61 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(rows(local).toSeq == rows(dist).toSeq)
   }
 
+  test("round-11 kernel == shuffled witness (law): bleuComponents / rougeN / chrF / bleuComponentsMultiRef") {
+    // the row-local clip kernels replaced the (pair, n, gram) shuffles
+    // on the hot path (round-11 optimization); the distributed forms
+    // survive as *Shuffled witnesses and this law pins the two
+    // column-for-column on inputs that exercise the clip (repeats), the
+    // coverage rows (empty sides), multi-codepoint text (chrF slices
+    // code points, incl. a supplementary-plane emoji), and whitespace
+    // edges (tabs/newlines)
+    val pairs = Seq(
+      (1L, "the cat the cat", "the cat sat on the mat"),
+      (2L, "a b c d", "a b c d"),
+      (3L, "", "x y"),
+      (4L, "a a a a a", "a a b"),
+      (5L, "café 😀 zhé", "café zhé 😀 😀"),
+      (6L, "  tab\tsep  \n", "tab sep"),
+      (7L, "one two", null.asInstanceOf[String]))
+      .toDF("pair_id", "cand", "ref")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map {
+        case null => "NULL"; case v => v.toString
+      }).sortBy(_.mkString("|")).toSeq
+    def law(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+        what: String): Unit = {
+      assert(a.columns.toSeq == b.columns.toSeq, s"$what columns")
+      assert(rows(a) == rows(b), s"$what rows")
+    }
+    law(EvalMetrics.bleuComponents(pairs, "pair_id", "cand", "ref"),
+      EvalMetrics.bleuComponentsShuffled(pairs, "pair_id", "cand", "ref"),
+      "bleuComponents")
+    law(EvalMetrics.rougeN(pairs, "pair_id", "cand", "ref", maxN = 3),
+      EvalMetrics.rougeNShuffled(pairs, "pair_id", "cand", "ref", maxN = 3),
+      "rougeN")
+    law(EvalMetrics.chrF(pairs, "pair_id", "cand", "ref", maxN = 3, maxChars = 10),
+      EvalMetrics.chrFShuffled(pairs, "pair_id", "cand", "ref", maxN = 3, maxChars = 10),
+      "chrF (truncating)")
+    law(EvalMetrics.chrF(pairs, "pair_id", "cand", "ref", maxN = 2, maxChars = 2000),
+      EvalMetrics.chrFShuffled(pairs, "pair_id", "cand", "ref", maxN = 2, maxChars = 2000),
+      "chrF (untruncated)")
+    // multi-ref: two refs per pair incl. a duplicated ref (max-clip must
+    // not double-count), a length tie (BP picks the shorter), and a
+    // pair with no reference row (drops in both forms)
+    val cands = Seq((1L, "the cat the cat"), (2L, "a b c d"), (3L, ""),
+      (4L, "x y z")).toDF("pair_id", "cand")
+    val refs = Seq(
+      (1L, 1L, "the cat sat"), (1L, 2L, "the cat the dog"),
+      (2L, 1L, "a b c d"), (2L, 2L, "a b c d"),
+      (3L, 1L, "p q"), (3L, 2L, "r"))
+      .toDF("pair_id", "ref_ord", "ref")
+    law(EvalMetrics.bleuComponentsMultiRef(cands, refs,
+        "pair_id", "cand", "ref_ord", "ref"),
+      EvalMetrics.bleuComponentsMultiRefShuffled(cands, refs,
+        "pair_id", "cand", "ref_ord", "ref"),
+      "bleuComponentsMultiRef")
+  }
+
   test("corpusChrf: per-n pooled components, beta=2 F on the pooled grid") {
     val pairs = Seq(
       (1L, "ab", "ab"), // n1: 2/2/2, n2: 1/1/1

@@ -197,27 +197,30 @@ class PlanSpec extends AnyFunSuite {
       s"chunk text may not cross the pack exchange:\n${above.take(3000)}")
   }
 
-  test("eval-metric gram kernel: one two-stage generator chain; count() cannot skip it") {
-    val q = EntriesCuration.queries("ns_bleu")(spark, sf)
-    val plan = planOf(q)
-    // both sides × n=1..4 ride ONE generator chain: the (n, side) spec
-    // explode + the parametric gram explode_outer — a per-side or per-n
-    // gram explode would multiply the scan of the pair join, and
-    // inlining all legs into one concat expression costs seconds of
-    // cold janino compile (measured; the reason the chain is TWO nodes)
-    val gens = "Generate explode".r.findAllIn(plan).length
-    assert(gens == 2, s"expected the spec+gram generator chain, got $gens:\n${plan.take(3000)}")
-    // the pair join evaluates ONCE: two text-side scans, no spine branch
-    val scans = "Scan parquet".r.findAllIn(plan).length
-    assert(scans == 2, s"pair join must evaluate once (2 scans), got $scans")
-    // regression pin: the zero-gram-pair coverage must come from
-    // explode_outer, NOT an outer join onto the aggregate — a
-    // unique-right-key outer join is ELIMINATED under column-pruned
-    // actions, so a count() (the bench's action) silently skipped the
-    // whole gram pipeline
-    val countPlan = q.groupBy().count().queryExecution.optimizedPlan.toString
-    assert(countPlan.contains("Generate"),
-      s"count() must still execute the gram pipeline:\n${countPlan.take(2000)}")
+  test("eval-metric clip kernels: BLEU/ROUGE-N/chrF are row-local — zero exchanges beyond the pair frame") {
+    // round-11: the per-pair clip runs in ONE bounded hash-multiset
+    // kernel per row (BleuComponentsExpr / GramPrfCountsExpr), so the
+    // (pair, n, gram) exchange, the two-stage generator, and the wide
+    // pivot are GONE — the metric may add NO exchange over the shared
+    // evalPairs frame (the TER / ROUGE-L zero-shuffle discipline; the
+    // distributed forms survive as *Shuffled law witnesses)
+    val pairPlan = planOf(EntrySupport.evalPairs(spark, sf))
+    val pairEx = "Exchange".r.findAllIn(pairPlan).length
+    for (name <- Seq("ns_bleu", "ns_rouge", "ns_chrf")) {
+      val plan = planOf(EntriesCuration.queries(name)(spark, sf))
+      val ex = "Exchange".r.findAllIn(plan).length
+      assert(ex == pairEx,
+        s"$name must add zero exchanges over the pair frame " +
+          s"($ex vs $pairEx):\n${plan.take(2500)}")
+      // the pair join evaluates ONCE: two text-side scans, no spine branch
+      val scans = "Scan parquet".r.findAllIn(plan).length
+      assert(scans == 2, s"$name pair join must evaluate once (2 scans), got $scans")
+    }
+    // ns_bleu has no generator at all; the per-n metrics explode only
+    // the kernel's <= maxN pre-reduced structs — never raw grams
+    val bleuPlan = planOf(EntriesCuration.queries("ns_bleu")(spark, sf))
+    assert(!bleuPlan.contains("Generate"),
+      s"ns_bleu must be generator-free (kernel clip):\n${bleuPlan.take(2500)}")
   }
 
   test("TER and ROUGE-L are zero-shuffle narrow plans (bounded per-row DP)") {
@@ -265,27 +268,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("self-BLEU: the pre-amplification pair-keyed exchange survives between ring join and gram generator") {
-    // the 9.0 -> 2.2 s fix is an explicit repartition(N, pair_id) inside
-    // selfBleu — explicit numPartitions is exempt from AQE coalescing,
-    // but nothing else stops a refactor (or an optimizer change) from
-    // dropping it and running the ~10^3x gram explode on the handful of
-    // partitions the small ring-join output coalesces to. Pin the
-    // exchange's presence, its REPARTITION_BY_NUM origin (the AQE
-    // exemption), and its position: downstream of the ring position
-    // join, upstream of the gram Generate chain.
+  test("self-BLEU: kernel clip rides the ring join — no gram generator, no pre-amplification exchange") {
+    // round-11: bleuComponents clips row-local, so the ~10^3x gram
+    // explode the old pre-amplification repartition existed for is GONE
+    // — and so must the repartition be (an exchange bought for an
+    // amplification that no longer happens is pure cost). Pin both: the
+    // ring position join survives (the pairing IS distributed work),
+    // the plan is generator-free downstream of it.
     val plan = planOf(EntriesCuration.queries("ns_self_bleu")(spark, sf))
-    val ex = "Exchange hashpartitioning\\(pair_id#\\d+L?, \\d+\\), REPARTITION_BY_NUM".r
-      .findFirstMatchIn(plan)
-    assert(ex.isDefined,
-      s"explicit pair_id repartition (REPARTITION_BY_NUM) missing:\n${plan.take(3000)}")
-    // tree prints root-first: the gram Generate (consumer) must sit ABOVE
-    // the exchange, the ring position join (producer) BELOW it
-    val genIdx = plan.indexOf("Generate explode")
-    assert(genIdx >= 0 && genIdx < ex.get.start,
-      s"gram generator must consume the pair-keyed exchange:\n${plan.take(3000)}")
-    assert(plan.indexOf("__sb_ppos", ex.get.start) > 0,
-      s"ring position join must feed the pair-keyed exchange:\n${plan.take(3000)}")
+    assert(plan.contains("__sb_ppos"),
+      s"ring position join missing:\n${plan.take(3000)}")
+    assert(!plan.contains("Generate explode"),
+      s"kernel clip must not explode grams:\n${plan.take(3000)}")
+    assert(!plan.contains("REPARTITION_BY_NUM"),
+      s"the pre-amplification repartition should be gone with the generator:\n${plan.take(3000)}")
   }
 
   test("BERTScore: the unit-pair join is pair-keyed, never a cross product") {
@@ -305,17 +301,21 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("multi-ref BLEU / BERTScore-idf / approx-rand: keyed joins never degenerate to products, aggregates combine map-side") {
-    // bleuComponentsMultiRef's scale contract: the clip join is keyed
-    // (pair, n, gram) and the BP-length pick is a pair-keyed reduce —
-    // a dropped key plans a cartesian over the gram corpus
+    // bleuComponentsMultiRef's round-11 scale contract: ONE pair-keyed
+    // reference collect + ONE pair-keyed equi-join feed the row-local
+    // max-clip kernel — a dropped key would plan a product over the
+    // candidate x reference corpus
     val mr = planOf(EntriesCuration.queries("ns_bleu_multiref")(spark, sf))
     assert(!mr.contains("CartesianProduct") &&
       !mr.contains("BroadcastNestedLoopJoin"),
-      s"multi-ref clip join degenerated to a product:\n${mr.take(3000)}")
-    assert(mr.contains("partial_max"),
-      s"the max-over-refs gram count must combine map-side:\n${mr.take(3000)}")
-    assert(mr.contains("partial_min"),
-      s"the closest-ref-length struct min must combine map-side:\n${mr.take(3000)}")
+      s"multi-ref candidate-reference join degenerated to a product:\n${mr.take(3000)}")
+    assert(mr.contains("collect_list"),
+      s"the per-pair reference collect is the kernel's input contract:\n${mr.take(3000)}")
+    // the clip itself is the bounded kernel — the only Generate allowed
+    // is the input frame's own 2-struct reference explode, never a
+    // per-gram fan-out (which would print as a wordGrams transform leg)
+    assert(mr.contains("bleumultirefexpr"),
+      s"the max-clip must be the row-local kernel:\n${mr.take(3000)}")
     // bertScoreIdf: the weight lookup is hinted broadcast (a
     // vocabulary-sized table must never shuffle the unit frame). The
     // idf table build itself carries ONE BroadcastNestedLoopJoin — the
@@ -341,17 +341,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("self-BLEU: ring join stays position-keyed; count() cannot skip the gram pipeline") {
+  test("self-BLEU: ring join stays position-keyed (never a product)") {
     val q = EntriesCuration.queries("ns_self_bleu")(spark, sf)
     val plan = planOf(q)
-    // same generator-chain shape as ns_bleu downstream of the pairing
-    val gens = "Generate explode".r.findAllIn(plan).length
-    assert(gens == 2, s"expected the spec+gram generator chain, got $gens:\n${plan.take(3000)}")
-    // the count()-elimination regression class, pinned for the self-pair
-    // variant too (its pair frame is a join, the shape Catalyst prunes)
-    val countPlan = q.groupBy().count().queryExecution.optimizedPlan.toString
-    assert(countPlan.contains("Generate"),
-      s"count() must still execute the gram pipeline:\n${countPlan.take(2000)}")
+    // the pairing's scale contract: peer texts arrive through a position
+    // equi-join (O(n·peers) rows) — the only tolerated nested-loop is
+    // the <= 16-row broadcast peer-spec crossJoin
+    assert(!plan.contains("CartesianProduct"),
+      s"ring join degenerated to a product:\n${plan.take(3000)}")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 1,
+      s"only the peer-spec crossJoin may nested-loop ($bnlj):\n${plan.take(3000)}")
   }
 
   test("seqRepN is a zero-shuffle narrow plan; novelty and the paired bootstrap aggregate map-side") {
