@@ -1659,20 +1659,38 @@ object EvalMetrics {
     // shuffle aggregated — zero exchange; the explode fans out only
     // maxN ≤ 8 pre-reduced structs per pair. The distributed witness
     // is [[rougeNShuffled]] (EvalMetricsSpec law).
-    val comp = pairs
+    val comp = kernelPrfRows(pairs
       .select(col(pairIdCol).as("pair_id"),
         toks(col(candCol)).as("__ct"), toks(col(refCol)).as("__rt"))
       .withColumn("__pc", graft.functions.text.gramPrfCounts(
-        col("__ct"), col("__rt"), maxN, chars = false))
-      .select(col("pair_id"), explode(col("__pc")).as("__e"))
-      .select(col("pair_id"), col("__e.n").as("n"),
-        col("__e.matches").as("matches"),
-        col("__e.cand_total").as("cand_total"),
-        col("__e.ref_total").as("ref_total"))
+        col("__ct"), col("__rt"), maxN, chars = false)), maxN)
     // drop the coverage rows (see ngramOverlap): a (pair, n) with no
     // gram on EITHER side has no defined ROUGE row
     withPrf(comp.where(col("cand_total") + col("ref_total") > 0))
   }
+
+  /** Unpack the kernel's fixed-length per-n struct array into rows via a
+    * generator over a CONSTANT index spec + element_at — NOT
+    * explode(__pc): Catalyst's InferFiltersFromGenerate would derive
+    * `size(__pc) > 0` from a data-dependent explode, and constraint
+    * pushdown then substitutes the whole kernel chain into the pair
+    * join's condition — the kernel ran TWICE per row (caught by the
+    * round-11 plan audit: `gramprfcountsexpr` appeared in the Join
+    * condition). The constant spec's inferred filter folds away, the
+    * kernel column crosses the Generate as a concrete attribute, and
+    * the array always has exactly maxN entries so the row set is
+    * identical.
+    */
+  private def kernelPrfRows(staged: DataFrame, maxN: Int): DataFrame =
+    staged
+      .select(col("pair_id"), col("__pc"),
+        explode(array((1 to maxN).map(i => lit(i)): _*)).as("__i"))
+      .select(col("pair_id"),
+        element_at(col("__pc"), col("__i")).as("__e"))
+      .select(col("pair_id"), col("__e.n").as("n"),
+        col("__e.matches").as("matches"),
+        col("__e.cand_total").as("cand_total"),
+        col("__e.ref_total").as("ref_total"))
 
   /** The distributed form of [[rougeN]] (the round-10 shape) — identical
     * output; kept as the EvalMetricsSpec law witness and the fallback
@@ -1703,16 +1721,11 @@ object EvalMetrics {
     // collapse into one bounded pass per row (code-point slicing ==
     // substr semantics, so scores are bit-identical; the law witness is
     // [[chrFShuffled]]).
-    val comp = pairs
+    val comp = kernelPrfRows(pairs
       .select(col(pairIdCol).as("pair_id"),
         prep(col(candCol)).as("__cs"), prep(col(refCol)).as("__rs"))
       .withColumn("__pc", graft.functions.text.gramPrfCounts(
-        col("__cs"), col("__rs"), maxN, chars = true))
-      .select(col("pair_id"), explode(col("__pc")).as("__e"))
-      .select(col("pair_id"), col("__e.n").as("n"),
-        col("__e.matches").as("matches"),
-        col("__e.cand_total").as("cand_total"),
-        col("__e.ref_total").as("ref_total"))
+        col("__cs"), col("__rs"), maxN, chars = true)), maxN)
       .where(col("cand_total") + col("ref_total") > 0) // rougeN's rule
     chrfTail(comp)
   }
