@@ -139,34 +139,56 @@ object SpecCompiler {
           // otherwise) — one JSON parse per row instead of a predicate
           // parse plus an extraction parse; a trivially-true predicate
           // keeps the plain projection
-          val projected = EventPred.and(keep, fb.pred) match {
-            case EventPred.True0() =>
+          val plainSelect = EventPred.and(keep, fb.pred) match {
+            case EventPred.True0() => true
+            case _ => false
+          }
+          val projected =
+            if (plainSelect)
               df.select(keepColumns.map(col) :+ fb.project(ev).as("__t"): _*)
                 .select(keepColumns.map(col) ++ fb.outputColumns.map(c => col(s"__t.`$c`").as(c)): _*)
-            case p =>
+            else
               df.select(keepColumns.map(col) :+
-                gjson.extractFieldsRows(ev, fb.fields, p).as(fb.outputColumns): _*)
-          }
+                gjson.extractFieldsRows(ev, fb.fields,
+                  EventPred.and(keep, fb.pred)).as(fb.outputColumns): _*)
           // userAgent unescape failure fails the whole event into the error
           // path (reference: extractFields returns err → Transform errors);
-          // those rows are excluded here and surfaced via errorFrame —
-          // fused with the regexp stage below into ONE generator so the
-          // extraction chain evaluates once per row (round-11: Catalyst's
-          // filter pushdown substitutes a deterministic alias into the
-          // Filter, re-evaluating the whole to_json∘extract∘regexp chain
-          // there AND in the Project — measured 2× per-row cost on the
-          // e1/g7 gates; the guide's duplicated-UDF-evaluation pattern)
+          // those rows are excluded here and surfaced via errorFrame. On
+          // the PLAIN-SELECT path the downstream filters are fused with
+          // the regexp stage into ONE generator so the extraction chain
+          // evaluates once per row (round-11: Catalyst's filter pushdown
+          // substitutes a deterministic alias into the Filter,
+          // re-evaluating the whole to_json∘extract∘regexp chain there AND
+          // in the Project — measured 2× per-row cost on the e1/g7 gates;
+          // the guide's duplicated-UDF-evaluation pattern). On the
+          // GENERATOR path the projected columns are already concrete
+          // attributes (nothing to re-evaluate), so the plain filters are
+          // cheaper than adding a second generator — measured: the fused
+          // form cost f8_useragent ~+0.15 s there for no win.
           val uaCols = fb.fields.filter(_.gtype == gjson.GUserAgent).map(_.id)
           fb.regexp match {
             case Some(re) if fb.outputColumns.contains(re.spec.field) =>
               // Non-matching rows are the reference's error path; they are
               // split off here (see errorFrame) rather than silently kept.
-              fuseKeep(projected,
-                payload = Some("regexppayload" -> re.payload(col(re.spec.field))),
-                nonNull = uaCols,
-                drop = if (re.spec.keepField) Nil else Seq(re.spec.field))
+              if (plainSelect)
+                fuseKeep(projected,
+                  payload = Some("regexppayload" -> re.payload(col(re.spec.field))),
+                  nonNull = uaCols,
+                  drop = if (re.spec.keepField) Nil else Seq(re.spec.field))
+              else {
+                val uaKept = uaCols.foldLeft(projected)((d, c) =>
+                  d.filter(col(c).isNotNull))
+                val withPayload = uaKept.withColumn("regexppayload",
+                  re.payload(col(re.spec.field)))
+                val dropped =
+                  if (re.spec.keepField) withPayload
+                  else withPayload.drop(re.spec.field)
+                dropped.filter(col("regexppayload").isNotNull)
+              }
             case _ if uaCols.nonEmpty =>
-              fuseKeep(projected, payload = None, nonNull = uaCols, drop = Nil)
+              if (plainSelect)
+                fuseKeep(projected, payload = None, nonNull = uaCols, drop = Nil)
+              else uaCols.foldLeft(projected)((d, c) => d.filter(col(c).isNotNull))
             case _ => projected
           }
         case rb: RegexpBranch =>
