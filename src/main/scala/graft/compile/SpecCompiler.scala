@@ -162,9 +162,9 @@ object SpecCompiler {
           // in the Project — measured 2× per-row cost on the e1/g7 gates;
           // the guide's duplicated-UDF-evaluation pattern). On the
           // GENERATOR path the projected columns are already concrete
-          // attributes (nothing to re-evaluate), so the plain filters are
-          // cheaper than adding a second generator — measured: the fused
-          // form cost f8_useragent ~+0.15 s there for no win.
+          // attributes (nothing to re-evaluate through the pushed
+          // filter), so the plain null-check filters are cheaper than
+          // paying a second generator's struct+explode per row.
           val uaCols = fb.fields.filter(_.gtype == gjson.GUserAgent).map(_.id)
           fb.regexp match {
             case Some(re) if fb.outputColumns.contains(re.spec.field) =>
