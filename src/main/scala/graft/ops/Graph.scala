@@ -372,20 +372,24 @@ object Graph {
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
     val e = (if (dedupEdges) e0.distinct() else e0).persist()
+    // LAZY checkpoint + count: the empty-frontier probe's own job
+    // materializes the checkpoint blocks (lineage truncates at job end), so
+    // each round runs ONE action instead of checkpoint-then-probe — the
+    // probe is synchronous, so the release order below is unchanged
     var frontier = seeds.select(col(seedCol).as("node")).distinct()
-      .withColumn("hops", lit(0L)).localCheckpoint(true)
+      .withColumn("hops", lit(0L)).localCheckpoint(false)
     var dist = frontier
     var leaves: List[DataFrame] = frontier :: Nil
     var hop = 0
-    var exhausted = frontier.isEmpty
+    var exhausted = frontier.count() == 0L
     while (hop < maxHops && !exhausted) {
       val reached = e
         .join(frontier.select(col("node").as("src")), Seq("src"), "left_semi")
         .select(col("dst").as("node")).distinct()
       val fresh = reached.join(dist, Seq("node"), "left_anti")
         .withColumn("hops", lit(hop + 1L))
-      val cp = fresh.localCheckpoint(true)
-      exhausted = cp.isEmpty
+      val cp = fresh.localCheckpoint(false)
+      exhausted = cp.count() == 0L
       if (!exhausted) {
         dist = dist.union(cp)
         leaves ::= cp
@@ -441,21 +445,23 @@ object Graph {
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
     val e = (if (dedupEdges) e0.distinct() else e0).persist()
+    // lazy checkpoint + count probe: one action per round (see
+    // [[seedDistance]] — the probe job materializes the checkpoint)
     var frontier = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("hops", lit(0L)).withColumn("seed", col("node"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var dist = frontier
     var leaves: List[DataFrame] = frontier :: Nil
     var hop = 0
-    var exhausted = frontier.isEmpty
+    var exhausted = frontier.count() == 0L
     while (hop < maxHops && !exhausted) {
       val reached = e
         .join(frontier.select(col("node").as("src"), col("seed")), Seq("src"))
         .groupBy(col("dst").as("node")).agg(min(col("seed")).as("seed"))
       val fresh = reached.join(dist, Seq("node"), "left_anti")
         .select(col("node"), lit(hop + 1L).as("hops"), col("seed"))
-      val cp = fresh.localCheckpoint(true)
-      exhausted = cp.isEmpty
+      val cp = fresh.localCheckpoint(false)
+      exhausted = cp.count() == 0L
       if (!exhausted) {
         dist = dist.union(cp)
         leaves ::= cp
@@ -842,7 +848,11 @@ object Graph {
       .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
-    var e = e0.localCheckpoint(true)
+    // lazy checkpoint + count: the convergence count's own job materializes
+    // the checkpoint (one action per round instead of two); the count is
+    // synchronous, so the release below still happens only after the new
+    // round's blocks exist
+    var e = e0.localCheckpoint(false)
     var n = e.count()
     var converged = n == 0
     var rounds = 0
@@ -853,7 +863,7 @@ object Graph {
       val e2 = e
         .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-      val cp = e2.localCheckpoint(true)
+      val cp = e2.localCheckpoint(false)
       val n2 = cp.count()
       e.unpersist() // no-op for checkpoint rounds — release blocks too
       org.apache.spark.sql.graft.bridge.unpersistLocalCheckpoint(e)
